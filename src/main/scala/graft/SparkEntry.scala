@@ -1,13 +1,588 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.{TextFunctions, VectorOps}
+import graft.operators.{BehavioralFeatures, Dedup, Multimodal, SimilaritySearch}
+import graft.quality.{Between, InSet, NotNull, RowCheck}
+import graft.sources.TableIO
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a deterministic total ordering and engine-exact
+  * numerics: floating aggregates go through DECIMAL(18,2) sums (exact,
+  * order-independent in both Spark and DuckDB) and are cast back to
+  * double; integer sums are cast to BIGINT on the oracle side (DuckDB
+  * widens to HUGEINT); similarity scores are rounded to 6dp on both
+  * sides. Column aliases match the oracle SQL exactly.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableIO.table(s, dir, name)
+
+  /** Exact decimal-backed sum of a 2dp money column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ //
+  //  Queries. One per implemented operator family from SURVEY.md §2     //
+  //  plus the LLM-data-pipeline extensions (dedup / similarity / text / //
+  //  multimodal).                                                       //
+  // ------------------------------------------------------------------ //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/P4/P5: parquet scan + timestamp range predicate + projection.
+    // Filter and 4-column projection both push to the parquet scan.
+    "q_scan_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P1/P2: null predicates (nullif manufactures nulls — testdata has none).
+    "q_null_predicate" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("et", expr("nullif(event_type, 'click')"))
+        .filter(col("et").isNull)
+        .select("event_id", "user_id")
+        .orderBy("event_id")),
+
+    // F7/F8: fillna over a nullable column, then aggregate.
+    "q_fillna" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("et", expr("nullif(event_type, 'click')"))
+        .na.fill(Map("et" -> "unknown"))
+        .groupBy("et").agg(count(lit(1)).as("n"))
+        .orderBy("et")),
+
+    // P6/F1-F5: temporal derivations (year/month/hour/dayofweek/weekend/date).
+    "q_temporal_derive" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        hour(col("ts")).as("h"),
+        dayofweek(col("ts")).as("dow"),
+        when(dayofweek(col("ts")).isin(1, 7), 1).otherwise(0).as("is_weekend"),
+        to_date(col("ts")).as("event_date"))
+        .orderBy("event_id")),
+
+    // F5/F6: conditional + boolean->int cast.
+    "q_cast_conditional" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        (col("value") > 100.0).cast("int").as("is_large"),
+        when(col("event_type") === "purchase", col("value")).otherwise(0.0).as("purchase_value"))
+        .orderBy("event_id")),
+
+    // A3/A4/F2/F10/O1: daily grouped aggregation with derived ratio
+    // (gold.py:31-41 pattern on the orders table).
+    "q_agg_daily" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_value"),
+          (dsum(col("o_totalprice")) / count(lit(1))).as("avg_value"),
+          (sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).cast("double")
+            / count(lit(1))).as("urgent_rate"))
+        .orderBy("order_date")),
+
+    // A5/F3: hourly grouped aggregation (gold.py:45-52 pattern) + countDistinct.
+    "q_agg_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(hour(col("ts")).as("event_hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          (dsum(col("value")) / count(col("value"))).as("avg_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_hour")),
+
+    // W1: trailing 1h count over a per-user value-range window
+    // (build_features.py:28,35 pattern on events).
+    "q_window_velocity" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("ts_unix", unix_timestamp(col("ts")))
+        .select(
+          col("event_id"), col("user_id"),
+          BehavioralFeatures.trailingCount("user_id", "ts_unix", 3600L).as("velocity_1h"))
+        .orderBy("event_id")),
+
+    // W2/W3: trailing 24h average (exact decimal form) and deviation.
+    "q_window_avg_dev" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("ts_unix", unix_timestamp(col("ts")))
+        .select(
+          col("event_id"), col("user_id"),
+          (col("value") - BehavioralFeatures.trailingAvgExact(
+            col("value"), "user_id", "ts_unix", 86400L)).as("value_dev_24h"))
+        .orderBy("event_id")),
+
+    // W4: distinct-set cardinality over a trailing 6h range window.
+    "q_window_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("ts_unix", unix_timestamp(col("ts")))
+        .select(
+          col("event_id"), col("user_id"),
+          BehavioralFeatures.trailingDistinct(
+            col("event_type"), "user_id", "ts_unix", 21600L).as("type_diversity_6h"))
+        .orderBy("event_id")),
+
+    // O1/O2: global sort.
+    "q_sort_global" -> ((s, d) =>
+      t(s, d, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy(desc("value"), asc("event_id"))),
+
+    // Top-k: order + limit (planned as TakeOrderedAndProject — no full sort).
+    "q_topk_limit" -> ((s, d) =>
+      t(s, d, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(desc("value"), asc("event_id"))
+        .limit(100)),
+
+    // Q1-Q5: the fused single-pass data-quality aggregate (one scan for
+    // the whole suite — the engine improvement over GX's N scans).
+    "q_quality_fused" -> ((s, d) => {
+      val checks: Seq[(String, RowCheck)] = Seq(
+        "null_quantity" -> NotNull("l_quantity"),
+        "quantity_range_violations" -> Between("l_quantity", 1, 50),
+        "returnflag_domain_violations" -> InSet("l_returnflag", Seq("A", "N", "R")),
+        "discount_range_violations" -> Between("l_discount", 0, 0.05))
+      val aggs = count(lit(1)).as("n_rows") +:
+        checks.map { case (alias, c) => sum(when(c.violation, 1L).otherwise(0L)).as(alias) }
+      t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // Joins (SURVEY §2.3: none in the reference; required for the
+    // extension ops and engine completeness): 5-table star join with
+    // broadcast dims, grouped revenue (decimal-exact), ordered.
+    "q_join_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val customer = t(s, d, "customer")
+      val nation = t(s, d, "nation")
+      val region = t(s, d, "region")
+      val revenue = sum(
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // Left-semi join (EXISTS).
+    "q_join_semi" -> ((s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no urgent orders.
+    "q_join_anti" -> ((s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Grouped countDistinct.
+    "q_distinct_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // Set ops: union + distinct.
+    "q_set_union" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.select(col("l_returnflag").as("flag"))
+        .union(li.select(col("l_linestatus").as("flag")))
+        .distinct()
+        .orderBy("flag")
+    }),
+
+    // Set ops: except.
+    "q_set_except" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.select(col("l_returnflag").as("flag"))
+        .except(li.select(col("l_linestatus").as("flag")))
+        .orderBy("flag")
+    }),
+
+    // S1/S2/S4: CSV sink + schema-enforced PERMISSIVE CSV scan round-trip
+    // (ingestion_pyspark.py:28-35 pattern); oracle checks against the
+    // original parquet, so the round-trip must be lossless.
+    "q_csv_roundtrip" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/csv_roundtrip"
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(dir)
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      s.read
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("timestampFormat", tsFmt)
+        .schema(schema)
+        .csv(dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          unix_micros(min(col("ts"))).as("min_ts_us"),
+          unix_micros(max(col("ts"))).as("max_ts_us"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // -------------------- LLM-data-pipeline extensions --------------------
+
+    // Exact dedup: content-hash groups with deterministic keeper.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicateGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+
+    // Exhaustive n-gram Jaccard near-dup pairs (the dedup correctness oracle).
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash+LSH near-dup (scale path; rows-only — randomized banding is
+    // not SQL-expressible. Verified against exact Jaccard in DedupSpec.)
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashNearDuplicates(
+        t(s, d, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash 64-bit fingerprints (rows-only; determinism covered in DedupSpec).
+    "q_dedup_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash64"))
+        .orderBy("doc_id")),
+
+    // Text quality/statistics features.
+    "q_text_stats" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
+        (aggregate(transform(toks, tk => length(tk)), lit(0), (a, x) => a + x).cast("double")
+          / size(toks)).as("avg_token_len"),
+        (TextFunctions.stopwordCount(col("text")).cast("double")
+          / size(toks)).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic document fingerprint (case/whitespace-normalized md5).
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Heuristic language ID (rows-only: the label is a prediction;
+    // accuracy is asserted on multilingual fixtures in TextFunctionsSpec).
+    "q_text_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.languageId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    // Brute-force cosine top-k against the vec_id=0 query vector.
+    "q_sim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 20)
+    }),
+
+    // LSH-bucketed ANN variant (rows-only; recall asserted in SimilaritySpec).
+    "q_sim_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      SimilaritySearch.lshTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
+        k = 20, numPlanes = 8, maxProbeHamming = 2)
+    }),
+
+    // Embedding cosine near-dup pairs (brute-force; exact threshold).
+    "q_emb_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDuplicates(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // Multimodal: binary content column + metadata pass (decode path is
+    // exercised via Multimodal.extractFeatures in MultimodalSpec).
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.metaStats(Multimodal.fromDocuments(t(s, d, "documents")))
+        .orderBy("media_id"))
+  )
+
+  /** Names run by Bench (excludes the quadratic brute-force pair query,
+    * which exists as the small-scale oracle for the LSH path).
+    */
+  def benchQueries: Seq[String] =
+    queries.keys.toSeq.sorted.filterNot(_ == "q_emb_neardup")
+
+  // ------------------------------------------------------------------ //
+  //  DuckDB oracle SQL — same tables, same aliases, same ordering.      //
+  // ------------------------------------------------------------------ //
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |       CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_null_predicate" ->
+      """SELECT event_id, user_id
+        |FROM (SELECT *, nullif(event_type, 'click') AS et FROM events)
+        |WHERE et IS NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q_fillna" ->
+      """SELECT coalesce(nullif(event_type, 'click'), 'unknown') AS et,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY et ORDER BY et""".stripMargin,
+
+    "q_temporal_derive" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS INT) AS y,
+        |       CAST(month(ts) AS INT) AS m,
+        |       CAST(hour(ts) AS INT) AS h,
+        |       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |       CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS INT) AS is_weekend,
+        |       CAST(ts AS DATE) AS event_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cast_conditional" ->
+      """SELECT event_id,
+        |       CAST(value > 100 AS INT) AS is_large,
+        |       CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_agg_daily" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS urgent_rate
+        |FROM orders GROUP BY order_date ORDER BY order_date""".stripMargin,
+
+    "q_agg_hourly" ->
+      """SELECT CAST(hour(ts) AS INT) AS event_hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_hour ORDER BY event_hour""".stripMargin,
+
+    "q_window_velocity" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS velocity_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_avg_dev" ->
+      """SELECT event_id, user_id,
+        |       value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |               / (count(value) OVER w) AS value_dev_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_distinct" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(DISTINCT event_type) OVER w AS INT) AS type_diversity_6h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sort_global" ->
+      """SELECT event_id, event_type, value
+        |FROM events ORDER BY value DESC, event_id""".stripMargin,
+
+    "q_topk_limit" ->
+      """SELECT event_id, user_id, value
+        |FROM events ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_quality_fused" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+        |       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range_violations,
+        |       CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain_violations,
+        |       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range_violations
+        |FROM lineitem""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT DISTINCT l_returnflag AS flag FROM lineitem
+        |UNION
+        |SELECT DISTINCT l_linestatus FROM lineitem
+        |ORDER BY flag""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT l_returnflag AS flag FROM lineitem
+        |EXCEPT
+        |SELECT l_linestatus FROM lineitem
+        |ORDER BY flag""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |       n_common / (sa.sz + sb.sz - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, length(text) AS n_chars, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(n_chars AS INT) AS n_chars,
+        |       CAST(len(t) AS INT) AS n_tokens,
+        |       CAST(len(list_filter(t, x -> lower(x) IN
+        |         ('the','a','of','and','to','in','is','it','that','for'))) AS INT) AS n_stopwords,
+        |       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+        |       CAST(len(list_filter(t, x -> lower(x) IN
+        |         ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / len(t) AS stopword_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_emb_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.e, b.e) /
+        |             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       'text' AS modality,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       sha256(text) AS content_sha
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, fingerprinting, n-gram shingling, quality scoring,
+  * heuristic language ID. All pure Catalyst expressions (no UDFs), so
+  * they stay inside codegen / vectorized evaluation and scale linearly
+  * with no serialization boundary.
+  */
+object TextFunctions {
+
+  /** Whitespace-delimited tokens. `\S+` (rather than `split` on `\s+`)
+    * avoids empty leading/trailing tokens and matches the RE2/Java regex
+    * intersection, so an external oracle computes the same thing.
+    */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("""\S+"""), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Canonical whitespace/case normalization used for fingerprinting. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(lower(c), """\s+""", " "))
+
+  /** Deterministic document fingerprint over normalized text: identical
+    * up to case/whitespace => identical fingerprint. 128-bit hex, safe as
+    * an exact-dedup key at any scale.
+    */
+  def fingerprint(c: Column): Column = md5(normalizeWhitespace(c))
+
+  /** Word n-grams (space-joined token windows); empty array when the
+    * document has fewer than n tokens.
+    */
+  def wordNGrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** Character n-grams over normalized text. */
+  def charNGrams(c: Column, n: Int): Column = {
+    val s = normalizeWhitespace(c)
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(s) - lit(n - 1)),
+        i => s.substr(i, lit(n))))
+  }
+
+  /** Punctuation character count (explicit class — identical semantics in
+    * Java regex and RE2, unlike `\p{Punct}`).
+    */
+  val PunctClass = """[.,;:!?'"()\[\]{}-]"""
+
+  def punctCount(c: Column): Column = size(regexp_extract_all(c, lit(PunctClass), lit(0)))
+
+  /** Tiny multilingual stopword lists for the heuristic language scorer. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  def stopwordCount(c: Column, lang: String = "en"): Column = {
+    val set = Stopwords(lang)
+    size(filter(tokens(lower(c)), t => t.isin(set: _*)))
+  }
+
+  /** CJK codepoint count — the zh detector. */
+  def cjkCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("""[一-鿿]"""), lit(0)))
+
+  /** Heuristic language ID: CJK presence => zh, else the stopword list
+    * with the most token hits (ties resolve in en,es,de,fr order), else
+    * "und" when nothing matches. A real pipeline would swap in a trained
+    * n-gram profile model; the operator shape (pure column expression,
+    * no shuffle) is the part that matters at scale.
+    */
+  def languageId(c: Column): Column = {
+    val scores = Seq("en", "es", "de", "fr").map(l => l -> stopwordCount(c, l))
+    val best = scores.tail.foldLeft((lit("en"), scores.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    when(cjkCount(c) > 0, "zh")
+      .when(best._2 > 0, best._1)
+      .otherwise("und")
+  }
+
+  /** Quality features: a typical pre-training filter set (length, token
+    * stats, punctuation/stopword ratios) plus a composite [0,1] score.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val nChar = length(c)
+    val avgTokLen = when(nTok > 0, nChar.cast("double") / nTok).otherwise(0.0)
+    val stopRatio = when(nTok > 0, stopwordCount(c).cast("double") / nTok).otherwise(0.0)
+    val lengthOk = when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
+    val tokLenOk = when(avgTokLen >= 2 && avgTokLen <= 12, 1.0).otherwise(0.0)
+    val punctOk = when(nChar > 0 && punctCount(c).cast("double") / nChar <= 0.2, 1.0).otherwise(0.0)
+    round((lengthOk + tokLenOk + punctOk + least(stopRatio * lit(5.0), lit(1.0))) / 4.0, 4)
+  }
+}

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact (hash),
+  * n-gram Jaccard (exhaustive), MinHash+LSH (approximate, scale path),
+  * SimHash (hamming), embedding cosine near-dup.
+  *
+  * Scale design: every variant is a hash-partitioned groupBy/join on a
+  * content-derived key — no driver-side state, no collect. The exhaustive
+  * Jaccard self-join is the correctness oracle; MinHash banding is the
+  * 100 TB path (candidate count scales with true-duplicate density, not
+  * with the square of the corpus).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups keyed by md5 of raw text: (hash, keeper id =
+    * min id, copy count). Deterministic keeper selection — unlike
+    * `dropDuplicates`, which keeps an arbitrary row per key.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep exactly one row (the min-id row) per distinct text. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = exactDuplicateGroups(df, idCol, textCol)
+      .select(col("content_hash"), col("keeper_id"))
+    df.withColumn("content_hash", md5(col(textCol)))
+      .join(groups, "content_hash")
+      .filter(col(idCol) === col("keeper_id"))
+      .drop("content_hash", "keeper_id")
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Exploded distinct word-n-gram set per document: (id, gram). */
+  def ngramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(TextFunctions.wordNGrams(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Exhaustive pairwise Jaccard over word n-gram sets: pairs (id_a <
+    * id_b) with similarity >= minJaccard. Output: id_a, id_b, n_common,
+    * jaccard.
+    *
+    * `maxGramDocFreq` (optional) drops shingles that appear in more than
+    * that many documents before the self-join — the standard stop-shingle
+    * pruning that keeps the join from exploding on boilerplate at scale.
+    * Leave None for oracle-exact semantics.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      maxGramDocFreq: Option[Int] = None): DataFrame = {
+    val grams = ngramSets(df, idCol, textCol, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+
+    val joinGrams = maxGramDocFreq match {
+      case Some(cap) =>
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("gram")
+        grams.join(freq, "gram")
+      case None => grams
+    }
+
+    val a = joinGrams.select(col("id").as("id_a"), col("gram"))
+    val b = joinGrams.select(col("id").as("id_b"), col("gram"))
+    val inter = a.join(b, "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** Prime just above 2^32 for the universal-hash family. */
+  private val MinHashPrime = 4294967311L
+
+  /** Deterministic (a*h + b) mod p coefficient arrays from a seed.
+    * a <= 2^30 and h < 2^32 keep a*h+b under 2^63 — no long overflow.
+    */
+  private def coefficients(numHashes: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val as = Seq.fill(numHashes)(1L + rng.nextInt((1 << 30) - 1).toLong)
+    val bs = Seq.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    (as, bs)
+  }
+
+  /** MinHash signature column (array<bigint> of length numHashes) over the
+    * document's word-n-gram set. Pure column expression: O(numHashes x
+    * |grams|) per row, no shuffle, no UDF.
+    *
+    * Shaped as ONE `aggregate` fold over the gram-hash array (accumulator
+    * = running minima per permutation). The naive
+    * `transform(perms, i -> array_min(transform(grams, ...)))` nesting
+    * re-evaluates tokenization + hashing per permutation after Catalyst's
+    * CollapseProject inlines it — measured 60x slower.
+    */
+  def minHashSignature(textCol: Column, n: Int, numHashes: Int, seed: Long): Column = {
+    val (as, bs) = coefficients(numHashes, seed)
+    val aLit = typedLit(as)
+    val bLit = typedLit(bs)
+    // murmur3 -> unsigned 32-bit domain
+    val gramHashes = transform(
+      TextFunctions.wordNGrams(textCol, n),
+      g => hash(g).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    aggregate(
+      gramHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => transform(
+        acc,
+        (m, i) => least(m, (get(aLit, i) * h + get(bLit, i)) % lit(MinHashPrime))))
+  }
+
+  /** LSH banding: explode each signature into (band index, band hash) keys
+    * and self-join — two documents collide if any band matches. With r
+    * rows/band and b bands, P(collide) = 1-(1-j^r)^b: the (b, r) choice
+    * sets the similarity threshold the join "searches" for.
+    * Output: id_a, id_b candidate pairs (distinct).
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minHashSignature(col(textCol), n, numHashes, seed).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** MinHash LSH candidates verified with exact n-gram Jaccard — the full
+    * near-dedup operator: LSH prunes the pair space, the verify join
+    * removes false positives. (False negatives are the documented LSH
+    * trade-off; tune bands/numHashes for the target threshold.)
+    */
+  def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands, seed)
+    val grams = ngramSets(df, idCol, textCol, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = grams.select(col("id").as("id_a"), col("gram"))
+    val b = grams.select(col("id").as("id_b2"), col("gram").as("gram_b"))
+    val inter = cands.join(a, "id_a")
+      .join(b, col("id_b") === col("id_b2") && col("gram") === col("gram_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over token hashes: bit b of the fingerprint is the
+    * sign of sum over tokens of (+-1 depending on bit b of xxhash64(token)).
+    * Near-duplicates land within small hamming distance.
+    *
+    * One `aggregate` fold with a 64-counter array accumulator (the
+    * 64-separate-aggregates form re-tokenizes per bit — same CollapseProject
+    * inlining trap as minHashSignature). Bit tests use mask literals
+    * (`h & (1<<b)`) because shiftright needs a literal shift amount.
+    */
+  def simHash(textCol: Column): Column = {
+    val powLit = typedLit(Array.tabulate(64)(b => 1L << b).toSeq)
+    val th = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+    val counters = aggregate(
+      th,
+      array_repeat(lit(0L), 64),
+      (acc, h) => transform(
+        acc,
+        (c, b) => c + when(h.bitwiseAND(get(powLit, b)) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counters, powLit, (c, p) => when(c >= 0, p).otherwise(0L)),
+      lit(0L),
+      (a, x) => a.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, found by exact-matching
+    * one of four 16-bit chunks (pigeonhole: hamming <= 3 guarantees at
+    * least one of 4 chunks equal) then verifying with bit_count(xor).
+    */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    // Variable shift amounts need SQL-side `>>`, hence selectExpr.
+    val exploded = sigs.selectExpr(
+      "id", "sim",
+      "posexplode(transform(sequence(0, 3), c -> (sim >> (c * 16)) & 65535)) AS (chunk, chunk_val)")
+    val a = exploded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("chunk"), col("chunk_val"))
+    val b = exploded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Brute-force cosine near-duplicate pairs over an embedding column.
+    * Exhaustive O(n^2) — correct baseline and the oracle for the LSH
+    * variant in SimilaritySearch; block on a partition key or use LSH at
+    * scale.
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val v = df.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", VectorOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= minCosine)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

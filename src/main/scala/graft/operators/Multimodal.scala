@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * runs partition-local behind a pluggable decoder.
+  *
+  * The decode step is STUBBED (no codec libraries in this environment):
+  * `StubDecoder` produces a deterministic fake from the content bytes so
+  * the Spark-side plumbing — schema, binary batching, partition-local
+  * execution, feature schema — is real and testable. A deployment binds
+  * a real codec behind the same `MediaDecoder` trait.
+  */
+final case class MediaRecord(
+    media_id: Long,
+    modality: String,
+    content: Array[Byte],
+    source: String)
+
+final case class MediaFeatures(
+    media_id: Long,
+    modality: String,
+    n_bytes: Int,
+    sha256: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    embedding: Array[Float])
+
+trait MediaDecoder extends Serializable {
+  /** (width, height, frames, feature vector). */
+  def decode(modality: String, content: Array[Byte]): (Int, Int, Int, Array[Float])
+}
+
+/** STUB: deterministic fake decode derived from a content digest. A real
+  * implementation would decode image/audio bytes here (libraries absent
+  * in this container); everything around it is production-shaped.
+  */
+object StubDecoder extends MediaDecoder {
+  override def decode(modality: String, content: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val d = MessageDigest.getInstance("SHA-256").digest(content)
+    def u8(i: Int): Int = d(i) & 0xff
+    val width = 16 + u8(0) * 4
+    val height = 16 + u8(1) * 4
+    val frames = if (modality == "video") 1 + u8(2) % 64 else 1
+    val emb = Array.tabulate(8)(i => (u8(i * 2) * 256 + u8(i * 2 + 1)) / 65535.0f)
+    (width, height, frames, emb)
+  }
+}
+
+object Multimodal {
+
+  /** Wrap the documents table as a media table (text payload as bytes) —
+    * exercises the binary-column path end to end with real data.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text").as("modality"),
+      col("text").cast("binary").as("content"),
+      col("source"))
+
+  /** Metadata pass that never leaves Catalyst: byte size + content digest.
+    * Cheap full-corpus integrity/accounting scan.
+    */
+  def metaStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("modality"),
+      octet_length(col("content")).as("n_bytes"),
+      sha2(col("content"), 256).as("content_sha"))
+
+  /** Partition-local decode + feature extraction. `mapPartitions` (not a
+    * per-row UDF) so a real decoder can amortize codec init per partition
+    * — the JVM analogue of a batched pandas UDF.
+    */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val md = MessageDigest.getInstance("SHA-256")
+      it.map { rec =>
+        val (w, h, f, emb) = decoder.decode(rec.modality, rec.content)
+        md.reset()
+        val sha = md.digest(rec.content).map("%02x".format(_)).mkString
+        MediaFeatures(rec.media_id, rec.modality, rec.content.length, sha, w, h, f, emb)
+      }
+    }
+  }
+}

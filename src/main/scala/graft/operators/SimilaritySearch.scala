@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, same API:
+  *  - brute-force cosine top-k: the exact baseline; one broadcast of the
+  *    query vector, one scan, one TakeOrdered — at 100 TB this is the
+  *    "score everything" pass and it parallelizes perfectly.
+  *  - LSH-bucketed: random-hyperplane signatures partition vectors into
+  *    2^numPlanes buckets; search touches only the query's bucket (plus
+  *    optional hamming-1 probes). Candidate set shrinks ~2^planes-fold
+  *    at the cost of recall — the standard ANN trade.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine against a literal query vector. `cos_sim` is
+    * rounded to 6dp for cross-engine determinism; ties break on id.
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(
+        col(idCol),
+        round(VectorOps.cosine(VectorOps.asDouble(col(vecCol)), q), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Bucketed ANN: restrict scoring to vectors whose hyperplane signature
+    * is within `maxProbeHamming` bits of the query's signature, then rank
+    * those by exact cosine. multiProbe=0 searches only the exact bucket.
+    */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      numPlanes: Int = 12,
+      maxProbeHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    val qSig: Long = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << i else 0L
+    }.foldLeft(0L)(_ | _)
+
+    val qLit = typedLit(query)
+    df.select(
+        col(idCol),
+        VectorOps.asDouble(col(vecCol)).as("v"),
+        VectorOps.hyperplaneSignature(VectorOps.asDouble(col(vecCol)), planes).as("sig"))
+      .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxProbeHamming)
+      .select(col(idCol), round(VectorOps.cosine(col("v"), qLit), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact top-k join (each left row to its k nearest right
+    * rows) — building block for kNN-graph construction. Brute force with
+    * a rank window; LSH-bucket before calling at scale.
+    */
+  def knnJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idColL: String,
+      idColR: String,
+      vecColL: String,
+      vecColR: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(idColL).as("id_l"), VectorOps.asDouble(col(vecColL)).as("v_l"))
+    val r = right.select(col(idColR).as("id_r"), VectorOps.asDouble(col(vecColR)).as("v_r"))
+    val scored = l.crossJoin(r)
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("cos_sim", round(VectorOps.cosine(col("v_l"), col("v_r")), 6))
+    val w = Window.partitionBy("id_l").orderBy(desc("cos_sim"), col("id_r"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id_l", "id_r", "cos_sim", "rank")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Thin format-abstracted table IO (reference reads/writes Delta,
+  * reference: src/data/silver.py:28,52-59; Parquet locally — see
+  * PipelineConfig). Keeping reads/writes behind one seam is what lets the
+  * same pipeline run on Delta/Iceberg in a cluster deployment without
+  * touching operator code.
+  */
+object TableIO {
+
+  def read(spark: SparkSession, format: String, path: String): DataFrame =
+    spark.read.format(format).load(path)
+
+  def write(
+      df: DataFrame,
+      format: String,
+      path: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format(format).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  /** Loader for the driver-generated testdata tables (TESTDATA.md).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; read nanos as long and truncate to the microsecond
+    * TimestampType domain (truncation is monotone, so min/max/ordering
+    * semantics survive; sub-second window arithmetic in this engine is
+    * second-granularity anyway, SURVEY §2.5).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else df
+  }
+}
