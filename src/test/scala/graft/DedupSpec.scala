@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Dedup
+import graft.sources.TableIO
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixture = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup of 1
+    (4L, "completely different words appear in this sentence here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: deterministic min-id keeper, correct group counts") {
+    val groups = Dedup.exactDuplicateGroups(fixture, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    val dupGroup = groups.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // keeper is min id
+    val kept = Dedup.dropExactDuplicates(fixture, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("jaccard pairs: identical docs = 1.0, near dups high, disjoint absent") {
+    val pairs = Dedup.jaccardPairs(fixture, "doc_id", "text", n = 3, minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.4 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash LSH matches exhaustive jaccard on the testdata corpus") {
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "verify step must kill false positives")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: whitespace-invariant, near-dups closer than unrelated docs") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "changed")
+    val unrelated = (1 to 30).map(i => s"other$i").mkString(" ")
+    val sigs = Seq((1L, base), (2L, base.replace(" ", "   ")), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(2L), "whitespace-invariant")
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)),
+      "one-token edit must land closer than a disjoint doc")
+
+    // exact-duplicate pair is always found (all four chunks collide)
+    val pairs = Dedup.simHashNearDuplicates(fixture, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("embedding near-dup finds planted duplicate") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

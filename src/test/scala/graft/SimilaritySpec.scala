@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.functions.VectorOps
+import graft.operators.SimilaritySearch
+import graft.sources.TableIO
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = TableIO.table(spark, Sf0001, "embeddings")
+  private lazy val query: Seq[Double] = emb.filter(col("vec_id") === 0)
+    .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+
+  test("brute-force top-k: correct size, descending, deterministic") {
+    val rows = SimilaritySearch.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    val again = SimilaritySearch.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("LSH ANN returns a subset of the corpus ranked by true cosine, nonzero recall") {
+    val brute = SimilaritySearch.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = SimilaritySearch.lshTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query,
+      k = 20, numPlanes = 8, maxProbeHamming = 2).collect()
+    assert(ann.nonEmpty && ann.length <= 20)
+    val sims = ann.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    val recall = ann.map(_.getLong(0)).count(brute.contains).toDouble / 20
+    assert(recall > 0.0, "ANN should recover at least some true neighbors")
+  }
+
+  test("knn join ranks per left row") {
+    val tiny = emb.filter(col("vec_id") < 20)
+    val knn = SimilaritySearch.knnJoin(tiny, tiny, "vec_id", "vec_id", "embedding", "embedding", 3)
+    val byLeft = knn.collect().groupBy(_.getLong(0))
+    assert(byLeft.size == 20)
+    assert(byLeft.values.forall(_.length == 3))
+    assert(byLeft.values.forall(rs => rs.map(_.getInt(3)).sorted.sameElements(Array(1, 2, 3))))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c).collect()(0).get(0)
+
+  test("tokenCount ignores leading/trailing/repeated whitespace") {
+    assert(one("  a  b \t c ", tokenCount(col("t"))) == 3)
+    assert(one("", tokenCount(col("t"))) == 0)
+  }
+
+  test("fingerprint is invariant to case and whitespace, sensitive to content") {
+    val a = one("Hello   World", fingerprint(col("t")))
+    val b = one("hello world", fingerprint(col("t")))
+    val c = one("hello worlds", fingerprint(col("t")))
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("wordNGrams produces sliding space-joined windows; short docs give empty") {
+    assert(one("a b c d", wordNGrams(col("t"), 3)) == Seq("a b c", "b c d"))
+    assert(one("a b", wordNGrams(col("t"), 3)) == Seq())
+  }
+
+  test("charNGrams slides over normalized text") {
+    assert(one("ab cd", charNGrams(col("t"), 3)) == Seq("ab ", "b c", " cd"))
+  }
+
+  test("languageId identifies stopword-distinct languages and CJK") {
+    assert(one("the cat is in the house and it is good", languageId(col("t"))) == "en")
+    assert(one("el perro y la casa en un dia que es bueno", languageId(col("t"))) == "es")
+    assert(one("der hund und die katze ist ein tier und nicht klein", languageId(col("t"))) == "de")
+    assert(one("le chat et les maisons est une chose pour tous", languageId(col("t"))) == "fr")
+    assert(one("这是一个测试文档", languageId(col("t"))) == "zh")
+    assert(one("xyzzy qwerty zzz", languageId(col("t"))) == "und")
+  }
+
+  test("qualityScore lands in [0,1] and penalizes degenerate docs") {
+    val good = one("the quick brown fox jumps over the lazy dog and runs away", qualityScore(col("t"))).asInstanceOf[Double]
+    val bad = one("a", qualityScore(col("t"))).asInstanceOf[Double]
+    assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
+    assert(good > bad)
+  }
+}
