@@ -39,9 +39,21 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exploded distinct word-n-gram set per document: (id, gram). */
+  /** Exploded distinct word-n-gram set per document: (id, gram). String
+    * grams — used where an external oracle must reproduce the shingles.
+    */
   def ngramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(TextFunctions.wordNGrams(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Hashed variant for internal set arithmetic (verify joins): 64-bit
+    * gram hashes from the fused primitive expression — no gram strings
+    * materialized, ~4x faster to build and far cheaper to shuffle.
+    */
+  def ngramHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        explode(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("gram"))
       .distinct()
 
   /** Exhaustive pairwise Jaccard over word n-gram sets: pairs (id_a <
@@ -60,7 +72,12 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       maxGramDocFreq: Option[Int] = None): DataFrame = {
+    // The gram set feeds three plan branches (sizes + both self-join
+    // sides); persist so tokenize+explode+distinct runs once, not thrice.
+    // (Exhaustive Jaccard is the small/medium-scale oracle op — the 100 TB
+    // path is minHashNearDuplicates, which prunes before verifying.)
     val grams = ngramSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
 
     val joinGrams = maxGramDocFreq match {
@@ -102,30 +119,15 @@ object Dedup {
   }
 
   /** MinHash signature column (array<bigint> of length numHashes) over the
-    * document's word-n-gram set. Pure column expression: O(numHashes x
-    * |grams|) per row, no shuffle, no UDF.
-    *
-    * Shaped as ONE `aggregate` fold over the gram-hash array (accumulator
-    * = running minima per permutation). The naive
-    * `transform(perms, i -> array_min(transform(grams, ...)))` nesting
-    * re-evaluates tokenization + hashing per permutation after Catalyst's
-    * CollapseProject inlines it — measured 60x slower.
+    * document's word-n-gram set. O(numHashes x |grams|) per row, no
+    * shuffle, no UDF: gram hashing stays in codegen'd built-ins
+    * (`hash` inside `transform`), the permutation minima run in the
+    * custom `MinHashSignatureExpr` primitive loop (the equivalent
+    * `aggregate` fold allocates a boxed accumulator array per gram —
+    * measured ~1 ms/doc, ~50x slower).
     */
-  def minHashSignature(textCol: Column, n: Int, numHashes: Int, seed: Long): Column = {
-    val (as, bs) = coefficients(numHashes, seed)
-    val aLit = typedLit(as)
-    val bLit = typedLit(bs)
-    // murmur3 -> unsigned 32-bit domain
-    val gramHashes = transform(
-      TextFunctions.wordNGrams(textCol, n),
-      g => hash(g).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    aggregate(
-      gramHashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => transform(
-        acc,
-        (m, i) => least(m, (get(aLit, i) * h + get(bLit, i)) % lit(MinHashPrime))))
-  }
+  def minHashSignature(textCol: Column, n: Int, numHashes: Int, seed: Long): Column =
+    graft.plans.HashExpressions.minHashFromText(textCol, n, numHashes, seed)
 
   /** LSH banding: explode each signature into (band index, band hash) keys
     * and self-join — two documents collide if any band matches. With r
@@ -143,14 +145,21 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // Docs with < n tokens have an empty gram set and the identity
+    // signature (all Long.MaxValue) — without this filter every such doc
+    // band-collides with every other one, an O(tiny-docs^2) explosion.
     val sig = df.select(
-      col(idCol).as("id"),
-      minHashSignature(col(textCol), n, numHashes, seed).as("sig"))
+        col(idCol).as("id"),
+        minHashSignature(col(textCol), n, numHashes, seed).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    // Persisted: the band table feeds both sides of the collision
+    // self-join — without it the signature computation runs twice.
     val banded = sig.select(
       col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
@@ -174,7 +183,17 @@ object Dedup {
       minJaccard: Double = 0.5,
       seed: Long = 42L): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands, seed)
-    val grams = ngramSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Verify only candidate documents: semi-join prunes the corpus to the
+    // docs LSH surfaced before re-shingling. Candidate volume scales with
+    // true-duplicate density, so at 100 TB this is the difference between
+    // verifying millions of rows and re-exploding the whole corpus.
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol)))
+      .distinct()
+    val pruned = df.join(candDocs, Seq(idCol), "left_semi")
+    val grams = ngramHashSets(pruned, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = grams.select(col("id").as("id_a"), col("gram"))
     val b = grams.select(col("id").as("id_b2"), col("gram").as("gram_b"))
@@ -194,27 +213,12 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes: bit b of the fingerprint is the
     * sign of sum over tokens of (+-1 depending on bit b of xxhash64(token)).
-    * Near-duplicates land within small hamming distance.
-    *
-    * One `aggregate` fold with a 64-counter array accumulator (the
-    * 64-separate-aggregates form re-tokenizes per bit — same CollapseProject
-    * inlining trap as minHashSignature). Bit tests use mask literals
-    * (`h & (1<<b)`) because shiftright needs a literal shift amount.
+    * Near-duplicates land within small hamming distance. Token hashing is
+    * a codegen'd built-in; the 64-counter majority vote runs in the custom
+    * `SimHash64Expr` primitive loop.
     */
-  def simHash(textCol: Column): Column = {
-    val powLit = typedLit(Array.tabulate(64)(b => 1L << b).toSeq)
-    val th = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
-    val counters = aggregate(
-      th,
-      array_repeat(lit(0L), 64),
-      (acc, h) => transform(
-        acc,
-        (c, b) => c + when(h.bitwiseAND(get(powLit, b)) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counters, powLit, (c, p) => when(c >= 0, p).otherwise(0L)),
-      lit(0L),
-      (a, x) => a.bitwiseOR(x))
-  }
+  def simHash(textCol: Column): Column =
+    graft.plans.HashExpressions.simHashFromText(textCol)
 
   /** SimHash near-dup pairs within `maxHamming`, found by exact-matching
     * one of four 16-bit chunks (pigeonhole: hamming <= 3 guarantees at
