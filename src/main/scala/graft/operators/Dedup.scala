@@ -56,42 +56,82 @@ object Dedup {
         explode(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("gram"))
       .distinct()
 
-  /** Exhaustive pairwise Jaccard over word n-gram sets: pairs (id_a <
-    * id_b) with similarity >= minJaccard. Output: id_a, id_b, n_common,
-    * jaccard.
+  /** Exact pairwise Jaccard over word n-gram sets: pairs (id_a < id_b)
+    * with similarity >= minJaccard. Output: id_a, id_b, n_common, jaccard.
     *
-    * `maxGramDocFreq` (optional) drops shingles that appear in more than
-    * that many documents before the self-join — the standard stop-shingle
-    * pruning that keeps the join from exploding on boilerplate at scale.
-    * Leave None for oracle-exact semantics.
+    * Straight gram self-join + count. Measured faster than the prefix-
+    * filtered variant on corpora with small shared vocabularies (the
+    * filter machinery costs four extra shuffles and prunes little when
+    * every gram is common); see [[jaccardPairsPrefixFiltered]] for the
+    * boilerplate-heavy/hot-shingle case. For corpora too large for either
+    * exact form, [[minHashNearDuplicates]] is the scale path.
     */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      minJaccard: Double = 0.5,
-      maxGramDocFreq: Option[Int] = None): DataFrame = {
-    // The gram set feeds three plan branches (sizes + both self-join
-    // sides); persist so tokenize+explode+distinct runs once, not thrice.
-    // (Exhaustive Jaccard is the small/medium-scale oracle op — the 100 TB
-    // path is minHashNearDuplicates, which prunes before verifying.)
+      minJaccard: Double = 0.5): DataFrame = {
+    val grams = ngramSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = grams.select(col("id").as("id_a"), col("gram"))
+    val b = grams.select(col("id").as("id_b"), col("gram"))
+    val inter = a.join(b, "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** PPJoin-style prefix-filtered exact Jaccard (Xiao et al., WWW'08):
+    * a pair at jaccard >= t must share a gram among each doc's first
+    * (|g| - ceil(t*|g|) + 1) grams under a global df-ascending order, so
+    * the candidate join touches only rare prefix grams and candidates are
+    * verified exactly afterwards. Zero false negatives — identical output
+    * to [[jaccardPairs]]. Wins when hot shingles (boilerplate headers,
+    * templates) would otherwise quadratically blow up the self-join;
+    * loses on small-vocabulary corpora where nothing is rare.
+    */
+  def jaccardPairsPrefixFiltered(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = ngramSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
 
-    val joinGrams = maxGramDocFreq match {
-      case Some(cap) =>
-        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("gram")
-        grams.join(freq, "gram")
-      case None => grams
-    }
+    // Global df-ascending order; ties broken by gram for determinism.
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val ranked = grams.join(gramDf, "gram")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("gdf"), col("gram"))))
+      .join(sizes, "id")
+      .filter(col("rank") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
 
-    val a = joinGrams.select(col("id").as("id_a"), col("gram"))
-    val b = joinGrams.select(col("id").as("id_b"), col("gram"))
-    val inter = a.join(b, "gram")
-      .filter(col("id_a") < col("id_b"))
+    val a = ranked.select(col("id").as("id_a"), col("gram"), col("sz").as("sz_a"))
+    val b = ranked.select(col("id").as("id_b"), col("gram").as("gram_b"), col("sz").as("sz_b"))
+    val cands = a.join(b, col("gram") === col("gram_b") && col("id_a") < col("id_b"))
+      // size-compatibility: jaccard <= min(sz)/max(sz), so prune pairs
+      // whose sizes alone cap similarity below the threshold.
+      .filter(col("sz_b") >= col("sz_a") * minJaccard &&
+        col("sz_a") >= col("sz_b") * minJaccard)
+      .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Exact verification over candidates only.
+    val fullA = grams.select(col("id").as("id_a"), col("gram"))
+    val fullB = grams.select(col("id").as("id_b2"), col("gram").as("gram_b"))
+    val inter = cands.join(fullA, "id_a")
+      .join(fullB, col("id_b") === col("id_b2") && col("gram") === col("gram_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))
 

@@ -33,6 +33,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("prefix-filtered jaccard is output-identical to the naive join") {
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val naive = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPairsPrefixFiltered(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(naive == prefix)
+    assert(naive.nonEmpty)
+  }
+
   test("minhash LSH matches exhaustive jaccard on the testdata corpus") {
     val docs = TableIO.table(spark, Sf0001, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
