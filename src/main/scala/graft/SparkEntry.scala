@@ -300,6 +300,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish token counting (LLM-token estimation vs whitespace words).
+    "q_text_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprints (MOSS): rows-only — selection depends on the
+    // engine hash function; properties asserted in DedupSpec.
+    "q_text_winnow" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(graft.plans.HashExpressions.winnowFingerprints(col("text"), 3, 4)).as("n_fingerprints"))
+        .orderBy("doc_id")),
+
+    // LSH-bucketed embedding near-dup (scale path; rows-only — recall is
+    // probabilistic. Precision vs brute force asserted in DedupSpec.)
+    "q_emb_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDuplicatesLSH(
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.5, numPlanes = 16, maxHamming = 2)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .orderBy("id_a", "id_b")),
+
     // Deterministic document fingerprint (case/whitespace-normalized md5).
     "q_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -550,6 +576,13 @@ object SparkEntry {
         |       CAST(len(list_filter(t, x -> lower(x) IN
         |         ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / len(t) AS stopword_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text,
+        |         '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

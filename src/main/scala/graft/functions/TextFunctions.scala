@@ -19,6 +19,18 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the
+    * Java-regex/RE2 intersection — no lookahead): contractions, letter
+    * runs, digit runs, punctuation runs, whitespace runs. Counting these
+    * approximates LLM token counts far better than whitespace words on
+    * punctuated/numeric text.
+    */
+  val BpePattern: String = """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
   /** Canonical whitespace/case normalization used for fingerprinting. */
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(lower(c), """\s+""", " "))

@@ -285,7 +285,91 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------------ winnowing fingerprints
+
+  /** Winnowed fingerprint set per document (MOSS-style): near-copies
+    * share fingerprints; overlap is found with a fingerprint equi-join
+    * instead of an all-pairs comparison. The selection is ~2/(w+1) of the
+    * grams, so the join input shrinks accordingly — the cheap first pass
+    * before exact verification at corpus scale.
+    */
+  def winnowFingerprintSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3, w: Int = 4): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        explode(graft.plans.HashExpressions.winnowFingerprints(col(textCol), n, w)).as("fp"))
+      .distinct()
+
+  /** Candidate near-copy pairs by shared winnowing fingerprints, with the
+    * shared-fingerprint count as evidence. `minShared` tunes precision.
+    */
+  def winnowCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprintSets(df, idCol, textCol, n, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = fps.select(col("id").as("id_a"), col("fp"))
+    val b = fps.select(col("id").as("id_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------- embedding cosine near-dup
+
+  /** LSH-bucketed embedding near-dup: random-hyperplane signatures are
+    * split into (maxHamming+1) bit chunks; by pigeonhole, any two
+    * signatures within maxHamming bits share at least one exact chunk, so
+    * a chunk equi-join finds all such pairs. Candidates are then verified
+    * with exact cosine. Recall is probabilistic in signature space (a
+    * high-cosine pair can still differ in > maxHamming bits — more planes
+    * or probes trade cost for recall); precision is exact thanks to the
+    * verify step. This is the 100 TB path for [[embeddingNearDuplicates]].
+    */
+  def embeddingNearDuplicatesLSH(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      numPlanes: Int = 16,
+      maxHamming: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorOps
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    val v = df.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", VectorOps.hyperplaneSignature(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val chunks = maxHamming + 1
+    val bitsPer = (numPlanes + chunks - 1) / chunks
+    val chunkCols = (0 until chunks).map { c =>
+      val start = c * bitsPer
+      val width = math.max(1, math.min(bitsPer, numPlanes - start))
+      struct(
+        lit(c).as("chunk"),
+        shiftrightunsigned(col("sig"), start).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+    }
+    val exploded = v.select(col("id"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("id"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val cands = exploded.select(col("id").as("id_a"), col("chunk"), col("cv"))
+      .join(exploded.select(col("id").as("id_b"), col("chunk"), col("cv")), Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    cands
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos_sim", VectorOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= minCosine)
+      .select("id_a", "id_b", "cos_sim")
+  }
 
   /** Brute-force cosine near-duplicate pairs over an embedding column.
     * Exhaustive O(n^2) — correct baseline and the oracle for the LSH

@@ -163,8 +163,59 @@ case class WordNGramHashesExpr(child: Expression, n: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 — the
+  * MOSS algorithm): slide a window of `w` over the gram-hash sequence and
+  * keep each window's minimum (rightmost on ties). Guarantees: any shared
+  * substring of length >= w+n-1 tokens yields at least one shared
+  * fingerprint, while storing ~2/(w+1) of the grams — the standard
+  * near-copy detection sketch for document-scale corpora.
+  */
+case class WinnowFingerprintsExpr(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (m <= w) {
+      var mn = arr.getLong(0)
+      var i = 1
+      while (i < m) { if (arr.getLong(i) <= mn) mn = arr.getLong(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastIdx = -1
+    var start = 0
+    while (start <= m - w) {
+      var minIdx = start
+      var i = start + 1
+      while (i < start + w) {
+        if (arr.getLong(i) <= arr.getLong(minIdx)) minIdx = i // rightmost min
+        i += 1
+      }
+      if (minIdx != lastIdx) {
+        out += arr.getLong(minIdx)
+        lastIdx = minIdx
+      }
+      start += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Winnowing fingerprints straight from text: token n-gram hashes ->
+    * windowed minima. `w` is the winnowing window (guarantee threshold
+    * t = w + n - 1 tokens).
+    */
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column =
+    column(WinnowFingerprintsExpr(WordNGramHashesExpr(expression(text), n), w))
 
   def minHashSignature(hashes: Column, numHashes: Int, seed: Long): Column =
     column(MinHashSignatureExpr(expression(hashes), numHashes, seed))

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators.
+  *
+  * The reference is batch-only (SURVEY §2.10) — these are the streaming
+  * analogues of its behavioral features, included because a 100 TB
+  * training-data pipeline ingests continuously: the same windowed
+  * aggregations run incrementally with watermarked state instead of a
+  * full re-scan per day.
+  *
+  * Design: event-time everywhere (never processing time), explicit
+  * watermarks bound state, and custom per-key state goes through
+  * `flatMapGroupsWithState` with event-time timeouts so sessions close
+  * deterministically from data, not wall clocks.
+  */
+object StreamingFeatures {
+
+  final case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class SessionState(
+      startMs: Long, lastMs: Long, nEvents: Int, totalValue: Double)
+
+  final case class UserSession(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Int,
+      total_value: Double)
+
+  /** Sliding-window per-type activity counts — the streaming analogue of
+    * the gold hourly aggregation (reference: gold.py:45-52). State is
+    * bounded by the watermark: windows older than maxDelay are finalized
+    * and dropped.
+    */
+  def windowedActivity(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowDuration: String = "1 hour",
+      slideDuration: String = "15 minutes",
+      maxDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, maxDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Gap-based sessionization with custom state: a session closes when
+    * `gapSeconds` pass (in event time) with no activity from that user.
+    * Emits one row per closed session; open sessions are held in the
+    * state store and closed by event-time timeout as the watermark
+    * advances — no unbounded state.
+    */
+  def sessionize(
+      events: Dataset[StreamEvent],
+      gapSeconds: Long,
+      maxDelay: String = "10 minutes"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def close(user: Long, s: SessionState): UserSession =
+      UserSession(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents, s.totalValue)
+
+    def update(
+        user: Long,
+        batch: Iterator[StreamEvent],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val closed = state.getOption.map(close(user, _))
+        state.remove()
+        return closed.iterator
+      }
+      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      var current = state.getOption
+      val out = Seq.newBuilder[UserSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        current match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            out += close(user, s)
+            current = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            current = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.nEvents + 1, s.totalValue + e.value))
+          case None =>
+            current = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      current match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        case None => ()
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", maxDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming per-user velocity: events per user per sliding window —
+    * the incremental form of the batch `velocity_1h` feature
+    * (reference: build_features.py:35). Built-in windowed count; no
+    * custom state needed.
+    */
+  def streamingVelocity(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowDuration: String = "1 hour",
+      slideDuration: String = "5 minutes",
+      maxDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, maxDelay)
+      .groupBy(col("user_id"), window(col(tsCol), windowDuration, slideDuration))
+      .agg(count(lit(1)).as("velocity"))
+}

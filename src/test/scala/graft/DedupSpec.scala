@@ -75,6 +75,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("winnowing: near-copies share fingerprints, disjoint docs share none") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"intro words here $shared trailing bits"),
+      (2L, s"other prefix text $shared different suffix"),
+      (3L, "completely unrelated vocabulary nothing matches at all here today now ok")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text", n = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "12-token shared run must produce a shared fingerprint (guarantee t=w+n-1=6)")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("LSH embedding near-dup: exact precision, finds planted dup, guaranteed within hamming bound") {
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat))) ++ Seq(
+      (100L, Seq.fill(16)(0.5f)),
+      (101L, Seq.tabulate(16)(j => if (j == 0) 0.52f else 0.5f)))
+    val df = emb.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDuplicates(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDuplicatesLSH(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "verify step makes precision exact")
+    assert(lsh.contains((100L, 101L)), "near-identical vectors share every hyperplane side")
+  }
+
   test("embedding near-dup finds planted duplicate") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.StreamingFeatures
+import graft.streaming.StreamingFeatures.StreamEvent
+
+class StreamingFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"target/tmp/streaming_${System.nanoTime()}"
+  private val schema: StructType = implicitly[org.apache.spark.sql.Encoder[StreamEvent]].schema
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  private def writeBatch(name: String, rows: Seq[StreamEvent]): Unit = {
+    Files.createDirectories(Paths.get(s"$root/in"))
+    rows.toDF().coalesce(1).write.parquet(s"$root/in/$name")
+    // file stream sources watch a flat dir; move part files up
+    val dir = Paths.get(s"$root/in/$name")
+    Files.list(dir).filter(_.toString.endsWith(".parquet")).forEach { f =>
+      Files.move(f, Paths.get(s"$root/in/$name.parquet"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("windowed activity finalizes counts over a bounded file stream") {
+    writeBatch("b0", Seq(
+      StreamEvent(1, ts(0), "click", 1.0),
+      StreamEvent(2, ts(10), "click", 2.0),
+      StreamEvent(1, ts(70), "view", 3.0)))
+    val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+    val q = StreamingFeatures.windowedActivity(stream, windowDuration = "1 hour", slideDuration = "1 hour")
+      .writeStream.format("memory").queryName("activity").outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("activity")
+        .selectExpr("event_type", "n_events", "total_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions by event-time gap and watermark timeout") {
+    val dir = s"$root/sess"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[StreamEvent]): Unit = {
+      rows.toDF().coalesce(1).write.parquet(s"$dir/tmp_$name")
+      val src = Files.list(Paths.get(s"$dir/tmp_$name"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/$name.parquet"))
+    }
+    // user 1: two bursts 90min apart (gap 30min) -> first burst is one session
+    write("b0", Seq(
+      StreamEvent(1, ts(0), "click", 1.0),
+      StreamEvent(1, ts(5), "click", 2.0),
+      StreamEvent(1, ts(90), "view", 4.0)))
+    // much later batch advances the watermark far past everything above
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val sessions = StreamingFeatures.sessionize(stream.as[StreamEvent], gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      write("b1", Seq(StreamEvent(2, ts(10000), "click", 0.0)))
+      q.processAllAvailable()
+      write("b2", Seq(StreamEvent(2, ts(20000), "click", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .selectExpr("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      // user 1: session(2 events, 3.0) closed by gap; session(1 event, 4.0)
+      // closed by watermark timeout once b1 advanced event time.
+      assert(got.contains((1L, 2, 3.0)))
+      assert(got.contains((1L, 1, 4.0)))
+    } finally q.stop()
+  }
+}

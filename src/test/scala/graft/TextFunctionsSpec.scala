@@ -32,6 +32,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("ab cd", charNGrams(col("t"), 3)) == Seq("ab ", "b c", " cd"))
   }
 
+  test("bpeTokenCount splits contractions, numbers, punctuation") {
+    // don't -> [don]['t]; 3 words + number + ! as separate runs
+    assert(one("don't stop", bpeTokenCount(col("t"))) == 3)
+    assert(one("abc 123 def!", bpeTokenCount(col("t"))) == 4)
+    assert(one("plain words only", bpeTokenCount(col("t"))) == 3)
+  }
+
   test("languageId identifies stopword-distinct languages and CJK") {
     assert(one("the cat is in the house and it is good", languageId(col("t"))) == "en")
     assert(one("el perro y la casa en un dia que es bueno", languageId(col("t"))) == "es")
