@@ -232,6 +232,32 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // As-of (point-in-time) join — an operator Spark lacks natively,
+    // composed as tagged-union + one window pass (single shuffle of
+    // |L|+|R| rows, no inequality-join pair blowup).
+    "q_asof_join" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val orders = t(s, d, "orders")
+      graft.operators.AsOfJoin.join(
+        left = events.select("event_id", "user_id", "ts"),
+        right = orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightOrderCol = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    }),
+
+    // Multi-level aggregation: rollup over (returnflag, linestatus).
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // S1/S2/S4: CSV sink + schema-enforced PERMISSIVE CSV scan round-trip
     // (ingestion_pyspark.py:28-35 pattern); oracle checks against the
     // original parquet, so the round-trip must be lossless.
@@ -356,6 +382,17 @@ object SparkEntry {
       SimilaritySearch.lshTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
         k = 20, numPlanes = 8, maxProbeHamming = 2)
+    }),
+
+    // IVF ANN: KMeans-cell-probed top-k (rows-only — centroid assignment
+    // is model-dependent; recall vs brute force asserted in SimilaritySpec).
+    "q_sim_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val idx = SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 16)
+      SimilaritySearch.ivfTopK(idx, "vec_id", q, k = 20, nprobe = 4)
     }),
 
     // Embedding cosine near-dup pairs (brute-force; exact threshold).
@@ -523,6 +560,23 @@ object SparkEntry {
         |EXCEPT
         |SELECT l_linestatus FROM lineitem
         |ORDER BY flag""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_csv_roundtrip" ->
       """SELECT event_type,

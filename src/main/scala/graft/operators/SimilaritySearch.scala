@@ -66,6 +66,59 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: KMeans partitions the corpus into `nlist`
+    * Voronoi cells; queries score only the `nprobe` nearest cells. The
+    * assignment DataFrame is the "index" — at scale you persist/bucket it
+    * by cell so a probe touches nlist/nprobe of the data. Centroids are
+    * tiny (nlist x dim) and live on the driver for query routing.
+    */
+  final case class IvfIndex(
+      centroids: Array[Array[Double]],
+      assigned: DataFrame /* idCol, cell, vector as array<double> */)
+
+  def buildIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = df.select(
+      col(idCol),
+      VectorOps.asDouble(col(vecCol)).as("v"),
+      array_to_vector(VectorOps.asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(prepared)
+    val assigned = model.transform(prepared)
+      .select(col(idCol), col("v"), col("prediction").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** ANN top-k through an IVF index: route the query to its `nprobe`
+    * nearest centroids (driver-side — centroids are tiny), scan only
+    * those cells, rank by exact cosine. Recall improves with nprobe at
+    * linear cost; nprobe = nlist degenerates to brute force.
+    */
+  def ivfTopK(
+      index: IvfIndex,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    def dist2(c: Array[Double]): Double =
+      c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nprobe).map(_._2)
+    val qLit = typedLit(query)
+    index.assigned
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol), round(VectorOps.cosine(col("v"), qLit), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs exact top-k join (each left row to its k nearest right
     * rows) — building block for kNN-graph construction. Brute force with
     * a rank window; LSH-bucket before calling at scale.

@@ -207,6 +207,59 @@ case class WinnowFingerprintsExpr(child: Expression, w: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Dot product of two array<double> columns as a primitive loop — the
+  * embedding hot path (scoring millions of candidate pairs) spends its
+  * time here; the `aggregate(zip_with(...))` form allocates a zipped
+  * array and boxes every element.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All hyperplane sign bits in one pass over the vector: bit i = sign of
+  * v . plane_i. One expression instead of numPlanes separate dot columns.
+  */
+case class HyperplaneSignatureExpr(child: Expression, planes: Seq[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(dim, plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -216,6 +269,12 @@ object HashExpressions {
     */
   def winnowFingerprints(text: Column, n: Int, w: Int): Column =
     column(WinnowFingerprintsExpr(WordNGramHashesExpr(expression(text), n), w))
+
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProductExpr(expression(a), expression(b)))
+
+  def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column =
+    column(HyperplaneSignatureExpr(expression(vec), planes))
 
   def minHashSignature(hashes: Column, numHashes: Int, seed: Long): Column =
     column(MinHashSignatureExpr(expression(hashes), numHashes, seed))

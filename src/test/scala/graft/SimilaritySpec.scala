@@ -38,6 +38,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, "ANN should recover at least some true neighbors")
   }
 
+  test("IVF ANN: cells partition the corpus; probed top-k overlaps brute force") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
+    assert(idx.centroids.length == 8)
+    assert(idx.assigned.count() == corpus.count())
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ivfAll = SimilaritySearch.ivfTopK(idx, "vec_id", query, 20, nprobe = 8).collect()
+    assert(ivfAll.map(_.getLong(0)).toSet == brute, "nprobe = nlist must equal brute force")
+    val ivfProbe = SimilaritySearch.ivfTopK(idx, "vec_id", query, 20, nprobe = 3).collect()
+    assert(ivfProbe.nonEmpty && ivfProbe.length <= 20)
+    val sims = ivfProbe.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("knn join ranks per left row") {
     val tiny = emb.filter(col("vec_id") < 20)
     val knn = SimilaritySearch.knnJoin(tiny, tiny, "vec_id", "vec_id", "embedding", "embedding", 3)
