@@ -10,18 +10,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup on the tiny sf so headline timings measure the
-    // queries, not first-query classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // JIT/codegen warmup: run every bench query once on the tiny sf so
+    // headline timings measure the queries, not first-use classloading and
+    // codegen of each operator's expression tree.
+    SparkEntry.benchQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    // Two timed runs per query, report the min: a single pass conflates
+    // engine throughput with whatever GC debt the preceding 30+ plans
+    // left behind (observed 3-5x swings on the same query in one session).
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop intermediates persisted by operators (dedup gram/band tables)
-      // so successive queries are timed from a clean state.
-      spark.catalog.clearCache()
-      name -> dt
+      var ok = false
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); ok = true } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop intermediates persisted by operators (dedup gram/band
+        // tables) so successive runs are timed from a clean state.
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> (if (ok) times.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -405,14 +405,73 @@ object SparkEntry {
     // exercised via Multimodal.extractFeatures in MultimodalSpec).
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metaStats(Multimodal.fromDocuments(t(s, d, "documents")))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // S4 + partition pruning: partitioned parquet sink round-trip. The
+    // read-back filter on the partition column prunes to 1/|years| of the
+    // files (PartitionFilters in the scan); oracle checks against the
+    // source table, so the round-trip must be lossless.
+    "q_sink_partitioned" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/orders_by_year"
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_value"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // M8: stratified sample (sampleBy). Rows-only — Bernoulli draws are
+    // seed+partitioning-dependent, not SQL-reproducible; the repartition
+    // pins the layout so our own runs are deterministic (SURVEY §7.5.7).
+    "q_sample_stratified" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .repartition(8, col("l_orderkey"))
+        .stat.sampleBy("l_returnflag", Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.1), 42L)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("l_returnflag")),
+
+    // M1-M4, M8, M9: assembler -> scaler -> seeded RandomForest pipeline,
+    // trained on a modulo split, scored on the holdout, confusion-matrix
+    // rollup. Rows-only — tree induction isn't SQL-expressible; protocol
+    // correctness (CV grid, AUC, persistence) is pinned in FraudModelSpec.
+    "q_ml_train_predict" -> ((s, d) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.RandomForestClassifier
+      import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+      val li = t(s, d, "lineitem")
+        .withColumn("label", (col("l_returnflag") === "R").cast("int"))
+      val train = li.filter(col("l_orderkey") % 5 =!= 0)
+        .stat.sampleBy("label", Map(0 -> 0.5, 1 -> 1.0), 42L)
+      val test = li.filter(col("l_orderkey") % 5 === 0)
+      val assembler = new VectorAssembler()
+        .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .setOutputCol("raw_features").setHandleInvalid("skip")
+      val scaler = new StandardScaler()
+        .setInputCol("raw_features").setOutputCol("features")
+        .setWithStd(true).setWithMean(true)
+      val rf = new RandomForestClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setNumTrees(20).setMaxDepth(5).setSeed(42L)
+      val model = new Pipeline().setStages(Array(assembler, scaler, rf)).fit(train)
+      model.transform(test)
+        .groupBy(col("label"), col("prediction").cast("int").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "predicted")
+    })
   )
 
-  /** Names run by Bench (excludes the quadratic brute-force pair query,
-    * which exists as the small-scale oracle for the LSH path).
+  /** Names run by Bench. Excludes the quadratic brute-force pair query
+    * (the small-scale oracle for the LSH path) and the ML training query
+    * (tree induction measures MLlib fit time, not engine throughput).
     */
   def benchQueries: Seq[String] =
-    queries.keys.toSeq.sorted.filterNot(_ == "q_emb_neardup")
+    queries.keys.toSeq.sorted
+      .filterNot(Set("q_emb_neardup", "q_ml_train_predict"))
 
   // ------------------------------------------------------------------ //
   //  DuckDB oracle SQL — same tables, same aliases, same ordering.      //
@@ -670,6 +729,14 @@ object SparkEntry {
         |       'text' AS modality,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       sha256(text) AS content_sha
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_sink_partitioned" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

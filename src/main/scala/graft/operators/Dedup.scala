@@ -59,12 +59,18 @@ object Dedup {
   /** Exact pairwise Jaccard over word n-gram sets: pairs (id_a < id_b)
     * with similarity >= minJaccard. Output: id_a, id_b, n_common, jaccard.
     *
-    * Straight gram self-join + count. Measured faster than the prefix-
-    * filtered variant on corpora with small shared vocabularies (the
-    * filter machinery costs four extra shuffles and prunes little when
-    * every gram is common); see [[jaccardPairsPrefixFiltered]] for the
-    * boilerplate-heavy/hot-shingle case. For corpora too large for either
-    * exact form, [[minHashNearDuplicates]] is the scale path.
+    * Two shuffles total: the gram equi-join and the per-pair count. The
+    * gram set is built row-local (`array_distinct` over 64-bit gram
+    * hashes — no distinct shuffle, 8-byte keys instead of strings on the
+    * wire) and each row carries its own set size, so no separate sizes
+    * aggregation or post-join size lookups. Hash collisions would need
+    * two distinct grams of one doc pair to share an xxhash64 value
+    * (P ~ |grams|^2 / 2^64 — negligible); results are otherwise identical
+    * to string-gram Jaccard. Measured faster than the prefix-filtered
+    * variant on corpora with small shared vocabularies; see
+    * [[jaccardPairsPrefixFiltered]] for the boilerplate-heavy/hot-shingle
+    * case. For corpora too large for either exact form,
+    * [[minHashNearDuplicates]] is the scale path.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -72,18 +78,16 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val grams = ngramSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = grams.select(col("id").as("id_a"), col("gram"))
-    val b = grams.select(col("id").as("id_b"), col("gram"))
-    val inter = a.join(b, "gram")
+    val exploded = df.select(
+        col(idCol).as("id"),
+        array_distinct(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("grams"))
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val a = exploded.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
+    val b = exploded.select(col("id").as("id_b"), col("sz").as("sz_b"), col("gram"))
+    a.join(b, "gram")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_common", "jaccard")
@@ -232,18 +236,19 @@ object Dedup {
       .union(cands.select(col("id_b").as(idCol)))
       .distinct()
     val pruned = df.join(candDocs, Seq(idCol), "left_semi")
-    val grams = ngramHashSets(pruned, idCol, textCol, n)
+    // Row-local gram sets with carried sizes (same shape as
+    // [[jaccardPairs]]): no distinct shuffle, no sizes joins.
+    val grams = pruned.select(
+        col(idCol).as("id"),
+        array_distinct(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("gs"))
+      .select(col("id"), size(col("gs")).as("sz"), explode(col("gs")).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = grams.select(col("id").as("id_a"), col("gram"))
-    val b = grams.select(col("id").as("id_b2"), col("gram").as("gram_b"))
-    val inter = cands.join(a, "id_a")
+    val a = grams.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
+    val b = grams.select(col("id").as("id_b2"), col("sz").as("sz_b"), col("gram").as("gram_b"))
+    cands.join(a, "id_a")
       .join(b, col("id_b") === col("id_b2") && col("gram") === col("gram_b"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
