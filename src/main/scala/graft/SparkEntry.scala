@@ -407,6 +407,51 @@ object SparkEntry {
       Multimodal.metaStats(Multimodal.fromDocuments(t(s, d, "documents")))
         .orderBy("media_id")),
 
+    // Ranking window functions: row_number / rank / dense_rank over a
+    // per-user total ordering (ties broken by event_id for determinism).
+    "q_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    }),
+
+    // Analytic lag/lead: inter-event gap per user (the reference's
+    // time_since_last_transaction shape, silver.py cousin) + next type.
+    "q_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          (unix_timestamp(col("ts")) -
+            lag(unix_timestamp(col("ts")), 1).over(w)).as("secs_since_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    // Pivot: event_type counts spread to columns per hour.
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(hour(col("ts")).as("event_hour"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+        .orderBy("event_hour")),
+
+    // Cube: all grouping-set combinations over (returnflag, linestatus).
+    "q_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // S4 + partition pruning: partitioned parquet sink round-trip. The
     // read-back filter on the partition column prunes to 1/|years| of the
     // files (PartitionFilters in the scan); oracle checks against the
@@ -730,6 +775,42 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_id, user_id, rn, rk, drk FROM (
+        |  SELECT event_id, user_id,
+        |         CAST(row_number() OVER w AS INT) AS rn,
+        |         CAST(rank() OVER w AS INT) AS rk,
+        |         CAST(dense_rank() OVER w AS INT) AS drk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS secs_since_prev,
+        |       lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(hour(ts) AS INT) AS event_hour,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY event_hour ORDER BY event_hour""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_sink_partitioned" ->
       """SELECT o_orderpriority,
