@@ -407,6 +407,42 @@ object SparkEntry {
       Multimodal.metaStats(Multimodal.fromDocuments(t(s, d, "documents")))
         .orderBy("media_id")),
 
+    // JSON functions: schema-declared from_json over the props column,
+    // extracted field feeding a grouped aggregate.
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", from_json(col("props"), StructType.fromDDL("k INT")).getField("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("k_mod")),
+
+    // Exact percentiles (median/p90) — Spark `percentile` and DuckDB
+    // `quantile_cont` both linearly interpolate, so values hash-match.
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        .orderBy("l_returnflag")),
+
+    // Shuffle-side join coverage: lineitem x part (both large — sort-merge
+    // or shuffled-hash territory at scale) + broadcast supplier, revenue
+    // by brand.
+    "q_join_part_supp" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+      val supp = t(s, d, "supplier")
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("total_price"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("p_brand")
+    }),
+
     // Ranking window functions: row_number / rank / dense_rank over a
     // per-user total ordering (ties broken by event_id for determinism).
     "q_window_rank" -> ((s, d) => {
@@ -775,6 +811,28 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_part_supp" ->
+      """SELECT p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id, user_id, rn, rk, drk FROM (
