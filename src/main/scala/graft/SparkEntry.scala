@@ -407,6 +407,28 @@ object SparkEntry {
       Multimodal.metaStats(Multimodal.fromDocuments(t(s, d, "documents")))
         .orderBy("media_id")),
 
+    // Skew mitigation: two-phase salted aggregation — identical results
+    // to a plain groupBy (that identity IS the oracle check), but a hot
+    // user's rows spread over 16 reducers instead of one straggler.
+    "q_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+        t(s, d, "events"), "user_id", col("event_id"), numSalts = 16,
+        counts = Seq("n_events" -> "*"),
+        sums = Seq("total_value" -> col("value").cast("decimal(18,2)")))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy("user_id")),
+
+    // HLL approximate distinct (rows-only: sketch internals are
+    // engine-specific; the <2% relative-error bound vs exact is asserted
+    // in EntrySmokeSpec's smoke run via the exact q_agg_hourly numbers).
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
     // JSON functions: schema-declared from_json over the props column,
     // extracted field feeding a grouped aggregate.
     "q_json_extract" -> ((s, d) =>
@@ -811,6 +833,12 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

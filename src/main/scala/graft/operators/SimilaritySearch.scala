@@ -81,14 +81,20 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      maxIter: Int = 8): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val prepared = df.select(
       col(idCol),
       VectorOps.asDouble(col(vecCol)).as("v"),
       array_to_vector(VectorOps.asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(prepared)
+    // Routing cells don't need converged clustering: random init (one
+    // pass) + few Lloyd iterations gives the same recall-per-probe as
+    // k-means|| at a fraction of the fit jobs; recall is governed by
+    // nprobe, and the nprobe=nlist=brute-force identity is init-agnostic.
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setInitMode("random").setMaxIter(maxIter).fit(prepared)
     val assigned = model.transform(prepared)
       .select(col(idCol), col("v"), col("prediction").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
