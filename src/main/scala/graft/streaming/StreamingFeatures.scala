@@ -123,4 +123,32 @@ object StreamingFeatures {
       .withWatermark(tsCol, maxDelay)
       .groupBy(col("user_id"), window(col(tsCol), windowDuration, slideDuration))
       .agg(count(lit(1)).as("velocity"))
+
+  /** Streaming exact dedup on a content key with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key only until the
+    * watermark passes it, so state does not grow with the corpus — the
+    * streaming half of the batch exact-dedup operator (Dedup
+    * .exactDuplicateGroups). Duplicates arriving inside the watermark
+    * horizon are dropped; later ones are the documented trade-off.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      maxDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, maxDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * batch dimension table (broadcast when small). No state, no
+    * watermark requirement — the standard shape for decorating an event
+    * stream with slowly-changing reference data at any scale.
+    */
+  def enrichWithStatic(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 }

@@ -79,4 +79,52 @@ class StreamingFeaturesSpec extends SparkSpec {
       assert(got.contains((1L, 1, 4.0)))
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark drops duplicate keys inside the horizon") {
+    val dir = s"$root/dedup"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Seq(
+      StreamEvent(1, ts(0), "click", 1.0),
+      StreamEvent(1, ts(1), "click", 1.0), // dup key (user_id, event_type)
+      StreamEvent(2, ts(2), "view", 2.0),
+      StreamEvent(1, ts(3), "view", 3.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/in/b0")
+    Files.list(Paths.get(s"$dir/in/b0")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+      Files.move(f, Paths.get(s"$dir/in/b0.parquet"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/in/b0").toFile)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingFeatures.dedupWithinWatermark(stream, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .selectExpr("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "click"), (2L, "view"), (1L, "view")))
+      assert(spark.table("dedup_stream").count() == 3)
+    } finally q.stop()
+  }
+
+  test("enrichWithStatic joins each micro-batch against a broadcast dimension") {
+    val dir = s"$root/enrich"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Seq(StreamEvent(1, ts(0), "click", 1.0), StreamEvent(9, ts(1), "view", 2.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/in/b0")
+    Files.list(Paths.get(s"$dir/in/b0")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+      Files.move(f, Paths.get(s"$dir/in/b0.parquet"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/in/b0").toFile)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingFeatures.enrichWithStatic(stream, dim, "user_id", "uid")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .selectExpr("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (9L, None)))
+    } finally q.stop()
+  }
 }
