@@ -518,6 +518,11 @@ object SparkEntry {
       val dir = "/root/repo/target/tmp/orders_by_year"
       t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
+        // Partition-aligned repartition: one writer task per year value
+        // instead of every task writing every partition (32 tasks x 7
+        // years = 224 small files -> 7 right-sized files; at cluster
+        // scale this is the standard dynamic-partition small-files fix).
+        .repartition(col("o_year"))
         .write.mode("overwrite").partitionBy("o_year").parquet(dir)
       s.read.parquet(dir)
         .filter(col("o_year") === 1997)

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the sketching hot loops.
@@ -13,11 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * are semantically identical but interpreted: every merge step boxes
   * longs and allocates a fresh accumulator array — measured ~1 ms/doc at
   * 64 permutations. These expressions run the same arithmetic as a
-  * primitive `while` loop over the input `ArrayData`, ~50-100x faster,
-  * which is the difference between a sketch pass and a bottleneck on a
-  * 100 TB corpus. Inputs are hash arrays produced by codegen'd built-ins
-  * (`hash`/`xxhash64` inside `transform`), so the scan side stays in
-  * whole-stage codegen.
+  * primitive `while` loop (graft.plans.Kernels), ~50-100x faster, which
+  * is the difference between a sketch pass and a bottleneck on a 100 TB
+  * corpus.
+  *
+  * All expressions implement `doGenCode` as a static call into Kernels,
+  * so they participate in whole-stage codegen like built-ins — no
+  * interpreted-eval boundary, no per-row boxing; the JIT inlines the
+  * kernel into the generated task loop.
   */
 
 /** MinHash signature over a gram-hash array: out[j] = min over grams of
@@ -26,9 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Empty input yields Long.MaxValue per slot (same as the fold identity).
   */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  private val P = 4294967311L
+    extends UnaryExpression {
 
   @transient private lazy val (as, bs) = {
     val rng = new scala.util.Random(seed)
@@ -39,22 +40,14 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i) & 0xFFFFFFFFL
-      var j = 0
-      while (j < numHashes) {
-        val v = (as(j) * h + bs(j)) % P
-        if (v < out(j)) out(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minHashSig(input.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.minHashSig($c, $asRef, $bsRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -64,32 +57,15 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
 /** 64-bit SimHash over a token-hash array: bit b of the output is set iff
   * sum over tokens of (bit b of hash ? +1 : -1) is non-negative.
   */
-case class SimHash64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val counters = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counters(b) >= 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Kernels.simHash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.simHash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -100,31 +76,15 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   * `transform(tokens(c), xxhash64)` formulation is semantically the same
   * but pays interpreted-HOF + string-slice allocation per token.
   */
-case class TokenHashesExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var i = 0
-    val n = bytes.length
-    while (i < n) {
-      while (i < n && isWs(bytes(i))) i += 1
-      if (i < n) {
-        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-        while (i < n && !isWs(bytes(i))) {
-          h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-          i += 1
-        }
-        out += h
-      }
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.tokenHashes(input.asInstanceOf[UTF8String])
 
-  @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.tokenHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -135,29 +95,15 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression with Codeg
   * token hashes. Feeds MinHashSignatureExpr without ever materializing
   * gram strings. Fewer than n tokens yields an empty array.
   */
-case class WordNGramHashesExpr(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class WordNGramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val th = TokenHashesExpr(child).nullSafeEval(input).asInstanceOf[GenericArrayData]
-    val m = th.numElements()
-    if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val out = new Array[Long](m - n + 1)
-    var i = 0
-    while (i <= m - n) {
-      var g = 0x9e3779b97f4a7c15L
-      var k = 0
-      while (k < n) {
-        g = (g ^ th.getLong(i + k)) * 0xff51afd7ed558ccdL
-        g ^= (g >>> 33)
-        k += 1
-      }
-      out(i) = g
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordNGramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.wordNGramHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -170,38 +116,15 @@ case class WordNGramHashesExpr(child: Expression, n: Int) extends UnaryExpressio
   * fingerprint, while storing ~2/(w+1) of the grams — the standard
   * near-copy detection sketch for document-scale corpora.
   */
-case class WinnowFingerprintsExpr(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+case class WinnowFingerprintsExpr(child: Expression, w: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
-    if (m <= w) {
-      var mn = arr.getLong(0)
-      var i = 1
-      while (i < m) { if (arr.getLong(i) <= mn) mn = arr.getLong(i); i += 1 }
-      return new GenericArrayData(Array(mn))
-    }
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var lastIdx = -1
-    var start = 0
-    while (start <= m - w) {
-      var minIdx = start
-      var i = start + 1
-      while (i < start + w) {
-        if (arr.getLong(i) <= arr.getLong(minIdx)) minIdx = i // rightmost min
-        i += 1
-      }
-      if (minIdx != lastIdx) {
-        out += arr.getLong(minIdx)
-        lastIdx = minIdx
-      }
-      start += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.winnow(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.winnow($c, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -212,20 +135,16 @@ case class WinnowFingerprintsExpr(child: Expression, w: Int) extends UnaryExpres
   * time here; the `aggregate(zip_with(...))` form allocates a zipped
   * array and boxes every element.
   */
-case class DotProductExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
 
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    java.lang.Double.valueOf(s)
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(
+      Kernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.dot($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -235,25 +154,19 @@ case class DotProductExpr(left: Expression, right: Expression)
   * v . plane_i. One expression instead of numPlanes separate dot columns.
   */
 case class HyperplaneSignatureExpr(child: Expression, planes: Seq[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  @transient private lazy val planesArr: Array[Array[Double]] = planes.toArray
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val dim = v.numElements()
-    var sig = 0L
-    var p = 0
-    while (p < planes.length) {
-      val plane = planes(p)
-      val n = math.min(dim, plane.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
-      if (s >= 0) sig |= (1L << p)
-      p += 1
-    }
-    java.lang.Long.valueOf(sig)
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Kernels.hyperplaneSig(input.asInstanceOf[ArrayData], planesArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hyperplanes", planesArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.hyperplaneSig($c, $planesRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive kernels behind the custom sketch expressions. One source of
+  * truth for both evaluation modes: interpreted `nullSafeEval` and
+  * generated code (`doGenCode` emits a static call into this object —
+  * Scala objects compile to static forwarders, so the generated Java
+  * resolves `graft.plans.Kernels.x(...)` directly and the JIT inlines
+  * the loop into the whole-stage-codegen'd task loop).
+  */
+object Kernels {
+
+  final val MinHashPrime = 4294967311L
+
+  def minHashSig(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val numHashes = as.length
+    val n = arr.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i) & 0xFFFFFFFFL
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * h + bs(j)) % MinHashPrime
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simHash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** FNV-1a 64 per whitespace-delimited token, straight over the bytes. */
+  def tokenHashArray(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !isWs(bytes(i))) i += 1
+      }
+    }
+    val out = new Array[Long](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+        while (i < n && !isWs(bytes(i))) {
+          h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        out(k) = h
+        k += 1
+      }
+    }
+    out
+  }
+
+  def tokenHashes(s: UTF8String): ArrayData = new GenericArrayData(tokenHashArray(s))
+
+  def wordNGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashArray(s)
+    val m = th.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var g = 0x9e3779b97f4a7c15L
+      var k = 0
+      while (k < n) {
+        g = (g ^ th(i + k)) * 0xff51afd7ed558ccdL
+        g ^= (g >>> 33)
+        k += 1
+      }
+      out(i) = g
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def winnow(arr: ArrayData, w: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (m <= w) {
+      var mn = arr.getLong(0)
+      var i = 1
+      while (i < m) { if (arr.getLong(i) <= mn) mn = arr.getLong(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastIdx = -1
+    var start = 0
+    while (start <= m - w) {
+      var minIdx = start
+      var i = start + 1
+      while (i < start + w) {
+        if (arr.getLong(i) <= arr.getLong(minIdx)) minIdx = i // rightmost min
+        i += 1
+      }
+      if (minIdx != lastIdx) {
+        out += arr.getLong(minIdx)
+        lastIdx = minIdx
+      }
+      start += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(dim, plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.functions.VectorOps
+import graft.plans.HashExpressions
+import graft.sources.TableIO
+
+/** Dev check: custom expressions must produce compilable generated code
+  * (codegen failures fall back silently — this surfaces them). Prints the
+  * WholeStageCodegen spans and fails loudly on FALLBACK-mode mismatch.
+  */
+object CheckCodegen {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(4)
+    // CODEGEN_ONLY: throw instead of silently interpreting.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+
+    val docs = TableIO.table(spark, sfDir, "documents")
+    val emb = TableIO.table(spark, sfDir, "embeddings")
+    val planes = VectorOps.randomPlanes(8, 64, 42L)
+
+    val checks: Seq[(String, () => Long)] = Seq(
+      "minHashFromText" -> (() => docs.select(
+        HashExpressions.minHashFromText(col("text"), 3, 64, 42L)).count()),
+      "simHashFromText" -> (() => docs.select(
+        HashExpressions.simHashFromText(col("text"))).count()),
+      "wordNGramHashes" -> (() => docs.select(
+        HashExpressions.wordNGramHashes(col("text"), 3)).count()),
+      "winnowFingerprints" -> (() => docs.select(
+        HashExpressions.winnowFingerprints(col("text"), 3, 4)).count()),
+      "dotProduct" -> (() => emb.select(
+        HashExpressions.dotProduct(
+          VectorOps.asDouble(col("embedding")), VectorOps.asDouble(col("embedding")))).count()),
+      "hyperplaneSignature" -> (() => emb.select(
+        HashExpressions.hyperplaneSignature(
+          VectorOps.asDouble(col("embedding")), planes)).count()))
+
+    var failed = false
+    checks.foreach { case (name, run) =>
+      try { run(); println(s"[codegen] $name OK") }
+      catch { case e: Throwable =>
+        failed = true
+        println(s"[codegen] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}
