@@ -407,6 +407,20 @@ object SparkEntry {
       Multimodal.metaStats(Multimodal.fromDocuments(t(s, d, "documents")))
         .orderBy("media_id")),
 
+    // SQL-text surface: custom sketch expressions registered through
+    // SparkSessionExtensions (graft.plans.GraftExtensions) and invoked
+    // from spark.sql — the (c) extension point, oracle-checked through
+    // the sequential-sum dot product.
+    "q_sql_surface" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT vec_id,
+          |       round(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+          |                       CAST(embedding AS ARRAY<DOUBLE>)), 6) AS norm2
+          |FROM embeddings_v ORDER BY vec_id""".stripMargin)
+    }),
+
     // Skew mitigation: two-phase salted aggregation — identical results
     // to a plain groupBy (that identity IS the oracle check), but a hot
     // user's rows spread over 16 reducers instead of one straggler.
@@ -838,6 +852,12 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_sql_surface" ->
+      """SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[])), 6) AS norm2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,
