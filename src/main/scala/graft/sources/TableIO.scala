@@ -23,6 +23,25 @@ object TableIO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Bucketed external table write: both sides of a repeated equi-join
+    * bucketed (+sorted) into the same bucket count on the join key join
+    * with ZERO shuffle exchanges afterwards — pay the partitioning once
+    * at write, never per query (asserted at plan level in BucketingSpec).
+    * The 100 TB strategy for fact-dim joins that recur across a pipeline.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      buckets: Int,
+      bucketCols: Seq[String],
+      format: String = "parquet"): Unit =
+    df.write.format(format).mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(tableName)
+
   /** Loader for the driver-generated testdata tables (TESTDATA.md).
     *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
