@@ -311,6 +311,16 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash64"))
         .orderBy("doc_id")),
 
+    // Collection-level dedup: one MinHash signature per source via the
+    // custom TypedImperativeAggregate (elementwise-min union identity),
+    // pairwise estimated overlap (rows-only: MinHash estimate; the union
+    // identity and ranking are pinned in DedupSpec).
+    "q_dedup_group_overlap" -> ((s, d) =>
+      Dedup.groupOverlap(t(s, d, "documents"), "source", "text",
+        n = 3, numHashes = 64)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("group_a", "group_b")),
+
     // Text quality/statistics features.
     "q_text_stats" -> ((s, d) => {
       val toks = TextFunctions.tokens(col("text"))

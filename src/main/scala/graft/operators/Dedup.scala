@@ -290,6 +290,51 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // -------------------------------------------- collection-level MinHash
+
+  /** One MinHash signature per group (source/domain/cluster): the
+    * element-wise-min aggregate of per-document signatures equals the
+    * signature of the union of the group's gram sets, so whole
+    * collections can be compared for overlap without re-shingling
+    * concatenated text. Map-side combine keeps the shuffle at one
+    * signature per (partition, group).
+    */
+  def groupSignatures(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L): DataFrame =
+    df.select(
+        col(groupCol).as("group"),
+        minHashSignature(col(textCol), n, numHashes, seed).as("sig"))
+      .groupBy("group")
+      .agg(graft.plans.MinHashUnionAgg.minHashUnion(col("sig"), numHashes).as("group_sig"))
+
+  /** Pairwise estimated Jaccard overlap between group gram sets, from
+    * the aggregated signatures: |groups|^2 signature comparisons instead
+    * of a cross-corpus gram join.
+    */
+  def groupOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      minEstJaccard: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val sigs = groupSignatures(df, groupCol, textCol, n, numHashes, seed)
+    val left = sigs.select(col("group").as("group_a"), col("group_sig").as("sig_a"))
+    val right = sigs.select(col("group").as("group_b"), col("group_sig").as("sig_b"))
+    left.crossJoin(right)
+      .filter(col("group_a") < col("group_b"))
+      .withColumn("est_jaccard",
+        graft.plans.MinHashUnionAgg.signatureJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("group_a", "group_b", "est_jaccard")
+  }
+
   // ------------------------------------------------ winnowing fingerprints
 
   /** Winnowed fingerprint set per document (MOSS-style): near-copies

@@ -111,4 +111,35 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("group signature equals elementwise min of member signatures (union identity)") {
+    val docs = Seq(
+      (1L, "src_a", "alpha beta gamma delta epsilon zeta"),
+      (2L, "src_a", "eta theta iota kappa lambda mu"),
+      (3L, "src_b", "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "source", "text")
+    val perDoc = docs.select(
+      col("source"),
+      Dedup.minHashSignature(col("text"), 3, 32, 42L).as("sig"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    val expected = perDoc.groupBy(_._1).map { case (src, sigs) =>
+      src -> sigs.map(_._2).reduce((a, b) => a.zip(b).map(t => math.min(t._1, t._2)))
+    }
+    val got = Dedup.groupSignatures(docs, "source", "text", 3, 32, 42L)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    assert(expected.forall { case (src, sig) => got(src) == sig })
+  }
+
+  test("groupOverlap estimates high jaccard for overlapping sources") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, "src_a", shared),
+      (2L, "src_a", "unique content for source a only here"),
+      (3L, "src_b", shared),
+      (4L, "src_b", "unique content for source b only here"),
+      (5L, "src_c", "completely unrelated text about something else entirely")).toDF("doc_id", "source", "text")
+    val overlaps = Dedup.groupOverlap(docs, "source", "text", n = 3, numHashes = 64)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(overlaps(("src_a", "src_b")) > overlaps(("src_a", "src_c")))
+    assert(overlaps(("src_a", "src_b")) > 0.3)
+  }
 }
