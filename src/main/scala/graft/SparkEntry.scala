@@ -249,6 +249,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of join: earliest event at-or-after each order (orders
+    // predate the events table, so this direction is the populated one).
+    "q_asof_forward" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val orders = t(s, d, "orders")
+      graft.operators.AsOfJoin.join(
+        left = orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        right = events,
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftTs = "o_orderdate", rightTs = "ts",
+        rightPayload = Seq("event_id", "value"),
+        rightOrderCol = "event_id",
+        direction = "forward")
+        .select("o_orderkey", "o_custkey", "event_id", "value")
+        .orderBy("o_orderkey")
+    }),
+
     // Multi-level aggregation: rollup over (returnflag, linestatus).
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -760,6 +777,15 @@ object SparkEntry {
         |  FROM events e
         |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT o_orderkey, o_custkey, event_id, value FROM (
+        |  SELECT o.o_orderkey, o.o_custkey, e.event_id, e.value,
+        |         row_number() OVER (PARTITION BY o.o_orderkey
+        |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM orders o
+        |  JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |) WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

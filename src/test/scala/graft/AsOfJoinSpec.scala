@@ -49,4 +49,65 @@ class AsOfJoinSpec extends SparkSpec {
       .select("trade_id").as[String].collect().toSet
     assert(unmatched == Set("t1", "t6"))
   }
+
+  test("forward direction picks earliest right row at-or-after, lowest id on ties") {
+    val joined = AsOfJoin.join(
+      trades, quotes, "sym", "sym", "tts", "qts",
+      rightPayload = Seq("quote_id", "price"), rightOrderCol = "quote_id",
+      direction = "forward")
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(joined == Map(
+      "t1" -> (1L, 10.0),   // first quote at-or-after ts 50 is quote 1
+      "t2" -> (2L, 20.0),   // equal-ts tie: LOWEST quote_id wins forward
+      "t3" -> (4L, 40.0),   // next quote after 399
+      "t4" -> (4L, 40.0)))  // equal ts matches
+    // t5 (after all B quotes) and t6 (no C quotes) unmatched
+  }
+
+  test("nearest direction picks the closer side, backward on ties") {
+    val joined = AsOfJoin.join(
+      trades, quotes, "sym", "sym", "tts", "qts",
+      rightPayload = Seq("quote_id", "price"), rightOrderCol = "quote_id",
+      direction = "nearest")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(joined("t1") == 1L)  // only forward exists
+    assert(joined("t2") == 3L)  // distance 0 backward beats distance 0 forward
+    assert(joined("t3") == 4L)  // 399: back quote at 200 (d=199) vs fwd 400 (d=1)
+    assert(joined("t5") == 5L)  // only backward exists
+  }
+
+  test("tolerance bounds the match distance in every direction") {
+    val joined = AsOfJoin.join(
+      trades, quotes, "sym", "sym", "tts", "qts",
+      rightPayload = Seq("quote_id", "price"), rightOrderCol = "quote_id",
+      direction = "backward", toleranceSeconds = Some(10L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // only the equal-ts matches survive a 10s tolerance
+    assert(joined == Map("t2" -> 3L, "t4" -> 4L))
+  }
+
+  test("directions agree with the independent inequality-join oracle on events x orders") {
+    val events = graft.sources.TableIO.table(spark, Sf0001, "events")
+      .select("event_id", "user_id", "ts")
+    val orders = graft.sources.TableIO.table(spark, Sf0001, "orders")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+
+    val fwd = AsOfJoin.join(
+      events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+      rightPayload = Seq("o_orderkey"), rightOrderCol = "o_orderkey",
+      direction = "forward")
+      .select("event_id", "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val oracle = events.join(orders,
+        col("o_custkey") === col("user_id") && col("o_orderdate") >= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fwd == oracle)
+  }
 }
