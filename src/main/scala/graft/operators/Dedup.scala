@@ -351,6 +351,16 @@ object Dedup {
 
   /** Candidate near-copy pairs by shared winnowing fingerprints, with the
     * shared-fingerprint count as evidence. `minShared` tunes precision.
+    *
+    * `maxDf` drops fingerprints appearing in more than that many
+    * documents before the self-join (MOSS's boilerplate cull): a
+    * fingerprint shared by k docs contributes k^2 join pairs, so hot
+    * template/header fingerprints dominate cost while carrying no
+    * near-copy signal. The hot list is tiny and broadcast into an
+    * anti-join. For corpora dense in EXACT copies, collapse them first
+    * ([[dropExactDuplicates]]) — every fingerprint of a doc with c
+    * copies is c-hot by construction, which no per-fingerprint cap
+    * should be asked to absorb.
     */
   def winnowCandidatePairs(
       df: DataFrame,
@@ -358,11 +368,16 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       w: Int = 4,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
     val fps = winnowFingerprintSets(df, idCol, textCol, n, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = fps.select(col("id").as("id_a"), col("fp"))
-    val b = fps.select(col("id").as("id_b"), col("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
+    val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = pruned.select(col("id").as("id_a"), col("fp"))
+    val b = pruned.select(col("id").as("id_b"), col("fp"))
     a.join(b, "fp")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")

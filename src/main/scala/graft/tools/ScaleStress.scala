@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.functions.VectorOps
+import graft.sources.TableIO
+
+/** Dev tool: run the scale-path operators on a corpus replicated Nx
+  * (ids offset per replica so replicas are exact cross-copy duplicates —
+  * the worst case for dedup candidate volume). Surfaces the operators'
+  * scaling shape before a cluster ever does.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = GraftSession.local(32)
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val size = df.count()
+      df.crossJoin(spark.range(n).select(col("id").as("_rep")))
+        .withColumn(idCol, col(idCol) + col("_rep") * lit(size * 10))
+        .drop("_rep")
+    }
+
+    val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+    println(s"[stress] corpus: $nDocs docs (${reps}x replication)")
+
+    time("exact dedup groups")(
+      println("[stress]   n_groups = " + Dedup.exactDuplicateGroups(docs, "doc_id", "text").count()))
+    time("simhash fingerprints")(
+      docs.select(Dedup.simHash(col("text"))).count())
+
+    // The production near-dup pipeline: collapse exact copies FIRST
+    // (cheap hash groupBy), sketch only distinct texts. Running sketches
+    // on a copy-dense corpus makes every candidate bucket quadratically
+    // hot with pairs that a content hash already proves identical.
+    val distinctDocs = time("collapse exact copies")(
+      Dedup.dropExactDuplicates(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    println(s"[stress]   distinct docs = ${distinctDocs.count()}")
+
+    time("minhash near-dup on distinct (64/16, j>=0.5)")(
+      println("[stress]   n_pairs = " + Dedup.minHashNearDuplicates(
+        distinctDocs, "doc_id", "text", n = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()))
+    time("winnow candidates on distinct (minShared=4)")(
+      println("[stress]   n_cand = " + Dedup.winnowCandidatePairs(
+        distinctDocs, "doc_id", "text", minShared = 4).count()))
+    time("minhash near-dup RAW copy-dense corpus")(
+      println("[stress]   n_pairs = " + Dedup.minHashNearDuplicates(
+        docs, "doc_id", "text", n = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()))
+    time("group signatures by source")(
+      println("[stress]   n_groups = " + Dedup.groupSignatures(docs, "source", "text").count()))
+
+    val emb = replicate(TableIO.table(spark, sfDir, "embeddings"), "vec_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] vectors: ${emb.count()} (${reps}x)")
+    val q = TableIO.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+    time("brute cosine top-20")(
+      SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 20).collect())
+    time("lsh ann top-20")(
+      SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, 20, numPlanes = 10, maxProbeHamming = 1).collect())
+    val idx = time("ivf build (nlist=64)")(
+      SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 64))
+    time("ivf probe top-20 (nprobe=8)")(
+      SimilaritySearch.ivfTopK(idx, "vec_id", q, 20, nprobe = 8).collect())
+    time("emb near-dup LSH (cos>=0.9)")(
+      println("[stress]   n_pairs = " + Dedup.embeddingNearDuplicatesLSH(
+        emb, "vec_id", "embedding", 0.9, numPlanes = 20, maxHamming = 1).count()))
+
+    spark.stop()
+  }
+}
