@@ -448,6 +448,33 @@ object SparkEntry {
           |FROM embeddings_v ORDER BY vec_id""".stripMargin)
     }),
 
+    // String scalar functions: case, substring, concat, regexp_replace,
+    // length — over part names.
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 10).as("name_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
+        length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")),
+
+    // Array functions: deterministic collect (sort_array over
+    // collect_list), distinct set size, explode round-trip count.
+    "q_array_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          sort_array(collect_list(col("o_orderpriority"))).as("priorities"),
+          size(array_distinct(collect_list(col("o_orderpriority")))).as("n_distinct_prio"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          col("o_custkey"),
+          array_join(col("priorities"), ",").as("priorities_csv"),
+          col("n_distinct_prio"), col("n_orders"))
+        .orderBy("o_custkey")),
+
     // Skew mitigation: two-phase salted aggregation — identical results
     // to a plain groupBy (that identity IS the oracle check), but a hot
     // user's rows spread over 16 reducers instead of one straggler.
@@ -888,6 +915,22 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_brand) AS brand_upper,
+        |       substring(p_name, 1, 10) AS name_prefix,
+        |       concat_ws('|', p_brand, p_type) AS brand_type,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+        |       CAST(length(p_name) AS INT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT o_custkey,
+        |       array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities_csv,
+        |       CAST(len(list_distinct(list(o_orderpriority))) AS INT) AS n_distinct_prio,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_sql_surface" ->
       """SELECT vec_id,
