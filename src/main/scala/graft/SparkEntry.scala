@@ -379,6 +379,31 @@ object SparkEntry {
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Composite text-quality score (length/token/punct/stopword gates).
+    "q_text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Multimodal decode path: the stub decoder is a deterministic
+    // function of the content digest, so even the "decoded" dimensions
+    // are oracle-checkable (DuckDB recomputes them from sha256 hex).
+    "q_multimodal_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.fromDocuments(t(s, d, "documents")))
+      feats.toDF()
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"), col("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    // kNN join: every document's 5 nearest neighbors by embedding cosine
+    // (brute force with a rank window — LSH-bucket first at scale).
+    "q_knn_join" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.knnJoin(emb, emb, "vec_id", "vec_id", "embedding", "embedding", k = 5)
+        .orderBy("id_l", "rank")
+    }),
+
     // Deterministic document fingerprint (case/whitespace-normalized md5).
     "q_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -886,6 +911,56 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         length(text) AS n_chars,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |         len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       round((
+        |         (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |         (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+        |               THEN 1.0 ELSE 0.0 END) +
+        |         (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |               THEN 1.0 ELSE 0.0 END) +
+        |         least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+        |       ) / 4.0, 4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         sha256(text) AS h
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |       CAST(n_bytes AS INT) AS n_bytes,
+        |       CAST(16 + 4*((strpos('0123456789abcdef', h[1]) - 1)*16
+        |                    + strpos('0123456789abcdef', h[2]) - 1) AS INT) AS width,
+        |       CAST(16 + 4*((strpos('0123456789abcdef', h[3]) - 1)*16
+        |                    + strpos('0123456789abcdef', h[4]) - 1) AS INT) AS height,
+        |       CAST(1 AS INT) AS n_frames
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "q_knn_join" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT id_l, id_r, cos_sim, CAST(rn AS INT) AS rank FROM (
+        |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+        |         round(list_dot_product(a.e, b.e) /
+        |               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY round(list_dot_product(a.e, b.e) /
+        |                              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) DESC,
+        |                            b.vec_id) AS rn
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |) WHERE rn <= 5 ORDER BY id_l, rn""".stripMargin,
 
     "q_sim_topk" ->
       """WITH q AS (
