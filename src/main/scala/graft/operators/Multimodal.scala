@@ -34,6 +34,12 @@ final case class MediaFeatures(
 trait MediaDecoder extends Serializable {
   /** (width, height, frames, feature vector). */
   def decode(modality: String, content: Array[Byte]): (Int, Int, Int, Array[Float])
+
+  /** Re-encode the payload at a target size. STUB contract: output is a
+    * deterministic function of (content, w, h). A real codec decodes,
+    * scales, re-encodes here.
+    */
+  def resize(modality: String, content: Array[Byte], w: Int, h: Int): Array[Byte]
 }
 
 /** STUB: deterministic fake decode derived from a content digest. A real
@@ -49,6 +55,17 @@ object StubDecoder extends MediaDecoder {
     val frames = if (modality == "video") 1 + u8(2) % 64 else 1
     val emb = Array.tabulate(8)(i => (u8(i * 2) * 256 + u8(i * 2 + 1)) / 65535.0f)
     (width, height, frames, emb)
+  }
+
+  override def resize(modality: String, content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // Deterministic fake: digest of (content ++ dims), length scaled to
+    // the pixel budget so downstream byte accounting is realistic.
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(content)
+    md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+    val seed = md.digest()
+    val n = math.max(16, math.min(w * h / 8, 4096))
+    Array.tabulate(n)(i => seed(i % seed.length))
   }
 }
 
@@ -90,5 +107,44 @@ object Multimodal {
         MediaFeatures(rec.media_id, rec.modality, rec.content.length, sha, w, h, f, emb)
       }
     }
+  }
+
+  /** Partition-local resize: content replaced by the decoder's re-encoded
+    * payload at (w, h). Same batched mapPartitions shape as
+    * [[extractFeatures]] — codec init amortizes across the partition.
+    */
+  def resize(media: DataFrame, w: Int, h: Int, decoder: MediaDecoder = StubDecoder): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(rec => rec.copy(content = decoder.resize(rec.modality, rec.content, w, h)))
+    }
+  }
+
+  /** Frame sampling plan for video rows: one output row per sampled frame
+    * index (every `stride`-th frame, up to `maxFrames`), exploded
+    * row-locally from the decoded frame count. Non-video modalities pass
+    * through as frame 0. The (media_id, frame_idx) grain is what a
+    * downstream per-frame decode/caption stage parallelizes over.
+    */
+  def frameSample(
+      media: DataFrame,
+      stride: Int,
+      maxFrames: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val withFrames = media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (_, _, frames, _) = decoder.decode(rec.modality, rec.content)
+        (rec.media_id, rec.modality, frames)
+      }
+    }.toDF("media_id", "modality", "n_frames")
+    withFrames.select(
+      col("media_id"), col("modality"), col("n_frames"),
+      explode(sequence(
+        lit(0),
+        least(col("n_frames") - 1, lit((maxFrames - 1) * stride)),
+        lit(stride))).as("frame_idx"))
   }
 }

@@ -26,4 +26,34 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).map(_.embedding.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("resize replaces content deterministically and scales byte budget") {
+    val media = graft.operators.Multimodal.fromDocuments(
+      graft.sources.TableIO.table(spark, Sf0001, "documents").limit(20))
+    val r1 = graft.operators.Multimodal.resize(media, 64, 64)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    val r2 = graft.operators.Multimodal.resize(media, 64, 64)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(r1 == r2, "resize must be deterministic")
+    val big = graft.operators.Multimodal.resize(media, 256, 256)
+      .collect().map(r => r.media_id -> r.content.length).toMap
+    assert(big.values.forall(n => n > r1.values.head.size))
+  }
+
+  test("frameSample emits every stride-th frame up to maxFrames, one row per frame") {
+    import spark.implicits._
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "video", "some video bytes".getBytes, "s"),
+      graft.operators.MediaRecord(2L, "text", "plain text".getBytes, "s"))
+      .toDS().toDF()
+    val sampled = graft.operators.Multimodal.frameSample(media, stride = 2, maxFrames = 5)
+    val byId = sampled.collect()
+      .groupBy(_.getAs[Long]("media_id"))
+      .view.mapValues(_.map(_.getAs[Int]("frame_idx")).sorted.toSeq).toMap
+    // text: one frame -> [0]; video: frames 0,2,4,... capped at 5 samples
+    assert(byId(2L) == Seq(0))
+    val vidFrames = byId(1L)
+    assert(vidFrames.head == 0 && vidFrames.size <= 5)
+    assert(vidFrames.zip(vidFrames.tail).forall { case (a, b) => b - a == 2 })
+  }
 }
