@@ -407,8 +407,11 @@ object Dedup {
     import graft.functions.VectorOps
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    // Norm per row up front: the verify join scores every candidate pair
+    // and must not recompute norms per pair.
     val v = df.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
       .withColumn("sig", VectorOps.hyperplaneSignature(col("v"), planes))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val chunks = maxHamming + 1
@@ -429,9 +432,10 @@ object Dedup {
       .distinct()
 
     cands
-      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos_sim", VectorOps.cosine(col("v_a"), col("v_b")))
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cos_sim",
+        VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos_sim") >= minCosine)
       .select("id_a", "id_b", "cos_sim")
   }
@@ -448,11 +452,13 @@ object Dedup {
       minCosine: Double): DataFrame = {
     import graft.functions.VectorOps
     val v = df.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", VectorOps.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos_sim",
+        VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos_sim") >= minCosine)
       .select("id_a", "id_b", "cos_sim")
   }
