@@ -447,6 +447,17 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(idx, "vec_id", q, k = 20, nprobe = 4)
     }),
 
+    // Batch ANN: 50 query vectors routed through the IVF index in one
+    // plan (rows-only — cell assignment is model-dependent; equivalence
+    // to the single-query path is pinned in SimilaritySpec).
+    "q_sim_ivf_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16)
+      SimilaritySearch.ivfTopKBatch(
+        idx, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // Embedding cosine near-dup pairs (brute-force; exact threshold).
     "q_emb_neardup" -> ((s, d) =>
       Dedup.embeddingNearDuplicates(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)

@@ -125,6 +125,56 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Batch ANN through the IVF index: a whole DataFrame of queries is
+    * routed in one plan — queries x centroids (centroids broadcast;
+    * nlist rows each) -> keep each query's nprobe nearest cells ->
+    * equi-join with the cell-partitioned corpus -> exact cosine -> rank.
+    * Shuffle volume: each query replicated nprobe ways, each corpus
+    * vector touched only for probed cells. This is the scale API — one
+    * driver-side vector per call ([[ivfTopK]]) cannot amortize the scan.
+    */
+  def ivfTopKBatch(
+      index: IvfIndex,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .withColumn("cn2", VectorOps.dot(col("cvec"), col("cvec")))
+
+    val q = queries.select(col(qIdCol).as("qid"), VectorOps.asDouble(col(qVecCol)).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv")))
+
+    // Squared euclidean distance to each centroid via dot identities —
+    // no per-pair norm recomputation.
+    val wRoute = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("qn") * col("qn") + col("cn2") - lit(2.0) * VectorOps.dot(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "qv", "qn", "cell")
+
+    val corpus = index.assigned
+      .select(col(index.assigned.columns.head).as("id"), col("v"), col("cell"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("id"))
+    routed.join(corpus, "cell")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cos_sim", "rank")
+  }
+
   /** All-pairs exact top-k join (each left row to its k nearest right
     * rows) — building block for kNN-graph construction. Brute force with
     * a rank window; LSH-bucket before calling at scale.

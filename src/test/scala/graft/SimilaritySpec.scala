@@ -61,4 +61,25 @@ class SimilaritySpec extends SparkSpec {
     assert(byLeft.values.forall(_.length == 3))
     assert(byLeft.values.forall(rs => rs.map(_.getInt(3)).sorted.sameElements(Array(1, 2, 3))))
   }
+
+  test("ivfTopKBatch matches single-query ivfTopK for every query") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.TableIO.table(spark, Sf0001, "embeddings")
+    val idx = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val qids = Seq(0L, 1L, 2L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    val batch = SimilaritySearch.ivfTopKBatch(idx, queries, "vec_id", "embedding", k = 10, nprobe = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(r =>
+        (r.getAs[Long]("id"), r.getAs[Double]("cos_sim"))).toSeq).toMap
+    qids.foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(graft.functions.VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val single = SimilaritySearch.ivfTopK(idx, "vec_id", qv, k = 11, nprobe = 3)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+        .filterNot(_._1 == qid).take(10).toSeq
+      assert(batch(qid) == single, s"mismatch for query $qid")
+    }
+  }
 }
