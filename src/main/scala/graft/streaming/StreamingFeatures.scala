@@ -140,6 +140,23 @@ object StreamingFeatures {
       .withWatermark(tsCol, maxDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming near-exact document dedup: keys on the case/whitespace-
+    * normalized content fingerprint instead of raw bytes, so trivially
+    * reformatted copies dedup too. Same bounded-state contract as
+    * [[dedupWithinWatermark]]. The streaming half of the batch
+    * `q_text_fingerprint` / exact-dedup operators.
+    */
+  def dedupByFingerprint(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      maxDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, maxDelay)
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .drop("_fp")
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * batch dimension table (broadcast when small). No state, no
     * watermark requirement — the standard shape for decorating an event

@@ -127,4 +127,29 @@ class StreamingFeaturesSpec extends SparkSpec {
       assert(rows == Set((1L, Some("gold")), (9L, None)))
     } finally q.stop()
   }
+
+  test("dedupByFingerprint drops case/whitespace-variant copies in-stream") {
+    import org.apache.spark.sql.functions._
+    val dir = s"$root/fpdedup"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Seq(
+      (1L, ts(0), "The Quick Brown Fox"),
+      (2L, ts(1), "the  quick   brown fox"),  // normalizes to the same fp
+      (3L, ts(2), "a different document"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/in/b0")
+    Files.list(Paths.get(s"$dir/in/b0")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+      Files.move(f, Paths.get(s"$dir/in/b0.parquet"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/in/b0").toFile)
+    val schema = spark.read.parquet(s"$dir/in/b0.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingFeatures.dedupByFingerprint(stream, "text")
+      .writeStream.format("memory").queryName("fp_dedup").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("fp_dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.size == 2 && kept.contains(3L))
+      assert(kept.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
 }
