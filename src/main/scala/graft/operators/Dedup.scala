@@ -409,7 +409,7 @@ object Dedup {
     val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
     // Norm per row up front: the verify join scores every candidate pair
     // and must not recompute norms per pair.
-    val v = df.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", VectorOps.hyperplaneSignature(col("v"), planes))
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -451,7 +451,7 @@ object Dedup {
       vecCol: String,
       minCosine: Double): DataFrame = {
     import graft.functions.VectorOps
-    val v = df.select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))

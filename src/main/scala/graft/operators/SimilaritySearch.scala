@@ -28,9 +28,11 @@ object SimilaritySearch {
       query: Seq[Double],
       k: Int): DataFrame = {
     val q = typedLit(query)
+    // Float embeddings are consumed in place (type-aware dot kernel) —
+    // no array<double> cast copy of the corpus.
     df.select(
         col(idCol),
-        round(VectorOps.cosine(VectorOps.asDouble(col(vecCol)), q), 6).as("cos_sim"))
+        round(VectorOps.cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
       .limit(k)
   }
@@ -58,8 +60,8 @@ object SimilaritySearch {
     val qLit = typedLit(query)
     df.select(
         col(idCol),
-        VectorOps.asDouble(col(vecCol)).as("v"),
-        VectorOps.hyperplaneSignature(VectorOps.asDouble(col(vecCol)), planes).as("sig"))
+        col(vecCol).as("v"),
+        VectorOps.hyperplaneSignature(col(vecCol), planes).as("sig"))
       .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxProbeHamming)
       .select(col(idCol), round(VectorOps.cosine(col("v"), qLit), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
@@ -87,8 +89,8 @@ object SimilaritySearch {
     import org.apache.spark.ml.functions.array_to_vector
     val prepared = df.select(
       col(idCol),
-      VectorOps.asDouble(col(vecCol)).as("v"),
-      array_to_vector(VectorOps.asDouble(col(vecCol))).as("features"))
+      col(vecCol).as("v"),
+      array_to_vector(col(vecCol)).as("features"))
     // Routing cells don't need converged clustering: random init (one
     // pass) + few Lloyd iterations gives the same recall-per-probe as
     // k-means|| at a fraction of the fit jobs; recall is governed by
@@ -191,9 +193,9 @@ object SimilaritySearch {
     // Norms precomputed per ROW, not per pair: cosine-as-one-expression
     // would run three dot products per candidate (the two norms redone
     // |L|x|R| times) — measured 3x slower on a 4M-pair join.
-    val l = left.select(col(idColL).as("id_l"), VectorOps.asDouble(col(vecColL)).as("v_l"))
+    val l = left.select(col(idColL).as("id_l"), col(vecColL).as("v_l"))
       .withColumn("n_l", VectorOps.l2Norm(col("v_l")))
-    val r = right.select(col(idColR).as("id_r"), VectorOps.asDouble(col(vecColR)).as("v_r"))
+    val r = right.select(col(idColR).as("id_r"), col(vecColR).as("v_r"))
       .withColumn("n_r", VectorOps.l2Norm(col("v_r")))
     val scored = l.crossJoin(r)
       .filter(col("id_l") =!= col("id_r"))

@@ -139,12 +139,38 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    java.lang.Double.valueOf(
-      Kernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  /** Kernel dispatch on element types — float arrays are consumed
+    * in place (bit-identical results; floats promote to double at the
+    * multiply) instead of forcing an array<double> cast copy per row.
+    */
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val kernel: String = (elemIsFloat(left), elemIsFloat(right)) match {
+    case (false, false) => "dot"
+    case (true, true) => "dotFF"
+    case (true, false) => "dotFD"
+    case (false, true) => "dotDF" // handled by swapping below
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    java.lang.Double.valueOf(kernel match {
+      case "dot" => Kernels.dot(a, b)
+      case "dotFF" => Kernels.dotFF(a, b)
+      case "dotFD" => Kernels.dotFD(a, b)
+      case "dotDF" => Kernels.dotFD(b, a)
+    })
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.dot($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => kernel match {
+      case "dotDF" => s"graft.plans.Kernels.dotFD($b, $a)"
+      case k => s"graft.plans.Kernels.$k($a, $b)"
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -160,13 +186,22 @@ case class HyperplaneSignatureExpr(child: Expression, planes: Seq[Array[Double]]
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any =
+  private lazy val isFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
     java.lang.Long.valueOf(
-      Kernels.hyperplaneSig(input.asInstanceOf[ArrayData], planesArr))
+      if (isFloat) Kernels.hyperplaneSigF(v, planesArr)
+      else Kernels.hyperplaneSig(v, planesArr))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("hyperplanes", planesArr, "double[][]")
-    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.hyperplaneSig($c, $planesRef)")
+    val fn = if (isFloat) "hyperplaneSigF" else "hyperplaneSig"
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.$fn($c, $planesRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -147,6 +147,26 @@ object Kernels {
     s
   }
 
+  /** Float-native variants: a float promotes to double at the multiply,
+    * so results are bit-identical to casting the array first — without
+    * materializing a second copy of every vector.
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    s
+  }
+
   def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
     val dim = v.numElements()
     var sig = 0L
@@ -157,6 +177,22 @@ object Kernels {
       var s = 0.0
       var i = 0
       while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def hyperplaneSigF(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(dim, plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * plane(i); i += 1 }
       if (s >= 0) sig |= (1L << p)
       p += 1
     }
