@@ -84,11 +84,30 @@ object TextFunctions {
   def cjkCount(c: Column): Column =
     size(regexp_extract_all(c, lit("""[一-鿿]"""), lit(0)))
 
-  /** Heuristic language ID: CJK presence => zh, else the stopword list
-    * with the most token hits (ties resolve in en,es,de,fr order), else
-    * "und" when nothing matches. A real pipeline would swap in a trained
-    * n-gram profile model; the operator shape (pure column expression,
-    * no shuffle) is the part that matters at scale.
+  /** Unicode-script character ranges for script-first language routing.
+    * Kana implies Japanese even when Han characters dominate, so it is
+    * checked before the CJK range.
+    */
+  private val ScriptRanges: Seq[(String, String)] = Seq(
+    "ja" -> """[ぁ-ゟ゠-ヿ]""", // hiragana + katakana
+    "ko" -> """[가-힣]""", // hangul syllables
+    "zh" -> """[一-鿿]""", // han
+    "ru" -> """[А-яЁё]""", // cyrillic
+    "ar" -> """[؀-ۿ]""", // arabic
+    "hi" -> """[ऀ-ॿ]""") // devanagari
+
+  private def scriptCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Heuristic language ID, two stages:
+    *  1. script routing — a non-Latin script (kana, hangul, han,
+    *     cyrillic, arabic, devanagari) decides immediately; kana beats
+    *     han so Japanese text with kanji is not labeled zh;
+    *  2. Latin-script texts score against per-language stopword lists
+    *     (ties resolve in en,es,de,fr order), else "und".
+    * A real pipeline would swap in a trained n-gram profile model; the
+    * operator shape (pure column expression, no shuffle) is the part
+    * that matters at scale.
     */
   def languageId(c: Column): Column = {
     val scores = Seq("en", "es", "de", "fr").map(l => l -> stopwordCount(c, l))
@@ -97,9 +116,12 @@ object TextFunctions {
         (when(s > bestScore, lit(l)).otherwise(bestLang),
           when(s > bestScore, s).otherwise(bestScore))
     }
-    when(cjkCount(c) > 0, "zh")
-      .when(best._2 > 0, best._1)
-      .otherwise("und")
+    val scriptRouted = ScriptRanges.foldRight(
+      when(best._2 > 0, best._1).otherwise("und")) {
+      case ((lang, pattern), fallback) =>
+        when(scriptCount(c, pattern) > 0, lang).otherwise(fallback)
+    }
+    scriptRouted
   }
 
   /** Quality features: a typical pre-training filter set (length, token

@@ -54,4 +54,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
     assert(good > bad)
   }
+
+  test("languageId routes non-Latin scripts before stopword scoring") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "日本語のテキストです漢字も含む"),     // kana + kanji -> ja, not zh
+      (2L, "한국어 텍스트 입니다"),               // hangul -> ko
+      (3L, "Это русский текст для проверки"),     // cyrillic -> ru
+      (4L, "هذا نص عربي للاختبار"),               // arabic -> ar
+      (5L, "यह परीक्षण के लिए हिंदी पाठ है"),        // devanagari -> hi
+      (6L, "这是一段中文测试文本")                 // han only -> zh
+    ).toDF("id", "text")
+    val got = docs.select(col("id"), graft.functions.TextFunctions.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "ja", 2L -> "ko", 3L -> "ru", 4L -> "ar", 5L -> "hi", 6L -> "zh"))
+  }
 }
