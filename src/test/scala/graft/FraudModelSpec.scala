@@ -54,4 +54,16 @@ class FraudModelSpec extends SparkSpec {
     assert(byLabel(1) == 60)
     assert(byLabel(0) < 150, s"negatives should be ~54, got ${byLabel(0)}")
   }
+
+  test("full CV protocol: 3 folds x {20,50} trees x {5,10} depth, parallelism 2, seed 42") {
+    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+    val cv = FraudModel.trainCV(train)
+    // 4 grid points, each with an averaged 3-fold metric.
+    assert(cv.avgMetrics.length == 4)
+    assert(cv.getEstimatorParamMaps.length == 4)
+    assert(cv.getNumFolds == 3)
+    val best = cv.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+    val auc = FraudModel.evaluator.evaluate(best.transform(FraudModel.prepare(test)))
+    assert(auc > 0.6, s"CV-selected model should learn the planted signal, got $auc")
+  }
 }
