@@ -598,6 +598,34 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Running (cumulative) aggregation: unbounded-preceding row frame.
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"),
+          count(lit(1)).over(w).as("event_seq"))
+        .orderBy("event_id")
+    }),
+
+    // Distribution window functions: percent_rank, cume_dist, ntile —
+    // over events, whose unique event_id makes the ordering total
+    // (lineitem's (orderkey, linenumber) is not unique in this data).
+    "q_window_pct" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(asc("value"), asc("event_id"))
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("event_type"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: event_type counts spread to columns per hour.
     "q_pivot" -> ((s, d) =>
       t(s, d, "events")
@@ -1069,6 +1097,24 @@ object SparkEntry {
         |       lead(event_type, 1) OVER w AS next_type
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+        |       CAST(count(*) OVER w AS BIGINT) AS event_seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_pct" ->
+      """SELECT event_id, event_type,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
 
     "q_pivot" ->
