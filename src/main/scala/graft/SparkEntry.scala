@@ -232,6 +232,24 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // Set ops: intersect (customers that placed orders).
+    "q_set_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("k"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    // Date arithmetic: datediff, date_add, trunc-to-month, last_day.
+    "q_date_arith" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          datediff(lit(java.sql.Date.valueOf("2000-01-01")),
+            to_date(col("o_orderdate"))).as("days_to_y2k"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          trunc(to_date(col("o_orderdate")), "month").as("order_month"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"))
+        .orderBy("o_orderkey")),
+
     // As-of (point-in-time) join — an operator Spark lacks natively,
     // composed as tagged-union + one window pass (single shuffle of
     // |L|+|R| rows, no inequality-join pair blowup).
@@ -859,6 +877,20 @@ object SparkEntry {
         |EXCEPT
         |SELECT l_linestatus FROM lineitem
         |ORDER BY flag""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+        |       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        |       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (

@@ -109,16 +109,19 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = ngramSets(df, idCol, textCol, n)
+    // Same row-local hashed-gram form as [[jaccardPairs]]: no distinct
+    // shuffle, 8-byte keys, sizes carried on every row.
+    val grams = df.select(
+        col(idCol).as("id"),
+        array_distinct(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("gs"))
+      .select(col("id"), size(col("gs")).as("sz"), explode(col("gs")).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
 
-    // Global df-ascending order; ties broken by gram for determinism.
+    // Global df-ascending order; ties broken by gram hash for determinism.
     val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
     val ranked = grams.join(gramDf, "gram")
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("gdf"), col("gram"))))
-      .join(sizes, "id")
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
 
     val a = ranked.select(col("id").as("id_a"), col("gram"), col("sz").as("sz_a"))
@@ -129,19 +132,14 @@ object Dedup {
       .filter(col("sz_b") >= col("sz_a") * minJaccard &&
         col("sz_a") >= col("sz_b") * minJaccard)
       .select("id_a", "id_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Exact verification over candidates only.
-    val fullA = grams.select(col("id").as("id_a"), col("gram"))
-    val fullB = grams.select(col("id").as("id_b2"), col("gram").as("gram_b"))
-    val inter = cands.join(fullA, "id_a")
+    // Exact verification over candidates only, sizes carried through.
+    val fullA = grams.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
+    val fullB = grams.select(col("id").as("id_b2"), col("sz").as("sz_b"), col("gram").as("gram_b"))
+    cands.join(fullA, "id_a")
       .join(fullB, col("id_b") === col("id_b2") && col("gram") === col("gram_b"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("n_common"))
-
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_common", "jaccard")
