@@ -181,6 +181,63 @@ object SimilaritySearch {
     * rows) — building block for kNN-graph construction. Brute force with
     * a rank window; LSH-bucket before calling at scale.
     */
+  /** LSH-bucketed kNN join — the scale path for [[knnJoin]]: candidates
+    * are pairs whose hyperplane signatures agree on at least one
+    * (maxHamming+1)-way chunk (pigeonhole guarantees every pair within
+    * maxHamming signature bits), scored exactly, ranked per left row.
+    * Recall is probabilistic (a true neighbor can differ in more bits);
+    * rows with fewer than k candidates return what was found. Cost:
+    * sum of per-bucket |L_b| x |R_b| instead of |L| x |R|.
+    */
+  def knnJoinLSH(
+      left: DataFrame,
+      right: DataFrame,
+      idColL: String,
+      idColR: String,
+      vecColL: String,
+      vecColR: String,
+      k: Int,
+      numPlanes: Int = 16,
+      maxHamming: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = left.select(size(col(vecColL))).head().getInt(0)
+    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    val chunks = maxHamming + 1
+    val bitsPer = (numPlanes + chunks - 1) / chunks
+    def chunkCols(sig: Column): Column = array((0 until chunks).map { c =>
+      val start = c * bitsPer
+      val width = math.max(1, math.min(bitsPer, numPlanes - start))
+      struct(
+        lit(c).as("chunk"),
+        shiftrightunsigned(sig, start).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+    }: _*)
+
+    def prep(df: DataFrame, idCol: String, vecCol: String, side: String): DataFrame =
+      df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"v_$side"))
+        .withColumn(s"n_$side", VectorOps.l2Norm(col(s"v_$side")))
+        .withColumn("ch", explode(chunkCols(
+          VectorOps.hyperplaneSignature(col(s"v_$side"), planes))))
+        .select(col(s"id_$side"), col(s"v_$side"), col(s"n_$side"),
+          col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+
+    val l = prep(left, idColL, vecColL, "l")
+    val r = prep(right, idColR, vecColR, "r")
+    val w = Window.partitionBy("id_l").orderBy(desc("cos_sim"), col("id_r"))
+    // Score at the collision, THEN dedup on the scalar triple — a pair
+    // colliding in multiple chunks costs an extra dot product but the
+    // dedup shuffle carries no vectors.
+    l.join(r, Seq("chunk", "cv"))
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")), 6))
+      .select("id_l", "id_r", "cos_sim")
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id_l", "id_r", "cos_sim", "rank")
+  }
+
   def knnJoin(
       left: DataFrame,
       right: DataFrame,

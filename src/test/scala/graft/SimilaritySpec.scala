@@ -82,4 +82,18 @@ class SimilaritySpec extends SparkSpec {
       assert(batch(qid) == single, s"mismatch for query $qid")
     }
   }
+
+  test("knnJoinLSH achieves high recall of the brute-force kNN join") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.TableIO.table(spark, Sf0001, "embeddings").limit(300)
+    val brute = SimilaritySearch.knnJoin(emb, emb, "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r"))).toSet
+    val lsh = SimilaritySearch.knnJoinLSH(emb, emb, "vec_id", "vec_id", "embedding", "embedding",
+      k = 5, numPlanes = 12, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH kNN recall too low: $recall")
+    // candidates actually pruned: the lsh result must not just be the cross join
+    assert(lsh.size <= brute.size)
+  }
 }
