@@ -422,6 +422,15 @@ object SparkEntry {
         .orderBy("id_l", "rank")
     }),
 
+    // LSH-bucketed kNN join (scale path; rows-only — bucketing recall is
+    // probabilistic; recall vs brute force pinned in SimilaritySpec).
+    "q_knn_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.knnJoinLSH(emb, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k = 5, numPlanes = 14, maxHamming = 2)
+        .orderBy("id_l", "rank")
+    }),
+
     // Deterministic document fingerprint (case/whitespace-normalized md5).
     "q_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -723,13 +732,14 @@ object SparkEntry {
     })
   )
 
-  /** Names run by Bench. Excludes the quadratic brute-force pair query
-    * (the small-scale oracle for the LSH path) and the ML training query
-    * (tree induction measures MLlib fit time, not engine throughput).
+  /** Names run by Bench. Excludes the quadratic brute-force pair queries
+    * (small-scale oracles for their LSH scale paths — q_emb_neardup_lsh
+    * and q_knn_lsh are benched instead) and the ML training query (tree
+    * induction measures MLlib fit time, not engine throughput).
     */
   def benchQueries: Seq[String] =
     queries.keys.toSeq.sorted
-      .filterNot(Set("q_emb_neardup", "q_ml_train_predict"))
+      .filterNot(Set("q_emb_neardup", "q_knn_join", "q_ml_train_predict"))
 
   // ------------------------------------------------------------------ //
   //  DuckDB oracle SQL — same tables, same aliases, same ordering.      //
