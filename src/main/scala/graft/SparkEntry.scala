@@ -560,6 +560,17 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // Map functions: JSON -> map<string,int>, element_at, map_keys.
+    "q_map_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy("event_id")),
+
     // JSON functions: schema-declared from_json over the props column,
     // extracted field feeding a grouped aggregate.
     "q_json_extract" -> ((s, d) =>
@@ -1099,6 +1110,12 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INT) AS k_val,
+        |       CAST(len(json_keys(props)) AS INT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
