@@ -168,4 +168,51 @@ object StreamingFeatures {
       eventKey: String,
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Stream-stream interval join: left events match right events with
+    * the same key whose event time falls within [left.ts, left.ts +
+    * within]. Both sides are watermarked so the join state is bounded —
+    * right rows are held only until the left watermark passes their
+    * match window (Spark derives the state retention from the interval
+    * condition plus the watermarks).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      maxDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, maxDelay)
+    val r = right.withWatermark(rightTs, maxDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
+  /** Partitioned-parquet streaming sink via foreachBatch: each
+    * micro-batch lands as date-partitioned files with a partition-
+    * aligned repartition (one writer per date instead of every task
+    * writing every partition — the small-files discipline of the batch
+    * sink, kept under streaming). foreachBatch because the built-in file
+    * sink cannot repartition per batch.
+    */
+  def writePartitionedParquet(
+      stream: DataFrame,
+      path: String,
+      tsCol: String = "ts",
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .withColumn("event_date", to_date(col(tsCol)))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch
+          .repartition(col("event_date"))
+          .write.mode("append").partitionBy("event_date").parquet(path)
+      }
+      .start()
 }

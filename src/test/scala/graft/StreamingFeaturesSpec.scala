@@ -152,4 +152,59 @@ class StreamingFeaturesSpec extends SparkSpec {
       assert(kept.intersect(Set(1L, 2L)).size == 1)
     } finally q.stop()
   }
+
+  test("intervalJoin matches right events inside the per-key time window") {
+    import org.apache.spark.sql.functions._
+    val dir = s"$root/ivj"
+    Files.createDirectories(Paths.get(s"$dir/l"))
+    Files.createDirectories(Paths.get(s"$dir/r"))
+    def drop(sub: String, rows: Seq[StreamEvent]): Unit = {
+      rows.toDF().coalesce(1).write.parquet(s"$dir/$sub/b0")
+      Files.list(Paths.get(s"$dir/$sub/b0")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+        Files.move(f, Paths.get(s"$dir/$sub/b0.parquet"))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/$sub/b0").toFile)
+    }
+    drop("l", Seq(StreamEvent(1, ts(0), "click", 1.0), StreamEvent(2, ts(0), "click", 1.0)))
+    drop("r", Seq(
+      StreamEvent(1, ts(2), "purchase", 9.0),   // within 5 min of user 1's click
+      StreamEvent(1, ts(30), "purchase", 9.0),  // too late
+      StreamEvent(3, ts(1), "purchase", 9.0)))  // wrong key
+    val l = spark.readStream.schema(schema).parquet(s"$dir/l")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = spark.readStream.schema(schema).parquet(s"$dir/r")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_type").as("r_type"))
+    val q = StreamingFeatures.intervalJoin(
+      l, r, "user_id", "r_user", "l_ts", "r_ts", within = "5 minutes")
+      .writeStream.format("memory").queryName("ivj").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ivj").select("user_id", "r_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "purchase")))
+    } finally q.stop()
+  }
+
+  test("writePartitionedParquet lands date-partitioned files via foreachBatch") {
+    val dir = s"$root/psink"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Seq(
+      StreamEvent(1, ts(0), "click", 1.0),
+      StreamEvent(2, ts(60 * 24), "view", 2.0)) // next day
+      .toDF().coalesce(1).write.parquet(s"$dir/in/b0")
+    Files.list(Paths.get(s"$dir/in/b0")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+      Files.move(f, Paths.get(s"$dir/in/b0.parquet"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/in/b0").toFile)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingFeatures.writePartitionedParquet(
+      stream, s"$dir/out", "ts", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 2)
+    assert(out.select("event_date").distinct().count() == 2)
+    val dates = Files.list(Paths.get(s"$dir/out")).toArray.map(_.toString)
+      .filter(_.contains("event_date="))
+    assert(dates.length == 2, s"expected 2 date partition dirs, got ${dates.toSeq}")
+  }
 }
