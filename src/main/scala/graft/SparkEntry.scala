@@ -397,6 +397,14 @@ object SparkEntry {
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Generator functions: explode tokens, top-20 token frequencies.
+    "q_explode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(20)),
+
     // Composite text-quality score (length/token/punct/stopword gates).
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
@@ -1003,6 +1011,11 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS t FROM documents)
+        |GROUP BY t ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "q_text_quality" ->
       """WITH s AS (
