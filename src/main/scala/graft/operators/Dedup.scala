@@ -214,8 +214,70 @@ object Dedup {
     * near-dedup operator: LSH prunes the pair space, the verify join
     * removes false positives. (False negatives are the documented LSH
     * trade-off; tune bands/numHashes for the target threshold.)
+    *
+    * Exact copies are collapsed to one keeper per content hash BEFORE
+    * sketching and the pair set is expanded algebraically afterwards —
+    * identical texts have identical signatures and gram sets, so
+    * within-group pairs always band-collide and score jaccard 1.0, and
+    * every member of group A pairs with every member of group B exactly
+    * when the keepers do: output is provably identical to running the
+    * sketch on the raw corpus, while candidate verification scales with
+    * DISTINCT-text near-dup density (copy-dense stress at 250k docs:
+    * 507s raw -> seconds collapsed).
     */
   def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val members = df.select(col(idCol).as("__mid"), md5(col(textCol)).as("__ghash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = members.groupBy("__ghash")
+      .agg(min(col("__mid")).as("__kid"), count(lit(1)).as("__gn"))
+    val keeperDocs = df.join(
+      keepers.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
+
+    val keeperPairs = minHashNearDuplicatesDistinct(
+      keeperDocs, idCol, textCol, n, numHashes, bands, minJaccard, seed)
+
+    // Cross-group expansion: every member of A x every member of B,
+    // reordered so id_a < id_b.
+    val kToG = keepers.select(col("__kid"), col("__ghash"))
+    val cross = keeperPairs
+      .join(kToG.select(col("__kid").as("id_a"), col("__ghash").as("__ga")), "id_a")
+      .join(kToG.select(col("__kid").as("id_b"), col("__ghash").as("__gb")), "id_b")
+      .join(members.select(col("__mid").as("__ma"), col("__ghash").as("__ga")), "__ga")
+      .join(members.select(col("__mid").as("__mb"), col("__ghash").as("__gb")), "__gb")
+      .select(
+        least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("jaccard"))
+
+    // Within-group pairs: exact copies, jaccard 1.0 — but only for
+    // groups whose text has >= n tokens (an empty gram set never enters
+    // banding on the raw corpus, so its copies must not pair here).
+    val eligible = df.join(
+        keepers.select(col("__kid").as(idCol), col("__ghash"), col("__gn")), Seq(idCol))
+      .filter(col("__gn") > 1 &&
+        size(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)) > 0)
+      .select(col("__ghash"))
+    val within = members.join(eligible, "__ghash")
+      .select(col("__ghash"), col("__mid").as("__ma"))
+      .join(members.select(col("__ghash"), col("__mid").as("__mb")), "__ghash")
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"), lit(1.0).as("jaccard"))
+
+    cross.unionByName(within)
+  }
+
+  /** The sketch pipeline proper, assuming distinct texts (see
+    * [[minHashNearDuplicates]] for the collapse/expand wrapper).
+    */
+  def minHashNearDuplicatesDistinct(
       df: DataFrame,
       idCol: String,
       textCol: String,

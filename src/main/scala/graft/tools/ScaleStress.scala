@@ -58,7 +58,7 @@ object ScaleStress {
     time("winnow candidates on distinct (minShared=4)")(
       println("[stress]   n_cand = " + Dedup.winnowCandidatePairs(
         distinctDocs, "doc_id", "text", minShared = 4).count()))
-    time("minhash near-dup RAW copy-dense corpus")(
+    time("minhash near-dup copy-dense (auto-collapse)")(
       println("[stress]   n_pairs = " + Dedup.minHashNearDuplicates(
         docs, "doc_id", "text", n = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()))
     time("group signatures by source")(

@@ -142,4 +142,35 @@ class DedupSpec extends SparkSpec {
     assert(overlaps(("src_a", "src_b")) > overlaps(("src_a", "src_c")))
     assert(overlaps(("src_a", "src_b")) > 0.3)
   }
+
+  test("minhash collapse/expand emits exactly the raw pair set on a copy-dense corpus") {
+    // 3 distinct texts: t1 ~ t2 near-dups, t3 unrelated; copies of each.
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val t3 = "completely different content about database engines and query plans"
+    val docs = Seq(
+      (1L, t1), (2L, t1), (3L, t1),      // group A: 3 copies
+      (10L, t2), (11L, t2),              // group B: 2 copies
+      (20L, t3),                         // singleton
+      (30L, "ab"), (31L, "ab"))          // < n tokens: must NOT pair
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashNearDuplicates(docs, "doc_id", "text", n = 3,
+      numHashes = 64, bands = 32, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    // within-group: A choose 2 = 3 pairs at 1.0, B choose 2 = 1 pair at 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs.contains((10L, 11L)))
+    assert(got.filter(p => Set((1L,2L),(1L,3L),(2L,3L),(10L,11L))(p._1 -> p._2))
+      .forall(_._3 == 1.0))
+    // cross-group: 3 x 2 = 6 pairs, all with the same keeper jaccard
+    val crossPairs = Set((1L,10L),(1L,11L),(2L,10L),(2L,11L),(3L,10L),(3L,11L))
+    assert(crossPairs.subsetOf(pairs))
+    val crossJ = got.filter(p => crossPairs(p._1 -> p._2)).map(_._3).distinct
+    assert(crossJ.length == 1 && crossJ.head >= 0.5 && crossJ.head < 1.0)
+    // tiny docs and the singleton never pair
+    assert(!pairs.exists(p => Set(20L, 30L, 31L)(p._1) || Set(20L, 30L, 31L)(p._2)))
+    assert(got.length == 10)
+  }
 }
