@@ -132,6 +132,8 @@ object Multimodal {
       stride: Int,
       maxFrames: Int,
       decoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(stride > 0, s"frameSample stride must be positive, got $stride")
+    require(maxFrames > 0, s"frameSample maxFrames must be positive, got $maxFrames")
     val spark = media.sparkSession
     import spark.implicits._
     val withFrames = media.as[MediaRecord].mapPartitions { it =>
@@ -140,7 +142,10 @@ object Multimodal {
         (rec.media_id, rec.modality, frames)
       }
     }.toDF("media_id", "modality", "n_frames")
-    withFrames.select(
+    // A decoder may legitimately report 0 frames (corrupt media):
+    // sequence(0, -1, stride) is a runtime error, so such rows yield no
+    // frame rows rather than failing the whole job.
+    withFrames.where(col("n_frames") > 0).select(
       col("media_id"), col("modality"), col("n_frames"),
       explode(sequence(
         lit(0),

@@ -135,13 +135,20 @@ object SimilaritySearch {
     * vector touched only for probed cells. This is the scale API — one
     * driver-side vector per call ([[ivfTopK]]) cannot amortize the scan.
     */
+  /** @param excludeSelf drop candidate rows whose corpus id equals the
+    *                     query id — right for self-search (queries drawn
+    *                     from the corpus, the identity match is noise);
+    *                     set false when querying a foreign corpus where
+    *                     ids may coincide by accident.
+    */
   def ivfTopKBatch(
       index: IvfIndex,
       queries: DataFrame,
       qIdCol: String,
       qVecCol: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     import spark.implicits._
@@ -168,8 +175,9 @@ object SimilaritySearch {
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
 
     val wRank = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("id"))
-    routed.join(corpus, "cell")
-      .filter(col("qid") =!= col("id"))
+    val joined = routed.join(corpus, "cell")
+    val candidates = if (excludeSelf) joined.filter(col("qid") =!= col("id")) else joined
+    candidates
       .withColumn("cos_sim",
         round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
       .withColumn("rank", row_number().over(wRank))
@@ -201,6 +209,11 @@ object SimilaritySearch {
       maxHamming: Int = 2,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // With fewer planes than chunks, the trailing chunks would hash every
+    // row to 0 and the join silently degenerates to a cross join (correct
+    // but brute-force cost) — fail loudly instead.
+    require(numPlanes >= maxHamming + 1,
+      s"knnJoinLSH needs numPlanes >= maxHamming + 1 (got numPlanes=$numPlanes, maxHamming=$maxHamming)")
     val dim = left.select(size(col(vecColL))).head().getInt(0)
     val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
     val chunks = maxHamming + 1

@@ -26,7 +26,16 @@ object GraftExtensions {
 
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an Int-range integer literal, got $other")
+  }
+
+  // Seeds are genuinely 64-bit: accept any integral literal untruncated so
+  // SQL-text seeds match the Column API bit for bit.
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
   }
@@ -52,7 +61,7 @@ object GraftExtensions {
       "graft_minhash(text, n, numHashes, seed) - MinHash signature over word n-grams",
       args => MinHashSignatureExpr(
         WordNGramHashesExpr(args.head, intArg(args(1), "n")),
-        intArg(args(2), "numHashes"), intArg(args(3), "seed").toLong)),
+        intArg(args(2), "numHashes"), longArg(args(3), "seed"))),
     entry("graft_winnow",
       "graft_winnow(text, n, w) - winnowing fingerprints (MOSS) over word n-grams",
       args => WinnowFingerprintsExpr(

@@ -187,10 +187,13 @@ object StreamingFeatures {
       maxDelay: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark(leftTs, maxDelay)
     val r = right.withWatermark(rightTs, maxDelay)
+    // Columns resolved against each side explicitly: event streams
+    // routinely share key/ts column names, and unqualified col(...) would
+    // be ambiguous then.
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
   }
 
   /** Partitioned-parquet streaming sink via foreachBatch: each

@@ -42,6 +42,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaCol.toSeq)
   }
 
+  test("graft_minhash SQL seed beyond Int range matches the Column API untruncated") {
+    docs.createOrReplaceTempView("ext_docs")
+    val bigSeed = 4294967298L // 2^32 + 2: truncation to Int would yield 2
+    val viaSql = spark.sql(
+      s"SELECT doc_id, graft_minhash(text, 3, 16, ${bigSeed}L) AS sig FROM ext_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val viaCol = docs.select(
+      col("doc_id"), HashExpressions.minHashFromText(col("text"), 3, 16, bigSeed).as("sig"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    val truncated = docs.select(
+      HashExpressions.minHashFromText(col("text"), 3, 16, 2L).as("sig"))
+      .head().getSeq[Long](0)
+    assert(viaSql.head._2 != truncated, "big seed must not silently truncate to its low 32 bits")
+  }
+
   test("graft_dot from SQL computes the sequential dot product") {
     val out = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")

@@ -56,4 +56,24 @@ class MultimodalSpec extends SparkSpec {
     assert(vidFrames.head == 0 && vidFrames.size <= 5)
     assert(vidFrames.zip(vidFrames.tail).forall { case (a, b) => b - a == 2 })
   }
+
+  test("frameSample drops 0-frame media instead of failing, rejects bad stride") {
+    import spark.implicits._
+    object ZeroFrameDecoder extends graft.operators.MediaDecoder {
+      override def decode(m: String, c: Array[Byte]): (Int, Int, Int, Array[Float]) =
+        if (m == "video") (0, 0, 0, Array.empty) else (16, 16, 1, Array.empty)
+      override def resize(m: String, c: Array[Byte], w: Int, h: Int): Array[Byte] = c
+    }
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "video", "corrupt".getBytes, "s"),
+      graft.operators.MediaRecord(2L, "text", "fine".getBytes, "s"))
+      .toDS().toDF()
+    val rows = graft.operators.Multimodal
+      .frameSample(media, stride = 2, maxFrames = 5, decoder = ZeroFrameDecoder)
+      .collect()
+    assert(rows.map(_.getAs[Long]("media_id")).toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.frameSample(media, stride = 0, maxFrames = 5)
+    }
+  }
 }

@@ -96,4 +96,12 @@ class SimilaritySpec extends SparkSpec {
     // candidates actually pruned: the lsh result must not just be the cross join
     assert(lsh.size <= brute.size)
   }
+
+  test("knnJoinLSH rejects the degenerate numPlanes < maxHamming + 1 config") {
+    val emb = graft.sources.TableIO.table(spark, Sf0001, "embeddings").limit(10)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.knnJoinLSH(emb, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k = 5, numPlanes = 2, maxHamming = 3)
+    }
+  }
 }

@@ -185,6 +185,34 @@ class StreamingFeaturesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin resolves shared column names (both streams keep user_id/ts)") {
+    import org.apache.spark.sql.functions._
+    val dir = s"$root/ivj2"
+    Files.createDirectories(Paths.get(s"$dir/l"))
+    Files.createDirectories(Paths.get(s"$dir/r"))
+    def drop(sub: String, rows: Seq[StreamEvent]): Unit = {
+      rows.toDF().coalesce(1).write.parquet(s"$dir/$sub/b0")
+      Files.list(Paths.get(s"$dir/$sub/b0")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+        Files.move(f, Paths.get(s"$dir/$sub/b0.parquet"))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/$sub/b0").toFile)
+    }
+    drop("l", Seq(StreamEvent(1, ts(0), "click", 1.0)))
+    drop("r", Seq(
+      StreamEvent(1, ts(2), "purchase", 9.0),
+      StreamEvent(1, ts(30), "purchase", 9.0)))
+    // No renames: both sides share user_id/ts/event_type/value column names.
+    val l = spark.readStream.schema(schema).parquet(s"$dir/l")
+    val r = spark.readStream.schema(schema).parquet(s"$dir/r")
+    val q = StreamingFeatures.intervalJoin(
+      l, r, "user_id", "user_id", "ts", "ts", within = "5 minutes")
+      .writeStream.format("memory").queryName("ivj2").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ivj2").count() == 1)
+    } finally q.stop()
+  }
+
   test("writePartitionedParquet lands date-partitioned files via foreachBatch") {
     val dir = s"$root/psink"
     Files.createDirectories(Paths.get(s"$dir/in"))
