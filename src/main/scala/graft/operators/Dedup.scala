@@ -260,10 +260,12 @@ object Dedup {
     // Within-group pairs: exact copies, jaccard 1.0 — but only for
     // groups whose text has >= n tokens (an empty gram set never enters
     // banding on the raw corpus, so its copies must not pair here).
+    // __gn > 1 first and as its own filter: only multi-copy groups (rare)
+    // pay the re-shingling size check, not every keeper row.
     val eligible = df.join(
-        keepers.select(col("__kid").as(idCol), col("__ghash"), col("__gn")), Seq(idCol))
-      .filter(col("__gn") > 1 &&
-        size(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)) > 0)
+        keepers.filter(col("__gn") > 1)
+          .select(col("__kid").as(idCol), col("__ghash")), Seq(idCol))
+      .filter(size(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)) > 0)
       .select(col("__ghash"))
     val within = members.join(eligible, "__ghash")
       .select(col("__ghash"), col("__mid").as("__ma"))

@@ -47,8 +47,14 @@ trait MediaDecoder extends Serializable {
   * in this container); everything around it is production-shaped.
   */
 object StubDecoder extends MediaDecoder {
+  // One digest instance per thread, not per row — decode runs in tight
+  // partition loops.
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+
   override def decode(modality: String, content: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val d = MessageDigest.getInstance("SHA-256").digest(content)
+    val md = digests.get(); md.reset()
+    val d = md.digest(content)
     def u8(i: Int): Int = d(i) & 0xff
     val width = 16 + u8(0) * 4
     val height = 16 + u8(1) * 4
