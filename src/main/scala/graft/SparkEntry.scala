@@ -334,10 +334,13 @@ object SparkEntry {
 
     // MinHash+LSH near-dup (scale path; rows-only — randomized banding is
     // not SQL-expressible. Verified against exact Jaccard in DedupSpec.)
+    // 32 hashes x 16 bands (r=2) puts the banding threshold (1/16)^(1/2)
+    // ~= 0.25 next to the 0.2 verify cutoff — better recall at the target
+    // similarity AND half the signature CPU of the r=4 shape.
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashNearDuplicates(
         t(s, d, "documents"), "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+        n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
     // SimHash 64-bit fingerprints (rows-only; determinism covered in DedupSpec).
