@@ -320,12 +320,58 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ORC sink + scan round-trip: the second columnar format Spark ships
+    // natively (Avro would need the spark-avro jar — absent offline).
+    // Oracle checks against the original parquet, so the round-trip must
+    // be lossless, decimals included.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/orc_roundtrip"
+      t(s, d, "customer").write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("total_bal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // JSON-lines sink + schema-enforced scan round-trip: the interchange
+    // format of every scraped/LLM corpus. Timestamps go through unix
+    // micros (JSON has no timestamp type) so the round-trip is exact.
+    "q_json_roundtrip" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/json_roundtrip"
+      t(s, d, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(dir)
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      s.read.schema(schema).json(dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("ts_us")).as("min_ts_us"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // -------------------- LLM-data-pipeline extensions --------------------
 
     // Exact dedup: content-hash groups with deterministic keeper.
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicateGroups(t(s, d, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
+
+    // Typed-Dataset variant of exact dedup: same digest through an
+    // Aggregator (map-side combined), same oracle as q_dedup_exact.
+    "q_dedup_exact_typed" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select("doc_id", "text").as[(Long, String)]
+      graft.operators.TypedDedup.exactDuplicateGroups[(Long, String)](
+        docs, r => graft.operators.TypedDedup.md5Hex(r._2), _._1)
+        .orderBy("content_hash")
+    }),
 
     // Exhaustive n-gram Jaccard near-dup pairs (the dedup correctness oracle).
     "q_dedup_jaccard" -> ((s, d) =>
@@ -958,7 +1004,27 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_orc_roundtrip" ->
+      """SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_exact_typed" ->
       """SELECT md5(text) AS content_hash,
         |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

@@ -75,4 +75,68 @@ object BehavioralFeatures {
       tsUnixCol: String,
       seconds: Long): Column =
     size(collect_set(valueCol).over(trailingWindow(partitionCol, tsUnixCol, seconds)))
+
+  /** Skew-proof trailing count — output-identical to
+    * [[trailingCount]] but never materializes a whole hot key's history
+    * in one window partition.
+    *
+    * A plain `partitionBy(key)` range window puts ALL of a key's rows in
+    * one task; one hot account (bot, exchange wallet) stalls the stage at
+    * 100 TB. Blocking fixes the partition grain: with block =
+    * floor(ts / W), a trailing [t-W, t] frame can only touch the row's
+    * own block and the one before it, so
+    *
+    *   count = C_cur(ts <= t within (key, block))            — window over
+    *           (key, block): partitions bounded by block width, not by
+    *           key heat across time;
+    *         + R_prev(ts >= t-W within (key, block-1))       — one forward
+    *           as-of lookup into the previous block's suffix-count table
+    *           (union + window trick, no pair blowup).
+    *
+    * Three bounded shuffles instead of one skewed one. Ties share frames
+    * (RANGE semantics) in both parts, so results match the plain window
+    * exactly — the driver oracle for the blocked query is the SAME SQL as
+    * the plain one.
+    */
+  def blockedTrailingCount(
+      df: DataFrame,
+      keyCol: String,
+      tsUnixCol: String,
+      seconds: Long,
+      outCol: String): DataFrame = {
+    require(seconds > 0, s"window width must be positive, got $seconds")
+    val block = floor(col(tsUnixCol) / lit(seconds)).cast("long")
+    val base = df.withColumn("_blk", block)
+
+    // Current-block contribution: running count with RANGE tie semantics.
+    val wCur = Window.partitionBy(keyCol, "_blk").orderBy(tsUnixCol)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCur = base.withColumn("_c_cur", count(lit(1)).over(wCur))
+
+    // Previous-block suffix counts: rcum(ts) = rows with ts' >= ts in the
+    // (key, block); probe forward with t-W to get the [t-W, block end]
+    // remainder. groupBy first so the as-of right side is one row per
+    // distinct timestamp.
+    val wSuffix = Window.partitionBy("_gk").orderBy(col(tsUnixCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val suffix = base.groupBy(col(keyCol), col("_blk"), col(tsUnixCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_gk", concat_ws("\u0000", col(keyCol), col("_blk")))
+      .withColumn("_rcum", sum(col("_n")).over(wSuffix))
+      .select(col("_gk"), col(tsUnixCol).as("_sts"), col("_rcum"))
+
+    val probes = withCur
+      .withColumn("_gk", concat_ws("\u0000", col(keyCol), col("_blk") - 1))
+      .withColumn("_probe_ts", col(tsUnixCol) - lit(seconds))
+    val looked = AsOfJoin.join(
+      probes, suffix,
+      leftKey = "_gk", rightKey = "_gk",
+      leftTs = "_probe_ts", rightTs = "_sts",
+      rightPayload = Seq("_rcum"), rightOrderCol = "_sts",
+      keepUnmatched = true, direction = "forward")
+
+    looked
+      .withColumn(outCol, col("_c_cur") + coalesce(col("_rcum"), lit(0L)))
+      .drop("_blk", "_c_cur", "_gk", "_probe_ts", "_rcum")
+  }
 }

@@ -25,6 +25,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("typed Aggregator digest matches the untyped exact-dedup groups") {
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val untyped = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    val typed = graft.operators.TypedDedup.exactDuplicateGroups[(Long, String)](
+        docs.select("doc_id", "text").as[(Long, String)],
+        r => graft.operators.TypedDedup.md5Hex(r._2), _._1)
+      .as[(String, Long, Long)].collect().toSet
+    assert(typed == untyped)
+    // the Aggregator must run as a partial aggregation (map-side combine),
+    // not a full-group materialization
+    val plan = graft.operators.TypedDedup.exactDuplicateGroups[(Long, String)](
+        docs.select("doc_id", "text").as[(Long, String)],
+        r => graft.operators.TypedDedup.md5Hex(r._2), _._1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"expected partial aggregation in:\n$plan")
+    assert(!plan.contains("MapGroups"), "digest must not materialize whole groups")
+  }
+
   test("jaccard pairs: identical docs = 1.0, near dups high, disjoint absent") {
     val pairs = Dedup.jaccardPairs(fixture, "doc_id", "text", n = 3, minJaccard = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
