@@ -137,6 +137,36 @@ object SparkEntry {
             col("event_type"), "user_id", "ts_unix", 21600L).as("type_diversity_6h"))
         .orderBy("event_id")),
 
+    // W1 blocked: skew-proof trailing count — provably output-identical to
+    // q_window_velocity (SURVEY §3.3 hot-key risk), so the oracle is the
+    // SAME plain-window SQL. Three bounded shuffles instead of one skewed one.
+    "q_window_blocked" -> ((s, d) =>
+      BehavioralFeatures.blockedTrailingCount(
+          t(s, d, "events").withColumn("ts_unix", unix_timestamp(col("ts"))),
+          "user_id", "ts_unix", 3600L, "velocity_1h")
+        .select("event_id", "user_id", "velocity_1h")
+        .orderBy("event_id")),
+
+    // W2/W3 blocked: skew-proof exact trailing average (decimal partials
+    // recombine bit-equal) — oracle is q_window_avg_dev's SQL verbatim.
+    "q_window_blocked_avg" -> ((s, d) =>
+      BehavioralFeatures.blockedTrailingAvgExact(
+          t(s, d, "events").withColumn("ts_unix", unix_timestamp(col("ts"))),
+          "value", "user_id", "ts_unix", 86400L, "_avg24")
+        .select(
+          col("event_id"), col("user_id"),
+          (col("value") - col("_avg24")).as("value_dev_24h"))
+        .orderBy("event_id")),
+
+    // W4 blocked: skew-proof trailing distinct — oracle is
+    // q_window_distinct's SQL verbatim.
+    "q_window_blocked_distinct" -> ((s, d) =>
+      BehavioralFeatures.blockedTrailingDistinct(
+          t(s, d, "events").withColumn("ts_unix", unix_timestamp(col("ts"))),
+          "event_type", "user_id", "ts_unix", 21600L, "type_diversity_6h")
+        .select("event_id", "user_id", "type_diversity_6h")
+        .orderBy("event_id")),
+
     // O1/O2: global sort.
     "q_sort_global" -> ((s, d) =>
       t(s, d, "events")
@@ -885,6 +915,36 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_window_distinct" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(DISTINCT event_type) OVER w AS INT) AS type_diversity_6h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // The blocked windows' whole contract is plain-window identity: the
+    // oracles are the SAME SQL as their unblocked counterparts.
+    "q_window_blocked" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS velocity_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_blocked_avg" ->
+      """SELECT event_id, user_id,
+        |       value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |               / (count(value) OVER w) AS value_dev_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_blocked_distinct" ->
       """SELECT event_id, user_id,
         |       CAST(count(DISTINCT event_type) OVER w AS INT) AS type_diversity_6h
         |FROM events

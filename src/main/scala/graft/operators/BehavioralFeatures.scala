@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Behavioral time-range window features — the semantic core of the
@@ -103,40 +103,124 @@ object BehavioralFeatures {
       keyCol: String,
       tsUnixCol: String,
       seconds: Long,
-      outCol: String): DataFrame = {
-    require(seconds > 0, s"window width must be positive, got $seconds")
-    val block = floor(col(tsUnixCol) / lit(seconds)).cast("long")
-    val base = df.withColumn("_blk", block)
+      outCol: String): DataFrame =
+    blockedProbe(df, keyCol, tsUnixCol, seconds,
+      curAggs = Seq("_c_cur" -> (w => count(lit(1)).over(w))),
+      suffixGroupAggs = Seq(count(lit(1)).as("_n")),
+      suffixCumAggs = Seq("_rcum" -> (w => sum(col("_n")).over(w))))
+      .withColumn(outCol, col("_c_cur") + coalesce(col("_rcum"), lit(0L)))
+      .drop("_c_cur", "_rcum")
 
-    // Current-block contribution: running count with RANGE tie semantics.
+  /** Skew-proof exact trailing average — output-identical to
+    * [[trailingAvgExact]] (the reference's W2 `avg_amount_24h` shape).
+    * Decimal partial sums make the blocked recombination bit-equal to the
+    * sequential window: `(sum_cur + sum_prev)` is the exact decimal
+    * window sum, cast to double once, divided by the exact count.
+    */
+  def blockedTrailingAvgExact(
+      df: DataFrame,
+      valueCol: String,
+      keyCol: String,
+      tsUnixCol: String,
+      seconds: Long,
+      outCol: String): DataFrame =
+    blockedProbe(df, keyCol, tsUnixCol, seconds,
+      curAggs = Seq(
+        "_s_cur" -> (w => sum(col(valueCol).cast("decimal(18,2)")).over(w)),
+        "_c_cur" -> (w => count(col(valueCol)).over(w))),
+      suffixGroupAggs = Seq(
+        sum(col(valueCol).cast("decimal(18,2)")).as("_s"),
+        count(col(valueCol)).as("_n")),
+      suffixCumAggs = Seq(
+        "_rsum" -> (w => sum(col("_s")).over(w)),
+        "_rcum" -> (w => sum(col("_n")).over(w))))
+      .withColumn(outCol,
+        (col("_s_cur") + coalesce(col("_rsum"), lit(0).cast("decimal(18,2)"))).cast("double")
+          / (col("_c_cur") + coalesce(col("_rcum"), lit(0L))))
+      .drop("_s_cur", "_c_cur", "_rsum", "_rcum")
+
+  /** Skew-proof trailing distinct count — output-identical to
+    * [[trailingDistinct]] (the reference's W4 `merchant_diversity` shape).
+    * Distinct state is carried as sets: the current-block running set
+    * unions with the previous block's suffix set (values occurring at
+    * ts' >= t-W). Set sizes are bounded by 2W of one key's traffic, not
+    * by the key's whole history.
+    */
+  def blockedTrailingDistinct(
+      df: DataFrame,
+      valueCol: String,
+      keyCol: String,
+      tsUnixCol: String,
+      seconds: Long,
+      outCol: String): DataFrame =
+    blockedProbe(df, keyCol, tsUnixCol, seconds,
+      curAggs = Seq("_cset" -> (w => collect_set(col(valueCol)).over(w))),
+      suffixGroupAggs = Seq(collect_set(col(valueCol)).as("_vs")),
+      suffixCumAggs = Seq(
+        "_rset" -> (w => array_distinct(flatten(collect_list(col("_vs")).over(w))))))
+      .withColumn(outCol,
+        when(col("_rset").isNull, size(col("_cset")))
+          .otherwise(size(array_union(col("_cset"), col("_rset")))))
+      .drop("_cset", "_rset")
+
+  /** Shared core of the blocked trailing windows: per-(key, block)
+    * current-frame aggregates with RANGE tie semantics, plus one forward
+    * as-of probe into the previous block's suffix-aggregate table.
+    *
+    *   1. `curAggs` run over `partitionBy(key, block).orderBy(ts)
+    *      .rangeBetween(unboundedPreceding, currentRow)` — partitions are
+    *      bounded by block width, never by key heat across time;
+    *   2. `suffixGroupAggs` collapse the input to one row per distinct
+    *      (key, block, ts); `suffixCumAggs` then accumulate those in
+    *      descending-ts order, so the row at ts holds the aggregate of
+    *      the block's [ts, end] suffix;
+    *   3. each input row probes (key, block-1) forward at t-W via
+    *      [[AsOfJoin]] (union + window — one hash shuffle, no pair
+    *      blowup); probed columns are null when the previous block is
+    *      empty or fully expired.
+    *
+    * The (key, block) group key is a struct column — no string
+    * concatenation, no separator collisions, hash-partitions like any
+    * composite key. Because block width == window width, a trailing
+    * [t-W, t] frame touches at most the row's own block and the one
+    * before it; callers combine cur + probed columns into the exact
+    * plain-window result.
+    */
+  private def blockedProbe(
+      df: DataFrame,
+      keyCol: String,
+      tsUnixCol: String,
+      seconds: Long,
+      curAggs: Seq[(String, WindowSpec => Column)],
+      suffixGroupAggs: Seq[Column],
+      suffixCumAggs: Seq[(String, WindowSpec => Column)]): DataFrame = {
+    require(seconds > 0, s"window width must be positive, got $seconds")
+    val base = df.withColumn("_blk", floor(col(tsUnixCol) / lit(seconds)).cast("long"))
+
     val wCur = Window.partitionBy(keyCol, "_blk").orderBy(tsUnixCol)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCur = base.withColumn("_c_cur", count(lit(1)).over(wCur))
+    val withCur = curAggs.foldLeft(base) { case (d, (name, f)) => d.withColumn(name, f(wCur)) }
 
-    // Previous-block suffix counts: rcum(ts) = rows with ts' >= ts in the
-    // (key, block); probe forward with t-W to get the [t-W, block end]
-    // remainder. groupBy first so the as-of right side is one row per
-    // distinct timestamp.
     val wSuffix = Window.partitionBy("_gk").orderBy(col(tsUnixCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val suffix = base.groupBy(col(keyCol), col("_blk"), col(tsUnixCol))
-      .agg(count(lit(1)).as("_n"))
-      .withColumn("_gk", concat_ws("\u0000", col(keyCol), col("_blk")))
-      .withColumn("_rcum", sum(col("_n")).over(wSuffix))
-      .select(col("_gk"), col(tsUnixCol).as("_sts"), col("_rcum"))
+    val cumNames = suffixCumAggs.map(_._1)
+    val grouped = base.groupBy(col(keyCol), col("_blk"), col(tsUnixCol))
+      .agg(suffixGroupAggs.head, suffixGroupAggs.tail: _*)
+      .withColumn("_gk", struct(col(keyCol), col("_blk")))
+    val suffix = suffixCumAggs.foldLeft(grouped) { case (d, (name, f)) =>
+        d.withColumn(name, f(wSuffix))
+      }
+      .select(col("_gk") +: col(tsUnixCol).as("_sts") +: cumNames.map(col): _*)
 
     val probes = withCur
-      .withColumn("_gk", concat_ws("\u0000", col(keyCol), col("_blk") - 1))
+      .withColumn("_gk", struct(col(keyCol), (col("_blk") - 1).as("_blk")))
       .withColumn("_probe_ts", col(tsUnixCol) - lit(seconds))
-    val looked = AsOfJoin.join(
+    AsOfJoin.join(
       probes, suffix,
       leftKey = "_gk", rightKey = "_gk",
       leftTs = "_probe_ts", rightTs = "_sts",
-      rightPayload = Seq("_rcum"), rightOrderCol = "_sts",
+      rightPayload = cumNames, rightOrderCol = "_sts",
       keepUnmatched = true, direction = "forward")
-
-    looked
-      .withColumn(outCol, col("_c_cur") + coalesce(col("_rcum"), lit(0L)))
-      .drop("_blk", "_c_cur", "_gk", "_probe_ts", "_rcum")
+      .drop("_blk", "_gk", "_probe_ts")
   }
 }

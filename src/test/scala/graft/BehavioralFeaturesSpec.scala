@@ -72,4 +72,102 @@ class BehavioralFeaturesSpec extends SparkSpec {
     assert(train.count() + test.count() == 2)
     assert(train.select("transaction_id").as[String].collect().toSet == Set("t1"))
   }
+
+  // ---- Blocked (skew-proof) trailing windows: the contract is exact
+  // ---- identity with the plain RANGE window on every fixture.
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, unix_timestamp}
+
+  /** Hand-placed edges: rows exactly W seconds apart (inclusive frame),
+    * ties AT a block boundary (ts = k*W shared by several rows), a row
+    * one past the boundary, and a second key interleaved.
+    */
+  private lazy val edgeRows = Seq(
+    // (id, key, ts_sec, value, tag)
+    (1L, "A", 0L, 10.0, "x"),
+    (2L, "A", 3600L, 20.0, "y"),    // exactly W after id=1: frame [0,3600] includes both
+    (3L, "A", 3600L, 30.0, "x"),    // tie at the block boundary (block 1 start)
+    (4L, "A", 3601L, 40.0, "z"),    // frame [1,3601]: ids 2,3,4 only
+    (5L, "A", 7199L, 50.0, "y"),    // end of block 1: frame [3599,7199] -> 2,3,4,5
+    (6L, "A", 7200L, 60.0, "x"),    // block 2 start: frame [3600,7200] -> 2,3,4,5,6
+    (7L, "A", 99999L, 70.0, "q"),   // far future: alone in frame
+    (8L, "B", 3600L, 80.0, "x"),    // other key, same boundary ts
+    (9L, "B", 3650L, 90.0, "x")
+  ).toDF("id", "key", "ts_unix", "value", "tag")
+
+  /** A hot key: 600 rows in one hour for key H (all in 2 blocks), and a
+    * sparse key S spanning many blocks (probe must skip empty blocks).
+    */
+  private lazy val hotRows = {
+    val hot = (0 until 600).map(i => (100L + i, "H", i * 6L, (i % 7).toDouble, s"t${i % 5}"))
+    val sparse = Seq(
+      (900L, "S", 0L, 1.0, "a"),
+      (901L, "S", 50000L, 2.0, "b"),   // blocks away from 900: no prev-block match
+      (902L, "S", 53599L, 3.0, "a"),   // within W of 901 (3599s), adjacent block
+      (903L, "S", 53600L, 4.0, "c"))   // exactly W after 901
+    (hot ++ sparse).toDF("id", "key", "ts_unix", "value", "tag")
+  }
+
+  private def assertBlockedEqualsPlain(df: DataFrame, seconds: Long): Unit = {
+    val plainCount = df.select(col("id"),
+      BehavioralFeatures.trailingCount("key", "ts_unix", seconds).as("c"))
+    val blockedCount = BehavioralFeatures
+      .blockedTrailingCount(df, "key", "ts_unix", seconds, "c")
+      .select("id", "c")
+    assert(blockedCount.exceptAll(plainCount).isEmpty && plainCount.exceptAll(blockedCount).isEmpty,
+      s"blocked count != plain count at W=$seconds")
+
+    val plainAvg = df.select(col("id"),
+      BehavioralFeatures.trailingAvgExact(col("value"), "key", "ts_unix", seconds).as("a"))
+    val blockedAvg = BehavioralFeatures
+      .blockedTrailingAvgExact(df, "value", "key", "ts_unix", seconds, "a")
+      .select("id", "a")
+    assert(blockedAvg.exceptAll(plainAvg).isEmpty && plainAvg.exceptAll(blockedAvg).isEmpty,
+      s"blocked avg != plain avg at W=$seconds (must be bit-equal, decimal partials)")
+
+    val plainDist = df.select(col("id"),
+      BehavioralFeatures.trailingDistinct(col("tag"), "key", "ts_unix", seconds).as("d"))
+    val blockedDist = BehavioralFeatures
+      .blockedTrailingDistinct(df, "tag", "key", "ts_unix", seconds, "d")
+      .select("id", "d")
+    assert(blockedDist.exceptAll(plainDist).isEmpty && plainDist.exceptAll(blockedDist).isEmpty,
+      s"blocked distinct != plain distinct at W=$seconds")
+  }
+
+  test("blocked windows: ties at block boundaries and exact-W probes match the plain window") {
+    assertBlockedEqualsPlain(edgeRows, 3600L)
+  }
+
+  test("blocked windows: hot key and sparse multi-block key match the plain window") {
+    assertBlockedEqualsPlain(hotRows, 3600L)
+    assertBlockedEqualsPlain(hotRows, 120L)   // narrow W: hot key spans 30 blocks
+  }
+
+  test("blocked count: hand-checked hot-key values (inclusive [t-W, t], RANGE ties)") {
+    val out = BehavioralFeatures
+      .blockedTrailingCount(hotRows, "key", "ts_unix", 3600L, "c")
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(100L) == 1)          // first hot row
+    assert(out(699L) == 600)        // last hot row at ts=3594: all 600 within [.. - 3600, 3594]
+    assert(out(901L) == 1)          // sparse: 50000-3600=46400 > 0, id 900 expired
+    assert(out(902L) == 2)          // 53599-3600=49999 <= 50000: id 901 in frame
+    assert(out(903L) == 3)          // exactly W back: [50000,53600] -> 901 inclusive, 902, self
+  }
+
+  test("blocked windows: rows exactly W seconds back are inclusive (edge fixture)") {
+    val out = BehavioralFeatures
+      .blockedTrailingCount(edgeRows, "key", "ts_unix", 3600L, "c")
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) == 3 && out(3L) == 3)  // ties share the frame: [0,3600] has ids 1,2,3
+    assert(out(4L) == 3)                  // [1,3601]: ids 2,3,4 (id 1 expired)
+    assert(out(6L) == 5)                  // [3600,7200]: ids 2,3,4,5,6
+    assert(out(7L) == 1)
+  }
+
+  test("blocked windows reject non-positive width") {
+    intercept[IllegalArgumentException] {
+      BehavioralFeatures.blockedTrailingCount(edgeRows, "key", "ts_unix", 0L, "c")
+    }
+  }
 }
