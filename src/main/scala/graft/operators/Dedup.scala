@@ -194,19 +194,21 @@ object Dedup {
         col(idCol).as("id"),
         minHashSignature(col(textCol), n, numHashes, seed).as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-    // Persisted: the band table feeds both sides of the collision
-    // self-join — without it the signature computation runs twice.
+    // Both sides of the collision self-join are the SAME plan (aliased,
+    // not re-projected), so their shuffle exchanges canonicalize
+    // identically and ReuseExchange materializes the band table once —
+    // signatures are computed a single time with no persist barrier and
+    // no executor cache footprint (persisting an exploded band table is
+    // exactly the kind of cluster-wide cache you don't want at 100 TB).
     val banded = sig.select(
       col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 
@@ -234,8 +236,10 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       seed: Long = 42L): DataFrame = {
+    // Not persisted: (id, md5) is a two-column pushed-down scan +
+    // codegen'd hash — recomputing it per use is cheaper than a
+    // materialization barrier here and a cluster-wide cache at scale.
     val members = df.select(col(idCol).as("__mid"), md5(col(textCol)).as("__ghash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = members.groupBy("__ghash")
       .agg(min(col("__mid")).as("__kid"), count(lit(1)).as("__gn"))
     val keeperDocs = df.join(
@@ -288,8 +292,11 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       seed: Long = 42L): DataFrame = {
+    // The candidate table is used three times (both prune sides + the
+    // verify join); its distinct's shuffle exchange canonicalizes
+    // identically across the uses, so ReuseExchange runs the banding
+    // subtree once — no persist barrier needed.
     val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Verify only candidate documents: semi-join prunes the corpus to the
     // docs LSH surfaced before re-shingling. Candidate volume scales with
     // true-duplicate density, so at 100 TB this is the difference between
@@ -300,11 +307,12 @@ object Dedup {
     val pruned = df.join(candDocs, Seq(idCol), "left_semi")
     // Row-local gram sets with carried sizes (same shape as
     // [[jaccardPairs]]): no distinct shuffle, no sizes joins.
+    // Re-shingling the pruned docs for each verify side is linear CPU on
+    // candidate volume — cheaper than caching an exploded gram table.
     val grams = pruned.select(
         col(idCol).as("id"),
         array_distinct(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("gs"))
       .select(col("id"), size(col("gs")).as("sz"), explode(col("gs")).as("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = grams.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
     val b = grams.select(col("id").as("id_b2"), col("sz").as("sz_b"), col("gram").as("gram_b"))
     cands.join(a, "id_a")

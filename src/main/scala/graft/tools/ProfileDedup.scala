@@ -23,13 +23,13 @@ object ProfileDedup {
     time("docs.count")(docs.count())
     val sig = docs.select(
       col("doc_id").as("id"),
-      Dedup.minHashSignature(col("text"), 3, 64, 42L).as("sig"))
+      Dedup.minHashSignature(col("text"), 3, 32, 42L).as("sig"))
     time("signatures")(sig.count())
     val banded = sig.select(
       col("id"),
       posexplode(transform(
         sequence(lit(0), lit(15)),
-        b => hash(slice(col("sig"), b * lit(4) + lit(1), lit(4))))).as(Seq("band", "band_hash")))
+        b => hash(slice(col("sig"), b * lit(2) + lit(1), lit(2))))).as(Seq("band", "band_hash")))
     time("banded rows")(println("[profile] n_banded = " + banded.count()))
     val a = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
@@ -37,9 +37,9 @@ object ProfileDedup {
     time("collision join")(println("[profile] n_collisions = " + joined.count()))
     time("collision distinct")(println("[profile] n_distinct = " +
       joined.select("id_a", "id_b").distinct().count()))
-    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 64, 16, 42L)
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 32, 16, 42L)
     time("candidates")(println("[profile] n_cands = " + cands.count()))
-    val full = Dedup.minHashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.2, 42L)
+    val full = Dedup.minHashNearDuplicates(docs, "doc_id", "text", 3, 32, 16, 0.2, 42L)
     time("full near-dup")(println("[profile] n_pairs = " + full.count()))
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
     time("exhaustive jaccard")(println("[profile] n_exact = " + jac.count()))
