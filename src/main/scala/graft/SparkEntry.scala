@@ -572,6 +572,34 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Persisted IVF: save centroids JSON + cell-bucketed assignment,
+    // reload, probe — equal to the in-session path (same deterministic
+    // clustering; identity + no-shuffle plan pinned in SimilaritySpec).
+    // Rows-only: cell assignment is model-dependent.
+    "q_sim_ivf_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val idx = SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 16)
+      SimilaritySearch.saveIvfIndex(
+        idx, "vec_id", "ivf_persisted_q", "target/tmp/ivf_persisted_q", buckets = 8)
+      val loaded = SimilaritySearch.loadIvfIndex(s, "ivf_persisted_q", "target/tmp/ivf_persisted_q")
+      SimilaritySearch.ivfTopK(loaded, "vec_id", q, k = 20, nprobe = 4)
+    }),
+
+    // Multi-probe LSH ANN: explicit probe-signature IN-list (prunable at
+    // scale) instead of the XOR scan filter — identical results to
+    // q_sim_ann by construction (identity pinned in SimilaritySpec).
+    "q_sim_ann_multiprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      SimilaritySearch.lshTopKMultiProbe(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
+        k = 20, numPlanes = 8, maxProbeHamming = 2)
+    }),
+
     // Embedding cosine near-dup pairs (brute-force; exact threshold).
     "q_emb_neardup" -> ((s, d) =>
       Dedup.embeddingNearDuplicates(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)

@@ -68,6 +68,56 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** All signatures within `maxHamming` bit flips of `qSig` over
+    * `numPlanes` bits — the multi-probe sequence. Size is
+    * sum_{i<=h} C(numPlanes, i) (e.g. 137 for 16 planes, h=2): tiny,
+    * generated on the driver, usable as an IN-list pruning predicate.
+    */
+  def probeSignatures(qSig: Long, numPlanes: Int, maxHamming: Int): Seq[Long] = {
+    require(numPlanes >= 1 && numPlanes <= 63, s"numPlanes must be in [1,63], got $numPlanes")
+    require(maxHamming >= 0 && maxHamming <= numPlanes,
+      s"maxHamming must be in [0,numPlanes], got $maxHamming")
+    (0 to maxHamming).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(bits =>
+        bits.foldLeft(qSig)((s, b) => s ^ (1L << b))))
+  }
+
+  /** Multi-probe ANN: same results as [[lshTopK]] (bucket + every bucket
+    * within `maxProbeHamming` bit flips) but expressed as an explicit
+    * probe list — `sig IN (probes)` instead of a `bit_count(sig XOR q)`
+    * scan predicate. The IN-list is what a signature-partitioned or
+    * bucketed corpus can PRUNE on (partition/bucket/file skipping); the
+    * XOR filter always touches every row. Recall is tuned by
+    * `maxProbeHamming` alone — signatures are never rebuilt.
+    */
+  def lshTopKMultiProbe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      numPlanes: Int = 12,
+      maxProbeHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    val qSig: Long = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << i else 0L
+    }.foldLeft(0L)(_ | _)
+    val probes = probeSignatures(qSig, numPlanes, maxProbeHamming)
+
+    val qLit = typedLit(query)
+    df.select(
+        col(idCol),
+        col(vecCol).as("v"),
+        VectorOps.hyperplaneSignature(col(vecCol), planes).as("sig"))
+      .filter(col("sig").isin(probes: _*))
+      .select(col(idCol), round(VectorOps.cosine(col("v"), qLit), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: KMeans partitions the corpus into `nlist`
     * Voronoi cells; queries score only the `nprobe` nearest cells. The
     * assignment DataFrame is the "index" — at scale you persist/bucket it
@@ -101,6 +151,52 @@ object SimilaritySearch {
       .select(col(idCol), col("v"), col("prediction").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** Persist an IVF index: centroids as a tiny JSON-lines table (nlist
+    * rows — readable by anything), the cell assignment as a bucketed,
+    * cell-sorted external table via [[graft.sources.TableIO.writeBucketed]].
+    *
+    * This is what makes the index durable AT SCALE: a probe against the
+    * loaded table prunes buckets on `cell IN (...)` (file skipping, no
+    * scan of unprobed cells) and the batch path's equi-join on `cell`
+    * reads the corpus side with ZERO shuffle exchange — re-clustering or
+    * re-shuffling 100 TB per session is exactly what this avoids.
+    * Asserted at plan level in SimilaritySpec.
+    */
+  def saveIvfIndex(
+      index: IvfIndex,
+      idCol: String,
+      tableName: String,
+      path: String,
+      buckets: Int = 16): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/centroids")
+    graft.sources.TableIO.writeBucketed(
+      index.assigned.select(col(idCol), col("v"), col("cell")),
+      tableName, s"$path/assigned", buckets, Seq("cell"))
+  }
+
+  /** Load a persisted IVF index: centroids to the driver (nlist x dim —
+    * tiny), the assignment as the bucketed table. The returned index is
+    * drop-in for [[ivfTopK]]/[[ivfTopKBatch]]; no clustering runs.
+    */
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      path: String): IvfIndex = {
+    val cents = spark.read.json(s"$path/centroids")
+      .select(col("cell").cast("int"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    IvfIndex(cents, spark.table(tableName))
   }
 
   /** ANN top-k through an IVF index: route the query to its `nprobe`

@@ -104,4 +104,97 @@ class SimilaritySpec extends SparkSpec {
         k = 5, numPlanes = 2, maxHamming = 3)
     }
   }
+
+  test("multi-probe LSH: identical to the XOR-filter form; recall nondecreasing in probes") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val recalls = (0 to 2).map { h =>
+      val filterForm = SimilaritySearch.lshTopK(
+        corpus, "vec_id", "embedding", query, k = 20, numPlanes = 8, maxProbeHamming = h)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val probeForm = SimilaritySearch.lshTopKMultiProbe(
+        corpus, "vec_id", "embedding", query, k = 20, numPlanes = 8, maxProbeHamming = h)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(probeForm == filterForm,
+        s"multi-probe must match the bit_count filter exactly at h=$h")
+      probeForm.map(_._1).count(brute.contains).toDouble / 20
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be nondecreasing in probe radius: $recalls")
+    assert(recalls.last > 0.0)
+  }
+
+  test("probeSignatures enumerates the exact hamming ball") {
+    val probes = SimilaritySearch.probeSignatures(qSig = 0b1010L, numPlanes = 8, maxHamming = 2)
+    assert(probes.length == 1 + 8 + 28)      // C(8,0)+C(8,1)+C(8,2)
+    assert(probes.distinct.length == probes.length)
+    assert(probes.forall(p => java.lang.Long.bitCount(p ^ 0b1010L) <= 2))
+    assert(SimilaritySearch.probeSignatures(5L, 8, 0) == Seq(5L))
+    intercept[IllegalArgumentException](SimilaritySearch.probeSignatures(0L, 8, 9))
+  }
+
+  test("persisted IVF index round-trips and probes equal the in-session index") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
+    val path = s"target/tmp/ivf_spec_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(idx, "vec_id", "ivf_spec_tbl", path, buckets = 4)
+    try {
+      val loaded = SimilaritySearch.loadIvfIndex(spark, "ivf_spec_tbl", path)
+      assert(loaded.centroids.length == 8)
+      assert(loaded.centroids.zip(idx.centroids).forall { case (a, b) => a.sameElements(b) })
+      val inSession = SimilaritySearch.ivfTopK(idx, "vec_id", query, 20, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val persisted = SimilaritySearch.ivfTopK(loaded, "vec_id", query, 20, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(persisted == inSession)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_spec_tbl")
+  }
+
+  test("persisted IVF probe: bucket pruning on cell, corpus side joins without shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def shuffles(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      plan.collect {
+        case s: ShuffleExchangeExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      }.flatten
+
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
+    val path = s"target/tmp/ivf_prune_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(idx, "vec_id", "ivf_prune_tbl", path, buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val table = spark.table("ivf_prune_tbl")
+
+      // Single-cell probe reads a strict subset of buckets (file skipping).
+      val probe = table.filter(col("cell") === 1)
+      probe.collect()
+      val scan = probe.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.orElse(probe.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collectFirst {
+          case f: FileSourceScanExec => f
+        }
+      }.flatten.headOption)
+      assert(scan.exists(_.optionalBucketSet.exists(_.cardinality() < 4)),
+        "cell filter must prune buckets, not scan all of them")
+
+      // Batch-probe shape: routed (qid, cell) join corpus on cell — the
+      // bucketed corpus side must contribute no shuffle exchange.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val routed = Seq((0L, 0), (1L, 2), (2L, 3)).toDF("qid", "cell")
+      val joined = routed.join(table, "cell")
+      joined.collect()
+      val overFileScan = shuffles(joined.queryExecution.executedPlan)
+        .filter(_.collect { case f: FileSourceScanExec => f }.nonEmpty)
+      assert(overFileScan.isEmpty,
+        s"bucketed corpus side must not reshuffle, found: ${overFileScan.map(_.nodeName)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ivf_prune_tbl")
+    }
+  }
 }
