@@ -435,20 +435,23 @@ object SparkEntry {
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("group_a", "group_b")),
 
-    // Text quality/statistics features.
-    "q_text_stats" -> ((s, d) => {
-      val toks = TextFunctions.tokens(col("text"))
-      t(s, d, "documents").select(
-        col("doc_id"),
-        length(col("text")).as("n_chars"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
-        (aggregate(transform(toks, tk => length(tk)), lit(0), (a, x) => a + x).cast("double")
-          / size(toks)).as("avg_token_len"),
-        (TextFunctions.stopwordCount(col("text")).cast("double")
-          / size(toks)).as("stopword_ratio"))
-        .orderBy("doc_id")
-    }),
+    // Text quality/statistics features — single tokenization pass: all
+    // five stats derive from one tokenStats struct (TextFunctions fuses
+    // the fold; the two-level projection survives CollapseProject because
+    // the struct is referenced multiply and non-cheap).
+    "q_text_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextFunctions.tokenStats(col("text")).as("_ts"))
+        .select(
+          col("doc_id"), col("n_chars"),
+          col("_ts.n_tokens").as("n_tokens"),
+          col("_ts.n_stopwords").as("n_stopwords"),
+          (col("_ts.total_len").cast("double") / col("_ts.n_tokens")).as("avg_token_len"),
+          (col("_ts.n_stopwords").cast("double") / col("_ts.n_tokens")).as("stopword_ratio"))
+        .orderBy("doc_id")),
 
     // BPE-ish token counting (LLM-token estimation vs whitespace words).
     "q_text_bpe_tokens" -> ((s, d) =>

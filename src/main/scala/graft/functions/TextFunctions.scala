@@ -80,6 +80,27 @@ object TextFunctions {
     size(filter(tokens(lower(c)), t => t.isin(set: _*)))
   }
 
+  /** Single-pass token statistics: ONE tokenization and ONE fold produce
+    * (n_tokens, total_len, n_stopwords) as a struct. Consumers that need
+    * several token-derived columns must use this instead of composing
+    * [[tokenCount]]/[[stopwordCount]]/per-token maps in one projection:
+    * each of those re-tokenizes, and CollapseProject re-inlines a shared
+    * `tokens()` alias into every use. A struct referenced several times
+    * is non-cheap, so Catalyst keeps the producing projection — the scan
+    * regexes each document exactly once.
+    */
+  def tokenStats(c: Column, lang: String = "en"): Column = {
+    val set = Stopwords(lang)
+    aggregate(
+      tokens(c),
+      struct(lit(0).as("n_tokens"), lit(0).as("total_len"), lit(0).as("n_stopwords")),
+      (acc, tk) => struct(
+        (acc.getField("n_tokens") + lit(1)).as("n_tokens"),
+        (acc.getField("total_len") + length(tk)).as("total_len"),
+        (acc.getField("n_stopwords") +
+          when(lower(tk).isin(set: _*), 1).otherwise(0)).as("n_stopwords")))
+  }
+
   /** CJK codepoint count — the zh detector. */
   def cjkCount(c: Column): Column =
     size(regexp_extract_all(c, lit("""[一-鿿]"""), lit(0)))

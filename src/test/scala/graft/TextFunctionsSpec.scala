@@ -69,4 +69,26 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "ja", 2L -> "ko", 3L -> "ru", 4L -> "ar", 5L -> "hi", 6L -> "zh"))
   }
+
+  test("tokenStats single pass equals the per-stat functions") {
+    import org.apache.spark.sql.functions.{aggregate, length, lit, transform}
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      "The quick brown fox and the lazy dog",
+      "  padded   whitespace  a of IT ",
+      "no-stopwords-here xyzzy",
+      "").toDF("text")
+    val rows = docs.select(
+      TextFunctions.tokenStats(col("text")).as("st"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.stopwordCount(col("text")).as("sw"),
+      aggregate(transform(TextFunctions.tokens(col("text")), t => length(t)),
+        lit(0), (a, x) => a + x).as("len")).collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) == r.getInt(1), "n_tokens")
+      assert(st.getInt(1) == r.getInt(3), "total_len")
+      assert(st.getInt(2) == r.getInt(2), "n_stopwords")
+    }
+  }
 }
