@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{BehavioralFeatures, Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{BehavioralFeatures, Dedup, Multimodal, SimilaritySearch, TrainingData}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -461,6 +461,27 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
           TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
+
+    // Token-budget shard packing (concat-and-chunk): per-source window
+    // cumsum, no global sort anywhere in the plan.
+    "q_pack_shards" -> ((s, d) =>
+      TrainingData.packShards(
+          t(s, d, "documents"), "doc_id", "source",
+          TextFunctions.tokenCount(col("text")), budgetTokens = 2048L)
+        .select("doc_id", "source", "n_tokens", "shard_idx")
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination: n-gram overlap of each corpus doc with
+    // a (broadcast) eval set — every 50th doc plays the benchmark here.
+    "q_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TrainingData.benchmarkContamination(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text",
+          n = 3, flagThreshold = 0.5)
+        .withColumn("contamination", round(col("contamination"), 6))
+        .orderBy("doc_id")
+    }),
 
     // Winnowing fingerprints (MOSS): rows-only — selection depends on the
     // engine hash function; properties asserted in DedupSpec.
@@ -1166,6 +1187,52 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text,
         |         '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |             / 2048.0) AS INT) AS shard_idx
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), eval_grams AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        |), sizes AS (
+        |  SELECT d.doc_id, count(g.g) AS n_grams
+        |  FROM documents d LEFT JOIN grams g ON g.doc_id = d.doc_id
+        |  WHERE d.doc_id % 50 <> 0
+        |  GROUP BY 1
+        |), hits AS (
+        |  SELECT g.doc_id, count(*) AS n_shared
+        |  FROM grams g JOIN eval_grams e ON g.g = e.g
+        |  WHERE g.doc_id % 50 <> 0
+        |  GROUP BY 1
+        |)
+        |SELECT s.doc_id,
+        |       CAST(s.n_grams AS INT) AS n_grams,
+        |       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |       round(CASE WHEN s.n_grams > 0
+        |                  THEN CAST(coalesce(h.n_shared, 0) AS DOUBLE) / s.n_grams
+        |                  ELSE 0.0 END, 6) AS contamination,
+        |       (CASE WHEN s.n_grams > 0
+        |             THEN CAST(coalesce(h.n_shared, 0) AS DOUBLE) / s.n_grams
+        |             ELSE 0.0 END) >= 0.5 AS is_contaminated
+        |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * dedup/quality filtering: token-budget shard packing and benchmark
+  * decontamination. Both are pure DataFrame compositions — window cumsum
+  * and broadcast gram joins — so they inherit Catalyst planning and AQE
+  * at any scale.
+  */
+object TrainingData {
+
+  /** Token-budget shard packing: assign each document to a training
+    * shard so shards hold `budgetTokens` tokens of contiguous documents
+    * (concat-and-chunk semantics: a document belongs to the shard its
+    * FIRST token lands in, shard boundaries fall mid-document rather
+    * than re-ordering documents).
+    *
+    * Packing is per `groupCol` (source, domain, date bucket): that is
+    * both the semantic contract (shards never mix domains) and the scale
+    * contract — the window cumsum partitions by group, so no global
+    * single-partition sort exists anywhere in the plan. Deterministic:
+    * documents pack in `idCol` order.
+    *
+    * Window-expressible by design — the greedy "close the shard when the
+    * next doc would overflow" variant is a sequential recurrence that
+    * cannot parallelize; offset packing gives the same shard sizes to
+    * within one document and an identical plain-SQL oracle.
+    */
+  def packShards(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCount: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"shard budget must be positive, got $budgetTokens")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCount)
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_idx",
+        floor((col("_cum") - col("n_tokens")) / lit(budgetTokens.toDouble)).cast("int"))
+      .drop("_cum")
+  }
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct word n-grams appear anywhere in an evaluation set, plus
+    * the contaminated fraction and a threshold flag. The standard
+    * train/test-leakage gate run before training (n-gram overlap form).
+    *
+    * Scale shape — the asymmetry is the whole design: the EVAL side is
+    * small by contract (benchmarks), the corpus is not.
+    *   - eval grams are deduped and BROADCAST: the corpus-side gram
+    *     explode streams through a broadcast left-semi join with no
+    *     corpus shuffle;
+    *   - only HIT rows (grams of contaminated docs — rare) reach the
+    *     per-doc count shuffle;
+    *   - per-doc totals are computed row-local (`array_distinct` size),
+    *     and the hit counts broadcast-join back onto them.
+    * A clean 100 TB corpus therefore shuffles almost nothing.
+    *
+    * Gram identity is the same hashed-shingle primitive as the dedup
+    * family ([[graft.plans.HashExpressions.wordNGramHashes]]); docs with
+    * fewer than `n` tokens have no grams and report 0 contamination.
+    */
+  def benchmarkContamination(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.5): DataFrame = {
+    val evalGrams = eval.select(
+        explode(array_distinct(
+          graft.plans.HashExpressions.wordNGramHashes(col(evalTextCol), n))).as("gram"))
+      .distinct()
+
+    val sized = corpus.select(
+      col(idCol),
+      array_distinct(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("_gs"))
+    val hits = sized
+      .select(col(idCol), explode(col("_gs")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_shared"))
+
+    // No broadcast hint on the hit counts: usually tiny (AQE broadcasts
+    // at runtime), but a fully-contaminated corpus would make a forced
+    // broadcast the failure mode.
+    sized.select(col(idCol), size(col("_gs")).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("_shared"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_grams") > 0, col("n_shared").cast("double") / col("n_grams"))
+          .otherwise(0.0))
+      .withColumn("is_contaminated", col("contamination") >= flagThreshold)
+      .select(idCol, "n_grams", "n_shared", "contamination", "is_contaminated")
+  }
+}
