@@ -82,6 +82,26 @@ object ScaleStress {
       println("[stress]   n_pairs = " + Dedup.embeddingNearDuplicatesLSH(
         emb, "vec_id", "embedding", 0.9, numPlanes = 20, maxHamming = 1).count()))
 
+    // Hot-key range-window stress: one account holds 2M rows across one
+    // day — the plain RANGE window puts ALL of them in a single task;
+    // the blocked form bounds every partition by block width. Sums must
+    // agree exactly (the blocked contract is output identity).
+    import graft.operators.BehavioralFeatures
+    val hot = spark.range(2000000L).select(
+      lit("HOT").as("key"), (col("id") % 86400L).as("ts_unix"))
+    val cold = spark.range(500000L).select(
+      concat(lit("u"), col("id") % 50000L).as("key"), (col("id") % 864000L).as("ts_unix"))
+    val ev = hot.unionByName(cold).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] window rows: ${ev.count()} (hot key = 2M)")
+    val plainSum = time("plain trailing 1h count")(
+      ev.select(BehavioralFeatures.trailingCount("key", "ts_unix", 3600L).as("c"))
+        .agg(sum("c")).head().getLong(0))
+    val blockedSum = time("blocked trailing 1h count")(
+      BehavioralFeatures.blockedTrailingCount(ev, "key", "ts_unix", 3600L, "c")
+        .agg(sum("c")).head().getLong(0))
+    println(s"[stress]   plain sum = $plainSum, blocked sum = $blockedSum, " +
+      s"equal = ${plainSum == blockedSum}")
+
     spark.stop()
   }
 }
