@@ -199,6 +199,67 @@ object SimilaritySearch {
     IvfIndex(cents, spark.table(tableName))
   }
 
+  /** Assign each row to its nearest centroid cell — the routing half of
+    * IVF without any clustering: exact argmin over the (tiny, broadcast)
+    * centroid table via the same dot-identity distance as
+    * [[ivfTopKBatch]]. Output schema matches `IvfIndex.assigned`
+    * (id, v in its ORIGINAL vector type, cell), so the result appends
+    * into a persisted index layout unchanged.
+    */
+  def assignCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .withColumn("cn2", VectorOps.dot(col("cvec"), col("cvec")))
+    val w = Window.partitionBy(idCol).orderBy(col("d2"), col("cell"))
+    df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("qd", VectorOps.asDouble(col("v")))
+      .withColumn("qn2", VectorOps.dot(col("qd"), col("qd")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", col("qn2") + col("cn2") - lit(2.0) * VectorOps.dot(col("qd"), col("cvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("v"), col("cell"))
+  }
+
+  /** Append pre-assigned rows into a persisted index table, preserving
+    * the bucketed-by-cell layout (the bucket spec must match the one the
+    * table was created with — Spark validates on append). This is what
+    * keeps probes prune-correct as the corpus grows.
+    */
+  def appendToIvfIndex(assigned: DataFrame, tableName: String, buckets: Int): Unit =
+    assigned.write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(tableName)
+
+  /** Continuous ingest into a persisted IVF index: each micro-batch is
+    * routed onto the EXISTING centroids (no re-clustering — cells only
+    * drift when the index is rebuilt, the standard IVF operating mode)
+    * and appended bucket-aligned via foreachBatch. The streaming half of
+    * [[saveIvfIndex]]/[[loadIvfIndex]].
+    */
+  def streamingIvfAssign(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      tableName: String,
+      buckets: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToIvfIndex(assignCells(batch, idCol, vecCol, centroids), tableName, buckets)
+      }
+      .start()
+
   /** ANN top-k through an IVF index: route the query to its `nprobe`
     * nearest centroids (driver-side — centroids are tiny), scan only
     * those cells, rank by exact cosine. Recall improves with nprobe at

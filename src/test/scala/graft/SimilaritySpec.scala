@@ -151,6 +151,47 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_spec_tbl")
   }
 
+  test("streaming IVF assignment appends bucket-aligned rows probes can see") {
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val idx = SimilaritySearch.buildIvfIndex(half, "vec_id", "embedding", nlist = 8)
+    val root = s"target/tmp/ivf_stream_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(idx, "vec_id", "ivf_stream_tbl", s"$root/idx", buckets = 4)
+    try {
+      // Land the remaining vectors as a file-source stream.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+      rest.coalesce(1).write.parquet(s"$root/tmp_b0")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/tmp_b0"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
+      val stream = spark.readStream.schema(emb.schema).parquet(s"$root/in")
+      val q = SimilaritySearch.streamingIvfAssign(
+        stream, "vec_id", "embedding", idx.centroids,
+        "ivf_stream_tbl", buckets = 4, checkpoint = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+
+      val loaded = SimilaritySearch.loadIvfIndex(spark, "ivf_stream_tbl", s"$root/idx")
+      assert(loaded.assigned.count() == emb.count(), "probes must see streamed rows")
+
+      // Streamed rows landed in their exact nearest-centroid cells.
+      val expected = SimilaritySearch.assignCells(rest, "vec_id", "embedding", idx.centroids)
+        .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+      val got = loaded.assigned.filter(col("vec_id") >= 250)
+        .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+      assert(got == expected)
+
+      // Bucket-pruned reads stay correct after the append: a cell filter
+      // equals the in-memory filter of the full scan.
+      val full = loaded.assigned.select("vec_id", "cell").as[(Long, Int)].collect()
+      val cellOf = full.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      cellOf.keys.foreach { c =>
+        val pruned = loaded.assigned.filter(col("cell") === c)
+          .select("vec_id").as[Long].collect().toSet
+        assert(pruned == cellOf(c), s"pruned scan of cell $c diverged")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_stream_tbl")
+  }
+
   test("persisted IVF probe: bucket pruning on cell, corpus side joins without shuffle") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
