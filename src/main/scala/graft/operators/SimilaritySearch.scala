@@ -391,13 +391,28 @@ object SimilaritySearch {
         .select(col(s"id_$side"), col(s"v_$side"), col(s"n_$side"),
           col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
 
-    val l = prep(left, idColL, vecColL, "l")
-    val r = prep(right, idColR, vecColR, "r")
+    // Self-join (kNN-graph construction): alias ONE prepared plan on both
+    // sides so the shuffle exchanges canonicalize identically and
+    // ReuseExchange computes signatures + chunk explode once, not twice —
+    // at scale that is one corpus scan saved per graph build.
+    val selfJoin = (left eq right) && idColL == idColR && vecColL == vecColR
+    val collided =
+      if (selfJoin) {
+        val p = prep(left, idColL, vecColL, "l")
+        p.as("a").join(p.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv"))
+          .select(
+            col("a.id_l").as("id_l"), col("a.v_l").as("v_l"), col("a.n_l").as("n_l"),
+            col("b.id_l").as("id_r"), col("b.v_l").as("v_r"), col("b.n_l").as("n_r"))
+      } else {
+        prep(left, idColL, vecColL, "l").join(prep(right, idColR, vecColR, "r"), Seq("chunk", "cv"))
+      }
+
     val w = Window.partitionBy("id_l").orderBy(desc("cos_sim"), col("id_r"))
     // Score at the collision, THEN dedup on the scalar triple — a pair
     // colliding in multiple chunks costs an extra dot product but the
     // dedup shuffle carries no vectors.
-    l.join(r, Seq("chunk", "cv"))
+    collided
       .filter(col("id_l") =!= col("id_r"))
       .withColumn("cos_sim",
         round(VectorOps.dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")), 6))

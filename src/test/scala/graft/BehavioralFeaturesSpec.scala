@@ -165,6 +165,18 @@ class BehavioralFeaturesSpec extends SparkSpec {
     assert(out(7L) == 1)
   }
 
+  test("blocked windows: pseudo-random fixture (ties, clustered + spread keys) matches plain") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val key = s"k${rng.nextInt(5)}"
+      // Mix of clustered (many ties, short spans) and spread timestamps.
+      val t = if (rng.nextBoolean()) rng.nextInt(400).toLong else rng.nextInt(5000).toLong
+      (i.toLong, key, t, rng.nextInt(1000) / 10.0, s"v${rng.nextInt(8)}")
+    }.toDF("id", "key", "ts_unix", "value", "tag")
+    assertBlockedEqualsPlain(rows, 100L)
+    assertBlockedEqualsPlain(rows, 997L)   // width coprime to the data span
+  }
+
   test("blocked windows reject non-positive width") {
     intercept[IllegalArgumentException] {
       BehavioralFeatures.blockedTrailingCount(edgeRows, "key", "ts_unix", 0L, "c")

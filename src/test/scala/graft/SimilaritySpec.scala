@@ -105,6 +105,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnJoinLSH self-join fast path equals the two-sided path") {
+    val tiny = emb.filter(col("vec_id") < 200)
+    // Same data through a separately-constructed frame: forces the
+    // general two-sided code path (reference inequality).
+    val tinyCopy = graft.sources.TableIO.table(spark, Sf0001, "embeddings")
+      .filter(col("vec_id") < 200)
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.knnJoinLSH(l, r, "vec_id", "vec_id", "embedding", "embedding",
+        k = 5, numPlanes = 12, maxHamming = 2)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    assert(run(tiny, tiny) == run(tiny, tinyCopy))
+  }
+
   test("multi-probe LSH: identical to the XOR-filter form; recall nondecreasing in probes") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", query, 20)
