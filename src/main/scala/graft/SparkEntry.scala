@@ -462,6 +462,22 @@ object SparkEntry {
           TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    // Intra-document repetition (duplicate n-gram fraction): the
+    // boilerplate quality gate, row-local over hashed shingles.
+    "q_text_repetition" -> ((s, d) => {
+      val grams = graft.plans.HashExpressions.wordNGramHashes(col("text"), 3)
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(grams).as("n_grams"),
+          size(array_distinct(grams)).as("n_distinct_grams"))
+        .withColumn("rep_ratio", round(
+          when(col("n_grams") > 0,
+            lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+            .otherwise(0.0), 6))
+        .orderBy("doc_id")
+    }),
+
     // Token-budget shard packing (concat-and-chunk): per-source window
     // cumsum, no global sort anywhere in the plan.
     "q_pack_shards" -> ((s, d) =>
@@ -1187,6 +1203,23 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text,
         |         '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                        i -> array_to_string(t[i:i+2], ' ')) AS gs
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |       CAST(len(gs) AS INT) AS n_grams,
+        |       CAST(len(list_distinct(gs)) AS INT) AS n_distinct_grams,
+        |       round(CASE WHEN len(gs) > 0
+        |                  THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+        |                  ELSE 0.0 END, 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_pack_shards" ->
       """WITH t AS (

@@ -145,6 +145,18 @@ object TextFunctions {
     scriptRouted
   }
 
+  /** Intra-document repetition: fraction of duplicate word n-grams —
+    * the boilerplate/loop-generation quality signal pre-training filters
+    * gate on alongside [[qualityScore]]. Row-local (hashed shingles, no
+    * shuffle); 0.0 for docs with fewer than n tokens.
+    */
+  def repetitionRatio(c: Column, n: Int = 3): Column = {
+    val grams = graft.plans.HashExpressions.wordNGramHashes(c, n)
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(0.0)
+  }
+
   /** Quality features: a typical pre-training filter set (length, token
     * stats, punctuation/stopword ratios) plus a composite [0,1] score.
     */

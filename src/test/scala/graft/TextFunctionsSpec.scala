@@ -70,6 +70,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Map(1L -> "ja", 2L -> "ko", 3L -> "ru", 4L -> "ar", 5L -> "hi", 6L -> "zh"))
   }
 
+  test("repetitionRatio: duplicate n-gram fraction, 0 for short docs") {
+    // "a b c a b c a b c": 7 trigrams, 3 distinct -> 1 - 3/7
+    assert(math.abs(one("a b c a b c a b c", repetitionRatio(col("t"))).asInstanceOf[Double]
+      - (1.0 - 3.0 / 7.0)) < 1e-9)
+    // all-distinct grams -> 0
+    assert(one("v w x y z", repetitionRatio(col("t"))) == 0.0)
+    // < n tokens -> no grams -> 0
+    assert(one("a b", repetitionRatio(col("t"))) == 0.0)
+  }
+
   test("tokenStats single pass equals the per-stat functions") {
     import org.apache.spark.sql.functions.{aggregate, length, lit, transform}
     import graft.functions.TextFunctions
