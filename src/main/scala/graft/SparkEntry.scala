@@ -487,6 +487,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "shard_idx")
         .orderBy("doc_id")),
 
+    // Deterministic hash split: engine-independent train/val/test
+    // membership (md5-prefix thresholds; the oracle is the same string
+    // comparison in plain SQL).
+    "q_split_hash" -> ((s, d) =>
+      TrainingData.deterministicSplit(
+          t(s, d, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: n-gram overlap of each corpus doc with
     // a (broadcast) eval set — every 50th doc plays the benchmark here.
     "q_contamination" -> ((s, d) => {
@@ -1232,6 +1242,13 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |             / 2048.0) AS INT) AS shard_idx
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH toks AS (

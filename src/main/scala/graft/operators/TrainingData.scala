@@ -45,6 +45,37 @@ object TrainingData {
       .drop("_cum")
   }
 
+  /** Deterministic train/val/test split: membership is a pure function
+    * of the id — the first 8 hex chars of md5(id [+ salt]) compared
+    * against cumulative-weight thresholds. Fixed-width lowercase hex
+    * orders lexicographically exactly like the 32-bit number it encodes,
+    * so ANY engine recomputes the identical split (the oracle is plain
+    * SQL string comparison): reproducible across runs, machines and
+    * engines, no stored split table, no sampling state, and adding rows
+    * never reassigns existing ones — the properties `randomSplit` cannot
+    * give at 100 TB. `salt` derives a fresh independent split without
+    * touching the data.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      outCol: String = "split"): DataFrame = {
+    require(weights.size >= 2, "need at least two splits")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    // Upper bound of each split but the last, as fixed-width hex.
+    val thresholds = cum.init.map(f => f"${(f * 4294967296.0).toLong}%08x")
+    val bucket = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8)
+    val splitCol = thresholds.zip(weights.map(_._1)).foldRight(lit(weights.last._1): Column) {
+      case ((th, name), rest) => when(bucket < lit(th), lit(name)).otherwise(rest)
+    }
+    df.withColumn(outCol, splitCol)
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct word n-grams appear anywhere in an evaluation set, plus
     * the contaminated fraction and a threshold flag. The standard

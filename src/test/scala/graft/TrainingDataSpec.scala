@@ -37,6 +37,32 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("deterministicSplit: stable membership, roughly proportional, salt-independent resplit") {
+    val ids = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
+    val split = TrainingData.deterministicSplit(
+        ids, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 350 && counts("train") < 450, s"train share off: $counts")
+    assert(counts.getOrElse("val", 0) > 20 && counts.getOrElse("test", 0) > 20, s"tail splits off: $counts")
+
+    // Membership is a pure function of the id: subset recomputation agrees.
+    val subset = TrainingData.deterministicSplit(
+        ids.filter($"doc_id" < 100), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (k, v) => split(k) == v })
+
+    // A salt derives a different (still deterministic) split.
+    val salted = TrainingData.deterministicSplit(
+        ids, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(salted != split)
+
+    intercept[IllegalArgumentException] {
+      TrainingData.deterministicSplit(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("benchmarkContamination counts shared distinct grams against the eval set") {
     val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams: abc, bcd, cde
     val corpus = Seq(
