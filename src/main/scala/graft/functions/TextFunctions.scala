@@ -101,10 +101,6 @@ object TextFunctions {
           when(lower(tk).isin(set: _*), 1).otherwise(0)).as("n_stopwords")))
   }
 
-  /** CJK codepoint count — the zh detector. */
-  def cjkCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("""[一-鿿]"""), lit(0)))
-
   /** Unicode-script character ranges for script-first language routing.
     * Kana implies Japanese even when Han characters dominate, so it is
     * checked before the CJK range.

@@ -46,16 +46,6 @@ object Dedup {
     df.select(col(idCol).as("id"), explode(TextFunctions.wordNGrams(col(textCol), n)).as("gram"))
       .distinct()
 
-  /** Hashed variant for internal set arithmetic (verify joins): 64-bit
-    * gram hashes from the fused primitive expression — no gram strings
-    * materialized, ~4x faster to build and far cheaper to shuffle.
-    */
-  def ngramHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(
-        col(idCol).as("id"),
-        explode(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("gram"))
-      .distinct()
-
   /** Exact pairwise Jaccard over word n-gram sets: pairs (id_a < id_b)
     * with similarity >= minJaccard. Output: id_a, id_b, n_common, jaccard.
     *

@@ -80,6 +80,27 @@ class StreamingFeaturesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingVelocity counts per-user windowed activity incrementally") {
+    writeBatch("vel0", Seq(
+      StreamEvent(1, ts(0), "click", 1.0),
+      StreamEvent(1, ts(10), "click", 1.0),
+      StreamEvent(2, ts(20), "view", 1.0)))
+    val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+    val q = StreamingFeatures.streamingVelocity(
+        stream, windowDuration = "1 hour", slideDuration = "1 hour")
+      .writeStream.format("memory").queryName("velocity")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      // The shared $root/in dir also holds earlier tests' batches and a
+      // user spans several windows: assert on each user's busiest window.
+      val rows = spark.table("velocity")
+        .selectExpr("user_id", "velocity").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+      assert(rows(1L) >= 2 && rows(2L) >= 1)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     val dir = s"$root/dedup"
     Files.createDirectories(Paths.get(s"$dir/in"))
