@@ -167,6 +167,22 @@ object SparkEntry {
         .select("event_id", "user_id", "type_diversity_6h")
         .orderBy("event_id")),
 
+    // Batch gap-based sessionization (lag + running sum, both O(n)
+    // cumulative frames; deterministic under timestamp ties).
+    "q_sessionize" -> ((s, d) =>
+      BehavioralFeatures.sessionIndex(
+          t(s, d, "events").withColumn("ts_unix", unix_timestamp(col("ts"))),
+          "user_id", "ts_unix", 1800L)
+        .select("event_id", "user_id", "session_idx")
+        .orderBy("event_id")),
+
+    // Per-session summary at the (user, session) grain.
+    "q_session_stats" -> ((s, d) =>
+      BehavioralFeatures.sessionStats(
+          t(s, d, "events").withColumn("ts_unix", unix_timestamp(col("ts"))),
+          "user_id", "ts_unix", 1800L)
+        .orderBy("user_id", "session_idx")),
+
     // O1/O2: global sort.
     "q_sort_global" -> ((s, d) =>
       t(s, d, "events")
@@ -1000,6 +1016,41 @@ object SparkEntry {
         |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsu FROM events
+        |), f AS (
+        |  SELECT event_id, user_id, tsu,
+        |         CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |)
+        |SELECT event_id, user_id,
+        |       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsu FROM events
+        |), f AS (
+        |  SELECT user_id, tsu,
+        |         CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, tsu,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(tsu) AS BIGINT) AS session_start,
+        |       CAST(max(tsu) AS BIGINT) AS session_end,
+        |       CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_s
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
     // The blocked windows' whole contract is plain-window identity: the
     // oracles are the SAME SQL as their unblocked counterparts.

@@ -76,6 +76,48 @@ object BehavioralFeatures {
       seconds: Long): Column =
     size(collect_set(valueCol).over(trailingWindow(partitionCol, tsUnixCol, seconds)))
 
+  /** Batch gap-based sessionization: a new session starts when more than
+    * `gapSeconds` of event time pass between a key's consecutive events.
+    * Pure window composition — lag flags session starts, a running sum
+    * numbers them (both cumulative row frames: O(n) per key, no sliding
+    * re-aggregation). Rows sharing a timestamp always land in the same
+    * session, so output is deterministic under tie reordering. The batch
+    * analogue of the streaming `sessionize` operator; per-key sequential
+    * by nature (the recurrence cannot split like the blocked windows).
+    */
+  def sessionIndex(
+      df: DataFrame,
+      keyCol: String,
+      tsUnixCol: String,
+      gapSeconds: Long,
+      outCol: String = "session_idx"): DataFrame = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
+    val wOrd = Window.partitionBy(keyCol).orderBy(tsUnixCol)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_new_sess",
+        when(col(tsUnixCol) - lag(col(tsUnixCol), 1).over(wOrd) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn(outCol, sum(col("_new_sess")).over(wCum))
+      .drop("_new_sess")
+  }
+
+  /** Per-session summaries over [[sessionIndex]]'s numbering: event
+    * count, bounds, duration. One additional hash aggregation on
+    * (key, session) — the grain a downstream features table joins on.
+    */
+  def sessionStats(
+      df: DataFrame,
+      keyCol: String,
+      tsUnixCol: String,
+      gapSeconds: Long): DataFrame =
+    sessionIndex(df, keyCol, tsUnixCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsUnixCol)).as("session_start"),
+        max(col(tsUnixCol)).as("session_end"),
+        (max(col(tsUnixCol)) - min(col(tsUnixCol))).as("duration_s"))
+
   /** Skew-proof trailing count — output-identical to
     * [[trailingCount]] but never materializes a whole hot key's history
     * in one window partition.

@@ -177,6 +177,26 @@ class BehavioralFeaturesSpec extends SparkSpec {
     assertBlockedEqualsPlain(rows, 997L)   // width coprime to the data span
   }
 
+  test("batch sessionization: gap starts a new session; ties share one; stats summarize") {
+    val ev = Seq(
+      (1L, "A", 0L), (2L, "A", 100L), (3L, "A", 100L),  // ties share session 0
+      (4L, "A", 2000L),                                  // 1900s > 1800 gap -> session 1
+      (5L, "A", 3700L), (6L, "A", 5501L),                // 1700 keeps, 1801 breaks
+      (7L, "B", 0L)                                      // keys independent
+    ).toDF("id", "key", "ts_unix")
+    val idx = BehavioralFeatures.sessionIndex(ev, "key", "ts_unix", 1800L)
+      .select("id", "session_idx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L, 7L -> 0L))
+
+    val stats = BehavioralFeatures.sessionStats(ev, "key", "ts_unix", 1800L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats(("A", 0L)) == (3L, 0L, 100L, 100L))
+    assert(stats(("A", 1L)) == (2L, 2000L, 3700L, 1700L))
+    assert(stats(("A", 2L)) == (1L, 5501L, 5501L, 0L))
+    assert(stats(("B", 0L)) == (1L, 0L, 0L, 0L))
+  }
+
   test("blocked windows reject non-positive width") {
     intercept[IllegalArgumentException] {
       BehavioralFeatures.blockedTrailingCount(edgeRows, "key", "ts_unix", 0L, "c")
