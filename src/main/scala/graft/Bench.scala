@@ -23,24 +23,41 @@ object Bench {
     // Two timed runs per query, report the min: a single pass conflates
     // engine throughput with whatever GC debt the preceding 30+ plans
     // left behind (observed 3-5x swings on the same query in one session).
-    val results = SparkEntry.benchQueries.map { name =>
+    // The runs are TWO FULL PASSES over the query list, not back-to-back
+    // repeats: a transient stall (GC, IO contention) hits both adjacent
+    // samples of one query, and round 3's driver bench showed exactly that
+    // signature — a handful of unchanged queries 30-50x their round-2
+    // times. Separating the samples by a whole pass makes min() robust to
+    // any stall shorter than the pass itself.
+    def timedPass(): Map[String, Double] = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      var ok = false
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); ok = true } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Drop intermediates persisted by operators (dedup gram/band
-        // tables) so successive runs are timed from a clean state.
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> (if (ok) times.min else -1.0)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop intermediates persisted by operators (dedup gram/band
+      // tables) so successive runs are timed from a clean state.
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val pass1 = timedPass()
+    System.gc()
+    val pass2 = timedPass()
+    val results = SparkEntry.benchQueries.map { name =>
+      val (a, b) = (pass1(name), pass2(name))
+      val best =
+        if (a < 0 && b < 0) -1.0        // failed in both passes
+        else if (a < 0 || b < 0) math.max(a, b) // the pass that succeeded
+        else math.min(a, b)
+      name -> best
+    }.toMap
+    // Millisecond precision keeps the whole line ~2 KB: the driver captures a
+    // bounded tail of stdout, and full double precision across 76 queries
+    // pushed the line past that window in round 3 ("parsed": null).
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

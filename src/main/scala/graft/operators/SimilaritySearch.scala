@@ -77,6 +77,18 @@ object SimilaritySearch {
     require(numPlanes >= 1 && numPlanes <= 63, s"numPlanes must be in [1,63], got $numPlanes")
     require(maxHamming >= 0 && maxHamming <= numPlanes,
       s"maxHamming must be in [0,numPlanes], got $maxHamming")
+    // The ball size sum_{i<=h} C(numPlanes, i) grows combinatorially —
+    // e.g. numPlanes=63, h=10 is already ~70B signatures, a driver OOM and
+    // an unusable IN-list. Bound it up front; large radii belong to the
+    // XOR-scan form (lshTopK), which filters in one pass at any radius.
+    val ballSize = (0 to maxHamming).foldLeft(0L) { (acc, h) =>
+      val c = (0 until h).foldLeft(1L)((n, i) =>
+        math.min(n, 1L << 40) * (numPlanes - i) / (i + 1))
+      math.min(acc + c, 1L << 40)
+    }
+    require(ballSize <= 8192,
+      s"multi-probe ball has $ballSize signatures (> 8192): an IN-list this " +
+        "size cannot prune anything — use lshTopK's XOR filter for large radii")
     (0 to maxHamming).flatMap(h =>
       (0 until numPlanes).combinations(h).map(bits =>
         bits.foldLeft(qSig)((s, b) => s ^ (1L << b))))
@@ -239,10 +251,45 @@ object SimilaritySearch {
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(tableName)
 
+  /** Idempotent per-batch append for [[streamingIvfAssign]]: foreachBatch
+    * is at-least-once (a batch whose sink write succeeded but whose
+    * checkpoint commit did not is REPLAYED on restart), and a blind
+    * parquet append would then duplicate index rows — ivfTopK could
+    * return the same id twice within k. A batch-id marker file, written
+    * only AFTER the append succeeds, makes the replay a no-op.
+    *
+    * Residual window: a crash between the append and the marker write
+    * still duplicates that one batch — exactly-once needs a transactional
+    * table format (Delta — absent in this offline environment, SURVEY
+    * §1.4). Callers needing exactness under that window should dedup on
+    * `idCol` at probe time.
+    */
+  def appendIvfBatchIdempotent(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      tableName: String,
+      buckets: Int,
+      checkpoint: String,
+      batchId: Long): Unit = {
+    val hconf = batch.sparkSession.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(s"$checkpoint/graft-batch-commits/$batchId")
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) {
+      appendToIvfIndex(assignCells(batch, idCol, vecCol, centroids), tableName, buckets)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Continuous ingest into a persisted IVF index: each micro-batch is
     * routed onto the EXISTING centroids (no re-clustering — cells only
     * drift when the index is rebuilt, the standard IVF operating mode)
-    * and appended bucket-aligned via foreachBatch. The streaming half of
+    * and appended bucket-aligned via foreachBatch, guarded against
+    * restart replays by [[appendIvfBatchIdempotent]]'s batch-id markers
+    * (kept under the query's own checkpoint directory, so index and
+    * marker lifecycle travel together). The streaming half of
     * [[saveIvfIndex]]/[[loadIvfIndex]].
     */
   def streamingIvfAssign(
@@ -255,8 +302,8 @@ object SimilaritySearch {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendToIvfIndex(assignCells(batch, idCol, vecCol, centroids), tableName, buckets)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendIvfBatchIdempotent(batch, idCol, vecCol, centroids, tableName, buckets, checkpoint, batchId)
       }
       .start()
 

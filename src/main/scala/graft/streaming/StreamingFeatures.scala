@@ -198,10 +198,20 @@ object StreamingFeatures {
     // Identity signature == empty gram set (sub-n-token doc): band keys
     // degrade to exact-content keys so tiny docs only dedup byte-exact.
     val tiny = element_at(col("_sig"), 1) === Long.MaxValue
+    // Dedup keys are the sliced signatures THEMSELVES (array<bigint> is a
+    // valid dropDuplicatesWithinWatermark key), not a 32-bit hash of them:
+    // hashing to int would make false-positive drops grow with per-band
+    // state size (~N/2^32 per band — silent data loss at corpus scale),
+    // whereas keying on the r raw minhash values leaves collisions
+    // governed purely by the banding probability j^r the operator is
+    // tuned with. A leading discriminator element keeps the exact-text
+    // fallback keyspace (tiny docs) disjoint from the signature keyspace;
+    // state cost is r+1 longs per entry instead of 4 bytes — the price of
+    // collision-free keys, bounded by the same watermark horizon.
     val banded = (0 until bands).foldLeft(withSig) { (d, b) =>
       d.withColumn(s"_band$b",
-        when(tiny, hash(md5(col(textCol)), lit(b)))
-          .otherwise(hash(slice(col("_sig"), b * r + 1, r), lit(b))))
+        when(tiny, array(lit(1L), xxhash64(md5(col(textCol)), lit(b))))
+          .otherwise(concat(array(lit(0L)), slice(col("_sig"), b * r + 1, r))))
     }
     val deduped = (0 until bands).foldLeft(banded.withWatermark(tsCol, maxDelay)) {
       (d, b) => d.dropDuplicatesWithinWatermark(Seq(s"_band$b"))

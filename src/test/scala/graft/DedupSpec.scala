@@ -75,6 +75,44 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${lsh.size}/${exact.size})")
   }
 
+  test("minhash band self-join executes with a ReusedExchange (signatures computed once)") {
+    // The operator removed its persist() barriers on the grounds that both
+    // sides of the band self-join alias ONE plan, so Catalyst canonicalizes
+    // them identically and exchange reuse materializes the banding subtree
+    // once. Pin that: if reuse ever stops firing (optimizer change, AQE
+    // edge case), the MinHash/shingle subtrees silently recompute per use.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def countReused(p: SparkPlan): Int = {
+      val self = p match { case _: ReusedExchangeExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(countReused).sum
+    }
+    // At sf0.001 the self-join broadcasts (no exchange at all — signatures
+    // are recomputed on the stream side, which is the right trade at that
+    // size). Reuse is the claim for the SHUFFLE-scale shape, so force it.
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = Dedup.minHashCandidates(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16)
+      cand.collect() // finalize the adaptive plan
+      assert(countReused(cand.queryExecution.executedPlan) >= 1,
+        s"expected a ReusedExchange in minHashCandidates:\n${cand.queryExecution.executedPlan}")
+      val near = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+      near.collect()
+      assert(countReused(near.queryExecution.executedPlan) >= 1,
+        s"expected a ReusedExchange in minHashNearDuplicates:\n${near.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("simhash: whitespace-invariant, near-dups closer than unrelated docs") {
     val base = (1 to 30).map(i => s"token$i").mkString(" ")
     val nearDup = base.replace("token7", "changed")

@@ -147,6 +147,15 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](SimilaritySearch.probeSignatures(0L, 8, 9))
   }
 
+  test("probeSignatures refuses combinatorial hamming balls") {
+    // C(63, i) summed to i=8 is ~4.5e9 driver-side signatures — an OOM and
+    // a useless IN-list. The bound must trip well before enumeration.
+    intercept[IllegalArgumentException](SimilaritySearch.probeSignatures(0L, 63, 8))
+    intercept[IllegalArgumentException](SimilaritySearch.probeSignatures(0L, 63, 63))
+    // ...while legitimate multi-probe radii still enumerate.
+    assert(SimilaritySearch.probeSignatures(0L, 16, 2).length == 1 + 16 + 120)
+  }
+
   test("persisted IVF index round-trips and probes equal the in-session index") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
@@ -203,6 +212,35 @@ class SimilaritySpec extends SparkSpec {
         assert(pruned == cellOf(c), s"pruned scan of cell $c diverged")
       }
     } finally spark.sql("DROP TABLE IF EXISTS ivf_stream_tbl")
+  }
+
+  test("replayed ivf micro-batch appends exactly once (batch-id marker)") {
+    // foreachBatch is at-least-once: after a crash between sink write and
+    // checkpoint commit the same batchId re-runs. The marker guard must
+    // turn that replay into a no-op instead of duplicating index rows.
+    val half = emb.filter(col("vec_id") < 250)
+    val batch = emb.filter(col("vec_id") >= 250)
+    val idx = SimilaritySearch.buildIvfIndex(half, "vec_id", "embedding", nlist = 8)
+    val root = s"target/tmp/ivf_replay_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(idx, "vec_id", "ivf_replay_tbl", s"$root/idx", buckets = 4)
+    try {
+      val before = spark.table("ivf_replay_tbl").count()
+      SimilaritySearch.appendIvfBatchIdempotent(
+        batch, "vec_id", "embedding", idx.centroids,
+        "ivf_replay_tbl", buckets = 4, checkpoint = s"$root/ckpt", batchId = 0L)
+      val afterFirst = spark.table("ivf_replay_tbl").count()
+      assert(afterFirst == before + batch.count())
+      SimilaritySearch.appendIvfBatchIdempotent(
+        batch, "vec_id", "embedding", idx.centroids,
+        "ivf_replay_tbl", buckets = 4, checkpoint = s"$root/ckpt", batchId = 0L)
+      assert(spark.table("ivf_replay_tbl").count() == afterFirst,
+        "same batchId must not append twice")
+      // A NEW batch id still appends.
+      SimilaritySearch.appendIvfBatchIdempotent(
+        batch.limit(5), "vec_id", "embedding", idx.centroids,
+        "ivf_replay_tbl", buckets = 4, checkpoint = s"$root/ckpt", batchId = 1L)
+      assert(spark.table("ivf_replay_tbl").count() == afterFirst + 5)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_replay_tbl")
   }
 
   test("persisted IVF probe: bucket pruning on cell, corpus side joins without shuffle") {
