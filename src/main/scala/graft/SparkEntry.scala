@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{BehavioralFeatures, Dedup, Multimodal, SimilaritySearch, TrainingData}
+import graft.operators.{Anomaly, BehavioralFeatures, Components, Dedup, Multimodal, SimilaritySearch, TrainingData}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -424,6 +424,27 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Transitive duplicate clusters: exact-jaccard pairs -> connected
+    // components (min-label + pointer jumping) -> per-doc cluster id.
+    // The oracle recomputes the closure as a recursive CTE.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Components.clusterMembership(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2))
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Cluster-representative dedup: keep the min-id member per duplicate
+    // cluster — the transitive-closure-correct "drop near duplicates".
+    "q_dedup_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Components.keepClusterRepresentatives(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup (scale path; rows-only — randomized banding is
     // not SQL-expressible. Verified against exact Jaccard in DedupSpec.)
     // 32 hashes x 16 bands (r=2) puts the banding threshold (1/16)^(1/2)
@@ -502,6 +523,35 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")), budgetTokens = 2048L)
         .select("doc_id", "source", "n_tokens", "shard_idx")
         .orderBy("doc_id")),
+
+    // Shard manifest: per-(source, shard) doc count, token sum, id range
+    // — the loader-facing summary of q_pack_shards' assignment.
+    "q_pack_manifest" -> ((s, d) =>
+      TrainingData.shardManifest(
+          TrainingData.packShards(
+            t(s, d, "documents"), "doc_id", "source",
+            TextFunctions.tokenCount(col("text")), budgetTokens = 2048L),
+          "source", "doc_id")
+        .orderBy("source", "shard_idx")),
+
+    // Robust per-group anomaly score: (x - median) / (1.4826 * MAD) over
+    // event_type groups — median/MAD resist the outliers they flag.
+    "q_anomaly_robust_z" -> ((s, d) =>
+      Anomaly.robustZScore(
+          t(s, d, "events").select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("robust_z"), col("is_outlier"))
+        .orderBy("event_id")),
+
+    // Tukey-fence (IQR) outliers per event_type.
+    "q_anomaly_iqr" -> ((s, d) =>
+      Anomaly.iqrOutliers(
+          t(s, d, "events").select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select("event_id", "event_type", "value", "lo", "hi", "is_outlier")
+        .orderBy("event_id")),
 
     // Deterministic hash split: engine-independent train/val/test
     // membership (md5-prefix thresholds; the oracle is the same string
@@ -1243,6 +1293,71 @@ object SparkEntry {
         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.id = e.b
+        |)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.id = e.b
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d
+        |JOIN (SELECT id, min(r) AS cl FROM reach GROUP BY id) c ON c.id = d.doc_id
+        |WHERE c.cl = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_text_stats" ->
       """WITH s AS (
         |  SELECT doc_id, length(text) AS n_chars, regexp_extract_all(text, '\S+') AS t
@@ -1293,6 +1408,61 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |             / 2048.0) AS INT) AS shard_idx
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_pack_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |               / 2048.0) AS INT) AS shard_idx
+        |  FROM t
+        |)
+        |SELECT source, shard_idx,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |       min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM p GROUP BY source, shard_idx
+        |ORDER BY source, shard_idx""".stripMargin,
+
+    "q_anomaly_robust_z" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS m FROM events GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type, median(abs(e.value - md.m)) AS d
+        |  FROM events e JOIN med md USING (event_type) GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(md.m, 6) AS med, round(dd.d, 6) AS mad,
+        |       CASE WHEN dd.d > 0
+        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) END AS robust_z,
+        |       coalesce(CASE WHEN dd.d > 0
+        |            THEN abs(round((e.value - md.m) / (1.4826 * dd.d), 6)) > 3.5 END,
+        |          false) AS is_outlier
+        |FROM events e
+        |JOIN med md USING (event_type)
+        |JOIN mad dd USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_anomaly_iqr" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT event_type,
+        |         round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+        |         round(q3 + 1.5 * (q3 - q1), 6) AS hi
+        |  FROM f
+        |)
+        |SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+        |       (e.value < b.lo OR e.value > b.hi) AS is_outlier
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_split_hash" ->
       """SELECT doc_id,

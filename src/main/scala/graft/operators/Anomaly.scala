@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-based anomaly scoring — the batch statistical complement
+  * to the trailing-window deviation features (BehavioralFeatures W2-W3,
+  * reference features.py): score each row against its GROUP's
+  * distribution instead of its own history.
+  *
+  * Robust statistics by design: mean/stddev z-scores are themselves
+  * dragged by the outliers they are meant to find (masking); the median
+  * and the median absolute deviation have a 50% breakdown point, so a
+  * fraud burst cannot hide itself by inflating the baseline.
+  */
+object Anomaly {
+
+  /** Robust z-score per row: (x - median_g) / (1.4826 * MAD_g), where g
+    * is the row's group and 1.4826 scales MAD to estimate sigma under
+    * normality (1/Phi^-1(0.75)). Rows with |z| > threshold are flagged.
+    * MAD = 0 (constant-majority groups) yields null scores, never a
+    * division blowup.
+    *
+    * Scale shape: two per-group percentile aggregations (median of x,
+    * then median of |x - median|) + two joins of the tiny per-group
+    * stats back onto the rows — AQE broadcasts them (group cardinality
+    * << row count by contract). `exact = false` swaps the exact
+    * percentile (full per-group value buffer) for approx_percentile's
+    * bounded-memory sketch — the 100 TB path, same plan shape.
+    */
+  def robustZScore(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      threshold: Double = 3.5,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    def median(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(accuracy))
+    val meds = df.groupBy(col(groupCol))
+      .agg(median(col(valueCol)).as("_med"))
+      .withColumnRenamed(groupCol, "_g")
+    val withMed = df.join(meds, col(groupCol) === col("_g")).drop("_g")
+    val mads = withMed.groupBy(col(groupCol))
+      .agg(median(abs(col(valueCol) - col("_med"))).as("_mad"))
+      .withColumnRenamed(groupCol, "_g")
+    withMed.join(mads, col(groupCol) === col("_g")).drop("_g")
+      .withColumn("robust_z",
+        when(col("_mad") > 0,
+          round((col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")), 6)))
+      .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .withColumnRenamed("_med", "med")
+      .withColumnRenamed("_mad", "mad")
+  }
+
+  /** Tukey-fence (IQR) outliers per group: a row is an outlier when it
+    * falls outside [q1 - k*iqr, q3 + k*iqr] of its group (k = 1.5 the
+    * classic fence, 3.0 the "far out" fence). Same two-phase shape as
+    * [[robustZScore]] with one percentile pass (q1 and q3 share a single
+    * aggregation).
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 1.5,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    def pct(c: Column, p: Double): Column =
+      if (exact) percentile(c, lit(p))
+      else approx_percentile(c, lit(p), lit(accuracy))
+    val fences = df.groupBy(col(groupCol))
+      .agg(pct(col(valueCol), 0.25).as("_q1"), pct(col(valueCol), 0.75).as("_q3"))
+      .withColumnRenamed(groupCol, "_g")
+    df.join(fences, col(groupCol) === col("_g")).drop("_g")
+      .withColumn("lo", round(col("_q1") - lit(k) * (col("_q3") - col("_q1")), 6))
+      .withColumn("hi", round(col("_q3") + lit(k) * (col("_q3") - col("_q1")), 6))
+      .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+      .drop("_q1", "_q3")
+  }
+}

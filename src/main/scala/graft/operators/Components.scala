@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list — the
+  * clustering step a dedup pipeline needs between PAIRS and POLICY:
+  * near-duplicate pairs (jaccard / MinHash / SimHash) form duplicate
+  * GROUPS only after transitive closure (A~B, B~C puts A and C in one
+  * group even when they never paired directly), and keep-one-per-group
+  * requires the group id.
+  *
+  * Algorithm: min-label propagation with POINTER JUMPING. Each vertex
+  * holds a label (initially min(self, neighbors)); every round it takes
+  * the min of (its label, its neighbors' labels, its label's label).
+  * The third term is the jump — label chains halve every round, so
+  * convergence is O(log diameter) rounds, not O(diameter): a 300-vertex
+  * path converges in ~8 rounds where plain propagation needs 300. Labels
+  * only decrease and always name a vertex of the same component, so the
+  * fixpoint labels every vertex with its component's min id (cf. the
+  * alternating star-contraction MapReduce formulation, Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond" — same label-halving
+  * idea, DataFrame-native here).
+  *
+  * Scale shape: per round, one equi-join edges->labels + one labels
+  * self-join + one min-aggregation — all hash-partitioned on vertex id,
+  * no driver-side graph state. The driver holds only the loop counter
+  * and the one-row convergence count per round (an inherent cost of any
+  * fixpoint algorithm; rounds are logarithmic). Each round's labels are
+  * persisted and the previous round's unpersisted, so lineage depth per
+  * round is constant.
+  *
+  * Reference scope note: the reference pipeline (q138ben/
+  * pyspark-anomaly-detection) stops at row-level dedup; this is part of
+  * the training-data extension surface (SURVEY §2 addenda).
+  */
+object Components {
+
+  /** Component membership for every vertex that appears in `edges`:
+    * (id, component) where component = min vertex id reachable. Isolated
+    * vertices never reach the edge list — join the result back to the
+    * entity table (see [[clusterMembership]]) to label them with
+    * themselves.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    // Symmetrize once; duplicate/self edges are harmless under min-agg.
+    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round's labels are localCheckpoint'ed, not merely persisted:
+    // `labels` feeds `next` FOUR ways (direct, edge join, both jump
+    // sides), so the logical plan would grow 4^round — round 12 OOMs the
+    // driver just STRINGIFYING the tree. Checkpointing truncates lineage
+    // to the materialized blocks each round, keeping plan depth constant.
+    // (Executor-loss durability on a real cluster: swap in reliable
+    // checkpoint(), same shape — the rounds are logarithmic either way.)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("id"), least(col("id"), col("_mn")).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val jumpTargets = labels.select(col("id").as("_jid"), col("label").as("_jlabel"))
+      val viaJump = labels.join(jumpTargets, col("label") === col("_jid"))
+        .select(col("id"), col("_jlabel").as("label"))
+      val next = labels.unionByName(viaEdges).unionByName(viaJump)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Cluster id for EVERY row of `df`: the component min-id for rows in
+    * any near-duplicate pair, the row's own id otherwise. Output:
+    * df.columns + `cluster_id`.
+    */
+  def clusterMembership(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    val comps = connectedComponents(pairs, idACol, idBCol, maxIter)
+      .withColumnRenamed("id", "_cc_id")
+    df.join(comps, df(idCol) === col("_cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), df(idCol).cast("long")))
+      .drop("_cc_id", "component")
+  }
+
+  /** Keep exactly one row per duplicate cluster — the min-id member —
+    * given a near-duplicate pair list. The transitive-closure-correct
+    * form of "drop near duplicates": pairwise dropping (keep a, drop b
+    * per pair) can drop BOTH b and c of a chain a~b, b~c while keeping
+    * only a, or keep overlapping representatives, depending on pair
+    * order; cluster-then-keep is order-free and deterministic.
+    */
+  def keepClusterRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 30): DataFrame =
+    clusterMembership(df, idCol, pairs, idACol, idBCol, maxIter)
+      .filter(col(idCol).cast("long") === col("cluster_id"))
+      .drop("cluster_id")
+}

@@ -45,6 +45,43 @@ object TrainingData {
       .drop("_cum")
   }
 
+  /** Per-shard manifest over a [[packShards]] result: one row per
+    * (group, shard) with document count, token sum, and the id range —
+    * what a training loader consumes to map shards to file paths and
+    * validate budgets without scanning the shard data. Pure aggregation
+    * on the packing keys: one shuffle, map-side combined.
+    */
+  def shardManifest(packed: DataFrame, groupCol: String, idCol: String): DataFrame =
+    packed.groupBy(col(groupCol), col("shard_idx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"))
+
+  /** Sink for packed shards: data partitioned by (group, shard_idx) —
+    * one directory per shard, the layout a sequential shard reader
+    * expects — plus the [[shardManifest]] under `_manifest`. The
+    * partition-aligned repartition before the write keeps it to one file
+    * per shard instead of one file per (task x shard).
+    */
+  def writeShards(
+      packed: DataFrame,
+      groupCol: String,
+      idCol: String,
+      outDir: String): Unit = {
+    packed
+      .repartition(col(groupCol), col("shard_idx"))
+      .sortWithinPartitions(col(groupCol), col("shard_idx"), col(idCol))
+      .write.mode("overwrite")
+      .partitionBy(groupCol, "shard_idx")
+      .parquet(s"$outDir/data")
+    shardManifest(packed, groupCol, idCol)
+      .repartition(1)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/_manifest")
+  }
+
   /** Deterministic train/val/test split: membership is a pure function
     * of the id — the first 8 hex chars of md5(id [+ salt]) compared
     * against cumulative-weight thresholds. Fixed-width lowercase hex

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Anomaly
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 well-behaved points around 10 plus one gross outlier per group.
+  private lazy val fixture = {
+    val a = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) :+ (("a", 99L, 500.0))
+    val b = (1 to 20).map(i => ("b", 100L + i, 20.0 + (i % 3) * 0.2)) :+ (("b", 199L, -300.0))
+    (a ++ b).toDF("grp", "id", "v")
+  }
+
+  test("robust z flags the planted outlier and nothing in the bulk") {
+    val scored = Anomaly.robustZScore(fixture, "grp", "v")
+    val outliers = scored.filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(outliers == Set(99L, 199L))
+    // Robustness: the outlier barely moves the baseline — median stays in
+    // the bulk for every group.
+    val meds = scored.select("grp", "med").distinct().as[(String, Double)].collect().toMap
+    assert(meds("a") >= 10.0 && meds("a") <= 10.5)
+    assert(meds("b") >= 20.0 && meds("b") <= 20.5)
+  }
+
+  test("MAD = 0 (constant-majority group) yields null scores, not a blowup") {
+    val const = (1 to 10).map(i => ("c", i.toLong, 7.0)) :+ (("c", 99L, 1000.0))
+    val scored = Anomaly.robustZScore(const.toDF("grp", "id", "v"), "grp", "v")
+    // Majority constant -> median 7, MAD 0: all scores null, no outliers
+    // flagged (the score is undefined, not infinite).
+    assert(scored.filter(col("robust_z").isNotNull).count() == 0)
+    assert(scored.filter(col("is_outlier")).count() == 0)
+  }
+
+  test("approximate percentile path agrees with exact on modest groups") {
+    val exact = Anomaly.robustZScore(fixture, "grp", "v", exact = true)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    val approx = Anomaly.robustZScore(fixture, "grp", "v", exact = false)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(approx == exact)
+  }
+
+  test("IQR fences flag the planted outliers and respect the k factor") {
+    val flagged = Anomaly.iqrOutliers(fixture, "grp", "v")
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(flagged == Set(99L, 199L))
+    // A huge k widens the fences past everything.
+    val none = Anomaly.iqrOutliers(fixture, "grp", "v", k = 1e6)
+      .filter(col("is_outlier")).count()
+    assert(none == 0)
+  }
+}

@@ -30,6 +30,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(packed(5L) == (6, 0))
   }
 
+  test("shardManifest summarizes each shard; writeShards lays out one dir per shard") {
+    val docs = Seq(
+      (1L, "g1", "one two three"),
+      (2L, "g1", "a b c d"),
+      (3L, "g1", "v w x y z"),
+      (4L, "g1", "p q"),
+      (5L, "g2", "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "source", "text")
+    val packed = TrainingData.packShards(
+      docs, "doc_id", "source",
+      graft.functions.TextFunctions.tokenCount(col("text")), budgetTokens = 5L)
+    val manifest = TrainingData.shardManifest(packed, "source", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(manifest(("g1", 0)) == (2L, 7L, 1L, 2L))
+    assert(manifest(("g1", 1)) == (1L, 5L, 3L, 3L))
+    assert(manifest(("g1", 2)) == (1L, 2L, 4L, 4L))
+    assert(manifest(("g2", 0)) == (1L, 6L, 5L, 5L))
+
+    val out = s"target/tmp/shards_${System.nanoTime()}"
+    TrainingData.writeShards(packed, "source", "doc_id", out)
+    // One data directory per manifest row, with matching row counts.
+    manifest.foreach { case ((src, idx), (nDocs, _, _, _)) =>
+      val part = spark.read.parquet(s"$out/data/source=$src/shard_idx=$idx")
+      assert(part.count() == nDocs, s"shard $src/$idx row count")
+    }
+    val persisted = spark.read.parquet(s"$out/_manifest")
+    assert(persisted.count() == manifest.size)
+  }
+
   test("packShards rejects a non-positive budget") {
     val docs = Seq((1L, "g", "x")).toDF("doc_id", "source", "text")
     intercept[IllegalArgumentException] {
