@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Components, Dedup, Multimodal, SimilaritySearch, TrainingData}
+import graft.operators.{Anomaly, BehavioralFeatures, Components, Dedup, Layout, Multimodal, SimilaritySearch, TrainingData}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -552,6 +552,22 @@ object SparkEntry {
           "event_type", "value")
         .select("event_id", "event_type", "value", "lo", "hi", "is_outlier")
         .orderBy("event_id")),
+
+    // Z-order clustering key: bucket (value, user_id) on fixed linear
+    // boundaries and interleave the bits — the row-local half of
+    // Layout.writeZOrdered (the layout win itself is pinned in
+    // LayoutSpec's file-pruning test; the curve math is oracle-exact).
+    "q_zorder" -> ((s, d) => {
+      val vB = Layout.linearBoundaries(0.0, 512.0, 3)
+      val uB = Layout.linearBoundaries(0.0, 1600.0, 3)
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          Layout.bucketIndex(col("value"), vB).as("bx"),
+          Layout.bucketIndex(col("user_id").cast("double"), uB).as("by"))
+        .withColumn("z_value", Layout.zValue(Seq(col("bx"), col("by")), bits = 3))
+        .orderBy("event_id")
+    }),
 
     // Deterministic hash split: engine-independent train/val/test
     // membership (md5-prefix thresholds; the oracle is the same string
@@ -1463,6 +1479,25 @@ object SparkEntry {
         |       (e.value < b.lo OR e.value > b.hi) AS is_outlier
         |FROM events e JOIN b USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |         CASE WHEN value <= 64 THEN 0 WHEN value <= 128 THEN 1
+        |              WHEN value <= 192 THEN 2 WHEN value <= 256 THEN 3
+        |              WHEN value <= 320 THEN 4 WHEN value <= 384 THEN 5
+        |              WHEN value <= 448 THEN 6 ELSE 7 END AS bx,
+        |         CASE WHEN user_id <= 200 THEN 0 WHEN user_id <= 400 THEN 1
+        |              WHEN user_id <= 600 THEN 2 WHEN user_id <= 800 THEN 3
+        |              WHEN user_id <= 1000 THEN 4 WHEN user_id <= 1200 THEN 5
+        |              WHEN user_id <= 1400 THEN 6 ELSE 7 END AS by
+        |  FROM events
+        |)
+        |SELECT event_id, bx, by,
+        |       CAST(((bx >> 0) & 1) * 1  + ((by >> 0) & 1) * 2 +
+        |            ((bx >> 1) & 1) * 4  + ((by >> 1) & 1) * 8 +
+        |            ((bx >> 2) & 1) * 16 + ((by >> 2) & 1) * 32 AS BIGINT) AS z_value
+        |FROM b ORDER BY event_id""".stripMargin,
 
     "q_split_hash" ->
       """SELECT doc_id,

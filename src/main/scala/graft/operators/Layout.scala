@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional (Z-order) clustering for
+  * file skipping. A table sorted on one column prunes scans only on
+  * that column; interleaving the bits of several columns' bucket
+  * indices produces a space-filling-curve key whose sort groups rows
+  * that are close in EVERY dimension — so per-file min/max stats stay
+  * narrow on all of them and a multi-dimensional predicate skips most
+  * files (the OSS Delta/Iceberg OPTIMIZE ZORDER idea, rebuilt on plain
+  * repartitionByRange + parquet).
+  *
+  * Scale shape: the z-value is a pure row-local expression (codegen'd
+  * CASE chain + bit arithmetic, no UDF); the only movement is the one
+  * range shuffle any clustered write needs. Quantile boundaries cost
+  * one approxQuantile pass (sketch-based, driver gets 2^bits doubles).
+  */
+object Layout {
+
+  /** Bucket index in [0, boundaries.size] for `c` by boundary search:
+    * index i of the first boundary >= c, else boundaries.size. Nulls
+    * land in bucket 0 (they sort first, as in range partitioning).
+    * Expressed as a foldRight CASE chain — 2^bits-1 comparisons inside
+    * whole-stage codegen, no UDF.
+    */
+  def bucketIndex(c: Column, boundaries: Seq[Double]): Column = {
+    require(boundaries.nonEmpty, "need at least one boundary")
+    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    val chain = boundaries.zipWithIndex.foldRight(lit(boundaries.size): Column) {
+      case ((b, i), rest) => when(c <= lit(b), lit(i)).otherwise(rest)
+    }
+    when(c.isNull, lit(0)).otherwise(chain)
+  }
+
+  /** Evenly spaced boundaries over [min, max] for 2^bits buckets —
+    * oracle-reproducible in plain SQL; use [[quantileBoundaries]] for
+    * skewed columns.
+    */
+  def linearBoundaries(min: Double, max: Double, bits: Int): Seq[Double] = {
+    require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
+    require(max > min, s"need max > min, got [$min, $max]")
+    val n = 1 << bits
+    (1 until n).map(i => min + (max - min) * i / n)
+  }
+
+  /** Equi-depth boundaries from an approxQuantile sketch: each bucket
+    * holds ~1/2^bits of the rows regardless of skew — the production
+    * choice (a hot value range otherwise collapses most rows into few
+    * buckets and the curve degenerates toward a linear sort).
+    */
+  def quantileBoundaries(
+      df: DataFrame,
+      colName: String,
+      bits: Int,
+      relativeError: Double = 0.001): Seq[Double] = {
+    require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    df.stat.approxQuantile(colName, probs, relativeError).toSeq
+  }
+
+  /** Interleave the low `bits` bits of each bucket column into one
+    * Z-value: bit i of dimension j lands at position i * dims + j
+    * (dimension 0 takes the least significant lane). Pure bit
+    * arithmetic on longs — codegen-friendly, at most 15 bits x 4 dims.
+    */
+  def zValue(bucketCols: Seq[Column], bits: Int): Column = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(bucketCols.size <= 4, s"at most 4 dimensions, got ${bucketCols.size}")
+    require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
+    val dims = bucketCols.size
+    val terms = for {
+      (bc, j) <- bucketCols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(bc.cast("long"), i).bitwiseAND(lit(1L)), i * dims + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-value for raw value columns + per-column boundaries (buckets via
+    * [[bucketIndex]]). Boundary lists may have any (possibly different)
+    * sizes; bits is derived from the largest.
+    */
+  def zValueFor(colsWithBoundaries: Seq[(Column, Seq[Double])]): Column = {
+    val bits = colsWithBoundaries
+      .map(cb => math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(cb._2.size.toLong)))
+      .max.toInt
+    zValue(colsWithBoundaries.map { case (c, b) => bucketIndex(c, b) }, bits)
+  }
+
+  /** Cluster `df` on the Z-curve of the given (column, boundaries)
+    * dimensions and write `numFiles` parquet files: range-partition on
+    * the z-value (equal-size output files via range sampling), sort
+    * within each partition, keep `zCol` in the output (it is the
+    * cluster key a reader or compactor re-uses). One shuffle total.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      colsWithBoundaries: Seq[(String, Seq[Double])],
+      outDir: String,
+      numFiles: Int,
+      zCol: String = "z_value"): Unit = {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    df.withColumn(zCol, zValueFor(colsWithBoundaries.map { case (n, b) => (col(n), b) }))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .write.mode("overwrite").parquet(outDir)
+  }
+}

@@ -231,6 +231,32 @@ object StreamingFeatures {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Streaming robust z-score: score each event against a PRECOMPUTED
+    * per-group median/MAD baseline (from the batch
+    * `Anomaly.robustZScore` aggregation over history) — the standard
+    * production split for distribution-based anomaly detection: the
+    * baseline changes slowly and is rebuilt in batch; the stream is
+    * scored row-local via a broadcast stream-static join, so the
+    * detector adds NO streaming state at all. Groups unseen in the
+    * baseline produce null scores (flagged nothing) rather than
+    * inventing a distribution.
+    */
+  def robustZAgainstBaseline(
+      events: DataFrame,
+      baseline: DataFrame, /* groupCol, med, mad */
+      groupCol: String,
+      valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val dim = baseline.select(
+      col(groupCol).as("_g"), col("med"), col("mad"))
+    events.join(broadcast(dim), col(groupCol) === col("_g"), "left")
+      .drop("_g")
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          round((col(valueCol) - col("med")) / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
+  }
+
   /** Stream-stream interval join: left events match right events with
     * the same key whose event time falls within [left.ts, left.ts +
     * within]. Both sides are watermarked so the join state is bounded —

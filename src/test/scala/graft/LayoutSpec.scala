@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketIndex: boundary search with null and clamp semantics") {
+    val df = Seq(Some(0.1), Some(0.25), Some(0.3), Some(0.6), Some(0.9), None).toDF("v")
+    val got = df.select(Layout.bucketIndex(col("v"), Seq(0.25, 0.5, 0.75)).as("b"))
+      .as[Int].collect().toSeq
+    // <=0.25 -> 0, <=0.5 -> 1, <=0.75 -> 2, else 3; null -> 0
+    assert(got == Seq(0, 0, 1, 2, 3, 0))
+    intercept[IllegalArgumentException](Layout.bucketIndex(col("v"), Seq(0.5, 0.25)))
+  }
+
+  test("zValue interleaves dimension bits (dim 0 in the low lane)") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    // a=01: bit0 -> pos 0. b=10: bit1 -> pos 1*2+1 = 3. z = 1 + 8 = 9.
+    val z = df.select(Layout.zValue(Seq(col("a"), col("b")), bits = 2).as("z"))
+      .as[Long].head()
+    assert(z == 9L)
+    // Locality sanity: adjacent cells differ in few curve positions —
+    // the 2x2 block (0,0),(1,0),(0,1),(1,1) is exactly z 0,1,2,3.
+    val block = Seq((0, 0), (1, 0), (0, 1), (1, 1)).toDF("a", "b")
+      .select(Layout.zValue(Seq(col("a"), col("b")), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(block == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("linear and quantile boundaries agree on uniform data, diverge on skew") {
+    val uniform = spark.range(20000).select((col("id") % 1000).cast("double").as("v"))
+    val lin = Layout.linearBoundaries(0, 999, 2)
+    val quant = Layout.quantileBoundaries(uniform, "v", 2)
+    lin.zip(quant).foreach { case (l, q) => assert(math.abs(l - q) < 50, s"$l vs $q") }
+    // 90% of mass at v < 10: equi-depth boundaries all crowd below 10,
+    // linear ones do not — that is the whole point of the quantile form.
+    val skewed = spark.range(20000).select(
+      when(col("id") % 10 < 9, col("id") % 10).otherwise(col("id") % 1000)
+        .cast("double").as("v"))
+    val qs = Layout.quantileBoundaries(skewed, "v", 2)
+    assert(qs.count(_ < 10.0) >= 2, s"equi-depth boundaries should crowd the hot range: $qs")
+  }
+
+  test("z-ordered files prune on BOTH dimensions; a 1-D sort cannot") {
+    val n = 100000
+    val df = spark.range(n).select(rand(7).as("x"), rand(13).as("y"))
+    val bounds = Layout.linearBoundaries(0.0, 1.0, 3) // 8x8 grid
+    val root = s"target/tmp/layout_${System.nanoTime()}"
+    Layout.writeZOrdered(df, Seq("x" -> bounds, "y" -> bounds), s"$root/z", numFiles = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$root/xsort")
+
+    def filesTouched(dir: String, xr: Option[(Double, Double)], yr: Option[(Double, Double)]): Long = {
+      val boxes = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      val survivesX = xr.map { case (lo, hi) => !(col("x1") < lo || col("x0") > hi) }.getOrElse(lit(true))
+      val survivesY = yr.map { case (lo, hi) => !(col("y1") < lo || col("y0") > hi) }.getOrElse(lit(true))
+      boxes.filter(survivesX && survivesY).count()
+    }
+
+    // y-selective predicate: the x-sorted layout has no y locality at
+    // all — every file's y range spans [0,1] and none prune. The z
+    // layout keeps y ranges narrow, so most files skip.
+    val yBand = Some((0.40, 0.45))
+    val zTouchedY = filesTouched(s"$root/z", None, yBand)
+    val xTouchedY = filesTouched(s"$root/xsort", None, yBand)
+    assert(xTouchedY == 16L, s"1-D layout should scan everything, touched $xTouchedY")
+    assert(zTouchedY <= 8L, s"z layout should skip most files, touched $zTouchedY")
+
+    // ...while staying competitive on the dimension the 1-D sort owns.
+    val xBand = Some((0.40, 0.45))
+    val zTouchedX = filesTouched(s"$root/z", xBand, None)
+    assert(zTouchedX <= 8L, s"z layout x-pruning, touched $zTouchedX")
+
+    // 2-D box: intersection prunes harder than either band.
+    val zTouchedBox = filesTouched(s"$root/z", xBand, yBand)
+    assert(zTouchedBox <= zTouchedY && zTouchedBox <= zTouchedX)
+    assert(zTouchedBox <= 4L, s"2-D box should touch a handful of files, got $zTouchedBox")
+  }
+}

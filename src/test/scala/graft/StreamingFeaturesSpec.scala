@@ -193,6 +193,39 @@ class StreamingFeaturesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("robustZAgainstBaseline scores a stream against batch median/MAD stats") {
+    // Batch history: 21 well-behaved clicks around 10 — the baseline.
+    val history = ((1 to 20).map(i => (i.toLong, "click", 10.0 + (i % 5) * 0.1))
+      :+ ((99L, "click", 10.2))).toDF("id", "event_type", "value")
+    val baseline = graft.operators.Anomaly.robustZScore(history, "event_type", "value")
+      .select("event_type", "med", "mad").distinct()
+
+    val dir = s"$root/rz"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Seq(
+      StreamEvent(1, ts(0), "click", 10.3),   // in-distribution
+      StreamEvent(2, ts(1), "click", 500.0),  // gross outlier
+      StreamEvent(3, ts(2), "view", 1.0))     // no baseline -> never flagged
+      .toDF().coalesce(1).write.parquet(s"$dir/in/b0")
+    Files.list(Paths.get(s"$dir/in/b0")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+      Files.move(f, Paths.get(s"$dir/in/b0.parquet"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/in/b0").toFile)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingFeatures.robustZAgainstBaseline(stream, baseline, "event_type", "value")
+      .select("user_id", "robust_z", "is_outlier")
+      .writeStream.format("memory").queryName("rz").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("rz").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+      assert(rows.size == 3)
+      assert(rows(1L)._2 == false)
+      assert(rows(2L)._2 == true)
+      assert(rows(3L) == (None, false), "unseen group must score null, flag nothing")
+    } finally q.stop()
+  }
+
   test("dedupByFingerprint drops case/whitespace-variant copies in-stream") {
     import org.apache.spark.sql.functions._
     val dir = s"$root/fpdedup"
