@@ -42,16 +42,66 @@ object Components {
     * vertices never reach the edge list — join the result back to the
     * entity table (see [[clusterMembership]]) to label them with
     * themselves.
+    *
+    * Two regimes behind one API:
+    *   - edge lists under `driverEdgeLimit` collect to a driver-side
+    *     union-find (path-halving): one materialization of the (already
+    *     filtered, tiny) pair list instead of ~log(d) full fixpoint
+    *     rounds — duplicate-pair graphs are sparse by nature, so this is
+    *     the expected path even on huge corpora ONCE pairs are thinned
+    *     by a similarity threshold;
+    *   - anything larger runs the distributed fixpoint below, which
+    *     never moves the graph to the driver.
+    * The two paths are output-identical (ComponentsSpec pins it).
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      driverEdgeLimit: Long = 4000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    val spark = edges.sparkSession
+    val pairList = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (pairList.count() <= driverEdgeLimit) {
+      try {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) {
+            val p = parent.getOrElse(r, r)
+            parent(r) = parent.getOrElse(p, p) // path halving
+            r = parent(r)
+          }
+          r
+        }
+        pairList.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min id, so roots ARE component labels
+            val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+            parent(hi) = lo
+            parent.getOrElseUpdate(lo, lo)
+          } else parent.getOrElseUpdate(ra, ra)
+        }
+        import spark.implicits._
+        val rows = parent.keys.toSeq.map(v => (v, find(v)))
+        rows.toDF("id", "component")
+      } finally pairList.unpersist()
+    } else {
+      // The distributed path materializes its own symmetrized copy on
+      // its first eager checkpoint, then this cache is dropped.
+      try distributedComponents(pairList, maxIter)
+      finally pairList.unpersist()
+    }
+  }
+
+  private def distributedComponents(pairList: DataFrame, maxIter: Int): DataFrame = {
     // Symmetrize once; duplicate/self edges are harmless under min-agg.
-    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+    val sym = pairList
+      .union(pairList.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Each round's labels are localCheckpoint'ed, not merely persisted:
     // `labels` feeds `next` FOUR ways (direct, edge join, both jump

@@ -27,10 +27,29 @@ class ComponentsSpec extends SparkSpec {
     // travel the full chain length.
     val n = 300
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    val got = Components.connectedComponents(edges, "id_a", "id_b", maxIter = 12)
+    // driverEdgeLimit = 0 forces the distributed fixpoint (the path under
+    // test); the driver union-find would otherwise absorb this graph.
+    val got = Components.connectedComponents(edges, "id_a", "id_b", maxIter = 12,
+        driverEdgeLimit = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == n)
     assert(got.forall(_._2 == 1L), s"unconverged labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("driver union-find and distributed fixpoint are output-identical") {
+    // Deterministic pseudo-random graph: multiple components, chains,
+    // merges, duplicate edges.
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map { _ =>
+      val a = rnd.nextInt(150).toLong
+      (a, a + 1 + rnd.nextInt(30).toLong)
+    }.toDF("id_a", "id_b")
+    val small = Components.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Components.connectedComponents(edges, "id_a", "id_b", driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist)
+    assert(small.nonEmpty)
   }
 
   test("cluster membership labels singletons with themselves") {
