@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Components, Dedup, Layout, Multimodal, SimilaritySearch, TrainingData}
+import graft.operators.{Anomaly, BehavioralFeatures, Components, Dedup, Layout, Multimodal, SimilaritySearch, TfIdf, TrainingData}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -456,6 +456,21 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Incremental dedup (rows-only — minhash agreement is not
+    // SQL-expressible; behavior pinned in DedupSpec): even doc_ids act as
+    // the indexed corpus, odd ones as the new batch — survivors are odd
+    // docs with no exact or near copy among the evens.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = Dedup.fingerprintIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.dropAgainstIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", index,
+          numHashes = 64, bands = 16, minAgreement = 0.4)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // SimHash 64-bit fingerprints (rows-only; determinism covered in DedupSpec).
     "q_dedup_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -552,6 +567,12 @@ object SparkEntry {
           "event_type", "value")
         .select("event_id", "event_type", "value", "lo", "hi", "is_outlier")
         .orderBy("event_id")),
+
+    // Corpus TF-IDF: top-5 salient terms per document, smoothed idf,
+    // deterministic tie-break (rounded score desc, term asc).
+    "q_tfidf_topk" -> ((s, d) =>
+      TfIdf.topTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rk")),
 
     // Z-order clustering key: bucket (value, user_id) on fixed linear
     // boundaries and interleave the bits — the row-local half of
@@ -1479,6 +1500,29 @@ object SparkEntry {
         |       (e.value < b.lo OR e.value > b.hi) AS is_outlier
         |FROM events e JOIN b USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, count(DISTINCT doc_id) AS dft FROM toks GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * (ln((n.n_docs + 1.0) / (d.dft + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dft d USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY score DESC, term) AS INT) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, score, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     "q_zorder" ->
       """WITH b AS (

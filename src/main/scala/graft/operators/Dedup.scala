@@ -500,6 +500,96 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  // ---------------------------------------------- incremental (vs index)
+
+  /** Fingerprint index rows for a corpus: (id, content_md5, sig). The
+    * persisted form of what [[dropAgainstIndex]] dedups new batches
+    * against — continuous ingest NEVER re-sketches the historical
+    * corpus; it appends today's fingerprints and anti-joins tomorrow's
+    * batch. ~ (16 + 8 * numHashes) bytes per document, independent of
+    * document length.
+    */
+  def fingerprintIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      md5(col(textCol)).as("content_md5"),
+      minHashSignature(col(textCol), n, numHashes, seed).as("sig"))
+
+  /** Incremental dedup: drop batch rows that duplicate the INDEXED
+    * corpus — exact copies by md5 anti-join, near copies by LSH band
+    * collision verified with SIGNATURE AGREEMENT (the fraction of
+    * agreeing minhash positions is an unbiased estimate of Jaccard), so
+    * verification needs no corpus text at all: the index alone carries
+    * everything, which is the point at 100 TB. Within-batch duplicates
+    * are out of scope by design — run the batch operators
+    * ([[dropExactDuplicates]], [[minHashNearDuplicates]]) first, then
+    * this against history.
+    *
+    * Sub-n-token documents carry the identity signature and are excluded
+    * from the near path on BOTH sides (they only dedup byte-exact via
+    * md5) — otherwise every tiny doc would "agree" with every other.
+    *
+    * `minAgreement` is the estimated-Jaccard cutoff (estimator stddev
+    * ~ sqrt(j(1-j)/numHashes), ~0.06 at j=0.5, numHashes=64).
+    *
+    * The batch sketch feeds three differently-keyed joins (band
+    * collision, agreement verify, final anti-join), so it is recomputed
+    * per consumer rather than persisted — the batch is the daily
+    * increment, small against the corpus by contract; persist upstream
+    * if yours is not.
+    */
+  def dropAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame, /* id, content_md5, sig */
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minAgreement: Double = 0.5,
+      n: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(minAgreement > 0 && minAgreement <= 1,
+      s"minAgreement must be in (0,1], got $minAgreement")
+    val r = numHashes / bands
+    val fp = batch.withColumn("_md5", md5(col(textCol)))
+      .withColumn("_sig", minHashSignature(col(textCol), n, numHashes, seed))
+    // Exact copies of indexed content: anti-join on the content hash.
+    val afterExact = fp.join(
+      index.select(col("content_md5").as("_md5")), Seq("_md5"), "left_anti")
+
+    def bandTable(src: DataFrame, id: Column, sig: Column): DataFrame =
+      src.filter(element_at(sig, 1) =!= Long.MaxValue)
+        .select(id.as("bid"), sig.as("bsig"))
+        .select(col("bid"), posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("bsig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
+
+    // Candidate (batch, index) pairs from band collisions — the sigs are
+    // NOT carried through the 16x explode; they rejoin per distinct pair.
+    val cands = bandTable(afterExact, col(idCol), col("_sig"))
+      .join(
+        bandTable(index, col("id"), col("sig")).withColumnRenamed("bid", "iid"),
+        Seq("band", "band_hash"))
+      .select(col("bid"), col("iid")).distinct()
+    val agree = cands
+      .join(afterExact.select(col(idCol).as("bid"), col("_sig")), "bid")
+      .join(index.select(col("id").as("iid"), col("sig")), "iid")
+      .withColumn("_agree",
+        aggregate(zip_with(col("_sig"), col("sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes))
+      .filter(col("_agree") >= minAgreement)
+      .select(col("bid").as(idCol)).distinct()
+    afterExact.join(agree, Seq(idCol), "left_anti").drop("_md5", "_sig")
+  }
+
   /** Brute-force cosine near-duplicate pairs over an embedding column.
     * Exhaustive O(n^2) — correct baseline and the oracle for the LSH
     * variant in SimilaritySearch; block on a partition key or use LSH at

@@ -200,6 +200,40 @@ class DedupSpec extends SparkSpec {
     assert(overlaps(("src_a", "src_b")) > 0.3)
   }
 
+  test("incremental dedup drops exact and near copies of the indexed corpus only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running far"),
+      (2L, "completely different words appear in this sentence here now indeed")
+    ).toDF("doc_id", "text")
+    val index = Dedup.fingerprintIndex(corpus, "doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and keeps running far"), // exact copy of 1
+      (101L, "the quick brown fox jumps over the sleepy dog and keeps running far"), // near copy of 1
+      (102L, "fresh content with no overlap whatsoever to anything stored before")  // novel
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropAgainstIndex(batch, "doc_id", "text", index,
+        numHashes = 64, bands = 16, minAgreement = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L), s"expected only the novel doc, kept $kept")
+    // Output keeps the batch schema, fingerprints dropped.
+    assert(Dedup.dropAgainstIndex(batch, "doc_id", "text", index).columns.toSeq
+      == Seq("doc_id", "text"))
+  }
+
+  test("incremental dedup: tiny docs only dedup byte-exact, never via signatures") {
+    // Sub-n-token docs share the identity signature; the near path must
+    // exclude them or every tiny doc would drop every other.
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val index = Dedup.fingerprintIndex(corpus, "doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta"),   // byte-exact tiny copy -> dropped via md5
+      (101L, "gamma delta")   // distinct tiny doc -> must survive
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropAgainstIndex(batch, "doc_id", "text", index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L))
+  }
+
   test("minhash collapse/expand emits exactly the raw pair set on a copy-dense corpus") {
     // 3 distinct texts: t1 ~ t2 near-dups, t3 unrelated; copies of each.
     val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
