@@ -89,6 +89,53 @@ object Layout {
     zValue(colsWithBoundaries.map { case (c, b) => bucketIndex(c, b) }, bits)
   }
 
+  /** Compaction report: bytes are input parquet sizes (compression
+    * preserved within ~a few percent on re-write, so the file-count
+    * math holds).
+    */
+  final case class CompactionStats(
+      filesBefore: Long, bytesBefore: Long, filesAfter: Long)
+
+  /** Compact a parquet directory's small files into ~`targetFileBytes`
+    * files — streaming sinks and per-partition writers accrete files
+    * whose per-file open/footer cost eventually dominates scans; file
+    * count is sized from the actual input bytes, not guessed. With
+    * `sortCols` the output is range-partitioned and sorted, so a
+    * z-ordered or time-ordered layout KEEPS its file-pruning property
+    * through compaction (plain `repartition` would shred it); without,
+    * a round-robin repartition balances file sizes exactly.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): CompactionStats = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = {
+      val it = fs.listFiles(path, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getLen
+      }
+      buf.toSeq
+    }
+    require(files.nonEmpty, s"no parquet files under $inDir")
+    val totalBytes = files.sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val repartitioned =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    repartitioned.write.mode("overwrite").parquet(outDir)
+    CompactionStats(files.size.toLong, totalBytes, nOut.toLong)
+  }
+
   /** Cluster `df` on the Z-curve of the given (column, boundaries)
     * dimensions and write `numFiles` parquet files: range-partition on
     * the z-value (equal-size output files via range sampling), sort

@@ -44,6 +44,40 @@ class LayoutSpec extends SparkSpec {
     assert(qs.count(_ < 10.0) >= 2, s"equi-depth boundaries should crowd the hot range: $qs")
   }
 
+  test("compact merges small files to the byte-sized target; sortCols keep pruning") {
+    val root = s"target/tmp/compact_${System.nanoTime()}"
+    val df = spark.range(200000).select(col("id"), rand(5).as("x"))
+    df.repartition(64).write.parquet(s"$root/small")
+
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    val smallFiles = parquetFiles(s"$root/small")
+    assert(smallFiles.size == 64)
+
+    val target = smallFiles.map(_.length).sum / 4 // aim for ~4 files
+    val stats = Layout.compact(spark, s"$root/small", s"$root/big", target)
+    assert(stats.filesBefore == 64)
+    assert(stats.filesAfter <= 5)
+    assert(parquetFiles(s"$root/big").size == stats.filesAfter)
+    // Content identical.
+    assert(spark.read.parquet(s"$root/big").count() == 200000)
+    assert(spark.read.parquet(s"$root/big").agg(sum("id")).head.getLong(0)
+      == df.agg(sum("id")).head.getLong(0))
+
+    // With sortCols, compacted files hold DISJOINT id ranges (pruning
+    // survives); round-robin compaction interleaves everything.
+    Layout.compact(spark, s"$root/small", s"$root/sorted", target, sortCols = Seq("id"))
+    val ranges = spark.read.parquet(s"$root/sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "file id ranges overlap")
+      case _ =>
+    }
+    intercept[IllegalArgumentException](Layout.compact(spark, s"$root/small", s"$root/x", 0))
+  }
+
   test("z-ordered files prune on BOTH dimensions; a 1-D sort cannot") {
     val n = 100000
     val df = spark.range(n).select(rand(7).as("x"), rand(13).as("y"))
