@@ -155,6 +155,25 @@ object Components {
       .drop("_cc_id", "component")
   }
 
+  /** The full LSH near-dedup pipeline at scale, fused: MinHash banding →
+    * jaccard-verified pairs → transitive clusters → keep the min-id
+    * member per cluster. This is what "dedup the corpus" means
+    * end-to-end — [[Dedup.minHashNearDuplicates]] alone emits PAIRS,
+    * and pairwise dropping is order-dependent on chains (see
+    * [[keepClusterRepresentatives]]).
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame =
+    keepClusterRepresentatives(docs, idCol,
+      Dedup.minHashNearDuplicates(docs, idCol, textCol, n, numHashes, bands, minJaccard, seed))
+
   /** Keep exactly one row per duplicate cluster — the min-id member —
     * given a near-duplicate pair list. The transitive-closure-correct
     * form of "drop near duplicates": pairwise dropping (keep a, drop b

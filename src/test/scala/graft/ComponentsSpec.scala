@@ -76,6 +76,24 @@ class ComponentsSpec extends SparkSpec {
     assert(kept == Set(10L, 40L))
   }
 
+  test("dropNearDuplicates keeps exactly the min-id per LSH cluster on the corpus") {
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val kept = Components.dropNearDuplicates(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // Equivalent composition by hand.
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+    val expected = Components.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected)
+    assert(kept.size < docs.count(), "the corpus contains planted near-dups")
+    // No two kept docs remain near-duplicates of each other.
+    val keptDocs = docs.filter(col("doc_id").isin(kept.toSeq: _*))
+    assert(Dedup.minHashNearDuplicates(keptDocs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, minJaccard = 0.2).count() == 0)
+  }
+
   test("clusters over exact jaccard pairs on the testdata corpus") {
     val docs = TableIO.table(spark, Sf0001, "documents")
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
