@@ -21,12 +21,14 @@ object Anomaly {
     * MAD = 0 (constant-majority groups) yields null scores, never a
     * division blowup.
     *
-    * Scale shape: two per-group percentile aggregations (median of x,
-    * then median of |x - median|) + two joins of the tiny per-group
-    * stats back onto the rows — AQE broadcasts them (group cardinality
-    * << row count by contract). `exact = false` swaps the exact
-    * percentile (full per-group value buffer) for approx_percentile's
-    * bounded-memory sketch — the 100 TB path, same plan shape.
+    * Scale shape: the fact table is scanned THREE times (the floor for
+    * two-level exact medians: the med aggregation, the |x-med|
+    * aggregation, and the final scoring join) — the per-group med table
+    * is tiny (one row per group) and is persisted so its aggregation
+    * runs once instead of once per consumer; both stats joins broadcast.
+    * `exact = false` swaps the exact percentile (full per-group value
+    * buffer) for approx_percentile's bounded-memory sketch — the 100 TB
+    * path, same plan shape.
     */
   def robustZScore(
       df: DataFrame,
@@ -38,14 +40,20 @@ object Anomaly {
     def median(c: Column): Column =
       if (exact) percentile(c, lit(0.5))
       else approx_percentile(c, lit(0.5), lit(accuracy))
+    // One row per group — persisting is a few KB and stops the med
+    // aggregation (a full fact scan) recomputing under each of its two
+    // consumers. Dropped by any catalog.clearCache(); lives with the
+    // session otherwise (same contract as broadcast dimension caches).
     val meds = df.groupBy(col(groupCol))
       .agg(median(col(valueCol)).as("_med"))
       .withColumnRenamed(groupCol, "_g")
-    val withMed = df.join(meds, col(groupCol) === col("_g")).drop("_g")
-    val mads = withMed.groupBy(col(groupCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mads = df.join(broadcast(meds), col(groupCol) === col("_g")).drop("_g")
+      .groupBy(col(groupCol))
       .agg(median(abs(col(valueCol) - col("_med"))).as("_mad"))
       .withColumnRenamed(groupCol, "_g")
-    withMed.join(mads, col(groupCol) === col("_g")).drop("_g")
+    val stats = meds.join(mads, "_g")
+    df.join(broadcast(stats), col(groupCol) === col("_g")).drop("_g")
       .withColumn("robust_z",
         when(col("_mad") > 0,
           round((col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")), 6)))

@@ -32,8 +32,13 @@ object TfIdf {
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dft = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("dft"))
+    // Document frequency derives from the tf table (one row per
+    // (doc, term)). Catalyst deliberately does NOT share the physical
+    // stage: it prunes the unused count from this branch, reducing it to
+    // a distinct-aggregate over its own column-pruned scan — two
+    // parallel scans beat materializing an exploded token table, and
+    // pinning reuse here would fight the optimizer's (correct) choice.
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("dft"))
     val total = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dft, "term")
       .crossJoin(broadcast(total))

