@@ -67,7 +67,9 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (pairList.count() <= driverEdgeLimit) {
       try {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        // LongMap: specialized, no boxing — on 2M collected edges the
+        // boxed Map spent more time in hashing than the cluster did.
+        val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x
           while (parent.getOrElse(r, r) != r) {

@@ -17,6 +17,11 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(20)
+    // Optional third arg: comma-separated section names
+    // (dedup,sim,window,cc) to run a targeted subset.
+    val sections = args.lift(2).map(_.split(',').toSet)
+    def section(name: String)(body: => Unit): Unit =
+      if (sections.forall(_.contains(name))) body
     val spark = GraftSession.local(32)
 
     def time[T](label: String)(f: => T): T = {
@@ -33,6 +38,7 @@ object ScaleStress {
         .drop("_rep")
     }
 
+    section("dedup") {
     val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
@@ -63,7 +69,9 @@ object ScaleStress {
         docs, "doc_id", "text", n = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()))
     time("group signatures by source")(
       println("[stress]   n_groups = " + Dedup.groupSignatures(docs, "source", "text").count()))
+    }
 
+    section("sim") {
     val emb = replicate(TableIO.table(spark, sfDir, "embeddings"), "vec_id", reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[stress] vectors: ${emb.count()} (${reps}x)")
@@ -81,7 +89,9 @@ object ScaleStress {
     time("emb near-dup LSH (cos>=0.9)")(
       println("[stress]   n_pairs = " + Dedup.embeddingNearDuplicatesLSH(
         emb, "vec_id", "embedding", 0.9, numPlanes = 20, maxHamming = 1).count()))
+    }
 
+    section("window") {
     // Hot-key range-window stress: one account holds 2M rows across one
     // day — the plain RANGE window puts ALL of them in a single task;
     // the blocked form bounds every partition by block width. Sums must
@@ -101,6 +111,33 @@ object ScaleStress {
         .agg(sum("c")).head().getLong(0))
     println(s"[stress]   plain sum = $plainSum, blocked sum = $blockedSum, " +
       s"equal = ${plainSum == blockedSum}")
+    }
+
+    section("cc") {
+    // Connected-components stress: 2M edges over ~1M vertices shaped as
+    // 100k chains of 10 plus 100k stars of 10 with cross-links — long
+    // label chains (pointer-jumping territory) AND hub fan-out. Compare
+    // the driver union-find fast path against the distributed fixpoint.
+    import graft.operators.Components
+    val chainEdges = spark.range(1000000L)
+      .select((col("id") + lit(1000000L)).as("id_a"), (col("id") + lit(1000001L)).as("id_b"))
+      .filter(col("id_a") % 10 =!= 9) // break into chains of 10
+    val starEdges = spark.range(1000000L)
+      .select((col("id") - col("id") % 10 + lit(3000000L)).as("id_a"),
+        (col("id") + lit(3000000L)).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val edges = chainEdges.unionByName(starEdges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] cc edges: ${edges.count()}")
+    val ufCount = time("cc driver union-find (2M edges)")(
+      Components.connectedComponents(edges, "id_a", "id_b")
+        .select("component").distinct().count())
+    val distCount = time("cc distributed fixpoint (2M edges)")(
+      Components.connectedComponents(edges, "id_a", "id_b", driverEdgeLimit = 0L)
+        .select("component").distinct().count())
+    println(s"[stress]   components: union-find = $ufCount, distributed = $distCount, " +
+      s"equal = ${ufCount == distCount}")
+    }
 
     spark.stop()
   }
