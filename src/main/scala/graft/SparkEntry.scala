@@ -568,6 +568,13 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "lo", "hi", "is_outlier")
         .orderBy("event_id")),
 
+    // Single-pass table profile: per-column null/distinct counts and
+    // value ranges, melted to one row per column — all columns' stats in
+    // ONE aggregation over one scan.
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(t(s, d, "events"), exactDistinct = true)
+        .orderBy("column")),
+
     // Corpus TF-IDF: top-5 salient terms per document, smoothed idf,
     // deterministic tie-break (rounded score desc, term asc).
     "q_tfidf_topk" -> ((s, d) =>
