@@ -456,6 +456,19 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Fused end-to-end near-dedup — the flagship "dedup the corpus" call:
+    // MinHash banding -> jaccard-verified pairs -> connected components ->
+    // keep the min-id member per cluster, one operator
+    // (Components.dropNearDuplicates). Rows-only (randomized banding is
+    // not SQL-expressible); ComponentsSpec pins composition identity and
+    // the exact-cluster subset law (kept_exact is a subset of kept_lsh).
+    "q_dedup_drop_near" -> ((s, d) =>
+      Components.dropNearDuplicates(
+          t(s, d, "documents"), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Incremental dedup (rows-only — minhash agreement is not
     // SQL-expressible; behavior pinned in DedupSpec): even doc_ids act as
     // the indexed corpus, odd ones as the new batch — survivors are odd
@@ -1507,6 +1520,48 @@ object SparkEntry {
         |       (e.value < b.lo OR e.value > b.hi) AS is_outlier
         |FROM events e JOIN b USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    // One SELECT per profiled column, unioned: the melted single-scan
+    // Spark profile and this N-scan SQL agree row-for-row (type names
+    // are Spark simpleString literals; timestamps render as unix micros,
+    // doubles via double->varchar — DuckDB and Java shortest-roundtrip
+    // formatting agree on these magnitudes).
+    "q_profile" ->
+      """WITH src AS (SELECT * FROM events)
+        |SELECT * FROM (
+        |  SELECT 'event_id' AS "column", 'bigint' AS data_type,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+        |         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |         CAST(min(event_id) AS VARCHAR) AS min_value,
+        |         CAST(max(event_id) AS VARCHAR) AS max_value FROM src
+        |  UNION ALL
+        |  SELECT 'ts', 'timestamp', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(ts) AS BIGINT),
+        |         CAST(count(DISTINCT ts) AS BIGINT),
+        |         CAST(epoch_us(min(ts)) AS VARCHAR),
+        |         CAST(epoch_us(max(ts)) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'user_id', 'bigint', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(user_id) AS BIGINT),
+        |         CAST(count(DISTINCT user_id) AS BIGINT),
+        |         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'event_type', 'string', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(event_type) AS BIGINT),
+        |         CAST(count(DISTINCT event_type) AS BIGINT),
+        |         min(event_type), max(event_type) FROM src
+        |  UNION ALL
+        |  SELECT 'value', 'double', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(value) AS BIGINT),
+        |         CAST(count(DISTINCT value) AS BIGINT),
+        |         CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'props', 'string', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(props) AS BIGINT),
+        |         CAST(count(DISTINCT props) AS BIGINT),
+        |         min(props), max(props) FROM src
+        |) ORDER BY "column" """.stripMargin,
 
     "q_tfidf_topk" ->
       """WITH toks AS (

@@ -94,6 +94,29 @@ class ComponentsSpec extends SparkSpec {
       n = 3, numHashes = 64, bands = 16, minJaccard = 0.2).count() == 0)
   }
 
+  test("dropNearDuplicates vs the exact-pair keeper: subset law + identity at full recall") {
+    // Verified LSH pairs are a SUBSET of the exact-jaccard pairs (the
+    // verify step kills false positives), so LSH clusters refine exact
+    // clusters — and each exact cluster's min-id is still the min of its
+    // LSH subcluster. Hence kept_exact ⊆ kept_lsh unconditionally, and
+    // the two are EQUAL exactly when banding missed no pair. Pins the
+    // q_dedup_drop_near contract query's params (32 hashes, 16 bands).
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val keptLsh = Components.dropNearDuplicates(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val exactPairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+    val keptExact = Components.keepClusterRepresentatives(docs, "doc_id", exactPairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptExact.subsetOf(keptLsh),
+      s"exact-cluster keepers missing from LSH keep: ${(keptExact -- keptLsh).take(5)}")
+    val lshPairCount = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, minJaccard = 0.2).count()
+    if (lshPairCount == exactPairs.count()) assert(keptLsh == keptExact)
+    // Missed pairs can only SPLIT clusters: bounded extra keepers.
+    assert(keptLsh.size - keptExact.size <= (exactPairs.count() - lshPairCount))
+  }
+
   test("clusters over exact jaccard pairs on the testdata corpus") {
     val docs = TableIO.table(spark, Sf0001, "documents")
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
