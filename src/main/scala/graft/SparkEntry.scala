@@ -618,6 +618,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Hilbert clustering key on the same buckets as q_zorder: the
+    // no-jump space-filling curve (canonical xy2d orientation for 2-D).
+    // The oracle replays the quadrant-rotation loop as a recursive CTE —
+    // the curve math is deterministic, so this is hash-matched, not
+    // rows-only.
+    "q_hilbert" -> ((s, d) => {
+      val vB = Layout.linearBoundaries(0.0, 512.0, 3)
+      val uB = Layout.linearBoundaries(0.0, 1600.0, 3)
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          Layout.bucketIndex(col("value"), vB).as("bx"),
+          Layout.bucketIndex(col("user_id").cast("double"), uB).as("by"))
+        .withColumn("h_value", Layout.hilbertValue(Seq(col("bx"), col("by")), bits = 3))
+        .orderBy("event_id")
+    }),
+
     // Deterministic hash split: engine-independent train/val/test
     // membership (md5-prefix thresholds; the oracle is the same string
     // comparison in plain SQL).
@@ -1612,6 +1629,36 @@ object SparkEntry {
         |            ((bx >> 1) & 1) * 4  + ((by >> 1) & 1) * 8 +
         |            ((bx >> 2) & 1) * 16 + ((by >> 2) & 1) * 32 AS BIGINT) AS z_value
         |FROM b ORDER BY event_id""".stripMargin,
+
+    // The xy2d quadrant-rotation loop replayed as a recursive CTE: state
+    // (x, y, d) steps s = 4 -> 2 -> 1, rows finalize at s = 0. rx/ry are
+    // inlined as CASE on the OLD x/y (all SELECT expressions in one
+    // recursion step see the previous iteration's values).
+    "q_hilbert" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_id,
+        |         CASE WHEN value <= 64 THEN 0 WHEN value <= 128 THEN 1
+        |              WHEN value <= 192 THEN 2 WHEN value <= 256 THEN 3
+        |              WHEN value <= 320 THEN 4 WHEN value <= 384 THEN 5
+        |              WHEN value <= 448 THEN 6 ELSE 7 END AS bx,
+        |         CASE WHEN user_id <= 200 THEN 0 WHEN user_id <= 400 THEN 1
+        |              WHEN user_id <= 600 THEN 2 WHEN user_id <= 800 THEN 3
+        |              WHEN user_id <= 1000 THEN 4 WHEN user_id <= 1200 THEN 5
+        |              WHEN user_id <= 1400 THEN 6 ELSE 7 END AS by
+        |  FROM events
+        |), h AS (
+        |  SELECT event_id, bx, by, bx AS x, by AS y, CAST(0 AS BIGINT) AS d, 4 AS s FROM b
+        |  UNION ALL
+        |  SELECT event_id, bx, by,
+        |    CASE WHEN (y & s) = 0 THEN CASE WHEN (x & s) > 0 THEN 7 - y ELSE y END ELSE x END,
+        |    CASE WHEN (y & s) = 0 THEN CASE WHEN (x & s) > 0 THEN 7 - x ELSE x END ELSE y END,
+        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM h WHERE s > 0
+        |)
+        |SELECT event_id, bx, by, CAST(d AS BIGINT) AS h_value
+        |FROM h WHERE s = 0 ORDER BY event_id""".stripMargin,
 
     "q_split_hash" ->
       """SELECT doc_id,

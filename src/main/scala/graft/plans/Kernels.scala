@@ -198,4 +198,85 @@ object Kernels {
     }
     sig
   }
+
+  /** 2-D Hilbert index of cell (x, y) on a 2^bits x 2^bits grid — the
+    * canonical xy2d quadrant-rotation loop (Hilbert 1891; iterative form
+    * as in Warren, Hacker's Delight / the public-domain xy2d snippet):
+    * per level, accumulate the quadrant's contribution and rotate the
+    * frame so every sub-square is traversed in curve order. Out-of-range
+    * coordinates are clamped to the grid.
+    */
+  def hilbert2(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var x = if (x0 < 0) 0L else if (x0 >= n) n - 1 else x0
+    var y = if (y0 < 0) 0L else if (y0 >= n) n - 1 else y0
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) { // rotate: reflect (if rx) then transpose
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** d-dimensional Hilbert index via Skilling's transpose algorithm
+    * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004):
+    * undo excess Gray-code rotations level by level, Gray-encode across
+    * dimensions, then gather the interleaved bits MSB-first. Coordinates
+    * are clamped to [0, 2^bits). Used for 3-4 dims; 2-D takes
+    * [[hilbert2]] (whose orientation the SQL oracle reproduces).
+    */
+  def hilbertN(bits: Int, coords: Array[Long]): Long = {
+    val dims = coords.length
+    val side = 1L << bits
+    val xs = new Array[Long](dims)
+    var i = 0
+    while (i < dims) {
+      val c = coords(i)
+      xs(i) = if (c < 0) 0L else if (c >= side) side - 1 else c
+      i += 1
+    }
+    val m = 1L << (bits - 1)
+    // Inverse-undo: strip the rotations the curve applies within each level.
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < dims) {
+        if ((xs(i) & q) != 0) xs(0) ^= p
+        else { val t = (xs(0) ^ xs(i)) & p; xs(0) ^= t; xs(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray-encode across dimensions.
+    i = 1
+    while (i < dims) { xs(i) ^= xs(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) { if ((xs(dims - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < dims) { xs(i) ^= t; i += 1 }
+    // Gather: bit b of dimension i lands MSB-first at ((bits-1-b)*dims + i).
+    var h = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      i = 0
+      while (i < dims) { h = (h << 1) | ((xs(i) >>> b) & 1L); i += 1 }
+      b -= 1
+    }
+    h
+  }
+
+  def hilbert3(bits: Int, x: Long, y: Long, z: Long): Long =
+    hilbertN(bits, Array(x, y, z))
+
+  def hilbert4(bits: Int, x: Long, y: Long, z: Long, w: Long): Long =
+    hilbertN(bits, Array(x, y, z, w))
 }

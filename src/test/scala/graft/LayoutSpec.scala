@@ -78,6 +78,108 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.compact(spark, s"$root/small", s"$root/x", 0))
   }
 
+  test("hilbert2: pinned xy2d values, bijective, consecutive cells are neighbors") {
+    import graft.plans.Kernels
+    // Pinned against an independent xy2d implementation (8x8 grid).
+    val pinned = Seq(((0L, 0L), 0L), ((7L, 0L), 63L), ((0L, 7L), 21L),
+      ((7L, 7L), 42L), ((3L, 4L), 31L), ((5L, 2L), 55L))
+    pinned.foreach { case ((x, y), d) =>
+      assert(Kernels.hilbert2(3, x, y) == d, s"hilbert2(3, $x, $y)")
+    }
+    val grid = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y)
+    val idx = grid.map { case (x, y) => (x, y) -> Kernels.hilbert2(3, x, y) }.toMap
+    assert(idx.values.toSeq.sorted == (0L until 64L), "bijection over the full grid")
+    // The defining Hilbert property: curve never jumps.
+    val inv = idx.map(_.swap)
+    (0L until 63L).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (inv(d), inv(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // Clamping, matching bucketIndex's range contract.
+    assert(Kernels.hilbert2(3, -5L, 9L) == Kernels.hilbert2(3, 0L, 7L))
+  }
+
+  test("hilbertN (Skilling): bijective + unit steps in 3 and 4 dims") {
+    import graft.plans.Kernels
+    def check(dims: Int, bits: Int): Unit = {
+      val side = 1 << bits
+      val cells = Seq.fill(dims)(0 until side)
+        .foldLeft(Seq(Seq.empty[Int]))((acc, r) => acc.flatMap(p => r.map(p :+ _)))
+      val idx = cells.map(c => c -> Kernels.hilbertN(bits, c.map(_.toLong).toArray)).toMap
+      assert(idx.values.toSeq.sorted == (0L until (1L << (dims * bits))),
+        s"bijection dims=$dims bits=$bits")
+      val inv = idx.map(_.swap)
+      (0L until inv.size - 1L).foreach { d =>
+        val dist = inv(d).zip(inv(d + 1)).map { case (a, b) => math.abs(a - b) }.sum
+        assert(dist == 1, s"jump at d=$d (dims=$dims bits=$bits)")
+      }
+    }
+    check(3, 2)
+    check(4, 2)
+    check(3, 3)
+  }
+
+  test("hilbertValue column (codegen path) agrees with the kernel") {
+    import graft.plans.Kernels
+    val df = (for { x <- 0 to 7; y <- 0 to 7 } yield (x.toLong, y.toLong)).toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        Layout.hilbertValue(Seq(col("a"), col("b")), bits = 3).as("h"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) => assert(h == Kernels.hilbert2(3, x, y)) }
+    val got3 = df.select(col("a"), col("b"), lit(1L).as("c"))
+      .select(Layout.hilbertValue(Seq(col("a") % 4, col("b") % 4, col("c")), bits = 2).as("h"),
+        (col("a") % 4).as("a"), (col("b") % 4).as("b"))
+      .as[(Long, Long, Long)].collect()
+    got3.foreach { case (h, x, y) => assert(h == Kernels.hilbert3(2, x, y, 1L)) }
+  }
+
+  test("hilbert layout prunes both dimensions; tighter file boxes than z-order") {
+    // 12 files, NOT 16: when the file count aligns with quadrant
+    // boundaries (powers of 4 cells per file) both curves cut into
+    // perfect squares and tie; misaligned cuts are where Hilbert's
+    // no-jump property pays (a Z chunk spanning a quadrant boundary
+    // jumps across the space, bloating that file's bounding box). At 12
+    // files over an 8x8 grid the cell-exact model gives total bbox area
+    // 80 (Hilbert) vs 112 (Z).
+    val n = 100000
+    val df = spark.range(n).select(rand(7).as("x"), rand(13).as("y"))
+    val bounds = Layout.linearBoundaries(0.0, 1.0, 3)
+    val root = s"target/tmp/hilbert_${System.nanoTime()}"
+    Layout.writeZOrdered(df, Seq("x" -> bounds, "y" -> bounds), s"$root/z", numFiles = 12)
+    Layout.writeHilbertOrdered(df, Seq("x" -> bounds, "y" -> bounds), s"$root/h", numFiles = 12)
+
+    def fileBoxes(dir: String): Array[(Double, Double, Double, Double)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .select("x0", "x1", "y0", "y1")
+        .as[(Double, Double, Double, Double)].collect()
+
+    def touched(boxes: Array[(Double, Double, Double, Double)],
+        xr: Option[(Double, Double)], yr: Option[(Double, Double)]): Int =
+      boxes.count { case (x0, x1, y0, y1) =>
+        xr.forall { case (lo, hi) => !(x1 < lo || x0 > hi) } &&
+        yr.forall { case (lo, hi) => !(y1 < lo || y0 > hi) }
+      }
+
+    val (zBoxes, hBoxes) = (fileBoxes(s"$root/z"), fileBoxes(s"$root/h"))
+    // Hilbert meets the same absolute pruning bar as the z layout...
+    Seq((0.05, 0.10), (0.40, 0.45), (0.80, 0.85)).foreach { b =>
+      assert(touched(hBoxes, Some(b), None) <= 8, s"hilbert x-band $b")
+      assert(touched(hBoxes, None, Some(b)) <= 8, s"hilbert y-band $b")
+      assert(touched(hBoxes, Some(b), Some(b)) <= 4, s"hilbert 2-D box $b")
+    }
+    // ...and beats it on the query-independent locality metric: total
+    // bounding-box area across files (what an arbitrary box probe pays
+    // in expectation). Cell-exact margin is 80 vs 112; boundary-cell
+    // spill blurs both, so require h < z rather than a fixed ratio.
+    def totalArea(boxes: Array[(Double, Double, Double, Double)]): Double =
+      boxes.map { case (x0, x1, y0, y1) => (x1 - x0) * (y1 - y0) }.sum
+    val (zArea, hArea) = (totalArea(zBoxes), totalArea(hBoxes))
+    assert(hArea < zArea,
+      f"hilbert total bbox area $hArea%.3f should undercut z-order's $zArea%.3f")
+  }
+
   test("z-ordered files prune on BOTH dimensions; a 1-D sort cannot") {
     val n = 100000
     val df = spark.range(n).select(rand(7).as("x"), rand(13).as("y"))
