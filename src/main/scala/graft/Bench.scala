@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
+  /** Fixed-work calibration canary, run once per timed pass.
+    *
+    * Round 5's bench total drifted +38% with no plan changes; the judge could
+    * only adjudicate it as box noise via builder-side A/B runs the driver never
+    * sees. The canary's work is CONSTANT across rounds (independent of the
+    * query list, the sf dir, and any operator code), so the ratio
+    * canary_r{N}/canary_r{M} measures the box, and cross-round totals can be
+    * normalized by dividing it out. Shape: one 50M-row codegen'd scan+agg
+    * (CPU-bound, measures raw executor throughput) plus one small fixed
+    * shuffle (measures exchange machinery), both fully deterministic.
+    */
+  private def canaryOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(50000000L)
+      .select(sum(col("id") % 7L).as("s"))
+      .collect()
+    spark.range(1000000L)
+      .withColumn("k", col("id") % 256L)
+      .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("n"))
+      .agg(sum("s")).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contract default is local[32]; SPARK_GRAFT_CPUS overrides for
@@ -20,6 +44,7 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    canaryOnce(spark) // warm the canary's own codegen too
     // Two timed runs per query, report the min: a single pass conflates
     // engine throughput with whatever GC debt the preceding 30+ plans
     // left behind (observed 3-5x swings on the same query in one session).
@@ -39,9 +64,12 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) dt else -1.0)
     }.toMap
+    val canary1 = canaryOnce(spark)
     val pass1 = timedPass()
     System.gc()
+    val canary2 = canaryOnce(spark)
     val pass2 = timedPass()
+    val canary = math.min(canary1, canary2)
     val results = SparkEntry.benchQueries.map { name =>
       val (a, b) = (pass1(name), pass2(name))
       val best =
@@ -60,12 +88,16 @@ object Bench {
     // map goes to BENCH_DETAIL.json in the repo for the judge.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
+    // Failures (-1 in both passes) must stay distinguishable from entries
+    // merely omitted for line-budget reasons: a newly-failing query lowers
+    // the positive-only total, which would otherwise read as a perf win.
+    val failed = results.values.count(_ < 0)
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
     val lineBudget = 1400 // bytes; well under the ~1.8 KB tail window
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"failed":$failed,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}"""
     }
     // Greedy prefix of the slowest-first list that keeps the line in budget.
     val keep = (bySlowest.length to 0 by -1).view
@@ -78,8 +110,15 @@ object Bench {
       val detail = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f") }
         .mkString("{", ",", "}")
+      // Per-pass samples make stall signatures visible post-hoc: a query
+      // whose min is fine but whose other sample is 30x tells the reader a
+      // transient hit that pass, not the plan.
+      def p(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+      val passes = results.toSeq.sortBy(_._1)
+        .map { case (k, _) => "\"" + k + "\":[" + p(pass1(k)) + "," + p(pass2(k)) + "]" }
+        .mkString("{", ",", "}")
       val json =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":${f"$canary%.3f"},"canary_passes":[${f"$canary1%.3f"},${f"$canary2%.3f"}],"failed":$failed,"queries":$detail,"passes":$passes,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (json + "\n").getBytes("UTF-8"))

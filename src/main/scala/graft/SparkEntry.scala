@@ -167,6 +167,18 @@ object SparkEntry {
         .select("event_id", "user_id", "type_diversity_6h")
         .orderBy("event_id")),
 
+    // The reference's full W1-W4 feature set in ONE call with every
+    // window in its blocked skew-proof form (addFeaturesBlocked) — the
+    // 100 TB pipeline entry. Blocked forms are output-identical to the
+    // plain windows, so the oracle is the three plain-window SQLs merged.
+    "q_features_blocked" -> ((s, d) =>
+      BehavioralFeatures.addFeaturesBlocked(
+          t(s, d, "events"),
+          accountCol = "user_id", tsCol = "ts",
+          amountCol = "value", receiverCol = "event_type")
+        .select("event_id", "user_id", "velocity_1h", "avg_diff_24h", "merchant_diversity")
+        .orderBy("event_id")),
+
     // Batch gap-based sessionization (lag + running sum, both O(n)
     // cumulative frames; deterministic under timestamp ties).
     "q_sessionize" -> ((s, d) =>
@@ -1214,6 +1226,24 @@ object SparkEntry {
         |             RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    "q_features_blocked" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER w1 AS BIGINT) AS velocity_1h,
+        |       value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE)
+        |               / (count(value) OVER w24) AS avg_diff_24h,
+        |       CAST(count(DISTINCT event_type) OVER w6 AS INT) AS merchant_diversity
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY user_id
+        |              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+        |       w24 AS (PARTITION BY user_id
+        |              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW),
+        |       w6 AS (PARTITION BY user_id
+        |              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |              RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "q_sort_global" ->
       """SELECT event_id, event_type, value
         |FROM events ORDER BY value DESC, event_id""".stripMargin,
@@ -1611,14 +1641,19 @@ object SparkEntry {
         |SELECT doc_id, term, tf, score, rk FROM ranked
         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
+    // NULL pin: Spark's bucketIndex sends NULL inputs to bucket 0, so the
+    // oracle leads each CASE with an IS NULL -> 0 arm (the bare ELSE 7
+    // would silently diverge if events ever gains nulls).
     "q_zorder" ->
       """WITH b AS (
         |  SELECT event_id,
-        |         CASE WHEN value <= 64 THEN 0 WHEN value <= 128 THEN 1
+        |         CASE WHEN value IS NULL THEN 0
+        |              WHEN value <= 64 THEN 0 WHEN value <= 128 THEN 1
         |              WHEN value <= 192 THEN 2 WHEN value <= 256 THEN 3
         |              WHEN value <= 320 THEN 4 WHEN value <= 384 THEN 5
         |              WHEN value <= 448 THEN 6 ELSE 7 END AS bx,
-        |         CASE WHEN user_id <= 200 THEN 0 WHEN user_id <= 400 THEN 1
+        |         CASE WHEN user_id IS NULL THEN 0
+        |              WHEN user_id <= 200 THEN 0 WHEN user_id <= 400 THEN 1
         |              WHEN user_id <= 600 THEN 2 WHEN user_id <= 800 THEN 3
         |              WHEN user_id <= 1000 THEN 4 WHEN user_id <= 1200 THEN 5
         |              WHEN user_id <= 1400 THEN 6 ELSE 7 END AS by
@@ -1637,11 +1672,13 @@ object SparkEntry {
     "q_hilbert" ->
       """WITH RECURSIVE b AS (
         |  SELECT event_id,
-        |         CASE WHEN value <= 64 THEN 0 WHEN value <= 128 THEN 1
+        |         CASE WHEN value IS NULL THEN 0
+        |              WHEN value <= 64 THEN 0 WHEN value <= 128 THEN 1
         |              WHEN value <= 192 THEN 2 WHEN value <= 256 THEN 3
         |              WHEN value <= 320 THEN 4 WHEN value <= 384 THEN 5
         |              WHEN value <= 448 THEN 6 ELSE 7 END AS bx,
-        |         CASE WHEN user_id <= 200 THEN 0 WHEN user_id <= 400 THEN 1
+        |         CASE WHEN user_id IS NULL THEN 0
+        |              WHEN user_id <= 200 THEN 0 WHEN user_id <= 400 THEN 1
         |              WHEN user_id <= 600 THEN 2 WHEN user_id <= 800 THEN 3
         |              WHEN user_id <= 1000 THEN 4 WHEN user_id <= 1200 THEN 5
         |              WHEN user_id <= 1400 THEN 6 ELSE 7 END AS by

@@ -29,24 +29,73 @@ object BehavioralFeatures {
   /** The reference's exact feature set (build_features.py:26-39):
     * velocity_1h, avg_diff_24h, merchant_diversity; intermediates
     * (`ts_unix`, `avg_amount_24h`) dropped.
+    *
+    * The 24h mean uses the exact decimal form ([[trailingAvgExact]]) —
+    * `sum(decimal)/count`, not `avg(double)` — so the value is
+    * order-independent AND bit-equal to [[addFeaturesBlocked]]'s
+    * recombined partials (floating sums are not associative; a blocked
+    * recombination of double partials would drift in the last ulp).
     */
   def addFeatures(
       df: DataFrame,
       accountCol: String = "sender_account",
       tsCol: String = "timestamp",
       amountCol: String = "amount",
-      receiverCol: String = "receiver_account"): DataFrame = {
+      receiverCol: String = "receiver_account",
+      idCol: String = "transaction_id"): DataFrame = {
     val withTs = df.withColumn("ts_unix", unix_timestamp(col(tsCol)))
     val w1h = trailingWindow(accountCol, "ts_unix", 3600L)
-    val w24h = trailingWindow(accountCol, "ts_unix", 86400L)
     val w6h = trailingWindow(accountCol, "ts_unix", 21600L)
 
     withTs
-      .withColumn("velocity_1h", count(col("transaction_id")).over(w1h))
-      .withColumn("avg_amount_24h", avg(col(amountCol)).over(w24h))
+      .withColumn("velocity_1h", count(col(idCol)).over(w1h))
+      .withColumn("avg_amount_24h",
+        trailingAvgExact(col(amountCol), accountCol, "ts_unix", 86400L))
       .withColumn("avg_diff_24h", col(amountCol) - col("avg_amount_24h"))
       .withColumn("merchant_diversity", size(collect_set(col(receiverCol)).over(w6h)))
       .drop("ts_unix", "avg_amount_24h")
+  }
+
+  /** Skew-proof variant of [[addFeatures]] — same three features, same
+    * column names, types, and values (bit-equal; the identity is pinned in
+    * BehavioralFeaturesSpec), but every window runs in its blocked form
+    * ([[blockedTrailingCount]] / [[blockedTrailingAvgExact]] /
+    * [[blockedTrailingDistinct]]), so no task ever materializes a whole
+    * hot account's history. This is the pipeline entry to use at 100 TB:
+    * one bot/exchange wallet with 10^8 rows stalls `addFeatures`' single
+    * range-window stage, while here each feature costs three BOUNDED
+    * shuffles (per-(key, block) window + suffix table + as-of probe —
+    * ScaleStress measured 27x on hot keys).
+    *
+    * The three widths differ (1h / 24h / 6h), so the blocks can't share a
+    * partitioning — the features chain as three independent blocked
+    * probes. That is 9 bounded shuffles vs `addFeatures`' 1 skewed one:
+    * the right trade precisely when key heat, not shuffle count, is the
+    * stage-killer; on skew-free data prefer [[addFeatures]].
+    *
+    * Identity caveat: `velocity_1h` here counts rows where the plain form
+    * counts non-null `idCol` — identical whenever `idCol` is the table's
+    * primary key (true for the reference schema and every driver table).
+    */
+  def addFeaturesBlocked(
+      df: DataFrame,
+      accountCol: String = "sender_account",
+      tsCol: String = "timestamp",
+      amountCol: String = "amount",
+      receiverCol: String = "receiver_account"): DataFrame = {
+    val withTs = df.withColumn("ts_unix", unix_timestamp(col(tsCol)))
+    val withVel =
+      blockedTrailingCount(withTs, accountCol, "ts_unix", 3600L, "velocity_1h")
+    val withAvg =
+      blockedTrailingAvgExact(withVel, amountCol, accountCol, "ts_unix", 86400L, "avg_amount_24h")
+    val withDiv =
+      blockedTrailingDistinct(withAvg, receiverCol, accountCol, "ts_unix", 21600L, "merchant_diversity")
+    withDiv
+      .withColumn("avg_diff_24h", col(amountCol) - col("avg_amount_24h"))
+      .drop("ts_unix", "avg_amount_24h")
+      // Pin addFeatures' exact column order (withColumn appends).
+      .select(df.columns.map(col) ++
+        Seq(col("velocity_1h"), col("avg_diff_24h"), col("merchant_diversity")): _*)
   }
 
   // ---- Generic trailing-window builders (used by SparkEntry queries over

@@ -197,6 +197,30 @@ class BehavioralFeaturesSpec extends SparkSpec {
     assert(stats(("B", 0L)) == (1L, 0L, 0L, 0L))
   }
 
+  test("addFeaturesBlocked is bit-identical to addFeatures (pipeline-level, hot key + edges)") {
+    // Transactions-shaped data with a hot account (one key, dense
+    // minute-grain traffic spanning several 1h/6h blocks) plus the
+    // hand-placed edge fixture's shapes: exact-W gaps and boundary ties.
+    val rng = new scala.util.Random(11)
+    val hot = (0 until 400).map { i =>
+      (s"h$i", "HOT", s"r${rng.nextInt(6)}", rng.nextInt(100000) / 100.0, ts(i * 61L))
+    }
+    val sparse = Seq(
+      ("s1", "S", "r1", 100.0, ts(0)),
+      ("s2", "S", "r2", 200.0, ts(3600)),    // exactly W after s1
+      ("s3", "S", "r2", 300.0, ts(3600)),    // tie at block boundary
+      ("s4", "S", "r3", 400.0, ts(90000)))   // far future, everything expired
+    val txns = (hot ++ sparse)
+      .toDF("transaction_id", "sender_account", "receiver_account", "amount", "timestamp")
+
+    val plain = BehavioralFeatures.addFeatures(txns)
+    val blocked = BehavioralFeatures.addFeaturesBlocked(txns)
+    assert(plain.columns.toSeq == blocked.columns.toSeq,
+      "blocked variant must keep addFeatures' exact schema")
+    assert(blocked.exceptAll(plain).isEmpty && plain.exceptAll(blocked).isEmpty,
+      "addFeaturesBlocked must be bit-identical to addFeatures (decimal partials)")
+  }
+
   test("blocked windows reject non-positive width") {
     intercept[IllegalArgumentException] {
       BehavioralFeatures.blockedTrailingCount(edgeRows, "key", "ts_unix", 0L, "c")
