@@ -211,6 +211,76 @@ object SimilaritySearch {
     IvfIndex(cents, spark.table(tableName))
   }
 
+  /** Split hot Voronoi cells so no probe has to scan an outsized one.
+    *
+    * Skewed corpora (one dominant language, boilerplate-heavy crawls)
+    * concentrate mass in a few cells; a probe routed there scans
+    * `count(hotCell)` vectors instead of ~`N/nlist`, and at 100 TB that
+    * single cell is the straggler task. Rebalance re-KMeans each cell
+    * whose row count exceeds `hotFactor` x the corpus mean into
+    * ~`count/mean` subcells (capped at `maxSplit`), reusing the hot
+    * cell's id for the first subcell and appending the rest, so COLD
+    * cells keep their ids, their centroids, and their rows untouched —
+    * an incremental index (bucketed table, streamed appends) only
+    * rewrites the hot cells' rows.
+    *
+    * The returned index honors the same contract as [[buildIvfIndex]]
+    * (centroids positionally indexed by cell id; assigned = (id, v,
+    * cell)), so [[saveIvfIndex]]/[[loadIvfIndex]]/[[ivfTopK]]/
+    * [[ivfTopKBatch]]/[[assignCells]] are all drop-in. Driver state
+    * stays bounded: the cell histogram is nlist rows and each fit scans
+    * only its own cell (bucket-pruned when assigned is a bucketed
+    * table). Recall semantics are unchanged — nprobe = nlist is still
+    * exactly brute force, and per-probe recall is governed by nprobe as
+    * before (asserted in SimilaritySpec).
+    */
+  def rebalanceIvfIndex(
+      index: IvfIndex,
+      idCol: String,
+      hotFactor: Double = 4.0,
+      maxSplit: Int = 32,
+      seed: Long = 42L,
+      maxIter: Int = 8): IvfIndex = {
+    require(hotFactor > 1.0, s"hotFactor must exceed 1 (got $hotFactor)")
+    require(maxSplit >= 2, s"maxSplit must be at least 2 (got $maxSplit)")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // Cell histogram: nlist rows — driver-bounded, like the centroids.
+    val counts = index.assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = counts.values.sum.toDouble / index.centroids.length
+    val hot = counts.filter { case (_, n) => n > hotFactor * mean }.keys.toSeq.sorted
+    if (hot.isEmpty) return index
+
+    val grown = scala.collection.mutable.ArrayBuffer[Array[Double]](index.centroids: _*)
+    val pieces = hot.map { cell =>
+      // Aim each subcell at the corpus mean: a 27x-mean cell splits ~27
+      // ways (capped), not in half — one rebalance pass reaches balance.
+      val m = math.min(math.min(maxSplit.toLong, counts(cell)),
+        math.max(2L, math.ceil(counts(cell) / mean).toLong)).toInt
+      val prepared = index.assigned.filter(col("cell") === cell)
+        .withColumn("features", array_to_vector(col("v")))
+      // Same init rationale as buildIvfIndex: routing cells don't need
+      // converged clustering, and recall stays governed by nprobe.
+      val model = new KMeans().setK(m).setSeed(seed + cell).setFeaturesCol("features")
+        .setInitMode("random").setMaxIter(maxIter).fit(prepared)
+      val sub = model.clusterCenters.map(_.toArray)
+      val ids = sub.indices.map { i =>
+        if (i == 0) { grown(cell) = sub(0); cell }
+        else { grown += sub(i); grown.length - 1 }
+      }
+      val idMap = typedLit(ids.indices.map(i => i -> ids(i)).toMap)
+      model.transform(prepared)
+        .select(col(idCol), col("v"), element_at(idMap, col("prediction")).as("cell"))
+    }
+    val cold = index.assigned
+      .filter(!col("cell").isin(hot.map(Integer.valueOf): _*))
+      .select(col(idCol), col("v"), col("cell"))
+    val assigned = pieces.foldLeft(cold)(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(grown.toArray, assigned)
+  }
+
   /** Assign each row to its nearest centroid cell — the routing half of
     * IVF without any clustering: exact argmin over the (tiny, broadcast)
     * centroid table via the same dot-identity distance as

@@ -306,4 +306,79 @@ object StreamingFeatures {
           .write.mode("append").partitionBy("event_date").parquet(path)
       }
       .start()
+
+  /** Compact a streaming sink directory when it has accreted too many
+    * small files — the trigger half of [[graft.operators.Layout.compact]].
+    *
+    * Heuristic: count parquet files under half of `targetFileBytes`
+    * ("small"); past `maxSmallFiles` of them, rewrite the whole dir into
+    * ~target-sized files. Half, not target, so the compactor's own
+    * output (avg >= target/2 by the ceil sizing) never re-triggers on
+    * the next batch — without that dampening a slow stream would
+    * re-compact the same bytes every interval. Listing is driver-side
+    * but file-count-bounded, the same budget the compactor itself pays.
+    *
+    * The rewrite lands in a sibling temp dir, then swaps in via
+    * delete + rename — the read-input/overwrite-output pair cannot
+    * target one dir. Single-writer only (call it from the sink's OWN
+    * foreachBatch, as [[writeCompactingSink]] does, never concurrently
+    * with another writer), and the swap is not atomic for outside
+    * readers: a scan racing the rename can fail and retry. Transactional
+    * visibility needs a table format with a commit log (Delta — the
+    * documented seam, SURVEY §1.4).
+    */
+  def compactIfNeeded(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxSmallFiles: Int = 16,
+      sortCols: Seq[String] = Nil): Option[graft.operators.Layout.CompactionStats] = {
+    require(maxSmallFiles >= 1, s"maxSmallFiles must be positive, got $maxSmallFiles")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return None
+    var small = 0
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") && f.getLen < targetFileBytes / 2) small += 1
+    }
+    if (small <= maxSmallFiles) None
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}__compacting")
+      fs.delete(tmp, true) // leftover from a crashed previous attempt
+      val stats = graft.operators.Layout.compact(
+        spark, dir, tmp.toString, targetFileBytes, sortCols)
+      fs.delete(path, true)
+      fs.rename(tmp, path)
+      Some(stats)
+    }
+  }
+
+  /** Parquet streaming sink with self-compaction: each micro-batch
+    * appends (sorted on `sortCols` when given, so even pre-compaction
+    * files carry narrow min/max stats), then [[compactIfNeeded]] checks
+    * the accretion heuristic and rewrites the dir when it trips. With
+    * `sortCols` the compactor range-partitions + sorts, so a clustered
+    * layout (time, Z, Hilbert key) KEEPS its file-pruning property
+    * through every compaction cycle instead of degrading as the stream
+    * runs — the unbounded-small-files failure mode of plain file sinks.
+    */
+  def writeCompactingSink(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      sortCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxSmallFiles: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sorted = if (sortCols.nonEmpty) batch.sort(sortCols.map(col): _*) else batch
+        sorted.write.mode("append").parquet(path)
+        compactIfNeeded(batch.sparkSession, path, targetFileBytes, maxSmallFiles, sortCols)
+        ()
+      }
+      .start()
 }

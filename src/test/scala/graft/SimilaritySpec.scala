@@ -173,6 +173,87 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_spec_tbl")
   }
 
+  test("IVF hot-cell rebalance: bounds the hot cell, keeps partition + brute-force identity") {
+    // How cells actually go hot: the index is built on one distribution
+    // (100 scattered vectors), then appends concentrate into a blob the
+    // ROUTING sends to a single existing cell (building on the full
+    // corpus wouldn't show it — KMeans init would plant most centroids
+    // inside the blob and pre-split it). Deterministic generator.
+    val rng = new scala.util.Random(7)
+    val blob = (0 until 900).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => 1.0 + (rng.nextDouble() - 0.5) * 0.4 * (d + 1)))
+    }
+    val scattered = (900 until 1000).map { i =>
+      (i.toLong, Seq.fill(8)(rng.nextDouble() * 10.0 - 5.0))
+    }
+    val corpus = (blob ++ scattered).toDF("vec_id", "embedding")
+    val idx0 = SimilaritySearch.buildIvfIndex(
+      scattered.toDF("vec_id", "embedding"), "vec_id", "embedding", nlist = 8)
+    val idx = SimilaritySearch.IvfIndex(
+      idx0.centroids,
+      idx0.assigned.union(SimilaritySearch.assignCells(
+        blob.toDF("vec_id", "embedding"), "vec_id", "embedding", idx0.centroids)))
+    val pre = idx.assigned.groupBy("cell").count().select("count").as[Long].collect()
+    val preMean = pre.sum.toDouble / idx.centroids.length
+    assert(pre.max > 3.0 * preMean, "fixture must actually produce a hot cell")
+
+    val reb = SimilaritySearch.rebalanceIvfIndex(idx, "vec_id", hotFactor = 3.0)
+    // Partition preserved: same rows, each exactly once, every cell id valid.
+    assert(reb.assigned.count() == 1000)
+    assert(reb.assigned.select("vec_id").distinct().count() == 1000)
+    assert(reb.centroids.length > idx.centroids.length, "split must add subcells")
+    val post = reb.assigned.groupBy("cell").count()
+      .select("cell", "count").as[(Int, Long)].collect().toMap
+    assert(post.keys.forall(c => c >= 0 && c < reb.centroids.length))
+    val postMean = post.values.sum.toDouble / reb.centroids.length
+    assert(post.values.max <= pre.max / 2,
+      s"hot-cell mass must shrink substantially (pre max ${pre.max}, post max ${post.values.max})")
+    assert(post.values.max / postMean < pre.max / preMean,
+      "max/mean imbalance must improve")
+
+    // nprobe = nlist is still exactly brute force after the rebalance.
+    val q = corpus.filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+    val brute = SimilaritySearch.bruteForceTopK(
+      corpus.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val all = SimilaritySearch.ivfTopK(reb, "vec_id", q, 21, nprobe = reb.centroids.length)
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").as[Long].collect().take(20).toSet
+    assert(all == brute, "nprobe = nlist must stay brute-force-identical")
+
+    // A bounded probe still recovers the neighborhood (subcell centroids
+    // sit inside the old blob, so routing finds them).
+    val probed = SimilaritySearch.ivfTopK(reb, "vec_id", q, 21, nprobe = 4)
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").as[Long].collect().take(20).toSet
+    assert(probed.count(brute.contains) >= 10, "recall collapsed after rebalance")
+
+    // Rebalanced index honors the persistence contract unchanged.
+    val path = s"target/tmp/ivf_reb_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(reb, "vec_id", "ivf_reb_tbl", path, buckets = 4)
+    try {
+      val loaded = SimilaritySearch.loadIvfIndex(spark, "ivf_reb_tbl", path)
+      assert(loaded.centroids.length == reb.centroids.length)
+      assert(loaded.centroids.zip(reb.centroids).forall { case (a, b) => a.sameElements(b) })
+      val inSession = SimilaritySearch.ivfTopK(reb, "vec_id", q, 20, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val persisted = SimilaritySearch.ivfTopK(loaded, "vec_id", q, 20, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(persisted == inSession)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_reb_tbl")
+  }
+
+  test("rebalance is a no-op on a balanced index") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
+    val counts = idx.assigned.groupBy("cell").count().select("count").as[Long].collect()
+    val mean = counts.sum.toDouble / idx.centroids.length
+    assume(counts.max <= 4.0 * mean, "embeddings fixture unexpectedly skewed")
+    val reb = SimilaritySearch.rebalanceIvfIndex(idx, "vec_id", hotFactor = 4.0)
+    assert(reb eq idx, "balanced index must be returned unchanged (no new plan, no new cells)")
+  }
+
   test("streaming IVF assignment appends bucket-aligned rows probes can see") {
     val half = emb.filter(col("vec_id") < 250)
     val rest = emb.filter(col("vec_id") >= 250)

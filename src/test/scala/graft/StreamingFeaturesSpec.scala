@@ -333,4 +333,78 @@ class StreamingFeaturesSpec extends SparkSpec {
       .filter(_.contains("event_date="))
     assert(dates.length == 2, s"expected 2 date partition dirs, got ${dates.toSeq}")
   }
+
+  test("writeCompactingSink: files accrete, trigger fires, sorted layout survives") {
+    val dir = s"$root/csink"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // ~30 KB per batch: 30 rows x 1 KB of incompressible payload in
+    // event_type, so parquet can't shrink files below the small-file
+    // threshold and the byte math is predictable.
+    val rng = new scala.util.Random(13)
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    def batchRows(b: Int): Seq[StreamEvent] = (0 until 30).map { j =>
+      StreamEvent(b * 100L + j, ts(b * 10L + j),
+        Seq.fill(1024)(chars(rng.nextInt(36))).mkString, rng.nextDouble() * 1000.0)
+    }
+    def landBatch(b: Int): Unit = {
+      batchRows(b).toDF().coalesce(1).write.parquet(s"$dir/in/b$b")
+      Files.list(Paths.get(s"$dir/in/b$b")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+        Files.move(f, Paths.get(s"$dir/in/b$b.parquet"))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/in/b$b").toFile)
+    }
+    def sinkFiles(): Seq[java.nio.file.Path] = {
+      val p = Paths.get(s"$dir/out")
+      if (!Files.exists(p)) Nil
+      else Files.walk(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+
+    landBatch(0)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    // target 128 KB, small = < 64 KB, trigger past 4 small files: five
+    // ~30 KB batches (~150 KB) compact into ceil(150/128) = 2 files of
+    // ~75 KB — each above the small threshold, so the compactor's own
+    // output does not re-trigger on the next batch.
+    val q = StreamingFeatures.writeCompactingSink(
+      stream, s"$dir/out", s"$dir/ckpt",
+      sortCols = Seq("value"), targetFileBytes = 128L * 1024, maxSmallFiles = 4)
+    try {
+      q.processAllAvailable()
+      val n0 = sinkFiles().size
+      assert(n0 >= 1)
+      (1 to 3).foreach { b => landBatch(b); q.processAllAvailable() }
+      val accreted = sinkFiles().size
+      assert(accreted > n0, "small files must accrete before the trigger")
+      assert(accreted <= 4, s"trigger must not fire below the threshold (got $accreted files)")
+      landBatch(4); q.processAllAvailable() // 5th small file -> compaction
+      val afterCompact = sinkFiles()
+      assert(afterCompact.size < accreted,
+        s"compaction must shrink the file count (got ${afterCompact.size} after $accreted)")
+      landBatch(5); q.processAllAvailable() // a fresh batch appends, no re-compaction
+      val end = sinkFiles()
+      assert(end.size == afterCompact.size + 1,
+        "compacted output must not re-trigger; the new batch adds exactly its own file")
+
+      // No rows lost or duplicated through append + rewrite + append.
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() == 180)
+      assert(out.select("user_id").distinct().count() == 180)
+
+      // Layout preserved: the compacted files (all above the small
+      // threshold) hold disjoint value ranges — range partition + sort,
+      // i.e. a reader still prunes on value through the rewrite.
+      val big = end.filter(f => Files.size(f) >= 64L * 1024)
+      assert(big.size >= 2, "sizing math should have produced 2 compacted files")
+      val ranges = big.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(org.apache.spark.sql.functions.min("value"),
+            org.apache.spark.sql.functions.max("value")).head()
+        (r.getDouble(0), r.getDouble(1))
+      }.sortBy(_._1)
+      ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"compacted files overlap on the sort key: $ranges")
+      }
+    } finally q.stop()
+  }
 }
