@@ -647,6 +647,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // 3-D Hilbert key (value x user_id x hour-of-day buckets) through
+    // the Skilling transpose kernel — curve parity at every
+    // dimensionality Z-order serves. The oracle replays the transform
+    // as a recursive CTE over (a, b, c, q) state with the sequential
+    // per-dimension exchange steps nested as subqueries, so this is
+    // hash-matched like the 2-D xy2d oracle, not rows-only.
+    "q_hilbert3" -> ((s, d) => {
+      val vB = Layout.linearBoundaries(0.0, 512.0, 3)
+      val uB = Layout.linearBoundaries(0.0, 1600.0, 3)
+      val hB = Layout.linearBoundaries(0.0, 24.0, 3)
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          Layout.bucketIndex(col("value"), vB).as("bx"),
+          Layout.bucketIndex(col("user_id").cast("double"), uB).as("by"),
+          Layout.bucketIndex(hour(col("ts")).cast("double"), hB).as("bz"))
+        .withColumn("h3_value",
+          Layout.hilbertValue(Seq(col("bx"), col("by"), col("bz")), bits = 3))
+        .orderBy("event_id")
+    }),
+
     // Deterministic hash split: engine-independent train/val/test
     // membership (md5-prefix thresholds; the oracle is the same string
     // comparison in plain SQL).
@@ -1696,6 +1717,76 @@ object SparkEntry {
         |)
         |SELECT event_id, bx, by, CAST(d AS BIGINT) AS h_value
         |FROM h WHERE s = 0 ORDER BY event_id""".stripMargin,
+
+    // Skilling's transpose algorithm replayed as a recursive CTE: state
+    // (a, b, c) = the three coordinates, q halves 4 -> 2 -> 1. Each
+    // iteration applies the dimension loop SEQUENTIALLY (dim i reads
+    // dim 0's value as updated by dims < i), so the three exchange
+    // steps nest as subqueries (s0 = after dim 0, s1a/s1b = after dim
+    // 1). The epilogue (Gray-encode, t-correction, MSB-first gather)
+    // is loop-free and inlined on the q = 1 rows.
+    "q_hilbert3" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_id,
+        |         CASE WHEN value IS NULL THEN 0
+        |              WHEN value <= 64 THEN 0 WHEN value <= 128 THEN 1
+        |              WHEN value <= 192 THEN 2 WHEN value <= 256 THEN 3
+        |              WHEN value <= 320 THEN 4 WHEN value <= 384 THEN 5
+        |              WHEN value <= 448 THEN 6 ELSE 7 END AS bx,
+        |         CASE WHEN user_id IS NULL THEN 0
+        |              WHEN user_id <= 200 THEN 0 WHEN user_id <= 400 THEN 1
+        |              WHEN user_id <= 600 THEN 2 WHEN user_id <= 800 THEN 3
+        |              WHEN user_id <= 1000 THEN 4 WHEN user_id <= 1200 THEN 5
+        |              WHEN user_id <= 1400 THEN 6 ELSE 7 END AS by,
+        |         CASE WHEN hour(ts) IS NULL THEN 0
+        |              WHEN hour(ts) <= 3 THEN 0 WHEN hour(ts) <= 6 THEN 1
+        |              WHEN hour(ts) <= 9 THEN 2 WHEN hour(ts) <= 12 THEN 3
+        |              WHEN hour(ts) <= 15 THEN 4 WHEN hour(ts) <= 18 THEN 5
+        |              WHEN hour(ts) <= 21 THEN 6 ELSE 7 END AS bz
+        |  FROM events
+        |), h AS (
+        |  SELECT event_id, bx, by, bz,
+        |         CAST(bx AS BIGINT) AS a, CAST(by AS BIGINT) AS b2, CAST(bz AS BIGINT) AS c,
+        |         CAST(4 AS BIGINT) AS q
+        |  FROM b
+        |  UNION ALL
+        |  SELECT event_id, bx, by, bz,
+        |         CASE WHEN (c & q) != 0 THEN xor(s1a, q-1)
+        |              ELSE xor(s1a, xor(s1a, c) & (q-1)) END,
+        |         s1b,
+        |         CASE WHEN (c & q) != 0 THEN c
+        |              ELSE xor(c, xor(s1a, c) & (q-1)) END,
+        |         q // 2
+        |  FROM (
+        |    SELECT event_id, bx, by, bz, b2, c, q,
+        |           CASE WHEN (b2 & q) != 0 THEN xor(s0, q-1)
+        |                ELSE xor(s0, xor(s0, b2) & (q-1)) END AS s1a,
+        |           CASE WHEN (b2 & q) != 0 THEN b2
+        |                ELSE xor(b2, xor(s0, b2) & (q-1)) END AS s1b
+        |    FROM (
+        |      SELECT event_id, bx, by, bz, b2, c, q,
+        |             CASE WHEN (a & q) != 0 THEN xor(a, q-1) ELSE a END AS s0
+        |      FROM h WHERE q > 1
+        |    )
+        |  )
+        |)
+        |SELECT event_id, bx, by, bz,
+        |       CAST(((xor(g0, tt) >> 2) & 1) * 256 + ((xor(g1, tt) >> 2) & 1) * 128 +
+        |            ((xor(g2, tt) >> 2) & 1) * 64  + ((xor(g0, tt) >> 1) & 1) * 32 +
+        |            ((xor(g1, tt) >> 1) & 1) * 16  + ((xor(g2, tt) >> 1) & 1) * 8 +
+        |            (xor(g0, tt) & 1) * 4 + (xor(g1, tt) & 1) * 2 +
+        |            (xor(g2, tt) & 1) AS BIGINT) AS h3_value
+        |FROM (
+        |  SELECT event_id, bx, by, bz, g0, g1, g2,
+        |         xor(CASE WHEN (g2 & 4) != 0 THEN 3 ELSE 0 END,
+        |             CASE WHEN (g2 & 2) != 0 THEN 1 ELSE 0 END) AS tt
+        |  FROM (
+        |    SELECT event_id, bx, by, bz,
+        |           a AS g0, xor(b2, a) AS g1, xor(c, xor(b2, a)) AS g2
+        |    FROM h WHERE q = 1
+        |  )
+        |)
+        |ORDER BY event_id""".stripMargin,
 
     "q_split_hash" ->
       """SELECT doc_id,

@@ -7,6 +7,17 @@ import graft.operators.Layout
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Partition-count-independent uniforms in [0,1): hash of the row id
+    * over a FIXED-partitioning range. rand(seed) values depend on the
+    * task split (= core count), so file-box margins asserted from them
+    * would not be machine-stable; xxhash64 of the id is a pure function
+    * of the data.
+    */
+  private def uniformCols(n: Long, saltedNames: (String, Int)*): org.apache.spark.sql.DataFrame =
+    spark.range(0, n, 1, 8).select(saltedNames.map { case (name, salt) =>
+      (pmod(xxhash64(col("id"), lit(salt)), lit(1000000L)) / 1000000.0).as(name)
+    }: _*)
+
   test("bucketIndex: boundary search with null and clamp semantics") {
     val df = Seq(Some(0.1), Some(0.25), Some(0.3), Some(0.6), Some(0.9), None).toDF("v")
     val got = df.select(Layout.bucketIndex(col("v"), Seq(0.25, 0.5, 0.75)).as("b"))
@@ -142,7 +153,7 @@ class LayoutSpec extends SparkSpec {
     // files over an 8x8 grid the cell-exact model gives total bbox area
     // 80 (Hilbert) vs 112 (Z).
     val n = 100000
-    val df = spark.range(n).select(rand(7).as("x"), rand(13).as("y"))
+    val df = uniformCols(n, "x" -> 7, "y" -> 13)
     val bounds = Layout.linearBoundaries(0.0, 1.0, 3)
     val root = s"target/tmp/hilbert_${System.nanoTime()}"
     Layout.writeZOrdered(df, Seq("x" -> bounds, "y" -> bounds), s"$root/z", numFiles = 12)
@@ -180,9 +191,35 @@ class LayoutSpec extends SparkSpec {
       f"hilbert total bbox area $hArea%.3f should undercut z-order's $zArea%.3f")
   }
 
+  test("3-D: hilbert file boxes stay tighter than z-order's (bounding-volume sum)") {
+    // Same misaligned-cut setup as the 2-D comparison, one dimension up:
+    // 4x4x4 grid (bits=2), 12 files over 64 cells — 5-6 cells per file
+    // never tile sub-cubes, so Z's quadrant jumps inflate its boxes.
+    val n = 100000
+    val df = uniformCols(n, "x" -> 7, "y" -> 13, "u" -> 19)
+    val bounds = Layout.linearBoundaries(0.0, 1.0, 2)
+    val dims = Seq("x" -> bounds, "y" -> bounds, "u" -> bounds)
+    val root = s"target/tmp/hilbert3_${System.nanoTime()}"
+    Layout.writeZOrdered(df, dims, s"$root/z", numFiles = 12)
+    Layout.writeHilbertOrdered(df, dims, s"$root/h", numFiles = 12)
+
+    def totalVolume(dir: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"),
+          min("u").as("u0"), max("u").as("u1"))
+        .select(((col("x1") - col("x0")) * (col("y1") - col("y0")) * (col("u1") - col("u0"))).as("v"))
+        .as[Double].collect().sum
+
+    val (zVol, hVol) = (totalVolume(s"$root/z"), totalVolume(s"$root/h"))
+    assert(hVol < zVol,
+      f"hilbert total bbox volume $hVol%.4f should undercut z-order's $zVol%.4f")
+  }
+
   test("z-ordered files prune on BOTH dimensions; a 1-D sort cannot") {
     val n = 100000
-    val df = spark.range(n).select(rand(7).as("x"), rand(13).as("y"))
+    val df = uniformCols(n, "x" -> 7, "y" -> 13)
     val bounds = Layout.linearBoundaries(0.0, 1.0, 3) // 8x8 grid
     val root = s"target/tmp/layout_${System.nanoTime()}"
     Layout.writeZOrdered(df, Seq("x" -> bounds, "y" -> bounds), s"$root/z", numFiles = 16)
