@@ -319,23 +319,28 @@ object StreamingFeatures {
     * but file-count-bounded, the same budget the compactor itself pays.
     *
     * The rewrite lands in a sibling temp dir, then swaps in via
-    * delete + rename — the read-input/overwrite-output pair cannot
-    * target one dir. Single-writer only (call it from the sink's OWN
-    * foreachBatch, as [[writeCompactingSink]] does, never concurrently
-    * with another writer), and the swap is not atomic for outside
-    * readers: a scan racing the rename can fail and retry. Transactional
-    * visibility needs a table format with a commit log (Delta — the
-    * documented seam, SURVEY §1.4).
+    * [[swapIn]] — rename the live dir aside, rename the temp in, drop
+    * the aside — so at every instant at least one COMPLETE copy of the
+    * data exists under a name [[recoverSwap]] knows how to reinstate: a
+    * crash at any point between (or during) the renames is durably
+    * recoverable, never data loss. Single-writer only (call it from the
+    * sink's OWN foreachBatch, as [[writeCompactingSink]] does, never
+    * concurrently with another writer), and the swap is not atomic for
+    * outside readers: a scan racing the renames can fail and retry.
+    * Transactional visibility needs a table format with a commit log
+    * (Delta — the documented seam, SURVEY §1.4).
     */
   def compactIfNeeded(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       maxSmallFiles: Int = 16,
-      sortCols: Seq[String] = Nil): Option[graft.operators.Layout.CompactionStats] = {
+      sortCols: Seq[String] = Nil,
+      stampBatchId: Option[Long] = None): Option[graft.operators.Layout.CompactionStats] = {
     require(maxSmallFiles >= 1, s"maxSmallFiles must be positive, got $maxSmallFiles")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverSwap(fs, path)
     if (!fs.exists(path)) return None
     var small = 0
     val it = fs.listFiles(path, true)
@@ -345,14 +350,117 @@ object StreamingFeatures {
     }
     if (small <= maxSmallFiles) None
     else {
-      val tmp = new org.apache.hadoop.fs.Path(
-        path.getParent, s".${path.getName}__compacting")
-      fs.delete(tmp, true) // leftover from a crashed previous attempt
+      val tmp = tmpPath(path)
       val stats = graft.operators.Layout.compact(
         spark, dir, tmp.toString, targetFileBytes, sortCols)
-      fs.delete(path, true)
-      fs.rename(tmp, path)
+      // The watermark rides INSIDE the compacted dir, so it becomes
+      // visible atomically with the swap: post-swap readers of the
+      // marker see exactly the batches the compacted files contain.
+      stampBatchId.foreach(writeBatchMarker(fs, tmp, _))
+      swapIn(fs, path, tmp)
       Some(stats)
+    }
+  }
+
+  private def tmpPath(path: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(path.getParent, s".${path.getName}__compacting")
+  private def asidePath(path: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(path.getParent, s".${path.getName}__old")
+
+  /** Swap half of the compaction: `tmp` (a complete compacted copy)
+    * replaces `path`. Rename aside, never delete-then-rename — a crash
+    * between a delete and a rename would leave the only copy under a
+    * hidden name that a naive retry then destroys. Both renames are
+    * checked: a failed rename throws with the dir in a
+    * [[recoverSwap]]-able state rather than silently dropping data.
+    */
+  private[graft] def swapIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val aside = asidePath(path)
+    require(fs.rename(path, aside), s"compaction swap: rename $path -> $aside failed")
+    require(fs.rename(tmp, path), s"compaction swap: rename $tmp -> $path failed")
+    fs.delete(aside, true)
+    ()
+  }
+
+  /** Crash recovery for [[swapIn]] — run before touching `path`. Every
+    * reachable crash state resolves to zero data loss:
+    *  - `path` missing, tmp present: crash between the renames; tmp is
+    *    the complete compacted copy (compaction finishes before the
+    *    first rename) — reinstate it, drop the redundant aside.
+    *  - `path` missing, only aside: crash mid-first-rename; the aside
+    *    is the original dir — put it back.
+    *  - `path` present AND both tmp+aside present: crash between the
+    *    renames and a non-recovering writer already recreated `path`
+    *    with post-crash batches; `path` holds ONLY new data, tmp holds
+    *    ALL pre-crash data — merge tmp's files into `path` (part-file
+    *    names are UUID-suffixed, no collisions), carrying tmp's batch
+    *    marker along if `path` has none.
+    *  - `path` present, tmp or aside alone: a redundant copy (crash
+    *    before the first rename or after the second) — drop it.
+    */
+  private[graft] def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = tmpPath(path)
+    val aside = asidePath(path)
+    val haveTmp = fs.exists(tmp)
+    val haveAside = fs.exists(aside)
+    if (!haveTmp && !haveAside) return
+    if (!fs.exists(path)) {
+      if (haveTmp) {
+        require(fs.rename(tmp, path), s"compaction recovery: rename $tmp -> $path failed")
+        fs.delete(aside, true)
+      } else {
+        require(fs.rename(aside, path), s"compaction recovery: rename $aside -> $path failed")
+      }
+    } else if (haveTmp && haveAside) {
+      val pathHasMarker = fs.exists(new org.apache.hadoop.fs.Path(path, BatchMarker))
+      fs.listStatus(tmp).foreach { st =>
+        val name = st.getPath.getName
+        val keepMarker = name == BatchMarker && !pathHasMarker
+        if (!name.startsWith("_") || keepMarker) {
+          require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path, name)),
+            s"compaction recovery: merge of ${st.getPath} into $path failed")
+        }
+      }
+      fs.delete(tmp, true)
+      fs.delete(aside, true)
+    } else {
+      fs.delete(tmp, true)
+      fs.delete(aside, true)
+    }
+    ()
+  }
+
+  /** Sidecar marker naming the highest micro-batch id whose rows are in
+    * the compacted files. Underscore-prefixed, so parquet readers and
+    * [[graft.operators.Layout.compact]]'s listing both ignore it.
+    */
+  private[graft] val BatchMarker = "_graft_last_batch"
+
+  private def writeBatchMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, BatchMarker), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readBatchMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BatchMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
     }
   }
 
@@ -364,6 +472,16 @@ object StreamingFeatures {
     * layout (time, Z, Hilbert key) KEEPS its file-pruning property
     * through every compaction cycle instead of degrading as the stream
     * runs — the unbounded-small-files failure mode of plain file sinks.
+    *
+    * Effectively-once under foreachBatch's at-least-once replay: a
+    * batch's files land under deterministic names (`batch-<id>-<i>`),
+    * so a replayed append first deletes its own leftovers and cannot
+    * double-write; once a compaction folds batches into anonymous
+    * part files, the [[BatchMarker]] it carried in with the swap
+    * records the highest folded batch id, and replays at or below it
+    * skip the append entirely — the rows are already in the compacted
+    * files. Crash recovery for the swap itself runs at the top of
+    * every batch ([[recoverSwap]]).
     */
   def writeCompactingSink(
       stream: DataFrame,
@@ -374,11 +492,48 @@ object StreamingFeatures {
       maxSmallFiles: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sorted = if (sortCols.nonEmpty) batch.sort(sortCols.map(col): _*) else batch
-        sorted.write.mode("append").parquet(path)
-        compactIfNeeded(batch.sparkSession, path, targetFileBytes, maxSmallFiles, sortCols)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendBatchIdempotent(batch, path, batchId, sortCols)
+        compactIfNeeded(batch.sparkSession, path, targetFileBytes, maxSmallFiles, sortCols,
+          stampBatchId = Some(batchId))
         ()
       }
       .start()
+
+  /** Land one micro-batch under `path` as `batch-<id>-<i>.parquet`,
+    * idempotently: recover any half-finished compaction swap first,
+    * skip if a compaction marker proves the batch is already folded
+    * into compacted files, and delete this batch's own leftover files
+    * before re-writing so a replay overwrites instead of duplicating.
+    */
+  private[graft] def appendBatchIdempotent(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      path: String,
+      batchId: Long,
+      sortCols: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    recoverSwap(fs, p)
+    if (readBatchMarker(fs, p).exists(batchId <= _)) return
+    if (fs.exists(p)) {
+      fs.listStatus(p).foreach { st =>
+        if (st.getPath.getName.startsWith(s"batch-$batchId-")) fs.delete(st.getPath, false)
+      }
+    }
+    val staging = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__batch")
+    fs.delete(staging, true)
+    val sorted = if (sortCols.nonEmpty) batch.sort(sortCols.map(col): _*) else batch
+    sorted.write.mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(p)
+    var i = 0
+    fs.listStatus(staging).foreach { st =>
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val dest = new org.apache.hadoop.fs.Path(p, s"batch-$batchId-$i.parquet")
+        require(fs.rename(st.getPath, dest), s"append: rename ${st.getPath} -> $dest failed")
+        i += 1
+      }
+    }
+    fs.delete(staging, true)
+    ()
+  }
 }

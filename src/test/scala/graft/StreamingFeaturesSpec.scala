@@ -407,4 +407,136 @@ class StreamingFeaturesSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  // --- compaction swap crash recovery -------------------------------
+  // Each test crafts the exact on-disk state a crash at one point of
+  // the swap leaves behind (by running the swap's halves by hand), then
+  // lets the recovery path run and asserts zero row loss.
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def hFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def crashFixture(dir: String, n: Int): Unit = {
+    (0 until n).map(i => StreamEvent(i.toLong, ts(i.toLong), s"e$i", i.toDouble))
+      .toDF().repartition(4).write.parquet(dir)
+  }
+
+  test("recoverSwap: crash between the two renames loses no rows") {
+    val dir = s"$root/crash_mid/out"
+    crashFixture(dir, 40)
+    val p = hPath(dir); val fs = hFs(p)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compacting")
+    val aside = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__old")
+    // First half: compact into tmp, rename the live dir aside... then "crash".
+    graft.operators.Layout.compact(spark, dir, tmp.toString, 1L << 20)
+    assert(fs.rename(p, aside))
+    assert(!fs.exists(p), "crash state: live dir is gone, only hidden copies remain")
+    // The old delete-then-rename code would now destroy tmp on the next
+    // trigger. The recovery arm must reinstate it instead.
+    val stats = StreamingFeatures.compactIfNeeded(spark, dir, targetFileBytes = 1L << 20)
+    assert(stats.isEmpty, "recovered dir is already compacted; no new compaction")
+    assert(spark.read.parquet(dir).count() == 40)
+    assert(!fs.exists(tmp) && !fs.exists(aside), "hidden copies cleaned up")
+  }
+
+  test("recoverSwap: crash before the first rename keeps the live dir authoritative") {
+    val dir = s"$root/crash_pre/out"
+    crashFixture(dir, 30)
+    val p = hPath(dir); val fs = hFs(p)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compacting")
+    graft.operators.Layout.compact(spark, dir, tmp.toString, 1L << 20)
+    // "crash" before rename(path, aside): path intact, tmp redundant.
+    StreamingFeatures.recoverSwap(fs, p)
+    assert(spark.read.parquet(dir).count() == 30)
+    assert(!fs.exists(tmp))
+  }
+
+  test("recoverSwap: crash after the swap only drops the redundant aside") {
+    val dir = s"$root/crash_post/out"
+    crashFixture(dir, 30)
+    val p = hPath(dir); val fs = hFs(p)
+    val aside = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__old")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compacting")
+    graft.operators.Layout.compact(spark, dir, tmp.toString, 1L << 20)
+    assert(fs.rename(p, aside))
+    assert(fs.rename(tmp, p))
+    // "crash" before delete(aside).
+    StreamingFeatures.recoverSwap(fs, p)
+    assert(spark.read.parquet(dir).count() == 30)
+    assert(!fs.exists(aside))
+  }
+
+  test("recoverSwap: merges pre-crash data when a writer recreated the dir") {
+    val dir = s"$root/crash_merge/out"
+    crashFixture(dir, 40)
+    val p = hPath(dir); val fs = hFs(p)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compacting")
+    val aside = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__old")
+    graft.operators.Layout.compact(spark, dir, tmp.toString, 1L << 20)
+    assert(fs.rename(p, aside))
+    // A non-recovering writer (e.g. a plain append sink) lands new rows
+    // into a recreated live dir before recovery runs.
+    Seq(StreamEvent(1000L, ts(1000), "new", 1.0), StreamEvent(1001L, ts(1001), "new", 2.0))
+      .toDF().write.mode("append").parquet(dir)
+    StreamingFeatures.recoverSwap(fs, p)
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 42, "pre-crash 40 rows merged with the 2 post-crash rows")
+    assert(out.select("user_id").distinct().count() == 42)
+    assert(!fs.exists(tmp) && !fs.exists(aside))
+  }
+
+  test("compacting sink survives a mid-swap crash across a real restart with zero loss") {
+    val dir = s"$root/crash_e2e"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    def land(b: Int): Unit = {
+      ((b * 10) until (b * 10 + 10)).map(i => StreamEvent(i.toLong, ts(i.toLong), s"e$i", i.toDouble))
+        .toDF().coalesce(1).write.parquet(s"$dir/tmp_b$b")
+      val src = Files.list(Paths.get(s"$dir/tmp_b$b"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/b$b.parquet"))
+    }
+    land(0); land(1)
+    val stream1 = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q1 = StreamingFeatures.writeCompactingSink(
+      stream1, s"$dir/out", s"$dir/ckpt", targetFileBytes = 1L << 20, maxSmallFiles = 100)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 20)
+    // Crash mid-swap: compact to tmp, rename the live dir aside, die.
+    val p = hPath(s"$dir/out"); val fs = hFs(p)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compacting")
+    graft.operators.Layout.compact(spark, s"$dir/out", tmp.toString, 1L << 20)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__old")))
+    // Restart the sink on the same checkpoint and feed one more batch.
+    land(2)
+    val stream2 = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q2 = StreamingFeatures.writeCompactingSink(
+      stream2, s"$dir/out", s"$dir/ckpt", targetFileBytes = 1L << 20, maxSmallFiles = 100)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 30, "no rows lost across the crash + restart")
+    assert(out.select("user_id").distinct().count() == 30, "and none duplicated")
+  }
+
+  test("appendBatchIdempotent: replaying a batch neither loses nor duplicates rows") {
+    val dir = s"$root/replay/out"
+    val b0 = (0 until 25).map(i => StreamEvent(i.toLong, ts(i.toLong), s"e$i", i.toDouble)).toDF()
+    val b1 = (100 until 110).map(i => StreamEvent(i.toLong, ts(i.toLong), s"e$i", i.toDouble)).toDF()
+    StreamingFeatures.appendBatchIdempotent(b0, dir, batchId = 0L, sortCols = Seq("value"))
+    StreamingFeatures.appendBatchIdempotent(b1, dir, batchId = 1L, sortCols = Seq("value"))
+    StreamingFeatures.appendBatchIdempotent(b0, dir, batchId = 0L, sortCols = Seq("value"))
+    assert(spark.read.parquet(dir).count() == 35, "replayed append must overwrite, not duplicate")
+    // Once a compaction marker covers a batch, its replay is a no-op
+    // even though the deterministically-named files are gone — simulate
+    // the post-compaction state: marker at 1, batch-0 files folded away.
+    val p = hPath(dir); val fs = hFs(p)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, StreamingFeatures.BatchMarker), true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName.startsWith("batch-0-")) fs.delete(st.getPath, false)
+    }
+    StreamingFeatures.appendBatchIdempotent(b0, dir, batchId = 0L, sortCols = Nil)
+    assert(spark.read.parquet(dir).count() == 10,
+      "a batch at or below the compaction watermark must not re-append")
+  }
 }
