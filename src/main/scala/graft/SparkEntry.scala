@@ -24,6 +24,9 @@ object SparkEntry {
     TableIO.table(s, dir, name)
 
   /** Exact decimal-backed sum of a 2dp money column, returned as double. */
+  // For 2dp MONEY columns only (TPC-H prices, balances) — exact for them.
+  // Arbitrary-precision measures (events.value windows) use decimal(38,12)
+  // instead so no sub-cent digits are rounded away per row.
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -990,7 +993,7 @@ object SparkEntry {
       t(s, d, "events")
         .select(
           col("event_id"), col("user_id"),
-          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"),
+          sum(col("value").cast("decimal(38,12)")).over(w).cast("double").as("running_value"),
           count(lit(1)).over(w).as("event_seq"))
         .orderBy("event_id")
     }),
@@ -1165,7 +1168,7 @@ object SparkEntry {
 
     "q_window_avg_dev" ->
       """SELECT event_id, user_id,
-        |       value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |       value - CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
         |               / (count(value) OVER w) AS value_dev_24h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
@@ -1230,7 +1233,7 @@ object SparkEntry {
 
     "q_window_blocked_avg" ->
       """SELECT event_id, user_id,
-        |       value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |       value - CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
         |               / (count(value) OVER w) AS value_dev_24h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
@@ -1250,7 +1253,7 @@ object SparkEntry {
     "q_features_blocked" ->
       """SELECT event_id, user_id,
         |       CAST(count(*) OVER w1 AS BIGINT) AS velocity_1h,
-        |       value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE)
+        |       value - CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w24 AS DOUBLE)
         |               / (count(value) OVER w24) AS avg_diff_24h,
         |       CAST(count(DISTINCT event_type) OVER w6 AS INT) AS merchant_diversity
         |FROM events
@@ -1995,7 +1998,7 @@ object SparkEntry {
 
     "q_window_running" ->
       """SELECT event_id, user_id,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+        |       CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS running_value,
         |       CAST(count(*) OVER w AS BIGINT) AS event_seq
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -108,14 +108,24 @@ object BehavioralFeatures {
     * of `avg(double)`, so the result is order-independent and bit-equal
     * across engines (floating sums are not associative; a segment-tree
     * window implementation would otherwise drift from a sequential one).
+    *
+    * decimal(38,12): wide enough that any double's useful precision
+    * survives the cast (doubles carry ~15-17 significant digits; 12
+    * fractional + 26 integral digits covers every realistic measure,
+    * and a 2dp money column is represented exactly), and the sum's
+    * result type stays decimal(38,12) so blocked partials recombine
+    * without loss. A narrow money-scale cast (decimal(18,2)) would
+    * silently round sub-cent values per ROW before summing.
     */
+  private[graft] val ExactSumType = "decimal(38,12)"
+
   def trailingAvgExact(
       valueCol: Column,
       partitionCol: String,
       tsUnixCol: String,
       seconds: Long): Column = {
     val w = trailingWindow(partitionCol, tsUnixCol, seconds)
-    sum(valueCol.cast("decimal(18,2)")).over(w).cast("double") / count(valueCol).over(w)
+    sum(valueCol.cast(ExactSumType)).over(w).cast("double") / count(valueCol).over(w)
   }
 
   def trailingDistinct(
@@ -217,16 +227,16 @@ object BehavioralFeatures {
       outCol: String): DataFrame =
     blockedProbe(df, keyCol, tsUnixCol, seconds,
       curAggs = Seq(
-        "_s_cur" -> (w => sum(col(valueCol).cast("decimal(18,2)")).over(w)),
+        "_s_cur" -> (w => sum(col(valueCol).cast(ExactSumType)).over(w)),
         "_c_cur" -> (w => count(col(valueCol)).over(w))),
       suffixGroupAggs = Seq(
-        sum(col(valueCol).cast("decimal(18,2)")).as("_s"),
+        sum(col(valueCol).cast(ExactSumType)).as("_s"),
         count(col(valueCol)).as("_n")),
       suffixCumAggs = Seq(
         "_rsum" -> (w => sum(col("_s")).over(w)),
         "_rcum" -> (w => sum(col("_n")).over(w))))
       .withColumn(outCol,
-        (col("_s_cur") + coalesce(col("_rsum"), lit(0).cast("decimal(18,2)"))).cast("double")
+        (col("_s_cur") + coalesce(col("_rsum"), lit(0).cast(ExactSumType))).cast("double")
           / (col("_c_cur") + coalesce(col("_rcum"), lit(0L))))
       .drop("_s_cur", "_c_cur", "_rsum", "_rcum")
 

@@ -139,6 +139,31 @@ class BehavioralFeaturesSpec extends SparkSpec {
     assertBlockedEqualsPlain(edgeRows, 3600L)
   }
 
+  test("trailing avg keeps sub-cent precision (decimal(38,12), no per-row rounding)") {
+    // Values with >2 decimal places: a money-scale decimal(18,2) cast
+    // would round 0.001 -> 0.00 per ROW before summing and report 0.0.
+    val df = Seq(
+      (1L, "K", 0L, 0.001),
+      (2L, "K", 10L, 0.003),
+      (3L, "K", 20L, 0.002)
+    ).toDF("id", "key", "ts_unix", "value")
+    val out = df.select(col("id"),
+      BehavioralFeatures.trailingAvgExact(col("value"), "key", "ts_unix", 3600L).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.001)
+    assert(out(2L) == 0.002)          // (0.001+0.003)/2 exactly
+    assert(out(3L) == 0.002)          // (0.001+0.003+0.002)/3 exactly
+    // And a huge value must not overflow to null and drop out of the sum.
+    val big = Seq((1L, "K", 0L, 1.0e20), (2L, "K", 10L, 1.0e20))
+      .toDF("id", "key", "ts_unix", "value")
+    val bigOut = big.select(col("id"),
+      BehavioralFeatures.trailingAvgExact(col("value"), "key", "ts_unix", 3600L).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bigOut(2L) == 1.0e20, "values beyond money scale must survive the cast")
+    // Blocked path agrees on both fixtures.
+    assertBlockedEqualsPlain(df.withColumn("tag", org.apache.spark.sql.functions.lit("x")), 15L)
+  }
+
   test("blocked windows: hot key and sparse multi-block key match the plain window") {
     assertBlockedEqualsPlain(hotRows, 3600L)
     assertBlockedEqualsPlain(hotRows, 120L)   // narrow W: hot key spans 30 blocks
