@@ -88,6 +88,10 @@ object Bench {
     // map goes to BENCH_DETAIL.json in the repo for the judge.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
+    // Box-normalized total: the canary's work is constant across rounds, so
+    // total/canary is comparable round-over-round in one field read even
+    // when the box was slow or noisy that day.
+    val totalNorm = if (canary > 0) total / canary else -1.0
     // Failures (-1 in both passes) must stay distinguishable from entries
     // merely omitted for line-budget reasons: a newly-failing query lowers
     // the positive-only total, which would otherwise read as a perf win.
@@ -97,7 +101,7 @@ object Bench {
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"failed":$failed,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"value_norm":${fmt(totalNorm)},"failed":$failed,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}"""
     }
     // Greedy prefix of the slowest-first list that keeps the line in budget.
     val keep = (bySlowest.length to 0 by -1).view
@@ -118,9 +122,16 @@ object Bench {
         .map { case (k, _) => "\"" + k + "\":[" + p(pass1(k)) + "," + p(pass2(k)) + "]" }
         .mkString("{", ",", "}")
       val json =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":${f"$canary%.3f"},"canary_passes":[${f"$canary1%.3f"},${f"$canary2%.3f"}],"failed":$failed,"queries":$detail,"passes":$passes,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":${f"$canary%.3f"},"canary_passes":[${f"$canary1%.3f"},${f"$canary2%.3f"}],"value_norm":${f"$totalNorm%.3f"},"failed":$failed,"queries":$detail,"passes":$passes,"sf":"$sfDir"}"""
+      // BENCH_DETAIL.json is the committed cross-round artifact and is only
+      // comparable at the canonical scale factor: a dev-loop run at sf0.001
+      // replacing an sf0.1 baseline once masqueraded as a 2x speedup that
+      // was actually a 100x smaller dataset. Non-canonical runs land in a
+      // sibling file the repo never tracks.
+      val canonical = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+      val detailFile = if (canonical) "BENCH_DETAIL.json" else "BENCH_DETAIL_local.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        java.nio.file.Paths.get(detailFile),
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     println(keep)
