@@ -507,10 +507,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // SimHash 64-bit fingerprints (rows-only; determinism covered in DedupSpec).
+    // SimHash 64-bit fingerprints through the custom SimHash64Expr kernel,
+    // fed md5-derived token hashes so the DuckDB oracle can recompute the
+    // identical value stream and hash-check the majority-vote/bit
+    // semantics end-to-end. Production dedup uses the FNV-1a fused form
+    // (Dedup.simHash, ~10x cheaper per token; determinism + near-dup
+    // behavior pinned in DedupSpec) — the kernel under test is the same.
     "q_dedup_simhash" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash64"))
+        .select(col("doc_id"),
+          graft.plans.HashExpressions.simHash64(
+            TextFunctions.md5TokenHashes(col("text"))).as("simhash64"))
         .orderBy("doc_id")),
 
     // Collection-level dedup: one MinHash signature per source via the
@@ -695,12 +702,22 @@ object SparkEntry {
 
     // Winnowing fingerprints (MOSS): rows-only — selection depends on the
     // engine hash function; properties asserted in DedupSpec.
-    "q_text_winnow" -> ((s, d) =>
+    // Winnowing (Schleimer et al.) through the custom selection kernel,
+    // over md5-derived gram hashes so the DuckDB oracle replays the exact
+    // window-min/rightmost-tie/consecutive-dedup algorithm and checks
+    // both the count and an order-insensitive digest (xor) of the
+    // selected fingerprints. Production winnowing uses the fused FNV
+    // gram hashes (winnowFingerprints); the selection kernel is the same.
+    "q_text_winnow" -> ((s, d) => {
+      val fps = graft.plans.HashExpressions.winnowHashes(
+        TextFunctions.md5GramHashes(col("text"), 3), 4)
       t(s, d, "documents")
         .select(
           col("doc_id"),
-          size(graft.plans.HashExpressions.winnowFingerprints(col("text"), 3, 4)).as("n_fingerprints"))
-        .orderBy("doc_id")),
+          size(fps).as("n_fingerprints"),
+          aggregate(fps, lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+        .orderBy("doc_id")
+    }),
 
     // LSH-bucketed embedding near-dup (scale path; rows-only — recall is
     // probabilistic. Precision vs brute force asserted in DedupSpec.)
@@ -758,8 +775,9 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // Heuristic language ID (rows-only: the label is a prediction;
-    // accuracy is asserted on multilingual fixtures in TextFunctionsSpec).
+    // Heuristic language ID. Deterministic (script regexes + stopword
+    // argmax), so the oracle replays the full decision procedure in SQL;
+    // multilingual accuracy is additionally pinned in TextFunctionsSpec.
     "q_text_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.languageId(col("text")).as("predicted_lang"))
@@ -820,6 +838,24 @@ object SparkEntry {
         idx, "vec_id", "ivf_persisted_q", "target/tmp/ivf_persisted_q", buckets = 8)
       val loaded = SimilaritySearch.loadIvfIndex(s, "ivf_persisted_q", "target/tmp/ivf_persisted_q")
       SimilaritySearch.ivfTopK(loaded, "vec_id", q, k = 20, nprobe = 4)
+    }),
+
+    // IVF hot-cell rebalance, probed exhaustively: nprobe = nlist scans
+    // every (rebalanced) cell, so the result is EXACTLY brute-force
+    // cosine top-k — model-independent, hence a full DuckDB hash oracle
+    // (same SQL as q_sim_topk) even though cell contents are KMeans
+    // state. hotFactor 1.1 forces real splits on the skew the random
+    // 8-cell clustering leaves; balance/recall are pinned in
+    // SimilaritySpec.
+    "q_sim_ivf_rebalanced" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val idx = SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 8)
+      val reb = SimilaritySearch.rebalanceIvfIndex(
+        idx, "vec_id", hotFactor = 1.1, maxSplit = 8)
+      SimilaritySearch.ivfTopK(reb, "vec_id", q, k = 20, nprobe = reb.centroids.length)
     }),
 
     // Multi-probe LSH ANN: explicit probe-signature IN-list (prunable at
@@ -1837,6 +1873,114 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Replays SimHash64Expr's majority vote exactly: per-token 60-bit
+    // hash = hex-parse of md5 prefix, bit b of the output set iff the
+    // sum over tokens of +-1 (by bit b of the hash) is non-negative.
+    // Bits 60-63 of every token hash are 0, so for non-empty docs their
+    // vote is strictly negative and only bits 0-59 can be set; an empty
+    // token array sets all 64 bits (the kernel's identity) = -1.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tk FROM documents
+        |), th AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(15),
+        |           i -> (CAST(strpos('0123456789abcdef', substr(md5(tk), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |                * (CAST(1 AS BIGINT) << CAST(4*(14-i) AS INT)))) AS BIGINT) AS h
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(2*((h >> CAST(b AS INT)) & 1) - 1) >= 0
+        |              THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END AS bitval
+        |  FROM th, (SELECT unnest(range(60)) AS b)
+        |  GROUP BY doc_id, b
+        |), sh AS (
+        |  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash64 FROM bits GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(sh.simhash64, -1) AS simhash64
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the winnowing kernel: word-3-gram md5 hashes in position
+    // order, window of 4, each window's min with the RIGHTMOST tie
+    // winning, consecutive same-INDEX picks deduplicated, short docs
+    // (1..w grams) yield the single global min. Checks the count and an
+    // order-insensitive xor digest of the selected fingerprints.
+    "q_text_winnow" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), gr AS (
+        |  SELECT tk.doc_id, CAST(u.i AS BIGINT) AS pos,
+        |         CAST(list_sum(list_transform(range(15),
+        |           j -> (CAST(strpos('0123456789abcdef',
+        |                  substr(md5(array_to_string(tk.ts[CAST(u.i+1 AS INT):CAST(u.i+3 AS INT)], ' ')), CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+        |                * (CAST(1 AS BIGINT) << CAST(4*(14-j) AS INT)))) AS BIGINT) AS h
+        |  FROM tk, unnest(range(greatest(len(tk.ts) - 2, 0))) AS u(i)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS m FROM gr GROUP BY doc_id
+        |), wins AS (
+        |  SELECT g1.doc_id, g1.pos AS start, min(g2.h) AS mh
+        |  FROM gr g1
+        |  JOIN sz ON sz.doc_id = g1.doc_id AND sz.m > 4 AND g1.pos <= sz.m - 4
+        |  JOIN gr g2 ON g2.doc_id = g1.doc_id AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+        |  GROUP BY g1.doc_id, g1.pos
+        |), sel AS (
+        |  SELECT w.doc_id, w.start, w.mh, max(g2.pos) AS minidx
+        |  FROM wins w
+        |  JOIN gr g2 ON g2.doc_id = w.doc_id AND g2.pos BETWEEN w.start AND w.start + 3 AND g2.h = w.mh
+        |  GROUP BY w.doc_id, w.start, w.mh
+        |), emit AS (
+        |  SELECT doc_id, mh, minidx,
+        |         lag(minidx) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+        |  FROM sel
+        |), fps AS (
+        |  SELECT doc_id, mh FROM emit WHERE prev IS NULL OR prev != minidx
+        |  UNION ALL
+        |  SELECT g.doc_id, min(g.h) AS mh
+        |  FROM gr g JOIN sz ON sz.doc_id = g.doc_id AND sz.m <= 4
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(f.n, 0) AS INT) AS n_fingerprints,
+        |       CAST(coalesce(f.x, 0) AS BIGINT) AS fp_xor
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n, bit_xor(mh) AS x FROM fps GROUP BY doc_id
+        |) f ON d.doc_id = f.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the full language-ID decision procedure: script routing in
+    // ja,ko,zh,ru,ar,hi order, then stopword-count argmax over Latin
+    // text with ties resolving in en,es,de,fr order, else 'und'.
+    "q_text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('el','la','de','que','y','en','un','una','los','es'))) AS es,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','nicht'))) AS de,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS fr
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'
+        |    WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+        |    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |    WHEN regexp_matches(text, '[А-яЁё]') THEN 'ru'
+        |    WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        |    WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+        |    WHEN greatest(en, es, de, fr) > 0 THEN
+        |      CASE WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |           WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |           WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |           ELSE 'fr' END
+        |    ELSE 'und'
+        |  END AS predicted_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "q_explode_tokens" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS t FROM documents)
@@ -1893,6 +2037,20 @@ object SparkEntry {
         |) WHERE rn <= 5 ORDER BY id_l, rn""".stripMargin,
 
     "q_sim_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Exhaustive probe (nprobe = nlist) of the rebalanced IVF index is
+    // brute force by construction — the oracle is q_sim_topk's SQL.
+    "q_sim_ivf_rebalanced" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
         |)

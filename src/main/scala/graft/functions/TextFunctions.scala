@@ -80,6 +80,20 @@ object TextFunctions {
     size(filter(tokens(lower(c)), t => t.isin(set: _*)))
   }
 
+  /** Engine-independent 60-bit hash per token: the first 15 hex digits of
+    * md5, parsed as an integer. ~10x slower than the FNV-1a kernel
+    * (TokenHashesExpr) — production sketches use that; this feeds the
+    * sketch KERNELS (SimHash majority vote, winnowing selection) in the
+    * oracle-checked contract queries, where any engine with md5 can
+    * recompute the identical hash stream.
+    */
+  def md5TokenHashes(c: Column): Column =
+    transform(tokens(c), tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long"))
+
+  /** [[md5TokenHashes]] over word n-grams (space-joined windows). */
+  def md5GramHashes(c: Column, n: Int): Column =
+    transform(wordNGrams(c, n), g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+
   /** Single-pass token statistics: ONE tokenization and ONE fold produce
     * (n_tokens, total_len, n_stopwords) as a struct. Consumers that need
     * several token-derived columns must use this instead of composing

@@ -138,7 +138,19 @@ object SimilaritySearch {
     */
   final case class IvfIndex(
       centroids: Array[Array[Double]],
-      assigned: DataFrame /* idCol, cell, vector as array<double> */)
+      assigned: DataFrame /* idCol, cell, vector as array<double> */) {
+
+    /** Release the index's cached assignment. [[buildIvfIndex]] and
+      * [[rebalanceIvfIndex]] persist `assigned` (every probe re-reads
+      * it; without the persist each query re-runs the clustering scan),
+      * and Spark caches are not GC'd with the object — a long-running
+      * session that builds indexes in a loop would otherwise accrete
+      * index-sized cached plans. Call when the index is retired; no-op
+      * for indexes whose assignment is an external table
+      * ([[loadIvfIndex]]).
+      */
+    def release(): Unit = { assigned.unpersist(); () }
+  }
 
   def buildIvfIndex(
       df: DataFrame,
@@ -252,13 +264,22 @@ object SimilaritySearch {
     val hot = counts.filter { case (_, n) => n > hotFactor * mean }.keys.toSeq.sorted
     if (hot.isEmpty) return index
 
+    // Materialize the hot rows ONCE: every per-cell KMeans fit (maxIter
+    // passes each) and transform below reads this bounded cached slice.
+    // Without it, a loaded (uncached) index pays ~(hot_cells + 2) full
+    // corpus scans for what is a hot-cells-sized working set.
+    val hotRows = index.assigned
+      .filter(col("cell").isin(hot.map(Integer.valueOf): _*))
+      .select(col(idCol), col("v"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val grown = scala.collection.mutable.ArrayBuffer[Array[Double]](index.centroids: _*)
     val pieces = hot.map { cell =>
       // Aim each subcell at the corpus mean: a 27x-mean cell splits ~27
       // ways (capped), not in half — one rebalance pass reaches balance.
       val m = math.min(math.min(maxSplit.toLong, counts(cell)),
         math.max(2L, math.ceil(counts(cell) / mean).toLong)).toInt
-      val prepared = index.assigned.filter(col("cell") === cell)
+      val prepared = hotRows.filter(col("cell") === cell)
         .withColumn("features", array_to_vector(col("v")))
       // Same init rationale as buildIvfIndex: routing cells don't need
       // converged clustering, and recall stays governed by nprobe.
@@ -278,6 +299,15 @@ object SimilaritySearch {
       .select(col(idCol), col("v"), col("cell"))
     val assigned = pieces.foldLeft(cold)(_ union _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the rebalanced assignment, then drop the builder-local
+    // hot slice and the superseded input cache: the caller holds the NEW
+    // index; keeping the old one's cache alive would double the
+    // index-sized memory footprint for the session's lifetime. (The old
+    // IvfIndex value stays usable — its assignment just recomputes if
+    // probed again.)
+    assigned.count()
+    hotRows.unpersist()
+    index.release()
     IvfIndex(grown.toArray, assigned)
   }
 

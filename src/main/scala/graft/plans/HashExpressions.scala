@@ -230,6 +230,14 @@ object HashExpressions {
   def simHash64(hashes: Column): Column =
     column(SimHash64Expr(expression(hashes)))
 
+  /** Winnowing over an arbitrary pre-hashed gram array — the same kernel
+    * as [[winnowFingerprints]] with the hash source decoupled, so the
+    * selection algorithm can be pinned against an engine-independent
+    * hash (md5-derived) by an external SQL oracle.
+    */
+  def winnowHashes(hashes: Column, w: Int): Column =
+    column(WinnowFingerprintsExpr(expression(hashes), w))
+
   def tokenHashes(text: Column): Column = column(TokenHashesExpr(expression(text)))
 
   def wordNGramHashes(text: Column, n: Int): Column =

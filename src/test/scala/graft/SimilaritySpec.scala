@@ -189,10 +189,13 @@ class SimilaritySpec extends SparkSpec {
     val corpus = (blob ++ scattered).toDF("vec_id", "embedding")
     val idx0 = SimilaritySearch.buildIvfIndex(
       scattered.toDF("vec_id", "embedding"), "vec_id", "embedding", nlist = 8)
+    // Persisted like a production index, so the test observes rebalance
+    // actually releasing the superseded cache (see lifecycle asserts).
     val idx = SimilaritySearch.IvfIndex(
       idx0.centroids,
       idx0.assigned.union(SimilaritySearch.assignCells(
-        blob.toDF("vec_id", "embedding"), "vec_id", "embedding", idx0.centroids)))
+        blob.toDF("vec_id", "embedding"), "vec_id", "embedding", idx0.centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pre = idx.assigned.groupBy("cell").count().select("count").as[Long].collect()
     val preMean = pre.sum.toDouble / idx.centroids.length
     assert(pre.max > 3.0 * preMean, "fixture must actually produce a hot cell")
@@ -242,6 +245,18 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(persisted == inSession)
     } finally spark.sql("DROP TABLE IF EXISTS ivf_reb_tbl")
+
+    // Cache lifecycle: rebalance released the superseded input cache as
+    // it materialized its own, and release() retires the new one — no
+    // index-sized cached plans accrete across builds in a long session.
+    import org.apache.spark.storage.StorageLevel
+    assert(idx.assigned.storageLevel == StorageLevel.NONE,
+      "rebalance must unpersist the superseded input assignment")
+    assert(reb.assigned.storageLevel != StorageLevel.NONE,
+      "rebalanced assignment must be cached while the index is live")
+    reb.release()
+    assert(reb.assigned.storageLevel == StorageLevel.NONE,
+      "release() must drop the rebalanced assignment cache")
   }
 
   test("rebalance is a no-op on a balanced index") {
