@@ -28,9 +28,15 @@ object RunPipeline {
     TableIO.write(testDf, cfg.format, cfg.silver("test"))
 
     // Step 3 — behavioral features per split, AFTER splitting (leakage-free,
-    // reference: build_features.py:16-23)
+    // reference: build_features.py:16-23). cfg.blockedFeatures swaps in the
+    // skew-proof blocked windows — same values (bit-identical, pinned in
+    // PipelineE2ESpec and by the q_features_blocked oracle), different
+    // shuffle shape for hot-key corpora.
     for (split <- Seq("train", "test")) {
-      val feats = BehavioralFeatures.addFeatures(TableIO.read(spark, cfg.format, cfg.silver(split)))
+      val silver = TableIO.read(spark, cfg.format, cfg.silver(split))
+      val feats =
+        if (cfg.blockedFeatures) BehavioralFeatures.addFeaturesBlocked(silver)
+        else BehavioralFeatures.addFeatures(silver)
       TableIO.write(feats, cfg.format, cfg.features(split))
     }
 

@@ -13,11 +13,21 @@ import java.sql.Timestamp
   *
   * `splitTimestamp` is the chronological train/test boundary
   * (reference: src/data/silver.py:45-49).
+  *
+  * `blockedFeatures` selects the skew-proof blocked window forms
+  * (`BehavioralFeatures.addFeaturesBlocked`) for the features stage.
+  * Output is bit-identical to the plain forms (oracle- and
+  * spec-pinned); the trade is 9 bounded shuffles vs 1 skewed one.
+  * Default false: on skew-free data the single-shuffle plan is
+  * cheaper. Turn on when one account can dominate a window partition
+  * (bots, exchange wallets) — at 100 TB that hot key is the straggler
+  * that stalls the whole stage.
   */
 final case class PipelineConfig(
     root: String,
     format: String = "parquet",
-    splitTimestamp: Timestamp = Timestamp.valueOf("2023-10-20 12:00:00")) {
+    splitTimestamp: Timestamp = Timestamp.valueOf("2023-10-20 12:00:00"),
+    blockedFeatures: Boolean = false) {
 
   def rawCsv: String = s"$root/raw/transactions"
   def bronze: String = s"$root/bronze/transactions"

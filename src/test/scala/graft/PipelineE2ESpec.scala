@@ -56,4 +56,32 @@ class PipelineE2ESpec extends SparkSpec {
     assert(rates.forall(r => r >= 0.0 && r <= 1.0))
     assert(spark.read.parquet(cfg.goldHourly).count() <= 24)
   }
+
+  test("blockedFeatures config produces an identical silver->features->gold run") {
+    writeFixture()
+    val plainCfg = PipelineConfig(root)
+    val blockedRoot = s"$root/blocked"
+    // Same raw input, blocked window plan.
+    val src = Paths.get(s"$root/raw/transactions/part.csv")
+    val dst = Paths.get(s"$blockedRoot/raw/transactions/part.csv")
+    Files.createDirectories(dst.getParent)
+    Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val blockedCfg = PipelineConfig(blockedRoot, blockedFeatures = true)
+    RunPipeline.run(spark, plainCfg, train = false)
+    RunPipeline.run(spark, blockedCfg, train = false)
+
+    for (split <- Seq("train", "test")) {
+      val plain = spark.read.parquet(plainCfg.features(split))
+      val blocked = spark.read.parquet(blockedCfg.features(split))
+      assert(plain.columns.sameElements(blocked.columns),
+        s"blocked features must keep the exact schema ($split)")
+      assert(blocked.exceptAll(plain).isEmpty && plain.exceptAll(blocked).isEmpty,
+        s"blocked pipeline features must be bit-identical to plain ($split)")
+    }
+    // Downstream gold is silver-derived, but assert it anyway: the two
+    // configurations must be indistinguishable to every consumer.
+    val goldPlain = spark.read.parquet(plainCfg.goldDaily)
+    val goldBlocked = spark.read.parquet(blockedCfg.goldDaily)
+    assert(goldBlocked.exceptAll(goldPlain).isEmpty && goldPlain.exceptAll(goldBlocked).isEmpty)
+  }
 }
