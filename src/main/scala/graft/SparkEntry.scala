@@ -624,6 +624,14 @@ object SparkEntry {
       TfIdf.topTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rk")),
 
+    // Okapi BM25 lexical retrieval: top-10 documents for a fixed query
+    // bag, single corpus scan (per-term tf via array filter, no explode),
+    // 1-row broadcast stats, TakeOrderedAndProject top-k.
+    "q_bm25_topk" -> ((s, d) =>
+      TfIdf.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
+        Seq("hash", "join", "window"), k = 10)
+        .orderBy("rk")),
+
     // Z-order clustering key: bucket (value, user_id) on fixed linear
     // boundaries and interleave the bits — the row-local half of
     // Layout.writeZOrdered (the layout win itself is pinned in
@@ -1700,6 +1708,41 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, score, rk FROM ranked
         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    // Mirrors bm25TopDocs' float expression ORDER exactly (idf*tf*(k1+1)
+    // first, then the length-normalized denominator; per-term scores
+    // summed left-to-right) so the 6dp rounding bites identically.
+    "q_bm25_topk" ->
+      """WITH per_doc AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(trim(text)), '\S+')) AS dl,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'hash'))   AS DOUBLE) AS tf_0,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'join'))   AS DOUBLE) AS tf_1,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'window')) AS DOUBLE) AS tf_2
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |         sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+        |         sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+        |         sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+        |  FROM per_doc
+        |), scored AS (
+        |  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |         round(
+        |           ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * (1.2 + 1.0)
+        |             / (tf_0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs)))
+        |         + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * (1.2 + 1.0)
+        |             / (tf_1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs)))
+        |         + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * (1.2 + 1.0)
+        |             / (tf_2 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs))), 6) AS score
+        |  FROM per_doc CROSS JOIN stats
+        |), ranked AS (
+        |  SELECT doc_id, dl, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+        |  FROM scored WHERE score > 0.0
+        |)
+        |SELECT doc_id, dl, score, rk FROM ranked
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
 
     // NULL pin: Spark's bucketIndex sends NULL inputs to bucket 0, so the
     // oracle leads each CASE with an IS NULL -> 0 arm (the bare ELSE 7

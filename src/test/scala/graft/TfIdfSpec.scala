@@ -59,4 +59,61 @@ class TfIdfSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows.head.getString(1) == "word" && rows.head.getLong(2) == 3L)
   }
+
+  test("bm25 matches a first-principles score and drops zero-match docs") {
+    val corpus = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine engine engine engine engine"),
+      (3L, "totally unrelated words here"),
+      (4L, "spark")
+    ).toDF("doc_id", "text")
+    val out = TfIdf.bm25TopDocs(corpus, "doc_id", "text", Seq("spark"), k = 10)
+      .select("doc_id", "dl", "score", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._4)
+    // doc 3 has no query term -> filtered out entirely.
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L))
+    // First-principles BM25 (k1=1.2, b=0.75): N=4, df(spark)=3,
+    // avgdl=(4+6+4+1)/4.
+    val n = 4.0; val df = 3.0; val avgdl = 15.0 / 4.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double): Double =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDoc = out.map(r => r._1 -> r._3).toMap
+    assert(math.abs(byDoc(1L) - s(3, 4)) < 1e-9)
+    assert(math.abs(byDoc(2L) - s(1, 6)) < 1e-9)
+    assert(math.abs(byDoc(4L) - s(1, 1)) < 1e-9)
+    // Length normalization: doc 4 (tf=1, dl=1) outranks doc 2 (tf=1, dl=6).
+    assert(byDoc(4L) > byDoc(2L))
+    // rk is contiguous from 1 and ordered by score desc.
+    assert(out.map(_._4) == Seq(1, 2, 3))
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse)
+  }
+
+  test("bm25 multi-term scores add per term and k caps the output") {
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha"),
+      (3L, "beta"),
+      (4L, "gamma")
+    ).toDF("doc_id", "text")
+    val both = TfIdf.bm25TopDocs(corpus, "doc_id", "text", Seq("alpha", "beta"), k = 10)
+    // doc 1 matches both terms; must rank above any single-term doc of
+    // comparable length (doc 3 is shorter but single-term).
+    val ranked = both.orderBy("rk").select("doc_id").as[Long].collect().toSeq
+    assert(ranked.head == 1L)
+    assert(!ranked.contains(4L))
+    // k truncates deterministically.
+    val top1 = TfIdf.bm25TopDocs(corpus, "doc_id", "text", Seq("alpha", "beta"), k = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top1 == Seq(1L))
+    // Duplicate/filth-case query terms collapse (no double counting).
+    val dup = TfIdf.bm25TopDocs(corpus, "doc_id", "text", Seq("ALPHA", "alpha"), k = 10)
+      .filter($"doc_id" === 2L).select("score").as[Double].head()
+    val single = TfIdf.bm25TopDocs(corpus, "doc_id", "text", Seq("alpha"), k = 10)
+      .filter($"doc_id" === 2L).select("score").as[Double].head()
+    assert(dup == single)
+    intercept[IllegalArgumentException](
+      TfIdf.bm25TopDocs(corpus, "doc_id", "text", Seq.empty, k = 1))
+  }
 }
