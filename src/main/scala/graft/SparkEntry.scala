@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Components, Dedup, Layout, Multimodal, SimilaritySearch, TfIdf, TrainingData}
+import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, Layout, Multimodal, SimilaritySearch, TfIdf, TrainingData}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -790,6 +790,35 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.languageId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")),
+
+    // PII redaction: counts per kind + fingerprint of the redacted text.
+    // The synthetic corpus is digit-free, so a deterministic PII-bearing
+    // suffix (email/IP/SSN/phone derived from doc_id) is appended first —
+    // the oracle replays the same augmentation, so every pattern and the
+    // full replacement cascade are hash-checked, not just no-op'd.
+    "q_pii_redact" -> ((s, d) => {
+      val aug = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 ssn 123-45-6789 tel +1 555 123 4567"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.piiCount(aug, "EMAIL").as("n_emails"),
+          TextFunctions.piiCount(aug, "IP").as("n_ips"),
+          TextFunctions.piiCount(aug, "SSN").as("n_ssns"),
+          TextFunctions.piiCount(aug, "PHONE").as("n_phones"),
+          md5(TextFunctions.redactPii(aug)).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Sliding-window chunking (window 64 tokens, stride 48): the
+    // document -> training-sequence explode. Integer-only boundary
+    // arithmetic, so the oracle reproduces chunk text byte-for-byte.
+    "q_chunk_docs" -> ((s, d) =>
+      Chunker.chunkDocuments(t(s, d, "documents"), "text", "doc_id", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
 
     // Brute-force cosine top-k against the vec_id=0 query vector.
     "q_sim_topk" -> ((s, d) => {
@@ -2023,6 +2052,47 @@ object SparkEntry {
         |    ELSE 'und'
         |  END AS predicted_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same deterministic augmentation, same RE2-compatible patterns,
+    // same replacement cascade order (EMAIL -> IP -> SSN -> PHONE).
+    "q_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |         '.7 ssn 123-45-6789 tel +1 555 123 4567' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(t, '(?:\+?\d{1,2}[ -])?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '(?:\+?\d{1,2}[ -])?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b', '[PHONE]', 'g')) AS redacted_fp
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // Window 64 / stride 48; integer ceil-division chunk count; DuckDB
+    // list slices are 1-based inclusive and clamp like Spark's slice().
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), n AS (
+        |  SELECT doc_id, toks, len(toks) AS n_tok,
+        |         CASE WHEN len(toks) <= 0 THEN 0
+        |              WHEN len(toks) <= 64 THEN 1
+        |              ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS n_chunks
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, toks, n_tok, unnest(range(n_chunks)) AS chunk_id FROM n
+        |)
+        |SELECT doc_id,
+        |       CAST(chunk_id AS INT) AS chunk_id,
+        |       CAST(least(64, n_tok - chunk_id * 48) AS INT) AS n_chunk_tokens,
+        |       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_explode_tokens" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n

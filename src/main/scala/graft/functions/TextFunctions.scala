@@ -167,6 +167,36 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** PII patterns in the Java-regex/RE2 intersection (no lookaround, no
+    * backreferences), so an external RE2-based engine finds the exact
+    * same spans. Listed in REDACTION ORDER: every replacement token is
+    * digit-free, so an earlier redaction can never create a match for a
+    * later pattern (e.g. SSNs are consumed before the phone pattern can
+    * see their digits).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "IP" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
+    "SSN" -> """\b\d{3}-\d{2}-\d{4}\b""",
+    "PHONE" -> """(?:\+?\d{1,2}[ -])?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b""")
+
+  /** Occurrences of one PII kind. Count on the ORIGINAL column — after
+    * [[redactPii]] the spans are gone by construction.
+    */
+  def piiCount(c: Column, kind: String): Column =
+    size(regexp_extract_all(c, lit(PiiPatterns.toMap.apply(kind)), lit(0)))
+
+  /** Redact every PII kind to a bracketed token ([EMAIL], [IP], [SSN],
+    * [PHONE]) in [[PiiPatterns]] order. A training-data pipeline runs
+    * this as a row-local projection: four codegen'd regex passes, no
+    * shuffle, linear at 100 TB. Idempotent — redaction tokens contain
+    * no pattern-matchable characters.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (kind, p)) =>
+      regexp_replace(acc, p, s"[$kind]")
+    }
+
   /** Quality features: a typical pre-training filter set (length, token
     * stats, punctuation/stopword ratios) plus a composite [0,1] score.
     */

@@ -101,4 +101,29 @@ class TextFunctionsSpec extends SparkSpec {
       assert(st.getInt(2) == r.getInt(2), "n_stopwords")
     }
   }
+
+  test("redactPii replaces every kind and counts match the spans") {
+    val text = "mail a.user+x@sub.example.org or call (555) 123-4567, " +
+      "server 192.168.0.1, ssn 123-45-6789, intl +1 555 123 4567"
+    val red = one(text, redactPii(col("t"))).asInstanceOf[String]
+    assert(red.contains("[EMAIL]") && red.contains("[IP]") &&
+      red.contains("[SSN]") && red.contains("[PHONE]"))
+    assert(!red.contains("@") && !red.contains("123-45-6789") &&
+      !red.contains("192.168.0.1") && !red.contains("4567"))
+    assert(one(text, piiCount(col("t"), "EMAIL")) == 1)
+    assert(one(text, piiCount(col("t"), "IP")) == 1)
+    assert(one(text, piiCount(col("t"), "SSN")) == 1)
+    assert(one(text, piiCount(col("t"), "PHONE")) == 2)
+  }
+
+  test("redactPii is idempotent and order-safe (SSN consumed before PHONE)") {
+    val text = "ssn 123-45-6789 end"
+    val once = one(text, redactPii(col("t"))).asInstanceOf[String]
+    assert(once == "ssn [SSN] end")
+    val twice = Seq(once).toDF("t")
+      .select(redactPii(col("t"))).collect()(0).getString(0)
+    assert(twice == once)
+    // clean text passes through untouched
+    assert(one("no pii here at all", redactPii(col("t"))) == "no pii here at all")
+  }
 }
