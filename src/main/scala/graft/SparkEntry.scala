@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, Layout, Multimodal, SimilaritySearch, TfIdf, TrainingData}
+import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -820,6 +820,35 @@ object SparkEntry {
       Chunker.chunkDocuments(t(s, d, "documents"), "text", "doc_id", window = 64, stride = 48)
         .orderBy("doc_id", "chunk_id")),
 
+    // End-to-end corpus prep — the full training-data pipeline in one
+    // plan: quality gate -> language gate -> exact dedup (keep lowest
+    // id per fingerprint) -> chunk (64/48, source carried through the
+    // explode) -> token-budget shard packing per source. Every stage is
+    // deterministic (row-local projections + two key-partitioned
+    // windows, no model state), so the WHOLE composition hash-checks
+    // against one DuckDB replay — the operators aren't just
+    // independently correct, they compose correctly.
+    "q_corpus_prep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, d, "documents").select(
+        col("doc_id"), col("source"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.languageId(col("text")).as("lang_pred"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val deduped = scored
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+        .withColumn("_rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("_rn") === 1)
+      val chunks = Chunker
+        .chunkDocuments(deduped, "text", "doc_id", window = 64, stride = 48,
+          carryCols = Seq("source"))
+        .withColumn("chunk_uid", col("doc_id") * 1000 + col("chunk_id"))
+      TrainingData
+        .packShards(chunks, "chunk_uid", "source", col("n_chunk_tokens"), budgetTokens = 1024L)
+        .select("chunk_uid", "doc_id", "chunk_id", "source", "n_chunk_tokens", "shard_idx")
+        .orderBy("chunk_uid")
+    }),
+
     // Brute-force cosine top-k against the vec_id=0 query vector.
     "q_sim_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -895,6 +924,17 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(reb, "vec_id", q, k = 20, nprobe = reb.centroids.length)
     }),
 
+    // Scalar-quantized (SQ8) batch top-k: per-dimension min/max params,
+    // integer codes, integer dot-product scores. Fully deterministic
+    // (floor rounding, no model state), so unlike the KMeans/LSH ANN
+    // variants this is a full value oracle over the whole
+    // params -> codes -> scores -> top-k pipeline.
+    "q_sim_sq8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Quantization.sq8TopKBatch(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
     // Multi-probe LSH ANN: explicit probe-signature IN-list (prunable at
     // scale) instead of the XOR scan filter — identical results to
     // q_sim_ann by construction (identity pinned in SimilaritySpec).
@@ -912,6 +952,16 @@ object SparkEntry {
       Dedup.embeddingNearDuplicates(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy("id_a", "id_b")),
+
+    // SemDeDup: KMeans-cluster-scoped semantic dedup (rows-only — cell
+    // assignment is model state like every IVF query; precision-1 /
+    // recall pins vs the brute-force baseline live in SemanticDedupSpec).
+    // Threshold matches q_emb_neardup so the two paths are comparable.
+    "q_dedup_semantic" -> ((s, d) =>
+      SemanticDedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, minCosine = 0.5)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
 
     // Multimodal: binary content column + metadata pass (decode path is
     // exercised via Multimodal.extractFeatures in MultimodalSpec).
@@ -2074,6 +2124,76 @@ object SparkEntry {
         |      '(?:\+?\d{1,2}[ -])?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b', '[PHONE]', 'g')) AS redacted_fp
         |FROM aug ORDER BY doc_id""".stripMargin,
 
+    // Full pipeline replay: quality + langid + fingerprint projections,
+    // the two gates, keep-lowest-id dedup, chunk boundaries, and the
+    // per-source token-budget cumsum — one CTE per pipeline stage.
+    "q_corpus_prep" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source, text,
+        |         length(text) AS n_chars,
+        |         regexp_extract_all(text, '\S+') AS toks,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+        |         len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN
+        |           ('el','la','de','que','y','en','un','una','los','es'))) AS es,
+        |         len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN
+        |           ('der','die','das','und','ist','ein','eine','zu','den','nicht'))) AS de,
+        |         len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN
+        |           ('le','la','les','de','et','un','une','est','que','pour'))) AS fr
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, source, toks,
+        |    round((
+        |      (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN len(toks) > 0 AND CAST(n_chars AS DOUBLE)/len(toks) BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN len(toks) > 0 THEN CAST(en AS DOUBLE)/len(toks) ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) AS quality,
+        |    CASE
+        |      WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'
+        |      WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+        |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN regexp_matches(text, '[А-яЁё]') THEN 'ru'
+        |      WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        |      WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+        |      WHEN greatest(en, es, de, fr) > 0 THEN
+        |        CASE WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |             WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |             WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |             ELSE 'fr' END
+        |      ELSE 'und'
+        |    END AS lang_pred,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM sc
+        |), kept AS (
+        |  SELECT doc_id, source, toks,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality >= 0.5 AND lang_pred = 'en'
+        |), k2 AS (
+        |  SELECT doc_id, source, len(toks) AS n_tok,
+        |         CASE WHEN len(toks) <= 0 THEN 0
+        |              WHEN len(toks) <= 64 THEN 1
+        |              ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS n_chunks
+        |  FROM kept WHERE rn = 1
+        |), c AS (
+        |  SELECT doc_id, source, n_tok, unnest(range(n_chunks)) AS chunk_id FROM k2
+        |), ch AS (
+        |  SELECT doc_id, source, chunk_id,
+        |         doc_id * 1000 + chunk_id AS chunk_uid,
+        |         least(64, n_tok - chunk_id * 48) AS n_chunk_tokens
+        |  FROM c
+        |)
+        |SELECT CAST(chunk_uid AS BIGINT) AS chunk_uid, doc_id,
+        |       CAST(chunk_id AS INT) AS chunk_id, source,
+        |       CAST(n_chunk_tokens AS INT) AS n_chunk_tokens,
+        |       CAST(floor((sum(n_chunk_tokens) OVER (PARTITION BY source ORDER BY chunk_uid
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens)
+        |             / 1024.0) AS INT) AS shard_idx
+        |FROM ch ORDER BY chunk_uid""".stripMargin,
+
     // Window 64 / stride 48; integer ceil-division chunk count; DuckDB
     // list slices are 1-based inclusive and clamp like Spark's slice().
     "q_chunk_docs" ->
@@ -2174,6 +2294,28 @@ object SparkEntry {
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // SQ8: replay the deterministic quantization pipeline — per-dim
+    // min/max over the full corpus, floor-rounded 0..255 codes, decode
+    // to bucket midpoints, sequential-sum dot, 6dp-rounded per-query
+    // top-10 (rounding before ranking keeps tie order engine-exact).
+    "q_sim_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS dim FROM e),
+        |d AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+        |q AS (SELECT vec_id,
+        |             list(CASE WHEN mx = mn THEN mn
+        |                       ELSE mn + (least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT)) + 0.5)
+        |                                 * (mx - mn) / 255.0 END
+        |                  ORDER BY dim) AS dec
+        |      FROM x JOIN d USING (dim) GROUP BY vec_id),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |             round(list_dot_product(a.dec, b.dec), 6) AS qscore
+        |      FROM q a JOIN q b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, vec_id, qscore,
+        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS INT) AS rnk
+        |      FROM s)
+        |SELECT qid, vec_id, qscore, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "q_emb_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

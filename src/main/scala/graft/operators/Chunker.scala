@@ -21,18 +21,22 @@ import graft.functions.TextFunctions
   */
 object Chunker {
 
-  /** Chunk `textCol` into token windows. Output: (idCol, chunk_id,
-    * n_chunk_tokens, chunk_text), one row per chunk; empty documents
-    * produce zero rows; documents with ≤ `window` tokens produce
-    * exactly one chunk. The final chunk may be shorter than `window`
-    * but is never empty, and every token is covered by ≥ 1 chunk.
+  /** Chunk `textCol` into token windows. Output: (idCol, carryCols...,
+    * chunk_id, n_chunk_tokens, chunk_text), one row per chunk; empty
+    * documents produce zero rows; documents with ≤ `window` tokens
+    * produce exactly one chunk. The final chunk may be shorter than
+    * `window` but is never empty, and every token is covered by ≥ 1
+    * chunk. `carryCols` ride along through the explode — at scale this
+    * beats re-joining document metadata onto the (much larger) chunk
+    * set afterwards.
     */
   def chunkDocuments(
       df: DataFrame,
       textCol: String,
       idCol: String,
       window: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val toks = TextFunctions.tokens(col(textCol))
@@ -45,13 +49,15 @@ object Chunker {
       .otherwise(((nTok - lit(window) + lit(stride - 1)) / lit(stride)).cast("int") + lit(1))
     val ids = when(nChunks > 0, sequence(lit(0), nChunks - 1))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol), toks.as("__toks"), nTok.as("__n"), explode(ids).as("chunk_id"))
+    val carried = carryCols.map(col)
+    df.select(col(idCol) +: carried ++: Seq(
+        toks.as("__toks"), nTok.as("__n"), explode(ids).as("chunk_id")): _*)
       .select(
-        col(idCol),
-        col("chunk_id"),
-        least(lit(window), col("__n") - col("chunk_id") * stride).as("n_chunk_tokens"),
-        array_join(
-          slice(col("__toks"), col("chunk_id") * stride + 1, lit(window)),
-          " ").as("chunk_text"))
+        col(idCol) +: carried ++: Seq(
+          col("chunk_id"),
+          least(lit(window), col("__n") - col("chunk_id") * stride).as("n_chunk_tokens"),
+          array_join(
+            slice(col("__toks"), col("chunk_id") * stride + 1, lit(window)),
+            " ").as("chunk_text")): _*)
   }
 }

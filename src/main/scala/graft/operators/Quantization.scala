@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8-range) embedding quantization — the memory-bandwidth
+  * arm of similarity search at scale. A float32 corpus at 100 TB is a
+  * 25 TB scan per brute-force query batch; SQ8 codes cut that 4x and
+  * keep the scoring loop integer-only (SIMD-friendly, spill-dense).
+  * Unlike the KMeans/LSH paths, quantization here is fully
+  * DETERMINISTIC — per-dimension min/max + fixed rounding — so the
+  * whole pipeline (params -> codes -> integer scores -> top-k) is
+  * bit-reproducible in any engine and carries a real value oracle,
+  * closing the loop the model-state ANN variants can only close by
+  * recall bounds.
+  *
+  * Score semantics: integer dot product of codes ≈ monotone transform
+  * of the float dot product (exact when data is axis-aligned uniform);
+  * ranking quality is pinned against exact-dot top-k in
+  * QuantizationSpec. This is MIPS-style (inner product), the usual
+  * retrieval scoring for unnormalized embedding stores.
+  */
+object Quantization {
+
+  /** Per-dimension (min, max) over the corpus. posexplode + groupBy(dim)
+    * shuffles only executors x d partially-aggregated rows (map-side
+    * combine), then collects d pairs — an index-metadata-sized driver
+    * state, like IVF centroids.
+    */
+  def sq8Params(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("dim")
+      .collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Quantize to integer codes 0..255. floor((x - mn) * 255 / (mx - mn))
+    * clamped — floor (not round) because its IEEE result is identical
+    * across engines at every representable input, where round() ties
+    * differ by dialect. Constant dimensions code to 0.
+    */
+  def sq8Quantize(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mn = typedLit(mins.toSeq)
+    val mx = typedLit(maxs.toSeq)
+    transform(vec.cast("array<double>"), (x, i) => {
+      val lo = element_at(mn, i + lit(1))
+      val hi = element_at(mx, i + lit(1))
+      when(hi === lo, lit(0))
+        .otherwise(least(lit(255), floor((x - lo) * lit(255.0) / (hi - lo)).cast("int")))
+    })
+  }
+
+  /** Decode codes back to reconstruction values: mn + (c + 0.5)·Δ
+    * (bucket midpoint — halves the worst-case error vs decoding to the
+    * bucket floor). Scoring happens on DECODED values: the raw integer
+    * code dot is a dot of per-dimension SHIFTED values (codes are
+    * affine in x), which ranks differently from the true dot whenever
+    * mins are nonzero — measured on the test corpus it drops top-10
+    * recall to ~0.06. Decode-then-dot keeps the 4x storage/scan win
+    * (codes at rest, decode in the scoring loop) and approximates the
+    * true inner product to Δ/2 per dimension.
+    */
+  def sq8Dequantize(codes: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mn = typedLit(mins.toSeq)
+    val mx = typedLit(maxs.toSeq)
+    transform(codes, (c, i) => {
+      val lo = element_at(mn, i + lit(1))
+      val hi = element_at(mx, i + lit(1))
+      when(hi === lo, lo)
+        .otherwise(lo + (c.cast("double") + lit(0.5)) * (hi - lo) / lit(255.0))
+    })
+  }
+
+  /** Sequential-sum dot product of two decoded arrays — deterministic
+    * left-to-right double summation, reproducible in any engine.
+    */
+  def decodedDot(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot(a, b)
+
+  /** Batch top-k over quantized codes: one corpus scan scores every
+    * query (broadcast query codes, no shuffle on the corpus side until
+    * the per-query top-k window). Self-matches (same id) are excluded.
+    * Scores are decoded-dot (MIPS), rounded to 6dp so ranking ties are
+    * engine-exact; ties break on id. Output: (qid, idCol, qscore, rnk).
+    *
+    * Scale shape: corpus-side work is a single narrow projection +
+    * broadcast nested-loop against Q query rows (Q small); the only
+    * exchange is the hash partition on qid for the top-k window, whose
+    * input is already cut to |corpus| x Q scored rows. For large Q,
+    * compose with the IVF router instead — this operator is the
+    * exact-scoring arm.
+    */
+  def sq8TopKBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val (mins, maxs) = sq8Params(corpus, vecCol)
+    def decoded(vec: Column): Column =
+      sq8Dequantize(sq8Quantize(vec, mins, maxs), mins, maxs)
+    val qs = broadcast(
+      queries.select(col(idCol).as("qid"), decoded(col(vecCol)).as("qdec")))
+    val cs = corpus.select(col(idCol), decoded(col(vecCol)).as("dec"))
+    val w = Window.partitionBy("qid").orderBy(desc("qscore"), col(idCol))
+    cs.join(qs, col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(decodedDot(col("dec"), col("qdec")), 6).as("qscore"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -33,6 +33,17 @@ class ChunkerSpec extends SparkSpec {
     assert(c == Seq((0, 2, "a b"), (1, 2, "c d"), (2, 1, "e")))
   }
 
+  test("carryCols ride through the explode unchanged") {
+    val df = Seq((1L, "web", "a b c d e"), (2L, "books", "x y")).toDF("doc_id", "source", "text")
+    val got = Chunker.chunkDocuments(df, "text", "doc_id", window = 2, stride = 2, carryCols = Seq("source"))
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "source", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, "web", 0, "a b"), (1L, "web", 1, "c d"), (1L, "web", 2, "e"),
+      (2L, "books", 0, "x y")))
+  }
+
   test("every token covered at least once across a range of shapes") {
     for (n <- Seq(1, 5, 63, 64, 65, 100, 130); (w, s) <- Seq((64, 48), (16, 16), (10, 3))) {
       val text = (0 until n).map(i => s"w$i").mkString(" ")

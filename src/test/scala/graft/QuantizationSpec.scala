@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Quantization
+import graft.sources.TableIO
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = TableIO.table(spark, Sf0001, "embeddings")
+
+  test("params are exact per-dimension min/max; codes bounded 0..255") {
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f, 2.0f)),
+      (2L, Seq(3.0f, 5.0f, 8.0f)),
+      (3L, Seq(2.0f, 5.0f, 5.0f))).toDF("id", "v")
+    val (mins, maxs) = Quantization.sq8Params(df, "v")
+    assert(mins.toSeq == Seq(1.0, 5.0, 2.0))
+    assert(maxs.toSeq == Seq(3.0, 5.0, 8.0))
+    val codes = df.orderBy("id")
+      .select(Quantization.sq8Quantize(col("v"), mins, maxs))
+      .as[Seq[Int]].collect()
+    codes.flatten.foreach(c => assert(c >= 0 && c <= 255))
+    // constant dimension codes to 0 everywhere
+    assert(codes.forall(_(1) == 0))
+    // the per-dim min codes to 0, the per-dim max clamps to 255
+    assert(codes(0)(0) == 0 && codes(1)(0) == 255)
+    assert(codes(0)(2) == 0 && codes(1)(2) == 255)
+  }
+
+  test("dequantized reconstruction error is bounded by half a bucket") {
+    val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
+    val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
+    val worst = emb.select(max(aggregate(
+      zip_with(
+        VectorOps.asDouble(col("embedding")),
+        Quantization.sq8Dequantize(
+          Quantization.sq8Quantize(col("embedding"), mins, maxs), mins, maxs),
+        (a, b) => abs(a - b)),
+      lit(0.0), (s, v) => greatest(s, v)))).head().getDouble(0)
+    assert(worst <= maxHalfDelta + 1e-12, s"$worst > $maxHalfDelta")
+  }
+
+  test("quantized batch top-k tracks exact-dot top-k (mean recall >= 0.8)") {
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Quantization.sq8TopKBatch(emb, queries, "vec_id", "embedding", k)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val v = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+    val exact = v.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .filter(col("qid") < 5)
+      .crossJoin(v)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.dot(col("e"), col("qe")).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(got.keySet == exact.keySet)
+    val recalls = got.map { case (q, ids) =>
+      ids.intersect(exact(q)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall $mean < 0.8 (${recalls.toSeq.sorted})")
+  }
+
+  test("quantized scores and ranks are deterministic across runs") {
+    def run() = Quantization
+      .sq8TopKBatch(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .orderBy("qid", "rnk")
+      .select("qid", "vec_id", "qscore", "rnk").collect().toSeq
+    assert(run() == run())
+  }
+}
