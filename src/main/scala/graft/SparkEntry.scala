@@ -211,6 +211,24 @@ object SparkEntry {
         .orderBy(desc("value"), asc("event_id"))
         .limit(100)),
 
+    // Per-group top-k via the bounded-heap TypedImperativeAggregate:
+    // map-side combine carries <= k entries per (partition, group)
+    // through the shuffle, where the rank-window form (q_window_rank's
+    // shape) sorts and buffers every row of every group. Total order
+    // (value DESC, id ASC) makes the rank-k boundary deterministic, so
+    // the window replay is an exact oracle.
+    "q_group_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.plans.TopKAgg.topKByValue(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(
+          col("o_custkey"),
+          (col("i") + 1).cast("int").as("rnk"),
+          col("e.id").as("o_orderkey"),
+          col("e.value").as("totalprice"))
+        .orderBy("o_custkey", "rnk")),
+
     // Q1-Q5: the fused single-pass data-quality aggregate (one scan for
     // the whole suite — the engine improvement over GX's N scans).
     "q_quality_fused" -> ((s, d) => {
@@ -1398,6 +1416,15 @@ object SparkEntry {
     "q_topk_limit" ->
       """SELECT event_id, user_id, value
         |FROM events ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rnk, o_orderkey, o_totalprice AS totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_quality_fused" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKAgg
+import graft.sources.TableIO
+
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy(col("g"))
+      .agg(TopKAgg.topKByValue(col("v"), col("id"), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("g"), (col("i") + 1).cast("int").as("rnk"),
+        col("e.id").as("id"), col("e.value").as("v"))
+
+  test("matches the rank-window form on real data") {
+    val orders = TableIO.table(spark, Sf0001, "orders")
+      .select(col("o_custkey").as("g"), col("o_orderkey").as("id"), col("o_totalprice").as("v"))
+    val agg = viaAgg(orders, 3).orderBy("g", "rnk").collect().toSeq
+    val w = Window.partitionBy("g").orderBy(desc("v"), asc("id"))
+    val win = orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("g", "rnk", "id", "v")
+      .orderBy("g", "rnk").collect().toSeq
+    assert(agg == win)
+  }
+
+  test("ties break on id ascending; boundary at k is deterministic") {
+    val df = Seq((1L, 10L, 5.0), (1L, 12L, 5.0), (1L, 11L, 5.0), (1L, 13L, 4.0))
+      .toDF("g", "id", "v")
+    val got = viaAgg(df, 2).orderBy("rnk")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 11L))
+  }
+
+  test("k larger than the group returns the whole group, sorted") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 3.0)).toDF("g", "id", "v")
+    val got = viaAgg(df, 10).orderBy("rnk")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L))
+  }
+
+  test("null values and ids are skipped") {
+    val df = Seq(
+      (1L, Some(1L), Some(2.0)), (1L, Some(2L), None),
+      (1L, None, Some(9.0)), (1L, Some(3L), Some(1.0)))
+      .toDF("g", "id", "v")
+    val got = viaAgg(df, 5).orderBy("rnk")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("partial-aggregation merge path gives identical results") {
+    val rng = new scala.util.Random(3L)
+    val rows = (0 until 5000).map(i => (i % 17L, i.toLong, rng.nextInt(100).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val one = viaAgg(df.coalesce(1), 4).orderBy("g", "rnk").collect().toSeq
+    val many = viaAgg(df.repartition(13), 4).orderBy("g", "rnk").collect().toSeq
+    assert(one == many)
+  }
+}
