@@ -1,0 +1,106 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Chunker, TrainingData}
+
+/** End-to-end training-corpus preparation — the LLM-data counterpart of
+  * [[RunPipeline]]'s fraud medallion. documents in ->
+  *   1. ANNOTATE (bronze): one row-local pass adds quality score,
+  *      language ID, dedup fingerprint, PII counts, and the redacted
+  *      text. Everything downstream reads the annotations, never
+  *      re-derives them.
+  *   2. GATE + DEDUP (silver): quality/language/contamination gates,
+  *      then exact dedup keeping the lowest doc id per fingerprint.
+  *      Gates run BEFORE the dedup shuffle, so rejected documents never
+  *      cross the wire.
+  *   3. CHUNK: sliding token windows over the REDACTED text, document
+  *      metadata carried through the explode.
+  *   4. PACK + WRITE: per-source token-budget shard assignment, written
+  *      partitioned by (source, shard) with a loader manifest.
+  * Each stage persists to storage and is independently re-runnable —
+  * when stage 3 of a 100 TB run dies at hour six, stages 1-2 are not
+  * re-paid. The whole flow is the oracle-checked `q_corpus_prep`
+  * composition plus the PII/contamination arms.
+  */
+object RunCorpusPipeline {
+
+  final case class CorpusConfig(
+      root: String,
+      window: Int = 64,
+      stride: Int = 48,
+      budgetTokens: Long = 1024L,
+      minQuality: Double = 0.5,
+      langs: Set[String] = Set("en"),
+      maxContamination: Double = 0.2)
+
+  def annotated(cfg: CorpusConfig): String = s"${cfg.root}/annotated"
+  def silver(cfg: CorpusConfig): String = s"${cfg.root}/silver"
+  def shards(cfg: CorpusConfig): String = s"${cfg.root}/shards"
+
+  /** Run the full pipeline. `eval` (benchmark texts, column `text`) is
+    * broadcast for decontamination when provided — documents whose
+    * distinct-gram overlap with the eval set exceeds
+    * `maxContamination` are gated out with the quality failures.
+    */
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      cfg: CorpusConfig,
+      eval: Option[DataFrame] = None): Unit = {
+
+    // Stage 1 — annotate: single scan, row-local, no shuffle.
+    docs
+      .select(Seq(
+        col("doc_id"), col("source"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.languageId(col("text")).as("lang_pred"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.redactPii(col("text")).as("clean_text")) ++
+        TextFunctions.PiiPatterns.map { case (kind, _) =>
+          TextFunctions.piiCount(col("text"), kind).as(s"n_pii_${kind.toLowerCase}")
+        }: _*)
+      .write.mode("overwrite").parquet(annotated(cfg))
+
+    // Stage 2 — gate + exact dedup.
+    val ann = spark.read.parquet(annotated(cfg))
+    val langGate = col("lang_pred").isin(cfg.langs.toSeq: _*)
+    val gated = ann.filter(col("quality") >= cfg.minQuality && langGate)
+    val decontaminated = eval match {
+      case Some(ev) =>
+        val flagged = TrainingData.benchmarkContamination(
+          gated, "doc_id", "text", ev, "text", n = 3,
+          flagThreshold = cfg.maxContamination)
+        gated.join(
+          flagged.filter(!col("is_contaminated")).select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => gated
+    }
+    decontaminated
+      .withColumn("_rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .write.mode("overwrite").parquet(silver(cfg))
+
+    // Stage 3 + 4 — chunk the redacted text, pack per source, write
+    // shard-partitioned data + manifest.
+    val chunks = Chunker
+      .chunkDocuments(spark.read.parquet(silver(cfg)), "clean_text", "doc_id",
+        cfg.window, cfg.stride, carryCols = Seq("source"))
+      .withColumn("chunk_uid", col("doc_id") * 1000 + col("chunk_id"))
+    val packed = TrainingData.packShards(
+      chunks, "chunk_uid", "source", col("n_chunk_tokens"), cfg.budgetTokens)
+    TrainingData.writeShards(packed, "source", "chunk_uid", shards(cfg))
+  }
+
+  /** CLI: runMain graft.app.RunCorpusPipeline <docsParquet> <outRoot> */
+  def main(args: Array[String]): Unit = {
+    val Array(docsPath, outRoot) = args.take(2)
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    run(spark, spark.read.parquet(docsPath), CorpusConfig(root = outRoot))
+    spark.stop()
+  }
+}

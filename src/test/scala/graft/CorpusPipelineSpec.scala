@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.app.RunCorpusPipeline
+import graft.app.RunCorpusPipeline.CorpusConfig
+import graft.sources.TableIO
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodText =
+    "the quick brown fox jumps over the lazy dog and it runs for the hills " +
+      "again and again because that is what a fox in a story does for fun"
+
+  test("every gate fires: quality, language, dedup, PII scrub, packing") {
+    val docs = Seq(
+      // survives, contains PII that must be scrubbed before chunking
+      (1L, "web", goodText + " mail me at fox@example.com"),
+      // exact duplicate (same fingerprint after case/whitespace norm) -> dropped
+      (2L, "web", goodText.toUpperCase + "  mail me at FOX@EXAMPLE.COM"),
+      // too short -> quality gate
+      (3L, "web", "tiny doc"),
+      // Spanish -> language gate
+      (4L, "web", "el perro de la casa es un animal que vive en los jardines de una ciudad"),
+      // survives, different source
+      (5L, "books", goodText + " but in a book")
+    ).toDF("doc_id", "source", "text")
+
+    val root = "target/tmp/corpus_pipeline"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(root = root, window = 8, stride = 6))
+
+    val silver = spark.read.parquet(s"$root/silver")
+    assert(silver.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+
+    val shards = spark.read.parquet(s"$root/shards/data")
+    // chunk text comes from the REDACTED column: the email is gone
+    val texts = shards.select("chunk_text").as[String].collect()
+    assert(texts.nonEmpty)
+    assert(!texts.exists(_.contains("@")))
+    assert(texts.exists(_.contains("[EMAIL]")))
+    // carried metadata partitions the shard layout
+    assert(shards.select("source").distinct().as[String].collect().toSet == Set("web", "books"))
+
+    // manifest totals agree with the written data
+    val manifest = spark.read.parquet(s"$root/shards/_manifest")
+    val fromData = shards.groupBy("source", "shard_idx")
+      .agg(count(lit(1)).as("n"), sum("n_chunk_tokens").as("tok"))
+      .select("source", "shard_idx", "n", "tok")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val fromManifest = manifest
+      .select("source", "shard_idx", "n_docs", "shard_tokens")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromData == fromManifest)
+  }
+
+  test("decontamination gate drops overlapping documents when eval set given") {
+    val docs = Seq(
+      (1L, "web", goodText),
+      (2L, "web", "completely different words that form a wholly original " +
+        "benchmark answer sheet of the eval set for sure and it is long enough " +
+        "to pass the quality gate with the stopwords the a of and to in it"))
+      .toDF("doc_id", "source", "text")
+    val eval = Seq(
+      "completely different words that form a wholly original benchmark answer " +
+        "sheet of the eval set for sure").toDF("text")
+
+    val root = "target/tmp/corpus_pipeline_decon"
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = root, window = 8, stride = 6, maxContamination = 0.3),
+      eval = Some(eval))
+    val silver = spark.read.parquet(s"$root/silver")
+    assert(silver.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("smoke on real documents table: stages land, shards respect budget slack") {
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val root = "target/tmp/corpus_pipeline_sf"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(root = root))
+    val packed = spark.read.parquet(s"$root/shards/data")
+    assert(packed.count() > 0)
+    // offset packing: every shard but a group's last stays within
+    // budget + one chunk (window tokens)
+    val manifest = spark.read.parquet(s"$root/shards/_manifest")
+    val lastIdx = manifest.groupBy("source").agg(max("shard_idx").as("last"))
+    val overful = manifest.join(lastIdx, "source")
+      .filter(col("shard_idx") =!= col("last") && col("shard_tokens") > 1024 + 64)
+    assert(overful.count() == 0)
+  }
+}
