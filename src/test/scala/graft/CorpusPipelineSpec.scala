@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.app.RunCorpusPipeline
 import graft.app.RunCorpusPipeline.CorpusConfig
+import graft.operators.Chunker
 import graft.sources.TableIO
 
 class CorpusPipelineSpec extends SparkSpec {
@@ -71,6 +72,38 @@ class CorpusPipelineSpec extends SparkSpec {
       eval = Some(eval))
     val silver = spark.read.parquet(s"$root/silver")
     assert(silver.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("annotate+redact+chunk run unchanged on a document stream (batch identity)") {
+    // The text family is row-local (projections + one generator): no
+    // state, no watermark — the SAME code runs under readStream in
+    // append mode. Golden: streaming output == batch output.
+    val rows = Seq(
+      (1L, "web", goodText + " mail me at fox@example.com"),
+      (2L, "web", goodText + " and a second one for the stream"),
+      (3L, "web", "tiny doc"))
+    val root = s"target/tmp/corpus_stream_${System.nanoTime()}"
+    rows.toDF("doc_id", "source", "text").coalesce(1).write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      Chunker.chunkDocuments(
+        df.filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+          .withColumn("clean_text", graft.functions.TextFunctions.redactPii(col("text"))),
+        "clean_text", "doc_id", window = 8, stride = 6, carryCols = Seq("source"))
+
+    val q = prep(spark.readStream.schema(schema).parquet(s"$root/in"))
+      .writeStream.format("memory").queryName("corpus_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_stream")
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      val batch = prep(spark.read.parquet(s"$root/in"))
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
   }
 
   test("smoke on real documents table: stages land, shards respect budget slack") {
