@@ -600,6 +600,26 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "shard_idx")
         .orderBy("doc_id")),
 
+    // Packing with loader offsets: same single window pass also yields
+    // each document's in-shard token offset (closed-form from the
+    // cumulative sum), so the loader layout is engine-replayable.
+    "q_pack_offsets" -> ((s, d) =>
+      TrainingData.packShardsWithOffsets(
+          t(s, d, "documents"), "doc_id", "source",
+          TextFunctions.tokenCount(col("text")), budgetTokens = 2048L)
+        .select("doc_id", "source", "n_tokens", "shard_idx", "start_offset")
+        .orderBy("doc_id")),
+
+    // Deterministic mixture sampling: per-source keep fractions decided
+    // by md5(id,salt) prefix — replayable membership, no RNG state.
+    "q_mix_sample" -> ((s, d) =>
+      TrainingData.mixtureSample(
+          t(s, d, "documents"), "doc_id", "source",
+          keepFrac = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5),
+          defaultFrac = 0.25, salt = "mix")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Shard manifest: per-(source, shard) doc count, token sum, id range
     // — the loader-facing summary of q_pack_shards' assignment.
     "q_pack_manifest" -> ((s, d) =>
@@ -1694,6 +1714,31 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |             / 2048.0) AS INT) AS shard_idx
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_pack_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prior
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(floor(prior / 2048.0) AS INT) AS shard_idx,
+        |       CAST(prior - CAST(floor(prior / 2048.0) AS BIGINT) * 2048 AS INT) AS start_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) <
+        |      CASE source WHEN 'src0' THEN 'g'
+        |                  WHEN 'src1' THEN '80000000'
+        |                  WHEN 'src2' THEN '80000000'
+        |                  ELSE '40000000' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pack_manifest" ->
       """WITH t AS (

@@ -82,6 +82,64 @@ object TrainingData {
       .parquet(s"$outDir/_manifest")
   }
 
+  /** [[packShards]] plus the in-shard token offset a training loader
+    * needs: `start_offset` = tokens preceding this document
+    * inside its shard. Same single window pass — prior = cumsum − own,
+    * shard = ⌊prior/budget⌋, offset = prior − shard·budget — so the
+    * loader-facing layout (shard, offset, length) is closed-form and
+    * engine-replayable, no second scan.
+    */
+  def packShardsWithOffsets(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCount: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"shard budget must be positive, got $budgetTokens")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCount)
+      .withColumn("_prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_idx",
+        floor(col("_prior") / lit(budgetTokens.toDouble)).cast("int"))
+      .withColumn("start_offset",
+        (col("_prior") - col("shard_idx").cast("long") * budgetTokens).cast("int"))
+      .drop("_prior")
+  }
+
+  /** Deterministic corpus mixture sampling: keep each row of group g
+    * with probability keepFrac(g), but decided by the md5-prefix of
+    * (id, salt) rather than an RNG — the same primitive as
+    * [[deterministicSplit]]. Properties a 100 TB mixture pass needs
+    * and `df.sample`/`sampleBy` cannot give: the kept set is identical
+    * across runs, machines, and engines (plain-SQL replayable);
+    * appending new rows never resamples old ones; and the filter is
+    * row-local — it pushes below every downstream shuffle, so
+    * downweighted sources never cross the wire. `salt` derives a fresh
+    * independent sample.
+    *
+    * Threshold encoding: an 8-hex-digit md5 prefix compared against
+    * f·2³² as fixed-width hex; fractions ≥ 1 encode as "g", which is
+    * lexicographically above every hex string, i.e. keep-all.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      keepFrac: Map[String, Double],
+      defaultFrac: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((keepFrac.values ++ Seq(defaultFrac)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $keepFrac default=$defaultFrac")
+    def th(f: Double): String =
+      if (f >= 1.0) "g" else f"${(f * 4294967296.0).toLong}%08x"
+    val bucket = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8)
+    val threshold = coalesce(
+      element_at(typedLit(keepFrac.map { case (k, f) => k -> th(f) }), col(groupCol)),
+      lit(th(defaultFrac)))
+    df.filter(bucket < threshold)
+  }
+
   /** Deterministic train/val/test split: membership is a pure function
     * of the id — the first 8 hex chars of md5(id [+ salt]) compared
     * against cumulative-weight thresholds. Fixed-width lowercase hex

@@ -94,6 +94,47 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("packShardsWithOffsets: offsets tile each shard contiguously from zero") {
+    val df = Seq(
+      (1L, "g", 5), (2L, "g", 4), (3L, "g", 3), (4L, "g", 6), (5L, "g", 2))
+      .toDF("id", "grp", "n")
+    val got = TrainingData
+      .packShardsWithOffsets(df, "id", "grp", col("n"), budgetTokens = 8L)
+      .orderBy("id")
+      .select("id", "shard_idx", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // priors: 0,5,9,12,18 -> shards 0,0,1,1,2; offsets prior - shard*8
+    assert(got == Seq((1L, 0, 0), (2L, 0, 5), (3L, 1, 1), (4L, 1, 4), (5L, 2, 2)))
+    // agrees with packShards on the shard assignment
+    val plain = TrainingData.packShards(df, "id", "grp", col("n"), 8L)
+      .orderBy("id").select("shard_idx").collect().map(_.getInt(0)).toSeq
+    assert(got.map(_._2) == plain)
+  }
+
+  test("mixtureSample: deterministic membership, monotone in fraction, pushdown-safe") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+    def keptIds(frac: Map[String, Double], default: Double) =
+      TrainingData.mixtureSample(df, "id", "grp", frac, default, salt = "s")
+        .select("id").as[Long].collect().toSet
+    val half = keptIds(Map("a" -> 0.5), 1.0)
+    assert(half == keptIds(Map("a" -> 0.5), 1.0)) // rerun-stable
+    // all of b kept, about half of a
+    assert((0L until 400L).filter(_ % 2 == 1).forall(half.contains))
+    val aKept = half.count(_ % 2 == 0)
+    assert(aKept > 60 && aKept < 140, s"a kept $aKept of 200")
+    // monotone: a lower fraction keeps a subset
+    val quarter = keptIds(Map("a" -> 0.25), 1.0)
+    assert(quarter.filter(_ % 2 == 0).subsetOf(half.filter(_ % 2 == 0)))
+    // keep-all and keep-none edges
+    assert(keptIds(Map.empty, 1.0).size == 400)
+    assert(keptIds(Map("a" -> 0.0, "b" -> 0.0), 0.0).isEmpty)
+    // adding rows never resamples old ones
+    val more = (0L until 500L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+    val moreKept = TrainingData.mixtureSample(more, "id", "grp", Map("a" -> 0.5), 1.0, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(moreKept.filter(_ < 400) == half)
+  }
+
   test("benchmarkContamination counts shared distinct grams against the eval set") {
     val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams: abc, bcd, cde
     val corpus = Seq(
