@@ -620,6 +620,21 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Count-min sketch as a bounded groupBy (depth 4 x width 512):
+    // exact top-20 user counts side by side with their CMS estimates.
+    // md5-derived bucketing makes the sketch itself engine-replayable,
+    // so the approximation error is hash-checked, not just bounded.
+    "q_cms_topk" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val counters = graft.operators.Skew.cmsCounters(ev, "user_id", depth = 4, width = 512)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("user_id")).limit(20)
+      graft.operators.Skew.cmsEstimate(counters, exact, "user_id", depth = 4, width = 512)
+        .join(broadcast(exact), Seq("user_id"))
+        .select("user_id", "exact_n", "cms_count")
+        .orderBy(desc("exact_n"), col("user_id"))
+    }),
+
     // Shard manifest: per-(source, shard) doc count, token sum, id range
     // — the loader-facing summary of q_pack_shards' assignment.
     "q_pack_manifest" -> ((s, d) =>
@@ -1714,6 +1729,38 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |             / 2048.0) AS INT) AS shard_idx
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Full sketch replay: identical md5 buckets, identical counters,
+    // identical min-over-rows estimates.
+    "q_cms_topk" ->
+      """WITH dims AS (SELECT unnest(range(4)) AS i),
+        |hx AS (
+        |  SELECT e.user_id, dims.i,
+        |         CAST(list_sum(list_transform(range(15),
+        |           j -> (CAST(strpos('0123456789abcdef',
+        |                  substr(md5(CAST(dims.i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)),
+        |                         CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+        |                * (CAST(1 AS BIGINT) << CAST(4*(14-j) AS INT)))) AS BIGINT) % 512 AS bucket
+        |  FROM events e, dims
+        |), counters AS (
+        |  SELECT i, bucket, count(*) AS c FROM hx GROUP BY i, bucket
+        |), exact AS (
+        |  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+        |  ORDER BY exact_n DESC, user_id LIMIT 20
+        |), keyh AS (
+        |  SELECT k.user_id, k.exact_n, dims.i,
+        |         CAST(list_sum(list_transform(range(15),
+        |           j -> (CAST(strpos('0123456789abcdef',
+        |                  substr(md5(CAST(dims.i AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)),
+        |                         CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+        |                * (CAST(1 AS BIGINT) << CAST(4*(14-j) AS INT)))) AS BIGINT) % 512 AS bucket
+        |  FROM exact k, dims
+        |)
+        |SELECT k.user_id, CAST(k.exact_n AS BIGINT) AS exact_n,
+        |       CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_count
+        |FROM keyh k LEFT JOIN counters c ON k.i = c.i AND k.bucket = c.bucket
+        |GROUP BY k.user_id, k.exact_n
+        |ORDER BY exact_n DESC, user_id""".stripMargin,
 
     "q_pack_offsets" ->
       """WITH t AS (

@@ -93,4 +93,58 @@ object Skew {
       .collect()
       .map(_.get(0))
       .toSeq
+
+  /** Count-min sketch, Spark-first: the sketch IS a bounded groupBy.
+    * Each row contributes one increment per hash row i, to bucket
+    * md5(i:key) mod width; `groupBy(i, bucket).count()` then computes
+    * every counter in ONE pass — map-side partial aggregation reduces
+    * each partition to ≤ depth×width rows before the shuffle, which is
+    * exactly the sketch-merge a hand-rolled TypedImperativeAggregate
+    * would do, except the counters stay distributed, the plan stays
+    * whole-stage-codegen'd, and the output is queryable/persistable as
+    * a (depth×width)-row table regardless of key cardinality.
+    *
+    * md5-derived bucketing (same primitive as
+    * [[graft.functions.TextFunctions.md5TokenHashes]]) keeps the whole
+    * sketch engine-replayable — the DuckDB oracle rebuilds identical
+    * counters, so even the approximation is hash-checked, not just
+    * bounded.
+    */
+  def cmsCounters(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"need positive depth/width, got $depth x $width")
+    df.select(
+        posexplode(transform(
+          sequence(lit(0), lit(depth - 1)),
+          i => pmod(
+            conv(substring(md5(concat(i.cast("string"), lit(":"), col(keyCol).cast("string"))),
+              1, 15), 16, 10).cast("long"),
+            lit(width.toLong)))).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket")
+      .count()
+  }
+
+  /** Point estimates from [[cmsCounters]]: for each key in `keys`, the
+    * min over hash rows of its bucket's counter — the classic one-sided
+    * CMS estimate (≥ true count, ≤ true + εN w.h.p.). `keys` is the
+    * candidate set (exact heavy hitters, a sample, or a dictionary);
+    * the join against the ≤ depth×width counter table broadcasts it.
+    */
+  def cmsEstimate(
+      counters: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    val hashed = keys.select(
+        col(keyCol),
+        posexplode(transform(
+          sequence(lit(0), lit(depth - 1)),
+          i => pmod(
+            conv(substring(md5(concat(i.cast("string"), lit(":"), col(keyCol).cast("string"))),
+              1, 15), 16, 10).cast("long"),
+            lit(width.toLong)))).as(Seq("i", "bucket")))
+    hashed.join(counters, Seq("i", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("count"), lit(0L))).as("cms_count"))
+  }
 }

@@ -47,4 +47,29 @@ class SkewSpec extends SparkSpec {
     val nSalts = salted.filter(col("k") === 1L).select("__salt").distinct().count()
     assert(nSalts > 1, "hot key should fan out over >1 salt value")
   }
+
+  test("CMS estimates are one-sided and exact for dominant keys at low load") {
+    // 3 heavy keys + light tail; sketch load factor is tiny, so heavy
+    // estimates should be exact and every estimate >= the true count
+    val rows = Seq.fill(500)(1L) ++ Seq.fill(300)(2L) ++ Seq.fill(200)(3L) ++
+      (100L until 150L)
+    val df = rows.toDF("k")
+    val depth = 4; val width = 512
+    val counters = Skew.cmsCounters(df, "k", depth, width)
+    // counter table is bounded by depth x width no matter the cardinality
+    assert(counters.count() <= depth.toLong * width)
+    // total per hash row equals the row count (every row lands once per row i)
+    val perRow = counters.groupBy("i").agg(sum("count").as("s"))
+      .select("s").as[Long].collect().toSet
+    assert(perRow == Set(rows.size.toLong))
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val keys = truth.keys.toSeq.toDF("k")
+    val est = Skew.cmsEstimate(counters, keys, "k", depth, width)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS estimate below truth for $k")
+      assert(est(k) <= n + rows.size / width + 5, s"estimate too loose for $k")
+    }
+    assert(est(1L) == 500L && est(2L) == 300L)
+  }
 }
