@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData}
+import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -684,6 +684,27 @@ object SparkEntry {
       TfIdf.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
         Seq("hash", "join", "window"), k = 10)
         .orderBy("rk")),
+
+    // Hybrid retrieval: BM25 top-50 fused with cosine top-50 (documents
+    // and embeddings share the id space) by reciprocal-rank fusion.
+    // Rank-only inputs -> the fusion is engine-exact; both candidate
+    // lists are bounded, so the join and final top-20 are tiny.
+    "q_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TfIdf.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
+        Seq("hash", "join", "window"), k = 50)
+        .select(col("doc_id"), col("rk"))
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val vec = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 50)
+        .withColumn("vec_rk", row_number().over(
+          Window.orderBy(desc("cos_sim"), col("vec_id"))).cast("int"))
+        .select(col("vec_id").as("doc_id"), col("vec_rk"))
+      HybridRetrieval.rrfFuse(lex, "rk", vec, "vec_rk", "doc_id", rrfK = 60, k = 20)
+        .orderBy(desc("rrf"), col("doc_id"))
+    }),
 
     // Z-order clustering key: bucket (value, user_id) on fixed linear
     // boundaries and interleave the bits — the row-local half of
@@ -1941,6 +1962,60 @@ object SparkEntry {
         |)
         |SELECT doc_id, dl, score, rk FROM ranked
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    // Fusion replay: the bm25 oracle's CTEs at k=50, the cosine ranking
+    // at k=50, full-outer joined with 0 sentinels, fixed two-term RRF
+    // sum (lex term first) rounded to 6dp before the final ordering.
+    "q_hybrid_rrf" ->
+      """WITH per_doc AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(trim(text)), '\S+')) AS dl,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'hash'))   AS DOUBLE) AS tf_0,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'join'))   AS DOUBLE) AS tf_1,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'window')) AS DOUBLE) AS tf_2
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |         sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+        |         sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+        |         sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+        |  FROM per_doc
+        |), bscored AS (
+        |  SELECT doc_id,
+        |         round(
+        |           ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * (1.2 + 1.0)
+        |             / (tf_0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs)))
+        |         + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * (1.2 + 1.0)
+        |             / (tf_1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs)))
+        |         + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * (1.2 + 1.0)
+        |             / (tf_2 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs))), 6) AS score
+        |  FROM per_doc CROSS JOIN stats
+        |), lex AS (
+        |  SELECT doc_id, lex_rk FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rk
+        |    FROM bscored WHERE score > 0.0) WHERE lex_rk <= 50
+        |), vq AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |), vscore AS (
+        |  SELECT vec_id AS doc_id,
+        |         round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        |               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(qe, qe))), 6) AS cs
+        |  FROM embeddings, vq WHERE vec_id <> 0
+        |), vec AS (
+        |  SELECT doc_id, vec_rk FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT) AS vec_rk
+        |    FROM vscore) WHERE vec_rk <= 50
+        |), fused AS (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |         COALESCE(l.lex_rk, 0) AS lex_rk,
+        |         COALESCE(v.vec_rk, 0) AS vec_rk
+        |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |)
+        |SELECT doc_id, lex_rk, vec_rk,
+        |       round(CASE WHEN lex_rk > 0 THEN 1.0/(lex_rk + 60) ELSE 0.0 END +
+        |             CASE WHEN vec_rk > 0 THEN 1.0/(vec_rk + 60) ELSE 0.0 END, 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // NULL pin: Spark's bucketIndex sends NULL inputs to bucket 0, so the
     // oracle leads each CASE with an IS NULL -> 0 arm (the bare ELSE 7

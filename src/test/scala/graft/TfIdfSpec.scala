@@ -116,4 +116,22 @@ class TfIdfSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TfIdf.bm25TopDocs(corpus, "doc_id", "text", Seq.empty, k = 1))
   }
+
+  test("rrfFuse: agreement beats single-list, sentinel 0 contributes nothing") {
+    import graft.operators.HybridRetrieval
+    // doc 1 ranks 2nd in both lists; doc 2 is 1st lexically only;
+    // doc 3 is 1st in vector only; doc 4 trails in one list.
+    val lex = Seq((2L, 1), (1L, 2), (4L, 3)).toDF("doc_id", "rk")
+    val vec = Seq((3L, 1), (1L, 2)).toDF("doc_id", "vec_rk")
+    val got = HybridRetrieval.rrfFuse(lex, "rk", vec, "vec_rk", "doc_id", rrfK = 60, k = 10)
+      .select("doc_id", "lex_rk", "vec_rk", "rrf")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    // doc 1: 1/62 + 1/62; docs 2,3: 1/61; doc 4: 1/63
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(math.abs(got.head._4 - math.rint(2.0 / 62.0 * 1e6) / 1e6) < 1e-9)
+    // absent list -> rank sentinel 0, no contribution
+    assert(got(2) == ((3L, 0, 1, math.rint(1.0 / 61.0 * 1e6) / 1e6)))
+    // equal scores tie-break on id: docs 2 and 3 both score 1/61
+    assert(got(1)._1 == 2L && got(2)._1 == 3L && got(1)._4 == got(2)._4)
+  }
 }
