@@ -998,6 +998,19 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(reb, "vec_id", q, k = 20, nprobe = reb.centroids.length)
     }),
 
+    // IVF x SQ8: cell pruning + byte codes in one probe (rows-only —
+    // KMeans cell state, like every IVF query; recall vs the float
+    // probe and vs brute force pinned in QuantizationSpec).
+    "q_sim_ivf_sq8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16)
+      val (mins, maxs) = Quantization.sq8Params(corpus, "embedding")
+      Quantization.ivfSq8TopK(idx, "vec_id", q, mins, maxs, k = 20, nprobe = 4)
+    }),
+
     // Scalar-quantized (SQ8) batch top-k: per-dimension min/max params,
     // integer codes, integer dot-product scores. Fully deterministic
     // (floor rounding, no model state), so unlike the KMeans/LSH ANN

@@ -93,6 +93,45 @@ object Quantization {
     * compose with the IVF router instead — this operator is the
     * exact-scoring arm.
     */
+  /** IVF x SQ8 — the FAISS-style composition, both scale levers at
+    * once: the IVF cells prune WHICH vectors are scanned
+    * (nprobe/nlist of the corpus), the SQ8 codes shrink WHAT the scan
+    * reads (1 byte/dim at rest instead of 4). The index stores codes;
+    * scoring decodes to bucket midpoints and takes the exact dot
+    * against the full-precision query — asymmetric distance
+    * computation, no query-side quantization loss. Recall vs the
+    * float IVF probe is pinned in QuantizationSpec (the only extra
+    * loss is Δ/2-per-dim reconstruction error).
+    */
+  def ivfSq8TopK(
+      index: SimilaritySearch.IvfIndex,
+      idCol: String,
+      query: Seq[Double],
+      mins: Array[Double],
+      maxs: Array[Double],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    def dist2(c: Array[Double]): Double =
+      c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nprobe).map(_._2)
+    val qLit = typedLit(query)
+    index.assigned
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      // codes-at-rest: in a persisted index this column IS the storage;
+      // quantize-then-decode here reproduces exactly what a stored-code
+      // scan would read.
+      .select(col(idCol),
+        sq8Dequantize(sq8Quantize(col("v"), mins, maxs), mins, maxs).as("dec"))
+      .select(col(idCol),
+        round(decodedDot(col("dec"), qLit) /
+          (sqrt(decodedDot(col("dec"), col("dec"))) * sqrt(decodedDot(qLit, qLit))), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   def sq8TopKBatch(
       corpus: DataFrame,
       queries: DataFrame,

@@ -70,6 +70,35 @@ class QuantizationSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall $mean < 0.8 (${recalls.toSeq.sorted})")
   }
 
+  test("IVF x SQ8 probe tracks float search (recall >= 0.9 exhaustive, >= 0.6 pruned)") {
+    import graft.operators.SimilaritySearch
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16)
+    val (mins, maxs) = Quantization.sq8Params(corpus, "embedding")
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", q, k = 20)
+      .select("vec_id").as[Long].collect().toSet
+    // exhaustive probe: the only loss left is quantization
+    val exhaustive = Quantization
+      .ivfSq8TopK(idx, "vec_id", q, mins, maxs, k = 20, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exhaustive.intersect(brute).size >= 18,
+      s"exhaustive recall ${exhaustive.intersect(brute).size}/20")
+    // pruned probe: routing loss is the float IVF path's, so compare
+    // against float IVF at the SAME nprobe — the delta is quantization
+    val pruned = Quantization
+      .ivfSq8TopK(idx, "vec_id", q, mins, maxs, k = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val floatPruned = SimilaritySearch.ivfTopK(idx, "vec_id", q, k = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned.intersect(floatPruned).size >= 18,
+      s"vs float IVF ${pruned.intersect(floatPruned).size}/20")
+    assert(pruned.intersect(brute).size >= 8,
+      s"pruned recall ${pruned.intersect(brute).size}/20")
+    idx.release()
+  }
+
   test("quantized scores and ranks are deterministic across runs") {
     def run() = Quantization
       .sq8TopKBatch(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)

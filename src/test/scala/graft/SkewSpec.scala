@@ -48,6 +48,33 @@ class SkewSpec extends SparkSpec {
     assert(nSalts > 1, "hot key should fan out over >1 salt value")
   }
 
+  test("CMS counters accumulate over a stream with depth x width bounded state") {
+    // groupBy(i, bucket).count() is a standard streaming aggregation
+    // whose state is <= depth x width rows REGARDLESS of key cardinality
+    // — the sketch property that makes frequency tracking viable on an
+    // unbounded stream. Golden: streamed counters == batch counters.
+    val root = s"target/tmp/cms_stream_${System.nanoTime()}"
+    Seq.fill(50)(1L).concat(10L until 30L).toDF("k").coalesce(1)
+      .write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    val depth = 4; val width = 64
+    val q = Skew.cmsCounters(spark.readStream.schema(schema).parquet(s"$root/in"), "k", depth, width)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      // second batch arrives after the stream starts
+      Seq.fill(25)(1L).concat(30L until 40L).toDF("k").coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .orderBy("i", "bucket").collect().map(_.toSeq).toSeq
+      val batch = Skew.cmsCounters(spark.read.parquet(s"$root/in"), "k", depth, width)
+        .orderBy("i", "bucket").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.size <= depth * width)
+    } finally q.stop()
+  }
+
   test("CMS estimates are one-sided and exact for dominant keys at low load") {
     // 3 heavy keys + light tail; sketch load factor is tiny, so heavy
     // estimates should be exact and every estimate >= the true count
