@@ -685,6 +685,23 @@ object SparkEntry {
         Seq("hash", "join", "window"), k = 10)
         .orderBy("rk")),
 
+    // Snapshot diff (CDC without table-format ACID): synthesize
+    // version B deterministically from documents — drop id%7==0, flip
+    // text case for id%11==0, re-add docs 0..4 under shifted ids —
+    // and emit the added/removed/changed delta. Wide columns never
+    // shuffle (row-local md5, only id+digest cross the wire).
+    "q_snapshot_diff" -> ((s, d) => {
+      val a = t(s, d, "documents")
+      val b = a.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0, upper(col("text")))
+            .otherwise(col("text")))
+        .unionByName(
+          a.filter(col("doc_id") < 5).withColumn("doc_id", col("doc_id") + 10000))
+      graft.operators.SnapshotDiff.snapshotDiff(a, b, "doc_id", Seq("text", "source"))
+        .orderBy("doc_id")
+    }),
+
     // Hybrid retrieval: BM25 top-50 fused with cosine top-50 (documents
     // and embeddings share the id space) by reciprocal-rank fusion.
     // Rank-only inputs -> the fusion is engine-exact; both candidate
@@ -1975,6 +1992,31 @@ object SparkEntry {
         |)
         |SELECT doc_id, dl, score, rk FROM ranked
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    // Same synthesized snapshot B; chr(1)/chr(0) reproduce the Spark
+    // side's u0001 separator and u0000 null-marker framing bytes.
+    "q_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text,
+        |         source
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id < 5
+        |), ha AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)), coalesce(source, chr(0)))) AS h
+        |  FROM documents
+        |), hb AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)), coalesce(source, chr(0)))) AS h
+        |  FROM b
+        |)
+        |SELECT COALESCE(ha.doc_id, hb.doc_id) AS doc_id,
+        |       CASE WHEN ha.h IS NULL THEN 'added'
+        |            WHEN hb.h IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status
+        |FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
+        |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
+        |ORDER BY doc_id""".stripMargin,
 
     // Fusion replay: the bm25 oracle's CTEs at k=50, the cosine ranking
     // at k=50, full-outer joined with 0 sentinels, fixed two-term RRF
