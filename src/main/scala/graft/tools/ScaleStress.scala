@@ -113,6 +113,41 @@ object ScaleStress {
       s"equal = ${plainSum == blockedSum}")
     }
 
+    section("corpus") {
+    // Corpus-prep at replica scale: replicas are exact copies, so the
+    // dedup stage collapses them — the stress shows the stage ordering
+    // payoff (row-local gates scan everything; chunking and packing
+    // only ever see the distinct survivors).
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    import graft.operators.{Chunker, TrainingData}
+    val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] corpus-prep input: ${docs.count()} docs")
+    val annotated = docs.select(col("doc_id"), col("source"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.languageId(col("text")).as("lang_pred"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.redactPii(col("text")).as("clean_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("annotate (quality+lang+fp+redact)")(
+      println(s"[stress]   annotated = ${annotated.count()}"))
+    val deduped = annotated.filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+      .withColumn("_rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("gate + exact dedup")(
+      println(s"[stress]   survivors = ${deduped.count()}"))
+    val packed = TrainingData.packShards(
+      Chunker.chunkDocuments(deduped, "clean_text", "doc_id",
+        window = 64, stride = 48, carryCols = Seq("source"))
+        .withColumn("chunk_uid", col("doc_id") * 1000 + col("chunk_id")),
+      "chunk_uid", "source", col("n_chunk_tokens"), budgetTokens = 2048L)
+    time("chunk + pack")(
+      println(s"[stress]   packed chunks = ${packed.count()}"))
+    deduped.unpersist(); annotated.unpersist(); docs.unpersist()
+    }
+
     section("cc") {
     // Connected-components stress: 2M edges over ~1M vertices shaped as
     // 100k chains of 10 plus 100k stars of 10 with cross-links — long
