@@ -75,10 +75,15 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"),
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
 
-  def stopwordCount(c: Column, lang: String = "en"): Column = {
-    val set = Stopwords(lang)
-    size(filter(tokens(lower(c)), t => t.isin(set: _*)))
-  }
+  /** Codegen'd kernel (TokenSetCountExpr), not
+    * `size(filter(tokens(lower(c)), isin(set)))`: identical semantics
+    * (same `\S+` tokenization, exact member match), but one primitive
+    * byte loop instead of a regex pass plus an interpreted HOF
+    * predicate per token. quality+language annotation runs five of
+    * these per document, so this is the corpus scan's hot loop.
+    */
+  def stopwordCount(c: Column, lang: String = "en"): Column =
+    graft.plans.HashExpressions.tokenSetCount(lower(c), Stopwords(lang))
 
   /** Engine-independent 60-bit hash per token: the first 15 hex digits of
     * md5, parsed as an integer. ~10x slower than the FNV-1a kernel

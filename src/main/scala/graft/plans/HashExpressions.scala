@@ -208,8 +208,41 @@ case class HyperplaneSignatureExpr(child: Expression, planes: Seq[Array[Double]]
     copy(child = newChild)
 }
 
+/** Count of whitespace-delimited tokens contained in a fixed string set
+  * — the codegen'd form of `size(filter(tokens(c), isin(set)))`. The
+  * HOF form tokenizes via regex and evaluates its predicate interpreted
+  * per token; this is one primitive byte loop per row. Used by the
+  * stopword scoring in quality/language annotation, which runs five
+  * such counts per document on the corpus hot path.
+  */
+case class TokenSetCountExpr(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val setRef: java.util.HashSet[UTF8String] = {
+    val h = new java.util.HashSet[UTF8String](math.max(8, set.size * 2))
+    set.foreach(s => h.add(UTF8String.fromString(s)))
+    h
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(Kernels.tokenSetCount(input.asInstanceOf[UTF8String], setRef))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSet", setRef, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.tokenSetCount($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def tokenSetCount(text: Column, set: Seq[String]): Column =
+    column(TokenSetCountExpr(expression(text), set))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

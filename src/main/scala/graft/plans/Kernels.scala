@@ -91,6 +91,27 @@ object Kernels {
 
   def tokenHashes(s: UTF8String): ArrayData = new GenericArrayData(tokenHashArray(s))
 
+  /** Count whitespace-delimited tokens that are members of `set` — the
+    * primitive-loop form of `size(filter(tokens(c), isin(set)))`, whose
+    * HOF predicate evaluates interpreted per token. Same `\S+`
+    * tokenization as [[tokenHashArray]] (isWs == Java-regex \s);
+    * membership tests wrap token byte ranges in UTF8String views (no
+    * per-token copy) against a prebuilt hash set.
+    */
+  def tokenSetCount(s: UTF8String, set: java.util.HashSet[UTF8String]): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start && set.contains(UTF8String.fromBytes(bytes, start, i - start))) count += 1
+    }
+    count
+  }
+
   def wordNGramHashes(s: UTF8String, n: Int): ArrayData = {
     val th = tokenHashArray(s)
     val m = th.length

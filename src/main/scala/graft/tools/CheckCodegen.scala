@@ -37,7 +37,10 @@ object CheckCodegen {
           VectorOps.asDouble(col("embedding")), VectorOps.asDouble(col("embedding")))).count()),
       "hyperplaneSignature" -> (() => emb.select(
         HashExpressions.hyperplaneSignature(
-          VectorOps.asDouble(col("embedding")), planes)).count()))
+          VectorOps.asDouble(col("embedding")), planes)).count()),
+      "tokenSetCount" -> (() => docs.select(
+        HashExpressions.tokenSetCount(lower(col("text")),
+          graft.functions.TextFunctions.Stopwords("en"))).count()))
 
     var failed = false
     checks.foreach { case (name, run) =>

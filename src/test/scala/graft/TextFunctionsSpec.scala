@@ -102,6 +102,19 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("stopwordCount kernel equals the HOF formulation on edge cases") {
+    import org.apache.spark.sql.functions.{filter, lower, size}
+    val texts = Seq(
+      "the the a of", " the\tof\nand ", "", "THE A Of", "xa the, then of",
+      "of-the a", "   ", "the")
+    texts.foreach { t =>
+      val kernel = one(t, stopwordCount(col("t")))
+      val hof = one(t, size(filter(tokens(lower(col("t"))),
+        x => x.isin(Stopwords("en"): _*))))
+      assert(kernel == hof, s"mismatch on '$t': kernel=$kernel hof=$hof")
+    }
+  }
+
   test("redactPii replaces every kind and counts match the spans") {
     val text = "mail a.user+x@sub.example.org or call (555) 123-4567, " +
       "server 192.168.0.1, ssn 123-45-6789, intl +1 555 123 4567"
