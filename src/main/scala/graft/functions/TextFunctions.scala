@@ -17,7 +17,12 @@ object TextFunctions {
     */
   def tokens(c: Column): Column = regexp_extract_all(c, lit("""\S+"""), lit(0))
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Codegen'd byte-loop count (TokenCountExpr), not `size(tokens(c))`
+    * — same `\S+` semantics without materializing the token array or
+    * running the regex. Use [[tokens]] only when the tokens themselves
+    * are consumed.
+    */
+  def tokenCount(c: Column): Column = graft.plans.HashExpressions.tokenCount(c)
 
   /** BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the
     * Java-regex/RE2 intersection — no lookahead): contractions, letter
@@ -66,7 +71,11 @@ object TextFunctions {
     */
   val PunctClass = """[.,;:!?'"()\[\]{}-]"""
 
-  def punctCount(c: Column): Column = size(regexp_extract_all(c, lit(PunctClass), lit(0)))
+  /** The class characters without regex escaping, for the byte-table kernel. */
+  private val PunctChars = """.,;:!?'"()[]{}-"""
+
+  def punctCount(c: Column): Column =
+    graft.plans.HashExpressions.asciiSetCount(c, PunctChars)
 
   /** Tiny multilingual stopword lists for the heuristic language scorer. */
   val Stopwords: Map[String, Seq[String]] = Map(

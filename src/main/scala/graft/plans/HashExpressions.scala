@@ -208,6 +208,49 @@ case class HyperplaneSignatureExpr(child: Expression, planes: Seq[Array[Double]]
     copy(child = newChild)
 }
 
+/** Whitespace-token count — codegen'd `size(regexp_extract_all(c, '\S+'))`. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(Kernels.tokenCount(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ASCII character-class count — codegen'd
+  * `size(regexp_extract_all(c, '[<chars>]'))` for ASCII-only classes.
+  */
+case class AsciiSetCountExpr(child: Expression, chars: String)
+    extends UnaryExpression {
+
+  require(chars.forall(_ < 128), s"class must be ASCII-only: $chars")
+
+  @transient private lazy val table: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    chars.foreach(c => t(c.toInt) = true)
+    t
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(Kernels.asciiSetCount(input.asInstanceOf[UTF8String], table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("asciiTable", table, "boolean[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.asciiSetCount($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of whitespace-delimited tokens contained in a fixed string set
   * — the codegen'd form of `size(filter(tokens(c), isin(set)))`. The
   * HOF form tokenizes via regex and evaluates its predicate interpreted
@@ -243,6 +286,11 @@ object HashExpressions {
 
   def tokenSetCount(text: Column, set: Seq[String]): Column =
     column(TokenSetCountExpr(expression(text), set))
+
+  def tokenCount(text: Column): Column = column(TokenCountExpr(expression(text)))
+
+  def asciiSetCount(text: Column, chars: String): Column =
+    column(AsciiSetCountExpr(expression(text), chars))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

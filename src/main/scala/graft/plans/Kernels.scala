@@ -91,6 +91,42 @@ object Kernels {
 
   def tokenHashes(s: UTF8String): ArrayData = new GenericArrayData(tokenHashArray(s))
 
+  /** Token count without materializing tokens: the primitive-loop form
+    * of `size(regexp_extract_all(c, '\S+'))`.
+    */
+  def tokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !isWs(bytes(i))) i += 1
+      }
+    }
+    count
+  }
+
+  /** Count bytes that are members of an ASCII class (membership table
+    * indexed by unsigned byte) — the primitive form of
+    * `size(regexp_extract_all(c, '[<class>]'))` for ASCII-only classes.
+    * Multi-byte UTF-8 sequences never match: their bytes are >= 0x80.
+    */
+  def asciiSetCount(s: UTF8String, table: Array[Boolean]): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b < 128 && table(b)) count += 1
+      i += 1
+    }
+    count
+  }
+
   /** Count whitespace-delimited tokens that are members of `set` — the
     * primitive-loop form of `size(filter(tokens(c), isin(set)))`, whose
     * HOF predicate evaluates interpreted per token. Same `\S+`

@@ -40,7 +40,11 @@ object CheckCodegen {
           VectorOps.asDouble(col("embedding")), planes)).count()),
       "tokenSetCount" -> (() => docs.select(
         HashExpressions.tokenSetCount(lower(col("text")),
-          graft.functions.TextFunctions.Stopwords("en"))).count()))
+          graft.functions.TextFunctions.Stopwords("en"))).count()),
+      "tokenCount" -> (() => docs.select(
+        HashExpressions.tokenCount(col("text"))).count()),
+      "asciiSetCount" -> (() => docs.select(
+        HashExpressions.asciiSetCount(col("text"), ".,;:!?")).count()))
 
     var failed = false
     checks.foreach { case (name, run) =>

@@ -102,6 +102,20 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("tokenCount and punctCount kernels equal their regex formulations") {
+    import org.apache.spark.sql.functions.{lit, regexp_extract_all, size}
+    val texts = Seq(
+      "a b  c", " x ", "", "   ", "one", "a,b;c!?", """quote "d" (e) [f] {g}-""",
+      "héllo wörld… punct.", "tab\tand\nnewline")
+    texts.foreach { t =>
+      assert(one(t, tokenCount(col("t"))) ==
+        one(t, size(tokens(col("t")))), s"tokenCount '$t'")
+      assert(one(t, punctCount(col("t"))) ==
+        one(t, size(regexp_extract_all(col("t"), lit(PunctClass), lit(0)))),
+        s"punctCount '$t'")
+    }
+  }
+
   test("stopwordCount kernel equals the HOF formulation on edge cases") {
     import org.apache.spark.sql.functions.{filter, lower, size}
     val texts = Seq(
