@@ -167,12 +167,15 @@ object TextFunctions {
         (when(s > bestScore, lit(l)).otherwise(bestLang),
           when(s > bestScore, s).otherwise(bestScore))
     }
-    val scriptRouted = ScriptRanges.foldRight(
-      when(best._2 > 0, best._1).otherwise("und")) {
+    val latin = when(best._2 > 0, best._1).otherwise("und")
+    val scriptRouted = ScriptRanges.foldRight(latin) {
       case ((lang, pattern), fallback) =>
         when(c.rlike(pattern), lang).otherwise(fallback)
     }
-    scriptRouted
+    // Every script range is above U+0080, so a pure-ASCII document can
+    // skip all six regex scans after ONE early-exit byte check — the
+    // dominant case in a mostly-Latin corpus.
+    when(graft.plans.HashExpressions.hasNonAscii(c), scriptRouted).otherwise(latin)
   }
 
   /** Intra-document repetition: fraction of duplicate word n-grams —

@@ -251,6 +251,24 @@ case class AsciiSetCountExpr(child: Expression, chars: String)
     copy(child = newChild)
 }
 
+/** Non-ASCII presence test — early-exit byte scan, the cheap guard in
+  * front of script-range regex routing (which can only match above
+  * U+0080).
+  */
+case class HasNonAsciiExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(Kernels.hasNonAscii(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.hasNonAscii($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of whitespace-delimited tokens contained in a fixed string set
   * — the codegen'd form of `size(filter(tokens(c), isin(set)))`. The
   * HOF form tokenizes via regex and evaluates its predicate interpreted
@@ -291,6 +309,8 @@ object HashExpressions {
 
   def asciiSetCount(text: Column, chars: String): Column =
     column(AsciiSetCountExpr(expression(text), chars))
+
+  def hasNonAscii(text: Column): Column = column(HasNonAsciiExpr(expression(text)))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

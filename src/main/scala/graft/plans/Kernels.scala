@@ -127,6 +127,20 @@ object Kernels {
     count
   }
 
+  /** True iff any byte is >= 0x80 (i.e. the string contains a
+    * non-ASCII code point). Early-exit byte scan.
+    */
+  def hasNonAscii(s: UTF8String): Boolean = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0x80) != 0) return true
+      i += 1
+    }
+    false
+  }
+
   /** Count whitespace-delimited tokens that are members of `set` — the
     * primitive-loop form of `size(filter(tokens(c), isin(set)))`, whose
     * HOF predicate evaluates interpreted per token. Same `\S+`
