@@ -108,26 +108,15 @@ object TextFunctions {
   def md5GramHashes(c: Column, n: Int): Column =
     transform(wordNGrams(c, n), g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
 
-  /** Single-pass token statistics: ONE tokenization and ONE fold produce
-    * (n_tokens, total_len, n_stopwords) as a struct. Consumers that need
-    * several token-derived columns must use this instead of composing
-    * [[tokenCount]]/[[stopwordCount]]/per-token maps in one projection:
-    * each of those re-tokenizes, and CollapseProject re-inlines a shared
-    * `tokens()` alias into every use. A struct referenced several times
-    * is non-cheap, so Catalyst keeps the producing projection — the scan
-    * regexes each document exactly once.
+  /** Single-pass token statistics (n_tokens, total_len, n_stopwords) as
+    * a struct — a codegen'd byte-loop kernel (TokenStatsExpr). The
+    * previous aggregate-fold formulation was semantically identical but
+    * interpreted per token, and relied on a multi-referenced-struct
+    * CollapseProject subtlety to avoid re-tokenization; the kernel is
+    * one pass regardless of how consumers project the fields.
     */
-  def tokenStats(c: Column, lang: String = "en"): Column = {
-    val set = Stopwords(lang)
-    aggregate(
-      tokens(c),
-      struct(lit(0).as("n_tokens"), lit(0).as("total_len"), lit(0).as("n_stopwords")),
-      (acc, tk) => struct(
-        (acc.getField("n_tokens") + lit(1)).as("n_tokens"),
-        (acc.getField("total_len") + length(tk)).as("total_len"),
-        (acc.getField("n_stopwords") +
-          when(lower(tk).isin(set: _*), 1).otherwise(0)).as("n_stopwords")))
-  }
+  def tokenStats(c: Column, lang: String = "en"): Column =
+    graft.plans.HashExpressions.tokenStats(c, Stopwords(lang))
 
   /** Unicode-script character ranges for script-first language routing.
     * Kana implies Japanese even when Han characters dominate, so it is

@@ -251,6 +251,40 @@ case class AsciiSetCountExpr(child: Expression, chars: String)
     copy(child = newChild)
 }
 
+/** Fused token statistics — one byte pass produces
+  * struct(n_tokens, total_len, n_stopwords), replacing the interpreted
+  * aggregate-fold formulation (which also leaned on a CollapseProject
+  * subtlety to avoid re-tokenization; a cheap kernel makes that moot).
+  */
+case class TokenStatsExpr(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val setRef: java.util.HashSet[UTF8String] = {
+    val h = new java.util.HashSet[UTF8String](math.max(8, set.size * 2))
+    set.foreach(s => h.add(UTF8String.fromString(s)))
+    h
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("total_len",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_stopwords",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.tokenStatsRow(input.asInstanceOf[UTF8String], setRef)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStatsSet", setRef, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.tokenStatsRow($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Non-ASCII presence test — early-exit byte scan, the cheap guard in
   * front of script-range regex routing (which can only match above
   * U+0080).
@@ -311,6 +345,9 @@ object HashExpressions {
     column(AsciiSetCountExpr(expression(text), chars))
 
   def hasNonAscii(text: Column): Column = column(HasNonAsciiExpr(expression(text)))
+
+  def tokenStats(text: Column, set: Seq[String]): Column =
+    column(TokenStatsExpr(expression(text), set))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

@@ -1,5 +1,7 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -125,6 +127,36 @@ object Kernels {
       i += 1
     }
     count
+  }
+
+  /** Fused per-document token statistics in ONE byte pass:
+    * (n_tokens, total_len in characters, n_stopwords with lowercased
+    * membership). total_len counts code points (non-continuation
+    * bytes), matching SQL `length()` on each token.
+    */
+  def tokenStatsRow(s: UTF8String, set: java.util.HashSet[UTF8String]): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var nTok = 0
+    var totalLen = 0
+    var nStop = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      var chars = 0
+      while (i < n && !isWs(bytes(i))) {
+        if ((bytes(i) & 0xc0) != 0x80) chars += 1
+        i += 1
+      }
+      if (i > start) {
+        nTok += 1
+        totalLen += chars
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        if (set.contains(tok.toLowerCase)) nStop += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](nTok, totalLen, nStop))
   }
 
   /** True iff any byte is >= 0x80 (i.e. the string contains a

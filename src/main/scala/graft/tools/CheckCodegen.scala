@@ -44,7 +44,12 @@ object CheckCodegen {
       "tokenCount" -> (() => docs.select(
         HashExpressions.tokenCount(col("text"))).count()),
       "asciiSetCount" -> (() => docs.select(
-        HashExpressions.asciiSetCount(col("text"), ".,;:!?")).count()))
+        HashExpressions.asciiSetCount(col("text"), ".,;:!?")).count()),
+      "tokenStats" -> (() => docs.select(
+        HashExpressions.tokenStats(col("text"),
+          graft.functions.TextFunctions.Stopwords("en"))).count()),
+      "hasNonAscii" -> (() => docs.select(
+        HashExpressions.hasNonAscii(col("text"))).count()))
 
     var failed = false
     checks.foreach { case (name, run) =>
