@@ -36,9 +36,12 @@ object TextFunctions {
 
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 
-  /** Canonical whitespace/case normalization used for fingerprinting. */
+  /** Canonical whitespace/case normalization used for fingerprinting —
+    * one codegen'd byte pass (NormalizeWsExpr), byte-identical to
+    * `trim(regexp_replace(lower(c), '\s+', ' '))` (pinned in spec).
+    */
   def normalizeWhitespace(c: Column): Column =
-    trim(regexp_replace(lower(c), """\s+""", " "))
+    graft.plans.HashExpressions.normalizeWs(c)
 
   /** Deterministic document fingerprint over normalized text: identical
     * up to case/whitespace => identical fingerprint. 128-bit hex, safe as
@@ -204,10 +207,16 @@ object TextFunctions {
     * shuffle, linear at 100 TB. Idempotent — redaction tokens contain
     * no pattern-matchable characters.
     */
-  def redactPii(c: Column): Column =
-    PiiPatterns.foldLeft(c) { case (acc, (kind, p)) =>
+  def redactPii(c: Column): Column = {
+    val cascade = PiiPatterns.foldLeft(c) { case (acc, (kind, p)) =>
       regexp_replace(acc, p, s"[$kind]")
     }
+    // Every pattern requires a digit or '@', so documents without either
+    // — most clean prose — skip all four regex replaces after one
+    // byte-table scan. Match results are identical.
+    when(graft.plans.HashExpressions.asciiSetCount(c, "0123456789@") > 0, cascade)
+      .otherwise(c)
+  }
 
   /** Quality features: a typical pre-training filter set (length, token
     * stats, punctuation/stopword ratios) plus a composite [0,1] score.

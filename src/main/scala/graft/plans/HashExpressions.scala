@@ -285,6 +285,23 @@ case class TokenStatsExpr(child: Expression, set: Seq[String])
     copy(child = newChild)
 }
 
+/** One-pass case/whitespace canonicalization — codegen'd
+  * `trim(regexp_replace(lower(c), '\s+', ' '))`.
+  */
+case class NormalizeWsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.normalizeWs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.normalizeWs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Non-ASCII presence test — early-exit byte scan, the cheap guard in
   * front of script-range regex routing (which can only match above
   * U+0080).
@@ -348,6 +365,8 @@ object HashExpressions {
 
   def tokenStats(text: Column, set: Seq[String]): Column =
     column(TokenStatsExpr(expression(text), set))
+
+  def normalizeWs(text: Column): Column = column(NormalizeWsExpr(expression(text)))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

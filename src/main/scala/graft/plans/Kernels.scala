@@ -129,6 +129,27 @@ object Kernels {
     count
   }
 
+  /** Case/whitespace canonicalization in one pass:
+    * lowercase, collapse each whitespace run to a single space, strip
+    * leading/trailing runs — byte-identical to
+    * `trim(regexp_replace(lower(s), '\s+', ' '))` (Java-regex `\s` is
+    * the same 6 ASCII chars as [[isWs]]; a collapsed leading/trailing
+    * run becomes the ' ' that trim would remove).
+    */
+  def normalizeWs(s: UTF8String): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n && o > 0) { out(o) = ' '; o += 1 }
+      while (i < n && !isWs(bytes(i))) { out(o) = bytes(i); o += 1; i += 1 }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** Fused per-document token statistics in ONE byte pass:
     * (n_tokens, total_len in characters, n_stopwords with lowercased
     * membership). total_len counts code points (non-continuation

@@ -102,6 +102,18 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeWhitespace kernel equals the regex formulation") {
+    import org.apache.spark.sql.functions.{lit, lower, regexp_replace, trim}
+    val texts = Seq(
+      "  Hello   World  ", "a\tb\nc", "", "   ", "ONE", "Héllo  Wörld",
+      "\t\n mixed \r\f ws  here ")
+    texts.foreach { t =>
+      assert(one(t, normalizeWhitespace(col("t"))) ==
+        one(t, trim(regexp_replace(lower(col("t")), lit("""\s+"""), lit(" ")))),
+        s"normalize '$t'")
+    }
+  }
+
   test("tokenCount and punctCount kernels equal their regex formulations") {
     import org.apache.spark.sql.functions.{lit, regexp_extract_all, size}
     val texts = Seq(
