@@ -89,6 +89,48 @@ class PropertySpec extends SparkSpec {
     }, cases = 4)
   }
 
+  test("text kernels equal their regex/HOF formulations on arbitrary strings") {
+    import graft.functions.TextFunctions._
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      2 -> Gen.oneOf('.', ',', '!', '?', '(', ')', '[', ']', '@', '-'),
+      2 -> Gen.oneOf('é', 'ü', '中', '文', 'я', '✓'),
+      1 -> Gen.oneOf("the", "a", "of", "und", "le").flatMap(s => Gen.oneOf(s.toList)))
+    val strGen = Gen.listOf(Gen.frequency(
+      5 -> Gen.listOf(charGen).map(_.mkString),
+      1 -> Gen.oneOf("", "   ", "the a of", " the\tof "))).map(_.take(60))
+    check(Prop.forAll(strGen) { strs =>
+      val df = strs.toDF("t")
+      val rows = df.select(
+        tokenCount(col("t")).as("k_tc"),
+        size(tokens(col("t"))).as("r_tc"),
+        punctCount(col("t")).as("k_pc"),
+        size(regexp_extract_all(col("t"), lit(PunctClass), lit(0))).as("r_pc"),
+        stopwordCount(col("t")).as("k_sw"),
+        size(filter(tokens(lower(col("t"))),
+          x => x.isin(Stopwords("en"): _*))).as("r_sw"),
+        normalizeWhitespace(col("t")).as("k_nw"),
+        trim(regexp_replace(lower(col("t")), lit("""\s+"""), lit(" "))).as("r_nw"),
+        tokenStats(col("t")).as("k_ts"),
+        aggregate(
+          tokens(col("t")),
+          struct(lit(0).as("n_tokens"), lit(0).as("total_len"), lit(0).as("n_stopwords")),
+          (acc, tk) => struct(
+            (acc.getField("n_tokens") + lit(1)).as("n_tokens"),
+            (acc.getField("total_len") + length(tk)).as("total_len"),
+            (acc.getField("n_stopwords") +
+              when(lower(tk).isin(Stopwords("en"): _*), 1).otherwise(0))
+              .as("n_stopwords"))).as("r_ts"))
+        .collect()
+      rows.forall { r =>
+        r.getInt(0) == r.getInt(1) && r.getInt(2) == r.getInt(3) &&
+          r.getInt(4) == r.getInt(5) && r.getString(6) == r.getString(7) &&
+          r.getStruct(8) == r.getStruct(9)
+      }
+    }, cases = 5)
+  }
+
   test("jaccard pairs are bounded and consistent with set sizes") {
     val docsGen = Gen.nonEmptyListOf(
       Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
