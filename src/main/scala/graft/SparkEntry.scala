@@ -610,6 +610,18 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "shard_idx", "start_offset")
         .orderBy("doc_id")),
 
+    // Quality-weighted sampling: keep probability = the document's
+    // quality score, drawn deterministically from md5(id,salt) — the
+    // standard curation move (sample better data more) with replayable
+    // membership.
+    "q_quality_sample" -> ((s, d) =>
+      TrainingData.weightedSample(
+          t(s, d, "documents")
+            .withColumn("quality", TextFunctions.qualityScore(col("text"))),
+          "doc_id", col("quality"), salt = "qw")
+        .select("doc_id", "quality")
+        .orderBy("doc_id")),
+
     // Deterministic mixture sampling: per-source keep fractions decided
     // by md5(id,salt) prefix — replayable membership, no RNG state.
     "q_mix_sample" -> ((s, d) =>
@@ -1828,6 +1840,40 @@ object SparkEntry {
         |       CAST(floor(prior / 2048.0) AS INT) AS shard_idx,
         |       CAST(prior - CAST(floor(prior / 2048.0) AS BIGINT) * 2048 AS INT) AS start_offset
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Quality replay (q_text_quality's expression) + md5-prefix draw
+    // expanded to an integer, compared against floor(quality * 2^32).
+    "q_quality_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         length(text) AS n_chars,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |         len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |         round((
+        |           (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |           (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+        |                 THEN 1.0 ELSE 0.0 END) +
+        |           (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |                 THEN 1.0 ELSE 0.0 END) +
+        |           least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+        |         ) / 4.0, 4) AS quality
+        |  FROM s
+        |), h AS (
+        |  SELECT doc_id, quality,
+        |         CAST(list_sum(list_transform(range(8),
+        |           j -> (CAST(strpos('0123456789abcdef',
+        |                  substr(md5(CAST(doc_id AS VARCHAR) || 'qw'), CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+        |                * (CAST(1 AS BIGINT) << CAST(4*(7-j) AS INT)))) AS BIGINT) AS draw
+        |  FROM q
+        |)
+        |SELECT doc_id, quality FROM h
+        |WHERE draw < CAST(floor(quality * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_mix_sample" ->
       """SELECT doc_id, source FROM documents

@@ -140,6 +140,27 @@ object TrainingData {
     df.filter(bucket < threshold)
   }
 
+  /** Per-row deterministic Bernoulli keep with probability `weight`
+    * (clamped to [0,1]) — [[mixtureSample]] generalized from per-group
+    * constants to data-dependent weights, e.g. quality-weighted corpus
+    * sampling where keep probability IS the quality score. The draw is
+    * the first 8 md5 hex digits of (id, salt) compared as an integer
+    * against floor(weight·2³²), so membership is engine-replayable,
+    * rerun-stable, and append-stable, and the filter stays row-local.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      salt: String = ""): DataFrame = {
+    val draw = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+    val threshold = floor(
+      least(lit(1.0), greatest(lit(0.0), weight)) * lit(4294967296.0)).cast("long")
+    df.filter(draw < threshold)
+  }
+
   /** Deterministic train/val/test split: membership is a pure function
     * of the id — the first 8 hex chars of md5(id [+ salt]) compared
     * against cumulative-weight thresholds. Fixed-width lowercase hex

@@ -135,6 +135,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(moreKept.filter(_ < 400) == half)
   }
 
+  test("weightedSample: boundary weights, monotone membership, stability") {
+    val df = (0L until 300L).map(i => (i, i.toDouble / 300.0)).toDF("id", "w")
+    def kept(weight: org.apache.spark.sql.Column) =
+      TrainingData.weightedSample(df, "id", weight, salt = "s")
+        .select("id").as[Long].collect().toSet
+    assert(kept(lit(1.0)).size == 300) // weight 1 keeps everything
+    assert(kept(lit(0.0)).isEmpty)     // weight 0 keeps nothing
+    assert(kept(lit(2.0)).size == 300) // clamped
+    // per-row weights: same id kept under w implies kept under w' >= w
+    val half = kept(col("w") * 0.5)
+    val full = kept(col("w"))
+    assert(half.subsetOf(full))
+    // deterministic
+    assert(full == kept(col("w")))
+    // roughly matches the expected keep mass (sum of weights = 149.5)
+    assert(full.size > 100 && full.size < 200, s"kept ${full.size}")
+  }
+
   test("benchmarkContamination counts shared distinct grams against the eval set") {
     val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams: abc, bcd, cde
     val corpus = Seq(
