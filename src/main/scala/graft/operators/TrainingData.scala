@@ -140,6 +140,90 @@ object TrainingData {
     df.filter(bucket < threshold)
   }
 
+  /** Targeted delete from a [[writeShards]] store — the training-data
+    * "right to be forgotten" pass. The manifest's per-shard id ranges
+    * prune the rewrite set BEFORE any data file is opened: only shards
+    * whose [first_id, last_id] interval contains a deleted id are read,
+    * anti-joined, and rewritten (dynamic partition overwrite replaces
+    * exactly those (group, shard) directories); every other shard file
+    * is untouched. Cost scales with affected shards, not corpus size —
+    * at 100 TB a handful of deletions rewrites a handful of shard
+    * files. The manifest is rewritten to match (it is tiny by
+    * construction). Returns the number of shards rewritten.
+    */
+  def deleteFromShards(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      groupCol: String,
+      idCol: String,
+      deleteIds: Seq[Long]): Int = {
+    if (deleteIds.isEmpty) return 0
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    val affected = manifest
+      .filter(deleteIds.map(id =>
+        col("first_id") <= id && col("last_id") >= id).reduce(_ || _))
+      .select(col(groupCol), col("shard_idx"))
+      .collect()
+      .map(r => (r.get(0), r.getInt(1)))
+    if (affected.isEmpty) return 0
+
+    val affectedPred = affected.map { case (g, s) =>
+      col(groupCol) === g && col("shard_idx") === s
+    }.reduce(_ || _)
+    // localCheckpoint (not persist): the kept rows must survive the
+    // overwrite/delete of their OWN source files — a cache miss would
+    // re-read deleted paths, a checkpoint cuts the lineage. The
+    // checkpointed set is affected-shards-sized, not corpus-sized.
+    val keep = spark.read.parquet(s"$outDir/data")
+      .filter(affectedPred)
+      .filter(!col(idCol).isin(deleteIds: _*))
+      .localCheckpoint(true)
+    // Shards emptied entirely get no directory from dynamic overwrite —
+    // their stale dirs are removed explicitly below.
+    val surviving = keep.select(col(groupCol), col("shard_idx"))
+      .distinct().collect().map(r => (r.get(0), r.getInt(1))).toSet
+    keep
+      .withColumn("__g", col(groupCol)).withColumn("__s", col("shard_idx"))
+      .repartition(col("__g"), col("__s"))
+      .sortWithinPartitions(col("__g"), col("__s"), col(idCol))
+      .drop("__g", "__s")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(groupCol, "shard_idx")
+      .parquet(s"$outDir/data")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- surviving).foreach { case (g, s) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$outDir/data/$groupCol=$g/shard_idx=$s"), true)
+    }
+
+    // Incremental manifest: untouched rows pass through (collected —
+    // the manifest is tiny by construction), affected shards recompute
+    // from the kept rows. No full-store scan.
+    val untouchedRows = manifest.filter(!affected.map { case (g, s) =>
+      col(groupCol) === g && col("shard_idx") === s
+    }.reduce(_ || _)).collect().toSeq
+    val recomputed = shardManifest(keep, groupCol, idCol)
+    val untouchedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(untouchedRows, 1), recomputed.schema)
+    untouchedDf.unionByName(recomputed)
+      .repartition(1)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/_manifest.tmp")
+    // Aside-rename swap (same discipline as the compacting sink): at no
+    // point is the only copy of the manifest inside a directory that a
+    // later pass deletes unconditionally.
+    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/_manifest")
+    val mTmp = new org.apache.hadoop.fs.Path(s"$outDir/_manifest.tmp")
+    val mOld = new org.apache.hadoop.fs.Path(s"$outDir/_manifest.old")
+    fs.delete(mOld, true)
+    fs.rename(mPath, mOld)
+    require(fs.rename(mTmp, mPath), s"manifest swap failed; previous manifest at $mOld")
+    fs.delete(mOld, true)
+    affected.length
+  }
+
   /** Per-row deterministic Bernoulli keep with probability `weight`
     * (clamped to [0,1]) — [[mixtureSample]] generalized from per-group
     * constants to data-dependent weights, e.g. quality-weighted corpus

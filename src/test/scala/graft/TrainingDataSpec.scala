@@ -135,6 +135,53 @@ class TrainingDataSpec extends SparkSpec {
     assert(moreKept.filter(_ < 400) == half)
   }
 
+  test("deleteFromShards rewrites only range-affected shards; manifest stays consistent") {
+    val root = s"target/tmp/shard_delete_${System.nanoTime()}"
+    val docs = (0L until 40L).map(i => (i, if (i < 20) "a" else "b", "t " * 10)).toDF("id", "grp", "text")
+    val packed = TrainingData.packShards(
+      docs, "id", "grp", graft.functions.TextFunctions.tokenCount(col("text")), budgetTokens = 50L)
+    TrainingData.writeShards(packed, "grp", "id", root)
+
+    def fileState(): Map[String, Long] = {
+      val base = new java.io.File(s"$root/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = fileState()
+
+    // ids 2,3 live in grp=a shard 0 only
+    val n = TrainingData.deleteFromShards(spark, root, "grp", "id", Seq(2L, 3L))
+    assert(n == 1, s"expected 1 affected shard, got $n")
+    val after = fileState()
+    // every grp=b file and grp=a shard>0 file untouched (same path+mtime)
+    val untouched = before.keys.filterNot(_.contains("grp=a/shard_idx=0"))
+    untouched.foreach { p => assert(after.get(p).contains(before(p)), s"$p was rewritten") }
+
+    val data = spark.read.parquet(s"$root/data")
+    assert(data.filter(col("id").isin(2L, 3L)).count() == 0)
+    assert(data.count() == 38)
+    // manifest agrees with data
+    val m = spark.read.parquet(s"$root/_manifest")
+      .select("grp", "shard_idx", "n_docs")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val d = data.groupBy("grp", "shard_idx").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m == d)
+
+    // deleting ids present nowhere is a no-op
+    assert(TrainingData.deleteFromShards(spark, root, "grp", "id", Seq(999L)) == 0)
+    // deleting every id of one shard removes its directory entirely
+    val aShard0 = spark.read.parquet(s"$root/data")
+      .filter(col("grp") === "a" && col("shard_idx") === 0)
+      .select("id").as[Long].collect().toSeq
+    TrainingData.deleteFromShards(spark, root, "grp", "id", aShard0)
+    assert(!new java.io.File(s"$root/data/grp=a/shard_idx=0").exists())
+    assert(spark.read.parquet(s"$root/_manifest")
+      .filter(col("grp") === "a" && col("shard_idx") === 0).count() == 0)
+  }
+
   test("weightedSample: boundary weights, monotone membership, stability") {
     val df = (0L until 300L).map(i => (i, i.toDouble / 300.0)).toDF("id", "w")
     def kept(weight: org.apache.spark.sql.Column) =
