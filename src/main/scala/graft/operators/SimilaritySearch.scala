@@ -210,6 +210,9 @@ object SimilaritySearch {
   /** Load a persisted IVF index: centroids to the driver (nlist x dim —
     * tiny), the assignment as the bucketed table. The returned index is
     * drop-in for [[ivfTopK]]/[[ivfTopKBatch]]; no clustering runs.
+    * Tombstoned ids ([[deleteFromIvfIndex]]) are filtered out here with
+    * a broadcast anti-join, so every probe of a loaded index honors
+    * prior deletions without any index rewrite.
     */
   def loadIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -220,7 +223,44 @@ object SimilaritySearch {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    IvfIndex(cents, spark.table(tableName))
+    val table = spark.table(tableName)
+    val assigned = tombstones(spark, path) match {
+      case Some(ts) =>
+        table.join(broadcast(ts), table(table.columns.head) === ts("__del_id"), "left_anti")
+      case None => table
+    }
+    IvfIndex(cents, assigned)
+  }
+
+  /** Delete vectors from a persisted IVF index by TOMBSTONE, not
+    * rewrite: the bucketed assignment table stays byte-identical (its
+    * cell-sorted, bucket-pruned layout is the index's value), and
+    * deleted ids land in a tiny `_tombstones` parquet that
+    * [[loadIvfIndex]] anti-joins (broadcast — deletion sets are small
+    * by nature) at load time. Idempotent: re-deleting an id appends a
+    * duplicate tombstone, which the anti-join ignores. When tombstones
+    * grow past a few percent of the corpus, rebuild with
+    * [[saveIvfIndex]] from the filtered assignment — the tombstone file
+    * is removed by that rewrite.
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long]): Unit = {
+    if (ids.nonEmpty) {
+      import spark.implicits._
+      ids.toDF("__del_id").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/_tombstones")
+    }
+  }
+
+  private def tombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[org.apache.spark.sql.DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Split hot Voronoi cells so no probe has to scan an outsized one.

@@ -173,6 +173,37 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_spec_tbl")
   }
 
+  test("IVF tombstone deletion: probes of a loaded index exclude deleted ids") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
+    val path = s"target/tmp/ivf_del_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(idx, "vec_id", "ivf_del_tbl", path, buckets = 4)
+    try {
+      val before = SimilaritySearch
+        .ivfTopK(SimilaritySearch.loadIvfIndex(spark, "ivf_del_tbl", path),
+          "vec_id", query, 20, nprobe = 8)
+        .select("vec_id").as[Long].collect().toSeq
+      val victims = before.take(3)
+      SimilaritySearch.deleteFromIvfIndex(spark, path, victims)
+      // double delete is harmless (duplicate tombstones)
+      SimilaritySearch.deleteFromIvfIndex(spark, path, victims.take(1))
+      val after = SimilaritySearch
+        .ivfTopK(SimilaritySearch.loadIvfIndex(spark, "ivf_del_tbl", path),
+          "vec_id", query, 20, nprobe = 8)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(victims.forall(v => !after.contains(v)))
+      // the survivors keep their relative order, and the freed slots
+      // admit the next-best candidates
+      assert(after.size == 20)
+      assert(before.filterNot(victims.contains) == after.take(before.size - victims.size))
+      // deletion is metadata-only: tombstones exist, and the assigned
+      // table still holds every original row (including the victims)
+      assert(new java.io.File(s"$path/_tombstones").exists())
+      val tableIds = spark.table("ivf_del_tbl").select("vec_id").as[Long].collect().toSet
+      assert(victims.forall(tableIds.contains))
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_del_tbl")
+  }
+
   test("IVF hot-cell rebalance: bounds the hot cell, keeps partition + brute-force identity") {
     // How cells actually go hot: the index is built on one distribution
     // (100 scattered vectors), then appends concentrate into a blob the
