@@ -1069,6 +1069,21 @@ object SparkEntry {
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Truncated-dimension retrieval (matryoshka pattern): cosine top-20
+    // over the FIRST 16 of 64 dims — the probe reads a quarter of each
+    // vector's bytes; full-dim re-rank is a composition. Deterministic
+    // slice, so unlike LSH/IVF this reduced-cost path carries a full
+    // value oracle; recall vs full-dim search pinned in SimilaritySpec.
+    "q_sim_truncated" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.truncate(col("embedding"), 16)).head().getSeq[Double](0)
+      SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0)
+          .withColumn("emb16", VectorOps.truncate(col("embedding"), 16)),
+        "vec_id", "emb16", q, k = 20)
+    }),
+
     // SemDeDup: KMeans-cluster-scoped semantic dedup (rows-only — cell
     // assignment is model state like every IVF query; precision-1 /
     // recall pins vs the brute-force baseline live in SemanticDedupSpec).
@@ -2585,6 +2600,19 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_sim_truncated" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[])[1:16] AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[])[1:16], qe) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
+        |                                    CAST(embedding AS DOUBLE[])[1:16])) *
         |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0

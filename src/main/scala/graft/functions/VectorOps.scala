@@ -25,6 +25,16 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** First-`dims` prefix of an embedding (matryoshka-style truncation):
+    * retrieval over MRL-trained embeddings scans a fraction of each
+    * vector's bytes at a modest recall cost, re-ranking survivors at
+    * full dimension. Cosine is scale-invariant, so no re-normalization
+    * is needed for ranking. Deterministic — truncated-search results
+    * carry a full value oracle.
+    */
+  def truncate(c: Column, dims: Int): Column =
+    slice(asDouble(c), 1, dims)
+
   /** Random-hyperplane LSH bucket id: bit i = sign(v . plane_i), all
     * planes in one expression pass. Planes come from a seeded RNG, so
     * the signature is deterministic — the bucketing join for ANN search

@@ -173,6 +173,35 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_spec_tbl")
   }
 
+  test("truncated-dimension retrieval: identity at full dims, useful recall at 1/4") {
+    import graft.functions.VectorOps
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    def topAt(dims: Int): Seq[Long] = {
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.truncate(col("embedding"), dims)).head().getSeq[Double](0)
+      SimilaritySearch.bruteForceTopK(
+        corpus.withColumn("t", VectorOps.truncate(col("embedding"), dims)),
+        "vec_id", "t", q, k = 20)
+        .select("vec_id").as[Long].collect().toSeq
+    }
+    val full = topAt(64)
+    val fullDirect = {
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", q, k = 20)
+        .select("vec_id").as[Long].collect().toSeq
+    }
+    assert(topAt(64) == fullDirect) // dims = all is exactly full search
+    // Fixture embeddings are RANDOM (every dim equally informative), so
+    // 1/4-dim overlap is structurally weak here — on MRL-trained
+    // embeddings the leading dims are privileged by construction. Pin
+    // well above chance (random 20-of-499 overlap ~= 0.8 expected).
+    val t16 = topAt(16)
+    val overlap = t16.toSet.intersect(full.toSet).size
+    assert(overlap >= 3, s"16-dim overlap $overlap/20 vs full")
+    assert(topAt(16) == t16) // deterministic
+  }
+
   test("IVF tombstone deletion: probes of a loaded index exclude deleted ids") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
