@@ -1084,6 +1084,19 @@ object SparkEntry {
         "vec_id", "emb16", q, k = 20)
     }),
 
+    // Coarse-to-fine: truncated 16-dim scan picks 60 candidates, exact
+    // 64-dim cosine re-ranks to 20 — the matryoshka serving pattern,
+    // deterministic at BOTH stages, so the full composition is
+    // hash-checked (candidate boundary included).
+    "q_sim_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      SimilaritySearch.coarseToFineTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
+        k = 20, coarseDims = 16, coarseK = 60)
+    }),
+
     // SemDeDup: KMeans-cluster-scoped semantic dedup (rows-only — cell
     // assignment is model state like every IVF query; precision-1 /
     // recall pins vs the brute-force baseline live in SemanticDedupSpec).
@@ -2603,6 +2616,29 @@ object SparkEntry {
         |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_sim_rerank" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe,
+        |         CAST(embedding AS DOUBLE[])[1:16] AS q16
+        |  FROM embeddings WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id,
+        |           round(list_dot_product(CAST(embedding AS DOUBLE[])[1:16], q16) /
+        |                 (sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
+        |                                        CAST(embedding AS DOUBLE[])[1:16])) *
+        |                  sqrt(list_dot_product(q16, q16))), 6) AS cs
+        |    FROM embeddings, q
+        |    WHERE vec_id <> 0
+        |    ORDER BY cs DESC, vec_id LIMIT 60)
+        |)
+        |SELECT e.vec_id,
+        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qe) /
+        |             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_sim_truncated" ->

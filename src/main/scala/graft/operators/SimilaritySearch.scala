@@ -37,6 +37,33 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Two-stage coarse-to-fine search: a truncated-dimension scan
+    * ([[graft.functions.VectorOps.truncate]] — a quarter of the vector
+    * bytes at coarseDims = dims/4) selects `coarseK` candidates, then
+    * exact full-dimension cosine re-ranks the survivors to `k`. The
+    * standard matryoshka serving pattern: the expensive full-width read
+    * touches only coarseK rows. Both stages are deterministic (rounded
+    * scores, id tie-breaks), so the whole composition carries a value
+    * oracle — unlike LSH/IVF coarse stages, which are model state.
+    */
+  def coarseToFineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      coarseDims: Int,
+      coarseK: Int): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    import graft.functions.VectorOps
+    val cand = bruteForceTopK(
+      df.withColumn("__t", VectorOps.truncate(col(vecCol), coarseDims)),
+      idCol, "__t", query.take(coarseDims), coarseK)
+      .select(col(idCol))
+    bruteForceTopK(
+      df.join(broadcast(cand), Seq(idCol), "left_semi"), idCol, vecCol, query, k)
+  }
+
   /** Bucketed ANN: restrict scoring to vectors whose hyperplane signature
     * is within `maxProbeHamming` bits of the query's signature, then rank
     * those by exact cosine. multiProbe=0 searches only the exact bucket.

@@ -202,6 +202,37 @@ class SimilaritySpec extends SparkSpec {
     assert(topAt(16) == t16) // deterministic
   }
 
+  test("coarse-to-fine: identity when nothing pruned; recall beats coarse-only") {
+    import graft.functions.VectorOps
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSeq
+    // coarseK = whole corpus -> the coarse stage prunes nothing
+    val noPrune = SimilaritySearch
+      .coarseToFineTopK(corpus, "vec_id", "embedding", q, 20, coarseDims = 16, coarseK = 499)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(noPrune == brute)
+    // pruned: re-ranked recall must dominate the coarse-only top-20
+    val reranked = SimilaritySearch
+      .coarseToFineTopK(corpus, "vec_id", "embedding", q, 20, coarseDims = 16, coarseK = 60)
+      .select("vec_id").as[Long].collect().toSeq
+    val coarseOnly = {
+      val q16 = q.take(16)
+      SimilaritySearch.bruteForceTopK(
+        corpus.withColumn("t", VectorOps.truncate(col("embedding"), 16)),
+        "vec_id", "t", q16, 20)
+        .select("vec_id").as[Long].collect().toSeq
+    }
+    val rr = reranked.toSet.intersect(brute.toSet).size
+    val co = coarseOnly.toSet.intersect(brute.toSet).size
+    assert(rr >= co, s"re-rank recall $rr < coarse-only $co")
+    // absolute floor is fixture-limited (random dims — see the
+    // truncated-retrieval test's caveat); dominance above is the pin
+    assert(rr >= 5, s"re-ranked recall $rr/20")
+  }
+
   test("IVF tombstone deletion: probes of a loaded index exclude deleted ids") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
