@@ -19,9 +19,11 @@ class StreamingFeaturesSpec extends SparkSpec {
 
   private def writeBatch(name: String, rows: Seq[StreamEvent]): Unit = {
     Files.createDirectories(Paths.get(s"$root/in"))
-    rows.toDF().coalesce(1).write.parquet(s"$root/in/$name")
-    // file stream sources watch a flat dir; move part files up
-    val dir = Paths.get(s"$root/in/$name")
+    // Stage OUTSIDE the watched dir, then move the part file in: a
+    // transient write directory under in/ races a running stream's
+    // file listing (observed as FileNotFound on the deleted dir).
+    rows.toDF().coalesce(1).write.parquet(s"$root/stage/$name")
+    val dir = Paths.get(s"$root/stage/$name")
     Files.list(dir).filter(_.toString.endsWith(".parquet")).forEach { f =>
       Files.move(f, Paths.get(s"$root/in/$name.parquet"))
     }
@@ -347,11 +349,15 @@ class StreamingFeaturesSpec extends SparkSpec {
         Seq.fill(1024)(chars(rng.nextInt(36))).mkString, rng.nextDouble() * 1000.0)
     }
     def landBatch(b: Int): Unit = {
-      batchRows(b).toDF().coalesce(1).write.parquet(s"$dir/in/b$b")
-      Files.list(Paths.get(s"$dir/in/b$b")).filter(_.toString.endsWith(".parquet")).forEach { f =>
+      // Stage OUTSIDE the watched dir, then move in: a transient write
+      // directory under in/ races the running stream's file listing
+      // (it can list the dir entry, then fail the read after the
+      // cleanup below deletes it).
+      batchRows(b).toDF().coalesce(1).write.parquet(s"$dir/stage/b$b")
+      Files.list(Paths.get(s"$dir/stage/b$b")).filter(_.toString.endsWith(".parquet")).forEach { f =>
         Files.move(f, Paths.get(s"$dir/in/b$b.parquet"))
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/in/b$b").toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(s"$dir/stage/b$b").toFile)
     }
     def sinkFiles(): Seq[java.nio.file.Path] = {
       val p = Paths.get(s"$dir/out")
