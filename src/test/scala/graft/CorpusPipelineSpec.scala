@@ -106,6 +106,44 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus ingestion: annotate+chunk land in the compacting sink") {
+    // End-to-end streaming composition: document stream -> quality gate
+    // -> PII scrub -> chunk -> crash-safe compacting sink. The sink's
+    // output must equal the batch pipeline over the same input.
+    val rows = Seq(
+      (1L, "web", goodText + " ping me at a@b.io"),
+      (2L, "web", goodText + " second streaming doc"),
+      (3L, "web", "too short"))
+    val root = s"target/tmp/corpus_sink_${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    rows.toDF("doc_id", "source", "text").coalesce(1).write.parquet(s"$root/stage")
+    val schema = spark.read.parquet(s"$root/stage").schema
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/stage"))
+      .filter(_.toString.endsWith(".parquet")).forEach { f =>
+        java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
+      }
+
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      Chunker.chunkDocuments(
+        df.filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+          .withColumn("clean_text", graft.functions.TextFunctions.redactPii(col("text"))),
+        "clean_text", "doc_id", window = 8, stride = 6, carryCols = Seq("source"))
+
+    val q = graft.streaming.StreamingFeatures.writeCompactingSink(
+      prep(spark.readStream.schema(schema).parquet(s"$root/in")),
+      s"$root/out", s"$root/ckpt", sortCols = Seq("doc_id", "chunk_id"))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$root/out")
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      val batch = prep(spark.read.parquet(s"$root/in"))
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      assert(!streamed.exists(_.getAs[String]("chunk_text").contains("@")))
+    } finally q.stop()
+  }
+
   test("smoke on real documents table: stages land, shards respect budget slack") {
     val docs = TableIO.table(spark, Sf0001, "documents")
     val root = "target/tmp/corpus_pipeline_sf"
