@@ -35,7 +35,16 @@ object RunCorpusPipeline {
       budgetTokens: Long = 1024L,
       minQuality: Double = 0.5,
       langs: Set[String] = Set("en"),
-      maxContamination: Double = 0.2)
+      maxContamination: Double = 0.2,
+      /** Also drop NEAR-duplicates (MinHash -> verified pairs ->
+        * transitive clusters -> keep-min) between the exact-dedup and
+        * chunking stages. Off by default: near-dedup is the one stage
+        * whose cost is super-linear in candidate density, so it is an
+        * explicit opt-in exactly like the reference pipelines it
+        * mirrors.
+        */
+      nearDedup: Boolean = false,
+      nearDedupJaccard: Double = 0.5)
 
   def annotated(cfg: CorpusConfig): String = s"${cfg.root}/annotated"
   def silver(cfg: CorpusConfig): String = s"${cfg.root}/silver"
@@ -78,11 +87,16 @@ object RunCorpusPipeline {
           flagged.filter(!col("is_contaminated")).select("doc_id"), Seq("doc_id"), "left_semi")
       case None => gated
     }
-    decontaminated
+    val exactDeduped = decontaminated
       .withColumn("_rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .filter(col("_rn") === 1)
       .drop("_rn")
-      .write.mode("overwrite").parquet(silver(cfg))
+    val deduped =
+      if (cfg.nearDedup)
+        graft.operators.Components.dropNearDuplicates(
+          exactDeduped, "doc_id", "text", minJaccard = cfg.nearDedupJaccard)
+      else exactDeduped
+    deduped.write.mode("overwrite").parquet(silver(cfg))
 
     // Stage 3 + 4 — chunk the redacted text, pack per source, write
     // shard-partitioned data + manifest.

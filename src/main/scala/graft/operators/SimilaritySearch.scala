@@ -282,6 +282,29 @@ object SimilaritySearch {
     }
   }
 
+  /** Fold accumulated tombstones into the store: rewrite the bucketed
+    * assignment without the deleted rows and remove the tombstone file.
+    * [[deleteFromIvfIndex]] is O(deletions) per call and every probe
+    * pays one (broadcast) anti-join; vacuum is the O(index) compaction
+    * you amortize over many deletions — run it when tombstones reach a
+    * few percent of the corpus. The kept rows are local-checkpointed
+    * before the overwrite because they are read from the very table
+    * being rewritten.
+    */
+  def vacuumIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idCol: String,
+      tableName: String,
+      path: String,
+      buckets: Int = 16): Unit = {
+    val idx = loadIvfIndex(spark, tableName, path) // tombstones filtered here
+    val clean = idx.assigned.localCheckpoint(true)
+    saveIvfIndex(IvfIndex(idx.centroids, clean), idCol, tableName, path, buckets)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   private def tombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[org.apache.spark.sql.DataFrame] = {

@@ -55,6 +55,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(fromData == fromManifest)
   }
 
+  test("nearDedup switch drops near-copies that exact dedup keeps") {
+    val docs = Seq(
+      (1L, "web", goodText),
+      // one word changed: distinct fingerprint, high 3-gram jaccard
+      (2L, "web", goodText.replace("dog", "cat")),
+      (3L, "web", "completely different content that stands firmly on its own " +
+        "with the a of and to in words enough to pass the quality gate"))
+      .toDF("doc_id", "source", "text")
+    val off = s"target/tmp/corpus_near_off_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(root = off, window = 8, stride = 6))
+    assert(spark.read.parquet(s"$off/silver").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    val on = s"target/tmp/corpus_near_on_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = on, window = 8, stride = 6, nearDedup = true))
+    assert(spark.read.parquet(s"$on/silver").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+  }
+
   test("decontamination gate drops overlapping documents when eval set given") {
     val docs = Seq(
       (1L, "web", goodText),

@@ -261,6 +261,17 @@ class SimilaritySpec extends SparkSpec {
       assert(new java.io.File(s"$path/_tombstones").exists())
       val tableIds = spark.table("ivf_del_tbl").select("vec_id").as[Long].collect().toSet
       assert(victims.forall(tableIds.contains))
+      // vacuum folds tombstones into the store: file gone, probe results
+      // unchanged, and the victims are now physically absent
+      SimilaritySearch.vacuumIvfIndex(spark, "vec_id", "ivf_del_tbl", path, buckets = 4)
+      assert(!new java.io.File(s"$path/_tombstones").exists())
+      val vacuumed = SimilaritySearch
+        .ivfTopK(SimilaritySearch.loadIvfIndex(spark, "ivf_del_tbl", path),
+          "vec_id", query, 20, nprobe = 8)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(vacuumed == after)
+      val tIds = spark.table("ivf_del_tbl").select("vec_id").as[Long].collect().toSet
+      assert(victims.forall(v => !tIds.contains(v)))
     } finally spark.sql("DROP TABLE IF EXISTS ivf_del_tbl")
   }
 
