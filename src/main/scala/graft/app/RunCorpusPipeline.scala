@@ -109,12 +109,45 @@ object RunCorpusPipeline {
     TrainingData.writeShards(packed, "source", "chunk_uid", shards(cfg))
   }
 
-  /** CLI: runMain graft.app.RunCorpusPipeline <docsParquet> <outRoot> */
+  /** Streaming arm: watch a directory of document parquet files and run
+    * the ROW-LOCAL stages (annotate, quality/language gates, PII scrub,
+    * chunking) per micro-batch into the crash-safe compacting sink. The
+    * stateful stages stay out by design: exact/near dedup over an
+    * unbounded stream means unbounded state — run them batch-side over
+    * the sink's output (or use
+    * [[graft.streaming.StreamingFeatures.dedupByFingerprint]] when an
+    * event-time column exists to watermark on). Output equals the batch
+    * pipeline's chunk stage over the same files (CorpusPipelineSpec).
+    */
+  def runStreaming(
+      spark: SparkSession,
+      inDir: String,
+      cfg: CorpusConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val gated = spark.readStream.schema(schema).parquet(inDir)
+      .filter(
+        TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
+          TextFunctions.languageId(col("text")).isin(cfg.langs.toSeq: _*))
+      .withColumn("clean_text", TextFunctions.redactPii(col("text")))
+    val chunks = Chunker.chunkDocuments(
+      gated, "clean_text", "doc_id", cfg.window, cfg.stride, carryCols = Seq("source"))
+    graft.streaming.StreamingFeatures.writeCompactingSink(
+      chunks, s"${cfg.root}/chunks", s"${cfg.root}/ckpt",
+      sortCols = Seq("doc_id", "chunk_id"))
+  }
+
+  /** CLI: runMain graft.app.RunCorpusPipeline <docsParquet> <outRoot> [--stream] */
   def main(args: Array[String]): Unit = {
     val Array(docsPath, outRoot) = args.take(2)
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-    run(spark, spark.read.parquet(docsPath), CorpusConfig(root = outRoot))
+    if (args.contains("--stream")) {
+      val q = runStreaming(spark, docsPath, CorpusConfig(root = outRoot))
+      q.processAllAvailable() // drain what exists, then exit (CLI form)
+      q.stop()
+    } else {
+      run(spark, spark.read.parquet(docsPath), CorpusConfig(root = outRoot))
+    }
     spark.stop()
   }
 }

@@ -136,7 +136,6 @@ class CorpusPipelineSpec extends SparkSpec {
     val root = s"target/tmp/corpus_sink_${System.nanoTime()}"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
     rows.toDF("doc_id", "source", "text").coalesce(1).write.parquet(s"$root/stage")
-    val schema = spark.read.parquet(s"$root/stage").schema
     java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/stage"))
       .filter(_.toString.endsWith(".parquet")).forEach { f =>
         java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
@@ -144,16 +143,17 @@ class CorpusPipelineSpec extends SparkSpec {
 
     def prep(df: org.apache.spark.sql.DataFrame) =
       Chunker.chunkDocuments(
-        df.filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+        df.filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5 &&
+            graft.functions.TextFunctions.languageId(col("text")) === "en")
           .withColumn("clean_text", graft.functions.TextFunctions.redactPii(col("text"))),
         "clean_text", "doc_id", window = 8, stride = 6, carryCols = Seq("source"))
 
-    val q = graft.streaming.StreamingFeatures.writeCompactingSink(
-      prep(spark.readStream.schema(schema).parquet(s"$root/in")),
-      s"$root/out", s"$root/ckpt", sortCols = Seq("doc_id", "chunk_id"))
+    // Through the app seam: the streaming arm of RunCorpusPipeline.
+    val q = RunCorpusPipeline.runStreaming(spark, s"$root/in",
+      CorpusConfig(root = root, window = 8, stride = 6))
     try {
       q.processAllAvailable()
-      val streamed = spark.read.parquet(s"$root/out")
+      val streamed = spark.read.parquet(s"$root/chunks")
         .orderBy("doc_id", "chunk_id").collect().toSeq
       val batch = prep(spark.read.parquet(s"$root/in"))
         .orderBy("doc_id", "chunk_id").collect().toSeq
