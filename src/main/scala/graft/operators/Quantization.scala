@@ -49,7 +49,8 @@ object Quantization {
       val lo = element_at(mn, i + lit(1))
       val hi = element_at(mx, i + lit(1))
       when(hi === lo, lit(0))
-        .otherwise(least(lit(255), floor((x - lo) * lit(255.0) / (hi - lo)).cast("int")))
+        .otherwise(least(lit(255),
+          greatest(lit(0), floor((x - lo) * lit(255.0) / (hi - lo)).cast("int"))))
     })
   }
 

@@ -229,6 +229,13 @@ object SimilaritySearch {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$path/centroids")
+    // Persist the id column NAME next to the centroids: the tombstone
+    // anti-join at load must key on the id by name, not by ordinal —
+    // a store written with a different column order would otherwise
+    // silently stop filtering deletions.
+    Seq(idCol).toDF("id_col").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/idcol")
     graft.sources.TableIO.writeBucketed(
       index.assigned.select(col(idCol), col("v"), col("cell")),
       tableName, s"$path/assigned", buckets, Seq("cell"))
@@ -253,7 +260,7 @@ object SimilaritySearch {
     val table = spark.table(tableName)
     val assigned = tombstones(spark, path) match {
       case Some(ts) =>
-        table.join(broadcast(ts), table(table.columns.head) === ts("__del_id"), "left_anti")
+        table.join(broadcast(ts), table(idColOf(spark, path, table)) === ts("__del_id"), "left_anti")
       case None => table
     }
     IvfIndex(cents, assigned)
@@ -303,6 +310,21 @@ object SimilaritySearch {
     val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     ()
+  }
+
+  /** Resolve the assignment table's id column by NAME from the `idcol`
+    * sidecar [[saveIvfIndex]] writes; stores that predate the sidecar
+    * (e.g. the streaming-assign path) fall back to the first column,
+    * which was the only contract before.
+    */
+  private def idColOf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      table: org.apache.spark.sql.DataFrame): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/idcol")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.json(p.toString).select("id_col").head().getString(0)
+    else table.columns.head
   }
 
   private def tombstones(

@@ -193,9 +193,14 @@ object TrainingData {
       .parquet(s"$outDir/data")
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Build the stale-dir path with the SAME escaping Spark's writer
+    // uses for partition directory names (space, '/', ':' etc. are
+    // percent-encoded) — naive interpolation would miss the directory
+    // for any group value containing a character Spark escapes.
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
     (affected.toSet -- surviving).foreach { case (g, s) =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$outDir/data/$groupCol=$g/shard_idx=$s"), true)
+        s"$outDir/data/${esc(groupCol)}=${esc(String.valueOf(g))}/shard_idx=$s"), true)
     }
 
     // Incremental manifest: untouched rows pass through (collected —

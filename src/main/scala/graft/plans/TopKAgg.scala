@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
@@ -28,9 +28,16 @@ final class TopKHeap(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  /** (v1,i1) strictly weaker than (v2,i2) in the keep-order. */
-  @inline private def weaker(v1: Double, i1: Long, v2: Double, i2: Long): Boolean =
-    v1 < v2 || (v1 == v2 && i1 > i2)
+  /** (v1,i1) strictly weaker than (v2,i2) in the keep-order. Value
+    * comparison mirrors Spark's SQLOrderingUtil.compareDoubles (== short
+    * circuit, then java.lang.Double.compare) so NaN sorts as the largest
+    * value — a total order, where raw `<`/`==` on NaN is all-false and
+    * breaks both heap invariants and sortWith's comparator contract.
+    */
+  @inline private def weaker(v1: Double, i1: Long, v2: Double, i2: Long): Boolean = {
+    val c = if (v1 == v2) 0 else java.lang.Double.compare(v1, v2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def swap(i: Int, j: Int): Unit = {
     val v = vs(i); vs(i) = vs(j); vs(j) = v
@@ -72,11 +79,19 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap] with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+
+  /** Analysis-time contract: decimal/float value columns and int id
+    * columns are coerced here rather than hitting the unguarded
+    * asInstanceOf in update() as a runtime ClassCastException.
+    */
+  // Return type left inferred (Seq[DataType]): the declared upper bound
+  // AbstractDataType is private[sql] in Spark 4 and cannot be named here.
+  override def inputTypes = Seq(DoubleType, LongType)
 
   override def nullable: Boolean = false
 

@@ -31,6 +31,19 @@ class QuantizationSpec extends SparkSpec {
     assert(codes(0)(2) == 0 && codes(1)(2) == 255)
   }
 
+  test("unseen vectors outside the fitted range clamp to 0..255 both ways") {
+    val fit = Seq((1L, Seq(0.0f, 10.0f)), (2L, Seq(10.0f, 20.0f))).toDF("id", "v")
+    val (mins, maxs) = Quantization.sq8Params(fit, "v")
+    // Apply the SAVED params to vectors below the min and above the max —
+    // the persisted-codes path where params meet data they were not fit on.
+    val unseen = Seq((3L, Seq(-5.0f, 25.0f)), (4L, Seq(15.0f, 5.0f))).toDF("id", "v")
+    val codes = unseen.orderBy("id")
+      .select(Quantization.sq8Quantize(col("v"), mins, maxs))
+      .as[Seq[Int]].collect()
+    assert(codes(0) == Seq(0, 255))
+    assert(codes(1) == Seq(255, 0))
+  }
+
   test("dequantized reconstruction error is bounded by half a bucket") {
     val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
     val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max

@@ -275,6 +275,34 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_del_tbl")
   }
 
+  test("IVF tombstones key on the id column by NAME, surviving a reordered store") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 8)
+    val path = s"target/tmp/ivf_idcol_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(idx, "vec_id", "ivf_idcol_tbl", path, buckets = 4)
+    try {
+      // Simulate a different writer / schema evolution: rewrite the
+      // bucketed assignment with the id column LAST. The idcol sidecar
+      // must keep the tombstone anti-join keyed on vec_id by name.
+      val reordered = spark.table("ivf_idcol_tbl")
+        .select(col("v"), col("cell"), col("vec_id"))
+        .localCheckpoint(true) // survives the overwrite of its own files
+      TableIO.writeBucketed(reordered, "ivf_idcol_tbl", s"$path/assigned", 4, Seq("cell"))
+      val before = SimilaritySearch
+        .ivfTopK(SimilaritySearch.loadIvfIndex(spark, "ivf_idcol_tbl", path),
+          "vec_id", query, 10, nprobe = 8)
+        .select("vec_id").as[Long].collect().toSeq
+      val victims = before.take(2)
+      SimilaritySearch.deleteFromIvfIndex(spark, path, victims)
+      val after = SimilaritySearch
+        .ivfTopK(SimilaritySearch.loadIvfIndex(spark, "ivf_idcol_tbl", path),
+          "vec_id", query, 10, nprobe = 8)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(victims.forall(v => !after.contains(v)), s"victims $victims leaked into $after")
+      assert(after.size == 10)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idcol_tbl")
+  }
+
   test("IVF hot-cell rebalance: bounds the hot cell, keeps partition + brute-force identity") {
     // How cells actually go hot: the index is built on one distribution
     // (100 scattered vectors), then appends concentrate into a blob the

@@ -54,6 +54,36 @@ class TopKAggSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  test("NaN sorts as the largest value, matching the rank-window oracle") {
+    val df = Seq(
+      (1L, 1L, 5.0), (1L, 2L, Double.NaN), (1L, 3L, 7.0),
+      (1L, 4L, Double.NaN), (1L, 5L, 1.0),
+      (2L, 6L, Double.NaN), (2L, 7L, 2.0))
+      .toDF("g", "id", "v")
+    // Spark orders NaN as larger than any double: desc puts NaN first.
+    val w = Window.partitionBy("g").orderBy(desc("v"), asc("id"))
+    val win = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select("g", "rnk", "id")
+      .orderBy("g", "rnk").collect().toSeq
+    // Exercise both the single-partition and the merge path.
+    val one = viaAgg(df.coalesce(1), 2).select("g", "rnk", "id")
+      .orderBy("g", "rnk").collect().toSeq
+    val many = viaAgg(df.repartition(7), 2).select("g", "rnk", "id")
+      .orderBy("g", "rnk").collect().toSeq
+    assert(one == win)
+    assert(many == win)
+  }
+
+  test("float value and int id columns coerce at analysis time") {
+    val df = Seq((1, 10, 2.5f), (1, 11, 9.5f), (1, 12, 4.0f))
+      .toDF("g", "id", "v")
+      .select(col("g"), col("id").cast("int").as("id"), col("v").cast("float").as("v"))
+    val got = viaAgg(df, 2).orderBy("rnk")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(11L, 12L))
+  }
+
   test("partial-aggregation merge path gives identical results") {
     val rng = new scala.util.Random(3L)
     val rows = (0 until 5000).map(i => (i % 17L, i.toLong, rng.nextInt(100).toDouble))

@@ -182,6 +182,28 @@ class TrainingDataSpec extends SparkSpec {
       .filter(col("grp") === "a" && col("shard_idx") === 0).count() == 0)
   }
 
+  test("deleteFromShards removes emptied dirs for group values Spark escapes") {
+    val root = s"target/tmp/shard_delete_esc_${System.nanoTime()}"
+    // ':' and '/' are both percent-encoded in partition directory names —
+    // a URL-ish source group is exactly the value the naive path join missed.
+    val docs = (0L until 10L).map(i => (i, "s3://bkt", "t " * 10)).toDF("id", "grp", "text")
+    val packed = TrainingData.packShards(
+      docs, "id", "grp", graft.functions.TextFunctions.tokenCount(col("text")), budgetTokens = 50L)
+    TrainingData.writeShards(packed, "grp", "id", root)
+    val shard0 = spark.read.parquet(s"$root/data")
+      .filter(col("shard_idx") === 0).select("id").as[Long].collect().toSeq
+    assert(shard0.nonEmpty)
+    assert(TrainingData.deleteFromShards(spark, root, "grp", "id", shard0) == 1)
+    // the escaped shard-0 directory is physically gone, shard 1 survives
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName("s3://bkt")
+    assert(!new java.io.File(s"$root/data/grp=$esc/shard_idx=0").exists())
+    assert(new java.io.File(s"$root/data/grp=$esc/shard_idx=1").exists())
+    val left = spark.read.parquet(s"$root/data")
+    assert(left.filter(col("shard_idx") === 0).count() == 0)
+    assert(left.count() == 10 - shard0.size)
+    assert(left.select("grp").distinct().as[String].collect().toSeq == Seq("s3://bkt"))
+  }
+
   test("weightedSample: boundary weights, monotone membership, stability") {
     val df = (0L until 300L).map(i => (i, i.toDouble / 300.0)).toDF("id", "w")
     def kept(weight: org.apache.spark.sql.Column) =
