@@ -435,6 +435,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // JDBC sink + partitioned-read round-trip through embedded Derby (the
+    // one RDBMS whose driver ships in /opt/spark/jars). The read-back is
+    // range-partitioned on s_suppkey — the parallel-scan shape a real
+    // Postgres/MySQL mart read uses at scale — and the oracle checks
+    // against the original parquet, so the round-trip must be lossless.
+    "q_jdbc_roundtrip" -> ((s, d) => {
+      val url = graft.sources.JdbcIO.derbyUrl("target/tmp/derby/graftdb")
+      graft.sources.JdbcIO.write(t(s, d, "supplier"), url, "supplier_rt")
+      graft.sources.JdbcIO
+        .readPartitioned(s, url, "supplier_rt", "s_suppkey",
+          lowerBound = 0L, upperBound = 100000L, numPartitions = 8)
+        .groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("s_acctbal")).as("total_bal"),
+          min(col("s_suppkey")).as("min_suppkey"))
+        .orderBy("s_nationkey")
+    }),
+
     // -------------------- LLM-data-pipeline extensions --------------------
 
     // Exact dedup: content-hash groups with deterministic keeper.
@@ -1668,6 +1687,13 @@ object SparkEntry {
         |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_jdbc_roundtrip" ->
+      """SELECT s_nationkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |       CAST(min(s_suppkey) AS BIGINT) AS min_suppkey
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash,
