@@ -849,6 +849,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style top-gram fraction: share of each doc's word 2-grams
+    // taken by its most frequent gram — the long-loop boilerplate signal.
+    // Row-local (sorted-array longest-run fold, no shuffle).
+    "q_text_topgram" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(TextFunctions.wordNGrams(col("text"), 2)).as("n_grams"),
+          round(TextFunctions.topGramFraction(col("text"), 2), 6).as("top_gram_frac"))
+        .orderBy("doc_id")),
+
+    // Cross-document boilerplate: fraction of each doc's distinct
+    // 3-grams occurring in >= 3 documents corpus-wide. Document
+    // frequency via one partial-aggregated groupBy(gram) + join back.
+    "q_text_boilerplate" -> ((s, d) =>
+      graft.operators.CorpusStats.gramDocFrequency(
+        t(s, d, "documents"), "doc_id", "text", n = 3, minDf = 3)
+        .orderBy("doc_id")),
+
     // LSH-bucketed embedding near-dup (scale path; rows-only — recall is
     // probabilistic. Precision vs brute force asserted in DedupSpec.)
     "q_emb_neardup_lsh" -> ((s, d) =>
@@ -2451,6 +2470,51 @@ object SparkEntry {
         |    ELSE 'und'
         |  END AS predicted_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Replays the longest-equal-run fold: per-doc 2-gram counts, the
+    // max count over the total.
+    "q_text_topgram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), gr AS (
+        |  SELECT tk.doc_id,
+        |         array_to_string(tk.ts[CAST(u.i+1 AS INT):CAST(u.i+2 AS INT)], ' ') AS g
+        |  FROM tk, unnest(range(greatest(len(tk.ts) - 1, 0))) AS u(i)
+        |), cnt AS (
+        |  SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g
+        |), agg AS (
+        |  SELECT doc_id, max(c) AS best, sum(c) AS m FROM cnt GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.m, 0) AS INT) AS n_grams,
+        |       round(coalesce(CAST(a.best AS DOUBLE) / a.m, 0), 6) AS top_gram_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Document frequency over per-doc DISTINCT 3-grams, joined back:
+    // the exact corpus-boilerplate fraction, minDf = 3.
+    "q_text_boilerplate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), gr0 AS (
+        |  SELECT tk.doc_id,
+        |         array_to_string(tk.ts[CAST(u.i+1 AS INT):CAST(u.i+3 AS INT)], ' ') AS g
+        |  FROM tk, unnest(range(greatest(len(tk.ts) - 2, 0))) AS u(i)
+        |), gr AS (
+        |  SELECT DISTINCT doc_id, g FROM gr0
+        |), fq AS (
+        |  SELECT g, count(*) AS dfreq FROM gr GROUP BY g
+        |), per AS (
+        |  SELECT gr.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN fq.dfreq >= 3 THEN 1 ELSE 0 END) AS n_common
+        |  FROM gr JOIN fq USING (g) GROUP BY gr.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+        |       round(coalesce(CAST(p.n_common AS DOUBLE) / p.n_grams, 0), 6) AS common_frac
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same deterministic augmentation, same RE2-compatible patterns,
     // same replacement cascade order (EMAIL -> IP -> SSN -> PHONE).

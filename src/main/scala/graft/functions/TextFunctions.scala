@@ -182,6 +182,27 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** Gopher-style top-gram fraction: the share of the document's word
+    * n-grams occupied by its single most frequent gram. Catches the
+    * long-loop boilerplate (`foo bar foo bar ...`) that
+    * [[repetitionRatio]]'s distinct-ratio only sees diluted. Row-local
+    * and shuffle-free: sort the gram array, then one fold finds the
+    * longest equal run — no per-row map accumulator.
+    */
+  def topGramFraction(c: Column, n: Int = 2): Column = {
+    val grams = array_sort(wordNGrams(c, n))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val best = aggregate(
+      grams,
+      zero,
+      (a, x) => {
+        val run = when(x === a.getField("prev"), a.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+    when(size(grams) > 0, best.cast("double") / size(grams)).otherwise(0.0)
+  }
+
   /** PII patterns in the Java-regex/RE2 intersection (no lookaround, no
     * backreferences), so an external RE2-based engine finds the exact
     * same spans. Listed in REDACTION ORDER: every replacement token is

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics — signals that need cross-document
+  * aggregation (document frequency), unlike the row-local quality
+  * functions in [[graft.functions.TextFunctions]]. The reference has no
+  * corpus analogue (its text surface is row-local profiling); these are
+  * the engine-extension filters a pre-training corpus runs before
+  * near-dedup.
+  */
+object CorpusStats {
+
+  /** Cross-document boilerplate score: for each document, how many of
+    * its DISTINCT word n-grams occur in at least `minDf` documents
+    * corpus-wide, and that count as a fraction. High `common_frac`
+    * flags template/boilerplate pages whose content is shared phrasing
+    * rather than original text — the corpus-frequency complement to the
+    * intra-document [[graft.functions.TextFunctions.repetitionRatio]].
+    *
+    * Scale shape: one explode of per-doc distinct grams (~corpus token
+    * count rows), a partial-aggregated `groupBy(gram)` for document
+    * frequency, a shuffle join back on gram (hot grams — stopword
+    * phrases — are exactly the skewed keys AQE's skew-join split
+    * handles), and a final `groupBy(doc)`. Every stage is keyed; no
+    * driver-side state, no collect.
+    *
+    * Documents with fewer than n tokens have no grams: they surface
+    * with `n_grams = 0` and `common_frac = 0.0` via the left join, not
+    * silently dropped.
+    */
+  def gramDocFrequency(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val grams = df.select(
+      col(idCol),
+      explode(array_distinct(
+        graft.functions.TextFunctions.wordNGrams(col(textCol), n))).as("gram"))
+    // Grams are distinct within a doc, so count(*) IS document frequency
+    // — no countDistinct shuffle needed.
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("dfreq"))
+    val perDoc = grams.join(freq, "gram")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("dfreq") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(
+          col("n_common").cast("double") / col("n_grams"), lit(0.0)), 6).as("common_frac"))
+  }
+}

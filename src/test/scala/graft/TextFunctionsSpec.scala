@@ -28,6 +28,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("a b", wordNGrams(col("t"), 3)) == Seq())
   }
 
+  test("topGramFraction finds the dominant gram's share; short docs give 0") {
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top "a b" 3/5
+    assert(one("a b a b a b", topGramFraction(col("t"), 2)) == 0.6)
+    // all grams distinct -> 1/n_grams
+    assert(math.abs(
+      one("a b c d", topGramFraction(col("t"), 2)).asInstanceOf[Double] - 1.0 / 3.0) < 1e-12)
+    // fewer tokens than n -> no grams -> 0.0
+    assert(one("a", topGramFraction(col("t"), 2)) == 0.0)
+    assert(one("", topGramFraction(col("t"), 2)) == 0.0)
+  }
+
   test("charNGrams slides over normalized text") {
     assert(one("ab cd", charNGrams(col("t"), 3)) == Seq("ab ", "b c", " cd"))
   }
