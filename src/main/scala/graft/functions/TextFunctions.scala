@@ -224,17 +224,29 @@ object TextFunctions {
 
   /** Redact every PII kind to a bracketed token ([EMAIL], [IP], [SSN],
     * [PHONE]) in [[PiiPatterns]] order. A training-data pipeline runs
-    * this as a row-local projection: four codegen'd regex passes, no
-    * shuffle, linear at 100 TB. Idempotent — redaction tokens contain
-    * no pattern-matchable characters.
+    * this as a row-local projection: no shuffle, linear at 100 TB.
+    * Idempotent — redaction tokens contain no pattern-matchable
+    * characters.
+    *
+    * One codegen'd byte-scan kernel (RedactPiiExpr), byte-exact to the
+    * four-regexp_replace cascade over [[PiiPatterns]]
+    * ([[redactPiiRegex]], the reference formulation it is
+    * property-tested against): no Matcher allocation, no generic NFA
+    * loop, no intermediate string between passes, and the per-kind
+    * prescan (digits gate IP/SSN/PHONE, '@' gates EMAIL) folded into
+    * the same scan — a clean document costs one classification pass
+    * and zero copies.
     */
-  def redactPii(c: Column): Column = {
+  def redactPii(c: Column): Column = graft.plans.HashExpressions.redactPii(c)
+
+  /** The regex formulation of [[redactPii]] — the semantic reference
+    * the kernel is property-tested against, and the form an engine
+    * without the kernel (or the DuckDB oracle) runs directly.
+    */
+  def redactPiiRegex(c: Column): Column = {
     val cascade = PiiPatterns.foldLeft(c) { case (acc, (kind, p)) =>
       regexp_replace(acc, p, s"[$kind]")
     }
-    // Every pattern requires a digit or '@', so documents without either
-    // — most clean prose — skip all four regex replaces after one
-    // byte-table scan. Match results are identical.
     when(graft.plans.HashExpressions.asciiSetCount(c, "0123456789@") > 0, cascade)
       .otherwise(c)
   }

@@ -302,6 +302,26 @@ case class NormalizeWsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Four-pattern PII redaction cascade (EMAIL -> IP -> SSN -> PHONE) as
+  * ONE codegen'd kernel call — byte-exact to the four-regexp_replace
+  * formulation over TextFunctions.PiiPatterns (property-tested in
+  * RedactKernelSpec), with the per-kind prescan folded in so clean
+  * documents cost one classification scan and zero copies.
+  */
+case class RedactPiiExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.redactPii(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.redactPii($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Non-ASCII presence test — early-exit byte scan, the cheap guard in
   * front of script-range regex routing (which can only match above
   * U+0080).
@@ -367,6 +387,8 @@ object HashExpressions {
     column(TokenStatsExpr(expression(text), set))
 
   def normalizeWs(text: Column): Column = column(NormalizeWsExpr(expression(text)))
+
+  def redactPii(text: Column): Column = column(RedactPiiExpr(expression(text)))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

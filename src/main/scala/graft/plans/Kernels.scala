@@ -403,4 +403,303 @@ object Kernels {
 
   def hilbert4(bits: Int, x: Long, y: Long, z: Long, w: Long): Long =
     hilbertN(bits, Array(x, y, z, w))
+
+  // ------------------------- PII redaction ------------------------- //
+  // Byte-exact replacement for the four-regexp_replace cascade in
+  // TextFunctions.PiiPatterns (EMAIL -> IP -> SSN -> PHONE). Each pass
+  // replicates java.util.regex semantics for its pattern — leftmost
+  // match, greedy quantifiers with backtracking, \b evaluated against
+  // the pass's input even across a prior match in the same pass — but
+  // as a hand-rolled byte scan: no Matcher allocation, no per-char
+  // generic NFA loop, no intermediate UTF8String between passes.
+  // Pattern bytes are all ASCII and UTF-8 continuation bytes are
+  // negative, so byte-level classification agrees with Java's
+  // char-level classes on any input. Equivalence vs the real regex
+  // cascade is property-tested in RedactKernelSpec.
+
+  @inline private def isDigitB(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def isAlphaB(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  @inline private def isWordB(b: Byte): Boolean = isAlphaB(b) || isDigitB(b) || b == '_'
+
+  // Java's \b is NOT \w-based: Pattern.Bound classifies a word char as
+  // '_' or Character.isLetterOrDigit — Unicode-aware even with default
+  // flags. So 'é' blocks a boundary. When the adjacent byte is
+  // non-ASCII the check must decode the neighboring CODE POINT.
+  private def decodeCp(b: Array[Byte], s: Int): Int = {
+    val b0 = b(s) & 0xFF
+    if (b0 < 0x80) b0
+    else if ((b0 & 0xE0) == 0xC0 && s + 1 < b.length)
+      ((b0 & 0x1F) << 6) | (b(s + 1) & 0x3F)
+    else if ((b0 & 0xF0) == 0xE0 && s + 2 < b.length)
+      ((b0 & 0x0F) << 12) | ((b(s + 1) & 0x3F) << 6) | (b(s + 2) & 0x3F)
+    else if ((b0 & 0xF8) == 0xF0 && s + 3 < b.length)
+      ((b0 & 0x07) << 18) | ((b(s + 1) & 0x3F) << 12) |
+        ((b(s + 2) & 0x3F) << 6) | (b(s + 3) & 0x3F)
+    else 0xFFFD
+  }
+
+  /** Is the character immediately BEFORE byte offset i a \b word char? */
+  private def isWordBefore(b: Array[Byte], i: Int): Boolean = {
+    if (i == 0) return false
+    val prev = b(i - 1)
+    if (prev >= 0) return isWordB(prev)
+    var s = i - 1
+    while (s > 0 && (b(s) & 0xC0) == 0x80) s -= 1
+    Character.isLetterOrDigit(decodeCp(b, s))
+  }
+
+  /** Is the character AT byte offset i (end-of-match neighbor) a \b
+    * word char?
+    */
+  private def isWordAfter(b: Array[Byte], i: Int, n: Int): Boolean = {
+    if (i >= n) return false
+    val c = b(i)
+    if (c >= 0) isWordB(c)
+    else Character.isLetterOrDigit(decodeCp(b, i))
+  }
+  @inline private def isLocalB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  @inline private def isDomainB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '-'
+  @inline private def isSepB(b: Byte): Boolean = b == ' ' || b == '-'
+
+  private val EmailTok = "[EMAIL]".getBytes("UTF-8")
+  private val IpTok = "[IP]".getBytes("UTF-8")
+  private val SsnTok = "[SSN]".getBytes("UTF-8")
+  private val PhoneTok = "[PHONE]".getBytes("UTF-8")
+
+  /** Exactly k digits at p (fixed-count groups backtrack nothing). */
+  @inline private def kDigits(b: Array[Byte], p: Int, n: Int, k: Int): Int = {
+    if (p < 0 || p + k > n) return -1
+    var j = 0
+    while (j < k) { if (!isDigitB(b(p + j))) return -1; j += 1 }
+    p + k
+  }
+
+  /** `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`. Driven by '@'
+    * positions: the local run's start is the leftmost viable match
+    * start, and runs cannot span '@', so scanning '@'s left to right IS
+    * leftmost-match order. The domain backtracks exactly like the
+    * greedy regex: largest dot position with >=2 trailing letters wins.
+    */
+  private def emailPass(b: Array[Byte]): Array[Byte] = {
+    val n = b.length
+    var out: scala.collection.mutable.ArrayBuilder.ofByte = null
+    var copyFrom = 0
+    var lastEnd = 0
+    var a = 0
+    while (a < n) {
+      if (b(a) == '@') {
+        var l = a
+        while (l > lastEnd && isLocalB(b(l - 1))) l -= 1
+        if (l < a) {
+          var e = a + 1
+          while (e < n && isDomainB(b(e))) e += 1
+          var end = -1
+          var q = e - 3
+          while (end < 0 && q >= a + 2) {
+            if (b(q) == '.' && isAlphaB(b(q + 1)) && isAlphaB(b(q + 2))) {
+              var le = q + 3
+              while (le < e && isAlphaB(b(le))) le += 1
+              end = le
+            }
+            q -= 1
+          }
+          if (end > 0) {
+            if (out == null) {
+              out = new scala.collection.mutable.ArrayBuilder.ofByte
+              out.sizeHint(n)
+            }
+            out.addAll(b, copyFrom, l - copyFrom)
+            out.addAll(EmailTok, 0, EmailTok.length)
+            copyFrom = end
+            lastEnd = end
+            a = end - 1 // loop increment lands on end
+          }
+        }
+      }
+      a += 1
+    }
+    if (out == null) b
+    else { out.addAll(b, copyFrom, n - copyFrom); out.result() }
+  }
+
+  /** `\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b`. Each `\d{1,3}` is
+    * deterministic despite the range: a 4+ digit run leaves a digit
+    * where '.' (or the closing \b) must sit, and shorter backtracks
+    * hit digits too — so a group matches iff its full run length is
+    * 1..3.
+    */
+  private def tryIp(b: Array[Byte], i: Int, n: Int): Int = {
+    var p = i
+    var g = 0
+    while (g < 4) {
+      var r = 0
+      while (p + r < n && r <= 3 && isDigitB(b(p + r))) r += 1
+      if (r == 0 || r > 3) return -1
+      p += r
+      if (g < 3) {
+        if (p >= n || b(p) != '.') return -1
+        p += 1
+      } else if (isWordAfter(b, p, n)) return -1
+      g += 1
+    }
+    p
+  }
+
+  /** `\b\d{3}-\d{2}-\d{4}\b` — fixed counts, no backtracking. */
+  private def trySsn(b: Array[Byte], i: Int, n: Int): Int = {
+    var p = kDigits(b, i, n, 3)
+    if (p < 0 || p >= n || b(p) != '-') return -1
+    p = kDigits(b, p + 1, n, 2)
+    if (p < 0 || p >= n || b(p) != '-') return -1
+    p = kDigits(b, p + 1, n, 4)
+    if (p < 0) return -1
+    if (isWordAfter(b, p, n)) return -1
+    p
+  }
+
+  /** Core of the phone pattern after the optional country prefix:
+    * `\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b`. Each optional element tries
+    * consume-first then skip — Java's greedy backtracking order.
+    */
+  private def tryPhoneCore(b: Array[Byte], s0: Int, n: Int): Int = {
+    var pv = 0
+    while (pv < 2) {
+      val afterParen =
+        if (pv == 0) { if (s0 < n && b(s0) == '(') s0 + 1 else -1 } else s0
+      if (afterParen >= 0) {
+        val p1 = kDigits(b, afterParen, n, 3)
+        if (p1 > 0) {
+          var cv = 0
+          while (cv < 2) {
+            val p2 =
+              if (cv == 0) { if (p1 < n && b(p1) == ')') p1 + 1 else -1 } else p1
+            if (p2 >= 0) {
+              var s1v = 0
+              while (s1v < 2) {
+                val p3s =
+                  if (s1v == 0) { if (p2 < n && isSepB(b(p2))) p2 + 1 else -1 } else p2
+                if (p3s >= 0) {
+                  val p3 = kDigits(b, p3s, n, 3)
+                  if (p3 > 0) {
+                    var s2v = 0
+                    while (s2v < 2) {
+                      val p4s =
+                        if (s2v == 0) { if (p3 < n && isSepB(b(p3))) p3 + 1 else -1 } else p3
+                      if (p4s >= 0) {
+                        val p4 = kDigits(b, p4s, n, 4)
+                        if (p4 > 0 && !isWordAfter(b, p4, n)) return p4
+                      }
+                      s2v += 1
+                    }
+                  }
+                }
+                s1v += 1
+              }
+            }
+            cv += 1
+          }
+        }
+      }
+      pv += 1
+    }
+    -1
+  }
+
+  /** `(?:\+?\d{1,2}[ -])?` then [[tryPhoneCore]]. Prefix variants in
+    * Java order: (+, 2 digits), (+, 1), (no +, 2), (no +, 1), absent.
+    */
+  private def tryPhone(b: Array[Byte], i: Int, n: Int): Int = {
+    var plusV = 0
+    while (plusV < 2) {
+      val pStart =
+        if (plusV == 0) { if (i < n && b(i) == '+') i + 1 else -1 } else i
+      if (pStart >= 0) {
+        var dc = 2
+        while (dc >= 1) {
+          val afterD = kDigits(b, pStart, n, dc)
+          if (afterD > 0 && afterD < n && isSepB(b(afterD))) {
+            val end = tryPhoneCore(b, afterD + 1, n)
+            if (end > 0) return end
+          }
+          dc -= 1
+        }
+      }
+      plusV += 1
+    }
+    tryPhoneCore(b, i, n)
+  }
+
+  /** One find-and-replace pass for a matcher `which` (0=IP, 1=SSN,
+    * 2=PHONE). IP/SSN candidates need a left `\b` (digit preceded by a
+    * non-word byte); PHONE has no left boundary and starts at '+', '('
+    * or a digit.
+    */
+  private def numericPass(b: Array[Byte], which: Int): Array[Byte] = {
+    val n = b.length
+    val tok = which match {
+      case 0 => IpTok
+      case 1 => SsnTok
+      case _ => PhoneTok
+    }
+    var out: scala.collection.mutable.ArrayBuilder.ofByte = null
+    var copyFrom = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      val candidate =
+        if (which == 2) c == '+' || c == '(' || isDigitB(c)
+        else isDigitB(c) && !isWordBefore(b, i)
+      var end = -1
+      if (candidate) {
+        end = which match {
+          case 0 => tryIp(b, i, n)
+          case 1 => trySsn(b, i, n)
+          case _ => tryPhone(b, i, n)
+        }
+      }
+      if (end > 0) {
+        if (out == null) {
+          out = new scala.collection.mutable.ArrayBuilder.ofByte
+          out.sizeHint(n)
+        }
+        out.addAll(b, copyFrom, i - copyFrom)
+        out.addAll(tok, 0, tok.length)
+        copyFrom = end
+        i = end
+      } else i += 1
+    }
+    if (out == null) b
+    else { out.addAll(b, copyFrom, n - copyFrom); out.result() }
+  }
+
+  /** The full cascade with the per-kind prescan folded in: the numeric
+    * passes only run when a digit exists, the email pass only when '@'
+    * exists — one classification scan decides, and a clean document
+    * returns the INPUT reference (zero copies), which is the dominant
+    * case in a prose corpus.
+    */
+  def redactPii(s: UTF8String): UTF8String = {
+    val b0 = s.getBytes
+    val n = b0.length
+    var hasDigit = false
+    var hasAt = false
+    var i = 0
+    while (i < n && !(hasDigit && hasAt)) {
+      val c = b0(i)
+      if (isDigitB(c)) hasDigit = true
+      else if (c == '@') hasAt = true
+      i += 1
+    }
+    if (!hasDigit && !hasAt) return s
+    var b = if (hasAt) emailPass(b0) else b0
+    if (hasDigit) {
+      b = numericPass(b, 0)
+      b = numericPass(b, 1)
+      b = numericPass(b, 2)
+    }
+    if (b eq b0) s else UTF8String.fromBytes(b)
+  }
 }

@@ -113,6 +113,30 @@ object ScaleStress {
       s"equal = ${plainSum == blockedSum}")
     }
 
+    section("pii") {
+    // PII-bearing docs are the redaction hot path (clean docs exit at
+    // the prescan in both formulations). Augment every doc with all
+    // four kinds — q_pii_redact's shape — and compare the byte-scan
+    // kernel against the four-regexp_replace cascade it replaced.
+    import graft.functions.TextFunctions
+    val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 ssn 123-45-6789 tel +1 555 123 4567")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] pii corpus: ${docs.count()} docs, all PII-bearing")
+    def sumLen(c: org.apache.spark.sql.Column): Long =
+      docs.select(sum(length(c))).head().getLong(0)
+    val regexLen = time("redact: regexp_replace cascade")(
+      sumLen(TextFunctions.redactPiiRegex(col("text"))))
+    val kernelLen = time("redact: byte-scan kernel")(
+      sumLen(TextFunctions.redactPii(col("text"))))
+    println(s"[stress]   identical output: ${regexLen == kernelLen} (len-sum $kernelLen)")
+    docs.unpersist()
+    }
+
     section("corpus") {
     // Corpus-prep at replica scale: replicas are exact copies, so the
     // dedup stage collapses them — the stress shows the stage ordering

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.plans.Kernels
+
+/** Byte-exactness of the redactPii kernel against an INDEPENDENT
+  * reference: java.util.regex replaceAll over the same four patterns in
+  * cascade order — the exact engine Spark's regexp_replace uses. Pure
+  * JVM (no Spark session), so thousands of cases are cheap.
+  */
+class RedactKernelSpec extends AnyFunSuite {
+
+  private val compiled = TextFunctions.PiiPatterns.map {
+    case (kind, p) => java.util.regex.Pattern.compile(p) -> s"[$kind]"
+  }
+
+  private def reference(s: String): String =
+    compiled.foldLeft(s) { case (acc, (p, tok)) => p.matcher(acc).replaceAll(tok) }
+
+  private def kernel(s: String): String =
+    Kernels.redactPii(UTF8String.fromString(s)).toString
+
+  private def agree(s: String): Unit =
+    assert(kernel(s) == reference(s), s"input: ${s.take(200)}")
+
+  test("well-formed PII of every kind redacts identically") {
+    agree("contact bob.smith+spam@mail.example.co.uk today")
+    agree("from 10.0.0.1 and 255.255.255.255.")
+    agree("ssn 123-45-6789 end")
+    agree("call +1 555-123-4567 or (555) 123 4567 or 5551234567")
+    agree("mixed: a@b.io 1.2.3.4 123-45-6789 +12 555 123 4567 done")
+  }
+
+  test("overlap and boundary torture cases redact identically") {
+    // IP-like local part consumed by the earlier EMAIL pass
+    agree("1.2.3.4@x.com")
+    agree("12 1.2.3.4@x.com")
+    // EMAIL inside a phone-like span: cascade order decides
+    agree("555 123 4567@x.com")
+    // digit runs too long for IP groups / SSN groups
+    agree("1234.5.6.7 and 1.2.3.4567 and 1234-56-7890")
+    // ten-digit run: PHONE has no left \b and matches at offset 1
+    agree("12345678901")
+    // word boundaries blocked by letters/underscore
+    agree("x1.2.3.4 1.2.3.4x _123-45-6789 123-45-6789_")
+    // double @, empty local/domain parts
+    agree("a@b@c.com @x.com a@ .@. a@.com a@b.c")
+    // multibyte neighbors around matches
+    agree("é1.2.3.4é and café@münchen.example.com")
+    // phone optional-group backtracking: separator consumed then given back
+    agree("555 12345678 and 55-555-1234567 and +1 (555) 123-4567")
+    // SSN first then phone cannot reuse its digits
+    agree("123-45-6789 4567")
+    // idempotence inputs: tokens must not re-match
+    agree("[EMAIL] [IP] [SSN] [PHONE] 123-45-6789")
+  }
+
+  test("kernel is idempotent") {
+    val s = "a@b.cc 1.2.3.4 123-45-6789 (555) 123 4567"
+    assert(kernel(kernel(s)) == kernel(s))
+  }
+
+  test("property: kernel == regex cascade on PII-dense random strings") {
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.oneOf(" ", "  ", "-", ".", "@", "+", "(", ")", "_", "x", "ab", "é", "word"),
+      Gen.choose(0, 99999).map(_.toString),
+      Gen.oneOf(
+        "a@b.co", "a.b@c.d.ee", "@nope", "user%x+y@host-1.io",
+        "1.2.3.4", "10.00.250.3", "999.999.999.999", "1.2.3",
+        "123-45-6789", "12-345-6789", "123-456-789",
+        "5551234567", "555 123 4567", "(555)123-4567", "+1 555-123-4567",
+        "+12-555 123 4567", "555  123 4567"))
+    val docGen: Gen[String] =
+      Gen.chooseNum(0, 12).flatMap(k => Gen.listOfN(k, piece)).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000).withWorkers(1),
+      Prop.forAll(docGen) { s => kernel(s) == reference(s) })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("clean text returns without copying") {
+    val u = UTF8String.fromString("no personal data in this prose at all")
+    assert(Kernels.redactPii(u) eq u)
+  }
+}
