@@ -113,6 +113,29 @@ object ScaleStress {
       s"equal = ${plainSum == blockedSum}")
     }
 
+    section("neardup") {
+    // Scale evidence for the corpus app's OPT-IN near-dedup arm. Exact
+    // replicas would be collapsed by the exact-dedup stage before
+    // near-dedup ever ran, so each replica appends a distinct token:
+    // fingerprints all differ, and the near-dedup stage faces `reps`-sized
+    // near-duplicate clusters (pairwise Jaccard ~ n/(n+2) >> 0.5) at full
+    // corpus volume — its worst candidate-density shape.
+    import graft.app.RunCorpusPipeline
+    val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
+      .withColumn("text", concat(col("text"), lit(" zz"), col("doc_id").cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIn = docs.count()
+    println(s"[stress] neardup corpus: $nIn docs in ${reps}x near-duplicate clusters")
+    val root = s"target/tmp/stress_neardup_${System.nanoTime()}"
+    time("corpus pipeline, nearDedup=true")(
+      RunCorpusPipeline.run(spark, docs,
+        RunCorpusPipeline.CorpusConfig(root, nearDedup = true)))
+    val silverCnt = spark.read.parquet(s"$root/silver").count()
+    println(s"[stress]   silver survivors = $silverCnt of $nIn " +
+      s"(clusters collapsed = ${silverCnt <= nIn / reps})")
+    docs.unpersist()
+    }
+
     section("pii") {
     // PII-bearing docs are the redaction hot path (clean docs exit at
     // the prescan in both formulations). Augment every doc with all
