@@ -1089,6 +1089,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // Product quantization, ADC shortlist + exact re-rank (rows-only —
+    // per-subspace KMeans codebooks are model state, like the IVF cell
+    // queries; the ADC == dot(query, reconstruction) identity, recall
+    // floors, and rerank dominance are pinned in QuantizationSpec).
+    "q_sim_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = Quantization.trainPq(corpus, "embedding", m = 16, kc = 64)
+      Quantization.pqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
+    }),
+
     // Multi-probe LSH ANN: explicit probe-signature IN-list (prunable at
     // scale) instead of the XOR scan filter — identical results to
     // q_sim_ann by construction (identity pinned in SimilaritySpec).

@@ -208,6 +208,71 @@ case class HyperplaneSignatureExpr(child: Expression, planes: Seq[Array[Double]]
     copy(child = newChild)
 }
 
+/** PQ encode: array<double> vector -> array<int> of m codebook indices.
+  * Codebook travels as a flat Seq (value equality for the case class)
+  * and is referenced, not embedded, in generated code.
+  */
+case class PqEncodeExpr(child: Expression, codebook: Seq[Double], m: Int, kc: Int, subDim: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val cb: Array[Double] = codebook.toArray
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.pqEncode(input.asInstanceOf[ArrayData], cb, m, kc, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.pqEncode($c, $ref, $m, $kc, $subDim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ decode: array<int> codes -> array<double> reconstruction. */
+case class PqDecodeExpr(child: Expression, codebook: Seq[Double], m: Int, kc: Int, subDim: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val cb: Array[Double] = codebook.toArray
+
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.pqDecode(input.asInstanceOf[ArrayData], cb, m, kc, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.pqDecode($c, $ref, $m, $kc, $subDim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric distance computation against a per-query lookup table:
+  * array<int> codes -> double score, m lookups per row.
+  */
+case class PqAdcExpr(child: Expression, lut: Seq[Double], kc: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val lutArr: Array[Double] = lut.toArray
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(Kernels.pqAdc(input.asInstanceOf[ArrayData], lutArr, kc))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", lutArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.pqAdc($c, $ref, $kc)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whitespace-token count — codegen'd `size(regexp_extract_all(c, '\S+'))`. */
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
 
@@ -389,6 +454,15 @@ object HashExpressions {
   def normalizeWs(text: Column): Column = column(NormalizeWsExpr(expression(text)))
 
   def redactPii(text: Column): Column = column(RedactPiiExpr(expression(text)))
+
+  def pqEncode(vec: Column, codebook: Seq[Double], m: Int, kc: Int, subDim: Int): Column =
+    column(PqEncodeExpr(expression(vec), codebook, m, kc, subDim))
+
+  def pqDecode(codes: Column, codebook: Seq[Double], m: Int, kc: Int, subDim: Int): Column =
+    column(PqDecodeExpr(expression(codes), codebook, m, kc, subDim))
+
+  def pqAdc(codes: Column, lut: Seq[Double], kc: Int): Column =
+    column(PqAdcExpr(expression(codes), lut, kc))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

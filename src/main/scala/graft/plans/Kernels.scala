@@ -675,6 +675,65 @@ object Kernels {
     else { out.addAll(b, copyFrom, n - copyFrom); out.result() }
   }
 
+  // ---------------------- product quantization ---------------------- //
+
+  /** PQ encode: per subspace, the index of the L2-nearest codebook
+    * centroid (strict <, so ties keep the lowest index —
+    * deterministic). `cb` is flat: ((sub*kc + c)*subDim + j).
+    */
+  def pqEncode(v: ArrayData, cb: Array[Double], m: Int, kc: Int, subDim: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var bestC = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < kc) {
+        val base = (sub * kc + c) * subDim
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = v.getDouble(sub * subDim + j) - cb(base + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(sub) = bestC
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ decode: concatenate the coded centroids back into a
+    * reconstruction vector.
+    */
+  def pqDecode(codes: ArrayData, cb: Array[Double], m: Int, kc: Int, subDim: Int): ArrayData = {
+    val out = new Array[Double](m * subDim)
+    var sub = 0
+    while (sub < m) {
+      val base = (sub * kc + codes.getInt(sub)) * subDim
+      var j = 0
+      while (j < subDim) { out(sub * subDim + j) = cb(base + j); j += 1 }
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance computation: score(codes) = sum over subspaces
+    * of lut(sub*kc + code). The LUT holds the query's per-centroid
+    * partial dots, so a corpus scan is m table lookups per vector — no
+    * float decode, no multiply.
+    */
+  def pqAdc(codes: ArrayData, lut: Array[Double], kc: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var sub = 0
+    while (sub < m) { s += lut(sub * kc + codes.getInt(sub)); sub += 1 }
+    s
+  }
+
   /** The full cascade with the per-kind prescan folded in: the numeric
     * passes only run when a digit exists, the email pass only when '@'
     * exists — one classification scan decides, and a clean document

@@ -44,6 +44,87 @@ class QuantizationSpec extends SparkSpec {
     assert(codes(1) == Seq(255, 0))
   }
 
+  test("PQ: codes bounded, decode concatenates centroids, training is deterministic") {
+    val model = Quantization.trainPq(emb, "embedding", m = 8, kc = 16)
+    assert(model.subDim == 8)
+    assert(model.codebook.size == 8 * 16 * 8)
+    val codes = emb.select(Quantization.pqEncode(col("embedding"), model).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // same data + seed -> identical codebooks (fit is seeded per subspace)
+    val model2 = Quantization.trainPq(emb, "embedding", m = 8, kc = 16)
+    assert(model.codebook == model2.codebook)
+  }
+
+  test("PQ: ADC score equals dot(query, reconstruction) and ranks identically") {
+    val model = Quantization.trainPq(emb, "embedding", m = 8, kc = 16)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    val adc = Quantization.pqTopK(emb, model, "vec_id", "embedding", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // decode-then-dot twin, same rounding and tie-break
+    val qLit = typedLit(query.toSeq)
+    val viaDecode = emb
+      .select(col("vec_id"),
+        round(VectorOps.dot(
+          Quantization.pqDecode(Quantization.pqEncode(col("embedding"), model), model),
+          qLit), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adc == viaDecode)
+  }
+
+  test("PQ batch top-k tracks exact-dot top-k (mean recall floor)") {
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Quantization.pqTopKBatch(emb, queries, model8, "vec_id", "embedding", k)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val v = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+    val exact = v.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .filter(col("qid") < 5)
+      .crossJoin(v)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.dot(col("e"), col("qe")).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    // Random 64-dim data is PQ's worst case (no cluster structure), so
+    // the pin is a floor; the ADC-vs-decode identity above is the exact
+    // bit. m=16/kc=64 measures ~0.52 here.
+    assert(mean >= 0.4, s"mean PQ recall $mean")
+  }
+
+  test("PQ shortlist + exact re-rank recovers near-exact recall") {
+    val query = emb.filter(col("vec_id") === 7)
+      .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    val brute = emb.filter(col("vec_id") =!= 7)
+      .select(col("vec_id"),
+        VectorOps.dot(VectorOps.asDouble(col("embedding")), typedLit(query.toSeq)).as("s"))
+      .orderBy(desc("s"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    def recallOf(ids: Seq[Long]): Int = ids.toSet.intersect(brute).size
+    val adcOnly = Quantization
+      .pqTopK(emb.filter(col("vec_id") =!= 7), model8, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val reranked = Quantization
+      .pqTopKReranked(emb.filter(col("vec_id") =!= 7), model8, "vec_id", "embedding",
+        query, k = 10, shortlist = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(reranked.size == 10)
+    assert(recallOf(reranked) >= recallOf(adcOnly),
+      s"rerank ${recallOf(reranked)} < adc ${recallOf(adcOnly)}")
+    assert(recallOf(reranked) >= 7, s"reranked recall ${recallOf(reranked)}/10")
+  }
+
+  private lazy val model8 = Quantization.trainPq(emb, "embedding", m = 16, kc = 64)
+
   test("dequantized reconstruction error is bounded by half a bucket") {
     val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
     val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
