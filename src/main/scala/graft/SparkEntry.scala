@@ -1102,6 +1102,20 @@ object SparkEntry {
       Quantization.pqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
     }),
 
+    // IVF x PQ (FAISS composition): cell pruning + ADC shortlist +
+    // exact re-rank (rows-only — IVF cells AND PQ codebooks are model
+    // state; exhaustive-probe == plain-PQ identity and pruned-probe
+    // overlap with the float probe pinned in QuantizationSpec).
+    "q_sim_ivf_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16)
+      val model = Quantization.trainPq(corpus, "embedding", m = 16, kc = 64)
+      Quantization.ivfPqTopK(idx, model, "vec_id", q, k = 20, nprobe = 4)
+    }),
+
     // Multi-probe LSH ANN: explicit probe-signature IN-list (prunable at
     // scale) instead of the XOR scan filter — identical results to
     // q_sim_ann by construction (identity pinned in SimilaritySpec).

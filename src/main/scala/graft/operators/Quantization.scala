@@ -272,6 +272,32 @@ object Quantization {
       .limit(k)
   }
 
+  /** IVF x PQ — the FAISS IVF-PQ composition, both scale levers at
+    * once: IVF cells prune WHICH vectors are scanned (nprobe/nlist of
+    * the corpus), PQ codes shrink WHAT the scan reads (m bytes/vector),
+    * and scoring is ADC against the full-precision query — no decode in
+    * the loop. The re-rank arm then reads full vectors for only the
+    * shortlist. Recall floors and the exhaustive-probe relationship are
+    * pinned in QuantizationSpec.
+    */
+  def ivfPqTopK(
+      index: SimilaritySearch.IvfIndex,
+      model: PqModel,
+      idCol: String,
+      query: Array[Double],
+      k: Int,
+      nprobe: Int = 4,
+      shortlist: Int = 4): DataFrame = {
+    def dist2(c: Array[Double]): Double =
+      c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nprobe).map(_._2)
+    val probed = index.assigned
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    pqTopKReranked(probed, model, idCol, "v", query, k, shortlist)
+  }
+
   /** Batch PQ top-k: decode-then-dot (identical ranking to ADC), one
     * corpus scan against broadcast query reconstructions, per-query
     * top-k window — the sq8TopKBatch shape over 32x-smaller codes.

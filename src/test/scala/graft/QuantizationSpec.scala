@@ -125,6 +125,37 @@ class QuantizationSpec extends SparkSpec {
 
   private lazy val model8 = Quantization.trainPq(emb, "embedding", m = 16, kc = 64)
 
+  test("IVF x PQ probe: exhaustive probe equals PQ-reranked search; pruned keeps recall") {
+    import graft.operators.SimilaritySearch
+    val corpus = emb.filter(col("vec_id") =!= 7)
+    val query = emb.filter(col("vec_id") === 7)
+      .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    val idx = SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16)
+    try {
+      val full = Quantization
+        .pqTopKReranked(corpus, model8, "vec_id", "embedding", query, k = 20, shortlist = 4)
+        .select("vec_id").as[Long].collect().toSeq
+      // nprobe = nlist scans every cell: identical to the plain PQ path
+      val exhaustive = Quantization
+        .ivfPqTopK(idx, model8, "vec_id", query, k = 20, nprobe = 16, shortlist = 4)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(exhaustive == full)
+      // pruned probe vs the FLOAT probe of the same cells: same routing,
+      // so the only loss left is PQ scoring + shortlist truncation
+      val pruned = Quantization
+        .ivfPqTopK(idx, model8, "vec_id", query, k = 20, nprobe = 4, shortlist = 4)
+        .select("vec_id").as[Long].collect().toSeq
+      val floatProbe = SimilaritySearch
+        .ivfTopK(idx, "vec_id", query.toSeq, k = 20, nprobe = 4)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(pruned.size == 20)
+      // measures 20/20 on the fixture (shortlist 4x covers the PQ
+      // ranking noise); floor leaves margin for fixture drift
+      val overlap = pruned.toSet.intersect(floatProbe.toSet).size
+      assert(overlap >= 16, s"pruned-vs-float overlap $overlap/20")
+    } finally idx.release()
+  }
+
   test("dequantized reconstruction error is bounded by half a bucket") {
     val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
     val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
