@@ -1102,6 +1102,20 @@ object SparkEntry {
       Quantization.pqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
     }),
 
+    // Persisted PQ store: codes at rest + codebook sidecar; the probe
+    // scans ONLY codes (rows-only — same PQ model state; the
+    // stored == in-session ADC identity is pinned in QuantizationSpec).
+    "q_sim_pq_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = Quantization.trainPq(corpus, "embedding", m = 16, kc = 64)
+      val path = "/root/repo/target/tmp/pq_store_contract"
+      Quantization.savePqIndex(corpus, model, "vec_id", "embedding", path)
+      Quantization.pqTopKStored(s, path, q, k = 20)
+    }),
+
     // IVF x PQ (FAISS composition): cell pruning + ADC shortlist +
     // exact re-rank (rows-only — IVF cells AND PQ codebooks are model
     // state; exhaustive-probe == plain-PQ identity and pruned-probe

@@ -219,25 +219,7 @@ object Quantization {
       vecCol: String,
       query: Array[Double],
       k: Int): DataFrame = {
-    require(query.length == model.m * model.subDim,
-      s"query dim ${query.length} != ${model.m * model.subDim}")
-    val lut = new Array[Double](model.m * model.kc)
-    var sub = 0
-    while (sub < model.m) {
-      var c = 0
-      while (c < model.kc) {
-        val base = (sub * model.kc + c) * model.subDim
-        var d = 0.0
-        var j = 0
-        while (j < model.subDim) {
-          d += query(sub * model.subDim + j) * model.codebook(base + j)
-          j += 1
-        }
-        lut(sub * model.kc + c) = d
-        c += 1
-      }
-      sub += 1
-    }
+    val lut = adcLut(model, query)
     corpus
       .select(col(idCol),
         graft.plans.HashExpressions.pqAdc(
@@ -270,6 +252,84 @@ object Quantization {
           graft.functions.VectorOps.asDouble(col(vecCol)), qLit), 6).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** Persist a PQ store: the codebook (+ id column NAME, resolved by
+    * name at load — the IVF tombstone lesson) as a tiny JSON sidecar,
+    * and the corpus as encoded codes at rest — m bytes/vector instead
+    * of the float array. A probe of the loaded store scans ONLY codes;
+    * nothing re-encodes, nothing re-trains.
+    */
+  def savePqIndex(
+      corpus: DataFrame,
+      model: PqModel,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((model.m, model.kc, model.subDim, model.codebook, idCol))
+      .toDF("m", "kc", "sub_dim", "codebook", "id_col")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/codebook")
+    corpus
+      .select(col(idCol), pqEncode(col(vecCol), model).as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codes")
+  }
+
+  /** Load the codebook sidecar. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): (PqModel, String) = {
+    val r = spark.read.json(s"$path/codebook")
+      .select(col("m").cast("int"), col("kc").cast("int"), col("sub_dim").cast("int"),
+        col("codebook").cast("array<double>"), col("id_col"))
+      .head()
+    (PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3)), r.getString(4))
+  }
+
+  /** ADC top-k over a persisted store: scan codes, m lookups per row.
+    * Identical scores to [[pqTopK]] over the original vectors with the
+    * same model — encoding is deterministic, so codes at rest lose
+    * nothing (pinned in QuantizationSpec).
+    */
+  def pqTopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      k: Int): DataFrame = {
+    val (model, idCol) = loadPqModel(spark, path)
+    val lut = adcLut(model, query)
+    spark.read.parquet(s"$path/codes")
+      .select(col(idCol),
+        round(graft.plans.HashExpressions.pqAdc(col("codes"), lut.toSeq, model.kc), 6)
+          .as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** The query's per-centroid partial-dot lookup table (m x kc). */
+  private def adcLut(model: PqModel, query: Array[Double]): Array[Double] = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != ${model.m * model.subDim}")
+    val lut = new Array[Double](model.m * model.kc)
+    var sub = 0
+    while (sub < model.m) {
+      var c = 0
+      while (c < model.kc) {
+        val base = (sub * model.kc + c) * model.subDim
+        var d = 0.0
+        var j = 0
+        while (j < model.subDim) {
+          d += query(sub * model.subDim + j) * model.codebook(base + j)
+          j += 1
+        }
+        lut(sub * model.kc + c) = d
+        c += 1
+      }
+      sub += 1
+    }
+    lut
   }
 
   /** IVF x PQ — the FAISS IVF-PQ composition, both scale levers at

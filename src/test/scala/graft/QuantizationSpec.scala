@@ -156,6 +156,22 @@ class QuantizationSpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("persisted PQ store: codes at rest score identically to in-session ADC") {
+    val path = s"target/tmp/pq_store_${System.nanoTime()}"
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    Quantization.savePqIndex(corpus, model8, "vec_id", "embedding", path)
+    val (loaded, idCol) = Quantization.loadPqModel(spark, path)
+    assert(idCol == "vec_id")
+    assert(loaded == model8)
+    val stored = Quantization.pqTopKStored(spark, path, query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val live = Quantization.pqTopK(corpus, model8, "vec_id", "embedding", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == live)
+  }
+
   test("dequantized reconstruction error is bounded by half a bucket") {
     val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
     val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
