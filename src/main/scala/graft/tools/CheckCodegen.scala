@@ -49,7 +49,21 @@ object CheckCodegen {
         HashExpressions.tokenStats(col("text"),
           graft.functions.TextFunctions.Stopwords("en"))).count()),
       "hasNonAscii" -> (() => docs.select(
-        HashExpressions.hasNonAscii(col("text"))).count()))
+        HashExpressions.hasNonAscii(col("text"))).count()),
+      "redactPii" -> (() => docs.select(
+        HashExpressions.redactPii(col("text"))).count()),
+      "pqEncodeDecodeAdc" -> (() => {
+        // tiny fixed codebook: 2 subspaces x 2 centroids over 64 dims
+        val cb = Seq.tabulate(2 * 2 * 32)(i => (i % 7).toDouble)
+        val lut = Seq.tabulate(2 * 2)(_.toDouble)
+        emb.select(
+          HashExpressions.pqAdc(
+            HashExpressions.pqEncode(
+              VectorOps.asDouble(col("embedding")), cb, 2, 2, 32), lut, 2),
+          HashExpressions.pqDecode(
+            HashExpressions.pqEncode(
+              VectorOps.asDouble(col("embedding")), cb, 2, 2, 32), cb, 2, 2, 32)).count()
+      }))
 
     var failed = false
     checks.foreach { case (name, run) =>
