@@ -82,6 +82,18 @@ class RedactKernelSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: kernel == regex cascade on adversarial character soup") {
+    // Raw chars (not PII-shaped pieces): maximizes boundary/backtracking
+    // interactions the piece generator can't produce mid-token.
+    val alphabet = "0159.-+() ab@_éé世"
+    val soupGen: Gen[String] = Gen.chooseNum(0, 40)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf(alphabet.toSeq))).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5000).withWorkers(1),
+      Prop.forAll(soupGen) { s => kernel(s) == reference(s) })
+    assert(res.passed, res.status.toString)
+  }
+
   test("clean text returns without copying") {
     val u = UTF8String.fromString("no personal data in this prose at all")
     assert(Kernels.redactPii(u) eq u)
