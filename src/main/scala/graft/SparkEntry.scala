@@ -1102,6 +1102,22 @@ object SparkEntry {
       Quantization.pqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
     }),
 
+    // Exhaustive-shortlist PQ re-rank: with the ADC shortlist covering
+    // the whole corpus, the re-rank arm scores EVERYTHING at full
+    // precision, so the result is exact brute-force top-k regardless of
+    // codebooks — which makes this the PQ family's full DuckDB oracle
+    // (the q_sim_ivf_rebalanced trick). A deliberately tiny model keeps
+    // the bench honest about what the identity does NOT depend on.
+    "q_sim_pq_exhaustive" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = Quantization.trainPq(corpus, "embedding", m = 8, kc = 16, maxIter = 2)
+      Quantization.pqTopKReranked(corpus, model, "vec_id", "embedding", q,
+        k = 20, shortlist = 200)
+    }),
+
     // Persisted PQ store: codes at rest + codebook sidecar; the probe
     // scans ONLY codes (rows-only — same PQ model state; the
     // stored == in-session ADC identity is pinned in QuantizationSpec).
@@ -2734,6 +2750,19 @@ object SparkEntry {
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Exhaustive-shortlist PQ re-rank is brute force by construction
+    // (every row reaches the full-precision re-scan) — plain MIPS dot,
+    // not cosine, matching pqTopKReranked's scoring.
+    "q_sim_pq_exhaustive" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe), 6) AS score
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
 
     // Exhaustive probe (nprobe = nlist) of the rebalanced IVF index is
     // brute force by construction — the oracle is q_sim_topk's SQL.
