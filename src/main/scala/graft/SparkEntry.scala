@@ -1102,6 +1102,20 @@ object SparkEntry {
       Quantization.pqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
     }),
 
+    // OPQ-lite: seeded orthonormal rotation before PQ — spreads
+    // concentrated variance across subspaces (recall 6/10 vs 0/10 on
+    // the concentrated fixture in QuantizationSpec); re-rank scores
+    // original vectors, so rotation never changes final scores
+    // (rows-only — rotated codebooks are model state like plain PQ).
+    "q_sim_opq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = Quantization.trainPqRotated(corpus, "embedding", m = 16, kc = 64)
+      Quantization.opqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
+    }),
+
     // Exhaustive-shortlist PQ re-rank: with the ADC shortlist covering
     // the whole corpus, the re-rank arm scores EVERYTHING at full
     // precision, so the result is exact brute-force top-k regardless of

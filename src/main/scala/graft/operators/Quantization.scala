@@ -254,6 +254,106 @@ object Quantization {
       .limit(k)
   }
 
+  /** OPQ-lite: a SEEDED random orthonormal rotation applied before PQ.
+    * PQ quantizes each subspace independently, so a corpus whose
+    * variance concentrates in a few dimensions wastes most subspaces on
+    * near-constants while one subspace absorbs all the distortion; a
+    * rotation spreads variance evenly across subspaces, cutting total
+    * quantization error (recall lift pinned on a concentrated fixture
+    * in QuantizationSpec). Rotation is orthonormal, so
+    * dot(Rq, Rx) = dot(q, x): ADC over rotated codes estimates the SAME
+    * inner product and the re-rank arm stays on original vectors. Fully
+    * deterministic (seeded Gaussians + Gram-Schmidt on the driver) —
+    * full OPQ learns R by alternating minimization; the seam is
+    * identical, drop a learned matrix into [[OpqModel]].
+    */
+  final case class OpqModel(rotation: Seq[Double], dim: Int, pq: PqModel)
+
+  /** Seeded random orthonormal matrix (row-major flat), via
+    * Gram-Schmidt over seeded Gaussians.
+    */
+  def seededRotation(d: Int, seed: Long): Seq[Double] = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(d, d)(rnd.nextGaussian())
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < i) {
+        var dot = 0.0
+        var k = 0
+        while (k < d) { dot += a(i)(k) * a(j)(k); k += 1 }
+        k = 0
+        while (k < d) { a(i)(k) -= dot * a(j)(k); k += 1 }
+        j += 1
+      }
+      var n = 0.0
+      var k = 0
+      while (k < d) { n += a(i)(k) * a(i)(k); k += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      k = 0
+      while (k < d) { a(i)(k) *= inv; k += 1 }
+      i += 1
+    }
+    a.flatten.toSeq
+  }
+
+  /** Rotate a vector column (codegen'd dense mat-vec). */
+  def rotate(vec: Column, rotation: Seq[Double], d: Int): Column =
+    graft.plans.HashExpressions.matVec(
+      graft.functions.VectorOps.asDouble(vec), rotation, d)
+
+  def trainPqRotated(
+      df: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      kc: Int = 16,
+      seed: Long = 42L,
+      maxIter: Int = 8): OpqModel = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val rot = seededRotation(dim, seed)
+    val rotated = df.select(rotate(col(vecCol), rot, dim).as("__rv"))
+    OpqModel(rot, dim, trainPq(rotated, "__rv", m, kc, seed, maxIter))
+  }
+
+  /** Rotated-ADC shortlist + exact re-rank on ORIGINAL vectors: the
+    * rotation only changes what the codes approximate, never the final
+    * scores.
+    */
+  def opqTopKReranked(
+      corpus: DataFrame,
+      model: OpqModel,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      shortlist: Int = 4): DataFrame = {
+    val rotQ = rotateVec(model.rotation, model.dim, query)
+    val rc = corpus.select(col(idCol).as("__id"), rotate(col(vecCol), model.rotation, model.dim).as("__rv"))
+    val cand = pqTopK(rc, model.pq, "__id", "__rv", rotQ, k * shortlist)
+      .select(col("__id").as(idCol))
+    val qLit = typedLit(query.toSeq)
+    corpus.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(decodedDot(
+          graft.functions.VectorOps.asDouble(col(vecCol)), qLit), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side rotation of a single query vector. */
+  private def rotateVec(rot: Seq[Double], d: Int, v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += rot(i * d + j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
   /** Persist a PQ store: the codebook (+ id column NAME, resolved by
     * name at load — the IVF tombstone lesson) as a tiny JSON sidecar,
     * and the corpus as encoded codes at rest — m bytes/vector instead

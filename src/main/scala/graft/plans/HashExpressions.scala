@@ -273,6 +273,28 @@ case class PqAdcExpr(child: Expression, lut: Seq[Double], kc: Int)
     copy(child = newChild)
 }
 
+/** Dense rotation (row-major d x d) of an array<double> vector — the
+  * OPQ-lite step in front of PQ encoding.
+  */
+case class MatVecExpr(child: Expression, matrix: Seq[Double], d: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val mat: Array[Double] = matrix.toArray
+
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.matVec(input.asInstanceOf[ArrayData], mat, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rotMatrix", mat, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.matVec($c, $ref, $d)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whitespace-token count — codegen'd `size(regexp_extract_all(c, '\S+'))`. */
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
 
@@ -463,6 +485,9 @@ object HashExpressions {
 
   def pqAdc(codes: Column, lut: Seq[Double], kc: Int): Column =
     column(PqAdcExpr(expression(codes), lut, kc))
+
+  def matVec(vec: Column, matrix: Seq[Double], d: Int): Column =
+    column(MatVecExpr(expression(vec), matrix, d))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

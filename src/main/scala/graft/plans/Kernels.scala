@@ -721,6 +721,23 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Dense mat-vec: out[i] = sum_j mat(i*d + j) * v(j) — the rotation
+    * step in front of PQ encoding (OPQ-lite). Row-major flat matrix.
+    */
+  def matVec(v: ArrayData, mat: Array[Double], d: Int): ArrayData = {
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      val base = i * d
+      var j = 0
+      while (j < d) { s += mat(base + j) * v.getDouble(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric distance computation: score(codes) = sum over subspaces
     * of lut(sub*kc + code). The LUT holds the query's per-centroid
     * partial dots, so a corpus scan is m table lookups per vector — no

@@ -63,6 +63,11 @@ object CheckCodegen {
           HashExpressions.pqDecode(
             HashExpressions.pqEncode(
               VectorOps.asDouble(col("embedding")), cb, 2, 2, 32), cb, 2, 2, 32)).count()
+      }),
+      "matVec" -> (() => {
+        val rot = graft.operators.Quantization.seededRotation(64, 42L)
+        emb.select(
+          HashExpressions.matVec(VectorOps.asDouble(col("embedding")), rot, 64)).count()
       }))
 
     var failed = false

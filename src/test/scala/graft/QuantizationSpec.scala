@@ -172,6 +172,49 @@ class QuantizationSpec extends SparkSpec {
     assert(stored == live)
   }
 
+  test("OPQ rotation: orthonormal, dot-preserving, lifts recall on concentrated variance") {
+    // Fixture built for PQ's failure mode: all variance in the first 8
+    // of 64 dims, so the un-rotated split wastes 7 of 8 subspaces on
+    // near-constants while subspace 0 absorbs every bit of distortion.
+    val rnd = new scala.util.Random(11L)
+    val rows = (0L until 400L).map { i =>
+      val v = Array.fill(64)(0.001f * rnd.nextFloat())
+      (0 until 8).foreach(j => v(j) = (10.0 * rnd.nextGaussian()).toFloat)
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val rot = Quantization.seededRotation(64, 42L)
+    // orthonormality: R R^T = I (sampled entries)
+    (0 until 8).foreach { i =>
+      (0 until 8).foreach { j =>
+        val dot = (0 until 64).map(l => rot(i * 64 + l) * rot(j * 64 + l)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRt($i,$j)=$dot")
+      }
+    }
+    val query = rows.head._2.map(_.toDouble).toArray
+    val corpus = df.filter(col("vec_id") =!= 0)
+    val exact = corpus
+      .select(col("vec_id"),
+        VectorOps.dot(VectorOps.asDouble(col("embedding")), typedLit(query.toSeq)).as("s"))
+      .orderBy(desc("s"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(ids: Seq[Long]): Int = ids.toSet.intersect(exact).size
+    // shortlist 1 isolates code quality: the re-rank arm gets exactly k
+    // candidates, so recall IS the shortlist's quality
+    val plainModel = Quantization.trainPq(corpus, "embedding", m = 8, kc = 16)
+    val plain = Quantization
+      .pqTopKReranked(corpus, plainModel, "vec_id", "embedding", query, k = 10, shortlist = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val opqModel = Quantization.trainPqRotated(corpus, "embedding", m = 8, kc = 16)
+    val rotated = Quantization
+      .opqTopKReranked(corpus, opqModel, "vec_id", "embedding", query, k = 10, shortlist = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    println(s"[spec] OPQ recall ${recall(rotated)}/10 vs plain ${recall(plain)}/10")
+    assert(recall(rotated) >= recall(plain),
+      s"rotated ${recall(rotated)} < plain ${recall(plain)}")
+    assert(recall(rotated) >= 5, s"rotated recall ${recall(rotated)}/10")
+  }
+
   test("dequantized reconstruction error is bounded by half a bucket") {
     val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
     val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
