@@ -400,12 +400,103 @@ object Quantization {
       k: Int): DataFrame = {
     val (model, idCol) = loadPqModel(spark, path)
     val lut = adcLut(model, query)
-    spark.read.parquet(s"$path/codes")
+    loadPqCodes(spark, path)
       .select(col(idCol),
         round(graft.plans.HashExpressions.pqAdc(col("codes"), lut.toSeq, model.kc), 6)
           .as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** Idempotent per-batch append of freshly-encoded codes to a
+    * persisted PQ store. Same at-least-once contract and batch-id
+    * marker guard as the IVF ingest
+    * ([[SimilaritySearch.appendIvfBatchIdempotent]]): a replayed batch
+    * whose marker exists is a no-op, so probes never see duplicate ids
+    * from a restart.
+    */
+  def appendPqBatchIdempotent(
+      batch: DataFrame,
+      model: PqModel,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpoint: String,
+      batchId: Long): Unit = {
+    val hconf = batch.sparkSession.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(s"$checkpoint/graft-batch-commits/$batchId")
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) {
+      batch.select(col(idCol), pqEncode(col(vecCol), model).as("codes"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/codes")
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Continuous ingest into a persisted PQ store: each micro-batch is
+    * encoded against the EXISTING codebooks (row-local projection, no
+    * re-training — codebooks only drift when the store is rebuilt) and
+    * appended via foreachBatch behind the batch-id replay guard. The
+    * streaming half of [[savePqIndex]]/[[pqTopKStored]].
+    */
+  def streamingPqAppend(
+      stream: DataFrame,
+      model: PqModel,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendPqBatchIdempotent(batch, model, idCol, vecCol, path, checkpoint, batchId)
+      }
+      .start()
+
+  /** Tombstone deletion for a persisted PQ store — metadata-only,
+    * O(deletions): ids append to `_tombstones`; [[loadPqCodes]] (and so
+    * [[pqTopKStored]]) anti-joins them out, keyed on the id column BY
+    * NAME from the sidecar. Same contract as the IVF store's
+    * tombstones; [[vacuumPqIndex]] folds them in.
+    */
+  def deleteFromPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long]): Unit = {
+    if (ids.nonEmpty) {
+      import spark.implicits._
+      ids.toDF("__del_id").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/_tombstones")
+    }
+  }
+
+  /** The stored codes with tombstones filtered (broadcast anti-join —
+    * deletion sets are index metadata, not corpus-sized).
+    */
+  def loadPqCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (_, idCol) = loadPqModel(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) {
+      val ts = spark.read.parquet(tp.toString).distinct()
+      codes.join(broadcast(ts), codes(idCol) === ts("__del_id"), "left_anti")
+    } else codes
+  }
+
+  /** Fold tombstones into the store: rewrite codes without deleted rows
+    * and drop the tombstone file. O(index) — amortize over many
+    * deletions, like the IVF vacuum.
+    */
+  def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val clean = loadPqCodes(spark, path).localCheckpoint(true)
+    clean.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/codes")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    ()
   }
 
   /** The query's per-centroid partial-dot lookup table (m x kc). */

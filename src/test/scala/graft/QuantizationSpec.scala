@@ -215,6 +215,75 @@ class QuantizationSpec extends SparkSpec {
     assert(recall(rotated) >= 5, s"rotated recall ${recall(rotated)}/10")
   }
 
+  test("PQ store deletion parity: tombstones filter probes, vacuum folds them in") {
+    val path = s"target/tmp/pq_del_${System.nanoTime()}"
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    Quantization.savePqIndex(corpus, model8, "vec_id", "embedding", path)
+    val before = Quantization.pqTopKStored(spark, path, query, k = 20)
+      .select("vec_id").as[Long].collect().toSeq
+    val victims = before.take(3)
+    Quantization.deleteFromPqIndex(spark, path, victims)
+    Quantization.deleteFromPqIndex(spark, path, victims.take(1)) // double delete harmless
+    val after = Quantization.pqTopKStored(spark, path, query, k = 20)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(victims.forall(v => !after.contains(v)))
+    assert(after.size == 20)
+    // survivors keep relative order; freed slots admit next-best
+    assert(before.filterNot(victims.contains) == after.take(before.size - victims.size))
+    // deletion is metadata-only until vacuum: codes still hold victims
+    assert(new java.io.File(s"$path/_tombstones").exists())
+    val raw = spark.read.parquet(s"$path/codes").select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(raw.contains))
+    Quantization.vacuumPqIndex(spark, path)
+    assert(!new java.io.File(s"$path/_tombstones").exists())
+    val vacuumed = Quantization.pqTopKStored(spark, path, query, k = 20)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(vacuumed == after)
+    val rawAfter = spark.read.parquet(s"$path/codes").select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !rawAfter.contains(v)))
+  }
+
+  test("streaming PQ append: streamed codes probe identically; replay is a no-op") {
+    val half = emb.filter(col("vec_id") < 250 && col("vec_id") =!= 0)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    val root = s"target/tmp/pq_stream_${System.nanoTime()}"
+    Quantization.savePqIndex(half, model8, "vec_id", "embedding", s"$root/idx")
+    // Land the remaining vectors as a file-source stream.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    rest.coalesce(1).write.parquet(s"$root/tmp_b0")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/tmp_b0"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$root/in")
+    val q = Quantization.streamingPqAppend(
+      stream, model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // Probe over the grown store == probe over a store built in one shot.
+    val streamed = Quantization.pqTopKStored(spark, s"$root/idx", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShotPath = s"$root/oneshot"
+    Quantization.savePqIndex(
+      emb.filter(col("vec_id") =!= 0), model8, "vec_id", "embedding", oneShotPath)
+    val oneShot = Quantization.pqTopKStored(spark, oneShotPath, query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == oneShot)
+
+    // Replayed batch id is a no-op; a new id appends.
+    val n0 = spark.read.parquet(s"$root/idx/codes").count()
+    Quantization.appendPqBatchIdempotent(
+      rest, model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 0L)
+    assert(spark.read.parquet(s"$root/idx/codes").count() == n0,
+      "same batchId must not append twice")
+    Quantization.appendPqBatchIdempotent(
+      rest.limit(5), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 99L)
+    assert(spark.read.parquet(s"$root/idx/codes").count() == n0 + 5)
+  }
+
   test("dequantized reconstruction error is bounded by half a bucket") {
     val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
     val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
