@@ -46,6 +46,15 @@ object RunPipeline {
     TableIO.write(GoldAggregations.dailyFraudSummary(silverAll), cfg.format, cfg.goldDaily)
     TableIO.write(GoldAggregations.hourlyPatterns(silverAll), cfg.format, cfg.goldHourly)
 
+    // Optional mart export: gold summaries to an RDBMS for downstream
+    // consumers (reference gold.py's role). Aggregate-sized writes.
+    cfg.jdbcMartUrl.foreach { url =>
+      graft.sources.JdbcIO.write(
+        TableIO.read(spark, cfg.format, cfg.goldDaily), url, "mart_daily_fraud_summary")
+      graft.sources.JdbcIO.write(
+        TableIO.read(spark, cfg.format, cfg.goldHourly), url, "mart_hourly_patterns")
+    }
+
     // Step 5 — train (out-of-band in the reference, README.md:77) + inference
     if (train) {
       val trainFeats = TableIO.read(spark, cfg.format, cfg.features("train"))

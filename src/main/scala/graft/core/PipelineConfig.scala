@@ -22,12 +22,20 @@ import java.sql.Timestamp
   * cheaper. Turn on when one account can dominate a window partition
   * (bots, exchange wallets) — at 100 TB that hot key is the straggler
   * that stalls the whole stage.
+  *
+  * `jdbcMartUrl`, when set, additionally exports the gold summaries to
+  * an RDBMS after the gold stage (the reference's "downstream systems
+  * read the marts" edge, gold.py) — offline that is embedded Derby, in
+  * a deployment the same call points at Postgres/MySQL. Gold tables
+  * are aggregate-sized, so the export is a metadata-scale write, never
+  * a corpus-scale one.
   */
 final case class PipelineConfig(
     root: String,
     format: String = "parquet",
     splitTimestamp: Timestamp = Timestamp.valueOf("2023-10-20 12:00:00"),
-    blockedFeatures: Boolean = false) {
+    blockedFeatures: Boolean = false,
+    jdbcMartUrl: Option[String] = None) {
 
   def rawCsv: String = s"$root/raw/transactions"
   def bronze: String = s"$root/bronze/transactions"

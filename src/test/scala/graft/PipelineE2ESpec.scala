@@ -57,6 +57,23 @@ class PipelineE2ESpec extends SparkSpec {
     assert(spark.read.parquet(cfg.goldHourly).count() <= 24)
   }
 
+  test("jdbcMartUrl exports gold summaries to the RDBMS losslessly") {
+    writeFixture()
+    val url = graft.sources.JdbcIO.derbyUrl(s"target/tmp/derby/mart_${System.nanoTime()}")
+    val cfg = PipelineConfig(root, jdbcMartUrl = Some(url))
+    RunPipeline.run(spark, cfg, train = false)
+    for ((path, table) <- Seq(
+        cfg.goldDaily -> "mart_daily_fraud_summary",
+        cfg.goldHourly -> "mart_hourly_patterns")) {
+      val gold = spark.read.parquet(path)
+      val mart = graft.sources.JdbcIO.read(spark, url, table)
+        .select(gold.columns.map(org.apache.spark.sql.functions.col): _*)
+      val key = gold.columns.head
+      assert(mart.orderBy(key).collect().toSeq == gold.orderBy(key).collect().toSeq,
+        s"$table diverged from $path")
+    }
+  }
+
   test("blockedFeatures config produces an identical silver->features->gold run") {
     writeFixture()
     val plainCfg = PipelineConfig(root)
