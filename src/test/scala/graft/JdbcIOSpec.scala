@@ -18,6 +18,21 @@ class JdbcIOSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("filters and column pruning push into the remote query") {
+    val sup = TableIO.table(spark, Sf0001, "supplier")
+    JdbcIO.write(sup, url, "supplier_push")
+    val df = JdbcIO.read(spark, url, "supplier_push")
+      .filter(org.apache.spark.sql.functions.col("s_nationkey") > 10)
+      .select("s_suppkey", "s_acctbal")
+    val plan = df.queryExecution.executedPlan.toString
+    // '*' marks a filter handled ENTIRELY by the source — Spark adds no
+    // residual Filter node; the predicate runs inside the remote SELECT.
+    assert(plan.contains("PushedFilters: [*IsNotNull(s_nationkey), *GreaterThan(s_nationkey,10)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<s_suppkey:bigint,s_acctbal:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
   test("partitioned read slices into N tasks and loses no rows at the bounds") {
     val sup = TableIO.table(spark, Sf0001, "supplier")
     JdbcIO.write(sup, url, "supplier_part")
