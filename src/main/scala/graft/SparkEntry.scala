@@ -818,6 +818,23 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // Bloom-filter decontamination — the beyond-broadcast scale path:
+    // eval grams fold into a ~MB bloom sketch and the corpus side is
+    // ONE row-local projection, zero shuffles (plan-asserted in
+    // TrainingDataSpec). Rows-only: bloom hits depend on the sketch's
+    // internal hashing, which no external engine replays; fixture
+    // equality with the exact operator and the flags-superset property
+    // are spec-pinned.
+    "q_contamination_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TrainingData.benchmarkContaminationBloom(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text",
+          n = 3, flagThreshold = 0.5, expectedGrams = 100000L, fpp = 0.001)
+        .withColumn("contamination", round(col("contamination"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: n-gram overlap of each corpus doc with
     // a (broadcast) eval set — every 50th doc plays the benchmark here.
     "q_contamination" -> ((s, d) => {

@@ -335,4 +335,54 @@ object TrainingData {
       .withColumn("is_contaminated", col("contamination") >= flagThreshold)
       .select(idCol, "n_grams", "n_shared", "contamination", "is_contaminated")
   }
+
+  /** [[benchmarkContamination]] at beyond-broadcast eval scale: the eval
+    * set's distinct gram hashes fold into a BLOOM FILTER (~1.2 MB per
+    * million grams at 1% fpp — broadcastable when the exact gram table
+    * is tens of GB), and the corpus side becomes a PURE ROW-LOCAL
+    * projection: one codegen'd pass counting bloom hits per document.
+    * No explode, no join, no groupBy — zero corpus-side shuffles
+    * (asserted at plan level in TrainingDataSpec). This is the standard
+    * production decontamination shape for large benchmark suites.
+    *
+    * Bloom false positives can only OVERCOUNT shared grams, so
+    * `is_contaminated` is a superset of the exact operator's flags —
+    * conservative in the safe direction for decontamination (spec-pinned
+    * alongside fixture equality at tiny fpp).
+    */
+  def benchmarkContaminationBloom(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.5,
+      expectedGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = eval.select(
+        explode(array_distinct(
+          graft.plans.HashExpressions.wordNGramHashes(col(evalTextCol), n))).as("gram"))
+      .distinct()
+    val bf = evalGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray.toSeq
+    }
+    corpus
+      .select(
+        col(idCol),
+        array_distinct(
+          graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("_gs"))
+      .select(
+        col(idCol),
+        size(col("_gs")).as("n_grams"),
+        graft.plans.HashExpressions.bloomCount(col("_gs"), bytes).cast("long").as("n_shared"))
+      .withColumn("contamination",
+        when(col("n_grams") > 0, col("n_shared").cast("double") / col("n_grams"))
+          .otherwise(0.0))
+      .withColumn("is_contaminated", col("contamination") >= flagThreshold)
+      .select(idCol, "n_grams", "n_shared", "contamination", "is_contaminated")
+  }
 }

@@ -273,6 +273,33 @@ case class PqAdcExpr(child: Expression, lut: Seq[Double], kc: Int)
     copy(child = newChild)
 }
 
+/** Count of array<long> elements a bloom filter might contain. The
+  * filter travels as its serialized bytes (value equality, compact in
+  * the plan); each task deserializes once via the transient lazy and
+  * the generated code references the LIVE filter object.
+  */
+case class BloomCountExpr(child: Expression, bloomBytes: Seq[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes.toArray))
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(Kernels.bloomHitCount(input.asInstanceOf[ArrayData], bf))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bf,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.bloomHitCount($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dense rotation (row-major d x d) of an array<double> vector — the
   * OPQ-lite step in front of PQ encoding.
   */
@@ -488,6 +515,9 @@ object HashExpressions {
 
   def matVec(vec: Column, matrix: Seq[Double], d: Int): Column =
     column(MatVecExpr(expression(vec), matrix, d))
+
+  def bloomCount(hashes: Column, bloomBytes: Seq[Byte]): Column =
+    column(BloomCountExpr(expression(hashes), bloomBytes))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

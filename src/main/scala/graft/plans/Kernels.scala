@@ -675,6 +675,21 @@ object Kernels {
     else { out.addAll(b, copyFrom, n - copyFrom); out.result() }
   }
 
+  /** Count of array elements the bloom filter might contain. False
+    * positives only (bloom property): the count can overestimate, never
+    * undercount.
+    */
+  def bloomHitCount(arr: ArrayData, bf: org.apache.spark.util.sketch.BloomFilter): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (bf.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   // ---------------------- product quantization ---------------------- //
 
   /** PQ encode: per subspace, the index of the L2-nearest codebook

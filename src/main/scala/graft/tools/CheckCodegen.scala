@@ -64,6 +64,14 @@ object CheckCodegen {
             HashExpressions.pqEncode(
               VectorOps.asDouble(col("embedding")), cb, 2, 2, 32), cb, 2, 2, 32)).count()
       }),
+      "bloomCount" -> (() => {
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+        bf.putLong(42L)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        docs.select(HashExpressions.bloomCount(
+          HashExpressions.wordNGramHashes(col("text"), 3), bos.toByteArray.toSeq)).count()
+      }),
       "matVec" -> (() => {
         val rot = graft.operators.Quantization.seededRotation(64, 42L)
         emb.select(

@@ -222,6 +222,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(full.size > 100 && full.size < 200, s"kept ${full.size}")
   }
 
+  test("bloom decontamination equals exact on the fixture and is corpus-side shuffle-free") {
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c q"),
+      (3L, "x y z w v"),
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4))).toSeq
+    val exact = rows(TrainingData.benchmarkContamination(
+      corpus, "doc_id", "text", eval, "text", n = 3, flagThreshold = 0.5))
+    val bloom = TrainingData.benchmarkContaminationBloom(
+      corpus, "doc_id", "text", eval, "text", n = 3, flagThreshold = 0.5,
+      expectedGrams = 100L, fpp = 0.001)
+    assert(rows(bloom) == exact)
+    // bloom false positives only overcount: flags are a superset of exact
+    val bloomCoarse = TrainingData.benchmarkContaminationBloom(
+      corpus, "doc_id", "text", eval, "text", n = 3, flagThreshold = 0.5,
+      expectedGrams = 5L, fpp = 0.5)
+    val exactFlagged = exact.filter(_._4).map(_._1).toSet
+    val coarseFlagged = bloomCoarse.filter(col("is_contaminated"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactFlagged.subsetOf(coarseFlagged),
+      s"bloom lost exact flags: $exactFlagged vs $coarseFlagged")
+    // corpus side is one row-local projection: NO shuffle in the plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = bloom.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"bloom variant should be shuffle-free:\n$plan")
+  }
+
   test("benchmarkContamination counts shared distinct grams against the eval set") {
     val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams: abc, bcd, cde
     val corpus = Seq(
