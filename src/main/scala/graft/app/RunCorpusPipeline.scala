@@ -44,7 +44,12 @@ object RunCorpusPipeline {
         * mirrors.
         */
       nearDedup: Boolean = false,
-      nearDedupJaccard: Double = 0.5)
+      nearDedupJaccard: Double = 0.5,
+      /** Decontaminate via the bloom-sketch row-local scan instead of
+        * the exact broadcast gram join — for eval suites too large to
+        * broadcast. Conservative: bloom can only over-flag.
+        */
+      bloomDecontamination: Boolean = false)
 
   def annotated(cfg: CorpusConfig): String = s"${cfg.root}/annotated"
   def silver(cfg: CorpusConfig): String = s"${cfg.root}/silver"
@@ -80,9 +85,19 @@ object RunCorpusPipeline {
     val gated = ann.filter(col("quality") >= cfg.minQuality && langGate)
     val decontaminated = eval match {
       case Some(ev) =>
-        val flagged = TrainingData.benchmarkContamination(
-          gated, "doc_id", "text", ev, "text", n = 3,
-          flagThreshold = cfg.maxContamination)
+        // bloomDecontamination trades the exact operator's broadcast
+        // gram join for a ~MB sketch + row-local scan — the switch for
+        // eval suites whose gram table outgrows a broadcast. Bloom errs
+        // only toward flagging, so the kept set can only shrink.
+        val flagged =
+          if (cfg.bloomDecontamination)
+            TrainingData.benchmarkContaminationBloom(
+              gated, "doc_id", "text", ev, "text", n = 3,
+              flagThreshold = cfg.maxContamination)
+          else
+            TrainingData.benchmarkContamination(
+              gated, "doc_id", "text", ev, "text", n = 3,
+              flagThreshold = cfg.maxContamination)
         gated.join(
           flagged.filter(!col("is_contaminated")).select("doc_id"), Seq("doc_id"), "left_semi")
       case None => gated

@@ -91,6 +91,15 @@ class CorpusPipelineSpec extends SparkSpec {
       eval = Some(eval))
     val silver = spark.read.parquet(s"$root/silver")
     assert(silver.select("doc_id").as[Long].collect().toSet == Set(1L))
+
+    // bloom switch: same decision on the fixture, via the row-local scan
+    val bloomRoot = "target/tmp/corpus_pipeline_decon_bloom"
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = bloomRoot, window = 8, stride = 6,
+        maxContamination = 0.3, bloomDecontamination = true),
+      eval = Some(eval))
+    val bloomSilver = spark.read.parquet(s"$bloomRoot/silver")
+    assert(bloomSilver.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
   test("annotate+redact+chunk run unchanged on a document stream (batch identity)") {
