@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{Kernels, TopKHeap}
+
+/** Pure-JVM property pins for the round-8 kernels — no Spark session,
+  * thousands of cases are cheap.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, cases: Int = 500): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val pqCase: Gen[(Array[Double], Array[Double], Int, Int, Int)] = for {
+    m <- Gen.choose(1, 4)
+    kc <- Gen.choose(1, 8)
+    subDim <- Gen.choose(1, 5)
+    seed <- Gen.choose(0L, 10000L)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    val cb = Array.fill(m * kc * subDim)(rnd.nextDouble() * 10 - 5)
+    val v = Array.fill(m * subDim)(rnd.nextDouble() * 10 - 5)
+    (v, cb, m, kc, subDim)
+  }
+
+  test("pq codes are bounded and encode∘decode is a fixpoint") {
+    check(Prop.forAll(pqCase) { case (v, cb, m, kc, subDim) =>
+      val codes = Kernels.pqEncode(new GenericArrayData(v), cb, m, kc, subDim)
+      val bounded = (0 until m).forall(i => codes.getInt(i) >= 0 && codes.getInt(i) < kc)
+      val dec = Kernels.pqDecode(codes, cb, m, kc, subDim)
+      val codes2 = Kernels.pqEncode(dec, cb, m, kc, subDim)
+      // re-encoding a reconstruction returns the same codes (distance 0
+      // to its own centroid; random codebooks have no duplicate rows)
+      val fix = (0 until m).forall(i => codes.getInt(i) == codes2.getInt(i))
+      bounded && fix
+    })
+  }
+
+  test("ADC against a query LUT equals dot(query, reconstruction)") {
+    check(Prop.forAll(pqCase) { case (v, cb, m, kc, subDim) =>
+      val rnd = new scala.util.Random(v.map(_.hashCode.toLong).sum)
+      val q = Array.fill(m * subDim)(rnd.nextDouble() * 4 - 2)
+      val codes = Kernels.pqEncode(new GenericArrayData(v), cb, m, kc, subDim)
+      val lut = new Array[Double](m * kc)
+      for (sub <- 0 until m; c <- 0 until kc) {
+        val base = (sub * kc + c) * subDim
+        lut(sub * kc + c) =
+          (0 until subDim).map(j => q(sub * subDim + j) * cb(base + j)).sum
+      }
+      val adc = Kernels.pqAdc(codes, lut, kc)
+      val dec = Kernels.pqDecode(codes, cb, m, kc, subDim)
+      val dot = (0 until m * subDim).map(j => q(j) * dec.getDouble(j)).sum
+      math.abs(adc - dot) <= 1e-9 * (1 + math.abs(dot))
+    })
+  }
+
+  test("matVec with a seeded rotation preserves norms and inner products") {
+    val rot = graft.operators.Quantization.seededRotation(16, 7L).toArray
+    check(Prop.forAll(Gen.choose(0L, 100000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val a = Array.fill(16)(rnd.nextDouble() * 10 - 5)
+      val b = Array.fill(16)(rnd.nextDouble() * 10 - 5)
+      val ra = Kernels.matVec(new GenericArrayData(a), rot, 16)
+      val rb = Kernels.matVec(new GenericArrayData(b), rot, 16)
+      def dot(x: Int => Double, y: Int => Double) = (0 until 16).map(i => x(i) * y(i)).sum
+      val before = dot(a, b)
+      val after = dot(ra.getDouble, rb.getDouble)
+      math.abs(before - after) <= 1e-8 * (1 + math.abs(before))
+    }, cases = 200)
+  }
+
+  test("TopKHeap equals the sort-based reference, NaN included") {
+    val entryGen = for {
+      n <- Gen.choose(0, 30)
+      k <- Gen.choose(1, 8)
+      seed <- Gen.choose(0L, 100000L)
+    } yield (n, k, seed)
+    check(Prop.forAll(entryGen) { case (n, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val entries = (0 until n).map { i =>
+        val v = rnd.nextInt(5) match {
+          case 0 => Double.NaN
+          case _ => rnd.nextInt(6).toDouble // dense ties
+        }
+        (v, i.toLong)
+      }
+      val heap = new TopKHeap(k)
+      entries.foreach { case (v, id) => heap.offer(v, id) }
+      val got = heap.sorted.toSeq.map { case (v, id) => (java.lang.Double.doubleToLongBits(v), id) }
+      // Spark keep-order: value desc with NaN largest, id asc on ties
+      val want = entries
+        .sortWith { case ((v1, i1), (v2, i2)) =>
+          val c = if (v1 == v2) 0 else java.lang.Double.compare(v1, v2)
+          c > 0 || (c == 0 && i1 < i2)
+        }
+        .take(k)
+        .map { case (v, id) => (java.lang.Double.doubleToLongBits(v), id) }
+      got == want
+    })
+  }
+}
