@@ -166,6 +166,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(text, piiCount(col("t"), "PHONE")) == 2)
   }
 
+  test("redactPii kernel column equals the regex-cascade column on mixed docs") {
+    // Wiring-level identity (the kernel itself is property-tested in
+    // RedactKernelSpec): both COLUMN formulations agree through Spark.
+    val docs = Seq(
+      "a@b.cc then 1.2.3.4 and 123-45-6789 call (555) 123 4567",
+      "digits 123 but no pii shapes 9999",
+      "only an email user+tag@host.example.org trailing",
+      "clean prose with no digits or at signs at all",
+      "é1.2.3.4 unicode boundary 12345678901")
+    import spark.implicits._
+    val df = docs.toDF("t")
+    val both = df.select(
+      redactPii(org.apache.spark.sql.functions.col("t")).as("k"),
+      redactPiiRegex(org.apache.spark.sql.functions.col("t")).as("r")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), r.getString(1)))
+  }
+
   test("redactPii is idempotent and order-safe (SSN consumed before PHONE)") {
     val text = "ssn 123-45-6789 end"
     val once = one(text, redactPii(col("t"))).asInstanceOf[String]
