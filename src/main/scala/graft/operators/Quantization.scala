@@ -499,6 +499,34 @@ object Quantization {
     ()
   }
 
+  /** Batch probe of a persisted store: ONE scan of the codes scores
+    * every query — stored codes decode once per row, broadcast raw
+    * queries dot against the reconstruction (the same asymmetric
+    * score as [[pqTopKStored]], identity spec-pinned per query), then
+    * the per-query top-k window. Self-matches (same id) are excluded,
+    * mirroring [[pqTopKBatch]].
+    */
+  def pqTopKStoredBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    val (model, idCol) = loadPqModel(spark, path)
+    val qs = broadcast(queries.select(
+      col(queryIdCol).as("qid"),
+      graft.functions.VectorOps.asDouble(col(queryVecCol)).as("qvec")))
+    val decoded = loadPqCodes(spark, path)
+      .select(col(idCol), pqDecode(col("codes"), model).as("dec"))
+    val w = Window.partitionBy("qid").orderBy(desc("qscore"), col(idCol))
+    decoded.join(qs, col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(decodedDot(col("dec"), col("qvec")), 6).as("qscore"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** The query's per-centroid partial-dot lookup table (m x kc). */
   private def adcLut(model: PqModel, query: Array[Double]): Array[Double] = {
     require(query.length == model.m * model.subDim,

@@ -284,6 +284,25 @@ class QuantizationSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/idx/codes").count() == n0 + 5)
   }
 
+  test("batch probe of a persisted store equals per-query stored probes") {
+    val path = s"target/tmp/pq_batch_store_${System.nanoTime()}"
+    val corpus = emb.filter(col("vec_id") >= 5)
+    Quantization.savePqIndex(corpus, model8, "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < 3)
+    val batch = Quantization
+      .pqTopKStoredBatch(spark, path, queries, "vec_id", "embedding", k = 10)
+      .select("qid", "vec_id", "qscore", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(x => (x._2, x._3)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+      val single = Quantization.pqTopKStored(spark, path, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid diverged")
+    }
+  }
+
   test("dequantized reconstruction error is bounded by half a bucket") {
     val (mins, maxs) = Quantization.sq8Params(emb, "embedding")
     val maxHalfDelta = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
