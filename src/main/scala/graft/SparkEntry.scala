@@ -1227,9 +1227,12 @@ object SparkEntry {
     // assignment is model state like every IVF query; precision-1 /
     // recall pins vs the brute-force baseline live in SemanticDedupSpec).
     // Threshold matches q_emb_neardup so the two paths are comparable.
+    // rebalance=true exercises the production scale path: on balanced
+    // embeddings the histogram finds no hot cell and it's a no-op; on a
+    // Zipfian corpus it caps the O(cell^2) self-join (SemanticDedupSpec).
     "q_dedup_semantic" -> ((s, d) =>
       SemanticDedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
-        nClusters = 8, minCosine = 0.5)
+        nClusters = 8, minCosine = 0.5, rebalance = true)
         .select("vec_id", "label")
         .orderBy("vec_id")),
 

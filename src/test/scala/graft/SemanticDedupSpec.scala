@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SemanticDedup}
+import graft.operators.{Dedup, SemanticDedup, SimilaritySearch}
 
 class SemanticDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -48,6 +48,86 @@ class SemanticDedupSpec extends SparkSpec {
     val drops = SemanticDedup.semanticDupPairs(df, "id", "v", nClusters = 4, minCosine = 0.99)
       .select("id_b").as[Long].collect().toSet
     assert(kept == df.select("id").as[Long].collect().toSet -- drops)
+  }
+
+  /** How semantic-dedup cells actually go hot at scale: the index was
+    * built on yesterday's distribution (60 scattered vectors), then a
+    * crawl batch concentrates into ONE blob that the routing sends to a
+    * single existing cell. 180 blob members pair at cos ~0.7; 12
+    * planted copies (1.0001 perturbation, cos >= 0.9999) are the only
+    * pairs over minCosine = 0.999. Building KMeans fresh on the full
+    * corpus would pre-split the blob — drift is the honest mechanism
+    * (same rationale as SimilaritySpec's rebalance fixture).
+    */
+  private lazy val driftedFixture = {
+    val rng = new scala.util.Random(19L)
+    val dim = 16
+    val scattered = (0L until 60L).map { i =>
+      i -> Array.fill(dim)(rng.nextGaussian() * 4.0)
+    }
+    val blobCenter = Array.tabulate(dim)(i => if (i < 2) 9.0 else 0.0)
+    val blob = (100L until 280L).map { i =>
+      i -> blobCenter.map(c => c + rng.nextGaussian() * 0.9)
+    }
+    val dups = (0 until 12).map { j =>
+      val (srcId, v) = blob(j * 11)
+      (500L + j, v.map(x => x * 1.0001 + 1e-4), srcId)
+    }
+    val scatteredDf = scattered.map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+    val freshDf = (blob.map { case (i, v) => (i, v.toSeq) } ++
+      dups.map { case (i, v, _) => (i, v.toSeq) }).toDF("id", "v")
+    (scatteredDf, freshDf, dups.map { case (i, _, src) => (src, i) }.toSet)
+  }
+
+  test("hot cell from drift: rebalance bounds the self-join, pair set identical") {
+    val (scatteredDf, freshDf, planted) = driftedFixture
+    val idx0 = SimilaritySearch.buildIvfIndex(scatteredDf, "id", "v", nlist = 8, seed = 42L)
+    val idx = SimilaritySearch.IvfIndex(
+      idx0.centroids,
+      idx0.assigned.union(
+          SimilaritySearch.assignCells(freshDf, "id", "v", idx0.centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val rawCells = idx.assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = rawCells.values.sum.toDouble / idx.centroids.length
+    assert(rawCells.values.max > 4.0 * mean,
+      s"fixture must actually produce a hot cell (max ${rawCells.values.max}, mean $mean)")
+    val rawPairs = SemanticDedup.semanticDupPairsOn(idx, "id", minCosine = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // The composition under test: rebalance THEN pair. The self-join's
+    // candidate volume sum |c|^2 — the quantity that is O(hotCell^2) at
+    // 100 TB — must collapse, and every true pair must survive the
+    // split (near-identical vectors land in the same subcell).
+    val reb = SimilaritySearch.rebalanceIvfIndex(idx, "id", hotFactor = 4.0, seed = 42L)
+    val rebCells = reb.assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rebPairs = SemanticDedup.semanticDupPairsOn(reb, "id", minCosine = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    reb.release()
+
+    def pairVolume(cells: Map[Int, Long]): Long = cells.values.map(n => n * n).sum
+    assert(rebCells.values.max <= rawCells.values.max / 2,
+      s"hot cell must shrink substantially: ${rawCells.values.max} -> ${rebCells.values.max}")
+    assert(pairVolume(rebCells) < pairVolume(rawCells) / 2,
+      s"candidate pairs must collapse: ${pairVolume(rawCells)} -> ${pairVolume(rebCells)}")
+    assert(rawPairs == planted,
+      s"raw path: extra=${rawPairs.diff(planted)} missing=${planted.diff(rawPairs)}")
+    assert(rebPairs == planted,
+      s"rebalanced path: extra=${rebPairs.diff(planted)} missing=${planted.diff(rebPairs)}")
+  }
+
+  test("semanticDedup with rebalance keeps sources, drops planted copies") {
+    val (scatteredDf, freshDf, planted) = driftedFixture
+    val df = scatteredDf.union(freshDf)
+    // Full-path smoke: the fresh KMeans build pre-splits the blob (so no
+    // hot cell here — see driftedFixture doc), but the rebalance arm must
+    // still find exactly the planted copies and keep every source.
+    val kept = SemanticDedup.semanticDedup(df, "id", "v", nClusters = 8,
+        minCosine = 0.999, rebalance = true)
+      .select("id").as[Long].collect().toSet
+    assert(kept == df.select("id").as[Long].collect().toSet -- planted.map(_._2))
   }
 
   test("no near-duplicates -> identity") {
