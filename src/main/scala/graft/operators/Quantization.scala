@@ -467,10 +467,23 @@ object Quantization {
       ids: Seq[Long]): Unit = {
     if (ids.nonEmpty) {
       import spark.implicits._
-      ids.toDF("__del_id").coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/_tombstones")
+      deleteFromPqIndex(spark, path, ids.toDF("__del_id"))
     }
+  }
+
+  /** Batch form: `ids` is a one-column DataFrame — a GDPR batch or an
+    * upstream tombstone table flows in as data, never as driver plan
+    * text. The tombstone file stays metadata-sized; dedup happens at
+    * load ([[loadPqCodes]] distincts before the anti-join).
+    */
+  def deleteFromPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame): Unit = {
+    ids.select(col(ids.columns.head).as("__del_id")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/_tombstones")
   }
 
   /** The stored codes with tombstones filtered (broadcast anti-join —

@@ -283,10 +283,22 @@ object SimilaritySearch {
       ids: Seq[Long]): Unit = {
     if (ids.nonEmpty) {
       import spark.implicits._
-      ids.toDF("__del_id").coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/_tombstones")
+      deleteFromIvfIndex(spark, path, ids.toDF("__del_id"))
     }
+  }
+
+  /** Batch form: `ids` is a one-column DataFrame — deletion batches
+    * flow in as data, never as driver plan text (mirrors
+    * [[graft.operators.TrainingData.deleteFromShards]]'s batch form).
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    ids.select(col(ids.columns.head).as("__del_id")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/_tombstones")
   }
 
   /** Fold accumulated tombstones into the store: rewrite the bucketed

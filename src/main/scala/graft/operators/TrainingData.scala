@@ -158,25 +158,52 @@ object TrainingData {
       idCol: String,
       deleteIds: Seq[Long]): Int = {
     if (deleteIds.isEmpty) return 0
+    import spark.implicits._
+    deleteFromShards(spark, outDir, groupCol, idCol, deleteIds.toDF("__del_id"))
+  }
+
+  /** Batch form: `deleteIds` is a one-column DataFrame (any name, cast
+    * to the id type) — the shape a 10k-id GDPR batch or an upstream
+    * tombstone table arrives in. The id set participates as DATA
+    * (broadcast range-join against the manifest, broadcast anti-join
+    * against the affected rows), never as plan text: a Seq-driven
+    * OR-chain/isin would grow the analyzed plan linearly with the batch
+    * and blow analysis time long before the executors saw a row. Plan
+    * size here is O(1) in |deleteIds|.
+    */
+  def deleteFromShards(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      groupCol: String,
+      idCol: String,
+      deleteIds: DataFrame): Int = {
+    val ids = broadcast(
+      deleteIds.select(col(deleteIds.columns.head).as("__del_id")).distinct())
     val manifest = spark.read.parquet(s"$outDir/_manifest")
+    // Manifest range-join: broadcast-nested-loop over (tiny manifest) x
+    // (broadcast ids) — both sides are metadata-sized by construction.
     val affected = manifest
-      .filter(deleteIds.map(id =>
-        col("first_id") <= id && col("last_id") >= id).reduce(_ || _))
+      .join(ids, col("__del_id").between(col("first_id"), col("last_id")), "left_semi")
       .select(col(groupCol), col("shard_idx"))
       .collect()
       .map(r => (r.get(0), r.getInt(1)))
     if (affected.isEmpty) return 0
 
-    val affectedPred = affected.map { case (g, s) =>
-      col(groupCol) === g && col("shard_idx") === s
+    // Scan predicate grouped per group value: one flat isin (In/InSet)
+    // over that group's affected shard indexes — bounded by the shard
+    // count, never by |deleteIds| — so static partition pruning still
+    // opens only affected (group, shard) directories.
+    val affectedPred = affected.groupBy(_._1).map { case (g, pairs) =>
+      col(groupCol) === g && col("shard_idx").isin(pairs.map(p => Integer.valueOf(p._2)): _*)
     }.reduce(_ || _)
     // localCheckpoint (not persist): the kept rows must survive the
     // overwrite/delete of their OWN source files — a cache miss would
     // re-read deleted paths, a checkpoint cuts the lineage. The
     // checkpointed set is affected-shards-sized, not corpus-sized.
-    val keep = spark.read.parquet(s"$outDir/data")
+    val data = spark.read.parquet(s"$outDir/data")
+    val keep = data
       .filter(affectedPred)
-      .filter(!col(idCol).isin(deleteIds: _*))
+      .join(ids, data(idCol) === ids("__del_id"), "left_anti")
       .localCheckpoint(true)
     // Shards emptied entirely get no directory from dynamic overwrite —
     // their stale dirs are removed explicitly below.
@@ -203,15 +230,14 @@ object TrainingData {
         s"$outDir/data/${esc(groupCol)}=${esc(String.valueOf(g))}/shard_idx=$s"), true)
     }
 
-    // Incremental manifest: untouched rows pass through (collected —
-    // the manifest is tiny by construction), affected shards recompute
-    // from the kept rows. No full-store scan.
-    val untouchedRows = manifest.filter(!affected.map { case (g, s) =>
-      col(groupCol) === g && col("shard_idx") === s
-    }.reduce(_ || _)).collect().toSeq
+    // Incremental manifest: untouched rows pass through via the
+    // complement of the SAME range-join that selected `affected`,
+    // affected shards recompute from the kept rows. No full-store scan,
+    // no per-shard plan text. The tmp write below executes while
+    // _manifest still exists; only then does the swap rename it.
     val recomputed = shardManifest(keep, groupCol, idCol)
-    val untouchedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(untouchedRows, 1), recomputed.schema)
+    val untouchedDf = manifest
+      .join(ids, col("__del_id").between(col("first_id"), col("last_id")), "left_anti")
     untouchedDf.unionByName(recomputed)
       .repartition(1)
       .write.mode("overwrite")
