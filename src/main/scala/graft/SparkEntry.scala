@@ -1133,6 +1133,22 @@ object SparkEntry {
       Quantization.opqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
     }),
 
+    // Full OPQ: the rotation is LEARNED by alternating minimization
+    // (codebook fit <-> orthogonal Procrustes against reconstructions,
+    // distributed d x d scatter + driver SVD). On the concentrated
+    // fixture the learned rotation cuts quantization distortion 3.5x
+    // vs the seeded warm start and lifts shortlist recall 6/10 -> 8/10
+    // (QuantizationSpec). rows-only — learned rotation + codebooks are
+    // model state like every PQ query.
+    "q_sim_opq_learned" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = Quantization.trainOpq(corpus, "embedding", m = 8, kc = 64, opqIters = 2)
+      Quantization.opqTopKReranked(corpus, model, "vec_id", "embedding", q, k = 20)
+    }),
+
     // Exhaustive-shortlist PQ re-rank: with the ADC shortlist covering
     // the whole corpus, the re-rank arm scores EVERYTHING at full
     // precision, so the result is exact brute-force top-k regardless of

@@ -315,6 +315,101 @@ object Quantization {
     OpqModel(rot, dim, trainPq(rotated, "__rv", m, kc, seed, maxIter))
   }
 
+  /** Full OPQ (Ge et al., CVPR 2013, "Optimized Product Quantization",
+    * non-parametric form): learn the rotation by alternating
+    * minimization — fix R, fit codebooks on the rotated corpus; fix the
+    * codes, update R by orthogonal Procrustes against the
+    * reconstructions. The Procrustes step needs only the d x d scatter
+    * S = sum_i yhat_i x_i^T, computed DISTRIBUTED as one per-partition
+    * outer-product fold over the codegen'd encode->decode columns
+    * (d^2 doubles per partition partial — index metadata, like the
+    * centroids); the SVD of S runs on the driver (d = embedding dim,
+    * tiny; R = U V^T maximizes tr(R S^T)). Deterministic: seeded warm
+    * start, seeded KMeans, pure-JVM SVD.
+    *
+    * opqIters = 1 is EXACTLY [[trainPqRotated]] (warm start, no R
+    * update — asserted in QuantizationSpec), and the returned codebooks
+    * are always the ones fitted against the FINAL rotation, so the
+    * model drops into [[opqTopKReranked]]/[[pqEncode]] unchanged. Cost
+    * is opqIters PQ trainings plus (opqIters-1) corpus scans for the
+    * scatter — training-time only; probes never pay it, and a persisted
+    * store ([[savePqIndex]] on the rotated corpus) amortizes it to zero.
+    */
+  def trainOpq(
+      df: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      kc: Int = 16,
+      seed: Long = 42L,
+      maxIter: Int = 8,
+      opqIters: Int = 4): OpqModel = {
+    require(opqIters >= 1, s"opqIters must be >= 1 (got $opqIters)")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val x = graft.functions.VectorOps.asDouble(col(vecCol))
+    var rot = seededRotation(dim, seed)
+    var model: PqModel = null
+    var t = 0
+    while (t < opqIters) {
+      val rotated = df.select(rotate(col(vecCol), rot, dim).as("__rv"))
+      model = trainPq(rotated, "__rv", m, kc, seed, maxIter)
+      t += 1
+      if (t < opqIters) {
+        import df.sparkSession.implicits._
+        val pairs = df.select(
+          x.as("_1"),
+          pqDecode(pqEncode(rotate(col(vecCol), rot, dim), model), model).as("_2"))
+          .as[(Seq[Double], Seq[Double])]
+        // One scan: fold sum yhat x^T per partition, reduce d x d partials.
+        val scatter = pairs.mapPartitions { it =>
+          val acc = new Array[Double](dim * dim)
+          it.foreach { case (xs, ys) =>
+            val xv = xs.toArray
+            val yv = ys.toArray
+            var i = 0
+            while (i < dim) {
+              val yi = yv(i)
+              var j = 0
+              while (j < dim) { acc(i * dim + j) += yi * xv(j); j += 1 }
+              i += 1
+            }
+          }
+          Iterator.single(acc)
+        }.reduce { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }
+        rot = procrustesRotation(scatter, dim)
+      }
+    }
+    OpqModel(rot, dim, model)
+  }
+
+  /** argmax over orthonormal R of tr(R S^T) for the row-major d x d
+    * scatter: SVD S = U Sigma V^T gives R = U V^T (driver-side — S is
+    * tiny; breeze falls back to the pure-JVM LAPACK port offline, which
+    * keeps the result deterministic).
+    */
+  private def procrustesRotation(scatter: Array[Double], d: Int): Seq[Double] = {
+    val s = new breeze.linalg.DenseMatrix[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { s(i, j) = scatter(i * d + j); j += 1 }
+      i += 1
+    }
+    val decomp = breeze.linalg.svd(s)
+    val r = decomp.U * decomp.Vt
+    val out = new Array[Double](d * d)
+    i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { out(i * d + j) = r(i, j); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Rotated-ADC shortlist + exact re-rank on ORIGINAL vectors: the
     * rotation only changes what the codes approximate, never the final
     * scores.

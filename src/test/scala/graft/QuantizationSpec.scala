@@ -215,6 +215,61 @@ class QuantizationSpec extends SparkSpec {
     assert(recall(rotated) >= 5, s"rotated recall ${recall(rotated)}/10")
   }
 
+  test("full OPQ: iters=1 is the seeded warm start; learning cuts distortion on concentrated variance") {
+    // Same failure-mode fixture as the OPQ-lite test: all variance in
+    // the first 8 of 64 dims.
+    val rnd = new scala.util.Random(11L)
+    val rows = (0L until 400L).map { i =>
+      val v = Array.fill(64)(0.001f * rnd.nextFloat())
+      (0 until 8).foreach(j => v(j) = (10.0 * rnd.nextGaussian()).toFloat)
+      (i, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").filter(col("vec_id") =!= 0)
+
+    // The warm-start identity: one iteration trains codebooks against the
+    // seeded rotation and never updates R — bit-for-bit trainPqRotated.
+    val seeded = Quantization.trainPqRotated(corpus, "embedding", m = 8, kc = 16)
+    val one = Quantization.trainOpq(corpus, "embedding", m = 8, kc = 16, opqIters = 1)
+    assert(one.rotation == seeded.rotation)
+    assert(one.pq == seeded.pq)
+
+    // Mean squared reconstruction error in the rotated space — the exact
+    // objective the alternating minimization descends.
+    def distortion(mod: Quantization.OpqModel): Double = {
+      val rc = corpus.select(
+        Quantization.rotate(col("embedding"), mod.rotation, mod.dim).as("rv"))
+        .withColumn("dec", Quantization.pqDecode(
+          Quantization.pqEncode(col("rv"), mod.pq), mod.pq))
+      rc.select(avg(
+        VectorOps.dot(col("rv"), col("rv"))
+          - lit(2.0) * VectorOps.dot(col("rv"), col("dec"))
+          + VectorOps.dot(col("dec"), col("dec"))))
+        .head().getDouble(0)
+    }
+    val learned = Quantization.trainOpq(corpus, "embedding", m = 8, kc = 16, opqIters = 4)
+    val dSeeded = distortion(seeded)
+    val dLearned = distortion(learned)
+    println(s"[spec] OPQ distortion seeded=$dSeeded learned=$dLearned")
+    assert(dLearned < dSeeded,
+      s"learned rotation must cut quantization error: $dLearned !< $dSeeded")
+
+    // And the error win must show up where it matters: shortlist recall
+    // (shortlist 1 isolates code quality) at least matches the warm start.
+    val query = rows.head._2.map(_.toDouble).toArray
+    val exact = corpus
+      .select(col("vec_id"),
+        VectorOps.dot(VectorOps.asDouble(col("embedding")), typedLit(query.toSeq)).as("s"))
+      .orderBy(desc("s"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(mod: Quantization.OpqModel): Int = Quantization
+      .opqTopKReranked(corpus, mod, "vec_id", "embedding", query, k = 10, shortlist = 1)
+      .select("vec_id").as[Long].collect().count(exact.contains)
+    val rSeeded = recall(seeded)
+    val rLearned = recall(learned)
+    println(s"[spec] OPQ recall seeded=$rSeeded learned=$rLearned")
+    assert(rLearned >= rSeeded, s"learned recall $rLearned < seeded $rSeeded")
+  }
+
   test("PQ store deletion parity: tombstones filter probes, vacuum folds them in") {
     val path = s"target/tmp/pq_del_${System.nanoTime()}"
     val corpus = emb.filter(col("vec_id") =!= 0)
