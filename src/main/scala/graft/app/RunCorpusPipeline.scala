@@ -139,7 +139,22 @@ object RunCorpusPipeline {
       inDir: String,
       cfg: CorpusConfig): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(inDir).schema
-    val gated = spark.readStream.schema(schema).parquet(inDir)
+    runStreaming(spark, graft.streaming.FileRecordSource(inDir, schema), cfg)
+  }
+
+  /** Transport-agnostic form: the pipeline consumes a
+    * [[graft.streaming.StreamSource]], so the directory watcher above
+    * and a Kafka topic ([[graft.streaming.KafkaRecordSource]] — broker
+    * config only) feed the IDENTICAL gate -> scrub -> chunk -> sink
+    * composition. The envelope decode half is pinned offline by the
+    * [[graft.streaming.FileEnvelopeSource]] golden in
+    * CorpusPipelineSpec.
+    */
+  def runStreaming(
+      spark: SparkSession,
+      source: graft.streaming.StreamSource,
+      cfg: CorpusConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    val gated = source.load(spark)
       .filter(
         TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
           TextFunctions.languageId(col("text")).isin(cfg.langs.toSeq: _*))

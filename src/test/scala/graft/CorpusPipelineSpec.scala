@@ -172,6 +172,50 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka-shaped source seam: envelope transport == batch (broker is a config swap)") {
+    // Records travel as the spark-sql-kafka envelope (key/value binary,
+    // JSON values) through FileEnvelopeSource — byte-wise what the
+    // connector emits — into the SAME runStreaming composition. Golden:
+    // output equals the batch pipeline over the decoded records, so
+    // swapping in KafkaRecordSource(bootstrap, topic, schema) changes
+    // transport config only.
+    import graft.streaming.{FileEnvelopeSource, KafkaEnvelope}
+    val rows = Seq(
+      (1L, "web", goodText + " reach me at env@example.com"),
+      (2L, "web", goodText + " envelope-borne second doc"),
+      (3L, "web", "too short"))
+    val root = s"target/tmp/corpus_envelope_${System.nanoTime()}"
+    val docs = rows.toDF("doc_id", "source", "text")
+    val recordSchema = docs.schema
+    KafkaEnvelope.encode(docs, "doc_id", "docs")
+      .coalesce(1).write.parquet(s"$root/topic")
+
+    // The envelope round-trips: decode(encode(docs)) == docs (batch-side
+    // check of the codec itself, independent of streaming).
+    val roundTrip = KafkaEnvelope.decode(spark.read.parquet(s"$root/topic"), recordSchema)
+    assert(roundTrip.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      Chunker.chunkDocuments(
+        df.filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5 &&
+            graft.functions.TextFunctions.languageId(col("text")) === "en")
+          .withColumn("clean_text", graft.functions.TextFunctions.redactPii(col("text"))),
+        "clean_text", "doc_id", window = 8, stride = 6, carryCols = Seq("source"))
+
+    val q = RunCorpusPipeline.runStreaming(spark,
+      FileEnvelopeSource(s"$root/topic", recordSchema),
+      CorpusConfig(root = root, window = 8, stride = 6))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$root/chunks")
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      val batch = prep(docs).orderBy("doc_id", "chunk_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("smoke on real documents table: stages land, shards respect budget slack") {
     val docs = TableIO.table(spark, Sf0001, "documents")
     val root = "target/tmp/corpus_pipeline_sf"
