@@ -376,7 +376,7 @@ object SparkEntry {
     // (ingestion_pyspark.py:28-35 pattern); oracle checks against the
     // original parquet, so the round-trip must be lossless.
     "q_csv_roundtrip" -> ((s, d) => {
-      val dir = "/root/repo/target/tmp/csv_roundtrip"
+      val dir = "target/tmp/csv_roundtrip"
       val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
       t(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -404,7 +404,7 @@ object SparkEntry {
     // Oracle checks against the original parquet, so the round-trip must
     // be lossless, decimals included.
     "q_orc_roundtrip" -> ((s, d) => {
-      val dir = "/root/repo/target/tmp/orc_roundtrip"
+      val dir = "target/tmp/orc_roundtrip"
       t(s, d, "customer").write.mode("overwrite").orc(dir)
       s.read.orc(dir)
         .groupBy("c_mktsegment")
@@ -419,7 +419,7 @@ object SparkEntry {
     // format of every scraped/LLM corpus. Timestamps go through unix
     // micros (JSON has no timestamp type) so the round-trip is exact.
     "q_json_roundtrip" -> ((s, d) => {
-      val dir = "/root/repo/target/tmp/json_roundtrip"
+      val dir = "target/tmp/json_roundtrip"
       t(s, d, "events")
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
@@ -1174,7 +1174,7 @@ object SparkEntry {
         .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
       val corpus = emb.filter(col("vec_id") =!= 0)
       val model = Quantization.trainPq(corpus, "embedding", m = 16, kc = 64)
-      val path = "/root/repo/target/tmp/pq_store_contract"
+      val path = "target/tmp/pq_store_contract"
       Quantization.savePqIndex(corpus, model, "vec_id", "embedding", path)
       Quantization.pqTopKStored(s, path, q, k = 20)
     }),
@@ -1446,7 +1446,7 @@ object SparkEntry {
     // files (PartitionFilters in the scan); oracle checks against the
     // source table, so the round-trip must be lossless.
     "q_sink_partitioned" -> ((s, d) => {
-      val dir = "/root/repo/target/tmp/orders_by_year"
+      val dir = "target/tmp/orders_by_year"
       t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         // Partition-aligned repartition: one writer task per year value

@@ -504,11 +504,20 @@ object Quantization {
   }
 
   /** Idempotent per-batch append of freshly-encoded codes to a
-    * persisted PQ store. Same at-least-once contract and batch-id
-    * marker guard as the IVF ingest
-    * ([[SimilaritySearch.appendIvfBatchIdempotent]]): a replayed batch
-    * whose marker exists is a no-op, so probes never see duplicate ids
-    * from a restart.
+    * persisted PQ store — EXACTLY-once under restarts, not merely
+    * marker-guarded. A bare mode-Append before the marker would leave a
+    * window (crash after append, before marker) that replays the batch
+    * and duplicates ids. Instead the batch stages into a batch-scoped
+    * directory (Overwrite — a replayed attempt rewrites the same rows)
+    * and its part files move into `codes/` under DETERMINISTIC names
+    * keyed by (batchId, part index), after sweeping any `graft-b<id>-*`
+    * leftovers of a prior attempt. Whatever point the previous attempt
+    * died at, the replay converges on the same destination file set;
+    * the marker is the final commit that short-circuits clean replays.
+    * (The IVF ingest's bucketed `insertInto` cannot stage-rename like
+    * this; its contract stays at-least-once with the marker closing the
+    * window to one batch — see
+    * [[SimilaritySearch.appendIvfBatchIdempotent]].)
     */
   def appendPqBatchIdempotent(
       batch: DataFrame,
@@ -521,13 +530,26 @@ object Quantization {
     val hconf = batch.sparkSession.sessionState.newHadoopConf()
     val marker = new org.apache.hadoop.fs.Path(s"$checkpoint/graft-batch-commits/$batchId")
     val fs = marker.getFileSystem(hconf)
-    if (!fs.exists(marker)) {
-      batch.select(col(idCol), pqEncode(col(vecCol), model).as("codes"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/codes")
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+    if (fs.exists(marker)) return
+    val staging = new org.apache.hadoop.fs.Path(s"$checkpoint/graft-batch-staging/$batchId")
+    batch.select(col(idCol), pqEncode(col(vecCol), model).as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val destDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    fs.mkdirs(destDir)
+    val batchPrefix = s"graft-b$batchId-"
+    fs.listStatus(destDir).map(_.getPath)
+      .filter(_.getName.startsWith(batchPrefix))
+      .foreach(p => fs.delete(p, false))
+    val parts = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dest = new org.apache.hadoop.fs.Path(destDir, batchPrefix + f"p$i%05d.parquet")
+      require(fs.rename(p, dest), s"staging rename $p -> $dest failed")
     }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
   }
 
   /** Continuous ingest into a persisted PQ store: each micro-batch is

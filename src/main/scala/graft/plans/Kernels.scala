@@ -425,18 +425,87 @@ object Kernels {
   // Java's \b is NOT \w-based: Pattern.Bound classifies a word char as
   // '_' or Character.isLetterOrDigit — Unicode-aware even with default
   // flags. So 'é' blocks a boundary. When the adjacent byte is
-  // non-ASCII the check must decode the neighboring CODE POINT.
+  // non-ASCII the check must decode the neighboring CODE POINT — and on
+  // MALFORMED bytes it must see what the regex twin sees: the String
+  // the regexp path matches against comes from UTF8String.toString,
+  // whose decoder substitutes U+FFFD (never a letter) for every
+  // ill-formed sequence. So decodeCp validates full UTF-8
+  // well-formedness (continuation bytes, overlong forms, surrogates,
+  // > U+10FFFF) and returns U+FFFD on anything else, rather than
+  // decoding garbage like 0xC3 '1' into a letter and suppressing a
+  // boundary the regex would honor (invalid-byte cases in
+  // RedactKernelSpec).
+
+  /** Expected byte length of the sequence led by b0; -1 for a byte that
+    * can never lead a well-formed sequence (continuations 0x80-0xBF,
+    * the overlong leads 0xC0/0xC1, and 0xF5+).
+    */
+  @inline private def seqLen(b0: Int): Int =
+    if (b0 < 0x80) 1
+    else if (b0 >= 0xC2 && b0 <= 0xDF) 2
+    else if (b0 >= 0xE0 && b0 <= 0xEF) 3
+    else if (b0 >= 0xF0 && b0 <= 0xF4) 4
+    else -1
+
   private def decodeCp(b: Array[Byte], s: Int): Int = {
     val b0 = b(s) & 0xFF
-    if (b0 < 0x80) b0
-    else if ((b0 & 0xE0) == 0xC0 && s + 1 < b.length)
-      ((b0 & 0x1F) << 6) | (b(s + 1) & 0x3F)
-    else if ((b0 & 0xF0) == 0xE0 && s + 2 < b.length)
-      ((b0 & 0x0F) << 12) | ((b(s + 1) & 0x3F) << 6) | (b(s + 2) & 0x3F)
-    else if ((b0 & 0xF8) == 0xF0 && s + 3 < b.length)
-      ((b0 & 0x07) << 18) | ((b(s + 1) & 0x3F) << 12) |
-        ((b(s + 2) & 0x3F) << 6) | (b(s + 3) & 0x3F)
-    else 0xFFFD
+    val len = seqLen(b0)
+    if (len == 1) return b0
+    if (len < 0 || s + len > b.length) return 0xFFFD
+    var j = 1
+    while (j < len) {
+      if ((b(s + j) & 0xC0) != 0x80) return 0xFFFD
+      j += 1
+    }
+    val b1 = b(s + 1) & 0xFF
+    len match {
+      case 2 => ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+      case 3 =>
+        if (b0 == 0xE0 && b1 < 0xA0) 0xFFFD // overlong
+        else if (b0 == 0xED && b1 >= 0xA0) 0xFFFD // surrogate range
+        else ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b(s + 2) & 0x3F)
+      case _ =>
+        if (b0 == 0xF0 && b1 < 0x90) 0xFFFD // overlong
+        else if (b0 == 0xF4 && b1 > 0x8F) 0xFFFD // > U+10FFFF
+        else ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) |
+          ((b(s + 2) & 0x3F) << 6) | (b(s + 3) & 0x3F)
+    }
+  }
+
+  // Pattern.Bound has one more clause beyond '_'/isLetterOrDigit: a
+  // NON_SPACING_MARK counts as a word character iff it has a "base
+  // character" — scanning BACKWARD from the mark, marks skip until a
+  // letter/digit (word) or anything else (not) — JDK
+  // Pattern.hasBaseCharacter. So "4" + U+0301 has no boundary after
+  // the digit (the combining accent belongs to the word), which is
+  // exactly the case plain isLetterOrDigit misses.
+
+  @inline private def isNsm(cp: Int): Boolean =
+    Character.getType(cp) == Character.NON_SPACING_MARK
+
+  /** JDK Pattern.hasBaseCharacter over raw bytes: walk code points
+    * backward from byte offset `off` (exclusive); marks skip, a
+    * letter/digit is a base, anything else (including malformed
+    * sequences — U+FFFD in the replaced string) is not.
+    */
+  private def hasBaseBefore(b: Array[Byte], off: Int): Boolean = {
+    var i = off
+    while (i > 0) {
+      var s = i - 1
+      while (s > 0 && (b(s) & 0xC0) == 0x80) s -= 1
+      if (b(s) >= 0) {
+        // ASCII followed by stray continuations decodes as char + FFFDs;
+        // the char adjacent to position i is then U+FFFD — not a base.
+        if (i - s != 1) return false
+        return isAlphaB(b(s)) || isDigitB(b(s)) // isLetterOrDigit, NOT '_'
+      }
+      if (seqLen(b(s) & 0xFF) != i - s) return false
+      val cp = decodeCp(b, s)
+      if (Character.isLetterOrDigit(cp)) return true
+      if (!isNsm(cp)) return false
+      i = s
+    }
+    false
   }
 
   /** Is the character immediately BEFORE byte offset i a \b word char? */
@@ -446,7 +515,13 @@ object Kernels {
     if (prev >= 0) return isWordB(prev)
     var s = i - 1
     while (s > 0 && (b(s) & 0xC0) == 0x80) s -= 1
-    Character.isLetterOrDigit(decodeCp(b, s))
+    // The preceding character is well-formed ONLY if the lead at s spans
+    // exactly to i; a stray continuation run (s lands on ASCII or
+    // another continuation) or a truncated prefix decodes as U+FFFD in
+    // the replaced string the regex twin sees — never a word char.
+    if (seqLen(b(s) & 0xFF) != i - s) return false
+    val cp = decodeCp(b, s)
+    Character.isLetterOrDigit(cp) || (isNsm(cp) && hasBaseBefore(b, s))
   }
 
   /** Is the character AT byte offset i (end-of-match neighbor) a \b
@@ -456,7 +531,10 @@ object Kernels {
     if (i >= n) return false
     val c = b(i)
     if (c >= 0) isWordB(c)
-    else Character.isLetterOrDigit(decodeCp(b, i))
+    else {
+      val cp = decodeCp(b, i)
+      Character.isLetterOrDigit(cp) || (isNsm(cp) && hasBaseBefore(b, i))
+    }
   }
   @inline private def isLocalB(b: Byte): Boolean =
     isAlphaB(b) || isDigitB(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'

@@ -337,6 +337,23 @@ class QuantizationSpec extends SparkSpec {
     Quantization.appendPqBatchIdempotent(
       rest.limit(5), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 99L)
     assert(spark.read.parquet(s"$root/idx/codes").count() == n0 + 5)
+
+    // The crash WINDOW: files landed but the marker write never happened.
+    // A bare append would duplicate the batch on replay; the staged
+    // deterministic-name move must converge to the same file set instead.
+    val marker99 = java.nio.file.Paths.get(s"$root/ckpt/graft-batch-commits/99")
+    java.nio.file.Files.delete(marker99)
+    Quantization.appendPqBatchIdempotent(
+      rest.limit(5), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 99L)
+    assert(spark.read.parquet(s"$root/idx/codes").count() == n0 + 5,
+      "replay through the crash window must not duplicate the batch")
+    // deterministic names converge: batch 99 owns exactly one file set
+    // carrying exactly its 5 rows, whatever attempt wrote it
+    val b99Files = new java.io.File(s"$root/idx/codes").listFiles()
+      .filter(_.getName.startsWith("graft-b99-")).map(_.getPath).toSeq
+    assert(b99Files.nonEmpty)
+    assert(spark.read.parquet(b99Files: _*).count() == 5)
+    assert(java.nio.file.Files.exists(marker99), "replay must restore the marker")
   }
 
   test("batch probe of a persisted store equals per-query stored probes") {
