@@ -747,8 +747,12 @@ object SparkEntry {
         .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
       val vec = SimilaritySearch.bruteForceTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 50)
+        // constant-but-non-foldable partition key over the ≤ 50-row
+        // post-limit candidate list — states single-partition intent,
+        // silences WindowExec (lit(0) would be folded away on Spark 4)
         .withColumn("vec_rk", row_number().over(
-          Window.orderBy(desc("cos_sim"), col("vec_id"))).cast("int"))
+          Window.partitionBy(pmod(col("vec_id"), lit(1)))
+            .orderBy(desc("cos_sim"), col("vec_id"))).cast("int"))
         .select(col("vec_id").as("doc_id"), col("vec_rk"))
       HybridRetrieval.rrfFuse(lex, "rk", vec, "vec_rk", "doc_id", rrfK = 60, k = 20)
         .orderBy(desc("rrf"), col("doc_id"))

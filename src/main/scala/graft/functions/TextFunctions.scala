@@ -186,10 +186,24 @@ object TextFunctions {
     * n-grams occupied by its single most frequent gram. Catches the
     * long-loop boilerplate (`foo bar foo bar ...`) that
     * [[repetitionRatio]]'s distinct-ratio only sees diluted. Row-local
-    * and shuffle-free: sort the gram array, then one fold finds the
-    * longest equal run — no per-row map accumulator.
+    * and shuffle-free — ONE codegen'd byte pass (TopGramFracExpr): the
+    * r7 lesson that HOF lambdas evaluate interpreted applies here with
+    * a vengeance — the sort + fold costs 780s on the 500k-doc stress
+    * vs 2.2s for the kernel (the lambda re-evaluates its struct state
+    * per element, and array_sort pays per-comparison interpreted
+    * dispatch); [[topGramFractionHof]] keeps the declarative twin it
+    * is property-tested against.
     */
-  def topGramFraction(c: Column, n: Int = 2): Column = {
+  def topGramFraction(c: Column, n: Int = 2): Column =
+    graft.plans.HashExpressions.topGramFrac(c, n)
+
+  /** The declarative formulation (array_sort + longest-equal-run fold):
+    * max multiplicity of a gram == longest run in the sorted gram array,
+    * so this and the kernel agree exactly — pinned in
+    * TextFunctionsSpec/KernelPropertySpec. Interpreted lambda: use the
+    * kernel on hot paths.
+    */
+  def topGramFractionHof(c: Column, n: Int = 2): Column = {
     val grams = array_sort(wordNGrams(c, n))
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     val best = aggregate(

@@ -110,8 +110,15 @@ object TfIdf {
       .select(col("doc_id"), col("dl").cast("long").as("dl"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+    // Constant partition key: the window input is the ≤ k-row post-limit
+    // candidate list, so single-partition evaluation is the point — the
+    // key states that intent and keeps WindowExec from warning about an
+    // (irrelevant here) global-sort degradation. pmod(id, 1) = 0 per
+    // row but is non-foldable, surviving Spark 4's
+    // EliminateWindowPartitions where a bare lit(0) would not.
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("doc_id"), lit(1)))
       .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(w)) // window over ≤ k rows
+    scored.withColumn("rk", row_number().over(w))
   }
 }

@@ -337,6 +337,26 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gopher top-gram fraction — codegen'd one-pass replacement for the
+  * array_sort + interpreted aggregate-fold formulation (kept as the
+  * property-tested HOF twin, TextFunctions.topGramFractionHof).
+  */
+case class TopGramFracExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"n must be positive, got $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(Kernels.topGramFrac(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.topGramFrac($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ASCII character-class count — codegen'd
   * `size(regexp_extract_all(c, '[<chars>]'))` for ASCII-only classes.
   */
@@ -491,6 +511,8 @@ object HashExpressions {
     column(TokenSetCountExpr(expression(text), set))
 
   def tokenCount(text: Column): Column = column(TokenCountExpr(expression(text)))
+
+  def topGramFrac(text: Column, n: Int): Column = column(TopGramFracExpr(expression(text), n))
 
   def asciiSetCount(text: Column, chars: String): Column =
     column(AsciiSetCountExpr(expression(text), chars))

@@ -111,6 +111,64 @@ object Kernels {
     count
   }
 
+  /** Gopher top-gram fraction in ONE pass over the text bytes: the max
+    * multiplicity of the document's word n-grams divided by the gram
+    * count — numerically identical to sorting the gram strings and
+    * taking the longest equal run (the HOF twin
+    * TextFunctions.topGramFractionHof it is property-tested against:
+    * equal strings sort adjacent, so longest run == max multiplicity).
+    * Tokens are \S+ runs ([[isWs]] — Java-regex \s); gram identity is
+    * the exact bytes of the space-joined token window (UTF8String keys
+    * hash and compare by bytes), so no hash-collision caveat — the
+    * DuckDB oracle replays this on strings. 0.0 below n tokens.
+    */
+  def topGramFrac(s: UTF8String, n: Int): Double = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var i = 0
+    var m = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, m * 2)
+          ends = java.util.Arrays.copyOf(ends, m * 2)
+        }
+        starts(m) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m < n) return 0.0
+    val g = m - n + 1
+    val counts = new java.util.HashMap[UTF8String, Integer](g * 2)
+    var best = 0
+    var gi = 0
+    while (gi < g) {
+      var sz = n - 1
+      var t = 0
+      while (t < n) { sz += ends(gi + t) - starts(gi + t); t += 1 }
+      val out = new Array[Byte](sz)
+      var p = 0
+      t = 0
+      while (t < n) {
+        if (t > 0) { out(p) = ' '; p += 1 }
+        val l = ends(gi + t) - starts(gi + t)
+        System.arraycopy(bytes, starts(gi + t), out, p, l)
+        p += l
+        t += 1
+      }
+      val c = counts.merge(UTF8String.fromBytes(out), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > best) best = c.intValue
+      gi += 1
+    }
+    best.toDouble / g
+  }
+
   /** Count bytes that are members of an ASCII class (membership table
     * indexed by unsigned byte) — the primitive form of
     * `size(regexp_extract_all(c, '[<class>]'))` for ASCII-only classes.

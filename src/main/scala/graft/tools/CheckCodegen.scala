@@ -52,6 +52,8 @@ object CheckCodegen {
         HashExpressions.hasNonAscii(col("text"))).count()),
       "redactPii" -> (() => docs.select(
         HashExpressions.redactPii(col("text"))).count()),
+      "topGramFrac" -> (() => docs.select(
+        HashExpressions.topGramFrac(col("text"), 2)).count()),
       "pqEncodeDecodeAdc" -> (() => {
         // tiny fixed codebook: 2 subspaces x 2 centroids over 64 dims
         val cb = Seq.tabulate(2 * 2 * 32)(i => (i % 7).toDouble)

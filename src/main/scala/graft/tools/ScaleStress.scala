@@ -160,6 +160,26 @@ object ScaleStress {
     docs.unpersist()
     }
 
+    section("topgram") {
+    // HOF fold vs byte kernel for the Gopher top-gram signal (r9
+    // candidate d): same docs volume as the redact stress. The two
+    // formulations are value-identical (property-pinned); this measures
+    // whether the interpreted lambda is hot enough to matter.
+    import graft.functions.TextFunctions
+    val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
+      .select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] topgram corpus: ${docs.count()} docs")
+    def sumFrac(c: org.apache.spark.sql.Column): Double =
+      docs.select(sum(c)).head().getDouble(0)
+    val hof = time("topgram: array_sort + HOF fold")(
+      sumFrac(TextFunctions.topGramFractionHof(col("text"), 2)))
+    val kernel = time("topgram: byte kernel")(
+      sumFrac(TextFunctions.topGramFraction(col("text"), 2)))
+    println(s"[stress]   identical output: ${hof == kernel} (sum $kernel)")
+    docs.unpersist()
+    }
+
     section("corpus") {
     // Corpus-prep at replica scale: replicas are exact copies, so the
     // dedup stage collapses them — the stress shows the stage ordering

@@ -75,6 +75,25 @@ class KernelPropertySpec extends AnyFunSuite {
     }, cases = 200)
   }
 
+  test("topGramFrac equals the naive max-multiplicity reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docGen: Gen[String] = for {
+      k <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(k, Gen.oneOf("foo", "bar", "a", "b1", "é世", "x"))
+      seps <- Gen.listOfN(k + 1, Gen.oneOf(" ", "  ", "\t", "\n"))
+    } yield seps.head + toks.zip(seps.tail).map { case (t, s) => t + s }.mkString
+    check(Prop.forAll(docGen, Gen.choose(1, 4)) { (s: String, n: Int) =>
+      val toks = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val expected =
+        if (toks.length < n) 0.0
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+          grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
+        }
+      Kernels.topGramFrac(UTF8String.fromString(s), n) == expected
+    }, cases = 2000)
+  }
+
   test("TopKHeap equals the sort-based reference, NaN included") {
     val entryGen = for {
       n <- Gen.choose(0, 30)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{abs, col, sum}
 
 import graft.functions.TextFunctions._
 
@@ -37,6 +37,20 @@ class TextFunctionsSpec extends SparkSpec {
     // fewer tokens than n -> no grams -> 0.0
     assert(one("a", topGramFraction(col("t"), 2)) == 0.0)
     assert(one("", topGramFraction(col("t"), 2)) == 0.0)
+  }
+
+  test("topGramFraction kernel == HOF twin on the documents table and torture docs") {
+    val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
+      .select(col("text").as("t"))
+      .unionAll(Seq(
+        "", " ", "a", "loop loop loop loop", "a  b\t a  b \n a",
+        "é 世 é 世 é", "x " * 200 + "tail").toDF("t"))
+    for (n <- Seq(1, 2, 3)) {
+      val diff = docs.select(
+        sum(abs(topGramFraction(col("t"), n) - topGramFractionHof(col("t"), n))))
+        .head().getDouble(0)
+      assert(diff == 0.0, s"kernel and HOF fold diverge for n=$n (sum|diff|=$diff)")
+    }
   }
 
   test("charNGrams slides over normalized text") {
