@@ -49,7 +49,16 @@ object RunCorpusPipeline {
         * the exact broadcast gram join — for eval suites too large to
         * broadcast. Conservative: bloom can only over-flag.
         */
-      bloomDecontamination: Boolean = false)
+      bloomDecontamination: Boolean = false,
+      /** Gopher repetition gates (Rae et al. 2021 §A1.1): drop documents
+        * whose single most frequent word 2-gram occupies more than
+        * `maxTopGramFrac` of all 2-grams, or whose duplicate-3-gram
+        * share exceeds `maxRepetition`. 1.0 (the default) disables a
+        * gate — both signals are row-local byte kernels, so enabling
+        * them adds zero shuffle to the annotate scan.
+        */
+      maxTopGramFrac: Double = 1.0,
+      maxRepetition: Double = 1.0)
 
   def annotated(cfg: CorpusConfig): String = s"${cfg.root}/annotated"
   def silver(cfg: CorpusConfig): String = s"${cfg.root}/silver"
@@ -66,13 +75,17 @@ object RunCorpusPipeline {
       cfg: CorpusConfig,
       eval: Option[DataFrame] = None): Unit = {
 
-    // Stage 1 — annotate: single scan, row-local, no shuffle.
+    // Stage 1 — annotate: single scan, row-local, no shuffle. The
+    // repetition signals ride the same scan (byte kernels) whether or
+    // not their gates are enabled — annotations are the product.
     docs
       .select(Seq(
         col("doc_id"), col("source"), col("text"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.languageId(col("text")).as("lang_pred"),
         TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.topGramFraction(col("text"), 2).as("top_gram_frac"),
+        TextFunctions.repetitionRatio(col("text"), 3).as("repetition_ratio"),
         TextFunctions.redactPii(col("text")).as("clean_text")) ++
         TextFunctions.PiiPatterns.map { case (kind, _) =>
           TextFunctions.piiCount(col("text"), kind).as(s"n_pii_${kind.toLowerCase}")
@@ -82,7 +95,10 @@ object RunCorpusPipeline {
     // Stage 2 — gate + exact dedup.
     val ann = spark.read.parquet(annotated(cfg))
     val langGate = col("lang_pred").isin(cfg.langs.toSeq: _*)
-    val gated = ann.filter(col("quality") >= cfg.minQuality && langGate)
+    val gated = ann.filter(
+      col("quality") >= cfg.minQuality && langGate &&
+        col("top_gram_frac") <= cfg.maxTopGramFrac &&
+        col("repetition_ratio") <= cfg.maxRepetition)
     val decontaminated = eval match {
       case Some(ev) =>
         // bloomDecontamination trades the exact operator's broadcast
@@ -157,7 +173,9 @@ object RunCorpusPipeline {
     val gated = source.load(spark)
       .filter(
         TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
-          TextFunctions.languageId(col("text")).isin(cfg.langs.toSeq: _*))
+          TextFunctions.languageId(col("text")).isin(cfg.langs.toSeq: _*) &&
+          TextFunctions.topGramFraction(col("text"), 2) <= cfg.maxTopGramFrac &&
+          TextFunctions.repetitionRatio(col("text"), 3) <= cfg.maxRepetition)
       .withColumn("clean_text", TextFunctions.redactPii(col("text")))
     val chunks = Chunker.chunkDocuments(
       gated, "clean_text", "doc_id", cfg.window, cfg.stride, carryCols = Seq("source"))

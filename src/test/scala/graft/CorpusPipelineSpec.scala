@@ -55,6 +55,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(fromData == fromManifest)
   }
 
+  test("Gopher repetition gates: boilerplate loops drop only when thresholds are set") {
+    // doc 2 loops one 2-gram (top_gram_frac ~0.38) on top of prose so it
+    // still passes the quality gate; doc 3 repeats a 7-word phrase
+    // (duplicate 3-grams ~0.66) while no single 2-gram dominates.
+    val loop = goodText + " " + ("the fox " * 50).trim
+    val phrase = goodText + " " + ("over the lazy dog jumps the fox " * 12).trim
+    val docs = Seq(
+      (1L, "web", goodText),
+      (2L, "web", loop),
+      (3L, "web", phrase)
+    ).toDF("doc_id", "source", "text")
+
+    // Defaults (1.0): gates off, every doc that passes quality survives.
+    val off = s"target/tmp/corpus_gopher_off_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(root = off, window = 8, stride = 6))
+    val keptOff = spark.read.parquet(s"$off/silver").select("doc_id").as[Long].collect().toSet
+    assert(keptOff.contains(2L) && keptOff.contains(3L),
+      s"default thresholds must not gate (kept $keptOff)")
+    // annotations carry the signals either way
+    val ann = spark.read.parquet(s"$off/annotated")
+    assert(ann.columns.contains("top_gram_frac") && ann.columns.contains("repetition_ratio"))
+
+    val on = s"target/tmp/corpus_gopher_on_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = on, window = 8, stride = 6,
+        maxTopGramFrac = 0.2, maxRepetition = 0.5))
+    val keptOn = spark.read.parquet(s"$on/silver").select("doc_id").as[Long].collect().toSet
+    assert(!keptOn.contains(2L), "looping doc must fail the top-gram gate")
+    assert(!keptOn.contains(3L), "phrase-repeating doc must fail the repetition gate")
+    assert(keptOn.contains(1L), "prose survives both gates")
+  }
+
   test("nearDedup switch drops near-copies that exact dedup keeps") {
     val docs = Seq(
       (1L, "web", goodText),
