@@ -1110,6 +1110,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // 1-bit sign quantization + Hamming top-k: the memory floor of the
+    // quantization family (8 bytes/vector at d=64). No model state —
+    // the bits are the data's own signs — so this ANN query carries a
+    // FULL DuckDB oracle, unique in the family.
+    "q_sim_binary" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      SimilaritySearch.binarySignTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 20)
+        .orderBy("hamming", "vec_id")
+    }),
+
     // Product quantization, ADC shortlist + exact re-rank (rows-only —
     // per-subspace KMeans codebooks are model state, like the IVF cell
     // queries; the ADC == dot(query, reconstruction) identity, recall
@@ -2889,6 +2902,18 @@ object SparkEntry {
         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS INT) AS rnk
         |      FROM s)
         |SELECT qid, vec_id, qscore, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // Sign bits are pure functions of the data (x > 0 per dimension), so
+    // DuckDB replays the Hamming ranking exactly: count dimensions whose
+    // sign differs from the query's, ties id-ascending.
+    "q_sim_binary" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       CAST(len(list_filter(range(1, len(e.embedding) + 1),
+        |                            r -> (e.embedding[r] > 0) != (q.qe[r] > 0))) AS INT) AS hamming
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY hamming, vec_id LIMIT 20""".stripMargin,
 
     "q_emb_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -157,6 +157,63 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** 1-bit sign quantization + Hamming top-k: pack each vector's sign
+    * bits into 64-bit words (8 bytes for a 64-dim corpus — 32x under
+    * float32, the memory floor of the quantization family) and rank by
+    * xor+popcount distance to the packed query. Deterministic with NO
+    * model state — the bits are the data's own signs — so unlike
+    * IVF/SQ8/PQ the contract query (`q_sim_binary`) carries a full
+    * DuckDB oracle. Ties break id-ascending; the plan is one
+    * codegen'd scan + TakeOrderedAndProject. At rest, persist
+    * `signPack(vec)` next to ids and the probe reads 8 bytes/vector.
+    */
+  def binarySignTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int): DataFrame = {
+    val qWords = packSignsDriver(query)
+    corpus.select(
+        col(idCol),
+        graft.plans.HashExpressions.hammingTo(
+          graft.plans.HashExpressions.signPack(VectorOps.asDouble(col(vecCol))),
+          qWords).as("hamming"))
+      .orderBy(asc("hamming"), col(idCol))
+      .limit(k)
+  }
+
+  /** Hamming shortlist + exact-dot re-rank on original vectors — the
+    * same coarse-to-fine composition as the PQ/SQ8 arms, with the
+    * cheapest possible coarse pass.
+    */
+  def binarySignTopKReranked(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      shortlist: Int = 4): DataFrame = {
+    val cand = binarySignTopK(corpus, idCol, vecCol, query, k * shortlist)
+      .select(col(idCol))
+    val qLit = typedLit(query.toSeq)
+    corpus.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(VectorOps.dot(VectorOps.asDouble(col(vecCol)), qLit), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  private def packSignsDriver(v: Array[Double]): Seq[Long] = {
+    val words = new Array[Long]((v.length + 63) >>> 6)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    words.toSeq
+  }
+
   /** IVF (inverted-file) index: KMeans partitions the corpus into `nlist`
     * Voronoi cells; queries score only the `nprobe` nearest cells. The
     * assignment DataFrame is the "index" — at scale you persist/bucket it

@@ -251,6 +251,45 @@ case class PqDecodeExpr(child: Expression, codebook: Seq[Double], m: Int, kc: In
     copy(child = newChild)
 }
 
+/** 1-bit sign quantization: array<double> -> packed array<long>
+  * (bit i of word i/64 = v(i) > 0). No model state — see
+  * Kernels.signPack.
+  */
+case class SignPackExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.signPack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.signPack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance of packed sign words to a driver-packed query:
+  * xor + popcount per word.
+  */
+case class HammingToExpr(child: Expression, query: Seq[Long]) extends UnaryExpression {
+
+  @transient private lazy val q: Array[Long] = query.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(Kernels.hammingTo(input.asInstanceOf[ArrayData], q))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hammingQuery", q, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.hammingTo($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Asymmetric distance computation against a per-query lookup table:
   * array<int> codes -> double score, m lookups per row.
   */
@@ -525,6 +564,11 @@ object HashExpressions {
   def normalizeWs(text: Column): Column = column(NormalizeWsExpr(expression(text)))
 
   def redactPii(text: Column): Column = column(RedactPiiExpr(expression(text)))
+
+  def signPack(vec: Column): Column = column(SignPackExpr(expression(vec)))
+
+  def hammingTo(packed: Column, query: Seq[Long]): Column =
+    column(HammingToExpr(expression(packed), query))
 
   def pqEncode(vec: Column, codebook: Seq[Double], m: Int, kc: Int, subDim: Int): Column =
     column(PqEncodeExpr(expression(vec), codebook, m, kc, subDim))

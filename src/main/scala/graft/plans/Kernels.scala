@@ -238,6 +238,41 @@ object Kernels {
     new GenericInternalRow(Array[Any](nTok, totalLen, nStop))
   }
 
+  /** Pack the sign bits (x > 0) of a double vector into 64-bit words —
+    * dimension i lands in bit (i mod 64) of word (i div 64), LSB-first.
+    * The 1-bit member of the quantization family: a 64-dim float32
+    * corpus stores as 8 bytes/vector (32x smaller than the floats, 8x
+    * smaller than SQ8, m=16 PQ halved), and distance is pure
+    * xor+popcount. Unlike IVF/PQ/SQ8 there is NO model state — the
+    * bits are signs of the data itself — so results are engine-exact
+    * and the contract query carries a full DuckDB oracle.
+    */
+  def signPack(v: ArrayData): ArrayData = {
+    val d = v.numElements()
+    val words = new Array[Long]((d + 63) >>> 6)
+    var i = 0
+    while (i < d) {
+      if (v.getDouble(i) > 0) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Hamming distance between packed sign words and a (driver-packed)
+    * query: xor + popcount per word.
+    */
+  def hammingTo(words: ArrayData, query: Array[Long]): Int = {
+    val n = words.numElements()
+    require(n == query.length, s"packed length $n != query ${query.length}")
+    var h = 0
+    var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(words.getLong(i) ^ query(i))
+      i += 1
+    }
+    h
+  }
+
   /** True iff any byte is >= 0x80 (i.e. the string contains a
     * non-ASCII code point). Early-exit byte scan.
     */

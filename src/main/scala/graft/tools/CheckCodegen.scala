@@ -54,6 +54,10 @@ object CheckCodegen {
         HashExpressions.redactPii(col("text"))).count()),
       "topGramFrac" -> (() => docs.select(
         HashExpressions.topGramFrac(col("text"), 2)).count()),
+      "signPackHamming" -> (() => emb.select(
+        HashExpressions.hammingTo(
+          HashExpressions.signPack(VectorOps.asDouble(col("embedding"))),
+          Seq(0L))).count()),
       "pqEncodeDecodeAdc" -> (() => {
         // tiny fixed codebook: 2 subspaces x 2 centroids over 64 dims
         val cb = Seq.tabulate(2 * 2 * 32)(i => (i % 7).toDouble)

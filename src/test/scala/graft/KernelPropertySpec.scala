@@ -75,6 +75,28 @@ class KernelPropertySpec extends AnyFunSuite {
     }, cases = 200)
   }
 
+  test("signPack/hammingTo equal the naive per-dimension reference") {
+    val vecGen: Gen[(Array[Double], Array[Double])] = for {
+      d <- Gen.choose(1, 200)
+      seed <- Gen.choose(0L, 100000L)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      // include exact zeros: the contract is strictly x > 0
+      def v() = Array.fill(d)(rnd.nextInt(5) match {
+        case 0 => 0.0
+        case _ => rnd.nextGaussian()
+      })
+      (v(), v())
+    }
+    check(Prop.forAll(vecGen) { case (a, b) =>
+      val pa = Kernels.signPack(new GenericArrayData(a))
+      val pb = Kernels.signPack(new GenericArrayData(b))
+      val naive = a.indices.count(i => (a(i) > 0) != (b(i) > 0))
+      pa.numElements() == (a.length + 63) / 64 &&
+        Kernels.hammingTo(pa, pb.toLongArray()) == naive
+    }, cases = 1000)
+  }
+
   test("topGramFrac equals the naive max-multiplicity reference") {
     import org.apache.spark.unsafe.types.UTF8String
     val docGen: Gen[String] = for {

@@ -24,6 +24,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("binary sign quantization: Hamming ranks approximate cosine; rerank recovers it") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = query.toArray
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+
+    // Deterministic and total: k rows, hamming ascending, rerun-stable.
+    val plain = SimilaritySearch.binarySignTopK(corpus, "vec_id", "embedding", q, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(plain.length == 20)
+    assert(plain.map(_._2).sliding(2).forall(w => w.head <= w.last))
+    val again = SimilaritySearch.binarySignTopK(corpus, "vec_id", "embedding", q, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(plain == again)
+
+    // 1 bit/dim still carries signal: the Hamming shortlist overlaps the
+    // true cosine top-k, and the exact-dot rerank arm dominates it.
+    val plainRecall = plain.map(_._1).count(brute.contains)
+    assert(plainRecall >= 4, s"binary recall $plainRecall/20 collapsed")
+    val reranked = SimilaritySearch
+      .binarySignTopKReranked(corpus, "vec_id", "embedding", q, k = 20, shortlist = 8)
+      .select("vec_id").as[Long].collect()
+    val rerankRecall = reranked.count(brute.contains)
+    assert(rerankRecall >= plainRecall, s"rerank $rerankRecall < plain $plainRecall")
+    assert(rerankRecall >= 12, s"rerank recall $rerankRecall/20")
+  }
+
   test("LSH ANN returns a subset of the corpus ranked by true cosine, nonzero recall") {
     val brute = SimilaritySearch.bruteForceTopK(
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 20)
