@@ -204,6 +204,50 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Persist packed sign words — the 1-bit codes-at-rest form: the
+    * stored table is (id, words) at ~8 bytes/vector payload, and a
+    * probe scans ONLY it (no floats, no re-pack). The id column name
+    * travels in a sidecar like the IVF/PQ stores; deletion lifecycle
+    * would mirror [[deleteFromIvfIndex]]'s tombstones (the store is a
+    * plain parquet dir — the PQ staging/tombstone machinery drops in
+    * unchanged; kept minimal here because packing is so cheap that
+    * rebuild-on-change is usually the right call at this code size).
+    */
+  def saveBinaryIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(idCol).toDF("id_col").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/idcol")
+    corpus
+      .select(col(idCol),
+        graft.plans.HashExpressions.signPack(VectorOps.asDouble(col(vecCol))).as("words"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/words")
+  }
+
+  /** Hamming probe over a persisted sign store — identical ranking to
+    * [[binarySignTopK]] over the original vectors (packing is
+    * deterministic; pinned in SimilaritySpec).
+    */
+  def binaryTopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      k: Int): DataFrame = {
+    val idCol = spark.read.json(s"$path/idcol").select("id_col").head().getString(0)
+    val qWords = packSignsDriver(query)
+    spark.read.parquet(s"$path/words")
+      .select(col(idCol),
+        graft.plans.HashExpressions.hammingTo(col("words"), qWords).as("hamming"))
+      .orderBy(asc("hamming"), col(idCol))
+      .limit(k)
+  }
+
   private def packSignsDriver(v: Array[Double]): Seq[Long] = {
     val words = new Array[Long]((v.length + 63) >>> 6)
     var i = 0

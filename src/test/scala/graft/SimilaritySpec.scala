@@ -49,6 +49,14 @@ class SimilaritySpec extends SparkSpec {
     val rerankRecall = reranked.count(brute.contains)
     assert(rerankRecall >= plainRecall, s"rerank $rerankRecall < plain $plainRecall")
     assert(rerankRecall >= 12, s"rerank recall $rerankRecall/20")
+
+    // Codes at rest: the stored-words probe is bit-identical to the
+    // in-session ranking (packing is deterministic).
+    val path = s"target/tmp/bin_store_${System.nanoTime()}"
+    SimilaritySearch.saveBinaryIndex(corpus, "vec_id", "embedding", path)
+    val stored = SimilaritySearch.binaryTopKStored(spark, path, q, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(stored == plain)
   }
 
   test("LSH ANN returns a subset of the corpus ranked by true cosine, nonzero recall") {
