@@ -1123,6 +1123,16 @@ object SparkEntry {
         .orderBy("hamming", "vec_id")
     }),
 
+    // Batch form: one corpus scan serves 5 queries (broadcast packed
+    // queries, pairwise popcount, per-query rank window). Engine-exact
+    // like the single-query form — second full oracle of the pair.
+    "q_sim_binary_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.binarySignTopKBatch(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
     // Product quantization, ADC shortlist + exact re-rank (rows-only —
     // per-subspace KMeans codebooks are model state, like the IVF cell
     // queries; the ADC == dot(query, reconstruction) identity, recall
@@ -2914,6 +2924,17 @@ object SparkEntry {
         |FROM embeddings e, q
         |WHERE e.vec_id <> 0
         |ORDER BY hamming, vec_id LIMIT 20""".stripMargin,
+
+    "q_sim_binary_batch" ->
+      """WITH h AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |         CAST(len(list_filter(range(1, len(b.embedding) + 1),
+        |                              r -> (b.embedding[r] > 0) != (a.embedding[r] > 0))) AS INT) AS hamming
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, vec_id, hamming,
+        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS INT) AS rnk
+        |      FROM h)
+        |SELECT qid, vec_id, hamming, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "q_emb_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -202,6 +203,32 @@ object SimilaritySearch {
         round(VectorOps.dot(VectorOps.asDouble(col(vecCol)), qLit), 6).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** Batch form: ONE corpus scan serves every query — corpus packs
+    * once per row, the (tiny) packed query set broadcasts, pairwise
+    * xor+popcount scores the cross join, and the per-query top-k is a
+    * rank window partitioned by query id (shuffles only candidate
+    * rows). Same full-oracle determinism as [[binarySignTopK]].
+    */
+  def binarySignTopKBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val packed = corpus.select(
+      col(idCol),
+      graft.plans.HashExpressions.signPack(VectorOps.asDouble(col(vecCol))).as("__cw"))
+    val qs = broadcast(queries.select(
+      col(idCol).as("qid"),
+      graft.plans.HashExpressions.signPack(VectorOps.asDouble(col(vecCol))).as("__qw")))
+    val w = Window.partitionBy("qid").orderBy(asc("hamming"), col(idCol))
+    packed.join(qs, col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        graft.plans.HashExpressions.hammingPair(col("__cw"), col("__qw")).as("hamming"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 
   /** Persist packed sign words — the 1-bit codes-at-rest form: the

@@ -290,6 +290,22 @@ case class HammingToExpr(child: Expression, query: Seq[Long]) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** Pairwise Hamming over two packed-sign columns (batch probes). */
+case class HammingPairExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Integer.valueOf(Kernels.hammingPair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.hammingPair($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Asymmetric distance computation against a per-query lookup table:
   * array<int> codes -> double score, m lookups per row.
   */
@@ -569,6 +585,9 @@ object HashExpressions {
 
   def hammingTo(packed: Column, query: Seq[Long]): Column =
     column(HammingToExpr(expression(packed), query))
+
+  def hammingPair(a: Column, b: Column): Column =
+    column(HammingPairExpr(expression(a), expression(b)))
 
   def pqEncode(vec: Column, codebook: Seq[Double], m: Int, kc: Int, subDim: Int): Column =
     column(PqEncodeExpr(expression(vec), codebook, m, kc, subDim))

@@ -273,6 +273,19 @@ object Kernels {
     h
   }
 
+  /** Pairwise form for batch probes: both sides are packed columns. */
+  def hammingPair(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"packed lengths differ: $n vs ${b.numElements()}")
+    var h = 0
+    var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    h
+  }
+
   /** True iff any byte is >= 0x80 (i.e. the string contains a
     * non-ASCII code point). Early-exit byte scan.
     */

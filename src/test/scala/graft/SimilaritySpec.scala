@@ -57,6 +57,17 @@ class SimilaritySpec extends SparkSpec {
     val stored = SimilaritySearch.binaryTopKStored(spark, path, q, 20)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(stored == plain)
+
+    // Batch probe agrees with the single-query form per query.
+    val batch = SimilaritySearch
+      .binarySignTopKBatch(emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .filter(col("qid") === 0)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val single = SimilaritySearch
+      .binarySignTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(batch == single)
   }
 
   test("LSH ANN returns a subset of the corpus ranked by true cosine, nonzero recall") {
