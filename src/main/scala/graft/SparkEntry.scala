@@ -363,6 +363,49 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Range (interval-containment) join — Spark plans the raw inequality
+    // predicate as BroadcastNestedLoopJoin, O(|L| x |R|); RangeJoin's bin
+    // bucketing turns it into a hash equi-join on the bin id. 7-day
+    // windows binned weekly: each interval explodes into <=2 replicas.
+    "q_range_join" -> ((s, d) => {
+      val points = t(s, d, "lineitem")
+        .filter(col("l_quantity") === 50.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val intervals = t(s, d, "orders")
+        .filter(col("o_totalprice") > 490000.0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, intervals, "l_shipdate", "o_orderdate", "o_end",
+          binWidth = 7 * 86400.0, broadcastIntervals = true)
+        .select(
+          col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_date"),
+          to_date(col("o_orderdate")).as("order_date"))
+        .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // Interval-overlap join (half-open; touching endpoints don't match).
+    // Each overlapping pair is emitted exactly once — in the bin of the
+    // later start — so no distinct pass is needed after the bin join.
+    "q_range_overlap" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val a = orders
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 440000.0)
+        .select(col("o_orderkey").as("a_key"), col("o_orderdate").as("a_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("a_end"))
+      val b = orders
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 470000.0)
+        .select(col("o_orderkey").as("b_key"), col("o_orderdate").as("b_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("b_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+          a, b, "a_start", "a_end", "b_start", "b_end",
+          binWidth = 7 * 86400.0, broadcastRight = true)
+        .select(col("a_key"), col("b_key"),
+          to_date(col("a_start")).as("a_date"), to_date(col("b_start")).as("b_date"))
+        .orderBy("a_key", "b_key")
+    }),
+
     // Multi-level aggregation: rollup over (returnflag, linestatus).
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -1810,6 +1853,30 @@ object SparkEntry {
         |  FROM orders o
         |  JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |) WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
+        |       CAST(l.l_shipdate AS DATE) AS ship_date,
+        |       CAST(o.o_orderdate AS DATE) AS order_date
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+        |WHERE l.l_quantity = 50 AND o.o_totalprice > 490000
+        |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_range_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+        |                  o_orderdate + INTERVAL 7 DAY AS a_end
+        |           FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 440000),
+        |     b AS (SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+        |                  o_orderdate + INTERVAL 7 DAY AS b_end
+        |           FROM orders
+        |           WHERE o_orderstatus = 'F' AND o_totalprice > 470000)
+        |SELECT a_key, b_key,
+        |       CAST(a_start AS DATE) AS a_date, CAST(b_start AS DATE) AS b_date
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |ORDER BY a_key, b_key""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
