@@ -99,6 +99,37 @@ object SparkEntry {
             / count(lit(1))).as("urgent_rate"))
         .orderBy("order_date")),
 
+    // Incremental maintenance of q_agg_daily: partial-state table built
+    // on pre-split history, delta folded in key-wise, derived columns
+    // finalized at read — bit-identical to the full recompute, so the
+    // oracle IS the full-recompute SQL. At 100 TB the delta merge costs
+    // one aggregation of the new day plus |keys| state rows; history is
+    // never re-scanned.
+    "q_agg_incremental" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val split = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      def prep(df: DataFrame): DataFrame = df.select(
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("urgent"))
+      val orders = t(s, d, "orders")
+      val hist = IncrementalAgg.partialState(
+        prep(orders.filter(col("o_orderdate") < lit(split))), Seq("order_date"),
+        sums = Seq("price_sum" -> col("price"), "n_urgent" -> col("urgent")))
+      val delta = IncrementalAgg.partialState(
+        prep(orders.filter(col("o_orderdate") >= lit(split))), Seq("order_date"),
+        sums = Seq("price_sum" -> col("price"), "n_urgent" -> col("urgent")))
+      IncrementalAgg.merge(hist, delta, Seq("order_date"),
+          sumCols = Seq("price_sum", "n_urgent"))
+        .select(
+          col("order_date"),
+          col("n").as("n_orders"),
+          col("price_sum").cast("double").as("total_value"),
+          (col("price_sum").cast("double") / col("n")).as("avg_value"),
+          (col("n_urgent").cast("double") / col("n")).as("urgent_rate"))
+        .orderBy("order_date")
+    }),
+
     // A5/F3: hourly grouped aggregation (gold.py:45-52 pattern) + countDistinct.
     "q_agg_hourly" -> ((s, d) =>
       t(s, d, "events")
@@ -283,6 +314,23 @@ object SparkEntry {
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    }),
+
+    // Manual skew-join split (Skew.skewedEquiJoin): top-k heavy keys on
+    // the big side salted 8 ways, matching small-side rows replicated —
+    // an algebraic identity with the plain join for ANY input, so the
+    // oracle is the unsalted SQL. Usable when AQE can't see the skew
+    // (post-filter skew, deterministic plans).
+    "q_join_skewed" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val customer = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val heavy = graft.operators.Skew.heavyHitters(events, "user_id", topK = 10)
+      graft.operators.Skew.skewedEquiJoin(
+          events, customer, "user_id", "c_custkey", heavy,
+          numSalts = 8, saltSource = col("event_id"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("c_mktsegment")
     }),
 
     // Grouped countDistinct.
@@ -1853,6 +1901,24 @@ object SparkEntry {
         |  FROM orders o
         |  JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |) WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // Full-recompute SQL: the incremental state merge must be
+    // bit-identical to aggregating all of history in one pass.
+    "q_agg_incremental" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS urgent_rate
+        |FROM orders GROUP BY 1 ORDER BY order_date""".stripMargin,
+
+    "q_join_skewed" ->
+      """SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_range_join" ->
       """SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
