@@ -130,6 +130,27 @@ object SparkEntry {
         .orderBy("order_date")
     }),
 
+    // Mergeable distinct-count state: countDistinct is not a monoid, so
+    // IncrementalAgg can't maintain it — the HLL sketch column is
+    // (register-wise max). History + delta sketches union key-wise;
+    // estimate at read. Rows-only: the estimate is DataSketches register
+    // state no SQL engine replays (SURVEY §8); SketchesSpec pins
+    // merged == direct as an exact identity plus an error bound vs
+    // exact distinct counts.
+    "q_distinct_incremental" -> ((s, d) => {
+      import graft.operators.Sketches
+      val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      val events = t(s, d, "events")
+      val hist = Sketches.hllState(
+        events.filter(col("ts") < lit(split)), Seq("event_type"), "user_id")
+      val delta = Sketches.hllState(
+        events.filter(col("ts") >= lit(split)), Seq("event_type"), "user_id")
+      Sketches.hllEstimate(
+          Sketches.hllMerge(hist, delta, Seq("event_type")), "n_users_est")
+        .select(col("event_type"), col("n_users_est"))
+        .orderBy("event_type")
+    }),
+
     // A5/F3: hourly grouped aggregation (gold.py:45-52 pattern) + countDistinct.
     "q_agg_hourly" -> ((s, d) =>
       t(s, d, "events")
