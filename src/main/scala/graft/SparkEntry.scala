@@ -151,6 +151,29 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Mergeable quantile-digest state (GK QuantileSummaries as a binary
+    // column): per-period digests built independently, unioned key-wise,
+    // quantiles read at the end — percentile_approx's own machinery,
+    // exposed so quantile state persists and folds incrementally like
+    // the HLL sketches. Rows-only: the digest's sample set is
+    // engine-internal (SURVEY §8); QuantileStateSpec pins the GK rank
+    // -error bound for direct, split and chained-merge builds.
+    "q_quantile_incremental" -> ((s, d) => {
+      import graft.plans.QuantileStateAgg.{quantileFromState, quantileState, quantileStateMerge}
+      val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      val events = t(s, d, "events")
+      def state(df: DataFrame): DataFrame = df.groupBy("event_type")
+        .agg(quantileState(col("value"), 0.001).as("qs"))
+      state(events.filter(col("ts") < lit(split)))
+        .unionByName(state(events.filter(col("ts") >= lit(split))))
+        .groupBy("event_type")
+        .agg(quantileStateMerge(col("qs"), 0.001).as("qs"))
+        .select(col("event_type"),
+          round(quantileFromState(col("qs"), 0.5), 6).as("p50_value"),
+          round(quantileFromState(col("qs"), 0.95), 6).as("p95_value"))
+        .orderBy("event_type")
+    }),
+
     // A5/F3: hourly grouped aggregation (gold.py:45-52 pattern) + countDistinct.
     "q_agg_hourly" -> ((s, d) =>
       t(s, d, "events")

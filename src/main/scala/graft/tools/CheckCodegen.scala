@@ -82,6 +82,12 @@ object CheckCodegen {
         val rot = graft.operators.Quantization.seededRotation(64, 42L)
         emb.select(
           HashExpressions.matVec(VectorOps.asDouble(col("embedding")), rot, 64)).count()
+      }),
+      "quantileFromState" -> (() => {
+        import graft.plans.QuantileStateAgg.{quantileFromState, quantileState}
+        docs.groupBy(col("lang"))
+          .agg(quantileState(col("n_chars").cast("double")).as("qs"))
+          .select(quantileFromState(col("qs"), 0.5)).count()
       }))
 
     var failed = false
