@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData}
+import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData, Upsert}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -1624,6 +1624,50 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("total_value"))
         .orderBy("o_orderpriority")
+    }),
+
+    // MERGE INTO semantics ([[Upsert.merge]]): matched orders replaced
+    // wholesale, unmatched inserted — anti-join + union, the exact plan
+    // the oracle replays in SQL. Updated money goes through DECIMAL so
+    // the +1000 stays engine-exact.
+    "q_upsert_merge" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000)).cast("double"))
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+      val inserts = orders.filter(col("o_orderkey") % 89 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      Upsert.merge(orders, updates.unionByName(inserts), Seq("o_orderkey"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_value"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // Partition-scoped copy-on-write upsert over a keyed parquet store
+    // ([[Upsert.upsertPartitioned]]): the batch contains partition-MOVERS
+    // (o_year+1), so matched rows relocate across partition directories
+    // and only affected partitions rewrite. The read-back equals the
+    // logical merge, which is what the oracle computes from the raw
+    // table — so the physical store machinery (manifest pruning, dynamic
+    // overwrite, drain cleanup) is behind a full hash gate.
+    "q_upsert_partitioned" -> ((s, d) => {
+      val dir = "target/tmp/upsert_store_contract"
+      val orders = t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+      Upsert.writeKeyedTable(orders, dir, "o_year", "o_orderkey")
+      val updates = orders.filter(col("o_orderkey") % 131 === 0)
+        .withColumn("o_year", col("o_year") + lit(1))
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast("decimal(18,2)") + lit(500)).cast("double"))
+      Upsert.upsertPartitioned(s, dir, "o_year", "o_orderkey", updates)
+      Upsert.readKeyedTable(s, dir)
+        .groupBy("o_year")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_value"))
+        .orderBy("o_year")
     }),
 
     // M8: stratified sample (sampleBy). Rows-only — Bernoulli draws are
@@ -3246,6 +3290,47 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM orders
         |WHERE year(o_orderdate) = 1997
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_upsert_merge" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_orderstatus, '1-URGENT' AS o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 3
+        |), merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM updates
+        |)
+        |SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM merged
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_upsert_partitioned" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+        |  FROM orders
+        |), updates AS (
+        |  SELECT o_orderkey, CAST(o_year + 1 AS INT) AS o_year,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 500 AS DOUBLE) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 131 = 0
+        |), merged AS (
+        |  SELECT o_orderkey, o_year, o_totalprice FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_year, o_totalprice FROM updates
+        |)
+        |SELECT o_year,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM merged
+        |GROUP BY o_year ORDER BY o_year""".stripMargin
   )
 }
