@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData, Upsert}
+import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData, Upsert}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -1670,6 +1670,59 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    // Changelog application ([[Cdc.applyChangelog]]): a Debezium-shaped
+    // op stream (upsert/delete + seq) folds onto a keyed snapshot,
+    // highest seq per key winning. The synthesized log has conflicting
+    // upserts (seq 1 vs 2), deletes that override them (seq 3 on keys in
+    // both residue classes), and fresh inserts — the oracle replays the
+    // same rank window + anti-join + union in SQL.
+    "q_cdc_apply" -> ((s, d) => {
+      val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def bump(amt: Int) = (col("o_totalprice").cast("decimal(18,2)") + lit(amt)).cast("double")
+      val c1 = orders.filter(col("o_orderkey") % 113 === 0)
+        .withColumn("o_totalprice", bump(100))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("upsert"))
+      val c2 = orders.filter(col("o_orderkey") % 113 === 0)
+        .withColumn("o_totalprice", bump(200))
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("upsert"))
+      val c3 = orders.filter(col("o_orderkey") % 127 === 0)
+        .withColumn("seq", lit(3L)).withColumn("op", lit("delete"))
+      val c4 = orders.filter(col("o_orderkey") % 151 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("upsert"))
+      val changes = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+      Cdc.applyChangelog(orders, changes, "o_orderkey", "seq", "op")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_value"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // SCD Type-2 dimension history ([[Cdc.scd2Init]]/[[scd2Apply]]): two
+    // successive attribute snapshots fold into a versioned customer
+    // dimension (%5 keys change at fold 1, %10 ⊂ %5 change again at
+    // fold 2 → three versions). The oracle writes the version table
+    // directly from the residue classes; the (is_current, valid_from)
+    // rollup pins closure dates, flags, and per-version balances.
+    "q_scd2" -> ((s, d) => {
+      val cust = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      def bump(amt: Int) = (col("c_acctbal").cast("decimal(18,2)") + lit(amt)).cast("double")
+      val dim0 = Cdc.scd2Init(cust, to_date(lit("2024-01-01")))
+      val u1 = cust.filter(col("c_custkey") % 5 === 0).withColumn("c_acctbal", bump(100))
+      val dim1 = Cdc.scd2Apply(dim0, u1, "c_custkey", Seq("c_name", "c_acctbal"),
+        to_date(lit("2024-02-01")))
+      val u2 = cust.filter(col("c_custkey") % 10 === 0).withColumn("c_acctbal", bump(200))
+      val dim2 = Cdc.scd2Apply(dim1, u2, "c_custkey", Seq("c_name", "c_acctbal"),
+        to_date(lit("2024-03-01")))
+      dim2.groupBy("is_current", "valid_from")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("is_current", "valid_from")
+    }),
+
     // M8: stratified sample (sampleBy). Rows-only — Bernoulli draws are
     // seed+partitioning-dependent, not SQL-reproducible; the repartition
     // pins the layout so our own runs are deterministic (SURVEY §7.5.7).
@@ -3331,6 +3384,65 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM merged
-        |GROUP BY o_year ORDER BY o_year""".stripMargin
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS o_totalprice,
+        |         1 AS seq, 'upsert' AS op
+        |  FROM base WHERE o_orderkey % 113 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 200 AS DOUBLE),
+        |         2, 'upsert'
+        |  FROM base WHERE o_orderkey % 113 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'delete'
+        |  FROM base WHERE o_orderkey % 127 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, o_orderstatus, o_totalprice, 1, 'upsert'
+        |  FROM base WHERE o_orderkey % 151 = 3
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1
+        |), applied AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
+        |  WHERE lower(op) <> 'delete'
+        |)
+        |SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM applied
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |), hist AS (
+        |  SELECT c_custkey, c_acctbal, DATE '2024-01-01' AS valid_from,
+        |         c_custkey % 5 <> 0 AS is_current
+        |  FROM base
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE),
+        |         DATE '2024-02-01', c_custkey % 10 <> 0
+        |  FROM base WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 200 AS DOUBLE),
+        |         DATE '2024-03-01', true
+        |  FROM base WHERE c_custkey % 10 = 0
+        |)
+        |SELECT is_current, valid_from,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM hist
+        |GROUP BY is_current, valid_from
+        |ORDER BY is_current, valid_from""".stripMargin
   )
 }
