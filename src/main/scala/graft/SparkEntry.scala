@@ -1723,6 +1723,34 @@ object SparkEntry {
         .orderBy("is_current", "valid_from")
     }),
 
+    // Snapshot-versioned table ([[VersionedTable]]): two appends, then
+    // an overwrite — reading BOTH v2 (pre-overwrite) and v3 afterwards
+    // proves old versions stay readable (time travel) and the overwrite
+    // is a manifest reset, not a data rewrite. Versions are
+    // deterministic year slices, so the readback hash-matches SQL that
+    // reconstructs each version's contents from the base table.
+    "q_time_travel" -> ((s, d) => {
+      val dir = "target/tmp/vtable_contract"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+      graft.sources.VersionedTable.commit(s, dir,
+        orders.filter(year(col("o_orderdate")) <= 1994))
+      graft.sources.VersionedTable.commit(s, dir,
+        orders.filter(year(col("o_orderdate")).isin(1995, 1996)))
+      graft.sources.VersionedTable.commit(s, dir,
+        orders.filter(year(col("o_orderdate")) >= 1997), overwrite = true)
+      val v2 = graft.sources.VersionedTable.read(s, dir, 2).withColumn("version", lit(2))
+      val v3 = graft.sources.VersionedTable.read(s, dir, 3).withColumn("version", lit(3))
+      v2.unionByName(v3)
+        .groupBy("version", "o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_value"))
+        .orderBy("version", "o_orderpriority")
+    }),
+
     // M8: stratified sample (sampleBy). Rows-only — Bernoulli draws are
     // seed+partitioning-dependent, not SQL-reproducible; the repartition
     // pins the layout so our own runs are deterministic (SURVEY §7.5.7).
@@ -3443,6 +3471,25 @@ object SparkEntry {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM hist
         |GROUP BY is_current, valid_from
-        |ORDER BY is_current, valid_from""".stripMargin
+        |ORDER BY is_current, valid_from""".stripMargin,
+
+    "q_time_travel" ->
+      """WITH v2 AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE year(o_orderdate) <= 1996
+        |), v3 AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE year(o_orderdate) >= 1997
+        |), u AS (
+        |  SELECT 2 AS version, * FROM v2
+        |  UNION ALL
+        |  SELECT 3 AS version, * FROM v3
+        |)
+        |SELECT version, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM u
+        |GROUP BY version, o_orderpriority
+        |ORDER BY version, o_orderpriority""".stripMargin
   )
 }
