@@ -1751,6 +1751,23 @@ object SparkEntry {
         .orderBy("version", "o_orderpriority")
     }),
 
+    // Token-budget quota sampling ([[TrainingData.budgetSample]]): keep
+    // documents per language in deterministic md5 order until an
+    // absolute unit budget is hit (exclusive-< rule: the crossing doc is
+    // included). fr's budget exceeds its corpus (all kept), zh's is 0
+    // (group empty), es has no budget (dropped). The hybrid
+    // bucket-histogram plan is bit-identical to the naive window the
+    // oracle replays.
+    "q_budget_sample" -> ((s, d) =>
+      TrainingData.budgetSample(
+          t(s, d, "documents"), "doc_id", "lang", "n_chars",
+          Map("en" -> 30000L, "de" -> 10000L, "fr" -> 1000000L, "zh" -> 0L))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("lang")),
+
     // M8: stratified sample (sampleBy). Rows-only — Bernoulli draws are
     // seed+partitioning-dependent, not SQL-reproducible; the repartition
     // pins the layout so our own runs are deterministic (SURVEY §7.5.7).
@@ -3490,6 +3507,25 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM u
         |GROUP BY version, o_orderpriority
-        |ORDER BY version, o_orderpriority""".stripMargin
+        |ORDER BY version, o_orderpriority""".stripMargin,
+
+    "q_budget_sample" ->
+      """WITH scoped AS (
+        |  SELECT lang, n_chars, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh')
+        |), c AS (
+        |  SELECT lang, n_chars,
+        |         sum(n_chars) OVER (
+        |           PARTITION BY lang ORDER BY k, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS excl
+        |  FROM scoped
+        |)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM c
+        |WHERE excl < CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 10000
+        |                       WHEN 'fr' THEN 1000000 ELSE 0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -276,6 +276,84 @@ object TrainingData {
     df.filter(draw < threshold)
   }
 
+  /** Token-budget quota sampling: per group, keep documents in a
+    * deterministic md5 order until the group's budget of `tokenCol`
+    * units is reached — the "give me 1B tokens of code and 500M of
+    * web" mixture op that fraction-based [[mixtureSample]] cannot
+    * express (a fraction needs the corpus size; a budget is absolute).
+    * Keep rule: a row survives iff the EXCLUSIVE running total of
+    * tokens before it (in md5-of-id order, id as tiebreak) is under
+    * budget — so the row crossing the budget is included and a
+    * non-empty group with a positive budget always contributes at
+    * least one document. Groups absent from `budgets` are dropped.
+    * Membership is a pure function of (id, salt, group token multiset)
+    * — append-stable in the same sense as [[deterministicSplit]]* and
+    * engine-replayable (the oracle is a plain SQL window).
+    * (*appends that land inside the kept prefix shift the boundary
+    * row, as ANY exact-budget rule must.)
+    *
+    * Scale shape: the naive form is one running-sum window per group
+    * — a single task sorting an entire group, dead at 100 TB. This
+    * runs two phases instead: (1) one aggregation to per-(group,
+    * md5-prefix-bucket) token totals (≤256·|groups| rows, collected),
+    * whose driver-side prefix sum finds each group's BOUNDARY bucket;
+    * (2) rows in buckets before the boundary are kept by a row-local
+    * filter (no shuffle at all), and the exact window runs only over
+    * each group's single boundary bucket — 1/256th of the group.
+    * Bucket = first hex byte of the same md5 key that orders rows, so
+    * (bucket, key) order IS key order and the hybrid is bit-identical
+    * to the naive window.
+    */
+  def budgetSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "need at least one group budget")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    val keyC = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val scoped = df
+      .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("__key", keyC)
+      .withColumn("__bk", substring(col("__key"), 1, 2))
+    val totals = scoped.groupBy(col(groupCol), col("__bk"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    // Driver prefix sum per group: boundary bucket + budget remaining
+    // on entry. Sentinel "zz" sorts after every hex bucket: the whole
+    // group fits, no boundary window needed.
+    val boundary = budgets.map { case (g, budget) =>
+      var acc = 0L
+      var bb = "zz"
+      var rem = 0L
+      for ((_, bk, t) <- totals.getOrElse(g, Array.empty).sortBy(_._2) if bb == "zz") {
+        if (acc + t < budget) acc += t
+        else { bb = bk; rem = budget - acc }
+      }
+      g -> (bb, rem)
+    }
+    val bMap = typedLit(boundary.map { case (g, (bb, _)) => g -> bb })
+    val rMap = typedLit(boundary.map { case (g, (_, rem)) => g -> rem })
+    val marked = scoped
+      .withColumn("__bb", element_at(bMap, col(groupCol)))
+      .withColumn("__rem", element_at(rMap, col(groupCol)))
+    val fullRows = marked.filter(col("__bk") < col("__bb"))
+    // The window partitions are (group, boundary bucket) — each holds
+    // ~1/256th of its group by construction.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__key"), col(idCol))
+    val boundaryRows = marked.filter(col("__bk") === col("__bb"))
+      .withColumn("__excl",
+        sum(col(tokenCol).cast("long")).over(w) - col(tokenCol).cast("long"))
+      .filter(col("__excl") < col("__rem"))
+      .drop("__excl")
+    fullRows.unionByName(boundaryRows)
+      .drop("__key", "__bk", "__bb", "__rem")
+  }
+
   /** Deterministic train/val/test split: membership is a pure function
     * of the id — the first 8 hex chars of md5(id [+ salt]) compared
     * against cumulative-weight thresholds. Fixed-width lowercase hex

@@ -305,4 +305,67 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(3L) == (3, 0L, 0.0, false))
     assert(got(4L) == (0, 0L, 0.0, false))
   }
+
+  private def budgetFixture = {
+    import spark.implicits._
+    val rows = (1L to 400L).map { i =>
+      val g = if (i % 4 == 0) "web" else if (i % 4 == 1) "code" else "other"
+      (i, g, 10L + (i % 37))
+    }
+    rows.toDF("id", "grp", "toks")
+  }
+
+  /** Naive single-window reference of the budgetSample keep rule. */
+  private def naiveBudget(
+      df: org.apache.spark.sql.DataFrame, budgets: Map[String, Long]): Set[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy(col("grp")).orderBy(
+      md5(concat(col("id").cast("string"))), col("id"))
+    df.filter(col("grp").isin(budgets.keys.toSeq: _*))
+      .withColumn("__excl", sum(col("toks")).over(w) - col("toks"))
+      .filter(col("__excl") < coalesce(
+        element_at(typedLit(budgets), col("grp")), lit(0L)))
+      .select("id").as[Long].collect().toSet
+  }
+
+  test("budgetSample: hybrid bucket plan is bit-identical to the naive window") {
+    val budgets = Map("web" -> 700L, "code" -> 1L, "other" -> 1000000L)
+    val got = TrainingData.budgetSample(budgetFixture, "id", "grp", "toks", budgets)
+      .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(got == naiveBudget(budgetFixture, budgets))
+  }
+
+  test("budgetSample: budget semantics — crossing doc kept, zero budget empty, groups dropped") {
+    import spark.implicits._
+    val budgets = Map("web" -> 700L, "code" -> 1L, "zero" -> 0L)
+    val out = TrainingData.budgetSample(budgetFixture, "id", "grp", "toks", budgets)
+    val byGrp = out.groupBy("grp").agg(sum("toks").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 'other' had no budget: dropped entirely
+    assert(!byGrp.contains("other") && !byGrp.contains("zero"))
+    // web: exclusive-< rule means total is >= budget (crossing doc kept)
+    // but under budget + one max doc
+    assert(byGrp("web")._1 >= 700L && byGrp("web")._1 < 700L + 47L)
+    // code: budget 1 keeps exactly the first doc in md5 order
+    assert(byGrp("code")._2 == 1L)
+    // membership is append-stable for prefix rows: doubling the corpus
+    // with HIGHER-md5-later ids can only shift the boundary, never
+    // reorder kept prefixes — spot-check determinism across reruns
+    val again = TrainingData.budgetSample(budgetFixture, "id", "grp", "toks", budgets)
+      .select("id").as[Long].collect().toSet
+    val first = out.select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
+  test("budgetSample: salt derives an independent deterministic sample") {
+    import spark.implicits._
+    val budgets = Map("web" -> 500L)
+    val a = TrainingData.budgetSample(budgetFixture, "id", "grp", "toks", budgets)
+      .select("id").as[Long].collect().toSet
+    val b = TrainingData.budgetSample(budgetFixture, "id", "grp", "toks", budgets, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a != b, "salted sample should differ")
+    assert(naiveBudget(budgetFixture, budgets) == a)
+  }
 }
