@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, SemanticDedup, SimilaritySearch, TfIdf, TrainingData, Upsert}
+import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, Selection, SemanticDedup, SimilaritySearch, TfIdf, TrainingData, Upsert}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -1768,6 +1768,27 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_kept"))
         .orderBy("lang")),
 
+    // Exact distributed order statistics ([[Selection.kthSmallest]]):
+    // iterative-histogram selection finds true elements at three ranks
+    // without a global sort (tailThreshold forced low so the
+    // distributed rounds actually run at test scale; the default 65536
+    // threshold would take the tail path below ~65k rows). The oracle
+    // reads the same ranks off a row_number window.
+    "q_exact_kth" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val n = li.filter(col("l_extendedprice").isNotNull).count()
+      Seq(
+        ("p25", (n - 1) / 4 + 1),
+        ("p50", (n - 1) / 2 + 1),
+        ("p99", (n - 1) * 99 / 100 + 1))
+        .map { case (name, k) =>
+          (name, k, Selection.kthSmallest(li, "l_extendedprice", k, tailThreshold = 1000))
+        }
+        .toDF("pct", "k", "kth_value")
+        .orderBy("pct")
+    }),
+
     // M8: stratified sample (sampleBy). Rows-only — Bernoulli draws are
     // seed+partitioning-dependent, not SQL-reproducible; the repartition
     // pins the layout so our own runs are deterministic (SURVEY §7.5.7).
@@ -3526,6 +3547,24 @@ object SparkEntry {
         |FROM c
         |WHERE excl < CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 10000
         |                       WHEN 'fr' THEN 1000000 ELSE 0 END
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_exact_kth" ->
+      """WITH n AS (
+        |  SELECT count(*) AS c FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), ranked AS (
+        |  SELECT l_extendedprice AS v,
+        |         row_number() OVER (ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), ks AS (
+        |  SELECT 'p25' AS pct, (c - 1) // 4 + 1 AS k FROM n
+        |  UNION ALL
+        |  SELECT 'p50', (c - 1) // 2 + 1 FROM n
+        |  UNION ALL
+        |  SELECT 'p99', (c - 1) * 99 // 100 + 1 FROM n
+        |)
+        |SELECT pct, CAST(k AS BIGINT) AS k,
+        |       (SELECT v FROM ranked WHERE rn = k) AS kth_value
+        |FROM ks ORDER BY pct""".stripMargin
   )
 }
