@@ -1789,6 +1789,28 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // Bloom-prefiltered big-big join ([[BloomJoin.bloomFilteredJoin]]):
+    // lineitem rows whose order key cannot match the urgent-orders build
+    // side are dropped ROW-LOCALLY before the shuffle (codegen'd
+    // mightContainLong per row); false positives die in the exact join,
+    // so the result — and its hash — equals the plain SQL join.
+    "q_join_bloom" -> ((s, d) => {
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+      graft.operators.BloomJoin.bloomFilteredJoin(
+          li, urgent, Seq("o_orderkey"), "inner", expectedKeys = 100000L)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // M8: stratified sample (sampleBy). Rows-only — Bernoulli draws are
     // seed+partitioning-dependent, not SQL-reproducible; the repartition
     // pins the layout so our own runs are deterministic (SURVEY §7.5.7).
@@ -3565,6 +3587,18 @@ object SparkEntry {
         |)
         |SELECT pct, CAST(k AS BIGINT) AS k,
         |       (SELECT v FROM ranked WHERE rn = k) AS kth_value
-        |FROM ks ORDER BY pct""".stripMargin
+        |FROM ks ORDER BY pct""".stripMargin,
+
+    "q_join_bloom" ->
+      """SELECT o.o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin
   )
 }

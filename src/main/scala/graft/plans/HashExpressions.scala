@@ -355,6 +355,34 @@ case class BloomCountExpr(child: Expression, bloomBytes: Seq[Byte])
     copy(child = newChild)
 }
 
+/** Scalar bloom membership over a LONG key — the probe-side prefilter
+  * of [[graft.operators.BloomJoin]]. Same serialized-bytes transport
+  * and transient-lazy deserialization as [[BloomCountExpr]]; codegen
+  * calls the live filter object directly (one virtual call per row,
+  * no kernel indirection needed for a scalar).
+  */
+case class BloomMightContainExpr(child: Expression, bloomBytes: Seq[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes.toArray))
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bf.mightContainLong(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bf,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dense rotation (row-major d x d) of an array<double> vector — the
   * OPQ-lite step in front of PQ encoding.
   */
@@ -603,6 +631,9 @@ object HashExpressions {
 
   def bloomCount(hashes: Column, bloomBytes: Seq[Byte]): Column =
     column(BloomCountExpr(expression(hashes), bloomBytes))
+
+  def bloomMightContain(keyHash: Column, bloomBytes: Seq[Byte]): Column =
+    column(BloomMightContainExpr(expression(keyHash), bloomBytes))
 
   /** Winnowing fingerprints straight from text: token n-gram hashes ->
     * windowed minima. `w` is the winnowing window (guarantee threshold

@@ -78,6 +78,15 @@ object CheckCodegen {
         docs.select(HashExpressions.bloomCount(
           HashExpressions.wordNGramHashes(col("text"), 3), bos.toByteArray.toSeq)).count()
       }),
+      "bloomMightContain" -> (() => {
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+        bf.putLong(42L)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        docs.select(HashExpressions.bloomMightContain(
+          org.apache.spark.sql.functions.xxhash64(col("doc_id")),
+          bos.toByteArray.toSeq)).count()
+      }),
       "matVec" -> (() => {
         val rot = graft.operators.Quantization.seededRotation(64, 42L)
         emb.select(
