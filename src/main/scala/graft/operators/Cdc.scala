@@ -45,8 +45,10 @@ object Cdc {
         Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // Project straight to the snapshot schema: op (and seq, unless the
+    // snapshot itself carries it — a CDC-maintained store does, see
+    // [[graft.streaming.CdcIngest]]) fall away here.
     val upserts = latest.filter(lower(col(opCol)) =!= "delete")
-      .drop(opCol, seqCol)
       .select(snapshot.columns.map(col): _*)
     val touchedKeys = latest.select(col(keyCol)).distinct()
     snapshot.join(touchedKeys, Seq(keyCol), "left_anti")

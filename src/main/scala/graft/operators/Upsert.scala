@@ -149,16 +149,56 @@ object Upsert {
       outDir: String,
       partitionCol: String,
       keyCol: String,
-      updates: DataFrame): Int = {
-    if (updates.isEmpty) return 0
-    val keys = broadcast(updates.select(col(keyCol).as("__u_key")).distinct())
+      updates: DataFrame): Int =
+    applyKeyed(spark, outDir, partitionCol, keyCol, updates, updates.limit(0))
+
+  /** Targeted delete from a keyed store: rows whose key appears in
+    * `deleteKeys` (one-column DataFrame, any name) are removed,
+    * rewriting only manifest-matched partitions. Same machinery as
+    * [[upsertPartitioned]] with an empty upsert set.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      outDir: String,
+      partitionCol: String,
+      keyCol: String,
+      deleteKeys: DataFrame): Int = {
+    val data = spark.read.parquet(s"$outDir/data")
+    val del = deleteKeys.select(
+      col(deleteKeys.columns.head).cast(data.schema(keyCol).dataType).as(keyCol))
+    applyKeyed(spark, outDir, partitionCol, keyCol, data.limit(0), del)
+  }
+
+  /** One MERGE batch against the store: `upserts` rows replace/insert
+    * by key, `delKeys` keys are removed (a key in both is an upsert —
+    * callers resolve op conflicts first, see
+    * [[graft.streaming.CdcIngest]]). Affected partitions =
+    * manifest-matched(all touched keys) ∪ upsert destinations; only
+    * those rewrite. Returns the number of partitions rewritten.
+    */
+  def applyKeyed(
+      spark: SparkSession,
+      outDir: String,
+      partitionCol: String,
+      keyCol: String,
+      upserts: DataFrame,
+      delKeys: DataFrame): Int = {
+    val updates = upserts
+    val touched = broadcast(
+      updates.select(col(keyCol).as("__u_key"))
+        .union(delKeys.select(col(delKeys.columns.head).as("__u_key")))
+        .distinct())
+    // One key set drives both ops: every touched row leaves via the
+    // anti-join, upserted keys come back from `updates` — so a key in
+    // both sets resolves to its upsert row with no special casing.
+    val keys = touched
     val manifest = spark.read.parquet(s"$outDir/_manifest")
     val matchedParts = manifest
       .join(keys, col("__u_key").between(col("first_key"), col("last_key")), "left_semi")
       .select(col(partitionCol))
     val destParts = updates.select(col(partitionCol)).distinct()
     val affected = matchedParts.union(destParts).distinct().collect().map(_.get(0))
-    // (updates non-empty => destParts non-empty => affected non-empty)
+    if (affected.isEmpty) return 0
 
     // Static partition pruning: one isin over affected partition
     // values — bounded by partition count, never by batch size.
