@@ -141,7 +141,21 @@ object Bench {
         java.nio.file.Paths.get(detailFile),
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
+    // The contract line has been lost to the driver's bounded stdout tail two
+    // rounds running ("parsed": null in BENCH_r8/r9) — shutdown-hook WARNs
+    // landing after it pushed it out of the window. Defense in depth:
+    //   1. silence ALL logging before emitting (nothing can land after),
+    //   2. print the line before AND after spark.stop() (identical copies —
+    //      whichever end of the tail the driver reads, the line is there),
+    //   3. persist the same line to BENCH_LINE.json as a committed fallback.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LINE.json"), (keep + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.sparkContext.setLogLevel("OFF")
+    org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     println(keep)
     spark.stop()
+    println(keep)
+    System.out.flush()
   }
 }

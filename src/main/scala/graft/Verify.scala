@@ -18,6 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema tripwire (SURVEY r9 lesson): a regenerated fixture should cost
+    // ONE loud diff here, not N confusing per-query failures below. Loud but
+    // non-fatal — queries not touching the drifted table still dump.
+    val schemaDrift = graft.sources.TestDataSchema.drift(spark, sfDir)
+    if (schemaDrift.nonEmpty)
+      System.err.println(
+        s"[verify] TESTDATA SCHEMA DRIFT at $sfDir — ${schemaDrift.size} finding(s):\n  " +
+          schemaDrift.mkString("\n  "))
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b dumps just those
     // queries. Unset (the driver's invocation) → the full contract.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

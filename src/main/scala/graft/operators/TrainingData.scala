@@ -61,7 +61,7 @@ object TrainingData {
 
   /** Sink for packed shards: data partitioned by (group, shard_idx) —
     * one directory per shard, the layout a sequential shard reader
-    * expects — plus the [[shardManifest]] under `_manifest`. The
+    * expects — plus the [[shardManifest]] under `manifest`. The
     * partition-aligned repartition before the write keeps it to one file
     * per shard instead of one file per (task x shard).
     */
@@ -79,7 +79,7 @@ object TrainingData {
     shardManifest(packed, groupCol, idCol)
       .repartition(1)
       .write.mode("overwrite")
-      .parquet(s"$outDir/_manifest")
+      .parquet(s"$outDir/manifest")
   }
 
   /** [[packShards]] plus the in-shard token offset a training loader
@@ -179,7 +179,7 @@ object TrainingData {
       deleteIds: DataFrame): Int = {
     val ids = broadcast(
       deleteIds.select(col(deleteIds.columns.head).as("__del_id")).distinct())
-    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    val manifest = spark.read.parquet(s"$outDir/manifest")
     // Manifest range-join: broadcast-nested-loop over (tiny manifest) x
     // (broadcast ids) — both sides are metadata-sized by construction.
     val affected = manifest
@@ -234,20 +234,20 @@ object TrainingData {
     // complement of the SAME range-join that selected `affected`,
     // affected shards recompute from the kept rows. No full-store scan,
     // no per-shard plan text. The tmp write below executes while
-    // _manifest still exists; only then does the swap rename it.
+    // manifest still exists; only then does the swap rename it.
     val recomputed = shardManifest(keep, groupCol, idCol)
     val untouchedDf = manifest
       .join(ids, col("__del_id").between(col("first_id"), col("last_id")), "left_anti")
     untouchedDf.unionByName(recomputed)
       .repartition(1)
       .write.mode("overwrite")
-      .parquet(s"$outDir/_manifest.tmp")
+      .parquet(s"$outDir/manifest.tmp")
     // Aside-rename swap (same discipline as the compacting sink): at no
     // point is the only copy of the manifest inside a directory that a
     // later pass deletes unconditionally.
-    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/_manifest")
-    val mTmp = new org.apache.hadoop.fs.Path(s"$outDir/_manifest.tmp")
-    val mOld = new org.apache.hadoop.fs.Path(s"$outDir/_manifest.old")
+    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/manifest")
+    val mTmp = new org.apache.hadoop.fs.Path(s"$outDir/manifest.tmp")
+    val mOld = new org.apache.hadoop.fs.Path(s"$outDir/manifest.old")
     fs.delete(mOld, true)
     fs.rename(mPath, mOld)
     require(fs.rename(mTmp, mPath), s"manifest swap failed; previous manifest at $mOld")

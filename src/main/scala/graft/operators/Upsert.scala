@@ -86,7 +86,7 @@ object Upsert {
   }
 
   /** Sink for an upsertable table: data partitioned by `partitionCol`
-    * plus a `_manifest` of per-partition key ranges (partition value,
+    * plus a `manifest` of per-partition key ranges (partition value,
     * min/max key, row count) — the metadata that lets
     * [[upsertPartitioned]] prune the rewrite set without opening data
     * files. Same layout discipline as [[TrainingData.writeShards]]:
@@ -105,7 +105,7 @@ object Upsert {
       .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$outDir/data")
     keyManifest(df, partitionCol, keyCol)
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
   }
 
   /** Per-partition key-range manifest rows for `df`. */
@@ -192,7 +192,7 @@ object Upsert {
     // anti-join, upserted keys come back from `updates` — so a key in
     // both sets resolves to its upsert row with no special casing.
     val keys = touched
-    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    val manifest = spark.read.parquet(s"$outDir/manifest")
     val matchedParts = manifest
       .join(keys, col("__u_key").between(col("first_key"), col("last_key")), "left_semi")
       .select(col(partitionCol))
@@ -234,10 +234,10 @@ object Upsert {
     val untouched = manifest.filter(!col(partitionCol).isin(affected: _*))
     untouched.unionByName(keyManifest(out, partitionCol, keyCol))
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$outDir/_manifest.tmp")
-    val mPath = new Path(s"$outDir/_manifest")
-    val mTmp = new Path(s"$outDir/_manifest.tmp")
-    val mOld = new Path(s"$outDir/_manifest.old")
+      .write.mode("overwrite").parquet(s"$outDir/manifest.tmp")
+    val mPath = new Path(s"$outDir/manifest")
+    val mTmp = new Path(s"$outDir/manifest.tmp")
+    val mOld = new Path(s"$outDir/manifest.old")
     fs.delete(mOld, true)
     fs.rename(mPath, mOld)
     require(fs.rename(mTmp, mPath), s"manifest swap failed; previous manifest at $mOld")

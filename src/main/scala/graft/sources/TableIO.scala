@@ -44,18 +44,36 @@ object TableIO {
 
   /** Loader for the driver-generated testdata tables (TESTDATA.md).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read nanos as long and truncate to the microsecond
-    * TimestampType domain (truncation is monotone, so min/max/ordering
-    * semantics survive; sub-second window arithmetic in this engine is
-    * second-granularity anyway, SURVEY §2.5).
+    * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark 4
+    * rejects unless read as long) and plain `timestamp[us]` (which Spark 4
+    * loads as TIMESTAMP_NTZ when `isAdjustedToUTC=false`). The fixture can be
+    * regenerated between rounds, so adapt to the *loaded* type rather than
+    * assuming a physical encoding:
+    *   - LongType      → nanos-as-long shim: truncate to µs TimestampType
+    *                     (truncation is monotone; window arithmetic in this
+    *                     engine is second-granularity anyway, SURVEY §2.5)
+    *   - TimestampType → already the domain the queries assume; pass through
+    *   - anything else (TIMESTAMP_NTZ, string, …) → cast to session-UTC
+    *     TimestampType (GraftSession pins the session TZ to UTC, so an NTZ
+    *     wall-clock reads as the same instant the nanos shim produced)
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize the `ts` column of an events-shaped frame to TimestampType
+    * regardless of the physical parquet encoding it was loaded from.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) loaded via nanosAsLong
+        df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }

@@ -44,7 +44,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(shards.select("source").distinct().as[String].collect().toSet == Set("web", "books"))
 
     // manifest totals agree with the written data
-    val manifest = spark.read.parquet(s"$root/shards/_manifest")
+    val manifest = spark.read.parquet(s"$root/shards/manifest")
     val fromData = shards.groupBy("source", "shard_idx")
       .agg(count(lit(1)).as("n"), sum("n_chunk_tokens").as("tok"))
       .select("source", "shard_idx", "n", "tok")
@@ -256,7 +256,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(packed.count() > 0)
     // offset packing: every shard but a group's last stays within
     // budget + one chunk (window tokens)
-    val manifest = spark.read.parquet(s"$root/shards/_manifest")
+    val manifest = spark.read.parquet(s"$root/shards/manifest")
     val lastIdx = manifest.groupBy("source").agg(max("shard_idx").as("last"))
     val overful = manifest.join(lastIdx, "source")
       .filter(col("shard_idx") =!= col("last") && col("shard_tokens") > 1024 + 64)

@@ -50,4 +50,43 @@ class SelectionSpec extends SparkSpec {
     assert(Selection.quantileDisc(df, "v", 0.5) == 20.0)  // floor(0.5*3)+1 = rank 2
     assert(Selection.quantileDisc(df, "v", 0.75) == 30.0) // floor(.75*3)+1 = rank 3
   }
+
+  test("kthSmallestMulti equals independent single-rank calls on every rank") {
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(4000)(rng.nextInt(200).toDouble) ++
+      Seq.fill(400)(rng.nextDouble() * 1e6) ++ Seq.fill(100)(Double.NaN)
+    val df = vals.toDF("v")
+    // Spread of ranks: some share early buckets, some diverge, one in
+    // the NaN tail, plus duplicates of the same rank in the input.
+    val ks = Seq(1L, 2L, 1000L, 1001L, 2500L, 4399L, 4450L, 1000L)
+    val multi = Selection.kthSmallestMulti(df, "v", ks, tailThreshold = 64)
+    ks.distinct.foreach { k =>
+      val single = Selection.kthSmallest(df, "v", k, tailThreshold = 64)
+      if (single.isNaN) assert(multi(k).isNaN, s"k=$k")
+      else assert(multi(k) == single, s"k=$k")
+    }
+  }
+
+  test("multi-rank shares scans: fewer Spark jobs than three single descents") {
+    val rng = new scala.util.Random(11)
+    val df = Seq.fill(50000)(rng.nextDouble() * 1e9).toDF("v").localCheckpoint(true)
+    def jobsOf(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val ks = Seq(12500L, 25000L, 49500L)
+    var multiRes: Map[Long, Double] = null
+    val multiJobs = jobsOf("sel_multi") {
+      multiRes = Selection.kthSmallestMulti(df, "v", ks, tailThreshold = 500)
+    }
+    var singleRes: Map[Long, Double] = null
+    val singleJobs = jobsOf("sel_single") {
+      singleRes = ks.map(k => k -> Selection.kthSmallest(df, "v", k, tailThreshold = 500)).toMap
+    }
+    assert(multiRes == singleRes)
+    // Shared head pass + shared rounds until divergence: must beat the
+    // three independent descents by a wide margin, not noise.
+    assert(multiJobs * 2 <= singleJobs, s"multi=$multiJobs single=$singleJobs")
+  }
 }

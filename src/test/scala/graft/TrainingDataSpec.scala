@@ -57,7 +57,7 @@ class TrainingDataSpec extends SparkSpec {
       val part = spark.read.parquet(s"$out/data/source=$src/shard_idx=$idx")
       assert(part.count() == nDocs, s"shard $src/$idx row count")
     }
-    val persisted = spark.read.parquet(s"$out/_manifest")
+    val persisted = spark.read.parquet(s"$out/manifest")
     assert(persisted.count() == manifest.size)
   }
 
@@ -163,7 +163,7 @@ class TrainingDataSpec extends SparkSpec {
     assert(data.filter(col("id").isin(2L, 3L)).count() == 0)
     assert(data.count() == 38)
     // manifest agrees with data
-    val m = spark.read.parquet(s"$root/_manifest")
+    val m = spark.read.parquet(s"$root/manifest")
       .select("grp", "shard_idx", "n_docs")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val d = data.groupBy("grp", "shard_idx").count()
@@ -178,7 +178,7 @@ class TrainingDataSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     TrainingData.deleteFromShards(spark, root, "grp", "id", aShard0)
     assert(!new java.io.File(s"$root/data/grp=a/shard_idx=0").exists())
-    assert(spark.read.parquet(s"$root/_manifest")
+    assert(spark.read.parquet(s"$root/manifest")
       .filter(col("grp") === "a" && col("shard_idx") === 0).count() == 0)
   }
 
@@ -201,7 +201,7 @@ class TrainingDataSpec extends SparkSpec {
     assert(data.count() == 20000)
     assert(data.filter(col("id") % 3 === 0).count() == 0)
     // manifest agrees with the data after the bulk rewrite
-    val m = spark.read.parquet(s"$root/_manifest")
+    val m = spark.read.parquet(s"$root/manifest")
       .select("grp", "shard_idx", "n_docs")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val d = data.groupBy("grp", "shard_idx").count()

@@ -98,7 +98,7 @@ class UpsertSpec extends SparkSpec {
     assert(got == want)
 
     // Manifest reflects the store exactly.
-    val m = spark.read.parquet(s"$dir/_manifest")
+    val m = spark.read.parquet(s"$dir/manifest")
       .collect().map(r => r.getInt(r.fieldIndex("yr")) ->
         ((r.getLong(r.fieldIndex("first_key")), r.getLong(r.fieldIndex("last_key")),
           r.getLong(r.fieldIndex("n_rows"))))).toMap
@@ -117,7 +117,7 @@ class UpsertSpec extends SparkSpec {
       .collect().map(r => r.getLong(r.fieldIndex("id")) ->
         ((r.getInt(r.fieldIndex("yr")), r.getString(r.fieldIndex("name"))))).toMap
     assert(got(5L) == ((2020, "e2")) && got.size == 5)
-    val mYears = spark.read.parquet(s"$dir/_manifest")
+    val mYears = spark.read.parquet(s"$dir/manifest")
       .select("yr").as[Int].collect().toSet
     assert(mYears == Set(2020, 2021), "manifest row for drained partition must go")
   }
