@@ -169,10 +169,24 @@ object Selection {
     * rank floor(q * (n-1)) + 1 among non-null rows (the
     * lower-nearest-rank definition; q=0 -> min, q=1 -> max).
     */
-  def quantileDisc(df: DataFrame, valueCol: String, q: Double): Double = {
-    require(q >= 0 && q <= 1, s"q must be in [0,1], got $q")
+  def quantileDisc(df: DataFrame, valueCol: String, q: Double): Double =
+    quantilesDisc(df, valueCol, Seq(q))(q)
+
+  /** Several exact discrete quantiles in ONE shared descent (the
+    * count pass plus one [[kthSmallestMulti]] call) — the exact
+    * counterpart of `percentile_approx(col, array(...))`, for the
+    * cutoffs that are contractually enforced rather than estimated.
+    */
+  def quantilesDisc(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double]): Map[Double, Double] = {
+    qs.foreach(q => require(q >= 0 && q <= 1, s"q must be in [0,1], got $q"))
+    require(qs.nonEmpty, "need at least one quantile")
     val n = df.filter(col(valueCol).isNotNull).count()
     require(n > 0, "quantile of an empty column")
-    kthSmallest(df, valueCol, math.floor(q * (n - 1)).toLong + 1)
+    val rank = qs.distinct.map(q => q -> (math.floor(q * (n - 1)).toLong + 1)).toMap
+    val byRank = kthSmallestMulti(df, valueCol, rank.values.toSeq)
+    qs.map(q => q -> byRank(rank(q))).toMap
   }
 }

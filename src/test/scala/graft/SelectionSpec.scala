@@ -51,6 +51,16 @@ class SelectionSpec extends SparkSpec {
     assert(Selection.quantileDisc(df, "v", 0.75) == 30.0) // floor(.75*3)+1 = rank 3
   }
 
+  test("quantilesDisc: one descent, same answers as per-q calls, q=0/1 endpoints") {
+    val rng = new scala.util.Random(3)
+    val vals = Seq.fill(20000)(rng.nextDouble() * 1e7)
+    val df = vals.toDF("v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.99, 1.0)
+    val multi = Selection.quantilesDisc(df, "v", qs)
+    qs.foreach(q => assert(multi(q) == Selection.quantileDisc(df, "v", q), s"q=$q"))
+    assert(multi(0.0) == vals.min && multi(1.0) == vals.max)
+  }
+
   test("kthSmallestMulti equals independent single-rank calls on every rank") {
     val rng = new scala.util.Random(7)
     val vals = Seq.fill(4000)(rng.nextInt(200).toDouble) ++
