@@ -148,8 +148,14 @@ object Bench {
     //   2. print the line before AND after spark.stop() (identical copies —
     //      whichever end of the tail the driver reads, the line is there),
     //   3. persist the same line to BENCH_LINE.json as a committed fallback.
+    // Same canonical-scale discipline as BENCH_DETAIL: only an sf0.1 run
+    // may write the committed fallback; dev-loop runs land in an ignored
+    // sibling so a small-sf line can never masquerade as the real one.
+    val lineFile =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "BENCH_LINE.json"
+      else "BENCH_LINE_local.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LINE.json"), (keep + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(lineFile), (keep + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("OFF")
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)

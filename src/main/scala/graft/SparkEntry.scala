@@ -1155,6 +1155,38 @@ object SparkEntry {
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 20)
     }),
 
+    // Attribute-filtered exact search: cosine top-k WITHIN the label=1
+    // slice (search restricted to a source/license/label subset — the
+    // standard production vector-search requirement). Exact, so full
+    // SQL oracle; the pruning scale path for the same semantics is
+    // ivfTopKWhere (q_sim_ivf_filtered + SimilaritySpec).
+    "q_sim_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0 && col("label") === 1),
+        "vec_id", "embedding", q, k = 20)
+    }),
+
+    // Attribute-filtered IVF probe ([[SimilaritySearch.ivfTopKWhere]]):
+    // the label predicate prunes INSIDE the probe, between the cell
+    // filter and the scoring projection (the index carries `label` via
+    // carryCols). Probed exhaustively (nprobe = nlist) the result is
+    // EXACTLY the filtered brute-force top-k — model-independent, hence
+    // a full DuckDB hash oracle; nprobe-pruned recall is pinned in
+    // SimilaritySpec.
+    "q_sim_ivf_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val idx = SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 8,
+        carryCols = Seq("label"))
+      SimilaritySearch.ivfTopKWhere(
+        idx, "vec_id", q, col("label") === 1, k = 20, nprobe = 8)
+    }),
+
     // LSH-bucketed ANN variant (rows-only; recall asserted in SimilaritySpec).
     "q_sim_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3191,6 +3223,33 @@ object SparkEntry {
         |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Filtered exact search: q_sim_topk restricted to the label=1 slice.
+    "q_sim_filtered" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0 AND label = 1
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Exhaustive probe (nprobe = nlist) of the filtered IVF index is
+    // filtered brute force by construction — same SQL as q_sim_filtered.
+    "q_sim_ivf_filtered" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0 AND label = 1
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // Exhaustive-shortlist PQ re-rank is brute force by construction

@@ -307,19 +307,26 @@ object SimilaritySearch {
     def release(): Unit = { assigned.unpersist(); () }
   }
 
+  /** @param carryCols metadata columns to co-locate with the index rows
+    *                   (source, license, lang, label, ...) — the
+    *                   prerequisite for attribute-FILTERED search
+    *                   ([[ivfTopKWhere]]): a predicate can only prune
+    *                   inside the probe if its columns live beside the
+    *                   codes, not in a table a probe would have to join.
+    */
   def buildIvfIndex(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
       seed: Long = 42L,
-      maxIter: Int = 8): IvfIndex = {
+      maxIter: Int = 8,
+      carryCols: Seq[String] = Nil): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val prepared = df.select(
-      col(idCol),
-      col(vecCol).as("v"),
-      array_to_vector(col(vecCol)).as("features"))
+      (Seq(col(idCol), col(vecCol).as("v"),
+        array_to_vector(col(vecCol)).as("features")) ++ carryCols.map(col)): _*)
     // Routing cells don't need converged clustering: random init (one
     // pass) + few Lloyd iterations gives the same recall-per-probe as
     // k-means|| at a fraction of the fit jobs; recall is governed by
@@ -327,7 +334,8 @@ object SimilaritySearch {
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .setInitMode("random").setMaxIter(maxIter).fit(prepared)
     val assigned = model.transform(prepared)
-      .select(col(idCol), col("v"), col("prediction").as("cell"))
+      .select((Seq(col(idCol), col("v"), col("prediction").as("cell")) ++
+        carryCols.map(col)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(model.clusterCenters.map(_.toArray), assigned)
   }
@@ -681,6 +689,71 @@ object SimilaritySearch {
       .select(col(idCol), round(VectorOps.cosine(col("v"), qLit), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
       .limit(k)
+  }
+
+  /** Attribute-FILTERED ANN through the IVF index — top-k among rows
+    * satisfying `pred` (over `carryCols` the index was built with, plus
+    * id/cell). The standard production vector-search requirement:
+    * "nearest neighbors within this source/license/language slice".
+    *
+    * The predicate prunes INSIDE the probe — between the cell filter and
+    * the scoring projection — so a narrow slice costs LESS than an
+    * unfiltered probe, never a post-filter of its results. Returned rows
+    * all satisfy `pred` exactly; like every IVF probe, RECALL against the
+    * filtered brute-force answer is governed by `nprobe` — and filtered
+    * search typically wants it WIDER than unfiltered (a selective
+    * predicate thins each probed cell's candidate pool; nprobe = nlist
+    * recovers exact filtered brute force, the SimilaritySpec identity).
+    */
+  def ivfTopKWhere(
+      index: IvfIndex,
+      idCol: String,
+      query: Seq[Double],
+      pred: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int = 8): DataFrame = {
+    def dist2(c: Array[Double]): Double =
+      c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nprobe).map(_._2)
+    val qLit = typedLit(query)
+    index.assigned
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .filter(pred)
+      .select(col(idCol), round(VectorOps.cosine(col("v"), qLit), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Subset-restricted batch ANN: results limited to corpus ids present
+    * in `allowed` (one-column DataFrame, any name) — the id-set form of
+    * filtered search, for when the slice is an upstream computation
+    * (dedup survivors, a decontamination pass) rather than a stored
+    * attribute. The restriction is a semi-join on the candidate set
+    * BEFORE ranking (broadcast when small), so correctness never depends
+    * on the slice being an index attribute.
+    */
+  def ivfTopKBatchAmong(
+      index: IvfIndex,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      allowed: DataFrame,
+      k: Int,
+      nprobe: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    val idName = index.assigned.columns.head
+    val allow = allowed.select(
+      col(allowed.columns.head)
+        .cast(index.assigned.schema(idName).dataType).as("__allow_id"))
+      .distinct()
+    val restricted = IvfIndex(
+      index.centroids,
+      index.assigned.join(
+        broadcast(allow),
+        index.assigned(idName) === col("__allow_id"), "left_semi"))
+    ivfTopKBatch(restricted, queries, qIdCol, qVecCol, k, nprobe, excludeSelf)
   }
 
   /** Batch ANN through the IVF index: a whole DataFrame of queries is

@@ -99,6 +99,56 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("filtered search: predicate prunes inside the probe; exhaustive == filtered brute") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(
+      corpus, "vec_id", "embedding", nlist = 8, carryCols = Seq("label"))
+    // carryCols land beside the codes — the prerequisite for in-probe filtering.
+    assert(idx.assigned.columns.contains("label"))
+    val pred = col("label") === 1
+    val bruteF = SimilaritySearch.bruteForceTopK(
+      corpus.filter(pred), "vec_id", "embedding", query, 20).collect()
+    // nprobe = nlist: the filtered probe IS filtered brute force, exactly.
+    val exhaustive = SimilaritySearch
+      .ivfTopKWhere(idx, "vec_id", query, pred, k = 20, nprobe = 8).collect()
+    assert(exhaustive.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      bruteF.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // Pruned probe: every row satisfies the predicate (exact filter
+    // semantics) and recall against filtered brute force stays useful.
+    val labels = corpus.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val pruned = SimilaritySearch
+      .ivfTopKWhere(idx, "vec_id", query, pred, k = 20, nprobe = 3)
+      .collect().map(_.getLong(0))
+    assert(pruned.forall(labels(_) == 1))
+    val recall = pruned.count(bruteF.map(_.getLong(0)).toSet)
+    assert(recall >= 8, s"filtered-probe recall $recall/20 collapsed")
+  }
+
+  test("ivfTopKBatchAmong restricts results to the allowed id set, exactly at full probe") {
+    val idx = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val allowSet = allowed.as[Long].collect().toSet
+    val queries = emb.filter(col("vec_id").isin(1L, 2L))
+    val got = SimilaritySearch.ivfTopKBatchAmong(
+      idx, queries, "vec_id", "embedding", allowed, k = 10, nprobe = 8)
+      .collect()
+    assert(got.map(_.getAs[Long]("id")).forall(allowSet))
+    // Full probe == per-query brute force over the allowed slice.
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val brute = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id").isin(allowSet.toSeq.map(java.lang.Long.valueOf): _*)
+          && col("vec_id") =!= qid),
+        "vec_id", "embedding", qv, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double]("cos_sim"))).toSeq == brute,
+        s"allowed-slice mismatch for query $qid")
+    }
+  }
+
   test("knn join ranks per left row") {
     val tiny = emb.filter(col("vec_id") < 20)
     val knn = SimilaritySearch.knnJoin(tiny, tiny, "vec_id", "vec_id", "embedding", "embedding", 3)
