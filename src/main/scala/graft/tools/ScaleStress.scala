@@ -89,6 +89,27 @@ object ScaleStress {
     time("emb near-dup LSH (cos>=0.9)")(
       println("[stress]   n_pairs = " + Dedup.embeddingNearDuplicatesLSH(
         emb, "vec_id", "embedding", 0.9, numPlanes = 20, maxHamming = 1).count()))
+    // Filtered search at volume: the in-probe predicate (label slice
+    // carried beside the codes, r10) must cost no more than the
+    // unfiltered probe — it prunes rows the unfiltered probe scores —
+    // while post-filtering an unfiltered top-k returns FEWER than k
+    // slice rows (the correctness deficit that motivates in-probe
+    // filtering; you cannot recover the missing rows without a second,
+    // wider probe).
+    val fidx = time("ivf build w/ carryCols(label)")(
+      SimilaritySearch.buildIvfIndex(
+        emb, "vec_id", "embedding", nlist = 64, carryCols = Seq("label")))
+    val unfiltered = time("unfiltered probe top-20 (nprobe=8)")(
+      SimilaritySearch.ivfTopK(fidx, "vec_id", q, 20, nprobe = 8).collect())
+    val inProbe = time("in-probe filtered top-20 (label=1)")(
+      SimilaritySearch.ivfTopKWhere(
+        fidx, "vec_id", q, col("label") === 1, 20, nprobe = 8).collect())
+    val labels = emb.select(col("vec_id"), col("label"))
+      .filter(col("vec_id").isin(unfiltered.map(r => java.lang.Long.valueOf(r.getLong(0))).toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val postFilterRows = unfiltered.count(r => labels(r.getLong(0)) == 1)
+    println(s"[stress]   in-probe rows = ${inProbe.length}/20; " +
+      s"post-filtering the unfiltered top-20 keeps only $postFilterRows")
     }
 
     section("window") {
