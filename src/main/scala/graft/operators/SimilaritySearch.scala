@@ -372,8 +372,16 @@ object SimilaritySearch {
     Seq(idCol).toDF("id_col").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$path/idcol")
+    // Persist EVERY assignment column — id/vector/cell plus any
+    // carryCols metadata the index was built with: filtered search
+    // ([[ivfTopKWhere]]) must survive the persist/load round-trip, and
+    // a loaded index without its attributes silently could not filter.
+    // The known trio leads so stores predating the idcol sidecar keep
+    // their first-column id contract.
+    val carry = index.assigned.columns
+      .filterNot(Set(idCol, "v", "cell")).map(col).toSeq
     graft.sources.TableIO.writeBucketed(
-      index.assigned.select(col(idCol), col("v"), col("cell")),
+      index.assigned.select((Seq(col(idCol), col("v"), col("cell")) ++ carry): _*),
       tableName, s"$path/assigned", buckets, Seq("cell"))
   }
 

@@ -123,6 +123,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.forall(labels(_) == 1))
     val recall = pruned.count(bruteF.map(_.getLong(0)).toSet)
     assert(recall >= 8, s"filtered-probe recall $recall/20 collapsed")
+    // carryCols survive the persist/load round-trip: a loaded index
+    // filters identically to the in-session one.
+    val path = s"target/tmp/ivf_filtered_${System.nanoTime()}"
+    SimilaritySearch.saveIvfIndex(idx, "vec_id", "ivf_filtered_rt", path, buckets = 4)
+    val loaded = SimilaritySearch.loadIvfIndex(spark, "ivf_filtered_rt", path)
+    assert(loaded.assigned.columns.contains("label"))
+    val loadedRows = SimilaritySearch
+      .ivfTopKWhere(loaded, "vec_id", query, pred, k = 20, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(loadedRows == exhaustive.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
   test("ivfTopKBatchAmong restricts results to the allowed id set, exactly at full probe") {
