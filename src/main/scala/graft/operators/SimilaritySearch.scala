@@ -240,19 +240,27 @@ object SimilaritySearch {
     * unchanged; kept minimal here because packing is so cheap that
     * rebuild-on-change is usually the right call at this code size).
     */
+  /** @param carryCols metadata columns stored beside the sign words —
+    *                   same attribute co-location as
+    *                   [[buildIvfIndex]]'s carryCols, enabling
+    *                   [[binaryTopKStoredWhere]] to filter inside the
+    *                   stored probe.
+    */
   def saveBinaryIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String,
+      carryCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     Seq(idCol).toDF("id_col").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$path/idcol")
     corpus
-      .select(col(idCol),
-        graft.plans.HashExpressions.signPack(VectorOps.asDouble(col(vecCol))).as("words"))
+      .select((Seq(col(idCol),
+        graft.plans.HashExpressions.signPack(VectorOps.asDouble(col(vecCol))).as("words")) ++
+        carryCols.map(col)): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/words")
   }
@@ -265,10 +273,24 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       query: Array[Double],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    binaryTopKStoredWhere(spark, path, query, k, lit(true))
+
+  /** Attribute-filtered Hamming probe of a sign store written with
+    * carryCols: the predicate lands BEFORE the ranking, pushed to the
+    * store's parquet scan by Catalyst — a slice probe reads less, never
+    * post-filters (mirrors [[ivfTopKWhere]] for the IVF store).
+    */
+  def binaryTopKStoredWhere(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      k: Int,
+      pred: org.apache.spark.sql.Column): DataFrame = {
     val idCol = spark.read.json(s"$path/idcol").select("id_col").head().getString(0)
     val qWords = packSignsDriver(query)
     spark.read.parquet(s"$path/words")
+      .filter(pred)
       .select(col(idCol),
         graft.plans.HashExpressions.hammingTo(col("words"), qWords).as("hamming"))
       .orderBy(asc("hamming"), col(idCol))

@@ -53,10 +53,20 @@ class SimilaritySpec extends SparkSpec {
     // Codes at rest: the stored-words probe is bit-identical to the
     // in-session ranking (packing is deterministic).
     val path = s"target/tmp/bin_store_${System.nanoTime()}"
-    SimilaritySearch.saveBinaryIndex(corpus, "vec_id", "embedding", path)
+    SimilaritySearch.saveBinaryIndex(corpus, "vec_id", "embedding", path,
+      carryCols = Seq("label"))
     val stored = SimilaritySearch.binaryTopKStored(spark, path, q, 20)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(stored == plain)
+    // Attribute-filtered stored probe == in-session ranking of the
+    // filtered corpus (carryCols co-located with the sign words).
+    val storedF = SimilaritySearch
+      .binaryTopKStoredWhere(spark, path, q, 20, col("label") === 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val plainF = SimilaritySearch.binarySignTopK(
+      corpus.filter(col("label") === 1), "vec_id", "embedding", q, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(storedF == plainF)
 
     // Batch probe agrees with the single-query form per query.
     val batch = SimilaritySearch
