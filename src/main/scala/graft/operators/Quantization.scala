@@ -455,12 +455,18 @@ object Quantization {
     * of the float array. A probe of the loaded store scans ONLY codes;
     * nothing re-encodes, nothing re-trains.
     */
+  /** @param carryCols metadata columns stored beside the codes — same
+    *                   attribute co-location as the IVF/binary stores,
+    *                   enabling [[pqTopKStoredWhere]] to filter inside
+    *                   the stored probe.
+    */
   def savePqIndex(
       corpus: DataFrame,
       model: PqModel,
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String,
+      carryCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     Seq((model.m, model.kc, model.subDim, model.codebook, idCol))
@@ -469,7 +475,8 @@ object Quantization {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$path/codebook")
     corpus
-      .select(col(idCol), pqEncode(col(vecCol), model).as("codes"))
+      .select((Seq(col(idCol), pqEncode(col(vecCol), model).as("codes")) ++
+        carryCols.map(col)): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codes")
   }
@@ -492,10 +499,24 @@ object Quantization {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       query: Array[Double],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    pqTopKStoredWhere(spark, path, query, k, lit(true))
+
+  /** Attribute-filtered ADC probe of a store written with carryCols:
+    * the predicate lands before the ADC scoring and ranking, pushed to
+    * the codes' parquet scan by Catalyst — uniform with
+    * [[SimilaritySearch.ivfTopKWhere]] / `binaryTopKStoredWhere`.
+    */
+  def pqTopKStoredWhere(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      k: Int,
+      pred: org.apache.spark.sql.Column): DataFrame = {
     val (model, idCol) = loadPqModel(spark, path)
     val lut = adcLut(model, query)
     loadPqCodes(spark, path)
+      .filter(pred)
       .select(col(idCol),
         round(graft.plans.HashExpressions.pqAdc(col("codes"), lut.toSeq, model.kc), 6)
           .as("score"))
@@ -518,6 +539,12 @@ object Quantization {
     * this; its contract stays at-least-once with the marker closing the
     * window to one batch — see
     * [[SimilaritySearch.appendIvfBatchIdempotent]].)
+    *
+    * Constraint: this append path writes (id, codes) only — use it
+    * against stores written WITHOUT carryCols. A carry-bearing store
+    * mixed with carry-free appended files would read the carry columns
+    * as null for appended rows; extend the batch projection if the
+    * streaming path ever needs filtered probes.
     */
   def appendPqBatchIdempotent(
       batch: DataFrame,

@@ -161,7 +161,8 @@ class QuantizationSpec extends SparkSpec {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val query = emb.filter(col("vec_id") === 0)
       .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
-    Quantization.savePqIndex(corpus, model8, "vec_id", "embedding", path)
+    Quantization.savePqIndex(corpus, model8, "vec_id", "embedding", path,
+      carryCols = Seq("label"))
     val (loaded, idCol) = Quantization.loadPqModel(spark, path)
     assert(idCol == "vec_id")
     assert(loaded == model8)
@@ -170,6 +171,15 @@ class QuantizationSpec extends SparkSpec {
     val live = Quantization.pqTopK(corpus, model8, "vec_id", "embedding", query, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(stored == live)
+    // Attribute-filtered stored probe == in-session ADC over the slice
+    // (carryCols co-located with the codes, predicate before ranking).
+    val storedF = Quantization
+      .pqTopKStoredWhere(spark, path, query, 20, col("label") === 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val liveF = Quantization.pqTopK(
+      corpus.filter(col("label") === 1), model8, "vec_id", "embedding", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(storedF == liveF)
   }
 
   test("OPQ rotation: orthonormal, dot-preserving, lifts recall on concentrated variance") {
