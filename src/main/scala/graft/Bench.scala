@@ -36,6 +36,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema tripwire (r9: a silent fixture regeneration turned 39 bench
+    // entries into -1). Loud on stderr, non-fatal — the contract line
+    // still reports whatever runs, with `failed` carrying the signal.
+    val schemaDrift = graft.sources.TestDataSchema.drift(spark, sfDir)
+    if (schemaDrift.nonEmpty)
+      System.err.println(
+        s"[bench] TESTDATA SCHEMA DRIFT at $sfDir — ${schemaDrift.size} finding(s):\n  " +
+          schemaDrift.mkString("\n  "))
     // JIT/codegen warmup: run every bench query once on the tiny sf so
     // headline timings measure the queries, not first-use classloading and
     // codegen of each operator's expression tree.
