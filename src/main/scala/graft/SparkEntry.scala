@@ -786,6 +786,18 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Exactly-k deterministic sample ([[TrainingData.exactSample]]):
+    // the k-th smallest md5-prefix key found by the Selection descent
+    // (no global sort, no TakeOrdered of k rows), strict-below rows
+    // kept row-locally, cutoff ties resolved by id. tailThreshold
+    // forced low so the distributed rounds run at test scale; the
+    // oracle replays membership as ORDER BY substr(md5(..),1,13), id
+    // LIMIT k.
+    "q_exact_sample" -> ((s, d) =>
+      TrainingData.exactSample(
+          t(s, d, "documents"), "doc_id", 150L, salt = "xs", tailThreshold = 64)
+        .orderBy("doc_id")),
+
     // Count-min sketch as a bounded groupBy (depth 4 x width 512):
     // exact top-20 user counts side by side with their CMS estimates.
     // md5-derived bucketing makes the sketch itself engine-replayable,
@@ -2487,6 +2499,14 @@ object SparkEntry {
         |                  WHEN 'src2' THEN '80000000'
         |                  ELSE '40000000' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_exact_sample" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents
+        |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'xs'), 1, 13), doc_id
+        |  LIMIT 150
+        |) ORDER BY doc_id""".stripMargin,
 
     "q_pack_manifest" ->
       """WITH t AS (

@@ -354,6 +354,52 @@ object TrainingData {
       .drop("__key", "__bk", "__bb", "__rem")
   }
 
+  /** EXACTLY-k deterministic sample, distributed, without a global
+    * sort. "Take exactly 10M random docs" cannot be answered by
+    * Bernoulli sampling ([[mixtureSample]] — size is binomial) and a
+    * global `orderBy(hash).limit(k)` is a full-data TakeOrdered whose
+    * driver merge holds k rows — both wrong at 100 TB for large k.
+    *
+    * The sample key is the first 13 hex chars (52 bits — exact in
+    * double space, which [[Selection]] requires) of md5(id ++ salt)
+    * (same key orientation as [[mixtureSample]]/[[deterministicSplit]]):
+    * engine-portable, so the membership contract is plain SQL
+    * (`ORDER BY substr(md5(id || salt), 1, 13), id LIMIT k` — the
+    * DuckDB oracle of `q_exact_sample`). The k-th smallest key is
+    * found by the iterative-histogram descent
+    * ([[Selection.kthSmallest]] — counters cross the wire, not rows);
+    * rows strictly below the cutoff are kept by a row-local filter,
+    * and the handful of rows AT the cutoff (md5-prefix collisions:
+    * expected ~n²/2⁵²) are resolved by id order. Every pass is a scan
+    * or a filter; nothing materializes k rows in one place. `salt`
+    * derives a fresh independent sample; membership is stable across
+    * runs, machines, and engines.
+    */
+  def exactSample(
+      df: DataFrame,
+      idCol: String,
+      k: Long,
+      salt: String = "",
+      tailThreshold: Long = 65536): DataFrame = {
+    require(k >= 0, s"sample size must be >= 0, got $k")
+    if (k == 0) return df.limit(0)
+    val skey = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("long")
+    val keyed = df.withColumn("__skey", skey)
+    val n = df.count()
+    if (k >= n) return df
+    val cutoff = Selection
+      .kthSmallest(keyed, "__skey", k, tailThreshold = tailThreshold)
+      .toLong
+    val below = keyed.filter(col("__skey") < cutoff)
+    val b = below.count()
+    require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
+    val boundary = keyed.filter(col("__skey") === cutoff)
+      .orderBy(col(idCol)).limit((k - b).toInt)
+    below.unionByName(boundary).drop("__skey")
+  }
+
   /** Deterministic train/val/test split: membership is a pure function
     * of the id — the first 8 hex chars of md5(id [+ salt]) compared
     * against cumulative-weight thresholds. Fixed-width lowercase hex

@@ -368,4 +368,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(a != b, "salted sample should differ")
     assert(naiveBudget(budgetFixture, budgets) == a)
   }
+
+  test("exactSample: exactly k, membership == naive key order, salt-independent resample") {
+    val docs = spark.range(1, 5001).toDF("id").withColumn("payload", col("id") * 7)
+    // Naive contract: k smallest (md5-prefix key, id) pairs.
+    def naive(salt: String, k: Int): Set[Long] = docs
+      .withColumn("__k", conv(
+        substring(md5(concat(col("id").cast("string"), lit(salt))), 1, 13), 16, 10)
+        .cast("long"))
+      .orderBy("__k", "id").limit(k)
+      .select("id").as[Long].collect().toSet
+    val k = 1234
+    // Forced-descent path (tailThreshold < n) and the straight-tail
+    // path must agree with each other and with the naive order.
+    val descent = TrainingData.exactSample(docs, "id", k, salt = "s", tailThreshold = 64)
+      .select("id").as[Long].collect()
+    val tail = TrainingData.exactSample(docs, "id", k, salt = "s")
+      .select("id").as[Long].collect()
+    assert(descent.length == k)
+    assert(descent.toSet == tail.toSet)
+    assert(descent.toSet == naive("s", k))
+    // Schema passes through; salt derives an independent sample; edges.
+    assert(TrainingData.exactSample(docs, "id", k).columns.toSeq == Seq("id", "payload"))
+    assert(TrainingData.exactSample(docs, "id", k, salt = "t", tailThreshold = 64)
+      .count() == k)
+    assert(naive("s", k) != naive("t", k))
+    assert(TrainingData.exactSample(docs, "id", 0).count() == 0)
+    assert(TrainingData.exactSample(docs, "id", 5000).count() == 5000)
+    assert(TrainingData.exactSample(docs, "id", 99999).count() == 5000)
+  }
 }
