@@ -798,6 +798,18 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", 150L, salt = "xs", tailThreshold = 64)
         .orderBy("doc_id")),
 
+    // Stratified exactly-k ([[TrainingData.exactSamplePerGroup]]):
+    // min(k, |group|) deterministic rows per source via the bounded-
+    // heap TopKAgg over the md5-prefix key — only groups x k pairs
+    // cross the wire (map-side partial heaps), vs the full sort-
+    // shuffle a row_number window costs. Oracle replays membership as
+    // that very window at test scale.
+    "q_sample_exact_stratified" -> ((s, d) =>
+      TrainingData.exactSamplePerGroup(
+          t(s, d, "documents"), "doc_id", "source", k = 10, salt = "st")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Count-min sketch as a bounded groupBy (depth 4 x width 512):
     // exact top-20 user counts side by side with their CMS estimates.
     // md5-derived bucketing makes the sketch itself engine-replayable,
@@ -2499,6 +2511,15 @@ object SparkEntry {
         |                  WHEN 'src2' THEN '80000000'
         |                  ELSE '40000000' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_exact_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'st'), 1, 13),
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_exact_sample" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (

@@ -375,6 +375,14 @@ object TrainingData {
     * derives a fresh independent sample; membership is stable across
     * runs, machines, and engines.
     */
+  /** The engine-portable sample key: first 13 hex chars (52 bits —
+    * exact in double space) of md5(id ++ salt), as a long.
+    */
+  private def sampleKey(idCol: String, salt: String): Column =
+    conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("long")
+
   def exactSample(
       df: DataFrame,
       idCol: String,
@@ -383,10 +391,7 @@ object TrainingData {
       tailThreshold: Long = 65536): DataFrame = {
     require(k >= 0, s"sample size must be >= 0, got $k")
     if (k == 0) return df.limit(0)
-    val skey = conv(
-      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
-      16, 10).cast("long")
-    val keyed = df.withColumn("__skey", skey)
+    val keyed = df.withColumn("__skey", sampleKey(idCol, salt))
     val n = df.count()
     if (k >= n) return df
     val cutoff = Selection
@@ -398,6 +403,38 @@ object TrainingData {
     val boundary = keyed.filter(col("__skey") === cutoff)
       .orderBy(col(idCol)).limit((k - b).toInt)
     below.unionByName(boundary).drop("__skey")
+  }
+
+  /** STRATIFIED exactly-k: min(k, |group|) deterministic rows per
+    * group — per-source quotas ("40 eval docs from every source")
+    * where [[exactSample]] is corpus-global. NOT a row_number window
+    * (that is a full sort-shuffle of every row): the per-group k
+    * smallest sample keys are collected by the bounded-heap
+    * [[graft.plans.TopKAgg]] — map-side partial heaps merge, so only
+    * groups x k (id, key) pairs cross the wire — and winners semi-join
+    * back for the full rows. Same md5-prefix key and tie rule
+    * (key ASC, id ASC) as [[exactSample]]; the SQL oracle replays it
+    * as a row_number window at test scale. Requires a long-typed
+    * globally-unique `idCol` (TopKAgg's id slot).
+    */
+  def exactSamplePerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"per-group sample size must be >= 1, got $k")
+    // TopKAgg keeps the LARGEST by (value DESC, id ASC); negating the
+    // 52-bit key (exact in double) turns that into smallest-key-first
+    // with id-ascending tie-breaks — the oracle's ORDER BY key, id.
+    val picks = df
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
+      .withColumn("__negkey", -sampleKey("__id", salt).cast("double"))
+      .groupBy(col("__g"))
+      .agg(graft.plans.TopKAgg.topKByValue(col("__negkey"), col("__id"), k).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.id").as("__pick_id"))
+    df.join(picks, df(idCol).cast("long") === col("__pick_id"), "left_semi")
   }
 
   /** Deterministic train/val/test split: membership is a pure function

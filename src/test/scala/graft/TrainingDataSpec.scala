@@ -397,4 +397,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(TrainingData.exactSample(docs, "id", 5000).count() == 5000)
     assert(TrainingData.exactSample(docs, "id", 99999).count() == 5000)
   }
+
+  test("exactSamplePerGroup: min(k, |group|) per group, membership == window replay") {
+    // Groups of size 300 / 300 / 5 — one group smaller than k.
+    val docs = spark.range(1, 606).toDF("id")
+      .withColumn("grp", when(col("id") <= 300, "a")
+        .when(col("id") <= 600, "b").otherwise("c"))
+    val k = 40
+    val got = TrainingData.exactSamplePerGroup(docs, "id", "grp", k, salt = "s")
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map("a" -> 40, "b" -> 40, "c" -> 5))
+    // Naive replay: row_number over (group, sample key, id).
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("__k", conv(
+      substring(md5(concat(col("id").cast("string"), lit("s"))), 1, 13), 16, 10)
+      .cast("long"))
+    val naive = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("__k"), col("id"))))
+      .filter(col("rn") <= k)
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(got == naive)
+    // Salt derives an independent per-group sample.
+    val salted = TrainingData.exactSamplePerGroup(docs, "id", "grp", k, salt = "t")
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(salted != got)
+  }
 }
