@@ -373,7 +373,8 @@ object TrainingData {
     * expected ~n²/2⁵²) are resolved by id order. Every pass is a scan
     * or a filter; nothing materializes k rows in one place. `salt`
     * derives a fresh independent sample; membership is stable across
-    * runs, machines, and engines.
+    * runs, machines, and engines. Requires a unique `idCol` (duplicate
+    * ids share a key, making the boundary tie-break ambiguous).
     */
   /** The engine-portable sample key: first 13 hex chars (52 bits —
     * exact in double space) of md5(id ++ salt), as a long.
