@@ -540,11 +540,10 @@ object Quantization {
     * window to one batch — see
     * [[SimilaritySearch.appendIvfBatchIdempotent]].)
     *
-    * Constraint: this append path writes (id, codes) only — use it
-    * against stores written WITHOUT carryCols. A carry-bearing store
-    * mixed with carry-free appended files would read the carry columns
-    * as null for appended rows; extend the batch projection if the
-    * streaming path ever needs filtered probes.
+    * `carryCols` MUST match the columns the store was written with
+    * ([[savePqIndex]]'s carryCols): appended files joining a
+    * carry-bearing store without them would read those columns as null
+    * for appended rows and silently drop them from filtered probes.
     */
   def appendPqBatchIdempotent(
       batch: DataFrame,
@@ -553,13 +552,15 @@ object Quantization {
       vecCol: String,
       path: String,
       checkpoint: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      carryCols: Seq[String] = Nil): Unit = {
     val hconf = batch.sparkSession.sessionState.newHadoopConf()
     val marker = new org.apache.hadoop.fs.Path(s"$checkpoint/graft-batch-commits/$batchId")
     val fs = marker.getFileSystem(hconf)
     if (fs.exists(marker)) return
     val staging = new org.apache.hadoop.fs.Path(s"$checkpoint/graft-batch-staging/$batchId")
-    batch.select(col(idCol), pqEncode(col(vecCol), model).as("codes"))
+    batch.select((Seq(col(idCol), pqEncode(col(vecCol), model).as("codes")) ++
+        carryCols.map(col)): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(staging.toString)
     val destDir = new org.apache.hadoop.fs.Path(s"$path/codes")
@@ -591,11 +592,13 @@ object Quantization {
       idCol: String,
       vecCol: String,
       path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      carryCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        appendPqBatchIdempotent(batch, model, idCol, vecCol, path, checkpoint, batchId)
+        appendPqBatchIdempotent(
+          batch, model, idCol, vecCol, path, checkpoint, batchId, carryCols)
       }
       .start()
 

@@ -316,7 +316,8 @@ class QuantizationSpec extends SparkSpec {
     val query = emb.filter(col("vec_id") === 0)
       .select(VectorOps.asDouble(col("embedding"))).as[Seq[Double]].head().toArray
     val root = s"target/tmp/pq_stream_${System.nanoTime()}"
-    Quantization.savePqIndex(half, model8, "vec_id", "embedding", s"$root/idx")
+    Quantization.savePqIndex(half, model8, "vec_id", "embedding", s"$root/idx",
+      carryCols = Seq("label"))
     // Land the remaining vectors as a file-source stream.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
     rest.coalesce(1).write.parquet(s"$root/tmp_b0")
@@ -325,7 +326,8 @@ class QuantizationSpec extends SparkSpec {
     java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
     val stream = spark.readStream.schema(emb.schema).parquet(s"$root/in")
     val q = Quantization.streamingPqAppend(
-      stream, model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt")
+      stream, model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt",
+      carryCols = Seq("label"))
     try q.processAllAvailable() finally q.stop()
 
     // Probe over the grown store == probe over a store built in one shot.
@@ -333,19 +335,32 @@ class QuantizationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val oneShotPath = s"$root/oneshot"
     Quantization.savePqIndex(
-      emb.filter(col("vec_id") =!= 0), model8, "vec_id", "embedding", oneShotPath)
+      emb.filter(col("vec_id") =!= 0), model8, "vec_id", "embedding", oneShotPath,
+      carryCols = Seq("label"))
     val oneShot = Quantization.pqTopKStored(spark, oneShotPath, query, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(streamed == oneShot)
+    // carryCols flow through the streamed appends too: the filtered
+    // probe of the grown store == the filtered probe of the one-shot
+    // store (no null-carry appended rows silently dropped).
+    val streamedF = Quantization
+      .pqTopKStoredWhere(spark, s"$root/idx", query, 20, col("label") === 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShotF = Quantization
+      .pqTopKStoredWhere(spark, oneShotPath, query, 20, col("label") === 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamedF == oneShotF && streamedF.nonEmpty)
 
     // Replayed batch id is a no-op; a new id appends.
     val n0 = spark.read.parquet(s"$root/idx/codes").count()
     Quantization.appendPqBatchIdempotent(
-      rest, model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 0L)
+      rest, model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 0L,
+      carryCols = Seq("label"))
     assert(spark.read.parquet(s"$root/idx/codes").count() == n0,
       "same batchId must not append twice")
     Quantization.appendPqBatchIdempotent(
-      rest.limit(5), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 99L)
+      rest.limit(5), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 99L,
+      carryCols = Seq("label"))
     assert(spark.read.parquet(s"$root/idx/codes").count() == n0 + 5)
 
     // The crash WINDOW: files landed but the marker write never happened.
@@ -354,7 +369,8 @@ class QuantizationSpec extends SparkSpec {
     val marker99 = java.nio.file.Paths.get(s"$root/ckpt/graft-batch-commits/99")
     java.nio.file.Files.delete(marker99)
     Quantization.appendPqBatchIdempotent(
-      rest.limit(5), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 99L)
+      rest.limit(5), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt", batchId = 99L,
+      carryCols = Seq("label"))
     assert(spark.read.parquet(s"$root/idx/codes").count() == n0 + 5,
       "replay through the crash window must not duplicate the batch")
     // deterministic names converge: batch 99 owns exactly one file set
