@@ -810,6 +810,21 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Quota-table stratified sampling ([[TrainingData.exactSampleQuotas]]):
+    // per-group k from a (group, quota) DataFrame — one bounded-heap
+    // pass at max(quota), per-group trim by heap rank. Quotas chosen to
+    // exercise every edge on the 20x25 fixture: below group size (src0
+    // 15, src1 5), above it (src2 40 -> whole group), absent groups
+    // (all others) contribute nothing.
+    "q_sample_quotas" -> ((s, d) => {
+      import s.implicits._
+      val quotas = Seq(("src0", 15), ("src1", 5), ("src2", 40)).toDF("source", "quota")
+      TrainingData.exactSampleQuotas(
+          t(s, d, "documents"), "doc_id", "source", quotas, salt = "qt")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Count-min sketch as a bounded groupBy (depth 4 x width 512):
     // exact top-20 user counts side by side with their CMS estimates.
     // md5-derived bucketing makes the sketch itself engine-replayable,
@@ -2510,6 +2525,19 @@ object SparkEntry {
         |                  WHEN 'src1' THEN '80000000'
         |                  WHEN 'src2' THEN '80000000'
         |                  ELSE '40000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_quotas" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'qt'), 1, 13),
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= CASE source WHEN 'src0' THEN 15
+        |                        WHEN 'src1' THEN 5
+        |                        WHEN 'src2' THEN 40
+        |                        ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_exact_stratified" ->

@@ -438,6 +438,42 @@ object TrainingData {
     df.join(picks, df(idCol).cast("long") === col("__pick_id"), "left_semi")
   }
 
+  /** [[exactSamplePerGroup]] with DATA-DRIVEN quotas: `quotas` is a
+    * (group, quota) DataFrame — "40 eval docs from en, 400 from zh" —
+    * rather than one constant k. One bounded-heap pass at
+    * k = max(quota) (quotas are metadata-sized; the max is a driver
+    * scalar), then each group's ranked winners are trimmed to ITS
+    * quota by position — the heap snapshot is already strong-to-weak
+    * ordered, so position IS rank. Groups absent from `quotas`
+    * contribute nothing; quotas larger than the group keep the whole
+    * group. Same key, tie rule, and oracle shape (row_number window
+    * with a per-group limit) as the fixed-k form.
+    */
+  def exactSampleQuotas(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      quotas: DataFrame,
+      salt: String = ""): DataFrame = {
+    val q = quotas.select(
+      col(quotas.columns(0)).as("__qg"),
+      col(quotas.columns(1)).cast("int").as("__quota"))
+    val kmax = q.agg(max(col("__quota"))).head().getInt(0)
+    require(kmax >= 1, s"largest quota must be >= 1, got $kmax")
+    val picks = df
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
+      .withColumn("__negkey", -sampleKey("__id", salt).cast("double"))
+      .groupBy(col("__g"))
+      .agg(graft.plans.TopKAgg.topKByValue(col("__negkey"), col("__id"), kmax).as("top"))
+      // posexplode: the heap snapshot is (value DESC, id ASC) ordered,
+      // so pos is the 0-based per-group rank — trim at the group quota.
+      .select(col("__g"), posexplode(col("top")).as(Seq("__pos", "e")))
+      .join(broadcast(q), col("__g") === col("__qg"), "inner")
+      .filter(col("__pos") < col("__quota"))
+      .select(col("e.id").as("__pick_id"))
+    df.join(picks, df(idCol).cast("long") === col("__pick_id"), "left_semi")
+  }
+
   /** Deterministic train/val/test split: membership is a pure function
     * of the id — the first 8 hex chars of md5(id [+ salt]) compared
     * against cumulative-weight thresholds. Fixed-width lowercase hex

@@ -424,4 +424,22 @@ class TrainingDataSpec extends SparkSpec {
       .select("id", "grp").as[(Long, String)].collect().toSet
     assert(salted != got)
   }
+
+  test("exactSampleQuotas: per-group quota table; absent groups dropped; == window replay") {
+    val docs = spark.range(1, 606).toDF("id")
+      .withColumn("grp", when(col("id") <= 300, "a")
+        .when(col("id") <= 600, "b").otherwise("c"))
+    // a: quota below size; b: absent (dropped); c: quota above size (5 rows).
+    val quotas = Seq(("a", 25), ("c", 99)).toDF("g", "q")
+    val got = TrainingData.exactSampleQuotas(docs, "id", "grp", quotas, salt = "s")
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map("a" -> 25, "c" -> 5))
+    // Fixed-k form at each group's quota must agree on that group.
+    val fixed25 = TrainingData.exactSamplePerGroup(docs, "id", "grp", 25, salt = "s")
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(got.filter(_._2 == "a") == fixed25.filter(_._2 == "a"))
+    assert(got.filter(_._2 == "c") == docs.filter(col("grp") === "c")
+      .select("id", "grp").as[(Long, String)].collect().toSet)
+  }
 }
