@@ -289,12 +289,68 @@ object SimilaritySearch {
       pred: org.apache.spark.sql.Column): DataFrame = {
     val idCol = spark.read.json(s"$path/idcol").select("id_col").head().getString(0)
     val qWords = packSignsDriver(query)
-    spark.read.parquet(s"$path/words")
+    loadBinaryWords(spark, path)
       .filter(pred)
       .select(col(idCol),
         graft.plans.HashExpressions.hammingTo(col("words"), qWords).as("hamming"))
       .orderBy(asc("hamming"), col(idCol))
       .limit(k)
+  }
+
+  /** The stored sign words with tombstones filtered (broadcast
+    * anti-join, keyed on the id column by NAME from the sidecar) —
+    * same lifecycle contract as the IVF and PQ stores.
+    */
+  def loadBinaryWords(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val idCol = spark.read.json(s"$path/idcol").select("id_col").head().getString(0)
+    val words = spark.read.parquet(s"$path/words")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) {
+      val ts = spark.read.parquet(tp.toString).distinct()
+      words.join(broadcast(ts), words(idCol) === ts("__del_id"), "left_anti")
+    } else words
+  }
+
+  /** Tombstone deletion for a persisted sign store — metadata-only,
+    * O(deletions); probes via [[binaryTopKStored]]/
+    * [[binaryTopKStoredWhere]] exclude deleted ids at load. Batch form:
+    * ids flow in as DATA (a one-column DataFrame), never plan text.
+    */
+  def deleteFromBinaryIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame): Unit = {
+    ids.select(col(ids.columns.head).as("__del_id")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/_tombstones")
+  }
+
+  def deleteFromBinaryIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long]): Unit = {
+    if (ids.nonEmpty) {
+      import spark.implicits._
+      deleteFromBinaryIndex(spark, path, ids.toDF("__del_id"))
+    }
+  }
+
+  /** Fold tombstones into the sign store: rewrite words without the
+    * deleted rows, drop the tombstone file. O(index) — amortize over
+    * many deletions, like the IVF/PQ vacuums.
+    */
+  def vacuumBinaryIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val clean = loadBinaryWords(spark, path).localCheckpoint(true)
+    clean.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/words")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    ()
   }
 
   private def packSignsDriver(v: Array[Double]): Seq[Long] = {

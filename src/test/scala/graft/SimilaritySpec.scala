@@ -68,6 +68,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(storedF == plainF)
 
+    // Tombstone lifecycle (same contract as the IVF/PQ stores):
+    // deletion is metadata-only, probes exclude victims at load,
+    // vacuum folds them in and removes the tombstone file.
+    val victims = stored.take(2).map(_._1)
+    SimilaritySearch.deleteFromBinaryIndex(spark, path, victims.toSeq)
+    val afterDel = SimilaritySearch.binaryTopKStored(spark, path, q, 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(victims.forall(v => !afterDel.contains(v)))
+    assert(new java.io.File(s"$path/_tombstones").exists())
+    // raw words still hold the victims until vacuum
+    val raw = spark.read.parquet(s"$path/words").select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(raw.contains))
+    SimilaritySearch.vacuumBinaryIndex(spark, path)
+    assert(!new java.io.File(s"$path/_tombstones").exists())
+    val afterVacuum = SimilaritySearch.binaryTopKStored(spark, path, q, 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterVacuum == afterDel)
+    val rawAfter = spark.read.parquet(s"$path/words").select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !rawAfter.contains(v)))
+
     // Batch probe agrees with the single-query form per query.
     val batch = SimilaritySearch
       .binarySignTopKBatch(emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
