@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse a JSON contract line from raw stdout.
+// sbt's default output strategy wraps every forked-run line in "[info] ",
+// which put the bench line's first byte at column 8 and broke the driver's
+// parser three rounds running (BENCH_r{8,9,10}.json "parsed": null).
+// StdoutOutput passes the forked JVM's stdout through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

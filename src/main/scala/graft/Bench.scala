@@ -34,6 +34,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // TableIO.normalizeEventTs's TIMESTAMP_NTZ branch casts through the
+      // session timezone; without this pin, bench semantics over ts would
+      // diverge from Verify/oracle on a non-UTC host.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Schema tripwire (r9: a silent fixture regeneration turned 39 bench

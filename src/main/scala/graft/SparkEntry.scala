@@ -1485,6 +1485,18 @@ object SparkEntry {
         .select("vec_id", "label")
         .orderBy("vec_id")),
 
+    // Adaptive per-cell epsilon (r11): tau_cell rises with the cell's
+    // ambient similarity (median cos-to-cell-mean squared), so dense
+    // cells don't over-merge at a corpus-global floor. Rows-only for
+    // the same reason as q_dedup_semantic (KMeans cell state); the
+    // dense-tightens / sparse-keeps-floor / precision-subset pins are
+    // SemanticDedupSpec's adaptive case.
+    "q_dedup_semantic_adaptive" -> ((s, d) =>
+      SemanticDedup.semanticDedupAdaptive(t(s, d, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, tauFloor = 0.5, beta = 0.5)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
+
     // Multimodal: binary content column + metadata pass (decode path is
     // exercised via Multimodal.extractFeatures in MultimodalSpec).
     "q_multimodal_meta" -> ((s, d) =>

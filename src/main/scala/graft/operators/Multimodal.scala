@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode / feature-extract
   * runs partition-local behind a pluggable decoder.
   *
-  * The decode step is STUBBED (no codec libraries in this environment):
-  * `StubDecoder` produces a deterministic fake from the content bytes so
-  * the Spark-side plumbing — schema, binary batching, partition-local
-  * execution, feature schema — is real and testable. A deployment binds
-  * a real codec behind the same `MediaDecoder` trait.
+  * Two decoders ship behind the `MediaDecoder` trait:
+  * [[ImageIoDecoder]] decodes REAL image bytes (PNG/JPEG/GIF/BMP) via
+  * the JDK's `javax.imageio`; [[StubDecoder]] produces a deterministic
+  * fake from the content bytes for modalities with no JDK codec
+  * (audio/video) and for the reproducible oracle path — the Spark-side
+  * plumbing (schema, binary batching, partition-local execution,
+  * feature schema) is identical either way.
   */
 final case class MediaRecord(
     media_id: Long,
@@ -72,6 +74,113 @@ object StubDecoder extends MediaDecoder {
     val seed = md.digest()
     val n = math.max(16, math.min(w * h / 8, 4096))
     Array.tabulate(n)(i => seed(i % seed.length))
+  }
+}
+
+/** REAL image codec over the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+  * no external jars): decodes actual pixels for dimensions, frame count
+  * (multi-frame GIF via `getNumImages`), and an 8-dim content feature
+  * (mean R/G/B, per-quadrant mean luma, aspect ratio). Non-image
+  * modalities delegate to [[StubDecoder]] (no audio/video codec ships
+  * with the JDK); undecodable image bytes report 0 frames — the
+  * corrupt-media convention [[Multimodal.frameSample]] already
+  * tolerates — rather than failing a 100 TB job on one bad payload.
+  */
+object ImageIoDecoder extends MediaDecoder {
+  // ImageIO's default disk cache writes temp files per decode; executors
+  // decode in tight loops over in-memory byte arrays, so cache in heap.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Feature grid resolution: pixel stats are sampled on at most this
+    * many points per axis, so feature cost is bounded for arbitrarily
+    * large images (a 100-megapixel scan costs the same as a thumbnail).
+    */
+  private val SampleGrid = 64
+
+  private def withReader[A](content: Array[Byte])(
+      f: javax.imageio.ImageReader => A): Option[A] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        // seekForwardOnly=false: getNumImages(true) must scan the stream.
+        reader.setInput(iis, false, true)
+        try Some(f(reader))
+        finally reader.dispose()
+      }
+    } catch { case _: java.io.IOException => None }
+    finally iis.close()
+  }
+
+  override def decode(modality: String, content: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    if (modality != "image") return StubDecoder.decode(modality, content)
+    withReader(content) { reader =>
+      val frames =
+        try reader.getNumImages(true)
+        catch { case _: java.io.IOException => 1 }
+      val img = reader.read(0)
+      val w = img.getWidth
+      val h = img.getHeight
+      // Bounded-cost pixel stats on a <= SampleGrid^2 lattice.
+      val gx = math.min(w, SampleGrid)
+      val gy = math.min(h, SampleGrid)
+      var sr, sg, sb = 0.0
+      // Quadrant luma sums (top-left, top-right, bottom-left, bottom-right).
+      val ql = new Array[Double](4)
+      val qn = new Array[Long](4)
+      var iy = 0
+      while (iy < gy) {
+        val y = (iy.toLong * h / gy).toInt
+        var ix = 0
+        while (ix < gx) {
+          val x = (ix.toLong * w / gx).toInt
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+          ql(q) += 0.299 * r + 0.587 * g + 0.114 * b
+          qn(q) += 1
+          ix += 1
+        }
+        iy += 1
+      }
+      val n = (gx.toLong * gy).toDouble
+      val emb = Array(
+        (sr / n / 255.0).toFloat,
+        (sg / n / 255.0).toFloat,
+        (sb / n / 255.0).toFloat,
+        (if (qn(0) > 0) ql(0) / qn(0) / 255.0 else 0.0).toFloat,
+        (if (qn(1) > 0) ql(1) / qn(1) / 255.0 else 0.0).toFloat,
+        (if (qn(2) > 0) ql(2) / qn(2) / 255.0 else 0.0).toFloat,
+        (if (qn(3) > 0) ql(3) / qn(3) / 255.0 else 0.0).toFloat,
+        (w.toDouble / math.max(1, h)).toFloat)
+      (w, h, frames, emb)
+    }.getOrElse((0, 0, 0, Array.empty[Float]))
+  }
+
+  override def resize(modality: String, content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (modality != "image") return StubDecoder.resize(modality, content, w, h)
+    withReader(content)(_.read(0)) match {
+      case None => content // undecodable: pass through, decode reports 0 frames
+      case Some(src) =>
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(src, 0, 0, w, h, null)
+        } finally g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+    }
   }
 }
 

@@ -544,6 +544,9 @@ object Quantization {
     * ([[savePqIndex]]'s carryCols): appended files joining a
     * carry-bearing store without them would read those columns as null
     * for appended rows and silently drop them from filtered probes.
+    * ENFORCED: the existing `codes/` schema is read and the appended
+    * column set must equal it, else the append fails fast instead of
+    * writing schema-divergent files.
     */
   def appendPqBatchIdempotent(
       batch: DataFrame,
@@ -559,11 +562,25 @@ object Quantization {
     val fs = marker.getFileSystem(hconf)
     if (fs.exists(marker)) return
     val staging = new org.apache.hadoop.fs.Path(s"$checkpoint/graft-batch-staging/$batchId")
-    batch.select((Seq(col(idCol), pqEncode(col(vecCol), model).as("codes")) ++
+    val appended = batch.select((Seq(col(idCol), pqEncode(col(vecCol), model).as("codes")) ++
         carryCols.map(col)): _*)
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    // Fail fast on a carryCols/store mismatch: files whose column set
+    // diverges from the store's would read the missing columns as null
+    // and silently vanish from filtered probes (pqTopKStoredWhere).
+    if (fs.exists(codesDir) && fs.listStatus(codesDir).exists(s => s.isFile && s.getLen > 0)) {
+      val storeCols = batch.sparkSession.read.parquet(codesDir.toString).columns.sorted.toSeq
+      val batchCols = appended.columns.sorted.toSeq
+      require(batchCols == storeCols,
+        s"appendPqBatchIdempotent carryCols mismatch: store at $path/codes has " +
+          s"columns ${storeCols.mkString("[", ", ", "]")} but this batch would " +
+          s"append ${batchCols.mkString("[", ", ", "]")} - pass the same " +
+          "carryCols the store was written with")
+    }
+    appended
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(staging.toString)
-    val destDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val destDir = codesDir
     fs.mkdirs(destDir)
     val batchPrefix = s"graft-b$batchId-"
     fs.listStatus(destDir).map(_.getPath)

@@ -94,11 +94,15 @@ object Selection {
       val (finished, narrowing) = active.partition(g =>
         g.lo == g.hi || g.cnt <= tailThreshold || (g.hi - g.lo) / buckets == 0)
       finished.foreach { g =>
-        if (g.lo == g.hi || (g.hi - g.lo) / buckets == 0) {
-          // Single value left — or sub-resolution range (the split
-          // width underflows to 0 in denormal territory): every
-          // remaining value is within one representable step of lo,
-          // so lo IS the answer at double precision.
+        if (g.lo == g.hi || (g.cnt > tailThreshold && (g.hi - g.lo) / buckets == 0)) {
+          // Single value left — or a sub-resolution range (split width
+          // underflows to 0 in denormal territory) TOO LARGE for the
+          // exact tail: every remaining value is within one
+          // representable step of lo, so lo is the answer at double
+          // precision. When the group instead fits the tail threshold,
+          // the exact branch below runs even at sub-resolution width —
+          // there the true k-th can be hi, and collecting <= threshold
+          // rows is cheap (matches the pre-multi kthSmallest behavior).
           g.ranks.foreach { case (k, _) => resolved(k) = g.lo }
         } else {
           // Exact tail: TakeOrderedAndProject keeps <= kRem rows per

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Corpus-preparation operators a training-data pipeline runs after
   * dedup/quality filtering: token-budget shard packing and benchmark
@@ -418,6 +419,26 @@ object TrainingData {
     * as a row_number window at test scale. Requires a long-typed
     * globally-unique `idCol` (TopKAgg's id slot).
     */
+  /** The per-group samplers route ids through [[graft.plans.TopKAgg]]'s
+    * long id slot via `cast("long")`. On a non-integral id column that
+    * cast yields null for every non-numeric value, null ids are skipped
+    * by the aggregate, and the closing semi-join then matches nothing —
+    * a SILENTLY empty/partial sample (observed with string ids like
+    * "doc_42"). Fail fast at plan time instead.
+    */
+  private def requireIntegralIds(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"$op requires an integral (byte/short/int/long) id column; " +
+        s"'$idCol' is ${dt.simpleString}. Casting non-numeric ids to long " +
+        "yields nulls and a silently empty sample - map ids to a long " +
+        "surrogate (e.g. monotonically_increasing_id or xxhash64) first.")
+  }
+
   def exactSamplePerGroup(
       df: DataFrame,
       idCol: String,
@@ -425,6 +446,7 @@ object TrainingData {
       k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, s"per-group sample size must be >= 1, got $k")
+    requireIntegralIds(df, idCol, "exactSamplePerGroup")
     // TopKAgg keeps the LARGEST by (value DESC, id ASC); negating the
     // 52-bit key (exact in double) turns that into smallest-key-first
     // with id-ascending tie-breaks — the oracle's ORDER BY key, id.
@@ -440,14 +462,18 @@ object TrainingData {
 
   /** [[exactSamplePerGroup]] with DATA-DRIVEN quotas: `quotas` is a
     * (group, quota) DataFrame — "40 eval docs from en, 400 from zh" —
-    * rather than one constant k. One bounded-heap pass at
-    * k = max(quota) (quotas are metadata-sized; the max is a driver
-    * scalar), then each group's ranked winners are trimmed to ITS
-    * quota by position — the heap snapshot is already strong-to-weak
-    * ordered, so position IS rank. Groups absent from `quotas`
-    * contribute nothing; quotas larger than the group keep the whole
-    * group. Same key, tie rule, and oracle shape (row_number window
-    * with a per-group limit) as the fixed-k form.
+    * rather than one constant k. The quota table is metadata-sized, so
+    * it is BROADCAST onto the rows before the aggregate, and the
+    * bounded heap ([[graft.plans.TopKVarAgg]]) is sized at each
+    * group's OWN quota — a skewed quota table (one group wanting 1M,
+    * the rest 10) no longer forces a max(quota)-entry heap into every
+    * group's partial aggregate, and rows of groups absent from
+    * `quotas` are dropped by the broadcast join before they reach the
+    * shuffle at all. Groups absent from `quotas` (or with quota <= 0,
+    * or an EMPTY quota table) contribute nothing; quotas larger than
+    * the group keep the whole group. Same key, tie rule, and oracle
+    * shape (row_number window with a per-group limit) as the fixed-k
+    * form.
     */
   def exactSampleQuotas(
       df: DataFrame,
@@ -455,21 +481,19 @@ object TrainingData {
       groupCol: String,
       quotas: DataFrame,
       salt: String = ""): DataFrame = {
+    requireIntegralIds(df, idCol, "exactSampleQuotas")
     val q = quotas.select(
       col(quotas.columns(0)).as("__qg"),
       col(quotas.columns(1)).cast("int").as("__quota"))
-    val kmax = q.agg(max(col("__quota"))).head().getInt(0)
-    require(kmax >= 1, s"largest quota must be >= 1, got $kmax")
+      .filter(col("__quota") >= 1)
     val picks = df
       .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
+      .join(broadcast(q), col("__g") === col("__qg"), "inner")
       .withColumn("__negkey", -sampleKey("__id", salt).cast("double"))
       .groupBy(col("__g"))
-      .agg(graft.plans.TopKAgg.topKByValue(col("__negkey"), col("__id"), kmax).as("top"))
-      // posexplode: the heap snapshot is (value DESC, id ASC) ordered,
-      // so pos is the 0-based per-group rank — trim at the group quota.
-      .select(col("__g"), posexplode(col("top")).as(Seq("__pos", "e")))
-      .join(broadcast(q), col("__g") === col("__qg"), "inner")
-      .filter(col("__pos") < col("__quota"))
+      .agg(graft.plans.TopKAgg
+        .topKByValueVarK(col("__negkey"), col("__id"), col("__quota")).as("top"))
+      .select(explode(col("top")).as("e"))
       .select(col("e.id").as("__pick_id"))
     df.join(picks, df(idCol).cast("long") === col("__pick_id"), "left_semi")
   }

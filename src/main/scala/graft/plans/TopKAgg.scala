@@ -162,4 +162,121 @@ object TopKAgg {
     */
   def topKByValue(value: Column, id: Column, k: Int): Column =
     column(TopKAgg(expression(value), expression(id), k).toAggregateExpression())
+
+  /** Column form of [[TopKVarAgg]]: per-group top-k where k is a
+    * PER-ROW column (constant within each group — e.g. a quota joined
+    * onto the rows). Heaps are sized at each group's own k, not a
+    * global max: one group with quota 1M no longer forces a 1M-entry
+    * heap into every other group's partial aggregate.
+    */
+  def topKByValueVarK(value: Column, id: Column, k: Column): Column =
+    column(TopKVarAgg(expression(value), expression(id), expression(k))
+      .toAggregateExpression())
+}
+
+/** Lazily-sized heap buffer for [[TopKVarAgg]]: capacity is unknown
+  * until the first row of the group arrives carrying its k.
+  */
+final class VarKHeapBuffer {
+  var heap: TopKHeap = null
+  def ensure(k: Int): TopKHeap = {
+    if (heap == null) heap = new TopKHeap(k)
+    heap
+  }
+}
+
+/** [[TopKAgg]] with k read from a third input expression instead of a
+  * constructor constant. Contract: k is constant within a group (the
+  * first row seen sizes the heap); rows with k <= 0 or null are
+  * ignored, and a group whose every row has k <= 0 evaluates to an
+  * empty array. Same total order (value DESC, id ASC), same
+  * partial-aggregation shape — each (partition, group) sends at most
+  * ITS k entries to the shuffle.
+  */
+case class TopKVarAgg(
+    valueExpr: Expression,
+    idExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VarKHeapBuffer] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(valueExpr, idExpr, kExpr)
+
+  override def inputTypes = Seq(DoubleType, LongType, org.apache.spark.sql.types.IntegerType)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("value", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): VarKHeapBuffer = new VarKHeapBuffer
+
+  override def update(buffer: VarKHeapBuffer, input: InternalRow): VarKHeapBuffer = {
+    val v = valueExpr.eval(input)
+    val id = idExpr.eval(input)
+    val k = kExpr.eval(input)
+    if (v != null && id != null && k != null && k.asInstanceOf[Int] > 0) {
+      buffer.ensure(k.asInstanceOf[Int])
+        .offer(v.asInstanceOf[Double], id.asInstanceOf[Long])
+    }
+    buffer
+  }
+
+  override def merge(buffer: VarKHeapBuffer, other: VarKHeapBuffer): VarKHeapBuffer = {
+    if (other.heap != null) {
+      val h = buffer.ensure(other.heap.k)
+      var i = 0
+      while (i < other.heap.n) { h.offer(other.heap.vs(i), other.heap.ids(i)); i += 1 }
+    }
+    buffer
+  }
+
+  override def eval(buffer: VarKHeapBuffer): Any = {
+    val entries =
+      if (buffer.heap == null) Array.empty[(Double, Long)] else buffer.heap.sorted
+    new GenericArrayData(entries.map { case (v, id) =>
+      new GenericInternalRow(Array[Any](v, id))
+    })
+  }
+
+  override def serialize(buffer: VarKHeapBuffer): Array[Byte] = {
+    val h = buffer.heap
+    val n = if (h == null) 0 else h.n
+    val bb = ByteBuffer.allocate(8 + n * 16)
+    bb.putInt(if (h == null) 0 else h.k)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putDouble(h.vs(i)); bb.putLong(h.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VarKHeapBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val n = bb.getInt
+    val buffer = new VarKHeapBuffer
+    if (k > 0) {
+      val h = buffer.ensure(k)
+      var i = 0
+      while (i < n) {
+        val v = bb.getDouble; val id = bb.getLong
+        h.offer(v, id)
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKVarAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKVarAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(valueExpr = newChildren(0), idExpr = newChildren(1), kExpr = newChildren(2))
 }

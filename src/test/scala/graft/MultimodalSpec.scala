@@ -76,4 +76,73 @@ class MultimodalSpec extends SparkSpec {
       graft.operators.Multimodal.frameSample(media, stride = 0, maxFrames = 5)
     }
   }
+
+  /** A real PNG rendered in-test: left half red, right half blue. */
+  private def halfToneImage(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(java.awt.Color.RED)
+      g2.fillRect(0, 0, w / 2, h)
+      g2.setColor(java.awt.Color.BLUE)
+      g2.fillRect(w / 2, 0, w - w / 2, h)
+    } finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNG bytes: dims, frames, pixel-derived features") {
+    import spark.implicits._
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "image", halfToneImage(80, 40), "s"),
+      graft.operators.MediaRecord(2L, "image", "not an image".getBytes, "s"))
+      .toDS().toDF()
+    val feats = graft.operators.Multimodal
+      .extractFeatures(media, graft.operators.ImageIoDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    val ok = feats(1L)
+    assert(ok.width == 80 && ok.height == 40 && ok.n_frames == 1)
+    assert(ok.embedding.length == 8)
+    // PNG is lossless: half red + half blue on the sample grid.
+    assert(math.abs(ok.embedding(0) - 0.5f) < 0.02f, s"mean R ${ok.embedding(0)}")
+    assert(math.abs(ok.embedding(1)) < 0.02f, s"mean G ${ok.embedding(1)}")
+    assert(math.abs(ok.embedding(2) - 0.5f) < 0.02f, s"mean B ${ok.embedding(2)}")
+    // Quadrant luma: left quadrants are red (0.299), right are blue (0.114).
+    assert(math.abs(ok.embedding(3) - 0.299f) < 0.02f, "top-left luma")
+    assert(math.abs(ok.embedding(4) - 0.114f) < 0.02f, "top-right luma")
+    assert(math.abs(ok.embedding(7) - 2.0f) < 1e-6f, "aspect ratio")
+    // Undecodable image bytes: 0 frames (corrupt-media convention), not a crash.
+    val bad = feats(2L)
+    assert(bad.width == 0 && bad.height == 0 && bad.n_frames == 0)
+    assert(bad.embedding.isEmpty)
+    // And frameSample drops the corrupt row.
+    val sampled = graft.operators.Multimodal
+      .frameSample(media, stride = 1, maxFrames = 3, decoder = graft.operators.ImageIoDecoder)
+      .collect().map(_.getAs[Long]("media_id")).toSeq
+    assert(sampled == Seq(1L))
+  }
+
+  test("ImageIoDecoder resize re-encodes real pixels at the target dims") {
+    import spark.implicits._
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "image", halfToneImage(80, 40), "s"))
+      .toDS().toDF()
+    val resized = graft.operators.Multimodal
+      .resize(media, 32, 16, graft.operators.ImageIoDecoder)
+      .collect().head
+    val (w, h, frames, emb) =
+      graft.operators.ImageIoDecoder.decode("image", resized.content)
+    assert(w == 32 && h == 16 && frames == 1)
+    // Content survives the scale: still half red, half blue.
+    assert(math.abs(emb(0) - 0.5f) < 0.05f && math.abs(emb(2) - 0.5f) < 0.05f)
+  }
+
+  test("ImageIoDecoder delegates non-image modalities to the stub") {
+    val bytes = "some audio bytes".getBytes
+    val (aw, ah, af, aEmb) = graft.operators.ImageIoDecoder.decode("audio", bytes)
+    val (sw, sh, sf, sEmb) = graft.operators.StubDecoder.decode("audio", bytes)
+    assert((aw, ah, af) == ((sw, sh, sf)) && aEmb.toSeq == sEmb.toSeq)
+  }
 }

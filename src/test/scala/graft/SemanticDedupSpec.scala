@@ -137,4 +137,99 @@ class SemanticDedupSpec extends SparkSpec {
       .count()
     assert(kept == 60)
   }
+
+  /** Density-contrast fixture for the adaptive threshold: a DENSE blob
+    * (40 distinct docs whose ambient cosine ~0.99 — one boilerplate
+    * family, NOT duplicates) carrying 6 planted true dups (cos >=
+    * 0.9999), plus a SPARSE region (40 scattered vectors, ambient
+    * cosine ~0) carrying one planted borderline pair at exactly
+    * cos = 0.985. A fixed tau = 0.98 over-merges the whole dense blob;
+    * the adaptive threshold must keep the blob's distinct docs while
+    * still catching both kinds of planted pair.
+    */
+  private lazy val densityFixture = {
+    val rng = new scala.util.Random(23L)
+    val dim = 16
+    val center = Array.tabulate(dim)(i => if (i < 2) 9.0 else 0.0)
+    val dense = (0L until 40L).map { i =>
+      i -> center.map(c => c + rng.nextGaussian() * 0.3)
+    }
+    val denseDups = (0 until 6).map { j =>
+      val (srcId, v) = dense(j * 6)
+      (100L + j, v.map(x => x * 1.0001 + 1e-4), srcId)
+    }
+    val sparse = (200L until 240L).map { i =>
+      i -> Array.fill(dim)(rng.nextGaussian() * 4.0)
+    }
+    // Borderline sparse pair at exactly cos = 0.985: mix v with a unit
+    // vector orthogonalized against it (Gram-Schmidt from a fixed probe).
+    val v = sparse.head._2
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val probe = Array.tabulate(dim)(i => if (i == dim - 1) 1.0 else 0.1)
+    val proj = v.zip(probe).map { case (a, b) => a * b }.sum / (nv * nv)
+    val orth = probe.zip(v).map { case (p, a) => p - proj * a }
+    val no = math.sqrt(orth.map(x => x * x).sum)
+    val cosT = 0.985
+    val vPair = v.zip(orth).map { case (a, o) =>
+      cosT * a + math.sqrt(1 - cosT * cosT) * (nv / no) * o }
+    val rows = dense.map { case (i, w) => (i, w.toSeq) } ++
+      denseDups.map { case (i, w, _) => (i, w.toSeq) } ++
+      sparse.map { case (i, w) => (i, w.toSeq) } :+ (300L -> vPair.toSeq)
+    (rows.toDF("id", "v"),
+      denseDups.map { case (i, _, src) => (src min i, src max i) }.toSet,
+      (200L, 300L))
+  }
+
+  test("adaptive epsilon: dense cells tighten, sparse cells keep the floor") {
+    val (df, plantedDense, sparsePair) = densityFixture
+    val tauFloor = 0.98
+    val idx = SimilaritySearch.buildIvfIndex(df, "id", "v", nlist = 3, seed = 42L)
+    try {
+      val taus = SemanticDedup.adaptiveCellThresholds(idx, tauFloor, beta = 0.85)
+        .collect().map(r => r.getAs[Int]("cell") ->
+          (r.getAs[Double]("bg_sim"), r.getAs[Double]("tau_cell"))).toMap
+      // Dense and sparse cells must get DIFFERENT effective thresholds:
+      // at least one cell sits at the floor (sparse) and at least one is
+      // strictly above it (the blob's ambient cosine pushes tau up).
+      assert(taus.values.exists { case (_, t) => t == tauFloor },
+        s"no cell at the floor: $taus")
+      assert(taus.values.exists { case (bg, t) => t > 0.99 && bg > 0.97 },
+        s"no tightened dense cell: $taus")
+
+      val fixed = SemanticDedup.semanticDupPairsOn(idx, "id", tauFloor)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val adaptive = SemanticDedup.semanticDupPairsOnAdaptive(idx, "id", tauFloor, beta = 0.85)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // Precision pinned: adaptive pairs are exact-cosine and a subset of
+      // BOTH the fixed pairs at the floor and brute force at the floor.
+      val brute = Dedup.embeddingNearDuplicates(df, "id", "v", tauFloor)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(adaptive.subsetOf(fixed) && adaptive.subsetOf(brute))
+      // The fixed threshold over-merges the dense blob (ambient ~0.99 >
+      // 0.98: hundreds of distinct-doc pairs); adaptive keeps the blob.
+      assert(fixed.size > 300, s"fixture not dense enough: ${fixed.size} fixed pairs")
+      assert(adaptive.size < fixed.size / 10,
+        s"adaptive kept ${adaptive.size} of ${fixed.size} fixed pairs")
+      // ...while still catching every planted true dup in the dense cell
+      plantedDense.foreach(p => assert(adaptive.contains(p), s"lost dense dup $p"))
+      // ...and the sparse cell behaves exactly like the fixed floor:
+      // the borderline 0.985 pair survives adaptation iff the floor saw it.
+      assert(fixed.contains(sparsePair), "sparse pair straddled cells - retune fixture")
+      assert(adaptive.contains(sparsePair), "adaptive lost the sparse borderline pair")
+
+      // End-to-end: every planted copy is dropped (its source has the
+      // lower id; the source itself may still fall to a lower-id ambient
+      // neighbor that cleared the tightened tau — greedy keep-lowest-id).
+      val kept = SemanticDedup.semanticDedupAdaptive(
+          df, "id", "v", nClusters = 3, tauFloor = tauFloor, beta = 0.85, seed = 42L)
+        .select("id").as[Long].collect().toSet
+      plantedDense.foreach { case (_, dup) =>
+        assert(!kept.contains(dup), s"planted copy $dup survived") }
+      // Distinct dense-blob docs survive (fixed-threshold dedup would
+      // collapse the blob to a handful of survivors).
+      val denseSurvivors = kept.count(_ < 40L)
+      assert(denseSurvivors > 30,
+        s"dense blob over-merged: $denseSurvivors of 40 kept")
+    } finally idx.release()
+  }
 }

@@ -92,4 +92,33 @@ class TopKAggSpec extends SparkSpec {
     val many = viaAgg(df.repartition(13), 4).orderBy("g", "rnk").collect().toSeq
     assert(one == many)
   }
+
+  private def viaVarAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("g"))
+      .agg(TopKAgg.topKByValueVarK(col("v"), col("id"), col("k")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("g"), (col("i") + 1).cast("int").as("rnk"),
+        col("e.id").as("id"), col("e.value").as("v"))
+
+  test("var-k form: each group honors its own k, matches fixed-k per group") {
+    val rng = new scala.util.Random(7L)
+    val rows = (0 until 3000).map(i => (i % 5L, i.toLong, rng.nextInt(1000).toDouble))
+    // k per group: group g wants g*2 + 1 winners (1, 3, 5, 7, 9).
+    val df = rows.toDF("g", "id", "v").withColumn("k", (col("g") * 2 + 1).cast("int"))
+    val got = viaVarAgg(df.repartition(13)).orderBy("g", "rnk").collect().toSeq
+    val expected = (0L until 5L).flatMap { g =>
+      viaAgg(df.filter(col("g") === g), (g * 2 + 1).toInt)
+        .orderBy("rnk").collect().toSeq
+    }
+    assert(got == expected)
+  }
+
+  test("var-k form: k <= 0 or null rows are ignored; all-nonpositive group is empty") {
+    val df = Seq(
+      (1L, 1L, 5.0, Some(2)), (1L, 2L, 9.0, Some(2)), (1L, 3L, 7.0, Some(2)),
+      (2L, 4L, 1.0, Some(0)), (2L, 5L, 2.0, None))
+      .toDF("g", "id", "v", "k")
+    val got = viaVarAgg(df).select("g", "id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L)))
+  }
 }

@@ -442,4 +442,58 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.filter(_._2 == "c") == docs.filter(col("grp") === "c")
       .select("id", "grp").as[(Long, String)].collect().toSet)
   }
+
+  test("exactSampleQuotas: skewed quotas keep per-group heaps, match window replay") {
+    // One group quota 100000 (bigger than the whole table), one quota 2:
+    // the var-k aggregate sizes each group's heap at ITS quota, so the
+    // small group never pays for the big one's — and the output is still
+    // exactly the window replay.
+    val docs = spark.range(1, 2001).toDF("id")
+      .withColumn("grp", when(col("id") % 4 === 0, "big").otherwise("small"))
+    val quotas = Seq(("big", 100000), ("small", 2)).toDF("g", "q")
+    val got = TrainingData.exactSampleQuotas(docs, "id", "grp", quotas, salt = "s")
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map("big" -> 500, "small" -> 2))
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs.withColumn("__k", conv(
+        substring(md5(concat(col("id").cast("string"), lit("s"))), 1, 13), 16, 10)
+        .cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("__k"), col("id"))))
+      .filter((col("grp") === "big" && col("rn") <= 100000) ||
+        (col("grp") === "small" && col("rn") <= 2))
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(got == naive)
+  }
+
+  test("exactSampleQuotas: empty/zero quota tables sample nothing, no crash") {
+    val docs = spark.range(1, 50).toDF("id").withColumn("grp", lit("a"))
+    val empty = Seq.empty[(String, Int)].toDF("g", "q")
+    assert(TrainingData.exactSampleQuotas(docs, "id", "grp", empty).count() == 0)
+    // Quota <= 0 means "contribute nothing", same as an absent group.
+    val zeros = Seq(("a", 0)).toDF("g", "q")
+    assert(TrainingData.exactSampleQuotas(docs, "id", "grp", zeros).count() == 0)
+  }
+
+  test("per-group samplers fail fast on non-integral id columns") {
+    // A string id would cast to null, be skipped by the heap, and the
+    // semi-join would silently return an empty sample — must throw at
+    // plan time instead.
+    val docs = spark.range(1, 50).toDF("n")
+      .select(concat(lit("doc_"), col("n")).as("id"), lit("a").as("grp"))
+    val e1 = intercept[IllegalArgumentException] {
+      TrainingData.exactSamplePerGroup(docs, "id", "grp", 5)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val quotas = Seq(("a", 5)).toDF("g", "q")
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingData.exactSampleQuotas(docs, "id", "grp", quotas)
+    }
+    assert(e2.getMessage.contains("integral"))
+    // Integral-but-not-long ids (int) are fine — widened, not rejected.
+    val intIds = spark.range(1, 50).toDF("n")
+      .select(col("n").cast("int").as("id"), lit("a").as("grp"))
+    assert(TrainingData.exactSamplePerGroup(intIds, "id", "grp", 5).count() == 5)
+  }
 }
