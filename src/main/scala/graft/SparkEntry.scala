@@ -1226,6 +1226,25 @@ object SparkEntry {
         idx, "vec_id", q, col("label") === 1, k = 20, nprobe = 8)
     }),
 
+    // Auto-widening filtered IVF probe (r11,
+    // [[SimilaritySearch.ivfTopKWhereWiden]]): starts at nprobe = 2 and
+    // widens until the predicate-satisfying candidate pool reaches
+    // 4*k. The ~1%-selective predicate here (<= 19 matches at every SF,
+    // pool target 80) provably forces the widen to every cell, so the
+    // result is EXACTLY filtered brute force — model-independent, full
+    // DuckDB hash oracle. The under-fill-then-recover behavior and the
+    // dense-predicate early stop are pinned in SimilaritySpec.
+    "q_sim_ivf_widen" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val idx = SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 8,
+        carryCols = Seq("label"))
+      SimilaritySearch.ivfTopKWhereWiden(
+        idx, "vec_id", q, col("vec_id") % 100 === 0, k = 20, nprobe = 2)
+    }),
+
     // LSH-bucketed ANN variant (rows-only; recall asserted in SimilaritySpec).
     "q_sim_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3331,6 +3350,21 @@ object SparkEntry {
         |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0 AND label = 1
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // The auto-widen probe's pool target (80) exceeds the predicate's
+    // match count at every SF, so it provably widens to nprobe = nlist
+    // — filtered brute force, same cosine SQL over the thinner slice.
+    "q_sim_ivf_widen" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0 AND vec_id % 100 = 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // Exhaustive-shortlist PQ re-rank is brute force by construction

@@ -812,6 +812,52 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** [[ivfTopKWhere]] with AUTO-WIDENING nprobe: a selective predicate
+    * thins each probed cell's candidate pool, and a fixed nprobe that
+    * is ample unfiltered can under-fill the filtered top-k (fewer than
+    * k matches probed, or a k-th result far below the filtered-brute
+    * answer) with no signal to the caller. This variant widens the
+    * probe until the pool of PREDICATE-SATISFYING candidates reaches
+    * `minPoolFactor * k` (or every cell is probed), then ranks.
+    *
+    * Cost shape: widening rounds count only the NEWLY-added cells
+    * (nprobe, then doubling), so the probed region is scanned at most
+    * twice — once counting, once ranking — and the unprobed remainder
+    * is never touched. On a predicate dense in the nearest cells the
+    * first count already clears the bar and the overhead is one
+    * counting pass over nprobe cells. nprobe = nlist from the start
+    * degenerates to exact filtered brute force, as ever.
+    */
+  def ivfTopKWhereWiden(
+      index: IvfIndex,
+      idCol: String,
+      query: Seq[Double],
+      pred: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int = 8,
+      minPoolFactor: Int = 4): DataFrame = {
+    require(minPoolFactor >= 1, s"minPoolFactor must be >= 1, got $minPoolFactor")
+    def dist2(c: Array[Double]): Double =
+      c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+    val order = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }.map(_._2)
+    val nlist = order.length
+    val target = minPoolFactor.toLong * k
+    var probed = 0
+    var pool = 0L
+    var width = math.min(math.max(1, nprobe), nlist)
+    while (pool < target && probed < nlist) {
+      val newCells = order.slice(probed, width)
+      pool += index.assigned
+        .filter(col("cell").isin(newCells.map(Integer.valueOf).toSeq: _*))
+        .filter(pred)
+        .count()
+      probed = width
+      width = math.min(width * 2, nlist)
+    }
+    ivfTopKWhere(index, idCol, query, pred, k, nprobe = probed)
+  }
+
   /** Subset-restricted batch ANN: results limited to corpus ids present
     * in `allowed` (one-column DataFrame, any name) — the id-set form of
     * filtered search, for when the slice is an upstream computation

@@ -165,6 +165,46 @@ class SimilaritySpec extends SparkSpec {
     assert(loadedRows == exhaustive.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("filtered search auto-widen: selective predicate recovers filtered brute force") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(
+      corpus, "vec_id", "embedding", nlist = 8, carryCols = Seq("label"))
+    try {
+      // ~1%-selective predicate: 4 of 499 rows. At nprobe = 2 the fixed
+      // probe under-fills (the few matches spread across cells it never
+      // scans) with NO signal to the caller.
+      val pred = col("vec_id") % 100 === 0
+      val bruteF = SimilaritySearch.bruteForceTopK(
+          corpus.filter(pred), "vec_id", "embedding", query, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fixed = SimilaritySearch
+        .ivfTopKWhere(idx, "vec_id", query, pred, k = 20, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fixed.size < bruteF.size,
+        s"fixture must under-fill at nprobe=2 (got ${fixed.size}/${bruteF.size}) - retune")
+      // Auto-widen: pool target 4*20 exceeds the 4 matching rows, so the
+      // probe widens to every cell and the answer IS filtered brute force.
+      val widened = SimilaritySearch
+        .ivfTopKWhereWiden(idx, "vec_id", query, pred, k = 20, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(widened == bruteF,
+        s"auto-widen must recover filtered brute force: $widened vs $bruteF")
+      // Dense predicate: the first count already clears the pool target,
+      // so no widening happens and the result matches the fixed probe at
+      // the starting nprobe — auto-widen costs one counting pass, not a
+      // full scan.
+      val all = SimilaritySearch
+        .ivfTopKWhereWiden(idx, "vec_id", query, org.apache.spark.sql.functions.lit(true),
+          k = 20, nprobe = 2, minPoolFactor = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val allFixed = SimilaritySearch
+        .ivfTopKWhere(idx, "vec_id", query, org.apache.spark.sql.functions.lit(true),
+          k = 20, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(all == allFixed, "dense predicate must stop at the starting nprobe")
+    } finally idx.release()
+  }
+
   test("ivfTopKBatchAmong restricts results to the allowed id set, exactly at full probe") {
     val idx = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
     val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
