@@ -112,6 +112,53 @@ object ScaleStress {
       s"post-filtering the unfiltered top-20 keeps only $postFilterRows")
     }
 
+    section("stores") {
+    // Filtered probes of the PERSISTED stores (binary sign + PQ codes)
+    // at replicated volume — the on-disk counterpart of the r10
+    // in-probe filtered-IVF arm. The claim under measurement: a slice
+    // probe of a carry-bearing store costs no more than the unfiltered
+    // probe (Catalyst pushes the predicate to the parquet scan of
+    // words/codes — rows outside the slice are never unpacked or
+    // scored), while post-filtering the unfiltered top-k keeps fewer
+    // than k slice rows.
+    import graft.operators.Quantization
+    val emb = replicate(TableIO.table(spark, sfDir, "embeddings"), "vec_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] store vectors: ${emb.count()} (${reps}x)")
+    val q = TableIO.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+
+    val binPath = s"target/stress/bin_store_${System.nanoTime()}"
+    time("binary store write w/ carryCols(label)")(
+      SimilaritySearch.saveBinaryIndex(emb, "vec_id", "embedding", binPath,
+        carryCols = Seq("label")))
+    val binAll = time("binary stored top-20 unfiltered")(
+      SimilaritySearch.binaryTopKStored(spark, binPath, q, 20).collect())
+    val binSlice = time("binary stored top-20 label=1 (pushed)")(
+      SimilaritySearch.binaryTopKStoredWhere(spark, binPath, q, 20,
+        col("label") === 1).collect())
+    val labels = emb.select(col("vec_id"), col("label"))
+      .filter(col("vec_id").isin(binAll.map(r => java.lang.Long.valueOf(r.getLong(0))).toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    println(s"[stress]   filtered rows = ${binSlice.length}/20; " +
+      s"post-filtering the unfiltered top-20 keeps only " +
+      s"${binAll.count(r => labels(r.getLong(0)) == 1)}")
+
+    val model = time("pq train (m=8, kc=16)")(
+      Quantization.trainPq(emb, "embedding", m = 8, kc = 16))
+    val pqPath = s"target/stress/pq_store_${System.nanoTime()}"
+    time("pq store write w/ carryCols(label)")(
+      Quantization.savePqIndex(emb, model, "vec_id", "embedding", pqPath,
+        carryCols = Seq("label")))
+    time("pq stored ADC top-20 unfiltered")(
+      Quantization.pqTopKStored(spark, pqPath, q, 20).collect())
+    val pqSlice = time("pq stored ADC top-20 label=1 (pushed)")(
+      Quantization.pqTopKStoredWhere(spark, pqPath, q, 20,
+        col("label") === 1).collect())
+    println(s"[stress]   pq filtered rows = ${pqSlice.length}/20")
+    }
+
     section("window") {
     // Hot-key range-window stress: one account holds 2M rows across one
     // day — the plain RANGE window puts ALL of them in a single task;
