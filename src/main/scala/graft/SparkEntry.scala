@@ -786,6 +786,21 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Epoch-mix UPSAMPLING (r11, [[TrainingData.epochMixSample]]): per
+    // source, a char budget expands docs to floor(f) whole epochs plus
+    // an md5-selected fractional epoch, f capped at maxEpochs — the
+    // data-mixture recipe ("3.3 epochs of Wikipedia") as a deterministic,
+    // shuffle-free plan (metadata-sized totals broadcast; row-local
+    // explode). Fully SQL-replayable: the oracle recomputes f from the
+    // same sums and replays membership + generate_series.
+    "q_mix_epochs" -> ((s, d) =>
+      TrainingData.epochMixSample(
+          t(s, d, "documents"), "doc_id", "source", "n_chars",
+          targets = Map("src0" -> 20000L, "src1" -> 1000000L, "src2" -> 4000L),
+          maxEpochs = 3.0, salt = "ep")
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")),
+
     // Exactly-k deterministic sample ([[TrainingData.exactSample]]):
     // the k-th smallest md5-prefix key found by the Selection descent
     // (no global sort, no TakeOrdered of k rows), strict-below rows
@@ -2557,6 +2572,41 @@ object SparkEntry {
         |                  WHEN 'src2' THEN '80000000'
         |                  ELSE '40000000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays epochMixSample exactly: same per-source sums, same
+    // f = least(cap, budget/t), same %08x fractional threshold against
+    // the md5 prefix, same 0-based epoch expansion via generate_series.
+    "q_mix_epochs" ->
+      """WITH stats AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t
+        |  FROM documents GROUP BY source
+        |), fac AS (
+        |  SELECT source,
+        |         CAST(floor(f) AS INT) AS whole,
+        |         printf('%08x', CAST(floor((f - floor(f)) * 4294967296.0) AS BIGINT)) AS thresh
+        |  FROM (
+        |    -- source list pinned in WHERE, not via a NULL-able CASE:
+        |    -- DuckDB's least() IGNORES nulls (least(3.0, NULL) = 3.0),
+        |    -- which would hand every absent source the full epoch cap.
+        |    SELECT source,
+        |           least(3.0, CAST(CASE source WHEN 'src0' THEN 20000
+        |                                       WHEN 'src1' THEN 1000000
+        |                                       WHEN 'src2' THEN 4000 END AS DOUBLE) / t) AS f
+        |    FROM stats
+        |    WHERE t > 0 AND source IN ('src0', 'src1', 'src2')
+        |  )
+        |), expanded AS (
+        |  SELECT d.doc_id, d.source,
+        |         whole + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || 'ep'), 1, 8)
+        |                           < thresh THEN 1 ELSE 0 END AS n
+        |  FROM documents d JOIN fac USING (source)
+        |)
+        |SELECT doc_id, source, epoch FROM (
+        |  SELECT doc_id, source,
+        |         CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
+        |  FROM expanded WHERE n >= 1
+        |)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_sample_quotas" ->
       """SELECT doc_id, source FROM (

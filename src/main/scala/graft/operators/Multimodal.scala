@@ -77,6 +77,102 @@ object StubDecoder extends MediaDecoder {
   }
 }
 
+final case class AudioFeatures(
+    media_id: Long,
+    modality: String,
+    n_bytes: Int,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    duration_s: Double,
+    rms: Double,
+    embedding: Array[Float])
+
+/** Decoded audio payload: format metadata plus amplitude statistics
+  * (overall RMS in [0, 1] and RMS over `windows` equal time slices —
+  * a crude but real spectral-envelope-free audio fingerprint).
+  */
+final case class AudioInfo(
+    sampleRate: Int,
+    channels: Int,
+    frames: Long,
+    durationSeconds: Double,
+    rms: Double,
+    windowRms: Array[Float])
+
+trait AudioDecoder extends Serializable {
+  /** None = bytes this decoder cannot parse (corrupt/unsupported). */
+  def decode(content: Array[Byte], windows: Int): Option[AudioInfo]
+}
+
+/** REAL audio codec over the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+  * — no external jars): parses actual PCM frames for sample rate,
+  * channel count, frame count, duration, and per-window RMS energy.
+  * Compressed formats (MP3/OGG/FLAC) have no JDK codec and return
+  * None — the corrupt-media convention again, so one undecodable
+  * payload never fails a corpus-wide job.
+  */
+object JavaSoundDecoder extends AudioDecoder {
+  override def decode(content: Array[Byte], windows: Int): Option[AudioInfo] = {
+    require(windows >= 1, s"windows must be >= 1, got $windows")
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val srcFmt = raw.getFormat
+        // Normalize to signed 16-bit PCM at the source rate/channels so
+        // the amplitude math below is format-independent.
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, srcFmt.getChannels,
+          srcFmt.getChannels * 2, srcFmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
+        try {
+          val bytes = pcm.readAllBytes()
+          val channels = pcmFmt.getChannels
+          val frameBytes = channels * 2
+          val frames = bytes.length.toLong / frameBytes
+          val winRms = new Array[Float](windows)
+          var rmsAcc = 0.0
+          var w = 0
+          while (w < windows) {
+            val f0 = frames * w / windows
+            val f1 = frames * (w + 1) / windows
+            var acc = 0.0
+            var f = f0
+            while (f < f1) {
+              var c = 0
+              while (c < channels) {
+                val off = (f * frameBytes + c * 2).toInt
+                // little-endian signed 16-bit
+                val s = ((bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)).toShort
+                val x = s / 32768.0
+                acc += x * x
+                c += 1
+              }
+              f += 1
+            }
+            val n = (f1 - f0) * channels
+            winRms(w) = (if (n > 0) math.sqrt(acc / n) else 0.0).toFloat
+            rmsAcc += acc
+            w += 1
+          }
+          val total = frames * channels
+          val sr = math.round(pcmFmt.getSampleRate)
+          Some(AudioInfo(
+            sr, channels, frames,
+            if (sr > 0) frames.toDouble / sr else 0.0,
+            if (total > 0) math.sqrt(rmsAcc / total) else 0.0,
+            winRms))
+        } finally pcm.close()
+      } finally raw.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+}
+
 /** REAL image codec over the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
   * no external jars): decodes actual pixels for dimensions, frame count
   * (multi-frame GIF via `getNumImages`), and an 8-dim content feature
@@ -220,6 +316,35 @@ object Multimodal {
         md.reset()
         val sha = md.digest(rec.content).map("%02x".format(_)).mkString
         MediaFeatures(rec.media_id, rec.modality, rec.content.length, sha, w, h, f, emb)
+      }
+    }
+  }
+
+  /** Partition-local AUDIO decode + feature extraction — the audio
+    * counterpart of [[extractFeatures]], with an honest audio schema
+    * (sample rate / channels / PCM frames / duration / RMS + an
+    * 8-window energy envelope) instead of image-shaped fields.
+    * Undecodable payloads yield a zeroed row (sample_rate = 0, empty
+    * embedding) rather than failing the job — filter `sample_rate > 0`
+    * downstream for the decoded slice.
+    */
+  def extractAudioFeatures(
+      media: DataFrame,
+      decoder: AudioDecoder = JavaSoundDecoder,
+      windows: Int = 8): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        decoder.decode(rec.content, windows) match {
+          case Some(a) =>
+            AudioFeatures(rec.media_id, rec.modality, rec.content.length,
+              a.sampleRate, a.channels, a.frames, a.durationSeconds, a.rms,
+              a.windowRms)
+          case None =>
+            AudioFeatures(rec.media_id, rec.modality, rec.content.length,
+              0, 0, 0L, 0.0, 0.0, Array.empty[Float])
+        }
       }
     }
   }

@@ -858,6 +858,28 @@ object SimilaritySearch {
     ivfTopKWhere(index, idCol, query, pred, k, nprobe = probed)
   }
 
+  /** Attribute-filtered BATCH ANN: [[ivfTopKBatch]] restricted to
+    * corpus rows satisfying `pred` (over carryCols the index was built
+    * with) — completes the filtered-search matrix: single-query
+    * ([[ivfTopKWhere]]), id-set ([[ivfTopKBatchAmong]]), and
+    * attribute-predicate batch. The predicate narrows the corpus side
+    * BEFORE the cell equi-join, so out-of-slice rows never join, score,
+    * or rank; at nprobe = nlist each query's rows are exactly its
+    * filtered brute-force top-k (the SimilaritySpec identity).
+    */
+  def ivfTopKBatchWhere(
+      index: IvfIndex,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      pred: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int = 8,
+      excludeSelf: Boolean = true): DataFrame =
+    ivfTopKBatch(
+      IvfIndex(index.centroids, index.assigned.filter(pred)),
+      queries, qIdCol, qVecCol, k, nprobe, excludeSelf)
+
   /** Subset-restricted batch ANN: results limited to corpus ids present
     * in `allowed` (one-column DataFrame, any name) — the id-set form of
     * filtered search, for when the slice is an upstream computation

@@ -141,6 +141,57 @@ object TrainingData {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic EPOCH-MIX upsampling — the standard LLM data-mixture
+    * recipe ("give source s a budget of B_s tokens, repeating its docs
+    * up to `maxEpochs` times"): per source, the epoch factor
+    * f_s = min(maxEpochs, B_s / tokens_s) expands every doc to
+    * floor(f_s) whole copies plus one extra copy for a deterministic
+    * md5(id, salt)-selected f_s-fractional share of docs — so each
+    * source lands within one doc of its budget in expectation, identical
+    * on every engine and append-stable (adding docs never flips an
+    * existing doc's copy count for a fixed f_s). Output = input columns
+    * plus `epoch` (0-based copy index, the column shard packing
+    * disambiguates copies by).
+    *
+    * Scale shape: ONE metadata-sized aggregate (per-source totals →
+    * driver-free broadcast join), then a row-local `explode(sequence)`
+    * — no shuffle of the corpus at all; sources absent from `targets`
+    * (or with zero weight) are dropped by the inner broadcast join
+    * before expansion.
+    */
+  def epochMixSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weightCol: String,
+      targets: Map[String, Long],
+      maxEpochs: Double = 4.0,
+      salt: String = "",
+      epochCol: String = "epoch"): DataFrame = {
+    require(maxEpochs >= 1.0, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(targets.nonEmpty, "need at least one source target")
+    require(targets.values.forall(_ >= 0), s"budgets must be >= 0: $targets")
+    val factors = df.groupBy(col(groupCol)).agg(sum(col(weightCol)).as("__t"))
+      .withColumn("__tgt",
+        element_at(typedLit(targets), col(groupCol)).cast("double"))
+      .filter(col("__tgt").isNotNull && col("__t") > 0)
+      .withColumn("__f", least(lit(maxEpochs), col("__tgt") / col("__t")))
+      // Fractional-share threshold as fixed-width hex, the mixtureSample
+      // convention: doubles -> floor -> long -> %08x is bit-identical
+      // across engines, so the oracle replays membership exactly.
+      .withColumn("__whole", floor(col("__f")).cast("int"))
+      .withColumn("__thresh", format_string("%08x",
+        floor((col("__f") - floor(col("__f"))) * 4294967296.0).cast("long")))
+      .select(col(groupCol), col("__whole"), col("__thresh"))
+    val bucket = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8)
+    df.join(broadcast(factors), Seq(groupCol))
+      .withColumn("__n",
+        col("__whole") + when(bucket < col("__thresh"), 1).otherwise(0))
+      .filter(col("__n") >= 1)
+      .withColumn(epochCol, explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__whole", "__thresh", "__n")
+  }
+
   /** Targeted delete from a [[writeShards]] store — the training-data
     * "right to be forgotten" pass. The manifest's per-shard id ranges
     * prune the rewrite set BEFORE any data file is opened: only shards

@@ -139,6 +139,58 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(emb(0) - 0.5f) < 0.05f && math.abs(emb(2) - 0.5f) < 0.05f)
   }
 
+  /** A real 16-bit mono PCM WAV rendered in-test: `seconds` of audio at
+    * `rate` Hz, silent for the first half, a 440 Hz sine at `amp` for
+    * the second half.
+    */
+  private def halfSilentWav(rate: Int, seconds: Double, amp: Double): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val samples = Array.tabulate(n) { i =>
+      if (i < n / 2) 0.0
+      else amp * math.sin(2 * math.Pi * 440.0 * i / rate)
+    }
+    val bytes = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (x, i) =>
+      val s = math.round(x * 32767).toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("JavaSoundDecoder decodes real WAV bytes: format, duration, window energies") {
+    import spark.implicits._
+    val wav = halfSilentWav(rate = 8000, seconds = 1.0, amp = 0.5)
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "audio", wav, "s"),
+      graft.operators.MediaRecord(2L, "audio", "not audio".getBytes, "s"))
+      .toDS().toDF()
+    val feats = graft.operators.Multimodal.extractAudioFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    val ok = feats(1L)
+    assert(ok.sample_rate == 8000 && ok.channels == 1 && ok.n_frames == 8000)
+    assert(math.abs(ok.duration_s - 1.0) < 1e-6)
+    // First half silent, second half a 0.5-amplitude sine: windows 0-3
+    // near zero, windows 4-7 near 0.5/sqrt(2), overall rms = that /sqrt(2).
+    assert(ok.embedding.length == 8)
+    val sineRms = 0.5 / math.sqrt(2)
+    ok.embedding.take(4).foreach(e => assert(e < 0.01, s"silent window $e"))
+    ok.embedding.drop(4).foreach(e =>
+      assert(math.abs(e - sineRms) < 0.01, s"sine window $e vs $sineRms"))
+    assert(math.abs(ok.rms - sineRms / math.sqrt(2)) < 0.01)
+    // Undecodable bytes: zeroed row, not a crash.
+    val bad = feats(2L)
+    assert(bad.sample_rate == 0 && bad.n_frames == 0L && bad.embedding.isEmpty)
+  }
+
   test("ImageIoDecoder delegates non-image modalities to the stub") {
     val bytes = "some audio bytes".getBytes
     val (aw, ah, af, aEmb) = graft.operators.ImageIoDecoder.decode("audio", bytes)

@@ -205,6 +205,32 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("ivfTopKBatchWhere: batch slice probe equals per-query filtered probes at full probe") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(
+      corpus, "vec_id", "embedding", nlist = 8, carryCols = Seq("label"))
+    try {
+      val pred = col("label") === 1
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      val batch = SimilaritySearch.ivfTopKBatchWhere(
+          idx, queries, "vec_id", "embedding", pred, k = 10, nprobe = 8,
+          excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // Per-query filtered brute force (label slice, self excluded).
+      val expected = Seq(0L, 1L, 2L).flatMap { qid =>
+        val qv = emb.filter(col("vec_id") === qid)
+          .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+        SimilaritySearch.bruteForceTopK(
+            corpus.filter(pred && col("vec_id") =!= qid), "vec_id", "embedding", qv, 10)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(batch == expected)
+      // Every returned corpus row is in the slice.
+      val inSlice = corpus.filter(pred).select("vec_id").as[Long].collect().toSet
+      assert(batch.forall { case (_, id, _) => inSlice(id) })
+    } finally idx.release()
+  }
+
   test("ivfTopKBatchAmong restricts results to the allowed id set, exactly at full probe") {
     val idx = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
     val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")

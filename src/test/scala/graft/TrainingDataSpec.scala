@@ -476,6 +476,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(TrainingData.exactSampleQuotas(docs, "id", "grp", zeros).count() == 0)
   }
 
+  test("epochMixSample: whole + fractional epochs, cap, exact md5 membership") {
+    val docs = spark.range(1, 101).toDF("id")
+      .withColumn("src", when(col("id") <= 50, "a").otherwise("b"))
+      .withColumn("w", lit(10L))
+    // a: t = 500, budget 1250 -> f = 2.5 (threshold exactly 80000000);
+    // b: budget far over cap -> exactly maxEpochs = 3 copies per doc.
+    val out = TrainingData.epochMixSample(docs, "id", "src", "w",
+      targets = Map("a" -> 1250L, "b" -> 100000L), maxEpochs = 3.0, salt = "s")
+    val rows = out.select("id", "src", "epoch").as[(Long, String, Int)].collect()
+    val byId = rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    (51L to 100L).foreach(i => assert(byId(i) == Seq(0, 1, 2), s"capped doc $i"))
+    // Fractional source: 2 or 3 copies, epochs contiguous from 0, and the
+    // extra-copy membership is EXACTLY the md5-prefix rule.
+    (1L to 50L).foreach { i =>
+      assert(byId(i) == Seq(0, 1) || byId(i) == Seq(0, 1, 2), s"doc $i: ${byId(i)}")
+    }
+    val extras = docs.filter(col("src") === "a")
+      .withColumn("b", substring(md5(concat(col("id").cast("string"), lit("s"))), 1, 8))
+      .filter(col("b") < "80000000").select("id").as[Long].collect().toSet
+    (1L to 50L).foreach { i =>
+      assert(byId(i).size == (if (extras(i)) 3 else 2), s"doc $i membership") }
+    // Deterministic on rerun.
+    val again = TrainingData.epochMixSample(docs, "id", "src", "w",
+      targets = Map("a" -> 1250L, "b" -> 100000L), maxEpochs = 3.0, salt = "s")
+      .select("id", "src", "epoch").as[(Long, String, Int)].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // Zero budget and absent sources contribute nothing.
+    val none = TrainingData.epochMixSample(docs, "id", "src", "w",
+      targets = Map("a" -> 0L), maxEpochs = 3.0)
+    assert(none.count() == 0)
+  }
+
   test("per-group samplers fail fast on non-integral id columns") {
     // A string id would cast to null, be skipped by the heap, and the
     // semi-join would silently return an empty sample — must throw at
