@@ -380,6 +380,20 @@ class QuantizationSpec extends SparkSpec {
     assert(b99Files.nonEmpty)
     assert(spark.read.parquet(b99Files: _*).count() == 5)
     assert(java.nio.file.Files.exists(marker99), "replay must restore the marker")
+
+    // carryCols/store mismatch fails FAST: a batch appended without the
+    // store's carry columns would write schema-divergent files whose
+    // rows silently vanish from filtered probes — the append must
+    // refuse before writing anything.
+    val nBefore = spark.read.parquet(s"$root/idx/codes").count()
+    val e = intercept[IllegalArgumentException] {
+      Quantization.appendPqBatchIdempotent(
+        rest.limit(3), model8, "vec_id", "embedding", s"$root/idx", s"$root/ckpt",
+        batchId = 100L, carryCols = Nil)
+    }
+    assert(e.getMessage.contains("carryCols mismatch"))
+    assert(spark.read.parquet(s"$root/idx/codes").count() == nBefore,
+      "refused append must leave the store untouched")
   }
 
   test("batch probe of a persisted store equals per-query stored probes") {
