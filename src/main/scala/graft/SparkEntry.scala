@@ -1260,6 +1260,24 @@ object SparkEntry {
         idx, "vec_id", q, col("vec_id") % 100 === 0, k = 20, nprobe = 2)
     }),
 
+    // BATCH auto-widen (r11, [[SimilaritySearch.ivfTopKBatchWhereWiden]]):
+    // per-query MINIMAL-prefix widening from one slice counting pass —
+    // each query keeps the shortest prefix of its distance-ranked cells
+    // whose cumulative slice count reaches 4*k. The selective predicate
+    // (<= 19 slice rows at every SF) forces every query's prefix to all
+    // cells, so per-query results are exactly filtered brute force —
+    // model-independent, full DuckDB hash oracle.
+    "q_sim_ivf_widen_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 8,
+        carryCols = Seq("label"))
+      SimilaritySearch.ivfTopKBatchWhereWiden(
+          idx, emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, k = 20, nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN variant (rows-only; recall asserted in SimilaritySpec).
     "q_sim_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3416,6 +3434,31 @@ object SparkEntry {
         |FROM embeddings, q
         |WHERE vec_id <> 0 AND vec_id % 100 = 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Every query's widened prefix provably covers all cells (slice
+    // smaller than the pool target), so per-query rows are filtered
+    // brute force: rank-windowed cosine over the slice, self excluded.
+    "q_sim_ivf_widen_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id <> 0 AND vec_id % 100 = 0
+        |), scored AS (
+        |  SELECT q.qid, c.vec_id AS id,
+        |         round(list_dot_product(c.e, q.qe) /
+        |               (sqrt(list_dot_product(c.e, c.e)) *
+        |                sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |  FROM q, c WHERE c.vec_id <> q.qid
+        |)
+        |SELECT qid, id, cos_sim, rank FROM (
+        |  SELECT qid, id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                ORDER BY cos_sim DESC, id) AS INT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 20
+        |ORDER BY qid, rank""".stripMargin,
 
     // Exhaustive-shortlist PQ re-rank is brute force by construction
     // (every row reaches the full-precision re-scan) — plain MIPS dot,

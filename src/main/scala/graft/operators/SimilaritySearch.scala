@@ -858,6 +858,73 @@ object SimilaritySearch {
     ivfTopKWhere(index, idCol, query, pred, k, nprobe = probed)
   }
 
+  /** [[ivfTopKBatchWhere]] with PER-QUERY auto-widening — the batch
+    * analogue of [[ivfTopKWhereWiden]], and a strictly better widening
+    * rule because a batch can afford exact knowledge: ONE counting
+    * pass over the predicate slice (`slice.groupBy(cell).count()`,
+    * nlist rows out) is amortized over every query, so each query
+    * keeps the MINIMAL prefix of its distance-ranked cells whose
+    * cumulative slice count reaches `minPoolFactor * k` (never below
+    * the `nprobe` floor), instead of the single-query form's blind
+    * doubling (which exists precisely to avoid a full-slice counting
+    * scan for one query). Fully declarative — the per-query prefix is
+    * a running-sum window over queries x nlist routing rows, no driver
+    * loop — and each query's probed set is a superset of the fixed
+    * nprobe set, so its returned scores dominate
+    * [[ivfTopKBatchWhere]]'s pointwise.
+    */
+  def ivfTopKBatchWhereWiden(
+      index: IvfIndex,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      pred: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int = 8,
+      minPoolFactor: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(minPoolFactor >= 1, s"minPoolFactor must be >= 1, got $minPoolFactor")
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idName = index.assigned.columns.head
+    val slice = index.assigned.filter(pred)
+    val counts = slice.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .withColumn("cn2", VectorOps.dot(col("cvec"), col("cvec")))
+    val q = queries.select(col(qIdCol).as("qid"), VectorOps.asDouble(col(qVecCol)).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv")))
+    val wRoute = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("qn") * col("qn") + col("cn2") - lit(2.0) * VectorOps.dot(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(wRoute))
+      .join(broadcast(counts), Seq("cell"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      // Slice rows in cells ranked strictly before this one; the cell
+      // is probed while that running pool is still short of the target.
+      .withColumn("pool_before", coalesce(
+        sum(col("cnt")).over(wRoute.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("rn") <= nprobe ||
+        col("pool_before") < lit(minPoolFactor.toLong * k))
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val corpus = slice
+      .select(col(idName).as("id"), col("v"), col("cell"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("id"))
+    val joined = routed.join(corpus, "cell")
+    val candidates = if (excludeSelf) joined.filter(col("qid") =!= col("id")) else joined
+    candidates
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cos_sim", "rank")
+  }
+
   /** Attribute-filtered BATCH ANN: [[ivfTopKBatch]] restricted to
     * corpus rows satisfying `pred` (over carryCols the index was built
     * with) — completes the filtered-search matrix: single-query

@@ -231,6 +231,44 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("ivfTopKBatchWhereWiden: per-query minimal-prefix widening recovers the slice") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.buildIvfIndex(
+      corpus, "vec_id", "embedding", nlist = 8, carryCols = Seq("label"))
+    try {
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      // Selective predicate: 4 slice rows, pool target 4*20 = 80 ->
+      // every query's prefix runs to all cells == filtered brute force.
+      val sel = col("vec_id") % 100 === 0
+      val widened = SimilaritySearch.ivfTopKBatchWhereWiden(
+          idx, queries, "vec_id", "embedding", sel, k = 20, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = Seq(0L, 1L, 2L).flatMap { qid =>
+        val qv = emb.filter(col("vec_id") === qid)
+          .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+        SimilaritySearch.bruteForceTopK(
+            corpus.filter(sel && col("vec_id") =!= qid), "vec_id", "embedding", qv, 20)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(widened == expected)
+      // Dense predicate: the probed prefix is a superset of the fixed
+      // nprobe cells, so per-query scores dominate the fixed batch probe
+      // pointwise — and the widen never returns fewer rows.
+      val dense = col("label") === 1
+      def byQuery(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+      val fixedD = byQuery(SimilaritySearch.ivfTopKBatchWhere(
+        idx, queries, "vec_id", "embedding", dense, k = 10, nprobe = 2).collect())
+      val widenD = byQuery(SimilaritySearch.ivfTopKBatchWhereWiden(
+        idx, queries, "vec_id", "embedding", dense, k = 10, nprobe = 2,
+        minPoolFactor = 4).collect())
+      assert(widenD.size >= fixedD.size)
+      fixedD.foreach { case (key, s) =>
+        assert(widenD(key) >= s, s"rank ${key._2} of query ${key._1}: ${widenD(key)} < $s")
+      }
+    } finally idx.release()
+  }
+
   test("ivfTopKBatchAmong restricts results to the allowed id set, exactly at full probe") {
     val idx = SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
     val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
