@@ -138,6 +138,38 @@ class SemanticDedupSpec extends SparkSpec {
     assert(kept == 60)
   }
 
+  test("adaptive thresholds compose with rebalance: subcells get their own taus") {
+    val (scatteredDf, freshDf, planted) = driftedFixture
+    // Drifted index: scattered-built centroids, blob appended -> one hot
+    // cell (the hot-cell mechanism, same as the rebalance test).
+    val idx0 = SimilaritySearch.buildIvfIndex(scatteredDf, "id", "v", nlist = 8, seed = 42L)
+    val idx = SimilaritySearch.IvfIndex(
+      idx0.centroids,
+      idx0.assigned.union(
+          SimilaritySearch.assignCells(freshDf, "id", "v", idx0.centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reb = SimilaritySearch.rebalanceIvfIndex(idx, "id", hotFactor = 4.0, seed = 42L)
+    try {
+      val tauFloor = 0.9
+      val taus = SemanticDedup.adaptiveCellThresholds(reb, tauFloor, beta = 0.7)
+        .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Double]("tau_cell")).toMap
+      // Every rebalanced cell (original + split subcells) carries a
+      // threshold — the estimate runs off the assignment, so splits
+      // need no special-casing.
+      val cells = reb.assigned.select("cell").distinct().as[Int].collect().toSet
+      assert(taus.keySet == cells)
+      // Blob subcells are dense (members at cos ~0.97+ ambient): their
+      // taus tighten above the floor; the scattered cells stay at it.
+      assert(taus.values.exists(_ > tauFloor), s"no tightened subcell: $taus")
+      assert(taus.values.exists(_ == tauFloor), s"no floor cell: $taus")
+      // And the adaptive pair stage over the REBALANCED index still
+      // catches every planted copy (cos >= 0.9999 beats any tau < 1).
+      val pairs = SemanticDedup.semanticDupPairsOnAdaptive(reb, "id", tauFloor, beta = 0.7)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      planted.foreach(p => assert(pairs.contains(p), s"lost planted pair $p"))
+    } finally { reb.release(); idx.release() }
+  }
+
   /** Density-contrast fixture for the adaptive threshold: a DENSE blob
     * (40 distinct docs whose ambient cosine ~0.99 — one boilerplate
     * family, NOT duplicates) carrying 6 planted true dups (cos >=
