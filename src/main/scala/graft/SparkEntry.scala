@@ -891,6 +891,16 @@ object SparkEntry {
       graft.operators.Profile.profile(t(s, d, "events"), exactDistinct = true)
         .orderBy("column")),
 
+    // The 100 TB-DEFAULT profile mode (r11): approx_count_distinct
+    // sketches instead of per-column exact distinct aggs — bounded
+    // memory, single scan, no extra distinct pass. Rows-only (the HLL
+    // estimate is engine-internal, §8); pinned within sketch error of
+    // the exact mode in ProfileSpec territory (PropertySpec) and every
+    // non-distinct field is identical to the oracle-checked q_profile.
+    "q_profile_approx" -> ((s, d) =>
+      graft.operators.Profile.profile(t(s, d, "events"))
+        .orderBy("column")),
+
     // Corpus TF-IDF: top-5 salient terms per document, smoothed idf,
     // deterministic tie-break (rounded score desc, term asc).
     "q_tfidf_topk" -> ((s, d) =>
