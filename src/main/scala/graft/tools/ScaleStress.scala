@@ -110,6 +110,26 @@ object ScaleStress {
     val postFilterRows = unfiltered.count(r => labels(r.getLong(0)) == 1)
     println(s"[stress]   in-probe rows = ${inProbe.length}/20; " +
       s"post-filtering the unfiltered top-20 keeps only $postFilterRows")
+
+    // Auto-widen COST SHAPE at volume (the under-fill-then-recover
+    // correctness story is SimilaritySpec's; replicas cluster
+    // identically here, so selective slices concentrate in few cells):
+    // the widen must cost one counting pass + the wider rank scan,
+    // bounded — not a corpus rescan per round.
+    val selPred = col("vec_id") % 2000 === 0
+    val fixedSel = time("fixed filtered top-20 (sel ~0.05%, nprobe=8)")(
+      SimilaritySearch.ivfTopKWhere(
+        fidx, "vec_id", q, selPred, 20, nprobe = 8).collect())
+    val widenSel = time("auto-widen filtered top-20 (same pred)")(
+      SimilaritySearch.ivfTopKWhereWiden(
+        fidx, "vec_id", q, selPred, 20, nprobe = 8).collect())
+    println(s"[stress]   fixed rows = ${fixedSel.length}/20, " +
+      s"widened rows = ${widenSel.length}/20")
+    val queries100 = emb.filter(col("vec_id") % 400 === 1).limit(100)
+    time("batch minimal-prefix widen, 100 queries")(
+      SimilaritySearch.ivfTopKBatchWhereWiden(
+        fidx, queries100, "vec_id", "embedding", selPred, k = 20, nprobe = 8)
+        .count())
     }
 
     section("stores") {
