@@ -171,6 +171,9 @@ object TrainingData {
     require(maxEpochs >= 1.0, s"maxEpochs must be >= 1, got $maxEpochs")
     require(targets.nonEmpty, "need at least one source target")
     require(targets.values.forall(_ >= 0), s"budgets must be >= 0: $targets")
+    require(!df.columns.contains(epochCol),
+      s"input already has a '$epochCol' column - pass a different epochCol " +
+        "instead of silently overwriting it")
     val factors = df.groupBy(col(groupCol)).agg(sum(col(weightCol)).as("__t"))
       .withColumn("__tgt",
         element_at(typedLit(targets), col(groupCol)).cast("double"))

@@ -113,6 +113,16 @@ class TopKAggSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("var-k form: ties break on id ascending, same rule as fixed-k") {
+    val df = Seq(
+      (1L, 10L, 5.0, 2), (1L, 12L, 5.0, 2), (1L, 11L, 5.0, 2), (1L, 13L, 4.0, 2),
+      (2L, 20L, 7.0, 1), (2L, 21L, 7.0, 1))
+      .toDF("g", "id", "v", "k")
+    val got = viaVarAgg(df.repartition(5)).orderBy("g", "rnk")
+      .select("g", "id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (1L, 11L), (2L, 20L)))
+  }
+
   test("var-k form: k <= 0 or null rows are ignored; all-nonpositive group is empty") {
     val df = Seq(
       (1L, 1L, 5.0, Some(2)), (1L, 2L, 9.0, Some(2)), (1L, 3L, 7.0, Some(2)),

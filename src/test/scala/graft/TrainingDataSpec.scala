@@ -506,6 +506,12 @@ class TrainingDataSpec extends SparkSpec {
     val none = TrainingData.epochMixSample(docs, "id", "src", "w",
       targets = Map("a" -> 0L), maxEpochs = 3.0)
     assert(none.count() == 0)
+    // A pre-existing epoch column is an error, not a silent overwrite.
+    val clash = docs.withColumn("epoch", lit(9))
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.epochMixSample(clash, "id", "src", "w", targets = Map("a" -> 100L))
+    }
+    assert(e.getMessage.contains("epoch"))
   }
 
   test("per-group samplers fail fast on non-integral id columns") {
