@@ -901,6 +901,22 @@ object SparkEntry {
       graft.operators.Profile.profile(t(s, d, "events"))
         .orderBy("column")),
 
+    // MERGEABLE profile state (r11): profile halves of the table
+    // independently, merge the states, render — the incremental shape
+    // that never rescans history at 100 TB. Rows-only (DataSketches
+    // HLL estimates, §8); the sharding-invariance identity (merged
+    // halves == one-shot state, byte-equivalent sketches) is pinned in
+    // ProfileSpec.
+    "q_profile_incremental" -> ((s, d) => {
+      import graft.operators.Profile
+      val events = t(s, d, "events")
+      val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      val hist = Profile.profileState(events.filter(col("ts") < lit(split)))
+      val delta = Profile.profileState(events.filter(col("ts") >= lit(split)))
+      Profile.profileFromState(Profile.mergeProfileStates(hist, delta))
+        .orderBy("column")
+    }),
+
     // Corpus TF-IDF: top-5 salient terms per document, smoothed idf,
     // deterministic tie-break (rounded score desc, term asc).
     "q_tfidf_topk" -> ((s, d) =>

@@ -73,4 +73,129 @@ object Profile {
       ).as(Seq("column", "data_type", "n_nulls", "n_distinct", "min_value", "max_value")))
       .select("column", "data_type", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  // ------------------------------------------------------------------ //
+  //  Mergeable profile state — the incremental form.                    //
+  // ------------------------------------------------------------------ //
+
+  /** MERGEABLE per-column profile state: profile each shard / each
+    * day's append independently, [[mergeProfileStates]] the states
+    * (associative + commutative), [[profileFromState]] renders the
+    * [[profile]] schema at read — at 100 TB the daily profile touches
+    * only the new data, never a full-history rescan. Counts and
+    * typed min/max merge as plain monoids; distinct counts ride the
+    * DataSketches HLL sketch exactly like [[Sketches.hllState]].
+    *
+    * One state row per column: (column, data_type, n_rows, n_nonnull,
+    * hll, min_l/max_l, min_n/max_n, min_s/max_s). Ranges keep their
+    * ORDER-EXACT typed slot — longs and unix-micros timestamps in the
+    * long slot, fractional/decimal in the double slot, strings/dates/
+    * booleans in the string slot (ISO date and boolean strings order
+    * like their values) — because merging the RENDERED strings of
+    * [[profile]] would compare "10" < "9". Nested/binary ranges stay
+    * null, maps also skip the sketch (not hashable), both as in
+    * [[profile]].
+    *
+    * Estimate contract: counts and ranges are EXACT however the input
+    * was sharded or merged; distinct estimates are NOT register-exact
+    * across paths (DataSketches unions run HLL_8 while fresh sketches
+    * are HLL_4, and the conversions are path-dependent) — every
+    * sharding and merge order is an estimator of the same truth within
+    * the sketch's error band (~1.6% rsd at the lgK=12 default;
+    * observed <=1.5% across 2-way/3-way/reassociated paths at 1k
+    * distincts, pinned at 5% in ProfileSpec).
+    */
+  def profileState(df: DataFrame, lgK: Int = 12): DataFrame = {
+    val cols = df.schema.fields
+    require(cols.nonEmpty, "cannot profile a zero-column frame")
+    def slot(f: StructField): String = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "l"
+      case TimestampType | TimestampNTZType => "ts"
+      case _: DecimalType | DoubleType | FloatType => "n"
+      case StringType | DateType | BooleanType => "s"
+      case _ => "none"
+    }
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      // HLL input: DataSketches aggs accept int/long/string/binary;
+      // everything else sketches its exact string rendering (distinct
+      // counts are preserved by an injective render).
+      val hllIn = f.dataType match {
+        case _: MapType => lit(null).cast(StringType) // not hashable
+        case IntegerType | LongType | StringType | BinaryType => c
+        case _ => c.cast("string")
+      }
+      val (mnl, mxl) = slot(f) match {
+        case "l" => (min(c).cast("long"), max(c).cast("long"))
+        case "ts" => (unix_micros(min(c)), unix_micros(max(c)))
+        case _ => (lit(null).cast("long"), lit(null).cast("long"))
+      }
+      val (mnn, mxn) = slot(f) match {
+        case "n" => (min(c).cast("double"), max(c).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      val (mns, mxs) = slot(f) match {
+        case "s" => (min(c).cast("string"), max(c).cast("string"))
+        case _ => (lit(null).cast("string"), lit(null).cast("string"))
+      }
+      Seq(
+        count(c).as(s"__cnt_${f.name}"),
+        hll_sketch_agg(hllIn, lit(lgK)).as(s"__hll_${f.name}"),
+        mnl.as(s"__mnl_${f.name}"), mxl.as(s"__mxl_${f.name}"),
+        mnn.as(s"__mnn_${f.name}"), mxn.as(s"__mxn_${f.name}"),
+        mns.as(s"__mns_${f.name}"), mxs.as(s"__mxs_${f.name}"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs.toSeq: _*)
+    val stackArgs = cols.flatMap { f =>
+      Seq(
+        lit(f.name), lit(f.dataType.simpleString),
+        col(s"__cnt_${f.name}"), col(s"__hll_${f.name}"),
+        col(s"__mnl_${f.name}"), col(s"__mxl_${f.name}"),
+        col(s"__mnn_${f.name}"), col(s"__mxn_${f.name}"),
+        col(s"__mns_${f.name}"), col(s"__mxs_${f.name}"))
+    }
+    wide.select(
+      col("__rows").as("n_rows"),
+      stack(Seq(lit(cols.length)) ++ stackArgs: _*)
+        .as(Seq("column", "data_type", "n_nonnull", "hll",
+          "min_l", "max_l", "min_n", "max_n", "min_s", "max_s")))
+      .select("column", "data_type", "n_rows", "n_nonnull", "hll",
+        "min_l", "max_l", "min_n", "max_n", "min_s", "max_s")
+  }
+
+  /** Column-wise merge of profile states (same source schema): counts
+    * sum, sketches union, each typed range slot takes its min/max.
+    */
+  def mergeProfileStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("column"), col("data_type"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nonnull")).as("n_nonnull"),
+        hll_union_agg(col("hll")).as("hll"),
+        min(col("min_l")).as("min_l"), max(col("max_l")).as("max_l"),
+        min(col("min_n")).as("min_n"), max(col("max_n")).as("max_n"),
+        min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"))
+      .select("column", "data_type", "n_rows", "n_nonnull", "hll",
+        "min_l", "max_l", "min_n", "max_n", "min_s", "max_s")
+
+  /** Render a (possibly merged) state to the [[profile]] output schema.
+    * Range strings reproduce [[profile]]'s conventions exactly: longs
+    * and unix-micros timestamps print as integers, fractional slots as
+    * double renderings, string slots verbatim.
+    */
+  def profileFromState(state: DataFrame): DataFrame =
+    state.select(
+      col("column"),
+      col("data_type"),
+      col("n_rows"),
+      (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+      // Maps carry no sketch (not hashable) — null distinct, as in
+      // [[profile]], rather than an empty-sketch zero.
+      when(col("data_type").startsWith("map"), lit(null).cast("long"))
+        .otherwise(hll_sketch_estimate(col("hll"))).as("n_distinct"),
+      coalesce(col("min_l").cast("string"), col("min_n").cast("string"),
+        col("min_s")).as("min_value"),
+      coalesce(col("max_l").cast("string"), col("max_n").cast("string"),
+        col("max_s")).as("max_value"))
 }

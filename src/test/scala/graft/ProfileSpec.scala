@@ -30,6 +30,64 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("mergeable state: sharding exact on counts/ranges, order-invariant on distincts") {
+    val events = TableIO.table(spark, Sf0001, "events")
+    val oneShot = byColumn(Profile.profileFromState(Profile.profileState(events)))
+    // Shard by an arbitrary predicate — counts and ranges must be EXACT.
+    val a = Profile.profileState(events.filter(col("event_id") % 3 === 0))
+    val b = Profile.profileState(events.filter(col("event_id") % 3 =!= 0))
+    val merged = byColumn(Profile.profileFromState(Profile.mergeProfileStates(a, b)))
+    assert(oneShot.keySet == merged.keySet)
+    oneShot.keySet.foreach { c =>
+      Seq("data_type", "n_rows", "n_nulls", "min_value", "max_value").foreach { f =>
+        assert(oneShot(c).getAs[Any](f) == merged(c).getAs[Any](f),
+          s"$c.$f: ${oneShot(c).getAs[Any](f)} vs ${merged(c).getAs[Any](f)}")
+      }
+      // Distinct estimates: DataSketches unions run HLL_8 while fresh
+      // sketches are HLL_4, so the two paths are distinct estimators of
+      // the same truth — deviation bounded by the sketch's own error
+      // (~1.6% rsd at lgK=12; observed 1.5% max). Pin at 5%.
+      val e = oneShot(c).getAs[Long]("n_distinct")
+      val m = merged(c).getAs[Long]("n_distinct")
+      assert(math.abs(m - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$c: merged distinct $m vs one-shot $e")
+    }
+    // Merge order/association: every path is an estimator within the
+    // same error band (exact register equality is path-dependent in
+    // DataSketches' HLL_4/HLL_8 conversions, so only closeness is a
+    // contract, not identity).
+    val s0 = Profile.profileState(events.filter(col("event_id") % 3 === 0))
+    val s1 = Profile.profileState(events.filter(col("event_id") % 3 === 1))
+    val s2 = Profile.profileState(events.filter(col("event_id") % 3 === 2))
+    val left = byColumn(Profile.profileFromState(
+      Profile.mergeProfileStates(Profile.mergeProfileStates(s0, s1), s2)))
+    val right = byColumn(Profile.profileFromState(
+      Profile.mergeProfileStates(s2, Profile.mergeProfileStates(s1, s0))))
+    left.keySet.foreach { c =>
+      val (l, r) = (left(c).getAs[Long]("n_distinct"), right(c).getAs[Long]("n_distinct"))
+      assert(math.abs(l - r) <= math.max(1L, (0.05 * l).toLong),
+        s"$c merge-order variance: $l vs $r")
+    }
+  }
+
+  test("state render matches profile() conventions on the exact fields") {
+    val events = TableIO.table(spark, Sf0001, "events")
+    val direct = byColumn(Profile.profile(events, exactDistinct = true))
+    val viaState = byColumn(Profile.profileFromState(Profile.profileState(events)))
+    direct.keySet.foreach { c =>
+      // Counts and rendered ranges are exact in both paths; only the
+      // distinct estimator differs (HLL sketch vs exact/HLL++).
+      Seq("data_type", "n_rows", "n_nulls", "min_value", "max_value").foreach { f =>
+        assert(direct(c).getAs[Any](f) == viaState(c).getAs[Any](f),
+          s"$c.$f: ${direct(c).getAs[Any](f)} vs ${viaState(c).getAs[Any](f)}")
+      }
+      val ed = direct(c).getAs[Long]("n_distinct")
+      val sd = viaState(c).getAs[Long]("n_distinct")
+      assert(math.abs(sd - ed) <= math.max(1L, (0.10 * ed).toLong),
+        s"$c: state distinct $sd vs exact $ed")
+    }
+  }
+
   test("null accounting: n_rows - count(col) lands in n_nulls") {
     val df = spark.range(100).toDF("id")
       .withColumn("x", when(col("id") % 4 === 0, col("id")))
