@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, Selection, SemanticDedup, SimilaritySearch, TfIdf, TrainingData, Upsert}
+import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, Selection, SemanticDedup, SimilaritySearch, SubstringDedup, TfIdf, TrainingData, Upsert}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -662,6 +662,37 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text",
           n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Span-level exact-substring dedup (Lee et al. 2022 ExactSubstr,
+    // re-expressed as gram explode -> duplicated-gram agg -> semi-join ->
+    // per-doc gaps-and-islands): maximal spans whose every character lies
+    // in a 30-gram occurring at >1 corpus site. hashGrams=false is the
+    // oracle-exact mode (raw substring keys, replayed verbatim in SQL);
+    // the 100 TB default keys the shuffle by xxhash64 instead.
+    "q_dedup_substring" -> ((s, d) =>
+      SubstringDedup.duplicatedSpans(
+          t(s, d, "documents"), "doc_id", "text", minLen = 30, hashGrams = false)
+        .orderBy("doc_id", "span_start")),
+
+    // Per-source span-duplication rollup — the corpus-health view of the
+    // same spans (how much of each source is boilerplate).
+    "q_dedup_substring_stats" -> ((s, d) =>
+      SubstringDedup.duplicationStats(
+          t(s, d, "documents"), "doc_id", "text", "source",
+          minLen = 30, hashGrams = false)
+        .orderBy("source")),
+
+    // Strip every duplicated span and pin the REBUILT text exactly: the
+    // oracle reassembles the kept gaps with string_agg and compares
+    // md5(clean_text) — reconstruction-level, not just length-level.
+    "q_dedup_substring_strip" -> ((s, d) =>
+      SubstringDedup.stripDuplicatedSpans(
+          t(s, d, "documents"), "doc_id", "text", minLen = 30, hashGrams = false)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("clean_len"),
+          md5(col("text")).as("clean_hash"))
         .orderBy("doc_id")),
 
     // Incremental dedup (rows-only — minhash agreement is not
@@ -2440,6 +2471,117 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Replays duplicatedSpans exactly: every 30-char window start, grams
+    // occurring at >1 corpus site, per-doc gaps-and-islands merge
+    // (break when the gap between site starts exceeds 30).
+    "q_dedup_substring" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |  FROM documents WHERE len(text) >= 30
+        |), grams AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |)
+        |SELECT doc_id,
+        |       CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 29 AS BIGINT) AS span_end,
+        |       CAST(max(p) + 29 - min(p) + 1 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dedup_substring_stats" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |  FROM documents WHERE len(text) >= 30
+        |), grams AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |), spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 29 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(pd.n_spans) AS BIGINT) AS docs_with_dups,
+        |       CAST(coalesce(sum(pd.n_spans), 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(sum(pd.dup_chars), 0) AS BIGINT) AS dup_chars,
+        |       CAST(sum(len(d.text)) AS BIGINT) AS total_chars,
+        |       round(CAST(coalesce(sum(pd.dup_chars), 0) AS DOUBLE)
+        |             / sum(len(d.text)), 6) AS dup_frac
+        |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Rebuilds the stripped text in SQL (kept gaps between spans,
+    // string_agg in offset order) and pins md5(clean_text) — the oracle
+    // checks the reconstruction, not just the removed-char count.
+    "q_dedup_substring_strip" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |  FROM documents WHERE len(text) >= 30
+        |), grams AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |), spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 29 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), seg AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+        |         s - 1 AS ke
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT sp.doc_id, max(sp.e) + 1 AS ks,
+        |         CAST(max(len(d.text)) AS BIGINT) AS ke
+        |  FROM spans sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id
+        |), clean AS (
+        |  SELECT s.doc_id,
+        |         coalesce(string_agg(
+        |           CASE WHEN s.ke >= s.ks
+        |                THEN substr(d.text, CAST(s.ks AS INT),
+        |                            CAST(s.ke - s.ks + 1 AS INT)) END,
+        |           '' ORDER BY s.ks), '') AS tc
+        |  FROM seg s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(coalesce(c.tc, d.text)) AS BIGINT) AS clean_len,
+        |       md5(coalesce(c.tc, d.text)) AS clean_hash
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_keep" ->
       """WITH RECURSIVE toks AS (

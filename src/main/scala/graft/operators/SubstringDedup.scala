@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT duplicated-substring detection and removal — the span-level
+  * complement to [[Dedup]]'s whole-document operators. A span of a
+  * document is "duplicated" when some length-`minLen` window of it
+  * occurs at more than one (doc, offset) site anywhere in the corpus
+  * (including elsewhere in the same document). This is the substring
+  * dedup used on real LLM corpora (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better" — their suffix-array
+  * ExactSubstr); boilerplate, license headers and templated passages
+  * duplicate at span level even when no two documents are near-dups.
+  *
+  * Spark-first shape instead of a suffix array (which is a single-node
+  * construction): every duplicated substring of length >= minLen
+  * contains a duplicated minLen-gram, so corpus-wide detection is
+  *   1. explode each doc into its minLen-gram start offsets (one
+  *      `Generate` + codegen'd `substring`, no shuffle),
+  *   2. hash-partitioned groupBy on the gram to find grams with >1
+  *      site — map-side partial counts collapse each doc's repeated
+  *      grams before the exchange,
+  *   3. semi-join sites against the duplicated-gram set (same key,
+  *      AQE handles the skewed stop-gram groups),
+  *   4. per-doc gaps-and-islands merge of overlapping/adjacent sites
+  *      into maximal spans — a window keyed by doc, so state is
+  *      bounded by a single document's length.
+  *
+  * At 100 TB the gram keys are `xxhash64` (8-byte shuffle keys,
+  * `hashGrams = true`, the default); a 64-bit collision adds a false
+  * site at ~n²/2⁶⁵ probability and never loses a true one. The
+  * contract queries run `hashGrams = false` (raw-substring keys) so a
+  * SQL oracle replays them exactly; both modes are spec-pinned equal
+  * at fixture scale.
+  *
+  * Reference scope note: the reference pipeline (bronze_ingestion.py,
+  * silver_transformations.py) has no text-dedup surface at all — this
+  * family is part of the training-data extension layer.
+  */
+object SubstringDedup {
+
+  /** (doc_id, p, g): every start offset `p` (1-based) of a
+    * `minLen`-gram `g` in each document. `g` is the raw substring when
+    * `hashGrams` is false, its xxhash64 otherwise.
+    */
+  private def gramSites(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      hashGrams: Boolean): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val gram = col("__t").substr(col("p0"), lit(minLen))
+    df.where(length(col(textCol)) >= minLen)
+      .select(
+        col(idCol).as("doc_id"),
+        col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - minLen + 1)).as("p0"))
+      .select(
+        col("doc_id"),
+        col("p0").cast("long").as("p"),
+        (if (hashGrams) xxhash64(gram) else gram).as("g"))
+  }
+
+  /** Sites whose gram occurs at more than one (doc, offset) in the
+    * corpus: (doc_id, p). The duplicated-gram set is an aggregation
+    * (not a window rank) so partial counts combine map-side; the
+    * site list then semi-joins against it on the same key.
+    */
+  def duplicatedGramSites(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val sites = gramSites(df, idCol, textCol, minLen, hashGrams)
+    val dup = sites.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("g"))
+    sites.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("p"))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, span_start,
+    * span_end, span_len), offsets 1-based inclusive. Two duplicated
+    * gram sites merge when their length-`minLen` windows overlap or
+    * touch (gap <= minLen), so each output row is a maximal run of
+    * text every character of which lies in some duplicated gram.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val sites = duplicatedGramSites(df, idCol, textCol, minLen, hashGrams)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    sites
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") - col("prev") > minLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("p")).as("span_start"),
+        (max(col("p")) + minLen - 1).as("span_end"))
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** Per-source corpus-health rollup: how much of each source is
+    * span-duplicated. (source, n_docs, docs_with_dups, n_spans,
+    * dup_chars, total_chars, dup_frac).
+    */
+  def duplicationStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val perDoc = duplicatedSpans(df, idCol, textCol, minLen, hashGrams)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_chars"))
+    df.select(
+        col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("n_spans")).as("docs_with_dups"),
+        coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"),
+        coalesce(sum(col("dup_chars")), lit(0L)).as("dup_chars"),
+        sum(col("len")).as("total_chars"))
+      .withColumn("dup_frac",
+        round(col("dup_chars").cast("double") / col("total_chars"), 6))
+  }
+
+  /** Remove every duplicated span, keeping the non-duplicated
+    * remainder in order: the input frame with `textCol` replaced by
+    * the cleaned text. Documents with no duplicated span (and those
+    * shorter than `minLen`) pass through unchanged.
+    *
+    * The rebuild is declarative: spans collect per doc (state bounded
+    * by doc_len / minLen), join back on the doc key, and a
+    * higher-order `aggregate` walks the sorted spans with a (cursor,
+    * acc) state appending each kept gap — no UDF, no driver state.
+    * Removing all copies (rather than all-but-one) is deliberate and
+    * matches ExactSubstr's published setting: a span that recurs
+    * verbatim is boilerplate, and electing a canonical keeper site
+    * would force a second global shuffle for no training-value gain.
+    */
+  def stripDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, minLen, hashGrams)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+    val joined = df.join(spans, df(idCol) === spans("doc_id"), "left")
+    val rebuilt = aggregate(
+      col("spans"),
+      struct(lit(1L).as("cur"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + 1L).as("cur"),
+        concat(
+          st.getField("acc"),
+          col(textCol).substr(
+            st.getField("cur").cast("int"),
+            (sp.getField("s") - st.getField("cur")).cast("int"))).as("acc")),
+      st => concat(
+        st.getField("acc"),
+        col(textCol).substr(
+          st.getField("cur").cast("int"),
+          (length(col(textCol)) - st.getField("cur") + 1L).cast("int"))))
+    joined
+      .withColumn(textCol,
+        when(col("spans").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("spans").drop(spans("doc_id"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SubstringDedup
+import graft.sources.TableIO
+
+/** Span-level exact-substring dedup: spans/stats/strip against a
+  * brute-force in-memory reference, hash-keyed == exact-keyed modes,
+  * and the fully-duplicated-document edge (strips to empty).
+  */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- reference
+
+  /** Brute-force spans: global substring census, per-doc 1-based site
+    * list, merge while the gap between site starts is <= L.
+    */
+  private def bruteSpans(
+      docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs if t.length >= L; i <- 0 to t.length - L) {
+      val g = t.substring(i, i + L)
+      counts(g) = counts.getOrElse(g, 0) + 1
+    }
+    docs.flatMap { case (id, t) =>
+      val sites =
+        if (t.length < L) Seq.empty[Int]
+        else (1 to t.length - L + 1).filter(p => counts(t.substring(p - 1, p - 1 + L)) > 1)
+      val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)] // (start, lastSite)
+      for (p <- sites) {
+        if (spans.nonEmpty && p - spans.last._2 <= L)
+          spans(spans.length - 1) = (spans.last._1, p)
+        else spans += ((p, p))
+      }
+      spans.map { case (s, last) => (id, s.toLong, (last + L - 1).toLong) }
+    }.toSet
+  }
+
+  private def bruteStrip(docs: Seq[(Long, String)], L: Int): Map[Long, String] = {
+    val spansByDoc = bruteSpans(docs, L).groupBy(_._1)
+      .map { case (id, ss) => id -> ss.toSeq.map(s => (s._2.toInt, s._3.toInt)).sorted }
+    docs.map { case (id, t) =>
+      val kept = new StringBuilder
+      var cur = 1
+      for ((s, e) <- spansByDoc.getOrElse(id, Seq.empty)) {
+        kept ++= t.substring(cur - 1, s - 1)
+        cur = e + 1
+      }
+      kept ++= t.substring(cur - 1)
+      id -> kept.toString
+    }.toMap
+  }
+
+  private def spansOf(df: DataFrame, L: Int, hashGrams: Boolean): Set[(Long, Long, Long)] =
+    SubstringDedup.duplicatedSpans(df, "doc_id", "text", L, hashGrams)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+
+  // ------------------------------------------------------------ fixtures
+
+  // B = a 40-char boilerplate sentence planted across docs 1/2/4 and
+  // twice within doc 5; doc 3 is clean; doc 6 is shorter than L; doc 7
+  // is doc 1 verbatim (fully duplicated).
+  private val B = "SHARED BOILERPLATE SENTENCE ABCDEFGHIJKL" // 40 chars
+  private lazy val planted = Seq(
+    (1L, s"unique head one ${B} unique tail one zzzz"),
+    (2L, s"different lead-in text ${B} other close"),
+    (3L, "totally clean document with no repeated windows at all here"),
+    (4L, s"${B} starts this one"),
+    (5L, s"${B} and between ${B}"),
+    (6L, "tiny doc"),
+    (7L, s"unique head one ${B} unique tail one zzzz")
+  ).toDF("doc_id", "text")
+
+  private val L = 30
+
+  // --------------------------------------------------------------- tests
+
+  test("planted fixture: spans match the brute-force reference") {
+    val docs = planted.as[(Long, String)].collect().toSeq
+    val expected = bruteSpans(docs, L)
+    assert(spansOf(planted, L, hashGrams = false) == expected)
+    // every planted boilerplate site is covered by some span
+    val byDoc = expected.groupBy(_._1)
+    for (id <- Seq(1L, 2L, 4L, 5L, 7L)) assert(byDoc.contains(id), s"doc $id")
+    assert(!byDoc.contains(3L) && !byDoc.contains(6L))
+    // docs 1 and 7 are verbatim copies: identical (full-doc) spans
+    assert(byDoc(1L).map(s => (s._2, s._3)) == byDoc(7L).map(s => (s._2, s._3)))
+  }
+
+  test("hash-keyed mode produces the identical span set (fixture + sf0.001)") {
+    assert(spansOf(planted, L, hashGrams = true) ==
+      spansOf(planted, L, hashGrams = false))
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    assert(spansOf(corpus, L, hashGrams = true) ==
+      spansOf(corpus, L, hashGrams = false))
+  }
+
+  test("sf0.001 corpus spans match the brute-force reference") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val docs = corpus.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(spansOf(corpus, L, hashGrams = false) == bruteSpans(docs, L))
+  }
+
+  test("strip: rebuilt text matches the reference; clean docs unchanged; full dups empty") {
+    val docs = planted.as[(Long, String)].collect().toSeq
+    val expected = bruteStrip(docs, L)
+    val got = SubstringDedup
+      .stripDuplicatedSpans(planted, "doc_id", "text", L, hashGrams = false)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got == expected)
+    assert(got(3L) == docs.find(_._1 == 3L).get._2) // untouched
+    assert(got(6L) == "tiny doc")                   // shorter than L
+    assert(got(1L) == "" && got(7L) == "")          // verbatim pair: all stripped
+    // no kept character sits inside any span, and order is preserved:
+    // stripping twice is a fixed point only for spans no longer duplicated,
+    // so assert the cheaper invariant — each stripped doc is a subsequence
+    // of its original.
+    def isSubseq(a: String, b: String): Boolean = {
+      var i = 0
+      for (c <- b if i < a.length) if (a(i) == c) i += 1
+      i == a.length
+    }
+    for ((id, t) <- docs) assert(isSubseq(got(id), t), s"doc $id")
+  }
+
+  test("stats: per-source rollup is consistent with the span set") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val stats = SubstringDedup
+      .duplicationStats(corpus, "doc_id", "text", "source", L, hashGrams = false)
+    val rows = stats.collect()
+    val spans = spansOf(corpus, L, hashGrams = false)
+    val srcOf = corpus.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val dupCharsBySrc = spans.toSeq
+      .groupBy(s => srcOf(s._1))
+      .map { case (src, ss) => src -> ss.map(s => s._3 - s._2 + 1).sum }
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("dup_chars") == dupCharsBySrc.getOrElse(src, 0L), src)
+      val frac = r.getAs[Double]("dup_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("docs_with_dups") <= r.getAs[Long]("n_docs"))
+    }
+    // totals: every source of the corpus appears exactly once
+    assert(rows.map(_.getAs[String]("source")).toSet ==
+      corpus.select("source").distinct().as[String].collect().toSet)
+  }
+
+  test("no duplicated window shorter than minLen is reported (threshold honored)") {
+    // two docs sharing only a 29-char window must produce no span at L=30
+    // (boundary chars X/Y vs A/B differ so the shared run is EXACTLY 29)
+    val shared29 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ123" // 29 chars
+    val df = Seq(
+      (1L, s"left pad number oneX${shared29}Yright pad 11111"),
+      (2L, s"other padding textA${shared29}Bdifferent end2")
+    ).toDF("doc_id", "text")
+    assert(spansOf(df, L, hashGrams = false).isEmpty)
+    // at L=29 the shared window is found in both docs
+    val at29 = spansOf(df, 29, hashGrams = false)
+    assert(at29.map(_._1) == Set(1L, 2L))
+  }
+}
