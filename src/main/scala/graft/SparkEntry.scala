@@ -683,6 +683,22 @@ object SparkEntry {
           minLen = 30, hashGrams = false)
         .orderBy("source")),
 
+    // Incremental span dedup: evens are the standing corpus (persisted
+    // gram census), odds the new batch — batch spans are duplicated
+    // against census + batch counts, no corpus rescan. Equals the
+    // full-rebuild spans restricted to odd docs (the oracle replays the
+    // restriction law directly).
+    "q_dedup_substring_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val census = SubstringDedup.gramCensus(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        minLen = 30, hashGrams = false)
+      SubstringDedup.duplicatedSpansAgainstCensus(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", census,
+          minLen = 30, hashGrams = false)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Strip every duplicated span and pin the REBUILT text exactly: the
     // oracle reassembles the kept gaps with string_agg and compares
     // md5(clean_text) — reconstruction-level, not just length-level.
@@ -2534,6 +2550,34 @@ object SparkEntry {
         |             / sum(len(d.text)), 6) AS dup_frac
         |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // The incremental form's restriction law, replayed directly: dup
+    // counts over the WHOLE corpus, island merge over odd-doc sites only.
+    "q_dedup_substring_incr" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |  FROM documents WHERE len(text) >= 30
+        |), grams AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)
+        |  WHERE gr.doc_id % 2 = 1
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |)
+        |SELECT doc_id,
+        |       CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 29 AS BIGINT) AS span_end,
+        |       CAST(max(p) + 29 - min(p) + 1 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // Rebuilds the stripped text in SQL (kept gaps between spans,
     // string_agg in offset order) and pins md5(clean_text) — the oracle

@@ -83,19 +83,11 @@ object SubstringDedup {
     sites.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("p"))
   }
 
-  /** Maximal duplicated spans per document: (doc_id, span_start,
-    * span_end, span_len), offsets 1-based inclusive. Two duplicated
-    * gram sites merge when their length-`minLen` windows overlap or
-    * touch (gap <= minLen), so each output row is a maximal run of
-    * text every character of which lies in some duplicated gram.
+  /** Gaps-and-islands merge of duplicated (doc_id, p) sites into
+    * maximal spans — a window keyed by doc, state bounded by one
+    * document's site list.
     */
-  def duplicatedSpans(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      minLen: Int,
-      hashGrams: Boolean = true): DataFrame = {
-    val sites = duplicatedGramSites(df, idCol, textCol, minLen, hashGrams)
+  private def mergeSites(sites: DataFrame, minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     sites
       .withColumn("prev", lag(col("p"), 1).over(byDoc))
@@ -112,6 +104,70 @@ object SubstringDedup {
         col("span_start"),
         col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, span_start,
+    * span_end, span_len), offsets 1-based inclusive. Two duplicated
+    * gram sites merge when their length-`minLen` windows overlap or
+    * touch (gap <= minLen), so each output row is a maximal run of
+    * text every character of which lies in some duplicated gram.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame =
+    mergeSites(duplicatedGramSites(df, idCol, textCol, minLen, hashGrams), minLen)
+
+  // ------------------------------------------------- incremental census
+
+  /** Mergeable gram census — (g, n) site counts per distinct gram —
+    * the persisted state for INCREMENTAL span dedup: write it once for
+    * the standing corpus, then each new batch probes it instead of
+    * re-extracting 100 TB of grams. Only distinct grams cross the wire
+    * (map-side partial counts), and the census is ~8 bytes/distinct
+    * gram under the default hashed keys.
+    */
+  def gramCensus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame =
+    gramSites(df, idCol, textCol, minLen, hashGrams)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+
+  /** Union of two censuses — counts add. `gramCensus(a union b)` ==
+    * `mergeCensus(gramCensus(a), gramCensus(b))` (spec-pinned), so
+    * census maintenance is pure monoid folding: no history rescan.
+    */
+  def mergeCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g")).agg(sum(col("n")).as("n"))
+
+  /** Spans of `batch` that are duplicated against the standing corpus
+    * summarized by `census` OR within the batch itself: a batch site
+    * is duplicated when its gram's total site count (census + batch)
+    * exceeds 1. With `census = gramCensus(corpus)` this equals
+    * `duplicatedSpans(corpus union batch)` restricted to batch docs
+    * (spec-pinned restriction law) — without rescanning the corpus.
+    */
+  def duplicatedSpansAgainstCensus(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      census: DataFrame,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val sites = gramSites(batch, idCol, textCol, minLen, hashGrams)
+    val batchCounts = sites.groupBy(col("g")).agg(count(lit(1)).as("bn"))
+    val dup = batchCounts
+      .join(census.select(col("g"), col("n").as("cn")), Seq("g"), "left")
+      .where(col("bn") + coalesce(col("cn"), lit(0L)) > 1)
+      .select(col("g"))
+    mergeSites(
+      sites.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("p")),
+      minLen)
   }
 
   /** Per-source corpus-health rollup: how much of each source is

@@ -149,6 +149,42 @@ class SubstringDedupSpec extends SparkSpec {
       corpus.select("source").distinct().as[String].collect().toSet)
   }
 
+  test("census is a monoid: census(a union b) == mergeCensus(census(a), census(b))") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val a = corpus.filter(col("doc_id") % 3 === 0)
+    val b = corpus.filter(col("doc_id") % 3 =!= 0)
+    val whole = SubstringDedup.gramCensus(corpus, "doc_id", "text", L, hashGrams = true)
+      .as[(Long, Long)].collect().toMap
+    val merged = SubstringDedup.mergeCensus(
+        SubstringDedup.gramCensus(a, "doc_id", "text", L, hashGrams = true),
+        SubstringDedup.gramCensus(b, "doc_id", "text", L, hashGrams = true))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == whole)
+  }
+
+  test("restriction law: against-census spans == full-rebuild spans on batch docs") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val standing = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val census = SubstringDedup.gramCensus(standing, "doc_id", "text", L, hashGrams = true)
+    val incr = SubstringDedup
+      .duplicatedSpansAgainstCensus(batch, "doc_id", "text", census, L, hashGrams = true)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = spansOf(corpus, L, hashGrams = true).filter(_._1 % 2 == 1)
+    assert(incr == full)
+    // a batch-internal duplicate with no census support is still caught
+    val dupBatch = Seq(
+      (101L, s"first copy here ${B} trailing bits"),
+      (103L, s"second copy xx ${B} other ending")).toDF("doc_id", "text")
+    val alone = SubstringDedup.duplicatedSpansAgainstCensus(
+        dupBatch, "doc_id", "text",
+        SubstringDedup.gramCensus(dupBatch.limit(0), "doc_id", "text", L),
+        L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(alone == Set(101L, 103L))
+  }
+
   test("no duplicated window shorter than minLen is reported (threshold honored)") {
     // two docs sharing only a 29-char window must produce no span at L=30
     // (boundary chars X/Y vs A/B differ so the shared run is EXACTLY 29)
