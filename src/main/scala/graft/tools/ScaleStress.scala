@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, SimilaritySearch, SubstringDedup}
 import graft.functions.VectorOps
 import graft.sources.TableIO
 
@@ -301,6 +301,35 @@ object ScaleStress {
     time("chunk + pack")(
       println(s"[stress]   packed chunks = ${packed.count()}"))
     deduped.unpersist(); annotated.unpersist(); docs.unpersist()
+    }
+
+    section("substr") {
+    // Span-level substring dedup at volume. Exact replication is the
+    // WORST case for the census (every gram site duplicated -> every
+    // site survives the semi-join and feeds the per-doc window), so
+    // this measures the operator with zero pruning help. Then the
+    // incremental shape: standing census once, probe a 1-replica batch
+    // against it — the per-batch cost a 100 TB ingestion actually pays.
+    val base = TableIO.table(spark, sfDir, "documents")
+    val docs = replicate(base, "doc_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    println(s"[stress] substr corpus: $n docs (${reps}x exact replication, minLen=30)")
+    time(s"full spans, ${reps}x corpus")(
+      println("[stress]   spans = " +
+        SubstringDedup.duplicatedSpans(docs, "doc_id", "text", 30).count()))
+    val censusPath = s"target/tmp/stress_census_${System.nanoTime()}"
+    time(s"census build+persist, ${reps}x corpus") {
+      SubstringDedup.gramCensus(docs, "doc_id", "text", 30)
+        .write.mode("overwrite").parquet(censusPath)
+    }
+    val census = spark.read.parquet(censusPath)
+    println("[stress]   distinct grams = " + census.count())
+    time("incremental probe, 1-replica batch")(
+      println("[stress]   batch spans = " +
+        SubstringDedup.duplicatedSpansAgainstCensus(
+          base, "doc_id", "text", census, 30).count()))
+    docs.unpersist()
     }
 
     section("cc") {
