@@ -200,6 +200,89 @@ object SubstringDedup {
         round(col("dup_chars").cast("double") / col("total_chars"), 6))
   }
 
+  /** Per-batch census delta written OVERWRITE under a deterministic
+    * per-batch dir (`$path/delta=<batchId>`): a Structured Streaming
+    * replay of the same batch rewrites the identical delta, so the
+    * append is idempotent BY CONSTRUCTION — no marker protocol, because
+    * the write is keyed by batch identity instead of accumulated.
+    * Partition-style naming keeps the live census one recursive read.
+    */
+  def appendCensusDelta(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      path: String,
+      batchId: Long,
+      hashGrams: Boolean = true): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (delta=-1 is the compacted base), got $batchId")
+    gramCensus(batch, idCol, textCol, minLen, hashGrams)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/delta=$batchId")
+  }
+
+  /** The live census: fold every delta (monoid sum per gram). Runs
+    * [[graft.streaming.StreamingFeatures.recoverSwap]] first so a
+    * crashed compaction never hides data from readers.
+    */
+  def readCensus(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.streaming.StreamingFeatures.recoverSwap(fs, root)
+    spark.read.parquet(path)
+      .groupBy(col("g")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Fold all deltas into the single compacted base `delta=-1` and swap
+    * it in ([[graft.streaming.StreamingFeatures.swapIn]] discipline: a
+    * complete copy exists under a recoverable name at every instant).
+    * `-1` can never collide with a replayed micro-batch id, so the
+    * recovery merge path stays collision-free. Single-writer, like the
+    * compacting sink — call from the census stream's own foreachBatch.
+    */
+  def compactCensus(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.streaming.StreamingFeatures.recoverSwap(fs, root)
+    if (!fs.exists(root)) return
+    val deltas = fs.listStatus(root).filter(_.getPath.getName.startsWith("delta="))
+    if (deltas.length <= 1) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .groupBy(col("g")).agg(sum(col("n")).as("n"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/delta=-1")
+    graft.streaming.StreamingFeatures.swapIn(fs, root, tmp)
+  }
+
+  /** Maintain a gram census continuously from a document stream:
+    * foreachBatch writes each micro-batch's delta idempotently and
+    * compacts the delta pile every `compactEvery` batches (0 = never).
+    * The probe side ([[duplicatedSpansAgainstCensus]] over
+    * [[readCensus]]) then sees every ingested document without any
+    * corpus rescan — the streaming twin of the batch census, pinned
+    * streamed==batch in SubstringDedupSpec.
+    */
+  def censusSink(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      path: String,
+      checkpoint: String,
+      hashGrams: Boolean = true,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendCensusDelta(batch.toDF(), idCol, textCol, minLen, path, id, hashGrams)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          compactCensus(batch.sparkSession, path)
+      }
+      .start()
+
   /** Remove every duplicated span, keeping the non-duplicated
     * remainder in order: the input frame with `textCol` replaced by
     * the cleaned text. Documents with no duplicated span (and those
