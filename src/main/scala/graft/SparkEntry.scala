@@ -1084,6 +1084,20 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // Leakage-safe split: membership decided per duplicate CLUSTER
+    // (connected component of exact-jaccard pairs), so near-duplicates
+    // never straddle train/test. Oracle = the q_dedup_clusters recursive
+    // CTE composed with q_split_hash's md5-threshold rule on cluster_id.
+    "q_split_leakage_safe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TrainingData.leakageSafeSplit(
+          docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Bloom-filter decontamination — the beyond-broadcast scale path:
     // eval grams fold into a ~MB bloom sketch and the corpus side is
     // ONE row-local projection, zero shuffles (plan-asserted in
@@ -1149,6 +1163,14 @@ object SparkEntry {
     "q_text_boilerplate" -> ((s, d) =>
       graft.operators.CorpusStats.gramDocFrequency(
         t(s, d, "documents"), "doc_id", "text", n = 3, minDf = 3)
+        .orderBy("doc_id")),
+
+    // Corpus self-perplexity (unigram surprisal, the CCNet-style LM
+    // filter's degenerate-but-replayable form): token census broadcast
+    // back onto the exploded tokens, per-doc mean -log2 p(token).
+    "q_quality_surprisal" -> ((s, d) =>
+      graft.operators.CorpusStats.unigramSurprisal(
+        t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // LSH-bucketed embedding near-dup (scale path; rows-only — recall is
@@ -3235,6 +3257,43 @@ object SparkEntry {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.id = e.b
+        |), clusters AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM clusters ORDER BY doc_id""".stripMargin,
+
     "q_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
@@ -3425,6 +3484,25 @@ object SparkEntry {
         |       CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
         |       round(coalesce(CAST(p.n_common AS DOUBLE) / p.n_grams, 0), 6) AS common_frac
         |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_quality_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents
+        |), census AS (
+        |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) AS total FROM census
+        |), perdoc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         avg(-log2(CAST(c.tf AS DOUBLE) / (SELECT total FROM tot))) AS s
+        |  FROM toks t JOIN census c USING (tok) GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // Same deterministic augmentation, same RE2-compatible patterns,

@@ -57,4 +57,43 @@ object CorpusStats {
         round(coalesce(
           col("n_common").cast("double") / col("n_grams"), lit(0.0)), 6).as("common_frac"))
   }
+
+  /** Corpus SELF-PERPLEXITY quality score (the unigram form of CCNet's
+    * LM filter): per document, the mean surprisal of its tokens under
+    * the corpus's own unigram distribution —
+    * avg over tokens of -log2(count(token)/total_tokens). High =
+    * improbable tokens (OCR noise, gibberish, wrong language); low =
+    * repetitive boilerplate; the useful corpus lives between, so the
+    * score feeds band filters rather than a single threshold.
+    *
+    * Scale shape: one token census (map-side combined groupBy —
+    * vocab-sized result, Zipf-bounded), BROADCAST back onto the
+    * exploded tokens (vocab is small even at 100 TB; `broadcastVocab =
+    * false` falls back to a shuffle join with AQE skew handling for
+    * pathological vocabularies), then a per-doc mean whose partial
+    * aggregation collapses map-side because a doc's exploded tokens
+    * are co-partitioned with their source row.
+    */
+  def unigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val census = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = census.agg(sum(col("tf"))).head().getLong(0)
+    val vocab = if (broadcastVocab) broadcast(census) else census
+    val perDoc = toks.join(vocab, "tok")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log2(col("tf").cast("double") / total.toDouble)).as("surprisal"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
+  }
 }

@@ -303,13 +303,15 @@ object SubstringDedup {
       textCol: String,
       minLen: Int,
       hashGrams: Boolean = true): DataFrame = {
+    require(!df.columns.contains("__spans"),
+      "stripDuplicatedSpans reserves the __spans column name")
     val spans = duplicatedSpans(df, idCol, textCol, minLen, hashGrams)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(
-        col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
     val joined = df.join(spans, df(idCol) === spans("doc_id"), "left")
     val rebuilt = aggregate(
-      col("spans"),
+      col("__spans"),
       struct(lit(1L).as("cur"), lit("").as("acc")),
       (st, sp) => struct(
         (sp.getField("e") + 1L).as("cur"),
@@ -325,7 +327,7 @@ object SubstringDedup {
           (length(col(textCol)) - st.getField("cur") + 1L).cast("int"))))
     joined
       .withColumn(textCol,
-        when(col("spans").isNull, col(textCol)).otherwise(rebuilt))
-      .drop("spans").drop(spans("doc_id"))
+        when(col("__spans").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("__spans").drop(spans("doc_id"))
   }
 }

@@ -583,6 +583,32 @@ object TrainingData {
     df.withColumn(outCol, splitCol)
   }
 
+  /** LEAKAGE-SAFE deterministic split: membership is decided per
+    * duplicate CLUSTER (connected component of `pairs`), not per
+    * document — a near-duplicate of a test document can then never
+    * land in train, the eval-contamination hole a per-document split
+    * leaves open no matter how good the hash. Pure composition:
+    * cluster ids from [[Components.clusterMembership]] (singleton docs
+    * keep their own id), then [[deterministicSplit]]'s md5-threshold
+    * rule applied to the CLUSTER id, so every member of a cluster
+    * shares one bucket draw. Inherits both parents' scale shapes —
+    * pointer-jumping CC with the bounded driver union-find fast path,
+    * and the row-local stateless hash split. Append-stability holds
+    * per cluster: new documents reassign an existing one only by
+    * LINKING its cluster to another, which is exactly when
+    * reassignment is semantically required.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      outCol: String = "split"): DataFrame =
+    deterministicSplit(
+      Components.clusterMembership(df, idCol, pairs),
+      "cluster_id", weights, salt, outCol)
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct word n-grams appear anywhere in an evaluation set, plus
     * the contaminated fraction and a threshold flag. The standard

@@ -29,6 +29,32 @@ class CorpusStatsSpec extends SparkSpec {
       (5L, 0L, 0L, 0.0)))
   }
 
+  test("unigramSurprisal: hand-computed tiny corpus; rare tokens score higher") {
+    // corpus: 8 tokens total — "a" x4, "b" x2, "c" x1, "zzz" x1
+    val docs = Seq(
+      (1L, "a a a a"),   // all common: surprisal = -log2(4/8) = 1.0
+      (2L, "b b"),       // -log2(2/8) = 2.0
+      (3L, "c zzz"),     // avg of -log2(1/8) twice = 3.0
+      (4L, "")           // no tokens
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 4L, 1.0), (2L, 2L, 2.0), (3L, 2L, 3.0), (4L, 0L, 0.0)))
+  }
+
+  test("unigramSurprisal: broadcast and shuffle-join paths agree; vocab side is broadcast") {
+    val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
+    def rows(bc: Boolean) =
+      CorpusStats.unigramSurprisal(docs, "doc_id", "text", broadcastVocab = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(bc = true) == rows(bc = false))
+    val plan = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"vocab census should broadcast:\n$plan")
+  }
+
   test("minDf = 1 marks every gram common; empty corpus-side parity holds") {
     val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
     val got = CorpusStats.gramDocFrequency(docs, "doc_id", "text", n = 3, minDf = 1)

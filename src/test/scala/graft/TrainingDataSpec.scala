@@ -514,6 +514,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(e.getMessage.contains("epoch"))
   }
 
+  test("leakageSafeSplit: no duplicate pair straddles splits; singletons keep own draw") {
+    val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+    val split = TrainingData.leakageSafeSplit(
+        docs, "doc_id", pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "cluster_id", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every near-dup pair lands in ONE split (the whole point)
+    val pr = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pr.nonEmpty, "fixture should contain near-dup pairs")
+    for ((a, b) <- pr) {
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) in different clusters")
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // clustered docs share their CLUSTER's md5 draw, not their own:
+    // every member matches deterministicSplit applied to cluster_id
+    val expected = TrainingData.deterministicSplit(
+        split.values.map(_._1).toSeq.distinct.toDF("cluster_id"),
+        "cluster_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((_, (cid, s)) <- split) assert(s == expected(cid))
+    // a singleton doc's cluster id is its own id
+    val paired = pr.flatMap(p => Seq(p._1, p._2)).toSet
+    val singletons = split.keySet -- paired
+    assert(singletons.nonEmpty)
+    for (id <- singletons) assert(split(id)._1 == id, s"singleton $id cluster")
+  }
+
   test("per-group samplers fail fast on non-integral id columns") {
     // A string id would cast to null, be skipped by the heap, and the
     // semi-join would silently return an empty sample — must throw at
