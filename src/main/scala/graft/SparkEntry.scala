@@ -848,6 +848,16 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Temperature-scaled mixture budgets (share ∝ n^alpha, alpha = 0.5
+    // flattens the source head): the `targets` table epochMixSample
+    // consumes, derived from the corpus instead of hand-tuned. One
+    // metadata-sized aggregate; the corpus never shuffles.
+    "q_mix_temperature" -> ((s, d) =>
+      TrainingData.temperatureMixBudgets(
+          t(s, d, "documents"), "source", col("n_chars"),
+          alpha = 0.5, totalBudget = 1000000L)
+        .orderBy("source")),
+
     // Exactly-k deterministic sample ([[TrainingData.exactSample]]):
     // the k-th smallest md5-prefix key found by the Selection descent
     // (no global sort, no TakeOrdered of k rows), strict-below rows
@@ -1164,6 +1174,30 @@ object SparkEntry {
       graft.operators.CorpusStats.gramDocFrequency(
         t(s, d, "documents"), "doc_id", "text", n = 3, minDf = 3)
         .orderBy("doc_id")),
+
+    // Scene segmentation over a pre-extracted frames table (the decode
+    // fleet's output shape; container parsing itself is out of scope —
+    // SURVEY round-12 candidate (b)). Frames synthesized
+    // deterministically from documents (md5-derived brightness), so the
+    // oracle replays features, boundaries, islands and keyframes in SQL.
+    "q_frames_scenes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val frames = docs.select(
+          col("doc_id").as("video_id"),
+          explode(sequence(lit(0), (pmod(col("n_chars"), lit(7)) + 3).cast("int")))
+            .as("frame_idx"))
+        .withColumn("bright",
+          conv(substring(md5(concat(col("video_id"), lit("_"), col("frame_idx"))), 1, 2),
+            16, 10).cast("double"))
+        .withColumn("feat", array(col("bright")))
+      Multimodal.sceneManifest(frames, "video_id", "frame_idx", "feat", threshold = 90.0)
+        .select(
+          col("video_id"), col("scene_idx"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("end_frame").cast("long").as("end_frame"),
+          col("n_frames"), col("keyframe_idx").cast("long").as("keyframe_idx"))
+        .orderBy("video_id", "scene_idx")
+    }),
 
     // Corpus self-perplexity (unigram surprisal, the CCNet-style LM
     // filter's degenerate-but-replayable form): token census broadcast
@@ -2828,6 +2862,18 @@ object SparkEntry {
     // Replays epochMixSample exactly: same per-source sums, same
     // f = least(cap, budget/t), same %08x fractional threshold against
     // the md5 prefix, same 0-based epoch expansion via generate_series.
+    "q_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), norm AS (
+        |  SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM per
+        |)
+        |SELECT source, n_tokens,
+        |       CAST(floor(1000000.0 * pow(CAST(n_tokens AS DOUBLE), 0.5)
+        |                  / (SELECT z FROM norm)) AS BIGINT) AS budget_tokens
+        |FROM per ORDER BY source""".stripMargin,
+
     "q_mix_epochs" ->
       """WITH stats AS (
         |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t
@@ -3485,6 +3531,41 @@ object SparkEntry {
         |       round(coalesce(CAST(p.n_common AS DOUBLE) / p.n_grams, 0), 6) AS common_frac
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_frames_scenes" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS video_id,
+        |         unnest(range(0, n_chars % 7 + 4)) AS frame_idx
+        |  FROM documents
+        |), feat AS (
+        |  SELECT video_id, frame_idx,
+        |         CAST((strpos('0123456789abcdef',
+        |                 substr(md5(CAST(video_id AS VARCHAR) || '_' ||
+        |                        CAST(frame_idx AS VARCHAR)), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef',
+        |                 substr(md5(CAST(video_id AS VARCHAR) || '_' ||
+        |                        CAST(frame_idx AS VARCHAR)), 2, 1)) - 1)
+        |           AS DOUBLE) AS bright
+        |  FROM fr
+        |), brk AS (
+        |  SELECT video_id, frame_idx, bright,
+        |         lag(bright) OVER (PARTITION BY video_id ORDER BY frame_idx) AS prev
+        |  FROM feat
+        |), isl AS (
+        |  SELECT video_id, frame_idx,
+        |         sum(CASE WHEN prev IS NULL OR abs(bright - prev) > 90.0
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY video_id ORDER BY frame_idx) - 1 AS scene_idx
+        |  FROM brk
+        |)
+        |SELECT video_id,
+        |       CAST(scene_idx AS BIGINT) AS scene_idx,
+        |       CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |       CAST(max(frame_idx) AS BIGINT) AS end_frame,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(min(frame_idx) AS BIGINT) AS keyframe_idx
+        |FROM isl GROUP BY video_id, scene_idx
+        |ORDER BY video_id, scene_idx""".stripMargin,
 
     "q_quality_surprisal" ->
       """WITH toks AS (

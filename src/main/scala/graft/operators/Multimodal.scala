@@ -392,4 +392,48 @@ object Multimodal {
         least(col("n_frames") - 1, lit((maxFrames - 1) * stride)),
         lit(stride))).as("frame_idx"))
   }
+
+  /** Scene segmentation over a PRE-EXTRACTED frames table — the shape
+    * video work actually takes at 100 TB: container parsing runs on a
+    * decode fleet (JDK-impossible here, see SURVEY §"round-12
+    * candidates" (b)), which lands a (video, frame_idx, feature-vector)
+    * table; everything downstream is plain columnar work this engine
+    * CAN own. A scene boundary is a frame whose L2 feature distance to
+    * the previous frame exceeds `threshold`; scenes are the
+    * gaps-and-islands between boundaries, and the manifest keeps one
+    * keyframe per scene (the first frame — deterministic, and the
+    * frame a captioning stage would fetch).
+    *
+    * Output: (video, scene_idx, start_frame, end_frame, n_frames,
+    * keyframe_idx), scene_idx 0-based per video in frame order.
+    *
+    * Scale shape: one window keyed by video (state bounded by a single
+    * video's frame count) and one groupBy on (video, scene) — no
+    * shuffle wider than the frames table, no driver state. The L2
+    * distance is a codegen'd `zip_with`/`aggregate` fold, no UDF.
+    */
+  def sceneManifest(
+      frames: DataFrame,
+      videoCol: String,
+      idxCol: String,
+      featCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(videoCol)).orderBy(col(idxCol))
+    val d2 = aggregate(
+      zip_with(col(featCol), col("__prev"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    frames
+      .withColumn("__prev", lag(col(featCol), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || sqrt(d2) > threshold, 1L).otherwise(0L))
+      .withColumn("scene_idx", sum(col("__brk")).over(w) - 1L)
+      .groupBy(col(videoCol), col("scene_idx"))
+      .agg(
+        min(col(idxCol)).as("start_frame"),
+        max(col(idxCol)).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("keyframe_idx", col("start_frame"))
+  }
 }

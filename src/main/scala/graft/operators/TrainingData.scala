@@ -159,6 +159,34 @@ object TrainingData {
     * (or with zero weight) are dropped by the inner broadcast join
     * before expansion.
     */
+  /** Temperature-scaled source budgets — the alpha-sampling rule
+    * multilingual/multi-domain mixtures use (share_s proportional to
+    * n_s^alpha; alpha in (0,1] flattens the head so low-resource
+    * sources are not drowned; alpha = 1 is proportional sampling).
+    * Output (source, n_tokens, budget_tokens = floor(totalBudget *
+    * share)) — the `targets` input [[epochMixSample]] expects, derived
+    * from the corpus itself instead of hand-tuned. One metadata-sized
+    * aggregate (per-source totals) + a whole-frame window over that
+    * tiny frame for the normalizer: the corpus is scanned once and
+    * never shuffled.
+    */
+  def temperatureMixBudgets(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: Column,
+      alpha: Double,
+      totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    val perSource = df.groupBy(col(groupCol).as("source"))
+      .agg(sum(weightCol).cast("long").as("n_tokens"))
+    val all = Window.partitionBy(lit(1))
+    perSource.withColumn("budget_tokens",
+      floor(lit(totalBudget.toDouble) *
+        pow(col("n_tokens").cast("double"), alpha) /
+        sum(pow(col("n_tokens").cast("double"), alpha)).over(all)).cast("long"))
+  }
+
   def epochMixSample(
       df: DataFrame,
       idCol: String,

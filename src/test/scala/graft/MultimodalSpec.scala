@@ -197,4 +197,78 @@ class MultimodalSpec extends SparkSpec {
     val (sw, sh, sf, sEmb) = graft.operators.StubDecoder.decode("audio", bytes)
     assert((aw, ah, af) == ((sw, sh, sf)) && aEmb.toSeq == sEmb.toSeq)
   }
+
+  test("sceneManifest: hand-placed boundaries, keyframe = scene start") {
+    import spark.implicits._
+    // video 1: jumps at idx 2 and 4 -> scenes {0,1}, {2,3}, {4}
+    // video 2: flat -> one scene
+    val frames = Seq(
+      (1L, 0L, Seq(0.0)), (1L, 1L, Seq(10.0)), (1L, 2L, Seq(200.0)),
+      (1L, 3L, Seq(210.0)), (1L, 4L, Seq(5.0)),
+      (2L, 0L, Seq(50.0)), (2L, 1L, Seq(60.0))
+    ).toDF("video_id", "frame_idx", "feat")
+    val got = Multimodal.sceneManifest(frames, "video_id", "frame_idx", "feat", 90.0)
+      .orderBy("video_id", "scene_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 1L, 2L, 0L),
+      (1L, 1L, 2L, 3L, 2L, 2L),
+      (1L, 2L, 4L, 4L, 1L, 4L),
+      (2L, 0L, 0L, 1L, 2L, 0L)))
+  }
+
+  test("sceneManifest: L2 over dims composes — no dim alone crosses, the norm does") {
+    import spark.implicits._
+    // per-dim delta 70 < 90 but L2 = 70*sqrt(2) ~= 99 > 90 -> boundary
+    val frames = Seq(
+      (1L, 0L, Seq(0.0, 0.0)), (1L, 1L, Seq(70.0, 70.0)), (1L, 2L, Seq(70.0, 71.0))
+    ).toDF("video_id", "frame_idx", "feat")
+    val scenes = Multimodal.sceneManifest(frames, "video_id", "frame_idx", "feat", 90.0)
+      .orderBy("scene_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(scenes == Seq((0L, 0L, 0L), (1L, 1L, 2L)))
+  }
+
+  test("sceneManifest: scene indexes are contiguous and frames partition exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val frames = docs.select(
+        col("doc_id").as("video_id"),
+        explode(sequence(lit(0), (pmod(col("n_chars"), lit(7)) + 3).cast("int")))
+          .as("frame_idx0"))
+      .withColumn("frame_idx", col("frame_idx0").cast("long"))
+      .drop("frame_idx0")
+      .withColumn("bright",
+        conv(substring(md5(concat(col("video_id"), lit("_"), col("frame_idx"))), 1, 2),
+          16, 10).cast("double"))
+      .withColumn("feat", array(col("bright")))
+    val scenes = Multimodal
+      .sceneManifest(frames, "video_id", "frame_idx", "feat", 90.0).cache()
+    val perVideo = scenes.groupBy("video_id")
+      .agg(count(lit(1)).as("n_scenes"), max(col("scene_idx")).as("max_idx"),
+        sum(col("n_frames")).as("covered"), min(col("start_frame")).as("first"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val frameCounts = frames.groupBy("video_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVideo.keySet == frameCounts.keySet)
+    for ((v, (nScenes, maxIdx, covered, first)) <- perVideo) {
+      assert(maxIdx == nScenes - 1, s"video $v scene ids not contiguous")
+      assert(covered == frameCounts(v), s"video $v frames not partitioned")
+      assert(first == 0L, s"video $v first scene must start at frame 0")
+    }
+    // spans are disjoint and ordered: start of scene i+1 = end of scene i + 1
+    val rows = scenes.orderBy("video_id", "scene_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.sliding(2).foreach {
+      case Array((v1, _, _, e1), (v2, _, s2, _)) if v1 == v2 =>
+        assert(s2 == e1 + 1, s"video $v1 spans not contiguous")
+      case _ => ()
+    }
+    scenes.unpersist()
+    ()
+  }
 }

@@ -514,6 +514,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(e.getMessage.contains("epoch"))
   }
 
+  test("temperatureMixBudgets: alpha=1 proportional, alpha<1 flattens the head") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "b", 100L)
+    ).toDF("doc_id", "src", "w") // totals: a=400, b=100
+    def budgets(alpha: Double) =
+      TrainingData.temperatureMixBudgets(docs, "src", col("w"), alpha, 1000L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b1 = budgets(1.0)
+    assert(b1("a") == ((400L, 800L)) && b1("b") == ((100L, 200L)))
+    val b05 = budgets(0.5) // sqrt shares 20:10 -> 2/3 : 1/3
+    assert(b05("a")._2 == 666L && b05("b")._2 == 333L)
+    // flattening is monotone: the small source's share strictly grows
+    assert(b05("b")._2 > b1("b")._2 && b05("a")._2 < b1("a")._2)
+    // floor conservation: within nSources of the requested total
+    for (b <- Seq(b1, b05)) {
+      val s = b.values.map(_._2).sum
+      assert(s <= 1000L && s >= 1000L - b.size)
+    }
+    // alpha bounds enforced
+    intercept[IllegalArgumentException] {
+      TrainingData.temperatureMixBudgets(docs, "src", col("w"), 0.0, 1000L)
+    }
+    // composition: the budgets table feeds epochMixSample directly
+    val targets = b05.map { case (s, (_, bt)) => s -> bt }
+    val mixed = TrainingData.epochMixSample(
+      docs, "doc_id", "src", "w", targets, maxEpochs = 4.0)
+    assert(mixed.count() > 0)
+  }
+
   test("leakageSafeSplit: no duplicate pair straddles splits; singletons keep own draw") {
     val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
     val pairs = graft.operators.Dedup.jaccardPairs(
