@@ -83,7 +83,13 @@ object CorpusStats {
       col(idCol),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
     val census = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val total = census.agg(sum(col("tf"))).head().getLong(0)
+    // sum over an EMPTY census is null, not 0 — a corpus of blank docs
+    // must yield all-zero scores, not an NPE at plan time.
+    val totalRow = census.agg(sum(col("tf"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    if (total == 0L)
+      return df.select(
+        col(idCol), lit(0L).as("n_tokens"), lit(0.0).as("avg_surprisal"))
     val vocab = if (broadcastVocab) broadcast(census) else census
     val perDoc = toks.join(vocab, "tok")
       .groupBy(idCol)

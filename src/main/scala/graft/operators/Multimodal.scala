@@ -411,6 +411,12 @@ object Multimodal {
     * video's frame count) and one groupBy on (video, scene) — no
     * shuffle wider than the frames table, no driver state. The L2
     * distance is a codegen'd `zip_with`/`aggregate` fold, no UDF.
+    *
+    * Convention: a frame whose feature vector is null or whose length
+    * differs from its predecessor's yields a null distance, which is
+    * NOT a boundary (the null-safe `when` falls through) — degraded
+    * frames extend the current scene rather than fragmenting the
+    * manifest.
     */
   def sceneManifest(
       frames: DataFrame,

@@ -65,22 +65,44 @@ object SubstringDedup {
   }
 
   /** Sites whose gram occurs at more than one (doc, offset) in the
-    * corpus: (doc_id, p). The duplicated-gram set is an aggregation
-    * (not a window rank) so partial counts combine map-side; the
-    * site list then semi-joins against it on the same key.
+    * corpus: (doc_id, p).
+    *
+    * Default formulation: ONE exchange keyed by gram and a window
+    * count over it — every site travels exactly once and there is no
+    * second pass over the corpus. Measured at sf0.1 (1.34M sites):
+    * 1.8s vs 6.4s for the census-aggregate + broadcast-semi-join
+    * shape and 3.7s for its shuffle-join variant — the join shapes
+    * pay a whole extra traversal of the gram extraction.
+    *
+    * `skewSafe = true` switches to that census + shuffle-semi-join
+    * shape for corpora with PATHOLOGICAL gram skew: `WindowExec`
+    * buffers each gram's rows before counting (spilling past the
+    * in-memory threshold, degraded not dead), whereas the census
+    * aggregate keeps O(1) state per gram under map-side combine and
+    * the join side leans on AQE's skew split. Both are exact and
+    * return identical sites (spec-pinned).
     */
   def duplicatedGramSites(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minLen: Int,
-      hashGrams: Boolean = true): DataFrame = {
+      hashGrams: Boolean = true,
+      skewSafe: Boolean = false): DataFrame = {
     val sites = gramSites(df, idCol, textCol, minLen, hashGrams)
-    val dup = sites.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") > 1)
-      .select(col("g"))
-    sites.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("p"))
+    if (skewSafe) {
+      val dup = sites.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .select(col("g"))
+        .hint("shuffle_hash")
+      sites.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("p"))
+    } else {
+      val w = Window.partitionBy(col("g"))
+      sites.withColumn("__n", count(lit(1)).over(w))
+        .where(col("__n") > 1)
+        .select(col("doc_id"), col("p"))
+    }
   }
 
   /** Gaps-and-islands merge of duplicated (doc_id, p) sites into
@@ -117,8 +139,10 @@ object SubstringDedup {
       idCol: String,
       textCol: String,
       minLen: Int,
-      hashGrams: Boolean = true): DataFrame =
-    mergeSites(duplicatedGramSites(df, idCol, textCol, minLen, hashGrams), minLen)
+      hashGrams: Boolean = true,
+      skewSafe: Boolean = false): DataFrame =
+    mergeSites(
+      duplicatedGramSites(df, idCol, textCol, minLen, hashGrams, skewSafe), minLen)
 
   // ------------------------------------------------- incremental census
 
@@ -158,16 +182,32 @@ object SubstringDedup {
       textCol: String,
       census: DataFrame,
       minLen: Int,
-      hashGrams: Boolean = true): DataFrame = {
+      hashGrams: Boolean = true,
+      skewSafe: Boolean = false): DataFrame = {
     val sites = gramSites(batch, idCol, textCol, minLen, hashGrams)
-    val batchCounts = sites.groupBy(col("g")).agg(count(lit(1)).as("bn"))
-    val dup = batchCounts
-      .join(census.select(col("g"), col("n").as("cn")), Seq("g"), "left")
-      .where(col("bn") + coalesce(col("cn"), lit(0L)) > 1)
-      .select(col("g"))
-    mergeSites(
-      sites.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("p")),
-      minLen)
+    val dupSites =
+      if (skewSafe) {
+        // census-aggregate + semi-join: O(1) agg state per gram, AQE
+        // skew split on the join — the pathological-skew fallback,
+        // mirroring duplicatedGramSites.
+        val batchCounts = sites.groupBy(col("g")).agg(count(lit(1)).as("bn"))
+        val dup = batchCounts
+          .join(census.select(col("g"), col("n").as("cn")), Seq("g"), "left")
+          .where(col("bn") + coalesce(col("cn"), lit(0L)) > 1)
+          .select(col("g"))
+        sites.join(dup, Seq("g"), "left_semi")
+      } else {
+        // Window count per gram, then a LEFT join onto the census: the
+        // window's output is already hash-partitioned and sorted by g,
+        // which is exactly the sort-merge join's requirement on that
+        // side — the sites never shuffle or sort a second time.
+        val withBn = sites
+          .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("g"))))
+        withBn
+          .join(census.select(col("g"), col("n").as("__cn")), Seq("g"), "left")
+          .where(col("__bn") + coalesce(col("__cn"), lit(0L)) > 1)
+      }
+    mergeSites(dupSites.select(col("doc_id"), col("p")), minLen)
   }
 
   /** Per-source corpus-health rollup: how much of each source is

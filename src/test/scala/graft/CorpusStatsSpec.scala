@@ -43,6 +43,14 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 1.0), (2L, 2L, 2.0), (3L, 2L, 3.0), (4L, 0L, 0.0)))
   }
 
+  test("unigramSurprisal: all-blank corpus yields zero scores, not a null-sum NPE") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 0L, 0.0), (2L, 0L, 0.0)))
+  }
+
   test("unigramSurprisal: broadcast and shuffle-join paths agree; vocab side is broadcast") {
     val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
     def rows(bc: Boolean) =

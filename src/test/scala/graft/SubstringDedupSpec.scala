@@ -99,6 +99,21 @@ class SubstringDedupSpec extends SparkSpec {
       spansOf(corpus, L, hashGrams = false))
   }
 
+  test("skew-safe census+join formulation returns the identical span set") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    def spans(skewSafe: Boolean) = SubstringDedup
+      .duplicatedSpans(corpus, "doc_id", "text", L, hashGrams = false, skewSafe = skewSafe)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans(skewSafe = true) == spans(skewSafe = false))
+    // and the default formulation is the single-exchange window shape
+    val plan = SubstringDedup
+      .duplicatedGramSites(corpus, "doc_id", "text", L, hashGrams = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"default should use the window count:\n$plan")
+    assert(!plan.contains("Join"), s"default should not join:\n$plan")
+  }
+
   test("sf0.001 corpus spans match the brute-force reference") {
     val corpus = TableIO.table(spark, Sf0001, "documents")
     val docs = corpus.select("doc_id", "text").as[(Long, String)].collect().toSeq
@@ -173,6 +188,13 @@ class SubstringDedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     val full = spansOf(corpus, L, hashGrams = true).filter(_._1 % 2 == 1)
     assert(incr == full)
+    // the skew-safe census-aggregate formulation is output-identical
+    val incrSafe = SubstringDedup
+      .duplicatedSpansAgainstCensus(batch, "doc_id", "text", census, L,
+        hashGrams = true, skewSafe = true)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incrSafe == full)
     // a batch-internal duplicate with no census support is still caught
     val dupBatch = Seq(
       (101L, s"first copy here ${B} trailing bits"),
