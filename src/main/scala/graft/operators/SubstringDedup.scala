@@ -19,12 +19,11 @@ import org.apache.spark.sql.functions._
   * contains a duplicated minLen-gram, so corpus-wide detection is
   *   1. explode each doc into its minLen-gram start offsets (one
   *      `Generate` + codegen'd `substring`, no shuffle),
-  *   2. hash-partitioned groupBy on the gram to find grams with >1
-  *      site — map-side partial counts collapse each doc's repeated
-  *      grams before the exchange,
-  *   3. semi-join sites against the duplicated-gram set (same key,
-  *      AQE handles the skewed stop-gram groups),
-  *   4. per-doc gaps-and-islands merge of overlapping/adjacent sites
+  *   2. ONE exchange keyed by gram + a window count marking sites
+  *      whose gram occurs more than once (the `skewSafe` fallback
+  *      trades this for a census aggregate + semi-join — see
+  *      [[duplicatedGramSites]] for the measured trade-off),
+  *   3. per-doc gaps-and-islands merge of overlapping/adjacent sites
   *      into maximal spans — a window keyed by doc, so state is
   *      bounded by a single document's length.
   *
