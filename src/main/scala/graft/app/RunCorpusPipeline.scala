@@ -58,7 +58,25 @@ object RunCorpusPipeline {
         * them adds zero shuffle to the annotate scan.
         */
       maxTopGramFrac: Double = 1.0,
-      maxRepetition: Double = 1.0)
+      maxRepetition: Double = 1.0,
+      /** Strip corpus-duplicated substring SPANS (ExactSubstr,
+        * [[graft.operators.SubstringDedup]]) from the kept documents'
+        * redacted text before chunking. Opt-in like near-dedup: the
+        * span census is corpus-stateful (one extra gram exchange),
+        * unlike the row-local annotate gates.
+        */
+      stripSpans: Boolean = false,
+      stripSpanMinLen: Int = 50,
+      /** Surprisal band gate (corpus self-perplexity,
+        * [[graft.operators.CorpusStats.unigramSurprisal]]): documents
+        * whose mean token surprisal falls outside
+        * [minSurprisal, maxSurprisal] are gated out — low = degenerate
+        * repetition, high = gibberish/OCR noise/wrong tokenizer.
+        * Infinite defaults disable the gate; corpus-stateful, so it
+        * stays out of the streaming arm like dedup.
+        */
+      minSurprisal: Double = Double.NegativeInfinity,
+      maxSurprisal: Double = Double.PositiveInfinity)
 
   def annotated(cfg: CorpusConfig): String = s"${cfg.root}/annotated"
   def silver(cfg: CorpusConfig): String = s"${cfg.root}/silver"
@@ -95,7 +113,16 @@ object RunCorpusPipeline {
     // Stage 2 — gate + exact dedup.
     val ann = spark.read.parquet(annotated(cfg))
     val langGate = col("lang_pred").isin(cfg.langs.toSeq: _*)
-    val gated = ann.filter(
+    val bandGated =
+      if (cfg.minSurprisal.isNegInfinity && cfg.maxSurprisal.isPosInfinity) ann
+      else {
+        val s = graft.operators.CorpusStats
+          .unigramSurprisal(ann, "doc_id", "text")
+          .filter(col("avg_surprisal").between(cfg.minSurprisal, cfg.maxSurprisal))
+          .select("doc_id")
+        ann.join(s, Seq("doc_id"), "left_semi")
+      }
+    val gated = bandGated.filter(
       col("quality") >= cfg.minQuality && langGate &&
         col("top_gram_frac") <= cfg.maxTopGramFrac &&
         col("repetition_ratio") <= cfg.maxRepetition)
@@ -127,7 +154,15 @@ object RunCorpusPipeline {
         graft.operators.Components.dropNearDuplicates(
           exactDeduped, "doc_id", "text", minJaccard = cfg.nearDedupJaccard)
       else exactDeduped
-    deduped.write.mode("overwrite").parquet(silver(cfg))
+    // Span-level strip runs on the SURVIVORS' redacted text: whole-doc
+    // dedup first (cheaper, removes entire copies), then the span pass
+    // only pays for the remaining corpus.
+    val stripped =
+      if (cfg.stripSpans)
+        graft.operators.SubstringDedup.stripDuplicatedSpans(
+          deduped, "doc_id", "clean_text", cfg.stripSpanMinLen)
+      else deduped
+    stripped.write.mode("overwrite").parquet(silver(cfg))
 
     // Stage 3 + 4 — chunk the redacted text, pack per source, write
     // shard-partitioned data + manifest.

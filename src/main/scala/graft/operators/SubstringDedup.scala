@@ -268,6 +268,11 @@ object SubstringDedup {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     graft.streaming.StreamingFeatures.recoverSwap(fs, root)
+    // Fail with OUR message, not a generic PATH_NOT_FOUND from the scan:
+    // an empty/missing census almost always means the sink never ran.
+    require(fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("delta=")),
+      s"no census deltas under $path - run appendCensusDelta/censusSink first")
     spark.read.parquet(path)
       .groupBy(col("g")).agg(sum(col("n")).as("n"))
   }

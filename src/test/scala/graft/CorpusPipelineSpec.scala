@@ -106,6 +106,53 @@ class CorpusPipelineSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("stripSpans removes planted boilerplate; surprisal band gates the degenerate doc") {
+    // boilerplate (>= minLen) planted in two otherwise-distinct docs;
+    // doc 4 is stopword soup: lowest surprisal by construction (every
+    // token is a corpus-frequent word), still classified "en".
+    val boiler = "THIS LICENSE HEADER IS REPEATED VERBATIM IN EVERY SINGLE FILE OK"
+    val soup = Seq.fill(8)("the and of to in a is it was for").mkString(" ")
+    val docs = Seq(
+      (1L, "web", s"$goodText $boiler and then something original one"),
+      (2L, "web", s"a different beginning here $boiler with another original ending two"),
+      (3L, "web", goodText + " completely boilerplate free and happy about it"),
+      (4L, "web", soup)
+    ).toDF("doc_id", "source", "text")
+
+    // pick the band threshold from the measured split: doc 4 must sit
+    // strictly below every real doc, and the gate cut lands between.
+    val s = graft.operators.CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val others = (1L to 3L).map(s).min
+    assert(s(4L) < others, s"soup must be lowest: $s")
+    val thr = (s(4L) + others) / 2
+
+    // run A — no band: the soup doc survives to silver (quality gate off)
+    val rootA = s"target/tmp/corpus_strip_a_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(
+      root = rootA, window = 8, stride = 6, minQuality = 0.0,
+      stripSpans = true, stripSpanMinLen = 40))
+    val keptA = spark.read.parquet(s"$rootA/silver")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptA.contains(4L), s"without the band the soup doc stays: $keptA")
+
+    // run B — band on: ONLY the soup doc drops, boilerplate is stripped
+    val rootB = s"target/tmp/corpus_strip_b_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(
+      root = rootB, window = 8, stride = 6, minQuality = 0.0,
+      stripSpans = true, stripSpanMinLen = 40, minSurprisal = thr))
+    val silver = spark.read.parquet(s"$rootB/silver")
+    assert(silver.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val cleaned = silver.select("clean_text").as[String].collect()
+    assert(!cleaned.exists(_.contains("LICENSE HEADER")), cleaned.mkString("|"))
+    // original, non-duplicated content survives the strip
+    assert(cleaned.exists(_.contains("original one")))
+    assert(cleaned.exists(_.contains("original ending two")))
+    val shardTexts = spark.read.parquet(s"$rootB/shards/data")
+      .select("chunk_text").as[String].collect()
+    assert(!shardTexts.exists(_.contains("LICENSE")))
+  }
+
   test("decontamination gate drops overlapping documents when eval set given") {
     val docs = Seq(
       (1L, "web", goodText),
