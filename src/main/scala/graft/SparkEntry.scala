@@ -870,6 +870,25 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", 150L, salt = "xs", tailThreshold = 64)
         .orderBy("doc_id")),
 
+    // Exactly-k WEIGHTED sample (Efraimidis-Spirakis race on the same
+    // md5 uniform): P(in sample) proportional to n_chars, without
+    // replacement, deterministic in (id, salt). Oracle recomputes
+    // -ln((h52+1)/2^52)/w in SQL and replays ORDER BY key, id LIMIT k.
+    "q_sample_weighted" -> ((s, d) =>
+      TrainingData.exactSampleWeighted(
+          t(s, d, "documents"), "doc_id", col("n_chars"), 150L,
+          salt = "ws", tailThreshold = 64)
+        .orderBy("doc_id")),
+
+    // Weighted stratified exactly-k: the ES race per source through
+    // the bounded-heap TopKAgg (groups x k pairs cross the wire).
+    "q_sample_weighted_stratified" -> ((s, d) =>
+      TrainingData.exactSamplePerGroupWeighted(
+          t(s, d, "documents"), "doc_id", "source", col("n_chars"),
+          k = 10, salt = "wst")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Stratified exactly-k ([[TrainingData.exactSamplePerGroup]]):
     // min(k, |group|) deterministic rows per source via the bounded-
     // heap TopKAgg over the md5-prefix key — only groups x k pairs
@@ -2935,6 +2954,44 @@ object SparkEntry {
         |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'xs'), 1, 13), doc_id
         |  LIMIT 150
         |) ORDER BY doc_id""".stripMargin,
+
+    // Replays the Efraimidis-Spirakis key exactly: h52 = numeric parse
+    // of the first 13 md5 hex chars (the engine-portable 52-bit
+    // uniform), key = -ln((h52+1)/2^52)/weight, k smallest win, id
+    // breaks boundary ties.
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT *,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      (CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS h52
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM keyed
+        |  ORDER BY -ln((CAST(h52 AS DOUBLE) + 1) / 4503599627370496.0) / n_chars, doc_id
+        |  LIMIT 150
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted_stratified" ->
+      """WITH keyed AS (
+        |  SELECT *,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      (CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR) || 'wst'), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS h52
+        |  FROM documents WHERE n_chars > 0
+        |), ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY -ln((CAST(h52 AS DOUBLE) + 1) / 4503599627370496.0) / n_chars,
+        |                    doc_id) AS rn
+        |  FROM keyed
+        |)
+        |SELECT doc_id, source FROM ranked WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pack_manifest" ->
       """WITH t AS (

@@ -489,6 +489,43 @@ object TrainingData {
     below.unionByName(boundary).drop("__skey")
   }
 
+  /** EXACTLY-k WEIGHTED sample without replacement — the
+    * Efraimidis–Spirakis exponential race on the engine-portable md5
+    * uniform: key_i = -ln(u_i)/w_i with u_i = (md5_52(id,salt)+1)/2^52,
+    * and the k SMALLEST keys win, which gives
+    * probability-proportional-to-weight without replacement while
+    * staying a pure deterministic function of (id, salt) like every
+    * sampler here (append-stable, engine-replayable — the oracle
+    * recomputes the same keys in SQL). Same 100 TB shape as
+    * [[exactSample]]: the cutoff key comes from the Selection descent
+    * (counters cross the wire, not rows), strict-below rows are kept
+    * row-locally, and the boundary resolves by id. Rows with null or
+    * non-positive weight have no defined race time and never sample
+    * (filtered before the draw).
+    */
+  def exactSampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Long,
+      salt: String = "",
+      tailThreshold: Long = 65536): DataFrame = {
+    require(k >= 0, s"sample size must be >= 0, got $k")
+    if (k == 0) return df.limit(0)
+    val eligible = df.filter(weightCol.isNotNull && weightCol > 0)
+    val u = (sampleKey(idCol, salt) + 1).cast("double") / 4503599627370496.0
+    val keyed = eligible.withColumn("__wkey", -log(u) / weightCol.cast("double"))
+    val n = eligible.count()
+    if (k >= n) return eligible
+    val cutoff = Selection.kthSmallest(keyed, "__wkey", k, tailThreshold = tailThreshold)
+    val below = keyed.filter(col("__wkey") < cutoff)
+    val b = below.count()
+    require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
+    val boundary = keyed.filter(col("__wkey") === cutoff)
+      .orderBy(col(idCol)).limit((k - b).toInt)
+    below.unionByName(boundary).drop("__wkey")
+  }
+
   /** STRATIFIED exactly-k: min(k, |group|) deterministic rows per
     * group — per-source quotas ("40 eval docs from every source")
     * where [[exactSample]] is corpus-global. NOT a row_number window
@@ -535,6 +572,39 @@ object TrainingData {
     val picks = df
       .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
       .withColumn("__negkey", -sampleKey("__id", salt).cast("double"))
+      .groupBy(col("__g"))
+      .agg(graft.plans.TopKAgg.topKByValue(col("__negkey"), col("__id"), k).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.id").as("__pick_id"))
+    df.join(picks, df(idCol).cast("long") === col("__pick_id"), "left_semi")
+  }
+
+  /** [[exactSamplePerGroup]] with Efraimidis–Spirakis WEIGHTS: min(k,
+    * |eligible group|) rows per group, each group's draw
+    * probability-proportional-to-weight without replacement — the
+    * per-source counterpart of [[exactSampleWeighted]], through the
+    * same bounded-heap TopKAgg shuffle shape (groups x k pairs cross
+    * the wire, not rows). Negating the ES key turns the heap's
+    * largest-first order into smallest-key-first with id-ascending
+    * ties, matching the window-replay oracle. Null/non-positive
+    * weights never sample.
+    */
+  def exactSamplePerGroupWeighted(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weightCol: Column,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"per-group sample size must be >= 1, got $k")
+    requireIntegralIds(df, idCol, "exactSamplePerGroupWeighted")
+    val picks = df
+      .filter(weightCol.isNotNull && weightCol > 0)
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        weightCol.cast("double").as("__w"))
+      .withColumn("__u",
+        (sampleKey("__id", salt) + 1).cast("double") / 4503599627370496.0)
+      .withColumn("__negkey", log(col("__u")) / col("__w"))
       .groupBy(col("__g"))
       .agg(graft.plans.TopKAgg.topKByValue(col("__negkey"), col("__id"), k).as("top"))
       .select(explode(col("top")).as("e"))

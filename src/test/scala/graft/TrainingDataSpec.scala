@@ -514,6 +514,74 @@ class TrainingDataSpec extends SparkSpec {
     assert(e.getMessage.contains("epoch"))
   }
 
+  test("exactSampleWeighted: exactly k, matches the ES-key order replay, weight-biased") {
+    val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
+    val k = 20L
+    val got = TrainingData.exactSampleWeighted(
+        docs, "doc_id", col("n_chars"), k, salt = "w1", tailThreshold = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == k)
+    // naive replay: order by the same ES key, id; take k
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit("w1"))), 1, 13),
+        16, 10).cast("long") + 1).cast("double") / 4503599627370496.0
+    val naive = docs.filter(col("n_chars") > 0)
+      .withColumn("__k", -log(u) / col("n_chars").cast("double"))
+      .orderBy(col("__k"), col("doc_id")).limit(k.toInt)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == naive)
+    // determinism + salt independence
+    val again = TrainingData.exactSampleWeighted(
+        docs, "doc_id", col("n_chars"), k, salt = "w1", tailThreshold = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    assert(TrainingData.exactSampleWeighted(
+        docs, "doc_id", col("n_chars"), k, salt = "w2")
+      .select("doc_id").as[Long].collect().toSet != got)
+    // proportional-to-weight: heavy rows (w=50) dominate light (w=1)
+    val skewed = spark.range(0, 200).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") < 100, 50.0).otherwise(1.0))
+    for (salt <- Seq("a", "b", "c")) {
+      val picked = TrainingData.exactSampleWeighted(skewed, "doc_id", col("w"), 50L, salt)
+        .select("doc_id").as[Long].collect()
+      val heavy = picked.count(_ < 100)
+      assert(heavy > 35, s"salt $salt: heavy=$heavy of 50")
+    }
+    // null / non-positive weights never sample; k >= n returns all eligible
+    val mixed = Seq((1L, Some(2.0)), (2L, None), (3L, Some(0.0)), (4L, Some(-1.0)),
+      (5L, Some(1.0))).toDF("doc_id", "w")
+    val all = TrainingData.exactSampleWeighted(mixed, "doc_id", col("w"), 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 5L))
+  }
+
+  test("exactSamplePerGroupWeighted: per-group ES membership == window replay, bias holds") {
+    val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
+    val got = TrainingData.exactSamplePerGroupWeighted(
+        docs, "doc_id", "source", col("n_chars"), k = 5, salt = "gw")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    // window replay with the same ES key
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit("gw"))), 1, 13),
+        16, 10).cast("long") + 1).cast("double") / 4503599627370496.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy((-log(u) / col("n_chars").cast("double")).asc, col("doc_id").asc)
+    val naive = docs.filter(col("n_chars") > 0)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(got == naive)
+    // every group contributes min(k, |group|)
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(_ <= 5) && sizes.values.exists(_ == 5))
+    // weight bias within one group: heavy ids dominate
+    val skewed = spark.range(0, 200).toDF("doc_id")
+      .withColumn("g", lit("x"))
+      .withColumn("w", when(col("doc_id") < 100, 50.0).otherwise(1.0))
+    val picked = TrainingData.exactSamplePerGroupWeighted(
+        skewed, "doc_id", "g", col("w"), k = 50, salt = "b")
+      .select("doc_id").as[Long].collect()
+    assert(picked.length == 50 && picked.count(_ < 100) > 35)
+  }
+
   test("temperatureMixBudgets: alpha=1 proportional, alpha<1 flattens the head") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 300L), (3L, "b", 100L)
