@@ -1226,6 +1226,20 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Frozen-LM surprisal: odd docs scored under the EVEN docs' token
+    // census (the reference-LM shape of CCNet's filter — scores don't
+    // drift with the batch), add-one smoothing with one OOV bucket.
+    // The census is mergeable and CensusStore-persistable: streaming
+    // ingestion scores each batch without rescanning the corpus.
+    "q_quality_surprisal_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val census = graft.operators.CorpusStats.tokenCensus(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      graft.operators.CorpusStats.surprisalAgainstCensus(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", census)
+        .orderBy("doc_id")
+    }),
+
     // LSH-bucketed embedding near-dup (scale path; rows-only — recall is
     // probabilistic. Precision vs brute force asserted in DedupSpec.)
     "q_emb_neardup_lsh" -> ((s, d) =>
@@ -3641,6 +3655,30 @@ object SparkEntry {
         |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
         |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_quality_surprisal_incr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents
+        |), census AS (
+        |  SELECT tok, count(*) AS n FROM toks WHERE doc_id % 2 = 0 GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+        |  FROM census
+        |), perdoc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         avg(-log2(CAST(coalesce(c.n, 0) + 1 AS DOUBLE)
+        |                   / (SELECT denom FROM tot))) AS s
+        |  FROM toks t LEFT JOIN census c USING (tok)
+        |  WHERE t.doc_id % 2 = 1
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     // Same deterministic augmentation, same RE2-compatible patterns,

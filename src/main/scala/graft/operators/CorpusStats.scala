@@ -102,4 +102,54 @@ object CorpusStats {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
   }
+
+  /** The token census behind [[surprisalAgainstCensus]]: (tok, n)
+    * occurrence counts. Mergeable (counts add — persist and maintain
+    * it through [[CensusStore]], exactly like the substring-dedup gram
+    * census), so a streaming ingestion scores each batch against the
+    * standing corpus without ever rescanning it.
+    */
+  def tokenCensus(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+
+  /** FROZEN-LM surprisal: score `batch` under the unigram distribution
+    * of a REFERENCE census rather than of the batch itself — the shape
+    * CCNet's perplexity filter actually has (a fixed LM scores every
+    * incoming document; the score of a document does not drift as the
+    * batch around it changes). Add-one smoothing with a single OOV
+    * bucket: p(tok) = (census_count + 1) / (T + V + 1), T = total
+    * census tokens, V = census vocabulary — unseen tokens get the
+    * finite ceiling -log2(1/(T+V+1)) instead of infinity.
+    *
+    * Scale shape mirrors [[unigramSurprisal]]: the census is
+    * vocabulary-sized and broadcasts; only batch tokens stream through
+    * the join and the per-doc mean.
+    */
+  def surprisalAgainstCensus(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      census: DataFrame,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val head = census.agg(sum(col("n")), count(lit(1))).head()
+    require(!head.isNullAt(0) && head.getLong(0) > 0,
+      "surprisalAgainstCensus needs a non-empty census - build one with tokenCensus")
+    val denom = head.getLong(0).toDouble + head.getLong(1).toDouble + 1.0
+    val toks = batch.select(
+      col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val vocab = if (broadcastVocab) broadcast(census) else census
+    val perDoc = toks.join(vocab, Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log2((coalesce(col("n"), lit(0L)) + 1).cast("double") / denom))
+          .as("surprisal"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
+  }
 }

@@ -166,7 +166,7 @@ object SubstringDedup {
     * census maintenance is pure monoid folding: no history rescan.
     */
   def mergeCensus(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("g")).agg(sum(col("n")).as("n"))
+    CensusStore.merge(a, b, "g")
 
   /** Spans of `batch` that are duplicated against the standing corpus
     * summarized by `census` OR within the batch itself: a batch site
@@ -239,12 +239,9 @@ object SubstringDedup {
         round(col("dup_chars").cast("double") / col("total_chars"), 6))
   }
 
-  /** Per-batch census delta written OVERWRITE under a deterministic
-    * per-batch dir (`$path/delta=<batchId>`): a Structured Streaming
-    * replay of the same batch rewrites the identical delta, so the
-    * append is idempotent BY CONSTRUCTION — no marker protocol, because
-    * the write is keyed by batch identity instead of accumulated.
-    * Partition-style naming keeps the live census one recursive read.
+  /** Per-batch census delta via [[CensusStore.appendDelta]]:
+    * replay-idempotent by construction (deterministic per-batch dir,
+    * OVERWRITE), the live census is the monoid fold of the pile.
     */
   def appendCensusDelta(
       batch: DataFrame,
@@ -253,53 +250,19 @@ object SubstringDedup {
       minLen: Int,
       path: String,
       batchId: Long,
-      hashGrams: Boolean = true): Unit = {
-    require(batchId >= 0, s"batchId must be >= 0 (delta=-1 is the compacted base), got $batchId")
-    gramCensus(batch, idCol, textCol, minLen, hashGrams)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/delta=$batchId")
-  }
+      hashGrams: Boolean = true): Unit =
+    CensusStore.appendDelta(
+      gramCensus(batch, idCol, textCol, minLen, hashGrams), path, batchId)
 
-  /** The live census: fold every delta (monoid sum per gram). Runs
-    * [[graft.streaming.StreamingFeatures.recoverSwap]] first so a
-    * crashed compaction never hides data from readers.
-    */
-  def readCensus(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    graft.streaming.StreamingFeatures.recoverSwap(fs, root)
-    // Fail with OUR message, not a generic PATH_NOT_FOUND from the scan:
-    // an empty/missing census almost always means the sink never ran.
-    require(fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("delta=")),
-      s"no census deltas under $path - run appendCensusDelta/censusSink first")
-    spark.read.parquet(path)
-      .groupBy(col("g")).agg(sum(col("n")).as("n"))
-  }
+  /** The live census: [[CensusStore.read]] keyed by gram. */
+  def readCensus(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    CensusStore.read(spark, path, "g")
 
-  /** Fold all deltas into the single compacted base `delta=-1` and swap
-    * it in ([[graft.streaming.StreamingFeatures.swapIn]] discipline: a
-    * complete copy exists under a recoverable name at every instant).
-    * `-1` can never collide with a replayed micro-batch id, so the
-    * recovery merge path stays collision-free. Single-writer, like the
-    * compacting sink — call from the census stream's own foreachBatch.
+  /** Fold the delta pile into the `delta=-1` base — crash-safe swap,
+    * single-writer; see [[CensusStore.compact]].
     */
-  def compactCensus(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    graft.streaming.StreamingFeatures.recoverSwap(fs, root)
-    if (!fs.exists(root)) return
-    val deltas = fs.listStatus(root).filter(_.getPath.getName.startsWith("delta="))
-    if (deltas.length <= 1) return
-    val tmp = new org.apache.hadoop.fs.Path(
-      root.getParent, s".${root.getName}__compacting")
-    fs.delete(tmp, true)
-    spark.read.parquet(path)
-      .groupBy(col("g")).agg(sum(col("n")).as("n"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$tmp/delta=-1")
-    graft.streaming.StreamingFeatures.swapIn(fs, root, tmp)
-  }
+  def compactCensus(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    CensusStore.compact(spark, path, "g")
 
   /** Maintain a gram census continuously from a document stream:
     * foreachBatch writes each micro-batch's delta idempotently and

@@ -63,6 +63,44 @@ class CorpusStatsSpec extends SparkSpec {
       s"vocab census should broadcast:\n$plan")
   }
 
+  test("surprisalAgainstCensus: frozen-LM scores, add-one OOV, census round-trip") {
+    // census: "a" x4, "b" x2 -> T=6, V=2, denom = 9
+    val ref = Seq((10L, "a a a a"), (11L, "b b")).toDF("doc_id", "text")
+    val census = CorpusStats.tokenCensus(ref, "text")
+    val batch = Seq(
+      (1L, "a a"),     // -log2(5/9)
+      (2L, "zzz"),     // OOV: -log2(1/9)
+      (3L, "a zzz")    // mean of the two
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.surprisalAgainstCensus(batch, "doc_id", "text", census)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def s(p: Double) = -math.log(p) / math.log(2)
+    assert(got(1L)._2 == math.rint(s(5.0 / 9) * 1e6) / 1e6)
+    assert(got(2L)._2 == math.rint(s(1.0 / 9) * 1e6) / 1e6)
+    // frozen property: the same doc scores identically in any batch
+    val solo = CorpusStats.surprisalAgainstCensus(
+        batch.filter(col("doc_id") === 1), "doc_id", "text", census)
+      .collect().head.getDouble(2)
+    assert(solo == got(1L)._2)
+    // the census persists through CensusStore and scores identically
+    val root = s"target/tmp/tok_census_${System.nanoTime()}"
+    graft.operators.CensusStore.appendDelta(
+      CorpusStats.tokenCensus(ref.filter(col("doc_id") === 10), "text"), root, 0L)
+    graft.operators.CensusStore.appendDelta(
+      CorpusStats.tokenCensus(ref.filter(col("doc_id") === 11), "text"), root, 1L)
+    val loaded = graft.operators.CensusStore.read(spark, root, "tok")
+    val viaStore = CorpusStats.surprisalAgainstCensus(batch, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaStore == got.map { case (k, v) => k -> v._2 })
+    // empty census fails fast with a clear message
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.surprisalAgainstCensus(
+        batch, "doc_id", "text", CorpusStats.tokenCensus(ref.limit(0), "text"))
+    }
+    assert(e.getMessage.contains("non-empty census"))
+  }
+
   test("minDf = 1 marks every gram common; empty corpus-side parity holds") {
     val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
     val got = CorpusStats.gramDocFrequency(docs, "doc_id", "text", n = 3, minDf = 1)
