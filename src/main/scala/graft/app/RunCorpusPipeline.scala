@@ -188,9 +188,17 @@ object RunCorpusPipeline {
   def runStreaming(
       spark: SparkSession,
       inDir: String,
-      cfg: CorpusConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+      cfg: CorpusConfig): org.apache.spark.sql.streaming.StreamingQuery =
+    runStreaming(spark, inDir, cfg, None)
+
+  def runStreaming(
+      spark: SparkSession,
+      inDir: String,
+      cfg: CorpusConfig,
+      surprisalCensusPath: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(inDir).schema
-    runStreaming(spark, graft.streaming.FileRecordSource(inDir, schema), cfg)
+    runStreaming(
+      spark, graft.streaming.FileRecordSource(inDir, schema), cfg, surprisalCensusPath)
   }
 
   /** Transport-agnostic form: the pipeline consumes a
@@ -201,10 +209,28 @@ object RunCorpusPipeline {
     * [[graft.streaming.FileEnvelopeSource]] golden in
     * CorpusPipelineSpec.
     */
+  /** @param surprisalCensusPath a [[graft.operators.CensusStore]] token
+    *        census ([[graft.operators.CorpusStats.tokenCensus]]) to
+    *        apply the min/maxSurprisal band IN the stream. The batch
+    *        arm's SELF-surprisal is corpus-stateful and stays
+    *        batch-only, but scoring against a FROZEN census needs no
+    *        corpus state at all — each micro-batch scores under the
+    *        standing LM via the sink's per-batch transform hook (a
+    *        per-doc mean over exploded tokens is a batch aggregation,
+    *        not an unbounded streaming one). None (default) = band off,
+    *        composition byte-identical to the pre-census arm.
+    */
   def runStreaming(
       spark: SparkSession,
       source: graft.streaming.StreamSource,
-      cfg: CorpusConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+      cfg: CorpusConfig): org.apache.spark.sql.streaming.StreamingQuery =
+    runStreaming(spark, source, cfg, None)
+
+  def runStreaming(
+      spark: SparkSession,
+      source: graft.streaming.StreamSource,
+      cfg: CorpusConfig,
+      surprisalCensusPath: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
     val gated = source.load(spark)
       .filter(
         TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
@@ -214,9 +240,34 @@ object RunCorpusPipeline {
       .withColumn("clean_text", TextFunctions.redactPii(col("text")))
     val chunks = Chunker.chunkDocuments(
       gated, "clean_text", "doc_id", cfg.window, cfg.stride, carryCols = Seq("source"))
+    val bandBatch: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      surprisalCensusPath match {
+        case Some(path) => chunkBatch => {
+          // Band at CHUNK granularity: the chunk is the trainable unit
+          // this sink emits, so each chunk's own text scores under the
+          // frozen census and out-of-band chunks drop individually — a
+          // noisy appendix gates out without losing the clean body of
+          // the same document.
+          val census = graft.operators.CensusStore.read(
+            chunkBatch.sparkSession, path, "tok")
+          val scored = graft.operators.CorpusStats.surprisalAgainstCensus(
+            chunkBatch.withColumn("__cuid",
+              col("doc_id") * 100000L + col("chunk_id")),
+            "__cuid", "chunk_text", census)
+          val keep = scored.filter(
+              col("avg_surprisal").between(cfg.minSurprisal, cfg.maxSurprisal))
+            .select(col("__cuid"))
+          chunkBatch
+            .withColumn("__cuid", col("doc_id") * 100000L + col("chunk_id"))
+            .join(keep, Seq("__cuid"), "left_semi")
+            .drop("__cuid")
+        }
+        case None => identity
+      }
     graft.streaming.StreamingFeatures.writeCompactingSink(
       chunks, s"${cfg.root}/chunks", s"${cfg.root}/ckpt",
-      sortCols = Seq("doc_id", "chunk_id"))
+      sortCols = Seq("doc_id", "chunk_id"),
+      batchTransform = bandBatch)
   }
 
   /** CLI: runMain graft.app.RunCorpusPipeline <docsParquet> <outRoot> [--stream] */

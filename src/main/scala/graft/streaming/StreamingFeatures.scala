@@ -483,17 +483,24 @@ object StreamingFeatures {
     * files. Crash recovery for the swap itself runs at the top of
     * every batch ([[recoverSwap]]).
     */
+  /** @param batchTransform applied to each micro-batch AS A BATCH
+    *        DataFrame before landing — the hook for stages that are
+    *        legal on a batch but not on an unbounded stream (per-doc
+    *        aggregation against a frozen census, batch-API composition).
+    *        Identity by default.
+    */
   def writeCompactingSink(
       stream: DataFrame,
       path: String,
       checkpoint: String,
       sortCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      maxSmallFiles: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+      maxSmallFiles: Int = 16,
+      batchTransform: DataFrame => DataFrame = identity): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        appendBatchIdempotent(batch, path, batchId, sortCols)
+        appendBatchIdempotent(batchTransform(batch.toDF()), path, batchId, sortCols)
         compactIfNeeded(batch.sparkSession, path, targetFileBytes, maxSmallFiles, sortCols,
           stampBatchId = Some(batchId))
         ()

@@ -153,6 +153,46 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!shardTexts.exists(_.contains("LICENSE")))
   }
 
+  test("streaming arm: frozen-census surprisal band gates chunks per micro-batch") {
+    import graft.operators.{CensusStore, CorpusStats}
+    val root = s"target/tmp/corpus_stream_band_${System.nanoTime()}"
+    // frozen LM: the clean-text reference corpus
+    val ref = Seq((100L, goodText), (101L, goodText + " with more words like these"))
+      .toDF("doc_id", "text")
+    CensusStore.appendDelta(CorpusStats.tokenCensus(ref, "text"), s"$root/census", 0L)
+    val census = CensusStore.read(spark, s"$root/census", "tok")
+
+    // stream input: an in-distribution doc and a stopword-glued OOV doc
+    // (stopword glue keeps languageId = en; minQuality 0 disables the
+    // quality gate, so only the band can separate them)
+    val oov = "the qqqq of wwww and eeee but rrrr with tttt for yyyy " +
+      "the uuuu of iiii and oooo but pppp with ssss for dddd"
+    val docs = Seq((1L, "web", goodText), (2L, "web", oov))
+      .toDF("doc_id", "source", "text")
+    val scored = CorpusStats.surprisalAgainstCensus(docs, "doc_id", "text", census)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(2L) > scored(1L), s"OOV doc must score higher: $scored")
+    val thr = (scored(1L) + scored(2L)) / 2
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/stage"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
+
+    val q = RunCorpusPipeline.runStreaming(
+      spark, s"$root/in",
+      CorpusConfig(root = root, window = 8, stride = 6,
+        minQuality = 0.0, maxSurprisal = thr),
+      surprisalCensusPath = Some(s"$root/census"))
+    try q.processAllAvailable() finally q.stop()
+
+    val chunks = spark.read.parquet(s"$root/chunks")
+    val byDoc = chunks.select("doc_id").as[Long].collect().toSet
+    assert(byDoc == Set(1L), s"only the in-distribution doc's chunks land: $byDoc")
+    assert(chunks.count() > 0)
+  }
+
   test("decontamination gate drops overlapping documents when eval set given") {
     val docs = Seq(
       (1L, "web", goodText),
