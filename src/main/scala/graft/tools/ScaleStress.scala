@@ -332,6 +332,33 @@ object ScaleStress {
     docs.unpersist()
     }
 
+    section("sample") {
+    // Weighted exactly-k at volume: the ES race + Selection descent on
+    // a 20x corpus, and frozen-LM scoring of one batch against a
+    // persisted census built from the whole corpus — the two
+    // ingestion-time operators a 100 TB pipeline runs per batch.
+    import graft.operators.{CensusStore, CorpusStats, TrainingData}
+    val base = TableIO.table(spark, sfDir, "documents")
+    val docs = replicate(base, "doc_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    println(s"[stress] sample corpus: $n docs (${reps}x replication)")
+    time(s"exactSampleWeighted k=10k, ${reps}x corpus") {
+      val k = TrainingData.exactSampleWeighted(
+        docs, "doc_id", col("n_chars"), 10000L).count()
+      println(s"[stress]   sampled = $k (exact = ${k == 10000L})")
+    }
+    val censusPath = s"target/tmp/stress_tok_census_${System.nanoTime()}"
+    time(s"token census build+persist, ${reps}x corpus")(
+      CensusStore.appendDelta(CorpusStats.tokenCensus(docs, "text"), censusPath, 0L))
+    val census = CensusStore.read(spark, censusPath, "tok")
+    println("[stress]   vocab = " + census.count())
+    time("frozen-LM scoring, 1-replica batch")(
+      println("[stress]   scored = " + CorpusStats.surprisalAgainstCensus(
+        base, "doc_id", "text", census).count()))
+    docs.unpersist()
+    }
+
     section("cc") {
     // Connected-components stress: 2M edges over ~1M vertices shaped as
     // 100k chains of 10 plus 100k stars of 10 with cross-links — long
