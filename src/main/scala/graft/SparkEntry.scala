@@ -683,6 +683,14 @@ object SparkEntry {
           minLen = 30, hashGrams = false)
         .orderBy("source")),
 
+    // Token-level span dedup (ExactSubstr's published granularity):
+    // 6-token windows, spans in token offsets, same window census and
+    // islands as the char form.
+    "q_dedup_substring_tokens" -> ((s, d) =>
+      SubstringDedup.duplicatedTokenSpans(
+          t(s, d, "documents"), "doc_id", "text", minTokens = 6, hashGrams = false)
+        .orderBy("doc_id", "span_start")),
+
     // Incremental span dedup: evens are the standing corpus (persisted
     // gram census), odds the new batch — batch spans are duplicated
     // against census + batch counts, no corpus rescan. Equals the
@@ -2639,6 +2647,35 @@ object SparkEntry {
         |             / sum(len(d.text)), 6) AS dup_frac
         |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_dedup_substring_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 5, 0) + 1)) AS p
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, p,
+        |         array_to_string(t[CAST(p AS INT):CAST(p + 5 AS INT)], ' ') AS g
+        |  FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 6 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |)
+        |SELECT doc_id,
+        |       CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 5 AS BIGINT) AS span_end,
+        |       CAST(max(p) + 5 - min(p) + 1 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // The incremental form's restriction law, replayed directly: dup
     // counts over the WHOLE corpus, island merge over odd-doc sites only.

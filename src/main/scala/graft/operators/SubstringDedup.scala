@@ -143,6 +143,50 @@ object SubstringDedup {
     mergeSites(
       duplicatedGramSites(df, idCol, textCol, minLen, hashGrams, skewSafe), minLen)
 
+  /** TOKEN-level variant of [[duplicatedSpans]]: spans in TOKEN index
+    * space (1-based, inclusive), a window of `minTokens` consecutive
+    * tokens duplicated when its space-joined form occurs at more than
+    * one (doc, offset) site. Prose corpora prefer token windows — a
+    * char window weights long words more and can split multi-byte
+    * runs; ExactSubstr's published setting is 50 BPE tokens. Same
+    * single-exchange window census and gaps-and-islands merge as the
+    * char form (gap > minTokens breaks), same `skewSafe` fallback.
+    * Output: (doc_id, span_start, span_end, span_len) in token
+    * offsets.
+    */
+  def duplicatedTokenSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      hashGrams: Boolean = true,
+      skewSafe: Boolean = false): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val gram = concat_ws(" ", slice(col("__toks"), col("p0"), lit(minTokens)))
+    val sites = df
+      .select(
+        col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= minTokens)
+      .select(
+        col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - minTokens + 1)).as("p0"))
+      .select(
+        col("doc_id"),
+        col("p0").cast("long").as("p"),
+        (if (hashGrams) xxhash64(gram) else gram).as("g"))
+    val dupSites =
+      if (skewSafe) {
+        val dup = sites.groupBy(col("g")).agg(count(lit(1)).as("n"))
+          .where(col("n") > 1).select(col("g")).hint("shuffle_hash")
+        sites.join(dup, Seq("g"), "left_semi")
+      } else {
+        sites.withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
+          .where(col("__n") > 1)
+      }
+    mergeSites(dupSites.select(col("doc_id"), col("p")), minTokens)
+  }
+
   // ------------------------------------------------- incremental census
 
   /** Mergeable gram census — (g, n) site counts per distinct gram —

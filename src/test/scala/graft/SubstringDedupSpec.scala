@@ -271,6 +271,54 @@ class SubstringDedupSpec extends SparkSpec {
     assert(viaStream == viaBatch)
   }
 
+  test("token spans: brute reference, hashed==exact, islands merge in token space") {
+    def bruteTokenSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, ts) <- toks if ts.length >= k; i <- 0 to ts.length - k) {
+        val g = ts.slice(i, i + k).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0) + 1
+      }
+      toks.flatMap { case (id, ts) =>
+        val sites =
+          if (ts.length < k) Seq.empty[Int]
+          else (1 to ts.length - k + 1)
+            .filter(p => counts(ts.slice(p - 1, p - 1 + k).mkString(" ")) > 1)
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        for (p <- sites) {
+          if (spans.nonEmpty && p - spans.last._2 <= k)
+            spans(spans.length - 1) = (spans.last._1, p)
+          else spans += ((p, p))
+        }
+        spans.map { case (s, last) => (id, s.toLong, (last + k - 1).toLong) }
+      }.toSet
+    }
+    def spans(df: org.apache.spark.sql.DataFrame, hash: Boolean) =
+      SubstringDedup.duplicatedTokenSpans(df, "doc_id", "text", 6, hashGrams = hash)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+    // planted: a 7-token phrase shared across docs 1/2, doc 3 clean
+    val phrase = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, s"one two $phrase tail words here"),
+      (2L, s"prefix bits go $phrase other close words"),
+      (3L, "totally clean words with no repeats at all in this one")
+    ).toDF("doc_id", "text")
+    val docsSeq = df.as[(Long, String)].collect().toSeq
+    assert(spans(df, hash = false) == bruteTokenSpans(docsSeq, 6))
+    assert(spans(df, hash = false).map(_._1) == Set(1L, 2L))
+    // corpus: brute reference + mode identity + skewSafe identity
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val corpusDocs = corpus.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val exact = spans(corpus, hash = false)
+    assert(exact == bruteTokenSpans(corpusDocs, 6))
+    assert(spans(corpus, hash = true) == exact)
+    assert(SubstringDedup
+      .duplicatedTokenSpans(corpus, "doc_id", "text", 6, hashGrams = false, skewSafe = true)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet == exact)
+  }
+
   test("no duplicated window shorter than minLen is reported (threshold honored)") {
     // two docs sharing only a 29-char window must produce no span at L=30
     // (boundary chars X/Y vs A/B differ so the shared run is EXACTLY 29)
