@@ -691,6 +691,33 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", minTokens = 6, hashGrams = false)
         .orderBy("doc_id", "span_start")),
 
+    // Token-space incremental span dedup: same restriction law as the
+    // char form, probing odd docs against a persisted TOKEN-gram census
+    // of the evens (round-12 token parity for the substring family).
+    "q_dedup_substring_tokens_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val census = SubstringDedup.tokenGramCensus(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        minTokens = 6, hashGrams = false)
+      SubstringDedup.duplicatedTokenSpansAgainstCensus(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", census,
+          minTokens = 6, hashGrams = false)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // Token-space strip: remove every duplicated token span and pin the
+    // REBUILT text (space-joined kept tokens for span-bearing docs,
+    // byte-identical original for clean docs) via md5 — the oracle
+    // reassembles kept tokens with string_agg in token order.
+    "q_dedup_substring_tokens_strip" -> ((s, d) =>
+      SubstringDedup.stripDuplicatedTokenSpans(
+          t(s, d, "documents"), "doc_id", "text", minTokens = 6, hashGrams = false)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("clean_len"),
+          md5(col("text")).as("clean_hash"))
+        .orderBy("doc_id")),
+
     // Incremental span dedup: evens are the standing corpus (persisted
     // gram census), odds the new batch — batch spans are duplicated
     // against census + batch counts, no corpus rescan. Equals the
@@ -2676,6 +2703,90 @@ object SparkEntry {
         |       CAST(max(p) + 5 - min(p) + 1 AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Token restriction law replayed directly: dup counts over the WHOLE
+    // corpus in token space, island merge over odd-doc sites only.
+    "q_dedup_substring_tokens_incr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 5, 0) + 1)) AS p
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, p,
+        |         array_to_string(t[CAST(p AS INT):CAST(p + 5 AS INT)], ' ') AS g
+        |  FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)
+        |  WHERE gr.doc_id % 2 = 1
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 6 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |)
+        |SELECT doc_id,
+        |       CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 5 AS BIGINT) AS span_end,
+        |       CAST(max(p) + 5 - min(p) + 1 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Token strip: kept tokens = those outside every duplicated span
+    // (span union == dup-window union by the merge rule); span-bearing
+    // docs rebuild space-joined, clean docs stay byte-identical.
+    "q_dedup_substring_tokens_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 5, 0) + 1)) AS p
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, p,
+        |         array_to_string(t[CAST(p AS INT):CAST(p + 5 AS INT)], ' ') AS g
+        |  FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 6 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |), spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 5 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), allpos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks
+        |), kept AS (
+        |  SELECT a.doc_id, a.t[CAST(a.i AS INT)] AS tok, a.i
+        |  FROM allpos a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = a.doc_id AND a.i BETWEEN sp.s AND sp.e)
+        |), clean AS (
+        |  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY i), '') AS tc
+        |  FROM kept GROUP BY doc_id
+        |), spanned AS (
+        |  SELECT DISTINCT doc_id FROM spans
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(CASE WHEN sp.doc_id IS NOT NULL
+        |                     THEN coalesce(c.tc, '') ELSE d.text END) AS BIGINT)
+        |         AS clean_len,
+        |       md5(CASE WHEN sp.doc_id IS NOT NULL
+        |                THEN coalesce(c.tc, '') ELSE d.text END) AS clean_hash
+        |FROM documents d
+        |LEFT JOIN spanned sp USING (doc_id)
+        |LEFT JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The incremental form's restriction law, replayed directly: dup
     // counts over the WHOLE corpus, island merge over odd-doc sites only.

@@ -13,14 +13,23 @@ import org.apache.spark.sql.functions._
   * test against this same code path):
   *   - each batch's delta lands OVERWRITE under `$path/delta=<batchId>`
   *     — a Structured Streaming replay of the same batch id rewrites
-  *     the identical delta, so appends are idempotent BY CONSTRUCTION,
-  *     no marker protocol;
+  *     the identical delta, so pre-compaction appends are idempotent BY
+  *     CONSTRUCTION;
   *   - the live census is the monoid fold of every delta;
   *   - compaction folds the pile into the single base `delta=-1`
   *     (never a real batch id) and swaps it in under
   *     [[graft.streaming.StreamingFeatures.swapIn]]'s crash-safe
   *     rename discipline; readers run `recoverSwap` first so a crashed
-  *     compaction never hides data.
+  *     compaction never hides data;
+  *   - compaction stamps the HIGHEST FOLDED batch id into the swapped-in
+  *     dir ([[graft.streaming.StreamingFeatures.BatchMarker]], the same
+  *     sidecar the compacting file sink uses), and [[appendDelta]] skips
+  *     any batch at or below the marker: a streaming replay of a batch
+  *     whose delta was already folded into the base would otherwise
+  *     re-create the delta and DOUBLE its counts — turning "unique"
+  *     grams into n > 1 and silently stripping legitimate text
+  *     downstream. Overwrite-idempotency alone only covers replays of
+  *     deltas that still exist.
   */
 object CensusStore {
 
@@ -31,6 +40,14 @@ object CensusStore {
   def appendDelta(census: DataFrame, path: String, batchId: Long): Unit = {
     require(batchId >= 0,
       s"batchId must be >= 0 (delta=-1 is the compacted base), got $batchId")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(census.sparkSession.sessionState.newHadoopConf())
+    graft.streaming.StreamingFeatures.recoverSwap(fs, root)
+    // Replay of a batch already folded into the compacted base: its
+    // counts are inside delta=-1, so re-writing the delta would double
+    // them. The marker is the fold watermark — skip at or below it.
+    if (graft.streaming.StreamingFeatures.readBatchMarker(fs, root).exists(batchId <= _))
+      return
     census.write.mode(SaveMode.Overwrite).parquet(s"$path/delta=$batchId")
   }
 
@@ -61,6 +78,15 @@ object CensusStore {
       .groupBy(col(keyCol)).agg(sum(col("n")).as("n"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$tmp/delta=-1")
+    // Fold watermark: the highest batch id whose delta is now inside the
+    // base (carrying any earlier watermark forward). It rides INSIDE the
+    // swapped-in dir, so post-swap readers and appendDelta's replay guard
+    // see it atomically with the compacted data.
+    val folded = deltas
+      .map(_.getPath.getName.stripPrefix("delta=").toLong).filter(_ >= 0) ++
+      graft.streaming.StreamingFeatures.readBatchMarker(fs, root)
+    if (folded.nonEmpty)
+      graft.streaming.StreamingFeatures.writeBatchMarker(fs, tmp, folded.max)
     graft.streaming.StreamingFeatures.swapIn(fs, root, tmp)
   }
 }

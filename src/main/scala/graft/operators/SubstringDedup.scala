@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *   1. explode each doc into its minLen-gram start offsets (one
   *      `Generate` + codegen'd `substring`, no shuffle),
   *   2. ONE exchange keyed by gram + a window count marking sites
-  *      whose gram occurs more than once (the `skewSafe` fallback
-  *      trades this for a census aggregate + semi-join — see
-  *      [[duplicatedGramSites]] for the measured trade-off),
+  *      whose gram occurs more than once — OR, when the corpus's gram
+  *      frequencies are skewed, a census aggregate + semi-join (see
+  *      [[duplicatedGramSites]] for the measured trade-off and the
+  *      sampled probe that picks the formulation automatically),
   *   3. per-doc gaps-and-islands merge of overlapping/adjacent sites
   *      into maximal spans — a window keyed by doc, so state is
   *      bounded by a single document's length.
@@ -39,6 +40,18 @@ import org.apache.spark.sql.functions._
   * family is part of the training-data extension layer.
   */
 object SubstringDedup {
+
+  /** Default per-gram site count above which the window formulation's
+    * single-reducer buffering is considered pathological and the
+    * census+join formulation takes over. 256k rows in one WindowExec
+    * partition is where spill starts dominating task time; the
+    * census+join is only ~2x slower on UNskewed data, so switching a
+    * little early is cheap insurance.
+    */
+  val DefaultHotGramSites: Long = 262144L
+
+  /** Default document fraction the formulation probe samples. */
+  val DefaultProbeFrac: Double = 0.02
 
   /** (doc_id, p, g): every start offset `p` (1-based) of a
     * `minLen`-gram `g` in each document. `g` is the raw substring when
@@ -63,33 +76,105 @@ object SubstringDedup {
         (if (hashGrams) xxhash64(gram) else gram).as("g"))
   }
 
-  /** Sites whose gram occurs at more than one (doc, offset) in the
-    * corpus: (doc_id, p).
-    *
-    * Default formulation: ONE exchange keyed by gram and a window
-    * count over it — every site travels exactly once and there is no
-    * second pass over the corpus. Measured at sf0.1 (1.34M sites):
-    * 1.8s vs 6.4s for the census-aggregate + broadcast-semi-join
-    * shape and 3.7s for its shuffle-join variant — the join shapes
-    * pay a whole extra traversal of the gram extraction.
-    *
-    * `skewSafe = true` switches to that census + shuffle-semi-join
-    * shape for corpora with PATHOLOGICAL gram skew: `WindowExec`
-    * buffers each gram's rows before counting (spilling past the
-    * in-memory threshold, degraded not dead), whereas the census
-    * aggregate keeps O(1) state per gram under map-side combine and
-    * the join side leans on AQE's skew split. Both are exact and
-    * return identical sites (spec-pinned).
+  /** TOKEN-space sibling of [[gramSites]]: (doc_id, p, g) for every
+    * 1-based TOKEN offset of a `minTokens`-token window (space-joined
+    * form, or its xxhash64).
     */
-  def duplicatedGramSites(
+  private def tokenGramSites(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      hashGrams: Boolean): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val gram = concat_ws(" ", slice(col("__toks"), col("p0"), lit(minTokens)))
+    df.select(
+        col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= minTokens)
+      .select(
+        col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - minTokens + 1)).as("p0"))
+      .select(
+        col("doc_id"),
+        col("p0").cast("long").as("p"),
+        (if (hashGrams) xxhash64(gram) else gram).as("g"))
+  }
+
+  // ------------------------------------------------- formulation choice
+
+  /** Deterministic ~`frac` document sample for the formulation probe —
+    * hash bucketing, no RNG, so the same corpus always probes the same
+    * docs and a replayed query plans identically.
+    */
+  private def sampleDocs(df: DataFrame, idCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"probeFrac must be in (0, 1], got $frac")
+    df.where(pmod(xxhash64(col(idCol), lit("substr-skew-probe")), lit(10000L))
+      < lit(math.max(1L, math.round(frac * 10000))))
+  }
+
+  /** True when the sampled sites contain a gram whose EXTRAPOLATED
+    * corpus-wide site count exceeds `hotGramSites`. One tiny job: the
+    * sample's per-gram counts aggregate map-side (O(1) state per gram)
+    * and only a single max crosses to the driver.
+    */
+  private def hotGramInSample(
+      sites: DataFrame, frac: Double, hotGramSites: Long): Boolean = {
+    val m = sites.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    !m.isNullAt(0) && m.getLong(0).toDouble / frac > hotGramSites.toDouble
+  }
+
+  /** The formulation the AUTO default would pick for this corpus at
+    * char-gram grain — exposed for specs and the ScaleStress harness.
+    * True = census+join (skew detected), false = window.
+    */
+  private[graft] def probePicksCensusJoin(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minLen: Int,
-      hashGrams: Boolean = true,
-      skewSafe: Boolean = false): DataFrame = {
-    val sites = gramSites(df, idCol, textCol, minLen, hashGrams)
-    if (skewSafe) {
+      probeFrac: Double = DefaultProbeFrac,
+      hotGramSites: Long = DefaultHotGramSites): Boolean =
+    hotGramInSample(
+      gramSites(sampleDocs(df, idCol, probeFrac), idCol, textCol, minLen,
+        hashGrams = true),
+      probeFrac, hotGramSites)
+
+  /** Resolve a `skewSafe` option: explicit Some wins; None runs the
+    * sampled probe over `probeSites` (always hash-keyed — the count
+    * histogram is identical and the shuffle keys are 8 bytes).
+    */
+  private def resolveFormulation(
+      skewSafe: Option[Boolean],
+      probeSites: => DataFrame,
+      probeFrac: Double,
+      hotGramSites: Long): Boolean =
+    skewSafe.getOrElse(hotGramInSample(probeSites, probeFrac, hotGramSites))
+
+  /** Per-gram duplicated-site filter over a prepared (doc_id, p, g)
+    * frame: the two formulations behind every operator in this family.
+    *
+    * `useCensusJoin = false` (the unskewed default): ONE exchange keyed
+    * by gram and a window count over it — every site travels exactly
+    * once and there is no second pass over the corpus. Measured at
+    * sf0.1 (1.34M sites): 1.8s vs 6.4s for the census-aggregate +
+    * broadcast-semi-join shape and 3.7s for its shuffle-join variant —
+    * the join shapes pay a whole extra traversal of the gram
+    * extraction.
+    *
+    * `useCensusJoin = true`: census aggregate + shuffle-semi-join, for
+    * corpora with PATHOLOGICAL gram skew. `WindowExec` buffers each
+    * gram's rows in ONE task before counting (Zipf gram keys are the
+    * named single-reducer scale-killer; spill degrades, doesn't
+    * distribute), whereas the census aggregate keeps O(1) state per
+    * gram under map-side combine and the semi-join's probe side leans
+    * on AQE's skew split, which IS join-aware. Both formulations are
+    * exact and return identical sites (spec-pinned).
+    */
+  private def duplicatedSitesOf(
+      sites: DataFrame, useCensusJoin: Boolean): DataFrame =
+    if (useCensusJoin) {
       val dup = sites.groupBy(col("g"))
         .agg(count(lit(1)).as("n"))
         .where(col("n") > 1)
@@ -102,7 +187,36 @@ object SubstringDedup {
         .where(col("__n") > 1)
         .select(col("doc_id"), col("p"))
     }
-  }
+
+  /** Sites whose gram occurs at more than one (doc, offset) in the
+    * corpus: (doc_id, p).
+    *
+    * `skewSafe = None` (the default) AUTO-SELECTS the formulation: a
+    * deterministic ~`probeFrac` document sample is gram-counted (one
+    * tiny extra job), and if any gram extrapolates past `hotGramSites`
+    * corpus-wide sites the census+join formulation takes over;
+    * otherwise the measured-faster window form runs. Real prose
+    * corpora WILL have Zipf-skewed boilerplate grams at 100 TB — the
+    * probe makes the safe plan the default instead of an opt-in flag.
+    * `Some(false)` forces the window form, `Some(true)` the
+    * census+join form (both exact; see [[duplicatedSitesOf]]).
+    */
+  def duplicatedGramSites(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true,
+      skewSafe: Option[Boolean] = None,
+      probeFrac: Double = DefaultProbeFrac,
+      hotGramSites: Long = DefaultHotGramSites): DataFrame =
+    duplicatedSitesOf(
+      gramSites(df, idCol, textCol, minLen, hashGrams),
+      resolveFormulation(
+        skewSafe,
+        gramSites(sampleDocs(df, idCol, probeFrac), idCol, textCol, minLen,
+          hashGrams = true),
+        probeFrac, hotGramSites))
 
   /** Gaps-and-islands merge of duplicated (doc_id, p) sites into
     * maximal spans — a window keyed by doc, state bounded by one
@@ -132,6 +246,8 @@ object SubstringDedup {
     * gram sites merge when their length-`minLen` windows overlap or
     * touch (gap <= minLen), so each output row is a maximal run of
     * text every character of which lies in some duplicated gram.
+    * Formulation selection per [[duplicatedGramSites]] (auto by
+    * default).
     */
   def duplicatedSpans(
       df: DataFrame,
@@ -139,9 +255,13 @@ object SubstringDedup {
       textCol: String,
       minLen: Int,
       hashGrams: Boolean = true,
-      skewSafe: Boolean = false): DataFrame =
+      skewSafe: Option[Boolean] = None,
+      probeFrac: Double = DefaultProbeFrac,
+      hotGramSites: Long = DefaultHotGramSites): DataFrame =
     mergeSites(
-      duplicatedGramSites(df, idCol, textCol, minLen, hashGrams, skewSafe), minLen)
+      duplicatedGramSites(df, idCol, textCol, minLen, hashGrams, skewSafe,
+        probeFrac, hotGramSites),
+      minLen)
 
   /** TOKEN-level variant of [[duplicatedSpans]]: spans in TOKEN index
     * space (1-based, inclusive), a window of `minTokens` consecutive
@@ -149,10 +269,9 @@ object SubstringDedup {
     * one (doc, offset) site. Prose corpora prefer token windows — a
     * char window weights long words more and can split multi-byte
     * runs; ExactSubstr's published setting is 50 BPE tokens. Same
-    * single-exchange window census and gaps-and-islands merge as the
-    * char form (gap > minTokens breaks), same `skewSafe` fallback.
-    * Output: (doc_id, span_start, span_end, span_len) in token
-    * offsets.
+    * formulation auto-selection and gaps-and-islands merge as the char
+    * form (gap > minTokens breaks). Output: (doc_id, span_start,
+    * span_end, span_len) in token offsets.
     */
   def duplicatedTokenSpans(
       df: DataFrame,
@@ -160,31 +279,16 @@ object SubstringDedup {
       textCol: String,
       minTokens: Int,
       hashGrams: Boolean = true,
-      skewSafe: Boolean = false): DataFrame = {
-    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
-    val gram = concat_ws(" ", slice(col("__toks"), col("p0"), lit(minTokens)))
-    val sites = df
-      .select(
-        col(idCol).as("doc_id"),
-        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) >= minTokens)
-      .select(
-        col("doc_id"), col("__toks"),
-        explode(sequence(lit(1), size(col("__toks")) - minTokens + 1)).as("p0"))
-      .select(
-        col("doc_id"),
-        col("p0").cast("long").as("p"),
-        (if (hashGrams) xxhash64(gram) else gram).as("g"))
-    val dupSites =
-      if (skewSafe) {
-        val dup = sites.groupBy(col("g")).agg(count(lit(1)).as("n"))
-          .where(col("n") > 1).select(col("g")).hint("shuffle_hash")
-        sites.join(dup, Seq("g"), "left_semi")
-      } else {
-        sites.withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
-          .where(col("__n") > 1)
-      }
-    mergeSites(dupSites.select(col("doc_id"), col("p")), minTokens)
+      skewSafe: Option[Boolean] = None,
+      probeFrac: Double = DefaultProbeFrac,
+      hotGramSites: Long = DefaultHotGramSites): DataFrame = {
+    val sites = tokenGramSites(df, idCol, textCol, minTokens, hashGrams)
+    val useCensusJoin = resolveFormulation(
+      skewSafe,
+      tokenGramSites(sampleDocs(df, idCol, probeFrac), idCol, textCol,
+        minTokens, hashGrams = true),
+      probeFrac, hotGramSites)
+    mergeSites(duplicatedSitesOf(sites, useCensusJoin), minTokens)
   }
 
   // ------------------------------------------------- incremental census
@@ -205,6 +309,19 @@ object SubstringDedup {
     gramSites(df, idCol, textCol, minLen, hashGrams)
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
 
+  /** TOKEN-space census: (g, n) site counts of `minTokens`-token
+    * windows — the token sibling of [[gramCensus]], same monoid merge
+    * and [[CensusStore]] persistence.
+    */
+  def tokenGramCensus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      hashGrams: Boolean = true): DataFrame =
+    tokenGramSites(df, idCol, textCol, minTokens, hashGrams)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+
   /** Union of two censuses — counts add. `gramCensus(a union b)` ==
     * `mergeCensus(gramCensus(a), gramCensus(b))` (spec-pinned), so
     * census maintenance is pure monoid folding: no history rescan.
@@ -212,12 +329,44 @@ object SubstringDedup {
   def mergeCensus(a: DataFrame, b: DataFrame): DataFrame =
     CensusStore.merge(a, b, "g")
 
+  /** Batch sites duplicated against (census + batch): shared core of
+    * the char and token incremental probes.
+    *
+    * Window formulation: per-gram batch count, then a LEFT join onto
+    * the census — the window's output is already hash-partitioned and
+    * sorted by g, which is exactly the sort-merge join's requirement on
+    * that side, so the sites never shuffle or sort a second time.
+    * Census+join formulation: O(1)-state batch census aggregate joined
+    * to the standing census, AQE skew split on the site semi-join —
+    * the pathological-skew shape, mirroring [[duplicatedSitesOf]].
+    */
+  private def duplicatedSitesAgainstCensus(
+      sites: DataFrame, census: DataFrame, useCensusJoin: Boolean): DataFrame =
+    if (useCensusJoin) {
+      val batchCounts = sites.groupBy(col("g")).agg(count(lit(1)).as("bn"))
+      val dup = batchCounts
+        .join(census.select(col("g"), col("n").as("cn")), Seq("g"), "left")
+        .where(col("bn") + coalesce(col("cn"), lit(0L)) > 1)
+        .select(col("g"))
+      sites.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("p"))
+    } else {
+      val withBn = sites
+        .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("g"))))
+      withBn
+        .join(census.select(col("g"), col("n").as("__cn")), Seq("g"), "left")
+        .where(col("__bn") + coalesce(col("__cn"), lit(0L)) > 1)
+        .select(col("doc_id"), col("p"))
+    }
+
   /** Spans of `batch` that are duplicated against the standing corpus
     * summarized by `census` OR within the batch itself: a batch site
     * is duplicated when its gram's total site count (census + batch)
     * exceeds 1. With `census = gramCensus(corpus)` this equals
     * `duplicatedSpans(corpus union batch)` restricted to batch docs
     * (spec-pinned restriction law) — without rescanning the corpus.
+    * Formulation auto-selection probes the BATCH (the frame whose
+    * sites feed the window; the census contributes one row per gram
+    * either way).
     */
   def duplicatedSpansAgainstCensus(
       batch: DataFrame,
@@ -226,31 +375,43 @@ object SubstringDedup {
       census: DataFrame,
       minLen: Int,
       hashGrams: Boolean = true,
-      skewSafe: Boolean = false): DataFrame = {
+      skewSafe: Option[Boolean] = None,
+      probeFrac: Double = DefaultProbeFrac,
+      hotGramSites: Long = DefaultHotGramSites): DataFrame = {
     val sites = gramSites(batch, idCol, textCol, minLen, hashGrams)
-    val dupSites =
-      if (skewSafe) {
-        // census-aggregate + semi-join: O(1) agg state per gram, AQE
-        // skew split on the join — the pathological-skew fallback,
-        // mirroring duplicatedGramSites.
-        val batchCounts = sites.groupBy(col("g")).agg(count(lit(1)).as("bn"))
-        val dup = batchCounts
-          .join(census.select(col("g"), col("n").as("cn")), Seq("g"), "left")
-          .where(col("bn") + coalesce(col("cn"), lit(0L)) > 1)
-          .select(col("g"))
-        sites.join(dup, Seq("g"), "left_semi")
-      } else {
-        // Window count per gram, then a LEFT join onto the census: the
-        // window's output is already hash-partitioned and sorted by g,
-        // which is exactly the sort-merge join's requirement on that
-        // side — the sites never shuffle or sort a second time.
-        val withBn = sites
-          .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("g"))))
-        withBn
-          .join(census.select(col("g"), col("n").as("__cn")), Seq("g"), "left")
-          .where(col("__bn") + coalesce(col("__cn"), lit(0L)) > 1)
-      }
-    mergeSites(dupSites.select(col("doc_id"), col("p")), minLen)
+    val useCensusJoin = resolveFormulation(
+      skewSafe,
+      gramSites(sampleDocs(batch, idCol, probeFrac), idCol, textCol, minLen,
+        hashGrams = true),
+      probeFrac, hotGramSites)
+    mergeSites(
+      duplicatedSitesAgainstCensus(sites, census, useCensusJoin), minLen)
+  }
+
+  /** TOKEN-space incremental probe: spans of `batch` (token offsets)
+    * duplicated against a [[tokenGramCensus]] of the standing corpus
+    * or within the batch — the token sibling of
+    * [[duplicatedSpansAgainstCensus]], same restriction law
+    * (spec-pinned).
+    */
+  def duplicatedTokenSpansAgainstCensus(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      census: DataFrame,
+      minTokens: Int,
+      hashGrams: Boolean = true,
+      skewSafe: Option[Boolean] = None,
+      probeFrac: Double = DefaultProbeFrac,
+      hotGramSites: Long = DefaultHotGramSites): DataFrame = {
+    val sites = tokenGramSites(batch, idCol, textCol, minTokens, hashGrams)
+    val useCensusJoin = resolveFormulation(
+      skewSafe,
+      tokenGramSites(sampleDocs(batch, idCol, probeFrac), idCol, textCol,
+        minTokens, hashGrams = true),
+      probeFrac, hotGramSites)
+    mergeSites(
+      duplicatedSitesAgainstCensus(sites, census, useCensusJoin), minTokens)
   }
 
   /** Per-source corpus-health rollup: how much of each source is
@@ -263,8 +424,9 @@ object SubstringDedup {
       textCol: String,
       sourceCol: String,
       minLen: Int,
-      hashGrams: Boolean = true): DataFrame = {
-    val perDoc = duplicatedSpans(df, idCol, textCol, minLen, hashGrams)
+      hashGrams: Boolean = true,
+      skewSafe: Option[Boolean] = None): DataFrame = {
+    val perDoc = duplicatedSpans(df, idCol, textCol, minLen, hashGrams, skewSafe)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_chars"))
     df.select(
@@ -283,9 +445,9 @@ object SubstringDedup {
         round(col("dup_chars").cast("double") / col("total_chars"), 6))
   }
 
-  /** Per-batch census delta via [[CensusStore.appendDelta]]:
-    * replay-idempotent by construction (deterministic per-batch dir,
-    * OVERWRITE), the live census is the monoid fold of the pile.
+  /** Per-batch census delta via [[CensusStore.appendDelta]]: replays
+    * are idempotent (deterministic per-batch dir, OVERWRITE, and the
+    * post-compaction fold watermark skips already-folded batches).
     */
   def appendCensusDelta(
       batch: DataFrame,
@@ -314,7 +476,10 @@ object SubstringDedup {
     * The probe side ([[duplicatedSpansAgainstCensus]] over
     * [[readCensus]]) then sees every ingested document without any
     * corpus rescan — the streaming twin of the batch census, pinned
-    * streamed==batch in SubstringDedupSpec.
+    * streamed==batch in SubstringDedupSpec. Replay-safe across
+    * compaction: the fold watermark stamped by [[CensusStore.compact]]
+    * makes a replayed pre-compaction batch a no-op instead of a
+    * double-count.
     */
   def censusSink(
       stream: DataFrame,
@@ -353,10 +518,11 @@ object SubstringDedup {
       idCol: String,
       textCol: String,
       minLen: Int,
-      hashGrams: Boolean = true): DataFrame = {
+      hashGrams: Boolean = true,
+      skewSafe: Option[Boolean] = None): DataFrame = {
     require(!df.columns.contains("__spans"),
       "stripDuplicatedSpans reserves the __spans column name")
-    val spans = duplicatedSpans(df, idCol, textCol, minLen, hashGrams)
+    val spans = duplicatedSpans(df, idCol, textCol, minLen, hashGrams, skewSafe)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
@@ -380,5 +546,58 @@ object SubstringDedup {
       .withColumn(textCol,
         when(col("__spans").isNull, col(textCol)).otherwise(rebuilt))
       .drop("__spans").drop(spans("doc_id"))
+  }
+
+  /** TOKEN-space strip: remove every duplicated TOKEN span and replace
+    * `textCol` with the space-joined kept tokens, in order. Documents
+    * with no duplicated span keep their ORIGINAL text byte-for-byte
+    * (no re-tokenization damage on the clean majority); only span-
+    * bearing docs are rebuilt in token space — the canonicalization
+    * ExactSubstr's token-grain strip implies, documented here because
+    * inter-token whitespace inside rebuilt docs collapses to single
+    * spaces.
+    *
+    * Same declarative shape as the char strip: spans collect per doc,
+    * join back, and a higher-order `aggregate` slices the kept token
+    * ranges with a (cursor, acc) state — no UDF, no second
+    * tokenization pass per span.
+    */
+  def stripDuplicatedTokenSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      hashGrams: Boolean = true,
+      skewSafe: Option[Boolean] = None): DataFrame = {
+    require(!df.columns.contains("__spans") && !df.columns.contains("__toks"),
+      "stripDuplicatedTokenSpans reserves the __spans/__toks column names")
+    val spans = duplicatedTokenSpans(df, idCol, textCol, minTokens, hashGrams, skewSafe)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    val joined = df
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col(textCol)))
+      .join(spans, df(idCol) === spans("doc_id"), "left")
+    val kept = aggregate(
+      col("__spans"),
+      struct(lit(1L).as("cur"), array().cast("array<string>").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + 1L).as("cur"),
+        concat(
+          st.getField("acc"),
+          slice(
+            col("__toks"),
+            st.getField("cur").cast("int"),
+            (sp.getField("s") - st.getField("cur")).cast("int"))).as("acc")),
+      st => concat_ws(" ", concat(
+        st.getField("acc"),
+        slice(
+          col("__toks"),
+          st.getField("cur").cast("int"),
+          (size(col("__toks")) - st.getField("cur") + 1L).cast("int")))))
+    joined
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol)).otherwise(kept))
+      .drop("__spans", "__toks").drop(spans("doc_id"))
   }
 }

@@ -441,7 +441,7 @@ object StreamingFeatures {
     */
   private[graft] val BatchMarker = "_graft_last_batch"
 
-  private def writeBatchMarker(
+  private[graft] def writeBatchMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       batchId: Long): Unit = {

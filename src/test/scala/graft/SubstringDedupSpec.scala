@@ -101,17 +101,52 @@ class SubstringDedupSpec extends SparkSpec {
 
   test("skew-safe census+join formulation returns the identical span set") {
     val corpus = TableIO.table(spark, Sf0001, "documents")
-    def spans(skewSafe: Boolean) = SubstringDedup
+    def spans(skewSafe: Option[Boolean]) = SubstringDedup
       .duplicatedSpans(corpus, "doc_id", "text", L, hashGrams = false, skewSafe = skewSafe)
       .select("doc_id", "span_start", "span_end")
       .as[(Long, Long, Long)].collect().toSet
-    assert(spans(skewSafe = true) == spans(skewSafe = false))
-    // and the default formulation is the single-exchange window shape
+    assert(spans(Some(true)) == spans(Some(false)))
+    // the AUTO default (sampled probe) picks one of the two and matches
+    assert(spans(None) == spans(Some(false)))
+    // on the unskewed corpus the probe picks the single-exchange window shape
     val plan = SubstringDedup
       .duplicatedGramSites(corpus, "doc_id", "text", L, hashGrams = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Window"), s"default should use the window count:\n$plan")
     assert(!plan.contains("Join"), s"default should not join:\n$plan")
+  }
+
+  test("skew autopilot: probe routes a hot-gram corpus to census+join, clean corpus to window") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    // probeFrac=1.0 samples every doc: the decision is exact, not sampled
+    assert(!SubstringDedup.probePicksCensusJoin(
+      corpus, "doc_id", "text", L, probeFrac = 1.0, hotGramSites = 1000L))
+    // planted Zipf head: 200 docs of 'a'*130 — every 30-window is the
+    // SAME gram, 101 sites/doc = 20,200 sites of one gram
+    val hot = spark.range(200).select(
+      (col("id") + 5000000L).as("doc_id"),
+      concat(lit("a" * 130), lit(" tail "), col("id").cast("string")).as("text"))
+    val skewed = corpus.select("doc_id", "text").unionByName(hot)
+    assert(SubstringDedup.probePicksCensusJoin(
+      skewed, "doc_id", "text", L, probeFrac = 1.0, hotGramSites = 1000L))
+    // under the DEFAULT API (skewSafe = None) the executed plan on the
+    // skewed corpus is the census+join shape, not the per-gram window
+    val plan = SubstringDedup
+      .duplicatedGramSites(skewed, "doc_id", "text", L,
+        probeFrac = 1.0, hotGramSites = 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"hot corpus should route to census+join:\n$plan")
+    // and the auto output equals both forced formulations
+    def spansOfMode(skewSafe: Option[Boolean]) = SubstringDedup
+      .duplicatedSpans(skewed, "doc_id", "text", L, hashGrams = false,
+        skewSafe = skewSafe, probeFrac = 1.0, hotGramSites = 1000L)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    val auto = spansOfMode(None)
+    assert(auto == spansOfMode(Some(false)) && auto == spansOfMode(Some(true)))
+    // every hot doc's full 'a'-run is one span covering offsets 1..130
+    val hotSpans = auto.filter(_._1 >= 5000000L)
+    assert(hotSpans.size == 200 && hotSpans.forall(s => s._2 == 1L && s._3 >= 130L))
   }
 
   test("sf0.001 corpus spans match the brute-force reference") {
@@ -191,7 +226,7 @@ class SubstringDedupSpec extends SparkSpec {
     // the skew-safe census-aggregate formulation is output-identical
     val incrSafe = SubstringDedup
       .duplicatedSpansAgainstCensus(batch, "doc_id", "text", census, L,
-        hashGrams = true, skewSafe = true)
+        hashGrams = true, skewSafe = Some(true))
       .select("doc_id", "span_start", "span_end")
       .as[(Long, Long, Long)].collect().toSet
     assert(incrSafe == full)
@@ -269,6 +304,30 @@ class SubstringDedupSpec extends SparkSpec {
       .select("doc_id", "span_start", "span_end")
       .as[(Long, Long, Long)].collect().toSet
     assert(viaStream == viaBatch)
+
+    // replay of a batch id ALREADY FOLDED into the base must be skipped:
+    // its counts live inside delta=-1, so re-creating delta=1 would
+    // double them (the fold watermark guards exactly this).
+    SubstringDedup.appendCensusDelta(
+      parts(1), "doc_id", "text", L, s"$root/census", batchId = 1)
+    assert(new java.io.File(s"$root/census").listFiles()
+      .map(_.getName).filter(_.startsWith("delta=")).toSet == Set("delta=-1"))
+    assert(censusMap(SubstringDedup.readCensus(spark, s"$root/census")) == batch)
+
+    // a genuinely NEW batch id above the watermark still appends, and a
+    // follow-up compaction advances the watermark past it
+    val extra = Seq((900001L, "fresh post-compaction document text here"))
+      .toDF("doc_id", "text")
+    SubstringDedup.appendCensusDelta(
+      extra, "doc_id", "text", L, s"$root/census", batchId = 3)
+    val withExtra = censusMap(SubstringDedup.mergeCensus(
+      SubstringDedup.gramCensus(corpus, "doc_id", "text", L),
+      SubstringDedup.gramCensus(extra, "doc_id", "text", L)))
+    assert(censusMap(SubstringDedup.readCensus(spark, s"$root/census")) == withExtra)
+    SubstringDedup.compactCensus(spark, s"$root/census")
+    SubstringDedup.appendCensusDelta(
+      extra, "doc_id", "text", L, s"$root/census", batchId = 3) // replay again
+    assert(censusMap(SubstringDedup.readCensus(spark, s"$root/census")) == withExtra)
   }
 
   test("token spans: brute reference, hashed==exact, islands merge in token space") {
@@ -314,9 +373,93 @@ class SubstringDedupSpec extends SparkSpec {
     assert(exact == bruteTokenSpans(corpusDocs, 6))
     assert(spans(corpus, hash = true) == exact)
     assert(SubstringDedup
-      .duplicatedTokenSpans(corpus, "doc_id", "text", 6, hashGrams = false, skewSafe = true)
+      .duplicatedTokenSpans(corpus, "doc_id", "text", 6, hashGrams = false, skewSafe = Some(true))
       .select("doc_id", "span_start", "span_end")
       .as[(Long, Long, Long)].collect().toSet == exact)
+  }
+
+  test("token census: monoid + restriction law (against-census == full on batch docs)") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val K = 6
+    // monoid: census(a union b) == merge(census(a), census(b))
+    val a = corpus.filter(col("doc_id") % 3 === 0)
+    val b = corpus.filter(col("doc_id") % 3 =!= 0)
+    val whole = SubstringDedup.tokenGramCensus(corpus, "doc_id", "text", K)
+      .as[(Long, Long)].collect().toMap
+    assert(SubstringDedup.mergeCensus(
+        SubstringDedup.tokenGramCensus(a, "doc_id", "text", K),
+        SubstringDedup.tokenGramCensus(b, "doc_id", "text", K))
+      .as[(Long, Long)].collect().toMap == whole)
+    // restriction law, both formulations
+    val standing = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val census = SubstringDedup.tokenGramCensus(standing, "doc_id", "text", K)
+    val full = SubstringDedup
+      .duplicatedTokenSpans(corpus, "doc_id", "text", K)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet.filter(_._1 % 2 == 1)
+    for (mode <- Seq(None, Some(true), Some(false))) {
+      val incr = SubstringDedup
+        .duplicatedTokenSpansAgainstCensus(
+          batch, "doc_id", "text", census, K, skewSafe = mode)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(incr == full, s"mode $mode")
+    }
+  }
+
+  test("token strip: space-joined kept tokens; clean docs byte-identical; edge spans") {
+    val K = 6
+    def bruteTokenStrip(docs: Seq[(Long, String)]): Map[Long, String] = {
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, ts) <- toks if ts.length >= K; i <- 0 to ts.length - K) {
+        val g = ts.slice(i, i + K).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0) + 1
+      }
+      toks.map { case (id, ts) =>
+        val dupTok = Array.fill(ts.length)(false)
+        if (ts.length >= K)
+          for (i <- 0 to ts.length - K
+               if counts(ts.slice(i, i + K).mkString(" ")) > 1;
+               j <- i until i + K) dupTok(j) = true
+        // islands merge sites with gap <= K, so the kept set is exactly
+        // the tokens outside every (merged) span = outside every dup window
+        id -> (if (dupTok.exists(identity))
+          ts.indices.filterNot(dupTok).map(ts).mkString(" ")
+        else docs.find(_._1 == id).get._2)
+      }.toMap
+    }
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      // span at the very START of the doc (cursor-at-1 edge)
+      (1L, s"$phrase then unique trailing words go here now"),
+      // span at the very END (final-slice-length-0 edge)
+      (2L, s"some unique leading words first $phrase"),
+      // fully duplicated doc: strips to the empty string
+      (3L, phrase),
+      (4L, phrase),
+      // clean doc with DOUBLE  spaces: must stay byte-identical
+      (5L, "totally  clean doc with  irregular   whitespace kept intact"),
+      (6L, "short doc")
+    )
+    val got = SubstringDedup
+      .stripDuplicatedTokenSpans(docs.toDF("doc_id", "text"), "doc_id", "text", K,
+        hashGrams = false)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got == bruteTokenStrip(docs))
+    assert(got(3L) == "" && got(4L) == "")
+    assert(got(5L) == docs.find(_._1 == 5L).get._2) // whitespace untouched
+    // wait: doc 1's phrase is shared with docs 2/3/4 -> stripped
+    assert(!got(1L).contains("alpha") && got(1L).startsWith("then unique"))
+    assert(got(2L) == "some unique leading words first")
+    // sf0.001: strip output tokens == tokens outside the span set
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val stripped = SubstringDedup
+      .stripDuplicatedTokenSpans(corpus, "doc_id", "text", K, hashGrams = false)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val corpusDocs = corpus.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(stripped == bruteTokenStrip(corpusDocs))
   }
 
   test("no duplicated window shorter than minLen is reported (threshold honored)") {
