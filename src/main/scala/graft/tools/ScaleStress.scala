@@ -330,6 +330,46 @@ object ScaleStress {
         SubstringDedup.duplicatedSpansAgainstCensus(
           base, "doc_id", "text", census, 30).count()))
     docs.unpersist()
+
+    // Planted Zipf head (round-12 autopilot proof): 10k docs of 'a'*130
+    // put ~10.1M sites on ONE gram — the skewed-key single-reducer worst
+    // case for the window formulation. The DEFAULT API must detect it
+    // (sampled probe) and route to census+join, keeping the LONGEST TASK
+    // bounded; the forced window form funnels the gram through one
+    // WindowExec task, and the max-task gap is the proof.
+    def maxTaskSecs(body: => Unit): Double = {
+      val mx = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null)
+            mx.getAndAccumulate(te.taskInfo.duration, math.max(_, _))
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) } // listener bus is async; let it drain
+      finally spark.sparkContext.removeSparkListener(l)
+      mx.get / 1000.0
+    }
+    val hot = spark.range(100000).select(
+      (col("id") + 900000000L).as("doc_id"),
+      concat(lit("a" * 130), lit(" tail "), col("id").cast("string")).as("text"))
+    val skewed = base.select(col("doc_id"), col("text")).unionByName(hot)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] skewed corpus: ${skewed.count()} docs, ONE ~10.1M-site gram")
+    println("[stress]   probe picks census+join = " +
+      SubstringDedup.probePicksCensusJoin(skewed, "doc_id", "text", 30))
+    val autoMax = maxTaskSecs {
+      time("spans, planted hot gram, DEFAULT API (auto)")(
+        println("[stress]   spans = " +
+          SubstringDedup.duplicatedSpans(skewed, "doc_id", "text", 30).count()))
+    }
+    val windowMax = maxTaskSecs {
+      time("spans, planted hot gram, FORCED window form")(
+        println("[stress]   spans = " + SubstringDedup
+          .duplicatedSpans(skewed, "doc_id", "text", 30, skewSafe = Some(false))
+          .count()))
+    }
+    println(f"[stress]   longest task: auto $autoMax%.2f s vs window $windowMax%.2f s")
+    skewed.unpersist()
     }
 
     section("sample") {
