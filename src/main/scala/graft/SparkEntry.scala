@@ -1308,6 +1308,51 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL audio codec contract: synthesize 16-bit mono PCM WAV bytes
+    // whose samples are a pure md5 function of (doc_id, frame index),
+    // decode them back through javax.sound (JavaSoundDecoder), and pin
+    // sample rate / frame count / duration / overall + per-window RMS.
+    // The oracle never sees the bytes — it replays the sample formula
+    // and the window RMS math analytically, so a decode that drops,
+    // reorders, or mis-scales even one frame hash-mismatches.
+    "q_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), pmod(col("n_chars"), lit(5)).cast("int").as("m"))
+        .as[(Long, Int)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, m) =>
+            val n = 400 + m * 80
+            val samples = Array.tabulate(n) { k =>
+              md.reset()
+              val dgt = md.digest(s"${id}_$k".getBytes("UTF-8"))
+              // first digest byte == first two md5 hex chars, centered
+              // and scaled to the full signed-16-bit lattice
+              (((dgt(0) & 0xff) - 128) * 256).toShort
+            }
+            graft.operators.MediaRecord(id, "audio", Multimodal.synthWavPcm16Mono(8000, samples), "synth")
+          }
+        }
+      Multimodal.extractAudioFeatures(media.toDF(), windows = 4)
+        .toDF()
+        .select(
+          col("media_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"),
+          round(col("duration_s"), 6).as("duration_s"),
+          round(col("rms"), 6).as("rms"),
+          posexplode(col("embedding")).as(Seq("win_idx", "__w")))
+        .select(
+          col("media_id"), col("n_bytes"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_s"), col("rms"),
+          col("win_idx").cast("long").as("win_idx"),
+          round(col("__w").cast("double"), 6).as("win_rms"))
+        .orderBy("media_id", "win_idx")
+    }),
+
     // kNN join: every document's 5 nearest neighbors by embedding cosine
     // (brute force with a rank window — LSH-bucket first at scale).
     "q_knn_join" -> ((s, d) => {
@@ -3981,6 +4026,57 @@ object SparkEntry {
         |                    + strpos('0123456789abcdef', h[4]) - 1) AS INT) AS height,
         |       CAST(1 AS INT) AS n_frames
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Analytic replay of the audio codec round-trip: the sample at frame
+    // k of doc id is ((first md5 hex byte of "id_k") - 128) * 256 on the
+    // signed-16-bit lattice; window w of 4 covers frames
+    // [n*w//4, n*(w+1)//4). RMS = sqrt(mean((v/32768)^2)); the per-window
+    // value passes through FLOAT (the decoder's envelope is float32)
+    // before rounding, mirroring AudioInfo.windowRms.
+    "q_audio_features" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(400 + (n_chars % 5) * 80 AS BIGINT) AS n
+        |  FROM documents
+        |), frames AS (
+        |  SELECT media_id, n, unnest(range(0, n)) AS k FROM base
+        |), samp AS (
+        |  SELECT media_id, n, k,
+        |         CAST(((strpos('0123456789abcdef',
+        |                  substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+        |                         CAST(k AS VARCHAR)), 1, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef',
+        |                  substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+        |                         CAST(k AS VARCHAR)), 2, 1)) - 1)
+        |             - 128) * 256 AS DOUBLE) AS v
+        |  FROM frames
+        |), win AS (
+        |  SELECT s.media_id, w.w, s.v
+        |  FROM samp s, (SELECT unnest(range(0, 4)) AS w) w
+        |  WHERE s.k >= (s.n * w.w) // 4 AND s.k < (s.n * (w.w + 1)) // 4
+        |), winrms AS (
+        |  SELECT media_id, w,
+        |         round(CAST(CAST(sqrt(avg(power(v / 32768.0, 2))) AS FLOAT)
+        |               AS DOUBLE), 6) AS win_rms
+        |  FROM win GROUP BY media_id, w
+        |), overall AS (
+        |  SELECT media_id,
+        |         round(sqrt(avg(power(v / 32768.0, 2))), 6) AS rms
+        |  FROM samp GROUP BY media_id
+        |)
+        |SELECT b.media_id,
+        |       CAST(44 + 2 * b.n AS BIGINT) AS n_bytes,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       b.n AS n_frames,
+        |       round(b.n / 8000.0, 6) AS duration_s,
+        |       o.rms,
+        |       CAST(wr.w AS BIGINT) AS win_idx,
+        |       wr.win_rms
+        |FROM base b
+        |JOIN overall o USING (media_id)
+        |JOIN winrms wr USING (media_id)
+        |ORDER BY media_id, win_idx""".stripMargin,
 
     "q_knn_join" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -282,6 +282,32 @@ object ImageIoDecoder extends MediaDecoder {
 
 object Multimodal {
 
+  /** Minimal RIFF/WAVE encoder for 16-bit signed mono PCM — the
+    * deterministic byte-level inverse of what [[JavaSoundDecoder]]
+    * parses. Exists so contract queries and specs can synthesize REAL
+    * WAV payloads from pure functions of the row (md5-derived samples)
+    * and pin the whole encode→decode→feature path against an analytic
+    * oracle; production audio arrives as bytes from storage.
+    */
+  def synthWavPcm16Mono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                   // PCM
+      .putShort(1)                   // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)        // byte rate
+      .putShort(2)                   // block align
+      .putShort(16)                  // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
   /** Wrap the documents table as a media table (text payload as bytes) —
     * exercises the binary-column path end to end with real data.
     */

@@ -191,6 +191,26 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.sample_rate == 0 && bad.n_frames == 0L && bad.embedding.isEmpty)
   }
 
+  test("synthWavPcm16Mono: encode -> JavaSoundDecoder decode recovers every sample") {
+    // exact sample recovery: RMS of a CONSTANT signal equals |v|/32768
+    // with zero float slack, and frame/rate metadata round-trips
+    val v: Short = 12288 // 0.375 * 32768
+    val const = graft.operators.Multimodal.synthWavPcm16Mono(
+      16000, Array.fill(800)(v))
+    val info = graft.operators.JavaSoundDecoder.decode(const, windows = 4).get
+    assert(info.sampleRate == 16000 && info.channels == 1 && info.frames == 800L)
+    assert(math.abs(info.rms - 0.375) < 1e-9)
+    info.windowRms.foreach(w => assert(math.abs(w - 0.375f) < 1e-6f))
+    // alternating +A/-A: same RMS, and an odd frame count exercises the
+    // uneven window split (f0/f1 = frames*w/windows integer floors)
+    val alt = Array.tabulate(801)(k => if (k % 2 == 0) v else (-v).toShort)
+    val altWav = graft.operators.Multimodal.synthWavPcm16Mono(8000, alt)
+    val i2 = graft.operators.JavaSoundDecoder.decode(altWav, windows = 4).get
+    assert(i2.frames == 801L && math.abs(i2.rms - 0.375) < 1e-9)
+    // byte-level contract: 44-byte RIFF header + 2 bytes per sample
+    assert(const.length == 44 + 1600 && altWav.length == 44 + 1602)
+  }
+
   test("ImageIoDecoder delegates non-image modalities to the stub") {
     val bytes = "some audio bytes".getBytes
     val (aw, ah, af, aEmb) = graft.operators.ImageIoDecoder.decode("audio", bytes)
