@@ -231,6 +231,13 @@ object RunCorpusPipeline {
       source: graft.streaming.StreamSource,
       cfg: CorpusConfig,
       surprisalCensusPath: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    // A band configured without a census would silently no-op here while
+    // the batch arm applies it (self-surprisal) — fail loudly instead.
+    require(surprisalCensusPath.isDefined ||
+      (cfg.minSurprisal.isNegInfinity && cfg.maxSurprisal.isPosInfinity),
+      "runStreaming: min/maxSurprisal band is set but surprisalCensusPath is None - " +
+        "the streaming arm scores against a FROZEN census only; pass the census path " +
+        "(CensusStore of tokenCensus) or clear the band")
     val gated = source.load(spark)
       .filter(
         TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
@@ -250,17 +257,19 @@ object RunCorpusPipeline {
           // the same document.
           val census = graft.operators.CensusStore.read(
             chunkBatch.sparkSession, path, "tok")
+          // Collision-free chunk key: a '#'-joined string, not an
+          // arithmetic doc_id*K + chunk_id pack — packing collides for
+          // chunk_id >= K and overflows Long for hash-derived doc ids,
+          // either of which makes the semi-join keep/drop WRONG chunks.
+          val cuid = concat_ws("#",
+            col("doc_id").cast("string"), col("chunk_id").cast("string"))
+          val keyed = chunkBatch.withColumn("__cuid", cuid)
           val scored = graft.operators.CorpusStats.surprisalAgainstCensus(
-            chunkBatch.withColumn("__cuid",
-              col("doc_id") * 100000L + col("chunk_id")),
-            "__cuid", "chunk_text", census)
+            keyed, "__cuid", "chunk_text", census)
           val keep = scored.filter(
               col("avg_surprisal").between(cfg.minSurprisal, cfg.maxSurprisal))
             .select(col("__cuid"))
-          chunkBatch
-            .withColumn("__cuid", col("doc_id") * 100000L + col("chunk_id"))
-            .join(keep, Seq("__cuid"), "left_semi")
-            .drop("__cuid")
+          keyed.join(keep, Seq("__cuid"), "left_semi").drop("__cuid")
         }
         case None => identity
       }

@@ -68,29 +68,41 @@ object CorpusStats {
     *
     * Scale shape: one token census (map-side combined groupBy —
     * vocab-sized result, Zipf-bounded), BROADCAST back onto the
-    * exploded tokens (vocab is small even at 100 TB; `broadcastVocab =
-    * false` falls back to a shuffle join with AQE skew handling for
-    * pathological vocabularies), then a per-doc mean whose partial
+    * exploded tokens when it fits, then a per-doc mean whose partial
     * aggregation collapses map-side because a doc's exploded tokens
     * are co-partitioned with their source row.
+    *
+    * `broadcastVocab = None` (the default) AUTO-GUARDS the broadcast:
+    * natural-language vocabularies are sub-million-row even at 100 TB
+    * (Heaps' law), but a pathological "vocabulary" (tokenized binary,
+    * URLs, IDs) can exceed executor/driver broadcast limits and fail
+    * at runtime — past `broadcastMaxVocab` rows the join falls back to
+    * shuffle with AQE skew handling. The row count is read from the
+    * SAME one-row aggregate the total needs, so the guard adds no job.
+    * `Some(true)`/`Some(false)` force a side, both spec-pinned equal.
     */
   def unigramSurprisal(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      broadcastVocab: Boolean = true): DataFrame = {
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxVocab: Long = 4000000L): DataFrame = {
     val toks = df.select(
       col(idCol),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
     val census = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     // sum over an EMPTY census is null, not 0 — a corpus of blank docs
     // must yield all-zero scores, not an NPE at plan time.
-    val totalRow = census.agg(sum(col("tf"))).head()
+    val totalRow = census.agg(sum(col("tf")), count(lit(1))).head()
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     if (total == 0L)
       return df.select(
         col(idCol), lit(0L).as("n_tokens"), lit(0.0).as("avg_surprisal"))
-    val vocab = if (broadcastVocab) broadcast(census) else census
+    val vocabRows = totalRow.getLong(1)
+    val vocab =
+      if (broadcastVocab.getOrElse(vocabRows <= broadcastMaxVocab))
+        broadcast(census)
+      else census
     val perDoc = toks.join(vocab, "tok")
       .groupBy(idCol)
       .agg(
@@ -123,15 +135,20 @@ object CorpusStats {
     * finite ceiling -log2(1/(T+V+1)) instead of infinity.
     *
     * Scale shape mirrors [[unigramSurprisal]]: the census is
-    * vocabulary-sized and broadcasts; only batch tokens stream through
-    * the join and the per-doc mean.
+    * vocabulary-sized and broadcasts when it fits; only batch tokens
+    * stream through the join and the per-doc mean. `broadcastVocab =
+    * None` (the default) auto-guards on the census row count — already
+    * in hand from the smoothing-denominator aggregate, so the guard is
+    * free — and falls back to a shuffle join past `broadcastMaxVocab`
+    * rows instead of failing a 100 TB run on a driver broadcast limit.
     */
   def surprisalAgainstCensus(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       census: DataFrame,
-      broadcastVocab: Boolean = true): DataFrame = {
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxVocab: Long = 4000000L): DataFrame = {
     val head = census.agg(sum(col("n")), count(lit(1))).head()
     require(!head.isNullAt(0) && head.getLong(0) > 0,
       "surprisalAgainstCensus needs a non-empty census - build one with tokenCensus")
@@ -139,7 +156,10 @@ object CorpusStats {
     val toks = batch.select(
       col(idCol),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    val vocab = if (broadcastVocab) broadcast(census) else census
+    val vocab =
+      if (broadcastVocab.getOrElse(head.getLong(1) <= broadcastMaxVocab))
+        broadcast(census)
+      else census
     val perDoc = toks.join(vocab, Seq("tok"), "left")
       .groupBy(idCol)
       .agg(

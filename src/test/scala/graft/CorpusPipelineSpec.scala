@@ -193,6 +193,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(chunks.count() > 0)
   }
 
+  test("streaming arm fails fast when a surprisal band is set without a census") {
+    val root = s"target/tmp/corpus_stream_noband_${System.nanoTime()}"
+    Seq((1L, "web", goodText)).toDF("doc_id", "source", "text")
+      .write.parquet(s"$root/in")
+    val e = intercept[IllegalArgumentException] {
+      RunCorpusPipeline.runStreaming(
+        spark, s"$root/in",
+        CorpusConfig(root = root, window = 8, stride = 6, maxSurprisal = 5.0))
+    }
+    assert(e.getMessage.contains("surprisalCensusPath"))
+    // with the band cleared the same call starts (and is stopped) cleanly
+    val q = RunCorpusPipeline.runStreaming(
+      spark, s"$root/in", CorpusConfig(root = root, window = 8, stride = 6))
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$root/chunks").count() > 0)
+  }
+
   test("decontamination gate drops overlapping documents when eval set given") {
     val docs = Seq(
       (1L, "web", goodText),

@@ -54,13 +54,40 @@ class CorpusStatsSpec extends SparkSpec {
   test("unigramSurprisal: broadcast and shuffle-join paths agree; vocab side is broadcast") {
     val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
     def rows(bc: Boolean) =
-      CorpusStats.unigramSurprisal(docs, "doc_id", "text", broadcastVocab = bc)
+      CorpusStats.unigramSurprisal(docs, "doc_id", "text", broadcastVocab = Some(bc))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows(bc = true) == rows(bc = false))
     val plan = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"vocab census should broadcast:\n$plan")
+  }
+
+  test("broadcast auto-guard: oversized vocab falls back to shuffle join, same scores") {
+    // isolate the explicit-hint check from AQE's own runtime broadcasts
+    val docs = graft.sources.TableIO.table(spark, Sf0001, "documents")
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // vocab of sf0.001 documents is far above 10 rows: the guard must
+      // drop the broadcast hint entirely
+      val guarded = CorpusStats.unigramSurprisal(
+        docs, "doc_id", "text", broadcastMaxVocab = 10L)
+      assert(!guarded.queryExecution.executedPlan.toString.contains("Broadcast"),
+        "guarded plan must not broadcast")
+      // and under the generous default the hint is present
+      val auto = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      assert(auto.queryExecution.executedPlan.toString.contains("Broadcast"))
+      // same for the frozen-census scorer, with score identity
+      val census = CorpusStats.tokenCensus(docs, "text")
+      val g = CorpusStats.surprisalAgainstCensus(
+        docs, "doc_id", "text", census, broadcastMaxVocab = 10L)
+      assert(!g.queryExecution.executedPlan.toString.contains("Broadcast"))
+      val a = CorpusStats.surprisalAgainstCensus(docs, "doc_id", "text", census)
+      assert(a.queryExecution.executedPlan.toString.contains("Broadcast"))
+      assert(g.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet ==
+        a.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
   test("surprisalAgainstCensus: frozen-LM scores, add-one OOV, census round-trip") {
