@@ -1162,6 +1162,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL leakage-safe split: the near-dup pair list folds into a
+    // persisted ClusterStore in two batches (delta-label CC + relabel per
+    // batch — no pair-history rescan), and the split reads the standing
+    // membership. The oracle replays the FULL recompute (recursive-CTE
+    // clusters over all pairs + md5 split), so equality IS the
+    // restriction law at contract level.
+    "q_split_leakage_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+      val store = s"target/tmp/q_split_incr_${System.nanoTime()}"
+      operators.ClusterStore.applyEdges(s, store, pairs.filter(col("id_a") % 2 === 0))
+      operators.ClusterStore.applyEdges(s, store, pairs.filter(col("id_a") % 2 === 1))
+      TrainingData.leakageSafeSplitIncremental(
+          docs, "doc_id", store, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Bloom-filter decontamination — the beyond-broadcast scale path:
     // eval grams fold into a ~MB bloom sketch and the corpus side is
     // ONE row-local projection, zero shuffles (plan-asserted in
@@ -3568,6 +3586,46 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.id = e.b
+        |), clusters AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // Same full-recompute replay as q_split_leakage_safe: the Spark side
+    // folded the pairs incrementally, so hash equality pins the
+    // store-fold == full-CC restriction law.
+    "q_split_leakage_incr" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
         |), grams AS (

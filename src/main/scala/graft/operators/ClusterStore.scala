@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted DUPLICATE-CLUSTER MEMBERSHIP — the incremental state
+  * behind leakage-safe splitting ([[TrainingData.leakageSafeSplit]])
+  * and cluster-keyed dedup policy. The full operator recomputes
+  * connected components over the ENTIRE near-duplicate pair list per
+  * call; at 100 TB the pair list is append-only (each ingested batch
+  * contributes the pairs its docs participate in), so membership
+  * should fold forward batch by batch, like the gram/token censuses in
+  * [[CensusStore]].
+  *
+  * Layout: a parquet table (id, cluster_id) holding ONLY ids that have
+  * appeared in some pair — singleton documents are absent by design
+  * (their cluster is their own id, derived at read time), which keeps
+  * the store proportional to the DUPLICATED slice of the corpus, not
+  * the corpus.
+  *
+  * Incremental fold ([[applyEdges]]): map each delta edge's endpoints
+  * to their standing cluster labels, run connected components over the
+  * CLUSTER-LABEL graph (delta-sized — never the full history), then
+  * relabel. Correctness leans on the min-id labeling invariant: a
+  * standing label is the min id of its cluster, so the min over merged
+  * labels IS the min over all member ids, and `applyEdges(b1);
+  * applyEdges(b2)` equals one [[Components.connectedComponents]] over
+  * `b1 union b2` (spec-pinned restriction law). A batch that LINKS two
+  * standing clusters relabels both entire clusters — exactly the case
+  * where reassignment is semantically required.
+  *
+  * Scale shape per batch: one join of the delta edges onto the store
+  * (AQE-broadcast when the delta is small), CC over the delta-sized
+  * label graph, and one relabel join over the membership table whose
+  * build side is the delta-bounded label mapping. The store rewrite is
+  * a narrow two-long-column table — crash-safe via the same
+  * swap-aside discipline as the compacting sinks
+  * ([[graft.streaming.StreamingFeatures.swapIn]]).
+  */
+object ClusterStore {
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Standing membership: (id, cluster_id). Empty frame (same schema)
+    * when the store has never been written.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (fs, p) = fsOf(spark, path)
+    graft.streaming.StreamingFeatures.recoverSwap(fs, p)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    }
+  }
+
+  /** Fold one batch of near-duplicate pairs into the store. Pure
+    * metadata-scale driver work: only the delta-label CC runs a
+    * fixpoint ([[Components.connectedComponents]], with its bounded
+    * driver union-find fast path for thin pair lists).
+    */
+  def applyEdges(
+      spark: SparkSession,
+      path: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): Unit = {
+    val m = read(spark, path)
+    val e = pairs.select(
+      col(idACol).cast("long").as("a"), col(idBCol).cast("long").as("b"))
+    // endpoints -> standing labels (own id when unseen)
+    val byA = e.join(m.withColumnRenamed("id", "a"), Seq("a"), "left")
+      .select(coalesce(col("cluster_id"), col("a")).as("ca"), col("b"))
+    val labeled = byA.join(m.withColumnRenamed("id", "b"), Seq("b"), "left")
+      .select(col("ca"), coalesce(col("cluster_id"), col("b")).as("cb"))
+    // CC over the label graph: mapping old-label -> new (min) label
+    val mapping = Components.connectedComponents(labeled, "ca", "cb")
+      .select(col("id").as("__old"), col("component").as("__new"))
+    // relabel standing rows; insert endpoint ids not yet in the store
+    val relabeled = m.join(mapping, m("cluster_id") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), m("cluster_id")).as("cluster_id"))
+    val newIds = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .distinct()
+      .join(m.select(col("id")), Seq("id"), "left_anti")
+    val inserted = newIds.join(mapping, newIds("id") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("id")).as("cluster_id"))
+    writeSwap(spark, path, relabeled.unionByName(inserted))
+  }
+
+  /** Label every row of `df` with its standing cluster (own id for
+    * singletons) — the store-backed twin of
+    * [[Components.clusterMembership]]. Output: df.columns + cluster_id.
+    */
+  def membershipFor(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String): DataFrame = {
+    val m = read(spark, path).withColumnRenamed("id", "__cs_id")
+    df.join(m, df(idCol) === col("__cs_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), df(idCol).cast("long")))
+      .drop("__cs_id")
+  }
+
+  /** Crash-safe overwrite: land in a sibling temp dir, then rename-swap
+    * (never delete-then-rename), mirroring the census/compaction
+    * discipline. The new membership must materialize BEFORE the swap —
+    * it reads the old store.
+    */
+  private def writeSwap(
+      spark: SparkSession, path: String, membership: DataFrame): Unit = {
+    val (fs, p) = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}__compacting")
+    fs.delete(tmp, true)
+    membership.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(p)) graft.streaming.StreamingFeatures.swapIn(fs, p, tmp)
+    else require(fs.rename(tmp, p), s"ClusterStore: rename $tmp -> $p failed")
+    ()
+  }
+}

@@ -707,6 +707,26 @@ object TrainingData {
       Components.clusterMembership(df, idCol, pairs),
       "cluster_id", weights, salt, outCol)
 
+  /** [[leakageSafeSplit]] against a PERSISTED [[ClusterStore]]: cluster
+    * membership folds forward batch by batch ([[ClusterStore.applyEdges]]
+    * with each ingested batch's pair delta) instead of recomputing
+    * connected components over the full pair history per call — the
+    * per-batch cost a 100 TB ingestion actually pays. Equals
+    * [[leakageSafeSplit]] over the union of all applied pair batches
+    * (ClusterStoreSpec restriction law; q_split_leakage_incr replays it
+    * as a full oracle).
+    */
+  def leakageSafeSplitIncremental(
+      df: DataFrame,
+      idCol: String,
+      storePath: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      outCol: String = "split"): DataFrame =
+    deterministicSplit(
+      ClusterStore.membershipFor(df.sparkSession, storePath, df, idCol),
+      "cluster_id", weights, salt, outCol)
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct word n-grams appear anywhere in an evaluation set, plus
     * the contaminated fraction and a threshold flag. The standard

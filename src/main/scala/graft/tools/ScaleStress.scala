@@ -423,6 +423,29 @@ object ScaleStress {
         .select("component").distinct().count())
     println(s"[stress]   components: union-find = $ufCount, distributed = $distCount, " +
       s"equal = ${ufCount == distCount}")
+
+    // Incremental membership fold (round 12): standing store built from
+    // the 2M-edge graph once, then one SMALL delta batch (0.1% new
+    // edges, including cluster-linking ones) folds in. The claim: the
+    // per-batch cost is delta-shaped — it must not rescan the 2M-edge
+    // history the full recompute pays for.
+    import graft.operators.ClusterStore
+    val storePath = s"target/tmp/stress_cluster_${System.nanoTime()}"
+    time("cluster store: initial fold (2M edges)")(
+      ClusterStore.applyEdges(spark, storePath, edges))
+    val delta = spark.range(2000L).select(
+      (col("id") * 10 + lit(1000005L)).as("id_a"),   // chain members ...
+      (col("id") * 10 + lit(3000000L)).as("id_b"))   // ... linked to stars
+    time("cluster store: 2k-edge delta fold")(
+      ClusterStore.applyEdges(spark, storePath, delta))
+    val mergedCount = time("cluster store: read membership")(
+      ClusterStore.read(spark, storePath).select("cluster_id").distinct().count())
+    val fullCount = time("full CC recompute (2M + 2k edges)")(
+      Components.connectedComponents(
+        edges.unionByName(delta), "id_a", "id_b")
+        .select("component").distinct().count())
+    println(s"[stress]   clusters: store = $mergedCount, full = $fullCount, " +
+      s"equal = ${mergedCount == fullCount}")
     }
 
     spark.stop()

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ClusterStore, Components, Dedup, TrainingData}
+import graft.sources.TableIO
+
+/** Persisted incremental cluster membership: restriction law
+  * (batched applyEdges == one full CC), cluster-linking relabels, and
+  * the store-backed leakage-safe split against the full recompute.
+  */
+class ClusterStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) = s"target/tmp/${name}_${System.nanoTime()}"
+
+  private def membership(path: String): Map[Long, Long] =
+    ClusterStore.read(spark, path).as[(Long, Long)].collect().toMap
+
+  test("applyEdges folds batches to the same membership as one full CC") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.2)
+      .persist()
+    assert(pairs.count() > 0, "fixture must produce near-dup pairs")
+    val path = tmp("cluster_store")
+    // three deterministic batches partitioned by pair key
+    for (r <- 0 to 2)
+      ClusterStore.applyEdges(
+        spark, path, pairs.filter((col("id_a") + col("id_b")) % 3 === r))
+    val full = Components.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(membership(path) == full)
+    pairs.unpersist()
+
+    // applying an already-applied batch again is a no-op on membership
+    ClusterStore.applyEdges(
+      spark, path, pairs.filter((col("id_a") + col("id_b")) % 3 === 1))
+    assert(membership(path) == full)
+  }
+
+  test("a linking edge relabels BOTH standing clusters, wholesale") {
+    val path = tmp("cluster_link")
+    ClusterStore.applyEdges(spark, path, Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"))
+    assert(membership(path) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // the linking batch: 2~3 merges {1,2} and {3,4} under min id 1
+    ClusterStore.applyEdges(spark, path, Seq((2L, 3L)).toDF("id_a", "id_b"))
+    assert(membership(path) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // a later batch touching one member cannot split the cluster
+    ClusterStore.applyEdges(spark, path, Seq((4L, 9L)).toDF("id_a", "id_b"))
+    assert(membership(path) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L))
+  }
+
+  test("membershipFor labels singletons with their own id; empty store reads empty") {
+    val path = tmp("cluster_empty")
+    assert(membership(path).isEmpty)
+    ClusterStore.applyEdges(spark, path, Seq((10L, 12L)).toDF("id_a", "id_b"))
+    val docs = Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("doc_id", "text")
+    val got = ClusterStore.membershipFor(spark, path, docs, "doc_id")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 11L, 12L -> 10L))
+  }
+
+  test("incremental leakage-safe split == full recompute (no pair straddles splits)") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.2)
+      .persist()
+    val path = tmp("cluster_split")
+    for (r <- 0 to 1)
+      ClusterStore.applyEdges(
+        spark, path, pairs.filter(col("id_a") % 2 === r))
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val incr = TrainingData.leakageSafeSplitIncremental(corpus, "doc_id", path, w)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().toSet
+    val full = TrainingData.leakageSafeSplit(corpus, "doc_id", pairs, w)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().toSet
+    assert(incr == full)
+    // leakage safety: both docs of every pair share a split
+    val splitOf = incr.map(r => r._1 -> r._3).toMap
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(splitOf(a) == splitOf(b), s"pair ($a,$b)") }
+    pairs.unpersist()
+  }
+}
