@@ -1271,6 +1271,31 @@ object SparkEntry {
         .orderBy("video_id", "scene_idx")
     }),
 
+    // PER-VIDEO adaptive scene threshold: each video cuts at its own
+    // k-th-order-statistic distance (k = ceil(0.7 * n_dists)) instead of
+    // one global number — the k-th order statistic (never an interpolated
+    // percentile) keeps the threshold bit-reproducible across engines,
+    // so the whole adaptive manifest is a full oracle.
+    "q_frames_scenes_adaptive" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val frames = docs.select(
+          col("doc_id").as("video_id"),
+          explode(sequence(lit(0), (pmod(col("n_chars"), lit(7)) + 3).cast("int")))
+            .as("frame_idx"))
+        .withColumn("bright",
+          conv(substring(md5(concat(col("video_id"), lit("_"), col("frame_idx"))), 1, 2),
+            16, 10).cast("double"))
+        .withColumn("feat", array(col("bright")))
+      Multimodal.sceneManifestAdaptive(
+          frames, "video_id", "frame_idx", "feat", quantile = 0.7)
+        .select(
+          col("video_id"), col("scene_idx"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("end_frame").cast("long").as("end_frame"),
+          col("n_frames"), col("keyframe_idx").cast("long").as("keyframe_idx"))
+        .orderBy("video_id", "scene_idx")
+    }),
+
     // Corpus self-perplexity (unigram surprisal, the CCNet-style LM
     // filter's degenerate-but-replayable form): token census broadcast
     // back onto the exploded tokens, per-doc mean -log2 p(token).
@@ -3879,6 +3904,55 @@ object SparkEntry {
         |                  THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY video_id ORDER BY frame_idx) - 1 AS scene_idx
         |  FROM brk
+        |)
+        |SELECT video_id,
+        |       CAST(scene_idx AS BIGINT) AS scene_idx,
+        |       CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |       CAST(max(frame_idx) AS BIGINT) AS end_frame,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(min(frame_idx) AS BIGINT) AS keyframe_idx
+        |FROM isl GROUP BY video_id, scene_idx
+        |ORDER BY video_id, scene_idx""".stripMargin,
+
+    // Adaptive replay: per-video threshold = k-th smallest inter-frame
+    // |bright diff|, k = ceil(0.7 * n) — order statistic, no
+    // interpolation, so the double math is one IEEE multiply + ceil in
+    // both engines. sqrt((a-b)^2) == abs(a-b) exactly for these values.
+    "q_frames_scenes_adaptive" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS video_id,
+        |         unnest(range(0, n_chars % 7 + 4)) AS frame_idx
+        |  FROM documents
+        |), feat AS (
+        |  SELECT video_id, frame_idx,
+        |         CAST((strpos('0123456789abcdef',
+        |                 substr(md5(CAST(video_id AS VARCHAR) || '_' ||
+        |                        CAST(frame_idx AS VARCHAR)), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef',
+        |                 substr(md5(CAST(video_id AS VARCHAR) || '_' ||
+        |                        CAST(frame_idx AS VARCHAR)), 2, 1)) - 1)
+        |           AS DOUBLE) AS bright
+        |  FROM fr
+        |), d AS (
+        |  SELECT video_id, frame_idx, bright,
+        |         abs(bright - lag(bright)
+        |               OVER (PARTITION BY video_id ORDER BY frame_idx)) AS dst
+        |  FROM feat
+        |), ranked AS (
+        |  SELECT video_id, dst,
+        |         row_number() OVER (PARTITION BY video_id ORDER BY dst) AS rn,
+        |         count(*) OVER (PARTITION BY video_id) AS n
+        |  FROM d WHERE dst IS NOT NULL
+        |), thr AS (
+        |  SELECT video_id, dst AS th FROM ranked
+        |  WHERE rn = CAST(ceil(0.7 * n) AS BIGINT)
+        |), isl AS (
+        |  SELECT d.video_id, d.frame_idx,
+        |         sum(CASE WHEN d.dst IS NULL OR d.dst > t.th
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY d.video_id ORDER BY d.frame_idx) - 1
+        |           AS scene_idx
+        |  FROM d LEFT JOIN thr t USING (video_id)
         |)
         |SELECT video_id,
         |       CAST(scene_idx AS BIGINT) AS scene_idx,

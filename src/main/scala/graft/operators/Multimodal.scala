@@ -468,4 +468,63 @@ object Multimodal {
         count(lit(1)).as("n_frames"))
       .withColumn("keyframe_idx", col("start_frame"))
   }
+
+  /** [[sceneManifest]] with a PER-VIDEO adaptive threshold: real footage
+    * varies — a fixed cut distance over-segments shaky handheld clips
+    * and under-segments static interviews under one config. Here each
+    * video's threshold is the k-th smallest of its own inter-frame
+    * distances, k = ceil(quantile * n_distances): a boundary is a
+    * transition in the video's own top (1 - quantile) tail, floored by
+    * `minThreshold` so a genuinely static clip doesn't cut on noise.
+    *
+    * The k-th ORDER STATISTIC (not an interpolated percentile) is
+    * deliberate: it is a value the data actually contains, reproducible
+    * bit-for-bit across engines — `ceil(q * n)` is one IEEE multiply in
+    * every engine — which keeps the operator full-oracle-checkable
+    * (q_frames_scenes_adaptive) where `percentile`'s interpolation
+    * conventions would not be.
+    *
+    * Scale shape adds one rank window + one count window over the
+    * distance rows (both keyed by video, same bound as the manifest
+    * windows) and a per-video threshold join the optimizer broadcasts.
+    * Null/mismatched feature rows keep the fixed mode's convention:
+    * excluded from the rank, never a boundary.
+    */
+  def sceneManifestAdaptive(
+      frames: DataFrame,
+      videoCol: String,
+      idxCol: String,
+      featCol: String,
+      quantile: Double,
+      minThreshold: Double = 0.0): DataFrame = {
+    require(quantile > 0 && quantile < 1, s"quantile must be in (0,1), got $quantile")
+    require(minThreshold >= 0, s"minThreshold must be >= 0, got $minThreshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(videoCol)).orderBy(col(idxCol))
+    val byVideo = org.apache.spark.sql.expressions.Window.partitionBy(col(videoCol))
+    val d2 = aggregate(
+      zip_with(col(featCol), col("__prev"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val withDist = frames
+      .withColumn("__prev", lag(col(featCol), 1).over(w))
+      .withColumn("__dist", sqrt(d2))
+    val thr = withDist.where(col("__dist").isNotNull)
+      .select(col(videoCol), col("__dist"))
+      .withColumn("__rn", row_number().over(byVideo.orderBy(col("__dist"))))
+      .withColumn("__n", count(lit(1)).over(byVideo))
+      .where(col("__rn") === ceil(lit(quantile) * col("__n")))
+      .select(col(videoCol), greatest(col("__dist"), lit(minThreshold)).as("__thr"))
+    withDist
+      .join(thr, Seq(videoCol), "left")
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__dist") > col("__thr"), 1L)
+          .otherwise(0L))
+      .withColumn("scene_idx", sum(col("__brk")).over(w) - 1L)
+      .groupBy(col(videoCol), col("scene_idx"))
+      .agg(
+        min(col(idxCol)).as("start_frame"),
+        max(col(idxCol)).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("keyframe_idx", col("start_frame"))
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{count, lit}
+
 import graft.operators.Multimodal
 import graft.sources.TableIO
 
@@ -250,6 +252,42 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("scene_idx")
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(scenes == Seq((0L, 0L, 0L), (1L, 1L, 2L)))
+  }
+
+  test("sceneManifestAdaptive: one config segments calm and shaky clips sensibly") {
+    import spark.implicits._
+    // calm clip: tiny jitter (±1) except two REAL cuts of 10
+    val calm = Seq(0.0, 1.0, 0.0, 1.0, 11.0, 12.0, 11.0, 12.0, 22.0, 23.0)
+      .zipWithIndex.map { case (v, i) => (1L, i, Array(v)) }
+    // shaky clip: constant jitter of 20 except two real cuts of 200
+    val shaky = Seq(0.0, 20.0, 0.0, 20.0, 220.0, 240.0, 220.0, 240.0, 440.0, 460.0)
+      .zipWithIndex.map { case (v, i) => (2L, i, Array(v)) }
+    val frames = (calm ++ shaky).toDF("video_id", "frame_idx", "feat")
+    val scenes = graft.operators.Multimodal
+      .sceneManifestAdaptive(frames, "video_id", "frame_idx", "feat", quantile = 0.7)
+      .select("video_id", "scene_idx", "start_frame", "end_frame")
+      .as[(Long, Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(s => (s._3, s._4)).toSeq).toMap
+    // both clips: exactly 3 scenes, cut at their own big transitions
+    // (9 dists each, k = ceil(0.7*9) = 7 -> threshold = the jitter level
+    // itself; only the two real cuts strictly exceed it)
+    assert(scenes(1L) == Seq((0, 3), (4, 7), (8, 9)), s"calm: ${scenes(1L)}")
+    assert(scenes(2L) == Seq((0, 3), (4, 7), (8, 9)), s"shaky: ${scenes(2L)}")
+    // a FIXED threshold cannot do this: any global value either cuts the
+    // shaky clip's jitter (th < 20) or misses the calm clip's cuts (th >= 10)
+    val fixed = graft.operators.Multimodal
+      .sceneManifest(frames, "video_id", "frame_idx", "feat", threshold = 15.0)
+      .groupBy("video_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fixed(1L) == 1L && fixed(2L) == 10L,
+      s"fixed threshold should fail one side: $fixed")
+    // minThreshold floors a static clip (all-zero motion cuts nothing)
+    val static = (0 to 5).map(i => (3L, i, Array(0.0))).toDF("video_id", "frame_idx", "feat")
+    val flat = graft.operators.Multimodal
+      .sceneManifestAdaptive(static, "video_id", "frame_idx", "feat",
+        quantile = 0.8, minThreshold = 0.5)
+      .count()
+    assert(flat == 1L, "static clip must stay one scene under the floor")
   }
 
   test("sceneManifest: scene indexes are contiguous and frames partition exactly") {
