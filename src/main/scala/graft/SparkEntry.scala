@@ -1209,6 +1209,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SPAN-grain decontamination detector: maximal corpus spans sharing a
+    // verbatim 30-char window with any eval doc — the GPT-3/PaLM-style
+    // surgical complement to the doc-grain q_contamination gate.
+    "q_contamination_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      SubstringDedup.contaminatedSpans(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text",
+          minLen = 30, hashGrams = false)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // And the strip: corpus text with every eval-overlapping span removed,
+    // pinned at reconstruction level (md5 of the rebuilt text).
+    "q_contamination_strip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      SubstringDedup.stripContaminatedSpans(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text",
+          minLen = 30, hashGrams = false)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("clean_len"),
+          md5(col("text")).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (MOSS): rows-only — selection depends on the
     // engine hash function; properties asserted in DedupSpec.
     // Winnowing (Schleimer et al.) through the custom selection kernel,
@@ -3720,6 +3747,87 @@ object SparkEntry {
         |             ELSE 0.0 END) >= 0.5 AS is_contaminated
         |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Span decontamination: corpus sites whose 30-gram appears anywhere
+    // in the eval slice, merged gaps-and-islands into maximal spans.
+    "q_contamination_spans" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT substr(text, CAST(p AS INT), 30) AS g
+        |  FROM (SELECT text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |        FROM documents WHERE doc_id % 50 = 0 AND len(text) >= 30)
+        |), pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |  FROM documents WHERE doc_id % 50 <> 0 AND len(text) >= 30
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p
+        |  FROM (SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g
+        |        FROM pos) gr
+        |  JOIN ev USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |)
+        |SELECT doc_id,
+        |       CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 29 AS BIGINT) AS span_end,
+        |       CAST(max(p) + 29 - min(p) + 1 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Strip replay: kept gaps between contaminated spans reassemble with
+    // string_agg; md5(clean_text) pins the reconstruction.
+    "q_contamination_strip" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT substr(text, CAST(p AS INT), 30) AS g
+        |  FROM (SELECT text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |        FROM documents WHERE doc_id % 50 = 0 AND len(text) >= 30)
+        |), pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |  FROM documents WHERE doc_id % 50 <> 0 AND len(text) >= 30
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p
+        |  FROM (SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g
+        |        FROM pos) gr
+        |  JOIN ev USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |), spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 29 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), seg AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+        |         s - 1 AS ke
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT sp.doc_id, max(sp.e) + 1 AS ks,
+        |         CAST(max(len(d.text)) AS BIGINT) AS ke
+        |  FROM spans sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id
+        |), clean AS (
+        |  SELECT s.doc_id,
+        |         coalesce(string_agg(
+        |           CASE WHEN s.ke >= s.ks
+        |                THEN substr(d.text, CAST(s.ks AS INT),
+        |                            CAST(s.ke - s.ks + 1 AS INT)) END,
+        |           '' ORDER BY s.ks), '') AS tc
+        |  FROM seg s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(coalesce(c.tc, d.text)) AS BIGINT) AS clean_len,
+        |       md5(coalesce(c.tc, d.text)) AS clean_hash
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -519,10 +519,24 @@ object SubstringDedup {
       textCol: String,
       minLen: Int,
       hashGrams: Boolean = true,
-      skewSafe: Option[Boolean] = None): DataFrame = {
+      skewSafe: Option[Boolean] = None): DataFrame =
+    stripSpans(df, idCol, textCol,
+      duplicatedSpans(df, idCol, textCol, minLen, hashGrams, skewSafe))
+
+  /** Remove the given (doc_id, span_start, span_end) CHAR spans from
+    * `textCol`, keeping the remainder in order — the declarative
+    * (cursor, acc) rebuild shared by [[stripDuplicatedSpans]] and
+    * [[stripContaminatedSpans]]. Docs with no span pass through
+    * byte-identical.
+    */
+  private def stripSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanRows: DataFrame): DataFrame = {
     require(!df.columns.contains("__spans"),
-      "stripDuplicatedSpans reserves the __spans column name")
-    val spans = duplicatedSpans(df, idCol, textCol, minLen, hashGrams, skewSafe)
+      "stripSpans reserves the __spans column name")
+    val spans = spanRows
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
@@ -547,6 +561,58 @@ object SubstringDedup {
         when(col("__spans").isNull, col(textCol)).otherwise(rebuilt))
       .drop("__spans").drop(spans("doc_id"))
   }
+
+  // --------------------------------------------- span decontamination
+
+  /** SPAN-LEVEL DECONTAMINATION detector: maximal spans of `corpus`
+    * documents that verbatim-share a length-`minLen` window with ANY
+    * eval document. The doc-grain gate
+    * ([[TrainingData.benchmarkContamination]]) flags whole documents by
+    * n-gram overlap fraction; at span grain a mostly-clean document
+    * KEEPS its clean text and loses exactly the leaked benchmark
+    * passage — the published GPT-3/PaLM-style decontamination shape.
+    *
+    * Scale shape: the eval side is small by contract, so its distinct
+    * gram set joins as the build side of one semi-join over the corpus
+    * gram explode (AQE broadcasts it at runtime when it fits — not
+    * forced, an eval suite of raw 30-char grams can out-size a forced
+    * broadcast); no window, no census, no second corpus pass. Corpus
+    * rows whose doc shares nothing with eval never leave their
+    * partition after the semi-join probe.
+    */
+  def contaminatedSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val evalGrams = gramSites(
+        eval.select(lit(0L).as("__eid"), col(evalTextCol)),
+        "__eid", evalTextCol, minLen, hashGrams)
+      .select(col("g")).distinct()
+    val sites = gramSites(corpus, idCol, textCol, minLen, hashGrams)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    mergeSites(sites, minLen)
+  }
+
+  /** Strip every eval-overlapping span from the corpus: the input frame
+    * with `textCol` replaced by the decontaminated text (docs sharing
+    * nothing with eval pass through byte-identical). Composes
+    * [[contaminatedSpans]] with the shared span rebuild.
+    */
+  def stripContaminatedSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame =
+    stripSpans(corpus, idCol, textCol,
+      contaminatedSpans(corpus, idCol, textCol, eval, evalTextCol, minLen, hashGrams))
 
   /** TOKEN-space strip: remove every duplicated TOKEN span and replace
     * `textCol` with the space-joined kept tokens, in order. Documents

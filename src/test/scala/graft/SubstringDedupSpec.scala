@@ -462,6 +462,46 @@ class SubstringDedupSpec extends SparkSpec {
     assert(stripped == bruteTokenStrip(corpusDocs))
   }
 
+  test("span decontamination: leaked eval passages strip surgically, clean text survives") {
+    // eval: two benchmark "questions"; corpus doc 1 embeds one verbatim,
+    // doc 2 embeds a 29-char fragment (below minLen -> untouched), doc 3
+    // is clean, doc 4 is an eval doc copied wholesale (strips to empty)
+    val q1 = "WHAT IS THE CAPITAL OF FRANCE ANSWER PARIS OK" // 45 chars
+    val q2 = "NAME THE LARGEST PLANET ANSWER JUPITER YES SIR"
+    val eval = Seq(q1, q2).toDF("text")
+    val corpus = Seq(
+      (1L, s"some original prose here $q1 and more original prose"),
+      (2L, s"fragment only: ${q1.take(29)}Xthen diverges completely"),
+      (3L, "entirely clean document with nothing from any benchmark"),
+      (4L, q2)
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.contaminatedSpans(
+        corpus, "doc_id", "text", eval, "text", minLen = 30, hashGrams = false)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: exactly the q1 passage (chars 26..70); docs 2,3 clean; doc 4 whole
+    assert(spans == Set((1L, 26L, 70L), (4L, 1L, q2.length.toLong)), s"got $spans")
+    val stripped = SubstringDedup.stripContaminatedSpans(
+        corpus, "doc_id", "text", eval, "text", minLen = 30, hashGrams = false)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stripped(1L) == "some original prose here  and more original prose")
+    assert(stripped(2L) == s"fragment only: ${q1.take(29)}Xthen diverges completely")
+    assert(stripped(3L) == "entirely clean document with nothing from any benchmark")
+    assert(stripped(4L) == "")
+    // hashed mode finds the identical spans (the 100 TB default keys)
+    assert(SubstringDedup.contaminatedSpans(
+        corpus, "doc_id", "text", eval, "text", minLen = 30)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet == spans)
+    // corpus-internal duplicates alone are NOT contamination
+    val dupOnly = Seq(
+      (10L, s"left pad number one ${B} right pad one"),
+      (11L, s"other left padding ${B} other right pad")).toDF("doc_id", "text")
+    assert(SubstringDedup.contaminatedSpans(
+        dupOnly, "doc_id", "text", eval, "text", minLen = 30, hashGrams = false)
+      .count() == 0L)
+  }
+
   test("no duplicated window shorter than minLen is reported (threshold honored)") {
     // two docs sharing only a 29-char window must produce no span at L=30
     // (boundary chars X/Y vs A/B differ so the shared run is EXACTLY 29)
