@@ -107,6 +107,28 @@ object ClusterStore {
       .drop("__cs_id")
   }
 
+  /** Maintain membership continuously from a near-duplicate PAIR stream
+    * (the output grain of the incremental dedup detectors): foreachBatch
+    * folds each micro-batch's pairs via [[applyEdges]]. Replay-safe
+    * WITHOUT a marker protocol because union is idempotent here: folding
+    * an already-folded edge maps both endpoints to the same standing
+    * label and changes nothing (ClusterStoreSpec pins it). The split
+    * side ([[TrainingData.leakageSafeSplitIncremental]]) then sees every
+    * ingested pair without a pair-history rescan.
+    */
+  def clusterSink(
+      pairStream: DataFrame,
+      path: String,
+      checkpoint: String,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): org.apache.spark.sql.streaming.StreamingQuery =
+    pairStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyEdges(batch.sparkSession, path, batch.toDF(), idACol, idBCol)
+      }
+      .start()
+
   /** Crash-safe overwrite: land in a sibling temp dir, then rename-swap
     * (never delete-then-rename), mirroring the census/compaction
     * discipline. The new membership must materialize BEFORE the swap —

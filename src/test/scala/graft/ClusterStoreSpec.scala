@@ -61,6 +61,35 @@ class ClusterStoreSpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 11L, 12L -> 10L))
   }
 
+  test("clusterSink: streamed pair batches == one full CC over all pairs") {
+    val root = tmp("cluster_stream")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val batches = Seq(
+      Seq((1L, 2L), (3L, 4L)),
+      Seq((5L, 6L)),
+      Seq((2L, 3L))) // links {1,2} and {3,4} mid-stream
+    def feed(i: Int): Unit = {
+      val stage = s"$root/stage$i"
+      batches(i).toDF("id_a", "id_b").coalesce(1).write.parquet(stage)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$in/b$i.parquet"))
+    }
+    feed(0)
+    val stream = spark.readStream
+      .schema(batches(0).toDF("id_a", "id_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = ClusterStore.clusterSink(stream, s"$root/store", s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      feed(1); q.processAllAvailable()
+      feed(2); q.processAllAvailable()
+    } finally q.stop()
+    assert(membership(s"$root/store") ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("incremental leakage-safe split == full recompute (no pair straddles splits)") {
     val corpus = TableIO.table(spark, Sf0001, "documents")
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.2)
