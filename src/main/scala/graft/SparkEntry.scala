@@ -1170,10 +1170,14 @@ object SparkEntry {
     // restriction law at contract level.
     "q_split_leakage_incr" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // persist: both folds probe the same pair list; without it the
+      // jaccard shingle pipeline runs once per batch
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+        .persist()
       val store = s"target/tmp/q_split_incr_${System.nanoTime()}"
       operators.ClusterStore.applyEdges(s, store, pairs.filter(col("id_a") % 2 === 0))
       operators.ClusterStore.applyEdges(s, store, pairs.filter(col("id_a") % 2 === 1))
+      pairs.unpersist()
       TrainingData.leakageSafeSplitIncremental(
           docs, "doc_id", store, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "cluster_id", "split")
