@@ -1225,6 +1225,29 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // Decontamination against a PERSISTED eval gram store: the eval
+    // suite's census lands through CensusStore in two delta batches
+    // (append-as-benchmarks-land), and the corpus probes the store —
+    // no eval rescan per batch. Oracle identical to q_contamination_spans:
+    // equality IS the store == direct-eval law.
+    "q_contamination_spans_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val eval = docs.filter(col("doc_id") % 50 === 0)
+      val store = s"target/tmp/q_decon_store_${System.nanoTime()}"
+      operators.CensusStore.appendDelta(
+        SubstringDedup.gramCensus(
+          eval.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+          minLen = 30, hashGrams = false), store, 0L)
+      operators.CensusStore.appendDelta(
+        SubstringDedup.gramCensus(
+          eval.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+          minLen = 30, hashGrams = false), store, 1L)
+      SubstringDedup.contaminatedSpansAgainstCensus(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          operators.CensusStore.read(s, store, "g"), minLen = 30, hashGrams = false)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // And the strip: corpus text with every eval-overlapping span removed,
     // pinned at reconstruction level (md5 of the rebuilt text).
     "q_contamination_strip" -> ((s, d) => {
@@ -3755,6 +3778,37 @@ object SparkEntry {
     // Span decontamination: corpus sites whose 30-gram appears anywhere
     // in the eval slice, merged gaps-and-islands into maximal spans.
     "q_contamination_spans" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT substr(text, CAST(p AS INT), 30) AS g
+        |  FROM (SELECT text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |        FROM documents WHERE doc_id % 50 = 0 AND len(text) >= 30)
+        |), pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS p
+        |  FROM documents WHERE doc_id % 50 <> 0 AND len(text) >= 30
+        |), sites AS (
+        |  SELECT gr.doc_id, gr.p
+        |  FROM (SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g
+        |        FROM pos) gr
+        |  JOIN ev USING (g)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prev IS NULL OR p - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sites)
+        |)
+        |SELECT doc_id,
+        |       CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 29 AS BIGINT) AS span_end,
+        |       CAST(max(p) + 29 - min(p) + 1 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Store-probed decon replays the DIRECT eval-slice detection: the
+    // Spark side built the gram store in two deltas, so hash equality
+    // pins store == direct.
+    "q_contamination_spans_incr" ->
       """WITH ev AS (
         |  SELECT DISTINCT substr(text, CAST(p AS INT), 30) AS g
         |  FROM (SELECT text, unnest(range(1, len(text) - 30 + 2)) AS p

@@ -614,6 +614,39 @@ object SubstringDedup {
     stripSpans(corpus, idCol, textCol,
       contaminatedSpans(corpus, idCol, textCol, eval, evalTextCol, minLen, hashGrams))
 
+  /** [[contaminatedSpans]] against a PERSISTED eval gram census — build
+    * it once per eval suite with [[gramCensus]] over the eval docs and
+    * maintain it through [[CensusStore]] (counts are irrelevant here,
+    * but the census monoid gives append-as-benchmarks-land and the
+    * fold-watermark replay safety for free), then every ingested batch
+    * probes the store instead of re-extracting the eval suite. Equals
+    * [[contaminatedSpans]] with the eval frame directly (spec-pinned;
+    * q_contamination_spans_incr replays it as a full oracle).
+    */
+  def contaminatedSpansAgainstCensus(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalCensus: DataFrame,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame =
+    mergeSites(
+      gramSites(corpus, idCol, textCol, minLen, hashGrams)
+        .join(evalCensus.select(col("g")), Seq("g"), "left_semi")
+        .select(col("doc_id"), col("p")),
+      minLen)
+
+  /** Strip composed over the persisted-census detector. */
+  def stripContaminatedSpansAgainstCensus(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalCensus: DataFrame,
+      minLen: Int,
+      hashGrams: Boolean = true): DataFrame =
+    stripSpans(corpus, idCol, textCol,
+      contaminatedSpansAgainstCensus(corpus, idCol, textCol, evalCensus, minLen, hashGrams))
+
   /** TOKEN-space strip: remove every duplicated TOKEN span and replace
     * `textCol` with the space-joined kept tokens, in order. Documents
     * with no duplicated span keep their ORIGINAL text byte-for-byte

@@ -500,6 +500,24 @@ class SubstringDedupSpec extends SparkSpec {
     assert(SubstringDedup.contaminatedSpans(
         dupOnly, "doc_id", "text", eval, "text", minLen = 30, hashGrams = false)
       .count() == 0L)
+    // persisted eval store == direct eval frame, and strips identically
+    val store = s"target/tmp/decon_store_${System.nanoTime()}"
+    val evalIds = eval.withColumn("__eid", monotonically_increasing_id())
+    graft.operators.CensusStore.appendDelta(
+      SubstringDedup.gramCensus(evalIds.limit(1), "__eid", "text", 30, hashGrams = false),
+      store, 0L)
+    graft.operators.CensusStore.appendDelta(
+      SubstringDedup.gramCensus(
+        evalIds.except(evalIds.limit(1)), "__eid", "text", 30, hashGrams = false),
+      store, 1L)
+    val census = graft.operators.CensusStore.read(spark, store, "g")
+    assert(SubstringDedup.contaminatedSpansAgainstCensus(
+        corpus, "doc_id", "text", census, minLen = 30, hashGrams = false)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet == spans)
+    assert(SubstringDedup.stripContaminatedSpansAgainstCensus(
+        corpus, "doc_id", "text", census, minLen = 30, hashGrams = false)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap == stripped)
   }
 
   test("no duplicated window shorter than minLen is reported (threshold honored)") {
