@@ -761,6 +761,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cross-batch PAIR emission (rows-only — minhash agreement is not
+    // SQL-expressible; pinned in ClusterStoreSpec's two-batch ingestion
+    // composition): the pairs that link a new batch's documents into the
+    // standing ClusterStore, keeping leakage-safe splits safe ACROSS
+    // batches. Exact copies pair at agreement 1.0.
+    "q_dedup_pairs_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = Dedup.fingerprintIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.pairsAgainstIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", index,
+          numHashes = 64, bands = 16, minAgreement = 0.4)
+        .withColumn("agreement", round(col("agreement"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash 64-bit fingerprints through the custom SimHash64Expr kernel,
     // fed md5-derived token hashes so the DuckDB oracle can recompute the
     // identical value stream and hash-check the majority-vote/bit

@@ -82,6 +82,24 @@ object RunCorpusPipeline {
   def silver(cfg: CorpusConfig): String = s"${cfg.root}/silver"
   def shards(cfg: CorpusConfig): String = s"${cfg.root}/shards"
 
+  /** Numeric chunk uid for shard packing: doc_id * 1000 + chunk_id,
+    * GUARDED row-locally (`raise_error`, zero extra jobs) against the
+    * two silent-corruption modes of arithmetic key packing — a doc with
+    * >= 1000 chunks colliding into a neighbor's uid range, and a
+    * hash-derived doc_id overflowing Long. Packing itself only needs a
+    * deterministic orderable id, but the numeric form keeps manifest id
+    * ranges meaningful to loaders, so it stays — loudly.
+    */
+  private def packedChunkUid: org.apache.spark.sql.Column =
+    when(
+      col("chunk_id") >= 1000 ||
+        col("doc_id") < 0 || col("doc_id") > 9223372036854775L,
+      raise_error(concat(
+        lit("chunk_uid pack out of range (needs 0 <= chunk_id < 1000, "),
+        lit("0 <= doc_id <= Long.Max/1000): doc_id="), col("doc_id"),
+        lit(" chunk_id="), col("chunk_id"))).cast("long"))
+      .otherwise(col("doc_id") * 1000L + col("chunk_id"))
+
   /** Run the full pipeline. `eval` (benchmark texts, column `text`) is
     * broadcast for decontamination when provided — documents whose
     * distinct-gram overlap with the eval set exceeds
@@ -169,7 +187,7 @@ object RunCorpusPipeline {
     val chunks = Chunker
       .chunkDocuments(spark.read.parquet(silver(cfg)), "clean_text", "doc_id",
         cfg.window, cfg.stride, carryCols = Seq("source"))
-      .withColumn("chunk_uid", col("doc_id") * 1000 + col("chunk_id"))
+      .withColumn("chunk_uid", packedChunkUid)
     val packed = TrainingData.packShards(
       chunks, "chunk_uid", "source", col("n_chunk_tokens"), cfg.budgetTokens)
     TrainingData.writeShards(packed, "source", "chunk_uid", shards(cfg))

@@ -590,6 +590,70 @@ object Dedup {
     afterExact.join(agree, Seq(idCol), "left_anti").drop("_md5", "_sig")
   }
 
+  /** Cross-batch near-duplicate PAIRS: (id_a = batch doc, id_b = indexed
+    * doc, agreement) for every batch document duplicating the INDEXED
+    * corpus — the pair-emitting sibling of [[dropAgainstIndex]] (same
+    * band-collision candidates, same signature-agreement verification,
+    * no corpus text touched). Where dropAgainstIndex implements the
+    * DROP policy, this feeds the CLUSTER policy: fold the emitted pairs
+    * (plus the batch's in-batch pairs) into a [[ClusterStore]] and a
+    * batch document joins its standing duplicate cluster at ingestion —
+    * which is what keeps [[TrainingData.leakageSafeSplitIncremental]]
+    * leakage-safe ACROSS batches, not just within one.
+    *
+    * Exact copies (md5 equality) pair at agreement 1.0 and skip the
+    * near path, mirroring dropAgainstIndex's exact/near split; identical
+    * text implies identical signatures, so 1.0 is the true agreement.
+    */
+  def pairsAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame, /* id, content_md5, sig */
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minAgreement: Double = 0.5,
+      n: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(minAgreement > 0 && minAgreement <= 1,
+      s"minAgreement must be in (0,1], got $minAgreement")
+    val r = numHashes / bands
+    val fp = batch.select(
+      col(idCol).as("id_a"),
+      md5(col(textCol)).as("_md5"),
+      minHashSignature(col(textCol), n, numHashes, seed).as("_sig"))
+    val exactPairs = fp
+      .join(index.select(col("id").as("id_b"), col("content_md5").as("_md5")),
+        Seq("_md5"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("agreement"))
+    val afterExact = fp.join(
+      index.select(col("content_md5").as("_md5")), Seq("_md5"), "left_anti")
+
+    def bandTable(src: DataFrame, id: Column, sig: Column): DataFrame =
+      src.filter(element_at(sig, 1) =!= Long.MaxValue)
+        .select(id.as("bid"), sig.as("bsig"))
+        .select(col("bid"), posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("bsig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
+
+    val cands = bandTable(afterExact, col("id_a"), col("_sig"))
+      .join(
+        bandTable(index, col("id"), col("sig")).withColumnRenamed("bid", "iid"),
+        Seq("band", "band_hash"))
+      .select(col("bid"), col("iid")).distinct()
+    val nearPairs = cands
+      .join(afterExact.select(col("id_a").as("bid"), col("_sig")), "bid")
+      .join(index.select(col("id").as("iid"), col("sig")), "iid")
+      .withColumn("agreement",
+        aggregate(zip_with(col("_sig"), col("sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes))
+      .filter(col("agreement") >= minAgreement)
+      .select(col("bid").as("id_a"), col("iid").as("id_b"), col("agreement"))
+    exactPairs.unionByName(nearPairs)
+  }
+
   /** Brute-force cosine near-duplicate pairs over an embedding column.
     * Exhaustive O(n^2) — correct baseline and the oracle for the LSH
     * variant in SimilaritySearch; block on a partition key or use LSH at

@@ -90,6 +90,52 @@ class ClusterStoreSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("two-batch ingestion: in-batch + against-index pairs keep splits leakage-safe ACROSS batches") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest until the evening light fades away"
+    val b1 = Seq(
+      (1L, base + " version one tail"),
+      (2L, base + " version two tail"),   // near-dup of 1
+      (3L, "completely unrelated text about database engines and storage formats full of different words")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (11L, base + " version one tail"),  // EXACT copy of 1 — arrives a batch later
+      (12L, base + " version two tail x"),// near-dup of 2
+      (13L, "another entirely distinct document mentioning compilers parsers and tokenizers only")
+    ).toDF("doc_id", "text")
+    val path = tmp("cluster_ingest")
+    // batch 1: in-batch pairs fold; fingerprints persist
+    ClusterStore.applyEdges(spark, path,
+      Dedup.minHashNearDuplicates(b1, "doc_id", "text", n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5))
+    val index = Dedup.fingerprintIndex(b1, "doc_id", "text")
+    // batch 2: in-batch pairs PLUS cross-batch pairs against the index
+    val cross = Dedup.pairsAgainstIndex(b2, "doc_id", "text", index)
+    val crossMap = cross.select("id_a", "id_b", "agreement")
+      .as[(Long, Long, Double)].collect()
+    assert(crossMap.exists(p => p._1 == 11L && p._2 == 1L && p._3 == 1.0),
+      s"exact copy must pair at 1.0: ${crossMap.toSeq}")
+    assert(crossMap.exists(p => p._1 == 12L && p._2 == 2L && p._3 >= 0.5),
+      s"near copy must pair: ${crossMap.toSeq}")
+    assert(!crossMap.exists(p => p._1 == 13L), "clean doc must not pair")
+    ClusterStore.applyEdges(spark, path,
+      Dedup.minHashNearDuplicates(b2, "doc_id", "text", n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5)
+        .select("id_a", "id_b")
+        .unionByName(cross.select("id_a", "id_b")))
+    // 1,2,11,12 share one cluster (min id 1); 3 and 13 stay singletons
+    val m = membership(path)
+    assert(Set(1L, 2L, 11L, 12L).forall(id => m.get(id).contains(1L)), s"membership $m")
+    assert(!m.contains(3L) && !m.contains(13L))
+    // and the standing split can never separate the cross-batch copies
+    val all = b1.unionByName(b2)
+    val split = TrainingData.leakageSafeSplitIncremental(
+        all, "doc_id", path, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Set(split(1L), split(2L), split(11L), split(12L)).size == 1,
+      s"cross-batch duplicates must share one split: $split")
+  }
+
   test("incremental leakage-safe split == full recompute (no pair straddles splits)") {
     val corpus = TableIO.table(spark, Sf0001, "documents")
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.2)
