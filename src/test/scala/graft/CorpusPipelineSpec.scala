@@ -193,6 +193,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(chunks.count() > 0)
   }
 
+  test("chunk_uid pack guard: a doc chunking past 1000 fails loudly, not silently") {
+    // ~12800 tokens -> >2000 chunks at window 8 / stride 6: the packed
+    // uid would collide with doc_id+1's range — must raise, not corrupt
+    val monster = (goodText + " ") * 400
+    val docs = Seq((1L, "web", monster), (2L, "web", goodText + " neighbor doc"))
+      .toDF("doc_id", "source", "text")
+    val root = s"target/tmp/corpus_uid_guard_${System.nanoTime()}"
+    val e = intercept[Exception] {
+      RunCorpusPipeline.run(spark, docs,
+        CorpusConfig(root = root, window = 8, stride = 6))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("chunk_uid pack out of range")),
+      s"expected the pack guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("streaming arm fails fast when a surprisal band is set without a census") {
     val root = s"target/tmp/corpus_stream_noband_${System.nanoTime()}"
     Seq((1L, "web", goodText)).toDF("doc_id", "source", "text")
