@@ -761,6 +761,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Full per-batch ingestion step (rows-only — composes the minhash
+    // index probe; pinned end-to-end in IngestSpec): evens are the
+    // standing corpus (batch 0), odds the new batch — hard copies drop
+    // (agreement >= 0.9), soft revisions survive but LINK into the
+    // standing cluster store, and the output is each survivor with its
+    // standing cluster id.
+    "q_ingest_increment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = s"target/tmp/q_ingest_idx_${System.nanoTime()}"
+      val store = s"target/tmp/q_ingest_store_${System.nanoTime()}"
+      operators.Ingest.ingestIncrement(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        idx, store, batchId = 0L)
+      val r = operators.Ingest.ingestIncrement(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        idx, store, batchId = 1L)
+      operators.ClusterStore.membershipFor(s, store, r.survivors, "doc_id")
+        .select("doc_id", "source", "cluster_id")
+        .orderBy("doc_id")
+    }),
+
     // Cross-batch PAIR emission (rows-only — minhash agreement is not
     // SQL-expressible; pinned in ClusterStoreSpec's two-batch ingestion
     // composition): the pairs that link a new batch's documents into the

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PER-BATCH INGESTION STEP a continuously-fed training corpus
+  * runs: dedup the batch against everything already ingested, link the
+  * survivors into the standing duplicate clusters, and extend the
+  * state — all without ever rescanning the history.
+  *
+  * Standing state, both append-only and batch-replay-safe:
+  *   - a FINGERPRINT INDEX ([[Dedup.fingerprintIndex]] rows: id,
+  *     content_md5, sig) laid out as `delta=<batchId>` partition dirs —
+  *     a replayed batch OVERWRITES its own delta, and the probe reads
+  *     the index EXCLUDING the current batch id, so a replay can never
+  *     see (and drop against) its own fingerprints;
+  *   - a [[ClusterStore]] of duplicate-cluster membership (edge folding
+  *     is idempotent, so replays are safe there by construction).
+  *
+  * TWO thresholds, deliberately: `dropAgreement` (tight, default 0.9)
+  * decides what is a REDUNDANT COPY not worth storing; `linkAgreement`
+  * (loose, default 0.5) decides what is RELATED ENOUGH that train/test
+  * membership must be shared. Collapsing them loses one or the other:
+  * dropping at 0.5 throws away genuinely distinct revisions; linking
+  * only at 0.9 lets a paraphrase of a test document slip into train —
+  * the eval-contamination hole [[TrainingData.leakageSafeSplitIncremental]]
+  * exists to close.
+  *
+  * Scale shape per batch: the batch sketches once (row-local), probes
+  * the index via band-collision joins (index side never re-sketched),
+  * folds delta-sized pair sets into the cluster store, and appends one
+  * fingerprint delta. History is touched only through the index scan —
+  * ~(16 + 8·numHashes) bytes per historical doc, not its text.
+  */
+object Ingest {
+
+  /** Read the standing fingerprint index, excluding `excludeBatch`'s
+    * own delta (replay safety). Empty-schema frame when absent.
+    */
+  def readIndex(
+      spark: SparkSession, path: String, excludeBatch: Long = -1L): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("delta=")))
+      spark.read.parquet(path)
+        .where(col("delta") =!= excludeBatch)
+        .select("id", "content_md5", "sig")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, content_md5 STRING, sig ARRAY<BIGINT>"))
+  }
+
+  final case class IngestResult(survivors: DataFrame, dropped: Long)
+
+  /** Fold one batch into the standing corpus state. Returns the
+    * surviving (novel) batch rows; their fingerprints are appended
+    * under `indexPath/delta=<batchId>` and every link-grade pair
+    * (in-batch among survivors + survivor-vs-index) is folded into
+    * `clusterStorePath`.
+    */
+  def ingestIncrement(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      clusterStorePath: String,
+      batchId: Long,
+      dropAgreement: Double = 0.9,
+      linkAgreement: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      n: Int = 3,
+      seed: Long = 42L): IngestResult = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    require(linkAgreement <= dropAgreement,
+      s"linkAgreement ($linkAgreement) must be <= dropAgreement ($dropAgreement): " +
+        "a pair tight enough to drop is certainly related enough to link")
+    val spark = batch.sparkSession
+    val index = readIndex(spark, indexPath, excludeBatch = batchId)
+
+    // in-batch dedup first (house order: cheap hash groupBy, then the
+    // sketch path only sees distinct texts), then the cross-batch drop
+    val inBatch = Dedup.dropExactDuplicates(batch, idCol, textCol)
+    val survivors = Dedup.dropAgainstIndex(
+        inBatch, idCol, textCol, index,
+        numHashes, bands, minAgreement = dropAgreement, n, seed)
+      .persist()
+    val dropped = batch.count() - survivors.count()
+
+    // link-grade pairs: survivors vs standing corpus, plus among the
+    // survivors themselves (jaccard banding at the loose threshold)
+    val cross = Dedup.pairsAgainstIndex(
+        survivors, idCol, textCol, index,
+        numHashes, bands, minAgreement = linkAgreement, n, seed)
+      .select(col("id_a"), col("id_b"))
+    val within = Dedup.minHashNearDuplicates(
+        survivors, idCol, textCol, n, numHashes, bands,
+        minJaccard = linkAgreement, seed)
+      .select(col("id_a"), col("id_b"))
+    ClusterStore.applyEdges(
+      spark, clusterStorePath, cross.unionByName(within))
+
+    Dedup.fingerprintIndex(survivors, idCol, textCol, n, numHashes, seed)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
+    survivors.unpersist()
+    IngestResult(survivors, dropped)
+  }
+}
