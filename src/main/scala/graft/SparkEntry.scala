@@ -1395,6 +1395,29 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // BIGRAM surprisal with stupid backoff (Brants 2007): mean
+    // -log2 p(w|prev), p = bigram ratio when seen, alpha*unigram when
+    // not, unigram for the first token — order-sensitive where the
+    // unigram filter is blind (word salad keeps its unigram score and
+    // loses every bigram).
+    "q_quality_surprisal_bigram" -> ((s, d) =>
+      graft.operators.CorpusStats.bigramSurprisal(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Frozen bigram LM: odds scored under the evens' unigram + bigram
+    // censuses, add-one-smoothed unigrams, stupid backoff for unseen
+    // bigrams, unigram fallback for unseen contexts.
+    "q_quality_surprisal_bigram_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.CorpusStats.bigramSurprisalAgainstCensus(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          graft.operators.CorpusStats.tokenCensus(evens, "text"),
+          graft.operators.CorpusStats.bigramCensus(evens, "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
     // Frozen-LM surprisal: odd docs scored under the EVEN docs' token
     // census (the reference-LM shape of CCNet's filter — scores don't
     // drift with the batch), add-one smoothing with one OOV bucket.
@@ -4183,6 +4206,93 @@ object SparkEntry {
         |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
         |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Bigram backoff replay: positions via range indexing, lag for the
+    // context, inner join unigram counts (self census: always present),
+    // left joins for context count and bigram count, CASE per the
+    // backoff ladder.
+    "q_quality_surprisal_bigram" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, i, t[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tl)
+        |), wp AS (
+        |  SELECT doc_id, i, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM tk
+        |), uni AS (
+        |  SELECT tok, count(*) AS cu FROM tk GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni
+        |), big AS (
+        |  SELECT prev, tok, count(*) AS cb FROM wp
+        |  WHERE prev IS NOT NULL GROUP BY prev, tok
+        |), sc AS (
+        |  SELECT w.doc_id,
+        |         CASE WHEN w.prev IS NULL
+        |                THEN -log2(CAST(u.cu AS DOUBLE) / (SELECT total FROM tot))
+        |              WHEN b.cb IS NOT NULL
+        |                THEN -log2(CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+        |              ELSE -log2(0.4 * CAST(u.cu AS DOUBLE) / (SELECT total FROM tot))
+        |         END AS s
+        |  FROM wp w
+        |  JOIN uni u USING (tok)
+        |  LEFT JOIN uni up ON up.tok = w.prev
+        |  LEFT JOIN big b ON b.prev = w.prev AND b.tok = w.tok
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, avg(s) AS s FROM sc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Frozen twin: censuses over the evens only, add-one unigrams with
+    // denom T + V + 1, backoff ladder over the odds.
+    "q_quality_surprisal_bigram_incr" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, i, t[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tl)
+        |), wp AS (
+        |  SELECT doc_id, i, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM tk
+        |), uni AS (
+        |  SELECT tok, count(*) AS cu FROM tk WHERE doc_id % 2 = 0 GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cu) AS DOUBLE) + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+        |  FROM uni
+        |), big AS (
+        |  SELECT prev, tok, count(*) AS cb FROM wp
+        |  WHERE prev IS NOT NULL AND doc_id % 2 = 0 GROUP BY prev, tok
+        |), sc AS (
+        |  SELECT w.doc_id,
+        |         CASE WHEN w.prev IS NULL OR up.cu IS NULL
+        |                THEN -log2(CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+        |                           / (SELECT denom FROM tot))
+        |              WHEN b.cb IS NOT NULL
+        |                THEN -log2(CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+        |              ELSE -log2(0.4 * CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+        |                         / (SELECT denom FROM tot))
+        |         END AS s
+        |  FROM wp w
+        |  LEFT JOIN uni u USING (tok)
+        |  LEFT JOIN uni up ON up.tok = w.prev
+        |  LEFT JOIN big b ON b.prev = w.prev AND b.tok = w.tok
+        |  WHERE w.doc_id % 2 = 1
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, avg(s) AS s FROM sc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_quality_surprisal_incr" ->

@@ -115,6 +115,157 @@ object CorpusStats {
         round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
   }
 
+  /** BIGRAM surprisal with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the backoff chosen FOR
+    * distributed counting: no discount normalization pass, score =
+    * count ratio or alpha·unigram): per document, the mean of
+    * -log2 p(w_i | w_{i-1}) where
+    *   p(w | prev) = count(prev w) / count(prev ·)   when the bigram
+    *                                                 was seen,
+    *               = alpha · count(w) / T            otherwise,
+    * and the first token of a document scores against the unigram
+    * distribution (no history). A far sharper gibberish/boilerplate
+    * signal than [[unigramSurprisal]]: shuffled word salad keeps its
+    * unigram score but loses every bigram.
+    *
+    * Scale shape: one token explode with positions (the lag window is
+    * keyed by doc — state bounded by one document), a bigram census
+    * (map-side combined groupBy, ~O(corpus tokens) distinct keys),
+    * a shuffle join keyed by bigram (Zipf-hot bigrams are exactly what
+    * AQE's skew split handles; the census side is one row per bigram so
+    * it never explodes), and the unigram census broadcast under the
+    * same auto-guard as [[unigramSurprisal]].
+    */
+  def bigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxVocab: Long = 4000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val toks = df.select(
+        col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("i", "tok")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val withPrev = toks.withColumn("prev", lag(col("tok"), 1).over(byDoc))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val uniHead = uni.agg(sum(col("cu")), count(lit(1))).head()
+    val total = if (uniHead.isNullAt(0)) 0L else uniHead.getLong(0)
+    if (total == 0L)
+      return df.select(
+        col(idCol), lit(0L).as("n_tokens"), lit(0.0).as("avg_surprisal"))
+    val big = withPrev.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    val uniB =
+      if (broadcastVocab.getOrElse(uniHead.getLong(1) <= broadcastMaxVocab))
+        broadcast(uni)
+      else uni
+    val prevCounts = uniB.select(col("tok").as("prev"), col("cu").as("cprev"))
+    val scored = withPrev
+      .join(uniB, Seq("tok"))
+      .join(prevCounts, Seq("prev"), "left")
+      .join(big, Seq("prev", "tok"), "left")
+      .withColumn("__s",
+        when(col("prev").isNull,
+          -log2(col("cu").cast("double") / total.toDouble))
+        .when(col("cb").isNotNull,
+          -log2(col("cb").cast("double") / col("cprev").cast("double")))
+        .otherwise(
+          -log2(lit(alpha) * col("cu").cast("double") / total.toDouble)))
+    val perDoc = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__s")).as("surprisal"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
+  }
+
+  /** The bigram census behind [[bigramSurprisalAgainstCensus]]:
+    * ("w1 w2" space-joined bigram, n) counts — mergeable like every
+    * census here, persisted through [[CensusStore]] (key "g"). Needs
+    * the doc id (unlike [[tokenCensus]]): bigrams must not pair across
+    * document boundaries, and the lag window keys on it.
+    */
+  def bigramCensus(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("__d"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("i", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__d")).orderBy(col("i"))))
+      .where(col("prev").isNotNull)
+      .select(concat_ws(" ", col("prev"), col("tok")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+
+  /** FROZEN bigram LM scoring: score `batch` under persisted unigram
+    * (`uniCensus`: tok, n — [[tokenCensus]]) and bigram (`biCensus`:
+    * g = "w1 w2", n — [[bigramCensus]]) censuses with stupid backoff,
+    * add-one-smoothed unigrams (single OOV bucket, mirroring
+    * [[surprisalAgainstCensus]]):
+    *   p(w | prev) = cb / cprev          when the bigram was seen,
+    *               = alpha · p_uni(w)    otherwise,
+    *   p_uni(w) = (cu + 1) / (T + V + 1),
+    * first token and unseen-prev tokens score p_uni (no history /
+    * no context mass). Same broadcast auto-guard; the bigram census
+    * joins by key (one row per bigram, AQE-skew-safe).
+    */
+  def bigramSurprisalAgainstCensus(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      uniCensus: DataFrame,
+      biCensus: DataFrame,
+      alpha: Double = 0.4,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxVocab: Long = 4000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val head = uniCensus.agg(sum(col("n")), count(lit(1))).head()
+    require(!head.isNullAt(0) && head.getLong(0) > 0,
+      "bigramSurprisalAgainstCensus needs a non-empty unigram census")
+    val denom = head.getLong(0).toDouble + head.getLong(1).toDouble + 1.0
+    val toks = batch.select(
+        col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("i", "tok")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val withPrev = toks.withColumn("prev", lag(col("tok"), 1).over(byDoc))
+    val uniB =
+      if (broadcastVocab.getOrElse(head.getLong(1) <= broadcastMaxVocab))
+        broadcast(uniCensus)
+      else uniCensus
+    val pUni = (cu: org.apache.spark.sql.Column) =>
+      (coalesce(cu, lit(0L)) + 1).cast("double") / denom
+    val scored = withPrev
+      .join(uniB.select(col("tok"), col("n").as("cu")), Seq("tok"), "left")
+      .join(uniB.select(col("tok").as("prev"), col("n").as("cprev")),
+        Seq("prev"), "left")
+      .join(
+        biCensus.select(
+          split(col("g"), " ", 2).getItem(0).as("prev"),
+          split(col("g"), " ", 2).getItem(1).as("tok"),
+          col("n").as("cb")),
+        Seq("prev", "tok"), "left")
+      .withColumn("__s",
+        when(col("prev").isNull || col("cprev").isNull,
+          -log2(pUni(col("cu"))))
+        .when(col("cb").isNotNull,
+          -log2(col("cb").cast("double") / col("cprev").cast("double")))
+        .otherwise(-log2(lit(alpha) * pUni(col("cu")))))
+    val perDoc = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__s")).as("surprisal"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
+  }
+
   /** The token census behind [[surprisalAgainstCensus]]: (tok, n)
     * occurrence counts. Mergeable (counts add — persist and maintain
     * it through [[CensusStore]], exactly like the substring-dedup gram

@@ -90,6 +90,71 @@ class CorpusStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("bigramSurprisal: hand-computed; word salad scores high where unigram is blind") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // corpus: T=7; cu a=3 b=3 x=1; bigrams: (a b)=3, (b a)=1, (b x)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val d1 = (-lg2(3.0 / 7) + 0.0 + lg2(3.0) + 0.0) / 4
+    val d2 = (-lg2(3.0 / 7) + 0.0 + lg2(3.0)) / 3
+    assert(got(1L) == ((4L, r6(d1))), s"got $got")
+    assert(got(2L) == ((3L, r6(d2))))
+    // salad property: same token multiset, natural order repeated in the
+    // corpus -> natural doc scores LOW, shuffled doc scores HIGH, while
+    // unigram surprisal cannot tell them apart
+    val nat = "one two three four five six seven eight nine ten"
+    val salad = "seven two ten four one nine three eight five six"
+    val corpus = ((1L to 6L).map(i => (i, nat)) :+ (7L, salad))
+      .toDF("doc_id", "text")
+    val bi = CorpusStats.bigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uniS = CorpusStats.unigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uniS(1L) == uniS(7L), "unigram is blind to order")
+    assert(bi(7L) > bi(1L) + 2.0, s"salad must score much higher: $bi")
+    // empty corpus: zero rows, zero scores
+    val empty = Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text")
+    assert(CorpusStats.bigramSurprisal(empty, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet == Set((0L, 0.0)))
+  }
+
+  test("bigramSurprisalAgainstCensus: frozen backoff LM, OOV + unseen-context cases") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ref = Seq((10L, "a b a b"), (11L, "a b x")).toDF("doc_id", "text")
+    val uniC = CorpusStats.tokenCensus(ref, "text")       // a3 b3 x1; T=7 V=3
+    val biC = CorpusStats.bigramCensus(ref, "doc_id", "text")
+    assert(biC.as[(String, Long)].collect().toMap ==
+      Map("a b" -> 3L, "b a" -> 1L, "b x" -> 1L))
+    // bigram census is a monoid through CensusStore.merge
+    val m = graft.operators.CensusStore.merge(
+      CorpusStats.bigramCensus(ref.filter(col("doc_id") === 10), "doc_id", "text"),
+      CorpusStats.bigramCensus(ref.filter(col("doc_id") === 11), "doc_id", "text"),
+      "g").as[(String, Long)].collect().toMap
+    assert(m == biC.as[(String, Long)].collect().toMap)
+    val batch = Seq(
+      (1L, "a b"),   // seen bigram: p = 3/3
+      (2L, "z a"),   // OOV first token; unseen context -> unigram both
+      (3L, "x a")    // seen context, unseen bigram -> alpha backoff
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bigramSurprisalAgainstCensus(
+        batch, "doc_id", "text", uniC, biC)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val denom = 11.0 // T + V + 1
+    assert(got(1L) == r6((-lg2(4 / denom) + 0.0) / 2))
+    assert(got(2L) == r6((-lg2(1 / denom) + -lg2(4 / denom)) / 2))
+    assert(got(3L) == r6((-lg2(2 / denom) + -lg2(0.4 * 4 / denom)) / 2))
+    // broadcast guard parity on the frozen form
+    val g = CorpusStats.bigramSurprisalAgainstCensus(
+        batch, "doc_id", "text", uniC, biC, broadcastVocab = Some(false))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(g == got)
+  }
+
   test("surprisalAgainstCensus: frozen-LM scores, add-one OOV, census round-trip") {
     // census: "a" x4, "b" x2 -> T=6, V=2, denom = 9
     val ref = Seq((10L, "a a a a"), (11L, "b b")).toDF("doc_id", "text")
