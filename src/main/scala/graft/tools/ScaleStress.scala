@@ -399,6 +399,36 @@ object ScaleStress {
     docs.unpersist()
     }
 
+    section("ingest") {
+    // Per-batch ingestion at volume (round 12): standing corpus = the
+    // replicated fixture ingested once; the measured unit is ONE
+    // 1-replica batch folding in — index probe + pair linking + state
+    // append. Replicas are exact copies, so the batch is 100%
+    // duplicate-dense: worst case for candidate volume, and every doc
+    // should drop.
+    import graft.operators.{ClusterStore, Ingest}
+    val base = TableIO.table(spark, sfDir, "documents").select("doc_id", "text")
+    val docs = replicate(base, "doc_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] ingest standing corpus: ${docs.count()} docs (${reps}x)")
+    val idxPath = s"target/tmp/stress_ingest_idx_${System.nanoTime()}"
+    val storePath = s"target/tmp/stress_ingest_store_${System.nanoTime()}"
+    time(s"ingest batch 0 (standing corpus, ${reps}x)") {
+      val r = Ingest.ingestIncrement(
+        docs, "doc_id", "text", idxPath, storePath, batchId = 0L)
+      println(s"[stress]   survivors = ${r.survivors.count()}, dropped = ${r.dropped}")
+    }
+    time("ingest batch 1 (1-replica, all duplicates)") {
+      val r = Ingest.ingestIncrement(
+        base.withColumn("doc_id", col("doc_id") + lit(5000000000L)),
+        "doc_id", "text", idxPath, storePath, batchId = 1L)
+      println(s"[stress]   survivors = ${r.survivors.count()}, dropped = ${r.dropped}")
+    }
+    println("[stress]   standing clusters = " +
+      ClusterStore.read(spark, storePath).select("cluster_id").distinct().count())
+    docs.unpersist()
+    }
+
     section("cc") {
     // Connected-components stress: 2M edges over ~1M vertices shaped as
     // 100k chains of 10 plus 100k stars of 10 with cross-links — long
