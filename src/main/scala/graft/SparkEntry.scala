@@ -1448,6 +1448,31 @@ object SparkEntry {
         .orderBy(desc("n"), asc("token"))
         .limit(20)),
 
+    // BPE merge training (rows-only — a greedy driver-coordinated
+    // fixpoint is not single-query-expressible; the merge order is
+    // deterministic and pinned against the hand-derived Sennrich
+    // fixture in BpeSpec): learn the tokenizer FROM the corpus. The
+    // corpus collapses to a word-frequency table before round one, so
+    // the rounds never touch corpus-sized data.
+    "q_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      operators.Bpe.learnMerges(t(s, d, "documents"), "text", numMerges = 20)
+        .map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    }),
+
+    // Apply the learned merges: per-doc subword counts (rows-only —
+    // downstream of the learned table; encode loop pinned in BpeSpec
+    // incl. the lossless-reassembly property).
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = operators.Bpe.learnMerges(docs, "text", numMerges = 20)
+      operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Composite text-quality score (length/token/punct/stopword gates).
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
