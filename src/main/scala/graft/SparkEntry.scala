@@ -1552,6 +1552,19 @@ object SparkEntry {
         .orderBy("id_l", "rank")
     }),
 
+    // CCNet-style aggressive normalization (dedup canonicalization):
+    // lower + punctuation unification + invisible deletion + digit
+    // bucketing + whitespace collapse, pinned at reconstruction level
+    // (md5 of the normalized text).
+    "q_text_normalize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(TextFunctions.normalizeAggressive(col("text"))).cast("long")
+            .as("norm_len"),
+          md5(TextFunctions.normalizeAggressive(col("text"))).as("norm_hash"))
+        .orderBy("doc_id")),
+
     // Deterministic document fingerprint (case/whitespace-normalized md5).
     "q_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -3971,6 +3984,27 @@ object SparkEntry {
         |FROM documents d LEFT JOIN clean c USING (doc_id)
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Normalization replay: translate (chr-composed so the invisible
+    // chars stay visible in review), control strip excluding the
+    // whitespace controls, digit bucketing, collapse, trim.
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(
+        |           translate(lower(text),
+        |             chr(8217)||chr(8216)||chr(8220)||chr(8221)||chr(8211)||
+        |             chr(8212)||chr(160)||chr(8203)||chr(8204)||chr(8205)||chr(65279),
+        |             chr(39)||chr(39)||chr(34)||chr(34)||'-'||'-'||' '),
+        |           '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+        |           '[0-9]', '0', 'g'),
+        |           '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(t) AS BIGINT) AS norm_len,
+        |       md5(t) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

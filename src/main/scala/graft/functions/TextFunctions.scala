@@ -49,6 +49,42 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalizeWhitespace(c))
 
+  /** CCNet-style AGGRESSIVE normalization for dedup keys — the
+    * canonicalization their dedup hashes on (lowercase, unified
+    * punctuation, every digit bucketed to 0) so trivially-variant
+    * copies (smart quotes, serial numbers, timestamps) collapse:
+    *   1. lowercase;
+    *   2. curly quotes -> ASCII, en/em dash -> '-', NBSP -> space,
+    *      zero-width chars DELETED (one `translate`, whose
+    *      shorter-"to" deletion semantics are Postgres/DuckDB-portable);
+    *   3. control bytes stripped;
+    *   4. digits -> 0;
+    *   5. whitespace runs collapsed, trimmed.
+    * Composed from engine-portable primitives on purpose — the oracle
+    * replays it verbatim (q_text_normalize), unlike a JVM-only NFKC
+    * pass.
+    */
+  def normalizeAggressive(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          translate(lower(c),
+            // \u2019 \u2018 \u201C \u201D \u2013 \u2014 NBSP, then
+            // ZWSP ZWNJ ZWJ BOM (deleted: no "to" counterpart)
+            "\u2019\u2018\u201C\u201D\u2013\u2014\u00A0\u200B\u200C\u200D\uFEFF",
+            "''\"\"-- "),
+          // \x09-\x0d are WHITESPACE controls: they must survive to
+          // the \s+ collapse (a newline separates words), so the strip
+          // covers only the non-whitespace control bytes.
+          "[\\x00-\\x08\\x0e-\\x1f\\x7f]", ""),
+        "[0-9]", "0"),
+      "\\s+", " "))
+
+  /** Exact-dedup key over [[normalizeAggressive]] — collapses the
+    * trivially-variant copies [[fingerprint]] keeps distinct.
+    */
+  def fingerprintAggressive(c: Column): Column = md5(normalizeAggressive(c))
+
   /** Word n-grams (space-joined token windows); empty array when the
     * document has fewer than n tokens.
     */

@@ -15,6 +15,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("", tokenCount(col("t"))) == 0)
   }
 
+  test("normalizeAggressive: punctuation unified, digits bucketed, invisibles gone") {
+    // smart quotes/dashes -> ASCII, ZWSP (\u200B) deleted, tab collapses
+    // to one space, digits -> 0, case folds
+    val messy = "He said \u201CIt\u2019s\u201D \u2014 twice on 2024-03-17\u200B!\tok"
+    assert(one(messy, normalizeAggressive(col("t"))) ==
+      "he said \"it's\" - twice on 0000-00-00! ok")
+    // NBSP becomes a regular space and collapses with its neighbors;
+    // control bytes vanish entirely
+    assert(one("a\u00A0\u0001 bc", normalizeAggressive(col("t"))) == "a bc")
+    // leading/trailing whitespace (incl. NBSP-derived) trims away
+    assert(one("\u00A0 padded \u00A0", normalizeAggressive(col("t"))) == "padded")
+  }
+
+  test("fingerprintAggressive collapses trivially-variant copies; fingerprint does not") {
+    val a = "It’s device 12345 — ready"
+    val b = "it's device 99999 - READY"
+    assert(one(a, fingerprintAggressive(col("t"))) ==
+      one(b, fingerprintAggressive(col("t"))))
+    assert(one(a, fingerprint(col("t"))) != one(b, fingerprint(col("t"))))
+    // content changes still change the key
+    assert(one(a, fingerprintAggressive(col("t"))) !=
+      one("it's device 12345 - not ready", fingerprintAggressive(col("t"))))
+  }
+
   test("fingerprint is invariant to case and whitespace, sensitive to content") {
     val a = one("Hello   World", fingerprint(col("t")))
     val b = one("hello world", fingerprint(col("t")))
