@@ -1552,6 +1552,16 @@ object SparkEntry {
         .orderBy("id_l", "rank")
     }),
 
+    // Sequence-length bucketing (batch-shaping planner): per (source,
+    // power-of-two bucket) row/token counts and the padding waste a
+    // fixed-length batcher at that bucket would pay. Exact integer CASE
+    // chain, never log2 (boundary-exact across engines).
+    "q_pack_length_buckets" -> ((s, d) =>
+      TrainingData.lengthBuckets(
+          t(s, d, "documents"), "source",
+          TextFunctions.tokenCount(col("text")))
+        .orderBy("group", "bucket_len")),
+
     // CCNet-style aggressive normalization (dedup canonicalization):
     // lower + punctuation unification + invisible deletion + digit
     // bucketing + whitespace collapse, pinned at reconstruction level
@@ -3984,6 +3994,26 @@ object SparkEntry {
         |FROM documents d LEFT JOIN clean c USING (doc_id)
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pack_length_buckets" ->
+      """WITH t AS (
+        |  SELECT source AS "group",
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS l
+        |  FROM documents
+        |), b AS (
+        |  SELECT "group", l,
+        |         CAST(CASE WHEN l <= 16 THEN 16 WHEN l <= 32 THEN 32 WHEN l <= 64 THEN 64 WHEN l <= 128 THEN 128 WHEN l <= 256 THEN 256 WHEN l <= 512 THEN 512 WHEN l <= 1024 THEN 1024 WHEN l <= 2048 THEN 2048 WHEN l <= 4096 THEN 4096 WHEN l <= 8192 THEN 8192
+        |              ELSE 8192 END AS BIGINT) AS bucket_len
+        |  FROM t
+        |)
+        |SELECT "group", bucket_len,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(l) AS BIGINT) AS n_tokens,
+        |       CAST(bucket_len * count(*) - sum(l) AS BIGINT) AS pad_tokens,
+        |       round((bucket_len * count(*) - sum(l))
+        |             / CAST(bucket_len * count(*) AS DOUBLE), 6) AS pad_frac
+        |FROM b GROUP BY "group", bucket_len
+        |ORDER BY "group", bucket_len""".stripMargin,
 
     // Normalization replay: translate (chr-composed so the invisible
     // chars stay visible in review), control strip excluding the

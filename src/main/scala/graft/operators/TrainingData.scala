@@ -650,6 +650,49 @@ object TrainingData {
     df.join(picks, df(idCol).cast("long") === col("__pick_id"), "left_semi")
   }
 
+  /** SEQUENCE-LENGTH BUCKETING for batch shaping: assign each row to
+    * the power-of-two bucket covering its token count (bucket_len =
+    * smallest 2^k >= len, floored at `minBucket`) and roll up per
+    * (group, bucket): row count, token sum, and the PADDING WASTE a
+    * fixed-length batcher at that bucket size would pay
+    * (bucket_len * n - tokens, and as a fraction). Length-bucketed
+    * batching is how training loaders keep padding waste low without
+    * breaking fixed-shape kernels; this is the planning table that
+    * decides the bucket boundaries. Row-local bucket math + one
+    * map-side-combined aggregation — no shuffle wider than the rollup.
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      groupCol: String,
+      tokenCount: Column,
+      minBucket: Int = 16,
+      maxBucket: Int = 8192): DataFrame = {
+    require(minBucket >= 1 && Integer.bitCount(minBucket) == 1,
+      s"minBucket must be a positive power of two, got $minBucket")
+    require(maxBucket >= minBucket && Integer.bitCount(maxBucket) == 1,
+      s"maxBucket must be a power of two >= minBucket, got $maxBucket")
+    // smallest listed power of two >= len, as an exact INTEGER case
+    // chain over the static bucket list — deliberately not
+    // 2^ceil(log2(len)): log2 is log(x)/log(e)-derived in some engines
+    // and not exact at the power-of-two boundaries, which would flip
+    // bucket membership between Spark and the oracle.
+    val len = tokenCount.cast("long")
+    val bounds = Iterator.iterate(minBucket.toLong)(_ * 2)
+      .takeWhile(_ <= maxBucket.toLong).toSeq
+    val bucket = bounds.foldRight(lit(maxBucket.toLong): Column) {
+      (b, rest) => when(len <= b, lit(b)).otherwise(rest)
+    }
+    df.select(col(groupCol).as("group"), len.as("__len"), bucket.as("bucket_len"))
+      .groupBy(col("group"), col("bucket_len"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__len")).as("n_tokens"),
+        (col("bucket_len") * count(lit(1)) - sum(col("__len"))).as("pad_tokens"))
+      .withColumn("pad_frac",
+        round(col("pad_tokens").cast("double")
+          / (col("bucket_len") * col("n_rows")).cast("double"), 6))
+  }
+
   /** Deterministic train/val/test split: membership is a pure function
     * of the id — the first 8 hex chars of md5(id [+ salt]) compared
     * against cumulative-weight thresholds. Fixed-width lowercase hex

@@ -660,4 +660,29 @@ class TrainingDataSpec extends SparkSpec {
       .select(col("n").cast("int").as("id"), lit("a").as("grp"))
     assert(TrainingData.exactSamplePerGroup(intIds, "id", "grp", 5).count() == 5)
   }
+
+  test("lengthBuckets: exact power-of-two boundaries, caps, and pad accounting") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = Seq(
+      ("a", 1L), ("a", 16L),   // both land in the 16 bucket (floor)
+      ("a", 17L),              // first past the boundary -> 32
+      ("b", 8192L),            // exactly the top bucket
+      ("b", 9000L)             // past the cap -> clamped to 8192
+    ).toDF("src", "len")
+    val got = TrainingData.lengthBuckets(rows, "src", col("len"))
+      .orderBy("group", "bucket_len")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", 16L, 2L, 17L, 15L),   // pad = 16*2 - 17
+      ("a", 32L, 1L, 17L, 15L),
+      ("b", 8192L, 2L, 17192L, -808L))) // clamp: waste can go negative past the cap
+    // bad bucket configs are rejected
+    intercept[IllegalArgumentException] {
+      TrainingData.lengthBuckets(rows, "src", col("len"), minBucket = 17)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.lengthBuckets(rows, "src", col("len"), minBucket = 32, maxBucket = 16)
+    }
+  }
 }
