@@ -1473,6 +1473,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FastText-style learned quality score (rows-only — MLlib LBFGS
+    // internals, same §8 class as the fraud model; separability, AUC
+    // floor, determinism and the shuffle-free inference plan pinned in
+    // QualityClassifierSpec): weak labels from the heuristic quality
+    // gate train a hashed-BoW logistic regression that then scores
+    // every document — the GPT-3-lineage corpus filter.
+    "q_quality_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labeled = docs.select(
+        col("text"),
+        (TextFunctions.qualityScore(col("text")) >= 0.5).cast("int").as("label"))
+      val model = graft.ml.QualityClassifier.train(labeled, "text", "label")
+      graft.ml.QualityClassifier.score(model, docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // Composite text-quality score (length/token/punct/stopword gates).
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
