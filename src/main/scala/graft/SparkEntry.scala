@@ -596,6 +596,17 @@ object SparkEntry {
       Dedup.exactDuplicateGroups(t(s, d, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
 
+    // Exact dedup over the AGGRESSIVE canonicalization: collapses
+    // smart-quote / digit-variant / invisible-char copies the plain
+    // fingerprint keeps distinct; same group shape, normalized key.
+    "q_dedup_exact_aggressive" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(TextFunctions.fingerprintAggressive(col("text")).as("content_hash"))
+        .agg(
+          min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")),
+
     // Typed-Dataset variant of exact dedup: same digest through an
     // Aggregator (map-side combined), same oracle as q_dedup_exact.
     "q_dedup_exact_typed" -> ((s, d) => {
@@ -2811,6 +2822,24 @@ object SparkEntry {
         |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         |       CAST(min(s_suppkey) AS BIGINT) AS min_suppkey
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_dedup_exact_aggressive" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(
+        |           translate(lower(text),
+        |             chr(8217)||chr(8216)||chr(8220)||chr(8221)||chr(8211)||
+        |             chr(8212)||chr(160)||chr(8203)||chr(8204)||chr(8205)||chr(65279),
+        |             chr(39)||chr(39)||chr(34)||chr(34)||'-'||'-'||' '),
+        |           '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+        |           '[0-9]', '0', 'g'),
+        |           '\\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT md5(t) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM n GROUP BY content_hash ORDER BY content_hash""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash,

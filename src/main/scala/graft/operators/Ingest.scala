@@ -55,6 +55,34 @@ object Ingest {
 
   final case class IngestResult(survivors: DataFrame, dropped: Long)
 
+  /** Continuous ingestion from a document stream: foreachBatch runs
+    * [[ingestIncrement]] with the micro-batch id (whose delta-overwrite
+    * + self-exclusion makes replays no-ops) and appends each batch's
+    * SURVIVORS under `outPath` through the idempotent batch-file append
+    * the compacting sink uses. The streaming twin of the per-batch
+    * batch API — pinned streamed == sequential-batch in IngestSpec.
+    */
+  def ingestSink(
+      docStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      clusterStorePath: String,
+      outPath: String,
+      checkpoint: String,
+      dropAgreement: Double = 0.9,
+      linkAgreement: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val r = ingestIncrement(
+          batch.toDF(), idCol, textCol, indexPath, clusterStorePath, id,
+          dropAgreement, linkAgreement)
+        graft.streaming.StreamingFeatures.appendBatchIdempotent(
+          r.survivors, outPath, id, sortCols = Seq(idCol))
+      }
+      .start()
+
   /** Fold one batch into the standing corpus state. Returns the
     * surviving (novel) batch rows; their fingerprints are appended
     * under `indexPath/delta=<batchId>` and every link-grade pair
