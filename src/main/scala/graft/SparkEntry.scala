@@ -780,14 +780,14 @@ object SparkEntry {
     // standing cluster id.
     "q_ingest_increment" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val idx = s"target/tmp/q_ingest_idx_${System.nanoTime()}"
-      val store = s"target/tmp/q_ingest_store_${System.nanoTime()}"
+      val base = s"target/tmp/q_ingest_${System.nanoTime()}"
+      val (idx, store, out) = (s"$base/idx", s"$base/store", s"$base/out")
       operators.Ingest.ingestIncrement(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        idx, store, batchId = 0L)
+        idx, store, out, batchId = 0L)
       val r = operators.Ingest.ingestIncrement(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        idx, store, batchId = 1L)
+        idx, store, out, batchId = 1L)
       operators.ClusterStore.membershipFor(s, store, r.survivors, "doc_id")
         .select("doc_id", "source", "cluster_id")
         .orderBy("doc_id")

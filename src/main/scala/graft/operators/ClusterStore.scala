@@ -69,26 +69,34 @@ object ClusterStore {
       idACol: String = "id_a",
       idBCol: String = "id_b"): Unit = {
     val m = read(spark, path)
+    // The edge frame is delta-SIZED but its LINEAGE can be the whole
+    // near-dup detection pipeline (band joins + agreement verify). It
+    // feeds the label mapping, the new-id union (twice) and the final
+    // store write — persist once or every consumer replays the
+    // detection (measured: 21.9s -> 2.9s per fold at sf0.1).
     val e = pairs.select(
-      col(idACol).cast("long").as("a"), col(idBCol).cast("long").as("b"))
-    // endpoints -> standing labels (own id when unseen)
-    val byA = e.join(m.withColumnRenamed("id", "a"), Seq("a"), "left")
-      .select(coalesce(col("cluster_id"), col("a")).as("ca"), col("b"))
-    val labeled = byA.join(m.withColumnRenamed("id", "b"), Seq("b"), "left")
-      .select(col("ca"), coalesce(col("cluster_id"), col("b")).as("cb"))
-    // CC over the label graph: mapping old-label -> new (min) label
-    val mapping = Components.connectedComponents(labeled, "ca", "cb")
-      .select(col("id").as("__old"), col("component").as("__new"))
-    // relabel standing rows; insert endpoint ids not yet in the store
-    val relabeled = m.join(mapping, m("cluster_id") === col("__old"), "left")
-      .select(col("id"), coalesce(col("__new"), m("cluster_id")).as("cluster_id"))
-    val newIds = e.select(col("a").as("id"))
-      .unionByName(e.select(col("b").as("id")))
-      .distinct()
-      .join(m.select(col("id")), Seq("id"), "left_anti")
-    val inserted = newIds.join(mapping, newIds("id") === col("__old"), "left")
-      .select(col("id"), coalesce(col("__new"), col("id")).as("cluster_id"))
-    writeSwap(spark, path, relabeled.unionByName(inserted))
+        col(idACol).cast("long").as("a"), col(idBCol).cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // endpoints -> standing labels (own id when unseen)
+      val byA = e.join(m.withColumnRenamed("id", "a"), Seq("a"), "left")
+        .select(coalesce(col("cluster_id"), col("a")).as("ca"), col("b"))
+      val labeled = byA.join(m.withColumnRenamed("id", "b"), Seq("b"), "left")
+        .select(col("ca"), coalesce(col("cluster_id"), col("b")).as("cb"))
+      // CC over the label graph: mapping old-label -> new (min) label
+      val mapping = Components.connectedComponents(labeled, "ca", "cb")
+        .select(col("id").as("__old"), col("component").as("__new"))
+      // relabel standing rows; insert endpoint ids not yet in the store
+      val relabeled = m.join(mapping, m("cluster_id") === col("__old"), "left")
+        .select(col("id"), coalesce(col("__new"), m("cluster_id")).as("cluster_id"))
+      val newIds = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .distinct()
+        .join(m.select(col("id")), Seq("id"), "left_anti")
+      val inserted = newIds.join(mapping, newIds("id") === col("__old"), "left")
+        .select(col("id"), coalesce(col("__new"), col("id")).as("cluster_id"))
+      writeSwap(spark, path, relabeled.unionByName(inserted))
+    } finally { e.unpersist(); () }
   }
 
   /** Label every row of `df` with its standing cluster (own id for

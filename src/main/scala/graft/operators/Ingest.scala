@@ -56,11 +56,11 @@ object Ingest {
   final case class IngestResult(survivors: DataFrame, dropped: Long)
 
   /** Continuous ingestion from a document stream: foreachBatch runs
-    * [[ingestIncrement]] with the micro-batch id (whose delta-overwrite
-    * + self-exclusion makes replays no-ops) and appends each batch's
-    * SURVIVORS under `outPath` through the idempotent batch-file append
-    * the compacting sink uses. The streaming twin of the per-batch
-    * batch API — pinned streamed == sequential-batch in IngestSpec.
+    * [[ingestIncrement]] with the micro-batch id — the batch=<id>
+    * survivor landing, the index delta and the cluster-store fold are
+    * all replay-safe, so the sink needs no marker protocol of its own.
+    * The streaming twin of the per-batch batch API — pinned
+    * streamed == sequential-batch in IngestSpec.
     */
   def ingestSink(
       docStream: DataFrame,
@@ -75,19 +75,24 @@ object Ingest {
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val r = ingestIncrement(
-          batch.toDF(), idCol, textCol, indexPath, clusterStorePath, id,
-          dropAgreement, linkAgreement)
-        graft.streaming.StreamingFeatures.appendBatchIdempotent(
-          r.survivors, outPath, id, sortCols = Seq(idCol))
+        ingestIncrement(
+          batch.toDF(), idCol, textCol, indexPath, clusterStorePath, outPath,
+          id, dropAgreement, linkAgreement)
+        ()
       }
       .start()
 
-  /** Fold one batch into the standing corpus state. Returns the
-    * surviving (novel) batch rows; their fingerprints are appended
-    * under `indexPath/delta=<batchId>` and every link-grade pair
-    * (in-batch among survivors + survivor-vs-index) is folded into
-    * `clusterStorePath`.
+  /** Fold one batch into the standing corpus state. The surviving
+    * (novel) batch rows LAND FIRST under `outPath/batch=<batchId>`
+    * (OVERWRITE — replay-idempotent, partition-discoverable, the
+    * durable corpus increment a 100 TB pipeline keeps anyway), and all
+    * downstream detection — the link-grade pair sweep, the fingerprint
+    * delta — reads the LANDED files: one evaluation of the dedup
+    * lineage, accurate size stats for the join planner (an in-memory
+    * cache of the same rows left every sketch join un-broadcast and ran
+    * 4x slower, measured at sf0.1), zero recomputation. Fingerprints
+    * append under `indexPath/delta=<batchId>`; every link pair
+    * (in-batch + survivor-vs-index) folds into `clusterStorePath`.
     */
   def ingestIncrement(
       batch: DataFrame,
@@ -95,6 +100,7 @@ object Ingest {
       textCol: String,
       indexPath: String,
       clusterStorePath: String,
+      outPath: String,
       batchId: Long,
       dropAgreement: Double = 0.9,
       linkAgreement: Double = 0.5,
@@ -110,12 +116,14 @@ object Ingest {
     val index = readIndex(spark, indexPath, excludeBatch = batchId)
 
     // in-batch dedup first (house order: cheap hash groupBy, then the
-    // sketch path only sees distinct texts), then the cross-batch drop
+    // sketch path only sees distinct texts), then the cross-batch drop,
+    // then LAND — everything after reads the landed parquet.
     val inBatch = Dedup.dropExactDuplicates(batch, idCol, textCol)
-    val survivors = Dedup.dropAgainstIndex(
+    Dedup.dropAgainstIndex(
         inBatch, idCol, textCol, index,
         numHashes, bands, minAgreement = dropAgreement, n, seed)
-      .persist()
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
+    val survivors = spark.read.parquet(s"$outPath/batch=$batchId")
     val dropped = batch.count() - survivors.count()
 
     // link-grade pairs: survivors vs standing corpus, plus among the
@@ -133,7 +141,6 @@ object Ingest {
 
     Dedup.fingerprintIndex(survivors, idCol, textCol, n, numHashes, seed)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
-    survivors.unpersist()
     IngestResult(survivors, dropped)
   }
 }

@@ -411,21 +411,22 @@ object ScaleStress {
     val docs = replicate(base, "doc_id", reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[stress] ingest standing corpus: ${docs.count()} docs (${reps}x)")
-    val idxPath = s"target/tmp/stress_ingest_idx_${System.nanoTime()}"
-    val storePath = s"target/tmp/stress_ingest_store_${System.nanoTime()}"
+    val ingRoot = s"target/tmp/stress_ingest_${System.nanoTime()}"
     time(s"ingest batch 0 (standing corpus, ${reps}x)") {
       val r = Ingest.ingestIncrement(
-        docs, "doc_id", "text", idxPath, storePath, batchId = 0L)
+        docs, "doc_id", "text", s"$ingRoot/idx", s"$ingRoot/store",
+        s"$ingRoot/out", batchId = 0L)
       println(s"[stress]   survivors = ${r.survivors.count()}, dropped = ${r.dropped}")
     }
     time("ingest batch 1 (1-replica, all duplicates)") {
       val r = Ingest.ingestIncrement(
         base.withColumn("doc_id", col("doc_id") + lit(5000000000L)),
-        "doc_id", "text", idxPath, storePath, batchId = 1L)
+        "doc_id", "text", s"$ingRoot/idx", s"$ingRoot/store",
+        s"$ingRoot/out", batchId = 1L)
       println(s"[stress]   survivors = ${r.survivors.count()}, dropped = ${r.dropped}")
     }
     println("[stress]   standing clusters = " +
-      ClusterStore.read(spark, storePath).select("cluster_id").distinct().count())
+      ClusterStore.read(spark, s"$ingRoot/store").select("cluster_id").distinct().count())
     docs.unpersist()
     }
 

@@ -22,6 +22,7 @@ class IngestSpec extends SparkSpec {
   test("ingestIncrement: hard copies drop, soft revisions link, replays are no-ops") {
     val idx = tmp("ingest_idx")
     val store = tmp("ingest_store")
+    val out = tmp("ingest_out")
     val b1 = Seq(
       (1L, baseText),
       (2L, (100 to 140).map(i => s"q$i").mkString(" "))) // unrelated
@@ -32,11 +33,11 @@ class IngestSpec extends SparkSpec {
       (13L, (200 to 240).map(i => s"r$i").mkString(" "))) // novel
       .toDF("doc_id", "text")
 
-    val r1 = Ingest.ingestIncrement(b1, "doc_id", "text", idx, store, batchId = 0L)
+    val r1 = Ingest.ingestIncrement(b1, "doc_id", "text", idx, store, out, batchId = 0L)
     assert(r1.dropped == 0)
     assert(r1.survivors.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
 
-    val r2 = Ingest.ingestIncrement(b2, "doc_id", "text", idx, store, batchId = 1L)
+    val r2 = Ingest.ingestIncrement(b2, "doc_id", "text", idx, store, out, batchId = 1L)
     assert(r2.dropped == 1, "the exact copy must drop")
     assert(r2.survivors.select("doc_id").as[Long].collect().toSet == Set(12L, 13L))
 
@@ -53,7 +54,7 @@ class IngestSpec extends SparkSpec {
     assert(split(1L) == split(12L), s"linked docs share a split: $split")
 
     // REPLAY of batch 1: identical survivors, no double state
-    val r2b = Ingest.ingestIncrement(b2, "doc_id", "text", idx, store, batchId = 1L)
+    val r2b = Ingest.ingestIncrement(b2, "doc_id", "text", idx, store, out, batchId = 1L)
     assert(r2b.dropped == 1)
     assert(r2b.survivors.select("doc_id").as[Long].collect().toSet == Set(12L, 13L))
     assert(ClusterStore.read(spark, store).as[(Long, Long)].collect().toMap == m)
@@ -63,10 +64,13 @@ class IngestSpec extends SparkSpec {
     // index holds exactly the survivors' fingerprints
     assert(Ingest.readIndex(spark, idx).select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 12L, 13L))
+    // the landed corpus holds exactly the survivors, batch-partitioned
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 12L, 13L))
 
     // threshold sanity: a linkAgreement above dropAgreement is rejected
     intercept[IllegalArgumentException] {
-      Ingest.ingestIncrement(b2, "doc_id", "text", idx, store, batchId = 2L,
+      Ingest.ingestIncrement(b2, "doc_id", "text", idx, store, out, batchId = 2L,
         dropAgreement = 0.5, linkAgreement = 0.9)
     }
   }
