@@ -1416,6 +1416,14 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // TRIGRAM surprisal, full backoff chain: trigram ratio when seen,
+    // alpha*bigram ratio, alpha^2*unigram — the chain entered at each
+    // token's available history depth.
+    "q_quality_surprisal_trigram" -> ((s, d) =>
+      graft.operators.CorpusStats.trigramSurprisal(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Frozen bigram LM: odds scored under the evens' unigram + bigram
     // censuses, add-one-smoothed unigrams, stupid backoff for unseen
     // bigrams, unigram fallback for unseen contexts.
@@ -4376,6 +4384,62 @@ object SparkEntry {
         |  JOIN uni u USING (tok)
         |  LEFT JOIN uni up ON up.tok = w.prev
         |  LEFT JOIN big b ON b.prev = w.prev AND b.tok = w.tok
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, avg(s) AS s FROM sc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Trigram chain replay: two lags, three censuses, the CASE ladder
+    // entered at each token's history depth; c2ctx is the bigram count
+    // of (p2, p1) reused as the trigram denominator.
+    "q_quality_surprisal_trigram" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, i, t[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tl)
+        |), wp AS (
+        |  SELECT doc_id, i, tok,
+        |         lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS p1,
+        |         lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS p2
+        |  FROM tk
+        |), uni AS (
+        |  SELECT tok, count(*) AS cu FROM tk GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni
+        |), big AS (
+        |  SELECT p1, tok, count(*) AS cb FROM wp
+        |  WHERE p1 IS NOT NULL GROUP BY p1, tok
+        |), tri AS (
+        |  SELECT p2, p1, tok, count(*) AS ct FROM wp
+        |  WHERE p2 IS NOT NULL GROUP BY p2, p1, tok
+        |), sc AS (
+        |  SELECT w.doc_id,
+        |         CASE
+        |           WHEN w.p1 IS NULL
+        |             THEN -log2(CAST(u.cu AS DOUBLE) / (SELECT total FROM tot))
+        |           WHEN w.p2 IS NULL THEN
+        |             CASE WHEN b.cb IS NOT NULL
+        |                    THEN -log2(CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |                  ELSE -log2(0.4 * CAST(u.cu AS DOUBLE)
+        |                             / (SELECT total FROM tot)) END
+        |           WHEN tr.ct IS NOT NULL
+        |             THEN -log2(CAST(tr.ct AS DOUBLE) / CAST(b2.cb AS DOUBLE))
+        |           WHEN b.cb IS NOT NULL
+        |             THEN -log2(0.4 * CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |           ELSE -log2(0.16 * CAST(u.cu AS DOUBLE)
+        |                      / (SELECT total FROM tot))
+        |         END AS s
+        |  FROM wp w
+        |  JOIN uni u USING (tok)
+        |  LEFT JOIN uni u1 ON u1.tok = w.p1
+        |  LEFT JOIN big b ON b.p1 = w.p1 AND b.tok = w.tok
+        |  LEFT JOIN big b2 ON b2.p1 = w.p2 AND b2.tok = w.p1
+        |  LEFT JOIN tri tr ON tr.p2 = w.p2 AND tr.p1 = w.p1 AND tr.tok = w.tok
         |), perdoc AS (
         |  SELECT doc_id, count(*) AS n_tokens, avg(s) AS s FROM sc GROUP BY doc_id
         |)

@@ -184,6 +184,83 @@ object CorpusStats {
         round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
   }
 
+  /** TRIGRAM surprisal with the full stupid-backoff CHAIN (Brants
+    * 2007): per token, -log2 of
+    *   p(w | w-2 w-1) = c3(w-2 w-1 w) / c2(w-2 w-1)   trigram seen,
+    *                  = alpha   · c2(w-1 w) / c1(w-1) bigram seen,
+    *                  = alpha^2 · c1(w) / T           otherwise;
+    * the first two tokens of a document enter the chain at their
+    * available history depth (unigram, then bigram). One token explode
+    * with two lag windows (doc-keyed — state bounded per doc), three
+    * map-combined censuses, and keyed left joins for each chain level;
+    * the unigram census broadcasts under the usual auto-guard, the
+    * bigram/trigram censuses join by key (one row per gram — AQE-skew
+    * safe). A sharper repetition/gibberish separator than the bigram
+    * form on corpora with heavy templated phrasing.
+    */
+  def trigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxVocab: Long = 4000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val toks = df.select(
+      col(idCol),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("i", "tok")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val ctx = toks
+      .withColumn("p1", lag(col("tok"), 1).over(byDoc))
+      .withColumn("p2", lag(col("tok"), 2).over(byDoc))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val uniHead = uni.agg(sum(col("cu")), count(lit(1))).head()
+    val total = if (uniHead.isNullAt(0)) 0L else uniHead.getLong(0)
+    if (total == 0L)
+      return df.select(
+        col(idCol), lit(0L).as("n_tokens"), lit(0.0).as("avg_surprisal"))
+    val big = ctx.where(col("p1").isNotNull)
+      .groupBy(col("p1"), col("tok")).agg(count(lit(1)).as("cb"))
+    val tri = ctx.where(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("tok")).agg(count(lit(1)).as("ct"))
+    val uniB =
+      if (broadcastVocab.getOrElse(uniHead.getLong(1) <= broadcastMaxVocab))
+        broadcast(uni)
+      else uni
+    val scored = ctx
+      .join(uniB, Seq("tok")) // cu: always present (self census)
+      .join(uniB.select(col("tok").as("p1"), col("cu").as("c1p")), Seq("p1"), "left")
+      .join(big, Seq("p1", "tok"), "left")
+      // context count for the trigram level is the BIGRAM count of
+      // (p2, p1) — rename the same census's keys
+      .join(big.select(col("p1").as("p2"), col("tok").as("p1"),
+        col("cb").as("c2ctx")), Seq("p2", "p1"), "left")
+      .join(tri, Seq("p2", "p1", "tok"), "left")
+      .withColumn("__s",
+        when(col("p1").isNull,
+          -log2(col("cu").cast("double") / total.toDouble))
+        .when(col("p2").isNull,
+          when(col("cb").isNotNull,
+            -log2(col("cb").cast("double") / col("c1p").cast("double")))
+          .otherwise(
+            -log2(lit(alpha) * col("cu").cast("double") / total.toDouble)))
+        .when(col("ct").isNotNull,
+          -log2(col("ct").cast("double") / col("c2ctx").cast("double")))
+        .when(col("cb").isNotNull,
+          -log2(lit(alpha) * col("cb").cast("double") / col("c1p").cast("double")))
+        .otherwise(
+          -log2(lit(alpha * alpha) * col("cu").cast("double") / total.toDouble)))
+    val perDoc = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__s")).as("surprisal"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
+  }
+
   /** The bigram census behind [[bigramSurprisalAgainstCensus]]:
     * ("w1 w2" space-joined bigram, n) counts — mergeable like every
     * census here, persisted through [[CensusStore]] (key "g"). Needs

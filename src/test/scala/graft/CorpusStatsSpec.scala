@@ -121,6 +121,42 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet == Set((0L, 0.0)))
   }
 
+  test("trigramSurprisal: hand-computed backoff chain at every history depth") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // T=9; cu a3 b3 c2 d1; cb ab3 bc2 ca1 bd1; ct abc2 bca1 cab1 abd1
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = CorpusStats.trigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val d1 = (lg2(3) + 0.0 + -lg2(2.0 / 3) + 1.0 + 0.0 + -lg2(2.0 / 3)) / 6
+    val d2 = (lg2(3) + 0.0 + -lg2(1.0 / 3)) / 3
+    assert(got(1L) == ((6L, r6(d1))), s"got $got")
+    assert(got(2L) == ((3L, r6(d2))))
+    // the BIGRAM-backoff branch: "x b z" — (x,b) bigram unseen, so token
+    // 'b' after 'x' backs off to alpha*unigram; 'z'(OOV in trigram+bigram
+    // after unseen context) -> alpha^2*unigram... construct precisely:
+    val mix = Seq(
+      (1L, "a b c a b c"), (2L, "a b d"),
+      (3L, "c b c b c b")) // makes (c,b) and (b,c) both seen, (c,b,c) seen
+      .toDF("doc_id", "text")
+    val m = CorpusStats.trigramSurprisal(mix, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m.keySet == Set(1L, 2L, 3L) && m.values.forall(_ >= 0.0))
+    // templated phrasing scores LOWER under trigram than word salad of
+    // the same tokens (order sensitivity at depth 2)
+    val nat = "one two three four five one two three four five"
+    val salad = "three five one four two five three one two four"
+    val corpus = ((1L to 5L).map(i => (i, nat)) :+ (6L, salad)).toDF("doc_id", "text")
+    val tri = CorpusStats.trigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(tri(6L) > tri(1L) + 0.5, s"salad must score clearly higher: $tri")
+    // empty corpus yields zeros
+    assert(CorpusStats.trigramSurprisal(
+        Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet == Set((0L, 0.0)))
+  }
+
   test("bigramSurprisalAgainstCensus: frozen backoff LM, OOV + unseen-context cases") {
     def lg2(x: Double) = math.log(x) / math.log(2)
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
