@@ -297,6 +297,41 @@ object RunCorpusPipeline {
       batchTransform = bandBatch)
   }
 
+  /** Streaming arm WITH stateful dedup — closes the gap
+    * [[runStreaming]]'s docstring leaves to "run batch-side": each
+    * micro-batch runs the same row-local gates, then folds through
+    * [[graft.operators.Ingest.ingestSink]]'s per-batch increment —
+    * exact/near dedup against the STANDING fingerprint index (never the
+    * unbounded stream state a watermark-free streaming dedup would
+    * need), link-grade pairs into the cluster store, survivors landed
+    * under `<root>/silver_stream/batch=<id>` with their annotations.
+    * Everything is replay-safe (index delta overwrite + self-exclusion,
+    * idempotent edge folds, overwrite landing). Chunk/pack the landed
+    * silver with the batch pipeline's stage 3 afterwards — it reads
+    * plain parquet.
+    */
+  def runStreamingDeduped(
+      spark: SparkSession,
+      inDir: String,
+      cfg: CorpusConfig,
+      dropAgreement: Double = 0.9,
+      linkAgreement: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val gated = stream
+      .filter(
+        TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
+          TextFunctions.languageId(col("text")).isin(cfg.langs.toSeq: _*) &&
+          TextFunctions.topGramFraction(col("text"), 2) <= cfg.maxTopGramFrac &&
+          TextFunctions.repetitionRatio(col("text"), 3) <= cfg.maxRepetition)
+      .withColumn("clean_text", TextFunctions.redactPii(col("text")))
+    graft.operators.Ingest.ingestSink(
+      gated, "doc_id", "text",
+      s"${cfg.root}/dedup_index", s"${cfg.root}/cluster_store",
+      s"${cfg.root}/silver_stream", s"${cfg.root}/ckpt_dedup",
+      dropAgreement, linkAgreement)
+  }
+
   /** CLI: runMain graft.app.RunCorpusPipeline <docsParquet> <outRoot> [--stream] */
   def main(args: Array[String]): Unit = {
     val Array(docsPath, outRoot) = args.take(2)
