@@ -1424,6 +1424,20 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Frozen trigram LM: odds scored under the evens' three censuses,
+    // full backoff chain + add-one unigrams, unseen contexts fall to
+    // the unigram floor.
+    "q_quality_surprisal_trigram_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.CorpusStats.trigramSurprisalAgainstCensus(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          graft.operators.CorpusStats.tokenCensus(evens, "text"),
+          graft.operators.CorpusStats.bigramCensus(evens, "doc_id", "text"),
+          graft.operators.CorpusStats.trigramCensus(evens, "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
     // Frozen bigram LM: odds scored under the evens' unigram + bigram
     // censuses, add-one-smoothed unigrams, stupid backoff for unseen
     // bigrams, unigram fallback for unseen contexts.
@@ -4447,6 +4461,65 @@ object SparkEntry {
         |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
         |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Frozen trigram replay: evens-only censuses, add-one unigram floor
+    // (denom T + V + 1), the chain's CASE ladder over the odds.
+    "q_quality_surprisal_trigram_incr" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, i, t[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tl)
+        |), wp AS (
+        |  SELECT doc_id, i, tok,
+        |         lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS p1,
+        |         lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS p2
+        |  FROM tk
+        |), uni AS (
+        |  SELECT tok, count(*) AS cu FROM tk WHERE doc_id % 2 = 0 GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cu) AS DOUBLE) + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+        |  FROM uni
+        |), big AS (
+        |  SELECT p1, tok, count(*) AS cb FROM wp
+        |  WHERE p1 IS NOT NULL AND doc_id % 2 = 0 GROUP BY p1, tok
+        |), tri AS (
+        |  SELECT p2, p1, tok, count(*) AS ct FROM wp
+        |  WHERE p2 IS NOT NULL AND doc_id % 2 = 0 GROUP BY p2, p1, tok
+        |), sc AS (
+        |  SELECT w.doc_id,
+        |         CASE
+        |           WHEN w.p1 IS NULL OR u1.cu IS NULL
+        |             THEN -log2(CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+        |                        / (SELECT denom FROM tot))
+        |           WHEN w.p2 IS NULL THEN
+        |             CASE WHEN b.cb IS NOT NULL
+        |                    THEN -log2(CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |                  ELSE -log2(0.4 * CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+        |                             / (SELECT denom FROM tot)) END
+        |           WHEN tr.ct IS NOT NULL AND b2.cb IS NOT NULL
+        |             THEN -log2(CAST(tr.ct AS DOUBLE) / CAST(b2.cb AS DOUBLE))
+        |           WHEN b.cb IS NOT NULL
+        |             THEN -log2(0.4 * CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |           ELSE -log2(0.16 * CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+        |                      / (SELECT denom FROM tot))
+        |         END AS s
+        |  FROM wp w
+        |  LEFT JOIN uni u USING (tok)
+        |  LEFT JOIN uni u1 ON u1.tok = w.p1
+        |  LEFT JOIN big b ON b.p1 = w.p1 AND b.tok = w.tok
+        |  LEFT JOIN big b2 ON b2.p1 = w.p2 AND b2.tok = w.p1
+        |  LEFT JOIN tri tr ON tr.p2 = w.p2 AND tr.p1 = w.p1 AND tr.tok = w.tok
+        |  WHERE w.doc_id % 2 = 1
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, avg(s) AS s FROM sc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     // Frozen twin: censuses over the evens only, add-one unigrams with

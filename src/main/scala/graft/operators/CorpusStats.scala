@@ -279,6 +279,108 @@ object CorpusStats {
       .select(concat_ws(" ", col("prev"), col("tok")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n"))
 
+  /** TRIGRAM census: ("w1 w2 w3" space-joined, n) — mergeable,
+    * CensusStore-persistable (key "g"), the depth-2 sibling of
+    * [[bigramCensus]].
+    */
+  def trigramCensus(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("__d"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("i", "tok")))
+      .withColumn("p1", lag(col("tok"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__d")).orderBy(col("i"))))
+      .withColumn("p2", lag(col("tok"), 2).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__d")).orderBy(col("i"))))
+      .where(col("p2").isNotNull)
+      .select(concat_ws(" ", col("p2"), col("p1"), col("tok")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+
+  /** FROZEN trigram LM: score `batch` under persisted unigram
+    * ([[tokenCensus]]), bigram ([[bigramCensus]]) and trigram
+    * ([[trigramCensus]]) censuses with the full stupid-backoff chain
+    * and add-one-smoothed unigrams (single OOV bucket):
+    *   p = ct / cb(p2 p1)            trigram seen,
+    *     = alpha   · cb / cu(p1)     bigram seen,
+    *     = alpha^2 · p_uni(w)        context seen, both grams unseen,
+    *     = p_uni(w)                  context itself unseen (no mass to
+    *                                 condition on — mirrors the bigram
+    *                                 frozen form's unseen-prev rule),
+    * entered at each token's history depth. Same broadcast auto-guard
+    * on the unigram census; bigram/trigram censuses join by key.
+    */
+  def trigramSurprisalAgainstCensus(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      uniCensus: DataFrame,
+      biCensus: DataFrame,
+      triCensus: DataFrame,
+      alpha: Double = 0.4,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxVocab: Long = 4000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val head = uniCensus.agg(sum(col("n")), count(lit(1))).head()
+    require(!head.isNullAt(0) && head.getLong(0) > 0,
+      "trigramSurprisalAgainstCensus needs a non-empty unigram census")
+    val denom = head.getLong(0).toDouble + head.getLong(1).toDouble + 1.0
+    val ctx = batch.select(
+        col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("i", "tok")))
+      .withColumn("p1", lag(col("tok"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("i"))))
+      .withColumn("p2", lag(col("tok"), 2).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("i"))))
+    val uniB =
+      if (broadcastVocab.getOrElse(head.getLong(1) <= broadcastMaxVocab))
+        broadcast(uniCensus)
+      else uniCensus
+    val biSplit = biCensus.select(
+      split(col("g"), " ", 2).getItem(0).as("w1"),
+      split(col("g"), " ", 2).getItem(1).as("w2"),
+      col("n"))
+    val triSplit = triCensus.select(
+      split(col("g"), " ", 3).getItem(0).as("w1"),
+      split(col("g"), " ", 3).getItem(1).as("w2"),
+      split(col("g"), " ", 3).getItem(2).as("w3"),
+      col("n").as("ct"))
+    val pUni = (cu: org.apache.spark.sql.Column) =>
+      (coalesce(cu, lit(0L)) + 1).cast("double") / denom
+    val scored = ctx
+      .join(uniB.select(col("tok"), col("n").as("cu")), Seq("tok"), "left")
+      .join(uniB.select(col("tok").as("p1"), col("n").as("c1p")), Seq("p1"), "left")
+      .join(biSplit.select(col("w1").as("p1"), col("w2").as("tok"),
+        col("n").as("cb")), Seq("p1", "tok"), "left")
+      .join(biSplit.select(col("w1").as("p2"), col("w2").as("p1"),
+        col("n").as("c2ctx")), Seq("p2", "p1"), "left")
+      .join(triSplit.select(col("w1").as("p2"), col("w2").as("p1"),
+        col("w3").as("tok"), col("ct")), Seq("p2", "p1", "tok"), "left")
+      .withColumn("__s",
+        when(col("p1").isNull || col("c1p").isNull,
+          -log2(pUni(col("cu"))))
+        .when(col("p2").isNull,
+          when(col("cb").isNotNull,
+            -log2(col("cb").cast("double") / col("c1p").cast("double")))
+          .otherwise(-log2(lit(alpha) * pUni(col("cu")))))
+        .when(col("ct").isNotNull && col("c2ctx").isNotNull,
+          -log2(col("ct").cast("double") / col("c2ctx").cast("double")))
+        .when(col("cb").isNotNull,
+          -log2(lit(alpha) * col("cb").cast("double") / col("c1p").cast("double")))
+        .otherwise(-log2(lit(alpha * alpha) * pUni(col("cu")))))
+    val perDoc = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__s")).as("surprisal"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
+  }
+
   /** FROZEN bigram LM scoring: score `batch` under persisted unigram
     * (`uniCensus`: tok, n — [[tokenCensus]]) and bigram (`biCensus`:
     * g = "w1 w2", n — [[bigramCensus]]) censuses with stupid backoff,

@@ -191,6 +191,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(g == got)
   }
 
+  test("trigramSurprisalAgainstCensus: frozen chain at every depth, OOV + unseen context") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ref = Seq((10L, "a b a b"), (11L, "a b x")).toDF("doc_id", "text")
+    val uniC = CorpusStats.tokenCensus(ref, "text")          // a3 b3 x1; denom 11
+    val biC = CorpusStats.bigramCensus(ref, "doc_id", "text") // ab3 ba1 bx1
+    val triC = CorpusStats.trigramCensus(ref, "doc_id", "text")
+    assert(triC.as[(String, Long)].collect().toMap ==
+      Map("a b a" -> 1L, "b a b" -> 1L, "a b x" -> 1L))
+    val batch = Seq(
+      (1L, "a b a"),  // trigram branch
+      (2L, "a b q"),  // double fallthrough: alpha^2 * pUni(OOV)
+      (3L, "z a b")   // unseen context then bigram branch
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.trigramSurprisalAgainstCensus(
+        batch, "doc_id", "text", uniC, biC, triC)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val d = 11.0
+    assert(got(1L) == r6((-lg2(4 / d) + 0.0 + lg2(3)) / 3))
+    assert(got(2L) == r6((-lg2(4 / d) + 0.0 + -lg2(0.16 * 1 / d)) / 3))
+    assert(got(3L) == r6((-lg2(1 / d) + -lg2(4 / d) + -lg2(0.4)) / 3))
+    // trigram census is a monoid through CensusStore.merge
+    val m = graft.operators.CensusStore.merge(
+      CorpusStats.trigramCensus(ref.filter(col("doc_id") === 10), "doc_id", "text"),
+      CorpusStats.trigramCensus(ref.filter(col("doc_id") === 11), "doc_id", "text"),
+      "g").as[(String, Long)].collect().toMap
+    assert(m == triC.as[(String, Long)].collect().toMap)
+  }
+
   test("surprisalAgainstCensus: frozen-LM scores, add-one OOV, census round-trip") {
     // census: "a" x4, "b" x2 -> T=6, V=2, denom = 9
     val ref = Seq((10L, "a a a a"), (11L, "b b")).toDF("doc_id", "text")
