@@ -399,6 +399,38 @@ object ScaleStress {
     docs.unpersist()
     }
 
+    section("lm") {
+    // The n-gram LM family at volume: census build cost and batch
+    // scoring cost, unigram -> bigram -> trigram. The claim under
+    // measurement: scoring stays one window exchange + keyed joins
+    // (census sizes grow with n, but each is one row per gram), so
+    // depth buys signal at near-linear cost.
+    import graft.operators.CorpusStats
+    val base = TableIO.table(spark, sfDir, "documents").select("doc_id", "text")
+    val docs = replicate(base, "doc_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] lm corpus: ${docs.count()} docs (${reps}x)")
+    time("unigram self-surprisal")(
+      CorpusStats.unigramSurprisal(docs, "doc_id", "text").count())
+    time("bigram self-surprisal")(
+      CorpusStats.bigramSurprisal(docs, "doc_id", "text").count())
+    time("trigram self-surprisal")(
+      CorpusStats.trigramSurprisal(docs, "doc_id", "text").count())
+    val uniC = CorpusStats.tokenCensus(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biC = CorpusStats.bigramCensus(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triC = CorpusStats.trigramCensus(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress]   census sizes: uni=${uniC.count()} bi=${biC.count()} " +
+      s"tri=${triC.count()}")
+    time("frozen trigram scoring, 1-replica batch")(
+      CorpusStats.trigramSurprisalAgainstCensus(
+        base, "doc_id", "text", uniC, biC, triC).count())
+    Seq(uniC, biC, triC).foreach(_.unpersist())
+    docs.unpersist()
+    }
+
     section("ingest") {
     // Per-batch ingestion at volume (round 12): standing corpus = the
     // replicated fixture ingested once; the measured unit is ONE
