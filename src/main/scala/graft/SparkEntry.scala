@@ -1523,6 +1523,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher rule battery (Rae et al. 2021 §A1.1): the seven published
+    // document-quality rules as separate signals + 0/1 flags, one
+    // row-local pass, published thresholds. Fully deterministic ->
+    // full oracle (DuckDB replays every signal over the same \S+
+    // tokenization and line split).
+    "q_quality_gopher" -> ((s, d) =>
+      graft.quality.GopherRules.signals(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // CCNet-style per-source perplexity buckets (head/middle/tail by
+    // self-LM surprisal, k-th order-statistic boundaries — exact mode
+    // is the oracle contract; the sketch-cutoff scale path is pinned
+    // against it in CorpusStatsSpec).
+    "q_quality_ppl_buckets" -> ((s, d) =>
+      graft.operators.CorpusStats.perplexityBuckets(
+          t(s, d, "documents"), "doc_id", "text", "source")
+        .select("doc_id", "source", "n_tokens", "avg_surprisal", "bucket", "bucket_label")
+        .orderBy("doc_id")),
+
+    // SEMANTIC decontamination: corpus embeddings vs a broadcast eval
+    // set (vec_id % 20 == 0 plays the benchmark suite), nearest-eval
+    // cosine + flag. Deterministic brute max -> full oracle (the SQL
+    // replays the same nearest pick as a rank window).
+    "q_contamination_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      TrainingData.semanticContamination(
+          emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+          minCosine = 0.3)
+        .orderBy("vec_id")
+    }),
+
     // Composite text-quality score (length/token/punct/stopword gates).
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
@@ -4345,6 +4377,116 @@ object SparkEntry {
         |       CAST(min(frame_idx) AS BIGINT) AS keyframe_idx
         |FROM isl GROUP BY video_id, scene_idx
         |ORDER BY video_id, scene_idx""".stripMargin,
+
+    // Gopher battery: every signal recomputed from scratch over the
+    // same \S+ tokenization and newline split; flags from the ROUNDED
+    // signals, gopher_pass as the flag product.
+    "q_quality_gopher" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '\S+') AS t,
+        |         string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS mean_word_len,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST((length(text) - length(replace(text, '#', '')))
+        |                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS symbol_ratio,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ln), 6) AS bullet_frac,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln), 6) AS ellipsis_line_frac,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS alpha_frac,
+        |         CAST(list_contains(list_transform(t, x -> lower(x)), 'the') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'be') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'to') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'of') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'and') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'that') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'have') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'with') AS BIGINT)
+        |           AS stopword_hits
+        |  FROM s
+        |), f AS (
+        |  SELECT m.*,
+        |         CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS words_ok,
+        |         CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT) AS word_len_ok,
+        |         CAST(symbol_ratio <= 0.1 AS BIGINT) AS symbol_ok,
+        |         CAST(bullet_frac <= 0.9 AS BIGINT) AS bullet_ok,
+        |         CAST(ellipsis_line_frac <= 0.3 AS BIGINT) AS ellipsis_ok,
+        |         CAST(alpha_frac >= 0.8 AS BIGINT) AS alpha_ok,
+        |         CAST(stopword_hits >= 2 AS BIGINT) AS stopword_ok
+        |  FROM m
+        |)
+        |SELECT f.*,
+        |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
+        |         * alpha_ok * stopword_ok AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Perplexity buckets: the q_quality_surprisal pipeline + a
+    // per-source rank window with k-th order-statistic boundaries.
+    "q_quality_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents
+        |), census AS (
+        |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) AS total FROM census
+        |), perdoc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         avg(-log2(CAST(c.tf AS DOUBLE) / (SELECT total FROM tot))) AS s
+        |  FROM toks t JOIN census c USING (tok) GROUP BY t.doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |         round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |), ranked AS (
+        |  SELECT scored.*,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY avg_surprisal, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM scored
+        |)
+        |SELECT doc_id, source, n_tokens, avg_surprisal,
+        |       CAST(CASE WHEN rn <= ceil(n * 1 / 3.0) THEN 1
+        |                 WHEN rn <= ceil(n * 2 / 3.0) THEN 2
+        |                 ELSE 3 END AS BIGINT) AS bucket,
+        |       CASE WHEN rn <= ceil(n * 1 / 3.0) THEN 'head'
+        |            WHEN rn <= ceil(n * 2 / 3.0) THEN 'middle'
+        |            ELSE 'tail' END AS bucket_label
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Semantic decontamination: nearest-eval pick replayed as a rank
+    // window (cos DESC, eval id ASC == the engine's max-struct
+    // tie-break), flag from the rounded cosine.
+    "q_contamination_semantic" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 <> 0
+        |), s AS (
+        |  SELECT c.vec_id, ev.eid,
+        |         round(list_dot_product(v, e) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+        |  FROM c CROSS JOIN ev
+        |), r AS (
+        |  SELECT s.*,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos_sim DESC, eid) AS rn
+        |  FROM s
+        |)
+        |SELECT vec_id, CAST(eid AS BIGINT) AS nearest_eval_id, cos_sim,
+        |       cos_sim >= 0.3 AS is_contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q_quality_surprisal" ->
       """WITH toks AS (

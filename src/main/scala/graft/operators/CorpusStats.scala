@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text statistics — signals that need cross-document
@@ -501,5 +502,91 @@ object CorpusStats {
         col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): rank
+    * every document WITHIN ITS SOURCE by LM surprisal and cut the
+    * ranking into `buckets` equal tranches — bucket 1 ("head") is the
+    * most LM-like slice, the last ("tail") the least. CCNet trains on
+    * head/middle and drops or down-weights tail; the PER-SOURCE ranking
+    * is the part that matters, because a global cut would just rank
+    * whole sources against each other (Wikipedia would be all head,
+    * OCR dumps all tail) instead of separating quality WITHIN each.
+    *
+    * Bucket k is `rank <= ceil(k*n/buckets)` with rank ordered by
+    * (avg_surprisal, doc id) — k-th ORDER STATISTIC boundaries, never
+    * an interpolated percentile, so the assignment is bit-reproducible
+    * across engines (one IEEE multiply + ceil; the house
+    * cross-engine-quantile rule).
+    *
+    * Scale: the window runs over DOC-SUMMARY rows (one per document —
+    * ~1e9 rows for a 100 TB corpus, already thousands of times smaller
+    * than the token explode that produced the scores), partitioned by
+    * source. For corpora where even that sort is unwelcome or one
+    * source dominates the partition, `exact = false` replaces the
+    * window with a percentile_approx sketch per source (map-side
+    * combined, O(accuracy) state) and a broadcast of the (source,
+    * cutoff) table — no per-doc shuffle at all. Boundary documents that
+    * share a cutoff value can land one bucket apart vs exact
+    * (spec-pinned >= 98% agreement and monotone buckets on the
+    * fixture); exact mode is the oracle contract.
+    *
+    * `census = Some(...)` scores under a FROZEN [[tokenCensus]] LM
+    * ([[surprisalAgainstCensus]] — CCNet's actual shape: the bucketing
+    * of a batch must not drift with the batch's own contents);
+    * `None` self-scores via [[unigramSurprisal]].
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      buckets: Int = 3,
+      exact: Boolean = true,
+      census: Option[DataFrame] = None): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val scored = census match {
+      case Some(c) => surprisalAgainstCensus(df, idCol, textCol, c)
+      case None => unigramSurprisal(df, idCol, textCol)
+    }
+    val withSource = scored.join(
+      df.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+    val labeled: Column => Column = b =>
+      if (buckets == 3)
+        when(b === 1, "head").when(b === 2, "middle").otherwise("tail")
+      else concat(lit("b"), b)
+    if (exact) {
+      val w = Window.partitionBy("source")
+      val rn = row_number()
+        .over(w.orderBy(col("avg_surprisal"), col(idCol)))
+      val n = count(lit(1)).over(w)
+      val ranked = withSource
+        .withColumn("__rn", rn).withColumn("__n", n)
+      val bucket = (1 until buckets).foldRight(lit(buckets.toLong): Column) {
+        case (k, rest) =>
+          when(col("__rn") <=
+            ceil(col("__n") * k / lit(buckets.toDouble)), k.toLong)
+            .otherwise(rest)
+      }
+      ranked
+        .withColumn("bucket", bucket)
+        .withColumn("bucket_label", labeled(col("bucket")))
+        .drop("__rn", "__n")
+    } else {
+      // Sketch path: B-1 approximate cutoffs per source, broadcast back.
+      val qs = (1 until buckets).map(_ / buckets.toDouble)
+      val cuts = withSource.groupBy("source")
+        .agg(percentile_approx(
+          col("avg_surprisal"),
+          array(qs.map(lit): _*), lit(10000)).as("__cuts"))
+      val joined = withSource.join(broadcast(cuts), Seq("source"))
+      val bucket = lit(1L) + aggregate(
+        col("__cuts"), lit(0L),
+        (acc, cut) => acc + when(col("avg_surprisal") > cut, 1L).otherwise(0L))
+      joined
+        .withColumn("bucket", bucket)
+        .withColumn("bucket_label", labeled(col("bucket")))
+        .drop("__cuts")
+    }
   }
 }

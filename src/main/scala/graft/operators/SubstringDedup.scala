@@ -329,6 +329,32 @@ object SubstringDedup {
   def mergeCensus(a: DataFrame, b: DataFrame): DataFrame =
     CensusStore.merge(a, b, "g")
 
+  /** Doc-frequency CAP for a persisted gram census: clamp counts at
+    * `cap`. Duplication detection reads a census count ONLY through
+    * "does batch + census exceed 1 site" ([[duplicatedSitesAgainstCensus]]'s
+    * `bn + cn > 1`), so any `cap >= 2` preserves every detection
+    * decision EXACTLY — a gram with 10 M sites and one with 2 answer
+    * the same question (spec-pinned identity on a fixture with counts
+    * far above the cap). What the cap buys at 100 TB:
+    *   - storage/scan hygiene: the n column collapses from unbounded
+    *     Zipf-tailed longs to {1..cap}, which parquet
+    *     dictionary/RLE-encodes to near-zero bits per row;
+    *   - merge hygiene: boilerplate grams can never accumulate counts
+    *     toward Long overflow across years of appended deltas.
+    * Capping commutes with merging — `least(cap, a + b)` equals
+    * `least(cap, least(cap, a) + least(cap, b))` for non-negative
+    * counts — so capped censuses keep folding through
+    * [[mergeCensus]] + capCensus with no drift (homomorphism
+    * spec-pinned). Contrast: the LM token censuses
+    * ([[CorpusStats.tokenCensus]] and friends) must stay UNCAPPED —
+    * surprisal reads true frequencies, not a threshold.
+    */
+  def capCensus(census: DataFrame, cap: Long = 2L): DataFrame = {
+    require(cap >= 2L,
+      s"cap must be >= 2 (detection reads counts only as 0/1/2+), got $cap")
+    census.withColumn("n", least(col("n"), lit(cap)))
+  }
+
   /** Batch sites duplicated against (census + batch): shared core of
     * the char and token incremental probes.
     *

@@ -874,4 +874,57 @@ object TrainingData {
       .withColumn("is_contaminated", col("contamination") >= flagThreshold)
       .select(idCol, "n_grams", "n_shared", "contamination", "is_contaminated")
   }
+
+  /** SEMANTIC decontamination: flag corpus items whose EMBEDDING sits
+    * within `minCosine` of any eval-set embedding — the paraphrase
+    * complement to the verbatim n-gram gates ([[benchmarkContamination]]
+    * catches copied text; a reworded test question sails through it but
+    * not past its own embedding). Emits each item's nearest eval
+    * neighbor and the cosine, so the flag threshold can be re-tuned
+    * from the landed table.
+    *
+    * Scale shape — and why brute force IS the scale path here, where
+    * corpus self-dedup ([[graft.operators.SemanticDedup]]) must bucket:
+    * the eval side is a BENCHMARK SUITE (thousands to low millions of
+    * rows, MBs of vectors), so it broadcasts whole and the corpus
+    * streams through one row-local scoring pass — no corpus shuffle of
+    * vector data at all. The only exchange is the per-item max
+    * aggregate, and that moves (id, best) PAIRS, not embeddings;
+    * map-side partial max means each partition sends one row per
+    * distinct id it holds. Self-dedup has no small side to broadcast —
+    * that is the structural difference.
+    *
+    * Nearest-tie determinism: the max is over (cos_sim, -eval_id)
+    * structs with cosine pre-rounded to 6dp, so equal-scoring
+    * neighbors resolve to the LOWEST eval id in any engine — the
+    * contract query replays the same pick as a rank window in SQL.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      minCosine: Double = 0.95): DataFrame = {
+    val ev = eval.select(
+      col(evalIdCol).as("__eid"),
+      graft.functions.VectorOps.asDouble(col(evalVecCol)).as("__ev"))
+    val scored = corpus
+      .select(col(idCol), graft.functions.VectorOps.asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(ev))
+      .select(
+        col(idCol),
+        col("__eid"),
+        round(graft.functions.VectorOps.cosine(col("__v"), col("__ev")), 6)
+          .as("__cos"))
+    val best = scored
+      .groupBy(idCol)
+      .agg(max(struct(col("__cos"), (-col("__eid")).as("__neg"))).as("__b"))
+      .select(
+        col(idCol),
+        (-col("__b.__neg")).as("nearest_eval_id"),
+        col("__b.__cos").as("cos_sim"))
+    best.withColumn("is_contaminated", col("cos_sim") >= minCosine)
+  }
 }

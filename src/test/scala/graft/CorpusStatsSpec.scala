@@ -268,4 +268,88 @@ class CorpusStatsSpec extends SparkSpec {
       .toSeq
     assert(got == Seq((1L, 1L, 1.0), (2L, 0L, 0.0)))
   }
+
+  // --- perplexityBuckets -------------------------------------------------
+
+  /** Controlled surprisal ladder: doc i repeats word w_i, and w_i's
+    * corpus frequency DECREASES with i, so avg surprisal strictly
+    * increases with doc id — bucket assignment is then fully derivable
+    * by hand. Two sources interleave to prove per-source independence.
+    */
+  private def ladder(n: Int, source: String, base: Long): Seq[(Long, String, String)] =
+    (1 to n).map { i =>
+      // w_i appears (n - i + 1) times corpus-wide: doc i holds one copy,
+      // plus filler docs are unnecessary — frequency falls out of doc
+      // LENGTH: doc i = word repeated (n - i + 1) times.
+      (base + i, (s"w$source$i " * (n - i + 1)).trim, source)
+    }
+
+  test("perplexityBuckets exact: ceil boundaries, per-source ranking, labels") {
+    // Source a: 10 docs -> buckets of 4/3/3 (ceil(10/3)=4, ceil(20/3)=7).
+    // Source b: 5 docs -> 2/2/1.
+    val docs = (ladder(10, "a", 100L) ++ ladder(5, "b", 200L))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusStats
+      .perplexityBuckets(docs, "doc_id", "text", "source")
+      .orderBy("doc_id")
+      .select("doc_id", "bucket", "bucket_label")
+      .as[(Long, Long, String)].collect().toSeq
+    // Doc i of the ladder has the i-th LOWEST surprisal in its source
+    // (more repeats = higher corpus frequency = lower surprisal).
+    val a = got.filter(_._1 < 200)
+    assert(a.map(_._2) == Seq(1L, 1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 3L))
+    val b = got.filter(_._1 >= 200)
+    assert(b.map(_._2) == Seq(1L, 1L, 2L, 2L, 3L))
+    assert(got.forall { case (_, bk, lbl) =>
+      lbl == Map(1L -> "head", 2L -> "middle", 3L -> "tail")(bk) })
+  }
+
+  test("perplexityBuckets: sketch path agrees with exact on a separated fixture") {
+    val docs = (ladder(60, "a", 100L) ++ ladder(40, "b", 1000L))
+      .toDF("doc_id", "text", "source")
+    val exact = CorpusStats
+      .perplexityBuckets(docs, "doc_id", "text", "source", exact = true)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val approx = CorpusStats
+      .perplexityBuckets(docs, "doc_id", "text", "source", exact = false)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    // Boundary docs sharing a cutoff rank can land one bucket apart
+    // (order-statistic vs sketch-quantile convention); everything else
+    // must agree, and no doc may move MORE than one bucket.
+    val agree = exact.keys.count(k => exact(k) == approx(k))
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"only $agree/${exact.size} agree")
+    assert(exact.keys.forall(k => math.abs(exact(k) - approx(k)) <= 1))
+    // Monotone within source regardless of path: no tail doc may score
+    // below any head doc.
+    val scored = CorpusStats
+      .perplexityBuckets(docs, "doc_id", "text", "source", exact = false)
+      .select("source", "bucket", "avg_surprisal")
+      .as[(String, Long, Double)].collect().toSeq
+    for (src <- Seq("a", "b")) {
+      val bySrc = scored.filter(_._1 == src)
+      for (k <- 1L to 2L) {
+        val hi = bySrc.filter(_._2 == k).map(_._3).max
+        val lo = bySrc.filter(_._2 == k + 1).map(_._3).min
+        assert(hi <= lo, s"source $src bucket $k max $hi > bucket ${k + 1} min $lo")
+      }
+    }
+  }
+
+  test("perplexityBuckets: frozen census keeps a doc's bucket stable as peers change") {
+    val censusDocs = ladder(10, "a", 100L).toDF("doc_id", "text", "source")
+    val census = CorpusStats.tokenCensus(censusDocs, "text")
+    // Batch 1: three docs. Batch 2: same three + seven new ones. Under a
+    // frozen census each doc's SCORE is fixed; under self-scoring it
+    // would drift with the batch.
+    val b1 = ladder(10, "a", 100L).take(3).toDF("doc_id", "text", "source")
+    val b2 = ladder(10, "a", 100L).toDF("doc_id", "text", "source")
+    def scores(df: org.apache.spark.sql.DataFrame) = CorpusStats
+      .perplexityBuckets(df, "doc_id", "text", "source", census = Some(census))
+      .select("doc_id", "avg_surprisal").as[(Long, Double)].collect().toMap
+    val s1 = scores(b1)
+    val s2 = scores(b2)
+    assert(s1.keys.forall(k => s1(k) == s2(k)),
+      "frozen-census scores must not drift with batch composition")
+  }
 }

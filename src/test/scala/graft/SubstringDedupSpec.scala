@@ -212,6 +212,35 @@ class SubstringDedupSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("capCensus: detection identity at cap=2, capped merge is a homomorphism") {
+    val corpus = TableIO.table(spark, Sf0001, "documents")
+    val standing = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val census = SubstringDedup.gramCensus(standing, "doc_id", "text", L, hashGrams = true)
+    // Counts above the cap must exist or the test proves nothing.
+    assert(census.filter(col("n") > 2).count() > 0,
+      "fixture must contain grams with census count > cap")
+    def spans(c: DataFrame) = SubstringDedup
+      .duplicatedSpansAgainstCensus(batch, "doc_id", "text", c, L, hashGrams = true)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans(SubstringDedup.capCensus(census)) == spans(census),
+      "cap >= 2 must preserve every detection decision")
+    // Homomorphism: capping after merging raw censuses == merging
+    // already-capped censuses and capping the sums.
+    val a = SubstringDedup.gramCensus(
+      corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text", L, hashGrams = true)
+    val b = SubstringDedup.gramCensus(
+      corpus.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", L, hashGrams = true)
+    val rawThenCap = SubstringDedup.capCensus(SubstringDedup.mergeCensus(a, b))
+      .as[(Long, Long)].collect().toMap
+    val cappedFold = SubstringDedup.capCensus(SubstringDedup.mergeCensus(
+        SubstringDedup.capCensus(a), SubstringDedup.capCensus(b)))
+      .as[(Long, Long)].collect().toMap
+    assert(rawThenCap == cappedFold)
+    intercept[IllegalArgumentException] { SubstringDedup.capCensus(census, cap = 1L) }
+  }
+
   test("restriction law: against-census spans == full-rebuild spans on batch docs") {
     val corpus = TableIO.table(spark, Sf0001, "documents")
     val standing = corpus.filter(col("doc_id") % 2 === 0)

@@ -685,4 +685,34 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.lengthBuckets(rows, "src", col("len"), minBucket = 32, maxBucket = 16)
     }
   }
+
+  // --- semanticContamination ---------------------------------------------
+
+  test("semanticContamination: copies and near-copies flag, orthogonal does not; " +
+    "nearest tie resolves to lowest eval id; eval side broadcasts") {
+    val eval = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      // id 12 duplicates id 10's direction: a corpus copy of that
+      // direction ties at cos 1.0 between eval 10 and 12.
+      (12L, Array(2.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(3.0f, 0.0f, 0.0f, 0.0f)), // exact direction copy -> cos 1.0
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // near-copy of eval 10
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)), // orthogonal to every eval
+      (4L, Array(0.0f, -1.0f, 0.0f, 0.0f))) // anti-parallel: cos -1 vs 11
+      .toDF("vec_id", "embedding")
+    val plan = TrainingData.semanticContamination(
+      corpus, "vec_id", "embedding", eval, "vec_id", "embedding", minCosine = 0.95)
+    val got = plan.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((10L, 1.0, true)), s"got ${got(1L)}") // tie -> lowest eval id
+    assert(got(2L)._1 == 10L && got(2L)._3 == true && got(2L)._2 > 0.99)
+    assert(got(3L)._3 == false && got(3L)._2 == 0.0)
+    assert(got(4L)._3 == false && got(4L)._2 <= 0.0)
+    val physical = plan.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$physical")
+  }
 }
