@@ -1451,6 +1451,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Count-cutoff PRUNED frozen bigram LM (SRILM-style): pruned
+    // bigrams score through the backoff branch — the storage story for
+    // persisted n-gram stores. minCount=15 sits mid-distribution on
+    // this tiny-vocabulary fixture (real corpora prune at 2-5), so
+    // BOTH the seen and the pruned->backoff branches are exercised and
+    // oracle-checked.
+    "q_quality_surprisal_bigram_pruned" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.CorpusStats.bigramSurprisalAgainstCensus(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          graft.operators.CorpusStats.tokenCensus(evens, "text"),
+          graft.operators.CorpusStats.pruneCensus(
+            graft.operators.CorpusStats.bigramCensus(evens, "doc_id", "text"), 15L))
+        .orderBy("doc_id")
+    }),
+
     // Frozen-LM surprisal: odd docs scored under the EVEN docs' token
     // census (the reference-LM shape of CCNet's filter — scores don't
     // drift with the batch), add-one smoothing with one OOV bucket.
@@ -1530,6 +1547,24 @@ object SparkEntry {
     // tokenization and line split).
     "q_quality_gopher" -> ((s, d) =>
       graft.quality.GopherRules.signals(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Per-source Gopher curation rollup: survival rate + per-rule
+    // failure fractions over the landed signal table.
+    "q_quality_gopher_rollup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.quality.GopherRules.rollup(
+          graft.quality.GopherRules.signals(docs, "doc_id", "text"),
+          docs, "doc_id", "source")
+        .orderBy("source")
+    }),
+
+    // Deterministic per-epoch shuffle plan: epoch-keyed md5 sort key +
+    // balanced shard, fully value-oracled (epoch 3, 8 shards).
+    "q_shuffle_epoch" -> ((s, d) =>
+      TrainingData.epochShuffle(
+          t(s, d, "documents").select("doc_id"), "doc_id",
+          epoch = 3, numShards = 8, salt = "es")
         .orderBy("doc_id")),
 
     // CCNet-style per-source perplexity buckets (head/middle/tail by
@@ -4428,6 +4463,85 @@ object SparkEntry {
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    // Gopher rollup: the q_quality_gopher signal CTEs aggregated per
+    // source (BIGINT casts on DuckDB integer sums).
+    "q_quality_gopher_rollup" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '\S+') AS t,
+        |         string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS mean_word_len,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST((length(text) - length(replace(text, '#', '')))
+        |                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS symbol_ratio,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ln), 6) AS bullet_frac,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln), 6) AS ellipsis_line_frac,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS alpha_frac,
+        |         CAST(list_contains(list_transform(t, x -> lower(x)), 'the') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'be') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'to') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'of') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'and') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'that') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'have') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'with') AS BIGINT)
+        |           AS stopword_hits
+        |  FROM s
+        |), f AS (
+        |  SELECT doc_id,
+        |         CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS words_ok,
+        |         CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT) AS word_len_ok,
+        |         CAST(symbol_ratio <= 0.1 AS BIGINT) AS symbol_ok,
+        |         CAST(bullet_frac <= 0.9 AS BIGINT) AS bullet_ok,
+        |         CAST(ellipsis_line_frac <= 0.3 AS BIGINT) AS ellipsis_ok,
+        |         CAST(alpha_frac >= 0.8 AS BIGINT) AS alpha_ok,
+        |         CAST(stopword_hits >= 2 AS BIGINT) AS stopword_ok
+        |  FROM m
+        |), g AS (
+        |  SELECT f.*,
+        |         words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
+        |           * alpha_ok * stopword_ok AS gopher_pass
+        |  FROM f
+        |)
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(gopher_pass) AS BIGINT) AS n_pass,
+        |       round(CAST(sum(gopher_pass) AS DOUBLE) / count(*), 6) AS pass_frac,
+        |       round(CAST(sum(1 - words_ok) AS DOUBLE) / count(*), 6) AS fail_words,
+        |       round(CAST(sum(1 - word_len_ok) AS DOUBLE) / count(*), 6) AS fail_word_len,
+        |       round(CAST(sum(1 - symbol_ok) AS DOUBLE) / count(*), 6) AS fail_symbol,
+        |       round(CAST(sum(1 - bullet_ok) AS DOUBLE) / count(*), 6) AS fail_bullet,
+        |       round(CAST(sum(1 - ellipsis_ok) AS DOUBLE) / count(*), 6) AS fail_ellipsis,
+        |       round(CAST(sum(1 - alpha_ok) AS DOUBLE) / count(*), 6) AS fail_alpha,
+        |       round(CAST(sum(1 - stopword_ok) AS DOUBLE) / count(*), 6) AS fail_stopword
+        |FROM g JOIN documents d USING (doc_id)
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
+
+    // Epoch shuffle plan: the 13-hex-digit md5 parse (house 52-bit
+    // uniform), epoch and salt folded into the key string.
+    "q_shuffle_epoch" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      (CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR) || '#3#es'), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS sort_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS epoch, sort_key,
+        |       sort_key % 8 AS shard
+        |FROM keyed ORDER BY doc_id""".stripMargin,
+
     // Perplexity buckets: the q_quality_surprisal pipeline + a
     // per-source rank window with k-th order-statistic boundaries.
     "q_quality_ppl_buckets" ->
@@ -4666,6 +4780,52 @@ object SparkEntry {
 
     // Frozen twin: censuses over the evens only, add-one unigrams with
     // denom T + V + 1, backoff ladder over the odds.
+    // Pruned frozen bigram LM: same replay as the _incr oracle with a
+    // HAVING count cutoff on the bigram census CTE.
+    "q_quality_surprisal_bigram_pruned" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, i, t[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tl)
+        |), wp AS (
+        |  SELECT doc_id, i, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM tk
+        |), uni AS (
+        |  SELECT tok, count(*) AS cu FROM tk WHERE doc_id % 2 = 0 GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cu) AS DOUBLE) + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+        |  FROM uni
+        |), big AS (
+        |  SELECT prev, tok, count(*) AS cb FROM wp
+        |  WHERE prev IS NOT NULL AND doc_id % 2 = 0 GROUP BY prev, tok
+        |  HAVING count(*) >= 15
+        |), sc AS (
+        |  SELECT w.doc_id,
+        |         CASE WHEN w.prev IS NULL OR up.cu IS NULL
+        |                THEN -log2(CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+        |                           / (SELECT denom FROM tot))
+        |              WHEN b.cb IS NOT NULL
+        |                THEN -log2(CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+        |              ELSE -log2(0.4 * CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+        |                         / (SELECT denom FROM tot))
+        |         END AS s
+        |  FROM wp w
+        |  LEFT JOIN uni u USING (tok)
+        |  LEFT JOIN uni up ON up.tok = w.prev
+        |  LEFT JOIN big b ON b.prev = w.prev AND b.tok = w.tok
+        |  WHERE w.doc_id % 2 = 1
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, avg(s) AS s FROM sc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(p.s, 0.0), 6) AS avg_surprisal
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_quality_surprisal_bigram_incr" ->
       """WITH tl AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents

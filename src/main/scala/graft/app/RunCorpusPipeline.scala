@@ -59,6 +59,13 @@ object RunCorpusPipeline {
         */
       maxTopGramFrac: Double = 1.0,
       maxRepetition: Double = 1.0,
+      /** Apply the full Gopher §A1.1 rule battery
+        * ([[graft.quality.GopherRules.passes]]) as an additional gate.
+        * Row-local like the repetition gates — zero extra shuffle in
+        * either arm. Off by default: the published thresholds assume
+        * web prose and would eat code/table corpora.
+        */
+      gopherRules: Boolean = false,
       /** Strip corpus-duplicated substring SPANS (ExactSubstr,
         * [[graft.operators.SubstringDedup]]) from the kept documents'
         * redacted text before chunking. Opt-in like near-dedup: the
@@ -143,7 +150,9 @@ object RunCorpusPipeline {
     val gated = bandGated.filter(
       col("quality") >= cfg.minQuality && langGate &&
         col("top_gram_frac") <= cfg.maxTopGramFrac &&
-        col("repetition_ratio") <= cfg.maxRepetition)
+        col("repetition_ratio") <= cfg.maxRepetition &&
+        (if (cfg.gopherRules) graft.quality.GopherRules.passes(col("text"))
+         else lit(true)))
     val decontaminated = eval match {
       case Some(ev) =>
         // bloomDecontamination trades the exact operator's broadcast
@@ -261,7 +270,9 @@ object RunCorpusPipeline {
         TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
           TextFunctions.languageId(col("text")).isin(cfg.langs.toSeq: _*) &&
           TextFunctions.topGramFraction(col("text"), 2) <= cfg.maxTopGramFrac &&
-          TextFunctions.repetitionRatio(col("text"), 3) <= cfg.maxRepetition)
+          TextFunctions.repetitionRatio(col("text"), 3) <= cfg.maxRepetition &&
+          (if (cfg.gopherRules) graft.quality.GopherRules.passes(col("text"))
+           else lit(true)))
       .withColumn("clean_text", TextFunctions.redactPii(col("text")))
     val chunks = Chunker.chunkDocuments(
       gated, "clean_text", "doc_id", cfg.window, cfg.stride, carryCols = Seq("source"))
@@ -323,7 +334,9 @@ object RunCorpusPipeline {
         TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
           TextFunctions.languageId(col("text")).isin(cfg.langs.toSeq: _*) &&
           TextFunctions.topGramFraction(col("text"), 2) <= cfg.maxTopGramFrac &&
-          TextFunctions.repetitionRatio(col("text"), 3) <= cfg.maxRepetition)
+          TextFunctions.repetitionRatio(col("text"), 3) <= cfg.maxRepetition &&
+          (if (cfg.gopherRules) graft.quality.GopherRules.passes(col("text"))
+           else lit(true)))
       .withColumn("clean_text", TextFunctions.redactPii(col("text")))
     graft.operators.Ingest.ingestSink(
       gated, "doc_id", "text",

@@ -299,6 +299,42 @@ object CorpusStats {
       .select(concat_ws(" ", col("p2"), col("p1"), col("tok")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n"))
 
+  /** COUNT-THRESHOLD PRUNING for the n-gram LM censuses (the classic
+    * count-cutoff of SRILM/Brants-style distributed LMs): drop census
+    * rows with `n < minCount`. A pruned n-gram then scores through the
+    * BACKOFF branch of the stupid-backoff chain — "seen once" becomes
+    * "unseen", alpha·(n-1)-gram — which is exactly the chain's existing
+    * unseen semantics, so pruning needs no changes to any scorer: feed
+    * the pruned frame to [[bigramSurprisalAgainstCensus]] /
+    * [[trigramSurprisalAgainstCensus]] and the left-join miss does the
+    * rest.
+    *
+    * Why it matters at 100 TB: n-gram censuses are Zipf — the singleton
+    * tail IS the census. Measured (ProfilePrune, 20k-doc synthetic
+    * Zipf(1) corpus over a 50k vocabulary — the tail shape real prose
+    * has, which the tiny-vocabulary fixture lacks): minCount=2 keeps
+    * 12% of bigram rows (152k of 1.23M) and 2% of trigram rows (39k of
+    * 1.86M); minCount=5 keeps 2.6% / 0.3%. The score drift (mean
+    * |Δsurprisal| 4.0 bits bigram / 6.8 trigram there) concentrates
+    * ENTIRELY on singleton-support n-grams — which an unpruned frozen
+    * LM scores at ~0 bits (count ratio 1/1: pure memorization of the
+    * census corpus), visible as the synthetic corpus's absurd 2.0-bit
+    * trigram mean. Count-cutoff is the standard fix for exactly that
+    * overfit (SRILM's default), so the drift is the point, not the
+    * price. On the sf0.1 fixture (31-word vocabulary, no tail) pruning
+    * at minCount<=5 moves almost nothing: <=0.008 bits drift.
+    * Detection-style capping ([[SubstringDedup.capCensus]]) does NOT
+    * apply here — LM scoring needs true counts on the rows it keeps;
+    * pruning removes rows, never distorts survivors.
+    *
+    * Keep the UNIGRAM census unpruned: it is vocabulary-sized (small),
+    * and it feeds the smoothing denominator and every backoff branch.
+    */
+  def pruneCensus(census: DataFrame, minCount: Long): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    census.filter(col("n") >= minCount)
+  }
+
   /** FROZEN trigram LM: score `batch` under persisted unigram
     * ([[tokenCensus]]), bigram ([[bigramCensus]]) and trigram
     * ([[trigramCensus]]) censuses with the full stupid-backoff chain

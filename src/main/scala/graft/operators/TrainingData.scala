@@ -875,6 +875,38 @@ object TrainingData {
       .select(idCol, "n_grams", "n_shared", "contamination", "is_contaminated")
   }
 
+  /** Deterministic PER-EPOCH shuffle plan: every row gets a 52-bit
+    * md5-derived `sort_key` and a balanced `shard` assignment, both
+    * pure functions of (id, epoch, salt) — a different global
+    * permutation each epoch with ZERO state and zero data movement in
+    * THIS operator (the loader/writer realizes it with
+    * `repartition($"shard").sortWithinPartitions($"sort_key")`, the
+    * one unavoidable exchange; re-deriving an epoch's plan later costs
+    * a row-local projection, not a saved permutation table). This is
+    * how a 100 TB corpus trains multiple epochs without either reusing
+    * one order (adjacent-batch correlation) or materializing N
+    * shuffled copies.
+    *
+    * Engine-portable randomness: the house 52-bit md5 uniform, so the
+    * full plan carries a value oracle and any loader in any language
+    * can recompute its own epoch order from (id, epoch, salt).
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val key = conv(substring(
+      md5(concat_ws("#", col(idCol).cast("string"), lit(epoch.toString), lit(salt))),
+      1, 13), 16, 10).cast("long")
+    df.withColumn("epoch", lit(epoch.toLong))
+      .withColumn("sort_key", key)
+      .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
+  }
+
   /** SEMANTIC decontamination: flag corpus items whose EMBEDDING sits
     * within `minCosine` of any eval-set embedding — the paraphrase
     * complement to the verbatim n-gram gates ([[benchmarkContamination]]

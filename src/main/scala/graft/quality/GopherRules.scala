@@ -124,6 +124,38 @@ object GopherRules {
           col("stopword_ok"))
   }
 
+  /** Per-source curation rollup over a [[signals]] frame: how much of
+    * each source survives, and WHICH rule is killing it — the table a
+    * corpus-curation loop actually reads ("src3 loses 40% to the
+    * bullet rule" → fix the extractor, don't retune the threshold).
+    * Runs over the LANDED signal table (docs-count rows, one tiny
+    * keyed aggregate — re-aggregating after a threshold change never
+    * re-touches corpus text).
+    */
+  def rollup(
+      signals: DataFrame,
+      sources: DataFrame,
+      idCol: String,
+      sourceCol: String): DataFrame = {
+    val failFrac = (c: String) =>
+      round(sum(lit(1L) - col(c)).cast("double") / count(lit(1)), 6)
+    signals
+      .join(sources.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("gopher_pass")).as("n_pass"),
+        round(sum(col("gopher_pass")).cast("double") / count(lit(1)), 6)
+          .as("pass_frac"),
+        failFrac("words_ok").as("fail_words"),
+        failFrac("word_len_ok").as("fail_word_len"),
+        failFrac("symbol_ok").as("fail_symbol"),
+        failFrac("bullet_ok").as("fail_bullet"),
+        failFrac("ellipsis_ok").as("fail_ellipsis"),
+        failFrac("alpha_ok").as("fail_alpha"),
+        failFrac("stopword_ok").as("fail_stopword"))
+  }
+
   /** The battery as ONE boolean gate column — for inlining into an
     * annotate-scan filter ([[graft.app.RunCorpusPipeline]] style) where
     * only the verdict matters. Same signal expressions and threshold

@@ -87,6 +87,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(keptOn.contains(1L), "prose survives both gates")
   }
 
+  test("gopherRules battery gates a bullet-spam doc the scalar gates miss") {
+    // Both docs pass quality/language; the bullet doc fails ONLY the
+    // Gopher bullet-line rule (>90% of lines bulleted).
+    val longGood = (goodText + " ") * 2 + "and that should be plenty of words"
+    val bullets = (1 to 60).map(_ => "- the item and that thing is here now ok").mkString("\n")
+    val docs = Seq(
+      (1L, "web", longGood),
+      (2L, "web", bullets)
+    ).toDF("doc_id", "source", "text")
+
+    val off = s"target/tmp/corpus_gopherb_off_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(root = off, window = 8, stride = 6))
+    assert(spark.read.parquet(s"$off/silver").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L), "battery off: both docs survive the scalar gates")
+
+    val on = s"target/tmp/corpus_gopherb_on_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = on, window = 8, stride = 6, gopherRules = true))
+    assert(spark.read.parquet(s"$on/silver").select("doc_id").as[Long].collect().toSet ==
+      Set(1L), "battery on: only the prose doc survives")
+  }
+
   test("nearDedup switch drops near-copies that exact dedup keeps") {
     val docs = Seq(
       (1L, "web", goodText),

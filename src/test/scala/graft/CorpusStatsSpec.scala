@@ -269,6 +269,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1.0), (2L, 0L, 0.0)))
   }
 
+  test("pruneCensus: identity at 1, pruned n-grams score through the backoff branch") {
+    val census = Seq(("a b", 3L), ("c d", 1L)).toDF("g", "n")
+    assert(CorpusStats.pruneCensus(census, 1L).as[(String, Long)].collect().toSet ==
+      Set(("a b", 3L), ("c d", 1L)))
+    assert(CorpusStats.pruneCensus(census, 2L).as[(String, Long)].collect().toSet ==
+      Set(("a b", 3L)))
+    intercept[IllegalArgumentException] { CorpusStats.pruneCensus(census, 0L) }
+
+    // End-to-end: "c d" seen once in the census corpus. Unpruned, doc
+    // "c d" scores the bigram ratio branch; pruned at 2 it must take
+    // the backoff branch — exactly what scoring against a census that
+    // never contained the row would produce.
+    val censusDocs = Seq(
+      (1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val uni = CorpusStats.tokenCensus(censusDocs, "text")
+    val bi = CorpusStats.bigramCensus(censusDocs, "doc_id", "text")
+    val batch = Seq((10L, "c d")).toDF("doc_id", "text")
+    def score(b: org.apache.spark.sql.DataFrame): Double =
+      CorpusStats.bigramSurprisalAgainstCensus(batch, "doc_id", "text", uni, b)
+        .select("avg_surprisal").as[Double].head()
+    val unpruned = score(bi)
+    val pruned = score(CorpusStats.pruneCensus(bi, 2L))
+    val absent = score(bi.filter(col("g") =!= "c d"))
+    assert(pruned == absent, "pruned row must behave exactly as never-seen")
+    assert(pruned > unpruned, "backoff must score the rare bigram higher")
+  }
+
   // --- perplexityBuckets -------------------------------------------------
 
   /** Controlled surprisal ladder: doc i repeats word w_i, and w_i's

@@ -108,4 +108,26 @@ class GopherRulesSpec extends SparkSpec {
     val m = signalsOf(Seq(1L -> good), GopherConfig(minWords = 1000))
     assert(m(1L).getAs[Long]("words_ok") == 0L)
   }
+
+  test("rollup: per-source survival and per-rule failure fractions") {
+    val docs = Seq(
+      (1L, good, "a"), (2L, good, "a"), (3L, "too short", "a"),
+      (4L, good, "b"),
+      (5L, (1 to 60).map(i => s"zork$i blee$i").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val got = GopherRules.rollup(
+        GopherRules.signals(docs.select("doc_id", "text"), "doc_id", "text"),
+        docs, "doc_id", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_pass") == 2L)
+    assert(a.getAs[Double]("pass_frac") == 0.666667)
+    assert(a.getAs[Double]("fail_words") == 0.333333)
+    // "too short" has no required stopwords either ("too" != "to")
+    assert(a.getAs[Double]("fail_stopword") == 0.333333)
+    assert(a.getAs[Double]("fail_symbol") == 0.0)
+    val b = got("b")
+    assert(b.getAs[Long]("n_docs") == 2L && b.getAs[Long]("n_pass") == 1L)
+    assert(b.getAs[Double]("fail_stopword") == 0.5)
+  }
 }

@@ -715,4 +715,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(physical.contains("BroadcastExchange"),
       s"eval side must broadcast:\n$physical")
   }
+
+  test("epochShuffle: deterministic, epoch-distinct permutations, balanced shards") {
+    val ids = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
+    def plan(epoch: Int) = TrainingData
+      .epochShuffle(ids, "doc_id", epoch, numShards = 8, salt = "s")
+      .select("doc_id", "sort_key", "shard")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e0 = plan(0)
+    assert(e0 == plan(0), "same epoch must replay the identical plan")
+    val e1 = plan(1)
+    assert(e0 != e1, "different epochs must permute differently")
+    // orders differ, not just keys: rank by sort_key in each epoch
+    def order(m: Map[Long, (Long, Long)]) =
+      m.toSeq.sortBy(_._2._1).map(_._1)
+    assert(order(e0) != order(e1))
+    e0.foreach { case (_, (k, s)) =>
+      assert(k >= 0L && k < (1L << 52), s"52-bit key out of range: $k")
+      assert(s == k % 8, "shard must derive from the sort key")
+    }
+    val byShard = e0.values.groupBy(_._2).view.mapValues(_.size)
+    assert(byShard.size == 8, s"all shards populated: ${byShard.toMap}")
+    assert(byShard.values.max <= 3 * byShard.values.min,
+      s"shards badly skewed: ${byShard.toMap}")
+    intercept[IllegalArgumentException] {
+      TrainingData.epochShuffle(ids, "doc_id", -1, 8)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.epochShuffle(ids, "doc_id", 0, 0)
+    }
+  }
 }
