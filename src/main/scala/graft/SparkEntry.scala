@@ -1549,6 +1549,60 @@ object SparkEntry {
       graft.quality.GopherRules.signals(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // LINE-grain dedup (Dolma/RefinedWeb boilerplate pass) over
+    // synthesized multi-line docs: every doc gains a shared footer
+    // line and its own 40-char prefix line (the q_audio_features
+    // synthesis trick — multi-line structure the fixture lacks, built
+    // deterministically in BOTH engines). dropAll mode: census +
+    // anti-join, no per-key window — the scale shape.
+    "q_dedup_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nsubscribe to our newsletter for updates\n"),
+          substring(col("text"), 1, 40)).as("text2"))
+      graft.operators.LineDedup.stripDuplicatedLines(docs, "doc_id", "text2")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_hash"),
+          length(col("clean_text")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
+    // keepFirst mode: the lowest (doc_id, line_idx) occurrence of each
+    // duplicated line survives (Dolma's mark-after-first semantics).
+    "q_dedup_lines_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nsubscribe to our newsletter for updates\n"),
+          substring(col("text"), 1, 40)).as("text2"))
+      graft.operators.LineDedup.stripDuplicatedLines(
+          docs, "doc_id", "text2", keepFirst = true)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_hash"),
+          length(col("clean_text")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
+    // The boilerplate inventory: every corpus-duplicated line with its
+    // site and document counts.
+    "q_dedup_lines_table" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nsubscribe to our newsletter for updates\n"),
+          substring(col("text"), 1, 40)).as("text2"))
+      graft.operators.LineDedup.duplicatedLines(docs, "doc_id", "text2")
+        .select(md5(col("line")).as("line_hash"), col("n_sites"), col("n_docs"))
+        .orderBy("line_hash")
+    }),
+
+    // WITHIN-document line dedup (row-local, zero shuffle): the doc's
+    // own prefix line repeats around it; only the first survives.
+    "q_dedup_lines_indoc" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(graft.operators.LineDedup.dedupLinesInDoc(
+            concat(substring(col("text"), 1, 30), lit("\n"),
+              col("text"), lit("\n"),
+              substring(col("text"), 1, 30)))).as("clean_hash"))
+        .orderBy("doc_id")),
+
     // Per-source Gopher curation rollup: survival rate + per-rule
     // failure fractions over the landed signal table.
     "q_quality_gopher_rollup" -> ((s, d) => {
@@ -4462,6 +4516,97 @@ object SparkEntry {
         |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Line dedup family: the synthesis (footer + prefix lines) and the
+    // census/anti-join (or rank window) replayed over string_split.
+    "q_dedup_lines" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'subscribe to our newsletter for updates'
+        |              || chr(10) || substr(text, 1, 40) AS text2
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, string_split(text2, chr(10)) AS ln FROM d2
+        |), l AS (
+        |  SELECT doc_id, i - 1 AS line_idx, ln[CAST(i AS INT)] AS line
+        |  FROM (SELECT doc_id, ln, unnest(range(1, len(ln) + 1)) AS i FROM sp)
+        |), dups AS (
+        |  SELECT line FROM l GROUP BY line HAVING count(*) > 1
+        |), kept AS (
+        |  SELECT * FROM l WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.line = l.line)
+        |), reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       md5(coalesce(r.clean_text, '')) AS clean_hash,
+        |       CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len
+        |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_lines_keep" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'subscribe to our newsletter for updates'
+        |              || chr(10) || substr(text, 1, 40) AS text2
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, string_split(text2, chr(10)) AS ln FROM d2
+        |), l AS (
+        |  SELECT doc_id, i - 1 AS line_idx, ln[CAST(i AS INT)] AS line
+        |  FROM (SELECT doc_id, ln, unnest(range(1, len(ln) + 1)) AS i FROM sp)
+        |), rk AS (
+        |  SELECT doc_id, line_idx, line,
+        |         row_number() OVER (PARTITION BY line
+        |                            ORDER BY doc_id, line_idx) AS rn
+        |  FROM l
+        |), reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        |  FROM rk WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       md5(coalesce(r.clean_text, '')) AS clean_hash,
+        |       CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len
+        |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_lines_table" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'subscribe to our newsletter for updates'
+        |              || chr(10) || substr(text, 1, 40) AS text2
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, string_split(text2, chr(10)) AS ln FROM d2
+        |), l AS (
+        |  SELECT doc_id, ln[CAST(i AS INT)] AS line
+        |  FROM (SELECT doc_id, ln, unnest(range(1, len(ln) + 1)) AS i FROM sp)
+        |)
+        |SELECT md5(line) AS line_hash,
+        |       CAST(count(*) AS BIGINT) AS n_sites,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM l GROUP BY line HAVING count(*) > 1
+        |ORDER BY line_hash""".stripMargin,
+
+    "q_dedup_lines_indoc" ->
+      """WITH d3 AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 30) || chr(10) || text
+        |              || chr(10) || substr(text, 1, 30) AS t3
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, string_split(t3, chr(10)) AS ln FROM d3
+        |), l AS (
+        |  SELECT doc_id, i, ln[CAST(i AS INT)] AS line
+        |  FROM (SELECT doc_id, ln, unnest(range(1, len(ln) + 1)) AS i FROM sp)
+        |), k AS (
+        |  SELECT doc_id, i, line,
+        |         min(i) OVER (PARTITION BY doc_id, line) AS fi
+        |  FROM l
+        |)
+        |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY i)) AS clean_hash
+        |FROM k WHERE i = fi GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Gopher rollup: the q_quality_gopher signal CTEs aggregated per
     // source (BIGINT casts on DuckDB integer sums).

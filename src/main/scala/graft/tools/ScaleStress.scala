@@ -372,6 +372,55 @@ object ScaleStress {
     skewed.unpersist()
     }
 
+    section("lines") {
+    // Line-grain dedup at volume with a PLANTED hot line: every doc in
+    // the replicated corpus carries the same footer, so one line key
+    // holds ~nDocs occurrences. dropAll (census + anti-join, the
+    // default) must keep the longest task bounded; keepFirst funnels
+    // the footer's occurrence set through ONE rank-window task — the
+    // measured gap is the reason dropAll is the documented scale mode.
+    import graft.operators.LineDedup
+    def maxTaskSecs(body: => Unit): Double = {
+      val mx = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null)
+            mx.getAndAccumulate(te.taskInfo.duration, math.max(_, _))
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      mx.get / 1000.0
+    }
+    val base = TableIO.table(spark, sfDir, "documents")
+    val footerBlock = Seq.fill(10)("subscribe to our newsletter for updates").mkString("\n")
+    val docs = replicate(base, "doc_id", reps * 5)
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n" + footerBlock + "\n"),
+          substring(col("text"), 1, 40)).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] lines corpus: ${docs.count()} docs, one ~${docs.count() * 10}-site footer line")
+    time("duplicated-lines inventory")(
+      println("[stress]   dup lines = " +
+        LineDedup.duplicatedLines(docs, "doc_id", "text").count()))
+    // Aggregate over clean_text, not count(): a bare count lets Catalyst
+    // eliminate the unique-keyed left join and skip the strip entirely.
+    val dropMax = maxTaskSecs {
+      time("strip dropAll (census + anti-join)")(
+        println("[stress]   clean chars = " +
+          LineDedup.stripDuplicatedLines(docs, "doc_id", "text")
+            .agg(sum(length(col("clean_text")))).head().getLong(0)))
+    }
+    val keepMax = maxTaskSecs {
+      time("strip keepFirst (rank window)")(
+        println("[stress]   clean chars = " +
+          LineDedup.stripDuplicatedLines(docs, "doc_id", "text", keepFirst = true)
+            .agg(sum(length(col("clean_text")))).head().getLong(0)))
+    }
+    println(f"[stress]   longest task: dropAll $dropMax%.2f s vs keepFirst $keepMax%.2f s")
+    docs.unpersist()
+    }
+
     section("sample") {
     // Weighted exactly-k at volume: the ES race + Selection descent on
     // a 20x corpus, and frozen-LM scoring of one batch against a
