@@ -1090,6 +1090,23 @@ object SparkEntry {
         Seq("hash", "join", "window"), k = 10)
         .orderBy("rk")),
 
+    // PERSISTED inverted index: two disjoint batches fold into the
+    // postings/termdf/stats stores, then the probe answers from the
+    // STANDING store alone — restriction law makes this share
+    // q_bm25_topk's oracle SQL verbatim (identical output proves the
+    // incremental index equals the one-shot corpus scan).
+    "q_bm25_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val store = s"target/tmp/q_bm25_index_${System.nanoTime()}"
+      graft.operators.RetrievalIndex.appendBatch(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store, 0L)
+      graft.operators.RetrievalIndex.appendBatch(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store, 1L)
+      graft.operators.RetrievalIndex.bm25TopK(
+          s, store, Seq("hash", "join", "window"), k = 10)
+        .orderBy("rk")
+    }),
+
     // Snapshot diff (CDC without table-format ACID): synthesize
     // version B deterministically from documents — drop id%7==0, flip
     // text case for id%11==0, re-add docs 0..4 under shifted ids —
@@ -1602,6 +1619,15 @@ object SparkEntry {
               col("text"), lit("\n"),
               substring(col("text"), 1, 30)))).as("clean_hash"))
         .orderBy("doc_id")),
+
+    // Per-source corpus DATA CARD: volume, lexical diversity,
+    // duplication and LM-fit metrics in long format — the datasheet
+    // table a corpus release publishes. Every metric fully replayed in
+    // the oracle.
+    "q_corpus_report" -> ((s, d) =>
+      graft.operators.CorpusReport.dataCard(
+          t(s, d, "documents"), "doc_id", "text", "source")
+        .orderBy("source", "metric")),
 
     // Per-source Gopher curation rollup: survival rate + per-rule
     // failure fractions over the landed signal table.
@@ -3749,6 +3775,40 @@ object SparkEntry {
         |SELECT doc_id, dl, score, rk FROM ranked
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
 
+    // Restriction law: the persisted-index probe must equal the
+    // one-shot corpus scan — same oracle SQL verbatim.
+    "q_bm25_index" ->
+      """WITH per_doc AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(trim(text)), '\S+')) AS dl,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'hash'))   AS DOUBLE) AS tf_0,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'join'))   AS DOUBLE) AS tf_1,
+        |         CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'), x -> x = 'window')) AS DOUBLE) AS tf_2
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |         sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+        |         sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+        |         sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+        |  FROM per_doc
+        |), scored AS (
+        |  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |         round(
+        |           ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * (1.2 + 1.0)
+        |             / (tf_0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs)))
+        |         + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * (1.2 + 1.0)
+        |             / (tf_1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs)))
+        |         + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * (1.2 + 1.0)
+        |             / (tf_2 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (sum_dl / n_docs))), 6) AS score
+        |  FROM per_doc CROSS JOIN stats
+        |), ranked AS (
+        |  SELECT doc_id, dl, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+        |  FROM scored WHERE score > 0.0
+        |)
+        |SELECT doc_id, dl, score, rk FROM ranked
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
     // Same synthesized snapshot B; chr(1)/chr(0) reproduce the Spark
     // side's u0001 separator and u0000 null-marker framing bytes.
     "q_snapshot_diff" ->
@@ -4516,6 +4576,64 @@ object SparkEntry {
         |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Data card: each metric replayed, then melted via UNION ALL in
+    // the operator's fixed metric order (sort keys make order moot).
+    "q_corpus_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         len(regexp_extract_all(text, '\S+')) AS nt,
+        |         length(text) AS nc
+        |  FROM documents
+        |), dupfp AS (
+        |  SELECT fp FROM base GROUP BY fp HAVING count(*) > 1
+        |), flagged AS (
+        |  SELECT b.*, CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |  FROM base b LEFT JOIN dupfp d ON b.fp = d.fp
+        |), toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents
+        |), census AS (
+        |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) AS total FROM census
+        |), perdoc AS (
+        |  SELECT t.doc_id,
+        |         avg(-log2(CAST(c.tf AS DOUBLE) / (SELECT total FROM tot))) AS sup
+        |  FROM toks t JOIN census c USING (tok) GROUP BY t.doc_id
+        |), sdoc AS (
+        |  SELECT d.doc_id, round(coalesce(p.sup, 0.0), 6) AS avg_surprisal
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |), vocab AS (
+        |  SELECT d.source, count(DISTINCT t.tok) AS vocab_size
+        |  FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source
+        |), agg AS (
+        |  SELECT f.source,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(f.nt) AS BIGINT) AS total_tokens,
+        |         CAST(sum(f.nc) AS BIGINT) AS total_chars,
+        |         round(CAST(sum(f.nt) AS DOUBLE) / count(*), 6) AS mean_doc_tokens,
+        |         round(CAST(sum(f.dup) AS DOUBLE) / count(*), 6) AS dup_doc_frac,
+        |         round(avg(s.avg_surprisal), 6) AS mean_surprisal
+        |  FROM flagged f JOIN sdoc s USING (doc_id)
+        |  GROUP BY f.source
+        |), wide AS (
+        |  SELECT a.*, v.vocab_size,
+        |         round(CAST(v.vocab_size AS DOUBLE) / a.total_tokens, 6) AS ttr
+        |  FROM agg a JOIN vocab v USING (source)
+        |)
+        |SELECT source, metric, value FROM (
+        |  SELECT source, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM wide
+        |  UNION ALL SELECT source, 'total_tokens', CAST(total_tokens AS DOUBLE) FROM wide
+        |  UNION ALL SELECT source, 'total_chars', CAST(total_chars AS DOUBLE) FROM wide
+        |  UNION ALL SELECT source, 'mean_doc_tokens', mean_doc_tokens FROM wide
+        |  UNION ALL SELECT source, 'vocab_size', CAST(vocab_size AS DOUBLE) FROM wide
+        |  UNION ALL SELECT source, 'ttr', ttr FROM wide
+        |  UNION ALL SELECT source, 'dup_doc_frac', dup_doc_frac FROM wide
+        |  UNION ALL SELECT source, 'mean_surprisal', mean_surprisal FROM wide
+        |)
+        |ORDER BY source, metric""".stripMargin,
 
     // Line dedup family: the synthesis (footer + prefix lines) and the
     // census/anti-join (or rank window) replayed over string_split.
