@@ -1629,6 +1629,13 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", "source")
         .orderBy("source", "metric")),
 
+    // Per-source doc-length quantiles by k-th order statistic (exact
+    // mode; the sketch path is spec-pinned against it).
+    "q_corpus_length_quantiles" -> ((s, d) =>
+      graft.operators.CorpusReport.lengthQuantiles(
+          t(s, d, "documents"), "doc_id", "text", "source")
+        .orderBy("source")),
+
     // Per-source Gopher curation rollup: survival rate + per-rule
     // failure fractions over the landed signal table.
     "q_quality_gopher_rollup" -> ((s, d) => {
@@ -4576,6 +4583,24 @@ object SparkEntry {
         |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Length quantiles: k-th order statistic, rank windows per source.
+    "q_corpus_length_quantiles" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, len(regexp_extract_all(text, '\S+')) AS nt
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT source, nt,
+        |         row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM base
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN nt END) AS BIGINT) AS p50,
+        |       CAST(max(CASE WHEN rn = ceil(n * 0.9) THEN nt END) AS BIGINT) AS p90,
+        |       CAST(max(CASE WHEN rn = ceil(n * 0.99) THEN nt END) AS BIGINT) AS p99
+        |FROM ranked GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // Data card: each metric replayed, then melted via UNION ALL in
     // the operator's fixed metric order (sort keys make order moot).

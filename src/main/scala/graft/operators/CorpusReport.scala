@@ -83,4 +83,50 @@ object CorpusReport {
           struct(lit(m).as("metric"), col(m).cast("double").as("value"))): _*)).as("kv"))
       .select(col("source"), col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
+
+  /** Per-source document-length quantiles by k-th ORDER STATISTIC
+    * (k = ceil(q·n), never an interpolated percentile — the house
+    * cross-engine rule: one IEEE multiply + ceil is bit-reproducible
+    * where interpolation conventions are not). The batching/packing
+    * planner reads this table to size windows and budgets per source.
+    *
+    * `exact = true` (the oracle contract) ranks doc-summary rows per
+    * source — one window over one row per document. `exact = false`
+    * replaces the sort with a percentile_approx sketch (map-side
+    * O(accuracy) state, no per-doc shuffle) for corpora where even the
+    * doc-grain sort is unwelcome; sketch values are exact while a
+    * source's doc count stays under the accuracy parameter.
+    */
+  def lengthQuantiles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      exact: Boolean = true): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val base = df.select(
+      col(sourceCol).as("source"),
+      col(idCol).as("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("nt"))
+    def colName(q: Double) = "p" + (q * 100).round.toString
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val ranked = base
+        .withColumn("__rn", row_number().over(w.orderBy(col("nt"), col("doc_id"))))
+        .withColumn("__n", count(lit(1)).over(w))
+      ranked.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          qs.map(q => max(when(
+            col("__rn") === ceil(col("__n") * q), col("nt"))).as(colName(q))): _*)
+    } else {
+      base.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          qs.map(q => percentile_approx(col("nt"), lit(q), lit(100000))
+            .as(colName(q))): _*)
+    }
+  }
 }

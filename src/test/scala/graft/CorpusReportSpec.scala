@@ -30,6 +30,30 @@ class CorpusReportSpec extends SparkSpec {
     assert(card.size == 2 * CorpusReport.Metrics.size)
   }
 
+  test("lengthQuantiles: k-th order statistic by hand; sketch path agrees on fixture") {
+    // source q: token counts 1..10 -> p50 = 5th smallest = 5,
+    // p90 = ceil(9.0) = 9th = 9, p99 = ceil(9.9) = 10th = 10.
+    val docs = (1 to 10).map(i => (i.toLong, "q", ("w " * i).trim))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusReport.lengthQuantiles(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("q") == ((10L, 5L, 9L, 10L)))
+
+    val real = graft.sources.TableIO.table(spark, Sf0001, "documents")
+    val exact = CorpusReport.lengthQuantiles(real, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val approx = CorpusReport.lengthQuantiles(
+        real, "doc_id", "text", "source", exact = false)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(exact == approx,
+      "sketch is exact while per-source doc count < accuracy")
+
+    intercept[IllegalArgumentException] {
+      CorpusReport.lengthQuantiles(docs, "doc_id", "text", "source", qs = Seq(1.5))
+    }
+  }
+
   test("surprisal metric orders degenerate vs diverse sources sensibly") {
     val docs = (
       (1 to 20).map(i => (i.toLong, "rep", "same same same same same")) ++
