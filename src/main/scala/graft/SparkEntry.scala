@@ -643,6 +643,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware EXACT keep: case/whitespace variants synthesized
+    // in-query (the fixture has no fingerprint-equal pairs), keeper =
+    // longest copy per normalized-fingerprint group, tie -> min id.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+      Dedup.dropDuplicatesKeepBest(
+          docs.unionByName(variants), "doc_id",
+          TextFunctions.fingerprint(col("text")), length(col("text")))
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-aware keep over NEAR-dup clusters: same clusters as
+    // q_dedup_keep, keeper = longest member instead of min id.
+    "q_dedup_keep_best_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Components.keepBestPerCluster(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.2),
+          length(col("text")))
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup (scale path; rows-only — randomized banding is
     // not SQL-expressible. Verified against exact Jaccard in DedupSpec.)
     // 32 hashes x 16 bands (r=2) puts the banding threshold (1/16)^(1/2)
@@ -3369,6 +3395,67 @@ object SparkEntry {
         |JOIN (SELECT id, min(r) AS cl FROM reach GROUP BY id) c ON c.id = d.doc_id
         |WHERE c.cl = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Keep-best exact: synthesized variants + rank by (len DESC, id).
+    "q_dedup_keep_best" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents
+        |  WHERE doc_id % 3 = 0
+        |), h AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         length(text) AS sc
+        |  FROM all_docs
+        |), r AS (
+        |  SELECT doc_id, sc,
+        |         row_number() OVER (PARTITION BY fp ORDER BY sc DESC, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(sc AS BIGINT) AS len FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Keep-best over near-dup clusters: q_dedup_keep's recursive-CTE
+    // clusters, keeper re-ranked by (length DESC, id).
+    "q_dedup_keep_best_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.id = e.b
+        |), members AS (
+        |  SELECT c.cl, d.doc_id, length(d.text) AS sc
+        |  FROM documents d
+        |  JOIN (SELECT id, min(r) AS cl FROM reach GROUP BY id) c ON c.id = d.doc_id
+        |), keepers AS (
+        |  SELECT cl, doc_id, sc,
+        |         row_number() OVER (PARTITION BY cl ORDER BY sc DESC, doc_id) AS rn
+        |  FROM members
+        |)
+        |SELECT doc_id, CAST(sc AS BIGINT) AS len FROM keepers WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """WITH s AS (

@@ -74,6 +74,13 @@ object RunCorpusPipeline {
         */
       stripSpans: Boolean = false,
       stripSpanMinLen: Int = 50,
+      /** Strip corpus-duplicated LINES ([[graft.operators.LineDedup]],
+        * dropAll mode — the boilerplate/footer pass) from the kept
+        * documents' redacted text. Runs BEFORE the span strip when both
+        * are on: line-grain is far cheaper and removes the bulk
+        * boilerplate, so the gram census only pays for what remains.
+        */
+      stripLines: Boolean = false,
       /** Surprisal band gate (corpus self-perplexity,
         * [[graft.operators.CorpusStats.unigramSurprisal]]): documents
         * whose mean token surprisal falls outside
@@ -181,14 +188,20 @@ object RunCorpusPipeline {
         graft.operators.Components.dropNearDuplicates(
           exactDeduped, "doc_id", "text", minJaccard = cfg.nearDedupJaccard)
       else exactDeduped
-    // Span-level strip runs on the SURVIVORS' redacted text: whole-doc
-    // dedup first (cheaper, removes entire copies), then the span pass
-    // only pays for the remaining corpus.
+    // Boilerplate passes run on the SURVIVORS' redacted text: whole-doc
+    // dedup first (cheapest, removes entire copies), then line-grain
+    // strip, then the span pass only pays for what remains.
+    val lineStripped =
+      if (cfg.stripLines) {
+        val clean = graft.operators.LineDedup
+          .stripDuplicatedLines(deduped, "doc_id", "clean_text")
+        deduped.drop("clean_text").join(clean, Seq("doc_id"))
+      } else deduped
     val stripped =
       if (cfg.stripSpans)
         graft.operators.SubstringDedup.stripDuplicatedSpans(
-          deduped, "doc_id", "clean_text", cfg.stripSpanMinLen)
-      else deduped
+          lineStripped, "doc_id", "clean_text", cfg.stripSpanMinLen)
+      else lineStripped
     stripped.write.mode("overwrite").parquet(silver(cfg))
 
     // Stage 3 + 4 — chunk the redacted text, pack per source, write

@@ -193,4 +193,34 @@ object Components {
     clusterMembership(df, idCol, pairs, idACol, idBCol, maxIter)
       .filter(col(idCol).cast("long") === col("cluster_id"))
       .drop("cluster_id")
+
+  /** [[keepClusterRepresentatives]] with a QUALITY-AWARE keeper: the
+    * cluster member with the highest `score` survives (ties fall back
+    * to min id). Near-duplicate cluster members genuinely differ —
+    * keep-min can crown a truncated or boilerplate-padded variant over
+    * the clean full copy; scoring by length, quality or recency picks
+    * the copy a training set actually wants. Same no-window shape as
+    * [[graft.operators.Dedup.dropDuplicatesKeepBest]]: one
+    * max-struct aggregate per cluster + a semi filter, so a giant
+    * cluster is a combiner tree, not a single reducer.
+    */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      score: org.apache.spark.sql.Column,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    val withC = clusterMembership(df, idCol, pairs, idACol, idBCol, maxIter)
+      .withColumn("__s", score)
+    val keepers = withC
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__s").as("s"),
+        (-col(idCol).cast("long")).as("nid"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.nid")).as("__keep"))
+    withC.join(keepers, Seq("cluster_id"))
+      .filter(col(idCol).cast("long") === col("__keep"))
+      .drop("cluster_id", "__s", "__keep")
+  }
 }

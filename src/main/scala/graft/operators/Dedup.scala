@@ -37,6 +37,41 @@ object Dedup {
       .drop("content_hash", "keeper_id")
   }
 
+  /** QUALITY-AWARE keep policy: one row per duplicate group — the
+    * group being any caller-chosen key expression (raw `md5(text)` for
+    * byte-exact groups, [[graft.functions.TextFunctions.fingerprint]]
+    * for case/whitespace-equal groups, `fingerprintAggressive` for
+    * CCNet-normalized groups) — keeping the member with the HIGHEST
+    * `score` (longest copy, best quality score, freshest crawl...)
+    * instead of the min id. Min-id keep ([[dropExactDuplicates]]) is
+    * the right default for byte-exact copies where members are
+    * interchangeable; under a NORMALIZING key they are not — the
+    * truncated/shouting variant may win the id race while the clean
+    * full-length copy dies. Ties (equal score) fall back to min id, so
+    * the keeper stays fully deterministic.
+    *
+    * Scale shape: one map-side-combined `max(struct(score, -id))`
+    * aggregate per group key and a semi filter back — NO per-key
+    * window, so a pathological million-copy group costs a combiner
+    * tree, not a single reducer. The id must be numeric (the struct
+    * max negates it for the tie-break).
+    */
+  def dropDuplicatesKeepBest(
+      df: DataFrame,
+      idCol: String,
+      key: org.apache.spark.sql.Column,
+      score: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = df.withColumn("__k", key).withColumn("__s", score)
+    val keepers = keyed
+      .groupBy(col("__k"))
+      .agg(max(struct(col("__s").as("s"),
+        (-col(idCol).cast("long")).as("nid"))).as("__b"))
+      .select(col("__k"), (-col("__b.nid")).as("__keep"))
+    keyed.join(keepers, Seq("__k"))
+      .filter(col(idCol).cast("long") === col("__keep"))
+      .drop("__k", "__s", "__keep")
+  }
+
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Exploded distinct word-n-gram set per document: (id, gram). String

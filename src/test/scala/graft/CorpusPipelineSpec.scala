@@ -109,6 +109,30 @@ class CorpusPipelineSpec extends SparkSpec {
       Set(1L), "battery on: only the prose doc survives")
   }
 
+  test("stripLines removes a shared footer line before chunking") {
+    val footer = "subscribe to the newsletter for more of that content"
+    val docs = Seq(
+      (1L, "web", goodText + "\n" + footer),
+      (2L, "web", goodText.replace("fox", "wolf") + "\n" + footer))
+      .toDF("doc_id", "source", "text")
+    val root = s"target/tmp/corpus_lines_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = root, window = 8, stride = 6, stripLines = true))
+    val silver = spark.read.parquet(s"$root/silver")
+    val cleans = silver.select("clean_text").as[String].collect()
+    assert(cleans.length == 2)
+    assert(!cleans.exists(_.contains("subscribe")),
+      s"footer must be stripped: ${cleans.mkString("|")}")
+    assert(cleans.exists(_.contains("fox")) && cleans.exists(_.contains("wolf")),
+      "distinct body lines survive")
+
+    // off by default: footer stays
+    val off = s"target/tmp/corpus_lines_off_${System.nanoTime()}"
+    RunCorpusPipeline.run(spark, docs, CorpusConfig(root = off, window = 8, stride = 6))
+    assert(spark.read.parquet(s"$off/silver").select("clean_text").as[String]
+      .collect().forall(_.contains("subscribe")))
+  }
+
   test("nearDedup switch drops near-copies that exact dedup keeps") {
     val docs = Seq(
       (1L, "web", goodText),

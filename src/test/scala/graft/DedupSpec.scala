@@ -264,4 +264,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => Set(20L, 30L, 31L)(p._1) || Set(20L, 30L, 31L)(p._2)))
     assert(got.length == 10)
   }
+
+  test("dropDuplicatesKeepBest: highest score wins, ties fall to min id, singletons stay") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "hello world"),        // fp group A, len 11
+      (2L, "HELLO   WORLD  "),    // fp group A, len 15 -> keeper
+      (3L, "hello world"),        // fp group A, len 11 (tie with 1, loses to 2)
+      (10L, "tie text"), (11L, "tie text"), // group B: equal scores -> min id 10
+      (20L, "unique doc"))        // singleton
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dropDuplicatesKeepBest(
+        docs, "doc_id",
+        graft.functions.TextFunctions.fingerprint(col("text")), length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L))
+  }
+
+  test("keepBestPerCluster: longest member of a transitive chain survives") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "short a"), (2L, "the much longer member b"), (3L, "mid len c"),
+      (9L, "lonely"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Components.keepBestPerCluster(
+        docs, "doc_id", pairs, length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L))
+    // keep-min would have crowned doc 1 — the short variant
+    val keptMin = graft.operators.Components.keepClusterRepresentatives(
+        docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptMin == Set(1L, 9L))
+  }
 }
