@@ -1655,6 +1655,31 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", "source")
         .orderBy("source", "metric")),
 
+    // C4-style blocklist gate: lexicon token hits per doc (the demo
+    // lexicon reuses fixture vocabulary; the list is caller policy).
+    // One codegen'd tokenize+set-probe pass, row-local.
+    "q_quality_blocklist" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.lexiconHitCount(col("text"), Seq("slow", "corrupt"))
+            .cast("long").as("n_hits"))
+        .withColumn("hit_frac", round(
+          when(col("n_tokens") > 0,
+            col("n_hits").cast("double") / col("n_tokens")).otherwise(0.0), 6))
+        .withColumn("flagged", col("n_hits") > 0)
+        .orderBy("doc_id")),
+
+    // Curriculum plan: global short-to-long phases (k-th order
+    // statistic boundaries) + per-epoch md5 shuffle key within phase.
+    "q_curriculum_plan" -> ((s, d) =>
+      TrainingData.curriculumPlan(
+          t(s, d, "documents"), "doc_id",
+          TextFunctions.tokenCount(col("text")).cast("long"),
+          phases = 3, epoch = 2, salt = "cur")
+        .orderBy("doc_id")),
+
     // Per-source doc-length quantiles by k-th order statistic (exact
     // mode; the sketch path is spec-pinned against it).
     "q_corpus_length_quantiles" -> ((s, d) =>
@@ -4670,6 +4695,43 @@ object SparkEntry {
         |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Blocklist gate: lexicon membership over the \S+ tokenization.
+    "q_quality_blocklist" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(t, x -> lower(x) IN ('slow', 'corrupt'))) AS BIGINT) AS n_hits,
+        |       round(CASE WHEN len(t) > 0
+        |         THEN CAST(len(list_filter(t, x -> lower(x) IN ('slow', 'corrupt'))) AS DOUBLE) / len(t)
+        |         ELSE 0.0 END, 6) AS hit_frac,
+        |       len(list_filter(t, x -> lower(x) IN ('slow', 'corrupt'))) > 0 AS flagged
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Curriculum plan: global rank window + ceil phase boundaries +
+    // the 13-hex md5 key parse with '#2#cur' folded in.
+    "q_curriculum_plan" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS sc FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, sc,
+        |         row_number() OVER (ORDER BY sc, doc_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |       CAST(sc AS BIGINT) AS score,
+        |       CAST(CASE WHEN rn <= ceil(n * 1 / 3.0) THEN 1
+        |                 WHEN rn <= ceil(n * 2 / 3.0) THEN 2
+        |                 ELSE 3 END AS BIGINT) AS phase,
+        |       CAST(2 AS BIGINT) AS epoch,
+        |       CAST(list_sum(list_transform(range(13), i ->
+        |         (CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR) || '#2#cur'), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |         * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS sort_key
+        |FROM ranked ORDER BY doc_id""".stripMargin,
 
     // Length quantiles: k-th order statistic, rank windows per source.
     "q_corpus_length_quantiles" ->

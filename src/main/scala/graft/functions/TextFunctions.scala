@@ -133,6 +133,19 @@ object TextFunctions {
   def stopwordCount(c: Column, lang: String = "en"): Column =
     graft.plans.HashExpressions.tokenSetCount(lower(c), Stopwords(lang))
 
+  /** Token hits against an arbitrary LEXICON (case-insensitive exact
+    * member match) — the C4-style blocklist gate: C4 dropped any page
+    * containing a "bad words" list member; RefinedWeb and Dolma keep
+    * the same shape with tuned lists and thresholds. Same codegen'd
+    * byte-loop kernel as [[stopwordCount]] (one tokenize + set-probe
+    * pass, zero shuffle), so adding a blocklist to the annotate scan is
+    * free. The list itself is caller-supplied policy, not engine code.
+    */
+  def lexiconHitCount(c: Column, lexicon: Seq[String]): Column = {
+    require(lexicon.nonEmpty, "lexicon must not be empty")
+    graft.plans.HashExpressions.tokenSetCount(lower(c), lexicon.map(_.toLowerCase).distinct)
+  }
+
   /** Engine-independent 60-bit hash per token: the first 15 hex digits of
     * md5, parsed as an integer. ~10x slower than the FNV-1a kernel
     * (TokenHashesExpr) — production sketches use that; this feeds the

@@ -907,6 +907,70 @@ object TrainingData {
       .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
   }
 
+  /** CURRICULUM plan (Bengio et al. 2009 shape): cut the corpus into
+    * `phases` difficulty tranches by a caller-chosen score (token count
+    * for the classic short-to-long curriculum, LM surprisal for
+    * easy-to-perplexing, a learned judge score...) and give every row a
+    * deterministic per-epoch shuffle key WITHIN its phase — the loader
+    * consumes phases in order, shuffled inside each, and can re-derive
+    * any epoch's order from (id, epoch, salt) alone ([[epochShuffle]]'s
+    * portable 52-bit md5 uniform).
+    *
+    * Phase boundaries are k-th order statistics over the GLOBAL score
+    * ranking (rank <= ceil(k·n/phases), ties broken by id) — exact mode
+    * sorts doc-summary rows globally, which is the oracle contract and
+    * fine into the billions; for corpora beyond that, `exact = false`
+    * replaces the sort with global percentile_approx cutoffs (one
+    * map-combined sketch aggregate, no sort at all), with the usual
+    * boundary-tie caveat spec-pinned.
+    */
+  def curriculumPlan(
+      df: DataFrame,
+      idCol: String,
+      score: Column,
+      phases: Int = 3,
+      epoch: Int = 0,
+      salt: String = "",
+      exact: Boolean = true): DataFrame = {
+    require(phases >= 2, s"need >= 2 phases, got $phases")
+    val key = conv(substring(
+      md5(concat_ws("#", col(idCol).cast("string"), lit(epoch.toString), lit(salt))),
+      1, 13), 16, 10).cast("long")
+    val scored = df.select(col(idCol), score.as("__sc"))
+    val phased =
+      if (exact) {
+        // Intentional single-partition window: exact global ranking is
+        // the contract; the non-foldable constant key states the intent
+        // (and survives Spark 4's EliminateWindowPartitions).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(lit(0L), lit(1L)))
+        val ranked = scored
+          .withColumn("__rn", row_number().over(w.orderBy(col("__sc"), col(idCol))))
+          .withColumn("__n", count(lit(1)).over(w))
+        val phase = (1 until phases).foldRight(lit(phases.toLong): Column) {
+          case (k, rest) =>
+            when(col("__rn") <=
+              ceil(col("__n") * k / lit(phases.toDouble)), k.toLong)
+              .otherwise(rest)
+        }
+        ranked.withColumn("phase", phase).drop("__rn", "__n")
+      } else {
+        val qs = (1 until phases).map(_ / phases.toDouble)
+        val cuts = scored.agg(percentile_approx(
+          col("__sc"), array(qs.map(lit): _*), lit(100000)).as("__cuts"))
+        scored.crossJoin(broadcast(cuts))
+          .withColumn("phase", lit(1L) + aggregate(
+            col("__cuts"), lit(0L),
+            (acc, cut) => acc + when(col("__sc") > cut, 1L).otherwise(0L)))
+          .drop("__cuts")
+      }
+    phased
+      .withColumn("epoch", lit(epoch.toLong))
+      .withColumn("sort_key", key)
+      .select(col(idCol), col("__sc").as("score"), col("phase"),
+        col("epoch"), col("sort_key"))
+  }
+
   /** SEMANTIC decontamination: flag corpus items whose EMBEDDING sits
     * within `minCosine` of any eval-set embedding — the paraphrase
     * complement to the verbatim n-gram gates ([[benchmarkContamination]]

@@ -231,4 +231,23 @@ class TextFunctionsSpec extends SparkSpec {
     // clean text passes through untouched
     assert(one("no pii here at all", redactPii(col("t"))) == "no pii here at all")
   }
+
+  test("lexiconHitCount: case-insensitive exact token membership, empty list rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Seq(
+      (1L, "Slow query on a SLOW corrupt table"),
+      (2L, "slowly is not slow-ish nor slow"),
+      (3L, "clean text here"))
+      .toDF("id", "t")
+      .select(col("id"),
+        graft.functions.TextFunctions.lexiconHitCount(col("t"), Seq("SLOW", "corrupt")))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == 3, s"two slows + one corrupt: $got") // Slow, SLOW, corrupt
+    assert(got(2L) == 1, "substrings and hyphenates do not match; bare token does")
+    assert(got(3L) == 0)
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.lexiconHitCount(col("t"), Seq.empty)
+    }
+  }
 }

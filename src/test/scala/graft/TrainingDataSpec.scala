@@ -745,4 +745,30 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.epochShuffle(ids, "doc_id", 0, 0)
     }
   }
+
+  test("curriculumPlan: hand phases, epoch-stable phases, epoch-varying order, sketch path") {
+    val docs = (1 to 10).map(i => (i.toLong, ("w " * i).trim)).toDF("doc_id", "text")
+    val score = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    def plan(epoch: Int, exact: Boolean = true) = TrainingData
+      .curriculumPlan(docs, "doc_id", score, phases = 3, epoch = epoch, exact = exact)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("phase"), r.getAs[Long]("sort_key")))).toMap
+    val e0 = plan(0)
+    // scores 1..10 ascending with doc id -> phases 4/3/3 by ceil(k*10/3)
+    assert((1 to 4).forall(i => e0(i.toLong)._1 == 1L))
+    assert((5 to 7).forall(i => e0(i.toLong)._1 == 2L))
+    assert((8 to 10).forall(i => e0(i.toLong)._1 == 3L))
+    val e1 = plan(1)
+    assert(e0.forall { case (k, (p, _)) => e1(k)._1 == p },
+      "phase must not depend on epoch")
+    assert(e0.exists { case (k, (_, sk)) => e1(k)._2 != sk },
+      "sort keys must change across epochs")
+    // sketch path: same phases on well-separated scores
+    val approx = plan(0, exact = false)
+    val agree = e0.keys.count(k => e0(k)._1 == approx(k)._1)
+    assert(agree >= 9 && e0.keys.forall(k => math.abs(e0(k)._1 - approx(k)._1) <= 1))
+    intercept[IllegalArgumentException] {
+      TrainingData.curriculumPlan(docs, "doc_id", score, phases = 1)
+    }
+  }
 }
