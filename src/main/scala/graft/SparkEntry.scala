@@ -1655,6 +1655,16 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", "source")
         .orderBy("source", "metric")),
 
+    // Byte-entropy quality signal: one codegen'd 256-counter pass;
+    // padding/noise tails gate on this where token signals see words.
+    "q_quality_entropy" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(TextFunctions.byteEntropy(col("text")), 6).as("entropy_bits"))
+        .orderBy("doc_id")),
+
     // C4-style blocklist gate: lexicon token hits per doc (the demo
     // lexicon reuses fixture vocabulary; the list is caller policy).
     // One codegen'd tokenize+set-probe pass, row-local.
@@ -4695,6 +4705,25 @@ object SparkEntry {
         |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Byte entropy: fold -(p·log2 p) over SORTED distinct characters
+    // (ASCII text: char entropy == the engine's byte entropy; the fold
+    // order matches the kernel's ascending-byte-value sum).
+    "q_quality_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         list_sort(list_distinct(regexp_extract_all(text, '[\s\S]'))) AS cs,
+        |         regexp_extract_all(text, '[\s\S]') AS allc
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_chars,
+        |       round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |         list_sum(list_transform(cs, x ->
+        |           -(CAST(len(list_filter(allc, y -> y = x)) AS DOUBLE) / n)
+        |             * log2(CAST(len(list_filter(allc, y -> y = x)) AS DOUBLE) / n)))
+        |         END, 6) AS entropy_bits
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Blocklist gate: lexicon membership over the \S+ tokenization.
     "q_quality_blocklist" ->

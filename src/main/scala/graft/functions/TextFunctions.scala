@@ -314,6 +314,17 @@ object TextFunctions {
       .otherwise(c)
   }
 
+  /** Shannon entropy (bits) of the document's BYTE distribution — the
+    * compression-style quality signal: padded/repeated-character noise
+    * collapses toward 0 bits, natural prose sits ~4-4.5, and
+    * uniform-random bytes approach 8, so both degenerate tails of a
+    * corpus gate on one number. One codegen'd 256-counter pass
+    * (ByteEntropyExpr), zero shuffle. Byte entropy equals CHARACTER
+    * entropy on ASCII text; multi-byte scripts score their UTF-8 byte
+    * stream (still a perfectly usable signal, just not char entropy).
+    */
+  def byteEntropy(c: Column): Column = graft.plans.HashExpressions.byteEntropy(c)
+
   /** Quality features: a typical pre-training filter set (length, token
     * stats, punctuation/stopword ratios) plus a composite [0,1] score.
     */

@@ -907,6 +907,31 @@ object TrainingData {
       .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
   }
 
+  /** Realize an [[epochShuffle]] plan on disk: one directory per
+    * (epoch, shard), rows inside each file ordered by `sort_key` — the
+    * exactly-one-exchange materialization (`repartition(shard)` +
+    * sort-within-partitions; the write adds no further movement). A
+    * loader streams shard dirs in any order and reads each pre-shuffled
+    * sequentially; re-deriving the same epoch later reproduces
+    * identical files.
+    */
+  def writeEpochShards(plan: DataFrame, path: String): Unit = {
+    require(Seq("epoch", "shard", "sort_key").forall(plan.columns.contains),
+      "expected an epochShuffle plan frame (epoch, shard, sort_key)")
+    plan
+      .repartition(col("shard"))
+      // (epoch, shard) prefix satisfies the dynamic-partition writer's
+      // required ordering — sorting by sort_key alone would make the
+      // writer re-sort by partition columns (unstably) and scramble it
+      .sortWithinPartitions(col("epoch"), col("shard"), col("sort_key"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // dynamic: re-running an epoch rewrites exactly that epoch's
+      // dirs (replay-idempotent) and leaves other epochs untouched
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "shard")
+      .parquet(path)
+  }
+
   /** CURRICULUM plan (Bengio et al. 2009 shape): cut the corpus into
     * `phases` difficulty tranches by a caller-chosen score (token count
     * for the classic short-to-long curriculum, LM surprisal for

@@ -587,6 +587,23 @@ case class TokenSetCountExpr(child: Expression, set: Seq[String])
     copy(child = newChild)
 }
 
+/** Byte-distribution Shannon entropy (bits) — codegen'd single pass;
+  * see [[Kernels.byteEntropy]] for the summation-order contract.
+  */
+case class ByteEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(Kernels.byteEntropy(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.byteEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -606,6 +623,8 @@ object HashExpressions {
     column(TokenStatsExpr(expression(text), set))
 
   def normalizeWs(text: Column): Column = column(NormalizeWsExpr(expression(text)))
+
+  def byteEntropy(text: Column): Column = column(ByteEntropyExpr(expression(text)))
 
   def redactPii(text: Column): Column = column(RedactPiiExpr(expression(text)))
 

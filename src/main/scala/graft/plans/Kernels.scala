@@ -977,4 +977,34 @@ object Kernels {
     }
     if (b eq b0) s else UTF8String.fromBytes(b)
   }
+
+  /** Shannon entropy (bits) of the BYTE distribution of a string — the
+    * low-entropy signal that catches repeated-character padding and
+    * template noise where token-level signals see "valid words". One
+    * 256-counter pass; terms fold in ASCENDING byte-value order so the
+    * float sum is reproducible (and matches an oracle folding over
+    * sorted distinct characters — identical on ASCII text, where byte
+    * entropy IS character entropy; multi-byte UTF-8 diverges by
+    * design and is documented at the column level).
+    */
+  def byteEntropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < n) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    val ln2 = java.lang.Math.log(2.0)
+    var h = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) {
+        val p = c.toDouble / n
+        h += -(p * (java.lang.Math.log(p) / ln2))
+      }
+      b += 1
+    }
+    h
+  }
 }

@@ -250,4 +250,42 @@ class TextFunctionsSpec extends SparkSpec {
       graft.functions.TextFunctions.lexiconHitCount(col("t"), Seq.empty)
     }
   }
+
+  test("byteEntropy: hand values, reference implementation agreement on random text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ent(texts: String*): Seq[Double] =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+        .orderBy("id")
+        .select(graft.functions.TextFunctions.byteEntropy(col("t")))
+        .as[Double].collect().toSeq
+    val Seq(e0, e1, e2, e3) = ent("aaaa", "ab", "abcd", "")
+    assert(e0 == 0.0 && e3 == 0.0)
+    assert(math.abs(e1 - 1.0) < 1e-12)
+    assert(math.abs(e2 - 2.0) < 1e-12)
+
+    // reference fold (ascending byte order) on pseudo-random ASCII
+    def ref(t: String): Double = {
+      val bs = t.getBytes("UTF-8")
+      if (bs.isEmpty) 0.0
+      else {
+        val counts = new Array[Int](256)
+        bs.foreach(b => counts(b & 0xff) += 1)
+        counts.filter(_ > 0).foldLeft(0.0) { (h, c) =>
+          val p = c.toDouble / bs.length
+          h + -(p * (math.log(p) / math.log(2.0)))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val samples = (1 to 50).map(_ =>
+      (1 to rnd.nextInt(200) + 1).map(_ => (rnd.nextInt(94) + 33).toChar).mkString)
+    val got = ent(samples: _*)
+    samples.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"mismatch for ${t.take(20)}...")
+    }
+    // prose sits between degenerate and uniform
+    val Seq(prose) = ent("the quick brown fox jumps over the lazy dog")
+    assert(prose > 3.0 && prose < 5.0)
+  }
 }

@@ -771,4 +771,29 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.curriculumPlan(docs, "doc_id", score, phases = 1)
     }
   }
+
+  test("writeEpochShards: per-shard files sorted by sort_key, epoch rerun idempotent") {
+    val root = s"target/tmp/epoch_shards_${System.nanoTime()}"
+    val ids = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    val e0 = TrainingData.epochShuffle(ids, "doc_id", epoch = 0, numShards = 4, salt = "w")
+    TrainingData.writeEpochShards(e0, root)
+    TrainingData.writeEpochShards(
+      TrainingData.epochShuffle(ids, "doc_id", epoch = 1, numShards = 4, salt = "w"), root)
+    // rerun epoch 0 — dynamic overwrite, no duplication
+    TrainingData.writeEpochShards(e0, root)
+
+    val all = spark.read.parquet(root)
+    assert(all.count() == 400L, "two epochs, no duplicated rows")
+    for (sh <- 0 until 4) {
+      val rows = spark.read.parquet(s"$root/epoch=0/shard=$sh")
+        .select("sort_key").as[Long].collect().toSeq
+      assert(rows.nonEmpty && rows == rows.sorted,
+        s"shard $sh must be internally sorted")
+    }
+    assert(spark.read.parquet(s"$root/epoch=0").select("doc_id").as[Long]
+      .collect().toSet == (0L until 200L).toSet)
+    intercept[IllegalArgumentException] {
+      TrainingData.writeEpochShards(ids, root)
+    }
+  }
 }
