@@ -1655,6 +1655,21 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", "source")
         .orderBy("source", "metric")),
 
+    // Per-source distribution drift: KL(source || corpus) over unigram
+    // distributions — the feed-went-bad dashboard number.
+    "q_corpus_divergence" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceDivergence(
+          t(s, d, "documents"), "doc_id", "text", "source")
+        .orderBy("source")),
+
+    // Embedding-space dispersion per label: centroid norm + mean
+    // squared distance to centroid via the variance identity.
+    "q_emb_dispersion" -> ((s, d) =>
+      graft.operators.EmbeddingStats.dispersion(
+          t(s, d, "embeddings"), "embedding", "label")
+        .withColumnRenamed("grp", "label")
+        .orderBy("label")),
+
     // Byte-entropy quality signal: one codegen'd 256-counter pass;
     // padding/noise tails gate on this where token signals see words.
     "q_quality_entropy" -> ((s, d) =>
@@ -4705,6 +4720,55 @@ object SparkEntry {
         |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // KL(source || corpus): both censuses + the per-source fold.
+    "q_corpus_divergence" ->
+      """WITH toks AS (
+        |  SELECT d.source, unnest(regexp_extract_all(d.text, '\S+')) AS tok
+        |  FROM documents d
+        |), by_src AS (
+        |  SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok
+        |), src_tot AS (
+        |  SELECT source, sum(c_st) AS n_s FROM by_src GROUP BY source
+        |), corpus AS (
+        |  SELECT tok, count(*) AS c_t FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c_t) AS DOUBLE) AS total FROM corpus
+        |)
+        |SELECT b.source,
+        |       CAST(max(t.n_s) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab_size,
+        |       round(sum(
+        |         (CAST(b.c_st AS DOUBLE) / t.n_s)
+        |           * log2((CAST(b.c_st AS DOUBLE) / t.n_s)
+        |                  / (CAST(c.c_t AS DOUBLE) / (SELECT total FROM tot)))), 6)
+        |         AS kl_bits
+        |FROM by_src b
+        |JOIN corpus c USING (tok)
+        |JOIN src_tot t USING (source)
+        |GROUP BY b.source
+        |ORDER BY b.source""".stripMargin,
+
+    // Embedding dispersion: E||x||^2 - ||mu||^2 per label.
+    "q_emb_dispersion" ->
+      """WITH v AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), norms AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |         avg(list_dot_product(e, e)) AS msq
+        |  FROM v GROUP BY label
+        |), dims AS (
+        |  SELECT label, i, avg(e[CAST(i AS INT)]) AS mu
+        |  FROM (SELECT label, e, unnest(range(1, len(e) + 1)) AS i FROM v)
+        |  GROUP BY label, i
+        |), cent AS (
+        |  SELECT label, sum(mu * mu) AS c2 FROM dims GROUP BY label
+        |)
+        |SELECT n.label, n.n,
+        |       round(sqrt(c.c2), 6) AS centroid_norm,
+        |       round(n.msq - c.c2, 6) AS dispersion
+        |FROM norms n JOIN cent c USING (label)
+        |ORDER BY n.label""".stripMargin,
 
     // Byte entropy: fold -(p·log2 p) over SORTED distinct characters
     // (ASCII text: char entropy == the engine's byte entropy; the fold

@@ -299,6 +299,50 @@ object CorpusStats {
       .select(concat_ws(" ", col("p2"), col("p1"), col("tok")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n"))
 
+  /** Per-source DISTRIBUTION DRIFT: KL divergence (bits) of each
+    * source's unigram distribution from the whole-corpus distribution —
+    * the "which feed changed / which source is distributionally weird"
+    * number a corpus dashboard tracks next to the volume metrics. A
+    * source of ordinary prose scores near 0; a source that collapsed to
+    * boilerplate (or switched language, or started emitting binary
+    * junk) spikes. KL(source ‖ corpus) needs no smoothing: every
+    * source token is in the corpus by construction, so q > 0 wherever
+    * p > 0.
+    *
+    * Scale shape: one token explode, two map-side-combined censuses
+    * (per-source and corpus — the corpus one is vocabulary-sized and
+    * joins keyed by token with AQE handling the Zipf-hot stopwords),
+    * one per-source fold. No collect, no windows.
+    */
+  def sourceDivergence(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val toks = df.select(
+      col(sourceCol).as("source"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val bySrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcTotals = bySrc.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"))
+    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val totalRow = corpus.agg(sum(col("c_t"))).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "sourceDivergence needs a non-empty corpus")
+    val total = totalRow.getLong(0).toDouble
+    bySrc
+      .join(corpus, Seq("tok"))
+      .join(srcTotals, Seq("source"))
+      .withColumn("__p", col("c_st").cast("double") / col("n_s"))
+      .withColumn("__q", col("c_t").cast("double") / total)
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        round(sum(col("__p") * log2(col("__p") / col("__q"))), 6).as("kl_bits"))
+  }
+
   /** COUNT-THRESHOLD PRUNING for the n-gram LM censuses (the classic
     * count-cutoff of SRILM/Brants-style distributed LMs): drop census
     * rows with `n < minCount`. A pruned n-gram then scores through the

@@ -379,4 +379,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(s1.keys.forall(k => s1(k) == s2(k)),
       "frozen-census scores must not drift with batch composition")
   }
+
+  test("sourceDivergence: corpus-typical source ~0, skewed source > 0, hand value") {
+    // corpus: a = "x y" repeated (matches corpus mix), b = all "x".
+    // corpus dist: x 3/4, y 1/4.
+    // KL(a): p(x)=p(y)=1/2 -> .5*log2(.5/.75) + .5*log2(.5/.25) = 0.207518...
+    // KL(b): p(x)=1 -> log2(1/.75) = 0.415037...
+    val docs = Seq(
+      (1L, "a", "x y"),
+      (2L, "b", "x x")).toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceDivergence(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((2L, 2L, 0.207519)))
+    assert(got("b") == ((2L, 1L, 0.415037)))
+
+    // a source drawn from the corpus distribution scores near zero
+    val big = ((1 to 50).map(i => (i.toLong, "c", "u v w")) ++
+      (51 to 100).map(i => (i.toLong, "d", "u v w")))
+      .toDF("doc_id", "source", "text")
+    CorpusStats.sourceDivergence(big, "doc_id", "text", "source")
+      .collect().foreach(r => assert(math.abs(r.getDouble(3)) < 1e-9, r.toString))
+  }
+
+  test("EmbeddingStats.dispersion: collapsed group 0, spread group by hand") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.0f)),            // collapsed: dispersion 0
+      (3L, 1, Array(2.0f, 0.0f)),
+      (4L, 1, Array(0.0f, 2.0f)))            // mu=(1,1), E||x||^2=4, ||mu||^2=2
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.operators.EmbeddingStats.dispersion(vecs, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0) == ((2L, 1.0, 0.0)))
+    assert(got(1)._1 == 2L)
+    assert(math.abs(got(1)._2 - math.sqrt(2.0)) < 1e-6)
+    assert(got(1)._3 == 2.0)
+  }
 }
