@@ -1655,6 +1655,44 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", "source")
         .orderBy("source", "metric")),
 
+    // WET-style markup strip over synthesized HTML (script/style die
+    // with content, tags -> space, entities unescape, &amp; last);
+    // reconstruction pinned at md5 level after whitespace normalize.
+    "q_text_strip_markup" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">p {color: red}</style>" +
+          "</head><body class=\"main\"><h1>"),
+        substring(col("text"), 1, 20),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp; more &lt;tags&gt;</p>" +
+          "<script>var x = 1 < 2; if (x) { alert(\"hi\"); }</script>" +
+          "</body></html>"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          md5(TextFunctions.normalizeWhitespace(TextFunctions.stripMarkup(html)))
+            .as("clean_hash"),
+          length(TextFunctions.normalizeWhitespace(TextFunctions.stripMarkup(html)))
+            .cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode NFC normalization: decomposed sequences (combining
+    // accents) compose; byte lengths shrink, md5 pinned.
+    "q_text_nfc" -> ((s, d) => {
+      val decomposed = concat(col("text"),
+        // DECOMPOSED accents (e + U+0301, i + U+0308) — NFC composes them
+        lit(" cafe\u0301 nai\u0308ve"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(decomposed).cast("long").as("bytes_raw"),
+          octet_length(TextFunctions.normalizeNfc(decomposed)).cast("long")
+            .as("bytes_nfc"),
+          md5(TextFunctions.normalizeNfc(decomposed)).as("nfc_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source distribution drift: KL(source || corpus) over unigram
     // distributions — the feed-went-bad dashboard number.
     "q_corpus_divergence" -> ((s, d) =>
@@ -4720,6 +4758,54 @@ object SparkEntry {
         |       words_ok * word_len_ok * symbol_ok * bullet_ok * ellipsis_ok
         |         * alpha_ok * stopword_ok AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Markup strip: same regex cascade (RE2 intersection, 'g' flag is
+    // DuckDB's all-occurrences; Spark is always-global), literal
+    // entities via plain replace(), then the whitespace-normalize
+    // (lower + collapse + trim) replay.
+    "q_text_strip_markup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><head><style type="text/css">p {color: red}</style></head><body class="main"><h1>'
+        |           || substr(text, 1, 20) || '</h1><p>' || text
+        |           || ' &amp; more &lt;tags&gt;</p><script>var x = 1 < 2; if (x) { alert("hi"); }</script></body></html>'
+        |           AS html
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(html,
+        |             '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |           '<[^>]+>', ' ', 'g') AS x
+        |  FROM h
+        |), s2 AS (
+        |  SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(replace(x,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+        |           '&amp;', '&') AS x
+        |  FROM s1
+        |), clean AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(x), '\s+', ' ', 'g')) AS c
+        |  FROM s2
+        |)
+        |SELECT doc_id, md5(c) AS clean_hash,
+        |       CAST(length(c) AS BIGINT) AS clean_len
+        |FROM clean ORDER BY doc_id""".stripMargin,
+
+    // NFC: DuckDB's nfc_normalize over the same decomposed suffix.
+    "q_text_nfc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(strlen(s) AS BIGINT) AS bytes_raw,
+        |       CAST(strlen(nfc_normalize(s)) AS BIGINT) AS bytes_nfc,
+        |       md5(nfc_normalize(s)) AS nfc_hash
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // KL(source || corpus): both censuses + the per-source fold.
     "q_corpus_divergence" ->

@@ -314,6 +314,41 @@ object TextFunctions {
       .otherwise(c)
   }
 
+  /** Unicode NFC normalization (compose decomposed sequences): run it
+    * BEFORE fingerprinting or lexicon matching on multilingual text —
+    * "café" in NFC and NFD are different byte strings and would split a
+    * dedup group or dodge a blocklist. Codegen'd with an ASCII fast
+    * path (one scan, zero work on the dominant case). The oracle replay
+    * is DuckDB's nfc_normalize.
+    */
+  def normalizeNfc(c: Column): Column = graft.plans.HashExpressions.nfcNormalize(c)
+
+  /** Strip HTML/XML markup — the WET-style text-extraction stage every
+    * web corpus runs before any quality signal: script/style elements
+    * die WITH their content, remaining tags become a single space (so
+    * `</p><p>` never glues words), and the common named/numeric
+    * entities unescape (`&amp;` LAST — unescaping it earlier would
+    * double-decode `&amp;lt;`). A regex cascade in the Java-regex/RE2
+    * intersection, so the DuckDB oracle replays it verbatim; row-local
+    * and shuffle-free like the rest of the annotate scan. Compose with
+    * [[normalizeWhitespace]] afterwards — tag removal deliberately
+    * leaves the spacing for the caller's normalizer.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      """(?is)<(script|style)[^>]*>.*?</(script|style)>""", " ")
+    val noTags = regexp_replace(noScript, """<[^>]+>""", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&") // amp last: see scaladoc
+    // entity strings contain no regex metacharacters, and staying
+    // plain keeps the pattern in the RE2 intersection (\Q\E is not)
+    entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+  }
+
   /** Shannon entropy (bits) of the document's BYTE distribution — the
     * compression-style quality signal: padded/repeated-character noise
     * collapses toward 0 bits, natural prose sits ~4-4.5, and

@@ -604,6 +604,21 @@ case class ByteEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** NFC normalization via [[Kernels.nfcNormalize]] (ASCII fast path). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -625,6 +640,8 @@ object HashExpressions {
   def normalizeWs(text: Column): Column = column(NormalizeWsExpr(expression(text)))
 
   def byteEntropy(text: Column): Column = column(ByteEntropyExpr(expression(text)))
+
+  def nfcNormalize(text: Column): Column = column(NfcNormalizeExpr(expression(text)))
 
   def redactPii(text: Column): Column = column(RedactPiiExpr(expression(text)))
 

@@ -1007,4 +1007,19 @@ object Kernels {
     }
     h
   }
+
+  /** Unicode NFC normalization (JDK Normalizer) — composes decomposed
+    * sequences (e + combining acute -> é) so that dedup fingerprints
+    * and lexicon matches don't split on encoding form. ASCII fast path:
+    * the common case pays one scan and zero allocations.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = (bytes(i) & 0x80) == 0; i += 1 }
+    if (ascii) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -288,4 +288,51 @@ class TextFunctionsSpec extends SparkSpec {
     val Seq(prose) = ent("the quick brown fox jumps over the lazy dog")
     assert(prose > 3.0 && prose < 5.0)
   }
+
+  test("stripMarkup: script/style content dies, tags space-separate, entities once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def strip(t: String): String =
+      Seq(Tuple1(t)).toDF("t")
+        .select(graft.functions.TextFunctions.stripMarkup(col("t")))
+        .as[String].collect().head
+    assert(strip("<p>hello</p><p>world</p>").trim.split("\\s+").toSeq ==
+      Seq("hello", "world"), "tags must not glue words")
+    assert(!strip("<script>var secret = 1;</script>keep").contains("secret"))
+    assert(!strip("<style>p {color: red}</style>keep").contains("color"))
+    assert(strip("""<SCRIPT type="x">a</SCRIPT>ok""").trim == "ok",
+      "case-insensitive element match")
+    // double-escaped entity decodes exactly ONCE
+    assert(strip("&amp;lt;").trim == "&lt;")
+    assert(strip("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;").trim ==
+      """a & b <c> "d" 'e'""")
+    assert(strip("plain text unchanged") == "plain text unchanged")
+  }
+
+  test("normalizeNfc: decomposed composes, fingerprints unify, ASCII is identity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "ascii only"))
+      .toDF("id", "t")
+      .select(col("id"),
+        graft.functions.TextFunctions.normalizeNfc(col("t")).as("n"),
+        octet_length(col("t")).as("b0"),
+        octet_length(graft.functions.TextFunctions.normalizeNfc(col("t"))).as("b1"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rows(1L)._1 == composed, "NFC must compose e + combining acute")
+    assert(rows(1L)._2 == 6 && rows(1L)._3 == 5)
+    assert(rows(2L)._1 == composed && rows(2L)._2 == 5)
+    assert(rows(3L)._1 == "ascii only" && rows(3L)._2 == rows(3L)._3)
+    // fingerprints unify across encoding forms only AFTER NFC
+    val fp = Seq((1L, decomposed), (2L, composed)).toDF("id", "t")
+      .select(
+        graft.functions.TextFunctions.fingerprint(col("t")).as("raw"),
+        graft.functions.TextFunctions.fingerprint(
+          graft.functions.TextFunctions.normalizeNfc(col("t"))).as("nfc"))
+      .collect()
+    assert(fp(0).getString(0) != fp(1).getString(0))
+    assert(fp(0).getString(1) == fp(1).getString(1))
+  }
 }
