@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, HybridRetrieval, Layout, Multimodal, Quantization, Selection, SemanticDedup, SimilaritySearch, SubstringDedup, TfIdf, TrainingData, Upsert}
+import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, Dsir, HybridRetrieval, Layout, Multimodal, Quantization, Selection, SemanticDedup, SimilaritySearch, SubstringDedup, TfIdf, TrainingData, Upsert}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -920,6 +920,66 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "shard_idx", "start_offset")
         .orderBy("doc_id")),
 
+    // Embedding covariance matrix (upper triangle): one distributed
+    // moment fold (n, sum x, sum xx^T — counters cross the wire, never
+    // vectors), d^2 rows materialized driver-side. The raw statistic
+    // behind PCA/whitening; oracle replays avg(xi*xj) - mu_i*mu_j.
+    "q_emb_covariance" -> ((s, d) =>
+      graft.operators.EmbeddingStats.covariance(t(s, d, "embeddings"), "embedding")
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")),
+
+    // Distributed PCA (same moment fold + driver eigendecomposition,
+    // sign-canonicalized axes) projecting every embedding to 8
+    // components via one codegen'd affine mat-vec. Rows-only: LAPACK
+    // eigenvector state is engine-internal (SURVEY §8); the basis is
+    // spec-pinned (orthonormal, descending, variance-capturing).
+    "q_emb_pca" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.EmbeddingStats.pca(emb, "embedding", 8)
+      graft.operators.EmbeddingStats.pcaProject(emb, "embedding", model, "proj")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("component", "value")))
+        .select(col("vec_id"), col("component"),
+          round(col("value"), 6).as("value"))
+        .orderBy("vec_id", "component")
+    }),
+
+    // FineWeb-style per-domain cap: synthesize deterministic URLs
+    // (md5-chosen host from a fixed list), extract host + registered
+    // domain (portable regex / label heuristic — NOT parse_url, which
+    // has no cross-engine twin), keep at most 30 md5-deterministic
+    // docs per registered domain via the bounded-heap per-group
+    // sampler. Oracle replays extraction + a rank window.
+    "q_url_domain_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hosts = array(
+        lit("en.wikipedia.org"), lit("news.bbc.co.uk"), lit("blogs.example.com"),
+        lit("www.gov.uk"), lit("cdn.a.co.jp"), lit("example.net"))
+      val urld = docs.withColumn("url",
+          concat(lit("https://"),
+            element_at(hosts,
+              (pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit("u"))), 1, 2),
+                16, 10).cast("long"), lit(6L)) + 1).cast("int")),
+            lit("/p/"), col("doc_id").cast("string")))
+        .withColumn("host", TextFunctions.urlHost(col("url")))
+        .withColumn("domain", TextFunctions.registeredDomain(col("host")))
+      TrainingData.exactSamplePerGroup(urld, "doc_id", "domain", k = 30, salt = "dc")
+        .select("doc_id", "host", "domain")
+        .orderBy("doc_id")
+    }),
+
+    // GPT-style concat-and-chunk sequence packing: the corpus token
+    // stream (in doc_id order) cut into fixed 64-token training
+    // windows; one row per (doc x overlapped sequence) with the
+    // in-doc token range and in-sequence offset. Global cumsum runs
+    // two-phase (range partitions -> counter prefix -> parallel
+    // windows); the oracle replays the naive global window.
+    "q_pack_sequences" -> ((s, d) =>
+      TrainingData.packSequences(
+          t(s, d, "documents"), "doc_id",
+          TextFunctions.tokenCount(col("text")), seqLen = 64L, numRanges = 5)
+        .orderBy("doc_id", "seq_idx")),
+
     // Quality-weighted sampling: keep probability = the document's
     // quality score, drawn deterministically from md5(id,salt) — the
     // standard curation move (sample better data more) with replayable
@@ -997,6 +1057,36 @@ object SparkEntry {
           k = 10, salt = "wst")
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // DSIR importance weights (Xie et al. 2023): log p_target - log p_raw
+    // under bag-of-hashed-ngram unigram models (uni+bi grams, 1024
+    // buckets, add-one smoothing); target = the English slice. Scoring
+    // is a row-local fold over the doc's sorted bucket sequence against
+    // an inlined log-ratio array — zero shuffle. Oracle rebuilds both
+    // censuses, the dense smoothed ratio table, and the ordered fold.
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tc = Dsir.featureCensus(docs.filter(col("lang") === "en"), "text", 1024)
+      val rc = Dsir.featureCensus(docs, "text", 1024)
+      Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 1024)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR resample: exactly-k without replacement, P proportional to
+    // exp(log_weight), via the ES race in LOG space (key =
+    // ln(-ln u) - log_weight; exp never materialized). Oracle replays
+    // the full weight computation plus the log-key ORDER BY ... LIMIT k.
+    "q_dsir_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tc = Dsir.featureCensus(docs.filter(col("lang") === "en"), "text", 1024)
+      val rc = Dsir.featureCensus(docs, "text", 1024)
+      val w = Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 1024)
+      Dsir.resampleTopK(w, "doc_id", col("log_weight"), 120L,
+          salt = "dsir", tailThreshold = 64)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
 
     // Stratified exactly-k ([[TrainingData.exactSamplePerGroup]]):
     // min(k, |group|) deterministic rows per source via the bounded-
@@ -3644,6 +3734,93 @@ object SparkEntry {
         |       CAST(prior - CAST(floor(prior / 2048.0) AS BIGINT) * 2048 AS INT) AS start_offset
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // Per-pair covariance replay: explode with ordinality, self-join on
+    // vec_id (upper triangle), avg(xy) - avg(x)avg(y).
+    "q_emb_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(u.i - 1 AS INT) AS i, CAST(u.x AS DOUBLE) AS x
+        |  FROM embeddings, unnest(embedding) WITH ORDINALITY AS u(x, i)
+        |), m AS (
+        |  SELECT i, avg(x) AS mu FROM x GROUP BY i
+        |), p AS (
+        |  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+        |  FROM x a JOIN x b USING (vec_id)
+        |  WHERE a.i <= b.i
+        |  GROUP BY a.i, b.i
+        |)
+        |SELECT p.i, p.j, round(p.exy - ma.mu * mb.mu, 6) AS cov
+        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+        |ORDER BY p.i, p.j""".stripMargin,
+
+    // URL synthesis (2-hex md5 pick), host regex, registered-domain
+    // label heuristic, then the 13-hex sample-key rank window capped
+    // at 30 per domain — all replayed.
+    "q_url_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+        |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+        |      CAST(((strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 2, 1)) - 1)) % 6 + 1 AS INT)
+        |    ] || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(url,
+        |           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM u
+        |), dm AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+        |         WHEN string_split(host, '.')[len(string_split(host, '.')) - 1]
+        |                IN ('co','com','net','org','gov','ac','edu')
+        |              AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
+        |           THEN array_to_string(string_split(host, '.')[
+        |                  len(string_split(host, '.')) - 2 : len(string_split(host, '.'))], '.')
+        |         ELSE array_to_string(string_split(host, '.')[
+        |                  len(string_split(host, '.')) - 1 : len(string_split(host, '.'))], '.')
+        |    END AS domain
+        |  FROM h
+        |), keyed AS (
+        |  SELECT doc_id, host, domain,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      (CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR) || 'dc'), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS h52
+        |  FROM dm
+        |), ranked AS (
+        |  SELECT doc_id, host, domain,
+        |         row_number() OVER (PARTITION BY domain ORDER BY h52, doc_id) AS rn
+        |  FROM keyed
+        |)
+        |SELECT doc_id, host, domain FROM ranked WHERE rn <= 30
+        |ORDER BY doc_id""".stripMargin,
+
+    // Concat-and-chunk replay: global ordered cumsum window, spans via
+    // range() over the crossed sequence indices, integer division.
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |         CAST(sum(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+        |  FROM t WHERE n > 0
+        |), s AS (
+        |  SELECT doc_id, n, cend, cend - n AS cstart FROM c
+        |)
+        |SELECT doc_id,
+        |       CAST(u.s AS BIGINT) AS seq_idx,
+        |       CAST(greatest(0, u.s * 64 - cstart) AS BIGINT) AS start_tok,
+        |       CAST(least(n, (u.s + 1) * 64 - cstart) AS BIGINT) AS end_tok,
+        |       CAST(greatest(0, cstart - u.s * 64) AS BIGINT) AS seq_off
+        |FROM s, unnest(range(cstart // 64, (cend - 1) // 64 + 1)) AS u(s)
+        |ORDER BY doc_id, seq_idx""".stripMargin,
+
     // Quality replay (q_text_quality's expression) + md5-prefix draw
     // expanded to an integer, compared against floor(quality * 2^32).
     "q_quality_sample" ->
@@ -3801,6 +3978,96 @@ object SparkEntry {
         |)
         |SELECT doc_id, source FROM ranked WHERE rn <= 10
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR: rebuild both hashed-gram censuses (uni+bi grams, 60-bit md5
+    // parse % 1024), the dense add-one-smoothed log-ratio table, and
+    // fold each doc's occurrences in ascending bucket order (list ORDER
+    // BY b -> sequential list_sum matches Spark's sorted-array fold).
+    "q_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), occ AS (
+        |  SELECT tk.doc_id, tk.lang,
+        |    CAST(CAST(list_sum(list_transform(range(15), i ->
+        |      (CAST(strpos('0123456789abcdef',
+        |          substr(md5(g.g), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4*(14-i) AS INT)))) AS BIGINT) % 1024 AS INT) AS b
+        |  FROM tk, unnest(list_concat(
+        |         tk.ts,
+        |         list_transform(range(greatest(len(tk.ts) - 1, 0)), i ->
+        |           array_to_string(tk.ts[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')))) AS g(g)
+        |), tcnt AS (
+        |  SELECT b, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY b
+        |), rcnt AS (
+        |  SELECT b, count(*) AS c FROM occ GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM occ WHERE lang = 'en') AS tt,
+        |         (SELECT count(*) FROM occ) AS rt
+        |), lr AS (
+        |  SELECT CAST(u.b AS INT) AS b,
+        |         (ln(coalesce(t.c, 0) + 1.0) - ln(CAST(tot.tt AS DOUBLE) + 1024.0))
+        |         - (ln(coalesce(r.c, 0) + 1.0) - ln(CAST(tot.rt AS DOUBLE) + 1024.0)) AS v
+        |  FROM range(1024) u(b)
+        |  LEFT JOIN tcnt t ON t.b = u.b
+        |  LEFT JOIN rcnt r ON r.b = u.b
+        |  CROSS JOIN tot
+        |), scored AS (
+        |  SELECT o.doc_id, list_sum(list(lr.v ORDER BY o.b)) AS lw
+        |  FROM occ o JOIN lr ON lr.b = o.b
+        |  GROUP BY o.doc_id
+        |)
+        |SELECT d.doc_id, round(coalesce(s.lw, 0.0), 6) AS log_weight
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR resample: the same weight computation feeding the log-space
+    // ES race — ORDER BY ln(-ln((h52+1)/2^52)) - log_weight, id LIMIT k.
+    "q_dsir_sample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), occ AS (
+        |  SELECT tk.doc_id, tk.lang,
+        |    CAST(CAST(list_sum(list_transform(range(15), i ->
+        |      (CAST(strpos('0123456789abcdef',
+        |          substr(md5(g.g), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4*(14-i) AS INT)))) AS BIGINT) % 1024 AS INT) AS b
+        |  FROM tk, unnest(list_concat(
+        |         tk.ts,
+        |         list_transform(range(greatest(len(tk.ts) - 1, 0)), i ->
+        |           array_to_string(tk.ts[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')))) AS g(g)
+        |), tcnt AS (
+        |  SELECT b, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY b
+        |), rcnt AS (
+        |  SELECT b, count(*) AS c FROM occ GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM occ WHERE lang = 'en') AS tt,
+        |         (SELECT count(*) FROM occ) AS rt
+        |), lr AS (
+        |  SELECT CAST(u.b AS INT) AS b,
+        |         (ln(coalesce(t.c, 0) + 1.0) - ln(CAST(tot.tt AS DOUBLE) + 1024.0))
+        |         - (ln(coalesce(r.c, 0) + 1.0) - ln(CAST(tot.rt AS DOUBLE) + 1024.0)) AS v
+        |  FROM range(1024) u(b)
+        |  LEFT JOIN tcnt t ON t.b = u.b
+        |  LEFT JOIN rcnt r ON r.b = u.b
+        |  CROSS JOIN tot
+        |), scored AS (
+        |  SELECT o.doc_id, list_sum(list(lr.v ORDER BY o.b)) AS lw
+        |  FROM occ o JOIN lr ON lr.b = o.b
+        |  GROUP BY o.doc_id
+        |), keyed AS (
+        |  SELECT d.doc_id, d.lang, d.source, coalesce(s.lw, 0.0) AS lw,
+        |    CAST(list_sum(list_transform(range(13), i ->
+        |      (CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(d.doc_id AS VARCHAR) || 'dsir'), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS h52
+        |  FROM documents d LEFT JOIN scored s USING (doc_id)
+        |)
+        |SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source
+        |  FROM keyed
+        |  ORDER BY ln(-ln((CAST(h52 AS DOUBLE) + 1) / 4503599627370496.0)) - lw, doc_id
+        |  LIMIT 120
+        |) ORDER BY doc_id""".stripMargin,
 
     "q_pack_manifest" ->
       """WITH t AS (

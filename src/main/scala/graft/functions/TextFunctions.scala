@@ -105,6 +105,38 @@ object TextFunctions {
         i => s.substr(i, lit(n))))
   }
 
+  /** URL host: the authority's host part, lowercased — scheme required
+    * (a URL corpus column, not free text), credentials/port/path/query
+    * stripped by the character class. Plain `regexp_extract` rather
+    * than Spark's `parse_url` so the DuckDB oracle replays the exact
+    * same extraction (parse_url's java.net.URI semantics have no
+    * cross-engine twin). Non-URLs yield the empty string.
+    */
+  def urlHost(c: Column): Column =
+    lower(regexp_extract(c, """^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)""", 1))
+
+  /** Registered (pay-level) domain from a host: the last two labels,
+    * or three when the second-to-last is a common second-level suffix
+    * under a 2-letter ccTLD (`bbc.co.uk`, not `co.uk`). A public-
+    * suffix-list lookup is a data file, not an algorithm — this is the
+    * standard offline heuristic (covers the co/com/net/org/gov/ac/edu
+    * second-levels that dominate real crawls), and the seam for a full
+    * PSL is a broadcast join on this column. Hosts with <= 2 labels
+    * pass through unchanged.
+    */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val np = size(parts)
+    val secondLevel = element_at(parts, -2)
+    val tld = element_at(parts, -1)
+    when(np <= 2, host)
+      .otherwise(when(
+        secondLevel.isin("co", "com", "net", "org", "gov", "ac", "edu") &&
+          length(tld) === 2,
+        concat_ws(".", slice(parts, -3, 3)))
+        .otherwise(concat_ws(".", slice(parts, -2, 2))))
+  }
+
   /** Punctuation character count (explicit class — identical semantics in
     * Java regex and RE2, unlike `\p{Punct}`).
     */

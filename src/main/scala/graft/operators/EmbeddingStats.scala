@@ -44,4 +44,121 @@ object EmbeddingStats {
         round(sqrt(col("__c2")), 6).as("centroid_norm"),
         round(col("__msq") - col("__c2"), 6).as("dispersion"))
   }
+
+  /** One distributed pass collecting the moment statistics PCA and the
+    * covariance need: (n, Σx, Σxxᵀ). mapPartitions folds into three
+    * local accumulators (d + d² doubles), reduce merges partition
+    * results — counters cross the wire, never vectors (the OPQ
+    * Procrustes scatter-fold shape).
+    */
+  private def moments(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Double]) = {
+    val rdd = df
+      .select(graft.functions.VectorOps.asDouble(col(vecCol)).as("__v"))
+      .na.drop("any")
+      .rdd.map(_.getSeq[Double](0))
+    rdd.mapPartitions { it =>
+      var n = 0L
+      var s: Array[Double] = null
+      var ss: Array[Double] = null
+      it.foreach { v =>
+        val d = v.length
+        if (s == null) { s = new Array[Double](d); ss = new Array[Double](d * d) }
+        require(d * d == ss.length, s"ragged embedding dims: $d vs ${s.length}")
+        n += 1
+        var i = 0
+        while (i < d) {
+          val xi = v(i)
+          s(i) += xi
+          val base = i * d
+          var j = 0
+          while (j < d) { ss(base + j) += xi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty else Iterator.single((n, s, ss))
+    }.reduce { (a, b) =>
+      require(a._2.length == b._2.length, "ragged embedding dims across partitions")
+      var i = 0
+      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+      i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+  }
+
+  /** Population covariance matrix of the embedding column as a
+    * (i, j, cov) frame, i <= j (symmetric): cov = Σxxᵀ/n − μμᵀ. The
+    * corpus pass is the [[moments]] fold; the d²-sized result
+    * materializes driver-side (metadata, like a centroid table). The
+    * SQL oracle replays avg(x_i·x_j) − avg(x_i)·avg(x_j) per pair.
+    */
+  def covariance(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, s, ss) = moments(df, vecCol)
+    val d = s.length
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield (i, j, ss(i * d + j) / n - (s(i) / n) * (s(j) / n))
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** A fitted PCA basis: per-dimension mean, k orthonormal axes (rows,
+    * descending eigenvalue), and the explained variance per axis.
+    */
+  case class PcaModel(
+      mean: Array[Double],
+      axes: Array[Array[Double]],
+      explained: Array[Double]) {
+    def k: Int = axes.length
+    def d: Int = mean.length
+  }
+
+  /** Distributed PCA of the embedding column: ONE corpus pass (the
+    * [[moments]] fold — counters to the driver, never vectors), then a
+    * driver-side symmetric eigendecomposition of the d×d covariance
+    * (breeze/LAPACK dsyev — d is embedding-sized, trivially
+    * driver-shaped; the corpus never reshuffles). Axes are
+    * sign-canonicalized (largest-|component| entry positive, first
+    * index on ties) so the basis is deterministic despite LAPACK's
+    * eigenvector sign freedom. The eigen state itself is
+    * engine-internal — PCA queries are rows-only with spec pinning
+    * (orthonormality, descending explained variance, variance
+    * capture), like the KMeans families.
+    */
+  def pca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    require(k >= 1, s"component count must be >= 1, got $k")
+    val (n, s, ss) = moments(df, vecCol)
+    val d = s.length
+    require(k <= d, s"k=$k exceeds embedding dim $d")
+    val cov = breeze.linalg.DenseMatrix.tabulate(d, d) { (i, j) =>
+      ss(i * d + j) / n - (s(i) / n) * (s(j) / n)
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns eigenvalues ascending; take the top k, largest first.
+    val order = (d - 1) to (d - k) by -1
+    val axes = order.map { c =>
+      val v = Array.tabulate(d)(r => es.eigenvectors(r, c))
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) v.map(x => -x) else v
+    }.toArray
+    val explained = order.map(es.eigenvalues(_)).toArray
+    PcaModel(s.map(_ / n), axes, explained)
+  }
+
+  /** Project the embedding column onto a fitted basis: y = A(x − μ) as
+    * one codegen'd affine mat-vec per row (A·μ folded into a constant
+    * offset) — row-local, zero shuffle, the cheap front half of
+    * dimensionality-reduced dedup/retrieval.
+    */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel, outCol: String): DataFrame = {
+    val flat = model.axes.flatten.toSeq
+    val offset = model.axes.map(a =>
+      a.zip(model.mean).map { case (w, m) => w * m }.sum).toSeq
+    df.withColumn(outCol,
+      graft.plans.HashExpressions.matVecAffine(
+        graft.functions.VectorOps.asDouble(col(vecCol)),
+        flat, offset, model.k, model.d))
+  }
 }

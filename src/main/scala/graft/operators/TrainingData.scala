@@ -46,6 +46,65 @@ object TrainingData {
       .drop("_cum")
   }
 
+  /** GPT-style CONCAT-AND-CHUNK sequence packing: conceptually join
+    * every document's token stream in `idCol` order into one corpus
+    * stream and cut it into fixed `seqLen` training windows. Emits one
+    * row per (document × training sequence it overlaps): `seq_idx`, the
+    * in-document token range `[start_tok, end_tok)` that lands in the
+    * sequence, and `seq_off`, where it starts inside the sequence — the
+    * loader-facing complement to [[packShards]] (which keeps documents
+    * whole): here documents CROSS sequence boundaries, every sequence
+    * except the tail is exactly full, and no padding exists.
+    *
+    * The global ordered cumsum is the scale hazard (a naive
+    * `Window.orderBy(id)` with no partition key is ONE task over the
+    * corpus), so it runs two-phase: `repartitionByRange(id)` →
+    * per-partition totals (`numRanges` counters to the driver, not
+    * rows) → exclusive prefix per partition broadcast back → the
+    * per-partition window cumsum runs in parallel with its base added.
+    * Range boundaries are sampled and may move between runs, but every
+    * row's global prefix is boundary-invariant (ranges are contiguous
+    * in id), so the output is deterministic and partition-count
+    * independent (spec-pinned 1 == 5). Zero-token documents emit no
+    * spans.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      seqLen: Long,
+      numRanges: Int = 0): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numRanges > 0) numRanges
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(col(idCol), tokenCount.cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val ranged = base.repartitionByRange(parts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val totals = ranged.groupBy("__pid").agg(sum("__n").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = totals.scanLeft(0L)(_ + _._2).init
+    val prefDf = broadcast(
+      totals.map(_._1).zip(prefix).toSeq.toDF("__pid", "__base"))
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+    ranged.join(prefDf, Seq("__pid"))
+      .withColumn("__cend", sum(col("__n")).over(w) + col("__base"))
+      .withColumn("__cstart", col("__cend") - col("__n"))
+      .withColumn("seq_idx",
+        explode(sequence(
+          expr(s"__cstart div $seqLen"), expr(s"(__cend - 1) div $seqLen"))))
+      .select(
+        col(idCol),
+        col("seq_idx"),
+        greatest(lit(0L), col("seq_idx") * seqLen - col("__cstart")).as("start_tok"),
+        least(col("__n"), (col("seq_idx") + lit(1L)) * seqLen - col("__cstart")).as("end_tok"),
+        greatest(lit(0L), col("__cstart") - col("seq_idx") * seqLen).as("seq_off"))
+  }
+
   /** Per-shard manifest over a [[packShards]] result: one row per
     * (group, shard) with document count, token sum, and the id range —
     * what a training loader consumes to map shards to file paths and

@@ -405,6 +405,33 @@ case class MatVecExpr(child: Expression, matrix: Seq[Double], d: Int)
     copy(child = newChild)
 }
 
+/** Rectangular affine mat-vec (rows x cols, minus a constant offset) —
+  * the PCA projection step: y = A·x − A·μ.
+  */
+case class MatVecAffineExpr(
+    child: Expression, matrix: Seq[Double], offset: Seq[Double],
+    rows: Int, cols: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val mat: Array[Double] = matrix.toArray
+  @transient private lazy val off: Array[Double] = offset.toArray
+
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.matVecAffine(input.asInstanceOf[ArrayData], mat, off, rows, cols)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("projMatrix", mat, "double[]")
+    val oref = ctx.addReferenceObj("projOffset", off, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.Kernels.matVecAffine($c, $mref, $oref, $rows, $cols)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whitespace-token count — codegen'd `size(regexp_extract_all(c, '\S+'))`. */
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
 
@@ -664,6 +691,11 @@ object HashExpressions {
 
   def matVec(vec: Column, matrix: Seq[Double], d: Int): Column =
     column(MatVecExpr(expression(vec), matrix, d))
+
+  def matVecAffine(
+      vec: Column, matrix: Seq[Double], offset: Seq[Double],
+      rows: Int, cols: Int): Column =
+    column(MatVecAffineExpr(expression(vec), matrix, offset, rows, cols))
 
   def bloomCount(hashes: Column, bloomBytes: Seq[Byte]): Column =
     column(BloomCountExpr(expression(hashes), bloomBytes))

@@ -937,6 +937,27 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Rectangular AFFINE mat-vec: out[i] = sum_j mat(i*cols + j) * v(j)
+    * - off(i) — the PCA projection y = A·x − A·μ with the constant A·μ
+    * folded into `off`, so mean-centering costs zero per-row work.
+    * Row-major flat (rows × cols) matrix.
+    */
+  def matVecAffine(
+      v: ArrayData, mat: Array[Double], off: Array[Double],
+      rows: Int, cols: Int): ArrayData = {
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      var s = 0.0
+      val base = i * cols
+      var j = 0
+      while (j < cols) { s += mat(base + j) * v.getDouble(j); j += 1 }
+      out(i) = s - off(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric distance computation: score(codes) = sum over subspaces
     * of lut(sub*kc + code). The LUT holds the query's per-centroid
     * partial dots, so a corpus scan is m table lookups per vector — no

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 64
+
+  // Two "dialects": target-ish docs reuse a small shared vocabulary,
+  // off-target docs draw from a disjoint one.
+  private def corpus = Seq(
+    (1L, "t", "alpha beta gamma alpha beta"),
+    (2L, "t", "beta gamma delta alpha"),
+    (3L, "t", "gamma alpha beta beta"),
+    (4L, "o", "zeta eta theta iota"),
+    (5L, "o", "eta theta iota kappa zeta"),
+    (6L, "o", "theta kappa zeta eta"),
+    (7L, "o", "")
+  ).toDF("doc_id", "grp", "text")
+
+  test("identical target and raw censuses give exactly zero weights") {
+    val c = Dsir.featureCensus(corpus, "text", B)
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text", c, c, B)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    assert(w.size == 7)
+    // The smoothed log terms cancel symbolically per bucket, so the
+    // fold adds literal zeros — exact, not approximate.
+    w.values.foreach(v => assert(v == 0.0))
+  }
+
+  test("target-like documents score higher; gramless doc scores 0.0") {
+    val target = corpus.filter($"grp" === "t")
+    val tc = Dsir.featureCensus(target, "text", B)
+    val rc = Dsir.featureCensus(corpus, "text", B)
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text", tc, rc, B)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    val tAvg = Seq(1L, 2L, 3L).map(w).sum / 3
+    val oAvg = Seq(4L, 5L, 6L).map(w).sum / 3
+    assert(tAvg > 0.0, s"target slice should be upweighted, got $tAvg")
+    assert(oAvg < 0.0, s"off-target slice should be downweighted, got $oAvg")
+    assert(w(7L) == 0.0)
+  }
+
+  test("inline literal-array path == explode/broadcast-join path, bit-identical") {
+    val target = corpus.filter($"grp" === "t")
+    val tc = Dsir.featureCensus(target, "text", B)
+    val rc = Dsir.featureCensus(corpus, "text", B)
+    def weights(inline: Boolean) =
+      Dsir.importanceWeights(corpus, "doc_id", "text", tc, rc, B,
+          inlineRatios = Some(inline))
+        .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    val a = weights(true)
+    val b = weights(false)
+    assert(a == b, "both folds run in ascending bucket order and must agree exactly")
+  }
+
+  test("resampleTopK matches the naive log-key sort, is deterministic, and skews to target") {
+    val target = corpus.filter($"grp" === "t")
+    val tc = Dsir.featureCensus(target, "text", B)
+    val rc = Dsir.featureCensus(corpus, "text", B)
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text", tc, rc, B)
+
+    val got = Dsir.resampleTopK(w, "doc_id", col("log_weight"), 3L, salt = "s1",
+        tailThreshold = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // Naive replay: full sort by the same key, take 3.
+    val h52 = conv(substring(md5(concat($"doc_id".cast("string"), lit("s1"))), 1, 13),
+      16, 10).cast("long")
+    val u = (h52 + 1).cast("double") / 4503599627370496.0
+    val naive = w.withColumn("__k", log(-log(u)) - col("log_weight"))
+      .orderBy($"__k", $"doc_id").limit(3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == naive)
+    val again = Dsir.resampleTopK(w, "doc_id", col("log_weight"), 3L, salt = "s1",
+        tailThreshold = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got, "deterministic in (id, salt)")
+
+    // Strong upweighting pulls the sample toward the target dialect:
+    // with weights exp(logw) spanning several nats, target docs should
+    // dominate a k=3 draw on most salts; check a clear majority across
+    // a few salts rather than any single draw.
+    val majorities = Seq("a", "b", "c", "d", "e").map { s =>
+      val ids = Dsir.resampleTopK(w, "doc_id", col("log_weight"), 3L, salt = s,
+          tailThreshold = 2)
+        .select("doc_id").as[Long].collect()
+      ids.count(_ <= 3L)
+    }
+    assert(majorities.sum > 5 * 3 / 2,
+      s"target docs should win most slots across salts, got $majorities")
+  }
+
+  test("k >= eligible returns every scored row; k = 0 returns none") {
+    val c = Dsir.featureCensus(corpus, "text", B)
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text", c, c, B)
+    assert(Dsir.resampleTopK(w, "doc_id", col("log_weight"), 100L).count() == 7)
+    assert(Dsir.resampleTopK(w, "doc_id", col("log_weight"), 0L).count() == 0)
+  }
+}

@@ -335,4 +335,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp(0).getString(0) != fp(1).getString(0))
     assert(fp(0).getString(1) == fp(1).getString(1))
   }
+
+  test("urlHost: scheme/credentials/port/path/query stripped, lowercased; non-URLs empty") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases = Seq(
+      "https://En.Wikipedia.Org/wiki/Spark" -> "en.wikipedia.org",
+      "http://user:pw@example.com:8080/x?q=1#f" -> "example.com",
+      "ftp://files.example.net" -> "files.example.net",
+      "https://example.org" -> "example.org",
+      "no scheme here" -> "",
+      "" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.TextFunctions.urlHost(col("u")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("registeredDomain: two labels pass through, ccTLD second-levels keep three") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases = Seq(
+      "en.wikipedia.org" -> "wikipedia.org",
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "cdn.a.co.jp" -> "a.co.jp",
+      "www.gov.uk" -> "www.gov.uk", // gov.uk is itself a public suffix
+      "example.net" -> "example.net",
+      "localhost" -> "localhost",
+      "a.b.c.example.com" -> "example.com")
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.functions.TextFunctions.registeredDomain(col("h")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }

@@ -30,6 +30,80 @@ class TrainingDataSpec extends SparkSpec {
     assert(packed(5L) == (6, 0))
   }
 
+  test("packSequences: concat-and-chunk spans, hand case") {
+    // tokens: d1=3 [0,3), d2=4 [3,7), d3=5 [7,12), d4=2 [12,14); L=4.
+    val docs = Seq(
+      (1L, "one two three"),
+      (2L, "a b c d"),
+      (3L, "v w x y z"),
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.packSequences(
+        docs, "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")), seqLen = 4L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = Set(
+      (1L, 0L, 0L, 3L, 0L), // d1 fully in seq0 at offset 0
+      (2L, 0L, 0L, 1L, 3L), // d2 first token closes seq0
+      (2L, 1L, 1L, 4L, 0L), // d2 rest opens seq1
+      (3L, 1L, 0L, 1L, 3L), // d3 first token closes seq1
+      (3L, 2L, 1L, 5L, 0L), // d3 tokens 1..5 fill seq2
+      (4L, 3L, 0L, 2L, 0L)) // d4 opens the tail seq3
+    assert(got == want)
+  }
+
+  test("packSequences: partition-count independent, tiles docs, fills sequences") {
+    val docs = (1L to 60L).map(i => (i, ("tk " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val tc = graft.functions.TextFunctions.tokenCount(col("text"))
+    def run(parts: Int) = TrainingData.packSequences(docs, "doc_id", tc, 16L, parts)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val one = run(1)
+    assert(run(5) == one, "output must not depend on range partition count")
+
+    // Every doc's spans tile [0, n) exactly.
+    val byDoc = one.groupBy(_._1)
+    (1L to 60L).foreach { id =>
+      val n = id % 7 + 1
+      val spans = byDoc(id).toSeq.sortBy(_._2).map(s => (s._3, s._4))
+      assert(spans.head._1 == 0L && spans.last._2 == n)
+      spans.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) => assert(e == s2)
+        case _ =>
+      }
+    }
+    // Every sequence except the last carries exactly seqLen tokens.
+    val bySeq = one.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sq, spans) =>
+      val tok = spans.toSeq.map(s => s._4 - s._3).sum
+      if (sq != lastSeq) assert(tok == 16L, s"seq $sq has $tok tokens")
+      // In-sequence offsets are consistent: each span starts where the
+      // cumulative in-sequence fill stood.
+      val offs = spans.toSeq.sortBy(_._5)
+      offs.foldLeft(0L) { case (acc, s) =>
+        assert(s._5 == acc); acc + (s._4 - s._3)
+      }
+    }
+  }
+
+  test("packSequences: zero-token docs emit no spans; empty input is empty") {
+    val docs = Seq((1L, ""), (2L, "a b"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TrainingData.packSequences(
+        docs, "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")), 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+    val none = TrainingData.packSequences(
+      docs.filter($"doc_id" < 0), "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")), 8L)
+    assert(none.count() == 0)
+  }
+
   test("shardManifest summarizes each shard; writeShards lays out one dir per shard") {
     val docs = Seq(
       (1L, "g1", "one two three"),
