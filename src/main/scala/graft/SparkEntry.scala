@@ -1066,8 +1066,9 @@ object SparkEntry {
     // censuses, the dense smoothed ratio table, and the ordered fold.
     "q_dsir_weights" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tc = Dsir.featureCensus(docs.filter(col("lang") === "en"), "text", 1024)
-      val rc = Dsir.featureCensus(docs, "text", 1024)
+      // Fused pair builder: one corpus hash pass, counts identical to
+      // the separate featureCensus calls (spec-pinned), oracle unchanged.
+      val (tc, rc) = Dsir.featureCensusPair(docs, "text", 1024, col("lang") === "en")
       Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 1024)
         .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
         .orderBy("doc_id")
@@ -1079,8 +1080,7 @@ object SparkEntry {
     // the full weight computation plus the log-key ORDER BY ... LIMIT k.
     "q_dsir_sample" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tc = Dsir.featureCensus(docs.filter(col("lang") === "en"), "text", 1024)
-      val rc = Dsir.featureCensus(docs, "text", 1024)
+      val (tc, rc) = Dsir.featureCensusPair(docs, "text", 1024, col("lang") === "en")
       val w = Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 1024)
       Dsir.resampleTopK(w, "doc_id", col("log_weight"), 120L,
           salt = "dsir", tailThreshold = 64)
@@ -3734,12 +3734,16 @@ object SparkEntry {
         |       CAST(prior - CAST(floor(prior / 2048.0) AS BIGINT) * 2048 AS INT) AS start_offset
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    // Per-pair covariance replay: explode with ordinality, self-join on
-    // vec_id (upper triangle), avg(xy) - avg(x)avg(y).
+    // Per-pair covariance replay: explode with ordinality (DuckDB has
+    // no WITH ORDINALITY — zip unnest with generate_subscripts in one
+    // SELECT list instead), self-join on vec_id (upper triangle),
+    // avg(xy) - avg(x)avg(y).
     "q_emb_covariance" ->
       """WITH x AS (
-        |  SELECT vec_id, CAST(u.i - 1 AS INT) AS i, CAST(u.x AS DOUBLE) AS x
-        |  FROM embeddings, unnest(embedding) WITH ORDINALITY AS u(x, i)
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
         |), m AS (
         |  SELECT i, avg(x) AS mu FROM x GROUP BY i
         |), p AS (

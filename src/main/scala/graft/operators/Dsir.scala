@@ -71,6 +71,61 @@ object Dsir {
     df.select(explode(hashedBuckets(col(textCol), buckets, ns)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Target AND raw censuses in ONE corpus pass, for the standard DSIR
+    * setup where the target slice is a PREDICATE over the same corpus
+    * (lang == 'en', a quality gate...): explode the grams once, count
+    * (all, where-pred) per bucket, split the materialized result. The
+    * counts are exactly [[featureCensus]]'s (integer counting commutes
+    * with the split — spec-pinned), so downstream weights and oracle
+    * hashes are unchanged while the corpus is hashed ONCE instead of
+    * twice. The fused aggregate is localCheckpoint'ed (≤ `buckets` rows)
+    * so the two returned frames never re-trigger the scan.
+    */
+  def featureCensusPair(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int,
+      targetPred: Column,
+      ns: Seq[Int] = Seq(1, 2)): (DataFrame, DataFrame) = {
+    val fused = df
+      .select(targetPred.as("__t"),
+        explode(hashedBuckets(col(textCol), buckets, ns)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), count(when(col("__t"), 1)).as("tcnt"))
+      .localCheckpoint(true)
+    (fused.filter(col("tcnt") > 0).select(col("bucket"), col("tcnt").as("cnt")),
+      fused.select("bucket", "cnt"))
+  }
+
+  /** [[featureCensus]] over a DETERMINISTIC uniform row sample of the
+    * corpus, counts scaled back by 1/rate — the raw-census shortcut the
+    * DSIR paper's setup permits: the censuses only enter scoring
+    * through add-one-smoothed FREQUENCIES, so a uniform sample's scaled
+    * counts estimate the same ratio table while the census-build scan
+    * reads `rate` of the corpus. Sampling is the house md5 52-bit
+    * uniform on (id, salt), so the census is replayable and
+    * append-stable (a doc is in or out of the sample forever). The
+    * CONTRACT queries stay full-census ([[featureCensus]]); this is the
+    * opt-in scale default, with rank stability spec-pinned at fixture
+    * scale.
+    */
+  def featureCensusSampled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      rate: Double,
+      ns: Seq[Int] = Seq(1, 2),
+      salt: String = "census"): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"sample rate must be in (0, 1], got $rate")
+    val h52 = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("long")
+    val u = (h52 + 1).cast("double") / 4503599627370496.0
+    featureCensus(df.filter(u <= rate), textCol, buckets, ns)
+      .select(col("bucket"), round(col("cnt") / lit(rate)).cast("long").as("cnt"))
+  }
+
   /** Dense per-bucket log importance ratio from two censuses, with
     * add-one smoothing on both sides:
     *   lr[b] = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)).
@@ -118,10 +173,14 @@ object Dsir {
     val inline = inlineRatios.getOrElse(buckets <= maxInlineBuckets)
     val bs = hashedBuckets(col(textCol), buckets, ns)
     if (inline) {
-      val arr = lit(lr)
+      // Codegen'd ordered lookup-sum kernel, not `aggregate(bs, 0.0,
+      // (acc, b) => acc + element_at(lit(lr), b+1))`: HOF lambdas
+      // evaluate interpreted per gram occurrence (~6s of the sf0.1
+      // scoring pass was the fold alone, r13-measured); the kernel is
+      // the same left-associated sum in array order — bit-identical,
+      // and the join-path identity spec pins it.
       df.withColumn("log_weight",
-        aggregate(bs, lit(0.0),
-          (acc, b) => acc + element_at(arr, b + 1)))
+        graft.plans.HashExpressions.lookupSum(bs, lr.toSeq))
     } else {
       // Ratio table as a broadcast frame; per-occurrence join, then a
       // per-doc re-fold over the SORTED collected occurrences so the
@@ -150,6 +209,25 @@ object Dsir {
     * (id, salt), append-stable; cutoff via the Selection descent, ties
     * broken by id — exactly the [[TrainingData.exactSampleWeighted]]
     * contract shifted to log space. Null log-weights never sample.
+    * Requires `idCol` unique (the house sampling contract — the race
+    * key and the winner recovery are both id-addressed).
+    *
+    * Cost shape (the r12 fix): `logWeightCol`'s lineage is typically a
+    * full corpus hashing pass (every uni+bigram of every document
+    * md5-folded), and the count + Selection descent + boundary passes
+    * each re-execute their input — run naively that was ~10 corpus
+    * re-hashings (57.5s of a 198s bench at sf0.1). So the race runs on
+    * a PERSISTED two-column (id, log-key) projection: one
+    * materialization pays the hashing once, every descent pass reads
+    * the cache, the k winner ids are eagerly localCheckpoint'ed
+    * (sample-sized — lineage truncated so the cache can drop), and ONE
+    * final broadcast semi-join over the UNFILTERED input recovers the
+    * winners' full rows — and since that pass doesn't consume
+    * `logWeightCol`, Catalyst prunes the scoring lineage out of it
+    * entirely. Net: one scoring scan + one plain recovery scan. At
+    * cluster scale, swap the persist for a checkpoint of the same
+    * narrow projection to storage; the broadcast hint is explicit
+    * because a cached relation's stats are unknown to the join planner.
     */
   def resampleTopK(
       df: DataFrame,
@@ -165,15 +243,28 @@ object Dsir {
       substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
       16, 10).cast("long")
     val u = (h52 + 1).cast("double") / 4503599627370496.0
-    val keyed = eligible.withColumn("__lkey", log(-log(u)) - logWeightCol)
-    val n = eligible.count()
-    if (k >= n) return eligible
-    val cutoff = Selection.kthSmallest(keyed, "__lkey", k, tailThreshold = tailThreshold)
-    val below = keyed.filter(col("__lkey") < cutoff)
-    val b = below.count()
-    require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
-    val boundary = keyed.filter(col("__lkey") === cutoff)
-      .orderBy(col(idCol)).limit((k - b).toInt)
-    below.unionByName(boundary).drop("__lkey")
+    val keyed = eligible
+      .select(col(idCol).as("__rsk_id"), (log(-log(u)) - logWeightCol).as("__lkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keyed.count()
+      if (k >= n) return eligible
+      val cutoff = Selection.kthSmallest(keyed, "__lkey", k, tailThreshold = tailThreshold)
+      val below = keyed.filter(col("__lkey") < cutoff)
+      val b = below.count()
+      require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
+      val boundary = keyed.filter(col("__lkey") === cutoff)
+        .orderBy(col("__rsk_id")).limit((k - b).toInt)
+      // Eager: the winner-id frame must survive the finally-unpersist
+      // below without re-deriving __lkey from the corpus.
+      val winners = below.select("__rsk_id").unionByName(boundary.select("__rsk_id"))
+        .localCheckpoint(true)
+      // Recovery joins the UNFILTERED input: winners are a subset of
+      // the eligible ids by construction, so the isNotNull filter adds
+      // nothing — and dropping it lets Catalyst prune `logWeightCol`'s
+      // whole lineage out of this pass when the caller doesn't select
+      // it (the r13 profile: 5.5s -> scan-cost for q_dsir_sample).
+      df.join(broadcast(winners), col(idCol) === col("__rsk_id"), "left_semi")
+    } finally keyed.unpersist(blocking = false)
   }
 }

@@ -432,6 +432,32 @@ case class MatVecAffineExpr(
     copy(child = newChild)
 }
 
+/** Ordered lookup-sum over an int-bucket array against a constant
+  * double table — the DSIR scoring fold ([[graft.operators.Dsir]]):
+  * Σ table[b] over the (sorted) bucket occurrences, left-associated,
+  * bit-identical to the HOF `aggregate` + `element_at` formulation it
+  * replaces (HOF lambdas evaluate interpreted per element; this is one
+  * codegen'd primitive loop).
+  */
+case class LookupSumExpr(child: Expression, table: Seq[Double])
+    extends UnaryExpression {
+
+  @transient private lazy val tab: Array[Double] = table.toArray
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.lookupSum(input.asInstanceOf[ArrayData], tab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lookupTable", tab, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.lookupSum($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whitespace-token count — codegen'd `size(regexp_extract_all(c, '\S+'))`. */
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
 
@@ -696,6 +722,9 @@ object HashExpressions {
       vec: Column, matrix: Seq[Double], offset: Seq[Double],
       rows: Int, cols: Int): Column =
     column(MatVecAffineExpr(expression(vec), matrix, offset, rows, cols))
+
+  def lookupSum(buckets: Column, table: Seq[Double]): Column =
+    column(LookupSumExpr(expression(buckets), table))
 
   def bloomCount(hashes: Column, bloomBytes: Seq[Byte]): Column =
     column(BloomCountExpr(expression(hashes), bloomBytes))

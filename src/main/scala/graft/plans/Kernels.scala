@@ -958,6 +958,20 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Ordered lookup-sum: Σ table(arr(i)) in ARRAY ORDER, left-associated
+    * double addition — the DSIR scoring fold as one primitive loop,
+    * bit-identical to `aggregate(arr, 0.0, (acc, b) => acc +
+    * element_at(table, b + 1))` (same element order, same
+    * associativity), without the interpreted per-element lambda.
+    */
+  def lookupSum(arr: ArrayData, table: Array[Double]): Double = {
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += table(arr.getInt(i)); i += 1 }
+    acc
+  }
+
   /** Asymmetric distance computation: score(codes) = sum over subspaces
     * of lut(sub*kc + code). The LUT holds the query's per-centroid
     * partial dots, so a corpus scan is m table lookups per vector — no
