@@ -934,6 +934,18 @@ object SparkEntry {
     // components via one codegen'd affine mat-vec. Rows-only: LAPACK
     // eigenvector state is engine-internal (SURVEY §8); the basis is
     // spec-pinned (orthonormal, descending, variance-capturing).
+    // PCA whitening (r13): the projection with per-axis 1/sqrt(λ)
+    // rescale folded into the same codegen'd mat-vec. Rows-only — same
+    // LAPACK-eigenbasis class as q_emb_pca (§8); covariance-of-whitened
+    // == identity is spec-pinned in VectorOpsSpec.
+    "q_emb_whiten" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.EmbeddingStats.pca(emb, "embedding", 8)
+      graft.operators.EmbeddingStats.pcaWhiten(emb, "embedding", model, "white")
+        .select(col("vec_id"), round(element_at(col("white"), 1), 6).as("w1"))
+        .orderBy("vec_id")
+    }),
+
     "q_emb_pca" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val model = graft.operators.EmbeddingStats.pca(emb, "embedding", 8)
@@ -964,6 +976,30 @@ object SparkEntry {
         .withColumn("host", TextFunctions.urlHost(col("url")))
         .withColumn("domain", TextFunctions.registeredDomain(col("host")))
       TrainingData.exactSamplePerGroup(urld, "doc_id", "domain", k = 30, salt = "dc")
+        .select("doc_id", "host", "domain")
+        .orderBy("doc_id")
+    }),
+
+    // Registered domain under the shipped PSL snapshot (r13): hosts
+    // chosen to hit every rule class — multi-label registry suffixes
+    // (co.uk, pvt.k12.ma.us, k12.ca.us), the *.kawasaki.jp wildcard,
+    // its !city exception, *.ck/!www.ck, the private section
+    // (github.io), and the implicit default rule. The oracle replays
+    // the md5 host pick and joins a hand-derived host->domain mapping
+    // (worked from the public PSL algorithm independently of the
+    // engine's matcher).
+    "q_url_domain_psl" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hosts = array(
+        lit("news.bbc.co.uk"), lit("www.school.pvt.k12.ma.us"),
+        lit("sub.city.kawasaki.jp"), lit("bar.foo.kawasaki.jp"),
+        lit("shop.www.ck"), lit("alice.github.io"),
+        lit("deep.sub.example.com"), lit("district.k12.ca.us"))
+      docs.withColumn("host",
+          element_at(hosts,
+            (pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit("p"))), 1, 2),
+              16, 10).cast("long"), lit(8L)) + 1).cast("int")))
+        .withColumn("domain", TextFunctions.registeredDomainPsl(col("host")))
         .select("doc_id", "host", "domain")
         .orderBy("doc_id")
     }),
@@ -1070,6 +1106,30 @@ object SparkEntry {
       // the separate featureCensus calls (spec-pinned), oracle unchanged.
       val (tc, rc) = Dsir.featureCensusPair(docs, "text", 1024, col("lang") === "en")
       Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 1024)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental DSIR (r13): both censuses accrete per ingestion batch
+    // through CensusStore deltas (overwrite-idempotent, fold-watermark
+    // guarded), scoring reads the standing stores. Counts add exactly,
+    // so the oracle is the FULL-corpus recompute — hash equality IS the
+    // fold-identity law (the q_quality_surprisal_incr pattern).
+    "q_dsir_weights_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = "target/tmp/dsir_census_contract"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      Seq(0L, 1L).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(2L)) === b)
+        Dsir.appendFeatureCensusDelta(batch, "text", 1024, s"$root/raw", b)
+        Dsir.appendFeatureCensusDelta(
+          batch.filter(col("lang") === "en"), "text", 1024, s"$root/target", b)
+      }
+      Dsir.importanceWeights(docs, "doc_id", "text",
+          Dsir.readFeatureCensus(s, s"$root/target"),
+          Dsir.readFeatureCensus(s, s"$root/raw"), 1024)
         .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
         .orderBy("doc_id")
     }),
@@ -2305,6 +2365,25 @@ object SparkEntry {
         k = 20, shortlist = 200)
     }),
 
+    // PCA->IVF composed retrieval (r13): the learned eigenbasis routes
+    // and shortlists in 16 of 64 dims, the carried full vectors re-rank
+    // exactly. Exhaustive mode (nprobe = nlist, shortlist covering the
+    // corpus) makes the output exact brute-force top-k independent of
+    // basis and cells — the family's full oracle (the
+    // q_sim_pq_exhaustive trick); realistic-parameter recall is
+    // floor-pinned in SimilaritySpec.
+    "q_sim_pca_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val n = corpus.count()
+      val idx = SimilaritySearch.buildPcaIvfIndex(corpus, "vec_id", "embedding",
+        components = 16, nlist = 8, maxIter = 2)
+      SimilaritySearch.pcaIvfTopK(idx, "vec_id", q, k = 20,
+        nprobe = 8, shortlist = ((n / 20) + 1).toInt)
+    }),
+
     // Persisted PQ store: codes at rest + codebook sidecar; the probe
     // scans ONLY codes (rows-only — same PQ model state; the
     // stored == in-session ADC identity is pinned in QuantizationSpec).
@@ -2857,7 +2936,14 @@ object SparkEntry {
   //  DuckDB oracle SQL — same tables, same aliases, same ordering.      //
   // ------------------------------------------------------------------ //
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // Incremental == one-shot fold identities: the incremental census
+    // query's oracle IS the full-corpus recompute, verbatim.
+    base + ("q_dsir_weights_incr" -> base("q_dsir_weights"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
         |       CAST(l_shipdate AS DATE) AS ship_date
@@ -3802,6 +3888,38 @@ object SparkEntry {
         |)
         |SELECT doc_id, host, domain FROM ranked WHERE rn <= 30
         |ORDER BY doc_id""".stripMargin,
+
+    // PSL registered-domain replay: the md5 host pick, then a
+    // hand-derived host -> domain mapping worked independently from
+    // the public-suffix rules (exception beats wildcard beats longest
+    // match beats the implicit TLD default).
+    "q_url_domain_psl" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (['news.bbc.co.uk','www.school.pvt.k12.ma.us',
+        |      'sub.city.kawasaki.jp','bar.foo.kawasaki.jp',
+        |      'shop.www.ck','alice.github.io',
+        |      'deep.sub.example.com','district.k12.ca.us'])[
+        |      CAST(((strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || 'p'), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || 'p'), 2, 1)) - 1)) % 8 + 1 AS INT)
+        |    ] AS host
+        |  FROM documents
+        |)
+        |SELECT h.doc_id, h.host, m.domain
+        |FROM h
+        |JOIN (VALUES
+        |  ('news.bbc.co.uk',           'bbc.co.uk'),
+        |  ('www.school.pvt.k12.ma.us', 'school.pvt.k12.ma.us'),
+        |  ('sub.city.kawasaki.jp',     'city.kawasaki.jp'),
+        |  ('bar.foo.kawasaki.jp',      'bar.foo.kawasaki.jp'),
+        |  ('shop.www.ck',              'www.ck'),
+        |  ('alice.github.io',          'alice.github.io'),
+        |  ('deep.sub.example.com',     'example.com'),
+        |  ('district.k12.ca.us',       'district.k12.ca.us')
+        |) m(host, domain) ON m.host = h.host
+        |ORDER BY h.doc_id""".stripMargin,
 
     // Concat-and-chunk replay: global ordered cumsum window, spans via
     // range() over the crossed sequence indices, integer division.
@@ -6088,6 +6206,22 @@ object SparkEntry {
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // PCA->IVF exhaustive mode: all cells probed, shortlist covers the
+    // corpus, re-rank is exact full-dim cosine — brute force by
+    // construction, independent of eigenbasis and cells (q_sim_topk's
+    // SQL).
+    "q_sim_pca_ivf" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // Exhaustive probe (nprobe = nlist) of the rebalanced IVF index is
     // brute force by construction — the oracle is q_sim_topk's SQL.

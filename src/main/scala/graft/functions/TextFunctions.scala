@@ -117,11 +117,12 @@ object TextFunctions {
 
   /** Registered (pay-level) domain from a host: the last two labels,
     * or three when the second-to-last is a common second-level suffix
-    * under a 2-letter ccTLD (`bbc.co.uk`, not `co.uk`). A public-
-    * suffix-list lookup is a data file, not an algorithm — this is the
-    * standard offline heuristic (covers the co/com/net/org/gov/ac/edu
-    * second-levels that dominate real crawls), and the seam for a full
-    * PSL is a broadcast join on this column. Hosts with <= 2 labels
+    * under a 2-letter ccTLD (`bbc.co.uk`, not `co.uk`). The standard
+    * offline heuristic (covers the co/com/net/org/gov/ac/edu
+    * second-levels that dominate real crawls) — kept as the
+    * oracle-replayable fallback; [[registeredDomainPsl]] is the
+    * rule-table upgrade that handles multi-label suffixes
+    * (`k12.ma.us`), wildcards and exceptions. Hosts with <= 2 labels
     * pass through unchanged.
     */
   def registeredDomain(host: Column): Column = {
@@ -136,6 +137,15 @@ object TextFunctions {
         concat_ws(".", slice(parts, -3, 3)))
         .otherwise(concat_ws(".", slice(parts, -2, 2))))
   }
+
+  /** Registered domain under the shipped public-suffix snapshot
+    * ([[PublicSuffix]]) — full PSL semantics (longest-match rules,
+    * wildcards, exceptions) as one codegen'd row-local probe. Use this
+    * for per-domain capping on real crawl data; [[registeredDomain]]
+    * stays as the rule-free heuristic.
+    */
+  def registeredDomainPsl(host: Column): Column =
+    PublicSuffix.registeredDomain(host)
 
   /** Punctuation character count (explicit class — identical semantics in
     * Java regex and RE2, unlike `\p{Punct}`).

@@ -60,12 +60,34 @@ object Bpe {
     * merge table (rank, left, right, count) — rank is application
     * order. Deterministic: ties on count break lexicographically on
     * (left, right). Stops early when no adjacent pair occurs twice.
+    *
+    * Batched rounds, greedy-EXACT (the r12 verdict's merge-loop cost
+    * item): one pair-count pass per round used to be one pass per
+    * MERGE. Each round collects the top `batchWindow` pairs and accepts
+    * the maximal sorted PREFIX that is (a) pairwise symbol-disjoint and
+    * (b) past the first element, strictly above every count that could
+    * still interfere. This reproduces sequential greedy exactly:
+    *   - a disjoint pair's count is invariant under the earlier merges
+    *     in the batch (no shared symbol ⇒ no shared adjacency), so its
+    *     recount in true greedy equals the count already in hand;
+    *   - pairs CONFLICTING with an accepted merge can both shrink and
+    *     spawn new pairs around the fused symbol, and every new pair's
+    *     count is bounded by some conflicting pair's old count — so the
+    *     prefix STOPS at the first conflict, and later accepts must be
+    *     strictly above the collection cutoff (an unseen, sub-window
+    *     pair could otherwise tie a new pair into a lex race);
+    *   - ties WITHIN the accepted prefix replay in (count desc, lex)
+    *     order — exactly greedy's tie-break.
+    * Batch identity vs the one-merge-per-round reference is spec-pinned
+    * (BpeSpec) on top of the hand-derived fixture sequence.
     */
   def learnMerges(
       df: DataFrame,
       textCol: String,
-      numMerges: Int): Seq[Merge] = {
+      numMerges: Int,
+      batchWindow: Int = 64): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchWindow >= 1, s"batchWindow must be >= 1, got $batchWindow")
     var words = wordFrequencies(df, textCol)
       .select(initialSymbols(col("word")).as("syms"), col("freq"))
       .localCheckpoint(true)
@@ -85,17 +107,36 @@ object Bpe {
         .groupBy("l", "r").agg(sum(col("freq")).as("n"))
         .where(col("n") > 1)
         .orderBy(desc("n"), asc("l"), asc("r"))
-        .limit(1).collect()
+        .limit(batchWindow).collect()
       if (top.isEmpty) done = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(rank, l, r, n)
+        // Counts at or below the cutoff may hide unseen pairs that can
+        // bound a new pair into a tie; a full (sub-window) table has no
+        // unseen pairs, so the guard vanishes.
+        val cutoff = if (top.length == batchWindow) top.last.getLong(2) else 0L
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var stop = false
+        var i = 0
+        while (i < top.length && !stop && rank + accepted.size < numMerges) {
+          val (l, r, n) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (accepted.isEmpty) { accepted += ((l, r, n)); used += l; used += r }
+          else if (used(l) || used(r) || n <= cutoff) stop = true
+          else { accepted += ((l, r, n)); used += l; used += r }
+          i += 1
+        }
+        accepted.foreach { case (l, r, n) => merges += Merge(rank, l, r, n); rank += 1 }
+        // One rewrite job applies the whole batch: disjoint merges
+        // neither create nor destroy each other's adjacencies, so the
+        // composed fold equals sequential application.
+        val rewritten = accepted.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+          mergePair(c, l, r)
+        }
         val next = words
-          .select(mergePair(col("syms"), l, r).as("syms"), col("freq"))
+          .select(rewritten.as("syms"), col("freq"))
           .localCheckpoint(true)
         words.unpersist()
         words = next
-        rank += 1
       }
     }
     words.unpersist()
@@ -121,26 +162,40 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val ms = bc.value
+        // Per-partition word -> subwords memo (bounded): word forms are
+        // Zipf-repeated, so most encodes are a hash probe — the cache a
+        // production tokenizer keeps. Output is cache-independent (each
+        // word encodes from scratch on miss), so results are identical
+        // with or without hits.
+        val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+        def encodeWord(w: String): Array[String] = {
+          val hit = memo.get(w)
+          if (hit != null) return hit
+          val sentinel = w + EndOfWord
+          var syms = (w.map(_.toString) :+ EndOfWord).toArray
+          ms.foreach { case (l, r) =>
+            // A merge can only apply if its fused chars appear
+            // contiguously in the original word+sentinel — skip the
+            // rewrite scan otherwise (most merges miss most words).
+            if (syms.length > 1 && sentinel.contains(l + r)) {
+              val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (acc.nonEmpty && acc.last == l && syms(i) == r) {
+                  acc(acc.length - 1) = l + r
+                } else acc += syms(i)
+                i += 1
+              }
+              syms = acc.toArray
+            }
+          }
+          if (memo.size < 200000) memo.put(w, syms)
+          syms
+        }
         it.map { case (id, t) =>
           val toks = t.split("\\s+").filter(_.nonEmpty)
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          toks.foreach { w =>
-            var syms = (w.map(_.toString) :+ EndOfWord).toArray
-            ms.foreach { case (l, r) =>
-              if (syms.length > 1) {
-                val acc = scala.collection.mutable.ArrayBuffer.empty[String]
-                var i = 0
-                while (i < syms.length) {
-                  if (acc.nonEmpty && acc.last == l && syms(i) == r) {
-                    acc(acc.length - 1) = l + r
-                  } else acc += syms(i)
-                  i += 1
-                }
-                syms = acc.toArray
-              }
-            }
-            out ++= syms
-          }
+          toks.foreach(w => out ++= encodeWord(w))
           (id, out.toSeq, out.length.toLong)
         }
       }

@@ -126,6 +126,33 @@ object Dsir {
       .select(col("bucket"), round(col("cnt") / lit(rate)).cast("long").as("cnt"))
   }
 
+  /** Persist one ingestion batch's hashed-gram census as a
+    * [[CensusStore]] delta — the DSIR census is a plain mergeable count
+    * table (counts add), so the standing raw census of a 100 TB corpus
+    * accretes per batch exactly like the frozen-LM token census:
+    * overwrite-idempotent deltas, crash-safe compaction, fold-watermark
+    * replay guard, all inherited. Incremental == one-shot is
+    * count-exact (integer sums), pinned by the `q_dsir_weights_incr`
+    * oracle replaying the full-corpus recompute.
+    */
+  def appendFeatureCensusDelta(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int,
+      path: String,
+      batchId: Long,
+      ns: Seq[Int] = Seq(1, 2)): Unit =
+    CensusStore.appendDelta(
+      featureCensus(df, textCol, buckets, ns)
+        .select(col("bucket"), col("cnt").as("n")),
+      path, batchId)
+
+  /** Read a standing feature census back in [[featureCensus]] shape. */
+  def readFeatureCensus(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    CensusStore.read(spark, path, "bucket")
+      .select(col("bucket"), col("n").as("cnt"))
+
   /** Dense per-bucket log importance ratio from two censuses, with
     * add-one smoothing on both sides:
     *   lr[b] = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)).

@@ -161,4 +161,32 @@ object EmbeddingStats {
         graft.functions.VectorOps.asDouble(col(vecCol)),
         flat, offset, model.k, model.d))
   }
+
+  /** PCA WHITENING: y = Λ^(−1/2) · A(x − μ) — the projection with each
+    * axis rescaled to unit variance. Whitened space makes euclidean
+    * distance Mahalanobis-equivalent, which is what embedding-cosine
+    * dedup and k-means cells actually want when the raw space has
+    * anisotropic scale (one dominant direction otherwise owns every
+    * distance). Same codegen'd affine mat-vec — the 1/√λ scale folds
+    * into the matrix and offset driver-side, so whitening costs exactly
+    * a projection. Axes with λ ≤ `eps` are dropped to zero scale
+    * (degenerate directions would otherwise amplify float noise
+    * unboundedly). Covariance-of-whitened ≈ I is spec-pinned.
+    */
+  def pcaWhiten(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      outCol: String,
+      eps: Double = 1e-12): DataFrame = {
+    val scales = model.explained.map(v => if (v > eps) 1.0 / math.sqrt(v) else 0.0)
+    val flat = model.axes.zip(scales).flatMap { case (a, s) => a.map(_ * s) }.toSeq
+    val offset = model.axes.zip(scales).map { case (a, s) =>
+      a.zip(model.mean).map { case (w, m) => w * m }.sum * s
+    }.toSeq
+    df.withColumn(outCol,
+      graft.plans.HashExpressions.matVecAffine(
+        graft.functions.VectorOps.asDouble(col(vecCol)),
+        flat, offset, model.k, model.d))
+  }
 }

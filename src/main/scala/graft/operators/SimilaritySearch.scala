@@ -418,6 +418,84 @@ object SimilaritySearch {
     IvfIndex(model.clusterCenters.map(_.toArray), assigned)
   }
 
+  /** A PCA-reduced IVF index (r13, the distributed-PCA follow-through):
+    * the eigenbasis routes and shortlists in `components` dimensions
+    * while the FULL vectors ride the assignment as a carry column for
+    * exact re-ranking. At 100 TB the win is the candidate scan: cells
+    * cluster and probe over `components`-sized vectors (d -> k bytes
+    * per row in the hot loop) and the d-dimensional read touches only
+    * the shortlist — the matryoshka/coarse-to-fine pattern with a
+    * LEARNED basis instead of truncation, composed from the same
+    * moment fold the covariance/PCA queries verify.
+    */
+  final case class PcaIvfIndex(pca: EmbeddingStats.PcaModel, ivf: IvfIndex) {
+    def release(): Unit = ivf.release()
+  }
+
+  /** Fit PCA(components) on the corpus (one moment-fold pass), project
+    * every vector through the codegen'd affine mat-vec, and build the
+    * IVF routing index in the REDUCED space with the full vector
+    * carried beside each assignment for the re-rank stage.
+    */
+  def buildPcaIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      components: Int = 16,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      maxIter: Int = 8): PcaIvfIndex = {
+    val model = EmbeddingStats.pca(df, vecCol, components)
+    val prepared = EmbeddingStats.pcaProject(df, vecCol, model, "__proj")
+      .select(col(idCol), col("__proj"),
+        VectorOps.asDouble(col(vecCol)).as("__full"))
+    val ivf = buildIvfIndex(prepared, idCol, "__proj",
+      nlist = nlist, seed = seed, maxIter = maxIter, carryCols = Seq("__full"))
+    PcaIvfIndex(model, ivf)
+  }
+
+  /** y = A(q − μ), driver-side — queries are single vectors. */
+  private def pcaProjectQuery(
+      m: EmbeddingStats.PcaModel, q: Seq[Double]): Seq[Double] = {
+    require(q.length == m.d, s"query dim ${q.length} != model dim ${m.d}")
+    m.axes.toSeq.map { a =>
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i) * (q(i) - m.mean(i)); i += 1 }
+      s
+    }
+  }
+
+  /** Coarse-to-fine ANN through the PCA-reduced index: project the
+    * query into the eigenbasis, IVF-probe `nprobe` cells in reduced
+    * space for a `k * shortlist` candidate set, then re-rank the
+    * candidates by EXACT full-dimension cosine (the carried vectors —
+    * no second corpus scan). With nprobe = nlist and a shortlist
+    * covering the corpus this is exactly brute-force top-k regardless
+    * of the eigenbasis or cells (the q_sim_pq_exhaustive identity);
+    * realistic settings trade recall for probing `components/d` of the
+    * bytes, floor-pinned in SimilaritySpec.
+    */
+  def pcaIvfTopK(
+      index: PcaIvfIndex,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int = 4,
+      shortlist: Int = 4): DataFrame = {
+    require(shortlist >= 1, s"shortlist factor must be >= 1, got $shortlist")
+    val qp = pcaProjectQuery(index.pca, query)
+    val cand = ivfTopK(index.ivf, idCol, qp, k * shortlist, nprobe)
+      .select(col(idCol))
+    val qLit = typedLit(query)
+    index.ivf.assigned
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(VectorOps.cosine(col("__full"), qLit), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Persist an IVF index: centroids as a tiny JSON-lines table (nlist
     * rows — readable by anything), the cell assignment as a bucketed,
     * cell-sorted external table via [[graft.sources.TableIO.writeBucketed]].

@@ -432,6 +432,48 @@ case class MatVecAffineExpr(
     copy(child = newChild)
 }
 
+/** Registered-domain extraction under a public-suffix rule snapshot —
+  * the PSL matching algorithm as one row-local codegen'd probe loop
+  * (labels of the host, longest-match against a prebuilt hash table;
+  * [[Kernels.registeredDomain]]). Rules travel as the raw PSL-format
+  * lines (value equality for the case class); the parsed flag table is
+  * built once per expression and shipped as a codegen reference
+  * object, like the PQ codebooks.
+  */
+case class RegisteredDomainExpr(child: Expression, rules: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val table: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](rules.size * 2)
+    def add(key: String, flag: Int): Unit = {
+      val prev = m.get(key)
+      m.put(key, Integer.valueOf(if (prev == null) flag else prev.intValue() | flag))
+    }
+    rules.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("//"))
+      .foreach { l =>
+        if (l.startsWith("!")) add(l.substring(1), 4)
+        else if (l.startsWith("*.")) add(l.substring(2), 2)
+        else add(l, 1)
+      }
+    m
+  }
+
+  override def dataType: DataType = child.dataType
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.registeredDomain(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pslTable", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.registeredDomain($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Ordered lookup-sum over an int-bucket array against a constant
   * double table — the DSIR scoring fold ([[graft.operators.Dsir]]):
   * Σ table[b] over the (sorted) bucket occurrences, left-associated,
@@ -725,6 +767,9 @@ object HashExpressions {
 
   def lookupSum(buckets: Column, table: Seq[Double]): Column =
     column(LookupSumExpr(expression(buckets), table))
+
+  def registeredDomain(host: Column, rules: Seq[String]): Column =
+    column(RegisteredDomainExpr(expression(host), rules))
 
   def bloomCount(hashes: Column, bloomBytes: Seq[Byte]): Column =
     column(BloomCountExpr(expression(hashes), bloomBytes))

@@ -972,6 +972,54 @@ object Kernels {
     acc
   }
 
+  /** Registered (pay-level) domain under a parsed public-suffix rule
+    * table — the publicsuffix.org matching algorithm: among the rules
+    * matching a suffix of the host, an exception rule prevails (its
+    * public suffix is the rule minus its leftmost label), else the
+    * longest match; wildcards extend the match one label left; the
+    * implicit default rule makes any bare TLD a suffix. Registered
+    * domain = public suffix + one label; a host that IS a public
+    * suffix (or empty) passes through unchanged — the same convention
+    * as the label heuristic it upgrades.
+    *
+    * `rules` maps suffix -> flag bitmask (1 = normal, 2 = wildcard
+    * base, 4 = exception), prebuilt once per expression (driver-side)
+    * and shipped as a codegen reference object.
+    */
+  def registeredDomain(
+      host: UTF8String,
+      rules: java.util.HashMap[String, Integer]): UTF8String = {
+    val h = host.toString
+    if (h.isEmpty) return host
+    // label start offsets
+    var nLabels = 1
+    var p = h.indexOf('.')
+    while (p >= 0) { nLabels += 1; p = h.indexOf('.', p + 1) }
+    val starts = new Array[Int](nLabels)
+    starts(0) = 0
+    var li = 1
+    p = h.indexOf('.')
+    while (p >= 0) { starts(li) = p + 1; li += 1; p = h.indexOf('.', p + 1) }
+    var psLen = 1 // the implicit "*" default rule
+    var i = 0
+    var done = false
+    while (i < nLabels && !done) {
+      val f = rules.get(h.substring(starts(i)))
+      if (f != null) {
+        val fi = f.intValue()
+        if ((fi & 4) != 0) { psLen = nLabels - i - 1; done = true }
+        else {
+          if ((fi & 1) != 0 && nLabels - i > psLen) psLen = nLabels - i
+          if ((fi & 2) != 0 && i >= 1 && nLabels - i + 1 > psLen) psLen = nLabels - i + 1
+        }
+      }
+      i += 1
+    }
+    if (psLen < 1) psLen = 1
+    if (nLabels <= psLen) host
+    else UTF8String.fromString(h.substring(starts(nLabels - psLen - 1)))
+  }
+
   /** Asymmetric distance computation: score(codes) = sum over subspaces
     * of lut(sub*kc + code). The LUT holds the query's per-centroid
     * partial dots, so a corpus scan is m table lookups per vector — no

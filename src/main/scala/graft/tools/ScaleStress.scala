@@ -448,6 +448,57 @@ object ScaleStress {
     docs.unpersist()
     }
 
+    section("dsir") {
+    // DSIR at volume (r13, backing Dsir.scala's "100 TB shape" note):
+    // census build, weight scoring, and the exactly-k resample at two
+    // corpus sizes (reps and 2.5*reps), so the growth ratio is visible
+    // next to the 2.5x data ratio. Post-r13 claims under measurement:
+    // the fused census is ONE hashing pass; scoring is one zero-shuffle
+    // pass; resample = one scoring pass into the narrow cache + a
+    // descent on cached counters + one plain recovery scan — so
+    // sample-wall should sit near score-wall + corpus-scan, NOT the
+    // ~10x cascade r12 shipped. The sampled census reads `rate` of the
+    // corpus and must come in well under the full census.
+    import graft.operators.Dsir
+    val base = TableIO.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    def run(r: Int): (Long, Double, Double, Double, Double) = {
+      val docs = replicate(base, "doc_id", r)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      var t0 = System.nanoTime()
+      val (tc, rc) = Dsir.featureCensusPair(docs, "text", 1024, col("lang") === "en")
+      val censusSec = (System.nanoTime() - t0) / 1e9 // pair builder is eager
+      t0 = System.nanoTime()
+      Dsir.featureCensusSampled(docs, "doc_id", "text", 1024, rate = 0.1)
+        .agg(sum("cnt")).head()
+      val sampledCensusSec = (System.nanoTime() - t0) / 1e9
+      val w = Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 1024)
+      t0 = System.nanoTime()
+      // Aggregate the produced column: a bare count would prune the
+      // scoring fold out of the measurement entirely.
+      w.agg(sum("log_weight")).head()
+      val scoreSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      Dsir.resampleTopK(w, "doc_id", col("log_weight"), 10000L, salt = "st",
+          tailThreshold = 4096)
+        .agg(sum(length(col("text")))).head()
+      val sampleSec = (System.nanoTime() - t0) / 1e9
+      docs.unpersist()
+      println(f"[stress]   ${r}%3dx ($n%8d docs): census $censusSec%6.2f s, " +
+        f"sampled-census $sampledCensusSec%6.2f s, score $scoreSec%6.2f s, " +
+        f"resample $sampleSec%6.2f s")
+      (n, censusSec, sampledCensusSec, scoreSec, sampleSec)
+    }
+    val a = run(reps)
+    val b = run(reps * 5 / 2)
+    println(f"[stress]   growth at 2.5x data: census ${b._2 / a._2}%.2f, " +
+      f"score ${b._4 / a._4}%.2f, resample ${b._5 / a._5}%.2f (linear = 2.50)")
+    println(f"[stress]   resample/score = ${b._5 / b._4}%.2f " +
+      "(one cached scoring pass + descent + one plain recovery scan)")
+    println(f"[stress]   sampled census / full census = ${b._3 / b._2}%.2f (rate 0.1)")
+    }
+
     section("lm") {
     // The n-gram LM family at volume: census build cost and batch
     // scoring cost, unigram -> bigram -> trigram. The claim under

@@ -58,6 +58,16 @@ class BpeSpec extends SparkSpec {
     assert(enc2 <= enc.getLong(2))
   }
 
+  test("batched rounds == one-merge-per-round reference, exactly") {
+    // The r13 batching claim: accepting the maximal disjoint prefix per
+    // pair-count pass reproduces sequential greedy bit-for-bit — ranks,
+    // pairs, AND counts — on real text where batches actually form.
+    val docs = TableIO.table(spark, Sf0001, "documents").limit(100)
+    val batched = Bpe.learnMerges(docs, "text", numMerges = 20)
+    val reference = Bpe.learnMerges(docs, "text", numMerges = 20, batchWindow = 1)
+    assert(batched == reference)
+  }
+
   test("corpus fixture: merges are deterministic and compress the encoding") {
     val docs = TableIO.table(spark, Sf0001, "documents").limit(100)
     val merges = Bpe.learnMerges(docs, "text", numMerges = 20)
