@@ -1122,10 +1122,9 @@ object SparkEntry {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       Seq(0L, 1L).foreach { b =>
-        val batch = docs.filter(pmod(col("doc_id"), lit(2L)) === b)
-        Dsir.appendFeatureCensusDelta(batch, "text", 1024, s"$root/raw", b)
-        Dsir.appendFeatureCensusDelta(
-          batch.filter(col("lang") === "en"), "text", 1024, s"$root/target", b)
+        Dsir.appendFeatureCensusPairDeltas(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === b),
+          "text", 1024, col("lang") === "en", root, b)
       }
       Dsir.importanceWeights(docs, "doc_id", "text",
           Dsir.readFeatureCensus(s, s"$root/target"),
@@ -1210,6 +1209,17 @@ object SparkEntry {
           round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
           col("robust_z"), col("is_outlier"))
         .orderBy("event_id")),
+
+    // Mahalanobis anomaly score (r13): D² = ||whiten(x)||² over the
+    // full-rank PCA basis — the covariance-aware multivariate upgrade
+    // of the per-column z/IQR gates. Rows-only (LAPACK eigenbasis, §8,
+    // same class as q_emb_pca); the invariance/χ²-band/planted-outlier
+    // contract is pinned in EmbeddingStatsSpec.
+    "q_anomaly_mahalanobis" -> ((s, d) =>
+      graft.operators.EmbeddingStats.mahalanobisScore(
+          t(s, d, "embeddings"), "embedding", "d2")
+        .select(col("vec_id"), round(col("d2"), 6).as("d2"))
+        .orderBy("vec_id")),
 
     // Tukey-fence (IQR) outliers per event_type.
     "q_anomaly_iqr" -> ((s, d) =>
@@ -2042,6 +2052,18 @@ object SparkEntry {
             .as("norm_len"),
           md5(TextFunctions.normalizeAggressive(col("text"))).as("norm_hash"))
         .orderBy("doc_id")),
+
+    // N-gram novelty vs a standing census (r13): trigram census from
+    // the even-id half of the corpus, every doc scored by the fraction
+    // of its trigram occurrences unseen in it — the "is this batch new
+    // text" ingestion signal. Exact integer membership, FULL oracle.
+    "q_text_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val census = graft.operators.CorpusStats.trigramCensus(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0), "doc_id", "text")
+      graft.operators.CorpusStats.gramNovelty(docs, "doc_id", "text", census, n = 3)
+        .orderBy("doc_id")
+    }),
 
     // Deterministic document fingerprint (case/whitespace-normalized md5).
     "q_text_fingerprint" -> ((s, d) =>
@@ -4860,6 +4882,29 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Novelty replay: per-doc trigrams (within-doc windows), census =
+    // distinct trigrams of the even-id half, exact membership fraction.
+    "q_text_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), tri AS (
+        |  SELECT tk.doc_id, u.g
+        |  FROM tk, unnest(list_transform(range(greatest(len(tk.ts) - 2, 0)), i ->
+        |    array_to_string(tk.ts[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS u(g)
+        |), census AS (
+        |  SELECT DISTINCT g FROM tri WHERE doc_id % 2 = 0
+        |), scored AS (
+        |  SELECT t.doc_id, count(*) AS n_grams,
+        |         round(avg(CASE WHEN c.g IS NULL THEN 1.0 ELSE 0.0 END), 6) AS novelty
+        |  FROM tri t LEFT JOIN census c ON c.g = t.g
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+        |       coalesce(s.novelty, 0.0) AS novelty
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Replays SimHash64Expr's majority vote exactly: per-token 60-bit
     // hash = hex-parse of md5 prefix, bit b of the output set iff the

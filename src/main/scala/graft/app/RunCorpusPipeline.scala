@@ -90,7 +90,27 @@ object RunCorpusPipeline {
         * stays out of the streaming arm like dedup.
         */
       minSurprisal: Double = Double.NegativeInfinity,
-      maxSurprisal: Double = Double.PositiveInfinity)
+      maxSurprisal: Double = Double.PositiveInfinity,
+      /** DSIR selection ([[graft.operators.Dsir]], Xie et al. 2023):
+        * score documents against STANDING target/raw hashed-gram
+        * censuses (CensusStore roots `<dsirCensusRoot>/target` and
+        * `/raw`, built by [[graft.operators.Dsir.appendFeatureCensusDelta]])
+        * and keep what looks like the target corpus. Two knobs:
+        * `dsirMinLogWeight` filters rows under a log-importance floor —
+        * row-local against the frozen ratio table, so it runs in BOTH
+        * arms (the streaming band applies it per chunk, like the frozen
+        * surprisal band); `dsirSampleK` keeps exactly k ∝
+        * exp(log weight) — the Selection-descent race is
+        * corpus-stateful, so it is BATCH-ONLY like dedup. When either
+        * is set the unselected pool lands under `silver_pre_dsir`
+        * first (durable, and the selection scan reads parquet instead
+        * of re-running the whole gate/dedup/strip lineage twice).
+        * Defaults disable the stage.
+        */
+      dsirCensusRoot: Option[String] = None,
+      dsirMinLogWeight: Double = Double.NegativeInfinity,
+      dsirSampleK: Long = 0L,
+      dsirBuckets: Int = 1024)
 
   def annotated(cfg: CorpusConfig): String = s"${cfg.root}/annotated"
   def silver(cfg: CorpusConfig): String = s"${cfg.root}/silver"
@@ -124,6 +144,12 @@ object RunCorpusPipeline {
       docs: DataFrame,
       cfg: CorpusConfig,
       eval: Option[DataFrame] = None): Unit = {
+    // Fail before any stage lands: a DSIR knob without its censuses is
+    // a config error, not something to discover after the annotate scan.
+    val dsirOn = cfg.dsirSampleK > 0L || !cfg.dsirMinLogWeight.isNegInfinity
+    require(!dsirOn || cfg.dsirCensusRoot.isDefined,
+      "run: dsirSampleK/dsirMinLogWeight is set but dsirCensusRoot is None - " +
+        "pass the CensusStore root holding /target and /raw feature censuses")
 
     // Stage 1 — annotate: single scan, row-local, no shuffle. The
     // repetition signals ride the same scan (byte kernels) whether or
@@ -202,7 +228,29 @@ object RunCorpusPipeline {
         graft.operators.SubstringDedup.stripDuplicatedSpans(
           lineStripped, "doc_id", "clean_text", cfg.stripSpanMinLen)
       else lineStripped
-    stripped.write.mode("overwrite").parquet(silver(cfg))
+
+    // Stage 2c — DSIR selection against standing censuses (opt-in).
+    // The pool lands first: the selection's scoring + recovery scans
+    // then read parquet instead of re-executing the gate/dedup/strip
+    // lineage per pass, and the unselected pool is itself a product
+    // (re-select with a different target without re-cleaning).
+    if (!dsirOn) stripped.write.mode("overwrite").parquet(silver(cfg))
+    else {
+      import graft.operators.Dsir
+      stripped.write.mode("overwrite").parquet(s"${cfg.root}/silver_pre_dsir")
+      val pool = spark.read.parquet(s"${cfg.root}/silver_pre_dsir")
+      val root = cfg.dsirCensusRoot.get
+      val w = Dsir.importanceWeights(pool, "doc_id", "clean_text",
+          Dsir.readFeatureCensus(spark, s"$root/target"),
+          Dsir.readFeatureCensus(spark, s"$root/raw"), cfg.dsirBuckets)
+        .filter(col("log_weight") >= cfg.dsirMinLogWeight)
+      val selected =
+        if (cfg.dsirSampleK > 0L)
+          Dsir.resampleTopK(w, "doc_id", col("log_weight"), cfg.dsirSampleK,
+            salt = "dsir")
+        else w
+      selected.write.mode("overwrite").parquet(silver(cfg))
+    }
 
     // Stage 3 + 4 — chunk the redacted text, pack per source, write
     // shard-partitioned data + manifest.
@@ -278,6 +326,15 @@ object RunCorpusPipeline {
       "runStreaming: min/maxSurprisal band is set but surprisalCensusPath is None - " +
         "the streaming arm scores against a FROZEN census only; pass the census path " +
         "(CensusStore of tokenCensus) or clear the band")
+    // Exactly-k DSIR is corpus-stateful (Selection descent over the
+    // whole pool) — batch-only, like dedup. The log-weight FLOOR is
+    // row-local against frozen censuses and runs below.
+    require(cfg.dsirSampleK == 0L,
+      "runStreaming: dsirSampleK is batch-only (corpus-stateful exactly-k); " +
+        "use dsirMinLogWeight for the stream-compatible frozen-ratio floor")
+    require(cfg.dsirMinLogWeight.isNegInfinity || cfg.dsirCensusRoot.isDefined,
+      "runStreaming: dsirMinLogWeight is set but dsirCensusRoot is None - " +
+        "pass the CensusStore root holding /target and /raw feature censuses")
     val gated = source.load(spark)
       .filter(
         TextFunctions.qualityScore(col("text")) >= cfg.minQuality &&
@@ -315,10 +372,26 @@ object RunCorpusPipeline {
         }
         case None => identity
       }
+    // DSIR log-weight floor at the same chunk granularity: the frozen
+    // ratio table makes scoring a row-local fold (zero corpus state),
+    // so an off-target appendix chunk drops without losing the
+    // on-target body of the same document.
+    val dsirBatch: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (cfg.dsirMinLogWeight.isNegInfinity) identity
+      else chunkBatch => {
+        import graft.operators.Dsir
+        val root = cfg.dsirCensusRoot.get
+        Dsir.importanceWeights(chunkBatch, "doc_id", "chunk_text",
+            Dsir.readFeatureCensus(chunkBatch.sparkSession, s"$root/target"),
+            Dsir.readFeatureCensus(chunkBatch.sparkSession, s"$root/raw"),
+            cfg.dsirBuckets)
+          .filter(col("log_weight") >= cfg.dsirMinLogWeight)
+          .drop("log_weight")
+      }
     graft.streaming.StreamingFeatures.writeCompactingSink(
       chunks, s"${cfg.root}/chunks", s"${cfg.root}/ckpt",
       sortCols = Seq("doc_id", "chunk_id"),
-      batchTransform = bandBatch)
+      batchTransform = bandBatch.andThen(dsirBatch))
   }
 
   /** Streaming arm WITH stateful dedup — closes the gap

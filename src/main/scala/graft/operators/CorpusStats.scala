@@ -584,6 +584,49 @@ object CorpusStats {
         round(coalesce(col("surprisal"), lit(0.0)), 6).as("avg_surprisal"))
   }
 
+  /** N-GRAM NOVELTY against a standing census: the fraction of a
+    * document's word n-gram OCCURRENCES absent from the census — the
+    * RefinedWeb-style "how much of this batch is new text" signal an
+    * incremental ingestion reads before paying for dedup (novelty ≈ 0
+    * means the doc restates the standing corpus; ≈ 1 means genuinely
+    * new material). One explode + left join against the census (the
+    * [[surprisalAgainstCensus]] broadcast auto-guard, shared), one
+    * keyed re-aggregation; gramless docs report 0 grams / novelty 0.
+    * Census = [[tokenCensus]] (n=1) or the n-gram censuses keyed "g"
+    * (n>=2) — pass the matching n. Exact integer membership, so the
+    * DuckDB oracle replays it verbatim (FULL oracle, unlike the
+    * bloom-gated variants which can only over-flag).
+    */
+  def gramNovelty(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      census: DataFrame,
+      n: Int = 3,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxVocab: Long = 4000000L): DataFrame = {
+    require(n >= 1, s"gram order must be >= 1, got $n")
+    val keyCol = census.columns.head
+    val vocabRows = census.count()
+    val grams = batch.select(
+      col(idCol),
+      explode(graft.functions.TextFunctions.wordNGrams(col(textCol), n)).as(keyCol))
+    val vocab =
+      if (broadcastVocab.getOrElse(vocabRows <= broadcastMaxVocab))
+        broadcast(census)
+      else census
+    val perDoc = grams.join(vocab, Seq(keyCol), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        avg(when(col("n").isNull, 1.0).otherwise(0.0)).as("novelty"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("novelty"), lit(0.0)), 6).as("novelty"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): rank
     * every document WITHIN ITS SOURCE by LM surprisal and cut the
     * ranking into `buckets` equal tranches — bucket 1 ("head") is the

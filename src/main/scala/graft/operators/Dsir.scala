@@ -147,6 +147,28 @@ object Dsir {
         .select(col("bucket"), col("cnt").as("n")),
       path, batchId)
 
+  /** Append one batch's TARGET and RAW census deltas from a single
+    * fused hashing pass ([[featureCensusPair]]) — the per-batch
+    * ingestion shape: `<root>/target` and `<root>/raw` accrete
+    * together, the batch's grams are hashed once. Counts identical to
+    * two [[appendFeatureCensusDelta]] calls (spec-pinned via the pair
+    * builder), at half the scan cost.
+    */
+  def appendFeatureCensusPairDeltas(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int,
+      targetPred: Column,
+      root: String,
+      batchId: Long,
+      ns: Seq[Int] = Seq(1, 2)): Unit = {
+    val (tc, rc) = featureCensusPair(df, textCol, buckets, targetPred, ns)
+    CensusStore.appendDelta(
+      tc.select(col("bucket"), col("cnt").as("n")), s"$root/target", batchId)
+    CensusStore.appendDelta(
+      rc.select(col("bucket"), col("cnt").as("n")), s"$root/raw", batchId)
+  }
+
   /** Read a standing feature census back in [[featureCensus]] shape. */
   def readFeatureCensus(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

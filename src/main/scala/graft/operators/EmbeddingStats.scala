@@ -189,4 +189,33 @@ object EmbeddingStats {
         graft.functions.VectorOps.asDouble(col(vecCol)),
         flat, offset, model.k, model.d))
   }
+
+  /** MAHALANOBIS anomaly score: D²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) — the
+    * covariance-aware outlier distance (the multivariate upgrade of the
+    * per-column robust-z/IQR gates): a point far along a
+    * high-variance direction is NORMAL, the same euclidean distance
+    * across a tight direction is an anomaly. Computed as ‖whiten(x)‖²
+    * over the full-rank PCA basis (Σ⁻¹ = Aᵀ Λ⁻¹ A), so the corpus pass
+    * is one moments fold + one codegen'd mat-vec scan — row-local,
+    * zero shuffle, and invariant under any invertible linear transform
+    * of the features (spec-pinned by scaling one dimension 100× and
+    * getting identical scores). Degenerate directions (λ ≤ eps) are
+    * excluded from the distance, matching the pseudo-inverse
+    * convention. For gaussian data D² ~ χ²(d): mean ≈ d, which the
+    * spec pins as a sanity band.
+    */
+  def mahalanobisScore(
+      df: DataFrame,
+      vecCol: String,
+      outCol: String,
+      eps: Double = 1e-12): DataFrame = {
+    val probe = df.select(graft.functions.VectorOps.asDouble(col(vecCol)).as("v"))
+      .na.drop("any").select(size(col("v"))).head()
+    val d = probe.getInt(0)
+    val model = pca(df, vecCol, d)
+    val white = pcaWhiten(df, vecCol, model, "__w", eps)
+    white.withColumn(outCol,
+        graft.functions.VectorOps.dot(col("__w"), col("__w")))
+      .drop("__w")
+  }
 }

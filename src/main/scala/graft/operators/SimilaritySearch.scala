@@ -454,6 +454,53 @@ object SimilaritySearch {
     PcaIvfIndex(model, ivf)
   }
 
+  /** Persist a PCA->IVF index: the eigenbasis as a tiny JSON sidecar
+    * (k×d + 2 vectors — model metadata, like the PQ codebook sidecar)
+    * plus the reduced-space IVF store via [[saveIvfIndex]] (bucketed,
+    * cell-sorted, carrying the full vectors). Probes of the loaded
+    * index inherit every IVF-store property — bucket pruning on cell,
+    * tombstones, shuffle-free batch joins — and are bit-identical to
+    * the in-session index (spec-pinned).
+    */
+  def savePcaIvfIndex(
+      index: PcaIvfIndex,
+      idCol: String,
+      tableName: String,
+      path: String,
+      buckets: Int = 16): Unit = {
+    val spark = index.ivf.assigned.sparkSession
+    import spark.implicits._
+    Seq((index.pca.mean.toSeq, index.pca.axes.flatten.toSeq,
+        index.pca.explained.toSeq, index.pca.k, index.pca.d))
+      .toDF("mean", "axes_flat", "explained", "k", "d")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/pca")
+    saveIvfIndex(index.ivf, idCol, tableName, s"$path/ivf", buckets)
+  }
+
+  /** Load a persisted PCA->IVF index — no clustering, no moment pass;
+    * drop-in for [[pcaIvfTopK]].
+    */
+  def loadPcaIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      path: String): PcaIvfIndex = {
+    val r = spark.read.json(s"$path/pca")
+      .select(col("mean").cast("array<double>"),
+        col("axes_flat").cast("array<double>"),
+        col("explained").cast("array<double>"),
+        col("k").cast("int"), col("d").cast("int"))
+      .head()
+    val (mean, flat, explained, k, d) =
+      (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
+        r.getSeq[Double](2).toArray, r.getInt(3), r.getInt(4))
+    require(flat.length == k * d, s"axes sidecar ${flat.length} != $k x $d")
+    val model = EmbeddingStats.PcaModel(
+      mean, Array.tabulate(k)(i => flat.slice(i * d, (i + 1) * d)), explained)
+    PcaIvfIndex(model, loadIvfIndex(spark, tableName, s"$path/ivf"))
+  }
+
   /** y = A(q − μ), driver-side — queries are single vectors. */
   private def pcaProjectQuery(
       m: EmbeddingStats.PcaModel, q: Seq[Double]): Seq[Double] = {

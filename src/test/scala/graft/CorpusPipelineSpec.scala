@@ -239,6 +239,108 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(chunks.count() > 0)
   }
 
+  test("DSIR selection stage: exactly-k pulls the target dialect; pool lands first") {
+    import graft.operators.Dsir
+    val root = s"target/tmp/corpus_dsir_${System.nanoTime()}"
+    // Standing censuses: raw = both dialects, target = the goodText one.
+    val refT = Seq((100L, goodText), (101L, goodText + " and the fox sleeps"))
+      .toDF("doc_id", "text")
+    val refO = Seq(
+      (200L, "the mountain of copper and zinc but granite with marble for quartz " +
+        "the valley of slate and basalt but gravel with sand for clay"))
+      .toDF("doc_id", "text")
+    Dsir.appendFeatureCensusDelta(refT, "text", 256, s"$root/census/target", 0L)
+    Dsir.appendFeatureCensusDelta(refT.unionByName(refO), "text", 256, s"$root/census/raw", 0L)
+
+    val offText = "the mountain of copper and zinc but granite with marble for " +
+      "quartz the valley of slate and basalt but gravel with sand for clay"
+    val docs = Seq(
+      (1L, "web", goodText + " one"), (2L, "web", goodText + " two"),
+      (3L, "web", goodText + " three"),
+      (4L, "web", offText + " alpha"), (5L, "web", offText + " beta"),
+      (6L, "web", offText + " gamma")
+    ).toDF("doc_id", "source", "text")
+
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = root, window = 8, stride = 6, minQuality = 0.0,
+        dsirCensusRoot = Some(s"$root/census"), dsirSampleK = 3L,
+        dsirBuckets = 256))
+
+    // The unselected pool is durable and complete.
+    assert(spark.read.parquet(s"$root/silver_pre_dsir").count() == 6L)
+    val silver = spark.read.parquet(s"$root/silver")
+    val kept = silver.select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 3, s"exactly k: $kept")
+    // Importance gaps of ~tens of nats make the race all-target.
+    assert(kept == Set(1L, 2L, 3L), s"target dialect must win the race: $kept")
+    assert(silver.columns.contains("log_weight"), "weight rides as an annotation")
+    // Downstream chunking consumed the selection.
+    val shardDocs = spark.read.parquet(s"$root/shards/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(shardDocs == kept)
+  }
+
+  test("DSIR floor (no k): batch drops sub-floor docs; fail-fast without a census root") {
+    import graft.operators.Dsir
+    val root = s"target/tmp/corpus_dsir_floor_${System.nanoTime()}"
+    val refT = Seq((100L, goodText)).toDF("doc_id", "text")
+    val offText = "the mountain of copper and zinc but granite with marble for " +
+      "quartz the valley of slate and basalt but gravel with sand for clay"
+    val refO = Seq((200L, offText)).toDF("doc_id", "text")
+    Dsir.appendFeatureCensusDelta(refT, "text", 256, s"$root/census/target", 0L)
+    Dsir.appendFeatureCensusDelta(refT.unionByName(refO), "text", 256, s"$root/census/raw", 0L)
+    val docs = Seq(
+      (1L, "web", goodText + " one"), (4L, "web", offText + " alpha")
+    ).toDF("doc_id", "source", "text")
+    RunCorpusPipeline.run(spark, docs,
+      CorpusConfig(root = root, window = 8, stride = 6, minQuality = 0.0,
+        dsirCensusRoot = Some(s"$root/census"), dsirMinLogWeight = 0.0,
+        dsirBuckets = 256))
+    assert(spark.read.parquet(s"$root/silver")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+
+    val err = intercept[IllegalArgumentException] {
+      RunCorpusPipeline.run(spark, docs,
+        CorpusConfig(root = root, dsirSampleK = 1L))
+    }
+    assert(err.getMessage.contains("dsirCensusRoot"))
+  }
+
+  test("streaming arm: DSIR frozen-ratio floor gates chunks; exactly-k refused") {
+    import graft.operators.Dsir
+    val root = s"target/tmp/corpus_stream_dsir_${System.nanoTime()}"
+    val refT = Seq((100L, goodText)).toDF("doc_id", "text")
+    val offText = "the mountain of copper and zinc but granite with marble for " +
+      "quartz the valley of slate and basalt but gravel with sand for clay"
+    val refO = Seq((200L, offText)).toDF("doc_id", "text")
+    Dsir.appendFeatureCensusDelta(refT, "text", 256, s"$root/census/target", 0L)
+    Dsir.appendFeatureCensusDelta(refT.unionByName(refO), "text", 256, s"$root/census/raw", 0L)
+
+    val docs = Seq((1L, "web", goodText), (2L, "web", offText))
+      .toDF("doc_id", "source", "text")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/stage"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
+
+    val cfg = CorpusConfig(root = root, window = 8, stride = 6,
+      minQuality = 0.0, dsirCensusRoot = Some(s"$root/census"),
+      dsirMinLogWeight = 0.0, dsirBuckets = 256)
+    val q = RunCorpusPipeline.runStreaming(spark, s"$root/in", cfg,
+      surprisalCensusPath = None)
+    try q.processAllAvailable() finally q.stop()
+    val byDoc = spark.read.parquet(s"$root/chunks")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byDoc == Set(1L), s"only target-dialect chunks land: $byDoc")
+
+    val err = intercept[IllegalArgumentException] {
+      RunCorpusPipeline.runStreaming(spark, s"$root/in",
+        cfg.copy(dsirSampleK = 5L), surprisalCensusPath = None)
+    }
+    assert(err.getMessage.contains("batch-only"))
+  }
+
   test("streaming arm with stateful dedup: cross-batch duplicate drops, clusters persist") {
     val root = s"target/tmp/corpus_stream_dedup_${System.nanoTime()}"
     val in = s"$root/in"

@@ -402,6 +402,29 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().foreach(r => assert(math.abs(r.getDouble(3)) < 1e-9, r.toString))
   }
 
+  test("gramNovelty: hand fractions, gramless zero, broadcast==shuffle paths") {
+    import graft.operators.CorpusStats
+    val standing = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val census = CorpusStats.trigramCensus(standing, "doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d e"),     // all 3 trigrams seen -> 0
+      (2L, "x y z w"),       // both unseen -> 1
+      (3L, "a b c q r"),     // 1 of 3 seen -> 2/3
+      (4L, "hi")             // gramless -> 0 grams, novelty 0
+    ).toDF("doc_id", "text")
+    def run(bc: Option[Boolean]) =
+      CorpusStats.gramNovelty(batch, "doc_id", "text", census, n = 3,
+          broadcastVocab = bc)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run(None)
+    assert(got(1L) == ((3L, 0.0)))
+    assert(got(2L) == ((2L, 1.0)))
+    assert(got(3L)._1 == 3L)
+    assert(math.abs(got(3L)._2 - 2.0 / 3) < 1e-6)
+    assert(got(4L) == ((0L, 0.0)))
+    assert(run(Some(false)) == got, "shuffle-join path must agree")
+  }
+
   test("EmbeddingStats.dispersion: collapsed group 0, spread group by hand") {
     val vecs = Seq(
       (1L, 0, Array(1.0f, 0.0f)),

@@ -113,6 +113,41 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(mx == 0.0, s"degenerate axis must zero out, got $mx")
   }
 
+  test("mahalanobis: affine-invariant, chi-square mean band, planted outlier tops") {
+    import graft.operators.EmbeddingStats.mahalanobisScore
+    // Gaussian cloud + one outlier planted along the LOW-variance
+    // direction (1,-1,0)/√2 at modest euclidean distance — euclidean
+    // ranking misses it, Mahalanobis must not.
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 400).map { i =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 1.0
+      val c = rnd.nextGaussian() * 0.05
+      (i.toLong, Array((a + c) / math.sqrt(2), (a - c) / math.sqrt(2), b))
+    }
+    val s2 = math.sqrt(2)
+    val outlier = (999L, Array(1.0 / s2, -1.0 / s2, 0.0)) // 1.0 across the 0.05 axis
+    val docs = (base :+ outlier).toDF("vec_id", "embedding")
+    val scores = mahalanobisScore(docs, "embedding", "d2")
+      .select($"vec_id", $"d2").as[(Long, Double)].collect().toMap
+    assert(scores.maxBy(_._2)._1 == 999L,
+      "the tight-direction outlier must have the largest D2")
+    // For d-dim gaussian data E[D2] = d (here the outlier barely moves it).
+    val mean = scores.values.sum / scores.size
+    assert(mean > 2.0 && mean < 4.0, s"chi-square mean band: $mean vs d=3")
+
+    // Affine invariance: scaling a feature 100x changes nothing.
+    val scaled = docs.select($"vec_id",
+      array(element_at($"embedding", 1) * 100.0,
+        element_at($"embedding", 2), element_at($"embedding", 3)).as("embedding"))
+    val scaledScores = mahalanobisScore(scaled, "embedding", "d2")
+      .select($"vec_id", $"d2").as[(Long, Double)].collect().toMap
+    scores.foreach { case (id, v) =>
+      assert(math.abs(scaledScores(id) - v) < 1e-6,
+        s"affine invariance broken at $id: $v vs ${scaledScores(id)}")
+    }
+  }
+
   test("fixture round-trip: sf0.001 embeddings whiten to identity covariance") {
     val emb = TableIO.table(spark, Sf0001, "embeddings")
     val m = EmbeddingStats.pca(emb, "embedding", 8)
