@@ -287,17 +287,25 @@ object Dsir {
       tailThreshold: Long = 65536): DataFrame = {
     require(k >= 0, s"sample size must be >= 0, got $k")
     if (k == 0) return df.limit(0)
-    val eligible = df.filter(logWeightCol.isNotNull)
     val h52 = conv(
       substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
       16, 10).cast("long")
     val u = (h52 + 1).cast("double") / 4503599627370496.0
-    val keyed = eligible
+    // No eligibility filter on the keyed scan: a Filter on
+    // `logWeightCol` beside a projection that uses it makes Spark
+    // evaluate the (expensive) scoring expression TWICE per row —
+    // predicate pushdown substitutes the alias straight through the
+    // Project (r13-measured: 9.6s vs the 5.1s hashing floor at sf0.1).
+    // A null log weight keys to null instead, which every consumer
+    // already excludes: Selection ignores null keys by contract, the
+    // cutoff comparisons are null-safe, and n counts non-null keys off
+    // the cache.
+    val keyed = df
       .select(col(idCol).as("__rsk_id"), (log(-log(u)) - logWeightCol).as("__lkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = keyed.count()
-      if (k >= n) return eligible
+      val n = keyed.filter(col("__lkey").isNotNull).count()
+      if (k >= n) return df.filter(logWeightCol.isNotNull)
       val cutoff = Selection.kthSmallest(keyed, "__lkey", k, tailThreshold = tailThreshold)
       val below = keyed.filter(col("__lkey") < cutoff)
       val b = below.count()

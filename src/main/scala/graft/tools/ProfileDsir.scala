@@ -31,8 +31,14 @@ object ProfileDsir {
           .localCheckpoint(true))
       val rc = time("raw census (full corpus)")(
         Dsir.featureCensus(docs, "text", 1024).localCheckpoint(true))
+      time("fused census pair")(
+        Dsir.featureCensusPair(docs, "text", 1024, col("lang") === "en"))
+      time("hash only: sum(size(buckets))")(
+        docs.select(sum(size(Dsir.hashedBuckets(col("text"), 1024)))).head())
       val w = Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 1024)
       time("scoring pass (w.count)")(w.count())
+      time("scoring forced: sum(log_weight)")(
+        w.agg(sum("log_weight")).head())
       val h52 = conv(
         substring(md5(concat(col("doc_id").cast("string"), lit("dsir"))), 1, 13),
         16, 10).cast("long")
