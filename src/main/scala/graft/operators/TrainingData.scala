@@ -560,7 +560,17 @@ object TrainingData {
     * (counters cross the wire, not rows), strict-below rows are kept
     * row-locally, and the boundary resolves by id. Rows with null or
     * non-positive weight have no defined race time and never sample
-    * (filtered before the draw).
+    * (they key to null, which the descent and cutoff comparisons
+    * exclude). Requires `idCol` unique (winner recovery is
+    * id-addressed).
+    *
+    * Pass shape (the r13 Dsir.resampleTopK discipline applied to the
+    * house sampler): the race runs on a PERSISTED two-column
+    * (id, key) projection — the count + descent + boundary passes read
+    * the cache instead of re-scanning the input lineage once each —
+    * and ONE broadcast semi-join recovers the winners' full rows. The
+    * input scans exactly twice however expensive its lineage or
+    * weight expression is.
     */
   def exactSampleWeighted(
       df: DataFrame,
@@ -571,18 +581,25 @@ object TrainingData {
       tailThreshold: Long = 65536): DataFrame = {
     require(k >= 0, s"sample size must be >= 0, got $k")
     if (k == 0) return df.limit(0)
-    val eligible = df.filter(weightCol.isNotNull && weightCol > 0)
     val u = (sampleKey(idCol, salt) + 1).cast("double") / 4503599627370496.0
-    val keyed = eligible.withColumn("__wkey", -log(u) / weightCol.cast("double"))
-    val n = eligible.count()
-    if (k >= n) return eligible
-    val cutoff = Selection.kthSmallest(keyed, "__wkey", k, tailThreshold = tailThreshold)
-    val below = keyed.filter(col("__wkey") < cutoff)
-    val b = below.count()
-    require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
-    val boundary = keyed.filter(col("__wkey") === cutoff)
-      .orderBy(col(idCol)).limit((k - b).toInt)
-    below.unionByName(boundary).drop("__wkey")
+    val w = weightCol.cast("double")
+    val keyed = df
+      .select(col(idCol).as("__rsw_id"),
+        when(weightCol.isNotNull && weightCol > 0, -log(u) / w).as("__wkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keyed.filter(col("__wkey").isNotNull).count()
+      if (k >= n) return df.filter(weightCol.isNotNull && weightCol > 0)
+      val cutoff = Selection.kthSmallest(keyed, "__wkey", k, tailThreshold = tailThreshold)
+      val below = keyed.filter(col("__wkey") < cutoff)
+      val b = below.count()
+      require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
+      val boundary = keyed.filter(col("__wkey") === cutoff)
+        .orderBy(col("__rsw_id")).limit((k - b).toInt)
+      val winners = below.select("__rsw_id").unionByName(boundary.select("__rsw_id"))
+        .localCheckpoint(true)
+      df.join(broadcast(winners), col(idCol) === col("__rsw_id"), "left_semi")
+    } finally keyed.unpersist(blocking = false)
   }
 
   /** STRATIFIED exactly-k: min(k, |group|) deterministic rows per
