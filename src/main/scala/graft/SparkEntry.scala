@@ -1210,6 +1210,20 @@ object SparkEntry {
           col("robust_z"), col("is_outlier"))
         .orderBy("event_id")),
 
+    // Seasonal robust z (r13): each event scored against its
+    // (event_type, hour-of-day) distribution — the calendar-aware
+    // baseline; a mid-range value can be anomalous FOR ITS HOUR while
+    // invisible to the whole-group score (spec-pinned). Composition of
+    // robustZScore over the composite key, fully replayed in SQL.
+    "q_anomaly_seasonal" -> ((s, d) =>
+      Anomaly.seasonalRobustZ(
+          t(s, d, "events").select("event_id", "event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .select(col("event_id"), col("event_type"), col("season_bucket"),
+          col("value"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("robust_z"), col("is_outlier"))
+        .orderBy("event_id")),
+
     // Mahalanobis anomaly score (r13): D² = ||whiten(x)||² over the
     // full-rank PCA basis — the covariance-aware multivariate upgrade
     // of the per-column z/IQR gates. Rows-only (LAPACK eigenbasis, §8,
@@ -4249,6 +4263,31 @@ object SparkEntry {
         |FROM events e
         |JOIN med md USING (event_type)
         |JOIN mad dd USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Seasonal replay: the robust-z SQL with the (event_type, hour)
+    // composite baseline.
+    "q_anomaly_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS season_bucket, value
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, season_bucket, median(value) AS m
+        |  FROM e GROUP BY 1, 2
+        |), mad AS (
+        |  SELECT e.event_type, e.season_bucket, median(abs(e.value - md.m)) AS d
+        |  FROM e JOIN med md USING (event_type, season_bucket) GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.event_type, e.season_bucket, e.value,
+        |       round(md.m, 6) AS med, round(dd.d, 6) AS mad,
+        |       CASE WHEN dd.d > 0
+        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) END AS robust_z,
+        |       coalesce(CASE WHEN dd.d > 0
+        |            THEN abs(round((e.value - md.m) / (1.4826 * dd.d), 6)) > 3.5 END,
+        |          false) AS is_outlier
+        |FROM e
+        |JOIN med md USING (event_type, season_bucket)
+        |JOIN mad dd USING (event_type, season_bucket)
         |ORDER BY e.event_id""".stripMargin,
 
     "q_anomaly_iqr" ->

@@ -62,6 +62,46 @@ object Anomaly {
       .withColumnRenamed("_mad", "mad")
   }
 
+  /** SEASONAL robust z-score: score each row against its
+    * (group, calendar-bucket) distribution instead of the whole group —
+    * "is this value unusual FOR 3 AM" rather than "unusual overall".
+    * The fraud/ops question the plain group baseline cannot answer: a
+    * mid-range value can be wildly anomalous for its hour while sitting
+    * comfortably inside the all-day distribution (spec-pinned with
+    * exactly that fixture). Season buckets: "hod" hour-of-day (0-23),
+    * "dow" day-of-week (1-7), "how" hour-of-week (0-167).
+    *
+    * Pure composition: [[robustZScore]] over the composite
+    * (group, bucket) key, so the scale shape is inherited (three fact
+    * scans, broadcast stats joins, the exact/approx percentile switch)
+    * and the stats table grows by at most 168 rows per group — still
+    * metadata. The emitted `season_bucket` column names the baseline
+    * each row was judged against.
+    */
+  def seasonalRobustZ(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      season: String = "hod",
+      threshold: Double = 3.5,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val bucket = season match {
+      case "hod" => hour(col(tsCol))
+      case "dow" => dayofweek(col(tsCol))
+      case "how" => (dayofweek(col(tsCol)) - 1) * 24 + hour(col(tsCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown season '$other' - one of hod, dow, how")
+    }
+    robustZScore(
+        df.withColumn("season_bucket", bucket.cast("int"))
+          .withColumn("__sg",
+            concat_ws("#", col(groupCol), col("season_bucket"))),
+        "__sg", valueCol, threshold, exact, accuracy)
+      .drop("__sg")
+  }
+
   /** Tukey-fence (IQR) outliers per group: a row is an outlier when it
     * falls outside [q1 - k*iqr, q3 + k*iqr] of its group (k = 1.5 the
     * classic fence, 3.0 the "far out" fence). Same two-phase shape as

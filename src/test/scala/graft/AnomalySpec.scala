@@ -42,6 +42,38 @@ class AnomalySpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("seasonal robust z: anomalous-for-the-hour, invisible to the whole-group score") {
+    // 3 AM runs hot (~100), noon runs cold (~5). A noon value of 50 sits
+    // BETWEEN the two modes — the whole-group baseline can't flag it —
+    // but is wildly anomalous for noon.
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2023-01-01 $h%02d:$m%02d:00")
+    val rows =
+      (1 to 20).map(i => (i.toLong, "pay", ts(3, i), 100.0 + (i % 5) * 0.5)) ++
+        (1 to 20).map(i => (100L + i, "pay", ts(12, i), 5.0 + (i % 5) * 0.1)) :+
+        ((999L, "pay", ts(12, 30), 50.0))
+    val df = rows.toDF("event_id", "event_type", "ts", "value")
+    val seasonal = Anomaly.seasonalRobustZ(df, "event_type", "ts", "value")
+    val flagged = seasonal.filter(col("is_outlier"))
+      .select("event_id").as[Long].collect().toSet
+    assert(flagged == Set(999L), s"only the noon-anomalous row: $flagged")
+    // The whole-group score is blind to it (50 sits between the modes).
+    val plain = Anomaly.robustZScore(df, "event_type", "value")
+      .filter(col("event_id") === 999L && col("is_outlier")).count()
+    assert(plain == 0L, "the all-day baseline must NOT flag the in-between value")
+    // season_bucket names the baseline; dow/how bucket correctly too.
+    val buckets = seasonal.select("event_id", "season_bucket")
+      .as[(Long, Int)].collect().toMap
+    assert(buckets(1L) == 3 && buckets(101L) == 12)
+    val how = Anomaly.seasonalRobustZ(df, "event_type", "ts", "value", season = "how")
+      .select("season_bucket").distinct().as[Int].collect().toSet
+    // 2023-01-01 is a Sunday: dayofweek = 1, so hour-of-week = hour.
+    assert(how == Set(3, 12))
+    val err = intercept[IllegalArgumentException] {
+      Anomaly.seasonalRobustZ(df, "event_type", "ts", "value", season = "nope")
+    }
+    assert(err.getMessage.contains("hod, dow, how"))
+  }
+
   test("IQR fences flag the planted outliers and respect the k factor") {
     val flagged = Anomaly.iqrOutliers(fixture, "grp", "v")
       .filter(col("is_outlier")).select("id").as[Long].collect().toSet
