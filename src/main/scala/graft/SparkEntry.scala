@@ -1075,6 +1075,26 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", 150L, salt = "xs", tailThreshold = 64)
         .orderBy("doc_id")),
 
+    // Standing exactly-k sample folded per ingestion batch (r13,
+    // [[SampleStore]]): two batch folds with k rows of state must equal
+    // the one-shot race over the whole corpus — the oracle IS
+    // q_exact_sample's SQL (fold identity; same k and salt).
+    "q_sample_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = "target/tmp/sample_store_contract"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      Seq(0L, 1L).foreach { b =>
+        graft.operators.SampleStore.fold(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", 150L, root, b, salt = "xs")
+      }
+      graft.operators.SampleStore.read(s, root)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Exactly-k WEIGHTED sample (Efraimidis-Spirakis race on the same
     // md5 uniform): P(in sample) proportional to n_chars, without
     // replacement, deterministic in (id, salt). Oracle recomputes
@@ -2974,9 +2994,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
-    // Incremental == one-shot fold identities: the incremental census
-    // query's oracle IS the full-corpus recompute, verbatim.
-    base + ("q_dsir_weights_incr" -> base("q_dsir_weights"))
+    // Incremental == one-shot fold identities: each incremental query's
+    // oracle IS the full recompute, verbatim.
+    base +
+      ("q_dsir_weights_incr" -> base("q_dsir_weights")) +
+      ("q_sample_incr" -> base("q_exact_sample"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -89,6 +89,17 @@ object ScaleStress {
     time("emb near-dup LSH (cos>=0.9)")(
       println("[stress]   n_pairs = " + Dedup.embeddingNearDuplicatesLSH(
         emb, "vec_id", "embedding", 0.9, numPlanes = 20, maxHamming = 1).count()))
+    // PCA->IVF (r13): the moments fold + clustering in 16-of-64 dims at
+    // volume, then the coarse-to-fine probe. The claim: the reduced
+    // probe touches k/d of the vector bytes in the shortlist stage, so
+    // probe wall should sit at-or-under the plain IVF probe while the
+    // build adds one moments pass over the corpus.
+    val pidx = time("pca-ivf build (k=16, nlist=64)")(
+      SimilaritySearch.buildPcaIvfIndex(
+        emb, "vec_id", "embedding", components = 16, nlist = 64))
+    time("pca-ivf probe top-20 (nprobe=8, shortlist=4)")(
+      SimilaritySearch.pcaIvfTopK(pidx, "vec_id", q, 20, nprobe = 8).collect())
+    pidx.release()
     // Filtered search at volume: the in-probe predicate (label slice
     // carried beside the codes, r10) must cost no more than the
     // unfiltered probe — it prunes rows the unfiltered probe scores —
