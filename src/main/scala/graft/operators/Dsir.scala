@@ -169,6 +169,29 @@ object Dsir {
       rc.select(col("bucket"), col("cnt").as("n")), s"$root/raw", batchId)
   }
 
+  /** Structured Streaming form: every micro-batch appends its fused
+    * target/raw census deltas — the DSIR censuses accrete as an
+    * ingestion side effect, so scoring/selection always has a current
+    * ratio table without a census job. Replay-safe end to end:
+    * CensusStore deltas are overwrite-idempotent per batch id and the
+    * fold watermark skips already-compacted batches. Streamed == batch
+    * counts are spec-pinned.
+    */
+  def censusSink(
+      stream: DataFrame,
+      textCol: String,
+      buckets: Int,
+      targetPred: Column,
+      root: String,
+      checkpoint: String,
+      ns: Seq[Int] = Seq(1, 2)): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendFeatureCensusPairDeltas(b, textCol, buckets, targetPred, root, id, ns)
+      }
+      .start()
+
   /** Read a standing feature census back in [[featureCensus]] shape. */
   def readFeatureCensus(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

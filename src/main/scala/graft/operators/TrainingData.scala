@@ -534,18 +534,28 @@ object TrainingData {
       tailThreshold: Long = 65536): DataFrame = {
     require(k >= 0, s"sample size must be >= 0, got $k")
     if (k == 0) return df.limit(0)
-    val keyed = df.withColumn("__skey", sampleKey(idCol, salt))
-    val n = df.count()
-    if (k >= n) return df
-    val cutoff = Selection
-      .kthSmallest(keyed, "__skey", k, tailThreshold = tailThreshold)
-      .toLong
-    val below = keyed.filter(col("__skey") < cutoff)
-    val b = below.count()
-    require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
-    val boundary = keyed.filter(col("__skey") === cutoff)
-      .orderBy(col(idCol)).limit((k - b).toInt)
-    below.unionByName(boundary).drop("__skey")
+    // Same narrow-cache race shape as [[exactSampleWeighted]] (r13):
+    // the count + descent + boundary passes read a persisted
+    // two-column projection instead of re-scanning the input lineage
+    // once each; one broadcast semi-join recovers the winners.
+    val keyed = df
+      .select(col(idCol).as("__rs_id"), sampleKey(idCol, salt).as("__skey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keyed.count()
+      if (k >= n) return df
+      val cutoff = Selection
+        .kthSmallest(keyed, "__skey", k, tailThreshold = tailThreshold)
+        .toLong
+      val below = keyed.filter(col("__skey") < cutoff)
+      val b = below.count()
+      require(k - b <= Int.MaxValue, s"boundary take ${k - b} exceeds Int range")
+      val boundary = keyed.filter(col("__skey") === cutoff)
+        .orderBy(col("__rs_id")).limit((k - b).toInt)
+      val winners = below.select("__rs_id").unionByName(boundary.select("__rs_id"))
+        .localCheckpoint(true)
+      df.join(broadcast(winners), col(idCol) === col("__rs_id"), "left_semi")
+    } finally keyed.unpersist(blocking = false)
   }
 
   /** EXACTLY-k WEIGHTED sample without replacement — the

@@ -141,6 +141,25 @@ class DsirSpec extends SparkSpec {
       s"scaled sample total $sampTot should approximate full total $fullTot")
   }
 
+  test("streaming census sink == one-shot pair builder, exactly") {
+    val root = s"target/tmp/dsir_census_stream_${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/stage"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$root/in/b0.parquet"))
+    val stream = spark.readStream.schema(corpus.schema).parquet(s"$root/in")
+    val q = Dsir.censusSink(stream, "text", B, col("grp") === "t",
+      s"$root/census", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.select($"bucket".cast("int"), $"cnt".cast("long"))
+        .as[(Int, Long)].collect().toMap
+    val (tc, rc) = Dsir.featureCensusPair(corpus, "text", B, $"grp" === "t")
+    assert(m(Dsir.readFeatureCensus(spark, s"$root/census/target")) == m(tc))
+    assert(m(Dsir.readFeatureCensus(spark, s"$root/census/raw")) == m(rc))
+  }
+
   test("k >= eligible returns every scored row; k = 0 returns none") {
     val c = Dsir.featureCensus(corpus, "text", B)
     val w = Dsir.importanceWeights(corpus, "doc_id", "text", c, c, B)
