@@ -1179,6 +1179,26 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Stratified standing sample folded per batch (r13,
+    // [[SampleStore.foldPerGroup]]): two folds with k·|groups| rows of
+    // state must equal the one-shot per-group race — the oracle IS
+    // q_sample_exact_stratified's SQL (same k and salt).
+    "q_sample_incr_stratified" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = "target/tmp/sample_store_strat_contract"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      Seq(0L, 1L).foreach { b =>
+        graft.operators.SampleStore.foldPerGroup(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "source", k = 10, root, b, salt = "st")
+      }
+      graft.operators.SampleStore.read(s, root)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Quota-table stratified sampling ([[TrainingData.exactSampleQuotas]]):
     // per-group k from a (group, quota) DataFrame — one bounded-heap
     // pass at max(quota), per-group trim by heap rank. Quotas chosen to
@@ -2998,7 +3018,8 @@ object SparkEntry {
     // oracle IS the full recompute, verbatim.
     base +
       ("q_dsir_weights_incr" -> base("q_dsir_weights")) +
-      ("q_sample_incr" -> base("q_exact_sample"))
+      ("q_sample_incr" -> base("q_exact_sample")) +
+      ("q_sample_incr_stratified" -> base("q_sample_exact_stratified"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -36,6 +36,41 @@ object SampleStore {
     conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
       16, 10).cast("long")
 
+  /** Shared store plumbing: recover a crashed swap, honor the fold
+    * watermark, run `winners` over (standing ∪ batch) id-deduped, land
+    * the new state under the swap discipline. The tmp-name convention
+    * matches CensusStore.compact so recoverSwap's crash states cover
+    * this writer too: a crash after the tmp write reinstates tmp
+    * (marker stamped ⇒ replay skipped; marker missing ⇒ the re-fold is
+    * a no-op by idempotence).
+    */
+  private def foldWith(
+      batch: DataFrame,
+      idCol: String,
+      path: String,
+      batchId: Long)(winners: DataFrame => DataFrame): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.streaming.StreamingFeatures.recoverSwap(fs, root)
+    if (graft.streaming.StreamingFeatures.readBatchMarker(fs, root).exists(batchId <= _))
+      return
+    val exists = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.endsWith(".parquet"))
+    val cand =
+      if (exists) spark.read.parquet(path).unionByName(batch).dropDuplicates(idCol)
+      else batch
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}__compacting")
+    fs.delete(tmp, true)
+    winners(cand).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.streaming.StreamingFeatures.writeBatchMarker(fs, tmp, batchId)
+    if (fs.exists(root)) graft.streaming.StreamingFeatures.swapIn(fs, root, tmp)
+    else require(fs.rename(tmp, root), s"sample store: rename $tmp -> $root failed")
+    ()
+  }
+
   /** Fold one batch into the standing sample at `path`. */
   def fold(
       batch: DataFrame,
@@ -45,32 +80,30 @@ object SampleStore {
       batchId: Long,
       salt: String = ""): Unit = {
     require(k >= 1 && k <= Int.MaxValue, s"sample size must be in [1, Int.Max], got $k")
-    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
-    val spark = batch.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    graft.streaming.StreamingFeatures.recoverSwap(fs, root)
-    if (graft.streaming.StreamingFeatures.readBatchMarker(fs, root).exists(batchId <= _))
-      return
-    val keyed = batch.withColumn("__skey", raceKey(idCol, salt))
-    val exists = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.endsWith(".parquet"))
-    val cand =
-      if (exists) spark.read.parquet(path).unionByName(keyed).dropDuplicates(idCol)
-      else keyed
-    val winners = cand.orderBy(col("__skey"), col(idCol)).limit(k.toInt)
-    // Same tmp-name convention as CensusStore.compact so recoverSwap's
-    // crash states cover this writer too: a crash after the tmp write
-    // reinstates tmp (marker stamped => replay skipped; marker missing
-    // => the re-fold is a no-op by idempotence).
-    val tmp = new org.apache.hadoop.fs.Path(
-      root.getParent, s".${root.getName}__compacting")
-    fs.delete(tmp, true)
-    winners.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    graft.streaming.StreamingFeatures.writeBatchMarker(fs, tmp, batchId)
-    if (fs.exists(root)) graft.streaming.StreamingFeatures.swapIn(fs, root, tmp)
-    else require(fs.rename(tmp, root), s"sample store: rename $tmp -> $root failed")
-    ()
+    foldWith(batch.withColumn("__skey", raceKey(idCol, salt)), idCol, path, batchId)(
+      _.orderBy(col("__skey"), col(idCol)).limit(k.toInt))
+  }
+
+  /** STRATIFIED standing sample: min(k, |group seen so far|) rows per
+    * group, folded per batch — the same per-group race associativity
+    * ([[TrainingData.exactSamplePerGroup]]'s key is a pure (id, salt)
+    * function, so per-group winners of the union equal winners of
+    * (standing ∪ batch)). State is ≤ k·|groups| rows; the keys are
+    * recomputed per fold rather than stored, so the state schema is
+    * exactly the ingested rows. Requires an integral unique `idCol`
+    * (the bounded-heap contract).
+    */
+  def foldPerGroup(
+      batch: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      path: String,
+      batchId: Long,
+      salt: String = ""): Unit = {
+    require(k >= 1, s"per-group sample size must be >= 1, got $k")
+    foldWith(batch, idCol, path, batchId)(
+      TrainingData.exactSamplePerGroup(_, idCol, groupCol, k, salt))
   }
 
   /** The standing sample (all ingested columns plus the race key). */

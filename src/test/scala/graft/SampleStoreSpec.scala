@@ -48,6 +48,23 @@ class SampleStoreSpec extends SparkSpec {
     assert(ids(SampleStore.read(spark, root)) == after)
   }
 
+  test("stratified fold across any batch split equals the one-shot per-group race") {
+    val docs = TableIO.table(spark, Sf0001, "documents")
+    val oneShot = ids(TrainingData.exactSamplePerGroup(
+      docs, "doc_id", "source", k = 5, salt = "gs"))
+    val root = s"target/tmp/sample_store_strat_${System.nanoTime()}"
+    (0 until 3).foreach { b =>
+      SampleStore.foldPerGroup(
+        docs.filter(pmod($"doc_id", lit(3L)) === b.toLong),
+        "doc_id", "source", k = 5, root, b.toLong, salt = "gs")
+    }
+    val folded = SampleStore.read(spark, root)
+    assert(ids(folded) == oneShot)
+    // every group capped at k
+    val over = folded.groupBy("source").count().filter($"count" > 5).count()
+    assert(over == 0L)
+  }
+
   test("k >= corpus keeps everything seen so far") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val root = s"target/tmp/sample_store_small_${System.nanoTime()}"
