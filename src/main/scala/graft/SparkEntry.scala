@@ -2022,6 +2022,44 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL image codec contract (r13, the PNG sibling of
+    // q_audio_features): render an 8x8 PNG per document whose pixels
+    // are a pure md5 function of (doc_id, x, y), decode back through
+    // javax.imageio (ImageIoDecoder), and pin dimensions, frame count
+    // and the full 8-dim pixel feature (mean RGB, quadrant luma,
+    // aspect). PNG is lossless for INT_RGB, and at 8x8 the 64-point
+    // sample lattice visits every pixel exactly once — so the oracle
+    // replays the pixel formula and the lattice sums analytically (in
+    // (y, x) order, through float32), never the bytes: a decode that
+    // drops, reorders or mis-scales one pixel hash-mismatches.
+    "q_image_features" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val bytes = Multimodal.synthPngRgb(8, 8, (x, y) => {
+            md.reset()
+            val hx = md.digest(s"$id:$x:$y".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (Integer.parseInt(hx.substring(0, 2), 16) << 16) |
+              (Integer.parseInt(hx.substring(2, 4), 16) << 8) |
+              Integer.parseInt(hx.substring(4, 6), 16)
+          })
+          (id, "image", bytes, "synth")
+        }
+      }.toDF("media_id", "modality", "content", "source")
+      val feats = Multimodal.extractFeatures(
+        media, graft.operators.ImageIoDecoder).toDF()
+      def f6(i: Int, name: String) =
+        round(element_at(col("embedding"), i).cast("double"), 6).as(name)
+      feats.select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          f6(1, "r_mean"), f6(2, "g_mean"), f6(3, "b_mean"),
+          f6(4, "luma_tl"), f6(5, "luma_tr"), f6(6, "luma_bl"), f6(7, "luma_br"),
+          f6(8, "aspect"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio codec contract: synthesize 16-bit mono PCM WAV bytes
     // whose samples are a pure md5 function of (doc_id, frame index),
     // decode them back through javax.sound (JavaSoundDecoder), and pin
@@ -6177,6 +6215,54 @@ object SparkEntry {
         |                    + strpos('0123456789abcdef', h[4]) - 1) AS INT) AS height,
         |       CAST(1 AS INT) AS n_frames
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Image-codec replay: the md5 pixel formula, every lattice point of
+    // the 8x8 image (the 64-point grid visits each pixel once), integer
+    // channel sums, luma sums in (y, x) order per quadrant, the /n/255
+    // normalizations through float32. e0 suffixes force DOUBLE literals
+    // (DuckDB parses bare decimals as DECIMAL, which would change the
+    // arithmetic). The PNG bytes never appear — PNG is lossless, so the
+    // decoded pixels ARE the formula's values.
+    "q_image_features" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |         md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |             CAST(x.x AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)) AS h
+        |  FROM documents d, range(8) x(x), range(8) y(y)
+        |), rgb AS (
+        |  SELECT doc_id, x, y,
+        |    (strpos('0123456789abcdef', substr(h,1,1))-1)*16 +
+        |      (strpos('0123456789abcdef', substr(h,2,1))-1) AS r,
+        |    (strpos('0123456789abcdef', substr(h,3,1))-1)*16 +
+        |      (strpos('0123456789abcdef', substr(h,4,1))-1) AS g,
+        |    (strpos('0123456789abcdef', substr(h,5,1))-1)*16 +
+        |      (strpos('0123456789abcdef', substr(h,6,1))-1) AS b
+        |  FROM px
+        |), agg AS (
+        |  SELECT doc_id,
+        |    sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |    list_sum(list(0.299e0*r + 0.587e0*g + 0.114e0*b ORDER BY y, x)
+        |      FILTER (WHERE y < 4 AND x < 4)) AS ltl,
+        |    list_sum(list(0.299e0*r + 0.587e0*g + 0.114e0*b ORDER BY y, x)
+        |      FILTER (WHERE y < 4 AND x >= 4)) AS ltr,
+        |    list_sum(list(0.299e0*r + 0.587e0*g + 0.114e0*b ORDER BY y, x)
+        |      FILTER (WHERE y >= 4 AND x < 4)) AS lbl,
+        |    list_sum(list(0.299e0*r + 0.587e0*g + 0.114e0*b ORDER BY y, x)
+        |      FILTER (WHERE y >= 4 AND x >= 4)) AS lbr
+        |  FROM rgb GROUP BY doc_id
+        |)
+        |SELECT doc_id AS media_id,
+        |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |       CAST(1 AS INT) AS n_frames,
+        |       round(CAST(CAST(sr/64e0/255e0 AS FLOAT) AS DOUBLE), 6) AS r_mean,
+        |       round(CAST(CAST(sg/64e0/255e0 AS FLOAT) AS DOUBLE), 6) AS g_mean,
+        |       round(CAST(CAST(sb/64e0/255e0 AS FLOAT) AS DOUBLE), 6) AS b_mean,
+        |       round(CAST(CAST(ltl/16e0/255e0 AS FLOAT) AS DOUBLE), 6) AS luma_tl,
+        |       round(CAST(CAST(ltr/16e0/255e0 AS FLOAT) AS DOUBLE), 6) AS luma_tr,
+        |       round(CAST(CAST(lbl/16e0/255e0 AS FLOAT) AS DOUBLE), 6) AS luma_bl,
+        |       round(CAST(CAST(lbr/16e0/255e0 AS FLOAT) AS DOUBLE), 6) AS luma_br,
+        |       round(CAST(CAST(1.0e0 AS FLOAT) AS DOUBLE), 6) AS aspect
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     // Analytic replay of the audio codec round-trip: the sample at frame
     // k of doc id is ((first md5 hex byte of "id_k") - 128) * 256 on the

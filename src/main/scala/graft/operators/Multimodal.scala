@@ -308,6 +308,29 @@ object Multimodal {
     buf.array()
   }
 
+  /** Synthesize a REAL PNG from a per-pixel RGB function via the JDK
+    * encoder — the image counterpart of [[synthWavPcm16Mono]]: PNG is
+    * LOSSLESS for TYPE_INT_RGB, so [[ImageIoDecoder]] reads back the
+    * exact rendered pixels and the whole encode→decode→feature path
+    * carries an ANALYTIC oracle (the SQL replays the pixel formula and
+    * the lattice statistics, never the bytes). Production images arrive
+    * as bytes from storage; this exists for contract queries and specs.
+    */
+  def synthPngRgb(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"degenerate image ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Wrap the documents table as a media table (text payload as bytes) —
     * exercises the binary-column path end to end with real data.
     */

@@ -213,6 +213,43 @@ class MultimodalSpec extends SparkSpec {
     assert(const.length == 44 + 1600 && altWav.length == 44 + 1602)
   }
 
+  test("synthPngRgb: encode -> ImageIoDecoder recovers every pixel statistic exactly") {
+    // Lossless contract: PNG INT_RGB round-trips pixels bit-exactly, so
+    // the 8-dim feature equals the analytic value with NO slack beyond
+    // the decoder's own float32 cast. Quadrant-constant image: each
+    // quadrant one known color.
+    val colors = Array(
+      (255, 0, 0),   // TL pure red
+      (0, 255, 0),   // TR pure green
+      (0, 0, 255),   // BL pure blue
+      (255, 255, 255)) // BR white
+    val png = graft.operators.Multimodal.synthPngRgb(8, 8, (x, y) => {
+      val q = (if (y >= 4) 2 else 0) + (if (x >= 4) 1 else 0)
+      val (r, g, b) = colors(q)
+      (r << 16) | (g << 8) | b
+    })
+    val (w, h, f, emb) = graft.operators.ImageIoDecoder.decode("image", png)
+    assert((w, h, f) == ((8, 8, 1)))
+    // mean RGB: each channel fully on in exactly the quadrants listed.
+    assert(math.abs(emb(0) - (255.0 * 32 / 64 / 255.0)) < 1e-7, "R in TL+BR")
+    assert(math.abs(emb(1) - (255.0 * 32 / 64 / 255.0)) < 1e-7, "G in TR+BR")
+    assert(math.abs(emb(2) - (255.0 * 32 / 64 / 255.0)) < 1e-7, "B in BL+BR")
+    // quadrant lumas: the ITU coefficients of each pure color.
+    assert(math.abs(emb(3) - 0.299f) < 1e-6)
+    assert(math.abs(emb(4) - 0.587f) < 1e-6)
+    assert(math.abs(emb(5) - 0.114f) < 1e-6)
+    assert(math.abs(emb(6) - 1.0f) < 1e-6)
+    assert(emb(7) == 1.0f)
+    // determinism: identical render -> identical bytes -> identical features
+    val png2 = graft.operators.Multimodal.synthPngRgb(8, 8, (x, y) => {
+      val q = (if (y >= 4) 2 else 0) + (if (x >= 4) 1 else 0)
+      val (r, g, b) = colors(q)
+      (r << 16) | (g << 8) | b
+    })
+    val again = graft.operators.ImageIoDecoder.decode("image", png2)._4
+    assert(again.toSeq == emb.toSeq)
+  }
+
   test("ImageIoDecoder delegates non-image modalities to the stub") {
     val bytes = "some audio bytes".getBytes
     val (aw, ah, af, aEmb) = graft.operators.ImageIoDecoder.decode("audio", bytes)
