@@ -2912,6 +2912,29 @@ object SparkEntry {
     // is a manifest reset, not a data rewrite. Versions are
     // deterministic year slices, so the readback hash-matches SQL that
     // reconstructs each version's contents from the base table.
+    // Schema evolution on the versioned table (r13, closing S7's
+    // overwriteSchema gap on the plain-parquet substitute): v1 commits
+    // (doc_id, lang) for even ids, v2 appends (doc_id, lang, source)
+    // for odd ids under mergeSchema — the latest read returns the
+    // EVOLVED schema with v1's rows null in the new column (explicit-
+    // schema name-resolved read; no mergeSchema footer scan). Oracle
+    // replays the null-fill rule directly.
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = "target/tmp/vtable_schema_contract"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, d, "documents")
+      graft.sources.VersionedTable.commit(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0).select("doc_id", "lang"))
+      graft.sources.VersionedTable.commit(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+          .select("doc_id", "lang", "source"),
+        mergeSchema = true)
+      graft.sources.VersionedTable.read(s, dir)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "q_time_travel" -> ((s, d) => {
       val dir = "target/tmp/vtable_contract"
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -6765,6 +6788,14 @@ object SparkEntry {
         |FROM hist
         |GROUP BY is_current, valid_from
         |ORDER BY is_current, valid_from""".stripMargin,
+
+    // Schema-evolution replay: even-id rows predate the new column and
+    // read as null there; odd-id rows carry their source.
+    "q_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN doc_id % 2 = 1 THEN source END AS source
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_time_travel" ->
       """WITH v2 AS (

@@ -68,7 +68,7 @@ object VersionedTable {
       .foldLeft(0)(math.max)
   }
 
-  private def readManifest(f: FileSystem, dir: String, v: Int): Seq[String] = {
+  private def manifestLines(f: FileSystem, dir: String, v: Int): Seq[String] = {
     val in = f.open(new Path(s"$dir/_manifests/v$v"))
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -76,17 +76,65 @@ object VersionedTable {
     } finally in.close()
   }
 
+  // File list only — '#'-prefixed lines are metadata headers (the
+  // schema record below); legacy manifests have none.
+  private def readManifest(f: FileSystem, dir: String, v: Int): Seq[String] =
+    manifestLines(f, dir, v).filterNot(_.startsWith("#"))
+
+  private val SchemaHeader = "#schema "
+
+  /** The schema committed WITH version v (rides the manifest, so it is
+    * visible atomically with the file list). None for manifests from
+    * before the schema record existed — enforcement skips, reads fall
+    * back to parquet's own resolution.
+    */
+  def readSchema(
+      spark: SparkSession, dir: String, version: Int = -1): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, dir)
+    val v = if (version >= 0) version else latestVersion(spark, dir)
+    if (v < 1 || !f.exists(new Path(s"$dir/_manifests/v$v"))) None
+    else manifestLines(f, dir, v).find(_.startsWith(SchemaHeader)).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.drop(SchemaHeader.length))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Name+type comparison (nullability excluded — appends routinely
+    * carry tighter nullability than the table).
+    */
+  private def sameShape(
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+
   /** Commit `df` as the next version. `overwrite = false` carries the
     * parent version's file list forward (logical append); `true`
     * starts from an empty list (logical replace) — parent FILES stay
     * on disk either way, which is what keeps old versions readable.
     * Returns the committed version number.
+    *
+    * SCHEMA CONTRACT (S7 closed r13 — Delta's semantics on the plain-
+    * parquet substitute): every commit records its schema in the
+    * manifest (atomic with the file list), and against the parent's
+    * recorded schema,
+    *   - an APPEND with a different shape fails unless
+    *     `mergeSchema = true`, which EVOLVES the table schema — shared
+    *     names must keep their types, new fields append, and reads at
+    *     the evolved version fill pre-evolution files' missing columns
+    *     with null (explicit-schema parquet read, name-resolved);
+    *   - an OVERWRITE with a different shape fails unless
+    *     `overwriteSchema = true` (Delta's flag) — time travel still
+    *     returns each version under ITS OWN recorded schema.
+    * Pre-r13 manifests carry no schema record: enforcement skips and
+    * reads fall back to parquet's own resolution.
     */
   def commit(
       spark: SparkSession,
       dir: String,
       df: DataFrame,
       overwrite: Boolean = false,
+      overwriteSchema: Boolean = false,
+      mergeSchema: Boolean = false,
       maxRetries: Int = 10): Int = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -105,6 +153,37 @@ object VersionedTable {
       attempt += 1
       val parent = latestVersion(spark, dir)
       val v = parent + 1
+      // Schema enforcement runs INSIDE the CAS loop: a lost race means
+      // a new parent, whose schema the retry must re-check.
+      val parentSchema =
+        if (parent == 0) None else readSchema(spark, dir, parent)
+      val committedSchema = parentSchema match {
+        case Some(ps) if !sameShape(ps, df.schema) =>
+          if (overwrite) {
+            require(overwriteSchema,
+              s"commit(overwrite) changes the table schema of $dir " +
+                s"(${ps.simpleString} -> ${df.schema.simpleString}); pass " +
+                "overwriteSchema = true to replace it")
+            df.schema
+          } else {
+            require(mergeSchema,
+              s"append schema ${df.schema.simpleString} does not match table " +
+                s"schema ${ps.simpleString} of $dir; pass mergeSchema = true " +
+                "to evolve it")
+            val byName = df.schema.fields.map(fl => fl.name -> fl).toMap
+            ps.fields.foreach { pf =>
+              byName.get(pf.name).foreach { nf =>
+                require(nf.dataType.catalogString == pf.dataType.catalogString,
+                  s"mergeSchema cannot change the type of '${pf.name}' " +
+                    s"(${pf.dataType.catalogString} -> ${nf.dataType.catalogString})")
+              }
+            }
+            val known = ps.fieldNames.toSet
+            org.apache.spark.sql.types.StructType(
+              ps.fields ++ df.schema.fields.filterNot(fl => known(fl.name)))
+          }
+        case _ => df.schema
+      }
       // Version-scoped deterministic names: a loser's files for a
       // stolen version number can't collide with the winner's because
       // the stageId participates.
@@ -119,7 +198,9 @@ object VersionedTable {
         else readManifest(f, dir, parent)
       val mTmp = new Path(s"$dir/_manifests/.tmp_v$v-$stageId")
       val out = f.create(mTmp, true)
-      try out.write(((carried ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write(
+        ((SchemaHeader + committedSchema.json) +:
+          (carried ++ newFiles)).mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
       if (casPublish(f, mTmp, new Path(s"$dir/_manifests/v$v"))) {
         f.delete(stage, true)
@@ -146,7 +227,15 @@ object VersionedTable {
     require(f.exists(new Path(s"$dir/_manifests/v$v")), s"version $v not found in $dir")
     val files = readManifest(f, dir, v).map(rel => s"$dir/$rel")
     require(files.nonEmpty, s"version $v of $dir lists no files")
-    spark.read.parquet(files: _*)
+    // The version's RECORDED schema drives the read (name-resolved):
+    // files from before a mergeSchema evolution lack the new columns
+    // and read as null there — Delta's post-evolution semantics,
+    // without a mergeSchema footer scan at read time. Legacy manifests
+    // (no record) fall back to parquet's own resolution.
+    readSchema(spark, dir, v) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** One row per version: (version, n_files, n_new_files) — `n_new`

@@ -88,6 +88,66 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("schema contract: mismatched append fails; mergeSchema evolves with nulls") {
+    val dir = freshDir("schema_merge")
+    VersionedTable.commit(spark, dir, Seq((1L, "a")).toDF("id", "x"))
+    // shape drift without the flag: loud, names the flag
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, dir, Seq((2L, "b", 7)).toDF("id", "x", "n"))
+    }
+    assert(err.getMessage.contains("mergeSchema"))
+    // evolve: new column appends; v1's rows read as null there
+    VersionedTable.commit(spark, dir,
+      Seq((2L, "b", 7)).toDF("id", "x", "n"), mergeSchema = true)
+    val latest = VersionedTable.read(spark, dir).orderBy("id")
+    assert(latest.columns.toSeq == Seq("id", "x", "n"))
+    assert(latest.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some(7))))
+    // time travel: v1 reads under ITS recorded schema
+    assert(VersionedTable.read(spark, dir, 1).columns.toSeq == Seq("id", "x"))
+    // a shared name cannot change type, even under mergeSchema
+    val tErr = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, dir,
+        Seq((3L, 5, 1)).toDF("id", "x", "n"), mergeSchema = true)
+    }
+    assert(tErr.getMessage.contains("cannot change the type"))
+  }
+
+  test("schema contract: overwrite with a new schema needs overwriteSchema") {
+    val dir = freshDir("schema_over")
+    VersionedTable.commit(spark, dir, Seq((1L, "a")).toDF("id", "x"))
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, dir,
+        Seq((9L, 1.5)).toDF("id", "score"), overwrite = true)
+    }
+    assert(err.getMessage.contains("overwriteSchema"))
+    VersionedTable.commit(spark, dir,
+      Seq((9L, 1.5)).toDF("id", "score"), overwrite = true, overwriteSchema = true)
+    assert(VersionedTable.read(spark, dir).columns.toSeq == Seq("id", "score"))
+    assert(VersionedTable.read(spark, dir, 1).columns.toSeq == Seq("id", "x"))
+    // identical-shape overwrite still needs no flag
+    VersionedTable.commit(spark, dir,
+      Seq((10L, 2.5)).toDF("id", "score"), overwrite = true)
+    assert(VersionedTable.latestVersion(spark, dir) == 3)
+  }
+
+  test("legacy manifests without a schema record still read") {
+    val dir = freshDir("schema_legacy")
+    VersionedTable.commit(spark, dir, Seq((1L, "a")).toDF("id", "x"))
+    // strip the header line, simulating a pre-record manifest
+    val m = Paths.get(s"$dir/_manifests/v1")
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(m)).asScala.filterNot(_.startsWith("#"))
+    Files.write(m, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(VersionedTable.readSchema(spark, dir, 1).isEmpty)
+    assert(VersionedTable.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // and the NEXT commit (no parent record) proceeds without enforcement
+    VersionedTable.commit(spark, dir, Seq((2L, "b", 7)).toDF("id", "x", "n"))
+    assert(VersionedTable.latestVersion(spark, dir) == 2)
+  }
+
   test("reading an uncommitted or empty version fails loudly") {
     val dir = freshDir("empty")
     intercept[IllegalArgumentException] { VersionedTable.read(spark, dir) }
