@@ -68,7 +68,26 @@ object GraftExtensions {
         WordNGramHashesExpr(args.head, intArg(args(1), "n")), intArg(args(2), "w"))),
     entry("graft_dot",
       "graft_dot(a, b) - sequential-sum dot product of two double arrays",
-      args => DotProductExpr(args(0), args(1))))
+      args => DotProductExpr(args(0), args(1))),
+    entry("graft_token_count",
+      "graft_token_count(text) - whitespace-token count (codegen'd byte loop)",
+      args => TokenCountExpr(args.head)),
+    entry("graft_topgram_frac",
+      "graft_topgram_frac(text, n) - max n-gram multiplicity share (Gopher signal)",
+      args => TopGramFracExpr(args.head, intArg(args(1), "n"))),
+    entry("graft_byte_entropy",
+      "graft_byte_entropy(text) - Shannon entropy of the UTF-8 bytes",
+      args => ByteEntropyExpr(args.head)),
+    entry("graft_nfc",
+      "graft_nfc(text) - Unicode NFC normalization (ASCII fast path)",
+      args => NfcNormalizeExpr(args.head)),
+    entry("graft_redact_pii",
+      "graft_redact_pii(text) - email/IP/SSN/phone redaction, one byte-scan kernel",
+      args => RedactPiiExpr(args.head)),
+    entry("graft_registered_domain",
+      "graft_registered_domain(host) - PSL registered domain (shipped snapshot rules)",
+      args => RegisteredDomainExpr(
+        args.head, graft.functions.PublicSuffix.snapshotRules)))
 
   /** Register on a live session (same entries the extension injects). */
   def register(spark: SparkSession): Unit =

@@ -73,6 +73,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= r.getInt(1)))
   }
 
+  test("r13 SQL surface: text kernels and PSL domain equal the Column API") {
+    val rows = Seq(
+      (1L, "the  quick   fox", "news.bbc.co.uk"),
+      (2L, "café café", "www.school.pvt.k12.ma.us"),
+      (3L, "mail user@example.com from 10.0.0.7", "alice.github.io"))
+      .toDF("id", "text", "host")
+    rows.createOrReplaceTempView("ext_r13")
+    val viaSql = spark.sql(
+      """SELECT id, graft_token_count(text) AS tc,
+        |       graft_topgram_frac(text, 2) AS tg,
+        |       round(graft_byte_entropy(text), 6) AS be,
+        |       graft_nfc(text) AS nf,
+        |       graft_redact_pii(text) AS rp,
+        |       graft_registered_domain(host) AS rd
+        |FROM ext_r13 ORDER BY id""".stripMargin).collect()
+    val viaCol = rows.select(col("id"),
+        HashExpressions.tokenCount(col("text")).as("tc"),
+        HashExpressions.topGramFrac(col("text"), 2).as("tg"),
+        round(HashExpressions.byteEntropy(col("text")), 6).as("be"),
+        HashExpressions.nfcNormalize(col("text")).as("nf"),
+        HashExpressions.redactPii(col("text")).as("rp"),
+        graft.functions.PublicSuffix.registeredDomain(col("host")).as("rd"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // sanity: the SQL path really did the work
+    assert(viaSql(2).getString(5).contains("[EMAIL]"))
+    assert(viaSql(1).getString(6) == "school.pvt.k12.ma.us")
+  }
+
   test("non-literal parameter is rejected with a clear error") {
     docs.createOrReplaceTempView("ext_docs")
     val e = intercept[Exception] {
