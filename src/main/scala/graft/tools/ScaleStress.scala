@@ -190,6 +190,35 @@ object ScaleStress {
     println(s"[stress]   pq filtered rows = ${pqSlice.length}/20")
     }
 
+    section("anomaly") {
+    // The r13 anomaly additions at volume. Claims under measurement:
+    // seasonal robust-z costs the same THREE fact scans as the plain
+    // group baseline (the composite key only widens the broadcast
+    // stats table, <= 168 rows/group); Mahalanobis is one moments fold
+    // (counters to the driver) + one row-local codegen'd mat-vec scan.
+    import graft.operators.{Anomaly, EmbeddingStats}
+    val ev = replicate(TableIO.table(spark, sfDir, "events")
+        .select("event_id", "event_type", "ts", "value"), "event_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] anomaly events: ${ev.count()} (${reps}x)")
+    time("robust z (group baseline)")(
+      println("[stress]   outliers = " + Anomaly.robustZScore(ev, "event_type", "value")
+        .filter(col("is_outlier")).count()))
+    time("seasonal robust z (hour-of-day)")(
+      println("[stress]   outliers = " +
+        Anomaly.seasonalRobustZ(ev, "event_type", "ts", "value")
+          .filter(col("is_outlier")).count()))
+    ev.unpersist()
+    val emb = replicate(TableIO.table(spark, sfDir, "embeddings"), "vec_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] anomaly vectors: ${emb.count()} (${reps}x)")
+    time("mahalanobis scores (64-dim)")(
+      println("[stress]   mean d2 = " + EmbeddingStats
+        .mahalanobisScore(emb, "embedding", "d2")
+        .agg(avg(col("d2"))).head().getDouble(0)))
+    emb.unpersist()
+    }
+
     section("window") {
     // Hot-key range-window stress: one account holds 2M rows across one
     // day — the plain RANGE window puts ALL of them in a single task;
