@@ -1250,6 +1250,22 @@ object SparkEntry {
           col("robust_z"), col("is_outlier"))
         .orderBy("event_id")),
 
+    // Frozen-baseline robust z (r13): stats fitted on the even-id
+    // slice (the "clean history"), EVERY event scored against that
+    // frozen table — the train/serve split that keeps an anomaly burst
+    // from inflating its own baseline. Row-local beyond one broadcast
+    // of the metadata-sized stats; fully replayed in SQL.
+    "q_anomaly_frozen" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val stats = Anomaly.robustStats(
+        ev.filter(pmod(col("event_id"), lit(2L)) === 0), "event_type", "value")
+      Anomaly.scoreAgainstStats(ev, "event_type", "value", stats)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("robust_z"), col("is_outlier"))
+        .orderBy("event_id")
+    }),
+
     // Seasonal robust z (r13): each event scored against its
     // (event_type, hour-of-day) distribution — the calendar-aware
     // baseline; a mid-range value can be anomalous FOR ITS HOUR while
@@ -4367,6 +4383,29 @@ object SparkEntry {
         |FROM events e
         |JOIN med md USING (event_type)
         |JOIN mad dd USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Frozen-baseline replay: med/MAD over the even-id slice only,
+    // every row scored against it.
+    "q_anomaly_frozen" ->
+      """WITH base AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 2 = 0
+        |), med AS (
+        |  SELECT event_type, median(value) AS m FROM base GROUP BY 1
+        |), mad AS (
+        |  SELECT b.event_type, median(abs(b.value - md.m)) AS d
+        |  FROM base b JOIN med md USING (event_type) GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(md.m, 6) AS med, round(dd.d, 6) AS mad,
+        |       CASE WHEN dd.d > 0
+        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) END AS robust_z,
+        |       coalesce(CASE WHEN dd.d > 0
+        |            THEN abs(round((e.value - md.m) / (1.4826 * dd.d), 6)) > 3.5 END,
+        |          false) AS is_outlier
+        |FROM events e
+        |LEFT JOIN med md USING (event_type)
+        |LEFT JOIN mad dd USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
 
     // Seasonal replay: the robust-z SQL with the (event_type, hour)

@@ -36,6 +36,25 @@ object Anomaly {
       valueCol: String,
       threshold: Double = 3.5,
       exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame =
+    scoreAgainstStats(df, groupCol, valueCol,
+      robustStats(df, groupCol, valueCol, exact, accuracy), threshold)
+
+  /** Fit the per-group robust baseline: one (group, med, mad) row per
+    * group — the FROZEN-STATS half of the anomaly split. Persisting
+    * this table to storage and scoring later batches/streams against
+    * it ([[scoreAgainstStats]]) is the production shape: the baseline
+    * refreshes on ITS schedule (nightly, on clean history), so an
+    * anomaly burst cannot inflate the very statistics meant to catch
+    * it — the train/serve separation self-scoring lacks. Columns are
+    * `g`/`med`/`mad` (storage-friendly); metadata-sized (one row per
+    * group).
+    */
+  def robustStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      exact: Boolean = true,
       accuracy: Int = 10000): DataFrame = {
     def median(c: Column): Column =
       if (exact) percentile(c, lit(0.5))
@@ -45,22 +64,38 @@ object Anomaly {
     // consumers. Dropped by any catalog.clearCache(); lives with the
     // session otherwise (same contract as broadcast dimension caches).
     val meds = df.groupBy(col(groupCol))
-      .agg(median(col(valueCol)).as("_med"))
+      .agg(median(col(valueCol)).as("med"))
       .withColumnRenamed(groupCol, "_g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mads = df.join(broadcast(meds), col(groupCol) === col("_g")).drop("_g")
       .groupBy(col(groupCol))
-      .agg(median(abs(col(valueCol) - col("_med"))).as("_mad"))
+      .agg(median(abs(col(valueCol) - col("med"))).as("mad"))
       .withColumnRenamed(groupCol, "_g")
-    val stats = meds.join(mads, "_g")
-    df.join(broadcast(stats), col(groupCol) === col("_g")).drop("_g")
+    meds.join(mads, "_g").withColumnRenamed("_g", "g")
+  }
+
+  /** Score rows against a (g, med, mad) baseline table — row-local
+    * beyond one broadcast of the metadata-sized stats (stream-static
+    * joinable, so the same call scores a micro-batch). Rows whose
+    * group has NO baseline row score null / not-outlier, like the
+    * MAD = 0 convention: no defined baseline, no verdict.
+    */
+  def scoreAgainstStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      stats: DataFrame,
+      threshold: Double = 3.5): DataFrame =
+    df.join(broadcast(stats.select(col("g").as("_g"),
+        col("med").as("_med"), col("mad").as("_mad"))),
+        col(groupCol) === col("_g"), "left")
+      .drop("_g")
       .withColumn("robust_z",
         when(col("_mad") > 0,
           round((col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")), 6)))
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
       .withColumnRenamed("_med", "med")
       .withColumnRenamed("_mad", "mad")
-  }
 
   /** SEASONAL robust z-score: score each row against its
     * (group, calendar-bucket) distribution instead of the whole group —

@@ -74,6 +74,37 @@ class AnomalySpec extends SparkSpec {
     assert(err.getMessage.contains("hod, dow, how"))
   }
 
+  test("frozen baseline: a burst cannot mask itself; missing groups score null") {
+    // Clean history: tight around 10. Serving batch: a 40%-of-rows
+    // burst at 100 — self-scoring stats absorb the burst (median/MAD
+    // shift/widen enough that nothing flags reliably... MAD with 40%
+    // contamination still holds here, so make the contrast sharper: a
+    // MAJORITY burst, 60%), while the FROZEN baseline flags every
+    // burst row.
+    val history = (1 to 20).map(i => ("g", i.toLong, 10.0 + (i % 5) * 0.1))
+      .toDF("grp", "id", "v")
+    val serving = ((1 to 4).map(i => ("g", 100L + i, 10.0 + (i % 5) * 0.1)) ++
+      (1 to 6).map(i => ("g", 200L + i, 100.0 + i * 0.01)))
+      .toDF("grp", "id", "v")
+    val frozen = Anomaly.robustStats(history, "grp", "v")
+    val scored = Anomaly.scoreAgainstStats(serving, "grp", "v", frozen)
+    val flagged = scored.filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(flagged == (1 to 6).map(200L + _).toSet,
+      s"frozen baseline flags exactly the burst: $flagged")
+    // Self-scoring the same serving batch: the majority burst OWNS the
+    // median — the clean rows get flagged instead. The failure mode the
+    // frozen split exists to prevent.
+    val selfFlagged = Anomaly.robustZScore(serving, "grp", "v")
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(!selfFlagged.exists(_ > 200L),
+      s"self-stats are owned by the burst: $selfFlagged")
+    // A group absent from the baseline: no verdict, never a crash.
+    val alien = Seq(("other", 999L, 5.0)).toDF("grp", "id", "v")
+    val row = Anomaly.scoreAgainstStats(alien, "grp", "v", frozen).collect().head
+    assert(row.isNullAt(row.fieldIndex("robust_z")))
+    assert(!row.getBoolean(row.fieldIndex("is_outlier")))
+  }
+
   test("IQR fences flag the planted outliers and respect the k factor") {
     val flagged = Anomaly.iqrOutliers(fixture, "grp", "v")
       .filter(col("is_outlier")).select("id").as[Long].collect().toSet
