@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, Dsir, HybridRetrieval, Layout, Multimodal, Quantization, Selection, SemanticDedup, SimilaritySearch, SubstringDedup, TfIdf, TrainingData, Upsert}
+import graft.operators.{Anomaly, BehavioralFeatures, Cdc, Chunker, Components, Dedup, Dsir, EventAnalytics, HybridRetrieval, Layout, Multimodal, Quantization, Selection, SemanticDedup, SimilaritySearch, SubstringDedup, TfIdf, TrainingData, Upsert}
 import graft.quality.{Between, InSet, NotNull, RowCheck}
 import graft.sources.TableIO
 
@@ -1298,6 +1298,128 @@ object SparkEntry {
           "event_type", "value")
         .select("event_id", "event_type", "value", "lo", "hi", "is_outlier")
         .orderBy("event_id")),
+
+    // EWMA control chart (r13): per event_type, the daily-mean series
+    // smoothed by z_k = 0.3*m_k + 0.7*z_{k-1}; a day alarms when the
+    // innovation against yesterday's baseline clears L*sigma*sqrt(a/(2-a))
+    // — the small-persistent-shift detector. The recursion runs over the
+    // metadata-sized daily roll-up only; the oracle replays it as a
+    // recursive CTE (each step rounded to 6 in both engines).
+    "q_anomaly_ewma" -> ((s, d) =>
+      Anomaly.ewmaChart(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
+    // CUSUM change-point scan (r13): per event_type, the argmax over
+    // split points of |S_k - (k/n) S_n| on the daily-mean series — the
+    // max-type CUSUM statistic; reports the split day and the
+    // before/after means. Window arithmetic over the daily roll-up.
+    "q_changepoint" -> ((s, d) =>
+      Anomaly.changePointScan(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type")),
+
+    // PSI drift (r13): decile edges frozen on the first-half-of-month
+    // baseline, both halves histogrammed against them, PSI per
+    // event_type with per-bucket contributions — the industry drift
+    // gate. Edges broadcast; bucket assignment is a row-local array fold.
+    "q_drift_psi" -> ((s, d) =>
+      Anomaly.psiDrift(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "value", dayofmonth(col("ts")) <= 15)
+        .orderBy("event_type", "bucket")),
+
+    // Benford first-digit screen (r13): observed vs log10(1+1/d) leading-
+    // digit shares per event_type with the group chi-square — the classic
+    // forensic fraud test. The digit reads off the integer-cents string,
+    // never float log10, so engines agree at power-of-ten boundaries.
+    "q_fraud_benford" -> ((s, d) =>
+      Anomaly.benfordDeviation(
+          t(s, d, "events").select("event_type", "value"),
+          "event_type", "value")
+        .orderBy("event_type", "digit")),
+
+    // Ordered-step funnel (r13): per user, first view -> first click
+    // strictly after it -> first purchase strictly after that; min-ts
+    // chain semantics over shrinking per-user milestone tables.
+    // Milestone timestamps dump as unix micros (house ts convention, so
+    // the DuckDB compare never sees tz-aware vs naive parquet).
+    "q_funnel" -> ((s, d) =>
+      EventAnalytics.funnel(
+          t(s, d, "events").select("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("step1_ts")).as("step1_ts_us"),
+          unix_micros(col("step2_ts")).as("step2_ts_us"),
+          unix_micros(col("step3_ts")).as("step3_ts_us"),
+          col("steps_completed"))
+        .orderBy("user_id")),
+
+    // Funnel conversion roll-up (r13): one row per step with reach and
+    // conversion vs step 1 — a single aggregation over the funnel.
+    "q_funnel_summary" -> ((s, d) =>
+      EventAnalytics.funnelSummary(
+          t(s, d, "events").select("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
+    // Weekly cohort retention (r13): users cohorted by first-event week
+    // (fixed anchor), activity counted per week offset; the only
+    // full-fact pass is the (user, week) distinct.
+    "q_cohort_retention" -> ((s, d) =>
+      EventAnalytics.cohortRetention(
+          t(s, d, "events").select("user_id", "ts"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // Holt linear-trend forecast (r13): level+trend double-exponential
+    // smoothing over the daily roll-up; alarms on |one-step forecast
+    // error| > 3*sigma_e — trend-adjusted, so steady ramps stay quiet.
+    // Second recursive-CTE oracle (two mutually-recursive states).
+    "q_anomaly_holt" -> ((s, d) =>
+      Anomaly.holtForecast(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
+    // RFM user scoring (r13): recency/frequency/monetary quintiles
+    // against frozen user-table quantile edges (recency reversed);
+    // the fraud-features segmentation input.
+    "q_rfm" -> ((s, d) =>
+      EventAnalytics.rfmScores(
+          t(s, d, "events").select("user_id", "ts", "value"),
+          "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Within-session event-type transition matrix (r13): Markov counts
+    // + row-normalized probabilities; cross-session pairs excluded.
+    "q_transitions" -> ((s, d) =>
+      EventAnalytics.transitionMatrix(
+          t(s, d, "events").select("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", gapSeconds = 1800L,
+          tieBreak = col("event_id"))
+        .orderBy("from_type", "to_type")),
+
+    // Directed n-gram containment pairs (r13): |A∩B|/|A| — the
+    // asymmetric near-dup measure (quoted-inside catches Jaccard
+    // misses); same two-shuffle hashed-gram shape as q_dedup_jaccard.
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, minContainment = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // Padding-minimizing BFD bin packing (r13): documents stay whole,
+    // bins are fixed-capacity, best-fit-decreasing within each hash
+    // partition (bins never span partitions — embarrassingly parallel).
+    // Rows-only (§8: the assignment depends on Spark's hash partitioning
+    // of ids, which no external engine replays); capacity/coverage/
+    // determinism/efficiency-vs-naive are spec-pinned in TrainingDataSpec.
+    "q_pack_bins" -> ((s, d) =>
+      TrainingData.packBinsBfd(
+          t(s, d, "documents"), "doc_id", col("n_chars"),
+          capacity = 2048L, numPartitions = 8)
+        .orderBy("id")),
 
     // Single-pass table profile: per-column null/distinct counts and
     // value ranges, melted to one row per column — all columns' stats in
@@ -4449,6 +4571,341 @@ object SparkEntry {
         |       (e.value < b.lo OR e.value > b.hi) AS is_outlier
         |FROM events e JOIN b USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    // EWMA replay: the daily roll-up plus a depth-=-days recursive CTE
+    // computing z_k = round(0.3 m_k + 0.7 z_{k-1}, 6) — each step
+    // rounded exactly as the engine rounds its fold.
+    "q_anomaly_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), sig AS (
+        |  SELECT event_type, round(stddev_samp(m), 6) AS sigma FROM daily GROUP BY 1
+        |), ew AS (
+        |  SELECT event_type, day, m, rn, m AS ewma FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         round(0.3 * o.m + 0.7 * e.ewma, 6)
+        |  FROM ord o JOIN ew e ON o.event_type = e.event_type AND o.rn = e.rn + 1
+        |)
+        |SELECT e.event_type, e.day, e.m, e.ewma,
+        |       CASE WHEN z.ewma IS NOT NULL THEN round(e.m - z.ewma, 6) END AS innovation,
+        |       round(3.0 * s.sigma * sqrt(0.3 / 1.7), 6) AS ucl,
+        |       coalesce(abs(CASE WHEN z.ewma IS NOT NULL
+        |                         THEN round(e.m - z.ewma, 6) END)
+        |                  > round(3.0 * s.sigma * sqrt(0.3 / 1.7), 6),
+        |                false) AS is_alarm
+        |FROM ew e
+        |JOIN sig s ON s.event_type = e.event_type
+        |LEFT JOIN ew z ON z.event_type = e.event_type AND z.rn = e.rn - 1
+        |ORDER BY e.event_type, e.day""".stripMargin,
+
+    // CUSUM replay: prefix sums over the rounded daily means, argmax of
+    // |S_k - k*S_n/n| with the earliest-day tiebreak.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), scanned AS (
+        |  SELECT event_type, day,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |         sum(m) OVER (PARTITION BY event_type ORDER BY day
+        |                      ROWS UNBOUNDED PRECEDING) AS s_k,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(m) OVER (PARTITION BY event_type) AS s_n
+        |  FROM daily
+        |), st AS (
+        |  SELECT *, round(abs(s_k - k * s_n / n), 6) AS stat
+        |  FROM scanned WHERE k < n
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY stat DESC, day) AS rk
+        |  FROM st
+        |)
+        |SELECT event_type, day AS change_day, stat,
+        |       round(s_k / k, 6) AS mean_before,
+        |       round((s_n - s_k) / (n - k), 6) AS mean_after
+        |FROM best WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // PSI replay: baseline decile edges rounded to 6 in BOTH engines
+    // before the bucket comparison; shares eps-clamped at 0.0001.
+    "q_drift_psi" ->
+      """WITH src AS (
+        |  SELECT event_type, value, (day(ts) <= 15) AS is_base FROM events
+        |), edges AS (
+        |  SELECT event_type,
+        |         list_transform(
+        |           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |           e -> round(e, 6)) AS ed
+        |  FROM src WHERE is_base GROUP BY 1
+        |), bk AS (
+        |  SELECT s.event_type, s.is_base,
+        |         1 + len(list_filter(e.ed, x -> s.value > x)) AS bucket
+        |  FROM src s JOIN edges e USING (event_type)
+        |), cnt AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |         CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM bk GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT g.event_type, d.bucket,
+        |         coalesce(c.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+        |  FROM (SELECT DISTINCT event_type FROM src) g
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) AS bucket) d
+        |  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.bucket = d.bucket
+        |), sh AS (
+        |  SELECT *,
+        |         greatest(n_base / sum(n_base) OVER (PARTITION BY event_type), 0.0001) AS p,
+        |         greatest(n_cur / sum(n_cur) OVER (PARTITION BY event_type), 0.0001) AS q
+        |  FROM dense
+        |), ct AS (
+        |  SELECT *, (p - q) * ln(p / q) AS contrib FROM sh
+        |)
+        |SELECT event_type, bucket, n_base, n_cur,
+        |       round(p, 6) AS p, round(q, 6) AS q,
+        |       round(contrib, 6) AS contrib,
+        |       round(sum(contrib) OVER (PARTITION BY event_type), 6) AS psi
+        |FROM ct
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // Benford replay: the leading digit off the integer-cents string
+    // (never float log10); absent digits densified so the chi-square
+    // carries their full (0-exp)^2/exp mass.
+    "q_fraud_benford" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         CAST(substr(CAST(CAST(abs(round(value * 100)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM events
+        |  WHERE value IS NOT NULL AND CAST(abs(round(value * 100)) AS BIGINT) > 0
+        |), cnt AS (
+        |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_d
+        |  FROM v GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT g.event_type, d.digit, coalesce(c.n_d, 0) AS n_d
+        |  FROM (SELECT DISTINCT event_type FROM events) g
+        |  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+        |  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.digit = d.digit
+        |), sh AS (
+        |  SELECT *,
+        |         sum(n_d) OVER (PARTITION BY event_type) AS n,
+        |         n_d / sum(n_d) OVER (PARTITION BY event_type) AS obs_frac,
+        |         log10(1.0 + 1.0 / digit) AS exp_frac
+        |  FROM dense
+        |)
+        |SELECT event_type, digit, n_d,
+        |       round(obs_frac, 6) AS obs_frac,
+        |       round(exp_frac, 6) AS exp_frac,
+        |       round(sum(n * (obs_frac - exp_frac) * (obs_frac - exp_frac) / exp_frac)
+        |               OVER (PARTITION BY event_type), 6) AS chi2
+        |FROM sh
+        |ORDER BY event_type, digit""".stripMargin,
+
+    // Funnel replay: min-ts chain — each step's first completion
+    // strictly after the previous milestone.
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS step1_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS step2_ts
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.step1_ts GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS step3_ts
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts GROUP BY 1
+        |)
+        |SELECT s1.user_id,
+        |       epoch_us(CAST(s1.step1_ts AS TIMESTAMP)) AS step1_ts_us,
+        |       epoch_us(CAST(s2.step2_ts AS TIMESTAMP)) AS step2_ts_us,
+        |       epoch_us(CAST(s3.step3_ts AS TIMESTAMP)) AS step3_ts_us,
+        |       1 + CASE WHEN s2.step2_ts IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.step3_ts IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // Funnel roll-up replay: reach per step + conversion vs step 1.
+    "q_funnel_summary" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS step1_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS step2_ts
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.step1_ts GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS step3_ts
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts GROUP BY 1
+        |), u AS (
+        |  SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS u1,
+        |         CAST((SELECT count(*) FROM s2) AS BIGINT) AS u2,
+        |         CAST((SELECT count(*) FROM s3) AS BIGINT) AS u3
+        |)
+        |SELECT 1 AS step, 'view' AS step_type, u1 AS users,
+        |       round(u1 / u1, 6) AS conversion FROM u
+        |UNION ALL
+        |SELECT 2, 'click', u2, round(u2 / u1, 6) FROM u
+        |UNION ALL
+        |SELECT 3, 'purchase', u3, round(u3 / u1, 6) FROM u
+        |ORDER BY step""".stripMargin,
+
+    // Cohort replay: (user, week) distinct -> per-user min week ->
+    // offset counts; anchor-fixed week index.
+    "q_cohort_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT) AS week
+        |  FROM events
+        |), cohorts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1
+        |), sizes AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohorts GROUP BY 1
+        |), act AS (
+        |  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |         CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+        |  FROM weekly w JOIN cohorts c USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.cohort_week, a.week_offset, a.active_users, s.cohort_size,
+        |       round(a.active_users / s.cohort_size, 6) AS retention
+        |FROM act a JOIN sizes s USING (cohort_week)
+        |ORDER BY a.cohort_week, a.week_offset""".stripMargin,
+
+    // Holt replay: the two-state recursion (level, trend) as one
+    // recursive CTE, each state rounded 6dp per step exactly as the
+    // engine's fold rounds; forecast/error/sigma derived from the
+    // replayed series.
+    "q_anomaly_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), seed2 AS (
+        |  SELECT event_type, m AS m2 FROM ord WHERE rn = 2
+        |), h AS (
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         o.m AS l, coalesce(s.m2 - o.m, 0.0) AS b
+        |  FROM ord o LEFT JOIN seed2 s USING (event_type) WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         round(0.3 * o.m + 0.7 * (h.l + h.b), 6),
+        |         round(0.1 * (round(0.3 * o.m + 0.7 * (h.l + h.b), 6) - h.l)
+        |               + 0.9 * h.b, 6)
+        |  FROM ord o JOIN h ON o.event_type = h.event_type AND o.rn = h.rn + 1
+        |), err AS (
+        |  SELECT c.event_type, c.day, c.m, c.l AS level, c.b AS trend,
+        |         round(p.l + p.b, 6) AS forecast,
+        |         CASE WHEN p.l IS NOT NULL
+        |              THEN round(c.m - round(p.l + p.b, 6), 6) END AS error
+        |  FROM h c
+        |  LEFT JOIN h p ON p.event_type = c.event_type AND p.rn = c.rn - 1
+        |), sig AS (
+        |  SELECT *, round(stddev_samp(error) OVER (PARTITION BY event_type), 6) AS sigma_e
+        |  FROM err
+        |)
+        |SELECT event_type, day, m, level, trend, forecast, error, sigma_e,
+        |       coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
+        |FROM sig
+        |ORDER BY event_type, day""".stripMargin,
+
+    // RFM replay: user-grain aggregates, scalar anchor, frozen
+    // 6dp-rounded quintile edges, list_filter bucketing (recency
+    // reversed).
+    "q_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT max(last_day) AS anchor FROM u
+        |), r AS (
+        |  SELECT u.user_id, u.frequency, u.monetary,
+        |         CAST(date_diff('day', u.last_day, a.anchor) AS INT) AS recency_days
+        |  FROM u CROSS JOIN a
+        |), e AS (
+        |  SELECT
+        |    list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS r_e,
+        |    list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS f_e,
+        |    list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS m_e
+        |  FROM r
+        |), sc AS (
+        |  SELECT r.user_id, r.recency_days, r.frequency,
+        |         round(r.monetary, 2) AS monetary,
+        |         CAST(6 - (1 + len(list_filter(e.r_e, x -> r.recency_days > x))) AS INT) AS r_score,
+        |         CAST(1 + len(list_filter(e.f_e, x -> r.frequency > x)) AS INT) AS f_score,
+        |         CAST(1 + len(list_filter(e.m_e, x -> r.monetary > x)) AS INT) AS m_score
+        |  FROM r CROSS JOIN e
+        |)
+        |SELECT *, concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+        |                 CAST(m_score AS VARCHAR)) AS rfm
+        |FROM sc
+        |ORDER BY user_id""".stripMargin,
+
+    // Transition replay: lead within the session assignment, counts +
+    // row-normalized probabilities.
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR date_diff('second', prev, ts) > 1800
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM s
+        |), sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |), nxt AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+        |         lead(session_idx) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sess,
+        |         session_idx
+        |  FROM sess
+        |)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(count(*) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+        |FROM nxt
+        |WHERE to_type IS NOT NULL AND next_sess = session_idx
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Containment replay: the q_dedup_jaccard gram machinery with the
+    // asymmetric |A∩B|/|A| measure, both directions.
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |       n_common / sa.sz AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE n_common / sa.sz >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // One SELECT per profiled column, unioned: the melted single-scan
     // Spark profile and this N-scan SQL agree row-for-row (type names

@@ -137,6 +137,291 @@ object Anomaly {
       .drop("__sg")
   }
 
+  /** Benford first-digit deviation per group — the classic forensic
+    * fraud screen (Nigrini 1996): natural multi-scale amounts follow
+    * P(d) = log10(1 + 1/d) for the leading digit d, while fabricated or
+    * capped amounts pile onto favorite digits. Emits one row per
+    * (group, digit 1-9) with observed vs expected shares and the group's
+    * chi-square statistic (n * sum (obs-exp)^2 / exp, df = 8) repeated
+    * on every row so a single filter finds the suspicious groups.
+    *
+    * The leading digit is read off the INTEGER cents string
+    * (`round(value*100)`), not via log10: the digit is scale-invariant,
+    * and float log10 at exact powers of ten (100.00 -> 1.999...) would
+    * make two engines disagree at the floor boundary. Zero / null
+    * amounts carry no leading digit and are excluded. Missing digits are
+    * densified (group x 1..9 cross join) so the chi-square includes their
+    * full (0-exp)^2/exp mass. One scan + metadata-sized aggregations;
+    * at 100 TB this is a single shuffle of (group, digit) counts.
+    */
+  def benfordDeviation(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val digit = substring(
+      abs(round(col(valueCol) * 100)).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df
+      .filter(col(valueCol).isNotNull &&
+        abs(round(col(valueCol) * 100)).cast("long") > 0)
+      .withColumn("digit", digit)
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n_d"))
+    // Densify to all nine digits so absent digits contribute their
+    // (0 - exp)^2 / exp term instead of silently vanishing.
+    val dense = df.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(1), lit(9))).as("digit"))
+      .join(counts, Seq(groupCol, "digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+    val withShares = dense
+      .withColumn("n", sum(col("n_d")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+      .withColumn("obs_frac", col("n_d") / col("n"))
+      .withColumn("exp_frac", log10(lit(1.0) + lit(1.0) / col("digit")))
+    withShares
+      .withColumn("chi2", round(sum(
+          col("n") * (col("obs_frac") - col("exp_frac"))
+            * (col("obs_frac") - col("exp_frac")) / col("exp_frac"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(groupCol)), 6))
+      .select(col(groupCol), col("digit"), col("n_d"),
+        round(col("obs_frac"), 6).as("obs_frac"),
+        round(col("exp_frac"), 6).as("exp_frac"), col("chi2"))
+  }
+
+  /** Population-stability-index drift per group: decile edges are fitted
+    * on the BASELINE slice, both slices are histogrammed against those
+    * frozen edges, and PSI = sum (p_i - q_i) * ln(p_i / q_i) with
+    * eps-clamped shares (the industry drift gate: <0.1 stable, >0.25
+    * action). Emits one row per (group, bucket) with both shares and the
+    * per-bucket contribution, plus the group PSI repeated per row.
+    *
+    * The edge table is one array row per group (metadata) and broadcast;
+    * bucket assignment is a row-local fold over that array, so the whole
+    * operator is one fact scan for the edges (baseline percentiles), one
+    * for the histogram, and tiny aggregations — no per-row shuffle
+    * beyond the (group, period, bucket) counts. Edges are rounded to 6
+    * before comparison in BOTH engines so interpolation ulps cannot
+    * flip a boundary value's bucket. `exact=false` swaps in
+    * approx_percentile for the 100 TB path.
+    */
+  def psiDrift(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      isBaseline: Column,
+      buckets: Int = 10,
+      eps: Double = 1e-4,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    def pct(c: Column): Column =
+      if (exact) percentile(c, probs) else approx_percentile(c, probs, lit(accuracy))
+    val edges = df.filter(isBaseline)
+      .groupBy(col(groupCol))
+      .agg(transform(pct(col(valueCol)), e => round(e, 6)).as("__edges"))
+    val bucketed = df
+      .join(broadcast(edges), Seq(groupCol))
+      .withColumn("bucket",
+        aggregate(col("__edges"), lit(1),
+          (acc, e) => acc + when(col(valueCol) > e, 1).otherwise(0)))
+      .withColumn("__period", when(isBaseline, lit("base")).otherwise(lit("cur")))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(
+        sum(when(col("__period") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__period") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    // Densify to every bucket so empty cells contribute their clamped
+    // share instead of disappearing from the sum.
+    val dense = df.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(1), lit(buckets))).as("bucket"))
+      .join(bucketed, Seq(groupCol, "bucket"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    dense
+      .withColumn("p", greatest(col("n_base") / sum(col("n_base")).over(w), lit(eps)))
+      .withColumn("q", greatest(col("n_cur") / sum(col("n_cur")).over(w), lit(eps)))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      .withColumn("psi", round(sum(col("contrib")).over(w), 6))
+      .select(col(groupCol), col("bucket"), col("n_base"), col("n_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("contrib"), 6).as("contrib"), col("psi"))
+  }
+
+  /** CUSUM change-point scan per group (the max-type CUSUM test
+    * statistic, Page 1954 / Csorgo-Horvath): the series is the DAILY
+    * mean of `valueCol`, and for every candidate split k the statistic
+    * is |S_k - (k/n) S_n| — the distance of the prefix sum from the
+    * no-change diagonal. Emits the argmax day per group (the last day of
+    * the "before" regime), the statistic, and the before/after means.
+    *
+    * The daily roll-up bounds the series at one row per (group, day) —
+    * metadata even at 100 TB — so the scan itself is window arithmetic
+    * over a tiny table; the only full-fact work is the one daily
+    * aggregation scan. Daily means are rounded to 6 BEFORE the prefix
+    * sums (window order is deterministic, so two engines summing the
+    * same rounded values agree bit-for-bit; unrounded cross-partition
+    * float sums would not). Ties break to the earliest day.
+    */
+  def changePointScan(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    val wAll = Window.partitionBy(groupCol)
+    val scanned = daily
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s_k", sum(col("m")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s_n", sum(col("m")).over(wAll))
+      .filter(col("k") < col("n"))
+      .withColumn("stat",
+        round(abs(col("s_k") - col("k") * col("s_n") / col("n")), 6))
+    scanned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("stat").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col(groupCol), col("day").as("change_day"), col("stat"),
+        round(col("s_k") / col("k"), 6).as("mean_before"),
+        round((col("s_n") - col("s_k")) / (col("n") - col("k")), 6).as("mean_after"))
+  }
+
+  /** EWMA control chart per group over the daily-mean series
+    * (Roberts 1959): z_1 = m_1, z_k = alpha*m_k + (1-alpha)*z_{k-1},
+    * and day k alarms when |m_k - z_{k-1}| exceeds
+    * L * sigma * sqrt(alpha / (2 - alpha)) — the small-persistent-shift
+    * detector that single-point z-scores miss. Emits one row per
+    * (group, day) with the smoothed baseline, the innovation against
+    * yesterday's baseline, and the alarm flag.
+    *
+    * The recursion is inherently sequential, so it runs over the
+    * DAILY roll-up only: one full-fact aggregation scan, then a
+    * per-group ordered fold over a metadata-sized series (a SQL
+    * aggregate HOF over the collected (day, m) array — bounded by days,
+    * not rows, so the collect_list is safe at any fact scale). Each
+    * recursion step is rounded to 6 so an external replay (recursive
+    * CTE) reproduces the exact doubles.
+    */
+  def ewmaChart(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      l: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val series = daily.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("m")))).as("s"),
+        round(stddev_samp(col("m")), 6).as("sigma"))
+    // Running EWMA as an array fold: acc grows one smoothed value per
+    // day; z_1 seeds at m_1. O(days^2) array copies — days is metadata.
+    val ewmas = aggregate(col("s"),
+      array().cast("array<double>"),
+      (acc, x) => concat(acc, array(
+        when(size(acc) === 0, x.getField("m"))
+          .otherwise(round(lit(alpha) * x.getField("m")
+            + lit(1.0 - alpha) * element_at(acc, size(acc)), 6)))))
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    series
+      .withColumn("z", ewmas)
+      .select(col(groupCol), col("sigma"),
+        posexplode(arrays_zip(col("s"), col("z"))).as(Seq("pos", "zip")))
+      .select(col(groupCol), col("sigma"),
+        col("zip.s.day").as("day"), col("zip.s.m").as("m"),
+        col("zip.z").as("ewma"))
+      .withColumn("z_prev", lag(col("ewma"), 1).over(wOrd))
+      .withColumn("innovation",
+        when(col("z_prev").isNotNull, round(col("m") - col("z_prev"), 6)))
+      .withColumn("ucl",
+        round(lit(l) * col("sigma") * sqrt(lit(alpha / (2.0 - alpha))), 6))
+      .withColumn("is_alarm",
+        coalesce(abs(col("innovation")) > col("ucl"), lit(false)))
+      .select(col(groupCol), col("day"), col("m"), col("ewma"),
+        col("innovation"), col("ucl"), col("is_alarm"))
+  }
+
+  /** Holt linear-trend smoothing per group over the daily-mean series
+    * (Holt 1957 — the double-exponential upgrade of [[ewmaChart]] for
+    * drifting baselines): level l_k = alpha*m_k + (1-alpha)*(l_{k-1} +
+    * b_{k-1}), trend b_k = beta*(l_k - l_{k-1}) + (1-beta)*b_{k-1},
+    * seeded l_1 = m_1, b_1 = m_2 - m_1 (0 for singleton series). Emits
+    * per day the one-step-ahead forecast f_k = l_{k-1} + b_{k-1}, the
+    * forecast error, and an alarm when |error| > L * sigma_e (sigma_e =
+    * the group's sample stddev of all errors — trend-adjusted, so a
+    * steady ramp that would page an EWMA chart forever stays quiet and
+    * only genuine departures alarm).
+    *
+    * Same execution shape as [[ewmaChart]]: the recursion folds over
+    * the collected daily series (bounded by DAYS, not facts; the one
+    * full-fact pass is the daily aggregation), with every l/b rounded
+    * to 6dp per step so a recursive-CTE replay reproduces the exact
+    * doubles.
+    */
+  def holtForecast(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      l: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val series = daily.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("m")))).as("s"))
+    // Fold state: one struct(l, b) per day. Seeds: l_1 = m_1, b_1 =
+    // m_2 - m_1 (the standard two-point trend seed; 0 if no second
+    // day). The seed needs m_2, so the fold carries the whole series
+    // via element_at on the growing index — O(days^2), metadata-sized.
+    val st = aggregate(col("s"),
+      array().cast("array<struct<l:double,b:double>>"),
+      (acc, x) => {
+        val k = size(acc) + 1
+        val prev = element_at(acc, size(acc))
+        val lNew = round(lit(alpha) * x.getField("m")
+          + lit(1.0 - alpha) * (prev.getField("l") + prev.getField("b")), 6)
+        concat(acc, array(
+          when(k === 1, struct(
+            x.getField("m").as("l"),
+            // get() is 0-indexed and null-safe (vs ANSI element_at,
+            // which throws past the end on single-day series).
+            coalesce(get(col("s"), lit(1)).getField("m") - x.getField("m"),
+              lit(0.0)).as("b")))
+            .otherwise(struct(
+              lNew.as("l"),
+              round(lit(beta) * (lNew - prev.getField("l"))
+                + lit(1.0 - beta) * prev.getField("b"), 6).as("b")))))
+      })
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    val wAll = Window.partitionBy(groupCol)
+    series
+      .withColumn("st", st)
+      .select(col(groupCol),
+        posexplode(arrays_zip(col("s"), col("st"))).as(Seq("pos", "zip")))
+      .select(col(groupCol),
+        col("zip.s.day").as("day"), col("zip.s.m").as("m"),
+        col("zip.st.l").as("level"), col("zip.st.b").as("trend"))
+      .withColumn("forecast",
+        round(lag(col("level"), 1).over(wOrd) + lag(col("trend"), 1).over(wOrd), 6))
+      .withColumn("error",
+        when(col("forecast").isNotNull, round(col("m") - col("forecast"), 6)))
+      .withColumn("sigma_e", round(stddev_samp(col("error")).over(wAll), 6))
+      .withColumn("is_alarm",
+        coalesce(abs(col("error")) > lit(l) * col("sigma_e"), lit(false)))
+      .select(col(groupCol), col("day"), col("m"), col("level"), col("trend"),
+        col("forecast"), col("error"), col("sigma_e"), col("is_alarm"))
+  }
+
   /** Tukey-fence (IQR) outliers per group: a row is an outlier when it
     * falls outside [q1 - k*iqr, q3 + k*iqr] of its group (k = 1.5 the
     * classic fence, 3.0 the "far out" fence). Same two-phase shape as

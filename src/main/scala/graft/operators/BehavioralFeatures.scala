@@ -149,13 +149,21 @@ object BehavioralFeatures {
       keyCol: String,
       tsUnixCol: String,
       gapSeconds: Long,
-      outCol: String = "session_idx"): DataFrame = {
+      outCol: String = "session_idx",
+      // Extra window-order columns for deterministic lag under duplicate
+      // timestamps, and a 1-based numbering switch (each key's first
+      // event opens session 1 instead of 0) — defaults preserve the r3
+      // contract exactly; EventAnalytics rides the non-defaults.
+      tieBreak: Seq[Column] = Nil,
+      oneBased: Boolean = false): DataFrame = {
     require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
-    val wOrd = Window.partitionBy(keyCol).orderBy(tsUnixCol)
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(tsUnixCol) +: tieBreak: _*)
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_new_sess",
-        when(col(tsUnixCol) - lag(col(tsUnixCol), 1).over(wOrd) > gapSeconds, 1)
-          .otherwise(0))
+    val prev = lag(col(tsUnixCol), 1).over(wOrd)
+    val isNew =
+      if (oneBased) when(prev.isNull || col(tsUnixCol) - prev > gapSeconds, 1).otherwise(0)
+      else when(col(tsUnixCol) - prev > gapSeconds, 1).otherwise(0)
+    df.withColumn("_new_sess", isNew)
       .withColumn(outCol, sum(col("_new_sess")).over(wCum))
       .drop("_new_sess")
   }

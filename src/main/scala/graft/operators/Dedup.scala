@@ -118,6 +118,42 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Directed n-gram CONTAINMENT pairs: C(a in b) = |A ∩ B| / |A| — the
+    * asymmetric near-dup measure Jaccard misses when lengths differ: a
+    * paragraph quoted verbatim inside a much longer page has tiny
+    * Jaccard (the union is huge) but containment ~1. Broder (1997)
+    * distinguishes exactly these as resemblance vs containment. Emits
+    * BOTH directions (id_a != id_b) with containment-of-a-in-b, since
+    * the relation is not symmetric; "drop the contained doc" policies
+    * filter on id_a being the smaller gram set.
+    *
+    * Same two-shuffle shape and row-local hashed-gram build as
+    * [[jaccardPairs]] (one gram equi-join + one per-pair count);
+    * containment >= jaccard always, so a containment threshold prunes
+    * NO pair that a jaccard run at the same threshold would keep — the
+    * candidate space is the same join, only the final filter differs.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.5): DataFrame = {
+    val exploded = df.select(
+        col(idCol).as("id"),
+        array_distinct(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("grams"))
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val a = exploded.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
+    val b = exploded.select(col("id").as("id_b"), col("gram"))
+    a.join(b, "gram")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment", col("n_common") / col("sz_a"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "n_common", "containment")
+  }
+
   /** PPJoin-style prefix-filtered exact Jaccard (Xiao et al., WWW'08):
     * a pair at jaccard >= t must share a gram among each doc's first
     * (|g| - ceil(t*|g|) + 1) grams under a global df-ascending order, so

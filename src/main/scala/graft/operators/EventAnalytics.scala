@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events stream — the product-side
+  * companions to the fraud/anomaly features (reference features.py works
+  * the same (user, ts)-ordered stream): ordered-step funnels and cohort
+  * retention. Both reduce the fact table to per-user milestones first,
+  * so every downstream join is over a one-row-per-user (or smaller)
+  * table — the shape that survives a 100 TB event log.
+  */
+object EventAnalytics {
+
+  /** Ordered-step funnel: for each user, the FIRST time they completed
+    * step i strictly after their first completion of step i-1 (the
+    * classic "min-ts chain" semantics — re-orderings don't count, and a
+    * user's step-2 before their first step-1 is ignored). Emits one row
+    * per user who reached step 1, with one timestamp column per step
+    * (`step1_ts`, `step2_ts`, ...) and `steps_completed`.
+    *
+    * Each step is one conditional-min aggregation over the events
+    * filtered to that step's type, equi-joined to the previous
+    * milestone table on the user key. The milestone tables are one row
+    * per qualifying user — strictly shrinking — so at scale this is
+    * k filtered scans (or one scan if the source is pre-filtered to the
+    * step types) plus k joins of ever-smaller user tables; nothing is
+    * ever collected and no window over the raw stream is needed.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("step1_ts"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val prevTs = s"step${i}_ts"
+        val thisTs = s"step${i + 1}_ts"
+        val next = events.filter(col(typeCol) === step)
+          .join(prev.select(col(userCol), col(prevTs).as("__pt")), Seq(userCol))
+          .filter(col(tsCol) > col("__pt"))
+          .groupBy(col(userCol))
+          .agg(min(col(tsCol)).as(thisTs))
+        prev.join(next, Seq(userCol), "left")
+    }
+    val stepCols = steps.indices.map(i => col(s"step${i + 1}_ts"))
+    chained.withColumn("steps_completed",
+      stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
+  /** Funnel conversion summary: one row per step with the number of
+    * users who reached it and the conversion rate vs step 1 — the
+    * report-facing roll-up of [[funnel]] (metadata-sized output).
+    */
+  def funnelSummary(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, tsCol, typeCol, steps)
+    // ONE aggregation over the funnel (k conditional counts in a single
+    // row), melted to per-step rows — the funnel lineage runs once, and
+    // everything after the agg is literally one row wide.
+    val oneRow = f.agg(
+      steps.indices.map(i =>
+        count(when(col(s"step${i + 1}_ts").isNotNull, 1)).as(s"u${i + 1}")).head,
+      steps.indices.map(i =>
+        count(when(col(s"step${i + 1}_ts").isNotNull, 1)).as(s"u${i + 1}")).tail: _*)
+    oneRow.select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step"), lit(steps(i)).as("step_type"),
+          col(s"u${i + 1}").as("users"), col("u1").as("__u1"))): _*)).as("x"))
+      .select(col("x.step").as("step"), col("x.step_type").as("step_type"),
+        col("x.users").as("users"),
+        round(col("x.users") / col("x.__u1"), 6).as("conversion"))
+  }
+
+  /** Gap-based sessionization: a user's events are split into sessions
+    * wherever the gap to the previous event exceeds `gapSeconds` (the
+    * classic 30-minute web-analytics rule). Emits every event with its
+    * `session_idx` (1-based per user, in time order) — the
+    * event-grained view that [[sessionStats]] rolls up.
+    *
+    * The batch twin of [[graft.streaming.StreamingFeatures.sessionize]]
+    * (same gap rule; the streaming form holds open sessions in the
+    * state store and closes them by event-time timeout).
+    *
+    * Shape: ONE shuffle (the per-user window partition) and two window
+    * passes over it — lag for the boundary flag, running sum for the
+    * session index; both run in the same Exchange. Ties on ts break by
+    * a caller-supplied tiebreak column so the boundary flag is
+    * deterministic under duplicate timestamps. Per-user event counts
+    * are bounded in practice (a user's history, not the corpus), so
+    * the window never sees a pathological partition; a synthetic bot
+    * user with millions of events is a data-quality problem upstream,
+    * not a plan hazard — the window is streaming-evaluated, never
+    * buffered whole.
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      tieBreak: Column): DataFrame =
+    // The boundary kernel is BehavioralFeatures.sessionIndex (the r3
+    // q_sessionize operator); this view adds the timestamp->unix-second
+    // bridge, the tie determinism, and 1-based numbering.
+    BehavioralFeatures.sessionIndex(
+        events.withColumn("__tsu", unix_timestamp(col(tsCol))),
+        userCol, "__tsu", gapSeconds,
+        tieBreak = Seq(tieBreak), oneBased = true)
+      .drop("__tsu")
+
+  /** Session roll-up over [[sessionize]]: one row per (user, session)
+    * with start/end, duration, and event count — the table every
+    * engagement metric reads. One extra aggregation over the already
+    * user-partitioned stream (AQE coalesces the two exchanges when the
+    * session key subsumes the user key).
+    */
+  def sessionStats(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      tieBreak: Column): DataFrame =
+    sessionize(events, userCol, tsCol, gapSeconds, tieBreak)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("duration_sec"),
+        count(lit(1)).as("n_events"))
+
+  /** First-order event-type transition matrix WITHIN sessions: counts
+    * and row-normalized probabilities of (from -> to) over consecutive
+    * event pairs that share a session — the Markov-chain view of user
+    * behavior (cross-session pairs are not transitions; dropping them
+    * is what the sessionize pass is for). Output is at most
+    * |types|^2 rows — metadata at any corpus scale; the heavy part is
+    * the same single user-partitioned window as [[sessionize]].
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      gapSeconds: Long,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), tieBreak)
+    val sessioned = sessionize(events, userCol, tsCol, gapSeconds, tieBreak)
+      .withColumn("__next_type", lead(col(typeCol), 1).over(w))
+      .withColumn("__next_sess", lead(col("session_idx"), 1).over(w))
+      .filter(col("__next_type").isNotNull &&
+        col("__next_sess") === col("session_idx"))
+    val counts = sessioned
+      .groupBy(col(typeCol).as("from_type"), col("__next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n") / sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
+  }
+
+  /** RFM (recency / frequency / monetary) user scoring — the classic
+    * customer-value segmentation, and a standard fraud-features input:
+    * per user, days since last event (vs the corpus max day so the
+    * anchor is data-deterministic), event count, and exact-decimal
+    * value sum; each dimension bucketed 1..`buckets` against
+    * quantile edges fitted over the USER-grained table (recency scored
+    * reversed: most recent = highest score).
+    *
+    * Shape: one full-fact aggregation to user grain, then quantile
+    * edges over the user table (one metadata row), broadcast back as a
+    * row-local array fold — the frozen-edge bucketing discipline shared
+    * with [[Anomaly.psiDrift]], edges rounded 6dp in both engines so
+    * interpolation ulps never flip a bucket. Monetary sums go through
+    * decimal(18,2) (exact, order-independent) before the double cast.
+    */
+  def rfmScores(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val grained = events.groupBy(col(userCol))
+      .agg(
+        max(to_date(col(tsCol))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monetary"))
+    // The anchor is a 1-row scalar broadcast, NOT a global window (a
+    // partitionBy() window would single-task the whole user table).
+    val anchor = grained.agg(max(col("last_day")).as("anchor"))
+    val users = grained.join(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor"), col("last_day")))
+      .drop("anchor", "last_day")
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val edges = users.agg(
+      transform(percentile(col("recency_days"), probs), e => round(e, 6)).as("r_e"),
+      transform(percentile(col("frequency"), probs), e => round(e, 6)).as("f_e"),
+      transform(percentile(col("monetary"), probs), e => round(e, 6)).as("m_e"))
+    def bucket(v: Column, e: Column): Column =
+      aggregate(e, lit(1), (acc, edge) => acc + when(v > edge, 1).otherwise(0))
+    users.join(broadcast(edges))
+      .withColumn("r_score", lit(buckets + 1) - bucket(col("recency_days"), col("r_e")))
+      .withColumn("f_score", bucket(col("frequency"), col("f_e")))
+      .withColumn("m_score", bucket(col("monetary"), col("m_e")))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("rfm"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * FIRST event (week index = floor(days-since-anchor / 7), anchor
+    * fixed so the bucketing is data-independent), and each cohort's
+    * activity is counted per week offset. Emits (cohort_week,
+    * week_offset, active_users, cohort_size, retention) — offset 0 is
+    * the cohort itself, so its retention is 1.0 by construction.
+    *
+    * Shape: one aggregation to (user, week) distinct activity, one
+    * min-window for the cohort week (a per-user min over that already
+    * user-grained table, NOT the raw facts), then metadata-sized
+    * counts. The only full-fact pass is the first distinct.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      anchor: String = "2024-01-01"): DataFrame = {
+    val weekly = events
+      .select(col(userCol),
+        floor(datediff(to_date(col(tsCol)), to_date(lit(anchor))) / 7)
+          .cast("int").as("week"))
+      .distinct()
+    val cohorts = weekly.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weekly.join(cohorts, Seq(userCol))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention",
+        round(col("active_users") / col("cohort_size"), 6))
+      .select("cohort_week", "week_offset", "active_users", "cohort_size",
+        "retention")
+  }
+}

@@ -219,6 +219,34 @@ object ScaleStress {
     emb.unpersist()
     }
 
+    section("events") {
+    // The r13 event-analytics additions at volume. Replication keeps
+    // user_id UNCHANGED, so every user's history grows reps x — the
+    // worst case for the per-user session window (funnel/cohort reduce
+    // to per-user milestones regardless of history depth; sessionize's
+    // window is streaming-evaluated, never buffered whole).
+    import graft.operators.EventAnalytics
+    val ev = replicate(TableIO.table(spark, sfDir, "events")
+        .select("event_id", "user_id", "ts", "event_type"), "event_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] events: ${ev.count()} (${reps}x per-user depth)")
+    time("sessionize (30 min gap)")(
+      println("[stress]   sessions = " + EventAnalytics
+        .sessionStats(ev, "user_id", "ts", 1800L, col("event_id")).count()))
+    time("transition matrix")(
+      println("[stress]   cells = " + EventAnalytics
+        .transitionMatrix(ev, "user_id", "ts", "event_type", 1800L,
+          col("event_id")).count()))
+    time("funnel view->click->purchase")(
+      println("[stress]   reached = " + EventAnalytics
+        .funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")).count()))
+    time("cohort retention (weekly)")(
+      println("[stress]   cells = " + EventAnalytics
+        .cohortRetention(ev.select("user_id", "ts"), "user_id", "ts").count()))
+    ev.unpersist()
+    }
+
     section("window") {
     // Hot-key range-window stress: one account holds 2M rows across one
     // day — the plain RANGE window puts ALL of them in a single task;

@@ -114,4 +114,131 @@ class AnomalySpec extends SparkSpec {
       .filter(col("is_outlier")).count()
     assert(none == 0)
   }
+
+  // Daily series fixture: 10 flat days at 10.0, then 10 days shifted to
+  // 10.5 — a small persistent shift (under any 3-sigma point test) that
+  // EWMA/CUSUM exist to catch.
+  private def shiftSeries: org.apache.spark.sql.DataFrame = {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
+    ((1 to 10).map(i => ("pay", day(i), 10.0)) ++
+      (11 to 20).map(i => ("pay", day(i), 10.5)))
+      .toDF("grp", "ts", "v")
+  }
+
+  test("ewmaChart: recursion matches the closed form and alarms on the shift") {
+    val out = Anomaly.ewmaChart(shiftSeries, "grp", "ts", "v", alpha = 0.3)
+      .orderBy("day").collect()
+    assert(out.length == 20)
+    // Hand-rolled recursion with the same per-step 6dp rounding.
+    var z = 10.0
+    out.zipWithIndex.foreach { case (r, i) =>
+      val m = r.getDouble(r.fieldIndex("m"))
+      if (i == 0) z = m
+      else z = BigDecimal(0.3 * m + 0.7 * z)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(r.fieldIndex("ewma")) - z) < 1e-9,
+        s"day $i ewma ${r.getDouble(r.fieldIndex("ewma"))} != $z")
+    }
+    // First day has no previous baseline -> no innovation, no alarm.
+    assert(out.head.isNullAt(out.head.fieldIndex("innovation")))
+    assert(!out.head.getBoolean(out.head.fieldIndex("is_alarm")))
+    // The shift day's innovation is the full step |10.5 - z_10 = 10.0|.
+    val d11 = out(10)
+    assert(math.abs(d11.getDouble(d11.fieldIndex("innovation")) - 0.5) < 1e-9)
+    assert(d11.getBoolean(d11.fieldIndex("is_alarm")),
+      "the 0.5 step must clear the EWMA control limit")
+  }
+
+  test("holtForecast: tracks a steady ramp silently, alarms on a level break") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
+    // 20 days of a clean linear ramp (+2/day), then a day that breaks it.
+    val ramp = (1 to 20).map(i => ("pay", day(i), 10.0 + 2.0 * i)) :+
+      (("pay", day(21), 200.0))
+    val out = Anomaly.holtForecast(ramp.toDF("grp", "ts", "v"), "grp", "ts", "v",
+        alpha = 0.5, beta = 0.5)
+      .orderBy("day").collect()
+    // Replay the recursion by hand (6dp per step, two-point trend seed).
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var l = 12.0; var b = 2.0 // l1 = m1 = 12, b1 = m2 - m1 = 2
+    out.zipWithIndex.drop(1).foreach { case (row, i) =>
+      val m = row.getDouble(row.fieldIndex("m"))
+      val lNew = r6(0.5 * m + 0.5 * (l + b))
+      b = r6(0.5 * (lNew - l) + 0.5 * b); l = lNew
+      assert(math.abs(row.getDouble(row.fieldIndex("level")) - l) < 1e-9,
+        s"day $i level")
+      assert(math.abs(row.getDouble(row.fieldIndex("trend")) - b) < 1e-9,
+        s"day $i trend")
+    }
+    // On the clean ramp the forecast is exact (error 0) from day 3 on —
+    // the trend-adjusted chart stays silent where EWMA would page daily.
+    val rampErrs = out.slice(2, 20).map(r => r.getDouble(r.fieldIndex("error")))
+    assert(rampErrs.forall(e => math.abs(e) < 1e-6), rampErrs.mkString(","))
+    val last = out.last
+    assert(last.getBoolean(last.fieldIndex("is_alarm")), "the break must alarm")
+    assert(out.slice(2, 20).forall(r => !r.getBoolean(r.fieldIndex("is_alarm"))))
+    // Degenerate single-day group: zero trend seed, null sigma, no alarm.
+    val one = Anomaly.holtForecast(
+      Seq(("solo", day(1), 5.0)).toDF("grp", "ts", "v"), "grp", "ts", "v").collect().head
+    assert(one.getDouble(one.fieldIndex("trend")) == 0.0)
+    assert(one.isNullAt(one.fieldIndex("sigma_e")))
+    assert(!one.getBoolean(one.fieldIndex("is_alarm")))
+  }
+
+  test("changePointScan: finds the planted shift day exactly") {
+    val cp = Anomaly.changePointScan(shiftSeries, "grp", "ts", "v").collect().head
+    assert(cp.getDate(cp.fieldIndex("change_day")).toString == "2023-01-10",
+      s"argmax split must be the last pre-shift day: $cp")
+    assert(math.abs(cp.getDouble(cp.fieldIndex("mean_before")) - 10.0) < 1e-9)
+    assert(math.abs(cp.getDouble(cp.fieldIndex("mean_after")) - 10.5) < 1e-9)
+  }
+
+  test("psiDrift: identical halves score ~0, a shifted half scores big") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2023-01-${d}%02d 00:00:00")
+    // Baseline days 1-15 and current days 16-28 drawn from the same
+    // deterministic ramp -> PSI ~ 0.
+    val same = ((1 to 15).flatMap(d => (1 to 20).map(i => ("a", ts(d), i.toDouble))) ++
+      (16 to 28).flatMap(d => (1 to 20).map(i => ("a", ts(d), i.toDouble))))
+      .toDF("grp", "ts", "v")
+    val psiSame = Anomaly.psiDrift(same, "grp", "v", dayofmonth(col("ts")) <= 15)
+      .select("psi").distinct().as[Double].collect().head
+    assert(psiSame < 0.01, s"identical distributions must be stable: $psiSame")
+    // Current half shifted by +100 -> every row lands in the top bucket.
+    val shifted = ((1 to 15).flatMap(d => (1 to 20).map(i => ("a", ts(d), i.toDouble))) ++
+      (16 to 28).flatMap(d => (1 to 20).map(i => ("a", ts(d), i + 100.0))))
+      .toDF("grp", "ts", "v")
+    val psiShift = Anomaly.psiDrift(shifted, "grp", "v", dayofmonth(col("ts")) <= 15)
+      .select("psi").distinct().as[Double].collect().head
+    assert(psiShift > 0.25, s"wholesale shift must clear the action gate: $psiShift")
+    // Bucket contributions sum to the reported PSI.
+    val rows = Anomaly.psiDrift(shifted, "grp", "v", dayofmonth(col("ts")) <= 15)
+      .agg(sum(col("contrib")), max(col("psi"))).as[(Double, Double)].collect().head
+    assert(math.abs(rows._1 - rows._2) < 1e-5)
+  }
+
+  test("benfordDeviation: Benford-ish data scores low, digit-stuffed data high") {
+    // Geometric spread (scale-free) approximates Benford; values in cents.
+    val natural = (0 until 400).map { i =>
+      ("nat", math.pow(1.03, i) % 1e6 + 1.0)
+    }.toDF("grp", "v")
+    // Fabricated: everything starts with digit 5.
+    val stuffed = (0 until 400).map(i => ("fab", 500.0 + (i % 90))).toDF("grp", "v")
+    val both = natural.union(stuffed)
+    val chi = Anomaly.benfordDeviation(both, "grp", "v")
+      .select("grp", "chi2").distinct().as[(String, Double)].collect().toMap
+    assert(chi("fab") > chi("nat") * 5,
+      s"digit stuffing must dominate: $chi")
+    // Shares sum to 1 per group; expected shares are the Benford law.
+    val shares = Anomaly.benfordDeviation(both, "grp", "v")
+      .groupBy("grp").agg(sum(col("obs_frac")), sum(col("exp_frac")))
+      .as[(String, Double, Double)].collect()
+    shares.foreach { case (g, o, e) =>
+      assert(math.abs(o - 1.0) < 1e-4, s"$g obs $o")
+      assert(math.abs(e - 1.0) < 1e-4, s"$g exp $e")
+    }
+    // Zero and null values are excluded, never a leading digit of "0".
+    val z = Seq(("z", 0.0), ("z", 123.45)).toDF("grp", "v")
+    val digits = Anomaly.benfordDeviation(z, "grp", "v")
+      .filter(col("n_d") > 0).select("digit").as[Int].collect().toSeq
+    assert(digits == Seq(1))
+  }
 }

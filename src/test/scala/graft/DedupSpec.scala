@@ -281,6 +281,38 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 20L))
   }
 
+  test("containmentPairs: asymmetric — the quoted snippet scores high, the page low") {
+    import org.apache.spark.sql.functions._
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val page = "intro words here " + snippet + " and a very long tail of other tokens " +
+      "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, snippet), (2L, page), (3L, "totally unrelated text about ships"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, minContainment = 0.0)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // Every snippet trigram appears in the page -> containment(1 in 2) = 1.
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+    // The page has many grams the snippet lacks -> the reverse is small.
+    assert(pairs((2L, 1L)) < 0.35, s"reverse containment: ${pairs((2L, 1L))}")
+    // No pair with the unrelated doc.
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // Containment >= jaccard for every surviving pair (the measure's
+    // defining inequality: same intersection, |A| <= |A u B|).
+    val jac = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    jac.foreach { case (k, j) => assert(pairs(k) >= j - 1e-9, s"$k: ${pairs(k)} < $j") }
+    // The threshold filters directionally: at 0.9 only snippet-in-page.
+    val strict = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, minContainment = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 2L)))
+  }
+
   test("keepBestPerCluster: longest member of a transitive chain survives") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

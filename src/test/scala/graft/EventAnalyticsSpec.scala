@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // u1 completes the whole funnel in order; u2 clicks BEFORE viewing
+  // (the click must not count) then never re-clicks; u3 views only;
+  // u4 never views (excluded entirely); u5 views, clicks, then
+  // purchases BEFORE the click is irrelevant — purchase after click.
+  private lazy val events = Seq(
+    ("u1", ts("2024-01-01 10:00:00"), "view"),
+    ("u1", ts("2024-01-01 10:05:00"), "click"),
+    ("u1", ts("2024-01-01 10:10:00"), "purchase"),
+    ("u2", ts("2024-01-02 09:00:00"), "click"),
+    ("u2", ts("2024-01-02 09:30:00"), "view"),
+    ("u3", ts("2024-01-03 08:00:00"), "view"),
+    ("u4", ts("2024-01-04 07:00:00"), "purchase"),
+    ("u5", ts("2024-01-05 06:00:00"), "view"),
+    ("u5", ts("2024-01-05 06:01:00"), "purchase"), // before click: step 3 no
+    ("u5", ts("2024-01-05 06:02:00"), "click"),
+    ("u5", ts("2024-01-05 06:03:00"), "purchase") // after click: counts
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel: min-ts chain honors strict ordering") {
+    val f = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+    val byUser = f.collect().map(r => r.getString(0) -> r).toMap
+    // u4 never viewed -> not present at all.
+    assert(byUser.keySet == Set("u1", "u2", "u3", "u5"))
+    assert(byUser("u1").getInt(byUser("u1").fieldIndex("steps_completed")) == 3)
+    // u2's click predates the first view -> stuck at step 1.
+    assert(byUser("u2").getInt(byUser("u2").fieldIndex("steps_completed")) == 1)
+    assert(byUser("u3").getInt(byUser("u3").fieldIndex("steps_completed")) == 1)
+    // u5's purchase before the click doesn't count; the later one does.
+    val u5 = byUser("u5")
+    assert(u5.getInt(u5.fieldIndex("steps_completed")) == 3)
+    assert(u5.getTimestamp(u5.fieldIndex("step3_ts")) == ts("2024-01-05 06:03:00"))
+  }
+
+  test("funnelSummary: reach and conversion vs step 1") {
+    val s = EventAnalytics.funnelSummary(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .select("step", "step_type", "users", "conversion")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(s == Seq(
+      (1, "view", 4L, 1.0),
+      (2, "click", 2L, 0.5),
+      (3, "purchase", 2L, 0.5)))
+  }
+
+  test("cohortRetention: offset-0 is 1.0 and later offsets count returners") {
+    // Cohort week 0 (anchor 2024-01-01): u1, u2 first seen in week 0;
+    // u1 returns in week 1, u2 doesn't. u3 is a week-1 cohort of one.
+    val df = Seq(
+      ("u1", ts("2024-01-02 00:00:00")),
+      ("u2", ts("2024-01-03 00:00:00")),
+      ("u1", ts("2024-01-09 00:00:00")), // week 1 return
+      ("u3", ts("2024-01-10 00:00:00"))
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select("cohort_week", "week_offset", "active_users", "cohort_size", "retention")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (0, 0, 2L, 2L, 1.0),
+      (0, 1, 1L, 2L, 0.5),
+      (1, 0, 1L, 1L, 1.0)))
+  }
+
+  test("funnel rejects an empty step list") {
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(events, "user_id", "ts", "event_type", Seq.empty)
+    }
+  }
+
+  test("rfmScores: recency reversed, buckets monotone in each dimension") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // 10 users: user k has its last event on day k, k events, value 10*k
+    // each — perfectly rank-correlated dimensions, recency reversed.
+    val df = (1 to 10).flatMap { k =>
+      (1 to k).map(_ => (f"u$k%02d", d(k), 10.0 * k))
+    }.toDF("user_id", "ts", "v")
+    val got = EventAnalytics.rfmScores(df, "user_id", "ts", "v")
+      .orderBy("user_id")
+      .select("user_id", "recency_days", "frequency", "r_score", "f_score", "m_score", "rfm")
+      .collect()
+    // Later last-day = smaller recency = HIGHER r_score; more events =
+    // higher f_score; bigger values = higher m_score — all monotone.
+    val rs = got.map(r => r.getInt(r.fieldIndex("r_score")))
+    val fs = got.map(r => r.getInt(r.fieldIndex("f_score")))
+    val ms = got.map(r => r.getInt(r.fieldIndex("m_score")))
+    assert(rs.sameElements(rs.sorted), s"r_score monotone up: ${rs.mkString(",")}")
+    assert(fs.sameElements(fs.sorted), s"f_score monotone up: ${fs.mkString(",")}")
+    assert(ms.sameElements(ms.sorted), s"m_score monotone up: ${ms.mkString(",")}")
+    // Quintiles span the full 1..5 range on 10 evenly-ranked users.
+    assert(rs.min == 1 && rs.max == 5 && ms.min == 1 && ms.max == 5)
+    // The rfm code is the concatenated digits.
+    val top = got.last
+    assert(top.getString(top.fieldIndex("rfm")) ==
+      s"${top.getInt(top.fieldIndex("r_score"))}${top.getInt(top.fieldIndex("f_score"))}${top.getInt(top.fieldIndex("m_score"))}")
+    // u10 (most recent, most active, biggest spend) is 555; recency 0.
+    assert(top.getString(0) == "u10")
+    assert(top.getInt(top.fieldIndex("recency_days")) == 0)
+    assert(top.getString(top.fieldIndex("rfm")) == "555")
+  }
+
+  test("sessionize: gap boundary is strict, indexes are 1-based per user") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 10:30:00")), // gap = 1800 exactly -> SAME session
+      (3L, "a", ts("2024-01-01 11:00:01")), // gap = 1801 -> new session
+      (4L, "b", ts("2024-01-01 10:00:00")) // other user restarts at 1
+    ).toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.sessionize(df, "user_id", "ts", 1800L, col("event_id"))
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sessionize(df, "user_id", "ts", 0L, col("event_id"))
+    }
+  }
+
+  test("sessionStats: duration and counts per session") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 10:10:00")),
+      (3L, "a", ts("2024-01-01 12:00:00")) // new session, single event
+    ).toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.sessionStats(df, "user_id", "ts", 1800L, col("event_id"))
+      .select("session_idx", "duration_sec", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 600L, 2L), (2L, 0L, 1L)))
+  }
+
+  test("transitionMatrix: cross-session pairs excluded, rows normalize to 1") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), "view"),
+      (2L, "a", ts("2024-01-01 10:01:00"), "click"),
+      (3L, "a", ts("2024-01-01 10:02:00"), "view"),
+      // 2h gap: the view->view pair across it must NOT count
+      (4L, "a", ts("2024-01-01 12:30:00"), "view"),
+      (5L, "a", ts("2024-01-01 12:31:00"), "click"),
+      (6L, "b", ts("2024-01-01 09:00:00"), "view"),
+      (7L, "b", ts("2024-01-01 09:05:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.transitionMatrix(df, "user_id", "ts", "event_type",
+        1800L, col("event_id"))
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("view", "click") -> (2L, 0.666667),
+      ("view", "purchase") -> (1L, 0.333333),
+      ("click", "view") -> (1L, 1.0)))
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -79,6 +80,52 @@ class StreamingFeaturesSpec extends SparkSpec {
       // closed by watermark timeout once b1 advanced event time.
       assert(got.contains((1L, 2, 3.0)))
       assert(got.contains((1L, 1, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streamed sessions == batch sessionStats on the same events") {
+    val dir = s"$root/sess_golden"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[StreamEvent]): Unit = {
+      rows.toDF().coalesce(1).write.parquet(s"$dir/tmp_$name")
+      val src = Files.list(Paths.get(s"$dir/tmp_$name"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/$name.parquet"))
+    }
+    // Two users, several gap-separated bursts each (whole-second
+    // timestamps, so the streaming ms-gap and the batch second-
+    // truncated gap agree exactly).
+    val fixture = Seq(
+      StreamEvent(1, ts(0), "view", 1.0), StreamEvent(1, ts(10), "click", 1.0),
+      StreamEvent(1, ts(100), "view", 1.0), // > 30 min later: new session
+      StreamEvent(1, ts(101), "buy", 1.0),
+      StreamEvent(2, ts(5), "view", 1.0),
+      StreamEvent(2, ts(200), "view", 1.0), StreamEvent(2, ts(203), "view", 1.0))
+    write("g0", fixture)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingFeatures.sessionize(stream.as[StreamEvent], gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_golden")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // A far-future sentinel advances the watermark so every fixture
+      // session closes by timeout.
+      write("g1", Seq(StreamEvent(99, ts(100000), "view", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_golden")
+        .filter(col("user_id") =!= 99L)
+        .selectExpr("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3).toLong))
+        .toSet
+      val batch = graft.operators.EventAnalytics.sessionStats(
+          fixture.toDF(), "user_id", "ts", 1800L, col("value"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch,
+        s"streamed $streamed\nbatch    $batch")
     } finally q.stop()
   }
 

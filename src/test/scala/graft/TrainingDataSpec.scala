@@ -870,4 +870,81 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.writeEpochShards(ids, root)
     }
   }
+
+  test("packBinsBfd: capacity respected, every doc placed, offsets tile each bin") {
+    val docs = (1L to 200L).map(i => (i, 1 + (i * 37) % 600)).toDF("doc_id", "n")
+    val packed = TrainingData.packBinsBfd(docs, "doc_id", col("n"),
+      capacity = 1024L, numPartitions = 4).cache()
+    // Every positive-length doc is assigned exactly once.
+    assert(packed.count() == 200)
+    assert(packed.select("id").distinct().count() == 200)
+    // No non-overflow bin exceeds capacity; offsets + lengths tile the
+    // bin contiguously from 0 (sorted spans abut exactly).
+    val byBin = packed.filter(!col("is_overflow"))
+      .select("bin_id", "bin_off", "n_tokens")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    byBin.foreach { case (bin, rows) =>
+      val spans = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      assert(spans.head._1 == 0L, s"bin $bin must start at 0")
+      spans.sliding(2).foreach {
+        case Array((o1, n1), (o2, _)) => assert(o1 + n1 == o2, s"gap in bin $bin")
+        case _ =>
+      }
+      assert(spans.map(_._2).sum <= 1024L, s"bin $bin over capacity")
+    }
+    packed.unpersist()
+  }
+
+  test("packBinsBfd: oversize docs get flagged overflow bins, never dropped") {
+    val docs = Seq((1L, 5000L), (2L, 100L), (3L, 7000L)).toDF("doc_id", "n")
+    val packed = TrainingData.packBinsBfd(docs, "doc_id", col("n"),
+      capacity = 1024L, numPartitions = 2)
+      .select("id", "is_overflow").as[(Long, Boolean)].collect().toMap
+    assert(packed == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("packBinsBfd: deterministic for a fixed partition count, and beats naive padding") {
+    val docs = (1L to 300L).map(i => (i, 1 + (i * 73) % 900)).toDF("doc_id", "n")
+    def run() = TrainingData.packBinsBfd(docs, "doc_id", col("n"),
+      capacity = 1024L, numPartitions = 4)
+      .select("id", "bin_id", "bin_off").as[(Long, Long, Long)].collect().toSet
+    assert(run() == run(), "same input + partition count must repack identically")
+    // BFD padding vs the naive sequential close-on-overflow pack of the
+    // same id-ordered stream (single bin stream, capacity 1024).
+    val lens = (1L to 300L).map(i => 1 + (i * 73) % 900)
+    var naiveBins = 0; var fill = 0L
+    lens.foreach { n =>
+      if (fill + n > 1024L) { naiveBins += 1; fill = n } else fill += n
+    }
+    naiveBins += 1
+    val bfdBins = TrainingData.packBinsBfd(docs, "doc_id", col("n"),
+      capacity = 1024L, numPartitions = 4)
+      .select("bin_id").distinct().count()
+    assert(bfdBins <= naiveBins,
+      s"BFD ($bfdBins bins) must not lose to naive sequential ($naiveBins)")
+    // Manifest: pad = capacity - used for regular bins, 0 for overflow;
+    // total used tokens equals the corpus token count.
+    val man = TrainingData.binManifest(
+      TrainingData.packBinsBfd(docs, "doc_id", col("n"), 1024L, 4), 1024L)
+    val (used, badPad) = (
+      man.agg(sum(col("used_tokens"))).as[Long].collect().head,
+      man.filter(!col("is_overflow") &&
+        col("pad_tokens") =!= lit(1024L) - col("used_tokens")).count())
+    assert(used == lens.sum)
+    assert(badPad == 0)
+  }
+
+  test("packBinsBfd: zero/negative token docs are excluded, empty input is empty") {
+    val docs = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("doc_id", "n")
+    val packed = TrainingData.packBinsBfd(docs, "doc_id", col("n"),
+      capacity = 64L, numPartitions = 2)
+    assert(packed.select("id").as[Long].collect().toSeq == Seq(3L))
+    val empty = TrainingData.packBinsBfd(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n"), "doc_id", col("n"),
+      capacity = 64L, numPartitions = 2)
+    assert(empty.count() == 0)
+    intercept[IllegalArgumentException] {
+      TrainingData.packBinsBfd(docs, "doc_id", col("n"), capacity = 0L)
+    }
+  }
 }
