@@ -1392,6 +1392,48 @@ object SparkEntry {
           "user_id", "ts", "value")
         .orderBy("user_id")),
 
+    // Classical seasonal decomposition (r13): trend = centered 7-day
+    // moving average (null partial edges), seasonal = mean detrended
+    // per day-of-week, residual = the anomaly-gate input.
+    "q_seasonal_decompose" -> ((s, d) =>
+      Anomaly.seasonalDecompose(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
+    // Autocorrelation function (r13): Pearson r at lags 1..7 over the
+    // daily series, from exact decimal moment sums (engine-portable).
+    "q_acf" -> ((s, d) =>
+      Anomaly.autocorrelation(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value", maxLag = 7)
+        .orderBy("event_type", "lag")),
+
+    // Two-sample KS drift (r13): max CDF distance between the
+    // first-half-of-month baseline and the rest — binning-free
+    // companion to q_drift_psi.
+    "q_drift_ks" -> ((s, d) =>
+      Anomaly.ksDrift(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "value", dayofmonth(col("ts")) <= 15)
+        .orderBy("event_type")),
+
+    // Gini value concentration (r13): rank-formula inequality per
+    // event_type, decimal-exact rank-weighted sums.
+    "q_value_gini" -> ((s, d) =>
+      EventAnalytics.giniConcentration(
+          t(s, d, "events").select("event_type", "value"),
+          "event_type", "value")
+        .orderBy("event_type")),
+
+    // PMI collocations (r13): adjacent word pairs beating chance
+    // co-occurrence, from the same unigram/bigram censuses the
+    // surprisal LMs read; count floor 3 on the small fixtures.
+    "q_pmi" -> ((s, d) =>
+      graft.operators.CorpusStats.pmiCollocations(
+          t(s, d, "documents"), "doc_id", "text", minCount = 3L)
+        .orderBy("w1", "w2")),
+
     // Within-session event-type transition matrix (r13): Markov counts
     // + row-normalized probabilities; cross-session pairs excluded.
     "q_transitions" -> ((s, d) =>
@@ -4851,6 +4893,138 @@ object SparkEntry {
         |                 CAST(m_score AS VARCHAR)) AS rfm
         |FROM sc
         |ORDER BY user_id""".stripMargin,
+
+    // Seasonal decomposition replay: centered moving average guarded
+    // by window row count (null at partial edges), day-of-week shifted
+    // +1 (DuckDB is 0=Sunday, Spark is 1=Sunday).
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT event_type, day, m,
+        |         CAST(dayofweek(day) + 1 AS INT) AS dow,
+        |         CASE WHEN count(*) OVER w = 7
+        |              THEN round(avg(m) OVER w, 6) END AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), de AS (
+        |  SELECT *, round(m - trend, 6) AS detr FROM tr
+        |), se AS (
+        |  SELECT *, round(avg(detr) OVER (PARTITION BY event_type, dow), 6) AS seasonal
+        |  FROM de
+        |)
+        |SELECT event_type, day, dow, m, trend, seasonal,
+        |       CASE WHEN trend IS NOT NULL
+        |            THEN round(m - trend - seasonal, 6) END AS residual
+        |FROM se
+        |ORDER BY event_type, day""".stripMargin,
+
+    // ACF replay: per-lag self-join pairs, Pearson r from exact
+    // DECIMAL(18,6) moment sums cast to double once each.
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), pairs AS (
+        |  SELECT a.event_type, l.lag,
+        |         CAST(a.m AS DECIMAL(18,6)) AS x, CAST(b.m AS DECIMAL(18,6)) AS y
+        |  FROM ord a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN ord b ON b.event_type = a.event_type AND b.rn = a.rn - l.lag
+        |), mo AS (
+        |  SELECT event_type, CAST(lag AS INT) AS lag,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |         CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT event_type, lag, n_pairs,
+        |       CASE WHEN n_pairs * sxx - sx * sx > 0
+        |             AND n_pairs * syy - sy * sy > 0
+        |            THEN round((n_pairs * sxy - sx * sy)
+        |                       / sqrt((n_pairs * sxx - sx * sx)
+        |                              * (n_pairs * syy - sy * sy)), 6) END AS acf
+        |FROM mo
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // KS replay: per-distinct-value slice counts, cumulative CDF gap,
+    // max per group + the scaled statistic.
+    "q_drift_ks" ->
+      """WITH src AS (
+        |  SELECT event_type, value, (day(ts) <= 15) AS is_base FROM events
+        |), cnt AS (
+        |  SELECT event_type, value AS v,
+        |         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM src GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type,
+        |         sum(c1) OVER (PARTITION BY event_type) AS n1,
+        |         sum(c2) OVER (PARTITION BY event_type) AS n2,
+        |         abs(sum(c1) OVER w / sum(c1) OVER (PARTITION BY event_type)
+        |           - sum(c2) OVER w / sum(c2) OVER (PARTITION BY event_type)) AS d
+        |  FROM cnt
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |               ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_type, round(max(d), 6) AS ks_d,
+        |       CAST(max(n1) AS BIGINT) AS n_base, CAST(max(n2) AS BIGINT) AS n_cur,
+        |       round(sqrt(max(n1) * max(n2) / (max(n1) + max(n2))) * round(max(d), 6), 6) AS ks_scaled
+        |FROM cum GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Gini replay: row_number rank over ascending value (tie-invariant
+    // by the rank-sum identity), decimal-exact rank-weighted sums.
+    "q_value_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS i
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |), s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS vsum,
+        |         sum(CAST(i AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2))) AS isum
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT event_type, n, CAST(vsum AS DOUBLE) AS total_value,
+        |       round(2 * CAST(isum AS DOUBLE) / (n * CAST(vsum AS DOUBLE))
+        |             - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM s WHERE vsum > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // PMI replay: the dedup-oracle token machinery (regexp '\S+',
+    // within-doc adjacent pairs), censuses joined, log2 ratio.
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+        |), bi AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |                                 i -> t[i] || ' ' || t[i + 1])) AS g
+        |    FROM toks) GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT sum(n) FROM uni) AS n_tok, (SELECT sum(n) FROM bi) AS n_bi
+        |)
+        |SELECT split_part(b.g, ' ', 1) AS w1, split_part(b.g, ' ', 2) AS w2,
+        |       b.n AS n_pair, u1.n AS n_w1, u2.n AS n_w2,
+        |       round(log2((b.n / t.n_bi)
+        |                  / ((u1.n / t.n_tok) * (u2.n / t.n_tok))), 6) AS pmi
+        |FROM bi b
+        |JOIN uni u1 ON u1.tok = split_part(b.g, ' ', 1)
+        |JOIN uni u2 ON u2.tok = split_part(b.g, ' ', 2)
+        |CROSS JOIN tot t
+        |WHERE b.n >= 3
+        |ORDER BY w1, w2""".stripMargin,
 
     // Transition replay: lead within the session assignment, counts +
     // row-normalized probabilities.

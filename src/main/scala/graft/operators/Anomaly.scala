@@ -422,6 +422,151 @@ object Anomaly {
         col("forecast"), col("error"), col("sigma_e"), col("is_alarm"))
   }
 
+  /** Classical seasonal decomposition of the daily-mean series
+    * (moving-average STL-lite): trend = centered (2w+1)-day moving
+    * average (null at the edges where the window is partial — honest
+    * NaN-free edges rather than a shrinking-window bias), seasonal =
+    * the mean DETRENDED value of the day's day-of-week, residual =
+    * m - trend - seasonal. The additive decomposition every
+    * capacity-planning and anomaly dashboard starts from; residuals
+    * feed any of the per-point gates above with the weekly rhythm
+    * removed.
+    *
+    * All arithmetic happens on the DAILY roll-up (one full-fact scan,
+    * then metadata-sized windows); each derived column is rounded to
+    * 6dp so an external window replay agrees bit-for-bit.
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      halfWindow: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    val wMa = wOrd.rowsBetween(-halfWindow, halfWindow)
+    val trended = daily
+      .withColumn("__n_win", count(lit(1)).over(wMa))
+      .withColumn("trend",
+        when(col("__n_win") === 2 * halfWindow + 1, round(avg(col("m")).over(wMa), 6)))
+      .withColumn("__detr", round(col("m") - col("trend"), 6))
+      .withColumn("dow", dayofweek(col("day")))
+    val wDow = Window.partitionBy(col(groupCol), col("dow"))
+    trended
+      .withColumn("seasonal", round(avg(col("__detr")).over(wDow), 6))
+      .withColumn("residual",
+        when(col("trend").isNotNull,
+          round(col("m") - col("trend") - col("seasonal"), 6)))
+      .select(col(groupCol), col("day"), col("dow"), col("m"),
+        col("trend"), col("seasonal"), col("residual"))
+  }
+
+  /** Autocorrelation function of the daily-mean series at lags
+    * 1..maxLag — the seasonality detector (a weekly rhythm shows as an
+    * ACF spike at lag 7) and the "is this series even forecastable"
+    * diagnostic behind the EWMA/Holt charts above. Pearson correlation
+    * between the series and its lag-ℓ shift, one row per (group, lag).
+    *
+    * One daily roll-up scan, then maxLag lag-columns and one melt over
+    * the metadata-sized series; corr pairs are (m_k, m_{k-ℓ}) for
+    * k > ℓ — the same n-ℓ pairs both engines see, rounded 6dp.
+    */
+  def autocorrelation(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    val lagged = (1 to maxLag).foldLeft(daily) { (d, l) =>
+      d.withColumn(s"__lag$l", lag(col("m"), l).over(wOrd))
+    }
+    // Pearson r from EXACT decimal moment sums, not corr(): the daily
+    // means are 6dp-rounded, so decimal(18,6) sums (and decimal
+    // products for the cross terms) are bit-identical in any engine —
+    // a float corr() could differ in the last ulp with summation order
+    // and flip the 6th decimal.
+    val xd = col("x").cast("decimal(18,6)")
+    val yd = col("y").cast("decimal(18,6)")
+    lagged
+      .select(col(groupCol), explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col("m").as("x"), col(s"__lag$l").as("y"))): _*)).as("p"))
+      .select(col(groupCol), col("p.lag").as("lag"), col("p.x"), col("p.y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col(groupCol), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        // Exact decimal sums, cast to double ONCE each: from here on
+        // the arithmetic is scalar IEEE double — identical in any
+        // engine — rather than engine-specific decimal precision rules.
+        sum(xd).cast("double").as("__sx"), sum(yd).cast("double").as("__sy"),
+        sum(xd * yd).cast("double").as("__sxy"),
+        sum(xd * xd).cast("double").as("__sxx"),
+        sum(yd * yd).cast("double").as("__syy"))
+      .withColumn("__num",
+        col("n_pairs") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx",
+        col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy",
+        col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("acf",
+        when(col("__dx") > 0 && col("__dy") > 0,
+          round(col("__num") / sqrt(col("__dx") * col("__dy")), 6)))
+      .select(col(groupCol), col("lag"), col("n_pairs"), col("acf"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift per group: D = max over x of
+    * |F_base(x) - F_cur(x)| between the baseline and current empirical
+    * CDFs — the nonparametric companion to [[psiDrift]] (no binning
+    * choice, sensitive anywhere in the distribution, the classic "did
+    * the distribution move" test). Emits one row per group with D, both
+    * sample sizes, and the scaled statistic sqrt(n1*n2/(n1+n2))*D
+    * (compare to 1.358 for alpha = 0.05).
+    *
+    * Shape: one (group, value, slice) count aggregation, then
+    * cumulative windows over the DISTINCT-VALUE table (bounded by
+    * distinct values per group, not rows) and a max — two shuffles of
+    * counter rows. The CDF step logic evaluates at every observed value
+    * from either sample, which is exactly where the max must live.
+    */
+  def ksDrift(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      isBaseline: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .withColumn("__base", isBaseline)
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(
+        sum(when(col("__base"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("__base"), 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    counts
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("__d",
+        abs(sum(col("c1")).over(wCum) / col("n1")
+          - sum(col("c2")).over(wCum) / col("n2")))
+      .groupBy(col(groupCol))
+      .agg(
+        round(max(col("__d")), 6).as("ks_d"),
+        max(col("n1")).as("n_base"),
+        max(col("n2")).as("n_cur"))
+      .withColumn("ks_scaled",
+        round(sqrt(col("n_base") * col("n_cur")
+          / (col("n_base") + col("n_cur"))) * col("ks_d"), 6))
+  }
+
   /** Tukey-fence (IQR) outliers per group: a row is an outlier when it
     * falls outside [q1 - k*iqr, q3 + k*iqr] of its group (k = 1.5 the
     * classic fence, 3.0 the "far out" fence). Same two-phase shape as

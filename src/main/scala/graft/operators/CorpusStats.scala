@@ -536,6 +536,46 @@ object CorpusStats {
     df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
 
+  /** PMI collocations (Church & Hanks 1990): adjacent word pairs whose
+    * co-occurrence beats chance — pmi = log2( p(w1,w2) / (p(w1)p(w2)) )
+    * with p from the corpus's own unigram/bigram censuses. The corpus-
+    * analysis view of the same censuses the surprisal LMs read: high-PMI
+    * pairs are the multiword units ("San Francisco") a tokenizer or
+    * boilerplate report wants surfaced.
+    *
+    * `minCount` floors the bigram count (PMI explodes on hapax pairs —
+    * the classic failure mode, so the floor is mandatory, default 5).
+    * Shape: the two census builds (each one explode + count shuffle,
+    * vocabulary-sized outputs), then two vocabulary-keyed joins of
+    * censuses — no fact-table rescan, no driver state. Counts are
+    * integers and the log ratio is rounded 6dp, so any SQL engine
+    * replays it exactly.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val uni = tokenCensus(df, textCol)
+    val bi = bigramCensus(df, idCol, textCol)
+    val nTok = uni.agg(sum(col("n")).as("n_tok"))
+    val nBi = bi.agg(sum(col("n")).as("n_bi"))
+    bi.filter(col("n") >= minCount)
+      .select(
+        split(col("g"), " ", 2).getItem(0).as("w1"),
+        split(col("g"), " ", 2).getItem(1).as("w2"),
+        col("n").as("n_pair"))
+      .join(uni.select(col("tok").as("w1"), col("n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n").as("n_w2")), Seq("w2"))
+      .join(broadcast(nTok))
+      .join(broadcast(nBi))
+      .withColumn("pmi", round(
+        log2((col("n_pair") / col("n_bi"))
+          / ((col("n_w1") / col("n_tok")) * (col("n_w2") / col("n_tok")))), 6))
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi")
+  }
+
   /** FROZEN-LM surprisal: score `batch` under the unigram distribution
     * of a REFERENCE census rather than of the batch itself — the shape
     * CCNet's perplexity filter actually has (a fixed LM scores every

@@ -167,6 +167,44 @@ object EventAnalytics {
         org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
   }
 
+  /** Gini concentration of `valueCol` per group — how concentrated the
+    * value mass is across rows (0 = perfectly even, →1 = one row owns
+    * everything): the inequality screen behind "does one merchant/user
+    * carry this event type" fraud questions. Uses the exact rank
+    * formula over ascending values, G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n.
+    *
+    * Tie-safe by construction: equal values swap ranks freely but
+    * Σ(i·x_i) is invariant under permutations within a tie block, so
+    * the result is deterministic without a tiebreak column. One
+    * (group)-partitioned sort window plus a metadata-sized aggregate;
+    * values go through decimal(38,12) sums so the rank-weighted sum is
+    * order-exact in both engines.
+    */
+  def giniConcentration(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__sum"),
+        // rank x value as DECIMAL x DECIMAL — exact in both engines
+        // (a double product would round before the sum).
+        sum(col("__i").cast("decimal(18,0)")
+          * col(valueCol).cast("decimal(18,2)")).as("__isum"))
+      .filter(col("__sum") > 0)
+      .withColumn("gini",
+        round(lit(2) * col("__isum").cast("double")
+            / (col("n") * col("__sum").cast("double"))
+          - (col("n") + lit(1)) / col("n"), 6))
+      .select(col(groupCol), col("n"),
+        col("__sum").cast("double").as("total_value"), col("gini"))
+  }
+
   /** RFM (recency / frequency / monetary) user scoring — the classic
     * customer-value segmentation, and a standard fraud-features input:
     * per user, days since last event (vs the corpus max day so the

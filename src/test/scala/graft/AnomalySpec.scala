@@ -192,6 +192,73 @@ class AnomalySpec extends SparkSpec {
     assert(math.abs(cp.getDouble(cp.fieldIndex("mean_after")) - 10.5) < 1e-9)
   }
 
+  test("seasonalDecompose: recovers a planted weekly rhythm on a linear trend") {
+    // 35 days: value = 2*dayIndex (trend) + a day-of-week bump of +50 on
+    // one weekday. The decomposition must put the ramp in trend, the
+    // bump in seasonal, and leave residuals ~0.
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i - 1).atTime(12, 0))
+    val rows = (1 to 35).map { i =>
+      val bump = if ((i - 1) % 7 == 0) 50.0 else 0.0
+      ("g", day(i), 2.0 * i + bump)
+    }
+    val out = Anomaly.seasonalDecompose(rows.toDF("grp", "ts", "v"), "grp", "ts", "v")
+      .orderBy("day").collect()
+    // Edges (first/last 3 days) have no full window -> null trend/residual.
+    assert(out.take(3).forall(_.isNullAt(out.head.fieldIndex("trend"))))
+    assert(out.takeRight(3).forall(_.isNullAt(out.head.fieldIndex("trend"))))
+    // The bump day's seasonal component dominates every other weekday's.
+    val seasonalByDow = out.map(r =>
+      r.getInt(r.fieldIndex("dow")) -> r.getDouble(r.fieldIndex("seasonal"))).toMap
+    val bumpDow = out.head.getInt(out.head.fieldIndex("dow")) // day 1 is the bump day
+    assert(seasonalByDow(bumpDow) > 35.0,
+      s"bump weekday seasonal: ${seasonalByDow(bumpDow)}")
+    assert(seasonalByDow.filter(_._1 != bumpDow).values.forall(_ < 0),
+      "other weekdays absorb the negative complement")
+    // Residuals on interior days are small (the MA smears the bump a
+    // little — 50/7 ≈ 7 of it rides the trend — but nothing like the
+    // raw bump).
+    val resid = out.filter(!_.isNullAt(out.head.fieldIndex("residual")))
+      .map(r => math.abs(r.getDouble(r.fieldIndex("residual"))))
+    assert(resid.max < 10.0, s"max residual ${resid.max}")
+  }
+
+  test("autocorrelation: period-7 signal spikes at lag 7, noise-free ramp at lag 1") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i - 1).atTime(12, 0))
+    // Pure 7-day square wave: ACF at lag 7 is exactly 1.
+    val weekly = (1 to 42).map(i => ("w", day(i), if ((i - 1) % 7 < 3) 10.0 else 20.0))
+    val acf = Anomaly.autocorrelation(weekly.toDF("grp", "ts", "v"), "grp", "ts", "v")
+      .select("lag", "acf").as[(Int, Double)].collect().toMap
+    assert(math.abs(acf(7) - 1.0) < 1e-9, s"lag-7 acf: ${acf(7)}")
+    assert(acf(1) < acf(7), "off-period lags correlate less")
+    // Constant series: zero variance -> null acf, never a divide blowup.
+    val const = (1 to 20).map(i => ("c", day(i), 5.0))
+    val gotNull = Anomaly.autocorrelation(const.toDF("grp", "ts", "v"), "grp", "ts", "v")
+      .filter(col("acf").isNotNull).count()
+    assert(gotNull == 0)
+  }
+
+  test("ksDrift: identical slices score 0, disjoint slices score 1") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2023-01-${d}%02d 00:00:00")
+    val same = ((1 to 15) ++ (16 to 28)).flatMap(d =>
+      (1 to 30).map(i => ("a", ts(d), i.toDouble))).toDF("grp", "ts", "v")
+    val k0 = Anomaly.ksDrift(same, "grp", "v", dayofmonth(col("ts")) <= 15)
+      .select("ks_d").as[Double].collect().head
+    assert(k0 == 0.0)
+    val disjoint = ((1 to 15).flatMap(d => (1 to 30).map(i => ("a", ts(d), i.toDouble))) ++
+      (16 to 28).flatMap(d => (1 to 30).map(i => ("a", ts(d), 1000.0 + i)))).toDF("grp", "ts", "v")
+    val k1 = Anomaly.ksDrift(disjoint, "grp", "v", dayofmonth(col("ts")) <= 15)
+      .select("ks_d").as[Double].collect().head
+    assert(k1 == 1.0)
+    // A mid-range shift lands strictly between.
+    val shifted = ((1 to 15).flatMap(d => (1 to 30).map(i => ("a", ts(d), i.toDouble))) ++
+      (16 to 28).flatMap(d => (1 to 30).map(i => ("a", ts(d), i + 10.0)))).toDF("grp", "ts", "v")
+    val km = Anomaly.ksDrift(shifted, "grp", "v", dayofmonth(col("ts")) <= 15)
+      .select("ks_d").as[Double].collect().head
+    assert(km > 0.2 && km < 1.0, s"partial shift: $km")
+  }
+
   test("psiDrift: identical halves score ~0, a shifted half scores big") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2023-01-${d}%02d 00:00:00")
     // Baseline days 1-15 and current days 16-28 drawn from the same

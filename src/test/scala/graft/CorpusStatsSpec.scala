@@ -425,6 +425,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(run(Some(false)) == got, "shuffle-join path must agree")
   }
 
+  test("pmiCollocations: a glued pair beats an independent one; floor applies") {
+    // "san" and "francisco" ONLY ever appear together; "the" and "cat"
+    // co-occur sometimes but each also roams free — PMI must rank the
+    // glued pair far above the incidental one.
+    val docs = Seq(
+      (1L, "san francisco is by the bay the cat sat"),
+      (2L, "san francisco fog the cat ran the dog ran"),
+      (3L, "san francisco hills the end the cat"),
+      (4L, "the road the cat walked the town san francisco")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.pmiCollocations(docs, "doc_id", "text", minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got.contains(("san", "francisco")))
+    assert(got.contains(("the", "cat")))
+    assert(got(("san", "francisco"))._2 > got(("the", "cat"))._2 + 1.0,
+      s"glued pair must dominate: $got")
+    // Hand value: c(san)=4, c(francisco)=4, c(san francisco)=4,
+    // N_tok=34, N_bi=30 -> pmi = log2((4/30) / ((4/34)*(4/34))).
+    val expected = math.log((4.0 / 30) / ((4.0 / 34) * (4.0 / 34))) / math.log(2)
+    assert(math.abs(got(("san", "francisco"))._2 - expected) < 1e-5,
+      s"${got(("san", "francisco"))._2} vs $expected")
+    // Pairs under the floor are absent (e.g. "dog ran" occurs once).
+    assert(!got.contains(("dog", "ran")))
+  }
+
   test("EmbeddingStats.dispersion: collapsed group 0, spread group by hand") {
     val vecs = Seq(
       (1L, 0, Array(1.0f, 0.0f)),

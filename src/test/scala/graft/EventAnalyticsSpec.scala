@@ -81,6 +81,29 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("giniConcentration: 0 for equal values, (n-1)/n when one row owns all") {
+    val equal = (1 to 10).map(_ => ("e", 5.0)).toDF("grp", "v")
+    val g0 = EventAnalytics.giniConcentration(equal, "grp", "v")
+      .select("gini").as[Double].collect().head
+    assert(g0 == 0.0)
+    // One row owns everything: G = (n-1)/n = 0.9 for n = 10.
+    val mono = ((1 to 9).map(_ => ("m", 0.0)) :+ (("m", 100.0))).toDF("grp", "v")
+    val g1 = EventAnalytics.giniConcentration(mono, "grp", "v")
+      .select("gini").as[Double].collect().head
+    assert(math.abs(g1 - 0.9) < 1e-9, s"one-owner gini: $g1")
+    // Ties are rank-invariant: shuffled duplicates give the same value.
+    val dup = Seq(("t", 1.0), ("t", 3.0), ("t", 3.0), ("t", 3.0), ("t", 8.0))
+    val a = EventAnalytics.giniConcentration(dup.toDF("grp", "v"), "grp", "v")
+      .select("gini").as[Double].collect().head
+    val b = EventAnalytics.giniConcentration(
+        dup.reverse.toDF("grp", "v"), "grp", "v")
+      .select("gini").as[Double].collect().head
+    assert(a == b)
+    // Negative and null values are excluded; all-zero groups drop.
+    val z = Seq(("z", 0.0), ("z", 0.0)).toDF("grp", "v")
+    assert(EventAnalytics.giniConcentration(z, "grp", "v").count() == 0)
+  }
+
   test("rfmScores: recency reversed, buckets monotone in each dimension") {
     def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
     // 10 users: user k has its last event on day k, k events, value 10*k
