@@ -1392,6 +1392,40 @@ object SparkEntry {
           "user_id", "ts", "value")
         .orderBy("user_id")),
 
+    // Last-touch attribution (r13): each purchase attributed to the
+    // most recent view/click within 7 days — composed from the as-of
+    // join (backward + tolerance); unattributed conversions keep a
+    // null touch (the direct/organic bucket).
+    "q_attribution" -> ((s, d) =>
+      EventAnalytics.lastTouchAttribution(
+          t(s, d, "events").select("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", "event_id",
+          conversionType = "purchase", touchTypes = Seq("view", "click"),
+          windowSeconds = 7L * 86400L)
+        .orderBy("conversion_id")),
+
+    // Kaplan-Meier survival over user lifetimes (r13): right-censored
+    // churn curve — users last seen near the corpus end are at risk,
+    // never deaths.
+    "q_survival" -> ((s, d) =>
+      EventAnalytics.survivalCurve(
+          t(s, d, "events").select("user_id", "ts"), "user_id", "ts",
+          churnGapDays = 7)
+        .orderBy("t")),
+
+    // PSI fit/score split (r13): edges + baseline counts frozen by
+    // psiBaseline, the current half scored by psiAgainstBaseline —
+    // composition == the one-shot q_drift_psi bit-for-bit, so the
+    // oracle IS q_drift_psi's SQL.
+    "q_drift_psi_frozen" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_type", "ts", "value")
+      val base = Anomaly.psiBaseline(
+        ev.filter(dayofmonth(col("ts")) <= 15), "event_type", "value")
+      Anomaly.psiAgainstBaseline(
+          ev.filter(dayofmonth(col("ts")) > 15), "event_type", "value", base)
+        .orderBy("event_type", "bucket")
+    }),
+
     // Classical seasonal decomposition (r13): trend = centered 7-day
     // moving average (null partial edges), seasonal = mean detrended
     // per day-of-week, residual = the anomaly-gate input.
@@ -3260,7 +3294,11 @@ object SparkEntry {
     base +
       ("q_dsir_weights_incr" -> base("q_dsir_weights")) +
       ("q_sample_incr" -> base("q_exact_sample")) +
-      ("q_sample_incr_stratified" -> base("q_sample_exact_stratified"))
+      ("q_sample_incr_stratified" -> base("q_sample_exact_stratified")) +
+      // Fit-on-baseline + score-on-current == the one-shot drift query
+      // bit-for-bit (frozen edges + stored counts reproduce the same
+      // histogram), so its oracle IS q_drift_psi's SQL.
+      ("q_drift_psi_frozen" -> base("q_drift_psi"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -4893,6 +4931,71 @@ object SparkEntry {
         |                 CAST(m_score AS VARCHAR)) AS rfm
         |FROM sc
         |ORDER BY user_id""".stripMargin,
+
+    // Attribution replay: last (ts, touch_id)-max touch at or before
+    // each conversion within the window; LEFT JOIN keeps unattributed.
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conversion_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, ts, event_id AS touch_id, event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT c.conversion_id, t.touch_id, t.touch_type,
+        |         row_number() OVER (PARTITION BY c.conversion_id
+        |                            ORDER BY t.ts DESC, t.touch_id DESC) AS rk
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |   AND t.ts <= c.ts
+        |   AND epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(t.ts AS TIMESTAMP))
+        |       <= 604800 * 1000000::BIGINT
+        |)
+        |SELECT c.conversion_id, c.user_id,
+        |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS conv_ts_us,
+        |       j.touch_id, j.touch_type
+        |FROM conv c
+        |LEFT JOIN (SELECT * FROM j WHERE rk = 1) j USING (conversion_id)
+        |ORDER BY c.conversion_id""".stripMargin,
+
+    // Survival replay: lifetime roll-up, at-risk counts from exits
+    // strictly before t, KM product as exp(sum(ln)) with the zero
+    // factor short-circuited exactly like the engine.
+    "q_survival" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT max(ld) AS ce FROM u
+        |), l AS (
+        |  SELECT CAST(date_diff('day', fd, ld) AS INT) AS lifetime,
+        |         (date_diff('day', ld, ce) > 7) AS churned
+        |  FROM u CROSS JOIN a
+        |), byt AS (
+        |  SELECT lifetime AS t,
+        |         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS exits
+        |  FROM l GROUP BY 1
+        |), cum AS (
+        |  SELECT *,
+        |         CAST(coalesce(sum(exits) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS eb,
+        |         CAST(sum(exits) OVER () AS BIGINT) AS tot
+        |  FROM byt
+        |), f AS (
+        |  SELECT t, tot - eb AS n_risk, d, exits,
+        |         1.0 - d / (tot - eb) AS factor
+        |  FROM cum
+        |), z AS (
+        |  SELECT *, max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+        |              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zero
+        |  FROM f
+        |)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_churn, exits,
+        |       CASE WHEN zero = 1 THEN 0.0
+        |            ELSE round(exp(sum(ln(factor))
+        |                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+        |FROM z
+        |ORDER BY t""".stripMargin,
 
     // Seasonal decomposition replay: centered moving average guarded
     // by window row count (null at partial edges), day-of-week shifted

@@ -248,6 +248,77 @@ object Anomaly {
         round(col("contrib"), 6).as("contrib"), col("psi"))
   }
 
+  /** The FIT half of [[psiDrift]]'s train/serve split: quantile edges +
+    * per-bucket counts of the baseline slice, one metadata row per
+    * group — persist it and score any number of later batches against
+    * it with [[psiAgainstBaseline]] (the same frozen-stats discipline
+    * as [[robustStats]]/[[scoreAgainstStats]]: the baseline never moves
+    * because a drifting batch arrived, and the scorer is stream-static
+    * joinable). Composition law: fit-on-baseline + score-on-current ==
+    * [[psiDrift]] on the union, bit-for-bit — that identity IS the
+    * contract query's oracle.
+    */
+  def psiBaseline(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      buckets: Int = 10,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    def pct(c: Column): Column =
+      if (exact) percentile(c, probs) else approx_percentile(c, probs, lit(accuracy))
+    val edges = df.groupBy(col(groupCol))
+      .agg(transform(pct(col(valueCol)), e => round(e, 6)).as("edges"))
+    df.join(broadcast(edges), Seq(groupCol))
+      .withColumn("bucket",
+        aggregate(col("edges"), lit(1),
+          (acc, e) => acc + when(col(valueCol) > e, 1).otherwise(0)))
+      .groupBy(col(groupCol), col("edges"), col("bucket"))
+      .agg(count(lit(1)).as("n_base"))
+  }
+
+  /** The SCORE half: bucket a batch against the FROZEN edges and
+    * compute PSI vs the stored baseline counts — row-local beyond the
+    * one broadcast of the (groups x buckets)-bounded baseline table.
+    * Output schema matches [[psiDrift]] exactly (and equals it exactly
+    * when fit+score covers the same split).
+    */
+  def psiAgainstBaseline(
+      batch: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      baseline: DataFrame,
+      buckets: Int = 10,
+      eps: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = baseline.select(col(groupCol), col("edges")).distinct()
+    val cur = batch
+      .join(broadcast(edges), Seq(groupCol))
+      .withColumn("bucket",
+        aggregate(col("edges"), lit(1),
+          (acc, e) => acc + when(col(valueCol) > e, 1).otherwise(0)))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+    val dense = edges.select(col(groupCol))
+      .select(col(groupCol), explode(sequence(lit(1), lit(buckets))).as("bucket"))
+      .join(baseline.select(col(groupCol), col("bucket"), col("n_base")),
+        Seq(groupCol, "bucket"), "left")
+      .join(cur, Seq(groupCol, "bucket"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val w = Window.partitionBy(groupCol)
+    dense
+      .withColumn("p", greatest(col("n_base") / sum(col("n_base")).over(w), lit(eps)))
+      .withColumn("q", greatest(col("n_cur") / sum(col("n_cur")).over(w), lit(eps)))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      .withColumn("psi", round(sum(col("contrib")).over(w), 6))
+      .select(col(groupCol), col("bucket"), col("n_base"), col("n_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("contrib"), 6).as("contrib"), col("psi"))
+  }
+
   /** CUSUM change-point scan per group (the max-type CUSUM test
     * statistic, Page 1954 / Csorgo-Horvath): the series is the DAILY
     * mean of `valueCol`, and for every candidate split k the statistic

@@ -167,6 +167,103 @@ object EventAnalytics {
         org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
   }
 
+  /** Last-touch attribution: for every conversion event, the most
+    * recent touch event (same user, at or before the conversion, within
+    * `windowSeconds`) — the marketing-attribution staple, composed
+    * directly from [[AsOfJoin.join]] (backward direction + tolerance):
+    * attribution IS an as-of join, so the skew/scale story is the
+    * as-of operator's, not a new one. Unattributed conversions stay
+    * (null touch — the honest "direct/organic" bucket). Ties at the
+    * same touch timestamp resolve to the HIGHEST touch id (the as-of
+    * traversal's last-seen rule), replayed identically by the oracle.
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(windowSeconds > 0, s"attribution window must be positive, got $windowSeconds")
+    val conversions = events.filter(col(typeCol) === conversionType)
+      .select(col(idCol).as("conversion_id"), col(userCol), col(tsCol))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol),
+        col(idCol).as("touch_id"), col(typeCol).as("touch_type"))
+    AsOfJoin.join(
+        left = conversions, right = touches,
+        leftKey = userCol, rightKey = userCol,
+        leftTs = tsCol, rightTs = tsCol,
+        rightPayload = Seq("touch_id", "touch_type"),
+        rightOrderCol = "touch_id",
+        keepUnmatched = true,
+        direction = "backward",
+        toleranceSeconds = Some(windowSeconds))
+      .select(col("conversion_id"), col(userCol),
+        unix_micros(col(tsCol)).as("conv_ts_us"),
+        col("touch_id"), col("touch_type"))
+  }
+
+  /** Kaplan-Meier survival curve over user lifetimes (time from first
+    * to last event, in days) with honest right-censoring: a user whose
+    * last event is within `churnGapDays` of the corpus end may still be
+    * alive — they enter the at-risk counts up to their observed
+    * lifetime but never count as a churn "death". S(t) steps down at
+    * each observed churn lifetime by (1 - d_t/n_t); the curve every
+    * retention dashboard plots, and the correction naive "% retained at
+    * day t" gets wrong near the observation edge.
+    *
+    * One full-fact pass to user grain; everything after is windows over
+    * the distinct-lifetime table (bounded by days). The cumulative
+    * product runs as exp(sum(ln ...)) — the same libm-parity class as
+    * the PSI/surprisal oracles, rounded 6dp.
+    */
+  def survivalCurve(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      churnGapDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(churnGapDays >= 1, s"churnGapDays must be >= 1, got $churnGapDays")
+    val users = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("first_day"),
+        max(to_date(col(tsCol))).as("last_day"))
+    val anchor = users.agg(max(col("last_day")).as("corpus_end"))
+    val lifetimes = users.join(broadcast(anchor))
+      .withColumn("lifetime", datediff(col("last_day"), col("first_day")))
+      .withColumn("churned",
+        datediff(col("corpus_end"), col("last_day")) > churnGapDays)
+    val byT = lifetimes.groupBy(col("lifetime").as("t"))
+      .agg(
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("exits"))
+    val wOrd = Window.partitionBy().orderBy("t")
+    val wAll = Window.partitionBy()
+    // n_t = users whose observed lifetime is >= t = total - exits before t.
+    // The windows run over the distinct-lifetime table (days-bounded) —
+    // the single-partition window is metadata-sized by construction.
+    byT
+      .withColumn("__exited_before",
+        coalesce(sum(col("exits")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", sum(col("exits")).over(wAll) - col("__exited_before"))
+      .withColumn("__factor", lit(1.0) - col("d") / col("n_risk"))
+      // A zero factor (everyone at risk churns — the curve hits 0) must
+      // short-circuit: log(0) is engine-divergent (-inf vs null), so the
+      // zero is carried as a flag instead of through the log sum.
+      .withColumn("__zero", max(when(col("__factor") <= 0.0, 1).otherwise(0)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("survival",
+        when(col("__zero") === 1, lit(0.0))
+          .otherwise(round(exp(sum(log(col("__factor"))).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 6)))
+      .select(col("t"), col("n_risk"), col("d").as("n_churn"),
+        col("exits"), col("survival"))
+  }
+
   /** Gini concentration of `valueCol` per group — how concentrated the
     * value mass is across rows (0 = perfectly even, →1 = one row owns
     * everything): the inequality screen behind "does one merchant/user

@@ -282,6 +282,27 @@ class AnomalySpec extends SparkSpec {
     assert(math.abs(rows._1 - rows._2) < 1e-5)
   }
 
+  test("psiBaseline + psiAgainstBaseline == one-shot psiDrift, and the baseline is frozen") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2023-01-${d}%02d 00:00:00")
+    val df = ((1 to 15).flatMap(d => (1 to 20).map(i => ("a", ts(d), i.toDouble))) ++
+      (16 to 28).flatMap(d => (1 to 20).map(i => ("a", ts(d), i + 5.0))))
+      .toDF("grp", "ts", "v")
+    val isBase = dayofmonth(col("ts")) <= 15
+    val oneShot = Anomaly.psiDrift(df, "grp", "v", isBase)
+      .orderBy("grp", "bucket").collect().toSeq
+    val frozen = Anomaly.psiBaseline(df.filter(isBase), "grp", "v")
+    val split = Anomaly.psiAgainstBaseline(df.filter(!isBase), "grp", "v", frozen)
+      .orderBy("grp", "bucket").collect().toSeq
+    assert(split == oneShot, "fit+score must equal the one-shot drift exactly")
+    // Frozen means frozen: scoring a wildly drifted second batch reuses
+    // the SAME edges — its PSI is computed against the original
+    // baseline, not a re-fit that would absorb the drift.
+    val drifted = (1 to 200).map(i => ("a", ts(20), 1000.0 + i)).toDF("grp", "ts", "v")
+    val psi2 = Anomaly.psiAgainstBaseline(drifted, "grp", "v", frozen)
+      .select("psi").distinct().as[Double].collect().head
+    assert(psi2 > 1.0, s"total drift against the frozen edges: $psi2")
+  }
+
   test("benfordDeviation: Benford-ish data scores low, digit-stuffed data high") {
     // Geometric spread (scale-free) approximates Benford; values in cents.
     val natural = (0 until 400).map { i =>

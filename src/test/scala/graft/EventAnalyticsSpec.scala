@@ -81,6 +81,71 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("lastTouchAttribution: window, ordering, ties, and the organic bucket") {
+    val df = Seq(
+      // u1: click then view then purchase -> view (most recent) wins.
+      (1L, "u1", ts("2024-01-10 09:00:00"), "click"),
+      (2L, "u1", ts("2024-01-10 10:00:00"), "view"),
+      (3L, "u1", ts("2024-01-10 11:00:00"), "purchase"),
+      // u2: only touch is OUTSIDE the 7-day window -> organic (null).
+      (4L, "u2", ts("2024-01-01 00:00:00"), "view"),
+      (5L, "u2", ts("2024-01-09 00:00:01"), "purchase"),
+      // u3: two touches at the SAME ts -> highest touch id wins.
+      (6L, "u3", ts("2024-01-05 12:00:00"), "view"),
+      (7L, "u3", ts("2024-01-05 12:00:00"), "click"),
+      (8L, "u3", ts("2024-01-05 13:00:00"), "purchase"),
+      // u4: touch only AFTER the conversion -> organic.
+      (9L, "u4", ts("2024-01-06 10:00:00"), "purchase"),
+      (10L, "u4", ts("2024-01-06 11:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.lastTouchAttribution(df, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("view", "click"), 7L * 86400L)
+      .orderBy("conversion_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(3L -> Some(2L), 5L -> None, 8L -> Some(7L), 9L -> None))
+  }
+
+  test("survivalCurve: hand KM with censoring; curve non-increasing; zero tail") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // Corpus end = day 20. Churn gap 7: last event after day 13 = censored.
+    // u1: days 1-2  -> lifetime 1, churned (last day 2)
+    // u2: days 1-4  -> lifetime 3, churned
+    // u3: days 1-4  -> lifetime 3, churned
+    // u4: days 5-20 -> lifetime 15, censored (at risk, never a death)
+    // u5: day 20    -> lifetime 0, censored
+    val df = Seq(
+      ("u1", d(1)), ("u1", d(2)),
+      ("u2", d(1)), ("u2", d(4)),
+      ("u3", d(1)), ("u3", d(4)),
+      ("u4", d(5)), ("u4", d(20)),
+      ("u5", d(20))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.survivalCurve(df, "user_id", "ts", churnGapDays = 7)
+      .orderBy("t")
+      .select("t", "n_risk", "n_churn", "survival")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // t=0: exits u5 (censored), n=5, d=0 -> S=1
+    // t=1: u1 churns, n_risk=4 -> S=0.75
+    // t=3: u2,u3 churn, n_risk=3 -> S=0.75*(1-2/3)=0.25
+    // t=15: u4 censored exit, n_risk=1, d=0 -> S stays 0.25
+    assert(got == Seq(
+      (0, 5L, 0L, 1.0),
+      (1, 4L, 1L, 0.75),
+      (3, 3L, 2L, 0.25),
+      (15, 1L, 0L, 0.25)))
+    // All-churned corpus: the curve must hit exactly 0, not log-blow-up.
+    val allGone = Seq(("a", d(1)), ("b", d(1)), ("b", d(2))).toDF("user_id", "ts")
+    // corpus end = day 2; gap 7 -> nobody is censored? last within gap ->
+    // all censored, S stays 1. Force churn with a far sentinel user.
+    val withEnd = allGone.union(Seq(("z", d(28))).toDF("user_id", "ts"))
+    val s = EventAnalytics.survivalCurve(withEnd, "user_id", "ts", churnGapDays = 7)
+      .orderBy("t").select("t", "survival").as[(Int, Double)].collect()
+    assert(s.last._2 >= 0.0 && s.map(_._2).sliding(2).forall {
+      case Array(a, b) => b <= a + 1e-9; case _ => true
+    }, s"non-increasing: ${s.mkString(",")}")
+  }
+
   test("giniConcentration: 0 for equal values, (n-1)/n when one row owns all") {
     val equal = (1 to 10).map(_ => ("e", 5.0)).toDF("grp", "v")
     val g0 = EventAnalytics.giniConcentration(equal, "grp", "v")

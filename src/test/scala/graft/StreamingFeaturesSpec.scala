@@ -129,6 +129,41 @@ class StreamingFeaturesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed PSI against a frozen baseline == batch scoring (stream-static)") {
+    val dir = s"$root/psi_stream"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // Frozen baseline fitted BATCH-side (the train/serve split): the
+    // streaming side only ever scores against it.
+    val base = (1 to 200).map(i => ("pay", (i % 20 + 1).toDouble))
+      .toDF("event_type", "value")
+    val frozen = graft.operators.Anomaly.psiBaseline(base, "event_type", "value")
+      .cache()
+    // Current slice arrives as a stream (one batch = the whole slice,
+    // so the per-batch score equals the batch-side score on the same
+    // rows — scoring is stateless given the frozen table).
+    val cur = (1 to 200).map(i => ("pay", (i % 20 + 6).toDouble))
+    cur.toDF("event_type", "value").coalesce(1).write.parquet(s"$dir/tmp")
+    val src = Files.list(Paths.get(s"$dir/tmp"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.move(src, Paths.get(s"$dir/in/b0.parquet"))
+    val schema2 = new StructType().add("event_type", "string").add("value", "double")
+    val stream = spark.readStream.schema(schema2).parquet(s"$dir/in")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      graft.operators.Anomaly.psiAgainstBaseline(batch, "event_type", "value", frozen)
+        .write.mode("overwrite").parquet(s"$dir/out/delta=$id")
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out/delta=0")
+      .orderBy("event_type", "bucket").collect().toSeq
+    val batchSide = graft.operators.Anomaly.psiAgainstBaseline(
+        cur.toDF("event_type", "value"), "event_type", "value", frozen)
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(streamed == batchSide)
+    // And the drift is visible: the +5 shift clears the 0.25 action gate.
+    assert(batchSide.head.getDouble(batchSide.head.fieldIndex("psi")) > 0.25)
+    frozen.unpersist()
+  }
+
   test("streamingVelocity counts per-user windowed activity incrementally") {
     writeBatch("vel0", Seq(
       StreamEvent(1, ts(0), "click", 1.0),
