@@ -1477,6 +1477,55 @@ object SparkEntry {
           tieBreak = col("event_id"))
         .orderBy("from_type", "to_type")),
 
+    // Session path mining (r13): first-3 event types per session as a
+    // ">"-joined path, counted with global share — depth-truncation
+    // BEFORE the fold bounds both per-session state and the path
+    // vocabulary.
+    "q_session_paths" -> ((s, d) =>
+      EventAnalytics.topPaths(
+          t(s, d, "events").select("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", gapSeconds = 1800L,
+          tieBreak = col("event_id"), depth = 3)
+        .orderBy("path")),
+
+    // Rolling-origin forecast backtest (r13): Holt one-step MAE vs the
+    // naive "tomorrow equals today" baseline + skill = 1 - MAEh/MAEn,
+    // over the days where both forecasts exist — the model-evaluation
+    // gate that belongs BEFORE any forecast-error alarm goes live.
+    "q_forecast_backtest" -> ((s, d) =>
+      Anomaly.forecastBacktest(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type")),
+
+    // Host-graph PageRank (r13): the crawl-quality prior — documents
+    // pick (src, dst) hosts by the md5 assignment (the q_url_domain_cap
+    // synthesis, two salts), self-loops dropped, 10 damped iterations
+    // of the 6dp fixed-point dynamics. Oracle = 10 unrolled CTE stages
+    // mirroring the arithmetic literally.
+    "q_pagerank_domains" -> ((s, d) => {
+      val hosts = array(
+        lit("en.wikipedia.org"), lit("news.bbc.co.uk"), lit("blogs.example.com"),
+        lit("www.gov.uk"), lit("cdn.a.co.jp"), lit("example.net"))
+      def pick(salt: String) = element_at(hosts,
+        (pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
+          1, 2), 16, 10).cast("long"), lit(6L)) + 1).cast("int"))
+      val edges = t(s, d, "documents")
+        .select(pick("u").as("src"), pick("v").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+        .orderBy("node")
+    }),
+
+    // TextRank keywords (r13): PageRank over the symmetric word
+    // co-occurrence graph (consecutive whitespace tokens) — corpus-wide
+    // keyword salience without any model. Full-vocabulary output is the
+    // deterministic contract (callers top-k).
+    "q_textrank" -> ((s, d) =>
+      graft.operators.Graph.textRank(t(s, d, "documents"), "text",
+          iterations = 10)
+        .orderBy("word")),
+
     // Directed n-gram containment pairs (r13): |A∩B|/|A| — the
     // asymmetric near-dup measure (quoted-inside catches Jaccard
     // misses); same two-shuffle hashed-gram shape as q_dedup_jaccard.
@@ -5158,6 +5207,131 @@ object SparkEntry {
         |WHERE to_type IS NOT NULL AND next_sess = session_idx
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // Path replay: the q_transitions sessionize CTE, then the first-3
+    // rows per session string_agg'd in rank order, counted with a
+    // global share.
+    "q_session_paths" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR date_diff('second', prev, ts) > 1800
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM s
+        |), sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |), fr AS (
+        |  SELECT user_id, session_idx, event_type,
+        |         row_number() OVER (PARTITION BY user_id, session_idx
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM sess
+        |), p AS (
+        |  SELECT user_id, session_idx,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM fr WHERE rn <= 3 GROUP BY 1, 2
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n,
+        |       round(count(*) / sum(count(*)) OVER (), 6) AS share
+        |FROM p GROUP BY path
+        |ORDER BY path""".stripMargin,
+
+    // Backtest replay: the q_anomaly_holt recursive CTE through the
+    // error stage, a naive lag-forecast error beside it, then exact
+    // decimal |error| sums -> double MAEs and the skill ratio.
+    "q_forecast_backtest" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), seed2 AS (
+        |  SELECT event_type, m AS m2 FROM ord WHERE rn = 2
+        |), h AS (
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         o.m AS l, coalesce(s.m2 - o.m, 0.0) AS b
+        |  FROM ord o LEFT JOIN seed2 s USING (event_type) WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         round(0.3 * o.m + 0.7 * (h.l + h.b), 6),
+        |         round(0.1 * (round(0.3 * o.m + 0.7 * (h.l + h.b), 6) - h.l)
+        |               + 0.9 * h.b, 6)
+        |  FROM ord o JOIN h ON o.event_type = h.event_type AND o.rn = h.rn + 1
+        |), err AS (
+        |  SELECT c.event_type, c.day, c.m,
+        |         CASE WHEN p.l IS NOT NULL
+        |              THEN round(c.m - round(p.l + p.b, 6), 6) END AS error
+        |  FROM h c
+        |  LEFT JOIN h p ON p.event_type = c.event_type AND p.rn = c.rn - 1
+        |), nv AS (
+        |  SELECT event_type, error,
+        |         CASE WHEN lag(m) OVER (PARTITION BY event_type ORDER BY day)
+        |                IS NOT NULL
+        |              THEN round(m - lag(m) OVER (PARTITION BY event_type
+        |                                          ORDER BY day), 6) END AS naive_err
+        |  FROM err
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(CAST(abs(error) AS DECIMAL(18,6))) AS DOUBLE)
+        |           / count(*) AS mh,
+        |         CAST(sum(CAST(abs(naive_err) AS DECIMAL(18,6))) AS DOUBLE)
+        |           / count(*) AS mn
+        |  FROM nv WHERE error IS NOT NULL AND naive_err IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT event_type, n_days, round(mh, 6) AS mae_holt,
+        |       round(mn, 6) AS mae_naive,
+        |       CASE WHEN mn > 0 THEN round(1.0 - mh / mn, 6) END AS skill
+        |FROM agg
+        |ORDER BY event_type""".stripMargin,
+
+    // PageRank replay: md5 host assignment for both endpoints, then the
+    // generated 10-stage unrolled fixed-point (Graph.pageRankOracleSql).
+    "q_pagerank_domains" -> graft.operators.Graph.pageRankOracleSql(
+      edgesCte =
+        """SELECT
+          |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+          |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+          |      CAST(((strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 1, 1)) - 1) * 16
+          |          + (strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 2, 1)) - 1)) % 6 + 1 AS INT)
+          |    ] AS src,
+          |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+          |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+          |      CAST(((strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 1, 1)) - 1) * 16
+          |          + (strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 2, 1)) - 1)) % 6 + 1 AS INT)
+          |    ] AS dst,
+          |    1.0 AS w
+          |  FROM documents
+          |  WHERE src != dst""".stripMargin,
+      iterations = 10, damping = 0.85,
+      select = "SELECT node, r AS rank FROM r10 ORDER BY node"),
+
+    // TextRank replay: consecutive-token pairs in both directions feed
+    // the same generated fixed-point; output the full vocabulary.
+    "q_textrank" -> graft.operators.Graph.pageRankOracleSql(
+      edgesCte =
+        """WITH toks AS (
+          |    SELECT regexp_extract_all(trim(text), '\S+') AS t
+          |    FROM documents WHERE length(trim(text)) > 0
+          |  ), pr AS (
+          |    SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+          |      i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+          |    FROM toks
+          |  )
+          |  SELECT p.w1 AS src, p.w2 AS dst, 1.0 AS w FROM pr
+          |  UNION ALL
+          |  SELECT p.w2, p.w1, 1.0 FROM pr""".stripMargin,
+      iterations = 10, damping = 0.85,
+      select = "SELECT node AS word, r AS rank FROM r10 ORDER BY word"),
 
     // Containment replay: the q_dedup_jaccard gram machinery with the
     // asymmetric |A∩B|/|A| measure, both directions.

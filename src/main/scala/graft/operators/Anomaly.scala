@@ -493,6 +493,49 @@ object Anomaly {
         col("forecast"), col("error"), col("sigma_e"), col("is_alarm"))
   }
 
+  /** Rolling-origin forecast backtest: per group, the mean absolute
+    * one-step error of the [[holtForecast]] chart vs the naive
+    * "tomorrow equals today" forecast, plus the skill score
+    * 1 - MAE_holt/MAE_naive (positive = the model earns its keep; the
+    * first question to ask BEFORE alerting on a forecast's errors).
+    * Evaluated over the days where both forecasts exist (day 2+), which
+    * makes the comparison honest — same test set, same grain.
+    *
+    * The error series is the holt fold's own output (6dp-rounded), and
+    * the MAEs aggregate |error| through exact decimal(18,6) sums — no
+    * float-summation-order drift between engines.
+    */
+  def forecastBacktest(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      beta: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    holtForecast(df, groupCol, tsCol, valueCol, alpha, beta)
+      .withColumn("__naive_err",
+        when(lag(col("m"), 1).over(wOrd).isNotNull,
+          round(col("m") - lag(col("m"), 1).over(wOrd), 6)))
+      .filter(col("error").isNotNull && col("__naive_err").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_days"),
+        // decimal sum -> double FIRST, then a double division: decimal
+        // division scale rules are engine-specific, double math is not.
+        (sum(abs(col("error")).cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("__mh"),
+        (sum(abs(col("__naive_err")).cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("__mn"))
+      .withColumn("mae_holt", round(col("__mh"), 6))
+      .withColumn("mae_naive", round(col("__mn"), 6))
+      .withColumn("skill",
+        when(col("__mn") > 0, round(lit(1.0) - col("__mh") / col("__mn"), 6)))
+      .select(col(groupCol), col("n_days"), col("mae_holt"),
+        col("mae_naive"), col("skill"))
+  }
+
   /** Classical seasonal decomposition of the daily-mean series
     * (moving-average STL-lite): trend = centered (2w+1)-day moving
     * average (null at the edges where the window is partial — honest

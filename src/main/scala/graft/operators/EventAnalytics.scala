@@ -167,6 +167,48 @@ object EventAnalytics {
         org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
   }
 
+  /** Top session paths: the first `depth` event types of every session,
+    * ">"-joined into a path string, counted across all sessions with
+    * each path's share — the "what do users actually do" complement to
+    * [[funnel]] (a funnel tests ONE hypothesized order; paths surface
+    * the orders that exist). Within-session order is (ts, tieBreak),
+    * the same determinism rule as [[sessionize]]/[[transitionMatrix]].
+    *
+    * Scale shape: truncating at `depth` BEFORE the per-session fold
+    * (row_number filter) bounds the collected list at `depth` structs
+    * per session regardless of session length, and bounds the path
+    * vocabulary at |types|^depth — so the counting shuffle and the
+    * global-share window both run over a metadata-sized table. The
+    * single-partition share window is safe for exactly that reason
+    * (never put one on an unbounded table).
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      gapSeconds: Long,
+      tieBreak: Column,
+      depth: Int = 3): DataFrame = {
+    require(depth >= 1, s"path depth must be >= 1, got $depth")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col(tsCol), tieBreak)
+    val first = sessionize(events, userCol, tsCol, gapSeconds, tieBreak)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+    val paths = first
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn").as("rn"),
+            col(typeCol).as("t")))),
+          s => s.getField("t")), ">").as("path"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n"))
+    counts.withColumn("share",
+      round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+  }
+
   /** Last-touch attribution: for every conversion event, the most
     * recent touch event (same user, at or before the conversion, within
     * `windowSeconds`) — the marketing-attribution staple, composed

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics: fixed-iteration PageRank over a weighted edge
+  * table — the crawl-quality prior real pretraining pipelines attach to
+  * web documents (host-level PageRank as a per-domain quality feature),
+  * and, run over a word co-occurrence graph, the TextRank keyword
+  * scorer (Mihalcea & Tarau 2004). One operator, two products.
+  *
+  * Determinism contract (the house fixed-point rule): ranks are
+  * 6dp-rounded doubles after EVERY iteration, per-edge contributions
+  * are 12dp-rounded then summed as DECIMAL(30,12) (order-independent
+  * exact addition), and the dangling mass is an exact DECIMAL(18,6)
+  * sum of the 6dp ranks — so the iteration map is a pure function of
+  * the previous 6dp vector and the DuckDB oracle replays the identical
+  * trajectory with k unrolled CTE stages. We compute the fixpoint OF
+  * THE ROUNDED MAP, not a float approximation of the true one.
+  *
+  * 100 TB shape: the edge table is the big side (one edge per link);
+  * it is normalized to per-edge shares ONCE, repartitioned by src, and
+  * persisted — every iteration then shuffles only the rank vector
+  * (O(nodes), typically 100-1000x smaller than edges) into that fixed
+  * layout, joins, and aggregates by dst with map-side combine. Ranks
+  * are eagerly localCheckpoint'ed each iteration so the plan never
+  * accretes k joins of lineage (at cluster scale swap for a storage
+  * checkpoint every few iterations — same truncation, executor-loss
+  * safe). The per-iteration dangling-mass scalar crosses the wire as
+  * one counter, never rows.
+  */
+object Graph {
+
+  /** PageRank over `edges` (srcCol, dstCol [, weightCol]); returns
+    * (node, rank) with 6dp ranks after `iterations` rounds of the
+    * damped update
+    *   r'(v) = (1-d)/N + d*dm/N + d * Σ_{u->v} r(u) * w(u,v)/out(u)
+    * where dm is the total rank parked on dangling (no-outlink) nodes,
+    * redistributed uniformly — the standard teleport treatment, so the
+    * vector stays a distribution (up to 6dp rounding residue).
+    * Parallel edges collapse by summing weights; self-loops are legal
+    * (they feed a node's own rank back). Weights must be positive.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String] = None,
+      iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(w).as("w"))
+    // Shares normalized once; the big table takes its one shuffle here
+    // and every iteration reuses the cached src-partitioned layout.
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val ew = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        // Dangling flag precomputed once: rank parked on these nodes
+        // teleports uniformly each round.
+        .join(e.select(col("src").as("node")).distinct()
+          .withColumn("__has_out", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__has_out"), lit(false)).as("has_out"))
+        .localCheckpoint(true)
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      var ranks = nodes.select(col("node"), col("has_out"),
+        round(lit(1.0 / n), 6).as("r")).localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        // Exact decimal sum of 6dp ranks: one counter to the driver.
+        val dm = ranks.filter(!col("has_out"))
+          .agg(coalesce(sum(col("r").cast("decimal(18,6)")).cast("double"), lit(0.0)))
+          .collect().head.getDouble(0)
+        // Per-edge terms 12dp-rounded, summed exactly: the group-sum is
+        // order-independent, so Spark partitioning and the SQL replay
+        // agree bit-for-bit; the 1e-13-per-edge quantization is 7
+        // orders below the 6dp output grid.
+        val contrib = ew.join(ranks, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(round(col("r") * col("share"), 12).cast("decimal(30,12)"))
+            .cast("double").as("c"))
+        ranks = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), col("has_out"),
+            round(lit((1.0 - damping) / n)
+              + lit(damping) * lit(dm / n)
+              + lit(damping) * coalesce(col("c"), lit(0.0)), 6).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node"), col("r").as("rank"))
+    } finally ew.unpersist(blocking = false)
+  }
+
+  /** Word co-occurrence edges for TextRank: consecutive token pairs of
+    * each document (whitespace tokens — the house tokenizer), emitted
+    * in BOTH directions so the graph is symmetric (TextRank is defined
+    * on an undirected graph; a symmetric directed one is equivalent).
+    * Edge weight = corpus-wide pair count. Vocabulary-bounded output:
+    * at most |V|^2 rows no matter the corpus size.
+    */
+  def wordCooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val pairs = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))).as("a"),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    pairs.unionByName(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  /** TextRank keyword scores over a corpus: [[pageRank]] on the
+    * [[wordCooccurrenceEdges]] graph. Returns every vocabulary word
+    * with its 6dp rank — callers top-k it; the full table IS the
+    * deterministic contract.
+    */
+  def textRank(
+      docs: DataFrame,
+      textCol: String,
+      iterations: Int = 10,
+      damping: Double = 0.85): DataFrame =
+    pageRank(wordCooccurrenceEdges(docs, textCol), "w1", "w2", Some("w"),
+      iterations, damping)
+      .select(col("node").as("word"), col("rank"))
+
+  /** The DuckDB replay of [[pageRank]]: `iterations` unrolled CTE
+    * stages over an `edges_in(src, dst, w)` CTE the caller supplies.
+    * Emitted as SQL text (the oracle map is strings); every arithmetic
+    * step mirrors the Spark expression tree literally — same literals,
+    * same parenthesization, same rounding grid — so the trajectories
+    * are IEEE-identical, not merely close.
+    */
+  def pageRankOracleSql(
+      edgesCte: String,
+      iterations: Int,
+      damping: Double,
+      select: String): String = {
+    val d = damping
+    val steps = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s"""dm$i AS (
+         |  SELECT coalesce(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS dm
+         |  FROM $p WHERE NOT has_out
+         |), c$i AS (
+         |  SELECT ew.dst AS node,
+         |         CAST(sum(CAST(round(p.r * ew.share, 12) AS DECIMAL(30,12)))
+         |              AS DOUBLE) AS c
+         |  FROM ew JOIN $p p ON ew.src = p.node GROUP BY 1
+         |), r$i AS (
+         |  SELECT nodes.node, nodes.has_out,
+         |         round((1.0 - $d) / (SELECT n FROM nn)
+         |               + $d * ((SELECT dm FROM dm$i) / (SELECT n FROM nn))
+         |               + $d * coalesce(c.c, 0.0), 6) AS r
+         |  FROM nodes LEFT JOIN c$i c USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH edges_in AS ($edgesCte
+       |), e AS (
+       |  SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w FROM edges_in GROUP BY 1, 2
+       |), outw AS (
+       |  SELECT src, sum(w) AS ow FROM e GROUP BY 1
+       |), ew AS (
+       |  SELECT e.src, e.dst, e.w / o.ow AS share FROM e JOIN outw o USING (src)
+       |), nodes AS (
+       |  SELECT node, bool_or(has_out) AS has_out FROM (
+       |    SELECT src AS node, true AS has_out FROM e
+       |    UNION ALL SELECT dst, false FROM e) GROUP BY 1
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, has_out, round(1.0 / (SELECT n FROM nn), 6) AS r FROM nodes
+       |), $steps
+       |$select""".stripMargin
+  }
+}

@@ -329,4 +329,38 @@ class AnomalySpec extends SparkSpec {
       .filter(col("n_d") > 0).select("digit").as[Int].collect().toSeq
     assert(digits == Seq(1))
   }
+
+  test("forecastBacktest: skill 1 on a clean ramp, null skill when naive is perfect") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
+    // Clean linear ramp: the two-point trend seed makes every Holt
+    // one-step forecast exact (error 0 from day 2 on), while the naive
+    // chart misses by the slope every day -> MAE_h = 0, MAE_n = slope,
+    // skill = 1. A constant series gives MAE_n = 0 -> skill null (never
+    // a division blow-up).
+    val ramp = (1 to 15).map(i => ("ramp", day(i), 10.0 + 2.0 * i)) ++
+      (1 to 15).map(i => ("flat", day(i), 7.0))
+    val got = Anomaly.forecastBacktest(ramp.toDF("grp", "ts", "v"),
+        "grp", "ts", "v", alpha = 0.5, beta = 0.5)
+      .orderBy("grp").collect()
+    assert(got.length == 2)
+    val flat = got(0); val r = got(1)
+    assert(r.getString(0) == "ramp")
+    assert(r.getLong(r.fieldIndex("n_days")) == 14L)
+    assert(r.getDouble(r.fieldIndex("mae_holt")) == 0.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("mae_naive")) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("skill")) - 1.0) < 1e-9)
+    assert(flat.getString(0) == "flat")
+    assert(flat.getDouble(flat.fieldIndex("mae_holt")) == 0.0)
+    assert(flat.getDouble(flat.fieldIndex("mae_naive")) == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("skill")))
+    // Negative skill when the model is WORSE than naive: alpha tiny on
+    // a level shift makes Holt lag badly; the score must go negative,
+    // not clamp.
+    val shift = ((1 to 10).map(i => ("s", day(i), 10.0)) ++
+      (11 to 20).map(i => ("s", day(i), 10.0 + (i - 10) * 5.0)))
+    val sk = Anomaly.forecastBacktest(shift.toDF("grp", "ts", "v"),
+        "grp", "ts", "v", alpha = 0.05, beta = 0.01)
+      .select("skill").as[Double].collect().head
+    assert(sk < 0.0, s"lagging model must score negative skill, got $sk")
+  }
 }

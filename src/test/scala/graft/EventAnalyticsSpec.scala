@@ -248,4 +248,36 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", "purchase") -> (1L, 0.333333),
       ("click", "view") -> (1L, 1.0)))
   }
+
+  test("topPaths: depth-truncated per-session paths with global shares") {
+    val df = Seq(
+      // session 1 of user a has FOUR events: the path must stop at 3.
+      (1L, "a", ts("2024-01-01 10:00:00"), "view"),
+      (2L, "a", ts("2024-01-01 10:01:00"), "click"),
+      (3L, "a", ts("2024-01-01 10:02:00"), "view"),
+      (4L, "a", ts("2024-01-01 10:03:00"), "purchase"),
+      // 2h gap -> session 2, a two-event path
+      (5L, "a", ts("2024-01-01 12:30:00"), "view"),
+      (6L, "a", ts("2024-01-01 12:31:00"), "click"),
+      (7L, "b", ts("2024-01-01 09:00:00"), "view"),
+      (8L, "b", ts("2024-01-01 09:05:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.topPaths(df, "user_id", "ts", "event_type",
+        1800L, col("event_id"), depth = 3)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "view>click>view" -> (1L, 0.333333),
+      "view>click" -> (1L, 0.333333),
+      "view>purchase" -> (1L, 0.333333)))
+    // Same-timestamp events order by the tie-break, not arrival.
+    val tie = Seq(
+      (2L, "u", ts("2024-01-01 10:00:00"), "late"),
+      (1L, "u", ts("2024-01-01 10:00:00"), "early")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val p = EventAnalytics.topPaths(tie, "user_id", "ts", "event_type",
+        1800L, col("event_id"), depth = 3)
+      .select("path").as[String].collect().toSeq
+    assert(p == Seq("early>late"))
+  }
 }
