@@ -1526,6 +1526,15 @@ object SparkEntry {
           iterations = 10)
         .orderBy("word")),
 
+    // Co-purchase pair mining (r13): parts sharing an order, with
+    // cosine/lift/confidence — the pair explosion is map-side from each
+    // basket's sorted item list, never a self-join.
+    "q_basket_pairs" -> ((s, d) =>
+      graft.operators.MarketBasket.pairStats(
+          t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", minPairCount = 2L)
+        .orderBy("item_a", "item_b")),
+
     // Directed n-gram containment pairs (r13): |A∩B|/|A| — the
     // asymmetric near-dup measure (quoted-inside catches Jaccard
     // misses); same two-shuffle hashed-gram shape as q_dedup_jaccard.
@@ -5332,6 +5341,32 @@ object SparkEntry {
           |  SELECT p.w2, p.w1, 1.0 FROM pr""".stripMargin,
       iterations = 10, damping = 0.85,
       select = "SELECT node AS word, r AS rank FROM r10 ORDER BY word"),
+
+    // Basket replay: the self-join form IS the oracle (DuckDB's
+    // single-node hash join is fine at sf0.01; the engine avoids it).
+    "q_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), n AS (
+        |  SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb FROM items
+        |), ic AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM items GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.i AS item_a, bb.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  round(CAST(p.n_ab AS DOUBLE)
+        |        / sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 6) AS cosine,
+        |  round(CAST(p.n_ab AS DOUBLE) * (SELECT nb FROM n)
+        |        / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 6) AS lift,
+        |  round(CAST(p.n_ab AS DOUBLE) / ia.n_i, 6) AS conf_a_b,
+        |  round(CAST(p.n_ab AS DOUBLE) / ib.n_i, 6) AS conf_b_a
+        |FROM pairs p
+        |JOIN ic ia ON p.item_a = ia.i
+        |JOIN ic ib ON p.item_b = ib.i
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // Containment replay: the q_dedup_jaccard gram machinery with the
     // asymmetric |A∩B|/|A| measure, both directions.

@@ -145,18 +145,23 @@ object Graph {
       iterations: Int,
       damping: Double,
       select: String): String = {
+    // Every stage CTE is AS MATERIALIZED: each r{i} is referenced three
+    // times by stage i+1 (dm, contribs, carry), so inlining would blow
+    // up the expression tree 3^k-fold — materialization makes the
+    // replay linear in k exactly like the engine's per-iteration
+    // checkpoints.
     val d = damping
     val steps = (1 to iterations).map { i =>
       val p = s"r${i - 1}"
-      s"""dm$i AS (
+      s"""dm$i AS MATERIALIZED (
          |  SELECT coalesce(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS dm
          |  FROM $p WHERE NOT has_out
-         |), c$i AS (
+         |), c$i AS MATERIALIZED (
          |  SELECT ew.dst AS node,
          |         CAST(sum(CAST(round(p.r * ew.share, 12) AS DECIMAL(30,12)))
          |              AS DOUBLE) AS c
          |  FROM ew JOIN $p p ON ew.src = p.node GROUP BY 1
-         |), r$i AS (
+         |), r$i AS MATERIALIZED (
          |  SELECT nodes.node, nodes.has_out,
          |         round((1.0 - $d) / (SELECT n FROM nn)
          |               + $d * ((SELECT dm FROM dm$i) / (SELECT n FROM nn))
@@ -164,20 +169,20 @@ object Graph {
          |  FROM nodes LEFT JOIN c$i c USING (node)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH edges_in AS ($edgesCte
-       |), e AS (
+    s"""WITH edges_in AS MATERIALIZED ($edgesCte
+       |), e AS MATERIALIZED (
        |  SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w FROM edges_in GROUP BY 1, 2
-       |), outw AS (
+       |), outw AS MATERIALIZED (
        |  SELECT src, sum(w) AS ow FROM e GROUP BY 1
-       |), ew AS (
+       |), ew AS MATERIALIZED (
        |  SELECT e.src, e.dst, e.w / o.ow AS share FROM e JOIN outw o USING (src)
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT node, bool_or(has_out) AS has_out FROM (
        |    SELECT src AS node, true AS has_out FROM e
        |    UNION ALL SELECT dst, false FROM e) GROUP BY 1
-       |), nn AS (
+       |), nn AS MATERIALIZED (
        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
-       |), r0 AS (
+       |), r0 AS MATERIALIZED (
        |  SELECT node, has_out, round(1.0 / (SELECT n FROM nn), 6) AS r FROM nodes
        |), $steps
        |$select""".stripMargin

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket pair mining: for every pair of items that co-occur in
+  * at least `minPairCount` baskets, the co-occurrence count plus the
+  * association measures a recommender or merchandising pipeline reads —
+  * cosine n_ab/√(n_a·n_b), lift n_ab·N/(n_a·n_b), and both directed
+  * confidences n_ab/n_a, n_ab/n_b (Agrawal & Srikant's support/
+  * confidence frame plus the symmetric scores).
+  *
+  * 100 TB shape — the pair explosion is generated MAP-SIDE, never by a
+  * self-join: items are deduped per basket (one shuffle), each basket's
+  * sorted item list emits its k(k-1)/2 ordered pairs with a nested
+  * `transform` (row-local, bounded by the basket-size cap), and one
+  * counting shuffle keyed by the pair lands the result. A self-join on
+  * the basket key would shuffle the item table TWICE and re-materialize
+  * every basket k times; this shape pays one groupBy on exactly the
+  * same key (AQE reuses the exchange for the basket fold and the item
+  * census reads the same deduped table). Skew: a viral basket with B
+  * items emits B²/2 pairs in one task — cap it upstream (the dedup
+  * stage is where a `size(its) <= cap` gate belongs) the way real
+  * co-purchase pipelines cap fan-out.
+  */
+object MarketBasket {
+
+  def pairStats(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBaskets = items.select("b").distinct().count().toDouble
+      val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      val its = items.groupBy("b").agg(sort_array(collect_set(col("i"))).as("its"))
+      // Ordered pairs (a < b by the sort) emitted row-locally.
+      val pairs = its.select(explode(flatten(transform(col("its"),
+        (x, idx) => transform(
+          slice(col("its"), idx + 2, greatest(size(col("its")) - idx - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      val pairCnt = pairs.groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minPairCount)
+      val ia = itemCnt.select(col("i").as("item_a"), col("n_i").as("n_a"))
+      val ib = itemCnt.select(col("i").as("item_b"), col("n_i").as("n_b"))
+      pairCnt.join(ia, "item_a").join(ib, "item_b")
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab").cast("double")
+            / sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("cosine"),
+          round(col("n_ab").cast("double") * lit(nBaskets)
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("lift"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+          round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"))
+    } finally items.unpersist(blocking = false)
+  }
+}

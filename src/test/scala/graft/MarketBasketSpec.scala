@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.MarketBasket
+
+class MarketBasketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairStats: counts, cosine, lift, confidence on a hand basket set") {
+    // 4 baskets: {x,y} twice, {x,z}, {y} — so n_x=3, n_y=3, n_z=1,
+    // n_xy=2, n_xz=1 (below minPairCount). Duplicate rows in a basket
+    // must dedup before counting.
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")
+    ).toDF("basket", "item")
+    val got = MarketBasket.pairStats(df, "basket", "item", minPairCount = 2L)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(r.fieldIndex("item_a")) == "x")
+    assert(r.getString(r.fieldIndex("item_b")) == "y")
+    assert(r.getLong(r.fieldIndex("n_ab")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_b")) == 3L)
+    // cosine = 2/sqrt(9) = 0.666667; lift = 2*4/9 = 0.888889;
+    // conf both ways = 2/3.
+    assert(r.getDouble(r.fieldIndex("cosine")) == 0.666667)
+    assert(r.getDouble(r.fieldIndex("lift")) == 0.888889)
+    assert(r.getDouble(r.fieldIndex("conf_a_b")) == 0.666667)
+    assert(r.getDouble(r.fieldIndex("conf_b_a")) == 0.666667)
+  }
+
+  test("pairStats: pair order is canonical (a < b) and complete") {
+    // One basket of 4 items must emit all C(4,2)=6 ordered pairs.
+    val df = (Seq("d", "b", "a", "c")).zipWithIndex
+      .map { case (i, _) => (1L, i) }.toDF("basket", "item")
+    val got = MarketBasket.pairStats(df, "basket", "item", minPairCount = 1L)
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    assert(got.forall { case (a, b) => a < b })
+  }
+}
