@@ -1535,6 +1535,31 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minPairCount = 2L)
         .orderBy("item_a", "item_b")),
 
+    // Grid resampling, LOCF (r13): per event_type, the hourly grid
+    // inside the observed range, last-observation-carried-forward —
+    // two as-of joins fused into one union+window pass.
+    "q_resample_locf" -> ((s, d) =>
+      graft.operators.Resample.toGrid(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value", stepSeconds = 3600L, method = "locf")
+        .orderBy("event_type", "grid_ts_sec")),
+
+    // Grid resampling, linear interpolation (r13): same grid, each tick
+    // blended between its straddling observations.
+    "q_resample_interp" -> ((s, d) =>
+      graft.operators.Resample.toGrid(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value", stepSeconds = 3600L, method = "interp")
+        .orderBy("event_type", "grid_ts_sec")),
+
+    // Wilson 95% interval on the daily purchase rate (r13): the
+    // small-n-honest conversion chart.
+    "q_rate_wilson" -> ((s, d) =>
+      EventAnalytics.rateWilson(
+          t(s, d, "events").select("ts", "event_type"),
+          "ts", col("event_type") === "purchase")
+        .orderBy("day")),
+
     // Directed n-gram containment pairs (r13): |A∩B|/|A| — the
     // asymmetric near-dup measure (quoted-inside catches Jaccard
     // misses); same two-shuffle hashed-gram shape as q_dedup_jaccard.
@@ -5367,6 +5392,105 @@ object SparkEntry {
         |JOIN ic ia ON p.item_a = ia.i
         |JOIN ic ib ON p.item_b = ib.i
         |ORDER BY item_a, item_b""".stripMargin,
+
+    // Resample replay: floored-epoch per-instant means, the epoch-
+    // aligned grid from per-group bounds, then the same union + window
+    // neighbor recovery (IGNORE NULLS frames).
+    "q_resample_locf" ->
+      """WITH obs AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS tsu,
+        |         round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT g,
+        |         CAST(floor(CAST(mn + 3599 AS DOUBLE) / 3600) AS BIGINT) * 3600 AS s,
+        |         CAST(floor(CAST(mx AS DOUBLE) / 3600) AS BIGINT) * 3600 AS e
+        |  FROM (SELECT g, min(tsu) AS mn, max(tsu) AS mx FROM obs GROUP BY 1)
+        |  WHERE e >= s
+        |), grid AS (
+        |  SELECT g, unnest(generate_series(s, e, 3600)) AS tsu FROM bounds
+        |), u AS (
+        |  SELECT g, tsu, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM grid
+        |  UNION ALL SELECT g, tsu, v, 0 FROM obs
+        |), f AS (
+        |  SELECT g, tsu, is_grid,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY g ORDER BY tsu, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v
+        |  FROM u
+        |)
+        |SELECT g AS event_type, tsu AS grid_ts_sec, prev_v AS value
+        |FROM f WHERE is_grid = 1
+        |ORDER BY event_type, grid_ts_sec""".stripMargin,
+
+    "q_resample_interp" ->
+      """WITH obs AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS tsu,
+        |         round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT g,
+        |         CAST(floor(CAST(mn + 3599 AS DOUBLE) / 3600) AS BIGINT) * 3600 AS s,
+        |         CAST(floor(CAST(mx AS DOUBLE) / 3600) AS BIGINT) * 3600 AS e
+        |  FROM (SELECT g, min(tsu) AS mn, max(tsu) AS mx FROM obs GROUP BY 1)
+        |  WHERE e >= s
+        |), grid AS (
+        |  SELECT g, unnest(generate_series(s, e, 3600)) AS tsu FROM bounds
+        |), u AS (
+        |  SELECT g, tsu, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM grid
+        |  UNION ALL SELECT g, tsu, v, 0 FROM obs
+        |), f AS (
+        |  SELECT g, tsu, is_grid,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY g ORDER BY tsu, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN tsu END IGNORE NULLS) OVER (
+        |      PARTITION BY g ORDER BY tsu, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        |    first_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY g ORDER BY tsu, is_grid
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN v IS NOT NULL THEN tsu END IGNORE NULLS) OVER (
+        |      PARTITION BY g ORDER BY tsu, is_grid
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM u
+        |)
+        |SELECT g AS event_type, tsu AS grid_ts_sec,
+        |  CASE WHEN next_ts IS NOT NULL AND next_ts != prev_ts
+        |       THEN round(prev_v + (next_v - prev_v)
+        |                  * (CAST(tsu - prev_ts AS DOUBLE)
+        |                     / CAST(next_ts - prev_ts AS DOUBLE)), 6)
+        |       ELSE prev_v END AS value
+        |FROM f WHERE is_grid = 1
+        |ORDER BY event_type, grid_ts_sec""".stripMargin,
+
+    // Wilson replay: identical literals and parenthesization as the
+    // Column tree (z entered as 1.96 * 1.96, halves and centers built
+    // in the same order) so the 6dp bounds hash-match.
+    "q_rate_wilson" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS k
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT day, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         (1.96 * 1.96) / CAST(n AS DOUBLE) AS z2n
+        |  FROM d
+        |), w AS (
+        |  SELECT day, n, k, p, z2n,
+        |         (p + z2n / 2.0) / (1.0 + z2n) AS center,
+        |         (1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |                      + z2n / (4.0 * CAST(n AS DOUBLE)))) / (1.0 + z2n) AS half
+        |  FROM c
+        |)
+        |SELECT day, n, k, round(p, 6) AS rate,
+        |       round(center - half, 6) AS wilson_lo,
+        |       round(center + half, 6) AS wilson_hi
+        |FROM w
+        |ORDER BY day""".stripMargin,
 
     // Containment replay: the q_dedup_jaccard gram machinery with the
     // asymmetric |A∩B|/|A| measure, both directions.

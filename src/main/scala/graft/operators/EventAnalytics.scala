@@ -209,6 +209,33 @@ object EventAnalytics {
       round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
   }
 
+  /** Daily success rate with a Wilson 95% score interval — the
+    * uncertainty-honest way to chart a conversion/failure rate: the
+    * interval stays inside [0,1] and behaves at small n where the
+    * normal approximation lies. Pure per-day arithmetic over one
+    * aggregation; the expression tree is mirrored literally by the SQL
+    * replay (same literals, same parenthesization), so the 6dp bounds
+    * hash-match.
+    */
+  def rateWilson(
+      events: DataFrame,
+      tsCol: String,
+      successPred: Column,
+      z: Double = 1.96): DataFrame = {
+    val d = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"), count(when(successPred, 1)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2n = (lit(z) * lit(z)) / nD
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / lit(2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD + z2n / (lit(4.0) * nD))) / denom
+    d.select(col("day"), col("n"), col("k"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
   /** Last-touch attribution: for every conversion event, the most
     * recent touch event (same user, at or before the conversion, within
     * `windowSeconds`) — the marketing-attribution staple, composed

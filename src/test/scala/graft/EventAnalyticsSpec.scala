@@ -249,6 +249,36 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", "view") -> (1L, 1.0)))
   }
 
+  test("rateWilson: known interval values, bounds inside [0,1]") {
+    // Day 1: 4 events, 1 purchase (p = 0.25). Wilson 95%:
+    // z2n = 3.8416/4 = 0.9604; denom = 1.9604
+    // center = (0.25 + 0.4802)/1.9604 = 0.37247...
+    // half = 1.96*sqrt(0.25*0.75/4 + 0.9604/16)/1.9604 = 0.32358...
+    val df = Seq(
+      ("purchase", ts("2024-01-01 10:00:00")),
+      ("view", ts("2024-01-01 11:00:00")),
+      ("view", ts("2024-01-01 12:00:00")),
+      ("click", ts("2024-01-01 13:00:00")),
+      // Day 2: all purchases -> rate 1, hi must clamp below 1.
+      ("purchase", ts("2024-01-02 10:00:00")),
+      ("purchase", ts("2024-01-02 11:00:00"))
+    ).toDF("event_type", "ts")
+    val got = EventAnalytics.rateWilson(df, "ts", col("event_type") === "purchase")
+      .orderBy("day").collect()
+    val d1 = got(0)
+    assert(d1.getLong(d1.fieldIndex("n")) == 4L)
+    assert(d1.getLong(d1.fieldIndex("k")) == 1L)
+    assert(d1.getDouble(d1.fieldIndex("rate")) == 0.25)
+    assert(math.abs(d1.getDouble(d1.fieldIndex("wilson_lo")) - 0.045586) < 1e-6)
+    assert(math.abs(d1.getDouble(d1.fieldIndex("wilson_hi")) - 0.699364) < 1e-6)
+    val d2 = got(1)
+    assert(d2.getDouble(d2.fieldIndex("rate")) == 1.0)
+    assert(d2.getDouble(d2.fieldIndex("wilson_hi")) <= 1.0)
+    assert(d2.getDouble(d2.fieldIndex("wilson_lo")) > 0.0
+      && d2.getDouble(d2.fieldIndex("wilson_lo")) < 1.0,
+      "2-of-2 must not claim certainty")
+  }
+
   test("topPaths: depth-truncated per-session paths with global shares") {
     val df = Seq(
       // session 1 of user a has FOUR events: the path must stop at 3.
