@@ -1560,6 +1560,29 @@ object SparkEntry {
           "ts", col("event_type") === "purchase")
         .orderBy("day")),
 
+    // Exact distance-1 fuzzy join (r13): part names vs an md5-chosen
+    // one-char-deletion corruption of them — deletion-neighborhood
+    // (FastSS) blocking + equi-join + levenshtein verify. The oracle
+    // brute-forces all pairs; matching hashes PROVE the blocking is
+    // lossless.
+    "q_fuzzy_join" -> ((s, d) => {
+      // Match DISTINCT names (the real reconciliation grain — fan back
+      // to rows afterwards): output scales with name cardinality, not
+      // row count, so duplicate-heavy catalogs stay bounded.
+      val names = t(s, d, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_key"))
+      val pos = (pmod(conv(substring(md5(concat(col("name_key").cast("string"),
+          lit("fz"))), 1, 2), 16, 10).cast("long"),
+        length(col("p_name")).cast("long")) + 1).cast("int")
+      val dirty = names.select(col("name_key").as("dirty_key"),
+        concat(col("p_name").substr(lit(1), pos - 1),
+          col("p_name").substr(pos + 1, length(col("p_name")) - pos))
+          .as("dirty_name"))
+      graft.operators.FuzzyJoin.join(names, dirty,
+          "name_key", "p_name", "dirty_key", "dirty_name")
+        .orderBy("name_key", "dirty_key")
+    }),
+
     // Directed n-gram containment pairs (r13): |A∩B|/|A| — the
     // asymmetric near-dup measure (quoted-inside catches Jaccard
     // misses); same two-shuffle hashed-gram shape as q_dedup_jaccard.
@@ -5491,6 +5514,31 @@ object SparkEntry {
         |       round(center + half, 6) AS wilson_hi
         |FROM w
         |ORDER BY day""".stripMargin,
+
+    // Fuzzy-join replay: the same md5 deletion corruption, then honest
+    // all-pairs levenshtein (length prefilter only — implied by
+    // distance <= 1, so it cannot change the result set).
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT p_name, min(p_partkey) AS name_key FROM part GROUP BY 1
+        |), dirty AS (
+        |  SELECT name_key AS dirty_key,
+        |         substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS dirty_name
+        |  FROM (
+        |    SELECT name_key, p_name,
+        |      CAST(((strpos('0123456789abcdef',
+        |               substr(md5(CAST(name_key AS VARCHAR) || 'fz'), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef',
+        |               substr(md5(CAST(name_key AS VARCHAR) || 'fz'), 2, 1)) - 1))
+        |          % length(p_name) + 1 AS INT) AS pos
+        |    FROM names)
+        |)
+        |SELECT n.name_key, d.dirty_key,
+        |       CAST(levenshtein(n.p_name, d.dirty_name) AS INT) AS distance
+        |FROM names n JOIN dirty d
+        |  ON abs(length(n.p_name) - length(d.dirty_name)) <= 1
+        | AND levenshtein(n.p_name, d.dirty_name) <= 1
+        |ORDER BY name_key, dirty_key""".stripMargin,
 
     // Containment replay: the q_dedup_jaccard gram machinery with the
     // asymmetric |A∩B|/|A| measure, both directions.
