@@ -1560,6 +1560,15 @@ object SparkEntry {
           "ts", col("event_type") === "purchase")
         .orderBy("day")),
 
+    // Per-group OLS trend fit (r13): slope/intercept/r2 of the daily
+    // mean vs day index from five exact sufficient statistics —
+    // drift-rate in closed form, no iteration.
+    "q_trend_ols" -> ((s, d) =>
+      Anomaly.trendFit(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type")),
+
     // Exact distance-1 fuzzy join (r13): part names vs an md5-chosen
     // one-char-deletion corruption of them — deletion-neighborhood
     // (FastSS) blocking + equi-join + levenshtein verify. The oracle
@@ -5514,6 +5523,46 @@ object SparkEntry {
         |       round(center + half, 6) AS wilson_hi
         |FROM w
         |ORDER BY day""".stripMargin,
+
+    // Trend replay: identical sufficient statistics (exact integer and
+    // decimal sums), identical double arithmetic order.
+    "q_trend_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT event_type, m,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |              AS BIGINT) AS i
+        |  FROM daily
+        |), s AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(i) AS BIGINT) AS sx,
+        |         CAST(sum(i * i) AS BIGINT) AS sxx,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(i AS DECIMAL(9,0)) * CAST(m AS DECIMAL(18,6)))
+        |              AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6)))
+        |              AS DOUBLE) AS syy
+        |  FROM x GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+        |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |         CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, sy
+        |  FROM s
+        |)
+        |SELECT event_type, n AS n_days,
+        |       CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+        |       CASE WHEN den > 0
+        |            THEN round((sy - (num / den) * sxd) / nd, 6) END AS intercept,
+        |       CASE WHEN den > 0 AND deny > 0
+        |            THEN round((num * num) / (den * deny), 6) END AS r2
+        |FROM f
+        |ORDER BY event_type""".stripMargin,
 
     // Fuzzy-join replay: the same md5 deletion corruption, then honest
     // all-pairs levenshtein (length prefilter only — implied by

@@ -536,6 +536,59 @@ object Anomaly {
         col("mae_naive"), col("skill"))
   }
 
+  /** Per-group OLS trend fit over the daily-mean series: slope,
+    * intercept and r² of m ~ dayIndex (1-based rank of the day) — the
+    * "is this metric drifting and how fast" scalar behind every
+    * capacity plan, computed in closed form from five sufficient
+    * statistics. Engine-portable by construction: the day index is an
+    * integer, the daily mean a 6dp decimal, so Σx, Σx², Σy, Σxy, Σy²
+    * are all EXACT decimal/integer sums (order-independent), and the
+    * slope/intercept/r² arithmetic runs on their double casts in one
+    * fixed parenthesization. Degenerate guards: n = 1 → null slope
+    * (den = 0), constant series → null r² (deny = 0).
+    *
+    * 100 TB shape: one daily roll-up shuffle, one rank window per
+    * group, one five-counter aggregation — sufficient statistics are
+    * the map-side-combine dream; nothing driver-side.
+    */
+  def trendFit(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val idx = daily.withColumn("i",
+      row_number().over(Window.partitionBy(groupCol).orderBy("day")).cast("long"))
+    val s = idx.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("i")).as("sx"),
+        sum(col("i") * col("i")).as("sxx"),
+        sum(col("m").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum(col("i").cast("decimal(9,0)") * col("m").cast("decimal(18,6)"))
+          .cast("double").as("sxy"),
+        sum(col("m").cast("decimal(18,6)") * col("m").cast("decimal(18,6)"))
+          .cast("double").as("syy"))
+      .select(col(groupCol), col("n"),
+        col("n").cast("double").as("nd"), col("sx").cast("double").as("sxd"),
+        col("sxx").cast("double").as("sxxd"),
+        col("sy"), col("sxy"), col("syy"))
+      .select(col(groupCol), col("n"),
+        (col("nd") * col("sxy") - col("sxd") * col("sy")).as("num"),
+        (col("nd") * col("sxxd") - col("sxd") * col("sxd")).as("den"),
+        (col("nd") * col("syy") - col("sy") * col("sy")).as("deny"),
+        col("nd"), col("sxd"), col("sy"))
+    s.select(col(groupCol), col("n").as("n_days"),
+      when(col("den") > 0, round(col("num") / col("den"), 6)).as("slope"),
+      when(col("den") > 0,
+        round((col("sy") - (col("num") / col("den")) * col("sxd")) / col("nd"), 6))
+        .as("intercept"),
+      when(col("den") > 0 && col("deny") > 0,
+        round((col("num") * col("num")) / (col("den") * col("deny")), 6)).as("r2"))
+  }
+
   /** Classical seasonal decomposition of the daily-mean series
     * (moving-average STL-lite): trend = centered (2w+1)-day moving
     * average (null at the edges where the window is partial — honest

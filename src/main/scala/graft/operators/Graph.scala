@@ -76,10 +76,13 @@ object Graph {
       var ranks = nodes.select(col("node"), col("has_out"),
         round(lit(1.0 / n), 6).as("r")).localCheckpoint(true)
       for (_ <- 1 to iterations) {
-        // Exact decimal sum of 6dp ranks: one counter to the driver.
-        val dm = ranks.filter(!col("has_out"))
-          .agg(coalesce(sum(col("r").cast("decimal(18,6)")).cast("double"), lit(0.0)))
-          .collect().head.getDouble(0)
+        // Exact decimal sum of 6dp dangling ranks, riding the plan as a
+        // broadcast one-row frame (a driver collect here would add a
+        // whole job per iteration; the eager checkpoint below is the
+        // only job each round pays).
+        val dmDf = ranks.filter(!col("has_out"))
+          .agg(coalesce(sum(col("r").cast("decimal(18,6)")).cast("double"),
+            lit(0.0)).as("__dm"))
         // Per-edge terms 12dp-rounded, summed exactly: the group-sum is
         // order-independent, so Spark partitioning and the SQL replay
         // agree bit-for-bit; the 1e-13-per-edge quantization is 7
@@ -90,9 +93,10 @@ object Graph {
             .cast("double").as("c"))
         ranks = nodes
           .join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(dmDf))
           .select(col("node"), col("has_out"),
             round(lit((1.0 - damping) / n)
-              + lit(damping) * lit(dm / n)
+              + lit(damping) * (col("__dm") / lit(n.toDouble))
               + lit(damping) * coalesce(col("c"), lit(0.0)), 6).as("r"))
           .localCheckpoint(true)
       }

@@ -630,6 +630,36 @@ object ScaleStress {
     docs.unpersist()
     }
 
+    section("graph") {
+    // PageRank stress: hub-skewed synthetic web graphs at 1M and 2M
+    // edges (avg out-degree 10, 10% of edges land on a 1% hub set,
+    // plus the dangling tail every real crawl has). The claims to
+    // back: per-iteration cost is one rank-vector shuffle into the
+    // cached edge layout (linear in edges), and mass stays ~1 through
+    // the 6dp rounded dynamics.
+    import graft.operators.Graph
+    def webEdges(m: Long): DataFrame = {
+      val n = m / 10
+      spark.range(m).select(
+        (col("id") % lit(n)).as("src"),
+        when(col("id") % 10 === 0, col("id") % lit(math.max(n / 100, 1L)))
+          .otherwise((col("id") * 2654435761L) % lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+    }
+    for (m <- Seq(1000000L, 2000000L)) {
+      val e = webEdges(m).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[stress] graph edges: ${e.count()}")
+      val pr = time(s"pagerank 5 iters ($m edges)")(
+        Graph.pageRank(e, "src", "dst", iterations = 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val mass = pr.agg(sum(col("rank"))).collect().head.getDouble(0)
+      val top = pr.orderBy(col("rank").desc).limit(3)
+        .collect().map(r => s"${r.getLong(0)}=${r.getDouble(1)}").mkString(", ")
+      println(f"[stress]   rank mass = $mass%.4f (~1 expected); top: $top")
+      pr.unpersist(blocking = false); e.unpersist(blocking = false)
+    }
+    }
+
     section("cc") {
     // Connected-components stress: 2M edges over ~1M vertices shaped as
     // 100k chains of 10 plus 100k stars of 10 with cross-links — long

@@ -330,6 +330,23 @@ class AnomalySpec extends SparkSpec {
     assert(digits == Seq(1))
   }
 
+  test("trendFit: exact line recovered, degenerate groups go null") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
+    val df = ((1 to 10).map(i => ("line", day(i), 2.0 * i + 1.0)) ++
+      (1 to 10).map(i => ("flat", day(i), 7.0)) :+
+      (("solo", day(1), 3.0))).toDF("grp", "ts", "v")
+    val got = Anomaly.trendFit(df, "grp", "ts", "v")
+      .orderBy("grp").collect()
+    val flat = got(0); val line = got(1); val solo = got(2)
+    assert(line.getDouble(line.fieldIndex("slope")) == 2.0)
+    assert(line.getDouble(line.fieldIndex("intercept")) == 1.0)
+    assert(line.getDouble(line.fieldIndex("r2")) == 1.0)
+    assert(flat.getDouble(flat.fieldIndex("slope")) == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("r2")), "constant series has no r2")
+    assert(solo.isNullAt(solo.fieldIndex("slope")), "one day fits no line")
+    assert(solo.getLong(solo.fieldIndex("n_days")) == 1L)
+  }
+
   test("forecastBacktest: skill 1 on a clean ramp, null skill when naive is perfect") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     // Clean linear ramp: the two-point trend seed makes every Holt
