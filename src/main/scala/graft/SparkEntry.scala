@@ -1560,6 +1560,16 @@ object SparkEntry {
           "ts", col("event_type") === "purchase")
         .orderBy("day")),
 
+    // Holt-Winters additive triple smoothing (r13): level + trend +
+    // 7-day seasonal state; the weekly rhythm EWMA pages on becomes
+    // state here. Third recursive-CTE oracle, this one carrying the
+    // rolling seasonal vector as list state.
+    "q_anomaly_hw" -> ((s, d) =>
+      Anomaly.holtWintersForecast(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value", period = 7)
+        .orderBy("event_type", "day")),
+
     // Per-group OLS trend fit (r13): slope/intercept/r2 of the daily
     // mean vs day index from five exact sufficient statistics —
     // drift-rate in closed form, no iteration.
@@ -5523,6 +5533,65 @@ object SparkEntry {
         |       round(center + half, 6) AS wilson_hi
         |FROM w
         |ORDER BY day""".stripMargin,
+
+    // Holt-Winters replay: the holt recursion plus a rolling 7-slot
+    // seasonal list in the recursive state (the recursive term only
+    // sees the previous step, so the p-lag travels with it). The level
+    // expression repeats textually where later states need it — same
+    // duplication the engine's expression tree has.
+    "q_anomaly_hw" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), seed2 AS (
+        |  SELECT event_type, m AS m2 FROM ord WHERE rn = 2
+        |), h AS (
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         o.m AS l, coalesce(s.m2 - o.m, 0.0) AS b,
+        |         CAST(0.0 AS DOUBLE) AS sv,
+        |         [CAST(0.0 AS DOUBLE)] AS sh
+        |  FROM ord o LEFT JOIN seed2 s USING (event_type) WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN h.sh[1] ELSE 0.0 END))
+        |               + 0.7 * (h.l + h.b), 6),
+        |         round(0.1 * (round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN h.sh[1] ELSE 0.0 END))
+        |                            + 0.7 * (h.l + h.b), 6) - h.l)
+        |               + 0.9 * h.b, 6),
+        |         round(0.3 * (o.m - round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN h.sh[1] ELSE 0.0 END))
+        |                                  + 0.7 * (h.l + h.b), 6))
+        |               + 0.7 * (CASE WHEN o.rn > 7 THEN h.sh[1] ELSE 0.0 END), 6),
+        |         list_append(
+        |           CASE WHEN len(h.sh) = 7 THEN h.sh[2:7] ELSE h.sh END,
+        |           round(0.3 * (o.m - round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN h.sh[1] ELSE 0.0 END))
+        |                                    + 0.7 * (h.l + h.b), 6))
+        |                 + 0.7 * (CASE WHEN o.rn > 7 THEN h.sh[1] ELSE 0.0 END), 6))
+        |  FROM ord o JOIN h ON o.event_type = h.event_type AND o.rn = h.rn + 1
+        |), err AS (
+        |  SELECT c.event_type, c.day, c.m, c.l AS level, c.b AS trend,
+        |         c.sv AS seasonal,
+        |         CASE WHEN p1.l IS NOT NULL
+        |              THEN round(p1.l + p1.b + coalesce(p7.sv, 0.0), 6) END AS forecast
+        |  FROM h c
+        |  LEFT JOIN h p1 ON p1.event_type = c.event_type AND p1.rn = c.rn - 1
+        |  LEFT JOIN h p7 ON p7.event_type = c.event_type AND p7.rn = c.rn - 7
+        |), sig AS (
+        |  SELECT *,
+        |         CASE WHEN forecast IS NOT NULL
+        |              THEN round(m - forecast, 6) END AS error
+        |  FROM err
+        |), sig2 AS (
+        |  SELECT *, round(stddev_samp(error) OVER (PARTITION BY event_type), 6)
+        |              AS sigma_e
+        |  FROM sig
+        |)
+        |SELECT event_type, day, m, level, trend, seasonal, forecast, error,
+        |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
+        |FROM sig2
+        |ORDER BY event_type, day""".stripMargin,
 
     // Trend replay: identical sufficient statistics (exact integer and
     // decimal sums), identical double arithmetic order.

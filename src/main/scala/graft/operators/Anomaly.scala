@@ -536,6 +536,94 @@ object Anomaly {
         col("mae_naive"), col("skill"))
   }
 
+  /** Holt-Winters additive triple exponential smoothing over the daily
+    * series — level + trend + a `period`-day seasonal cycle, completing
+    * the forecasting ladder (EWMA → Holt → Holt-Winters): a weekly
+    * rhythm that EWMA pages on and Holt mistakes for trend becomes
+    * seasonal state here, so the alarm fires only on genuinely novel
+    * deviations.
+    *
+    * Recurrence (all states 6dp-rounded per step — the engine-portable
+    * fixed-point discipline; s_prev means the seasonal fitted one full
+    * period ago, 0.0 during the first cycle):
+    *   l_k = α(m_k − s_{k−p}) + (1−α)(l_{k−1} + b_{k−1})
+    *   b_k = β(l_k − l_{k−1}) + (1−β) b_{k−1}
+    *   s_k = γ(m_k − l_k) + (1−γ) s_{k−p}
+    *   forecast_k = l_{k−1} + b_{k−1} + s_{k−p}
+    * Seeds mirror [[holtForecast]]: l_1 = m_1, b_1 = m_2 − m_1 (0 for a
+    * one-day group), s_1 = 0. The DuckDB replay runs the identical
+    * recursion, carrying the last `period` seasonals as a rolling list
+    * in the recursive CTE state (standard recursive CTEs see only the
+    * previous step's rows, so the p-lag lookup must travel with them).
+    *
+    * Same scale shape as holt: per-group state is the day count
+    * (metadata for any daily series), one groupBy + one ordered fold +
+    * window passes.
+    */
+  def holtWintersForecast(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      period: Int = 7,
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.3,
+      l: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma in [0,1], got $gamma")
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val series = daily.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("m")))).as("s"))
+    val st = aggregate(col("s"),
+      array().cast("array<struct<l:double,b:double,sv:double>>"),
+      (acc, x) => {
+        val k = size(acc) + 1
+        val prev = element_at(acc, size(acc))
+        val sPrev = when(size(acc) >= period,
+          element_at(acc, size(acc) - (period - 1)).getField("sv"))
+          .otherwise(lit(0.0))
+        val lNew = round(lit(alpha) * (x.getField("m") - sPrev)
+          + lit(1.0 - alpha) * (prev.getField("l") + prev.getField("b")), 6)
+        val bNew = round(lit(beta) * (lNew - prev.getField("l"))
+          + lit(1.0 - beta) * prev.getField("b"), 6)
+        val sNew = round(lit(gamma) * (x.getField("m") - lNew)
+          + lit(1.0 - gamma) * sPrev, 6)
+        concat(acc, array(
+          when(k === 1, struct(
+            x.getField("m").as("l"),
+            coalesce(get(col("s"), lit(1)).getField("m") - x.getField("m"),
+              lit(0.0)).as("b"),
+            lit(0.0).as("sv")))
+            .otherwise(struct(lNew.as("l"), bNew.as("b"), sNew.as("sv")))))
+      })
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    val wAll = Window.partitionBy(groupCol)
+    series
+      .withColumn("st", st)
+      .select(col(groupCol),
+        posexplode(arrays_zip(col("s"), col("st"))).as(Seq("pos", "zip")))
+      .select(col(groupCol),
+        col("zip.s.day").as("day"), col("zip.s.m").as("m"),
+        col("zip.st.l").as("level"), col("zip.st.b").as("trend"),
+        col("zip.st.sv").as("seasonal"))
+      .withColumn("forecast",
+        round(lag(col("level"), 1).over(wOrd) + lag(col("trend"), 1).over(wOrd)
+          + coalesce(lag(col("seasonal"), period).over(wOrd), lit(0.0)), 6))
+      .withColumn("error",
+        when(col("forecast").isNotNull, round(col("m") - col("forecast"), 6)))
+      .withColumn("sigma_e", round(stddev_samp(col("error")).over(wAll), 6))
+      .withColumn("is_alarm",
+        coalesce(abs(col("error")) > lit(l) * col("sigma_e"), lit(false)))
+      .select(col(groupCol), col("day"), col("m"), col("level"), col("trend"),
+        col("seasonal"), col("forecast"), col("error"), col("sigma_e"),
+        col("is_alarm"))
+  }
+
   /** Per-group OLS trend fit over the daily-mean series: slope,
     * intercept and r² of m ~ dayIndex (1-based rank of the day) — the
     * "is this metric drifting and how fast" scalar behind every

@@ -32,14 +32,20 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** PageRank over `edges` (srcCol, dstCol [, weightCol]); returns
-    * (node, rank) with 6dp ranks after `iterations` rounds of the
-    * damped update
+    * (node, rank) with `scale`-digit ranks after `iterations` rounds of
+    * the damped update
     *   r'(v) = (1-d)/N + d*dm/N + d * Σ_{u->v} r(u) * w(u,v)/out(u)
     * where dm is the total rank parked on dangling (no-outlink) nodes,
     * redistributed uniformly — the standard teleport treatment, so the
-    * vector stays a distribution (up to 6dp rounding residue).
+    * vector stays a distribution (up to rounding residue).
     * Parallel edges collapse by summing weights; self-loops are legal
     * (they feed a node's own rank back). Weights must be positive.
+    *
+    * `scale` is the fixed-point grid of the dynamics and must sit WELL
+    * below 1/N: ranks live near 1/N, so a grid within a couple of
+    * orders of it quantizes them away (measured: 6dp over a 100k-node
+    * graph leaked 6% of the mass). The default 12 is safe through
+    * ~10^9 nodes; per-edge contribution terms round at scale+6.
     */
   def pageRank(
       edges: DataFrame,
@@ -47,9 +53,11 @@ object Graph {
       dstCol: String,
       weightCol: Option[String] = None,
       iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      scale: Int = 12): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    require(scale >= 1 && scale <= 18, s"scale in [1,18], got $scale")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edges
       .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -73,31 +81,32 @@ object Graph {
         .localCheckpoint(true)
       val n = nodes.count()
       require(n > 0, "empty graph")
+      val cScale = scale + 6
       var ranks = nodes.select(col("node"), col("has_out"),
-        round(lit(1.0 / n), 6).as("r")).localCheckpoint(true)
+        round(lit(1.0 / n), scale).as("r")).localCheckpoint(true)
       for (_ <- 1 to iterations) {
-        // Exact decimal sum of 6dp dangling ranks, riding the plan as a
+        // Exact decimal sum of the dangling ranks, riding the plan as a
         // broadcast one-row frame (a driver collect here would add a
         // whole job per iteration; the eager checkpoint below is the
         // only job each round pays).
         val dmDf = ranks.filter(!col("has_out"))
-          .agg(coalesce(sum(col("r").cast("decimal(18,6)")).cast("double"),
-            lit(0.0)).as("__dm"))
-        // Per-edge terms 12dp-rounded, summed exactly: the group-sum is
-        // order-independent, so Spark partitioning and the SQL replay
-        // agree bit-for-bit; the 1e-13-per-edge quantization is 7
-        // orders below the 6dp output grid.
+          .agg(coalesce(sum(col("r").cast(s"decimal(${scale + 6},$scale)"))
+            .cast("double"), lit(0.0)).as("__dm"))
+        // Per-edge terms rounded at scale+6, summed exactly: the
+        // group-sum is order-independent, so Spark partitioning and the
+        // SQL replay agree bit-for-bit; the quantization sits 6 orders
+        // below the rank grid.
         val contrib = ew.join(ranks, col("src") === col("node"))
           .groupBy(col("dst"))
-          .agg(sum(round(col("r") * col("share"), 12).cast("decimal(30,12)"))
-            .cast("double").as("c"))
+          .agg(sum(round(col("r") * col("share"), cScale)
+            .cast(s"decimal(38,$cScale)")).cast("double").as("c"))
         ranks = nodes
           .join(contrib, col("node") === col("dst"), "left")
           .crossJoin(broadcast(dmDf))
           .select(col("node"), col("has_out"),
             round(lit((1.0 - damping) / n)
               + lit(damping) * (col("__dm") / lit(n.toDouble))
-              + lit(damping) * coalesce(col("c"), lit(0.0)), 6).as("r"))
+              + lit(damping) * coalesce(col("c"), lit(0.0)), scale).as("r"))
           .localCheckpoint(true)
       }
       ranks.select(col("node"), col("r").as("rank"))
@@ -148,28 +157,31 @@ object Graph {
       edgesCte: String,
       iterations: Int,
       damping: Double,
-      select: String): String = {
+      select: String,
+      scale: Int = 12): String = {
     // Every stage CTE is AS MATERIALIZED: each r{i} is referenced three
     // times by stage i+1 (dm, contribs, carry), so inlining would blow
     // up the expression tree 3^k-fold — materialization makes the
     // replay linear in k exactly like the engine's per-iteration
     // checkpoints.
     val d = damping
+    val cScale = scale + 6
     val steps = (1 to iterations).map { i =>
       val p = s"r${i - 1}"
       s"""dm$i AS MATERIALIZED (
-         |  SELECT coalesce(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS dm
+         |  SELECT coalesce(CAST(sum(CAST(r AS DECIMAL(${scale + 6},$scale)))
+         |                   AS DOUBLE), 0.0) AS dm
          |  FROM $p WHERE NOT has_out
          |), c$i AS MATERIALIZED (
          |  SELECT ew.dst AS node,
-         |         CAST(sum(CAST(round(p.r * ew.share, 12) AS DECIMAL(30,12)))
-         |              AS DOUBLE) AS c
+         |         CAST(sum(CAST(round(p.r * ew.share, $cScale)
+         |                  AS DECIMAL(38,$cScale))) AS DOUBLE) AS c
          |  FROM ew JOIN $p p ON ew.src = p.node GROUP BY 1
          |), r$i AS MATERIALIZED (
          |  SELECT nodes.node, nodes.has_out,
          |         round((1.0 - $d) / (SELECT n FROM nn)
          |               + $d * ((SELECT dm FROM dm$i) / (SELECT n FROM nn))
-         |               + $d * coalesce(c.c, 0.0), 6) AS r
+         |               + $d * coalesce(c.c, 0.0), $scale) AS r
          |  FROM nodes LEFT JOIN c$i c USING (node)
          |)""".stripMargin
     }.mkString(", ")
@@ -187,7 +199,8 @@ object Graph {
        |), nn AS MATERIALIZED (
        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
        |), r0 AS MATERIALIZED (
-       |  SELECT node, has_out, round(1.0 / (SELECT n FROM nn), 6) AS r FROM nodes
+       |  SELECT node, has_out, round(1.0 / (SELECT n FROM nn), $scale) AS r
+       |  FROM nodes
        |), $steps
        |$select""".stripMargin
   }

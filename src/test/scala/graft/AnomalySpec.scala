@@ -330,6 +330,51 @@ class AnomalySpec extends SparkSpec {
     assert(digits == Seq(1))
   }
 
+  test("holtWintersForecast: gamma=0 collapses exactly to holtForecast") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i - 1).atTime(12, 0))
+    val noisy = (1 to 30).map(i =>
+      ("g", day(i), 10.0 + 2.0 * i + (i % 5) * 3.0)).toDF("grp", "ts", "v")
+    val hw = Anomaly.holtWintersForecast(noisy, "grp", "ts", "v",
+        period = 7, alpha = 0.3, beta = 0.1, gamma = 0.0)
+      .select("day", "level", "trend", "forecast", "error")
+      .orderBy("day").collect().toSeq
+    val h = Anomaly.holtForecast(noisy, "grp", "ts", "v",
+        alpha = 0.3, beta = 0.1)
+      .select("day", "level", "trend", "forecast", "error")
+      .orderBy("day").collect().toSeq
+    assert(hw == h, "zero seasonal weight must reproduce Holt bit-for-bit")
+  }
+
+  test("holtWintersForecast: learns a planted weekly rhythm Holt cannot") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i - 1).atTime(12, 0))
+    // Pure 7-day cycle, no trend: +70 every 7th day, else 10.
+    val cyc = (1 to 49).map(i =>
+      ("g", day(i), if (i % 7 == 0) 80.0 else 10.0))
+    val out = Anomaly.holtWintersForecast(cyc.toDF("grp", "ts", "v"),
+        "grp", "ts", "v", period = 7, alpha = 0.2, beta = 0.05, gamma = 0.6)
+      .orderBy("day").collect()
+    def absErr(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(r.fieldIndex("error"))) 0.0
+      else math.abs(r.getDouble(r.fieldIndex("error")))
+    // Spike-day errors must SHRINK cycle over cycle as the seasonal
+    // state absorbs the rhythm (Holt's would stay ~70 forever).
+    val spikeErrs = out.zipWithIndex
+      .filter { case (_, i) => (i + 1) % 7 == 0 && i > 0 }
+      .map { case (r, _) => absErr(r) }
+    assert(spikeErrs.length >= 6)
+    assert(spikeErrs.last < spikeErrs.head / 3.0,
+      s"seasonal state must absorb the spike: ${spikeErrs.mkString(",")}")
+    // Degenerate one-day group.
+    val one = Anomaly.holtWintersForecast(
+      Seq(("solo", day(1), 5.0)).toDF("grp", "ts", "v"),
+      "grp", "ts", "v").collect().head
+    assert(one.getDouble(one.fieldIndex("trend")) == 0.0)
+    assert(one.getDouble(one.fieldIndex("seasonal")) == 0.0)
+    assert(one.isNullAt(one.fieldIndex("sigma_e")))
+  }
+
   test("trendFit: exact line recovered, degenerate groups go null") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     val df = ((1 to 10).map(i => ("line", day(i), 2.0 * i + 1.0)) ++

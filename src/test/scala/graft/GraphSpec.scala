@@ -18,9 +18,15 @@ class GraphSpec extends SparkSpec {
     // contrib: B <- 0.333333 (A's full rank), A and C <- 0.1666665 each
     // r(A) = r(C) = round(base + 0.85*0.1666665, 6) = 0.286111
     // r(B) = round(base + 0.85*0.333333, 6)        = 0.427777
-    val got = Graph.pageRank(triangle, "src", "dst", Some("w"), iterations = 1)
+    val got = Graph.pageRank(triangle, "src", "dst", Some("w"),
+        iterations = 1, scale = 6)
       .orderBy("node").as[(String, Double)].collect().toSeq
     assert(got == Seq(("A", 0.286111), ("B", 0.427777), ("C", 0.286111)))
+    // At the default 12-digit grid the same step is finer, not different:
+    // all three terms build from round(1/3, 12).
+    val fine = Graph.pageRank(triangle, "src", "dst", Some("w"), iterations = 1)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(math.abs(fine(1)._2 - 0.427777777777) < 1e-12, fine.toString)
   }
 
   test("pageRank: stays a distribution and ranks the hub highest at depth") {
