@@ -1570,6 +1570,15 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")),
 
+    // Forecast model selection (r13): one-step MAE of naive/EWMA/Holt/
+    // Holt-Winters per group + the Occam-tie-broken winner — which
+    // forecaster should page, decided by backtest, not taste.
+    "q_forecast_model_select" -> ((s, d) =>
+      Anomaly.forecastModelSelect(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value", period = 7)
+        .orderBy("event_type")),
+
     // Per-group OLS trend fit (r13): slope/intercept/r2 of the daily
     // mean vs day index from five exact sufficient statistics —
     // drift-rate in closed form, no iteration.
@@ -5592,6 +5601,113 @@ object SparkEntry {
         |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
         |FROM sig2
         |ORDER BY event_type, day""".stripMargin,
+
+    // Model-select replay: the ewma/holt/holt-winters recursions side
+    // by side over ONE shared daily CTE, one-step errors joined on
+    // (group, day), exact decimal MAE sums, and the same fixed-priority
+    // winner CASE on the rounded MAEs.
+    "q_forecast_model_select" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), ew AS (
+        |  SELECT event_type, day, m, rn, m AS ewma FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         round(0.3 * o.m + 0.7 * e.ewma, 6)
+        |  FROM ord o JOIN ew e ON o.event_type = e.event_type AND o.rn = e.rn + 1
+        |), seed2 AS (
+        |  SELECT event_type, m AS m2 FROM ord WHERE rn = 2
+        |), h AS (
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         o.m AS l, coalesce(s.m2 - o.m, 0.0) AS b
+        |  FROM ord o LEFT JOIN seed2 s USING (event_type) WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         round(0.3 * o.m + 0.7 * (h.l + h.b), 6),
+        |         round(0.1 * (round(0.3 * o.m + 0.7 * (h.l + h.b), 6) - h.l)
+        |               + 0.9 * h.b, 6)
+        |  FROM ord o JOIN h ON o.event_type = h.event_type AND o.rn = h.rn + 1
+        |), hw AS (
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         o.m AS l, coalesce(s.m2 - o.m, 0.0) AS b,
+        |         CAST(0.0 AS DOUBLE) AS sv,
+        |         [CAST(0.0 AS DOUBLE)] AS sh
+        |  FROM ord o LEFT JOIN seed2 s USING (event_type) WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.m, o.rn,
+        |         round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN hw.sh[1] ELSE 0.0 END))
+        |               + 0.7 * (hw.l + hw.b), 6),
+        |         round(0.1 * (round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN hw.sh[1] ELSE 0.0 END))
+        |                            + 0.7 * (hw.l + hw.b), 6) - hw.l)
+        |               + 0.9 * hw.b, 6),
+        |         round(0.3 * (o.m - round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN hw.sh[1] ELSE 0.0 END))
+        |                                  + 0.7 * (hw.l + hw.b), 6))
+        |               + 0.7 * (CASE WHEN o.rn > 7 THEN hw.sh[1] ELSE 0.0 END), 6),
+        |         list_append(
+        |           CASE WHEN len(hw.sh) = 7 THEN hw.sh[2:7] ELSE hw.sh END,
+        |           round(0.3 * (o.m - round(0.3 * (o.m - (CASE WHEN o.rn > 7 THEN hw.sh[1] ELSE 0.0 END))
+        |                                    + 0.7 * (hw.l + hw.b), 6))
+        |                 + 0.7 * (CASE WHEN o.rn > 7 THEN hw.sh[1] ELSE 0.0 END), 6))
+        |  FROM ord o JOIN hw ON o.event_type = hw.event_type AND o.rn = hw.rn + 1
+        |), base AS (
+        |  SELECT event_type, day, rn,
+        |         CASE WHEN lag(m) OVER (PARTITION BY event_type ORDER BY day)
+        |                IS NOT NULL
+        |              THEN round(m - lag(m) OVER (PARTITION BY event_type
+        |                                          ORDER BY day), 6) END AS e_naive
+        |  FROM ord
+        |), ee AS (
+        |  SELECT e.event_type, e.day,
+        |         CASE WHEN z.ewma IS NOT NULL
+        |              THEN round(e.m - z.ewma, 6) END AS e_ewma
+        |  FROM ew e
+        |  LEFT JOIN ew z ON z.event_type = e.event_type AND z.rn = e.rn - 1
+        |), he AS (
+        |  SELECT c.event_type, c.day,
+        |         CASE WHEN p.l IS NOT NULL
+        |              THEN round(c.m - round(p.l + p.b, 6), 6) END AS e_holt
+        |  FROM h c
+        |  LEFT JOIN h p ON p.event_type = c.event_type AND p.rn = c.rn - 1
+        |), hwe AS (
+        |  SELECT c.event_type, c.day,
+        |         CASE WHEN p1.l IS NOT NULL
+        |              THEN round(c.m - round(p1.l + p1.b + coalesce(p7.sv, 0.0), 6), 6)
+        |              END AS e_hw
+        |  FROM hw c
+        |  LEFT JOIN hw p1 ON p1.event_type = c.event_type AND p1.rn = c.rn - 1
+        |  LEFT JOIN hw p7 ON p7.event_type = c.event_type AND p7.rn = c.rn - 7
+        |), j AS (
+        |  SELECT b.event_type, b.e_naive, ee.e_ewma, he.e_holt, hwe.e_hw
+        |  FROM base b
+        |  JOIN ee USING (event_type, day)
+        |  JOIN he USING (event_type, day)
+        |  JOIN hwe USING (event_type, day)
+        |  WHERE b.e_naive IS NOT NULL AND ee.e_ewma IS NOT NULL
+        |    AND he.e_holt IS NOT NULL AND hwe.e_hw IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    round(CAST(sum(CAST(abs(e_naive) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*), 6) AS mae_naive,
+        |    round(CAST(sum(CAST(abs(e_ewma) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*), 6) AS mae_ewma,
+        |    round(CAST(sum(CAST(abs(e_holt) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*), 6) AS mae_holt,
+        |    round(CAST(sum(CAST(abs(e_hw) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*), 6) AS mae_hw
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT *,
+        |  CASE WHEN mae_naive <= mae_ewma AND mae_naive <= mae_holt
+        |            AND mae_naive <= mae_hw THEN 'naive'
+        |       WHEN mae_ewma <= mae_holt AND mae_ewma <= mae_hw THEN 'ewma'
+        |       WHEN mae_holt <= mae_hw THEN 'holt'
+        |       ELSE 'hw' END AS best
+        |FROM a
+        |ORDER BY event_type""".stripMargin,
 
     // Trend replay: identical sufficient statistics (exact integer and
     // decimal sums), identical double arithmetic order.

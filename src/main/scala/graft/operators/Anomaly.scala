@@ -624,6 +624,59 @@ object Anomaly {
         col("is_alarm"))
   }
 
+  /** Forecast model selection: per group, the one-step MAE of all four
+    * charts — naive lag-1, [[ewmaChart]], [[holtForecast]],
+    * [[holtWintersForecast]] — over the days where every model has a
+    * forecast (day 2+ for all of them), plus the winner under a fixed
+    * priority tie-break (naive > ewma > holt > hw: prefer the simpler
+    * model when rounded MAEs tie — Occam as a sort order). This is the
+    * table that decides WHICH forecaster's alarms a group should page
+    * on; composing it from the existing operators means its scale story
+    * is theirs (three daily-roll-up folds + two metadata joins).
+    * Winner comparisons run on the 6dp-ROUNDED MAEs so the choice is
+    * engine-portable.
+    */
+  def forecastModelSelect(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      period: Int = 7,
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    val ew = ewmaChart(df, groupCol, tsCol, valueCol, alpha)
+      .withColumn("e_naive",
+        when(lag(col("m"), 1).over(wOrd).isNotNull,
+          round(col("m") - lag(col("m"), 1).over(wOrd), 6)))
+      .select(col(groupCol), col("day"), col("e_naive"),
+        col("innovation").as("e_ewma"))
+    val h = holtForecast(df, groupCol, tsCol, valueCol, alpha, beta)
+      .select(col(groupCol), col("day"), col("error").as("e_holt"))
+    val hw = holtWintersForecast(df, groupCol, tsCol, valueCol,
+        period, alpha, beta, gamma)
+      .select(col(groupCol), col("day"), col("error").as("e_hw"))
+    val j = ew.join(h, Seq(groupCol, "day")).join(hw, Seq(groupCol, "day"))
+      .filter(col("e_naive").isNotNull && col("e_ewma").isNotNull &&
+        col("e_holt").isNotNull && col("e_hw").isNotNull)
+    def mae(c: String) = round(
+      sum(abs(col(c)).cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+    j.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        mae("e_naive").as("mae_naive"), mae("e_ewma").as("mae_ewma"),
+        mae("e_holt").as("mae_holt"), mae("e_hw").as("mae_hw"))
+      .withColumn("best",
+        when(col("mae_naive") <= col("mae_ewma")
+          && col("mae_naive") <= col("mae_holt")
+          && col("mae_naive") <= col("mae_hw"), lit("naive"))
+          .when(col("mae_ewma") <= col("mae_holt")
+            && col("mae_ewma") <= col("mae_hw"), lit("ewma"))
+          .when(col("mae_holt") <= col("mae_hw"), lit("holt"))
+          .otherwise(lit("hw")))
+  }
+
   /** Per-group OLS trend fit over the daily-mean series: slope,
     * intercept and r² of m ~ dayIndex (1-based rank of the day) — the
     * "is this metric drifting and how fast" scalar behind every

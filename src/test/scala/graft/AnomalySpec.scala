@@ -375,6 +375,29 @@ class AnomalySpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("sigma_e")))
   }
 
+  test("forecastModelSelect: each planted shape crowns the right model") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i - 1).atTime(12, 0))
+    val df = (
+      // Clean ramp: Holt is exact; HW (first cycle unseasoned) ties it,
+      // Occam priority must crown 'holt'.
+      (1 to 28).map(i => ("ramp", day(i), 10.0 + 2.0 * i)) ++
+      // Pure weekly rhythm, no trend: only HW absorbs it.
+      (1 to 49).map(i => ("cycle", day(i), if (i % 7 == 0) 80.0 else 10.0)) ++
+      // Constant: everyone is exact; the naive chart wins by priority.
+      (1 to 20).map(i => ("flat", day(i), 5.0))
+    ).toDF("grp", "ts", "v")
+    val got = Anomaly.forecastModelSelect(df, "grp", "ts", "v", period = 7,
+        alpha = 0.2, beta = 0.05, gamma = 0.6)
+      .orderBy("grp").collect()
+      .map(r => r.getString(0) -> (r.getString(r.fieldIndex("best")),
+        r.getDouble(r.fieldIndex("mae_holt")))).toMap
+    assert(got("flat")._1 == "naive", s"flat: $got")
+    assert(got("ramp")._1 == "holt", s"ramp: $got")
+    assert(got("ramp")._2 == 0.0, "Holt is exact on a clean ramp")
+    assert(got("cycle")._1 == "hw", s"cycle: $got")
+  }
+
   test("trendFit: exact line recovered, degenerate groups go null") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     val df = ((1 to 10).map(i => ("line", day(i), 2.0 * i + 1.0)) ++
