@@ -1570,6 +1570,23 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")),
 
+    // Funnel step latency (r13): exact lower-median and p90 seconds per
+    // adjacent step transition — order statistics at integer ranks, no
+    // interpolation semantics to reconcile.
+    "q_funnel_latency" -> ((s, d) =>
+      EventAnalytics.funnelLatency(
+          t(s, d, "events").select("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
+
+    // Pairwise Pearson correlation matrix (r13): all pairs' sufficient
+    // statistics in ONE scan, r assembled from exact decimal sums.
+    "q_corr_matrix" -> ((s, d) =>
+      graft.operators.Profile.correlationMatrix(
+          t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+
     // Forecast model selection (r13): one-step MAE of naive/EWMA/Holt/
     // Holt-Winters per group + the Occam-tie-broken winner — which
     // forecaster should page, decided by backtest, not taste.
@@ -5601,6 +5618,51 @@ object SparkEntry {
         |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
         |FROM sig2
         |ORDER BY event_type, day""".stripMargin,
+
+    // Latency replay: the q_funnel chain, floored-epoch deltas per
+    // transition, rank windows, conditional max at the integer ranks.
+    "q_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS step1_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS step2_ts
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.step1_ts GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS step3_ts
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts GROUP BY 1
+        |), p AS (
+        |  SELECT 'view' AS step_from, 'click' AS step_to, 1 AS step_idx,
+        |         CAST(floor(date_part('epoch', s2.step2_ts)) AS BIGINT)
+        |           - CAST(floor(date_part('epoch', s1.step1_ts)) AS BIGINT)
+        |           AS delta_sec
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click', 'purchase', 2,
+        |         CAST(floor(date_part('epoch', s3.step3_ts)) AS BIGINT)
+        |           - CAST(floor(date_part('epoch', s2.step2_ts)) AS BIGINT)
+        |  FROM s2 JOIN s3 USING (user_id)
+        |), r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY step_idx ORDER BY delta_sec) AS rn,
+        |         count(*) OVER (PARTITION BY step_idx) AS n
+        |  FROM p
+        |)
+        |SELECT step_from, step_to, step_idx, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+        |           THEN delta_sec END) AS median_sec,
+        |  max(CASE WHEN rn = CAST(floor((9.0 * CAST(n AS DOUBLE) + 9.0) / 10.0)
+        |                          AS BIGINT)
+        |           THEN delta_sec END) AS p90_sec
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY step_idx""".stripMargin,
+
+    // Correlation replay: generated per-pair UNION ALL arms mirroring
+    // the one-scan sufficient statistics literally.
+    "q_corr_matrix" -> graft.operators.Profile.correlationOracleSql(
+      "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
 
     // Model-select replay: the ewma/holt/holt-winters recursions side
     // by side over ONE shared daily CTE, one-step errors joined on

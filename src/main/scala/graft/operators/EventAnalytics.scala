@@ -209,6 +209,50 @@ object EventAnalytics {
       round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
   }
 
+  /** Funnel step-to-step latency: for every adjacent step pair, the
+    * count of users who completed the transition plus the EXACT lower
+    * median and p90 of the transition time in seconds — the "where do
+    * users stall" companion to [[funnelSummary]]. Quantiles are exact
+    * order statistics (value at rank ceil(q·n), integer ranks computed
+    * without float-fraction hazards: ceil(9n/10) = floor((9n+9)/10)),
+    * so both engines pick the identical row — no interpolation
+    * semantics to reconcile. One window sort per step pair; pairs are
+    * few, users many — for a pathological single-pair corpus at 100 TB
+    * swap the rank window for the Selection descent.
+    */
+  def funnelLatency(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "latency needs at least two funnel steps")
+    import org.apache.spark.sql.expressions.Window
+    val f = funnel(events, userCol, tsCol, typeCol, steps)
+    val pairs = (1 until steps.size).map { i =>
+      f.filter(col(s"step${i + 1}_ts").isNotNull)
+        .select(lit(steps(i - 1)).as("step_from"), lit(steps(i)).as("step_to"),
+          lit(i).as("step_idx"),
+          (unix_timestamp(col(s"step${i + 1}_ts"))
+            - unix_timestamp(col(s"step${i}_ts"))).as("delta_sec"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("step_idx").orderBy("delta_sec")
+    val wn = Window.partitionBy("step_idx")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("med_rn",
+        floor((col("n").cast("double") + 1.0) / 2.0).cast("long"))
+      .withColumn("p90_rn",
+        floor((lit(9.0) * col("n").cast("double") + 9.0) / 10.0).cast("long"))
+      .groupBy(col("step_from"), col("step_to"), col("step_idx"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === col("med_rn"), col("delta_sec"))).as("median_sec"),
+        max(when(col("rn") === col("p90_rn"), col("delta_sec"))).as("p90_sec"))
+      .select(col("step_from"), col("step_to"), col("step_idx"), col("n"),
+        col("median_sec"), col("p90_sec"))
+  }
+
   /** Daily success rate with a Wilson 95% score interval — the
     * uncertainty-honest way to chart a conversion/failure rate: the
     * interval stays inside [0,1] and behaves at small n where the

@@ -21,6 +21,91 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Pairwise Pearson correlation matrix over `cols` in ONE scan: all
+    * k(k-1)/2 pairs' sufficient statistics (pairwise-deleted n, Σx, Σy,
+    * Σxy, Σx², Σy²) ride a single global aggregation — profiling k
+    * columns costs one pass, never k² — and the r values assemble
+    * driver-side from those counters (bounded at 6 doubles per pair,
+    * the logRatios pattern). Engine-portable: inputs are 6dp-rounded
+    * decimals so every sum is EXACT and order-free, and the final
+    * r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) runs the same
+    * IEEE ops in the same order as the SQL replay. r is null when
+    * either side has zero variance (or n < 2) — never a 0/0.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlation needs at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate column in list")
+    val spark = df.sparkSession
+    val d = df.select(cols.map(c =>
+      round(col(c).cast("double"), 6).cast("decimal(18,6)").as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        count(when(both, 1)).as(s"n_$k"),
+        sum(when(both, col(a))).cast("double").as(s"sx_$k"),
+        sum(when(both, col(b))).cast("double").as(s"sy_$k"),
+        sum(when(both, col(a) * col(b))).cast("double").as(s"sxy_$k"),
+        sum(when(both, col(a) * col(a))).cast("double").as(s"sxx_$k"),
+        sum(when(both, col(b) * col(b))).cast("double").as(s"syy_$k"))
+    }
+    val row = d.agg(aggs.head, aggs.tail: _*).collect().head
+    val out = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val n = row.getLong(row.fieldIndex(s"n_$k"))
+      def g(p: String): Double =
+        if (row.isNullAt(row.fieldIndex(s"${p}_$k"))) 0.0
+        else row.getDouble(row.fieldIndex(s"${p}_$k"))
+      val nd = n.toDouble
+      val num = nd * g("sxy") - g("sx") * g("sy")
+      val vx = nd * g("sxx") - g("sx") * g("sx")
+      val vy = nd * g("syy") - g("sy") * g("sy")
+      val r: Option[Double] =
+        if (n >= 2 && vx > 0 && vy > 0)
+          Some(BigDecimal(num / math.sqrt(vx * vy))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      (a, b, n, r)
+    }
+    import spark.implicits._
+    out.toDF("col_a", "col_b", "n", "r")
+  }
+
+  /** DuckDB replay of [[correlationMatrix]]: one UNION ALL arm per
+    * pair, each mirroring the engine arithmetic literally (6dp decimal
+    * inputs, exact sums cast to double, same num/vx/vy order, same
+    * guards). Generated, like the PageRank oracle — the engine knows
+    * best what it computed.
+    */
+  def correlationOracleSql(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val selects = pairs.map { case (a, b) =>
+      s"""  SELECT '$a' AS col_a, '$b' AS col_b, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
+         |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE) AS num,
+         |    CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+         |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) AS vx,
+         |    CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE)
+         |      - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) AS vy
+         |  FROM (
+         |    -- DECIMAL(19,6), not (18,6): DuckDB multiplies DECIMAL(18)
+         |    -- pairs in int64 and overflows; 19+19 = 38 digits forces
+         |    -- the exact int128 path. Same rational values either way.
+         |    SELECT CAST(round(CAST($a AS DOUBLE), 6) AS DECIMAL(19,6)) AS x,
+         |           CAST(round(CAST($b AS DOUBLE), 6) AS DECIMAL(19,6)) AS y
+         |    FROM $table WHERE $a IS NOT NULL AND $b IS NOT NULL)""".stripMargin
+    }
+    s"""SELECT col_a, col_b, n,
+       |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+       |       THEN round(num / sqrt(vx * vy), 6) END AS r
+       |FROM (
+       |${selects.mkString("\n  UNION ALL\n")})
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "cannot profile a zero-column frame")

@@ -249,6 +249,29 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", "view") -> (1L, 1.0)))
   }
 
+  test("funnelLatency: exact lower-median and p90 at integer ranks") {
+    // Four users convert view->click in 10/20/30/40s: lower median is
+    // rank floor((4+1)/2)=2 -> 20, p90 is rank floor((36+9)/10)=4 -> 40.
+    // One user converts click->purchase in 5s: both quantiles = 5.
+    val rows = Seq(
+      ("u1", 0, "view"), ("u1", 10, "click"),
+      ("u2", 0, "view"), ("u2", 20, "click"),
+      ("u3", 0, "view"), ("u3", 30, "click"),
+      ("u4", 0, "view"), ("u4", 40, "click"), ("u4", 45, "purchase"),
+      ("u5", 0, "view") // never clicks: no latency row
+    ).map { case (u, s, t) =>
+      (u, new java.sql.Timestamp(1700000000000L + s * 1000L), t)
+    }.toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelLatency(rows, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .select("step_from", "step_to", "n", "median_sec", "p90_sec")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view", "click", 4L, 20L, 40L),
+      ("click", "purchase", 1L, 5L, 5L)))
+  }
+
   test("rateWilson: known interval values, bounds inside [0,1]") {
     // Day 1: 4 events, 1 purchase (p = 0.25). Wilson 95%:
     // z2n = 3.8416/4 = 0.9604; denom = 1.9604

@@ -96,4 +96,26 @@ class ProfileSpec extends SparkSpec {
     assert(p("x").getAs[Long]("n_rows") == 100L)
     assert(p("id").getAs[Long]("n_nulls") == 0L)
   }
+
+  test("correlationMatrix: exact lines, hand value, pairwise deletion, null guards") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, 1.0, 5.0, Option(1.0)),
+      (2.0, 4.0, 3.0, 5.0, Option(2.0)),
+      (3.0, 6.0, 2.0, 5.0, None)
+    ).toDF("x", "y2x", "z", "const", "holey")
+    val got = Profile.correlationMatrix(df,
+        Seq("x", "y2x", "z", "const", "holey"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("x", "y2x")) == (3L, Some(1.0)), "y = 2x is a perfect line")
+    // x=[1,2,3], z=[1,3,2]: Sxy=13 -> r = (3*13-6*6)/sqrt((3*14-36)^2) = 0.5
+    assert(got(("x", "z")) == (3L, Some(0.5)))
+    assert(got(("x", "const"))._2.isEmpty, "zero variance -> null, not NaN")
+    // Pairwise deletion: the holey column only has 2 rows vs x; those
+    // two are a perfect line.
+    assert(got(("x", "holey")) == (2L, Some(1.0)))
+    assert(got.size == 10, "all C(5,2) pairs present")
+  }
 }
