@@ -1570,6 +1570,23 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")),
 
+    // Chi-square independence + Cramér's V (r13): event mix vs weekday
+    // over the FULL grid (zero cells included); 12dp decimal-exact
+    // contribution sums.
+    "q_chi2_independence" -> ((s, d) =>
+      Anomaly.chiSquareIndependence(
+          t(s, d, "events").select(col("event_type"),
+            weekday(col("ts")).as("dow")),
+          "event_type", "dow")
+        .orderBy("event_type", "dow")),
+
+    // Two-proportion A/B z-test (r13): deterministic md5 coin, pooled
+    // variance, |z| > 1.96 verdict.
+    "q_ab_test" -> ((s, d) =>
+      EventAnalytics.abTest(
+          t(s, d, "events").select("user_id", "event_type"),
+          "user_id", col("event_type") === "purchase")),
+
     // Funnel step latency (r13): exact lower-median and p90 seconds per
     // adjacent step transition — order statistics at integer ranks, no
     // interpolation semantics to reconcile.
@@ -5618,6 +5635,90 @@ object SparkEntry {
         |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
         |FROM sig2
         |ORDER BY event_type, day""".stripMargin,
+
+    // Chi2 replay: full grid with zero cells, margin windows, exact
+    // 12dp contribution sum, scalar-table stats cross-joined back.
+    "q_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS dow,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT a.event_type, b.dow, coalesce(c.o, 0) AS o
+        |  FROM (SELECT DISTINCT event_type FROM cells) a
+        |  CROSS JOIN (SELECT DISTINCT dow FROM cells) b
+        |  LEFT JOIN cells c USING (event_type, dow)
+        |), m AS (
+        |  SELECT *, sum(o) OVER (PARTITION BY event_type) AS rt,
+        |         sum(o) OVER (PARTITION BY dow) AS ct
+        |  FROM grid
+        |), t AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS na,
+        |         CAST(count(DISTINCT dow) AS BIGINT) AS nb
+        |  FROM m
+        |), cc AS (
+        |  SELECT m.*, t.nn, t.na, t.nb,
+        |    (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(nn AS DOUBLE) AS e
+        |  FROM m CROSS JOIN t
+        |), cd AS (
+        |  SELECT *, round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e,
+        |                  12) AS contrib
+        |  FROM cc
+        |), x AS (
+        |  SELECT CAST(sum(CAST(contrib AS DECIMAL(30,12))) AS DOUBLE) AS chi2
+        |  FROM cd
+        |)
+        |SELECT event_type, dow, o, round(e, 6) AS e,
+        |  round(contrib, 6) AS contrib, round(x.chi2, 6) AS chi2,
+        |  CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+        |  CASE WHEN least(na - 1, nb - 1) > 0 AND nn > 0
+        |       THEN round(sqrt(x.chi2 / (CAST(nn AS DOUBLE)
+        |                                 * CAST(least(na - 1, nb - 1) AS DOUBLE))),
+        |                  6) END AS cramers_v
+        |FROM cd CROSS JOIN x
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // A/B replay: same md5 coin, same pooled-variance expression order.
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT converted,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), s AS (
+        |  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS k_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS k_b
+        |  FROM a
+        |), c AS (
+        |  SELECT *, CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |         CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |         CAST(k_a + k_b AS DOUBLE)
+        |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM s
+        |), zc AS (
+        |  SELECT *, sqrt(pp * (1.0 - pp)
+        |                 * (1.0 / CAST(n_a AS DOUBLE)
+        |                    + 1.0 / CAST(n_b AS DOUBLE))) AS se
+        |  FROM c
+        |)
+        |SELECT n_a, k_a, round(pa, 6) AS rate_a,
+        |       n_b, k_b, round(pb, 6) AS rate_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |            THEN round((pa - pb) / se, 6) END AS z,
+        |       coalesce(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |                     THEN abs((pa - pb) / se) > 1.96 END,
+        |                false) AS significant
+        |FROM zc""".stripMargin,
 
     // Latency replay: the q_funnel chain, floored-epoch deltas per
     // transition, rank windows, conditional max at the integer ranks.

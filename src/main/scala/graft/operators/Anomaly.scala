@@ -677,6 +677,59 @@ object Anomaly {
           .otherwise(lit("hw")))
   }
 
+  /** Chi-square test of independence between two categorical columns,
+    * with Cramér's V effect size — "does the event mix depend on the
+    * weekday" answered properly: the full r×c grid including
+    * zero-observed cells (a missing cell is evidence, not absence),
+    * expected counts from the margins, per-cell contributions
+    * (o−e)²/e. Engine-portable: contributions round to 12dp decimals
+    * and sum EXACTLY across the bounded cell table (never a float sum
+    * whose order matters), chi2/dof/V repeat on every cell row via
+    * windows over that metadata-sized grid. Scale: one counting
+    * shuffle on (a, b); everything after runs on ≤ |A|·|B| rows.
+    */
+  def chiSquareIndependence(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val grid = cells.select(col(aCol)).distinct()
+      .crossJoin(cells.select(col(bCol)).distinct())
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val wa = Window.partitionBy(aCol)
+    val wb = Window.partitionBy(bCol)
+    val g = grid
+      .withColumn("rt", sum(col("o")).over(wa))
+      .withColumn("ct", sum(col("o")).over(wb))
+    // Global stats as a broadcast one-row frame (the grid is
+    // metadata-sized; a window-DISTINCT would not replay portably).
+    val tot = g.agg(
+      sum(col("o")).as("nn"),
+      countDistinct(col(aCol)).as("na"),
+      countDistinct(col(bCol)).as("nb"))
+    val cellStats = g.crossJoin(broadcast(tot))
+      .withColumn("e",
+        (col("rt").cast("double") * col("ct").cast("double"))
+          / col("nn").cast("double"))
+      .withColumn("contrib",
+        round((col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e"), 12))
+    val chi2 = cellStats.agg(
+      sum(col("contrib").cast("decimal(30,12)")).cast("double").as("chi2"))
+    cellStats.crossJoin(broadcast(chi2))
+      .withColumn("dof", ((col("na") - 1) * (col("nb") - 1)).cast("long"))
+      .withColumn("kmin",
+        least(col("na") - 1, col("nb") - 1).cast("double"))
+      .select(col(aCol), col(bCol), col("o"), round(col("e"), 6).as("e"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("chi2"), 6).as("chi2"), col("dof"),
+        when(col("kmin") > 0 && col("nn") > 0,
+          round(sqrt(col("chi2") / (col("nn").cast("double") * col("kmin"))), 6))
+          .as("cramers_v"))
+  }
+
   /** Per-group OLS trend fit over the daily-mean series: slope,
     * intercept and r² of m ~ dayIndex (1-based rank of the day) — the
     * "is this metric drifting and how fast" scalar behind every

@@ -253,6 +253,45 @@ object EventAnalytics {
         col("median_sec"), col("p90_sec"))
   }
 
+  /** Two-proportion z-test over a deterministic 50/50 user split: the
+    * A/B experiment readout. Assignment is the house md5 coin on
+    * (user, salt) — replayable, append-stable, and exactly what a real
+    * experiment assignment service does — and the z statistic uses the
+    * pooled-variance form z = (pA−pB)/√(p̂(1−p̂)(1/nA+1/nB)). One row
+    * out: arm sizes, conversion counts/rates, z, and the |z| > 1.96
+    * verdict (the p-value needs erf, which neither engine ships —
+    * the threshold form is the portable contract). Fixed expression
+    * order end to end, mirrored in SQL.
+    */
+  def abTest(
+      events: DataFrame,
+      userCol: String,
+      successPred: Column,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val users = events
+      .groupBy(col(userCol))
+      .agg(max(when(successPred, 1).otherwise(0)).as("converted"))
+      .withColumn("arm", arm)
+    val agg = users.agg(
+      count(when(col("arm") === 0, 1)).as("n_a"),
+      count(when(col("arm") === 1, 1)).as("n_b"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0)).as("k_a"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0)).as("k_b"))
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val pA = col("k_a").cast("double") / nA
+    val pB = col("k_b").cast("double") / nB
+    val pPool = (col("k_a") + col("k_b")).cast("double") / (nA + nB)
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nA + lit(1.0) / nB))
+    agg.select(col("n_a"), col("k_a"), round(pA, 6).as("rate_a"),
+      col("n_b"), col("k_b"), round(pB, 6).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        round((pA - pB) / se, 6)).as("z"),
+      coalesce(when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        abs((pA - pB) / se) > 1.96), lit(false)).as("significant"))
+  }
+
   /** Daily success rate with a Wilson 95% score interval — the
     * uncertainty-honest way to chart a conversion/failure rate: the
     * interval stays inside [0,1] and behaves at small n where the

@@ -375,6 +375,29 @@ class AnomalySpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("sigma_e")))
   }
 
+  test("chiSquareIndependence: independence scores 0, determinism scores 1") {
+    // Perfectly balanced 2x2: chi2 = 0, V = 0, dof = 1.
+    val bal = (Seq.fill(10)(("x", 0)) ++ Seq.fill(10)(("x", 1)) ++
+      Seq.fill(10)(("y", 0)) ++ Seq.fill(10)(("y", 1))).toDF("a", "b")
+    val g0 = Anomaly.chiSquareIndependence(bal, "a", "b").collect()
+    assert(g0.length == 4)
+    assert(g0.forall(_.getDouble(g0.head.fieldIndex("chi2")) == 0.0))
+    assert(g0.forall(_.getDouble(g0.head.fieldIndex("cramers_v")) == 0.0))
+    assert(g0.forall(_.getLong(g0.head.fieldIndex("dof")) == 1L))
+    // Perfect dependence incl. ZERO cells: x only pairs with 0, y only
+    // with 1 -> the grid must still carry (x,1)/(y,0) with o=0, every
+    // e = 5, every contrib = 5, chi2 = N = 20, V = 1.
+    val dep = (Seq.fill(10)(("x", 0)) ++ Seq.fill(10)(("y", 1))).toDF("a", "b")
+    val g1 = Anomaly.chiSquareIndependence(dep, "a", "b").collect()
+    assert(g1.length == 4, "zero cells must be materialized")
+    assert(g1.forall(r => r.getDouble(r.fieldIndex("e")) == 5.0))
+    assert(g1.forall(r => r.getDouble(r.fieldIndex("chi2")) == 20.0))
+    assert(g1.forall(r => r.getDouble(r.fieldIndex("cramers_v")) == 1.0))
+    val zeros = g1.filter(_.getLong(g1.head.fieldIndex("o")) == 0L)
+    assert(zeros.length == 2 && zeros.forall(r =>
+      r.getDouble(r.fieldIndex("contrib")) == 5.0))
+  }
+
   test("forecastModelSelect: each planted shape crowns the right model") {
     def day(i: Int) = java.sql.Timestamp.valueOf(
       java.time.LocalDate.of(2023, 1, 1).plusDays(i - 1).atTime(12, 0))

@@ -249,6 +249,35 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", "view") -> (1L, 1.0)))
   }
 
+  test("abTest: z matches the pooled formula; degenerate cases stay null") {
+    // 400 users, conversion decided per user so the arm split is
+    // whatever the md5 coin says; recompute the expected z from the
+    // pooled formula on the OBSERVED arm counts.
+    val users = (1L to 400L)
+    val df = users.flatMap(u => Seq(
+      (u, if (u % 4 == 0) "purchase" else "view"),
+      (u, "click"))).toDF("user_id", "event_type")
+    val r = EventAnalytics.abTest(df, "user_id",
+      col("event_type") === "purchase").collect().head
+    val (na, ka) = (r.getLong(0), r.getLong(1))
+    val (nb, kb) = (r.getLong(3), r.getLong(4))
+    assert(na + nb == 400L && ka + kb == 100L)
+    val (nA, nB) = (na.toDouble, nb.toDouble)
+    val (pa, pb) = (ka / nA, kb / nB)
+    val pp = (ka + kb).toDouble / (nA + nB)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB))
+    val zExp = BigDecimal((pa - pb) / se)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(r.fieldIndex("z")) == zExp)
+    assert(r.getBoolean(r.fieldIndex("significant")) == (math.abs((pa - pb) / se) > 1.96))
+    // Everyone converts: pooled variance 0 -> null z, not-significant.
+    val all = users.map(u => (u, "purchase")).toDF("user_id", "event_type")
+    val r2 = EventAnalytics.abTest(all, "user_id",
+      col("event_type") === "purchase").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+    assert(!r2.getBoolean(r2.fieldIndex("significant")))
+  }
+
   test("funnelLatency: exact lower-median and p90 at integer ranks") {
     // Four users convert view->click in 10/20/30/40s: lower median is
     // rank floor((4+1)/2)=2 -> 20, p90 is rank floor((36+9)/10)=4 -> 40.
