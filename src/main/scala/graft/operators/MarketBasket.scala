@@ -31,34 +31,38 @@ object MarketBasket {
       itemCol: String,
       minPairCount: Long = 2L): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val nBaskets = items.select("b").distinct().count().toDouble
-      val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-      val its = items.groupBy("b").agg(sort_array(collect_set(col("i"))).as("its"))
-      // Ordered pairs (a < b by the sort) emitted row-locally.
-      val pairs = its.select(explode(flatten(transform(col("its"),
-        (x, idx) => transform(
-          slice(col("its"), idx + 2, greatest(size(col("its")) - idx - 1, lit(0))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
-      val pairCnt = pairs.groupBy("item_a", "item_b")
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= minPairCount)
-      val ia = itemCnt.select(col("i").as("item_a"), col("n_i").as("n_a"))
-      val ib = itemCnt.select(col("i").as("item_b"), col("n_i").as("n_b"))
-      pairCnt.join(ia, "item_a").join(ib, "item_b")
-        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
-          round(col("n_ab").cast("double")
-            / sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6)
-            .as("cosine"),
-          round(col("n_ab").cast("double") * lit(nBaskets)
-            / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
-            .as("lift"),
-          round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
-          round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"))
-    } finally items.unpersist(blocking = false)
+    // Persisted and NOT unpersisted here: the returned frame is lazy
+    // and reads this cache when the caller executes it (an unpersist on
+    // function exit would silently re-run the dedup shuffle three
+    // times — plan-audited). LRU eviction reclaims it; callers doing
+    // repeated mining can unpersist explicitly.
+    val items: DataFrame =
+      df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = items.select("b").distinct().count().toDouble
+    val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val its = items.groupBy("b").agg(sort_array(collect_set(col("i"))).as("its"))
+    // Ordered pairs (a < b by the sort) emitted row-locally.
+    val pairs = its.select(explode(flatten(transform(col("its"),
+      (x, idx) => transform(
+        slice(col("its"), idx + 2, greatest(size(col("its")) - idx - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+    val pairCnt = pairs.groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val ia = itemCnt.select(col("i").as("item_a"), col("n_i").as("n_a"))
+    val ib = itemCnt.select(col("i").as("item_b"), col("n_i").as("n_b"))
+    pairCnt.join(ia, "item_a").join(ib, "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double")
+          / sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("cosine"),
+        round(col("n_ab").cast("double") * lit(nBaskets)
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"))
   }
 }
