@@ -1570,6 +1570,34 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")),
 
+    // Two-step Markov transitions (r13): P^2 over the q_transitions
+    // matrix — 12dp decimal mid-state sums, metadata-sized self-join.
+    "q_transitions_2step" -> ((s, d) =>
+      EventAnalytics.transitionMatrix2(
+          t(s, d, "events").select("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", gapSeconds = 1800L,
+          tieBreak = col("event_id"))
+        .orderBy("from_type", "to_type")),
+
+    // Top-3 co-purchase recommendations (r13): pairStats symmetrized,
+    // ranked per item by (cosine desc, partner) — "customers also
+    // bought" from the mined pair table.
+    "q_basket_recs" -> ((s, d) =>
+      graft.operators.MarketBasket.topRecommendations(
+          graft.operators.MarketBasket.pairStats(
+            t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+            "l_orderkey", "l_partkey", minPairCount = 2L),
+          k = 3)
+        .orderBy("item", "rank")),
+
+    // Rolling 14-day purchase-vs-view correlation (r13): integer window
+    // sums are exact in both engines; full windows only.
+    "q_corr_rolling" -> ((s, d) =>
+      Anomaly.rollingCorrelation(
+          t(s, d, "events").select("ts", "event_type"),
+          "ts", "event_type", "purchase", "view", windowDays = 14)
+        .orderBy("day")),
+
     // Chi-square independence + Cramér's V (r13): event mix vs weekday
     // over the FULL grid (zero cells included); 12dp decimal-exact
     // contribution sums.
@@ -5635,6 +5663,105 @@ object SparkEntry {
         |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
         |FROM sig2
         |ORDER BY event_type, day""".stripMargin,
+
+    // Two-step replay: the q_transitions CTE squared through a 12dp
+    // decimal mid-state sum.
+    "q_transitions_2step" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR date_diff('second', prev, ts) > 1800
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM s
+        |), sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |), nxt AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+        |         lead(session_idx) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sess,
+        |         session_idx
+        |  FROM sess
+        |), tm AS (
+        |  SELECT from_type, to_type,
+        |         round(count(*) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+        |  FROM nxt
+        |  WHERE to_type IS NOT NULL AND next_sess = session_idx
+        |  GROUP BY from_type, to_type
+        |)
+        |SELECT t1.from_type AS from_type, t2.to_type AS to_type,
+        |       round(CAST(sum(CAST(round(t1.p * t2.p, 12) AS DECIMAL(30,12)))
+        |                  AS DOUBLE), 6) AS p2step
+        |FROM tm t1 JOIN tm t2 ON t1.to_type = t2.from_type
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Recs replay: the q_basket_pairs machinery symmetrized and ranked.
+    "q_basket_recs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), ic AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM items GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.i AS item_a, bb.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), scored AS (
+        |  SELECT p.item_a, p.item_b, p.n_ab,
+        |    round(CAST(p.n_ab AS DOUBLE)
+        |          / sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM pairs p
+        |  JOIN ic ia ON p.item_a = ia.i
+        |  JOIN ic ib ON p.item_b = ib.i
+        |), sym AS (
+        |  SELECT item_a AS item, item_b AS rec, cosine, n_ab FROM scored
+        |  UNION ALL
+        |  SELECT item_b, item_a, cosine, n_ab FROM scored
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |                               ORDER BY cosine DESC, rec) AS rank
+        |  FROM sym
+        |)
+        |SELECT item, CAST(rank AS INT) AS rank, rec, cosine, n_ab
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY item, rank""".stripMargin,
+
+    // Rolling-correlation replay: integer window sums, same fixed float
+    // order, full windows only.
+    "q_corr_rolling" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS x,
+        |         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), s AS (
+        |  SELECT day, x, y,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), c AS (
+        |  SELECT day, x, y, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM s
+        |)
+        |SELECT day, x, y,
+        |       CASE WHEN n = 14 AND vx > 0 AND vy > 0
+        |            THEN round(num / sqrt(vx * vy), 6) END AS r
+        |FROM c
+        |ORDER BY day""".stripMargin,
 
     // Chi2 replay: full grid with zero cells, margin windows, exact
     // 12dp contribution sum, scalar-table stats cross-joined back.

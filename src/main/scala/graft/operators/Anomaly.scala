@@ -677,6 +677,50 @@ object Anomaly {
           .otherwise(lit("hw")))
   }
 
+  /** Rolling Pearson correlation between two event types' daily
+    * volumes: for every day with a FULL trailing `windowDays`-row
+    * window, r over the (count_a, count_b) pairs in it — "are
+    * purchases still tracking views" as a time series, the leading
+    * indicator check. Free portability: daily counts are integers, so
+    * every window sum (Σx, Σy, Σxy, Σx², Σy², n) is exact in both
+    * engines with no decimal staging; only the final r arithmetic is
+    * float, in one fixed order. Partial head windows emit null r
+    * (n < windowDays) rather than a noisy estimate. The unpartitioned
+    * day-ordered window runs over the daily roll-up — bounded rows at
+    * any corpus scale.
+    */
+  def rollingCorrelation(
+      df: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      typeA: String,
+      typeB: String,
+      windowDays: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 2, s"window must be >= 2 days, got $windowDays")
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(when(col(typeCol) === typeA, 1)).as("x"),
+        count(when(col(typeCol) === typeB, 1)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
+    val s = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .select(col("day"), col("x"), col("y"), col("n"),
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")).as("num"),
+        (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")).as("vx"),
+        (col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")).as("vy"))
+    s.select(col("day"), col("x"), col("y"),
+      when(col("n") === windowDays && col("vx") > 0 && col("vy") > 0,
+        round(col("num") / sqrt(col("vx") * col("vy")), 6)).as("r"))
+  }
+
   /** Chi-square test of independence between two categorical columns,
     * with Cramér's V effect size — "does the event mix depend on the
     * weekday" answered properly: the full r×c grid including

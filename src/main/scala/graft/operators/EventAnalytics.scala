@@ -167,6 +167,33 @@ object EventAnalytics {
         org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
   }
 
+  /** Two-step transition probabilities: P²(a,c) = Σ_b P(a,b)·P(b,c)
+    * over the [[transitionMatrix]] — "where do users land two clicks
+    * from here". The mid-state sum runs over 12dp-rounded decimal terms
+    * (exact, order-free) because a float sum over an arbitrary
+    * mid-state order would not replay; the matrix is |types|² rows, so
+    * the self-join is metadata-sized at any corpus scale (the heavy
+    * pass is the ONE sessionize window inside transitionMatrix).
+    */
+  def transitionMatrix2(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      gapSeconds: Long,
+      tieBreak: Column): DataFrame = {
+    val t = transitionMatrix(events, userCol, tsCol, typeCol, gapSeconds, tieBreak)
+      .select("from_type", "to_type", "p")
+    val t1 = t.select(col("from_type").as("a"), col("to_type").as("b"),
+      col("p").as("p1"))
+    val t2 = t.select(col("from_type").as("b"), col("to_type").as("c"),
+      col("p").as("p2"))
+    t1.join(t2, "b")
+      .groupBy(col("a").as("from_type"), col("c").as("to_type"))
+      .agg(round(sum(round(col("p1") * col("p2"), 12).cast("decimal(30,12)"))
+        .cast("double"), 6).as("p2step"))
+  }
+
   /** Top session paths: the first `depth` event types of every session,
     * ">"-joined into a path string, counted across all sessions with
     * each path's share — the "what do users actually do" complement to

@@ -65,4 +65,27 @@ object MarketBasket {
         round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
         round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"))
   }
+
+  /** Top-k "customers also bought" per item from [[pairStats]]:
+    * symmetrize the canonical a<b pairs, rank each item's partners by
+    * (cosine desc, partner asc — the deterministic tie-break), keep k.
+    * A window over the bounded pair table; the mining cost is
+    * [[pairStats]]'s.
+    */
+  def topRecommendations(
+      pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("rec"),
+        col("cosine"), col("n_ab"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("rec"), col("cosine"), col("n_ab")))
+    sym.withColumn("rank", row_number().over(
+        Window.partitionBy("item")
+          .orderBy(col("cosine").desc, col("rec"))))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("rec"), col("cosine"), col("n_ab"))
+  }
 }

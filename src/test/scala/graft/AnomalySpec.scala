@@ -375,6 +375,33 @@ class AnomalySpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("sigma_e")))
   }
 
+  test("rollingCorrelation: perfect lines at +-1, partial windows null") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
+    // Day i: i purchases and 2i views (r = +1 once the window fills),
+    // window = 3 days -> days 1-2 emit null, days 3+ emit 1.0.
+    val up = (1 to 5).flatMap(i =>
+      Seq.fill(i)(("purchase", day(i))) ++ Seq.fill(2 * i)(("view", day(i))))
+    val got = Anomaly.rollingCorrelation(up.toDF("event_type", "ts"),
+        "ts", "event_type", "purchase", "view", windowDays = 3)
+      .orderBy("day").collect()
+    assert(got.take(2).forall(_.isNullAt(3)), "partial windows stay null")
+    assert(got.drop(2).forall(_.getDouble(3) == 1.0))
+    // Anti-correlated: purchases rise 1..5 while views fall 5..1.
+    val down = (1 to 5).flatMap(i =>
+      Seq.fill(i)(("purchase", day(i))) ++ Seq.fill(6 - i)(("view", day(i))))
+    val g2 = Anomaly.rollingCorrelation(down.toDF("event_type", "ts"),
+        "ts", "event_type", "purchase", "view", windowDays = 3)
+      .orderBy("day").collect()
+    assert(g2.drop(2).forall(_.getDouble(3) == -1.0))
+    // Constant views -> zero variance -> null, not NaN.
+    val const = (1 to 5).flatMap(i =>
+      Seq.fill(i)(("purchase", day(i))) ++ Seq.fill(3)(("view", day(i))))
+    val g3 = Anomaly.rollingCorrelation(const.toDF("event_type", "ts"),
+        "ts", "event_type", "purchase", "view", windowDays = 3)
+      .collect()
+    assert(g3.forall(_.isNullAt(3)))
+  }
+
   test("chiSquareIndependence: independence scores 0, determinism scores 1") {
     // Perfectly balanced 2x2: chi2 = 0, V = 0, dof = 1.
     val bal = (Seq.fill(10)(("x", 0)) ++ Seq.fill(10)(("x", 1)) ++

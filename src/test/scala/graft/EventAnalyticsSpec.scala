@@ -249,6 +249,29 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", "view") -> (1L, 1.0)))
   }
 
+  test("transitionMatrix2: squares the one-step matrix, absorbing states vanish") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), "view"),
+      (2L, "a", ts("2024-01-01 10:01:00"), "click"),
+      (3L, "a", ts("2024-01-01 10:02:00"), "view"),
+      (4L, "a", ts("2024-01-01 12:30:00"), "view"),
+      (5L, "a", ts("2024-01-01 12:31:00"), "click"),
+      (6L, "b", ts("2024-01-01 09:00:00"), "view"),
+      (7L, "b", ts("2024-01-01 09:05:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    // One-step: view->click 0.666667, view->purchase 0.333333,
+    // click->view 1.0. Purchase is absorbing (no out row), so no
+    // two-step path goes THROUGH it.
+    val got = EventAnalytics.transitionMatrix2(df, "user_id", "ts",
+        "event_type", 1800L, col("event_id"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("view", "view") -> 0.666667,
+      ("click", "click") -> 0.666667,
+      ("click", "purchase") -> 0.333333))
+  }
+
   test("abTest: z matches the pooled formula; degenerate cases stay null") {
     // 400 users, conversion decided per user so the arm split is
     // whatever the md5 coin says; recompute the expected z from the

@@ -32,6 +32,22 @@ class MarketBasketSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("conf_b_a")) == 0.666667)
   }
 
+  test("topRecommendations: symmetrized ranks with deterministic tie-break") {
+    val pairs = Seq(
+      ("x", "y", 2L, 3L, 3L, 0.9, 1.0, 0.6, 0.6),
+      ("x", "z", 2L, 3L, 2L, 0.8, 1.0, 0.6, 1.0),
+      ("y", "z", 2L, 3L, 2L, 0.9, 1.0, 0.6, 1.0)
+    ).toDF("item_a", "item_b", "n_ab", "n_a", "n_b",
+      "cosine", "lift", "conf_a_b", "conf_b_a")
+    val top1 = graft.operators.MarketBasket.topRecommendations(pairs, k = 1)
+      .select("item", "rec").as[(String, String)].collect().toMap
+    // y ties between x and z at 0.9 -> the smaller partner wins.
+    assert(top1 == Map("x" -> "y", "y" -> "x", "z" -> "y"))
+    val all = graft.operators.MarketBasket.topRecommendations(pairs, k = 5)
+      .collect()
+    assert(all.length == 6, "every pair appears in both directions")
+  }
+
   test("pairStats: pair order is canonical (a < b) and complete") {
     // One basket of 4 items must emit all C(4,2)=6 ordered pairs.
     val df = (Seq("d", "b", "a", "c")).zipWithIndex
