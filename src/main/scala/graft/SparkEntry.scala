@@ -1517,6 +1517,27 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Warm-start PageRank (r13): a cold 10-iteration run resumed for 2
+    // more — the incremental-graph path. The oracle is the cold
+    // 12-stage replay: the identity warm(cold10, 2) == cold12 is the
+    // contract, proven cross-engine.
+    "q_pagerank_warm" -> ((s, d) => {
+      val hosts = array(
+        lit("en.wikipedia.org"), lit("news.bbc.co.uk"), lit("blogs.example.com"),
+        lit("www.gov.uk"), lit("cdn.a.co.jp"), lit("example.net"))
+      def pick(salt: String) = element_at(hosts,
+        (pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
+          1, 2), 16, 10).cast("long"), lit(6L)) + 1).cast("int"))
+      val edges = t(s, d, "documents")
+        .select(pick("u").as("src"), pick("v").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val cold = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iterations = 10)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 2,
+          seedRanks = Some(cold))
+        .orderBy("node")
+    }),
+
     // TextRank keywords (r13): PageRank over the symmetric word
     // co-occurrence graph (consecutive whitespace tokens) — corpus-wide
     // keyword salience without any model. Full-vocabulary output is the
@@ -5461,6 +5482,31 @@ object SparkEntry {
           |  WHERE src != dst""".stripMargin,
       iterations = 10, damping = 0.85,
       select = "SELECT node, r AS rank FROM r10 ORDER BY node"),
+
+    // Warm-start replay: the COLD 12-stage unroll — the warm
+    // continuation must land on it exactly.
+    "q_pagerank_warm" -> graft.operators.Graph.pageRankOracleSql(
+      edgesCte =
+        """SELECT
+          |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+          |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+          |      CAST(((strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 1, 1)) - 1) * 16
+          |          + (strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 2, 1)) - 1)) % 6 + 1 AS INT)
+          |    ] AS src,
+          |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+          |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+          |      CAST(((strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 1, 1)) - 1) * 16
+          |          + (strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 2, 1)) - 1)) % 6 + 1 AS INT)
+          |    ] AS dst,
+          |    1.0 AS w
+          |  FROM documents
+          |  WHERE src != dst""".stripMargin,
+      iterations = 12, damping = 0.85,
+      select = "SELECT node, r AS rank FROM r12 ORDER BY node"),
 
     // TextRank replay: consecutive-token pairs in both directions feed
     // the same generated fixed-point; output the full vocabulary.

@@ -54,7 +54,8 @@ object Graph {
       weightCol: Option[String] = None,
       iterations: Int = 10,
       damping: Double = 0.85,
-      scale: Int = 12): DataFrame = {
+      scale: Int = 12,
+      seedRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     require(scale >= 1 && scale <= 18, s"scale in [1,18], got $scale")
@@ -82,8 +83,22 @@ object Graph {
       val n = nodes.count()
       require(n > 0, "empty graph")
       val cScale = scale + 6
-      var ranks = nodes.select(col("node"), col("has_out"),
-        round(lit(1.0 / n), scale).as("r")).localCheckpoint(true)
+      // Warm start: seed from a prior (node, rank) vector — the
+      // incremental-graph path. Because each iteration is a pure
+      // function of the previous scale-grid vector, continuing a cold
+      // run's output for k more rounds is BIT-IDENTICAL to a cold
+      // (iters+k) run (q_pagerank_warm proves it cross-engine); after
+      // an edge delta, a few warm rounds re-converge without paying the
+      // full cold schedule. Nodes unseen by the seed enter at 1/N.
+      var ranks = (seedRanks match {
+        case Some(sr) => nodes
+          .join(sr.select(col("node"), col("rank").as("__seed")),
+            Seq("node"), "left")
+          .select(col("node"), col("has_out"),
+            round(coalesce(col("__seed"), lit(1.0 / n)), scale).as("r"))
+        case None => nodes.select(col("node"), col("has_out"),
+          round(lit(1.0 / n), scale).as("r"))
+      }).localCheckpoint(true)
       for (_ <- 1 to iterations) {
         // Exact decimal sum of the dangling ranks, riding the plan as a
         // broadcast one-row frame (a driver collect here would add a

@@ -56,6 +56,34 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRank warm start: continuing a cold run is bit-identical") {
+    val cold7 = Graph.pageRank(triangle, "src", "dst", Some("w"), iterations = 7)
+    val warm = Graph.pageRank(triangle, "src", "dst", Some("w"),
+        iterations = 3, seedRanks = Some(
+          Graph.pageRank(triangle, "src", "dst", Some("w"), iterations = 4)))
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    val cold = cold7.orderBy("node").as[(String, Double)].collect().toSeq
+    assert(warm == cold, "warm(cold4, 3) must equal cold7 exactly")
+    // After an edge delta, a short warm resume lands near the full cold
+    // recompute — the incremental path earns its keep.
+    val grown = triangle.unionByName(
+      Seq(("C", "A", 1.0)).toDF("src", "dst", "w"))
+    val coldFull = Graph.pageRank(grown, "src", "dst", Some("w"), iterations = 12)
+      .as[(String, Double)].collect().toMap
+    val warmDelta = Graph.pageRank(grown, "src", "dst", Some("w"),
+        iterations = 4, seedRanks = Some(
+          Graph.pageRank(triangle, "src", "dst", Some("w"), iterations = 12)))
+      .as[(String, Double)].collect().toMap
+    val cold4 = Graph.pageRank(grown, "src", "dst", Some("w"), iterations = 4)
+      .as[(String, Double)].collect().toMap
+    def l1(m: Map[String, Double]) =
+      coldFull.keys.map(k => math.abs(coldFull(k) - m(k))).sum
+    assert(l1(warmDelta) < l1(cold4),
+      s"warm must be closer to the fixpoint than cold at equal rounds: " +
+        s"${l1(warmDelta)} vs ${l1(cold4)}")
+    assert(l1(warmDelta) < 0.05, s"and near it in absolute terms: ${l1(warmDelta)}")
+  }
+
   test("wordCooccurrenceEdges: symmetric consecutive-pair counts") {
     val docs = Seq("x y x", "", "solo").toDF("text")
     val got = Graph.wordCooccurrenceEdges(docs, "text")
