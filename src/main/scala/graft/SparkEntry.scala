@@ -1591,6 +1591,21 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")),
 
+    // Seasonal period detection (r13): ACF argmax over lags 2..14 with
+    // shortest-lag tie-break — picks Holt-Winters' period from data.
+    "q_detect_period" -> ((s, d) =>
+      Anomaly.detectPeriod(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value", maxLag = 14, minAcf = 0.3)
+        .orderBy("event_type")),
+
+    // Join-key skew report (r13): top-10 heaviest user_ids with shares
+    // and the max/mean skew ratio — the pre-shuffle salting decision.
+    "q_skew_report" -> ((s, d) =>
+      graft.operators.Profile.skewReport(
+          t(s, d, "events").select("user_id"), "user_id", topK = 10)
+        .orderBy("rank")),
+
     // Two-step Markov transitions (r13): P^2 over the q_transitions
     // matrix — 12dp decimal mid-state sums, metadata-sized self-join.
     "q_transitions_2step" -> ((s, d) =>
@@ -5709,6 +5724,84 @@ object SparkEntry {
         |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
         |FROM sig2
         |ORDER BY event_type, day""".stripMargin,
+
+    // Period replay: the q_acf machinery over the FIRST-DIFFERENCED
+    // daily series (trend kills raw ACF detection), maxLag 14, ranked.
+    "q_detect_period" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), diffd0 AS (
+        |  SELECT event_type, day,
+        |         round(m - lag(m) OVER (PARTITION BY event_type ORDER BY day),
+        |               6) AS m
+        |  FROM daily
+        |), diffd AS (
+        |  SELECT event_type, day, m,
+        |         min(m) OVER (PARTITION BY event_type) AS dmin,
+        |         max(m) OVER (PARTITION BY event_type) AS dmax
+        |  FROM diffd0 WHERE m IS NOT NULL
+        |), ord AS (
+        |  SELECT event_type, day,
+        |         CAST(m AS DECIMAL(18,6)) AS m,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM diffd WHERE dmin != dmax
+        |), pairs AS (
+        |  SELECT a.event_type, l.lag, a.m AS x, b.m AS y
+        |  FROM ord a
+        |  CROSS JOIN (SELECT unnest(range(1, 15)) AS lag) l
+        |  JOIN ord b ON b.event_type = a.event_type AND b.rn = a.rn - l.lag
+        |), mo AS (
+        |  SELECT event_type, CAST(lag AS INT) AS lag,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |         CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM pairs GROUP BY 1, 2
+        |), acf AS (
+        |  SELECT event_type, lag, n_pairs,
+        |         CASE WHEN n_pairs * sxx - sx * sx > 0
+        |               AND n_pairs * syy - sy * sy > 0
+        |              THEN round((n_pairs * sxy - sx * sy)
+        |                         / sqrt((n_pairs * sxx - sx * sx)
+        |                                * (n_pairs * syy - sy * sy)), 6) END AS acf
+        |  FROM mo
+        |), ranked AS (
+        |  SELECT event_type, lag, acf,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY acf DESC, lag) AS rk
+        |  FROM acf WHERE lag >= 2 AND acf IS NOT NULL
+        |)
+        |SELECT event_type, lag AS period, acf AS period_acf,
+        |       acf >= 0.3 AS is_seasonal
+        |FROM ranked WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // Skew replay: key census, scalar stats, TakeOrdered top-10.
+    "q_skew_report" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM counts
+        |), top AS (
+        |  SELECT user_id, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+        |  FROM counts
+        |)
+        |SELECT CAST(t.rank AS INT) AS rank, t.user_id, t.cnt,
+        |       round(CAST(t.cnt AS DOUBLE) / CAST(x.n_rows AS DOUBLE), 6)
+        |         AS share,
+        |       round(CAST(x.max_cnt AS DOUBLE)
+        |             / (CAST(x.n_rows AS DOUBLE) / CAST(x.n_keys AS DOUBLE)), 6)
+        |         AS skew_ratio
+        |FROM top t CROSS JOIN tot x
+        |WHERE t.rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     // Two-step replay: the q_transitions CTE squared through a 12dp
     // decimal mid-state sum.

@@ -927,6 +927,53 @@ object Anomaly {
       .select(col(groupCol), col("lag"), col("n_pairs"), col("acf"))
   }
 
+  /** Dominant seasonal period per group: the lag (≥ 2) with the
+    * highest [[autocorrelation]] of the FIRST-DIFFERENCED daily series,
+    * ties to the SHORTEST lag, plus an `is_seasonal` verdict at
+    * `minAcf`. Differencing first is load-bearing, not decoration: a
+    * trending series autocorrelates near 1 at EVERY lag, so raw ACF
+    * declares any ramp "seasonal" at whatever lag noise favors
+    * (spec-pinned); differences kill the trend (a ramp becomes a
+    * constant → zero variance → null ACF) while a genuine rhythm
+    * survives in its period's differences. The operator that picks
+    * [[holtWintersForecast]]'s `period` argument from the data instead
+    * of folklore. Pure composition: daily roll-up → lag-1 diff → ACF →
+    * one rank window over the bounded (group × maxLag) table.
+    */
+  def detectPeriod(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      maxLag: Int = 14,
+      minAcf: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 2, s"need lags >= 2 to call anything a season, got $maxLag")
+    val wOrd = Window.partitionBy(groupCol).orderBy("day")
+    val wGrp = Window.partitionBy(groupCol)
+    val diffed = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(avg(col(valueCol)), 6).as("m"))
+      .withColumn("d", round(col("m") - lag(col("m"), 1).over(wOrd), 6))
+      .filter(col("d").isNotNull)
+      // Constant-diff groups (pure trends) leave the float moment
+      // arithmetic with ~1e-15 dust instead of an exact zero variance,
+      // which the ratio then amplifies into junk ACF — so gate on the
+      // EXACT 6dp grid instead: all diffs equal ⟺ min == max, no
+      // tolerance needed, and the group honestly has no season.
+      .withColumn("__dmin", min(col("d")).over(wGrp))
+      .withColumn("__dmax", max(col("d")).over(wGrp))
+      .filter(col("__dmin") =!= col("__dmax"))
+      .select(col(groupCol), col("day").cast("timestamp").as("__ts"), col("d"))
+    autocorrelation(diffed, groupCol, "__ts", "d", maxLag)
+      .filter(col("lag") >= 2 && col("acf").isNotNull)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("acf").desc, col("lag"))))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col("lag").as("period"),
+        col("acf").as("period_acf"),
+        (col("acf") >= minAcf).as("is_seasonal"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift per group: D = max over x of
     * |F_base(x) - F_cur(x)| between the baseline and current empirical
     * CDFs — the nonparametric companion to [[psiDrift]] (no binning

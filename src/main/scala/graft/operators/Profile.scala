@@ -106,6 +106,34 @@ object Profile {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** Join-key skew report: the top-k heaviest keys with their share of
+    * all rows, plus the table-wide skew ratio max/mean (mean = rows per
+    * distinct key) — the number that says whether a shuffle on this key
+    * needs salting BEFORE the job hangs. One counting shuffle; the
+    * top-k travels as a TakeOrdered (k rows per partition cross the
+    * wire, never the full key census), and the scalar stats ride a
+    * broadcast one-row frame.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col(keyCol))))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share"),
+        round(col("max_cnt").cast("double")
+          / (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_ratio"))
+  }
+
   def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "cannot profile a zero-column frame")

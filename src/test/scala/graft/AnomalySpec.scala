@@ -375,6 +375,26 @@ class AnomalySpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("sigma_e")))
   }
 
+  test("detectPeriod: planted weekly rhythm found, flat series not seasonal") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i - 1).atTime(12, 0))
+    val df = ((1 to 56).map(i =>
+      ("weekly", day(i), if (i % 7 == 0) 80.0 else 10.0)) ++
+      // A clean linear ramp: raw ACF would scream "seasonal" at every
+      // lag (trend autocorrelates near 1); the differenced detector
+      // sees a constant -> zero variance -> NO period row at all.
+      (1 to 56).map(i => ("ramp", day(i), 10.0 + 0.1 * i)))
+      .toDF("grp", "ts", "v")
+    val got = Anomaly.detectPeriod(df, "grp", "ts", "v",
+        maxLag = 14, minAcf = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(r.fieldIndex("period")),
+          r.getBoolean(r.fieldIndex("is_seasonal")))).toMap
+    assert(got("weekly") == (7, true), s"weekly rhythm: $got")
+    assert(!got.contains("ramp"),
+      s"a pure trend has no detectable season: $got")
+  }
+
   test("rollingCorrelation: perfect lines at +-1, partial windows null") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     // Day i: i purchases and 2i views (r = +1 once the window fills),

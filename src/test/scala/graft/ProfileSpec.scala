@@ -97,6 +97,21 @@ class ProfileSpec extends SparkSpec {
     assert(p("id").getAs[Long]("n_nulls") == 0L)
   }
 
+  test("skewReport: heavy key ranked first, shares and ratio exact") {
+    import spark.implicits._
+    // Keys: "hot" x 8, "warm" x 2, a..e x 1 -> 15 rows, 7 keys,
+    // mean = 15/7, skew_ratio = 8/(15/7) = 3.733333.
+    val df = (Seq.fill(8)("hot") ++ Seq.fill(2)("warm") ++
+      Seq("a", "b", "c", "d", "e")).toDF("k")
+    val got = Profile.skewReport(df, "k", topK = 3).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(got(0).getString(1) == "hot" && got(0).getLong(2) == 8L)
+    assert(got(0).getDouble(got(0).fieldIndex("share")) == 0.533333)
+    assert(got(0).getDouble(got(0).fieldIndex("skew_ratio")) == 3.733333)
+    // Count ties break by key ascending.
+    assert(got(1).getString(1) == "warm" && got(2).getString(1) == "a")
+  }
+
   test("correlationMatrix: exact lines, hand value, pairwise deletion, null guards") {
     import spark.implicits._
     val df = Seq(
