@@ -695,12 +695,25 @@ object Anomaly {
       typeCol: String,
       typeA: String,
       typeB: String,
-      windowDays: Int = 14): DataFrame = {
+      windowDays: Int = 14): DataFrame =
+    rollingCorrelationFromDaily(
+      df.groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(when(col(typeCol) === typeA, 1)).as("x"),
+          count(when(col(typeCol) === typeB, 1)).as("y")),
+      windowDays)
+
+  /** [[rollingCorrelation]] from an already-built (day, x, y) daily
+    * count table — the incremental entry: daily counts are mergeable
+    * (IncrementalAgg/CensusStore fabric), so a streaming census can
+    * accrete per batch and this bounded-table window recomputes the
+    * corr series without ever rescanning events (streamed == batch is
+    * golden-pinned in StreamingFeaturesSpec).
+    */
+  def rollingCorrelationFromDaily(
+      daily: DataFrame,
+      windowDays: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowDays >= 2, s"window must be >= 2 days, got $windowDays")
-    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
-      .agg(count(when(col(typeCol) === typeA, 1)).as("x"),
-        count(when(col(typeCol) === typeB, 1)).as("y"))
     val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
     val s = daily
       .withColumn("n", count(lit(1)).over(w))

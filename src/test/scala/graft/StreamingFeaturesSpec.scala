@@ -129,6 +129,64 @@ class StreamingFeaturesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed daily census -> rolling correlation == batch (mergeable counts)") {
+    val dir = s"$root/corr_stream"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // 10 days, counts rising; events split across THREE micro-batches
+    // that cut across days, so per-batch partial states genuinely
+    // merge (not just append).
+    def day(i: Int) = new Timestamp(1700000000000L + i * 86400000L)
+    val all = (1 to 10).flatMap(i =>
+      Seq.fill(i)(("purchase", day(i))) ++ Seq.fill(2 * i + 1)(("view", day(i))))
+    val batches = all.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val schema2 = new StructType()
+      .add("event_type", "string").add("ts", "timestamp")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_type", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp$i")
+      val src = Files.list(Paths.get(s"$dir/tmp$i"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/b$i.parquet"))
+    }
+    val statePath = s"$dir/state"
+    val stream = spark.readStream.schema(schema2)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.operators.IncrementalAgg.partialState(
+          batch.withColumn("day", org.apache.spark.sql.functions.to_date(col("ts"))),
+          keys = Seq("day"),
+          sums = Seq(
+            "x" -> org.apache.spark.sql.functions
+              .when(col("event_type") === "purchase", 1L).otherwise(0L),
+            "y" -> org.apache.spark.sql.functions
+              .when(col("event_type") === "view", 1L).otherwise(0L)))
+        val merged =
+          if (Files.exists(Paths.get(statePath)))
+            graft.operators.IncrementalAgg.merge(
+              spark.read.parquet(statePath), delta,
+              keys = Seq("day"), sumCols = Seq("x", "y"))
+          else delta
+        val staged = s"$statePath.next"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(statePath)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    // The corr series recomputes from the BOUNDED standing census —
+    // never rescanning events — and must equal the batch operator on
+    // the raw stream.
+    val streamed = graft.operators.Anomaly.rollingCorrelationFromDaily(
+        spark.read.parquet(statePath).select("day", "x", "y"), windowDays = 3)
+      .orderBy("day").collect().toSeq
+    val batchSide = graft.operators.Anomaly.rollingCorrelation(
+        all.toDF("event_type", "ts"), "ts", "event_type",
+        "purchase", "view", windowDays = 3)
+      .orderBy("day").collect().toSeq
+    assert(streamed == batchSide, "census-fed corr must equal batch corr")
+    assert(streamed.count(r => !r.isNullAt(3)) >= 8, "full windows exist")
+  }
+
   test("streamed PSI against a frozen baseline == batch scoring (stream-static)") {
     val dir = s"$root/psi_stream"
     Files.createDirectories(Paths.get(s"$dir/in"))
