@@ -750,7 +750,12 @@ object Anomaly {
       aCol: String,
       bCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Eagerly checkpointed: the cell table is metadata-sized (≤ |A|·|B|
+    // rows) but referenced by the grid cross, the margins, and the
+    // totals — without the barrier each reference re-aggregates the
+    // full input (plan-audited at ~12 raw scans).
     val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
     val grid = cells.select(col(aCol)).distinct()
       .crossJoin(cells.select(col(bCol)).distinct())
       .join(cells, Seq(aCol, bCol), "left")

@@ -182,8 +182,11 @@ object EventAnalytics {
       typeCol: String,
       gapSeconds: Long,
       tieBreak: Column): DataFrame = {
+    // Eager checkpoint: the matrix is ≤ |types|² rows, and the self-join
+    // below would otherwise run the sessionize window pass twice.
     val t = transitionMatrix(events, userCol, tsCol, typeCol, gapSeconds, tieBreak)
       .select("from_type", "to_type", "p")
+      .localCheckpoint(true)
     val t1 = t.select(col("from_type").as("a"), col("to_type").as("b"),
       col("p").as("p1"))
     val t2 = t.select(col("from_type").as("b"), col("to_type").as("c"),
@@ -255,7 +258,13 @@ object EventAnalytics {
       steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, "latency needs at least two funnel steps")
     import org.apache.spark.sql.expressions.Window
+    // Persisted: each step pair reads the per-user funnel table once,
+    // and the funnel chain itself walks the event table per step —
+    // without the cache the union re-runs that whole chain per pair
+    // (plan-audited). Lazy persist is enough: both union arms execute
+    // inside the caller's one action.
     val f = funnel(events, userCol, tsCol, typeCol, steps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = (1 until steps.size).map { i =>
       f.filter(col(s"step${i + 1}_ts").isNotNull)
         .select(lit(steps(i - 1)).as("step_from"), lit(steps(i)).as("step_to"),

@@ -117,7 +117,11 @@ object Profile {
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     import org.apache.spark.sql.expressions.Window
+    // Lazy persist: the scalar stats and the top-k both read the key
+    // census inside the caller's one action — cached, the counting
+    // shuffle runs once instead of twice (plan-audited).
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(
       sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"),
