@@ -45,11 +45,15 @@ object Resample {
       method: String = "locf"): DataFrame = {
     require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
     require(Set("locf", "interp")(method), s"unknown fill method: $method")
+    // Lazy persist: the grid bounds and the union both read the
+    // per-instant table inside the caller's one action — cached, the
+    // source scans once (plan-audited; same class as the pairStats fix).
     val obs = df
       .select(col(groupCol).as("g"),
         unix_timestamp(col(tsCol)).as("tsu"),
         col(valueCol).cast("double").as("v0"))
       .groupBy("g", "tsu").agg(round(avg(col("v0")), 6).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = obs.groupBy("g")
       .agg(min(col("tsu")).as("mn"), max(col("tsu")).as("mx"))
       .select(col("g"),
