@@ -920,12 +920,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "shard_idx", "start_offset")
         .orderBy("doc_id")),
 
-    // Embedding covariance matrix (upper triangle): one distributed
-    // moment fold (n, sum x, sum xx^T — counters cross the wire, never
-    // vectors), d^2 rows materialized driver-side. The raw statistic
-    // behind PCA/whitening; oracle replays avg(xi*xj) - mu_i*mu_j.
+    // Embedding covariance matrix (upper triangle) — the EXACT decimal
+    // form: components quantized to the 6dp grid, d^2 cross products
+    // summed as decimals (order-free; map-side partial agg collapses
+    // each partition to d(d+1)/2 counters before one tiny shuffle),
+    // cov assembled in fixed scalar-IEEE order. Bit-portable where the
+    // r13 double moment fold was a per-run ulp coin flip at the
+    // round(,6) boundary (hash-FAILed); oracle replays the identical
+    // decimal staging per pair.
     "q_emb_covariance" -> ((s, d) =>
-      graft.operators.EmbeddingStats.covariance(t(s, d, "embeddings"), "embedding")
+      graft.operators.EmbeddingStats.covarianceExact(t(s, d, "embeddings"), "embedding")
         .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
         .orderBy("i", "j")),
 
@@ -1727,6 +1731,22 @@ object SparkEntry {
       TrainingData.packBinsBfd(
           t(s, d, "documents"), "doc_id", col("n_chars"),
           capacity = 2048L, numPartitions = 8)
+        .orderBy("id")),
+
+    // BFD packing, deterministic-key grain (r14): the same fold as
+    // q_pack_bins but grouped by floorMod(doc_id, 4) — integer
+    // arithmetic any engine reproduces — which makes the FULL bin
+    // assignment (ids, offsets, overflow flags) oracle-replayable: the
+    // DuckDB side runs the identical best-fit-decreasing recursion
+    // (smallest remaining >= n, ties to the most recently
+    // created-or-updated bin) as a recursive CTE carrying the bins
+    // list as state. Promotes the packing family from rows-only to a
+    // FULL oracle; the hash-grain form keeps its spec pinning as the
+    // shuffle-native scale default.
+    "q_pack_bins_det" -> ((s, d) =>
+      TrainingData.packBinsBfdByKey(
+          t(s, d, "documents"), "doc_id", col("n_chars"),
+          capacity = 2048L, parts = 4)
         .orderBy("id")),
 
     // Single-pass table profile: per-column null/distinct counts and
@@ -4410,27 +4430,87 @@ object SparkEntry {
         |       CAST(prior - CAST(floor(prior / 2048.0) AS BIGINT) * 2048 AS INT) AS start_offset
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    // Per-pair covariance replay: explode with ordinality (DuckDB has
-    // no WITH ORDINALITY — zip unnest with generate_subscripts in one
-    // SELECT list instead), self-join on vec_id (upper triangle),
-    // avg(xy) - avg(x)avg(y).
+    // BFD replay, step for step: per deterministic part, docs in
+    // (-n, id) order drive a recursive CTE whose state is the bins
+    // list (index, remaining, last-touch step). Each step picks the
+    // smallest remaining >= n (ties -> max last-touch, which IS the
+    // engine's TreeMap LIFO order: every create/update re-pushes the
+    // bin), new bins open when nothing fits, oversize docs take
+    // dedicated overflow bins. Offsets fall out as capacity - remaining.
+    "q_pack_bins_det" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT ((doc_id % 4) + 4) % 4 AS part, doc_id AS id, n_chars AS n,
+        |         row_number() OVER (PARTITION BY ((doc_id % 4) + 4) % 4
+        |                            ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents WHERE n_chars > 0
+        |), pack AS (
+        |  SELECT part, CAST(0 AS BIGINT) AS rk,
+        |         CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS n,
+        |         CAST(NULL AS BIGINT) AS bin_idx, CAST(NULL AS BIGINT) AS bin_off,
+        |         CAST(NULL AS BOOLEAN) AS is_overflow,
+        |         CAST([] AS STRUCT(i BIGINT, rem BIGINT, seq BIGINT)[]) AS bins
+        |  FROM (SELECT DISTINCT part FROM docs)
+        |  UNION ALL
+        |  SELECT d.part, d.rk, d.id, d.n, st.bi, st.bo, st.ov, st.nb
+        |  FROM pack p
+        |  JOIN docs d ON d.part = p.part AND d.rk = p.rk + 1,
+        |  LATERAL (
+        |    SELECT
+        |      CASE WHEN d.n > 2048 OR x.brem IS NULL
+        |           THEN CAST(len(p.bins) AS BIGINT) ELSE y.cidx END AS bi,
+        |      CASE WHEN d.n > 2048 OR x.brem IS NULL
+        |           THEN CAST(0 AS BIGINT) ELSE 2048 - x.brem END AS bo,
+        |      (d.n > 2048) AS ov,
+        |      CASE WHEN d.n > 2048 THEN list_append(p.bins,
+        |             {'i': CAST(len(p.bins) AS BIGINT), 'rem': CAST(-1 AS BIGINT),
+        |              'seq': CAST(d.rk AS BIGINT)})
+        |           WHEN x.brem IS NULL THEN list_append(p.bins,
+        |             {'i': CAST(len(p.bins) AS BIGINT), 'rem': CAST(2048 - d.n AS BIGINT),
+        |              'seq': CAST(d.rk AS BIGINT)})
+        |           ELSE list_transform(p.bins, b -> CASE WHEN b.i = y.cidx
+        |                  THEN {'i': b.i, 'rem': x.brem - d.n, 'seq': CAST(d.rk AS BIGINT)}
+        |                  ELSE b END)
+        |      END AS nb
+        |    FROM (
+        |      SELECT brem, list_max(list_transform(
+        |               list_filter(p.bins, b -> b.rem >= d.n AND b.rem = brem),
+        |               b -> b.seq)) AS bseq
+        |      FROM (SELECT list_min(list_transform(
+        |              list_filter(p.bins, b -> b.rem >= d.n), b -> b.rem)) AS brem)
+        |    ) x, LATERAL (
+        |      SELECT list_filter(p.bins, b -> b.rem = x.brem AND b.seq = x.bseq)[1].i AS cidx
+        |    ) y
+        |  ) st
+        |)
+        |SELECT id, n AS n_tokens,
+        |       CAST(part * 4294967296 + bin_idx AS BIGINT) AS bin_id,
+        |       CAST(bin_off AS BIGINT) AS bin_off, is_overflow
+        |FROM pack WHERE rk > 0 ORDER BY id""".stripMargin,
+
+    // Per-pair covariance replay, decimal-exact: explode with
+    // ordinality (DuckDB has no WITH ORDINALITY — zip unnest with
+    // generate_subscripts in one SELECT list instead), components
+    // quantized to the 6dp grid as DECIMAL(18,6), self-join on vec_id
+    // (upper triangle), exact decimal moment sums cast to double once,
+    // cov in the same fixed scalar parenthesization as the engine.
     "q_emb_covariance" ->
       """WITH x AS (
         |  SELECT vec_id,
         |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
         |  FROM embeddings
-        |), m AS (
-        |  SELECT i, avg(x) AS mu FROM x GROUP BY i
         |), p AS (
-        |  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+        |  SELECT a.i AS i, b.i AS j,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(a.x) AS DOUBLE) AS sx,
+        |         CAST(sum(b.x) AS DOUBLE) AS sy,
+        |         CAST(sum(a.x * b.x) AS DOUBLE) AS sxy
         |  FROM x a JOIN x b USING (vec_id)
         |  WHERE a.i <= b.i
         |  GROUP BY a.i, b.i
         |)
-        |SELECT p.i, p.j, round(p.exy - ma.mu * mb.mu, 6) AS cov
-        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
-        |ORDER BY p.i, p.j""".stripMargin,
+        |SELECT i, j, round(sxy / n - (sx / n) * (sy / n), 6) AS cov
+        |FROM p ORDER BY i, j""".stripMargin,
 
     // URL synthesis (2-hex md5 pick), host regex, registered-domain
     // label heuristic, then the 13-hex sample-key rank window capped
@@ -4889,13 +4969,23 @@ object SparkEntry {
     // rounded exactly as the engine rounds its fold.
     "q_anomaly_ewma" ->
       """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), ord AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
         |  FROM daily
+        |), sg0 AS (
+        |  SELECT event_type, CAST(count(m) AS BIGINT) AS nm,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS smm
+        |  FROM daily GROUP BY 1
         |), sig AS (
-        |  SELECT event_type, round(stddev_samp(m), 6) AS sigma FROM daily GROUP BY 1
+        |  SELECT event_type,
+        |         CASE WHEN nm >= 2 THEN round(sqrt(greatest(
+        |           (nm * smm - sm * sm) / (nm * (nm - 1)), 0.0)), 6) END AS sigma
+        |  FROM sg0
         |), ew AS (
         |  SELECT event_type, day, m, rn, m AS ewma FROM ord WHERE rn = 1
         |  UNION ALL
@@ -4919,15 +5009,19 @@ object SparkEntry {
     // |S_k - k*S_n/n| with the earliest-day tiebreak.
     "q_changepoint" ->
       """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), scanned AS (
         |  SELECT event_type, day,
         |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
-        |         sum(m) OVER (PARTITION BY event_type ORDER BY day
-        |                      ROWS UNBOUNDED PRECEDING) AS s_k,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6)))
+        |              OVER (PARTITION BY event_type ORDER BY day
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s_k,
         |         count(*) OVER (PARTITION BY event_type) AS n,
-        |         sum(m) OVER (PARTITION BY event_type) AS s_n
+        |         CAST(sum(CAST(m AS DECIMAL(18,6)))
+        |              OVER (PARTITION BY event_type) AS DOUBLE) AS s_n
         |  FROM daily
         |), st AS (
         |  SELECT *, round(abs(s_k - k * s_n / n), 6) AS stat
@@ -4966,7 +5060,7 @@ object SparkEntry {
         |), dense AS (
         |  SELECT g.event_type, d.bucket,
         |         coalesce(c.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
-        |  FROM (SELECT DISTINCT event_type FROM src) g
+        |  FROM (SELECT event_type FROM edges) g
         |  CROSS JOIN (SELECT unnest(range(1, 11)) AS bucket) d
         |  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.bucket = d.bucket
         |), sh AS (
@@ -5097,7 +5191,9 @@ object SparkEntry {
     // replayed series.
     "q_anomaly_holt" ->
       """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), ord AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -5121,9 +5217,17 @@ object SparkEntry {
         |              THEN round(c.m - round(p.l + p.b, 6), 6) END AS error
         |  FROM h c
         |  LEFT JOIN h p ON p.event_type = c.event_type AND p.rn = c.rn - 1
-        |), sig AS (
-        |  SELECT *, round(stddev_samp(error) OVER (PARTITION BY event_type), 6) AS sigma_e
+        |), sg0 AS (
+        |  SELECT *,
+        |         CAST(count(error) OVER (PARTITION BY event_type) AS BIGINT) AS ne,
+        |         CAST(sum(CAST(error AS DECIMAL(18,6))) OVER (PARTITION BY event_type) AS DOUBLE) AS se,
+        |         CAST(sum(CAST(error AS DECIMAL(18,6)) * CAST(error AS DECIMAL(18,6)))
+        |              OVER (PARTITION BY event_type) AS DOUBLE) AS sse
         |  FROM err
+        |), sig AS (
+        |  SELECT *, CASE WHEN ne >= 2 THEN round(sqrt(greatest(
+        |              (ne * sse - se * se) / (ne * (ne - 1)), 0.0)), 6) END AS sigma_e
+        |  FROM sg0
         |)
         |SELECT event_type, day, m, level, trend, forecast, error, sigma_e,
         |       coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
@@ -5234,20 +5338,25 @@ object SparkEntry {
     // +1 (DuckDB is 0=Sunday, Spark is 1=Sunday).
     "q_seasonal_decompose" ->
       """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), tr AS (
         |  SELECT event_type, day, m,
         |         CAST(dayofweek(day) + 1 AS INT) AS dow,
         |         CASE WHEN count(*) OVER w = 7
-        |              THEN round(avg(m) OVER w, 6) END AS trend
+        |              THEN round(CAST(sum(CAST(m AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |                         / count(*) OVER w, 6) END AS trend
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |), de AS (
         |  SELECT *, round(m - trend, 6) AS detr FROM tr
         |), se AS (
-        |  SELECT *, round(avg(detr) OVER (PARTITION BY event_type, dow), 6) AS seasonal
+        |  SELECT *, round(CAST(sum(CAST(detr AS DECIMAL(18,6)))
+        |                        OVER (PARTITION BY event_type, dow) AS DOUBLE)
+        |                  / count(detr) OVER (PARTITION BY event_type, dow), 6) AS seasonal
         |  FROM de
         |)
         |SELECT event_type, day, dow, m, trend, seasonal,
@@ -5260,7 +5369,9 @@ object SparkEntry {
     // DECIMAL(18,6) moment sums cast to double once each.
     "q_acf" ->
       """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), ord AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -5294,6 +5405,7 @@ object SparkEntry {
     "q_drift_ks" ->
       """WITH src AS (
         |  SELECT event_type, value, (day(ts) <= 15) AS is_base FROM events
+        |  WHERE value IS NOT NULL
         |), cnt AS (
         |  SELECT event_type, value AS v,
         |         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -5428,7 +5540,9 @@ object SparkEntry {
     // decimal |error| sums -> double MAEs and the skill ratio.
     "q_forecast_backtest" ->
       """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), ord AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -5574,7 +5688,8 @@ object SparkEntry {
       """WITH obs AS (
         |  SELECT event_type AS g,
         |         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS tsu,
-        |         round(avg(value), 6) AS v
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS v
         |  FROM events GROUP BY 1, 2
         |), bounds AS (
         |  SELECT g,
@@ -5602,7 +5717,8 @@ object SparkEntry {
       """WITH obs AS (
         |  SELECT event_type AS g,
         |         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS tsu,
-        |         round(avg(value), 6) AS v
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS v
         |  FROM events GROUP BY 1, 2
         |), bounds AS (
         |  SELECT g,
@@ -5673,7 +5789,9 @@ object SparkEntry {
     // duplication the engine's expression tree has.
     "q_anomaly_hw" ->
       """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), ord AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -5715,10 +5833,17 @@ object SparkEntry {
         |         CASE WHEN forecast IS NOT NULL
         |              THEN round(m - forecast, 6) END AS error
         |  FROM err
-        |), sig2 AS (
-        |  SELECT *, round(stddev_samp(error) OVER (PARTITION BY event_type), 6)
-        |              AS sigma_e
+        |), sg0 AS (
+        |  SELECT *,
+        |         CAST(count(error) OVER (PARTITION BY event_type) AS BIGINT) AS ne,
+        |         CAST(sum(CAST(error AS DECIMAL(18,6))) OVER (PARTITION BY event_type) AS DOUBLE) AS se,
+        |         CAST(sum(CAST(error AS DECIMAL(18,6)) * CAST(error AS DECIMAL(18,6)))
+        |              OVER (PARTITION BY event_type) AS DOUBLE) AS sse
         |  FROM sig
+        |), sig2 AS (
+        |  SELECT *, CASE WHEN ne >= 2 THEN round(sqrt(greatest(
+        |              (ne * sse - se * se) / (ne * (ne - 1)), 0.0)), 6) END AS sigma_e
+        |  FROM sg0
         |)
         |SELECT event_type, day, m, level, trend, seasonal, forecast, error,
         |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
@@ -5729,7 +5854,9 @@ object SparkEntry {
     // daily series (trend kills raw ACF detection), maxLag 14, ranked.
     "q_detect_period" ->
       """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), diffd0 AS (
         |  SELECT event_type, day,
@@ -6037,7 +6164,9 @@ object SparkEntry {
     // winner CASE on the rounded MAEs.
     "q_forecast_model_select" ->
       """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), ord AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -6142,7 +6271,9 @@ object SparkEntry {
     // decimal sums), identical double arithmetic order.
     "q_trend_ols" ->
       """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS m
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
         |  FROM events GROUP BY 1, 2
         |), x AS (
         |  SELECT event_type, m,
@@ -7362,7 +7493,8 @@ object SparkEntry {
         |         CAST(sum(f.nc) AS BIGINT) AS total_chars,
         |         round(CAST(sum(f.nt) AS DOUBLE) / count(*), 6) AS mean_doc_tokens,
         |         round(CAST(sum(f.dup) AS DOUBLE) / count(*), 6) AS dup_doc_frac,
-        |         round(avg(s.avg_surprisal), 6) AS mean_surprisal
+        |         round(CAST(sum(CAST(s.avg_surprisal AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(s.avg_surprisal), 6) AS mean_surprisal
         |  FROM flagged f JOIN sdoc s USING (doc_id)
         |  GROUP BY f.source
         |), wide AS (

@@ -15,6 +15,48 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Daily mean on the 6dp decimal grid — the engine-portable roll-up
+    * every daily-series operator here seeds from (EWMA, Holt,
+    * Holt-Winters, CUSUM, ACF, OLS trend, seasonal decomposition,
+    * period detection). A bare `round(avg(double), 6)` is
+    * summation-ORDER-dependent — cross-partition in Spark, engine
+    * order in a DuckDB replay — so a mean landing half an ulp from a
+    * 6dp rounding boundary flips its last decimal between engines (the
+    * r13 `q_seasonal_decompose` hash fail). Staged instead: quantize
+    * each value onto the grid (round, then an exact decimal cast), sum
+    * EXACTLY as decimal(18,6) (associative, order-free, bit-portable),
+    * cast the one sum to double, divide by the non-null count — from
+    * there the arithmetic is a single scalar IEEE division plus round,
+    * identical in any engine. Every oracle mirrors this staging
+    * verbatim in its daily CTE.
+    */
+  private[graft] def dailyMean(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(round(
+        sum(round(col(valueCol), 6).cast("decimal(18,6)")).cast("double")
+          / count(col(valueCol)), 6).as("m"))
+
+  /** Order-free sample standard deviation of a 6dp-grid column from
+    * exact decimal moment sums: n, Σv, Σv² summed as decimals (the
+    * inputs are on the grid, so the products need 12dp — exact in
+    * decimal(37,12)), each cast to double ONCE, then the textbook
+    * sqrt((nΣv² − (Σv)²)/(n(n−1))) in one fixed scalar
+    * parenthesization. `stddev_samp` over doubles folds in partition /
+    * engine order and can flip the 6th decimal at a boundary; this
+    * cannot. Guards: n < 2 → null (stddev_samp's own convention);
+    * float dust can leave the discriminant a hair negative for
+    * constant series → clamped at 0. Takes the three already-summed
+    * moments so window and groupBy aggregation shapes share the one
+    * scalar formula.
+    */
+  private def stdFromMoments(n: Column, s: Column, ss: Column): Column =
+    when(n >= 2,
+      round(sqrt(greatest((n * ss - s * s) / (n * (n - 1)), lit(0.0))), 6))
+
   /** Robust z-score per row: (x - median_g) / (1.4826 * MAD_g), where g
     * is the row's group and 1.4826 scales MAD to estimate sigma under
     * normality (1/Phi^-1(0.75)). Rows with |z| > threshold are flagged.
@@ -217,9 +259,14 @@ object Anomaly {
     val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
     def pct(c: Column): Column =
       if (exact) percentile(c, probs) else approx_percentile(c, probs, lit(accuracy))
+    // Lazy persist: edges feed both the bucket join and the densify
+    // frame below — without the cache the quantile aggregation (a full
+    // baseline scan) would run once per consumer (the r13 plan-audit
+    // recompute-fan-out lesson). Metadata-sized: one row per group.
     val edges = df.filter(isBaseline)
       .groupBy(col(groupCol))
       .agg(transform(pct(col(valueCol)), e => round(e, 6)).as("__edges"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = df
       .join(broadcast(edges), Seq(groupCol))
       .withColumn("bucket",
@@ -231,8 +278,14 @@ object Anomaly {
         sum(when(col("__period") === "base", 1L).otherwise(0L)).as("n_base"),
         sum(when(col("__period") === "cur", 1L).otherwise(0L)).as("n_cur"))
     // Densify to every bucket so empty cells contribute their clamped
-    // share instead of disappearing from the sum.
-    val dense = df.select(col(groupCol)).distinct()
+    // share instead of disappearing from the sum. Densify from the
+    // EDGES table's groups, not df's: a group with no baseline rows
+    // has no edges (the inner join above already dropped its facts),
+    // and emitting 10 all-zero rows for it would (a) divide 0/0 —
+    // engine-divergent null-vs-NaN — and (b) break the documented
+    // identity psiBaseline + psiAgainstBaseline == psiDrift, whose
+    // fit half can only densify from groups it has edges for.
+    val dense = edges.select(col(groupCol))
       .select(col(groupCol), explode(sequence(lit(1), lit(buckets))).as("bucket"))
       .join(bucketed, Seq(groupCol, "bucket"), "left")
       .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
@@ -329,10 +382,10 @@ object Anomaly {
     * The daily roll-up bounds the series at one row per (group, day) —
     * metadata even at 100 TB — so the scan itself is window arithmetic
     * over a tiny table; the only full-fact work is the one daily
-    * aggregation scan. Daily means are rounded to 6 BEFORE the prefix
-    * sums (window order is deterministic, so two engines summing the
-    * same rounded values agree bit-for-bit; unrounded cross-partition
-    * float sums would not). Ties break to the earliest day.
+    * aggregation scan. Daily means land on the 6dp grid first
+    * ([[dailyMean]]) and the prefix/total sums run as exact decimals,
+    * so two engines agree bit-for-bit regardless of fold order. Ties
+    * break to the earliest day.
     */
   def changePointScan(
       df: DataFrame,
@@ -340,15 +393,20 @@ object Anomaly {
       tsCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
     val wOrd = Window.partitionBy(groupCol).orderBy("day")
     val wAll = Window.partitionBy(groupCol)
+    // Prefix AND whole-partition sums staged as exact decimal: the
+    // running sum's order is pinned by the window, but s_n is an
+    // UNORDERED partition fold — decimal makes both order-free, and
+    // the one cast to double hands the stat formula plain scalar IEEE
+    // arithmetic.
+    val md = col("m").cast("decimal(18,6)")
     val scanned = daily
       .withColumn("k", row_number().over(wOrd))
-      .withColumn("s_k", sum(col("m")).over(wOrd))
+      .withColumn("s_k", sum(md).over(wOrd).cast("double"))
       .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("s_n", sum(col("m")).over(wAll))
+      .withColumn("s_n", sum(md).over(wAll).cast("double"))
       .filter(col("k") < col("n"))
       .withColumn("stat",
         round(abs(col("s_k") - col("k") * col("s_n") / col("n")), 6))
@@ -386,11 +444,18 @@ object Anomaly {
       l: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
-    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
+    // sigma from exact decimal moments (m is on the 6dp grid), not
+    // stddev_samp over doubles — the group fold is unordered, so a
+    // float stddev is partition-order-dependent at the last ulp.
+    val md = col("m").cast("decimal(18,6)")
     val series = daily.groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("day"), col("m")))).as("s"),
-        round(stddev_samp(col("m")), 6).as("sigma"))
+        count(col("m")).as("__nm"),
+        sum(md).cast("double").as("__sm"),
+        sum(md * md).cast("double").as("__smm"))
+      .withColumn("sigma",
+        stdFromMoments(col("__nm"), col("__sm"), col("__smm")))
     // Running EWMA as an array fold: acc grows one smoothed value per
     // day; z_1 seeds at m_1. O(days^2) array copies — days is metadata.
     val ewmas = aggregate(col("s"),
@@ -446,8 +511,7 @@ object Anomaly {
     import org.apache.spark.sql.expressions.Window
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
     require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
-    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
     val series = daily.groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("day"), col("m")))).as("s"))
     // Fold state: one struct(l, b) per day. Seeds: l_1 = m_1, b_1 =
@@ -486,7 +550,17 @@ object Anomaly {
         round(lag(col("level"), 1).over(wOrd) + lag(col("trend"), 1).over(wOrd), 6))
       .withColumn("error",
         when(col("forecast").isNotNull, round(col("m") - col("forecast"), 6)))
-      .withColumn("sigma_e", round(stddev_samp(col("error")).over(wAll), 6))
+      // sigma_e over an UNORDERED group window: exact decimal moments,
+      // never float stddev (order-dependent last ulp — the class that
+      // hash-failed q_seasonal_decompose in r13).
+      .withColumn("__ne", count(col("error")).over(wAll))
+      .withColumn("__se",
+        sum(col("error").cast("decimal(18,6)")).over(wAll).cast("double"))
+      .withColumn("__sse",
+        sum(col("error").cast("decimal(18,6)")
+          * col("error").cast("decimal(18,6)")).over(wAll).cast("double"))
+      .withColumn("sigma_e",
+        stdFromMoments(col("__ne"), col("__se"), col("__sse")))
       .withColumn("is_alarm",
         coalesce(abs(col("error")) > lit(l) * col("sigma_e"), lit(false)))
       .select(col(groupCol), col("day"), col("m"), col("level"), col("trend"),
@@ -575,8 +649,7 @@ object Anomaly {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
     require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
     require(gamma >= 0 && gamma <= 1, s"gamma in [0,1], got $gamma")
-    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
     val series = daily.groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("day"), col("m")))).as("s"))
     val st = aggregate(col("s"),
@@ -616,7 +689,15 @@ object Anomaly {
           + coalesce(lag(col("seasonal"), period).over(wOrd), lit(0.0)), 6))
       .withColumn("error",
         when(col("forecast").isNotNull, round(col("m") - col("forecast"), 6)))
-      .withColumn("sigma_e", round(stddev_samp(col("error")).over(wAll), 6))
+      // Same decimal-moment sigma_e staging as [[holtForecast]].
+      .withColumn("__ne", count(col("error")).over(wAll))
+      .withColumn("__se",
+        sum(col("error").cast("decimal(18,6)")).over(wAll).cast("double"))
+      .withColumn("__sse",
+        sum(col("error").cast("decimal(18,6)")
+          * col("error").cast("decimal(18,6)")).over(wAll).cast("double"))
+      .withColumn("sigma_e",
+        stdFromMoments(col("__ne"), col("__se"), col("__sse")))
       .withColumn("is_alarm",
         coalesce(abs(col("error")) > lit(l) * col("sigma_e"), lit(false)))
       .select(col(groupCol), col("day"), col("m"), col("level"), col("trend"),
@@ -813,8 +894,7 @@ object Anomaly {
       tsCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
     val idx = daily.withColumn("i",
       row_number().over(Window.partitionBy(groupCol).orderBy("day")).cast("long"))
     val s = idx.groupBy(col(groupCol))
@@ -867,19 +947,28 @@ object Anomaly {
       halfWindow: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
-    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
     val wOrd = Window.partitionBy(groupCol).orderBy("day")
     val wMa = wOrd.rowsBetween(-halfWindow, halfWindow)
+    // Both window means staged through exact decimal sums (m and
+    // __detr are already on the 6dp grid): the centered MA's frame is
+    // ordered but its fold is not, and the per-(group, dow) seasonal
+    // mean is an UNORDERED partition aggregate — the precise site of
+    // the r13 cross-engine hash fail. Decimal sums are order-free;
+    // the single cast-to-double + divide + round is scalar IEEE.
     val trended = daily
       .withColumn("__n_win", count(lit(1)).over(wMa))
       .withColumn("trend",
-        when(col("__n_win") === 2 * halfWindow + 1, round(avg(col("m")).over(wMa), 6)))
+        when(col("__n_win") === 2 * halfWindow + 1,
+          round(sum(col("m").cast("decimal(18,6)")).over(wMa).cast("double")
+            / col("__n_win"), 6)))
       .withColumn("__detr", round(col("m") - col("trend"), 6))
       .withColumn("dow", dayofweek(col("day")))
     val wDow = Window.partitionBy(col(groupCol), col("dow"))
     trended
-      .withColumn("seasonal", round(avg(col("__detr")).over(wDow), 6))
+      .withColumn("seasonal",
+        round(sum(col("__detr").cast("decimal(18,6)")).over(wDow).cast("double")
+          / count(col("__detr")).over(wDow), 6))
       .withColumn("residual",
         when(col("trend").isNotNull,
           round(col("m") - col("trend") - col("seasonal"), 6)))
@@ -905,8 +994,7 @@ object Anomaly {
       maxLag: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
     val wOrd = Window.partitionBy(groupCol).orderBy("day")
     val lagged = (1 to maxLag).foldLeft(daily) { (d, l) =>
       d.withColumn(s"__lag$l", lag(col("m"), l).over(wOrd))
@@ -969,8 +1057,7 @@ object Anomaly {
     require(maxLag >= 2, s"need lags >= 2 to call anything a season, got $maxLag")
     val wOrd = Window.partitionBy(groupCol).orderBy("day")
     val wGrp = Window.partitionBy(groupCol)
-    val diffed = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
-      .agg(round(avg(col(valueCol)), 6).as("m"))
+    val diffed = dailyMean(df, groupCol, tsCol, valueCol)
       .withColumn("d", round(col("m") - lag(col("m"), 1).over(wOrd), 6))
       .filter(col("d").isNotNull)
       // Constant-diff groups (pure trends) leave the float moment
@@ -1012,7 +1099,12 @@ object Anomaly {
       valueCol: String,
       isBaseline: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Null values are statistically meaningless in a KS test and,
+    // worse, engine-divergent: Spark's window ORDER BY sorts nulls
+    // first, DuckDB's defaults nulls last, so a null "CDF step" would
+    // shift every cumulative gap. Drop them before counting.
     val counts = df
+      .filter(col(valueCol).isNotNull)
       .withColumn("__base", isBaseline)
       .groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(

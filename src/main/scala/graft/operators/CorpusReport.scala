@@ -71,7 +71,11 @@ object CorpusReport {
           .as("mean_doc_tokens"),
         round(sum(col("__dup")).cast("double") / count(lit(1)), 6)
           .as("dup_doc_frac"),
-        round(avg(col("avg_surprisal")), 6).as("mean_surprisal"))
+        // avg_surprisal is already on the 6dp grid — exact decimal sum
+        // over it, cast once, one scalar division: order-free in both
+        // engines where avg(double) is not (r14 portability sweep).
+        round(sum(col("avg_surprisal").cast("decimal(18,6)")).cast("double")
+          / count(col("avg_surprisal")), 6).as("mean_surprisal"))
       .join(vocab, Seq("source"))
       .withColumn("ttr",
         round(col("vocab_size").cast("double") / col("total_tokens"), 6))

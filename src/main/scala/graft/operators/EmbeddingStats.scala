@@ -104,6 +104,49 @@ object EmbeddingStats {
     rows.toDF("i", "j", "cov")
   }
 
+  /** Engine-portable covariance: same statistic as [[covariance]], but
+    * every moment is an EXACT decimal sum so the result is bit-identical
+    * regardless of partition count, fold order, or which engine replays
+    * it. The [[moments]] double fold is partition-order-dependent in its
+    * last ulp — fine as PCA input (the eigenbasis is rows-only anyway),
+    * but a ulp landing at a round(…, 6) boundary flips the 6th decimal
+    * between runs (observed: the r13 `q_emb_covariance` hash fail).
+    * Here instead: each component is quantized onto the 6dp grid
+    * (round, then an exact decimal(18,6) cast), all d² cross products
+    * and d sums accumulate as decimals (order-free, associative), each
+    * aggregate casts to double ONCE, and cov = Sxy/n − (Sx/n)(Sy/n)
+    * runs in one fixed scalar-IEEE parenthesization — the q_acf
+    * discipline applied to a matrix.
+    *
+    * Scale shape: the pair fan-out (d² structs per row) feeds a hash
+    * aggregate directly, so map-side partial aggregation collapses each
+    * partition to ≤ d(d+1)/2 counter rows before the one tiny shuffle —
+    * no self-join, no d²·n rows on the wire. Per-dimension sums ride
+    * the diagonal pairs (i = j share Sx_i), joined back over the
+    * metadata-sized (d×d) result.
+    */
+  def covarianceExact(df: DataFrame, vecCol: String): DataFrame = {
+    val q = transform(
+      graft.functions.VectorOps.asDouble(col(vecCol)),
+      x => round(x, 6).cast("decimal(18,6)"))
+    val pairs = df
+      .select(q.as("__q"))
+      .na.drop("any")
+      .select(posexplode(col("__q")).as(Seq("i", "x")), col("__q"))
+      .select(col("i"), col("x"),
+        posexplode(col("__q")).as(Seq("j", "y")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("x")).cast("double").as("__sx"),
+        sum(col("y")).cast("double").as("__sy"),
+        sum(col("x") * col("y")).cast("double").as("__sxy"))
+    pairs.select(col("i"), col("j"),
+      (col("__sxy") / col("__n")
+        - (col("__sx") / col("__n")) * (col("__sy") / col("__n"))).as("cov"))
+  }
+
   /** A fitted PCA basis: per-dimension mean, k orthonormal axes (rows,
     * descending eigenvalue), and the explained variance per axis.
     */

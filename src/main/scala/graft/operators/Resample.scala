@@ -52,7 +52,13 @@ object Resample {
       .select(col(groupCol).as("g"),
         unix_timestamp(col(tsCol)).as("tsu"),
         col(valueCol).cast("double").as("v0"))
-      .groupBy("g", "tsu").agg(round(avg(col("v0")), 6).as("v"))
+      // Same-instant duplicates collapse through an exact decimal sum,
+      // not avg(double) — order-free, so the DuckDB replay's fold
+      // order can't flip the 6th decimal (the r14 portability sweep).
+      .groupBy("g", "tsu")
+      .agg(round(
+        sum(round(col("v0"), 6).cast("decimal(18,6)")).cast("double")
+          / count(col("v0")), 6).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = obs.groupBy("g")
       .agg(min(col("tsu")).as("mn"), max(col("tsu")).as("mx"))

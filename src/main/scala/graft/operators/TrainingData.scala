@@ -143,45 +143,111 @@ object TrainingData {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    df.select(col(idCol).cast("long").as("id"),
+    // Fail loudly on a null or non-numeric id: a silent cast-to-null
+    // would collapse every such document onto id=null — one hash
+    // partition, one indistinguishable "document" in the output — with
+    // no error. raise_error inside the projection keeps the check
+    // row-local (no extra scan, no collect).
+    df.select(col(idCol).cast("long").as("__id"),
         tokenCount.cast("long").as("n"))
+      .select(
+        when(col("__id").isNull,
+          raise_error(lit(s"packBinsBfd: id column '$idCol' is null or " +
+            "not castable to long")).cast("long"))
+          .otherwise(col("__id")).as("id"),
+        col("n"))
       .filter(col("n") > 0)
       .repartition(parts, col("id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        // Length-descending, id-ascending: the BFD order, and the
-        // determinism anchor (ties always break the same way).
-        val rows = it.toArray.sortBy { case (id, n) => (-n, id) }
-        // remaining-capacity -> bin ids at that remaining (LIFO so the
-        // choice among equals is deterministic).
-        val byRemaining = new java.util.TreeMap[Long, List[Int]]()
-        val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
-        def open(): Int = { fill += 0L; fill.length - 1 }
-        rows.iterator.map { case (id, n) =>
-          if (n > capacity) {
-            val b = open(); fill(b) = n
-            (id, n, pid << 32 | b.toLong, 0L, true)
-          } else {
-            val e = byRemaining.ceilingEntry(n)
-            val bin = if (e == null) {
-              val b = open()
-              if (capacity > n) // only re-index bins that can still take docs
-                byRemaining.merge(capacity - n, List(b), (a, x) => x ::: a)
-              b
-            } else {
-              val b :: rest = e.getValue
-              if (rest.isEmpty) byRemaining.remove(e.getKey)
-              else byRemaining.put(e.getKey, rest)
-              val rem = e.getKey - n
-              if (rem > 0) byRemaining.merge(rem, List(b), (a, x) => x ::: a)
-              b
-            }
-            val off = fill(bin)
-            fill(bin) = off + n
-            (id, n, pid << 32 | bin.toLong, off, false)
-          }
+        bfdPack(it.toArray, capacity, pid << 32)
+      }
+      .toDF("id", "n_tokens", "bin_id", "bin_off", "is_overflow")
+  }
+
+  /** The sequential best-fit-decreasing core shared by [[packBinsBfd]]
+    * (hash-partition grain) and [[packBinsBfdByKey]] (deterministic-key
+    * grain): sort length-descending / id-ascending, then TreeMap
+    * best-fit with LIFO tie-break among bins at equal remaining — the
+    * determinism anchor (ties always break the same way).
+    */
+  private def bfdPack(
+      rows: Array[(Long, Long)],
+      capacity: Long,
+      binBase: Long): Iterator[(Long, Long, Long, Long, Boolean)] = {
+    val sorted = rows.sortBy { case (id, n) => (-n, id) }
+    // remaining-capacity -> bin ids at that remaining (LIFO so the
+    // choice among equals is deterministic).
+    val byRemaining = new java.util.TreeMap[Long, List[Int]]()
+    val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def open(): Int = { fill += 0L; fill.length - 1 }
+    sorted.iterator.map { case (id, n) =>
+      if (n > capacity) {
+        val b = open(); fill(b) = n
+        (id, n, binBase | b.toLong, 0L, true)
+      } else {
+        val e = byRemaining.ceilingEntry(n)
+        val bin = if (e == null) {
+          val b = open()
+          if (capacity > n) // only re-index bins that can still take docs
+            byRemaining.merge(capacity - n, List(b), (a, x) => x ::: a)
+          b
+        } else {
+          val b :: rest = e.getValue
+          if (rest.isEmpty) byRemaining.remove(e.getKey)
+          else byRemaining.put(e.getKey, rest)
+          val rem = e.getKey - n
+          if (rem > 0) byRemaining.merge(rem, List(b), (a, x) => x ::: a)
+          b
         }
+        val off = fill(bin)
+        fill(bin) = off + n
+        (id, n, binBase | bin.toLong, off, false)
+      }
+    }
+  }
+
+  /** [[packBinsBfd]] with an ENGINE-PORTABLE partition grain: documents
+    * group by `floorMod(id, parts)` — plain integer arithmetic any
+    * engine reproduces — instead of Spark's internal hash partitioner,
+    * so the complete BFD assignment (bin ids, offsets) is externally
+    * replayable step for step. The hash form stays the scale default
+    * (its grain follows the shuffle layout with no extra keyed
+    * aggregation); this form is the auditable twin: same fold, same
+    * tie-breaks, bin_id = key << 32 | local index. The replay contract:
+    * docs sorted (-n, id) per key; each step picks the bin with the
+    * SMALLEST remaining >= n, ties to the bin most recently
+    * created-or-updated (the TreeMap LIFO order == max last-touch step);
+    * oversize docs take dedicated overflow bins.
+    *
+    * Scale shape: one groupByKey shuffle on the key (parts groups —
+    * size `parts` to the cluster), each group packed independently;
+    * identical parallelism story to the hash form at equal `parts`.
+    */
+  def packBinsBfdByKey(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      capacity: Long,
+      parts: Int): DataFrame = {
+    require(capacity > 0, s"bin capacity must be positive, got $capacity")
+    require(parts > 0, s"part count must be positive, got $parts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"),
+        tokenCount.cast("long").as("n"))
+      .select(
+        when(col("__id").isNull,
+          raise_error(lit(s"packBinsBfdByKey: id column '$idCol' is null " +
+            "or not castable to long")).cast("long"))
+          .otherwise(col("__id")).as("id"),
+        col("n"))
+      .filter(col("n") > 0)
+      .as[(Long, Long)]
+      .groupByKey { case (id, _) => java.lang.Math.floorMod(id, parts.toLong) }
+      .flatMapGroups { (key, it) =>
+        bfdPack(it.toArray, capacity, key << 32)
       }
       .toDF("id", "n_tokens", "bin_id", "bin_off", "is_overflow")
   }

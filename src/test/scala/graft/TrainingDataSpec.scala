@@ -934,6 +934,65 @@ class TrainingDataSpec extends SparkSpec {
     assert(badPad == 0)
   }
 
+  test("packBinsBfdByKey: same fold as hash grain, partitioning-invariant, key grain replayable") {
+    val docs = (1L to 300L).map(i => (i, 1 + (i * 73) % 900)).toDF("doc_id", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingData.packBinsBfdByKey(d, "doc_id", col("n"), 1024L, parts = 4)
+        .select("id", "n_tokens", "bin_id", "bin_off", "is_overflow")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val base = run(docs)
+    // Engine-portable grain: the assignment must not depend on how the
+    // INPUT happens to be partitioned (the hash-grain form only pins
+    // determinism for a fixed numPartitions; this one is absolute).
+    assert(base == run(docs.repartition(13)), "input partitioning leaked into packing")
+    assert(base == run(docs.repartition(1)), "input partitioning leaked into packing")
+    // Per-key replay: a single-threaded reference BFD over each key's
+    // (-n, id)-sorted docs must reproduce bin ids and offsets exactly.
+    val byKey = (1L to 300L).map(i => (i, 1 + (i * 73) % 900)).groupBy(_._1 % 4)
+    val expected = byKey.flatMap { case (k, rows) =>
+      val sorted = rows.sortBy { case (id, n) => (-n, id) }
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long] // remaining per bin
+      val touched = scala.collection.mutable.ArrayBuffer.empty[Int] // last-touch step
+      sorted.zipWithIndex.map { case ((id, n), step) =>
+        val cands = rem.indices.filter(b => rem(b) >= n)
+        val bin = if (cands.isEmpty) { rem += 1024L; touched += 0; rem.length - 1 }
+        else cands.minBy(b => (rem(b), -touched(b)))
+        val off = 1024L - rem(bin)
+        rem(bin) -= n; touched(bin) = step + 1
+        (id, n, k << 32 | bin.toLong, off, false)
+      }
+    }.toSet
+    assert(base == expected, "engine fold diverged from the reference BFD replay")
+    // Capacity still respected at the key grain.
+    val byBin = base.groupBy(_._3)
+    byBin.values.foreach(rows => assert(rows.map(_._2).sum <= 1024L))
+  }
+
+  test("packBinsBfdByKey: overflow + null id guard") {
+    val docs = Seq((1L, 5000L), (2L, 100L)).toDF("doc_id", "n")
+    val packed = TrainingData.packBinsBfdByKey(docs, "doc_id", col("n"), 1024L, 2)
+      .select("id", "is_overflow").as[(Long, Boolean)].collect().toMap
+    assert(packed == Map(1L -> true, 2L -> false))
+    val bad = Seq(("x", 10L), ("7", 20L)).toDF("doc_id", "n")
+    val e = intercept[Exception] {
+      TrainingData.packBinsBfdByKey(bad, "doc_id", col("n"), 1024L, 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("packBinsBfd: null/non-numeric ids fail loudly instead of collapsing onto null") {
+    val bad = Seq(("abc", 10L), ("5", 20L)).toDF("doc_id", "n")
+    val e = intercept[Exception] {
+      TrainingData.packBinsBfd(bad, "doc_id", col("n"), 64L, 2).collect()
+    }
+    assert(e.getMessage != null)
+    val withNull = Seq((Option(1L), 10L), (Option.empty[Long], 20L))
+      .toDF("doc_id", "n")
+    intercept[Exception] {
+      TrainingData.packBinsBfd(withNull, "doc_id", col("n"), 64L, 2).collect()
+    }
+  }
+
   test("packBinsBfd: zero/negative token docs are excluded, empty input is empty") {
     val docs = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("doc_id", "n")
     val packed = TrainingData.packBinsBfd(docs, "doc_id", col("n"),
