@@ -1551,6 +1551,31 @@ object SparkEntry {
           iterations = 10)
         .orderBy("word")),
 
+    // HITS hubs & authorities (r14): the complementary crawl prior to
+    // PageRank, over the bipartite doc->host graph (each doc links its
+    // two md5-picked hosts — the q_pagerank_domains synthesis with the
+    // doc side kept as nodes): authorities separate the hosts by who
+    // links them, hubs separate the docs by where they point. Five
+    // L1-normalized iterations on the 12dp grid; the oracle unrolls
+    // the identical half-step arithmetic.
+    "q_hits" -> ((s, d) => {
+      val hosts = array(
+        lit("en.wikipedia.org"), lit("news.bbc.co.uk"), lit("blogs.example.com"),
+        lit("www.gov.uk"), lit("cdn.a.co.jp"), lit("example.net"))
+      def pick(salt: String) = element_at(hosts,
+        (pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
+          1, 2), 16, 10).cast("long"), lit(6L)) + 1).cast("int"))
+      val docs = t(s, d, "documents")
+      val edges = docs
+        .select(concat(lit("doc:"), col("doc_id").cast("string")).as("src"),
+          pick("u").as("dst"))
+        .unionByName(docs
+          .select(concat(lit("doc:"), col("doc_id").cast("string")).as("src"),
+            pick("v").as("dst")))
+      graft.operators.Graph.hits(edges, "src", "dst", iterations = 5)
+        .orderBy("node")
+    }),
+
     // Co-purchase pair mining (r13): parts sharing an order, with
     // cosine/lift/confidence — the pair explosion is map-side from each
     // basket's sorted item list, never a self-join.
@@ -2476,6 +2501,67 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    // Exact ROC-AUC (r14): does the heuristic quality score separate
+    // English docs per source? Mann-Whitney U from INTEGER rank sums
+    // over the (source, distinct score) counts — doubled midranks keep
+    // every intermediate a BIGINT, one division at the end, so the AUC
+    // is engine-exact by construction (no trapezoid float accumulation).
+    // The evaluation gate a score column must pass before it filters
+    // training data.
+    "q_roc_auc" -> ((s, d) =>
+      graft.operators.MlEval.rocAuc(
+          t(s, d, "documents"), "source",
+          col("lang") === "en", TextFunctions.qualityScore(col("text")))
+        .orderBy("source")),
+
+    // ROC operating points (r14): per source and distinct threshold,
+    // cumulative integer tp/fp plus the two ratio divisions — the curve
+    // q_roc_auc summarizes, bounded by distinct grid scores per group.
+    "q_roc_curve" -> ((s, d) =>
+      graft.operators.MlEval.rocCurve(
+          t(s, d, "documents"), "source",
+          col("lang") === "en", TextFunctions.qualityScore(col("text")))
+        .orderBy("source", "threshold")),
+
+    // Calibration bins (r14): mean predicted score (decimal-staged on
+    // the 4dp score grid) vs observed positive rate (integer ratio)
+    // per fixed-width bucket — "does 0.8 mean 80%" for the same
+    // score/label pair the ROC queries grade.
+    "q_calibration" -> ((s, d) =>
+      graft.operators.MlEval.calibrationBins(
+          t(s, d, "documents"), "source",
+          col("lang") === "en", TextFunctions.qualityScore(col("text")),
+          bins = 10)
+        .orderBy("source", "bin")),
+
+    // PR operating points (r14): the imbalanced-regime twin of
+    // q_roc_curve — precision/recall as single integer-ratio divisions
+    // per distinct threshold.
+    "q_pr_curve" -> ((s, d) =>
+      graft.operators.MlEval.prCurve(
+          t(s, d, "documents"), "source",
+          col("lang") === "en", TextFunctions.qualityScore(col("text")))
+        .orderBy("source", "threshold")),
+
+    // Average precision (r14): step-interpolated area under q_pr_curve;
+    // per-threshold terms are pure functions of integer counts rounded
+    // onto a 12dp grid, folded as exact decimals (order-free), one
+    // final division by n_pos.
+    "q_avg_precision" -> ((s, d) =>
+      graft.operators.MlEval.averagePrecision(
+          t(s, d, "documents"), "source",
+          col("lang") === "en", TextFunctions.qualityScore(col("text")))
+        .orderBy("source")),
+
+    // Best-F1 operating point (r14): argmax F1 threshold per source,
+    // highest threshold breaking 6dp-grid ties — the one number a
+    // quality-gate deployer actually sets.
+    "q_best_f1" -> ((s, d) =>
+      graft.operators.MlEval.bestF1(
+          t(s, d, "documents"), "source",
+          col("lang") === "en", TextFunctions.qualityScore(col("text")))
+        .orderBy("source")),
 
     // Multimodal decode path: the stub decoder is a deterministic
     // function of the content digest, so even the "decoded" dimensions
@@ -3552,6 +3638,31 @@ object SparkEntry {
       // histogram), so its oracle IS q_drift_psi's SQL.
       ("q_drift_psi_frozen" -> base("q_drift_psi"))
   }
+
+  // The q_text_quality score replay (shared by the r14 ML-eval oracle
+  // family): per doc, the 4-gate heuristic score on the 4dp grid plus
+  // the (lang = 'en') label and the source group.
+  private def qualityScoredCte: String =
+    """WITH s AS (
+      |  SELECT doc_id, source, (lang = 'en') AS y,
+      |         length(text) AS n_chars,
+      |         len(regexp_extract_all(text, '\S+')) AS n_tok,
+      |         len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+      |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+      |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+      |  FROM documents
+      |), sc AS (
+      |  SELECT source, y,
+      |         round((
+      |           (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+      |           (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+      |                 THEN 1.0 ELSE 0.0 END) +
+      |           (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+      |                 THEN 1.0 ELSE 0.0 END) +
+      |           least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+      |         ) / 4.0, 4) AS score
+      |  FROM s
+      |)""".stripMargin
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -5654,6 +5765,34 @@ object SparkEntry {
           |  SELECT p.w2, p.w1, 1.0 FROM pr""".stripMargin,
       iterations = 10, damping = 0.85,
       select = "SELECT node AS word, r AS rank FROM r10 ORDER BY word"),
+
+    // HITS replay: doc->host bipartite edges (the md5 pick, doc side
+    // kept as 'doc:<id>' nodes), then the generated 5-iteration
+    // unrolled half-step fixed-point (Graph.hitsOracleSql).
+    "q_hits" -> graft.operators.Graph.hitsOracleSql(
+      edgesCte =
+        """SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS src,
+          |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+          |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+          |      CAST(((strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 1, 1)) - 1) * 16
+          |          + (strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 2, 1)) - 1)) % 6 + 1 AS INT)
+          |    ] AS dst
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS src,
+          |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+          |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+          |      CAST(((strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 1, 1)) - 1) * 16
+          |          + (strpos('0123456789abcdef',
+          |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 2, 1)) - 1)) % 6 + 1 AS INT)
+          |    ] AS dst
+          |  FROM documents""".stripMargin,
+      iterations = 5,
+      select = "SELECT node, h5.h AS hub, a5.a AS authority " +
+        "FROM h5 JOIN a5 USING (node) ORDER BY node"),
 
     // Basket replay: the self-join form IS the oracle (DuckDB's
     // single-node hash join is fine at sf0.01; the engine avoids it).
@@ -8171,6 +8310,151 @@ object SparkEntry {
         |         least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
         |       ) / 4.0, 4) AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Mann-Whitney AUC replay: (source, distinct score) counts, the
+    // rows-strictly-below cumulative, doubled-midrank BIGINT sum, one
+    // final division — identical integer arithmetic to the engine.
+    "q_roc_auc" -> (qualityScoredCte +
+      """, cnt AS (
+        |  SELECT source, score,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM sc GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT *, CAST(sum(pos + neg) OVER (PARTITION BY source ORDER BY score
+        |              ROWS UNBOUNDED PRECEDING) - (pos + neg) AS BIGINT) AS below
+        |  FROM cnt
+        |), t AS (
+        |  SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(neg) AS BIGINT) AS n_neg,
+        |         CAST(sum(pos * (2 * (below + 1) + (pos + neg) - 1)) AS BIGINT) AS rank2
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT source, n_pos, n_neg,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0
+        |            THEN round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |                       / (2 * n_pos * n_neg), 6) END AS auc
+        |FROM t ORDER BY source""".stripMargin),
+
+    // ROC points replay: descending-threshold cumulative integer
+    // tp/fp over the same distinct-score counts, two ratio divisions.
+    "q_roc_curve" -> (qualityScoredCte +
+      """, cnt AS (
+        |  SELECT source, score,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM sc GROUP BY 1, 2
+        |), c AS (
+        |  SELECT source, score AS threshold,
+        |         CAST(sum(pos) OVER wd AS BIGINT) AS tp,
+        |         CAST(sum(neg) OVER wd AS BIGINT) AS fp,
+        |         CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT) AS n_pos,
+        |         CAST(sum(neg) OVER (PARTITION BY source) AS BIGINT) AS n_neg
+        |  FROM cnt
+        |  WINDOW wd AS (PARTITION BY source ORDER BY score DESC
+        |                ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT source, threshold, tp, fp,
+        |       CASE WHEN n_pos > 0 THEN round(CAST(tp AS DOUBLE) / n_pos, 6) END AS tpr,
+        |       CASE WHEN n_neg > 0 THEN round(CAST(fp AS DOUBLE) / n_neg, 6) END AS fpr
+        |FROM c ORDER BY source, threshold""".stripMargin),
+
+    // Calibration replay: fixed-width bins off the same double
+    // arithmetic (score * 10, floor, clamp), decimal-staged mean
+    // score, integer-ratio positive rate.
+    "q_calibration" -> (qualityScoredCte +
+      """, b AS (
+        |  SELECT source, y, score,
+        |         least(CAST(floor(score * 10) AS BIGINT), 9) AS bin
+        |  FROM sc
+        |)
+        |SELECT source, bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(score), 6) AS mean_score,
+        |       round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS pos_rate
+        |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
+
+    // PR points replay: same cnt/window scaffold as q_roc_curve, with
+    // precision = tp/(tp+fp) and recall = tp/n_pos.
+    "q_pr_curve" -> (qualityScoredCte +
+      """, cnt AS (
+        |  SELECT source, score,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM sc GROUP BY 1, 2
+        |), c AS (
+        |  SELECT source, score AS threshold,
+        |         CAST(sum(pos) OVER wd AS BIGINT) AS tp,
+        |         CAST(sum(neg) OVER wd AS BIGINT) AS fp,
+        |         CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT) AS n_pos
+        |  FROM cnt
+        |  WINDOW wd AS (PARTITION BY source ORDER BY score DESC
+        |                ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT source, threshold, tp, fp,
+        |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+        |       CASE WHEN n_pos > 0 THEN round(CAST(tp AS DOUBLE) / n_pos, 6) END AS recall
+        |FROM c ORDER BY source, threshold""".stripMargin),
+
+    // AP replay: per-threshold term (pos * CAST(tp AS DOUBLE)) /
+    // (tp + fp) rounded onto the 12dp grid, exact decimal fold, one
+    // division by n_pos — the identical staging to the engine.
+    "q_avg_precision" -> (qualityScoredCte +
+      """, cnt AS (
+        |  SELECT source, score,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM sc GROUP BY 1, 2
+        |), c AS (
+        |  SELECT source, pos,
+        |         CAST(sum(pos) OVER wd AS BIGINT) AS tp,
+        |         CAST(sum(neg) OVER wd AS BIGINT) AS fp
+        |  FROM cnt
+        |  WINDOW wd AS (PARTITION BY source ORDER BY score DESC
+        |                ROWS UNBOUNDED PRECEDING)
+        |), agg AS (
+        |  SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |         sum(CAST(round((pos * CAST(tp AS DOUBLE)) / (tp + fp), 12)
+        |                   AS DECIMAL(28,12))) AS ap_sum
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT source, n_pos,
+        |       CASE WHEN n_pos > 0
+        |            THEN round(CAST(ap_sum AS DOUBLE) / n_pos, 6)
+        |       END AS avg_precision
+        |FROM agg ORDER BY source""".stripMargin),
+
+    // Best-F1 replay: per-threshold F1 as one integer-ratio division
+    // rounded 6dp, argmax by (f1 desc, threshold desc) via row_number.
+    "q_best_f1" -> (qualityScoredCte +
+      """, cnt AS (
+        |  SELECT source, score,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM sc GROUP BY 1, 2
+        |), c AS (
+        |  SELECT source, score,
+        |         CAST(sum(pos) OVER wd AS BIGINT) AS tp,
+        |         CAST(sum(neg) OVER wd AS BIGINT) AS fp,
+        |         CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT) AS n_pos
+        |  FROM cnt
+        |  WINDOW wd AS (PARTITION BY source ORDER BY score DESC
+        |                ROWS UNBOUNDED PRECEDING)
+        |), f AS (
+        |  SELECT source, score, tp, fp,
+        |         round(2 * CAST(tp AS DOUBLE)
+        |               / (2 * tp + fp + (n_pos - tp)), 6) AS f1,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY round(2 * CAST(tp AS DOUBLE)
+        |                          / (2 * tp + fp + (n_pos - tp)), 6) DESC,
+        |                    score DESC) AS rn
+        |  FROM c WHERE n_pos > 0
+        |)
+        |SELECT source, score AS threshold, tp, fp, f1
+        |FROM f WHERE rn = 1 ORDER BY source""".stripMargin),
 
     "q_multimodal_features" ->
       """WITH s AS (

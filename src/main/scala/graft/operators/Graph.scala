@@ -161,6 +161,137 @@ object Graph {
       iterations, damping)
       .select(col("node").as("word"), col("rank"))
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    * table — the complementary crawl prior to [[pageRank]]: a good HUB
+    * links to many good authorities (link farms and index pages score
+    * here, not on PageRank), a good AUTHORITY is linked from many good
+    * hubs. Fixed-iteration, L1-normalized variant on the house decimal
+    * grid: per round,
+    *   a'(v) = Σ_{u→v} h(u)   then a := round(a' / Σa', scale)
+    *   h'(u) = Σ_{u→v} a(v)   then h := round(h' / Σh', scale)
+    * Every Σ is an exact decimal fold of grid values (order-free), the
+    * normalizing division is one scalar per node, and the vectors
+    * re-enter the grid each half-step — so the trajectory is a pure
+    * function of the previous grid vectors and the unrolled-CTE oracle
+    * replays it bit for bit (same discipline as [[pageRank]]; L1
+    * instead of the textbook L2 because Σ is exactly summable where
+    * sqrt-of-sum-of-squares is not).
+    *
+    * 100 TB shape: identical to [[pageRank]] — edges shuffle once into
+    * a persisted layout (parallel edges collapse), every iteration
+    * moves only the two O(nodes) vectors against it, each checkpointed
+    * so lineage stays flat. Nodes with no in-links hold authority 0,
+    * no out-links hub 0; both stay in the output.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      scale: Int = 12): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(scale >= 1 && scale <= 18, s"scale in [1,18], got $scale")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .localCheckpoint(true)
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      val dec = s"decimal(38,$scale)"
+      // L1-normalize a raw vector column back onto the grid: the mass
+      // total rides the plan as a broadcast one-row frame (no driver
+      // collect per iteration), exactly like pageRank's dangling mass.
+      def normalized(raw: DataFrame, c: String): DataFrame = {
+        val tot = raw.agg(
+          sum(col(c).cast(dec)).cast("double").as("__tot"))
+        raw.crossJoin(broadcast(tot))
+          .select(col("node"),
+            round(col(c) / col("__tot"), scale).as(c))
+      }
+      var h = nodes.select(col("node"), round(lit(1.0 / n), scale).as("h"))
+        .localCheckpoint(true)
+      var a: DataFrame = null
+      for (_ <- 1 to iterations) {
+        val aRaw = nodes.join(
+            e.join(h, col("src") === col("node")).drop("node")
+              .groupBy(col("dst").as("node"))
+              .agg(sum(col("h").cast(dec)).cast("double").as("__a")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__a"), lit(0.0)).as("a"))
+        a = normalized(aRaw, "a").localCheckpoint(true)
+        val hRaw = nodes.join(
+            e.join(a, col("dst") === col("node")).drop("node")
+              .groupBy(col("src").as("node"))
+              .agg(sum(col("a").cast(dec)).cast("double").as("__h")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__h"), lit(0.0)).as("h"))
+        h = normalized(hRaw, "h").localCheckpoint(true)
+      }
+      nodes.join(h, Seq("node")).join(a, Seq("node"))
+        .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** The DuckDB replay of [[hits]]: unrolled half-step CTEs mirroring
+    * the arithmetic literally (same decimal folds, same scalar
+    * normalize-then-round), over an `edges_in(src, dst)` CTE the
+    * caller supplies. MATERIALIZED for the same 3^k reason as
+    * [[pageRankOracleSql]].
+    */
+  def hitsOracleSql(
+      edgesCte: String,
+      iterations: Int,
+      select: String,
+      scale: Int = 12): String = {
+    val dec = s"DECIMAL(38,$scale)"
+    val steps = (1 to iterations).map { i =>
+      val ph = s"h${i - 1}"
+      s"""araw$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         coalesce(x.a, 0.0) AS a
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(sum(CAST(p.h AS $dec)) AS DOUBLE) AS a
+         |    FROM e JOIN $ph p ON e.src = p.node GROUP BY 1) x USING (node)
+         |), a$i AS MATERIALIZED (
+         |  SELECT node, round(a / (SELECT CAST(sum(CAST(a AS $dec)) AS DOUBLE)
+         |                          FROM araw$i), $scale) AS a
+         |  FROM araw$i
+         |), hraw$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         coalesce(x.h, 0.0) AS h
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS node,
+         |           CAST(sum(CAST(p.a AS $dec)) AS DOUBLE) AS h
+         |    FROM e JOIN a$i p ON e.dst = p.node GROUP BY 1) x USING (node)
+         |), h$i AS MATERIALIZED (
+         |  SELECT node, round(h / (SELECT CAST(sum(CAST(h AS $dec)) AS DOUBLE)
+         |                          FROM hraw$i), $scale) AS h
+         |  FROM hraw$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH edges_in AS MATERIALIZED ($edgesCte
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM edges_in
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), nn AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       |), h0 AS MATERIALIZED (
+       |  SELECT node, round(1.0 / (SELECT n FROM nn), $scale) AS h FROM nodes
+       |), $steps
+       |$select""".stripMargin
+  }
+
   /** The DuckDB replay of [[pageRank]]: `iterations` unrolled CTE
     * stages over an `edges_in(src, dst, w)` CTE the caller supplies.
     * Emitted as SQL text (the oracle map is strings); every arithmetic

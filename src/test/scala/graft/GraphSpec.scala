@@ -103,4 +103,49 @@ class GraphSpec extends SparkSpec {
     assert(others.forall(got("spark") > _),
       s"'spark' touches every sentence and must dominate: $got")
   }
+
+  test("hits: one iteration matches the hand-rolled L1 dynamics") {
+    // h1 -> {a1, a2}, h2 -> {a1}. 4 nodes, h0 = 0.25 each.
+    // a_raw: a1 = 0.5, a2 = 0.25, hubs 0; L1 total 0.75:
+    //   a(a1) = round(0.5/0.75, 12)  = 0.666666666667
+    //   a(a2) = round(0.25/0.75, 12) = 0.333333333333
+    // h_raw: h1 = a(a1)+a(a2) = 1.0 (rounded doubles sum exactly here),
+    //        h2 = a(a1); total 1.666666666667:
+    //   h(h1) = round(1.0/1.666666666667, 12)
+    //   h(h2) = round(0.666666666667/1.666666666667, 12)
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1")).toDF("s", "d")
+    val got = Graph.hits(edges, "s", "d", iterations = 1)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    // Spark round(x, 12) = BigDecimal.valueOf(x).setScale(12, HALF_UP).
+    def r12(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got("a1")._2 == 0.666666666667 && got("a2")._2 == 0.333333333333)
+    assert(got("a1")._1 == 0.0 && got("a2")._1 == 0.0)
+    assert(got("h1")._1 == r12(1.0 / 1.666666666667))
+    assert(got("h2")._1 == r12(0.666666666667 / 1.666666666667))
+    assert(got("h1")._2 == 0.0 && got("h2")._2 == 0.0)
+  }
+
+  test("hits: authorities separate by in-link mass, vectors stay L1-normalized") {
+    // Star: many hubs all point at "center", one also at "side".
+    val edges = (1 to 8).map(i => (s"h$i", "center")).toDF("s", "d")
+      .unionByName(Seq(("h1", "side")).toDF("s", "d"))
+    val got = Graph.hits(edges, "s", "d", iterations = 5)
+      .as[(String, Double, Double)].collect()
+    val byNode = got.map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(byNode("center")._2 > byNode("side")._2,
+      "8-in-link node must out-authority the 1-in-link node")
+    // h1 links both authorities -> strictly better hub than h2..h8.
+    assert(byNode("h1")._1 > byNode("h2")._1)
+    // L1 mass ~1 on both vectors (rounding residue only).
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-6)
+    // Parallel edges collapse: duplicating the whole edge list is a no-op.
+    val dup = Graph.hits(
+      edges.unionByName(edges), "s", "d", iterations = 5)
+      .as[(String, Double, Double)].collect().toSet
+    assert(dup == got.toSet)
+  }
 }
