@@ -3218,6 +3218,31 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // PORTABLE HLL (r14): the oracle-checkable twin of q_approx_distinct
+    // — md5-register sketch, integer harmonic numerator, fixed 3-op IEEE
+    // raw estimate; bit-reproducible across engines/runs/shardings, so
+    // unlike the built-in HLL++ this one hash-matches DuckDB.
+    "q_hll_distinct" -> ((s, d) =>
+      graft.operators.PortableHll.distinctApprox(
+          t(s, d, "events"), "event_type", col("user_id"))
+        .orderBy("event_type")),
+
+    // Sketch-union contract (r14): events split by event_id parity,
+    // sketched per shard, merged by per-register max — equals the
+    // one-shot sketch bit for bit, so the oracle IS q_hll_distinct's
+    // SQL (the composition identity, the same pattern as
+    // q_drift_psi_frozen and q_sample_incr).
+    "q_hll_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val hll = graft.operators.PortableHll
+      val merged = hll.merge(
+        hll.registers(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          "event_type", col("user_id")),
+        hll.registers(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          "event_type", col("user_id")))
+      hll.estimate(merged, "event_type").orderBy("event_type")
+    }),
+
     // Map functions: JSON -> map<string,int>, element_at, map_keys.
     "q_map_funcs" -> ((s, d) =>
       t(s, d, "events")
@@ -3637,6 +3662,41 @@ object SparkEntry {
       // bit-for-bit (frozen edges + stored counts reproduce the same
       // histogram), so its oracle IS q_drift_psi's SQL.
       ("q_drift_psi_frozen" -> base("q_drift_psi"))
+  }
+
+  // The portable-HLL raw-estimate replay over events(user_id) per
+  // event_type (shared by q_hll_distinct and q_hll_merge — sketch
+  // union is per-register max, so merged shards replay identically).
+  // The alpha*m^2 literal is the ENGINE's own constant, interpolated
+  // so neither side depends on constant-folding order.
+  private def portableHllOracleSql: String = {
+    val aM2 = graft.operators.PortableHll.alphaM2(8)
+    s"""WITH h AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL
+       |), rr AS (
+       |  SELECT event_type,
+       |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS BIGINT) AS reg,
+       |    CAST(list_sum(list_transform(range(13), i ->
+       |      (CAST(strpos('0123456789abcdef', substr(hx, CAST(i+3 AS INT), 1)) AS BIGINT) - 1)
+       |      * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS w
+       |  FROM h
+       |), regs AS (
+       |  SELECT event_type, reg,
+       |         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+       |  FROM rr GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS present,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(53 - rho AS INT)) AS BIGINT) AS np
+       |  FROM regs GROUP BY 1
+       |)
+       |SELECT event_type,
+       |       256 - present AS n_zero,
+       |       round($aM2 /
+       |             (CAST(np + (256 - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+       |              / 9007199254740992.0), 4) AS approx_distinct
+       |FROM agg ORDER BY event_type""".stripMargin
   }
 
   // The q_text_quality score replay (shared by the r14 ML-eval oracle
@@ -8837,6 +8897,16 @@ object SparkEntry {
         |       CAST(json_extract(props, '$.k') AS INT) AS k_val,
         |       CAST(len(json_keys(props)) AS INT) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Portable-HLL replay: register = first 2 md5 hex chars, w = next
+    // 13 (the house h52 parse), rho = 53 - bitlength(w) via bin(),
+    // integer Σ 2^(53-rho) + 2^53 per absent register, then the
+    // identical 3-op raw-estimate arithmetic with the SAME alpha*m^2
+    // literal the engine embeds.
+    "q_hll_distinct" -> portableHllOracleSql,
+
+    // Sketch-union composition identity: merged shards == one-shot.
+    "q_hll_merge" -> portableHllOracleSql,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
