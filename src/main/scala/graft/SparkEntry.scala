@@ -1715,6 +1715,24 @@ object SparkEntry {
           "event_type", "ts", "value")
         .orderBy("event_type")),
 
+    // Rolling active users (r14): exact DAU/WAU(7)/MAU(28) + stickiness
+    // per observed day — one distinct pass then a map-side offset
+    // explode into the trailing windows; no day-grid join, one shuffle.
+    "q_active_users" -> ((s, d) =>
+      EventAnalytics.activeUsers(
+          t(s, d, "events"), "user_id", "ts")
+        .orderBy("day")),
+
+    // Theil-Sen robust trend (r14): lower-median pairwise slope +
+    // lower-median residual intercept — the 29.3%-breakdown complement
+    // to q_trend_ols; pair slopes are single IEEE divisions, medians
+    // SELECT values (no float sums anywhere).
+    "q_trend_theilsen" -> ((s, d) =>
+      Anomaly.theilSenFit(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type")),
+
     // Exact distance-1 fuzzy join (r13): part names vs an md5-chosen
     // one-char-deletion corruption of them — deletion-neighborhood
     // (FastSS) blocking + equi-join + levenshtein verify. The oracle
@@ -6506,6 +6524,76 @@ object SparkEntry {
         |       CASE WHEN den > 0 AND deny > 0
         |            THEN round((num * num) / (den * deny), 6) END AS r2
         |FROM f
+        |ORDER BY event_type""".stripMargin,
+
+    // Active-users replay: distinct (user, day), offset fan-out via
+    // range(28), clip at the observed max day, three conditional
+    // distinct counts, one ratio division.
+    "q_active_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), mx AS (
+        |  SELECT max(day) AS max_day FROM a
+        |), e AS (
+        |  SELECT u, CAST(i AS INT) AS off, day + CAST(i AS INT) AS g_day
+        |  FROM a, range(28) t(i)
+        |)
+        |SELECT g_day AS day,
+        |       CAST(count(DISTINCT CASE WHEN off = 0 THEN u END) AS BIGINT) AS dau,
+        |       CAST(count(DISTINCT CASE WHEN off < 7 THEN u END) AS BIGINT) AS wau,
+        |       CAST(count(DISTINCT u) AS BIGINT) AS mau,
+        |       round(CAST(count(DISTINCT CASE WHEN off = 0 THEN u END) AS DOUBLE)
+        |             / count(DISTINCT CASE WHEN off < 7 THEN u END), 6) AS stickiness
+        |FROM e
+        |WHERE g_day <= (SELECT max_day FROM mx)
+        |GROUP BY 1
+        |HAVING count(DISTINCT CASE WHEN off = 0 THEN u END) > 0
+        |ORDER BY day""".stripMargin,
+
+    // Theil-Sen replay: the staged daily CTE, the honest pair
+    // self-join, lower-median rank selection for slope and residual
+    // intercept — value SELECTION at integer ranks, no float folds.
+    "q_trend_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT event_type, m,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |              AS BIGINT) AS i
+        |  FROM daily
+        |), n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM x GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.event_type,
+        |         (b.m - a.m) / CAST(b.i - a.i AS DOUBLE) AS s
+        |  FROM x a JOIN x b ON a.event_type = b.event_type AND a.i < b.i
+        |), slope AS (
+        |  SELECT event_type, round(s, 6) AS slope
+        |  FROM (
+        |    SELECT event_type, s,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+        |           count(*) OVER (PARTITION BY event_type) AS np
+        |    FROM pairs)
+        |  WHERE rn = (np + 1) // 2
+        |), resid AS (
+        |  SELECT x.event_type, x.m - slope.slope * CAST(x.i AS DOUBLE) AS r
+        |  FROM x JOIN slope USING (event_type)
+        |), icept AS (
+        |  SELECT event_type, round(r, 6) AS intercept
+        |  FROM (
+        |    SELECT event_type, r,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+        |           count(*) OVER (PARTITION BY event_type) AS nr
+        |    FROM resid)
+        |  WHERE rn = (nr + 1) // 2
+        |)
+        |SELECT n.event_type, n.n_days, slope.slope, icept.intercept
+        |FROM n LEFT JOIN slope USING (event_type)
+        |       LEFT JOIN icept USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
     // Fuzzy-join replay: the same md5 deletion corruption, then honest

@@ -925,6 +925,69 @@ object Anomaly {
         round((col("num") * col("num")) / (col("den") * col("deny")), 6)).as("r2"))
   }
 
+  /** Theil-Sen robust trend fit (Theil 1950; Sen 1968) over the daily
+    * roll-up: slope = the LOWER MEDIAN of all pairwise slopes
+    * (m_b − m_a)/(i_b − i_a), intercept = the lower median of the
+    * residuals m_i − slope·i — the estimator with a 29.3% breakdown
+    * point, where [[trendFit]]'s OLS is dragged arbitrarily far by a
+    * single wild day. The complement, not a replacement: OLS gives r²
+    * and sits in closed form; this survives corrupted telemetry.
+    *
+    * Exact order statistics at integer ranks (the `q_funnel_latency`
+    * convention — rank ⌊(n+1)/2⌋ ascending, no interpolation
+    * semantics to reconcile between engines). Every pair slope is ONE
+    * IEEE division of a 6dp-grid difference by an integer gap —
+    * bit-portable without staging; the median SELECTS a value rather
+    * than summing, so no decimal staging is needed anywhere. The
+    * day index is the same row_number i as [[trendFit]] (comparable
+    * slopes on gap-free fixtures; both are per-observed-day trends).
+    *
+    * Scale shape: the pair explosion is per-group over the DAILY table
+    * — n_days² pairs per group, metadata-sized for any bounded window
+    * (a year = ~66k pairs/group), never over facts; the daily index is
+    * eagerly checkpointed once (it feeds both join sides and the
+    * residual pass). Groups with one day emit null slope/intercept.
+    */
+  def theilSenFit(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
+    val idx = daily.withColumn("i",
+      row_number().over(Window.partitionBy(groupCol).orderBy("day")).cast("long"))
+      .select(col(groupCol), col("i"), col("m"))
+      .localCheckpoint(true)
+    val counts = idx.groupBy(col(groupCol)).agg(count(lit(1)).as("n_days"))
+    val a = idx.select(col(groupCol), col("i").as("ia"), col("m").as("ma"))
+    val b = idx.select(col(groupCol), col("i").as("ib"), col("m").as("mb"))
+    val pairs = a.join(b, Seq(groupCol)).filter(col("ia") < col("ib"))
+      .select(col(groupCol),
+        ((col("mb") - col("ma")) / (col("ib") - col("ia")).cast("double"))
+          .as("s"))
+    val wG = Window.partitionBy(groupCol)
+    val slope = pairs
+      .withColumn("__rn", row_number().over(wG.orderBy("s")))
+      .withColumn("__np", count(lit(1)).over(wG))
+      .filter(col("__rn") ===
+        ((col("__np") + 1L).cast("double") / 2.0).cast("long"))
+      .select(col(groupCol), round(col("s"), 6).as("slope"))
+    val resid = idx.join(broadcast(slope), Seq(groupCol))
+      .select(col(groupCol),
+        (col("m") - col("slope") * col("i").cast("double")).as("r"))
+    val intercept = resid
+      .withColumn("__rn", row_number().over(wG.orderBy("r")))
+      .withColumn("__nr", count(lit(1)).over(wG))
+      .filter(col("__rn") ===
+        ((col("__nr") + 1L).cast("double") / 2.0).cast("long"))
+      .select(col(groupCol), round(col("r"), 6).as("intercept"))
+    counts
+      .join(slope, Seq(groupCol), "left")
+      .join(intercept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_days"), col("slope"), col("intercept"))
+  }
+
   /** Classical seasonal decomposition of the daily-mean series
     * (moving-average STL-lite): trend = centered (2w+1)-day moving
     * average (null at the edges where the window is partial — honest

@@ -12,6 +12,55 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Rolling active users: per calendar day, DAU plus trailing
+    * `wauDays`-day and `mauDays`-day distinct-user counts and the
+    * DAU/WAU stickiness ratio — the growth dashboard's headline row,
+    * exact (no sketch) and engine-portable (integer counts, one ratio
+    * division).
+    *
+    * Shape: ONE full-fact pass reduces to the distinct (user, day)
+    * activity table A; each A row then map-side EXPLODES into the
+    * ≤ `mauDays` grid days it is visible from (g = day + offset) —
+    * no join against a day grid at all, just one shuffle to the
+    * (g_day) aggregation, where three conditional distinct counts
+    * read dau (offset = 0), wau (offset < wauDays) and mau off the
+    * same exploded rows. Cost is |A|·mauDays rows through one
+    * exchange — linear, skew-free (day keys), and the trailing
+    * windows are correct on sparse days too (days with no activity
+    * emit no row, but a day with ANY activity sees every user active
+    * in its trailing windows). Grid days past the observed maximum
+    * are clipped against a broadcast one-row max — partial trailing
+    * windows at the corpus edge would undercount silently.
+    */
+  def activeUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      wauDays: Int = 7,
+      mauDays: Int = 28): DataFrame = {
+    require(wauDays >= 1 && mauDays >= wauDays,
+      s"need 1 <= wauDays <= mauDays, got $wauDays/$mauDays")
+    val a = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val maxDay = a.agg(max(col("day")).as("__max_day"))
+    a.crossJoin(broadcast(maxDay))
+      .select(col("u"), col("day"), col("__max_day"),
+        explode(sequence(lit(0), lit(mauDays - 1))).as("off"))
+      .select(col("u"), col("off"),
+        date_add(col("day"), col("off")).as("g_day"), col("__max_day"))
+      .filter(col("g_day") <= col("__max_day"))
+      .groupBy(col("g_day").as("day"))
+      .agg(
+        countDistinct(when(col("off") === 0, col("u"))).as("dau"),
+        countDistinct(when(col("off") < wauDays, col("u"))).as("wau"),
+        countDistinct(col("u")).as("mau"))
+      .filter(col("dau") > 0)
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("wau"), 6))
+  }
+
   /** Ordered-step funnel: for each user, the FIRST time they completed
     * step i strictly after their first completion of step i-1 (the
     * classic "min-ts chain" semantics — re-orderings don't count, and a

@@ -485,6 +485,52 @@ class AnomalySpec extends SparkSpec {
     assert(solo.getLong(solo.fieldIndex("n_days")) == 1L)
   }
 
+  test("theilSenFit: exact line, 30%-outlier immunity where OLS drifts, lower-median rule") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
+    // Clean line: every pairwise slope is exactly 2.0, every residual 1.0.
+    val line = (1 to 10).map(i => ("line", day(i), 2.0 * i + 1.0))
+    // Ramp with 3 of 11 days corrupted to wild values — clustered LATE
+    // so they cannot cancel in OLS (symmetric outliers nearly do): the
+    // pair-slope MEDIAN still sits on a clean-pair slope (= 2.0
+    // exactly; 28 clean pairs straddle the rank-28 median of 55),
+    // while OLS is dragged to ~83.
+    val dirty = (1 to 11).map { i =>
+      val v = if (i >= 8 && i <= 10) 1000.0 + i else 2.0 * i + 1.0
+      ("dirty", day(i), v)
+    }
+    val solo = Seq(("solo", day(1), 3.0))
+    val df = (line ++ dirty ++ solo).toDF("grp", "ts", "v")
+    val got = Anomaly.theilSenFit(df, "grp", "ts", "v")
+      .orderBy("grp").collect()
+    val d = got(0); val l = got(1); val s = got(2)
+    assert(l.getString(0) == "line" && d.getString(0) == "dirty" && s.getString(0) == "solo")
+    assert(l.getDouble(l.fieldIndex("slope")) == 2.0)
+    assert(l.getDouble(l.fieldIndex("intercept")) == 1.0)
+    assert(d.getDouble(d.fieldIndex("slope")) == 2.0,
+      "pairwise-slope median must shrug off 3/11 wild days")
+    val ols = Anomaly.trendFit(df, "grp", "ts", "v")
+      .filter(col("grp") === "dirty").collect().head
+    assert(math.abs(ols.getDouble(ols.fieldIndex("slope")) - 2.0) > 5.0,
+      "OLS must be visibly dragged by the outliers (the contrast the operator exists for)")
+    assert(s.isNullAt(s.fieldIndex("slope")) && s.isNullAt(s.fieldIndex("intercept")))
+    assert(s.getLong(s.fieldIndex("n_days")) == 1L)
+    // Lower-median convention: 3 days -> 3 pair slopes; make them
+    // distinct (1.0, 2.0, 3.0 between consecutive+skip pairs) and pin
+    // the rank-2 pick. days: m = 1, 2, 5 -> slopes: (2-1)/1=1, (5-2)/1=3,
+    // (5-1)/2=2 -> sorted (1,2,3), lower median = 2.
+    val tri = Seq(("t", day(1), 1.0), ("t", day(2), 2.0), ("t", day(3), 5.0))
+      .toDF("grp", "ts", "v")
+    val t = Anomaly.theilSenFit(tri, "grp", "ts", "v").collect().head
+    assert(t.getDouble(t.fieldIndex("slope")) == 2.0)
+    // Even count: 2 days -> 1 pair; 4 slopes case: days m = 0,1,3,6 ->
+    // slopes 1,2,3 (consecutive), 1.5, 2.5 (skip-1), 2 (skip-2) -> sorted
+    // (1, 1.5, 2, 2, 2.5, 3), lower median = rank (6+1)//2 = 3 -> 2.0.
+    val even = Seq(("e", day(1), 0.0), ("e", day(2), 1.0),
+      ("e", day(3), 3.0), ("e", day(4), 6.0)).toDF("grp", "ts", "v")
+    val e = Anomaly.theilSenFit(even, "grp", "ts", "v").collect().head
+    assert(e.getDouble(e.fieldIndex("slope")) == 2.0)
+  }
+
   test("forecastBacktest: skill 1 on a clean ramp, null skill when naive is perfect") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     // Clean linear ramp: the two-point trend seed makes every Holt

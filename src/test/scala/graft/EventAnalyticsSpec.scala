@@ -27,6 +27,47 @@ class EventAnalyticsSpec extends SparkSpec {
     ("u5", ts("2024-01-05 06:03:00"), "purchase") // after click: counts
   ).toDF("user_id", "ts", "event_type")
 
+  test("activeUsers: trailing windows, inactive-day drop, max-day clip") {
+    val act = Seq(
+      ("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-01 18:00:00")),
+      ("u2", ts("2024-01-01 11:00:00")),
+      ("u1", ts("2024-01-03 09:00:00")),
+      ("u3", ts("2024-01-10 08:00:00")),
+      (null.asInstanceOf[String], ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.activeUsers(act, "user_id", "ts",
+        wauDays = 2, mauDays = 3)
+      .orderBy("day")
+      .select(col("day").cast("string"), col("dau"), col("wau"), col("mau"),
+        col("stickiness"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    // Day 2 has only the null user -> no activity row; days 11/12 are
+    // past the observed max -> clipped even though u3 is "visible".
+    assert(got.map(_._1).toSeq == Seq("2024-01-01", "2024-01-03", "2024-01-10"))
+    // d1: dau {u1,u2}; wau [d0,d1] = 2; mau [cd-2,d1] = 2.
+    assert(got(0) == (("2024-01-01", 2L, 2L, 2L, 1.0)))
+    // d3: dau {u1}; wau [d2,d3] = {u1}; mau [d1..d3] = {u1,u2}.
+    assert(got(1) == (("2024-01-03", 1L, 1L, 2L, 1.0)))
+    assert(got(2) == (("2024-01-10", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("activeUsers: stickiness = dau/wau; multi-day users counted once per window") {
+    val act = Seq(
+      ("a", ts("2024-02-01 10:00:00")), ("b", ts("2024-02-01 10:00:00")),
+      ("c", ts("2024-02-01 10:00:00")), ("a", ts("2024-02-02 10:00:00")),
+      ("a", ts("2024-02-03 10:00:00")), ("d", ts("2024-02-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.activeUsers(act, "user_id", "ts")
+      .orderBy("day")
+      .select(col("day").cast("string"), col("dau"), col("wau"), col("mau"),
+        col("stickiness"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    // d3: dau {a,d} = 2; wau(7) back to 1/28 -> {a,b,c,d} = 4 (a once).
+    assert(got(2) == (("2024-02-03", 2L, 4L, 4L, 0.5)))
+    assert(got(1) == (("2024-02-02", 1L, 3L, 3L,
+      math.rint(1.0 / 3 * 1e6) / 1e6)))
+  }
+
   test("funnel: min-ts chain honors strict ordering") {
     val f = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
