@@ -1542,6 +1542,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Personalized PageRank (r14): teleport concentrated on two seed
+    // hosts — rank-relative-to-known-good over the same md5 host
+    // graph; the oracle unrolls the identical personalized update.
+    "q_pagerank_personalized" -> ((s, d) => {
+      val hosts = array(
+        lit("en.wikipedia.org"), lit("news.bbc.co.uk"), lit("blogs.example.com"),
+        lit("www.gov.uk"), lit("cdn.a.co.jp"), lit("example.net"))
+      def pick(salt: String) = element_at(hosts,
+        (pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
+          1, 2), 16, 10).cast("long"), lit(6L)) + 1).cast("int"))
+      val edges = t(s, d, "documents")
+        .select(pick("u").as("src"), pick("v").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      import s.implicits._
+      val seeds = Seq("en.wikipedia.org", "www.gov.uk").toDF("node")
+      graft.operators.Graph.personalizedPageRank(
+          edges, "src", "dst", seeds, iterations = 10)
+        .orderBy("node")
+    }),
+
     // TextRank keywords (r13): PageRank over the symmetric word
     // co-occurrence graph (consecutive whitespace tokens) — corpus-wide
     // keyword salience without any model. Full-vocabulary output is the
@@ -2518,6 +2538,21 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Readability battery (r14): Flesch reading ease + Flesch-Kincaid
+    // grade from deterministic regex counters (whitespace words,
+    // terminator-run sentences, vowel-group syllables with the ≥1-per-
+    // word floor) — two integer-ratio divisions and a fixed scalar
+    // chain per formula, row-local, no dictionary.
+    "q_text_readability" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_words"),
+          TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+          TextFunctions.syllableCount(col("text")).as("n_syllables"),
+          TextFunctions.fleschReadingEase(col("text")).as("flesch"),
+          TextFunctions.fleschKincaidGrade(col("text")).as("fk_grade"))
         .orderBy("doc_id")),
 
     // Exact ROC-AUC (r14): does the heuristic quality score separate
@@ -5801,6 +5836,35 @@ object SparkEntry {
       iterations = 10, damping = 0.85,
       select = "SELECT node, r AS rank FROM r10 ORDER BY node"),
 
+    // Personalized replay: same host graph, teleport vector uniform on
+    // the two seed hosts, 10 unrolled personalized stages.
+    "q_pagerank_personalized" ->
+      graft.operators.Graph.personalizedPageRankOracleSql(
+        edgesCte =
+          """SELECT
+            |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+            |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+            |      CAST(((strpos('0123456789abcdef',
+            |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 1, 1)) - 1) * 16
+            |          + (strpos('0123456789abcdef',
+            |               substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 2, 1)) - 1)) % 6 + 1 AS INT)
+            |    ] AS src,
+            |    (['en.wikipedia.org','news.bbc.co.uk','blogs.example.com',
+            |      'www.gov.uk','cdn.a.co.jp','example.net'])[
+            |      CAST(((strpos('0123456789abcdef',
+            |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 1, 1)) - 1) * 16
+            |          + (strpos('0123456789abcdef',
+            |               substr(md5(CAST(doc_id AS VARCHAR) || 'v'), 2, 1)) - 1)) % 6 + 1 AS INT)
+            |    ] AS dst,
+            |    1.0 AS w
+            |  FROM documents
+            |  WHERE src != dst""".stripMargin,
+        seedsCte =
+          """SELECT 'en.wikipedia.org' AS node
+            |  UNION ALL SELECT 'www.gov.uk'""".stripMargin,
+        iterations = 10, damping = 0.85,
+        select = "SELECT node, r AS rank FROM r10 ORDER BY node"),
+
     // Warm-start replay: the COLD 12-stage unroll — the warm
     // continuation must land on it exactly.
     "q_pagerank_warm" -> graft.operators.Graph.pageRankOracleSql(
@@ -8457,6 +8521,32 @@ object SparkEntry {
         |               THEN 1.0 ELSE 0.0 END) +
         |         least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
         |       ) / 4.0, 4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Readability replay: identical regex counters (whole-text match
+    // counts = per-word sums since groups cannot span whitespace),
+    // INT casts to match the engine's int counters, then the two fixed
+    // formula chains.
+    "q_text_readability" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '\S+')) AS w,
+        |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           + (len(regexp_extract_all(text, '\S+'))
+        |              - len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*'))) AS syl
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(w AS INT) AS n_words,
+        |       CAST(snt AS INT) AS n_sentences,
+        |       CAST(syl AS INT) AS n_syllables,
+        |       CASE WHEN w > 0 THEN
+        |         round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |               - 84.6 * (CAST(syl AS DOUBLE) / w), 4) END AS flesch,
+        |       CASE WHEN w > 0 THEN
+        |         round(0.39 * (CAST(w AS DOUBLE) / snt)
+        |               + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 4) END AS fk_grade
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // Mann-Whitney AUC replay: (source, distinct score) counts, the

@@ -415,4 +415,50 @@ object TextFunctions {
     val punctOk = when(nChar > 0 && punctCount(c).cast("double") / nChar <= 0.2, 1.0).otherwise(0.0)
     round((lengthOk + tokLenOk + punctOk + least(stopRatio * lit(5.0), lit(1.0))) / 4.0, 4)
   }
+
+  /** Readability counters (the deterministic regex variants — the
+    * classic formulas' inputs without a dictionary): whitespace words,
+    * sentence-terminator runs ([.!?]+, floored at 1 so headline-style
+    * fragments count as one sentence), and heuristic syllables =
+    * vowel-group runs ([aeiouy]+ on the lowercased text) plus one for
+    * each vowel-less word (Flesch counts every word ≥ 1 syllable;
+    * groups cannot span words because whitespace separates them, so
+    * whole-text match counts equal per-word sums — no explode).
+    */
+  def sentenceCount(c: Column): Column =
+    greatest(size(regexp_extract_all(c, lit("""[.!?]+"""), lit(0))), lit(1))
+
+  def syllableCount(c: Column): Column = {
+    val lc = lower(c)
+    val vowelGroups = size(regexp_extract_all(lc, lit("[aeiouy]+"), lit(0)))
+    val wordsWithVowel =
+      size(regexp_extract_all(lc, lit("""\S*[aeiouy]\S*"""), lit(0)))
+    vowelGroups + (tokenCount(c) - wordsWithVowel)
+  }
+
+  /** Flesch reading ease (Flesch 1948) from the heuristic counters:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * rounded 4dp. Two integer-ratio divisions plus a fixed scalar
+    * chain — bit-portable per the house single-op rule. Null when the
+    * text has no words.
+    */
+  def fleschReadingEase(c: Column): Column = {
+    val w = tokenCount(c)
+    val wps = w.cast("double") / sentenceCount(c)
+    val spw = syllableCount(c).cast("double") / w
+    when(w > 0,
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4))
+  }
+
+  /** Flesch-Kincaid grade level (Kincaid et al. 1975):
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, same
+    * portability shape as [[fleschReadingEase]].
+    */
+  def fleschKincaidGrade(c: Column): Column = {
+    val w = tokenCount(c)
+    val wps = w.cast("double") / sentenceCount(c)
+    val spw = syllableCount(c).cast("double") / w
+    when(w > 0,
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4))
+  }
 }

@@ -161,6 +161,150 @@ object Graph {
       iterations, damping)
       .select(col("node").as("word"), col("rank"))
 
+  /** PERSONALIZED PageRank (Haveliwala 2002): teleport lands on a seed
+    * SET instead of uniformly —
+    *   r'(v) = (1−d)·p(v) + d·dm·p(v) + d·Σ_{u→v} r(u)·share(u,v)
+    * with p uniform over the seeds present in the graph and 0
+    * elsewhere, r0 = p. Ranks measure proximity to the seeds through
+    * the link structure — topic-sensitive crawl quality ("rank relative
+    * to known-good hosts"), related-item scoring, trust propagation.
+    * Kept as a SEPARATE method from [[pageRank]] so the three standing
+    * global-PageRank contracts keep their expression trees (and hashes)
+    * byte-stable.
+    *
+    * Same fixed-point contract and 100 TB shape as [[pageRank]]: edges
+    * normalized/partitioned once, per-iteration state is the O(nodes)
+    * vector, every sum an exact decimal fold, every vector re-grid'd at
+    * `scale` per round; dangling mass teleports to the seeds (by p),
+    * keeping the vector a distribution up to rounding residue. Seeds
+    * not present in the graph are ignored (p normalizes over the
+    * present ones); at least one seed must be present.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String = "node",
+      weightCol: Option[String] = None,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      scale: Int = 12): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    require(scale >= 1 && scale <= 18, s"scale in [1,18], got $scale")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(w).as("w"))
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val ew = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      val nodes0 = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .join(e.select(col("src").as("node")).distinct()
+          .withColumn("__has_out", lit(true)), Seq("node"), "left")
+        .join(seedSet.withColumn("__is_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__has_out"), lit(false)).as("has_out"),
+          coalesce(col("__is_seed"), lit(false)).as("is_seed"))
+        .localCheckpoint(true)
+      val nSeeds = nodes0.filter(col("is_seed")).count()
+      require(nSeeds > 0, "no seed is present in the graph")
+      val nodes = nodes0.select(col("node"), col("has_out"),
+        when(col("is_seed"), round(lit(1.0 / nSeeds), scale))
+          .otherwise(lit(0.0)).as("p"))
+        .localCheckpoint(true)
+      val cScale = scale + 6
+      var ranks = nodes.select(col("node"), col("has_out"), col("p"),
+        col("p").as("r")).localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val dmDf = ranks.filter(!col("has_out"))
+          .agg(coalesce(sum(col("r").cast(s"decimal(${scale + 6},$scale)"))
+            .cast("double"), lit(0.0)).as("__dm"))
+        val contrib = ew.join(ranks, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(round(col("r") * col("share"), cScale)
+            .cast(s"decimal(38,$cScale)")).cast("double").as("c"))
+        ranks = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(dmDf))
+          .select(col("node"), col("has_out"), col("p"),
+            round(lit(1.0 - damping) * col("p")
+              + lit(damping) * (col("__dm") * col("p"))
+              + lit(damping) * coalesce(col("c"), lit(0.0)), scale).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node"), col("r").as("rank"))
+    } finally ew.unpersist(blocking = false)
+  }
+
+  /** The DuckDB replay of [[personalizedPageRank]]: the same unrolled
+    * MATERIALIZED-stage structure as [[pageRankOracleSql]], with the
+    * teleport vector p (uniform over present seeds) replacing 1/N in
+    * both the r0 seed and the per-stage update. `seedsCte` supplies a
+    * one-column `node` seed list.
+    */
+  def personalizedPageRankOracleSql(
+      edgesCte: String,
+      seedsCte: String,
+      iterations: Int,
+      damping: Double,
+      select: String,
+      scale: Int = 12): String = {
+    val d = damping
+    val cScale = scale + 6
+    val steps = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s"""dm$i AS MATERIALIZED (
+         |  SELECT coalesce(CAST(sum(CAST(r AS DECIMAL(${scale + 6},$scale)))
+         |                   AS DOUBLE), 0.0) AS dm
+         |  FROM $p WHERE NOT has_out
+         |), c$i AS MATERIALIZED (
+         |  SELECT ew.dst AS node,
+         |         CAST(sum(CAST(round(p.r * ew.share, $cScale)
+         |                  AS DECIMAL(38,$cScale))) AS DOUBLE) AS c
+         |  FROM ew JOIN $p p ON ew.src = p.node GROUP BY 1
+         |), r$i AS MATERIALIZED (
+         |  SELECT nodes.node, nodes.has_out, nodes.p,
+         |         round((1.0 - $d) * nodes.p
+         |               + $d * ((SELECT dm FROM dm$i) * nodes.p)
+         |               + $d * coalesce(c.c, 0.0), $scale) AS r
+         |  FROM nodes LEFT JOIN c$i c USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH edges_in AS MATERIALIZED ($edgesCte
+       |), e AS MATERIALIZED (
+       |  SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w FROM edges_in GROUP BY 1, 2
+       |), outw AS MATERIALIZED (
+       |  SELECT src, sum(w) AS ow FROM e GROUP BY 1
+       |), ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w / o.ow AS share FROM e JOIN outw o USING (src)
+       |), seeds_in AS MATERIALIZED ($seedsCte
+       |), nodes0 AS MATERIALIZED (
+       |  SELECT node, bool_or(has_out) AS has_out FROM (
+       |    SELECT src AS node, true AS has_out FROM e
+       |    UNION ALL SELECT dst, false FROM e) GROUP BY 1
+       |), ns AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_seeds
+       |  FROM nodes0 WHERE node IN (SELECT node FROM seeds_in)
+       |), nodes AS MATERIALIZED (
+       |  SELECT node, has_out,
+       |         CASE WHEN node IN (SELECT node FROM seeds_in)
+       |              THEN round(1.0 / (SELECT n_seeds FROM ns), $scale)
+       |              ELSE 0.0 END AS p
+       |  FROM nodes0
+       |), r0 AS MATERIALIZED (
+       |  SELECT node, has_out, p, p AS r FROM nodes
+       |), $steps
+       |$select""".stripMargin
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
     * table — the complementary crawl prior to [[pageRank]]: a good HUB
     * links to many good authorities (link farms and index pages score

@@ -104,6 +104,35 @@ class GraphSpec extends SparkSpec {
       s"'spark' touches every sentence and must dominate: $got")
   }
 
+  test("personalizedPageRank: mass stays near seeds, unreachable components get zero") {
+    // Two components: seed component s -> a -> b (b dangling), and an
+    // unreachable x -> y. Teleport lands only on the seed, so the
+    // unreachable pair must hold rank EXACTLY 0 (not small — zero:
+    // teleport never lands there and no edge reaches them), and the
+    // dangling b's mass must flow back to s via the dm*p term.
+    val edges = Seq(("s", "a"), ("a", "b"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("s").toDF("node")
+    val got = Graph.personalizedPageRank(edges, "src", "dst", seeds,
+        iterations = 10)
+      .as[(String, Double)].collect().toMap
+    assert(got("x") == 0.0 && got("y") == 0.0)
+    assert(math.abs(got("s") + got("a") + got("b") - 1.0) < 1e-6,
+      s"seed-component mass must be ~1: $got")
+    assert(got("s") > got("b"), "teleport + dangling return concentrate on the seed")
+    // Multi-seed: p splits uniformly; a seed absent from the graph is
+    // ignored (normalization over PRESENT seeds only).
+    val got2 = Graph.personalizedPageRank(edges, "src", "dst",
+        Seq("s", "x", "ghost").toDF("node"), iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(got2("y") > 0.0, "x seeded -> its component now holds mass")
+    assert(math.abs(got2.values.sum - 1.0) < 1e-6)
+    // All seeds absent -> loud failure, not a silent zero vector.
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst",
+        Seq("ghost").toDF("node"), iterations = 2).collect()
+    }
+  }
+
   test("hits: one iteration matches the hand-rolled L1 dynamics") {
     // h1 -> {a1, a2}, h2 -> {a1}. 4 nodes, h0 = 0.25 each.
     // a_raw: a1 = 0.5, a2 = 0.25, hubs 0; L1 total 0.75:

@@ -368,4 +368,35 @@ class TextFunctionsSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("readability: hand-checked Flesch/FK, vowel-less word floor, empty-text null") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tf = graft.functions.TextFunctions
+    def counters(s: String): (Int, Int, Int) = {
+      val r = Seq(s).toDF("t").select(
+        tf.tokenCount(col("t")), tf.sentenceCount(col("t")),
+        tf.syllableCount(col("t"))).as[(Int, Int, Int)].collect().head
+      r
+    }
+    // "The cat sat. The dog ran!": 6 words, 2 sentence runs, 6 single
+    // vowel groups.
+    assert(counters("The cat sat. The dog ran!") == ((6, 2, 6)))
+    // Vowel-less words get the >= 1 syllable floor.
+    assert(counters("hmm shh.") == ((2, 1, 2)))
+    // Multi-group words: "beautiful" -> eau|i|u = 3 groups.
+    assert(counters("beautiful") == ((1, 1, 3)))
+    // No terminator -> sentence floor 1.
+    assert(counters("no terminator here") == ((3, 1, 7)))
+    val f = Seq("The cat sat. The dog ran!").toDF("t").select(
+      tf.fleschReadingEase(col("t")), tf.fleschKincaidGrade(col("t")))
+      .as[(Double, Double)].collect().head
+    // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert(f._1 == math.rint((206.835 - 1.015 * 3.0 - 84.6) * 1e4) / 1e4)
+    // fk = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    assert(f._2 == math.rint((0.39 * 3.0 + 11.8 - 15.59) * 1e4) / 1e4)
+    val empty = Seq("").toDF("t")
+      .select(tf.fleschReadingEase(col("t"))).collect().head
+    assert(empty.isNullAt(0))
+  }
 }
