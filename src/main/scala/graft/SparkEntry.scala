@@ -688,6 +688,25 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // PORTABLE MinHash signatures (r14): permutation i of gram g is the
+    // 52-bit md5 parse of g#i — the oracle-checkable twin of the seeded
+    // LCG family (which stays rows-only by §8); 16 perms, long form.
+    "q_minhash_sig" -> ((s, d) =>
+      Dedup.minHashSignaturesPortable(
+          t(s, d, "documents"), "doc_id", "text", n = 3, perms = 16)
+        .orderBy("id", "perm")),
+
+    // Portable-MinHash LSH pairs (r14): 4 bands x 4 rows, candidates by
+    // exact band-tuple match, estimate = matching-perm fraction >= 0.5
+    // — banding, candidacy and estimate ALL replay in the oracle, so
+    // the hash match PROVES the LSH pipeline end to end (the seeded
+    // family can only be spec-pinned).
+    "q_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashPairsPortable(
+          t(s, d, "documents"), "doc_id", "text",
+          n = 3, perms = 16, bands = 4, minEstJaccard = 0.5)
+        .orderBy("id_a", "id_b")),
+
     // Fused end-to-end near-dedup — the flagship "dedup the corpus" call:
     // MinHash banding -> jaccard-verified pairs -> connected components ->
     // keep the min-id member per cluster, one operator
@@ -3752,6 +3771,33 @@ object SparkEntry {
        |FROM agg ORDER BY event_type""".stripMargin
   }
 
+  // The portable-MinHash signature CTE chain (shared by q_minhash_sig
+  // and q_minhash_pairs): distinct word 3-grams, permutation i = the
+  // 52-bit md5 parse of g#i, per-(doc, perm) min.
+  private def minhashSigCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+      |    FROM toks)
+      |), hs AS (
+      |  SELECT doc_id, CAST(p.i AS INT) AS perm,
+      |         md5(g || '#' || CAST(p.i AS VARCHAR)) AS hh
+      |  FROM grams, range(16) p(i)
+      |), hv AS (
+      |  SELECT doc_id, perm,
+      |         CAST(list_sum(list_transform(range(13), j ->
+      |           (CAST(strpos('0123456789abcdef',
+      |               substr(hh, CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+      |           * (CAST(1 AS BIGINT) << CAST(4*(12-j) AS INT)))) AS BIGINT) AS h
+      |  FROM hs
+      |), sig AS (
+      |  SELECT doc_id AS id, perm, min(h) AS sig FROM hv GROUP BY 1, 2
+      |)""".stripMargin
+
   // The q_text_quality score replay (shared by the r14 ML-eval oracle
   // family): per doc, the 4-gate heuristic score on the 4dp grid plus
   // the (lang = 'en') label and the source group.
@@ -4176,6 +4222,38 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Portable-MinHash signature replay: the shared sig CTE, long form.
+    "q_minhash_sig" -> (minhashSigCte +
+      """
+        |SELECT id, perm, sig FROM sig ORDER BY id, perm""".stripMargin),
+
+    // Portable-MinHash LSH pairs replay: band keys (md5 over the
+    // perm-ordered sig tuple), exact band-tuple candidacy, matching-perm
+    // estimate — the full LSH pipeline in SQL.
+    "q_minhash_pairs" -> (minhashSigCte +
+      """, bk AS (
+        |  SELECT id, CAST(perm // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS bkey
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.perm = sa.perm
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, n_match,
+        |       round(CAST(n_match AS DOUBLE) / 16, 6) AS est_jaccard
+        |FROM est
+        |WHERE round(CAST(n_match AS DOUBLE) / 16, 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

@@ -387,6 +387,96 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
+  /** PORTABLE MinHash signatures (Broder 1997) — the oracle-checkable
+    * twin of [[minHashSignature]], exactly as [[graft.operators.PortableHll]]
+    * twins `approx_count_distinct`: the seeded-LCG permutation family is
+    * JVM-internal (its whole query family is rows-only by §8 rationale),
+    * while here permutation i of gram g is simply the house 52-bit md5
+    * parse of `g || '#' || i` — any engine can replay it, so signatures,
+    * banding, candidates and estimates ALL hash-match an external
+    * oracle. Costlier per gram (one md5 per (gram, perm) vs one LCG
+    * multiply), so the seeded family remains the throughput path; this
+    * is the auditable one.
+    *
+    * Long-form output (id, perm, sig) — ≤ perms rows per doc; sig is
+    * the min 52-bit hash over the doc's DISTINCT word n-grams.
+    * P(sig_a = sig_b) = jaccard(A, B) per permutation, so the matching
+    * fraction estimates Jaccard. Empty-gram docs (< n tokens) emit no
+    * rows.
+    *
+    * Shape: row-local distinct grams explode to (gram, perm) — one
+    * map-side fan-out of `perms`× — then ONE shuffle into the
+    * (id, perm) min aggregation with map-side combine.
+    */
+  def minHashSignaturesPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16): DataFrame = {
+    require(perms >= 2 && perms <= 256, s"perms in [2,256], got $perms")
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.wordNGrams(col(textCol), n))).as("g"))
+      .select(col("id"), col("g"),
+        explode(sequence(lit(0), lit(perms - 1))).as("perm"))
+      .select(col("id"), col("perm"),
+        conv(substring(md5(concat(col("g"), lit("#"), col("perm").cast("string"))),
+          1, 13), 16, 10).cast("long").as("h"))
+      .groupBy(col("id"), col("perm"))
+      .agg(min(col("h")).as("sig"))
+  }
+
+  /** LSH-banded near-dup pairs over [[minHashSignaturesPortable]]:
+    * signatures split into `bands` bands of perms/bands rows; docs
+    * sharing ANY band's exact signature tuple become candidates (the
+    * standard s-curve: catch probability 1−(1−j^r)^b); candidates are
+    * then scored by the matching-permutation fraction and kept at
+    * `minEstJaccard`. Every stage — banding, candidacy, estimate — is
+    * md5-arithmetic on grid values, so an external replay reaches the
+    * identical pair set (the banding is part of the CONTRACT, not a
+    * lossy heuristic hidden behind it).
+    *
+    * Shape: band keys are one md5 over the per-band ordered sig tuple
+    * (≤ bands rows per doc); the candidate join is equi on (band, key);
+    * the estimate joins the two ≤perms-row signature slices per
+    * candidate pair. Nothing touches raw text after the signature pass.
+    */
+  def minHashPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(bands >= 1 && perms % bands == 0,
+      s"bands must divide perms, got $perms/$bands")
+    val r = perms / bands
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, n, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = sigs
+      .groupBy(col("id"), floor(col("perm") / r).cast("int").as("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("perm"), col("sig")))),
+          x => x("sig").cast("string")))).as("bkey"))
+    val cand = bandKeys.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(bandKeys.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("perm"), col("sig").as("sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("perm"), col("sig").as("sb")),
+        Seq("id_b", "perm"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("est_jaccard",
+        round(col("n_match").cast("double") / perms, 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "n_match", "est_jaccard")
+  }
+
   /** 64-bit SimHash over token hashes: bit b of the fingerprint is the
     * sign of sum over tokens of (+-1 depending on bit b of xxhash64(token)).
     * Near-duplicates land within small hamming distance. Token hashing is
