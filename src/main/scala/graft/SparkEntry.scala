@@ -1754,6 +1754,23 @@ object SparkEntry {
           "event_type", "ts", "value")
         .orderBy("event_type")),
 
+    // Time-weighted average (r14): the LOCF step integral over each
+    // group's observation span / the span — exact, no grid
+    // materialized; integer-microsecond weights x 6dp values fold as
+    // exact decimals.
+    "q_twap" -> ((s, d) =>
+      graft.operators.Resample.twap(
+          t(s, d, "events"), "event_type", "ts", "value")
+        .orderBy("event_type")),
+
+    // Trimmed + winsorized means (r14): rank-exact alpha=0.1 robust
+    // location per group — drop or clamp the floor(alpha*n) extremes;
+    // winsorized sum = trimmed sum + k*lo + k*hi, no self-join.
+    "q_trimmed_mean" -> ((s, d) =>
+      Anomaly.trimmedMeans(
+          t(s, d, "events"), "event_type", "value", alpha = 0.1)
+        .orderBy("event_type")),
+
     // Rolling active users (r14): exact DAU/WAU(7)/MAU(28) + stickiness
     // per observed day — one distinct pass then a map-side offset
     // explode into the trailing windows; no day-grid join, one shuffle.
@@ -6667,6 +6684,59 @@ object SparkEntry {
         |            THEN round((num * num) / (den * deny), 6) END AS r2
         |FROM f
         |ORDER BY event_type""".stripMargin,
+
+    // TWAP replay: instant-collapse staged mean, lead duration in
+    // integer micros, exact decimal value x duration integral, one
+    // division by the span.
+    "q_twap" ->
+      """WITH byinst AS (
+        |  SELECT event_type, epoch_us(ts) AS tsu,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT event_type, v,
+        |         lead(tsu) OVER (PARTITION BY event_type ORDER BY tsu) - tsu AS dur
+        |  FROM byinst
+        |), a AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n_obs,
+        |         CAST(sum(dur) AS BIGINT) AS span,
+        |         sum(CAST(v AS DECIMAL(18,6)) * dur) AS integral
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT event_type, n_obs,
+        |       CASE WHEN span > 0
+        |            THEN round(CAST(integral AS DOUBLE) / span, 6) END AS twap
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Trimmed/winsorized replay: value-order ranks, floor(double
+    // alpha*n) trim width (CAST AS DOUBLE — decimal alpha*n floors
+    // differently), decimal folds, winsorized = tsum + k*lo + k*hi.
+    "q_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT event_type, round(value, 6) AS v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |), kk AS (
+        |  SELECT *, CAST(floor(CAST(0.1 AS DOUBLE) * n) AS BIGINT) AS k FROM r
+        |), a AS (
+        |  SELECT event_type,
+        |         CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+        |         sum(CASE WHEN rn > k AND rn <= n - k
+        |                  THEN CAST(v AS DECIMAL(18,6)) END) AS tsum,
+        |         min(CASE WHEN rn > k THEN v END) AS lo,
+        |         max(CASE WHEN rn <= n - k THEN v END) AS hi
+        |  FROM kk GROUP BY 1
+        |)
+        |SELECT event_type, n, k,
+        |       round(CAST(tsum AS DOUBLE) / (n - 2 * k), 6) AS trimmed_mean,
+        |       round(CAST(tsum + k * CAST(lo AS DECIMAL(18,6))
+        |                  + k * CAST(hi AS DECIMAL(18,6)) AS DOUBLE) / n, 6)
+        |         AS winsorized_mean
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // Active-users replay: distinct (user, day), offset fan-out via
     // range(28), clip at the observed max day, three conditional

@@ -925,6 +925,59 @@ object Anomaly {
         round((col("num") * col("num")) / (col("den") * col("deny")), 6)).as("r2"))
   }
 
+  /** Trimmed + winsorized means per group (Tukey's robust location
+    * estimates): rank the values, drop (trimmed) or clamp (winsorized)
+    * the k = ⌊α·n⌋ extremes on each side. The location summary that
+    * survives fat tails where the plain mean follows one wild sensor —
+    * and the exact, engine-portable alternative to an approximate
+    * quantile clip.
+    *
+    * Portability: ranks are row_number over the value order (ties
+    * anywhere — trimming by rank keeps a well-defined multiset because
+    * tied values are interchangeable); kept/clamped values ride the
+    * 6dp grid and fold as exact decimals; the winsorized sum needs NO
+    * self-join — it is trimmed_sum + k·lo + k·hi where lo/hi are the
+    * conditional min/max at the trim boundaries, all decimal-exact.
+    * k uses floor(double α·n) with the α literal staged identically in
+    * the oracle (CAST AS DOUBLE — DuckDB would otherwise compute α·n
+    * in exact decimal and floor DIFFERENTLY at e.g. 0.3·10).
+    *
+    * Shape: one window rank + one aggregation over the fact rows;
+    * map-side combine applies to every aggregate.
+    */
+  def trimmedMeans(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha >= 0 && alpha < 0.5, s"alpha in [0, 0.5), got $alpha")
+    val wOrd = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__v", round(col(valueCol), 6))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", floor(lit(alpha) * col("__n")))
+    val dec = "decimal(18,6)"
+    ranked.groupBy(col(groupCol))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__k")).as("k"),
+        sum(when(col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k"),
+          col("__v").cast(dec))).as("__tsum"),
+        min(when(col("__rn") > col("__k"), col("__v"))).as("__lo"),
+        max(when(col("__rn") <= col("__n") - col("__k"), col("__v"))).as("__hi"))
+      .select(col(groupCol), col("n"), col("k"),
+        round(col("__tsum").cast("double") / (col("n") - lit(2) * col("k")), 6)
+          .as("trimmed_mean"),
+        round((col("__tsum")
+          + col("k") * col("__lo").cast(dec)
+          + col("k") * col("__hi").cast(dec)).cast("double") / col("n"), 6)
+          .as("winsorized_mean"))
+  }
+
   /** Theil-Sen robust trend fit (Theil 1950; Sen 1968) over the daily
     * roll-up: slope = the LOWER MEDIAN of all pairwise slopes
     * (m_b − m_a)/(i_b − i_a), intercept = the lower median of the

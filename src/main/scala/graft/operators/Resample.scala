@@ -98,4 +98,48 @@ object Resample {
       .select(col("g").as(groupCol), col("tsu").as("grid_ts_sec"),
         value.as("value"))
   }
+
+  /** Time-weighted average (TWAP) per group over the irregular series:
+    * the integral of the LOCF step function across [first, last]
+    * observation divided by the span — the mean a fixed-grid resample
+    * converges to, computed exactly without materializing any grid.
+    * The honest average for irregularly-sampled gauges, where the
+    * arithmetic mean over-weights chatty periods.
+    *
+    * Portability: each observation's weight is its integer MICROSECOND
+    * duration to the next observation (lead window); the value rides
+    * the 6dp grid; weight × value products and their sum are exact
+    * decimals (order-free), and the one final division is scalar IEEE.
+    * Multiple observations at one instant collapse to their staged 6dp
+    * mean first (zero-duration rows would silently vanish from the
+    * integral otherwise — their values must still influence the step).
+    * Single-instant groups have an empty span → null twap, n_obs kept.
+    *
+    * Shape: one instant-collapse aggregation, one per-group window for
+    * the lead, one final aggregation — all on (group, instant) grain.
+    */
+  def twap(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val byInstant = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), unix_micros(col(tsCol)).as("tsu"))
+      .agg(round(
+        sum(round(col(valueCol), 6).cast("decimal(18,6)")).cast("double")
+          / count(col(valueCol)), 6).as("v"))
+    val wLead = Window.partitionBy("g").orderBy("tsu")
+    byInstant
+      .withColumn("dur", lead(col("tsu"), 1).over(wLead) - col("tsu"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("dur")).as("__span"),
+        sum(col("v").cast("decimal(18,6)") * col("dur")).as("__integral"))
+      .select(col("g").as(groupCol), col("n_obs"),
+        when(col("__span") > 0,
+          round(col("__integral").cast("double") / col("__span"), 6))
+          .as("twap"))
+  }
 }

@@ -485,6 +485,36 @@ class AnomalySpec extends SparkSpec {
     assert(solo.getLong(solo.fieldIndex("n_days")) == 1L)
   }
 
+  test("trimmedMeans: rank-exact trim/clamp, floor trap pinned, k=0 degenerates to mean") {
+    val df = (Seq(0.0, 1.0, 2.0, 9.0, 100.0).map(("a", _)) ++
+      Seq(("tiny", 5.0), ("tiny", 7.0)) ++
+      Seq(("nulls", 1.0), ("nulls", Double.NaN))) // NaN placeholder replaced below
+      .toDF("g", "v")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val got = Anomaly.trimmedMeans(df, "g", "v", alpha = 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // a: n=5, k=1 -> trimmed mean(1,2,9) = 4.0; winsorized (12+1+9)/5 = 4.4.
+    assert(got("a") == ((5L, 1L, 4.0, 4.4)))
+    // tiny: n=2, k=0 -> both equal the plain mean.
+    assert(got("tiny") == ((2L, 0L, 6.0, 6.0)))
+    // nulls dropped before ranking: n=1.
+    assert(got("nulls")._1 == 1L && got("nulls")._3 == 1.0)
+    // Pin the k arithmetic on a boundary-ish alpha: 0.3d * 10 rounds
+    // to EXACTLY 3.0 (ties-to-even lands on the representable 3.0), so
+    // k = 3 — and the oracle's CAST(0.3 AS DOUBLE) * n computes the
+    // identical double. (The convention matters at products like
+    // 0.29 * 100 = 28.999999999999996, where decimal arithmetic would
+    // floor to 29 instead of 28.) Values 1..10, k=3: mean(4..7) = 5.5.
+    val ten = (1 to 10).map(i => ("t", i.toDouble)).toDF("g", "v")
+    val t = Anomaly.trimmedMeans(ten, "g", "v", alpha = 0.3).collect().head
+    assert(t.getLong(2) == 3L, s"k must floor the double product: $t")
+    assert(t.getDouble(3) == 5.5)
+    // Robustness headline: the 100 outlier drags the plain mean to 22.4
+    // while both robust estimates stay near the bulk.
+    assert(got("a")._3 < 5.0 && got("a")._4 < 5.0)
+  }
+
   test("theilSenFit: exact line, 30%-outlier immunity where OLS drifts, lower-median rule") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     // Clean line: every pairwise slope is exactly 2.0, every residual 1.0.

@@ -56,4 +56,30 @@ class ResampleSpec extends SparkSpec {
     // 01:00 is 10/20 of the way from 1.0 to 2.0.
     assert(got.map(_._3) == Seq(1.5))
   }
+
+  test("twap: LOCF integral over the span, chatty periods not over-weighted") {
+    // v=10 holds for 2h, v=30 for 30min, last obs closes the span:
+    // twap = (10*7200 + 30*1800) / 9000 = 14.0; the plain mean is 30.
+    val got = Resample.twap(series, "g", "ts", "v").collect().head
+    assert(got.getLong(1) == 3L)
+    assert(got.getDouble(2) == 14.0)
+    // Burst of samples at one value must not drag the time average:
+    // v=0 for 1h, then 100 sampled 5x within the final second.
+    val bursty = (Seq(("b", ts("2024-01-01 00:00:00"), 0.0)) ++
+      (0 to 4).map(i => ("b", ts(s"2024-01-01 01:00:0$i"), 100.0)))
+      .toDF("g", "ts", "v")
+    val b = Resample.twap(bursty, "g", "ts", "v").collect().head
+    // integral = 0*3600s + 100*4s over span 3604s ~ 0.111
+    assert(b.getDouble(2) == math.rint(100.0 * 4 / 3604 * 1e6) / 1e6)
+    // Same-instant duplicates collapse to their mean before weighting;
+    // single-instant groups have no span -> null.
+    val dup = Seq(("c", ts("2024-01-01 00:00:00"), 1.0),
+      ("c", ts("2024-01-01 00:00:00"), 3.0),
+      ("c", ts("2024-01-01 01:00:00"), 2.0),
+      ("solo", ts("2024-01-01 00:00:00"), 9.0)).toDF("g", "ts", "v")
+    val rows = Resample.twap(dup, "g", "ts", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("c").getDouble(2) == 2.0) // mean(1,3)=2 held for the whole hour
+    assert(rows("solo").isNullAt(2) && rows("solo").getLong(1) == 1L)
+  }
 }
