@@ -1779,6 +1779,15 @@ object SparkEntry {
           t(s, d, "events"), "user_id", "ts")
         .orderBy("day")),
 
+    // Mann-Kendall trend test (r14): the INTEGER S statistic + tie-
+    // corrected variance + continuity-corrected z — "is there a
+    // monotone trend at all" before q_trend_theilsen sizes it.
+    "q_trend_mannkendall" -> ((s, d) =>
+      Anomaly.mannKendall(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type")),
+
     // Theil-Sen robust trend (r14): lower-median pairwise slope +
     // lower-median residual intercept — the 29.3%-breakdown complement
     // to q_trend_ols; pair slopes are single IEEE divisions, medians
@@ -6762,6 +6771,61 @@ object SparkEntry {
         |GROUP BY 1
         |HAVING count(DISTINCT CASE WHEN off = 0 THEN u END) > 0
         |ORDER BY day""".stripMargin,
+
+    // Mann-Kendall replay: staged daily CTE, sign-pair integer sum,
+    // tie-group integer correction, (S∓1)/sqrt(var) fixed ops.
+    "q_trend_mannkendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT event_type, m,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |              AS BIGINT) AS i
+        |  FROM daily
+        |), st AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CAST(sign(b.m - a.m) AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM x a JOIN x b ON a.event_type = b.event_type AND a.i < b.i
+        |  GROUP BY 1
+        |), tg AS (
+        |  SELECT event_type, m, CAST(count(*) AS BIGINT) AS t
+        |  FROM x GROUP BY 1, 2
+        |), ties AS (
+        |  SELECT event_type,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum,
+        |         CAST(sum(t) AS BIGINT) AS n_days
+        |  FROM tg GROUP BY 1
+        |), v AS (
+        |  SELECT ties.event_type, ties.n_days,
+        |         coalesce(st.s_stat, 0) AS s_stat,
+        |         CAST(ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
+        |              - ties.tie_sum AS DOUBLE) / 18.0 AS var_raw
+        |  FROM ties LEFT JOIN st USING (event_type)
+        |)
+        |SELECT event_type, n_days, s_stat,
+        |       round(var_raw, 6) AS var_s,
+        |       CASE WHEN var_raw > 0 THEN
+        |         round(CASE WHEN s_stat > 0
+        |                    THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_raw)
+        |                    WHEN s_stat < 0
+        |                    THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_raw)
+        |                    ELSE 0.0 END, 6) END AS z,
+        |       CASE WHEN var_raw <= 0 THEN 'none'
+        |            WHEN CASE WHEN s_stat > 0
+        |                      THEN round(CAST(s_stat - 1 AS DOUBLE) / sqrt(var_raw), 6)
+        |                      WHEN s_stat < 0
+        |                      THEN round(CAST(s_stat + 1 AS DOUBLE) / sqrt(var_raw), 6)
+        |                      ELSE 0.0 END > 1.96 THEN 'increasing'
+        |            WHEN CASE WHEN s_stat > 0
+        |                      THEN round(CAST(s_stat - 1 AS DOUBLE) / sqrt(var_raw), 6)
+        |                      WHEN s_stat < 0
+        |                      THEN round(CAST(s_stat + 1 AS DOUBLE) / sqrt(var_raw), 6)
+        |                      ELSE 0.0 END < -1.96 THEN 'decreasing'
+        |            ELSE 'none' END AS trend
+        |FROM v ORDER BY event_type""".stripMargin,
 
     // Theil-Sen replay: the staged daily CTE, the honest pair
     // self-join, lower-median rank selection for slope and residual

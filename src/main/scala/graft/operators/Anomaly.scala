@@ -1041,6 +1041,65 @@ object Anomaly {
       .select(col(groupCol), col("n_days"), col("slope"), col("intercept"))
   }
 
+  /** Mann-Kendall trend test (Mann 1945; Kendall 1975) over the daily
+    * roll-up — [[theilSenFit]]'s hypothesis-test companion: S =
+    * Σ_{i<j} sign(m_j − m_i) answers "is there a monotone trend AT
+    * ALL" nonparametrically before Theil-Sen quantifies its slope.
+    * S is an INTEGER statistic (the rare estimator that needs no float
+    * discipline anywhere), Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18
+    * with the tie correction an integer sum over tie-group sizes, and
+    * the continuity-corrected z = (S∓1)/√Var is three fixed IEEE ops
+    * (sqrt is correctly rounded by IEEE in any engine).
+    *
+    * Same metadata-sized pair explosion over the daily table as
+    * [[theilSenFit]]; ties on the 6dp grid compare exactly. Groups
+    * with zero variance (n < 2 or all-tied) emit null z.
+    */
+  def mannKendall(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      zAlarm: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
+    val idx = daily.withColumn("i",
+      row_number().over(Window.partitionBy(groupCol).orderBy("day")).cast("long"))
+      .select(col(groupCol), col("i"), col("m"))
+      .localCheckpoint(true)
+    val a = idx.select(col(groupCol), col("i").as("ia"), col("m").as("ma"))
+    val b = idx.select(col(groupCol), col("i").as("ib"), col("m").as("mb"))
+    val sTab = a.join(b, Seq(groupCol)).filter(col("ia") < col("ib"))
+      .groupBy(col(groupCol))
+      .agg(sum(signum(col("mb") - col("ma")).cast("long")).as("s_stat"))
+    val ties = idx.groupBy(col(groupCol), col("m"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("__distinct"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("__tie_sum"),
+        sum(col("t")).as("n_days"))
+    ties.join(sTab, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_days"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        ((col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("__tie_sum")).cast("double") / 18.0).as("__var"))
+      .select(col(groupCol), col("n_days"), col("s_stat"),
+        round(col("__var"), 6).as("var_s"),
+        when(col("__var") > 0,
+          round(
+            when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(col("__var")))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(col("__var")))
+            .otherwise(lit(0.0)), 6)).as("z"))
+      .withColumn("trend",
+        when(col("z").isNull, lit("none"))
+          .when(col("z") > zAlarm, lit("increasing"))
+          .when(col("z") < -zAlarm, lit("decreasing"))
+          .otherwise(lit("none")))
+  }
+
   /** Classical seasonal decomposition of the daily-mean series
     * (moving-average STL-lite): trend = centered (2w+1)-day moving
     * average (null at the edges where the window is partial — honest

@@ -515,6 +515,37 @@ class AnomalySpec extends SparkSpec {
     assert(got("a")._3 < 5.0 && got("a")._4 < 5.0)
   }
 
+  test("mannKendall: integer S, tie-corrected variance, z calls the trend") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
+    val df = ((1 to 10).map(i => ("up", day(i), i.toDouble)) ++
+      (1 to 10).map(i => ("down", day(i), -i.toDouble)) ++
+      (1 to 10).map(i => ("flat", day(i), 7.0)) ++
+      (1 to 10).map(i => ("alt", day(i), if (i % 2 == 1) 1.0 else 2.0)) :+
+      (("solo", day(1), 3.0))).toDF("grp", "ts", "v")
+    val got = Anomaly.mannKendall(df, "grp", "ts", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // up: all 45 pairs ascend -> S=45, no ties: var = 10*9*25/18 = 125,
+    // z = 44/sqrt(125), trend increasing.
+    val up = got("up")
+    assert(up.getLong(2) == 45L && up.getDouble(3) == 125.0)
+    assert(up.getDouble(4) == math.rint(44.0 / math.sqrt(125.0) * 1e6) / 1e6)
+    assert(up.getString(5) == "increasing")
+    val down = got("down")
+    assert(down.getLong(2) == -45L && down.getString(5) == "decreasing")
+    // flat: all pairs tied -> S=0, tie correction zeroes the variance,
+    // z null, no trend call.
+    val flat = got("flat")
+    assert(flat.getLong(2) == 0L && flat.getDouble(3) == 0.0)
+    assert(flat.isNullAt(4) && flat.getString(5) == "none")
+    // alternating 1,2: S = 15 - 10 = 5; ties 2x t=5 -> tie_sum 600,
+    // var = (2250-600)/18; z ~ 0.42 -> "none".
+    val alt = got("alt")
+    assert(alt.getLong(2) == 5L)
+    assert(alt.getDouble(3) == math.rint((2250.0 - 600.0) / 18.0 * 1e6) / 1e6)
+    assert(alt.getString(5) == "none")
+    assert(got("solo").isNullAt(4) && got("solo").getString(5) == "none")
+  }
+
   test("theilSenFit: exact line, 30%-outlier immunity where OLS drifts, lower-median rule") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     // Clean line: every pairwise slope is exactly 2.0, every residual 1.0.

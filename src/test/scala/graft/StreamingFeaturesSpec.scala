@@ -187,6 +187,55 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(streamed.count(r => !r.isNullAt(3)) >= 8, "full windows exist")
   }
 
+  test("streamed portable-HLL register store == one-shot sketch (max-merge fold)") {
+    val dir = s"$root/hll_stream"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // 900 (type, user) events over 3 micro-batches with heavy overlap
+    // across batches, so the per-register max genuinely merges.
+    val all = (1 to 900).map(i => (s"t${i % 3}", (i % 400).toLong))
+    val batches = all.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_type", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp$i")
+      val src = Files.list(Paths.get(s"$dir/tmp$i"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/b$i.parquet"))
+    }
+    val statePath = s"$dir/state"
+    val schema = new StructType()
+      .add("event_type", "string").add("user_id", "long")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.operators.PortableHll.registers(
+          batch, "event_type", col("user_id"))
+        val merged =
+          if (Files.exists(Paths.get(statePath)))
+            graft.operators.PortableHll.merge(
+              spark.read.parquet(statePath), delta)
+          else delta
+        val staged = s"$statePath.next"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(statePath)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    // Estimates off the standing store must equal the one-shot batch
+    // sketch BIT FOR BIT — max-merge is exact, not approximate.
+    val streamed = graft.operators.PortableHll.estimate(
+        spark.read.parquet(statePath), "event_type")
+      .orderBy("event_type").collect().toSeq
+    val oneShot = graft.operators.PortableHll.distinctApprox(
+        all.toDF("event_type", "user_id"), "event_type", col("user_id"))
+      .orderBy("event_type").collect().toSeq
+    assert(streamed == oneShot, "streamed register fold must equal one-shot")
+    // And the standing store stays counter-sized: <= 256 rows per group.
+    val stateRows = spark.read.parquet(statePath)
+      .groupBy("event_type").count().collect()
+    assert(stateRows.forall(_.getLong(1) <= 256L))
+  }
+
   test("streamed PSI against a frozen baseline == batch scoring (stream-static)") {
     val dir = s"$root/psi_stream"
     Files.createDirectories(Paths.get(s"$dir/in"))
