@@ -709,6 +709,69 @@ object ScaleStress {
       s"equal = ${mergedCount == fullCount}")
     }
 
+    section("r14") {
+    // HITS over the same hub-skewed web graphs the pagerank arm uses:
+    // the claims are identical (per-iteration cost = two vector
+    // shuffles into the cached edge layout; L1 mass holds ~1 on both
+    // vectors through the 12dp rounded dynamics).
+    import graft.operators.{Graph, PortableHll, Dedup => D}
+    def webEdges(m: Long): DataFrame = {
+      val n = m / 10
+      spark.range(m).select(
+        (col("id") % lit(n)).as("src"),
+        when(col("id") % 10 === 0, col("id") % lit(math.max(n / 100, 1L)))
+          .otherwise((col("id") * 2654435761L) % lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+    }
+    for (m <- Seq(1000000L, 2000000L)) {
+      val e = webEdges(m).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[stress] hits edges: ${e.count()}")
+      val hv = time(s"hits 3 iters ($m edges)")(
+        Graph.hits(e, "src", "dst", iterations = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sums = hv.agg(sum(col("hub")), sum(col("authority"))).collect().head
+      println(f"[stress]   L1 mass: hub = ${sums.getDouble(0)}%.4f, " +
+        f"auth = ${sums.getDouble(1)}%.4f (~1 expected each)")
+      hv.unpersist(blocking = false); e.unpersist(blocking = false)
+    }
+
+    // Portable HLL over a wide synthetic stream: 50M rows, 100 groups,
+    // ~1M true distinct per group. Claims: one pass to <=256 counter
+    // rows per group (map-side combined), estimate within the 6.5%
+    // design error band.
+    val wide = spark.range(50000000L).select(
+      (col("id") % 100).cast("string").as("g"),
+      floor(col("id") / 100).as("v")) // 500k distinct per group, exactly
+    val est = time("portable HLL: 50M rows, 100 groups")(
+      PortableHll.distinctApprox(wide, "g", col("v"))
+        .agg(min(col("approx_distinct")), max(col("approx_distinct")))
+        .collect().head)
+    println(f"[stress]   est range = ${est.getDouble(0)}%.0f .. ${est.getDouble(1)}%.0f " +
+      "(true 500000 per group)")
+
+    // Portable MinHash at replicated-corpus scale: signatures + banded
+    // pairs on the exact-dup-collapsed corpus (the production order).
+    val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
+    val distinctDocs = D.dropExactDuplicates(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] minhash corpus: ${distinctDocs.count()} distinct docs")
+    time("portable minhash signatures (16 perms)")(
+      D.minHashSignaturesPortable(distinctDocs, "doc_id", "text").count())
+    val nPairs = time("portable minhash banded pairs")(
+      D.minHashPairsPortable(distinctDocs, "doc_id", "text").count())
+    println(s"[stress]   banded pairs = $nPairs")
+
+    // Rolling active users over a year of synthetic activity: 10M
+    // (user, day) facts -> 28x map-side fan-out, one shuffle.
+    val act = spark.range(10000000L).select(
+      (col("id") % 200000L).as("user_id"),
+      to_timestamp(from_unixtime(lit(1700000000L) + (col("id") % 365) * 86400L))
+        .as("ts"))
+    val auDays = time("active users: 10M facts, 365 days")(
+      graft.operators.EventAnalytics.activeUsers(act, "user_id", "ts").count())
+    println(s"[stress]   active-user days = $auDays")
+    }
+
     spark.stop()
   }
 }
