@@ -1754,6 +1754,36 @@ object SparkEntry {
           "event_type", "ts", "value")
         .orderBy("event_type")),
 
+    // Day-of-week envelope (r14): exact p10/median/p90 of the daily
+    // means per (group, weekday) at integer ranks — the seasonal band
+    // a new day is judged against.
+    "q_dow_envelope" -> ((s, d) =>
+      Anomaly.dowEnvelope(
+          t(s, d, "events").select("event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "dow")),
+
+    // Inter-arrival stats (r14): exact mean/p50/p90 event gaps in
+    // seconds per type — integer-microsecond lead gaps, rank-exact
+    // quantiles; sizes session timeouts and watermarks from data.
+    "q_interarrival" -> ((s, d) =>
+      EventAnalytics.interArrival(t(s, d, "events"), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // N-day return rate (r14): of day-d actives, the share back within
+    // 7 days — one lead window over the distinct activity table;
+    // partial-horizon edge days keep counts but null the rate.
+    "q_return_rate" -> ((s, d) =>
+      EventAnalytics.returnRate(
+          t(s, d, "events"), "user_id", "ts", horizonDays = 7)
+        .orderBy("day")),
+
+    // Per-day type diversity (r14): Shannon entropy + Herfindahl of
+    // the event-type mix — 12dp-grid terms, exact decimal fold.
+    "q_type_entropy" -> ((s, d) =>
+      EventAnalytics.typeDiversity(t(s, d, "events"), "ts", "event_type")
+        .orderBy("day")),
+
     // Time-weighted average (r14): the LOCF step integral over each
     // group's observation span / the span — exact, no grid
     // materialized; integer-microsecond weights x 6dp values fold as
@@ -6693,6 +6723,109 @@ object SparkEntry {
         |            THEN round((num * num) / (den * deny), 6) END AS r2
         |FROM f
         |ORDER BY event_type""".stripMargin,
+
+    // Dow-envelope replay: staged daily CTE + Spark's dayofweek
+    // (1=Sunday — DuckDB dayofweek is 0=Sunday, shifted +1), integer
+    // floor-division ranks, max-of-first-k selection.
+    "q_dow_envelope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(value), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, CAST(dayofweek(day) + 1 AS INT) AS dow, m,
+        |         CAST(row_number() OVER (PARTITION BY event_type, dayofweek(day)
+        |                                 ORDER BY m) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type, dayofweek(day))
+        |              AS BIGINT) AS n
+        |  FROM daily
+        |)
+        |SELECT event_type, dow,
+        |       CAST(max(n) AS BIGINT) AS n_days,
+        |       max(CASE WHEN rn <= (n + 9) // 10 THEN m END) AS p10,
+        |       max(CASE WHEN rn <= (n + 1) // 2 THEN m END) AS median,
+        |       max(CASE WHEN rn <= (9 * n + 9) // 10 THEN m END) AS p90
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+
+    // Inter-arrival replay: per-type lead gaps in integer micros,
+    // rank-exact quantiles, exact-integer mean with one division chain.
+    "q_interarrival" ->
+      """WITH g0 AS (
+        |  SELECT event_type, epoch_us(ts) AS tsu FROM events
+        |  WHERE ts IS NOT NULL
+        |), g AS (
+        |  SELECT event_type,
+        |         lead(tsu) OVER (PARTITION BY event_type ORDER BY tsu) - tsu AS gap
+        |  FROM g0
+        |), r AS (
+        |  SELECT event_type, gap,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY gap)
+        |              AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g WHERE gap IS NOT NULL
+        |)
+        |SELECT event_type,
+        |       CAST(max(n) AS BIGINT) AS n_gaps,
+        |       round(CAST(sum(gap) AS DOUBLE) / max(n) / 1000000.0, 6)
+        |         AS mean_gap_sec,
+        |       round(CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN gap END)
+        |                  AS DOUBLE) / 1000000.0, 6) AS p50_gap_sec,
+        |       round(CAST(max(CASE WHEN rn <= (9 * n + 9) // 10 THEN gap END)
+        |                  AS DOUBLE) / 1000000.0, 6) AS p90_gap_sec
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Return-rate replay: distinct (user, day), per-user lead, gap vs
+    // horizon, integer-ratio rate nulled on partial-horizon days.
+    "q_return_rate" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), mx AS (
+        |  SELECT max(day) AS max_day FROM a
+        |), l AS (
+        |  SELECT u, day,
+        |         lead(day) OVER (PARTITION BY u ORDER BY day) AS nxt
+        |  FROM a
+        |), g AS (
+        |  SELECT day,
+        |         CAST(count(*) AS BIGINT) AS n_active,
+        |         CAST(sum(CASE WHEN nxt IS NOT NULL AND nxt - day <= 7
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        |  FROM l GROUP BY 1
+        |)
+        |SELECT day, n_active, n_returned,
+        |       CASE WHEN (SELECT max_day FROM mx) - day >= 7
+        |            THEN round(CAST(n_returned AS DOUBLE) / n_active, 6)
+        |       END AS return_rate
+        |FROM g ORDER BY day""".stripMargin,
+
+    // Type-diversity replay: per-(day, type) counts, single-division
+    // shares, 12dp-grid entropy/HHI terms, exact decimal folds.
+    "q_type_entropy" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS t,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT day, t, c,
+        |         CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n
+        |  FROM c
+        |), terms AS (
+        |  SELECT day, n,
+        |         CAST(round((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 12)
+        |              AS DECIMAL(28,12)) AS h,
+        |         CAST(round((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n), 12)
+        |              AS DECIMAL(28,12)) AS hhi
+        |  FROM w
+        |)
+        |SELECT day,
+        |       CAST(max(n) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       round(0.0 - CAST(sum(h) AS DOUBLE), 6) AS entropy,
+        |       round(CAST(sum(hhi) AS DOUBLE), 6) AS herfindahl
+        |FROM terms GROUP BY 1 ORDER BY day""".stripMargin,
 
     // TWAP replay: instant-collapse staged mean, lead duration in
     // integer micros, exact decimal value x duration integral, one

@@ -1041,6 +1041,38 @@ object Anomaly {
       .select(col(groupCol), col("n_days"), col("slope"), col("intercept"))
   }
 
+  /** Day-of-week quantile envelope: per (group, dow), the exact
+    * p10 / lower-median / p90 of the daily means — the seasonal band a
+    * dashboard draws behind today's point, and the frozen-stats
+    * companion to [[seasonalDecompose]] (decompose explains the
+    * rhythm; the envelope judges a new day against its weekday's own
+    * history). Order statistics at integer ranks (the funnel-latency
+    * convention — ceil(q·n) as ⌊(q·10·n + 9)/10⌋ in integer math, no
+    * interpolation to reconcile), each selected as max-of-the-first-k
+    * in ONE aggregation — no per-quantile join.
+    */
+  def dowEnvelope(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyMean(df, groupCol, tsCol, valueCol)
+      .withColumn("dow", dayofweek(col("day")))
+    val wOrd = Window.partitionBy(col(groupCol), col("dow")).orderBy("m")
+    val wAll = Window.partitionBy(col(groupCol), col("dow"))
+    daily
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col(groupCol), col("dow"))
+      .agg(
+        max(col("__n")).as("n_days"),
+        max(when(col("__rn") <= (col("__n") + 9) / lit(10), col("m"))).as("p10"),
+        max(when(col("__rn") <= (col("__n") + 1) / lit(2), col("m"))).as("median"),
+        max(when(col("__rn") <= (lit(9) * col("__n") + 9) / lit(10), col("m")))
+          .as("p90"))
+  }
+
   /** Mann-Kendall trend test (Mann 1945; Kendall 1975) over the daily
     * roll-up — [[theilSenFit]]'s hypothesis-test companion: S =
     * Σ_{i<j} sign(m_j − m_i) answers "is there a monotone trend AT

@@ -61,6 +61,118 @@ object EventAnalytics {
         round(col("dau").cast("double") / col("wau"), 6))
   }
 
+  /** N-day return rate per day: of the users active on day d, the
+    * share who come back within `horizonDays` — the sibling of
+    * [[cohortRetention]] at daily grain (retention asks "does week k
+    * hold the cohort", return rate asks "did TODAY's users come
+    * back"). Exact and integer-portable: per (user, day) the next
+    * active day comes from ONE lead window over the distinct activity
+    * table; returned = gap ≤ horizon; the rate is one integer-ratio
+    * division.
+    *
+    * Horizon honesty: days within `horizonDays` of the corpus max
+    * cannot observe a full horizon — their rate would silently bias
+    * low as "not returned YET" — so those rows keep their counts but
+    * null the rate (the [[activeUsers]] clip lesson, inverted).
+    */
+  def returnRate(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      horizonDays: Int = 7): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
+    import org.apache.spark.sql.expressions.Window
+    val a = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val wU = Window.partitionBy("u").orderBy("day")
+    val maxDay = a.agg(max(col("day")).as("__max_day"))
+    a.withColumn("__next", lead(col("day"), 1).over(wU))
+      .withColumn("__ret",
+        when(col("__next").isNotNull &&
+          datediff(col("__next"), col("day")) <= horizonDays, 1L).otherwise(0L))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"), sum(col("__ret")).as("n_returned"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("day"), col("n_active"), col("n_returned"),
+        when(datediff(col("__max_day"), col("day")) >= horizonDays,
+          round(col("n_returned").cast("double") / col("n_active"), 6))
+          .as("return_rate"))
+  }
+
+  /** Per-day event-type diversity: Shannon entropy (bits) and the
+    * Herfindahl concentration index of the day's type distribution —
+    * the pair that flags "traffic composition changed" before any
+    * per-type monitor fires (entropy drops when one type takes over;
+    * HHI is its concentration mirror, Σ share²).
+    *
+    * Portability: each share is ONE integer-ratio division; each
+    * entropy/HHI term is a fixed scalar chain rounded onto the 12dp
+    * grid, and the per-day SUM over terms folds as exact decimals
+    * (the unordered-float-sum discipline; log2's last ulp sits 3
+    * orders below the grid). Output bounded by days × types.
+    */
+  def typeDiversity(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String): DataFrame = {
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy("day")
+    val counts = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wDay))
+    val share = col("c").cast("double") / col("n")
+    counts
+      .withColumn("__h",
+        round(share * log2(share), 12).cast("decimal(28,12)"))
+      .withColumn("__hhi",
+        round(share * share, 12).cast("decimal(28,12)"))
+      .groupBy(col("day"))
+      .agg(
+        max(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(lit(0.0) - sum(col("__h")).cast("double"), 6).as("entropy"),
+        round(sum(col("__hhi")).cast("double"), 6).as("herfindahl"))
+  }
+
+  /** Inter-arrival gap statistics per group: exact mean / p50 / p90 of
+    * the gaps between consecutive events, in seconds — the burstiness
+    * profile that sizes session timeouts, rate limits and watermark
+    * horizons from data instead of folklore. Gaps are integer
+    * MICROSECONDS from one lead window (ties at the same instant give
+    * honest zero gaps); the mean is an exact integer sum with one
+    * division chain; the quantiles are order statistics at integer
+    * ranks selected as max-of-the-first-k in the same aggregation.
+    */
+  def interArrival(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLead = Window.partitionBy(groupCol).orderBy("__tsu")
+    val gaps = events
+      .filter(col(tsCol).isNotNull)
+      .select(col(groupCol), unix_micros(col(tsCol)).as("__tsu"))
+      .withColumn("__gap", lead(col("__tsu"), 1).over(wLead) - col("__tsu"))
+      .filter(col("__gap").isNotNull)
+    val wOrd = Window.partitionBy(groupCol).orderBy("__gap")
+    val wAll = Window.partitionBy(groupCol)
+    gaps
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("__n")).as("n_gaps"),
+        round(sum(col("__gap")).cast("double") / max(col("__n")) / 1000000.0, 6)
+          .as("mean_gap_sec"),
+        round(max(when(col("__rn") <= (col("__n") + 1) / lit(2), col("__gap")))
+          .cast("double") / 1000000.0, 6).as("p50_gap_sec"),
+        round(max(when(col("__rn") <= (lit(9) * col("__n") + 9) / lit(10),
+          col("__gap"))).cast("double") / 1000000.0, 6).as("p90_gap_sec"))
+  }
+
   /** Ordered-step funnel: for each user, the FIRST time they completed
     * step i strictly after their first completion of step i-1 (the
     * classic "min-ts chain" semantics — re-orderings don't count, and a

@@ -515,6 +515,32 @@ class AnomalySpec extends SparkSpec {
     assert(got("a")._3 < 5.0 && got("a")._4 < 5.0)
   }
 
+  test("dowEnvelope: exact rank quantiles per weekday, max-of-first-k selection") {
+    // 2023-01-02 is a Monday (Spark dow 2). Five Mondays with daily
+    // means 10, 20, 30, 40, 50 (one value per day): n=5 ->
+    // p10 rank ceil(0.5)=1 -> 10; median rank 3 -> 30; p90 rank
+    // ceil(4.5)=5 -> 50.
+    def monday(k: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2023, 1, 2, 12, 0).plusDays(7L * k))
+    val df = (0 until 5).map(k => ("g", monday(k), 10.0 * (k + 1)))
+      .toDF("grp", "ts", "v")
+    val got = Anomaly.dowEnvelope(df, "grp", "ts", "v").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getInt(r.fieldIndex("dow")) == 2)
+    assert(r.getLong(r.fieldIndex("n_days")) == 5L)
+    assert(r.getDouble(r.fieldIndex("p10")) == 10.0)
+    assert(r.getDouble(r.fieldIndex("median")) == 30.0)
+    assert(r.getDouble(r.fieldIndex("p90")) == 50.0)
+    // n=10 ranks: p10 -> 1, median -> 5, p90 -> 9.
+    val ten = (0 until 10).map(k => ("g", monday(k), (k + 1).toDouble))
+      .toDF("grp", "ts", "v")
+    val t = Anomaly.dowEnvelope(ten, "grp", "ts", "v").collect().head
+    assert(t.getDouble(t.fieldIndex("p10")) == 1.0)
+    assert(t.getDouble(t.fieldIndex("median")) == 5.0)
+    assert(t.getDouble(t.fieldIndex("p90")) == 9.0)
+  }
+
   test("mannKendall: integer S, tie-corrected variance, z calls the trend") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-${i}%02d 12:00:00")
     val df = ((1 to 10).map(i => ("up", day(i), i.toDouble)) ++

@@ -68,6 +68,79 @@ class EventAnalyticsSpec extends SparkSpec {
       math.rint(1.0 / 3 * 1e6) / 1e6)))
   }
 
+  test("returnRate: lead-gap semantics, partial-horizon days null the rate") {
+    val act = Seq(
+      ("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-02 09:00:00")),
+      ("u2", ts("2024-01-01 11:00:00")), ("u2", ts("2024-01-05 10:00:00")),
+      ("u3", ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.returnRate(act, "user_id", "ts", horizonDays = 2)
+      .orderBy("day")
+      .select(col("day").cast("string"), col("n_active"), col("n_returned"),
+        col("return_rate"))
+      .collect()
+    // d1: 3 active; only u1 returns within 2 days (u2's gap is 4).
+    assert(got(0).getString(0) == "2024-01-01")
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 1L)
+    assert(got(0).getDouble(3) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    // d2: u1 active, never returns -> 0.0 (observable: max - d2 = 3 >= 2).
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(3) == 0.0)
+    // d5 = max day: horizon unobservable -> rate null, counts kept.
+    assert(got(2).getString(0) == "2024-01-05")
+    assert(got(2).getLong(1) == 1L && got(2).isNullAt(3))
+  }
+
+  test("typeDiversity: hand entropy/HHI, single-type day reads exactly zero") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 11:00:00")),
+      ("b", ts("2024-01-01 12:00:00")), ("b", ts("2024-01-01 13:00:00")),
+      ("a", ts("2024-01-02 10:00:00")), ("a", ts("2024-01-02 11:00:00")),
+      ("a", ts("2024-01-02 12:00:00")),
+      ("a", ts("2024-01-03 10:00:00")), ("a", ts("2024-01-03 11:00:00")),
+      ("b", ts("2024-01-03 12:00:00")), ("b", ts("2024-01-03 13:00:00")),
+      ("c", ts("2024-01-03 14:00:00")), ("c", ts("2024-01-03 15:00:00")),
+      ("c", ts("2024-01-03 16:00:00")), ("c", ts("2024-01-03 17:00:00"))
+    ).toDF("event_type", "ts")
+    val got = EventAnalytics.typeDiversity(ev, "ts", "event_type")
+      .orderBy("day")
+      .select(col("day").cast("string"), col("n_events"), col("n_types"),
+        col("entropy"), col("herfindahl"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    // d1: 50/50 -> entropy exactly 1 bit, HHI 0.5.
+    assert(got(0) == (("2024-01-01", 4L, 2L, 1.0, 0.5)))
+    // d2: one type -> entropy exactly 0.0 (and +0.0, not -0.0), HHI 1.0.
+    assert(got(1) == (("2024-01-02", 3L, 1L, 0.0, 1.0)))
+    assert(java.lang.Double.doubleToLongBits(got(1)._4) == 0L,
+      "entropy of a pure day must be +0.0 — -0.0 would hash differently")
+    // d3: shares 2/8, 2/8, 4/8 -> H = 1.5 bits exactly; HHI = 0.375.
+    assert(got(2) == (("2024-01-03", 8L, 3L, 1.5, 0.375)))
+  }
+
+  test("interArrival: integer-micro gaps, rank quantiles, same-instant zero gaps") {
+    // Gaps for g: 1s, 1s, 2s, 60s (n=4): mean = 16s; p50 rank 2 -> 1s;
+    // p90 rank ceil(3.6)=4 -> 60s.
+    val ev = Seq(
+      ("g", ts("2024-01-01 10:00:00")), ("g", ts("2024-01-01 10:00:01")),
+      ("g", ts("2024-01-01 10:00:02")), ("g", ts("2024-01-01 10:00:04")),
+      ("g", ts("2024-01-01 10:01:04")),
+      // one event only -> no gaps -> no row
+      ("solo", ts("2024-01-01 10:00:00")),
+      // same-instant pair -> one honest zero gap
+      ("tie", ts("2024-01-01 10:00:00")), ("tie", ts("2024-01-01 10:00:00"))
+    ).toDF("event_type", "ts")
+    val got = EventAnalytics.interArrival(ev, "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("solo"))
+    val g = got("g")
+    assert(g.getLong(1) == 4L)
+    assert(g.getDouble(2) == 16.0)
+    assert(g.getDouble(3) == 1.0)
+    assert(g.getDouble(4) == 60.0)
+    val tie = got("tie")
+    assert(tie.getLong(1) == 1L && tie.getDouble(2) == 0.0
+      && tie.getDouble(3) == 0.0)
+  }
+
   test("funnel: min-ts chain honors strict ordering") {
     val f = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
