@@ -2615,6 +2615,39 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Script-mix profile (r14): per-doc character counts over EXPLICIT
+    // code-point ranges (portable where \p{Script} class names are
+    // not), latin share, and the dominant script with fixed tie
+    // precedence — the routing signal before any per-language model.
+    "q_text_script" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextFunctions.scriptCount(col("text"), "latin").as("n_latin"),
+          TextFunctions.scriptCount(col("text"), "cyrillic").as("n_cyrillic"),
+          TextFunctions.scriptCount(col("text"), "cjk").as("n_cjk"),
+          TextFunctions.scriptCount(col("text"), "digit").as("n_digit"),
+          when(length(col("text")) > 0,
+            round(TextFunctions.scriptCount(col("text"), "latin").cast("double")
+              / length(col("text")), 6)).as("latin_ratio"),
+          TextFunctions.mainScript(col("text")).as("main_script"))
+        .orderBy("doc_id")),
+
+    // Windowed funnel (r14): view -> click -> purchase with a 48h
+    // per-transition deadline bound to the previous MILESTONE — the
+    // product form of conversion; deadline is one integer-micros
+    // comparison per step.
+    "q_funnel_windowed" -> ((s, d) =>
+      EventAnalytics.funnelWindowed(
+          t(s, d, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxGapSeconds = 48L * 3600)
+        .select(col("user_id"),
+          unix_micros(col("step1_ts")).as("step1_us"),
+          unix_micros(col("step2_ts")).as("step2_us"),
+          unix_micros(col("step3_ts")).as("step3_us"),
+          col("steps_completed"))
+        .orderBy("user_id")),
+
     // Readability battery (r14): Flesch reading ease + Flesch-Kincaid
     // grade from deterministic regex counters (whitespace words,
     // terminator-run sentences, vowel-group syllables with the ≥1-per-
@@ -5493,6 +5526,64 @@ object SparkEntry {
         |LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+
+    // Windowed-funnel replay: the same chained min-ts CTEs with the
+    // 48h (172800000000 us) milestone deadline in each step's filter.
+    "q_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS step1_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS step2_ts
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP))
+        |        - epoch_us(CAST(s1.step1_ts AS TIMESTAMP)) <= 172800000000
+        |  GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS step3_ts
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP))
+        |        - epoch_us(CAST(s2.step2_ts AS TIMESTAMP)) <= 172800000000
+        |  GROUP BY 1
+        |)
+        |SELECT s1.user_id,
+        |       epoch_us(CAST(s1.step1_ts AS TIMESTAMP)) AS step1_us,
+        |       epoch_us(CAST(s2.step2_ts AS TIMESTAMP)) AS step2_us,
+        |       epoch_us(CAST(s3.step3_ts AS TIMESTAMP)) AS step3_us,
+        |       1 + CASE WHEN s2.step2_ts IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.step3_ts IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // Script-mix replay: identical explicit code-point ranges (RE2 and
+    // Java both read \x{....} literally), integer counts, one ratio,
+    // fixed tie precedence.
+    "q_text_script" ->
+      """WITH s AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         len(regexp_extract_all(text, '[A-Za-z]')) AS la,
+        |         len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS cy,
+        |         len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS cj,
+        |         len(regexp_extract_all(text, '[0-9]')) AS dg
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(n_chars AS INT) AS n_chars,
+        |       CAST(la AS INT) AS n_latin,
+        |       CAST(cy AS INT) AS n_cyrillic,
+        |       CAST(cj AS INT) AS n_cjk,
+        |       CAST(dg AS INT) AS n_digit,
+        |       CASE WHEN n_chars > 0
+        |            THEN round(CAST(la AS DOUBLE) / n_chars, 6) END AS latin_ratio,
+        |       CASE WHEN la >= cy AND la >= cj AND la > 0 THEN 'latin'
+        |            WHEN cy >= cj AND cy > 0 THEN 'cyrillic'
+        |            WHEN cj > 0 THEN 'cjk'
+        |            ELSE 'none' END AS main_script
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // Funnel roll-up replay: reach per step + conversion vs step 1.
     "q_funnel_summary" ->

@@ -436,6 +436,40 @@ object TextFunctions {
     vowelGroups + (tokenCount(c) - wordsWithVowel)
   }
 
+  /** Unicode-script character counts over EXPLICIT code-point ranges —
+    * deliberately not \p{Script=...} classes, whose names differ
+    * between Java regex and RE2 (\p{IsCyrillic} vs \p{Cyrillic}) and
+    * whose memberships shift with Unicode versions; a literal
+    * [\x{0400}-\x{04FF}] means the same thing in every engine forever.
+    * The multilingual-routing signal language-ID needs BEFORE n-gram
+    * models apply (a CJK doc through a Latin trigram model scores
+    * garbage confidently).
+    */
+  def scriptCount(c: Column, script: String): Column = {
+    val range = script match {
+      case "latin"    => "[A-Za-z]"
+      case "cyrillic" => "[\\x{0400}-\\x{04FF}]"
+      case "cjk"      => "[\\x{4E00}-\\x{9FFF}]"
+      case "digit"    => "[0-9]"
+      case other => throw new IllegalArgumentException(
+        s"unknown script '$other' (latin|cyrillic|cjk|digit)")
+    }
+    size(regexp_extract_all(c, lit(range), lit(0)))
+  }
+
+  /** Dominant script with a fixed tie precedence (latin ≻ cyrillic ≻
+    * cjk ≻ none) — integer compares only.
+    */
+  def mainScript(c: Column): Column = {
+    val la = scriptCount(c, "latin")
+    val cy = scriptCount(c, "cyrillic")
+    val cj = scriptCount(c, "cjk")
+    when(la >= cy && la >= cj && la > 0, lit("latin"))
+      .when(cy >= cj && cy > 0, lit("cyrillic"))
+      .when(cj > 0, lit("cjk"))
+      .otherwise(lit("none"))
+  }
+
   /** Flesch reading ease (Flesch 1948) from the heuristic counters:
     * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
     * rounded 4dp. Two integer-ratio divisions plus a fixed scalar

@@ -214,6 +214,47 @@ object EventAnalytics {
       stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
   }
 
+  /** [[funnel]] with a per-transition deadline: step i counts only if
+    * its first qualifying completion lands within `maxGapSeconds` of
+    * the step-(i−1) milestone — the product form of the question ("did
+    * they check out within an hour of carting", not "ever"). Same
+    * min-ts chain over strictly-shrinking per-user milestone tables;
+    * the deadline is one integer-microsecond comparison in each step's
+    * filter, so the chain stays engine-portable. Note the deadline
+    * binds to the MILESTONE (the first step-(i−1) completion), not to
+    * any later re-occurrence — consistent with the min-ts chain's
+    * first-path semantics.
+    */
+  def funnelWindowed(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapSeconds >= 1, s"maxGapSeconds must be >= 1, got $maxGapSeconds")
+    val gapUs = maxGapSeconds * 1000000L
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("step1_ts"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val prevTs = s"step${i}_ts"
+        val thisTs = s"step${i + 1}_ts"
+        val next = events.filter(col(typeCol) === step)
+          .join(prev.select(col(userCol), col(prevTs).as("__pt")), Seq(userCol))
+          .filter(col(tsCol) > col("__pt") &&
+            unix_micros(col(tsCol)) - unix_micros(col("__pt")) <= gapUs)
+          .groupBy(col(userCol))
+          .agg(min(col(tsCol)).as(thisTs))
+        prev.join(next, Seq(userCol), "left")
+    }
+    val stepCols = steps.indices.map(i => col(s"step${i + 1}_ts"))
+    chained.withColumn("steps_completed",
+      stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
   /** Funnel conversion summary: one row per step with the number of
     * users who reached it and the conversion rate vs step 1 — the
     * report-facing roll-up of [[funnel]] (metadata-sized output).

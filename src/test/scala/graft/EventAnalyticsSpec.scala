@@ -116,6 +116,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(2) == (("2024-01-03", 8L, 3L, 1.5, 0.375)))
   }
 
+  test("funnelWindowed: transition deadlines bind to the milestone, not the path start") {
+    val ev = Seq(
+      // w1: view -> click 1h later -> purchase 1h after click: all in.
+      ("w1", ts("2024-01-01 10:00:00"), "view"),
+      ("w1", ts("2024-01-01 11:00:00"), "click"),
+      ("w1", ts("2024-01-01 12:00:00"), "purchase"),
+      // w2: click 3h after view -> outside the 2h window; a later
+      // re-click cannot rescue it (deadline binds to the milestone).
+      ("w2", ts("2024-01-01 10:00:00"), "view"),
+      ("w2", ts("2024-01-01 13:00:00"), "click"),
+      ("w2", ts("2024-01-01 14:00:00"), "purchase"),
+      // w3: click at 1h59m (in), purchase 1h59m after CLICK (in, even
+      // though it is ~4h after the view — per-transition, not global).
+      ("w3", ts("2024-01-01 10:00:00"), "view"),
+      ("w3", ts("2024-01-01 11:59:00"), "click"),
+      ("w3", ts("2024-01-01 13:58:00"), "purchase"),
+      // w4: an EARLY too-late click must not shadow a later in-window
+      // one... there is no such thing — min-ts takes the FIRST
+      // in-window completion; a pre-window (too early) click is
+      // impossible, so test the boundary: click at exactly +2h is IN
+      // (<=), at +2h1s would be out.
+      ("w4", ts("2024-01-01 10:00:00"), "view"),
+      ("w4", ts("2024-01-01 12:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelWindowed(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = 7200)
+      .collect().map(r => r.getString(0) -> r.getInt(r.fieldIndex("steps_completed")))
+      .toMap
+    assert(got == Map("w1" -> 3, "w2" -> 1, "w3" -> 3, "w4" -> 2))
+    // The unwindowed funnel on the same events completes w2 fully —
+    // the deadline is the only difference.
+    val plain = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getInt(r.fieldIndex("steps_completed")))
+      .toMap
+    assert(plain("w2") == 3)
+  }
+
   test("interArrival: integer-micro gaps, rank quantiles, same-instant zero gaps") {
     // Gaps for g: 1s, 1s, 2s, 60s (n=4): mean = 16s; p50 rank 2 -> 1s;
     // p90 rank ceil(3.6)=4 -> 60s.

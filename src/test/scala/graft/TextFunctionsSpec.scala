@@ -369,6 +369,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("script counts: explicit code-point ranges, dominant-script tie precedence") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tf = graft.functions.TextFunctions
+    val got = Seq(
+      "abc Привет 你好 123",  // 3 latin, 6 cyrillic, 2 cjk, 3 digit
+      "Привет мир",           // cyrillic dominant
+      "你好世界",               // cjk only
+      "abc абв",              // 3 vs 3: tie -> latin precedence
+      "12345", "").toDF("t")
+      .select(
+        tf.scriptCount(col("t"), "latin"), tf.scriptCount(col("t"), "cyrillic"),
+        tf.scriptCount(col("t"), "cjk"), tf.scriptCount(col("t"), "digit"),
+        tf.mainScript(col("t")))
+      .as[(Int, Int, Int, Int, String)].collect()
+    assert(got(0) == ((3, 6, 2, 3, "cyrillic")))
+    assert(got(1)._5 == "cyrillic" && got(1)._2 == 9)
+    assert(got(2) == ((0, 0, 4, 0, "cjk")))
+    assert(got(3) == ((3, 3, 0, 0, "latin")), "equal counts break to latin")
+    assert(got(4) == ((0, 0, 0, 5, "none")), "digits alone name no script")
+    assert(got(5) == ((0, 0, 0, 0, "none")))
+  }
+
   test("readability: hand-checked Flesch/FK, vowel-less word floor, empty-text null") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
