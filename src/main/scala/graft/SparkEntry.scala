@@ -1754,6 +1754,29 @@ object SparkEntry {
           "event_type", "ts", "value")
         .orderBy("event_type")),
 
+    // Spearman rank correlation (r14): monotone association between
+    // the daily purchase and view counts — average ranks on the 0.5
+    // grid, exact decimal moments, fixed Pearson assembly.
+    "q_corr_spearman" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("x"),
+          count(when(col("event_type") === "view", 1)).as("y"))
+        .withColumn("pair", lit("purchase_vs_view"))
+      Anomaly.spearmanCorrelation(daily, "pair", "x", "y")
+        .orderBy("pair")
+    }),
+
+    // Fixed-edge histogram (r14): 50 equi-width bins over [0, 500) of
+    // event values per type — frozen caller-owned edges (the
+    // cross-run-comparable profile), clamped edge bins, one agg.
+    "q_histogram" -> ((s, d) =>
+      graft.operators.Profile.histogram(
+          t(s, d, "events"), "event_type", "value",
+          bins = 50, lo = 0.0, hi = 500.0)
+        .orderBy("event_type", "bin")),
+
     // Day-of-week envelope (r14): exact p10/median/p90 of the daily
     // means per (group, weekday) at integer ranks — the seasonal band
     // a new day is judged against.
@@ -6814,6 +6837,62 @@ object SparkEntry {
         |            THEN round((num * num) / (den * deny), 6) END AS r2
         |FROM f
         |ORDER BY event_type""".stripMargin,
+
+    // Spearman replay: average ranks (rank + (t-1)/2 on the 0.5 grid,
+    // DECIMAL(12,1)), exact decimal moments, fixed Pearson assembly.
+    "q_corr_spearman" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS x,
+        |         CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT 'purchase_vs_view' AS pair,
+        |         CAST(rank() OVER (ORDER BY x)
+        |              + CAST(count(*) OVER (PARTITION BY x) - 1 AS DOUBLE) / 2.0
+        |              AS DECIMAL(12,1)) AS rx,
+        |         CAST(rank() OVER (ORDER BY y)
+        |              + CAST(count(*) OVER (PARTITION BY y) - 1 AS DOUBLE) / 2.0
+        |              AS DECIMAL(12,1)) AS ry
+        |  FROM daily
+        |), s AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+        |         CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+        |         CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+        |         CAST(sum(ry * ry) AS DOUBLE) AS syy
+        |  FROM r GROUP BY 1
+        |), f AS (
+        |  SELECT pair, n,
+        |         CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |         CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+        |         CAST(n AS DOUBLE) * syy - sy * sy AS vy
+        |  FROM s
+        |)
+        |SELECT pair, n,
+        |       CASE WHEN vx > 0 AND vy > 0
+        |            THEN round(num / sqrt(vx * vy), 6) END AS rho
+        |FROM f ORDER BY pair""".stripMargin,
+
+    // Histogram replay: the same frozen [0, 500)/50 edges (width 10.0
+    // exact), clamped floor bins, window-share division.
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         least(greatest(CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0), 49)
+        |           AS bin
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2
+        |)
+        |SELECT event_type, bin,
+        |       round(0.0 + bin * 10.0, 6) AS bin_lo,
+        |       round(0.0 + (bin + 1) * 10.0, 6) AS bin_hi,
+        |       n,
+        |       round(CAST(n AS DOUBLE)
+        |             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+        |         AS share
+        |FROM c ORDER BY event_type, bin""".stripMargin,
 
     // Dow-envelope replay: staged daily CTE + Spark's dayofweek
     // (1=Sunday — DuckDB dayofweek is 0=Sunday, shifted +1), integer

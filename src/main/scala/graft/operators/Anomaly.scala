@@ -815,6 +815,51 @@ object Anomaly {
         round(col("num") / sqrt(col("vx") * col("vy")), 6)).as("r"))
   }
 
+  /** Spearman rank correlation per group (Spearman 1904): Pearson over
+    * AVERAGE ranks — the monotone-association measure that ignores the
+    * marginal distributions Pearson is hostage to (one heavy-tailed
+    * outlier day wrecks r; it moves rho by one rank). Completes the
+    * correlation battery (Pearson matrix `q_corr_matrix`, rolling
+    * Pearson `q_corr_rolling`).
+    *
+    * Exactness: a tie block of size t spanning min-rank r gives every
+    * member rank r + (t−1)/2 — values on the 0.5 grid, so rank sums,
+    * squares (0.25 grid) and cross-products fold as EXACT decimals;
+    * the Pearson assembly is then the house fixed scalar chain. Rows
+    * with a null on either side drop (ranks are over complete pairs).
+    * One rank window per side + one aggregation.
+    */
+  def spearmanCorrelation(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    def avgRank(c: String): Column =
+      rank().over(Window.partitionBy(groupCol).orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(col(groupCol), col(c))) - 1)
+          .cast("double") / 2.0
+    val ranked = base
+      .withColumn("__rx", avgRank(xCol).cast("decimal(12,1)"))
+      .withColumn("__ry", avgRank(yCol).cast("decimal(12,1)"))
+    val s = ranked.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx")).cast("double").as("sx"),
+        sum(col("__ry")).cast("double").as("sy"),
+        sum(col("__rx") * col("__ry")).cast("double").as("sxy"),
+        sum(col("__rx") * col("__rx")).cast("double").as("sxx"),
+        sum(col("__ry") * col("__ry")).cast("double").as("syy"))
+      .select(col(groupCol), col("n"),
+        (col("n").cast("double") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n").cast("double") * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("n").cast("double") * col("syy") - col("sy") * col("sy")).as("vy"))
+    s.select(col(groupCol), col("n"),
+      when(col("vx") > 0 && col("vy") > 0,
+        round(col("num") / sqrt(col("vx") * col("vy")), 6)).as("rho"))
+  }
+
   /** Chi-square test of independence between two categorical columns,
     * with Cramér's V effect size — "does the event mix depend on the
     * weekday" answered properly: the full r×c grid including

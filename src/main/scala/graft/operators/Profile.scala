@@ -315,4 +315,39 @@ object Profile {
         col("min_s")).as("min_value"),
       coalesce(col("max_l").cast("string"), col("max_n").cast("string"),
         col("max_s")).as("max_value"))
+
+  /** Fixed-edge equi-width histogram per group: FROZEN [lo, hi) bounds
+    * and bin count come from the CALLER (data-independent edges — the
+    * frozen-stats discipline; a data-derived min/max would re-bucket
+    * every refresh and break cross-run comparability). Out-of-range
+    * values clamp into the edge bins so mass is never silently
+    * dropped; share is one integer-ratio division. bin_lo/bin_hi are
+    * fixed scalar chains off the integer bin index.
+    *
+    * One aggregation over the facts; output bounded by groups × bins.
+    */
+  def histogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / width).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(wAll), 6))
+      .select(col(groupCol), col("bin"),
+        round(lit(lo) + col("bin") * width, 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * width, 6).as("bin_hi"),
+        col("n"), col("share"))
+  }
 }

@@ -515,6 +515,29 @@ class AnomalySpec extends SparkSpec {
     assert(got("a")._3 < 5.0 && got("a")._4 < 5.0)
   }
 
+  test("spearmanCorrelation: monotone-invariant, average-rank ties, degenerate null") {
+    // Perfectly monotone but wildly nonlinear: Pearson < 1, Spearman = 1.
+    val mono = (1 to 12).map(i => ("mono", i.toDouble, math.pow(10.0, i)))
+    val inv = (1 to 12).map(i => ("inv", i.toDouble, -math.pow(10.0, i)))
+    val const = (1 to 12).map(i => ("const", i.toDouble, 5.0))
+    val df = (mono ++ inv ++ const).toDF("g", "x", "y")
+    val got = Anomaly.spearmanCorrelation(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(got("mono") == Some(1.0))
+    assert(got("inv") == Some(-1.0))
+    assert(got("const").isEmpty, "zero rank variance on y -> null")
+    // Hand-checked ties: x = 1,2,3,4; y = 10,20,20,40.
+    // y average ranks: 1, 2.5, 2.5, 4; x ranks 1..4.
+    // n=4 sx=10 sy=10 sxy=(1 + 5 + 7.5 + 16)=29.5 sxx=30 syy=(1+6.25+6.25+16)=29.5
+    // num = 4*29.5-100 = 18; vx = 120-100 = 20; vy = 118-100 = 18
+    // rho = 18/sqrt(360) ~ 0.948683
+    val ties = Seq(("t", 1.0, 10.0), ("t", 2.0, 20.0), ("t", 3.0, 20.0),
+      ("t", 4.0, 40.0)).toDF("g", "x", "y")
+    val rho = Anomaly.spearmanCorrelation(ties, "g", "x", "y")
+      .collect().head.getDouble(2)
+    assert(rho == math.rint(18.0 / math.sqrt(360.0) * 1e6) / 1e6)
+  }
+
   test("dowEnvelope: exact rank quantiles per weekday, max-of-first-k selection") {
     // 2023-01-02 is a Monday (Spark dow 2). Five Mondays with daily
     // means 10, 20, 30, 40, 50 (one value per day): n=5 ->

@@ -133,4 +133,25 @@ class ProfileSpec extends SparkSpec {
     assert(got(("x", "holey")) == (2L, Some(1.0)))
     assert(got.size == 10, "all C(5,2) pairs present")
   }
+
+  test("histogram: frozen edges, out-of-range clamps, shares sum to 1") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", -5.0),  // clamps into bin 0
+      ("g", 0.0), ("g", 9.99),          // bin 0
+      ("g", 10.0), ("g", 15.0),         // bin 1
+      ("g", 999.0),                     // clamps into bin 4
+      ("g", Double.NaN)                 // placeholder -> null below
+    ).toDF("g", "v")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val got = Profile.histogram(df, "g", "v", bins = 5, lo = 0.0, hi = 50.0)
+      .orderBy("bin")
+      .select("bin", "bin_lo", "bin_hi", "n", "share")
+      .as[(Long, Double, Double, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._4)).toSeq == Seq((0L, 3L), (1L, 2L), (4L, 1L)))
+    assert(got.head._2 == 0.0 && got.head._3 == 10.0)
+    assert(got.last._2 == 40.0 && got.last._3 == 50.0)
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-9)
+    assert(got.map(_._4).sum == 6L, "null dropped, clamped rows kept")
+  }
 }
