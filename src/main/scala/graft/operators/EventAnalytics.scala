@@ -37,13 +37,29 @@ object EventAnalytics {
       userCol: String,
       tsCol: String,
       wauDays: Int = 7,
+      mauDays: Int = 28): DataFrame =
+    activeUsersFromActivity(
+      events
+        .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+        .distinct(),
+      wauDays, mauDays)
+
+  /** [[activeUsers]] from an already-built distinct (u, day) activity
+    * table — the incremental entry, exactly like
+    * `rollingCorrelationFromDaily`: the activity set is a KEYED
+    * distinct (mergeable by union + distinct, idempotent under replay),
+    * so a streaming fold can accrete it per batch and this recomputes
+    * every window from the bounded store without rescanning events
+    * (streamed == batch is golden-pinned in StreamingFeaturesSpec).
+    */
+  def activeUsersFromActivity(
+      activity: DataFrame,
+      wauDays: Int = 7,
       mauDays: Int = 28): DataFrame = {
     require(wauDays >= 1 && mauDays >= wauDays,
       s"need 1 <= wauDays <= mauDays, got $wauDays/$mauDays")
-    val a = events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
-      .distinct()
+    val a = activity.select(col("u"), col("day"))
     val maxDay = a.agg(max(col("day")).as("__max_day"))
     a.crossJoin(broadcast(maxDay))
       .select(col("u"), col("day"), col("__max_day"),

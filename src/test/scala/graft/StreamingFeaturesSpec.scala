@@ -236,6 +236,54 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(stateRows.forall(_.getLong(1) <= 256L))
   }
 
+  test("streamed activity store -> activeUsers == batch (keyed-distinct fold)") {
+    val dir = s"$root/au_stream"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // 600 events over 3 micro-batches with users re-appearing across
+    // batches and days, so the distinct fold genuinely dedups.
+    def day(i: Int) = new Timestamp(1700000000000L + i * 86400000L)
+    val all = (1 to 600).map(i => ((i % 40).toLong, day(i % 45)))
+    val batches = all.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp$i")
+      val src = Files.list(Paths.get(s"$dir/tmp$i"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/b$i.parquet"))
+    }
+    val statePath = s"$dir/state"
+    val schema = new StructType()
+      .add("user_id", "long").add("ts", "timestamp")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id").as("u"),
+            org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+          .distinct()
+        val merged =
+          if (Files.exists(Paths.get(statePath)))
+            spark.read.parquet(statePath).unionByName(delta).distinct()
+          else delta
+        val staged = s"$statePath.next"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(statePath)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = graft.operators.EventAnalytics.activeUsersFromActivity(
+        spark.read.parquet(statePath), wauDays = 7, mauDays = 28)
+      .orderBy("day").collect().toSeq
+    val batchSide = graft.operators.EventAnalytics.activeUsers(
+        all.toDF("user_id", "ts"), "user_id", "ts", wauDays = 7, mauDays = 28)
+      .orderBy("day").collect().toSeq
+    assert(streamed == batchSide, "store-fed activeUsers must equal batch")
+    // The store is bounded by users x days, not events.
+    assert(spark.read.parquet(statePath).count() <= 40L * 45L)
+  }
+
   test("streamed PSI against a frozen baseline == batch scoring (stream-static)") {
     val dir = s"$root/psi_stream"
     Files.createDirectories(Paths.get(s"$dir/in"))
