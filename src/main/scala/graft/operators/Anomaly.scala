@@ -1065,12 +1065,16 @@ object Anomaly {
         ((col("mb") - col("ma")) / (col("ib") - col("ia")).cast("double"))
           .as("s"))
     val wG = Window.partitionBy(groupCol)
+    // Checkpointed: the per-group slope row feeds both the residual
+    // join and the final assembly — without the barrier the whole pair
+    // explosion + sort window runs once per consumer.
     val slope = pairs
       .withColumn("__rn", row_number().over(wG.orderBy("s")))
       .withColumn("__np", count(lit(1)).over(wG))
       .filter(col("__rn") ===
         ((col("__np") + 1L).cast("double") / 2.0).cast("long"))
       .select(col(groupCol), round(col("s"), 6).as("slope"))
+      .localCheckpoint(true)
     val resid = idx.join(broadcast(slope), Seq(groupCol))
       .select(col(groupCol),
         (col("m") - col("slope") * col("i").cast("double")).as("r"))

@@ -59,7 +59,11 @@ object EventAnalytics {
       mauDays: Int = 28): DataFrame = {
     require(wauDays >= 1 && mauDays >= wauDays,
       s"need 1 <= wauDays <= mauDays, got $wauDays/$mauDays")
-    val a = activity.select(col("u"), col("day"))
+    // Eagerly checkpointed: the bounded (u, day) table feeds BOTH the
+    // broadcast max-day aggregate and the fan-out path — without the
+    // barrier each consumer re-derives the full distinct from the raw
+    // facts (the r13 plan-audit recompute class, caught by .explain).
+    val a = activity.select(col("u"), col("day")).localCheckpoint(true)
     val maxDay = a.agg(max(col("day")).as("__max_day"))
     a.crossJoin(broadcast(maxDay))
       .select(col("u"), col("day"), col("__max_day"),
@@ -98,10 +102,13 @@ object EventAnalytics {
       horizonDays: Int = 7): DataFrame = {
     require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
     import org.apache.spark.sql.expressions.Window
+    // Same two-consumer shape as activeUsersFromActivity (max-day agg
+    // + the window path): checkpoint the bounded distinct once.
     val a = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
       .distinct()
+      .localCheckpoint(true)
     val wU = Window.partitionBy("u").orderBy("day")
     val maxDay = a.agg(max(col("day")).as("__max_day"))
     a.withColumn("__next", lead(col("day"), 1).over(wU))

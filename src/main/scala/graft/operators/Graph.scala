@@ -353,9 +353,14 @@ object Graph {
       // total rides the plan as a broadcast one-row frame (no driver
       // collect per iteration), exactly like pageRank's dangling mass.
       def normalized(raw: DataFrame, c: String): DataFrame = {
-        val tot = raw.agg(
+        // The raw vector feeds BOTH the mass total and the output
+        // projection — checkpoint it or each half-step's join runs
+        // twice (the r13 plan-audit recompute class; caught by the
+        // r14 post-wave explain sweep).
+        val r = raw.localCheckpoint(true)
+        val tot = r.agg(
           sum(col(c).cast(dec)).cast("double").as("__tot"))
-        raw.crossJoin(broadcast(tot))
+        r.crossJoin(broadcast(tot))
           .select(col("node"),
             round(col(c) / col("__tot"), scale).as(c))
       }
