@@ -1768,6 +1768,20 @@ object SparkEntry {
         .orderBy("pair")
     }),
 
+    // Kendall tau-b (r14): concordance-view monotone association over
+    // the same daily census — C-D as ONE integer sign-product sum,
+    // integer tie corrections, three fixed IEEE ops.
+    "q_corr_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("x"),
+          count(when(col("event_type") === "view", 1)).as("y"))
+        .withColumn("pair", lit("purchase_vs_view"))
+      Anomaly.kendallTau(daily, "pair", "x", "y")
+        .orderBy("pair")
+    }),
+
     // Fixed-edge histogram (r14): 50 equi-width bins over [0, 500) of
     // event values per type — frozen caller-owned edges (the
     // cross-run-comparable profile), clamped edge bins, one agg.
@@ -6872,6 +6886,46 @@ object SparkEntry {
         |SELECT pair, n,
         |       CASE WHEN vx > 0 AND vy > 0
         |            THEN round(num / sqrt(vx * vy), 6) END AS rho
+        |FROM f ORDER BY pair""".stripMargin,
+
+    // Kendall replay: arbitrary-total-order pair split (sign products
+    // are symmetric), integer sign-product sum, tie-pair corrections,
+    // (C-D)/sqrt((n0-n1)(n0-n2)).
+    "q_corr_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS x,
+        |         CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT 'purchase_vs_view' AS pair,
+        |         CAST(row_number() OVER (ORDER BY x, y) AS BIGINT) AS rid, x, y
+        |  FROM daily
+        |), st AS (
+        |  SELECT a.pair,
+        |         CAST(sum(CAST(sign(p.x - a.x) AS BIGINT)
+        |                  * CAST(sign(p.y - a.y) AS BIGINT)) AS BIGINT) AS s
+        |  FROM b a JOIN b p ON a.pair = p.pair AND a.rid < p.rid
+        |  GROUP BY 1
+        |), t1 AS (
+        |  SELECT pair, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+        |         CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT pair, x, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), t2 AS (
+        |  SELECT pair, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+        |  FROM (SELECT pair, y, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT t1.pair, t1.n, coalesce(st.s, 0) AS s_stat, t1.n1, t2.n2,
+        |         t1.n * (t1.n - 1) // 2 AS n0
+        |  FROM t1 JOIN t2 USING (pair) LEFT JOIN st USING (pair)
+        |)
+        |SELECT pair, n, s_stat, n1, n2,
+        |       CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0
+        |            THEN round(CAST(s_stat AS DOUBLE)
+        |                       / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6)
+        |       END AS tau
         |FROM f ORDER BY pair""".stripMargin,
 
     // Histogram replay: the same frozen [0, 500)/50 edges (width 10.0

@@ -860,6 +860,64 @@ object Anomaly {
         round(col("num") / sqrt(col("vx") * col("vy")), 6)).as("rho"))
   }
 
+  /** Kendall tau-b rank correlation per group (Kendall 1938): the
+    * concordance view of monotone association — tau-b = (C − D) /
+    * √((n0−n1)(n0−n2)) with n0 = n(n−1)/2 and n1/n2 the tied-pair
+    * counts per side. C − D is ONE integer sum of sign products over
+    * the pair table (the [[mannKendall]] statistic generalized to two
+    * variables — Mann-Kendall IS Kendall tau against time), the tie
+    * counts are integer tie-group sums, and the final assembly is
+    * three fixed IEEE ops. Alongside [[spearmanCorrelation]] the
+    * battery reads: Spearman for rank-linear strength, tau for
+    * pairwise-agreement probability (tau ≈ P(concordant) − P(discordant)).
+    *
+    * Same metadata-sized pair explosion as the other pair statistics;
+    * the row id that breaks pairs is an arbitrary total order (sign
+    * products are symmetric, so WHICH order is irrelevant — only that
+    * each unordered pair appears once).
+    */
+  def kendallTau(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__rid", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(xCol), col(yCol))))
+      .select(col(groupCol), col("__rid"),
+        col(xCol).as("__x"), col(yCol).as("__y"))
+      .localCheckpoint(true)
+    val a = base.select(col(groupCol), col("__rid").as("ra"),
+      col("__x").as("xa"), col("__y").as("ya"))
+    val b = base.select(col(groupCol), col("__rid").as("rb"),
+      col("__x").as("xb"), col("__y").as("yb"))
+    val sTab = a.join(b, Seq(groupCol)).filter(col("ra") < col("rb"))
+      .groupBy(col(groupCol))
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")
+        * signum(col("yb") - col("ya")).cast("long")).as("s"))
+    def tiePairs(c: String, out: String): DataFrame =
+      base.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("t"))
+        .groupBy(col(groupCol))
+        // t(t-1) is even, so the double division is exact per row; the
+        // cast back to long keeps the fold an integer sum.
+        .agg(sum((col("t") * (col("t") - 1) / lit(2)).cast("long")).as(out),
+          sum(col("t")).as(s"__n_$out"))
+    val tx = tiePairs("__x", "n1")
+    val ty = tiePairs("__y", "n2").drop("__n_n2")
+    tx.join(ty, Seq(groupCol))
+      .join(sTab, Seq(groupCol), "left")
+      .select(col(groupCol), col("__n_n1").as("n"),
+        coalesce(col("s"), lit(0L)).as("s_stat"),
+        col("n1"), col("n2"),
+        (col("__n_n1") * (col("__n_n1") - 1) / lit(2)).cast("long").as("__n0"))
+      .select(col(groupCol), col("n"), col("s_stat"), col("n1"), col("n2"),
+        when((col("__n0") - col("n1")) > 0 && (col("__n0") - col("n2")) > 0,
+          round(col("s_stat").cast("double")
+            / sqrt(((col("__n0") - col("n1")) * (col("__n0") - col("n2")))
+              .cast("double")), 6)).as("tau"))
+  }
+
   /** Chi-square test of independence between two categorical columns,
     * with Cramér's V effect size — "does the event mix depend on the
     * weekday" answered properly: the full r×c grid including

@@ -538,6 +538,25 @@ class AnomalySpec extends SparkSpec {
     assert(rho == math.rint(18.0 / math.sqrt(360.0) * 1e6) / 1e6)
   }
 
+  test("kendallTau: concordance hand values, tie corrections, degenerate null") {
+    val mono = (1 to 12).map(i => ("mono", i.toDouble, math.pow(10.0, i)))
+    val inv = (1 to 12).map(i => ("inv", i.toDouble, -math.pow(10.0, i)))
+    val const = (1 to 12).map(i => ("const", i.toDouble, 5.0))
+    // ties: x = 1,2,3,4; y = 10,20,20,40 -> S = 5, n1 = 0, n2 = 1,
+    // n0 = 6, tau = 5/sqrt(30).
+    val ties = Seq(("t", 1.0, 10.0), ("t", 2.0, 20.0), ("t", 3.0, 20.0),
+      ("t", 4.0, 40.0))
+    val got = Anomaly.kendallTau(
+        (mono ++ inv ++ const ++ ties).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), Option(r.get(5)))).toMap
+    assert(got("mono") == ((66L, Some(1.0))))   // all 66 pairs concordant
+    assert(got("inv") == ((-66L, Some(-1.0))))
+    assert(got("const")._2.isEmpty, "all-tied y -> n0 = n2 -> null")
+    assert(got("t") == ((5L,
+      Some(math.rint(5.0 / math.sqrt(30.0) * 1e6) / 1e6))))
+  }
+
   test("dowEnvelope: exact rank quantiles per weekday, max-of-first-k selection") {
     // 2023-01-02 is a Monday (Spark dow 2). Five Mondays with daily
     // means 10, 20, 30, 40, 50 (one value per day): n=5 ->
