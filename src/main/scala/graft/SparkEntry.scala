@@ -1807,6 +1807,14 @@ object SparkEntry {
       EventAnalytics.interArrival(t(s, d, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    // Day-N retention (r14): D1/D7/D14/D28 per first-day cohort —
+    // "active EXACTLY day N later"; one min-day window + one
+    // aggregation, unobservable offsets null their rate.
+    "q_retention_days" -> ((s, d) =>
+      EventAnalytics.retentionDays(
+          t(s, d, "events"), "user_id", "ts", offsets = Seq(1, 7, 14, 28))
+        .orderBy("cohort")),
+
     // N-day return rate (r14): of day-d actives, the share back within
     // 7 days — one lead window over the distinct activity table;
     // partial-horizon edge days keep counts but null the rate.
@@ -6998,6 +7006,40 @@ object SparkEntry {
         |       round(CAST(max(CASE WHEN rn <= (9 * n + 9) // 10 THEN gap END)
         |                  AS DOUBLE) / 1000000.0, 6) AS p90_gap_sec
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Day-N retention replay: distinct activity, min-day cohorts,
+    // conditional distinct counts at each offset, horizon-guarded
+    // ratios.
+    "q_retention_days" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), mx AS (
+        |  SELECT max(day) AS max_day FROM a
+        |), f AS (
+        |  SELECT u, day,
+        |         min(day) OVER (PARTITION BY u) AS cohort,
+        |         day - min(day) OVER (PARTITION BY u) AS off
+        |  FROM a
+        |), g AS (
+        |  SELECT cohort,
+        |         CAST(count(DISTINCT CASE WHEN off = 0 THEN u END) AS BIGINT) AS n_users,
+        |         CAST(count(DISTINCT CASE WHEN off = 1 THEN u END) AS BIGINT) AS d1,
+        |         CAST(count(DISTINCT CASE WHEN off = 7 THEN u END) AS BIGINT) AS d7,
+        |         CAST(count(DISTINCT CASE WHEN off = 14 THEN u END) AS BIGINT) AS d14,
+        |         CAST(count(DISTINCT CASE WHEN off = 28 THEN u END) AS BIGINT) AS d28
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT cohort, n_users,
+        |       d1, CASE WHEN (SELECT max_day FROM mx) - cohort >= 1
+        |                THEN round(CAST(d1 AS DOUBLE) / n_users, 6) END AS r1,
+        |       d7, CASE WHEN (SELECT max_day FROM mx) - cohort >= 7
+        |                THEN round(CAST(d7 AS DOUBLE) / n_users, 6) END AS r7,
+        |       d14, CASE WHEN (SELECT max_day FROM mx) - cohort >= 14
+        |                 THEN round(CAST(d14 AS DOUBLE) / n_users, 6) END AS r14,
+        |       d28, CASE WHEN (SELECT max_day FROM mx) - cohort >= 28
+        |                 THEN round(CAST(d28 AS DOUBLE) / n_users, 6) END AS r28
+        |FROM g ORDER BY cohort""".stripMargin,
 
     // Return-rate replay: distinct (user, day), per-user lead, gap vs
     // horizon, integer-ratio rate nulled on partial-horizon days.

@@ -124,6 +124,48 @@ object EventAnalytics {
           .as("return_rate"))
   }
 
+  /** Classic day-N retention per daily cohort: users are cohorted by
+    * their FIRST active day; dN = how many were active EXACTLY N days
+    * later (the D1/D7/D30 board metric — "exactly day N", not "within
+    * N", which is [[returnRate]]'s question; [[cohortRetention]] is
+    * the weekly-grain sibling). Integer counts + one ratio division
+    * per offset; offsets past the corpus max null their rate (the
+    * unobservable-horizon honesty rule).
+    *
+    * Shape: one min-day window over the distinct activity table, then
+    * one aggregation keyed by (cohort, offset) — per-cohort rows are
+    * conditional counts over the SAME pass, no join per offset.
+    */
+  def retentionDays(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      offsets: Seq[Int] = Seq(1, 7, 14, 28)): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1) &&
+      offsets == offsets.sorted && offsets.distinct == offsets,
+      s"offsets must be sorted distinct positives, got $offsets")
+    import org.apache.spark.sql.expressions.Window
+    val a = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds max-day, cohorts AND the offset agg
+    val maxDay = a.agg(max(col("day")).as("__max_day"))
+    val withFirst = a
+      .withColumn("cohort", min(col("day")).over(Window.partitionBy("u")))
+      .withColumn("off", datediff(col("day"), col("cohort")))
+    val aggs = countDistinct(when(col("off") === 0, col("u"))).as("n_users") +:
+      offsets.map(n =>
+        countDistinct(when(col("off") === n, col("u"))).as(s"d$n"))
+    val agg = withFirst.groupBy(col("cohort")).agg(aggs.head, aggs.tail: _*)
+    offsets.foldLeft(agg.crossJoin(broadcast(maxDay))) { (df, n) =>
+      df.withColumn(s"r$n",
+        when(datediff(col("__max_day"), col("cohort")) >= n,
+          round(col(s"d$n").cast("double") / col("n_users"), 6)))
+    }.select(col("cohort") +: col("n_users") +:
+      offsets.flatMap(n => Seq(col(s"d$n"), col(s"r$n"))): _*)
+  }
+
   /** Per-day event-type diversity: Shannon entropy (bits) and the
     * Herfindahl concentration index of the day's type distribution —
     * the pair that flags "traffic composition changed" before any

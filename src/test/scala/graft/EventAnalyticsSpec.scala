@@ -90,6 +90,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(2).getLong(1) == 1L && got(2).isNullAt(3))
   }
 
+  test("retentionDays: exactly-day-N semantics, horizon nulls, cohort sizing") {
+    def d(i: Int) = ts(f"2024-01-${i}%02d 10:00:00")
+    val act = Seq(
+      // cohort d1: u1 (back on d2 AND d8), u2 (back d3 only), u3 (never)
+      ("u1", d(1)), ("u1", d(2)), ("u1", d(8)),
+      ("u2", d(1)), ("u2", d(3)),
+      ("u3", d(1)),
+      // cohort d20: u4 — offsets 1/7 unobservable? max day = 21 ->
+      // r1 observable (21-20 >= 1), r7 NOT (21-20 < 7).
+      ("u4", d(20)), ("u4", d(21))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.retentionDays(act, "user_id", "ts",
+        offsets = Seq(1, 7))
+      .orderBy("cohort")
+      .select(col("cohort").cast("string"), col("n_users"),
+        col("d1"), col("r1"), col("d7"), col("r7"))
+      .collect()
+    val c1 = got(0)
+    assert(c1.getString(0) == "2024-01-01")
+    assert(c1.getLong(1) == 3L)
+    assert(c1.getLong(2) == 1L) // only u1 on exactly d2
+    assert(c1.getDouble(3) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(c1.getLong(4) == 1L) // u1 on exactly d8
+    assert(c1.getDouble(5) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    val c20 = got(1)
+    assert(c20.getString(0) == "2024-01-20")
+    assert(c20.getLong(1) == 1L && c20.getLong(2) == 1L)
+    assert(c20.getDouble(3) == 1.0)
+    assert(c20.getLong(4) == 0L && c20.isNullAt(5),
+      "day-7 rate unobservable for a cohort 1 day from the corpus edge")
+  }
+
   test("typeDiversity: hand entropy/HHI, single-type day reads exactly zero") {
     val ev = Seq(
       ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 11:00:00")),
