@@ -949,7 +949,11 @@ object SparkEntry {
     // decimal staging per pair.
     "q_emb_covariance" -> ((s, d) =>
       graft.operators.EmbeddingStats.covarianceExact(t(s, d, "embeddings"), "embedding")
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        // + 0.0 canonicalizes -0.0 → +0.0 (IEEE754: -0.0 + 0.0 = +0.0).
+        // Spark's round() goes through BigDecimal (no signed zero) while
+        // DuckDB rounds in float space; without this, a tiny negative cov
+        // that rounds to zero hashes differently (r14: one cell, (5,9)).
+        .select(col("i"), col("j"), (round(col("cov"), 6) + lit(0.0)).as("cov"))
         .orderBy("i", "j")),
 
     // Distributed PCA (same moment fold + driver eigendecomposition,
@@ -4945,7 +4949,7 @@ object SparkEntry {
         |  WHERE a.i <= b.i
         |  GROUP BY a.i, b.i
         |)
-        |SELECT i, j, round(sxy / n - (sx / n) * (sy / n), 6) AS cov
+        |SELECT i, j, round(sxy / n - (sx / n) * (sy / n), 6) + 0.0e0 AS cov
         |FROM p ORDER BY i, j""".stripMargin,
 
     // URL synthesis (2-hex md5 pick), host regex, registered-domain
@@ -5244,7 +5248,7 @@ object SparkEntry {
         |  FROM occ o JOIN lr ON lr.b = o.b
         |  GROUP BY o.doc_id
         |)
-        |SELECT d.doc_id, round(coalesce(s.lw, 0.0), 6) AS log_weight
+        |SELECT d.doc_id, round(coalesce(s.lw, 0.0), 6) + 0.0e0 AS log_weight
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -5324,9 +5328,9 @@ object SparkEntry {
         |  FROM events e JOIN med md USING (event_type) GROUP BY 1
         |)
         |SELECT e.event_id, e.event_type, e.value,
-        |       round(md.m, 6) AS med, round(dd.d, 6) AS mad,
+        |       round(md.m, 6) + 0.0e0 AS med, round(dd.d, 6) AS mad,
         |       CASE WHEN dd.d > 0
-        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) END AS robust_z,
+        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) + 0.0e0 END AS robust_z,
         |       coalesce(CASE WHEN dd.d > 0
         |            THEN abs(round((e.value - md.m) / (1.4826 * dd.d), 6)) > 3.5 END,
         |          false) AS is_outlier
@@ -5347,9 +5351,9 @@ object SparkEntry {
         |  FROM base b JOIN med md USING (event_type) GROUP BY 1
         |)
         |SELECT e.event_id, e.event_type, e.value,
-        |       round(md.m, 6) AS med, round(dd.d, 6) AS mad,
+        |       round(md.m, 6) + 0.0e0 AS med, round(dd.d, 6) AS mad,
         |       CASE WHEN dd.d > 0
-        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) END AS robust_z,
+        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) + 0.0e0 END AS robust_z,
         |       coalesce(CASE WHEN dd.d > 0
         |            THEN abs(round((e.value - md.m) / (1.4826 * dd.d), 6)) > 3.5 END,
         |          false) AS is_outlier
@@ -5372,9 +5376,9 @@ object SparkEntry {
         |  FROM e JOIN med md USING (event_type, season_bucket) GROUP BY 1, 2
         |)
         |SELECT e.event_id, e.event_type, e.season_bucket, e.value,
-        |       round(md.m, 6) AS med, round(dd.d, 6) AS mad,
+        |       round(md.m, 6) + 0.0e0 AS med, round(dd.d, 6) AS mad,
         |       CASE WHEN dd.d > 0
-        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) END AS robust_z,
+        |            THEN round((e.value - md.m) / (1.4826 * dd.d), 6) + 0.0e0 END AS robust_z,
         |       coalesce(CASE WHEN dd.d > 0
         |            THEN abs(round((e.value - md.m) / (1.4826 * dd.d), 6)) > 3.5 END,
         |          false) AS is_outlier
@@ -5391,8 +5395,8 @@ object SparkEntry {
         |  FROM events GROUP BY 1
         |), b AS (
         |  SELECT event_type,
-        |         round(q1 - 1.5 * (q3 - q1), 6) AS lo,
-        |         round(q3 + 1.5 * (q3 - q1), 6) AS hi
+        |         round(q1 - 1.5 * (q3 - q1), 6) + 0.0e0 AS lo,
+        |         round(q3 + 1.5 * (q3 - q1), 6) + 0.0e0 AS hi
         |  FROM f
         |)
         |SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
@@ -5429,9 +5433,9 @@ object SparkEntry {
         |         round(0.3 * o.m + 0.7 * e.ewma, 6)
         |  FROM ord o JOIN ew e ON o.event_type = e.event_type AND o.rn = e.rn + 1
         |)
-        |SELECT e.event_type, e.day, e.m, e.ewma,
-        |       CASE WHEN z.ewma IS NOT NULL THEN round(e.m - z.ewma, 6) END AS innovation,
-        |       round(3.0 * s.sigma * sqrt(0.3 / 1.7), 6) AS ucl,
+        |SELECT e.event_type, e.day, e.m + 0.0e0 AS m, e.ewma + 0.0e0 AS ewma,
+        |       CASE WHEN z.ewma IS NOT NULL THEN round(e.m - z.ewma, 6) + 0.0e0 END AS innovation,
+        |       round(3.0 * s.sigma * sqrt(0.3 / 1.7), 6) + 0.0e0 AS ucl,
         |       coalesce(abs(CASE WHEN z.ewma IS NOT NULL
         |                         THEN round(e.m - z.ewma, 6) END)
         |                  > round(3.0 * s.sigma * sqrt(0.3 / 1.7), 6),
@@ -5468,8 +5472,8 @@ object SparkEntry {
         |  FROM st
         |)
         |SELECT event_type, day AS change_day, stat,
-        |       round(s_k / k, 6) AS mean_before,
-        |       round((s_n - s_k) / (n - k), 6) AS mean_after
+        |       round(s_k / k, 6) + 0.0e0 AS mean_before,
+        |       round((s_n - s_k) / (n - k), 6) + 0.0e0 AS mean_after
         |FROM best WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
 
@@ -5723,7 +5727,9 @@ object SparkEntry {
         |              (ne * sse - se * se) / (ne * (ne - 1)), 0.0)), 6) END AS sigma_e
         |  FROM sg0
         |)
-        |SELECT event_type, day, m, level, trend, forecast, error, sigma_e,
+        |SELECT event_type, day, m + 0.0e0 AS m, level + 0.0e0 AS level,
+        |       trend + 0.0e0 AS trend, forecast + 0.0e0 AS forecast,
+        |       error + 0.0e0 AS error, sigma_e + 0.0e0 AS sigma_e,
         |       coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
         |FROM sig
         |ORDER BY event_type, day""".stripMargin,
@@ -5751,7 +5757,7 @@ object SparkEntry {
         |  FROM r
         |), sc AS (
         |  SELECT r.user_id, r.recency_days, r.frequency,
-        |         round(r.monetary, 2) AS monetary,
+        |         round(r.monetary, 2) + 0.0e0 AS monetary,
         |         CAST(6 - (1 + len(list_filter(e.r_e, x -> r.recency_days > x))) AS INT) AS r_score,
         |         CAST(1 + len(list_filter(e.f_e, x -> r.frequency > x)) AS INT) AS f_score,
         |         CAST(1 + len(list_filter(e.m_e, x -> r.monetary > x)) AS INT) AS m_score
@@ -5853,9 +5859,10 @@ object SparkEntry {
         |                  / count(detr) OVER (PARTITION BY event_type, dow), 6) AS seasonal
         |  FROM de
         |)
-        |SELECT event_type, day, dow, m, trend, seasonal,
+        |SELECT event_type, day, dow, m + 0.0e0 AS m, trend + 0.0e0 AS trend,
+        |       seasonal + 0.0e0 AS seasonal,
         |       CASE WHEN trend IS NOT NULL
-        |            THEN round(m - trend - seasonal, 6) END AS residual
+        |            THEN round(m - trend - seasonal, 6) + 0.0e0 END AS residual
         |FROM se
         |ORDER BY event_type, day""".stripMargin,
 
@@ -5890,7 +5897,7 @@ object SparkEntry {
         |             AND n_pairs * syy - sy * sy > 0
         |            THEN round((n_pairs * sxy - sx * sy)
         |                       / sqrt((n_pairs * sxx - sx * sx)
-        |                              * (n_pairs * syy - sy * sy)), 6) END AS acf
+        |                              * (n_pairs * syy - sy * sy)), 6) + 0.0e0 END AS acf
         |FROM mo
         |ORDER BY event_type, lag""".stripMargin,
 
@@ -5936,7 +5943,7 @@ object SparkEntry {
         |)
         |SELECT event_type, n, CAST(vsum AS DOUBLE) AS total_value,
         |       round(2 * CAST(isum AS DOUBLE) / (n * CAST(vsum AS DOUBLE))
-        |             - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+        |             - (n + 1) / CAST(n AS DOUBLE), 6) + 0.0e0 AS gini
         |FROM s WHERE vsum > 0
         |ORDER BY event_type""".stripMargin,
 
@@ -5959,7 +5966,7 @@ object SparkEntry {
         |SELECT split_part(b.g, ' ', 1) AS w1, split_part(b.g, ' ', 2) AS w2,
         |       b.n AS n_pair, u1.n AS n_w1, u2.n AS n_w2,
         |       round(log2((b.n / t.n_bi)
-        |                  / ((u1.n / t.n_tok) * (u2.n / t.n_tok))), 6) AS pmi
+        |                  / ((u1.n / t.n_tok) * (u2.n / t.n_tok))), 6) + 0.0e0 AS pmi
         |FROM bi b
         |JOIN uni u1 ON u1.tok = split_part(b.g, ' ', 1)
         |JOIN uni u2 ON u2.tok = split_part(b.g, ' ', 2)
@@ -6077,7 +6084,7 @@ object SparkEntry {
         |)
         |SELECT event_type, n_days, round(mh, 6) AS mae_holt,
         |       round(mn, 6) AS mae_naive,
-        |       CASE WHEN mn > 0 THEN round(1.0 - mh / mn, 6) END AS skill
+        |       CASE WHEN mn > 0 THEN round(1.0 - mh / mn, 6) + 0.0e0 END AS skill
         |FROM agg
         |ORDER BY event_type""".stripMargin,
 
@@ -6302,7 +6309,7 @@ object SparkEntry {
         |  CASE WHEN next_ts IS NOT NULL AND next_ts != prev_ts
         |       THEN round(prev_v + (next_v - prev_v)
         |                  * (CAST(tsu - prev_ts AS DOUBLE)
-        |                     / CAST(next_ts - prev_ts AS DOUBLE)), 6)
+        |                     / CAST(next_ts - prev_ts AS DOUBLE)), 6) + 0.0e0
         |       ELSE prev_v END AS value
         |FROM f WHERE is_grid = 1
         |ORDER BY event_type, grid_ts_sec""".stripMargin,
@@ -6328,8 +6335,8 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT day, n, k, round(p, 6) AS rate,
-        |       round(center - half, 6) AS wilson_lo,
-        |       round(center + half, 6) AS wilson_hi
+        |       round(center - half, 6) + 0.0e0 AS wilson_lo,
+        |       round(center + half, 6) + 0.0e0 AS wilson_hi
         |FROM w
         |ORDER BY day""".stripMargin,
 
@@ -6396,8 +6403,11 @@ object SparkEntry {
         |              (ne * sse - se * se) / (ne * (ne - 1)), 0.0)), 6) END AS sigma_e
         |  FROM sg0
         |)
-        |SELECT event_type, day, m, level, trend, seasonal, forecast, error,
-        |       sigma_e, coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
+        |SELECT event_type, day, m + 0.0e0 AS m, level + 0.0e0 AS level,
+        |       trend + 0.0e0 AS trend, seasonal + 0.0e0 AS seasonal,
+        |       forecast + 0.0e0 AS forecast, error + 0.0e0 AS error,
+        |       sigma_e + 0.0e0 AS sigma_e,
+        |       coalesce(abs(error) > 3.0 * sigma_e, false) AS is_alarm
         |FROM sig2
         |ORDER BY event_type, day""".stripMargin,
 
@@ -6576,7 +6586,7 @@ object SparkEntry {
         |)
         |SELECT day, x, y,
         |       CASE WHEN n = 14 AND vx > 0 AND vy > 0
-        |            THEN round(num / sqrt(vx * vy), 6) END AS r
+        |            THEN round(num / sqrt(vx * vy), 6) + 0.0e0 END AS r
         |FROM c
         |ORDER BY day""".stripMargin,
 
@@ -6658,7 +6668,7 @@ object SparkEntry {
         |SELECT n_a, k_a, round(pa, 6) AS rate_a,
         |       n_b, k_b, round(pb, 6) AS rate_b,
         |       CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
-        |            THEN round((pa - pb) / se, 6) END AS z,
+        |            THEN round((pa - pb) / se, 6) + 0.0e0 END AS z,
         |       coalesce(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
         |                     THEN abs((pa - pb) / se) > 1.96 END,
         |                false) AS significant
@@ -6852,9 +6862,9 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT event_type, n AS n_days,
-        |       CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+        |       CASE WHEN den > 0 THEN round(num / den, 6) + 0.0e0 END AS slope,
         |       CASE WHEN den > 0
-        |            THEN round((sy - (num / den) * sxd) / nd, 6) END AS intercept,
+        |            THEN round((sy - (num / den) * sxd) / nd, 6) + 0.0e0 END AS intercept,
         |       CASE WHEN den > 0 AND deny > 0
         |            THEN round((num * num) / (den * deny), 6) END AS r2
         |FROM f
@@ -6893,7 +6903,7 @@ object SparkEntry {
         |)
         |SELECT pair, n,
         |       CASE WHEN vx > 0 AND vy > 0
-        |            THEN round(num / sqrt(vx * vy), 6) END AS rho
+        |            THEN round(num / sqrt(vx * vy), 6) + 0.0e0 END AS rho
         |FROM f ORDER BY pair""".stripMargin,
 
     // Kendall replay: arbitrary-total-order pair split (sign products
@@ -6933,6 +6943,7 @@ object SparkEntry {
         |       CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0
         |            THEN round(CAST(s_stat AS DOUBLE)
         |                       / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6)
+        |                 + 0.0e0
         |       END AS tau
         |FROM f ORDER BY pair""".stripMargin,
 
@@ -7116,7 +7127,7 @@ object SparkEntry {
         |)
         |SELECT event_type, n_obs,
         |       CASE WHEN span > 0
-        |            THEN round(CAST(integral AS DOUBLE) / span, 6) END AS twap
+        |            THEN round(CAST(integral AS DOUBLE) / span, 6) + 0.0e0 END AS twap
         |FROM a ORDER BY event_type""".stripMargin,
 
     // Trimmed/winsorized replay: value-order ranks, floor(double
@@ -7140,9 +7151,9 @@ object SparkEntry {
         |  FROM kk GROUP BY 1
         |)
         |SELECT event_type, n, k,
-        |       round(CAST(tsum AS DOUBLE) / (n - 2 * k), 6) AS trimmed_mean,
+        |       round(CAST(tsum AS DOUBLE) / (n - 2 * k), 6) + 0.0e0 AS trimmed_mean,
         |       round(CAST(tsum + k * CAST(lo AS DECIMAL(18,6))
-        |                  + k * CAST(hi AS DECIMAL(18,6)) AS DOUBLE) / n, 6)
+        |                  + k * CAST(hi AS DECIMAL(18,6)) AS DOUBLE) / n, 6) + 0.0e0
         |         AS winsorized_mean
         |FROM a ORDER BY event_type""".stripMargin,
 
@@ -7211,7 +7222,7 @@ object SparkEntry {
         |                    THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_raw)
         |                    WHEN s_stat < 0
         |                    THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_raw)
-        |                    ELSE 0.0 END, 6) END AS z,
+        |                    ELSE 0.0 END, 6) + 0.0e0 END AS z,
         |       CASE WHEN var_raw <= 0 THEN 'none'
         |            WHEN CASE WHEN s_stat > 0
         |                      THEN round(CAST(s_stat - 1 AS DOUBLE) / sqrt(var_raw), 6)
@@ -7247,7 +7258,7 @@ object SparkEntry {
         |         (b.m - a.m) / CAST(b.i - a.i AS DOUBLE) AS s
         |  FROM x a JOIN x b ON a.event_type = b.event_type AND a.i < b.i
         |), slope AS (
-        |  SELECT event_type, round(s, 6) AS slope
+        |  SELECT event_type, round(s, 6) + 0.0e0 AS slope
         |  FROM (
         |    SELECT event_type, s,
         |           row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
@@ -7258,7 +7269,7 @@ object SparkEntry {
         |  SELECT x.event_type, x.m - slope.slope * CAST(x.i AS DOUBLE) AS r
         |  FROM x JOIN slope USING (event_type)
         |), icept AS (
-        |  SELECT event_type, round(r, 6) AS intercept
+        |  SELECT event_type, round(r, 6) + 0.0e0 AS intercept
         |  FROM (
         |    SELECT event_type, r,
         |           row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
@@ -8315,7 +8326,7 @@ object SparkEntry {
         |         (CAST(b.c_st AS DOUBLE) / t.n_s)
         |           * log2((CAST(b.c_st AS DOUBLE) / t.n_s)
         |                  / (CAST(c.c_t AS DOUBLE) / (SELECT total FROM tot)))), 6)
-        |         AS kl_bits
+        |         + 0.0e0 AS kl_bits
         |FROM by_src b
         |JOIN corpus c USING (tok)
         |JOIN src_tot t USING (source)
@@ -8339,7 +8350,7 @@ object SparkEntry {
         |)
         |SELECT n.label, n.n,
         |       round(sqrt(c.c2), 6) AS centroid_norm,
-        |       round(n.msq - c.c2, 6) AS dispersion
+        |       round(n.msq - c.c2, 6) + 0.0e0 AS dispersion
         |FROM norms n JOIN cent c USING (label)
         |ORDER BY n.label""".stripMargin,
 
@@ -8694,7 +8705,7 @@ object SparkEntry {
         |), s AS (
         |  SELECT c.vec_id, ev.eid,
         |         round(list_dot_product(v, e) /
-        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(e, e))), 6) + 0.0e0 AS cos_sim
         |  FROM c CROSS JOIN ev
         |), r AS (
         |  SELECT s.*,
@@ -9154,10 +9165,10 @@ object SparkEntry {
         |       CAST(syl AS INT) AS n_syllables,
         |       CASE WHEN w > 0 THEN
         |         round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
-        |               - 84.6 * (CAST(syl AS DOUBLE) / w), 4) END AS flesch,
+        |               - 84.6 * (CAST(syl AS DOUBLE) / w), 4) + 0.0e0 END AS flesch,
         |       CASE WHEN w > 0 THEN
         |         round(0.39 * (CAST(w AS DOUBLE) / snt)
-        |               + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 4) END AS fk_grade
+        |               + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 4) + 0.0e0 END AS fk_grade
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // Mann-Whitney AUC replay: (source, distinct score) counts, the
@@ -9215,7 +9226,7 @@ object SparkEntry {
       """, b AS (
         |  SELECT source, y, score,
         |         least(CAST(floor(score * 10) AS BIGINT), 9) AS bin
-        |  FROM sc
+        |  FROM sc WHERE score IS NOT NULL
         |)
         |SELECT source, bin,
         |       CAST(count(*) AS BIGINT) AS n,
@@ -9425,7 +9436,7 @@ object SparkEntry {
         |SELECT id_l, id_r, cos_sim, CAST(rn AS INT) AS rank FROM (
         |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
         |         round(list_dot_product(a.e, b.e) /
-        |               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim,
+        |               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0e0 AS cos_sim,
         |         row_number() OVER (PARTITION BY a.vec_id
         |                            ORDER BY round(list_dot_product(a.e, b.e) /
         |                              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) DESC,
@@ -9440,7 +9451,7 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
@@ -9453,7 +9464,7 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0 AND label = 1
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
@@ -9467,7 +9478,7 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0 AND label = 1
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
@@ -9482,7 +9493,7 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0 AND vec_id % 100 = 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
@@ -9501,7 +9512,7 @@ object SparkEntry {
         |  SELECT q.qid, c.vec_id AS id,
         |         round(list_dot_product(c.e, q.qe) /
         |               (sqrt(list_dot_product(c.e, c.e)) *
-        |                sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |                sqrt(list_dot_product(q.qe, q.qe))), 6) + 0.0e0 AS cos_sim
         |  FROM q, c WHERE c.vec_id <> q.qid
         |)
         |SELECT qid, id, cos_sim, rank FROM (
@@ -9520,7 +9531,7 @@ object SparkEntry {
         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
         |)
         |SELECT vec_id,
-        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe), 6) AS score
+        |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe), 6) + 0.0e0 AS score
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
@@ -9536,7 +9547,7 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
@@ -9550,7 +9561,7 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
@@ -9574,7 +9585,7 @@ object SparkEntry {
         |SELECT e.vec_id,
         |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qe) /
         |             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
@@ -9586,7 +9597,7 @@ object SparkEntry {
         |       round(list_dot_product(CAST(embedding AS DOUBLE[])[1:16], qe) /
         |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
         |                                    CAST(embedding AS DOUBLE[])[1:16])) *
-        |              sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |              sqrt(list_dot_product(qe, qe))), 6) + 0.0e0 AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
@@ -9606,7 +9617,7 @@ object SparkEntry {
         |                  ORDER BY dim) AS dec
         |      FROM x JOIN d USING (dim) GROUP BY vec_id),
         |s AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
-        |             round(list_dot_product(a.dec, b.dec), 6) AS qscore
+        |             round(list_dot_product(a.dec, b.dec), 6) + 0.0e0 AS qscore
         |      FROM q a JOIN q b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
         |r AS (SELECT qid, vec_id, qscore,
         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS INT) AS rnk
@@ -9640,7 +9651,7 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_dot_product(a.e, b.e) /
-        |             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        |             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0e0 AS cos_sim
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) /
         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.5

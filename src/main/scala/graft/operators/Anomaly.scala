@@ -871,8 +871,15 @@ object Anomaly {
     * battery reads: Spearman for rank-linear strength, tau for
     * pairwise-agreement probability (tau ≈ P(concordant) − P(discordant)).
     *
-    * Same metadata-sized pair explosion as the other pair statistics;
-    * the row id that breaks pairs is an arbitrary total order (sign
+    * BOUNDED-INPUT CONTRACT: `df` must already be a metadata-sized
+    * aggregate (a daily roll-up, a per-entity summary — hundreds to
+    * thousands of rows per group), like the [[mannKendall]] /
+    * [[theilSenFit]] callers feed. The pair table is O(n²) PER GROUP by
+    * construction; pointing this at a raw fact table is a cartesian
+    * blow-up, not a slow query. Roll up first (see [[mannKendall]]'s
+    * daily-grain staging), then correlate.
+    *
+    * The row id that breaks pairs is an arbitrary total order (sign
     * products are symmetric, so WHICH order is irrelevant — only that
     * each unordered pair appears once).
     */
@@ -899,9 +906,11 @@ object Anomaly {
     def tiePairs(c: String, out: String): DataFrame =
       base.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("t"))
         .groupBy(col(groupCol))
-        // t(t-1) is even, so the double division is exact per row; the
-        // cast back to long keeps the fold an integer sum.
-        .agg(sum((col("t") * (col("t") - 1) / lit(2)).cast("long")).as(out),
+        // Integer DIV end to end: t(t-1) stays a long product and the
+        // halving never visits double space (Spark `/` is fractional —
+        // exact only below 2^53, a silent precision cliff for a tie
+        // group in the millions).
+        .agg(sum(expr("(t * (t - 1)) div 2")).as(out),
           sum(col("t")).as(s"__n_$out"))
     val tx = tiePairs("__x", "n1")
     val ty = tiePairs("__y", "n2").drop("__n_n2")
@@ -910,7 +919,7 @@ object Anomaly {
       .select(col(groupCol), col("__n_n1").as("n"),
         coalesce(col("s"), lit(0L)).as("s_stat"),
         col("n1"), col("n2"),
-        (col("__n_n1") * (col("__n_n1") - 1) / lit(2)).cast("long").as("__n0"))
+        expr("(__n_n1 * (__n_n1 - 1)) div 2").as("__n0"))
       .select(col(groupCol), col("n"), col("s_stat"), col("n1"), col("n2"),
         when((col("__n0") - col("n1")) > 0 && (col("__n0") - col("n2")) > 0,
           round(col("s_stat").cast("double")

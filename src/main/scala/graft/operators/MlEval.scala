@@ -213,7 +213,11 @@ object MlEval {
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val b = least(floor(scoreCol * bins).cast("long"), lit(bins - 1L))
-    df.select(col(groupCol), b.as("bin"),
+    // Null scores are dropped, mirroring scoreCounts: floor(null) would
+    // otherwise mint a null bin, and Spark sorts nulls first while
+    // DuckDB sorts them last — a row-order (and hash) divergence.
+    df.filter(scoreCol.isNotNull)
+      .select(col(groupCol), b.as("bin"),
         scoreCol.cast("double").as("__s"), labelCol.as("__y"))
       .groupBy(col(groupCol), col("bin"))
       .agg(

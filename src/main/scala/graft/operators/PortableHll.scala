@@ -106,8 +106,17 @@ object PortableHll {
       .agg(
         count(lit(1)).as("__present"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")).as("__np"))
+      // Guard the b contract: a register table sketched with a LARGER b
+      // than the caller passes here has up to 2^b' > m distinct
+      // registers per group, which would silently yield negative n_zero
+      // and a garbage estimate. assert_true rides the existing
+      // aggregation (no extra pass) and fails the job loudly instead.
       .select(col(groupCol),
-        (lit(m) - col("__present")).as("n_zero"),
+        when(assert_true(col("__present") <= lit(m),
+          lit(s"PortableHll.estimate: more than m=$m registers in a " +
+            "group — the register table was sketched with a larger b " +
+            "than passed here")).isNull,
+          lit(m) - col("__present")).as("n_zero"),
         round(lit(alphaM2(b)) /
           ((col("__np") + (lit(m) - col("__present")) * lit(1L << 53))
             .cast("double") / lit(two53)), 4).as("approx_distinct"))

@@ -61,7 +61,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         diff_cols = []
         for c in got.columns:
             a, b = got[c], want[c]
-            eq = (a == b) | (a.isna() & b.isna())
+            # The driver hashes BIT PATTERNS: compare floats bitwise so
+            # +0.0 vs -0.0 (and NaN boxing) fail here like they fail there.
+            # Pandas `==` equates ±0.0, which let a signed-zero mismatch
+            # ship red two rounds running (r13/r14 q_emb_covariance).
+            if str(a.dtype) in ("float64", "float32") and str(a.dtype) == str(b.dtype):
+                import numpy as np
+                u = "u8" if str(a.dtype) == "float64" else "u4"
+                eq = pd.Series(a.to_numpy().view(u) == b.to_numpy().view(u))
+            else:
+                eq = (a == b) | (a.isna() & b.isna())
             if not bool(eq.all()):
                 idx = int((~eq).idxmax())
                 diff_cols.append(f"{c}[row {idx}: {a[idx]!r} != {b[idx]!r}, "
