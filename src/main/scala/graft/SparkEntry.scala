@@ -688,9 +688,11 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 16, minJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
-    // PORTABLE MinHash signatures (r14): permutation i of gram g is the
-    // 52-bit md5 parse of g#i — the oracle-checkable twin of the seeded
-    // LCG family (which stays rows-only by §8); 16 perms, long form.
+    // PORTABLE MinHash signatures (r14, re-keyed r15): ONE 52-bit md5
+    // parse per gram, permutation i = the affine (A_i·x + B_i) mod 2^52
+    // in overflow-free integer limbs — the oracle-checkable twin of the
+    // seeded LCG family (which stays rows-only by §8); 16 perms, long
+    // form. 1/16th the digest cost of the r14 per-(gram,perm) md5.
     "q_minhash_sig" -> ((s, d) =>
       Dedup.minHashSignaturesPortable(
           t(s, d, "documents"), "doc_id", "text", n = 3, perms = 16)
@@ -705,6 +707,16 @@ object SparkEntry {
       Dedup.minHashPairsPortable(
           t(s, d, "documents"), "doc_id", "text",
           n = 3, perms = 16, bands = 4, minEstJaccard = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash CONTAINMENT (r15): the asymmetric overlap the symmetric
+    // Jaccard hides (quote-inside-document) — estimated intersection
+    // from ĵ and the exact per-doc gram counts, per banded candidate
+    // pair at the loose 0.2 threshold; fully oracle-replayed.
+    "q_minhash_containment" -> ((s, d) =>
+      Dedup.minHashContainment(
+          t(s, d, "documents"), "doc_id", "text",
+          n = 3, perms = 16, bands = 4, minEstJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
     // Fused end-to-end near-dedup — the flagship "dedup the corpus" call:
@@ -1436,6 +1448,16 @@ object SparkEntry {
     // never deaths.
     "q_survival" -> ((s, d) =>
       EventAnalytics.survivalCurve(
+          t(s, d, "events").select("user_id", "ts"), "user_id", "ts",
+          churnGapDays = 7)
+        .orderBy("t")),
+
+    // Nelson-Aalen cumulative hazard + Fleming-Harrington survival
+    // (r15): the additive twin of q_survival's Kaplan-Meier product —
+    // hazard increments d/n on a 12dp grid folded through an exact
+    // decimal window sum; exp(−H) needs no zero-carry flag.
+    "q_hazard" -> ((s, d) =>
+      EventAnalytics.cumulativeHazard(
           t(s, d, "events").select("user_id", "ts"), "user_id", "ts",
           churnGapDays = 7)
         .orderBy("t")),
@@ -2567,6 +2589,25 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", "source")
         .orderBy("source")),
 
+    // Jensen-Shannon divergence per source vs corpus (r15): the
+    // symmetric, bounded complement of q_corpus_divergence's KL —
+    // finite under support mismatch, √JSD a metric; the off-support
+    // tail folds to the closed-form ½(1 − q_mass_in_source), so the
+    // per-source work stays |source vocab|. Decimal-staged term sums.
+    "q_corpus_js" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceJsDivergence(
+          t(s, d, "documents"), "text", "source")
+        .orderBy("source")),
+
+    // Fightin' Words marked tokens (r15, Monroe et al. 2008): top-10
+    // most over-represented tokens per source by the Dirichlet-prior
+    // log-odds z — the itemized view of q_corpus_divergence/_js, ranked
+    // on the 6dp grid with a token tiebreak so the order replays.
+    "q_marked_tokens" -> ((s, d) =>
+      graft.operators.CorpusStats.markedTokens(
+          t(s, d, "documents"), "text", "source", topK = 10, alpha0 = 100.0)
+        .orderBy("source", "rank")),
+
     // Embedding-space dispersion per label: centroid norm + mean
     // squared distance to centroid via the variance identity.
     "q_emb_dispersion" -> ((s, d) =>
@@ -2658,6 +2699,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // IVF-bucketed semantic decontamination (r15): the 100 TB arm of
+    // q_contamination_semantic — corpus cell-assigned once, each eval
+    // vector probes its nprobe nearest cells, cosine only on the
+    // cell-matched join (never corpus × eval). Rows-only (KMeans cell
+    // state, §8 — the q_sim_ivf rationale); TrainingDataSpec pins the
+    // nprobe=nlist == brute identity and precision-1/planted-recall at
+    // partial probe.
+    "q_contamination_semantic_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      TrainingData.semanticContaminationIvf(
+          emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+          minCosine = 0.3, nlist = 16, nprobe = 4)
+        .orderBy("vec_id")
+    }),
+
     // Composite text-quality score (length/token/punct/stopword gates).
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
@@ -2744,6 +2801,18 @@ object SparkEntry {
           col("lang") === "en", TextFunctions.qualityScore(col("text")),
           bins = 10)
         .orderBy("source", "bin")),
+
+    // Brier score + Murphy decomposition (r15): the proper-scoring-rule
+    // rollup of q_calibration's bins — total loss, reliability
+    // (mis-calibration), resolution (discrimination), uncertainty (the
+    // base-rate floor); every fold decimal-exact, one double division
+    // per emitted column.
+    "q_brier" -> ((s, d) =>
+      graft.operators.MlEval.brierDecomposition(
+          t(s, d, "documents"), "source",
+          col("lang") === "en", TextFunctions.qualityScore(col("text")),
+          bins = 10)
+        .orderBy("source")),
 
     // PR operating points (r14): the imbalanced-regime twin of
     // q_roc_curve — precision/recall as single integer-ratio divisions
@@ -3910,8 +3979,11 @@ object SparkEntry {
   }
 
   // The portable-MinHash signature CTE chain (shared by q_minhash_sig
-  // and q_minhash_pairs): distinct word 3-grams, permutation i = the
-  // 52-bit md5 parse of g#i, per-(doc, perm) min.
+  // and q_minhash_pairs): distinct word 3-grams, ONE 52-bit md5 parse
+  // per gram (the base point), permutation i = the affine multiply-shift
+  // (A_i·x + B_i) mod 2^52 in 26-bit limbs — identical integer ops to
+  // Dedup.minHashSignaturesPortable, overflow-free in DuckDB's checked
+  // BIGINT lane (r15: was one md5 per (gram, perm), 16× the digests).
   private def minhashSigCte: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
@@ -3921,19 +3993,23 @@ object SparkEntry {
       |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
       |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
       |    FROM toks)
-      |), hs AS (
-      |  SELECT doc_id, CAST(p.i AS INT) AS perm,
-      |         md5(g || '#' || CAST(p.i AS VARCHAR)) AS hh
-      |  FROM grams, range(16) p(i)
-      |), hv AS (
-      |  SELECT doc_id, perm,
+      |), h0 AS (
+      |  SELECT doc_id,
       |         CAST(list_sum(list_transform(range(13), j ->
       |           (CAST(strpos('0123456789abcdef',
       |               substr(hh, CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
       |           * (CAST(1 AS BIGINT) << CAST(4*(12-j) AS INT)))) AS BIGINT) AS h
-      |  FROM hs
+      |  FROM (SELECT doc_id, md5(g) AS hh FROM grams) mg
+      |), hv AS (
+      |  SELECT doc_id, CAST(p.i AS INT) AS perm,
+      |         ((((h & 67108863) * (((2 * p.i + 1) * 25214903917) & 137438953471))
+      |             & 4503599627370495)
+      |          + (((h >> 26) * (((2 * p.i + 1) * 25214903917) & 137438953471))
+      |             & 67108863) * 67108864
+      |          + p.i * 2654435769) & 4503599627370495 AS hp
+      |  FROM h0, range(16) p(i)
       |), sig AS (
-      |  SELECT doc_id AS id, perm, min(h) AS sig FROM hv GROUP BY 1, 2
+      |  SELECT doc_id AS id, perm, min(hp) AS sig FROM hv GROUP BY 1, 2
       |)""".stripMargin
 
   // The q_text_quality score replay (shared by the r14 ML-eval oracle
@@ -4392,6 +4468,45 @@ object SparkEntry {
         |FROM est
         |WHERE round(CAST(n_match AS DOUBLE) / 16, 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Containment replay: the pairs scaffold at the loose 0.2 gate,
+    // exact distinct-gram counts, and the j → intersection → one-sided
+    // ratio assembly in the engine's operation order.
+    "q_minhash_containment" -> (minhashSigCte +
+      """, bk AS (
+        |  SELECT id, CAST(perm // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS bkey
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.perm = sa.perm
+        |  GROUP BY 1, 2
+        |), szs AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM grams GROUP BY 1
+        |), kept AS (
+        |  SELECT e.id_a, e.id_b, sa.sz AS sz_a, sb.sz AS sz_b, e.n_match,
+        |         round(CAST(e.n_match AS DOUBLE) / 16, 6) AS est_jaccard
+        |  FROM est e
+        |  JOIN szs sa ON sa.doc_id = e.id_a
+        |  JOIN szs sb ON sb.doc_id = e.id_b
+        |  WHERE round(CAST(e.n_match AS DOUBLE) / 16, 6) >= 0.2
+        |)
+        |SELECT id_a, id_b, sz_a, sz_b, n_match, est_jaccard,
+        |       round(est_jaccard * CAST(sz_a + sz_b AS DOUBLE)
+        |             / (1.0 + est_jaccard) / CAST(sz_a AS DOUBLE), 6)
+        |         AS containment_a,
+        |       round(est_jaccard * CAST(sz_a + sz_b AS DOUBLE)
+        |             / (1.0 + est_jaccard) / CAST(sz_b AS DOUBLE), 6)
+        |         AS containment_b
+        |FROM kept ORDER BY id_a, id_b""".stripMargin),
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
@@ -5831,6 +5946,44 @@ object SparkEntry {
         |            ELSE round(exp(sum(ln(factor))
         |                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival
         |FROM z
+        |ORDER BY t""".stripMargin,
+
+    // Nelson-Aalen replay: the q_survival risk-set scaffold, 12dp
+    // hazard increments, exact decimal cumulative sum, exp(-H).
+    "q_hazard" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT max(ld) AS ce FROM u
+        |), l AS (
+        |  SELECT CAST(date_diff('day', fd, ld) AS INT) AS lifetime,
+        |         (date_diff('day', ld, ce) > 7) AS churned
+        |  FROM u CROSS JOIN a
+        |), byt AS (
+        |  SELECT lifetime AS t,
+        |         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS exits
+        |  FROM l GROUP BY 1
+        |), cum AS (
+        |  SELECT *,
+        |         CAST(coalesce(sum(exits) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS eb,
+        |         CAST(sum(exits) OVER () AS BIGINT) AS tot
+        |  FROM byt
+        |), f AS (
+        |  SELECT t, tot - eb AS n_risk, d, exits,
+        |         round(CAST(d AS DOUBLE) / (tot - eb), 12) AS inc
+        |  FROM cum
+        |), h AS (
+        |  SELECT *, round(CAST(sum(CAST(inc AS DECIMAL(38,12)))
+        |                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE),
+        |                  6) AS hazard
+        |  FROM f
+        |)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_churn, exits,
+        |       hazard, round(exp(0.0 - hazard), 6) AS survival_fh
+        |FROM h
         |ORDER BY t""".stripMargin,
 
     // Seasonal decomposition replay: centered moving average guarded
@@ -8333,6 +8486,91 @@ object SparkEntry {
         |GROUP BY b.source
         |ORDER BY b.source""".stripMargin,
 
+    // JS replay: same token censuses, per-token p/q/m terms rounded to
+    // 12dp into exact decimal folds, the off-support tail as the
+    // closed-form ½(1 − q_mass_in_source) scalar.
+    "q_corpus_js" ->
+      """WITH toks AS (
+        |  SELECT d.source, unnest(regexp_extract_all(d.text, '\S+')) AS tok
+        |  FROM documents d
+        |), by_src AS (
+        |  SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok
+        |), src_tot AS (
+        |  SELECT source, sum(c_st) AS n_s FROM by_src GROUP BY source
+        |), corpus AS (
+        |  SELECT tok, count(*) AS c_t FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c_t) AS DOUBLE) AS total FROM corpus
+        |), pqm AS (
+        |  SELECT b.source,
+        |         t.n_s,
+        |         CAST(b.c_st AS DOUBLE) / t.n_s AS p,
+        |         CAST(c.c_t AS DOUBLE) / (SELECT total FROM tot) AS q
+        |  FROM by_src b
+        |  JOIN corpus c USING (tok)
+        |  JOIN src_tot t USING (source)
+        |), terms AS (
+        |  SELECT source,
+        |         CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS vocab_size,
+        |         CAST(sum(CAST(round(p * log2(p / ((p + q) / 2.0)), 12)
+        |                       AS DECIMAL(38,12))) AS DOUBLE) AS pterm,
+        |         CAST(sum(CAST(round(q * log2(q / ((p + q) / 2.0)), 12)
+        |                       AS DECIMAL(38,12))) AS DOUBLE) AS qterm,
+        |         CAST(sum(CAST(round(q, 12) AS DECIMAL(38,12))) AS DOUBLE) AS qmass
+        |  FROM pqm GROUP BY source
+        |)
+        |SELECT source, n_tokens, vocab_size,
+        |       round(0.5 * pterm + 0.5 * (qterm + (1.0 - qmass)), 6)
+        |         + 0.0e0 AS js_bits
+        |FROM terms ORDER BY source""".stripMargin,
+
+    // Fightin' Words replay: the same censuses, the Dirichlet-prior
+    // log-odds delta and variance-normalized z in the engine's exact
+    // operation order, rank window on the rounded z with token tiebreak.
+    "q_marked_tokens" ->
+      """WITH toks AS (
+        |  SELECT d.source, unnest(regexp_extract_all(d.text, '\S+')) AS tok
+        |  FROM documents d
+        |), by_src AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS y_s
+        |  FROM toks GROUP BY source, tok
+        |), src_tot AS (
+        |  SELECT source, CAST(sum(y_s) AS BIGINT) AS n_s FROM by_src GROUP BY source
+        |), corpus AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c_t FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c_t) AS BIGINT) AS total FROM corpus
+        |), sc AS (
+        |  SELECT b.source, b.tok, b.y_s, t.n_s,
+        |         CAST(c.c_t - b.y_s AS DOUBLE) AS yr,
+        |         CAST((SELECT total FROM tot) - t.n_s AS DOUBLE) AS nr,
+        |         100.0 * (CAST(c.c_t AS DOUBLE)
+        |                  / CAST((SELECT total FROM tot) AS DOUBLE)) AS aw
+        |  FROM by_src b JOIN corpus c USING (tok) JOIN src_tot t USING (source)
+        |), dz AS (
+        |  SELECT source, tok, y_s, yr, aw,
+        |         ln((CAST(y_s AS DOUBLE) + aw)
+        |            / (CAST(n_s AS DOUBLE) + 100.0 - CAST(y_s AS DOUBLE) - aw))
+        |         - ln((yr + aw) / (nr + 100.0 - yr - aw)) AS draw
+        |  FROM sc
+        |), rz AS (
+        |  SELECT source, tok, y_s, yr,
+        |         round(draw, 6) AS delta,
+        |         round(draw / sqrt(1.0 / (CAST(y_s AS DOUBLE) + aw)
+        |                           + 1.0 / (yr + aw)), 6) AS z
+        |  FROM dz
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |                               ORDER BY z DESC, tok) AS rank
+        |  FROM rz
+        |)
+        |SELECT source, CAST(rank AS INT) AS rank, tok AS token,
+        |       y_s AS n_source, CAST(yr AS BIGINT) AS n_rest,
+        |       delta + 0.0e0 AS delta, z + 0.0e0 AS z
+        |FROM rk WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
+
     // Embedding dispersion: E||x||^2 - ||mu||^2 per label.
     "q_emb_dispersion" ->
       """WITH v AS (
@@ -9236,6 +9474,55 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 6) AS pos_rate
         |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
+
+    // Brier replay: the calibration bin scaffold, (score − y)² as an
+    // exact DECIMAL(7,6)² fold, per-bin 6dp-rounded diffs squared and
+    // weighted through decimals, one double division per output.
+    "q_brier" -> (qualityScoredCte +
+      """, b AS (
+        |  SELECT source, y, score,
+        |         least(CAST(floor(score * 10) AS BIGINT), 9) AS bin
+        |  FROM sc WHERE score IS NOT NULL
+        |), pb AS (
+        |  SELECT source, bin,
+        |         CAST(count(*) AS BIGINT) AS n_k,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_k,
+        |         sum(CAST(score AS DECIMAL(18,6))) AS ssum_k,
+        |         sum((CAST(score AS DECIMAL(7,6))
+        |                - CAST(CASE WHEN y THEN 1 ELSE 0 END AS DECIMAL(7,6)))
+        |             * (CAST(score AS DECIMAL(7,6))
+        |                - CAST(CASE WHEN y THEN 1 ELSE 0 END AS DECIMAL(7,6)))) AS sq_k
+        |  FROM b GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source,
+        |         CAST(sum(n_k) AS BIGINT) AS n,
+        |         CAST(sum(pos_k) AS BIGINT) AS n_pos,
+        |         CAST(sum(sq_k) AS DOUBLE) AS sq,
+        |         round(CAST(sum(pos_k) AS DOUBLE) / sum(n_k), 6) AS base
+        |  FROM pb GROUP BY 1
+        |), bk AS (
+        |  SELECT pb.source, pb.n_k,
+        |         round(CAST(pb.ssum_k AS DOUBLE) / pb.n_k, 6) AS ms_k,
+        |         round(CAST(pb.pos_k AS DOUBLE) / pb.n_k, 6) AS rate_k,
+        |         t.base
+        |  FROM pb JOIN tot t USING (source)
+        |), terms AS (
+        |  SELECT source,
+        |         sum(CAST(round(ms_k - rate_k, 6) AS DECIMAL(7,6))
+        |             * CAST(round(ms_k - rate_k, 6) AS DECIMAL(7,6))
+        |             * CAST(n_k AS DECIMAL(20,0))) AS rel_sum,
+        |         sum(CAST(round(rate_k - base, 6) AS DECIMAL(7,6))
+        |             * CAST(round(rate_k - base, 6) AS DECIMAL(7,6))
+        |             * CAST(n_k AS DECIMAL(20,0))) AS res_sum
+        |  FROM bk GROUP BY 1
+        |)
+        |SELECT t.source, t.n, t.n_pos,
+        |       round(t.sq / t.n, 6) AS brier,
+        |       round(CAST(te.rel_sum AS DOUBLE) / t.n, 6) AS reliability,
+        |       round(CAST(te.res_sum AS DOUBLE) / t.n, 6) AS resolution,
+        |       round(t.base * (1.0 - t.base), 6) AS uncertainty
+        |FROM tot t JOIN terms te USING (source)
+        |ORDER BY t.source""".stripMargin),
 
     // PR points replay: same cnt/window scaffold as q_roc_curve, with
     // precision = tp/(tp+fp) and recall = tp/n_pos.

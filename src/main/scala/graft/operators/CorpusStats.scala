@@ -343,6 +343,134 @@ object CorpusStats {
         round(sum(col("__p") * log2(col("__p") / col("__q"))), 6).as("kl_bits"))
   }
 
+  /** Jensen-Shannon divergence of each source's token distribution vs
+    * the corpus (Lin 1991) — the SYMMETRIC, bounded-to-[0,1]-bit
+    * upgrade of [[sourceDivergence]]'s KL: KL explodes toward ∞ as a
+    * source's support diverges and is undefined in the other direction;
+    * JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2 is finite always
+    * and √JSD is a metric — the number to CLUSTER sources by, not just
+    * rank them.
+    *
+    * Closed-form tail so no source needs the full vocabulary: for
+    * tokens OUTSIDE the source's support, p = 0 ⇒ m = q/2 ⇒ the Q-side
+    * integrand is q·log2(q/(q/2)) = q — so that tail contributes
+    * ½·(1 − Σ_{tok∈src} q), a scalar off the source's own join. The
+    * per-source work is therefore |source vocab| rows, same as KL.
+    *
+    * Engine-portable: per-token terms round to 12dp and fold through an
+    * EXACT decimal sum (the entropy/HHI staging — never a raw float sum
+    * whose order is partition luck), one double assembly at the end.
+    */
+  def sourceJsDivergence(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val toks = df.select(
+      col(sourceCol).as("source"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val bySrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcTotals = bySrc.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"))
+    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val totalRow = corpus.agg(sum(col("c_t"))).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "sourceJsDivergence needs a non-empty corpus")
+    val total = totalRow.getLong(0).toDouble
+    val dec12 = "decimal(38,12)"
+    bySrc
+      .join(corpus, Seq("tok"))
+      .join(srcTotals, Seq("source"))
+      .withColumn("__p", col("c_st").cast("double") / col("n_s"))
+      .withColumn("__q", col("c_t").cast("double") / total)
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        (sum(round(col("__p") * log2(col("__p") / col("__m")), 12)
+          .cast(dec12)).cast("double")).as("__pterm"),
+        (sum(round(col("__q") * log2(col("__q") / col("__m")), 12)
+          .cast(dec12)).cast("double")).as("__qterm"),
+        (sum(round(col("__q"), 12).cast(dec12)).cast("double")).as("__qmass"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        round(lit(0.5) * col("__pterm")
+          + lit(0.5) * (col("__qterm") + (lit(1.0) - col("__qmass"))), 6)
+          .as("js_bits"))
+  }
+
+  /** "Fightin' Words" marked tokens per source (Monroe, Colaresi &
+    * Quinn 2008): which tokens are OVER-represented in a source vs the
+    * rest of the corpus, scored by the log-odds-ratio with an
+    * informative Dirichlet prior — the corpus-comparison tool that
+    * [[sourceDivergence]]/[[sourceJsDivergence]] summarize to one
+    * number and this one itemizes. Raw frequency ratios crown rare
+    * typos; the corpus-proportional prior α_w = α0·q_w shrinks
+    * low-count tokens toward unmarked, and the variance-normalized z
+    * ranks by EVIDENCE of markedness, not effect size alone:
+    *
+    *   δ_w = ln((y_sw + α_w)/(n_s + α0 − y_sw − α_w))
+    *       − ln((y_rw + α_w)/(n_r + α0 − y_rw − α_w))
+    *   z_w = δ_w / √(1/(y_sw + α_w) + 1/(y_rw + α_w))
+    *
+    * (s = the source, r = the rest of the corpus). Emits the top-k
+    * most-marked tokens per source by (z desc, token) — deterministic
+    * tiebreak; z rounded to 6dp BEFORE ranking so the order replays in
+    * SQL. Row-local arithmetic off three bounded censuses (per-source,
+    * corpus, totals); the rank window runs per source over vocab-sized
+    * rows. At 100 TB: censuses are the existing one-shuffle token
+    * counts; nothing here touches raw text twice.
+    */
+  def markedTokens(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      topK: Int = 10,
+      alpha0: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(alpha0 > 0, s"alpha0 must be > 0, got $alpha0")
+    val toks = df.select(
+      col(sourceCol).as("source"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val bySrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("y_s"))
+    val srcTotals = bySrc.groupBy(col("source"))
+      .agg(sum(col("y_s")).as("n_s"))
+    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val totalRow = corpus.agg(sum(col("c_t"))).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "markedTokens needs a non-empty corpus")
+    val total = totalRow.getLong(0)
+    val alphaW = lit(alpha0) * (col("c_t").cast("double") / lit(total.toDouble))
+    val yR = (col("c_t") - col("y_s")).cast("double")
+    val nR = (lit(total) - col("n_s")).cast("double")
+    // One parenthesized expression: a leading `-` on its own line would
+    // parse as a discarded unary statement (semicolon inference).
+    val delta = (
+      log((col("y_s").cast("double") + col("__aw"))
+        / (col("n_s").cast("double") + lit(alpha0) - col("y_s").cast("double") - col("__aw")))
+      - log((col("__yr") + col("__aw"))
+        / (col("__nr") + lit(alpha0) - col("__yr") - col("__aw"))))
+    val scored = bySrc
+      .join(corpus, Seq("tok"))
+      .join(srcTotals, Seq("source"))
+      .withColumn("__aw", alphaW)
+      .withColumn("__yr", yR)
+      .withColumn("__nr", nR)
+      .withColumn("delta", round(delta, 6))
+      .withColumn("z", round(delta
+        / sqrt(lit(1.0) / (col("y_s").cast("double") + col("__aw"))
+          + lit(1.0) / (col("__yr") + col("__aw"))), 6))
+    val w = Window.partitionBy("source").orderBy(col("z").desc, col("tok"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("tok").as("token"),
+        col("y_s").as("n_source"), col("__yr").cast("long").as("n_rest"),
+        col("delta"), col("z"))
+  }
+
   /** COUNT-THRESHOLD PRUNING for the n-gram LM censuses (the classic
     * count-cutoff of SRILM/Brants-style distributed LMs): drop census
     * rows with `n < minCount`. A pruned n-gram then scores through the

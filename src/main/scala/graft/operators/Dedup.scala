@@ -391,12 +391,25 @@ object Dedup {
     * twin of [[minHashSignature]], exactly as [[graft.operators.PortableHll]]
     * twins `approx_count_distinct`: the seeded-LCG permutation family is
     * JVM-internal (its whole query family is rows-only by §8 rationale),
-    * while here permutation i of gram g is simply the house 52-bit md5
-    * parse of `g || '#' || i` — any engine can replay it, so signatures,
-    * banding, candidates and estimates ALL hash-match an external
-    * oracle. Costlier per gram (one md5 per (gram, perm) vs one LCG
-    * multiply), so the seeded family remains the throughput path; this
-    * is the auditable one.
+    * while here every stage is arithmetic any engine can replay, so
+    * signatures, banding, candidates and estimates ALL hash-match an
+    * external oracle.
+    *
+    * Permutation family (r15 — ONE md5 per distinct gram, was one md5
+    * per (gram, perm), which billed 16 digests per gram and made
+    * q_minhash_pairs the #3 bench entry): the 52-bit md5 parse of the
+    * gram is the base point x, and permutation i is the affine
+    * multiply-shift h_i(x) = (A_i·x + B_i) mod 2^52 — the classic
+    * Carter-Wegman family MinHash analyses assume, with
+    * A_i = ((2i+1)·25214903917) & (2^37−1) (odd ⇒ bijective mod 2^52)
+    * and B_i = i·2654435769. The 52-bit modular product never leaves
+    * the 63-bit signed-long lane in EITHER engine (DuckDB errors on
+    * BIGINT overflow where the JVM wraps — the portability constraint
+    * that sizes the limbs): x splits into 26-bit halves, each half
+    * multiplies A_i (26+37 = 63 bits, safe), and the high product
+    * re-enters mod 2^52 through a 26-bit mask. All ops are &, >>, *, +
+    * on BIGINT — both engines have them with identical semantics on
+    * these ranges.
     *
     * Long-form output (id, perm, sig) — ≤ perms rows per doc; sig is
     * the min 52-bit hash over the doc's DISTINCT word n-grams.
@@ -404,9 +417,10 @@ object Dedup {
     * fraction estimates Jaccard. Empty-gram docs (< n tokens) emit no
     * rows.
     *
-    * Shape: row-local distinct grams explode to (gram, perm) — one
-    * map-side fan-out of `perms`× — then ONE shuffle into the
-    * (id, perm) min aggregation with map-side combine.
+    * Shape: row-local distinct grams hash ONCE to the base point, then
+    * explode to (base, perm) — one map-side fan-out of `perms`× of
+    * integer ops — then ONE shuffle into the (id, perm) min
+    * aggregation with map-side combine.
     */
   def minHashSignaturesPortable(
       df: DataFrame,
@@ -415,13 +429,23 @@ object Dedup {
       n: Int = 3,
       perms: Int = 16): DataFrame = {
     require(perms >= 2 && perms <= 256, s"perms in [2,256], got $perms")
+    val mask52 = lit(4503599627370495L) // 2^52 - 1
+    val mask26 = lit(67108863L)         // 2^26 - 1
+    val lo = col("h0").bitwiseAND(mask26)
+    val hi = shiftright(col("h0"), 26)
+    val a = ((col("perm").cast("long") * lit(2L) + lit(1L)) * lit(25214903917L))
+      .bitwiseAND(lit(137438953471L))   // 2^37 - 1, low bit kept -> odd
+    val mixed = ((lo * a).bitwiseAND(mask52)
+      + (hi * a).bitwiseAND(mask26) * lit(67108864L) // << 26, still < 2^52
+      + col("perm").cast("long") * lit(2654435769L))
+      .bitwiseAND(mask52)
     df.select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.wordNGrams(col(textCol), n))).as("g"))
-      .select(col("id"), col("g"),
+      .select(col("id"),
+        conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h0"))
+      .select(col("id"), col("h0"),
         explode(sequence(lit(0), lit(perms - 1))).as("perm"))
-      .select(col("id"), col("perm"),
-        conv(substring(md5(concat(col("g"), lit("#"), col("perm").cast("string"))),
-          1, 13), 16, 10).cast("long").as("h"))
+      .select(col("id"), col("perm"), mixed.as("h"))
       .groupBy(col("id"), col("perm"))
       .agg(min(col("h")).as("sig"))
   }
@@ -475,6 +499,50 @@ object Dedup {
         round(col("n_match").cast("double") / perms, 6))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "n_match", "est_jaccard")
+  }
+
+  /** MinHash CONTAINMENT estimates over the portable LSH candidates —
+    * the asymmetric question Jaccard hides (Broder 1997 §2 defines
+    * both): a 50-line quote inside a 5000-line document has tiny
+    * Jaccard but containment ≈ 1 on the quote's side. From the
+    * symmetric resemblance estimate ĵ and the EXACT per-doc distinct
+    * gram counts (one row-local pass, no extra shuffle):
+    *
+    *   |A ∩ B| ≈ ĵ·(|A| + |B|) / (1 + ĵ)      (identity: j = i/(a+b−i))
+    *   containment_a = |A ∩ B| / |A|,  containment_b = |A ∩ B| / |B|
+    *
+    * Candidates come from the same banded LSH as
+    * [[minHashPairsPortable]] — a pair is surfaced when its JACCARD
+    * clears the s-curve, so a tiny-quote-in-huge-doc pair may never
+    * become a candidate (the documented recall gap of resemblance
+    * banding; span-grain [[SubstringDedup]] is the operator that
+    * catches those). For candidate pairs the estimates are fully
+    * oracle-replayable: every input (n_match, sizes) is integer-exact
+    * and the assembly is fixed IEEE ops.
+    */
+  def minHashContainment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val pairs = minHashPairsPortable(df, idCol, textCol, n, perms, bands,
+      minEstJaccard)
+    val sizes = df.select(col(idCol).as("__id"),
+        size(array_distinct(TextFunctions.wordNGrams(col(textCol), n)))
+          .cast("long").as("__sz"))
+      .filter(col("__sz") > 0)
+    val estInt = col("est_jaccard") * (col("sz_a") + col("sz_b")).cast("double") /
+      (lit(1.0) + col("est_jaccard"))
+    pairs
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        col("n_match"), col("est_jaccard"),
+        round(estInt / col("sz_a").cast("double"), 6).as("containment_a"),
+        round(estInt / col("sz_b").cast("double"), 6).as("containment_b"))
   }
 
   /** 64-bit SimHash over token hashes: bit b of the fingerprint is the

@@ -719,6 +719,60 @@ object EventAnalytics {
         col("exits"), col("survival"))
   }
 
+  /** Nelson-Aalen cumulative hazard over the same right-censored user
+    * lifetimes as [[survivalCurve]] (Nelson 1972; Aalen 1978):
+    * H(t) = Σ_{s ≤ t} d_s / n_s — the additive twin of Kaplan-Meier's
+    * product, preferred when the HAZARD (instantaneous churn pressure)
+    * is the question rather than the survival probability; also emits
+    * the Fleming-Harrington survival estimate exp(−H), which dominates
+    * KM in small-risk-set tails (no factor ever hits zero, so no
+    * zero-carry flag is needed — the structural advantage over
+    * [[survivalCurve]]'s log-product).
+    *
+    * Portability: each increment d/n is one double division rounded to
+    * 12dp, the cumulative sum folds those grid values through an EXACT
+    * decimal window sum in t-order (deterministic fold order by
+    * construction), and H re-grids at 6dp. Scale shape: identical to
+    * [[survivalCurve]] — one user-grain aggregate, then windows over
+    * the days-bounded distinct-lifetime table.
+    */
+  def cumulativeHazard(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      churnGapDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(churnGapDays >= 1, s"churnGapDays must be >= 1, got $churnGapDays")
+    val users = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("first_day"),
+        max(to_date(col(tsCol))).as("last_day"))
+    val anchor = users.agg(max(col("last_day")).as("corpus_end"))
+    val lifetimes = users.join(broadcast(anchor))
+      .withColumn("lifetime", datediff(col("last_day"), col("first_day")))
+      .withColumn("churned",
+        datediff(col("corpus_end"), col("last_day")) > churnGapDays)
+    val byT = lifetimes.groupBy(col("lifetime").as("t"))
+      .agg(
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("exits"))
+    val wOrd = Window.partitionBy().orderBy("t")
+    val wAll = Window.partitionBy()
+    byT
+      .withColumn("__exited_before",
+        coalesce(sum(col("exits")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", sum(col("exits")).over(wAll) - col("__exited_before"))
+      .withColumn("__inc",
+        round(col("d").cast("double") / col("n_risk"), 12))
+      .withColumn("hazard",
+        round(sum(col("__inc").cast("decimal(38,12)")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 6))
+      .withColumn("survival_fh", round(exp(lit(0.0) - col("hazard")), 6))
+      .select(col("t"), col("n_risk"), col("d").as("n_churn"),
+        col("exits"), col("hazard"), col("survival_fh"))
+  }
+
   /** Gini concentration of `valueCol` per group — how concentrated the
     * value mass is across rows (0 = perfectly even, →1 = one row owns
     * everything): the inequality screen behind "does one merchant/user

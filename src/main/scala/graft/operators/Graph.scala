@@ -349,14 +349,18 @@ object Graph {
       val n = nodes.count()
       require(n > 0, "empty graph")
       val dec = s"decimal(38,$scale)"
-      // L1-normalize a raw vector column back onto the grid: the mass
-      // total rides the plan as a broadcast one-row frame (no driver
-      // collect per iteration), exactly like pageRank's dangling mass.
+      // L1-normalize a raw vector column back onto the grid, LAZILY:
+      // only the raw half-step vector is materialized (one job); the
+      // normalize is a plan over its cached partitions, with the mass
+      // total riding as a broadcast one-row frame (no driver collect),
+      // exactly like pageRank's dangling mass. The next half-step's
+      // checkpoint — and only it — evaluates this view, so each
+      // half-step pays ONE job instead of the two the r14 shape paid
+      // (checkpoint raw + checkpoint normalized): q_hits dropped from
+      // ~10 to ~5 checkpointed jobs per 5-iteration run. Recompute-safe:
+      // every consumer reads the CHECKPOINTED raw, so the broadcast
+      // total is a tiny scan of cached partitions, never a re-join.
       def normalized(raw: DataFrame, c: String): DataFrame = {
-        // The raw vector feeds BOTH the mass total and the output
-        // projection — checkpoint it or each half-step's join runs
-        // twice (the r13 plan-audit recompute class; caught by the
-        // r14 post-wave explain sweep).
         val r = raw.localCheckpoint(true)
         val tot = r.agg(
           sum(col(c).cast(dec)).cast("double").as("__tot"))
@@ -374,14 +378,14 @@ object Graph {
               .agg(sum(col("h").cast(dec)).cast("double").as("__a")),
             Seq("node"), "left")
           .select(col("node"), coalesce(col("__a"), lit(0.0)).as("a"))
-        a = normalized(aRaw, "a").localCheckpoint(true)
+        a = normalized(aRaw, "a")
         val hRaw = nodes.join(
             e.join(a, col("dst") === col("node")).drop("node")
               .groupBy(col("src").as("node"))
               .agg(sum(col("a").cast(dec)).cast("double").as("__h")),
             Seq("node"), "left")
           .select(col("node"), coalesce(col("__h"), lit(0.0)).as("h"))
-        h = normalized(hRaw, "h").localCheckpoint(true)
+        h = normalized(hRaw, "h")
       }
       nodes.join(h, Seq("node")).join(a, Seq("node"))
         .select(col("node"), col("h").as("hub"), col("a").as("authority"))

@@ -246,4 +246,87 @@ object MlEval {
       .agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("neg"))
+
+  /** Brier score with the Murphy (1973) three-way decomposition per
+    * group — the proper-scoring-rule view [[calibrationBins]] only eyeballs:
+    *
+    *   brier       = mean((score − y)²)                 — total loss
+    *   reliability = Σ_k n_k·(mean_score_k − rate_k)²/n — mis-calibration (≥0, want 0)
+    *   resolution  = Σ_k n_k·(rate_k − base)²/n         — discrimination (want high)
+    *   uncertainty = base·(1 − base)                    — the data's floor
+    *
+    * over the same `bins` fixed-width buckets as [[calibrationBins]]
+    * (so "which bin hurts" cross-references directly). The classic
+    * identity brier = REL − RES + UNC holds up to within-bin score
+    * variance (exact only when every score in a bin is identical) —
+    * emit all four, let the dashboard show the residual.
+    *
+    * Engine-portable by the house staging: scores arrive grid-rounded,
+    * so (score − y) sits on the same 6dp grid and its square is EXACT
+    * at decimal scale 12; per-bin diffs are 6dp-rounded BEFORE the
+    * square; every fold is an exact decimal sum with one double
+    * division at the end. Scale shape: one full-fact aggregation into
+    * ≤ `bins` rows per group, everything after is metadata-sized.
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: Column,
+      scoreCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val b = least(floor(scoreCol * bins).cast("long"), lit(bins - 1L))
+    val dec6 = "decimal(18,6)"
+    // Narrow types for the bounded quantities ([0,1]-ish diffs): the
+    // square then weight-multiply must stay UNDER precision 38 or Spark
+    // silently drops scale (the decimal-multiply trap in SURVEY).
+    val dDiff = "decimal(7,6)"
+    val perBin = df.filter(scoreCol.isNotNull)
+      .select(col(groupCol), b.as("bin"),
+        scoreCol.cast("double").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_k"),
+        sum(col("__y")).as("pos_k"),
+        sum(col("__s").cast(dec6)).as("__ssum_k"),
+        // (s − y) is on the 6dp grid in [-1,1]; its square is exact at
+        // scale 12 and precision 15 — the sum stays decimal-exact.
+        sum((col("__s").cast(dDiff) - col("__y").cast(dDiff))
+          * (col("__s").cast(dDiff) - col("__y").cast(dDiff))).as("__sq_k"))
+    val w = Window.partitionBy(groupCol)
+    perBin
+      .withColumn("__n", sum(col("n_k")).over(w))
+      .withColumn("__pos", sum(col("pos_k")).over(w))
+      .withColumn("__sq", sum(col("__sq_k")).over(w))
+      .withColumn("__base",
+        round(col("__pos").cast("double") / col("__n"), 6))
+      .withColumn("__ms_k",
+        round(col("__ssum_k").cast("double") / col("n_k"), 6))
+      .withColumn("__rate_k",
+        round(col("pos_k").cast("double") / col("n_k"), 6))
+      // Per-bin weighted squares: 6dp diffs square exactly at 12dp,
+      // times the long weight stays decimal-exact; the cross-bin fold
+      // is an exact decimal sum (≤ bins rows — but order-free anyway).
+      .withColumn("__rel_k",
+        (round(col("__ms_k") - col("__rate_k"), 6).cast(dDiff)
+          * round(col("__ms_k") - col("__rate_k"), 6).cast(dDiff))
+          * col("n_k").cast("decimal(20,0)"))
+      .withColumn("__res_k",
+        (round(col("__rate_k") - col("__base"), 6).cast(dDiff)
+          * round(col("__rate_k") - col("__base"), 6).cast(dDiff))
+          * col("n_k").cast("decimal(20,0)"))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__pos")).as("n_pos"),
+        round(max(col("__sq")).cast("double")
+          / max(col("__n")), 6).as("brier"),
+        round(sum(col("__rel_k")).cast("double") / max(col("__n")), 6)
+          .as("reliability"),
+        round(sum(col("__res_k")).cast("double") / max(col("__n")), 6)
+          .as("resolution"),
+        round(max(col("__base")) * (lit(1.0) - max(col("__base"))), 6)
+          .as("uncertainty"))
+  }
 }

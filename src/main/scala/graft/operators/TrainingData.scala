@@ -1295,4 +1295,81 @@ object TrainingData {
         col("__b.__cos").as("cos_sim"))
     best.withColumn("is_contaminated", col("cos_sim") >= minCosine)
   }
+
+  /** IVF-bucketed semantic decontamination — the 100 TB arm of
+    * [[semanticContamination]]: the corpus is cell-assigned ONCE
+    * (SimilaritySearch.buildIvfIndex's KMeans routing), each eval
+    * vector probes only its `nprobe` nearest cells, and the cosine
+    * pass runs on the (cell-matched corpus × eval) join instead of the
+    * full corpus × eval cross. The brute twin scans every corpus row
+    * against every eval row — fine while the eval suite broadcasts,
+    * but the per-row cost is |eval| cosines; here it is
+    * |eval|·nprobe/nlist on average, and a corpus row in a cell no
+    * eval vector probes is never scored at all.
+    *
+    * Same output contract as the brute twin (nearest probed eval id,
+    * 6dp cosine, flag), with unprobed/unmatched corpus docs emitted as
+    * (null, null, false) — the "definitely not near any eval doc"
+    * verdict. Recall < 1 by construction (a contaminated doc whose
+    * cell no eval vector probes is missed); the spec pins
+    * precision == 1 vs the brute twin (every flag it raises is real —
+    * the scored subset uses identical arithmetic) and recall at the
+    * planted-duplicate level. Rows-only contract query (KMeans cell
+    * state is engine-internal, SURVEY §8 — the q_sim_ivf rationale).
+    */
+  def semanticContaminationIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      minCosine: Double = 0.95,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe in [1,$nlist], got $nprobe")
+    val index = SimilaritySearch.buildIvfIndex(corpus, idCol, vecCol,
+      nlist = nlist, seed = seed)
+    // Route each eval vector to its nprobe nearest centroids with the
+    // centroid table as a literal column (nlist is metadata-sized):
+    // build (dist², cell) structs, array_sort, keep the head — the
+    // same shuffle-free routing the IVF probes use.
+    val centroids = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+        array(c.map(lit).toIndexedSeq: _*).as("cv"))
+    }
+    val ev = eval.select(
+      col(evalIdCol).as("__eid"),
+      graft.functions.VectorOps.asDouble(col(evalVecCol)).as("__ev"))
+    val routed = ev
+      .withColumn("__cands", array(centroids.toIndexedSeq: _*))
+      .withColumn("__ranked", array_sort(transform(col("__cands"), c =>
+        struct(
+          aggregate(zip_with(col("__ev"), c("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("d2"),
+          c("cell").as("cell")))))
+      .select(col("__eid"), col("__ev"),
+        explode(slice(col("__ranked"), 1, nprobe)).as("__p"))
+      .select(col("__eid"), col("__ev"), col("__p.cell").as("cell"))
+    // Candidate scoring: corpus rows meet ONLY the eval vectors that
+    // probed their cell; the eval side is tiny — broadcast the routed
+    // fan-out so the big assigned table never shuffles.
+    val scored = index.assigned
+      .join(broadcast(routed), Seq("cell"))
+      .select(col(idCol), col("__eid"),
+        round(graft.functions.VectorOps.cosine(col("v"), col("__ev")), 6)
+          .as("__cos"))
+    val best = scored
+      .groupBy(idCol)
+      .agg(max(struct(col("__cos"), (-col("__eid")).as("__neg"))).as("__b"))
+      .select(col(idCol),
+        (-col("__b.__neg")).as("nearest_eval_id"),
+        col("__b.__cos").as("cos_sim"))
+    corpus.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("is_contaminated",
+        coalesce(col("cos_sim") >= minCosine, lit(false)))
+  }
 }

@@ -402,6 +402,61 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().foreach(r => assert(math.abs(r.getDouble(3)) < 1e-9, r.toString))
   }
 
+  test("sourceJsDivergence: zero for the lone source, hand value for disjoint halves, " +
+    "bounded in [0,1]") {
+    // Single source: p == q tokenwise -> every term 0 and qmass 1 -> js 0.
+    val lone = Seq((1L, "a", "x y x")).toDF("doc_id", "source", "text")
+    val z = CorpusStats.sourceJsDivergence(lone, "text", "source").collect().head
+    assert(z.getDouble(3) == 0.0, s"lone source must be 0, got $z")
+
+    // Two disjoint equal-mass sources: for every token of source s,
+    // p = 2q and m = 0.75p, qmass = 1/2 ->
+    // js = .5*log2(4/3) + .5*(.5*log2(2/3) + .5) = 0.311278...
+    val disjoint = Seq(
+      (1L, "a", "x y"),
+      (2L, "b", "u v")).toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceJsDivergence(disjoint, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val want = BigDecimal(
+      0.5 * (math.log(4.0 / 3.0) / math.log(2.0))
+        + 0.5 * (0.5 * (math.log(2.0 / 3.0) / math.log(2.0)) + 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == want && got("b") == want, s"got $got want $want")
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0), "JSD is in [0,1] bits")
+  }
+
+  test("markedTokens: symmetric markedness, hand value, deterministic top-k") {
+    // Two mirrored sources over a 2-token vocabulary: x marks a exactly
+    // as y marks b, so the top-1 z values must be EQUAL across sources.
+    val docs = Seq(
+      (1L, "a", "x x x y"),
+      (2L, "b", "y y y x")).toDF("doc_id", "source", "text")
+    val got = CorpusStats.markedTokens(docs, "text", "source",
+      topK = 10, alpha0 = 100.0)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val byKey = got.map(r => (r._1, r._2) -> r).toMap
+    // corpus: x 4, y 4, total 8; aw = 100*4/8 = 50 for both tokens.
+    // For (a, x): y_s=3, n_s=4, yr=1, nr=4 ->
+    // delta = ln(53/51) - ln(51/53) = 2 ln(53/51); z = delta/sqrt(1/53+1/51)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val delta = 2.0 * math.log(53.0 / 51.0)
+    val wantZ = r6(delta / math.sqrt(1.0 / 53.0 + 1.0 / 51.0))
+    val ax = byKey(("a", 1))
+    assert(ax._3 == "x" && ax._4 == 3L && ax._5 == 1L, s"top-a $ax")
+    assert(ax._6 == r6(delta) && ax._7 == wantZ, s"hand z: $ax vs $wantZ")
+    val by = byKey(("b", 1))
+    assert(by._3 == "y" && by._7 == wantZ, "mirrored source must score equally")
+    // each source emits its full 2-token vocab (topK 10 > vocab), the
+    // under-represented token carrying the negative twin z
+    assert(got.count(_._1 == "a") == 2 && byKey(("a", 2))._7 == -wantZ)
+    intercept[IllegalArgumentException] {
+      CorpusStats.markedTokens(docs, "text", "source", topK = 0)
+    }
+  }
+
   test("gramNovelty: hand fractions, gramless zero, broadcast==shuffle paths") {
     import graft.operators.CorpusStats
     val standing = Seq((100L, "a b c d e")).toDF("doc_id", "text")

@@ -331,11 +331,23 @@ class DedupSpec extends SparkSpec {
     assert(keptMin == Set(1L, 9L))
   }
 
-  test("portable minhash: signatures match the JVM md5 reference; short docs emit none") {
+  test("portable minhash: signatures match the JVM md5+affine reference; short docs emit none") {
     def h52(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    // The r15 one-md5-per-gram family: base point x = h52(gram), perm i
+    // applies (A_i·x + B_i) mod 2^52 via 26-bit limbs (the overflow-free
+    // form both engines replay — see minHashSignaturesPortable).
+    def mix(h0: Long, p: Int): Long = {
+      val mask52 = 4503599627370495L
+      val mask26 = 67108863L
+      val a = ((2L * p + 1L) * 25214903917L) & 137438953471L
+      val lo = h0 & mask26
+      val hi = h0 >>> 26
+      (((lo * a) & mask52) + ((hi * a) & mask26) * 67108864L
+        + p.toLong * 2654435769L) & mask52
     }
     val text = "a b c d"
     val grams = Seq("a b c", "b c d")
@@ -343,8 +355,10 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.minHashSignaturesPortable(df, "doc_id", "text", n = 3, perms = 4)
       .orderBy("id", "perm").as[(Long, Int, Long)].collect()
     assert(got.forall(_._1 == 1L), "2-token doc has no 3-grams -> no rows")
-    val want = (0 until 4).map(p => grams.map(g => h52(s"$g#$p")).min)
+    val want = (0 until 4).map(p => grams.map(g => mix(h52(g), p)).min)
     assert(got.map(_._3).toSeq == want)
+    got.foreach { case (_, _, sig) =>
+      assert(sig >= 0L && sig < (1L << 52), s"52-bit sig out of range: $sig") }
   }
 
   test("portable minhash pairs: exact dups always pair at est 1.0; disjoint never candidates") {
@@ -361,6 +375,29 @@ class DedupSpec extends SparkSpec {
     // s-curve's coin — assert consistency, not presence: any emitted
     // pair has est >= 0.5 by contract.
     assert(got.forall(_.getDouble(3) >= 0.5))
+  }
+
+  test("minHashContainment: quote-inside-document skews the two sides apart") {
+    // B is A minus its last word: 27 of A's 28 grams -> exact j ~ 0.964,
+    // so banding always surfaces the pair; est intersection ~ |B|, so
+    // containment_b ~ 1 while containment_a stays below it.
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 29).map(i => s"w$i").mkString(" ")
+    val got = Dedup.minHashContainment(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, perms = 16, bands = 4, minEstJaccard = 0.2)
+      .collect()
+    assert(got.length == 1, s"expected the (1,2) pair, got ${got.length}")
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 28L && r.getLong(3) == 27L) // exact gram counts
+    val (estJ, ca, cb) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(estJ >= 0.5, s"high-overlap est_jaccard too low: $estJ")
+    assert(cb >= ca, "the contained side must score at least the container")
+    assert(cb >= 0.85 && cb <= 1.1, s"containment_b should be ~1, got $cb")
+    // identity check: both sides derive from the same est intersection
+    val estInt = estJ * (28 + 27) / (1.0 + estJ)
+    assert(math.abs(ca - estInt / 28) < 1e-6 && math.abs(cb - estInt / 27) < 1e-6)
   }
 
   test("portable minhash: estimate tracks exact jaccard on a high-overlap pair") {

@@ -330,6 +330,41 @@ class EventAnalyticsSpec extends SparkSpec {
     }, s"non-increasing: ${s.mkString(",")}")
   }
 
+  test("cumulativeHazard: hand Nelson-Aalen on the KM fixture; FH survival = exp(-H)") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // Same fixture as the survivalCurve test: risk sets 5,4,3,1 with
+    // churn counts 0,1,2,0 at t = 0,1,3,15.
+    val df = Seq(
+      ("u1", d(1)), ("u1", d(2)),
+      ("u2", d(1)), ("u2", d(4)),
+      ("u3", d(1)), ("u3", d(4)),
+      ("u4", d(5)), ("u4", d(20)),
+      ("u5", d(20))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.cumulativeHazard(df, "user_id", "ts", churnGapDays = 7)
+      .orderBy("t")
+      .select("t", "n_risk", "n_churn", "hazard", "survival_fh")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // H: 0, then 1/4, then 1/4 + round12(2/3) = 0.916666666667 -> 6dp.
+    val h1 = 0.25
+    val h3 = 0.916667
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      Seq((0, 5L, 0L), (1, 4L, 1L), (3, 3L, 2L), (15, 1L, 0L)))
+    assert(got(0)._4 == 0.0 && got(0)._5 == 1.0)
+    assert(got(1)._4 == h1, s"H(1) = ${got(1)._4}")
+    assert(got(2)._4 == h3 && got(3)._4 == h3, s"H(3) = ${got(2)._4}")
+    got.foreach { x => assert(x._5 == r6(math.exp(-x._4)), s"FH at t=${x._1}") }
+    // hazard non-decreasing, FH survival within (0, 1] and >= KM
+    assert(got.map(_._4).sliding(2).forall {
+      case Seq(a, b) => b >= a; case _ => true })
+    val km = EventAnalytics.survivalCurve(df, "user_id", "ts", churnGapDays = 7)
+      .orderBy("t").select("survival").as[Double].collect()
+    got.map(_._5).zip(km).foreach { case (fh, k) =>
+      assert(fh >= k - 1e-9, s"FH ($fh) must dominate KM ($k)") }
+  }
+
   test("giniConcentration: 0 for equal values, (n-1)/n when one row owns all") {
     val equal = (1 to 10).map(_ => ("e", 5.0)).toDF("grp", "v")
     val g0 = EventAnalytics.giniConcentration(equal, "grp", "v")

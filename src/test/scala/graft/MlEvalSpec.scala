@@ -162,6 +162,34 @@ class MlEvalSpec extends SparkSpec {
     assert(u.getDouble(1) == 0.6 && u.getDouble(4) == 0.8)
   }
 
+  test("brierDecomposition: hand values; Murphy identity exact for constant-score bins") {
+    // Scores constant within each bin -> no within-bin variance -> the
+    // identity brier = REL - RES + UNC holds EXACTLY.
+    // bin 2: 5 rows at 0.2 with 1 positive; bin 8: 5 rows at 0.8 with 4.
+    val rows = Seq.fill(4)(("g", false, 0.2)) ++ Seq(("g", true, 0.2)) ++
+      Seq.fill(4)(("g", true, 0.8)) ++ Seq(("g", false, 0.8))
+    val got = MlEval.brierDecomposition(
+      scored(rows: _*), "g", col("y"), col("s")).collect().head
+    assert(got.getLong(1) == 10L && got.getLong(2) == 5L)
+    val (brier, rel, res, unc) =
+      (got.getDouble(3), got.getDouble(4), got.getDouble(5), got.getDouble(6))
+    // brier = [4*.04 + .64 + 4*.04 + .64]/10 = 0.16
+    assert(brier == 0.16, s"brier $brier")
+    // mean_score == rate in both bins -> perfectly calibrated
+    assert(rel == 0.0, s"reliability $rel")
+    // 5*(0.2-0.5)^2 + 5*(0.8-0.5)^2 = 0.9 -> /10 = 0.09
+    assert(res == 0.09, s"resolution $res")
+    assert(unc == 0.25, s"uncertainty $unc")
+    assert(math.abs(brier - (rel - res + unc)) < 1e-12, "Murphy identity")
+    // null scores drop, like calibrationBins/scoreCounts
+    val withNull = Seq(
+      ("g", true, Some(0.8)), ("g", false, Some(0.2)), ("g", true, None))
+      .toDF("g", "y", "s")
+    val n = MlEval.brierDecomposition(withNull, "g", col("y"), col("s"))
+      .collect().head.getLong(1)
+    assert(n == 2L, "null score must not count")
+  }
+
   test("rocAuc/rocCurve: null scores drop, output bounded by distinct scores") {
     val df = Seq(
       ("g", true, Some(0.8)), ("g", false, Some(0.8)),

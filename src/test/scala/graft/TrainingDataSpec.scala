@@ -790,6 +790,51 @@ class TrainingDataSpec extends SparkSpec {
       s"eval side must broadcast:\n$physical")
   }
 
+  test("semanticContaminationIvf: nprobe=nlist equals brute; partial probe keeps " +
+    "precision 1 and catches planted copies") {
+    // Four well-separated directions; corpus rows cluster around them.
+    val dirs = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f),
+      Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val corpus = (0L until 80L).map { i =>
+      val d = dirs((i % 4).toInt)
+      val eps = 0.01f * (i % 7)
+      (i, Array(d(0) + eps, d(1) + eps, d(2), d(3)))
+    }.toDF("vec_id", "embedding")
+    // Eval suite: two of the four directions — planted contamination
+    // for half the corpus.
+    val eval = Seq((100L, dirs(0)), (101L, dirs(1))).toDF("vec_id", "embedding")
+    val brute = TrainingData.semanticContamination(
+        corpus, "vec_id", "embedding", eval, "vec_id", "embedding", minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // Full probe == brute on every column (the nprobe=nlist identity).
+    val full = TrainingData.semanticContaminationIvf(
+        corpus, "vec_id", "embedding", eval, "vec_id", "embedding",
+        minCosine = 0.95, nlist = 4, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(full == brute, "nprobe = nlist must reproduce the brute verdicts")
+    // Partial probe: every raised flag is a brute flag (precision 1),
+    // and the planted same-direction copies are all caught (the
+    // nearest cell of a near-copy IS its direction's cell).
+    val part = TrainingData.semanticContaminationIvf(
+        corpus, "vec_id", "embedding", eval, "vec_id", "embedding",
+        minCosine = 0.95, nlist = 4, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    part.foreach { case (id, f) =>
+      if (f) assert(brute(id), s"IVF flagged $id that brute did not") }
+    val planted = brute.filter(_._2).keySet
+    val caught = part.filter(_._2).keySet
+    assert(caught.size >= (planted.size * 9) / 10,
+      s"planted recall too low: ${caught.size}/${planted.size}")
+    intercept[IllegalArgumentException] {
+      TrainingData.semanticContaminationIvf(
+        corpus, "vec_id", "embedding", eval, "vec_id", "embedding",
+        nlist = 4, nprobe = 5)
+    }
+  }
+
   test("epochShuffle: deterministic, epoch-distinct permutations, balanced shards") {
     val ids = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
     def plan(epoch: Int) = TrainingData
