@@ -1745,6 +1745,24 @@ object SparkEntry {
           t(s, d, "events").select("user_id", "event_type"),
           "user_id", col("event_type") === "purchase")),
 
+    // CUPED variance-reduced A/B (r15, Deng et al. 2013): per-user
+    // value sums split pre/post at mid-month, theta from exact decimal
+    // moments, per-user adjustment re-gridded at 6dp, Welch z on the
+    // adjusted means plus the variance-reduction diagnostic.
+    "q_ab_cuped" -> ((s, d) =>
+      EventAnalytics.cupedTest(
+          t(s, d, "events").select("user_id", "ts", "value"),
+          "user_id", "value", dayofmonth(col("ts")) <= 15)),
+
+    // Mann-Whitney U A/B (r15): distribution-free rank test on the
+    // per-user value sum between the md5 arms — doubled-midrank integer
+    // rank sums (the q_roc_auc discipline), tie-corrected z, and the
+    // rank-biserial effect size.
+    "q_ab_mannwhitney" -> ((s, d) =>
+      EventAnalytics.mannWhitneyTest(
+          t(s, d, "events").select("user_id", "value"),
+          "user_id", "value")),
+
     // Funnel step latency (r13): exact lower-median and p90 seconds per
     // adjacent step transition — order statistics at integer ranks, no
     // interpolation semantics to reconcile.
@@ -6826,6 +6844,155 @@ object SparkEntry {
         |                     THEN abs((pa - pb) / se) > 1.96 END,
         |                false) AS significant
         |FROM zc""".stripMargin,
+
+    // CUPED replay: the md5 coin, per-user pre/post grid sums, theta
+    // from the n·Σxy − Σx·Σy decimal moments, 6dp-regridded adjustment,
+    // per-arm decimal moments, Welch z — the engine's exact operation
+    // order throughout.
+    "q_ab_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    round(coalesce(CAST(sum(CASE WHEN day(ts) <= 15
+        |        THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE),
+        |      0.0), 6) AS x,
+        |    round(coalesce(CAST(sum(CASE WHEN NOT (day(ts) <= 15)
+        |        THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE),
+        |      0.0), 6) AS y
+        |  FROM events GROUP BY 1
+        |), ua AS (
+        |  SELECT *,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), mom AS (
+        |  -- DECIMAL(19,6) on the product operands: DuckDB keeps a
+        |  -- multiply in INT64 while both widths are <= 18, and per-user
+        |  -- value sums overflow that lane; width 19 forces INT128
+        |  -- (DECIMAL(38,12)) — same exact values as Spark's (37,12).
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM ua
+        |), th AS (
+        |  SELECT n, sx,
+        |         CAST(n AS DOUBLE) * syy - sy * sy AS varyn,
+        |         CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |              THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |                         / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+        |              ELSE 0.0 END AS theta
+        |  FROM mom
+        |), adj AS (
+        |  SELECT ua.arm,
+        |         round(ua.y - th.theta * (ua.x - th.sx / CAST(th.n AS DOUBLE)), 6) AS adj,
+        |         th.theta, th.varyn, th.n AS n_all
+        |  FROM ua CROSS JOIN th
+        |), byarm AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+        |         CAST(sum(CAST(adj AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+        |         CAST(sum(CAST(adj AS DECIMAL(19,6)) * CAST(adj AS DECIMAL(19,6))) AS DOUBLE) AS saa,
+        |         max(theta) AS theta, max(varyn) AS varyn, max(n_all) AS n_all
+        |  FROM adj GROUP BY arm
+        |), piv AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n_arm END) AS n_a,
+        |         max(CASE WHEN arm = 1 THEN n_arm END) AS n_b,
+        |         max(CASE WHEN arm = 0 THEN sa END) AS sa_a,
+        |         max(CASE WHEN arm = 1 THEN sa END) AS sa_b,
+        |         max(CASE WHEN arm = 0 THEN saa END) AS saa_a,
+        |         max(CASE WHEN arm = 1 THEN saa END) AS saa_b,
+        |         max(theta) AS theta, max(varyn) AS varyn, max(n_all) AS n_all
+        |  FROM byarm
+        |), f AS (
+        |  SELECT *,
+        |         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |         CAST(n_all AS DOUBLE) AS nall
+        |  FROM piv
+        |), g AS (
+        |  SELECT *,
+        |         sa_a / na AS ma, sa_b / nb AS mb,
+        |         sqrt((na * saa_a - sa_a * sa_a) / (na * (na - 1.0)) / na
+        |              + (nb * saa_b - sa_b * sa_b) / (nb * (nb - 1.0)) / nb) AS se
+        |  FROM f
+        |)
+        |SELECT n_a, n_b,
+        |       round(ma, 6) + 0.0e0 AS mean_adj_a,
+        |       round(mb, 6) + 0.0e0 AS mean_adj_b,
+        |       theta + 0.0e0 AS theta,
+        |       CASE WHEN varyn > 0 THEN
+        |         round(1.0 - (nall * (saa_a + saa_b)
+        |                      - (sa_a + sa_b) * (sa_a + sa_b))
+        |                     / (nall * (nall - 1.0)) / (varyn / (nall * (nall - 1.0))),
+        |               6) + 0.0e0 END AS var_reduction,
+        |       CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+        |            THEN round((ma - mb) / se, 6) + 0.0e0 END AS z,
+        |       coalesce(CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+        |                     THEN abs((ma - mb) / se) > 1.96 END,
+        |                false) AS significant
+        |FROM g""".stripMargin,
+
+    // Mann-Whitney replay: per-user grid sums, md5 coin, distinct-value
+    // arm counts, doubled midranks 2r + c - 1 as integer folds, the
+    // tie-corrected sigma and one double assembly — the engine's exact
+    // operation order.
+    "q_ab_mannwhitney" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    round(coalesce(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                        AS DOUBLE), 0.0), 6) AS m
+        |  FROM events GROUP BY 1
+        |), ua AS (
+        |  SELECT m,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), byval AS (
+        |  SELECT m,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM ua GROUP BY m
+        |), rk AS (
+        |  SELECT *, ca + cb AS c,
+        |         CAST(coalesce(sum(ca + cb) OVER (ORDER BY m
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) + 1 AS r
+        |  FROM byval
+        |), agg AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |         CAST(sum(cb) AS BIGINT) AS n_b,
+        |         CAST(sum(ca * (2 * r + c - 1)) AS BIGINT) AS r2_a,
+        |         CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+        |  FROM rk
+        |), f AS (
+        |  SELECT *,
+        |         r2_a - n_a * (n_a + 1) AS u2,
+        |         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |         CAST(n_a + n_b AS DOUBLE) AS nd
+        |  FROM agg
+        |), g AS (
+        |  SELECT *,
+        |         na * nb / 12.0 * ((nd + 1.0)
+        |           - CAST(tie_sum AS DOUBLE) / (nd * (nd - 1.0))) AS sigma2
+        |  FROM f
+        |)
+        |SELECT n_a, n_b,
+        |       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+        |       CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0
+        |            THEN round((CAST(u2 AS DOUBLE) - na * nb)
+        |                       / (2.0 * sqrt(sigma2)), 6) + 0.0e0 END AS z,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |            THEN round(CAST(u2 AS DOUBLE) / (na * nb) - 1.0, 6) + 0.0e0
+        |       END AS effect,
+        |       coalesce(CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0
+        |                     THEN abs((CAST(u2 AS DOUBLE) - na * nb)
+        |                              / (2.0 * sqrt(sigma2))) > 1.96 END,
+        |                false) AS significant
+        |FROM g""".stripMargin,
 
     // Latency replay: the q_funnel chain, floored-epoch deltas per
     // transition, rank windows, conditional max at the integer ranks.

@@ -595,6 +595,183 @@ object EventAnalytics {
         abs((pA - pB) / se) > 1.96), lit(false)).as("significant"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013): the experiment z-test on a CONTINUOUS metric with the
+    * pre-period covariate regressed out — adj_u = y_u − θ(x_u − x̄),
+    * θ = cov(x, y)/var(x) pooled over users. Same treatment effect
+    * (E[adj_B − adj_A] = E[y_B − y_A]; assignment is independent of
+    * pre-period behavior), but var(adj) = var(y)(1 − ρ²) — the
+    * industry-standard sensitivity win, often 30-50% variance off a
+    * sticky per-user metric, surfaced here as `var_reduction`.
+    *
+    * Deterministic and oracle-replayable end to end: the md5 coin arm
+    * (the [[abTest]] assignment), per-user pre/post metric sums staged
+    * through decimal(18,6) on the 6dp grid, θ from the n·Σxy − Σx·Σy
+    * moment form (6dp grid products are EXACT at decimal scale 12),
+    * adj re-gridded at 6dp per user, per-arm means/variances from
+    * decimal moments over that grid, Welch z assembled in fixed IEEE
+    * order. Scale shape: one user-grain aggregation (the full-fact
+    * pass), then two metadata-sized scalar aggregates riding the plan
+    * as broadcast one-row frames — no driver collect, no window over
+    * the user table.
+    */
+  def cupedTest(
+      events: DataFrame,
+      userCol: String,
+      valueCol: String,
+      prePred: Column,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val dec6 = "decimal(18,6)"
+    val dec12 = "decimal(38,12)"
+    // Per-user pre (covariate x) and post (metric y) sums on the 6dp grid.
+    val users = events
+      .groupBy(col(userCol))
+      .agg(
+        round(coalesce(sum(when(prePred,
+          round(col(valueCol), 6).cast(dec6))).cast("double"), lit(0.0)), 6).as("x"),
+        round(coalesce(sum(when(!prePred,
+          round(col(valueCol), 6).cast(dec6))).cast("double"), lit(0.0)), 6).as("y"))
+      .withColumn("arm", arm)
+    // Pooled moments for theta and the raw-metric variance: grid values,
+    // exact decimal folds, one double cast each.
+    val mom = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec6)).cast("double").as("sx"),
+      sum(col("y").cast(dec6)).cast("double").as("sy"),
+      sum(col("x").cast(dec6) * col("y").cast(dec6)).cast("double").as("sxy"),
+      sum(col("x").cast(dec6) * col("x").cast(dec6)).cast("double").as("sxx"),
+      sum(col("y").cast(dec6) * col("y").cast(dec6)).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val withTheta = mom.select(col("n"), col("sx"), col("sy"),
+      (nD * col("sxy") - col("sx") * col("sy")).as("covn"),
+      (nD * col("sxx") - col("sx") * col("sx")).as("varxn"),
+      (nD * col("syy") - col("sy") * col("sy")).as("varyn"))
+      .select(col("n"), col("sx"), col("varyn"),
+        when(col("varxn") > 0, round(col("covn") / col("varxn"), 6))
+          .otherwise(lit(0.0)).as("theta"))
+    // adj_u on the 6dp grid; theta and mean_x ride the plan broadcast.
+    val adj = users.crossJoin(broadcast(withTheta))
+      .withColumn("__mx", col("sx") / col("n").cast("double"))
+      .withColumn("adj",
+        round(col("y") - col("theta") * (col("x") - col("__mx")), 6))
+    val byArm = adj.groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_arm"),
+        sum(col("adj").cast(dec6)).cast("double").as("sa"),
+        sum(col("adj").cast(dec6) * col("adj").cast(dec6)).cast("double").as("saa"),
+        max(col("theta")).as("theta"),
+        max(col("varyn")).as("varyn"),
+        max(col("n")).as("n_all"))
+    // One output row: arm moments pivoted, Welch z, variance reduction.
+    val p = byArm.agg(
+      max(when(col("arm") === 0, col("n_arm"))).as("n_a"),
+      max(when(col("arm") === 1, col("n_arm"))).as("n_b"),
+      max(when(col("arm") === 0, col("sa"))).as("sa_a"),
+      max(when(col("arm") === 1, col("sa"))).as("sa_b"),
+      max(when(col("arm") === 0, col("saa"))).as("saa_a"),
+      max(when(col("arm") === 1, col("saa"))).as("saa_b"),
+      max(col("theta")).as("theta"),
+      max(col("varyn")).as("varyn"),
+      max(col("n_all")).as("n_all"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sa_a") / na; val mb = col("sa_b") / nb
+    // Sample variances of adj per arm (n-1 denominator).
+    val va = (na * col("saa_a") - col("sa_a") * col("sa_a")) / (na * (na - lit(1.0)))
+    val vb = (nb * col("saa_b") - col("sa_b") * col("sa_b")) / (nb * (nb - lit(1.0)))
+    val se = sqrt(va / na + vb / nb)
+    val nAll = col("n_all").cast("double")
+    val varY = col("varyn") / (nAll * (nAll - lit(1.0)))
+    // Combined-sample variance of adj (same normalization as varY, so
+    // the ratio reads as the fraction of metric variance CUPED removed).
+    val varAdjPooled =
+      ((nAll * (col("saa_a") + col("saa_b"))
+        - (col("sa_a") + col("sa_b")) * (col("sa_a") + col("sa_b")))
+        / (nAll * (nAll - lit(1.0))))
+    p.select(
+      col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_adj_a"),
+      round(mb, 6).as("mean_adj_b"),
+      col("theta"),
+      when(col("varyn") > 0,
+        round(lit(1.0) - varAdjPooled / varY, 6)).as("var_reduction"),
+      when(col("n_a") > 1 && col("n_b") > 1 && se > 0,
+        round((ma - mb) / se, 6)).as("z"),
+      coalesce(when(col("n_a") > 1 && col("n_b") > 1 && se > 0,
+        abs((ma - mb) / se) > 1.96), lit(false)).as("significant"))
+  }
+
+  /** Mann-Whitney U test over the per-user metric between the two md5
+    * arms (Mann & Whitney 1947) — the DISTRIBUTION-FREE A/B readout:
+    * [[abTest]] needs a binary outcome and [[cupedTest]]'s Welch z
+    * trusts means a heavy-tailed revenue metric wrecks; the rank test
+    * asks only "does arm B stochastically dominate arm A". Emits U,
+    * the tie-corrected normal z, and the rank-biserial effect size
+    * r = 2U/(n_a·n_b) − 1 (= P(b > a) − P(a > b), the probability the
+    * experiment moved a random user pair).
+    *
+    * Exact and portable by the [[MlEval.rocAuc]] integer discipline:
+    * midranks via the count identity over the DISTINCT metric values
+    * (doubled to absorb tie half-credits, so every rank sum is a
+    * BIGINT), tie correction Σ(t³−t) an integer fold, ONE double
+    * assembly at the end. Scale shape: one user-grain aggregation,
+    * then rank windows over the distinct-6dp-grid-value table (bounded
+    * by distinct metric values, not users). Tie cubes stay in the long
+    * lane for tie groups below ~2M users — the [[Anomaly.mannKendall]]
+    * bounded-input posture.
+    */
+  def mannWhitneyTest(
+      events: DataFrame,
+      userCol: String,
+      valueCol: String,
+      salt: String = "ab"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val users = events
+      .groupBy(col(userCol))
+      .agg(round(coalesce(sum(round(col(valueCol), 6).cast("decimal(18,6)"))
+        .cast("double"), lit(0.0)), 6).as("m"))
+      .withColumn("arm", arm)
+    // Distinct-value counts per arm: the whole test runs off this table.
+    val byVal = users.groupBy(col("m"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val wOrd = Window.orderBy("m")
+    val ranked = byVal
+      // r = 1-based start position of this value block; doubled midrank
+      // 2r + c - 1 keeps tie half-credits integral.
+      .withColumn("__r",
+        coalesce(sum(col("c")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + lit(1L))
+      .withColumn("__mid2", lit(2L) * col("__r") + col("c") - lit(1L))
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"),
+      sum(col("ca") * col("__mid2")).as("r2_a"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie_sum"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = col("n_a") + col("n_b")
+    val nD = n.cast("double")
+    // 2U_a = doubled rank sum minus n_a(n_a+1); u2 stays integral.
+    val u2 = col("r2_a") - col("n_a") * (col("n_a") + lit(1L))
+    val sigma2 = na * nb / lit(12.0) * ((nD + lit(1.0))
+      - col("tie_sum").cast("double") / (nD * (nD - lit(1.0))))
+    val zExpr = (u2.cast("double") - na * nb) / (lit(2.0) * sqrt(sigma2))
+    agg.select(
+      col("n_a"), col("n_b"),
+      (u2.cast("double") / lit(2.0)).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0,
+        round(zExpr, 6)).as("z"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(u2.cast("double") / (na * nb) - lit(1.0), 6)).as("effect"),
+      coalesce(when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0,
+        abs(zExpr) > 1.96), lit(false)).as("significant"))
+  }
+
   /** Daily success rate with a Wilson 95% score interval — the
     * uncertainty-honest way to chart a conversion/failure rate: the
     * interval stays inside [0,1] and behaves at small n where the

@@ -330,6 +330,69 @@ class EventAnalyticsSpec extends SparkSpec {
     }, s"non-increasing: ${s.mkString(",")}")
   }
 
+  test("mannWhitneyTest: perfect separation hits effect ±1; all-tied degenerates to null z") {
+    // Replicate the engine's md5 coin so the fixture can place each
+    // user's metric BY ARM.
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    val ids = (1L to 60L).toSeq
+    // Arm 0 users get value 1..k (low), arm 1 users 1000+ (high):
+    // every B beats every A -> U_a = 0 is the A-side count of wins?
+    // U_a counts A-over-B wins: A all low -> U_a = 0, effect = -1.
+    val sep = ids.map(i =>
+      (i, if (armOf(i) == 0L) i.toDouble else 1000.0 + i)).toDF("user_id", "value")
+    val s = EventAnalytics.mannWhitneyTest(sep, "user_id", "value").collect().head
+    val (na, nb) = (s.getLong(0), s.getLong(1))
+    assert(na > 0 && nb > 0 && na + nb == 60L)
+    assert(s.getDouble(2) == 0.0, s"U_a must be 0 at full separation, got $s")
+    assert(s.getDouble(4) == -1.0, s"effect must be -1, got $s")
+    assert(s.getBoolean(5), "full separation at n=60 must be significant")
+    // Symmetric flip: A high -> U_a = na*nb, effect +1, z sign flips.
+    val flip = ids.map(i =>
+      (i, if (armOf(i) == 1L) i.toDouble else 1000.0 + i)).toDF("user_id", "value")
+    val f = EventAnalytics.mannWhitneyTest(flip, "user_id", "value").collect().head
+    assert(f.getDouble(2) == (na * nb).toDouble && f.getDouble(4) == 1.0)
+    assert(f.getDouble(3) == -s.getDouble(3), "z must be antisymmetric")
+    // All-tied metric: sigma2 = 0 -> z null, not significant, effect 0.
+    val tied = ids.map(i => (i, 5.0)).toDF("user_id", "value")
+    val t0 = EventAnalytics.mannWhitneyTest(tied, "user_id", "value").collect().head
+    assert(t0.isNullAt(3) && !t0.getBoolean(5))
+    assert(t0.getDouble(4) == 0.0, s"tied effect must be 0, got $t0")
+  }
+
+  test("cupedTest: exact theta on a linear metric, full variance kill, arm-agnostic") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // One pre event (day 5, value i) and one post event (day 20, value
+    // 2i + 3) per user: cov/var = 2 EXACTLY, adj = y - 2(x - mean_x) is
+    // CONSTANT (= 3 + 2*mean_x), so CUPED removes all metric variance
+    // regardless of how the md5 coin splits the users.
+    val rows = (1 to 40).flatMap { i =>
+      Seq((i.toLong, d(5), i.toDouble), (i.toLong, d(20), 2.0 * i + 3.0))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = EventAnalytics.cupedTest(
+      df, "user_id", "value", dayofmonth(col("ts")) <= 15).collect().head
+    assert(got.getLong(0) + got.getLong(1) == 40L, "all users assigned")
+    assert(got.getDouble(4) == 2.0, s"theta ${got.getDouble(4)}")
+    assert(got.getDouble(5) == 1.0, s"var_reduction ${got.getDouble(5)}")
+    // adj is constant -> se = 0 -> z undefined, not significant
+    assert(got.isNullAt(6) && !got.getBoolean(7))
+    // adjusted means equal the constant 3 + 2 * 20.5 = 44 on both arms
+    assert(got.getDouble(2) == 44.0 && got.getDouble(3) == 44.0)
+    // uncorrelated covariate: theta ~ 0, variance reduction ~ 0, and the
+    // z verdict matches a plain Welch test on y (CUPED must not bias)
+    val flat = (1 to 40).flatMap { i =>
+      Seq((i.toLong, d(5), 1.0), (i.toLong, d(20), (i % 7).toDouble))
+    }.toDF("user_id", "ts", "value")
+    val f = EventAnalytics.cupedTest(
+      flat, "user_id", "value", dayofmonth(col("ts")) <= 15).collect().head
+    assert(f.getDouble(4) == 0.0, s"constant covariate -> theta 0, got $f")
+    assert(math.abs(f.getDouble(5)) < 1e-9, "no covariate signal, no reduction")
+  }
+
   test("cumulativeHazard: hand Nelson-Aalen on the KM fixture; FH survival = exp(-H)") {
     def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
     // Same fixture as the survivalCurve test: risk sets 5,4,3,1 with
