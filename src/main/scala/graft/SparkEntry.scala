@@ -1763,6 +1763,15 @@ object SparkEntry {
           t(s, d, "events").select("user_id", "value"),
           "user_id", "value")),
 
+    // Quantile treatment effects (r15): exact per-arm median/p90 of the
+    // user metric at integer ranks (the funnelLatency convention) plus
+    // the B−A differences — distribution movement the mean readouts
+    // average away.
+    "q_ab_quantiles" -> ((s, d) =>
+      EventAnalytics.quantileTest(
+          t(s, d, "events").select("user_id", "value"),
+          "user_id", "value")),
+
     // Funnel step latency (r13): exact lower-median and p90 seconds per
     // adjacent step transition — order statistics at integer ranks, no
     // interpolation semantics to reconcile.
@@ -2625,6 +2634,25 @@ object SparkEntry {
       graft.operators.CorpusStats.markedTokens(
           t(s, d, "documents"), "text", "source", topK = 10, alpha0 = 100.0)
         .orderBy("source", "rank")),
+
+    // Zipf fit (r15): OLS of ln(freq) on ln(rank) over the top-100
+    // census tokens — slope ≈ −1 for natural text; templated corpora go
+    // flat. Total-ordered top-N, 12dp decimal moment staging.
+    "q_zipf_fit" -> ((s, d) =>
+      graft.operators.CorpusStats.zipfFit(
+          t(s, d, "documents"), "text", topN = 100)),
+
+    // Compression-ratio quality signal (r15, Gopher A1): deflate bytes
+    // over raw bytes via the codegen'd zlib kernel. Rows-only — no SQL
+    // engine replays zlib (§8); ratio laws are spec-pinned (repetitive
+    // text compresses far below prose, high-entropy text does not).
+    "q_text_compress" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          TextFunctions.deflateSize(col("text")).as("n_deflate"),
+          TextFunctions.compressionRatio(col("text")).as("ratio"))
+        .orderBy("doc_id")),
 
     // Embedding-space dispersion per label: centroid norm + mean
     // squared distance to centroid via the variance identity.
@@ -6994,6 +7022,47 @@ object SparkEntry {
         |                false) AS significant
         |FROM g""".stripMargin,
 
+    // Quantile-effects replay: the md5 coin, per-arm rank windows, the
+    // funnelLatency integer-rank order statistics, B−A differences.
+    "q_ab_quantiles" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    round(coalesce(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                        AS DOUBLE), 0.0), 6) + 0.0e0 AS m
+        |  FROM events GROUP BY 1
+        |), ua AS (
+        |  SELECT m,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), rk AS (
+        |  SELECT arm, m,
+        |         row_number() OVER (PARTITION BY arm ORDER BY m) AS rn,
+        |         count(*) OVER (PARTITION BY arm) AS n
+        |  FROM ua
+        |), q AS (
+        |  SELECT arm, CAST(max(n) AS BIGINT) AS n_arm,
+        |         max(CASE WHEN rn = CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0)
+        |                                 AS BIGINT) THEN m END) AS med,
+        |         max(CASE WHEN rn = CAST(floor((9.0 * CAST(n AS DOUBLE) + 9.0)
+        |                                       / 10.0) AS BIGINT) THEN m END) AS p90
+        |  FROM rk GROUP BY arm
+        |), piv AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n_arm END) AS n_a,
+        |         max(CASE WHEN arm = 1 THEN n_arm END) AS n_b,
+        |         max(CASE WHEN arm = 0 THEN med END) AS median_a,
+        |         max(CASE WHEN arm = 1 THEN med END) AS median_b,
+        |         max(CASE WHEN arm = 0 THEN p90 END) AS p90_a,
+        |         max(CASE WHEN arm = 1 THEN p90 END) AS p90_b
+        |  FROM q
+        |)
+        |SELECT n_a, n_b, median_a, median_b, p90_a, p90_b,
+        |       round(median_b - median_a, 6) + 0.0e0 AS median_diff,
+        |       round(p90_b - p90_a, 6) + 0.0e0 AS p90_diff
+        |FROM piv""".stripMargin,
+
     // Latency replay: the q_funnel chain, floored-epoch deltas per
     // transition, rank windows, conditional max at the integer ranks.
     "q_funnel_latency" ->
@@ -8737,6 +8806,44 @@ object SparkEntry {
         |       delta + 0.0e0 AS delta, z + 0.0e0 AS z
         |FROM rk WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin,
+
+    // Zipf replay: the census rank under the total (count desc, token)
+    // order, ln pairs rounded to 12dp into exact decimal folds, the
+    // trend-fit moment assembly.
+    "q_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+        |), census AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+        |), top AS (
+        |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+        |        FROM census)
+        |  WHERE rank <= 100
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM top
+        |), f AS (
+        |  SELECT n,
+        |         CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |         CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |         CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |         sx, sy, CAST(n AS DOUBLE) AS nd
+        |  FROM mom
+        |)
+        |SELECT n AS top_n,
+        |       CASE WHEN den > 0 THEN round(num / den, 6) + 0.0e0 END AS slope,
+        |       CASE WHEN den > 0
+        |            THEN round((sy - (num / den) * sx) / nd, 6) + 0.0e0
+        |       END AS intercept,
+        |       CASE WHEN den > 0 AND deny > 0
+        |            THEN round((num * num) / (den * deny), 6) END AS r2
+        |FROM f""".stripMargin,
 
     // Embedding dispersion: E||x||^2 - ||mu||^2 per label.
     "q_emb_dispersion" ->

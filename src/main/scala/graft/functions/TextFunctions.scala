@@ -402,6 +402,23 @@ object TextFunctions {
     */
   def byteEntropy(c: Column): Column = graft.plans.HashExpressions.byteEntropy(c)
 
+  /** DEFLATE-compressed byte count of the text (zlib level 6) — the
+    * numerator of the compression-ratio quality signal (Rae et al.
+    * 2021, Gopher: highly repetitive documents compress far below
+    * prose; already-compressed/binary junk sits near or above 1.0).
+    * Codegen'd kernel; one 8 KiB scratch per row regardless of size.
+    */
+  def deflateSize(c: Column): Column =
+    graft.plans.HashExpressions.deflateSize(c)
+
+  /** Compression ratio deflate_bytes/raw_bytes, 6dp, null for empty
+    * text. ~0.1 = pathologically repetitive, ~0.4-0.7 = normal prose,
+    * ≥ ~1.0 = high-entropy (the filter reads BOTH tails).
+    */
+  def compressionRatio(c: Column): Column =
+    when(octet_length(c) > 0,
+      round(deflateSize(c).cast("double") / octet_length(c), 6))
+
   /** Quality features: a typical pre-training filter set (length, token
     * stats, punctuation/stopword ratios) plus a composite [0,1] score.
     */

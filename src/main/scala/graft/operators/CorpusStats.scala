@@ -471,6 +471,57 @@ object CorpusStats {
         col("delta"), col("z"))
   }
 
+  /** Zipf's-law fit over the corpus token census (Zipf 1949): OLS of
+    * ln(freq) on ln(rank) for the top-N tokens — slope ≈ −1 for
+    * natural language; a flat slope flags templated/synthetic text and
+    * a cliff flags a tiny effective vocabulary. One row out: the top-N
+    * cut, slope, intercept, r² — the corpus-level health check beside
+    * [[sourceDivergence]]'s per-source views.
+    *
+    * Determinism: top-N by (count desc, token asc) — a TOTAL order, so
+    * the regression inputs are the same set in any engine; ln products
+    * round to 12dp and fold through exact decimal sums (N ≤ 1000 rows,
+    * but order-free anyway); the OLS assembly is the [[Anomaly]]
+    * trendFit moment form. Scale shape: one token census (the
+    * one-shuffle count), a rank window over vocab, then N rows.
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 3, s"topN must be >= 3, got $topN")
+    val census = df.select(
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val dec12 = "decimal(38,12)"
+    val top = census
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val mom = top.agg(
+      count(lit(1)).as("n"),
+      sum(round(col("x"), 12).cast(dec12)).cast("double").as("sx"),
+      sum(round(col("y"), 12).cast(dec12)).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 12).cast(dec12)).cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 12).cast(dec12)).cast("double").as("sxx"),
+      sum(round(col("y") * col("y"), 12).cast(dec12)).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    mom.select(
+      col("n").as("top_n"),
+      when(den > 0, round(num / den, 6)).as("slope"),
+      when(den > 0,
+        round((col("sy") - (num / den) * col("sx")) / nD, 6)).as("intercept"),
+      when(den > 0 && deny > 0,
+        round((num * num) / (den * deny), 6)).as("r2"))
+  }
+
   /** COUNT-THRESHOLD PRUNING for the n-gram LM censuses (the classic
     * count-cutoff of SRILM/Brants-style distributed LMs): drop census
     * rows with `n < minCount`. A pruned n-gram then scores through the

@@ -772,6 +772,55 @@ object EventAnalytics {
         abs(zExpr) > 1.96), lit(false)).as("significant"))
   }
 
+  /** Per-arm quantile treatment effects: exact median and p90 of the
+    * per-user metric in each md5 arm, plus the B−A differences — where
+    * the experiment moved the DISTRIBUTION, which a mean-based readout
+    * ([[cupedTest]]) averages away (a p90 regression with a flat median
+    * is the classic tail-latency/whale-spend story). Exact order
+    * statistics at integer ranks (the [[funnelLatency]] convention:
+    * lower median floor((n+1)/2), p90 floor((9n+9)/10)) — no
+    * interpolation semantics to reconcile between engines. One
+    * user-grain aggregation, then rank windows per arm.
+    */
+  def quantileTest(
+      events: DataFrame,
+      userCol: String,
+      valueCol: String,
+      salt: String = "ab"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val users = events
+      .groupBy(col(userCol))
+      .agg(round(coalesce(sum(round(col(valueCol), 6).cast("decimal(18,6)"))
+        .cast("double"), lit(0.0)), 6).as("m"))
+      .withColumn("arm", arm)
+    val w = Window.partitionBy("arm").orderBy("m")
+    val wn = Window.partitionBy("arm")
+    val q = users
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("med_rn",
+        floor((col("n").cast("double") + 1.0) / 2.0).cast("long"))
+      .withColumn("p90_rn",
+        floor((lit(9.0) * col("n").cast("double") + 9.0) / 10.0).cast("long"))
+      .groupBy(col("arm"))
+      .agg(max(col("n")).as("n_arm"),
+        max(when(col("rn") === col("med_rn"), col("m"))).as("med"),
+        max(when(col("rn") === col("p90_rn"), col("m"))).as("p90"))
+    q.agg(
+      max(when(col("arm") === 0, col("n_arm"))).as("n_a"),
+      max(when(col("arm") === 1, col("n_arm"))).as("n_b"),
+      max(when(col("arm") === 0, col("med"))).as("median_a"),
+      max(when(col("arm") === 1, col("med"))).as("median_b"),
+      max(when(col("arm") === 0, col("p90"))).as("p90_a"),
+      max(when(col("arm") === 1, col("p90"))).as("p90_b"))
+      .select(col("n_a"), col("n_b"),
+        col("median_a"), col("median_b"), col("p90_a"), col("p90_b"),
+        round(col("median_b") - col("median_a"), 6).as("median_diff"),
+        round(col("p90_b") - col("p90_a"), 6).as("p90_diff"))
+  }
+
   /** Daily success rate with a Wilson 95% score interval — the
     * uncertainty-honest way to chart a conversion/failure rate: the
     * interval stays inside [0,1] and behaves at small n where the

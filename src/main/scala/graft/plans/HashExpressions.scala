@@ -515,6 +515,23 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** DEFLATE-compressed byte count (zlib level 6) — the compression-ratio
+  * quality signal's numerator; see [[Kernels.deflateSize]].
+  */
+case class DeflateSizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Kernels.deflateSize(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.deflateSize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Gopher top-gram fraction — codegen'd one-pass replacement for the
   * array_sort + interpreted aggregate-fold formulation (kept as the
   * property-tested HOF twin, TextFunctions.topGramFractionHof).
@@ -721,6 +738,8 @@ object HashExpressions {
     column(TokenSetCountExpr(expression(text), set))
 
   def tokenCount(text: Column): Column = column(TokenCountExpr(expression(text)))
+
+  def deflateSize(text: Column): Column = column(DeflateSizeExpr(expression(text)))
 
   def topGramFrac(text: Column, n: Int): Column = column(TopGramFracExpr(expression(text), n))
 

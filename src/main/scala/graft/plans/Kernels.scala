@@ -1105,4 +1105,25 @@ object Kernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
+
+  /** DEFLATE-compressed byte count of the raw UTF-8 bytes (zlib level
+    * 6, default strategy — the Gopher/Chinchilla "compression ratio"
+    * quality signal's denominator side). Counts only: the compressed
+    * bytes are discarded buffer-by-buffer, so the kernel allocates one
+    * 8 KiB scratch regardless of document size. Deterministic for a
+    * fixed JDK zlib (the contract query stays rows-only — no SQL
+    * engine replays zlib — with the ratio laws spec-pinned instead).
+    */
+  def deflateSize(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }

@@ -43,6 +43,8 @@ object CheckCodegen {
           graft.functions.TextFunctions.Stopwords("en"))).count()),
       "tokenCount" -> (() => docs.select(
         HashExpressions.tokenCount(col("text"))).count()),
+      "deflateSize" -> (() => docs.select(
+        HashExpressions.deflateSize(col("text"))).count()),
       "asciiSetCount" -> (() => docs.select(
         HashExpressions.asciiSetCount(col("text"), ".,;:!?")).count()),
       "tokenStats" -> (() => docs.select(

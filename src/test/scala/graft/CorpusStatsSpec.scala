@@ -425,6 +425,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 0.0 && v <= 1.0), "JSD is in [0,1] bits")
   }
 
+  test("zipfFit: negative slope with high r2 on a Zipf corpus; uniform corpus " +
+    "degenerates to slope 0 with null r2") {
+    // freq(w_r) proportional to 1/r over 10 tokens -> ln-ln is exactly
+    // linear with slope -1 up to integer rounding of the counts.
+    val zipf = (1 to 10).flatMap { r =>
+      Seq.fill(120 / r)(s"w$r")
+    }.mkString(" ")
+    val z = CorpusStats.zipfFit(Seq((1L, zipf)).toDF("doc_id", "text"),
+      "text", topN = 10).collect().head
+    assert(z.getLong(0) == 10L)
+    val slope = z.getDouble(1)
+    assert(slope < -0.9 && slope > -1.1, s"Zipf slope should be ~-1, got $slope")
+    assert(z.getDouble(3) > 0.99, s"ln-ln fit should be tight, got ${z.getDouble(3)}")
+    // Uniform frequencies: y constant -> slope exactly 0, r2 undefined.
+    val flat = (1 to 10).flatMap(r => Seq.fill(7)(s"u$r")).mkString(" ")
+    val f = CorpusStats.zipfFit(Seq((1L, flat)).toDF("doc_id", "text"),
+      "text", topN = 10).collect().head
+    // deny carries a 12dp rounding residue, so r2 is either null (den
+    // exactly 0) or rounds to 0.0 — both engines replay the same path.
+    assert(f.getDouble(1) == 0.0 && (f.isNullAt(3) || f.getDouble(3) == 0.0),
+      s"uniform corpus: $f")
+    intercept[IllegalArgumentException] {
+      CorpusStats.zipfFit(Seq((1L, flat)).toDF("doc_id", "text"), "text", topN = 2)
+    }
+  }
+
   test("markedTokens: symmetric markedness, hand value, deterministic top-k") {
     // Two mirrored sources over a 2-token vocabulary: x marks a exactly
     // as y marks b, so the top-1 z values must be EQUAL across sources.

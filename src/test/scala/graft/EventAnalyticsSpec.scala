@@ -330,6 +330,38 @@ class EventAnalyticsSpec extends SparkSpec {
     }, s"non-increasing: ${s.mkString(",")}")
   }
 
+  test("quantileTest: per-arm exact order statistics and shift detection") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    // Arm 1 users get arm-0 values shifted by exactly +100: every order
+    // statistic must shift by exactly 100 regardless of arm sizes.
+    val ids = (1L to 80L).toSeq
+    def v(i: Long) = (i % 13).toDouble + 1.0
+    val df = ids.map(i =>
+      (i, if (armOf(i) == 0L) v(i) else v(i) + 100.0)).toDF("user_id", "value")
+    val got = EventAnalytics.quantileTest(df, "user_id", "value").collect().head
+    val (na, nb) = (got.getLong(0), got.getLong(1))
+    assert(na + nb == 80L && na > 0 && nb > 0)
+    // same per-arm distribution family: but sizes differ, so compute the
+    // exact expected medians from the fixture
+    def stats(vals: Seq[Double]) = {
+      val s = vals.sorted
+      val n = s.length
+      (s(((n + 1) / 2) - 1), s(((9 * n + 9) / 10) - 1))
+    }
+    val (medA, p90A) = stats(ids.filter(armOf(_) == 0L).map(v))
+    val (medB, p90B) = stats(ids.filter(armOf(_) == 1L).map(i => v(i) + 100.0))
+    assert(got.getDouble(2) == medA && got.getDouble(3) == medB, s"medians: $got")
+    assert(got.getDouble(4) == p90A && got.getDouble(5) == p90B, s"p90s: $got")
+    assert(got.getDouble(6) == BigDecimal(medB - medA)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getDouble(7) == BigDecimal(p90B - p90A)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("mannWhitneyTest: perfect separation hits effect ±1; all-tied degenerates to null z") {
     // Replicate the engine's md5 coin so the fixture can place each
     // user's metric BY ARM.

@@ -422,4 +422,33 @@ class TextFunctionsSpec extends SparkSpec {
       .select(tf.fleschReadingEase(col("t"))).collect().head
     assert(empty.isNullAt(0))
   }
+
+  test("compressionRatio: repetitive text crushes, high-entropy text does not, " +
+    "deterministic, empty null") {
+    val tf = graft.functions.TextFunctions
+    val rep = "the same line over and over " * 200
+    // pseudo-random hex-ish text: md5 chains, poorly compressible
+    val rnd = (1 to 50).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"seed$i".getBytes).map("%02x".format(_)).mkString).mkString(" ")
+    val df = Seq((1L, rep), (2L, rnd), (3L, "")).toDF("id", "t")
+    val got = df.select(col("id"), tf.deflateSize(col("t")),
+        tf.compressionRatio(col("t")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(got(1L)._2 < 0.05, s"repetitive ratio ${got(1L)._2}")
+    assert(got(2L)._2 > 0.3, s"high-entropy ratio ${got(2L)._2}")
+    assert(got(3L)._1 >= 0L && got(3L)._2.isNaN, "empty text -> null ratio")
+    // deterministic across evaluations (interpreted == codegen'd too:
+    // both call the same Kernels.deflateSize)
+    val again = df.select(tf.compressionRatio(col("t"))).collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    val first = df.select(tf.compressionRatio(col("t"))).collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    assert(again.zip(first).forall { case (a, b) => a == b || (a.isNaN && b.isNaN) })
+    // interpreted path agrees with the plan path
+    val interp = graft.plans.Kernels.deflateSize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(rep))
+    assert(interp == got(1L)._1)
+  }
 }
