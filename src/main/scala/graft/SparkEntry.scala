@@ -5379,16 +5379,22 @@ object SparkEntry {
     "q_dsir_weights" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), th AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(ts, t ->
+        |      CAST(list_sum(list_transform(range(15), i ->
+        |        (CAST(strpos('0123456789abcdef',
+        |            substr(md5(t), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |        * (CAST(1 AS BIGINT) << CAST(4*(14-i) AS INT)))) AS BIGINT)) AS hs
+        |  FROM tk
         |), occ AS (
-        |  SELECT tk.doc_id, tk.lang,
-        |    CAST(CAST(list_sum(list_transform(range(15), i ->
-        |      (CAST(strpos('0123456789abcdef',
-        |          substr(md5(g.g), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
-        |      * (CAST(1 AS BIGINT) << CAST(4*(14-i) AS INT)))) AS BIGINT) % 1024 AS INT) AS b
-        |  FROM tk, unnest(list_concat(
-        |         tk.ts,
-        |         list_transform(range(greatest(len(tk.ts) - 1, 0)), i ->
-        |           array_to_string(tk.ts[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')))) AS g(g)
+        |  SELECT th.doc_id, th.lang, CAST(g.h % 1024 AS INT) AS b
+        |  FROM th, unnest(list_concat(
+        |         th.hs,
+        |         list_transform(range(greatest(len(th.hs) - 1, 0)), i ->
+        |           xor(((th.hs[CAST(i+1 AS INT)] & 8796093022207) << 17)
+        |               | (th.hs[CAST(i+1 AS INT)] >> 43),
+        |               th.hs[CAST(i+2 AS INT)])))) AS g(h)
         |), tcnt AS (
         |  SELECT b, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY b
         |), rcnt AS (
@@ -5418,16 +5424,22 @@ object SparkEntry {
     "q_dsir_sample" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), th AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(ts, t ->
+        |      CAST(list_sum(list_transform(range(15), i ->
+        |        (CAST(strpos('0123456789abcdef',
+        |            substr(md5(t), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
+        |        * (CAST(1 AS BIGINT) << CAST(4*(14-i) AS INT)))) AS BIGINT)) AS hs
+        |  FROM tk
         |), occ AS (
-        |  SELECT tk.doc_id, tk.lang,
-        |    CAST(CAST(list_sum(list_transform(range(15), i ->
-        |      (CAST(strpos('0123456789abcdef',
-        |          substr(md5(g.g), CAST(i+1 AS INT), 1)) AS BIGINT) - 1)
-        |      * (CAST(1 AS BIGINT) << CAST(4*(14-i) AS INT)))) AS BIGINT) % 1024 AS INT) AS b
-        |  FROM tk, unnest(list_concat(
-        |         tk.ts,
-        |         list_transform(range(greatest(len(tk.ts) - 1, 0)), i ->
-        |           array_to_string(tk.ts[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')))) AS g(g)
+        |  SELECT th.doc_id, th.lang, CAST(g.h % 1024 AS INT) AS b
+        |  FROM th, unnest(list_concat(
+        |         th.hs,
+        |         list_transform(range(greatest(len(th.hs) - 1, 0)), i ->
+        |           xor(((th.hs[CAST(i+1 AS INT)] & 8796093022207) << 17)
+        |               | (th.hs[CAST(i+1 AS INT)] >> 43),
+        |               th.hs[CAST(i+2 AS INT)])))) AS g(h)
         |), tcnt AS (
         |  SELECT b, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY b
         |), rcnt AS (

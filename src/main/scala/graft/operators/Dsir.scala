@@ -15,10 +15,12 @@ import graft.functions.TextFunctions
   * weighting.
   *
   * Feature space: word unigrams + bigrams hashed into `buckets` slots
-  * (the paper's hashed n-gram features). Hashing is the engine-portable
-  * 60-bit md5 prefix parse (the [[TextFunctions.md5GramHashes]] stream)
-  * so the DuckDB oracle recomputes the identical bucket sequence;
-  * production throughput could swap in the FNV kernel unchanged.
+  * (the paper's hashed n-gram features). Hashing is engine-portable:
+  * ONE 60-bit md5 prefix parse per TOKEN (r15 — was one digest per
+  * gram string), with the bigram hash derived by the integer mix
+  * rot17_60(h1) XOR h2; the DuckDB oracle recomputes the identical
+  * bucket sequence from the same per-token digests, and the whole
+  * build runs as one codegen'd byte pass ([[graft.plans.Kernels.dsirBuckets]]).
   *
   * 100 TB shape:
   *   - [[featureCensus]] is one explode + map-combined groupBy into at
@@ -51,10 +53,16 @@ object Dsir {
     */
   def hashedBuckets(textCol: Column, buckets: Int, ns: Seq[Int] = Seq(1, 2)): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    require(ns.nonEmpty, "need at least one gram order")
-    val all = ns.map(n =>
-      TextFunctions.md5GramHashes(textCol, n)).reduce(concat(_, _))
-    sort_array(transform(all, h => pmod(h, lit(buckets.toLong)).cast("int")))
+    require(ns == Seq(1, 2),
+      s"the uni+bigram kernel is the only supported feature space, got $ns")
+    // r15: ONE codegen'd tokenize+md5 pass (Kernels.dsirBuckets) — the
+    // HOF formulation tokenized and digested the corpus once PER GRAM
+    // ORDER and evaluated its lambdas interpreted (~5.5s/pass of the
+    // sf0.1 profile was this expression alone). Unigram hashes are the
+    // same 60-bit md5 parse the oracle always replayed; bigrams now
+    // derive by the portable rot17-xor mix of the two token hashes
+    // instead of digesting the concatenated gram string.
+    graft.plans.HashExpressions.dsirBuckets(textCol, buckets)
   }
 
   /** Hashed-gram census of a corpus slice: (bucket, cnt) with at most

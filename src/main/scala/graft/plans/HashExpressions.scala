@@ -515,6 +515,26 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** DSIR hashed uni+bigram feature buckets, sorted — one tokenize+md5
+  * pass per document; see [[Kernels.dsirBuckets]].
+  */
+case class DsirBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.dsirBuckets(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.dsirBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DEFLATE-compressed byte count (zlib level 6) — the compression-ratio
   * quality signal's numerator; see [[Kernels.deflateSize]].
   */
@@ -740,6 +760,9 @@ object HashExpressions {
   def tokenCount(text: Column): Column = column(TokenCountExpr(expression(text)))
 
   def deflateSize(text: Column): Column = column(DeflateSizeExpr(expression(text)))
+
+  def dsirBuckets(text: Column, buckets: Int): Column =
+    column(DsirBucketsExpr(expression(text), buckets))
 
   def topGramFrac(text: Column, n: Int): Column = column(TopGramFracExpr(expression(text), n))
 

@@ -1106,6 +1106,72 @@ object Kernels {
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** DSIR hashed feature buckets (uni + bigrams into `buckets` slots),
+    * one byte pass — the r15 re-key of the HOF pipeline that paid TWO
+    * tokenize+md5 sweeps per document (one per gram order) plus
+    * interpreted lambda evaluation per gram: ONE md5 per TOKEN (its
+    * 60-bit prefix parse, identical to the unigram stream the oracle
+    * already replays), and the bigram hash derived by the portable
+    * integer mix rot17_60(h1) XOR h2 — 60-bit rotate via
+    * mask-shift-or, so nothing leaves the signed-64 lane in either
+    * engine. Output is the SORTED bucket multiset (ints), the order
+    * canonicalization every downstream float fold relies on.
+    */
+  def dsirBuckets(s: UTF8String, buckets: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !isWs(bytes(i))) i += 1
+      }
+    }
+    if (count == 0) return new GenericArrayData(new Array[Int](0))
+    val hs = new Array[Long](count)
+    val md = md5Local.get()
+    var k = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        // top 60 bits = the conv(substring(md5_hex, 1, 15), 16, 10) parse
+        val h64 = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        hs(k) = h64 >>> 4
+        k += 1
+      }
+    }
+    val out = new Array[Int](count + (count - 1))
+    var j = 0
+    while (j < count) {
+      out(j) = (hs(j) % buckets).toInt
+      j += 1
+    }
+    j = 0
+    while (j < count - 1) {
+      val rot = ((hs(j) & 8796093022207L) << 17) | (hs(j) >>> 43)
+      out(count + j) = (((rot ^ hs(j + 1)) % buckets)).toInt
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   /** DEFLATE-compressed byte count of the raw UTF-8 bytes (zlib level
     * 6, default strategy — the Gopher/Chinchilla "compression ratio"
     * quality signal's denominator side). Counts only: the compressed

@@ -45,6 +45,8 @@ object CheckCodegen {
         HashExpressions.tokenCount(col("text"))).count()),
       "deflateSize" -> (() => docs.select(
         HashExpressions.deflateSize(col("text"))).count()),
+      "dsirBuckets" -> (() => docs.select(
+        HashExpressions.dsirBuckets(col("text"), 1024)).count()),
       "asciiSetCount" -> (() => docs.select(
         HashExpressions.asciiSetCount(col("text"), ".,;:!?")).count()),
       "tokenStats" -> (() => docs.select(

@@ -21,6 +21,34 @@ class DsirSpec extends SparkSpec {
     (7L, "o", "")
   ).toDF("doc_id", "grp", "text")
 
+  test("hashedBuckets matches the JVM md5+rot-xor reference; gramless empty; sorted") {
+    // The oracle-replayable definition: 60-bit md5 prefix per TOKEN,
+    // bigram = rot17_60(h1) XOR h2, all mod buckets, sorted multiset.
+    def h60(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def want(text: String, b: Int): Seq[Int] = {
+      val ts = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val hs = ts.map(h60)
+      val uni = hs.map(h => (h % b).toInt)
+      val bi = hs.zip(hs.drop(1)).map { case (a, c) =>
+        (((((a & 8796093022207L) << 17) | (a >>> 43)) ^ c) % b).toInt
+      }
+      (uni ++ bi).sorted
+    }
+    val texts = Seq("alpha beta gamma", "single", "", "  padded   tokens  ")
+    val got = texts.toDF("text")
+      .select(Dsir.hashedBuckets($"text", B).as("bs"))
+      .as[Seq[Int]].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == want(t, B), s"mismatch for '$t': $g vs ${want(t, B)}") }
+    intercept[IllegalArgumentException] {
+      Dsir.hashedBuckets($"text", B, ns = Seq(1, 2, 3))
+    }
+  }
+
   test("identical target and raw censuses give exactly zero weights") {
     val c = Dsir.featureCensus(corpus, "text", B)
     val w = Dsir.importanceWeights(corpus, "doc_id", "text", c, c, B)
