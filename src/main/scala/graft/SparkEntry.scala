@@ -2642,6 +2642,16 @@ object SparkEntry {
       graft.operators.CorpusStats.zipfFit(
           t(s, d, "documents"), "text", topN = 100)),
 
+    // Cross-source n-gram overlap matrix (r15): per ordered source
+    // pair, containment of A's distinct 3-gram vocabulary in B plus
+    // symmetric Jaccard — the "which sources mirror which" forensics
+    // screen. Hashed grams engine-side, string grams in the oracle
+    // (set counts identical — the q_dedup_jaccard argument).
+    "q_source_overlap" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceOverlap(
+          t(s, d, "documents"), "text", "source", n = 3)
+        .orderBy("source_a", "source_b")),
+
     // Compression-ratio quality signal (r15, Gopher A1): deflate bytes
     // over raw bytes via the codegen'd zlib kernel. Rows-only — no SQL
     // engine replays zlib (§8); ratio laws are spec-pinned (repetitive
@@ -8856,6 +8866,33 @@ object SparkEntry {
         |       CASE WHEN den > 0 AND deny > 0
         |            THEN round((num * num) / (den * deny), 6) END AS r2
         |FROM f""".stripMargin,
+
+    // Overlap replay: distinct string 3-grams per source (set counts ==
+    // the engine's hashed-gram sets), gram equi-join, size joins.
+    "q_source_overlap" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT d.source,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM (SELECT source, regexp_extract_all(text, '\S+') AS t
+        |          FROM documents) d)
+        |), sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS sz FROM grams GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source <> b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.source_a, i.source_b, sa.sz AS sz_a, sb.sz AS sz_b, i.n_common,
+        |       round(CAST(i.n_common AS DOUBLE) / sa.sz, 6) AS containment_a_in_b,
+        |       round(CAST(i.n_common AS DOUBLE)
+        |             / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.source = i.source_a
+        |JOIN sizes sb ON sb.source = i.source_b
+        |ORDER BY i.source_a, i.source_b""".stripMargin,
 
     // Embedding dispersion: E||x||^2 - ||mu||^2 per label.
     "q_emb_dispersion" ->

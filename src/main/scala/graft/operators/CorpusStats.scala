@@ -471,6 +471,52 @@ object CorpusStats {
         col("delta"), col("z"))
   }
 
+  /** Cross-source n-gram overlap matrix — corpus forensics: for every
+    * ordered source pair, how much of A's DISTINCT gram vocabulary
+    * appears in B (containment |G_A ∩ G_B| / |G_A|) plus the symmetric
+    * Jaccard. The "which sources copy from which" screen that the
+    * per-source divergence numbers can't answer (a mirror site shows up
+    * as a high-containment pair; a genuinely distinct source sits near
+    * the random-overlap floor).
+    *
+    * Scale shape: one DISTINCT (source, gram-hash) census (64-bit
+    * xxhash grams — 8-byte keys on the wire, the [[Dedup.jaccardPairs]]
+    * argument), a self-join on the gram key bounded by per-gram source
+    * multiplicity (≤ |sources| per gram, NOT corpus size), and
+    * per-source set sizes carried by join — never a doc-level pair
+    * table. Emits both orders of each pair (containment is asymmetric);
+    * Jaccard repeats symmetrically — by design, so a consumer filters
+    * one column without re-deriving the other.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(
+        col(sourceCol).as("source"),
+        explode(array_distinct(
+          graft.plans.HashExpressions.wordNGramHashes(col(textCol), n))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val a = grams.select(col("source").as("source_a"), col("g"))
+    val b = grams.select(col("source").as("source_b"), col("g"))
+    a.join(b, Seq("g"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("sz_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("sz_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("sz_a"), col("sz_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("sz_a"), 6)
+          .as("containment_a_in_b"),
+        round(col("n_common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_common")), 6).as("jaccard"))
+  }
+
   /** Zipf's-law fit over the corpus token census (Zipf 1949): OLS of
     * ln(freq) on ln(rank) for the top-N tokens — slope ≈ −1 for
     * natural language; a flat slope flags templated/synthetic text and

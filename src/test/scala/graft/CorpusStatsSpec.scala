@@ -425,6 +425,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 0.0 && v <= 1.0), "JSD is in [0,1] bits")
   }
 
+  test("sourceOverlap: mirror pair saturates containment, disjoint pair absent, " +
+    "asymmetry by size") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ") // 18 grams
+    val docs = Seq(
+      (1L, "big", base + " extra tokens here"),  // superset-ish of small
+      (2L, "small", base),                        // contained in big
+      (3L, "other", (100 to 110).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceOverlap(docs, "text", "source", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // small's grams are ALL in big -> containment(small in big) = 1.0
+    val s2b = got(("small", "big"))
+    assert(s2b._4 == 1.0, s"small-in-big containment: $s2b")
+    // big has more grams -> containment(big in small) < 1, same jaccard
+    val b2s = got(("big", "small"))
+    assert(b2s._4 < 1.0 && b2s._5 == s2b._5, s"asymmetry/symmetric j: $b2s vs $s2b")
+    // n_common == |small| exactly
+    assert(s2b._3 == s2b._1, s"n_common must equal the contained side: $s2b")
+    // disjoint source never pairs
+    assert(!got.keySet.exists(k => k._1 == "other" || k._2 == "other"),
+      s"disjoint source must not appear: ${got.keySet}")
+  }
+
   test("zipfFit: negative slope with high r2 on a Zipf corpus; uniform corpus " +
     "degenerates to slope 0 with null r2") {
     // freq(w_r) proportional to 1/r over 10 tokens -> ln-ln is exactly
