@@ -319,14 +319,20 @@ object CorpusStats {
       idCol: String,
       textCol: String,
       sourceCol: String): DataFrame = {
-    val toks = df.select(
-      col(sourceCol).as("source"),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    val bySrc = toks.groupBy(col("source"), col("tok"))
+    // ONE text explode: the per-source census persists, and the corpus
+    // census derives from it (every occurrence belongs to exactly one
+    // source, so summing c_st per token IS the corpus count) — the r15
+    // plan audit found three full-text passes here (bySrc, corpus, and
+    // the total's head()).
+    val bySrc = df.select(
+        col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcTotals = bySrc.groupBy(col("source"))
       .agg(sum(col("c_st")).as("n_s"))
-    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val corpus = bySrc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val totalRow = corpus.agg(sum(col("c_t"))).head()
     require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
       "sourceDivergence needs a non-empty corpus")
@@ -365,14 +371,16 @@ object CorpusStats {
       df: DataFrame,
       textCol: String,
       sourceCol: String): DataFrame = {
-    val toks = df.select(
-      col(sourceCol).as("source"),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    val bySrc = toks.groupBy(col("source"), col("tok"))
+    // Same one-explode staging as [[sourceDivergence]] (r15 audit).
+    val bySrc = df.select(
+        col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcTotals = bySrc.groupBy(col("source"))
       .agg(sum(col("c_st")).as("n_s"))
-    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val corpus = bySrc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val totalRow = corpus.agg(sum(col("c_t"))).head()
     require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
       "sourceJsDivergence needs a non-empty corpus")
@@ -430,14 +438,16 @@ object CorpusStats {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(alpha0 > 0, s"alpha0 must be > 0, got $alpha0")
-    val toks = df.select(
-      col(sourceCol).as("source"),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    val bySrc = toks.groupBy(col("source"), col("tok"))
+    // Same one-explode staging as [[sourceDivergence]] (r15 audit).
+    val bySrc = df.select(
+        col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("y_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcTotals = bySrc.groupBy(col("source"))
       .agg(sum(col("y_s")).as("n_s"))
-    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val corpus = bySrc.groupBy(col("tok")).agg(sum(col("y_s")).as("c_t"))
     val totalRow = corpus.agg(sum(col("c_t"))).head()
     require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
       "markedTokens needs a non-empty corpus")
@@ -493,11 +503,15 @@ object CorpusStats {
       textCol: String,
       sourceCol: String,
       n: Int = 3): DataFrame = {
+    // Persisted: the census feeds the sizes aggregate and BOTH join
+    // sides — unpersisted, the full text explode ran four times
+    // (r15 plan audit).
     val grams = df.select(
         col(sourceCol).as("source"),
         explode(array_distinct(
           graft.plans.HashExpressions.wordNGramHashes(col(textCol), n))).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val a = grams.select(col("source").as("source_a"), col("g"))
     val b = grams.select(col("source").as("source_b"), col("g"))

@@ -625,7 +625,10 @@ object EventAnalytics {
       lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
     val dec6 = "decimal(18,6)"
     val dec12 = "decimal(38,12)"
-    // Per-user pre (covariate x) and post (metric y) sums on the 6dp grid.
+    // Per-user pre (covariate x) and post (metric y) sums on the 6dp
+    // grid. Persisted: the moment aggregate AND the adjustment pass
+    // both read it (r15 plan audit: unpersisted, the full-fact
+    // aggregation ran twice).
     val users = events
       .groupBy(col(userCol))
       .agg(
@@ -634,6 +637,7 @@ object EventAnalytics {
         round(coalesce(sum(when(!prePred,
           round(col(valueCol), 6).cast(dec6))).cast("double"), lit(0.0)), 6).as("y"))
       .withColumn("arm", arm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pooled moments for theta and the raw-metric variance: grid values,
     // exact decimal folds, one double cast each.
     val mom = users.agg(
@@ -909,9 +913,12 @@ object EventAnalytics {
       churnGapDays: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(churnGapDays >= 1, s"churnGapDays must be >= 1, got $churnGapDays")
+    // Persisted: the anchor broadcast and the lifetimes join both read
+    // the user-grain aggregate (r15 plan audit: two full-fact passes).
     val users = events.groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("first_day"),
         max(to_date(col(tsCol))).as("last_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchor = users.agg(max(col("last_day")).as("corpus_end"))
     val lifetimes = users.join(broadcast(anchor))
       .withColumn("lifetime", datediff(col("last_day"), col("first_day")))
@@ -969,9 +976,12 @@ object EventAnalytics {
       churnGapDays: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(churnGapDays >= 1, s"churnGapDays must be >= 1, got $churnGapDays")
+    // Persisted: the anchor broadcast and the lifetimes join both read
+    // the user-grain aggregate (r15 plan audit: two full-fact passes).
     val users = events.groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("first_day"),
         max(to_date(col(tsCol))).as("last_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchor = users.agg(max(col("last_day")).as("corpus_end"))
     val lifetimes = users.join(broadcast(anchor))
       .withColumn("lifetime", datediff(col("last_day"), col("first_day")))
