@@ -417,37 +417,40 @@ object Dedup {
     * fraction estimates Jaccard. Empty-gram docs (< n tokens) emit no
     * rows.
     *
-    * Shape: row-local distinct grams hash ONCE to the base point, then
-    * explode to (base, perm) — one map-side fan-out of `perms`× of
-    * integer ops — then ONE shuffle into the (id, perm) min
-    * aggregation with map-side combine.
+    * Shape (r15b): the ENTIRE signature stage is one codegen'd byte
+    * pass per document ([[graft.plans.Kernels.minhashSig]] — tokenize,
+    * per-gram md5, affine mixes and the element-wise running min fused;
+    * duplicate grams need no distinct because min is idempotent). No
+    * gram explode, no perm fan-out, no aggregation shuffle: the
+    * signature table materializes row-locally. The r15a form (one md5
+    * per distinct gram, 16× sequence-explode into a (id, perm) min
+    * aggregate) is pinned as this kernel's reference in DedupSpec.
     */
   def minHashSignaturesPortable(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      perms: Int = 16): DataFrame = {
+      perms: Int = 16): DataFrame =
+    minHashSigArrays(df, idCol, textCol, n, perms)
+      .select(col("id"), posexplode(col("hs")).as(Seq("perm", "sig")))
+
+  /** Array-form portable signatures: (id, hs long[perms]) — one row per
+    * doc with >= n tokens, computed in a single fused byte pass. The
+    * banding/estimate stages consume this form directly (1 row/doc
+    * joins instead of perms-row slices); [[minHashSignaturesPortable]]
+    * posexplodes it into the contract's long form.
+    */
+  private[graft] def minHashSigArrays(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      perms: Int): DataFrame = {
     require(perms >= 2 && perms <= 256, s"perms in [2,256], got $perms")
-    val mask52 = lit(4503599627370495L) // 2^52 - 1
-    val mask26 = lit(67108863L)         // 2^26 - 1
-    val lo = col("h0").bitwiseAND(mask26)
-    val hi = shiftright(col("h0"), 26)
-    val a = ((col("perm").cast("long") * lit(2L) + lit(1L)) * lit(25214903917L))
-      .bitwiseAND(lit(137438953471L))   // 2^37 - 1, low bit kept -> odd
-    val mixed = ((lo * a).bitwiseAND(mask52)
-      + (hi * a).bitwiseAND(mask26) * lit(67108864L) // << 26, still < 2^52
-      + col("perm").cast("long") * lit(2654435769L))
-      .bitwiseAND(mask52)
     df.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.wordNGrams(col(textCol), n))).as("g"))
-      .select(col("id"),
-        conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h0"))
-      .select(col("id"), col("h0"),
-        explode(sequence(lit(0), lit(perms - 1))).as("perm"))
-      .select(col("id"), col("perm"), mixed.as("h"))
-      .groupBy(col("id"), col("perm"))
-      .agg(min(col("h")).as("sig"))
+        graft.plans.HashExpressions.minhashSig(col(textCol), n, perms).as("hs"))
+      .filter(size(col("hs")) > 0)
   }
 
   /** LSH-banded near-dup pairs over [[minHashSignaturesPortable]]:
@@ -460,10 +463,13 @@ object Dedup {
     * identical pair set (the banding is part of the CONTRACT, not a
     * lossy heuristic hidden behind it).
     *
-    * Shape: band keys are one md5 over the per-band ordered sig tuple
-    * (≤ bands rows per doc); the candidate join is equi on (band, key);
-    * the estimate joins the two ≤perms-row signature slices per
-    * candidate pair. Nothing touches raw text after the signature pass.
+    * Shape (r15b, array form end to end): signatures are one row-local
+    * kernel pass per doc; band keys derive row-locally from array
+    * slices (no collect_list aggregation shuffle); the candidate join
+    * is equi on (band, key); the estimate joins ONE signature-array row
+    * per pair side and counts agreeing slots with an element-wise fold
+    * (16 bounded ops per pair) instead of perms-row slice joins.
+    * Nothing touches raw text after the signature pass.
     */
   def minHashPairsPortable(
       df: DataFrame,
@@ -476,25 +482,29 @@ object Dedup {
     require(bands >= 1 && perms % bands == 0,
       s"bands must divide perms, got $perms/$bands")
     val r = perms / bands
-    val sigs = minHashSignaturesPortable(df, idCol, textCol, n, perms)
+    val sigs = minHashSigArrays(df, idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandKeys = sigs
-      .groupBy(col("id"), floor(col("perm") / r).cast("int").as("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("perm"), col("sig")))),
-          x => x("sig").cast("string")))).as("bkey"))
+    // Band key = md5 over the band's sig tuple in perm order — identical
+    // string to the former collect_list(struct(perm, sig)) formulation
+    // (array slices are already perm-ordered), now computed row-locally.
+    val bandKeys = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",",
+          transform(slice(col("hs"), b * lit(r) + lit(1), lit(r)),
+            _.cast("string"))))))
+        .as(Seq("band", "bkey")))
     val cand = bandKeys.select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(bandKeys.select(col("band"), col("bkey"), col("id").as("id_b")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(sigs.select(col("id").as("id_a"), col("perm"), col("sig").as("sa")),
-        Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("perm"), col("sig").as("sb")),
-        Seq("id_b", "perm"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("n_match"))
+      .join(sigs.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .withColumn("n_match",
+        aggregate(zip_with(col("ha"), col("hb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
       .withColumn("est_jaccard",
         round(col("n_match").cast("double") / perms, 6))
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -530,8 +540,14 @@ object Dedup {
       minEstJaccard: Double = 0.2): DataFrame = {
     val pairs = minHashPairsPortable(df, idCol, textCol, n, perms, bands,
       minEstJaccard)
+    // Exact distinct-gram counts via the codegen'd 64-bit gram-hash
+    // kernel (one byte pass) instead of the interpreted string-gram HOF
+    // pipeline — the established q_dedup_jaccard argument: distinct
+    // counts over 64-bit gram hashes equal distinct string-gram counts
+    // (collision-free at any realistic corpus vocabulary).
     val sizes = df.select(col(idCol).as("__id"),
-        size(array_distinct(TextFunctions.wordNGrams(col(textCol), n)))
+        size(array_distinct(
+          graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)))
           .cast("long").as("__sz"))
       .filter(col("__sz") > 0)
     val estInt = col("est_jaccard") * (col("sz_a") + col("sz_b")).cast("double") /
@@ -622,6 +638,55 @@ object Dedup {
         graft.plans.MinHashUnionAgg.signatureJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("group_a", "group_b", "est_jaccard")
+  }
+
+  /** PORTABLE collection-level signatures — the oracle-checkable twin of
+    * [[groupSignatures]], built from the fused per-doc kernel and the
+    * element-wise-min aggregate: min over a group's docs of the per-doc
+    * minima IS the min over every gram in the group, which a SQL replay
+    * reaches as `min(hp) GROUP BY (group, perm)` over the shared affine
+    * CTE. First oracle-exact pinning of [[graft.plans.MinHashUnionAgg]]
+    * (its seeded uses are spec-pinned only). One row per group.
+    */
+  def groupSignaturesPortable(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16): DataFrame = {
+    require(perms >= 2 && perms <= 256, s"perms in [2,256], got $perms")
+    df.select(col(groupCol).as("group"),
+        graft.plans.HashExpressions.minhashSig(col(textCol), n, perms).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .groupBy("group")
+      .agg(graft.plans.MinHashUnionAgg.minHashUnion(col("hs"), perms).as("group_sig"))
+  }
+
+  /** Pairwise estimated gram-set Jaccard between GROUPS (source/domain/
+    * cluster) from the portable group signatures: |groups|² signature
+    * comparisons — each a bounded element-wise fold — instead of a
+    * cross-corpus gram join; the sketch-path complement to the exact
+    * census [[graft.operators.CorpusStats]] overlap matrix. Fully
+    * oracle-replayable end to end.
+    */
+  def groupOverlapPortable(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16): DataFrame = {
+    val sigs = groupSignaturesPortable(df, groupCol, textCol, n, perms)
+    val left = sigs.select(col("group").as("group_a"), col("group_sig").as("sa"))
+    val right = sigs.select(col("group").as("group_b"), col("group_sig").as("sb"))
+    left.crossJoin(right)
+      .filter(col("group_a") < col("group_b"))
+      .withColumn("n_match",
+        aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("est_jaccard",
+        round(col("n_match").cast("double") / perms, 6))
+      .select("group_a", "group_b", "n_match", "est_jaccard")
   }
 
   // ------------------------------------------------ winnowing fingerprints

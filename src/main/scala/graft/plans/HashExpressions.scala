@@ -535,6 +535,26 @@ case class DsirBucketsExpr(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** Fused portable MinHash signature (md5 + affine family + running
+  * element-wise min in one byte pass); see [[Kernels.minhashSig]].
+  */
+case class MinHashSigExpr(child: Expression, n: Int, perms: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashSig(input.asInstanceOf[UTF8String], n, perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.minhashSig($c, $n, $perms)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DEFLATE-compressed byte count (zlib level 6) — the compression-ratio
   * quality signal's numerator; see [[Kernels.deflateSize]].
   */
@@ -763,6 +783,9 @@ object HashExpressions {
 
   def dsirBuckets(text: Column, buckets: Int): Column =
     column(DsirBucketsExpr(expression(text), buckets))
+
+  def minhashSig(text: Column, n: Int, perms: Int): Column =
+    column(MinHashSigExpr(expression(text), n, perms))
 
   def topGramFrac(text: Column, n: Int): Column = column(TopGramFracExpr(expression(text), n))
 

@@ -1172,6 +1172,90 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** PORTABLE MinHash signature in ONE fused byte pass — the r15b
+    * re-key of the signature stage that previously paid a regex
+    * tokenize, an array_distinct, a gram explode, a 16× perm explode
+    * and a (id, perm) hash aggregate per document: tokenize the `\S+`
+    * spans in place, md5 each word n-gram's exact bytes (token bytes
+    * joined by 0x20 — byte-identical to md5(array_join(slice(toks),
+    * ' '))), parse the top 52 bits (= conv(substring(md5_hex,1,13),
+    * 16,10)), then fold every gram through the affine Carter-Wegman
+    * family (A_p·x + B_p) mod 2^52 in 26-bit limbs with a running
+    * element-wise min. Duplicate grams need no dedup — min is
+    * idempotent — so the distinct pass disappears too. Output:
+    * long[perms], or empty when the doc has < n tokens (the caller
+    * drops those rows, matching the explode-of-empty behavior).
+    * The oracle replays the identical arithmetic in SQL (see
+    * SparkEntry.minhashSigCte); DedupSpec pins the JVM reference.
+    */
+  def minhashSig(s: UTF8String, n: Int, perms: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var count = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        count += 1
+        while (i < len && !isWs(bytes(i))) i += 1
+      }
+    }
+    if (count < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](count)
+    val ends = new Array[Int](count)
+    var k = 0
+    i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts(k) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(k) = i
+        k += 1
+      }
+    }
+    val mask52 = 4503599627370495L
+    val mask26 = 67108863L
+    val as = new Array[Long](perms)
+    val bs = new Array[Long](perms)
+    var p = 0
+    while (p < perms) {
+      as(p) = ((2L * p + 1L) * 25214903917L) & 137438953471L
+      bs(p) = p.toLong * 2654435769L
+      p += 1
+    }
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val md = md5Local.get()
+    val space = ' '.toByte
+    var g = 0
+    while (g <= count - n) {
+      md.reset()
+      var t = 0
+      while (t < n) {
+        if (t > 0) md.update(space)
+        md.update(bytes, starts(g + t), ends(g + t) - starts(g + t))
+        t += 1
+      }
+      val d = md.digest()
+      val h0 = (((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+        ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+        ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) |
+        (d(6) & 0xffL)) >>> 4
+      val lo = h0 & mask26
+      val hi = h0 >>> 26
+      p = 0
+      while (p < perms) {
+        val m = (((lo * as(p)) & mask52) +
+          ((hi * as(p)) & mask26) * 67108864L + bs(p)) & mask52
+        if (m < sig(p)) sig(p) = m
+        p += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** DEFLATE-compressed byte count of the raw UTF-8 bytes (zlib level
     * 6, default strategy — the Gopher/Chinchilla "compression ratio"
     * quality signal's denominator side). Counts only: the compressed

@@ -47,6 +47,8 @@ object CheckCodegen {
         HashExpressions.deflateSize(col("text"))).count()),
       "dsirBuckets" -> (() => docs.select(
         HashExpressions.dsirBuckets(col("text"), 1024)).count()),
+      "minhashSig" -> (() => docs.select(
+        HashExpressions.minhashSig(col("text"), 3, 16)).count()),
       "asciiSetCount" -> (() => docs.select(
         HashExpressions.asciiSetCount(col("text"), ".,;:!?")).count()),
       "tokenStats" -> (() => docs.select(

@@ -361,6 +361,47 @@ class DedupSpec extends SparkSpec {
       assert(sig >= 0L && sig < (1L << 52), s"52-bit sig out of range: $sig") }
   }
 
+  test("portable minhash: fused kernel matches the r15a column-pipeline reference") {
+    // The pre-kernel formulation (distinct grams -> one md5 -> 16x perm
+    // explode -> (id, perm) min aggregate), kept here as the executable
+    // reference the fused byte-pass kernel must reproduce exactly —
+    // including whitespace-variant grams (array_join uses ONE space
+    // regardless of source spacing) and duplicate-gram idempotence.
+    import org.apache.spark.sql.functions._
+    val perms = 16
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a  b\tc   d"), // multi-space + tab: gram strings re-join with ' '
+      (3L, "x y x y x y x y"), // duplicate grams
+      (4L, "one two"), // < n tokens -> no rows
+      (5L, "é café naïve 中文 tokens")) // non-ASCII bytes
+      .toDF("doc_id", "text")
+    val mask52 = lit(4503599627370495L)
+    val mask26 = lit(67108863L)
+    val lo = col("h0").bitwiseAND(mask26)
+    val hi = shiftright(col("h0"), 26)
+    val a = ((col("perm").cast("long") * lit(2L) + lit(1L)) * lit(25214903917L))
+      .bitwiseAND(lit(137438953471L))
+    val mixed = ((lo * a).bitwiseAND(mask52)
+      + (hi * a).bitwiseAND(mask26) * lit(67108864L)
+      + col("perm").cast("long") * lit(2654435769L))
+      .bitwiseAND(mask52)
+    val ref = df.select(col("doc_id").as("id"),
+        explode(array_distinct(graft.functions.TextFunctions.wordNGrams(col("text"), 3))).as("g"))
+      .select(col("id"),
+        conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h0"))
+      .select(col("id"), col("h0"),
+        explode(sequence(lit(0), lit(perms - 1))).as("perm"))
+      .select(col("id"), col("perm"), mixed.as("h"))
+      .groupBy(col("id"), col("perm"))
+      .agg(min(col("h")).as("sig"))
+      .orderBy("id", "perm").as[(Long, Int, Long)].collect().toSeq
+    val got = Dedup.minHashSignaturesPortable(df, "doc_id", "text", n = 3, perms = perms)
+      .orderBy("id", "perm").as[(Long, Int, Long)].collect().toSeq
+    assert(got == ref)
+    assert(!got.exists(_._1 == 4L), "short doc emits no signature rows")
+  }
+
   test("portable minhash pairs: exact dups always pair at est 1.0; disjoint never candidates") {
     val got = Dedup.minHashPairsPortable(fixture, "doc_id", "text",
         n = 3, perms = 16, bands = 4, minEstJaccard = 0.5)
@@ -375,6 +416,33 @@ class DedupSpec extends SparkSpec {
     // s-curve's coin — assert consistency, not presence: any emitted
     // pair has est >= 0.5 by contract.
     assert(got.forall(_.getDouble(3) >= 0.5))
+  }
+
+  test("portable group signatures: union-min identity; identical doc sets give est 1.0") {
+    val docs = Seq(
+      (1L, "A", "a b c d e f"),
+      (2L, "A", "g h i j k l"),
+      (3L, "B", "a b c d e f"), // B = copy of A's first doc
+      (4L, "B", "g h i j k l"), // ... and second: B's gram set == A's
+      (5L, "C", "z1 z2 z3 z4 z5")) // disjoint vocabulary
+      .toDF("doc_id", "grp", "text")
+    // Identity: the aggregated group signature equals the element-wise
+    // min of the per-doc portable signatures.
+    val perDoc = Dedup.minHashSignaturesPortable(docs.filter(col("grp") === "A"),
+        "doc_id", "text", n = 3, perms = 16)
+      .groupBy("perm").agg(org.apache.spark.sql.functions.min(col("sig")).as("want"))
+      .orderBy("perm").as[(Int, Long)].collect().map(_._2).toSeq
+    val gotSig = Dedup.groupSignaturesPortable(docs, "grp", "text", n = 3, perms = 16)
+      .filter(col("group") === "A")
+      .select(col("group_sig")).as[Seq[Long]].collect().head
+    assert(gotSig == perDoc, "group sig must equal element-wise min of doc sigs")
+    val overlap = Dedup.groupOverlapPortable(docs, "grp", "text", n = 3, perms = 16)
+      .orderBy("group_a", "group_b").collect()
+    val ab = overlap.find(r => r.getString(0) == "A" && r.getString(1) == "B").get
+    assert(ab.getLong(2) == 16L && ab.getDouble(3) == 1.0,
+      s"identical gram sets must match on every perm: $ab")
+    val ac = overlap.find(r => r.getString(0) == "A" && r.getString(1) == "C").get
+    assert(ac.getDouble(3) < 0.5, s"disjoint vocab should not look like overlap: $ac")
   }
 
   test("minHashContainment: quote-inside-document skews the two sides apart") {
