@@ -719,6 +719,17 @@ object SparkEntry {
           n = 3, perms = 16, bands = 4, minEstJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Portable collection-level MinHash overlap (r15b): one signature
+    // per SOURCE via the element-wise-min aggregate (min over docs of
+    // per-doc minima = min over the source's gram set), then pairwise
+    // estimated Jaccard between sources — the sketch-path complement to
+    // q_source_overlap's exact census matrix, and the first FULL-oracle
+    // pinning of the custom MinHashUnionAgg.
+    "q_source_minhash" -> ((s, d) =>
+      Dedup.groupOverlapPortable(
+          t(s, d, "documents"), "source", "text", n = 3, perms = 16)
+        .orderBy("group_a", "group_b")),
+
     // Fused end-to-end near-dedup — the flagship "dedup the corpus" call:
     // MinHash banding -> jaccard-verified pairs -> connected components ->
     // keep the min-id member per cluster, one operator
@@ -1771,6 +1782,45 @@ object SparkEntry {
       EventAnalytics.quantileTest(
           t(s, d, "events").select("user_id", "value"),
           "user_id", "value")),
+
+    // Sample-ratio-mismatch gate (r15b, Fabijan et al. KDD 2019): the
+    // chi-square 50/50 check on the md5-coin arm sizes — the audit
+    // every other A/B readout presumes. Integer numerator, one
+    // division, 1-df critical value 3.841.
+    "q_ab_srm" -> ((s, d) =>
+      EventAnalytics.srmCheck(
+          t(s, d, "events").select("user_id"), "user_id")),
+
+    // Difference-in-differences (r15b): Welch z on per-user CHANGE
+    // scores (post − pre at mid-month) between the md5 arms — the
+    // panel DiD that removes time-invariant user effects; cell means
+    // and the effect from exact decimal moments.
+    "q_ab_did" -> ((s, d) =>
+      EventAnalytics.didTest(
+          t(s, d, "events").select("user_id", "ts", "value"),
+          "user_id", "value", dayofmonth(col("ts")) <= 15)),
+
+    // Benjamini-Hochberg FDR over the per-event-type conversion family
+    // (r15b): per-metric pooled z, two-sided p via the A-S 26.2.17
+    // normal-tail polynomial on the 6dp-gridded |z| (arithmetic + exp,
+    // replayed literally by the oracle), then the step-up adjustment
+    // as a window running-min — the multiple-testing layer one
+    // experiment read on many metrics requires.
+    "q_ab_fdr" -> ((s, d) =>
+      EventAnalytics.fdrAdjust(
+          t(s, d, "events").select("user_id", "event_type"),
+          "user_id", "event_type")
+        .orderBy("metric")),
+
+    // Portable Bayesian-bootstrap CI (r15b, Rubin 1981): 40 replicates
+    // of hash-derived exponential weights (−ln of the md5 uniform, 6dp
+    // grid), weighted arm means through exact decimal folds, diff CI
+    // at the 2.5/97.5% integer ranks — a distribution-free interval
+    // with zero RNG state, replayed end to end by the oracle.
+    "q_ab_bootstrap" -> ((s, d) =>
+      EventAnalytics.bootstrapTest(
+          t(s, d, "events").select("user_id", "value"),
+          "user_id", "value", reps = 40)),
 
     // Funnel step latency (r13): exact lower-median and p90 seconds per
     // adjacent step transition — order statistics at integer ranks, no
@@ -4564,6 +4614,47 @@ object SparkEntry {
         |         AS containment_b
         |FROM kept ORDER BY id_a, id_b""".stripMargin),
 
+    // Collection-level portable MinHash replay: the affine chain at
+    // SOURCE grain (min over the source's distinct grams per perm = the
+    // engine's element-wise-min aggregate over per-doc signatures),
+    // then pairwise matching-perm estimates between sources.
+    "q_source_minhash" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), h0 AS (
+        |  SELECT source,
+        |         CAST(list_sum(list_transform(range(13), j ->
+        |           (CAST(strpos('0123456789abcdef',
+        |               substr(hh, CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+        |           * (CAST(1 AS BIGINT) << CAST(4*(12-j) AS INT)))) AS BIGINT) AS h
+        |  FROM (SELECT source, md5(g) AS hh FROM grams) mg
+        |), hv AS (
+        |  SELECT source, CAST(p.i AS INT) AS perm,
+        |         ((((h & 67108863) * (((2 * p.i + 1) * 25214903917) & 137438953471))
+        |             & 4503599627370495)
+        |          + (((h >> 26) * (((2 * p.i + 1) * 25214903917) & 137438953471))
+        |             & 67108863) * 67108864
+        |          + p.i * 2654435769) & 4503599627370495 AS hp
+        |  FROM h0, range(16) p(i)
+        |), sig AS (
+        |  SELECT source, perm, min(hp) AS sig FROM hv GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.source AS group_a, b.source AS group_b,
+        |         CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM sig a JOIN sig b ON a.perm = b.perm AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT group_a, group_b, n_match,
+        |       round(CAST(n_match AS DOUBLE) / 16, 6) AS est_jaccard
+        |FROM pairs ORDER BY group_a, group_b""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
@@ -7084,6 +7175,229 @@ object SparkEntry {
         |       round(median_b - median_a, 6) + 0.0e0 AS median_diff,
         |       round(p90_b - p90_a, 6) + 0.0e0 AS p90_diff
         |FROM piv""".stripMargin,
+
+    // SRM replay: distinct users, md5 coin, (n_a−n_b)²/(n_a+n_b) with
+    // the integer numerator, 1-df 5% critical value 3.841.
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |), a AS (
+        |  SELECT ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), s AS (
+        |  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+        |  FROM a
+        |)
+        |SELECT n_a, n_b,
+        |       CASE WHEN n_a + n_b > 0 THEN
+        |         round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |               / CAST(n_a + n_b AS DOUBLE), 6) END AS chi2,
+        |       coalesce(CASE WHEN n_a + n_b > 0 THEN
+        |         CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |           / CAST(n_a + n_b AS DOUBLE) > 3.841 END, false) AS srm
+        |FROM s""".stripMargin,
+
+    // DiD replay: per-user pre/post grid sums, md5 coin, change scores
+    // re-gridded at 6dp, per-arm decimal moments, Welch z on the change
+    // scores — the engine's exact operation order.
+    "q_ab_did" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    round(coalesce(CAST(sum(CASE WHEN day(ts) <= 15
+        |        THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE),
+        |      0.0), 6) AS x,
+        |    round(coalesce(CAST(sum(CASE WHEN NOT (day(ts) <= 15)
+        |        THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE),
+        |      0.0), 6) AS y
+        |  FROM events GROUP BY 1
+        |), ua AS (
+        |  SELECT *,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm,
+        |    round(y - x, 6) AS dd
+        |  FROM u
+        |), byarm AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(dd AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |         CAST(sum(CAST(dd AS DECIMAL(19,6)) * CAST(dd AS DECIMAL(19,6)))
+        |              AS DOUBLE) AS sdd
+        |  FROM ua GROUP BY arm
+        |), piv AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n_arm END) AS n_a,
+        |         max(CASE WHEN arm = 1 THEN n_arm END) AS n_b,
+        |         max(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+        |         max(CASE WHEN arm = 1 THEN sx END) AS sx_b,
+        |         max(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+        |         max(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+        |         max(CASE WHEN arm = 0 THEN sd END) AS sd_a,
+        |         max(CASE WHEN arm = 1 THEN sd END) AS sd_b,
+        |         max(CASE WHEN arm = 0 THEN sdd END) AS sdd_a,
+        |         max(CASE WHEN arm = 1 THEN sdd END) AS sdd_b
+        |  FROM byarm
+        |), f AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        |  FROM piv
+        |), g AS (
+        |  SELECT *, sd_a / na AS ma, sd_b / nb AS mb,
+        |         sqrt((na * sdd_a - sd_a * sd_a) / (na * (na - 1.0)) / na
+        |              + (nb * sdd_b - sd_b * sd_b) / (nb * (nb - 1.0)) / nb) AS se
+        |  FROM f
+        |)
+        |SELECT n_a, n_b,
+        |       round(sx_a / na, 6) + 0.0e0 AS pre_a,
+        |       round(sy_a / na, 6) + 0.0e0 AS post_a,
+        |       round(sx_b / nb, 6) + 0.0e0 AS pre_b,
+        |       round(sy_b / nb, 6) + 0.0e0 AS post_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |            THEN round(mb - ma, 6) + 0.0e0 END AS did,
+        |       CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+        |            THEN round((mb - ma) / se, 6) + 0.0e0 END AS z,
+        |       coalesce(CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+        |                     THEN abs((mb - ma) / se) > 1.96 END,
+        |                false) AS significant
+        |FROM g""".stripMargin,
+
+    // BH-FDR replay: distinct-(user, type) conversions, per-metric
+    // pooled z on the 6dp grid, the A-S 26.2.17 tail polynomial
+    // (identical literals and parenthesization to the engine), step-up
+    // adjustment as a running window min over (p, metric) order.
+    "q_ab_fdr" ->
+      """WITH au AS (SELECT DISTINCT user_id FROM events
+        |), ua AS (
+        |  SELECT user_id,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM au
+        |), tot AS (
+        |  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+        |  FROM ua
+        |), uc AS (
+        |  SELECT DISTINCT user_id, event_type AS metric FROM events
+        |), km AS (
+        |  SELECT metric,
+        |         CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS k_a,
+        |         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS k_b
+        |  FROM uc JOIN ua USING (user_id) GROUP BY metric
+        |), zt AS (
+        |  SELECT metric, k_a, k_b, n_a, n_b,
+        |         CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |         CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |         CAST(k_a + k_b AS DOUBLE)
+        |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM km CROSS JOIN tot
+        |), z6 AS (
+        |  SELECT metric, k_a, k_b,
+        |         CASE WHEN n_a > 0 AND n_b > 0 AND
+        |                   sqrt(pp * (1.0 - pp)
+        |                        * (1.0 / CAST(n_a AS DOUBLE)
+        |                           + 1.0 / CAST(n_b AS DOUBLE))) > 0
+        |              THEN round((pa - pb)
+        |                     / sqrt(pp * (1.0 - pp)
+        |                            * (1.0 / CAST(n_a AS DOUBLE)
+        |                               + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |              ELSE 0.0 END AS z
+        |  FROM zt
+        |), pv AS (
+        |  SELECT metric, k_a, k_b, z,
+        |         round(least(2.0 * (0.3989422804014327
+        |             * exp(-0.5 * abs(z) * abs(z))
+        |             * (t * (0.319381530 + t * (-0.356563782
+        |                + t * (1.781477937 + t * (-1.821255978
+        |                + t * 1.330274429)))))), 1.0), 6) AS p
+        |  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM z6)
+        |), bh AS (
+        |  SELECT *, row_number() OVER (ORDER BY p, metric) AS i,
+        |         count(*) OVER () AS m
+        |  FROM pv
+        |), adj AS (
+        |  SELECT *,
+        |         round(least(min(p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE))
+        |             OVER (ORDER BY p, metric
+        |                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+        |           1.0), 6) AS p_adj
+        |  FROM bh
+        |)
+        |SELECT metric, k_a, k_b, z + 0.0e0 AS z, p, p_adj,
+        |       p_adj <= 0.05 AS rejected
+        |FROM adj ORDER BY metric""".stripMargin,
+
+    // Bayesian-bootstrap replay: per-user grid metric, md5 coin, 40
+    // hash-derived exponential weights per user (−ln of the 52-bit md5
+    // uniform, 6dp grid), weighted arm means through exact decimal
+    // folds, paired replicate diffs, order statistics at ranks 2/39.
+    "q_ab_bootstrap" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    round(coalesce(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                        AS DOUBLE), 0.0), 6) AS m
+        |  FROM events GROUP BY 1
+        |), ua AS (
+        |  SELECT *,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), reps AS (
+        |  SELECT ua.user_id, ua.m, ua.arm, CAST(p.i AS INT) AS r
+        |  FROM ua, range(40) p(i)
+        |), h AS (
+        |  SELECT arm, r, m,
+        |         CAST(list_sum(list_transform(range(13), j ->
+        |           (CAST(strpos('0123456789abcdef',
+        |               substr(md5(CAST(user_id AS VARCHAR) || '#'
+        |                          || CAST(r AS VARCHAR)),
+        |                      CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+        |           * (CAST(1 AS BIGINT) << CAST(4*(12-j) AS INT)))) AS BIGINT)
+        |           AS h52
+        |  FROM reps
+        |), w AS (
+        |  SELECT arm, r, m,
+        |         round(-ln((CAST(h52 AS DOUBLE) + 0.5)
+        |                   / 4503599627370496.0), 6) AS w
+        |  FROM h
+        |), rm AS (
+        |  SELECT arm, r,
+        |         round(CAST(sum(CAST(w AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)))
+        |                    AS DOUBLE)
+        |               / CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS mean_r
+        |  FROM w GROUP BY 1, 2
+        |), df AS (
+        |  SELECT r,
+        |         round(max(CASE WHEN arm = 1 THEN mean_r END)
+        |               - max(CASE WHEN arm = 0 THEN mean_r END), 6) + 0.0e0 AS d
+        |  FROM rm GROUP BY r
+        |), ci AS (
+        |  SELECT max(CASE WHEN rn = 2 THEN d END) AS diff_lo,
+        |         max(CASE WHEN rn = 39 THEN d END) AS diff_hi
+        |  FROM (SELECT d, row_number() OVER (ORDER BY d, r) AS rn FROM df)
+        |), pt AS (
+        |  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6))) FILTER (WHERE arm = 0)
+        |              AS DOUBLE) AS sm_a,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6))) FILTER (WHERE arm = 1)
+        |              AS DOUBLE) AS sm_b
+        |  FROM ua
+        |)
+        |SELECT n_a, n_b,
+        |       round(sm_a / CAST(n_a AS DOUBLE), 6) + 0.0e0 AS mean_a,
+        |       round(sm_b / CAST(n_b AS DOUBLE), 6) + 0.0e0 AS mean_b,
+        |       round(sm_b / CAST(n_b AS DOUBLE)
+        |             - sm_a / CAST(n_a AS DOUBLE), 6) + 0.0e0 AS diff,
+        |       diff_lo, diff_hi,
+        |       (diff_lo > 0 OR diff_hi < 0) AS significant
+        |FROM pt CROSS JOIN ci""".stripMargin,
 
     // Latency replay: the q_funnel chain, floored-epoch deltas per
     // transition, rank windows, conditional max at the integer ranks.

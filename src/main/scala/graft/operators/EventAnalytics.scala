@@ -825,6 +825,277 @@ object EventAnalytics {
         round(col("p90_b") - col("p90_a"), 6).as("p90_diff"))
   }
 
+  /** Sample-ratio-mismatch check (the experimentation-quality gate every
+    * A/B readout should run FIRST): chi-square goodness of fit of the
+    * observed arm sizes against the designed 50/50 split. For two arms
+    * the statistic collapses to (n_a − n_b)²/(n_a + n_b) — integer
+    * numerator, one division — flagged at the 1-df 5% critical value
+    * 3.841. An SRM flag means the assignment or logging pipeline is
+    * biased and every downstream significance claim is void (Fabijan et
+    * al., "Diagnosing Sample Ratio Mismatch", KDD 2019). Same md5 coin
+    * as [[abTest]], so this audits exactly the assignment the other
+    * readouts use.
+    */
+  def srmCheck(
+      events: DataFrame,
+      userCol: String,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val users = events.select(col(userCol)).distinct().withColumn("arm", arm)
+    val agg = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val d = col("n_a") - col("n_b")
+    val chi2 = (d * d).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") + col("n_b") > 0, round(chi2, 6)).as("chi2"),
+      coalesce(when(col("n_a") + col("n_b") > 0, chi2 > 3.841), lit(false))
+        .as("srm"))
+  }
+
+  /** Difference-in-differences on the per-user panel: the causal rung
+    * for settings where the "pre" period is observed for everyone and
+    * the treatment lands only in "post" (Card & Krueger 1994 is the
+    * canonical design). With both periods observed per user this is a
+    * Welch z on the per-user CHANGE score d_u = post_u − pre_u between
+    * the md5 arms: effect = mean(d_B) − mean(d_A) = the DiD estimand,
+    * and differencing removes every time-invariant user effect the
+    * plain post-only comparison confounds.
+    *
+    * Portability: per-user pre/post sums on the 6dp grid (the
+    * [[cupedTest]] staging), change scores re-gridded at 6dp, per-arm
+    * decimal moments, one fixed-order IEEE assembly. Scale shape: one
+    * user-grain aggregation, then an 2-row arm aggregate — no window
+    * over users, no driver state.
+    */
+  def didTest(
+      events: DataFrame,
+      userCol: String,
+      valueCol: String,
+      prePred: Column,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val dec6 = "decimal(18,6)"
+    val users = events
+      .groupBy(col(userCol))
+      .agg(
+        round(coalesce(sum(when(prePred,
+          round(col(valueCol), 6).cast(dec6))).cast("double"), lit(0.0)), 6).as("x"),
+        round(coalesce(sum(when(!prePred,
+          round(col(valueCol), 6).cast(dec6))).cast("double"), lit(0.0)), 6).as("y"))
+      .withColumn("arm", arm)
+      .withColumn("dd", round(col("y") - col("x"), 6))
+    val byArm = users.groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_arm"),
+        sum(col("x").cast(dec6)).cast("double").as("sx"),
+        sum(col("y").cast(dec6)).cast("double").as("sy"),
+        sum(col("dd").cast(dec6)).cast("double").as("sd"),
+        // (18,6)x(18,6) -> exact decimal(37,12); the 19-width INT128
+        // forcing is the DuckDB-side trick only (Spark at p=39 would
+        // take the precision-loss path and trim the scale).
+        sum(col("dd").cast(dec6) * col("dd").cast(dec6))
+          .cast("double").as("sdd"))
+    val p = byArm.agg(
+      max(when(col("arm") === 0, col("n_arm"))).as("n_a"),
+      max(when(col("arm") === 1, col("n_arm"))).as("n_b"),
+      max(when(col("arm") === 0, col("sx"))).as("sx_a"),
+      max(when(col("arm") === 1, col("sx"))).as("sx_b"),
+      max(when(col("arm") === 0, col("sy"))).as("sy_a"),
+      max(when(col("arm") === 1, col("sy"))).as("sy_b"),
+      max(when(col("arm") === 0, col("sd"))).as("sd_a"),
+      max(when(col("arm") === 1, col("sd"))).as("sd_b"),
+      max(when(col("arm") === 0, col("sdd"))).as("sdd_a"),
+      max(when(col("arm") === 1, col("sdd"))).as("sdd_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sd_a") / na; val mb = col("sd_b") / nb
+    val va = (na * col("sdd_a") - col("sd_a") * col("sd_a")) / (na * (na - lit(1.0)))
+    val vb = (nb * col("sdd_b") - col("sd_b") * col("sd_b")) / (nb * (nb - lit(1.0)))
+    val se = sqrt(va / na + vb / nb)
+    val eff = mb - ma
+    p.select(
+      col("n_a"), col("n_b"),
+      round(col("sx_a") / na, 6).as("pre_a"),
+      round(col("sy_a") / na, 6).as("post_a"),
+      round(col("sx_b") / nb, 6).as("pre_b"),
+      round(col("sy_b") / nb, 6).as("post_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(eff, 6)).as("did"),
+      when(col("n_a") > 1 && col("n_b") > 1 && se > 0,
+        round(eff / se, 6)).as("z"),
+      coalesce(when(col("n_a") > 1 && col("n_b") > 1 && se > 0,
+        abs(eff / se) > 1.96), lit(false)).as("significant"))
+  }
+
+  /** Abramowitz & Stegun 26.2.17 upper-tail normal probability — the
+    * polynomial-in-1/(1+0.2316419z) approximation (|ε| < 7.5e-8), built
+    * from arithmetic plus exp only, so BOTH engines replay the
+    * identical formula (neither ships erf; the fixed literal
+    * 0.3989422804014327 is 1/√(2π), avoiding a cross-engine sqrt).
+    * Input must be the 6dp-gridded |z| so the two engines exp the SAME
+    * double; the caller rounds the result back to a grid.
+    */
+  private def normUpperTail(zAbs: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * zAbs)
+    val poly = t * (lit(0.319381530)
+      + t * (lit(-0.356563782)
+      + t * (lit(1.781477937)
+      + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    lit(0.3989422804014327) * exp(lit(-0.5) * zAbs * zAbs) * poly
+  }
+
+  /** Benjamini-Hochberg FDR over the per-metric A/B family (Benjamini &
+    * Hochberg 1995): ONE experiment read on MANY metrics — here each
+    * event type's user-conversion rate — inflates false positives
+    * linearly in the metric count; BH adjusts the per-metric p-values
+    * so the expected false-discovery fraction stays at q. Per metric:
+    * the [[abTest]] pooled two-proportion z (users who did ≥1 event of
+    * that type), two-sided p via [[normUpperTail]] on the 6dp-gridded
+    * |z|, then the step-up adjustment p̃_(i) = min_{j≥i}(p_(j)·m/j)
+    * capped at 1 — a running min over the (p, metric)-ordered family,
+    * replayed by a window frame in both engines. `rejected` applies the
+    * conventional q = 0.05.
+    *
+    * Scale shape: one distinct-(user, type) pass, one user-grain arm
+    * table, per-metric counts joined to a broadcast one-row arm total;
+    * the BH window runs over the metric-count-sized family table.
+    */
+  def fdrAdjust(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      salt: String = "ab",
+      q: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    // ONE fact scan: the (user, metric) census is the only events read;
+    // the user universe (every user has >= 1 event) derives from it.
+    val uc = events.select(col(userCol), col(typeCol).as("metric")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val users = uc.select(col(userCol)).distinct().withColumn("arm", arm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val conv0 = uc
+      .join(users, Seq(userCol))
+      .groupBy(col("metric"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("k_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("k_b"))
+      .crossJoin(broadcast(totals))
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val pA = col("k_a").cast("double") / nA
+    val pB = col("k_b").cast("double") / nB
+    val pPool = (col("k_a") + col("k_b")).cast("double") / (nA + nB)
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nA + lit(1.0) / nB))
+    val zed = conv0.withColumn("z",
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        round((pA - pB) / se, 6)).otherwise(lit(0.0)))
+    val withP = zed.withColumn("p",
+      round(least(lit(2.0) * normUpperTail(abs(col("z"))), lit(1.0)), 6))
+    val wOrd = Window.orderBy(col("p"), col("metric"))
+    val wAll = Window.orderBy(col("p"), col("metric"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val m = Window.partitionBy()
+    val adj = withP
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("__raw",
+        col("p") * col("__m").cast("double") / col("__i").cast("double"))
+      .withColumn("p_adj",
+        round(least(min(col("__raw")).over(wAll), lit(1.0)), 6))
+    adj.select(col("metric"), col("k_a"), col("k_b"), col("z"), col("p"),
+        col("p_adj"), (col("p_adj") <= q).as("rejected"))
+  }
+
+  /** Portable Bayesian-bootstrap A/B confidence interval (Rubin 1981):
+    * each replicate draws per-user exponential(1) weights and reads the
+    * weighted mean per arm — the smooth bootstrap that needs no
+    * resampling counts, so the whole procedure is ONE deterministic
+    * hash formula both engines replay: u = (h52(md5(user || '#' || r))
+    * + 0.5)/2^52 ∈ (0,1), w = −ln(u) rounded to the 6dp grid (ln is in
+    * both engines; products stage through decimal, so every replicate
+    * mean is an exact-fold ratio). The B−A difference is paired by
+    * replicate; its CI is the 2.5%/97.5% order statistics at integer
+    * ranks over the `reps` replicate diffs (trim⌊0.025·reps⌋ from each
+    * side — the [[funnelLatency]] rank convention), and `significant`
+    * reads "the CI excludes 0". Distribution-free on the sampling side
+    * (no normality assumed), unlike the Welch readouts above.
+    *
+    * Scale shape: the user table fans out ×reps with map-side partial
+    * aggregation into (arm, r) — 2·reps groups — then order statistics
+    * over a reps-row table. No collect, no RNG state.
+    */
+  def bootstrapTest(
+      events: DataFrame,
+      userCol: String,
+      valueCol: String,
+      reps: Int = 40,
+      salt: String = "ab"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 20 && reps <= 1000, s"reps in [20,1000], got $reps")
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val dec6 = "decimal(18,6)"
+    // Persisted: the replicate fan-out AND the point-estimate pass both
+    // read the user-grain table (the r15 plan-audit rule: a full-fact
+    // aggregate with two consumers materializes once).
+    val users = events
+      .groupBy(col(userCol))
+      .agg(round(coalesce(sum(round(col(valueCol), 6).cast(dec6))
+        .cast("double"), lit(0.0)), 6).as("m"))
+      .withColumn("arm", arm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h52 = conv(substring(md5(concat(col(userCol).cast("string"),
+      lit("#"), col("r").cast("string"))), 1, 13), 16, 10).cast("long")
+    val weighted = users
+      .select(col(userCol), col("m"), col("arm"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .withColumn("u",
+        (h52.cast("double") + lit(0.5)) / lit(4503599627370496.0))
+      .withColumn("w", round(-log(col("u")), 6))
+    val repMeans = weighted.groupBy(col("arm"), col("r"))
+      .agg(
+        // (18,6)x(18,6) -> exact decimal(37,12) on the Spark side; the
+        // oracle forces DuckDB's INT128 lane with width-19 casts.
+        sum(col("w").cast(dec6) * col("m").cast(dec6)).cast("double").as("swm"),
+        sum(col("w").cast(dec6)).cast("double").as("sw"))
+      .withColumn("mean_r", round(col("swm") / col("sw"), 6))
+    val diffs = repMeans.groupBy(col("r"))
+      .agg(
+        max(when(col("arm") === 0, col("mean_r"))).as("ma"),
+        max(when(col("arm") === 1, col("mean_r"))).as("mb"))
+      .withColumn("d", round(col("mb") - col("ma"), 6))
+    val trim = (0.025 * reps).toInt
+    val loRn = trim + 1
+    val hiRn = reps - trim
+    val wOrd = Window.orderBy(col("d"), col("r"))
+    val ci = diffs
+      .withColumn("rn", row_number().over(wOrd))
+      .agg(
+        max(when(col("rn") === loRn, col("d"))).as("diff_lo"),
+        max(when(col("rn") === hiRn, col("d"))).as("diff_hi"))
+    val point = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_arm"),
+        sum(col("m").cast(dec6)).cast("double").as("sm"))
+      .agg(
+        max(when(col("arm") === 0, col("n_arm"))).as("n_a"),
+        max(when(col("arm") === 1, col("n_arm"))).as("n_b"),
+        max(when(col("arm") === 0, col("sm"))).as("sm_a"),
+        max(when(col("arm") === 1, col("sm"))).as("sm_b"))
+    point.crossJoin(ci).select(
+      col("n_a"), col("n_b"),
+      round(col("sm_a") / col("n_a").cast("double"), 6).as("mean_a"),
+      round(col("sm_b") / col("n_b").cast("double"), 6).as("mean_b"),
+      round(col("sm_b") / col("n_b").cast("double")
+        - col("sm_a") / col("n_a").cast("double"), 6).as("diff"),
+      col("diff_lo"), col("diff_hi"),
+      (col("diff_lo") > 0 || col("diff_hi") < 0).as("significant"))
+  }
+
   /** Daily success rate with a Wilson 95% score interval — the
     * uncertainty-honest way to chart a conversion/failure rate: the
     * interval stays inside [0,1] and behaves at small n where the

@@ -395,6 +395,121 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(t0.getDouble(4) == 0.0, s"tied effect must be 0, got $t0")
   }
 
+  test("srmCheck: chi2 identity from arm counts; balanced coin passes, forced skew flags") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    val ids = (1L to 200L).toSeq
+    val got = EventAnalytics.srmCheck(
+      ids.map(i => Tuple1(i)).toDF("user_id"), "user_id").collect().head
+    val (na, nb) = (got.getLong(0), got.getLong(1))
+    assert(na == ids.count(armOf(_) == 0L) && nb == ids.count(armOf(_) == 1L))
+    val want = BigDecimal((na - nb).toDouble * (na - nb) / (na + nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(2) == want, s"chi2 identity: $got")
+    assert(got.getBoolean(3) == (((na - nb).toDouble * (na - nb) / (na + nb)) > 3.841))
+    // Forced skew: drop most of arm 1 (simulating a biased logger) —
+    // the gate must flag. Keep arm-0 users plus 2 arm-1 users.
+    val skewed = ids.filter(armOf(_) == 0L) ++ ids.filter(armOf(_) == 1L).take(2)
+    val s = EventAnalytics.srmCheck(
+      skewed.map(i => Tuple1(i)).toDF("user_id"), "user_id").collect().head
+    assert(s.getBoolean(3), s"90/2 split must flag SRM: $s")
+  }
+
+  test("didTest: recovers the exact planted treatment effect; change scores kill user effects") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // Per-user baseline b_i varies wildly (the confound DiD removes);
+    // post = pre + trend + effect·arm, trend = 7, effect = 5, plus a
+    // small per-user wobble so arm variances are nonzero.
+    val ids = (1L to 80L).toSeq
+    val rows = ids.flatMap { i =>
+      val b = (i % 11).toDouble * 50.0
+      val wobble = (i % 3).toDouble * 0.5
+      val eff = if (armOf(i) == 1L) 5.0 else 0.0
+      Seq((i, ts(5), b), (i, ts(20), b + 7.0 + eff + wobble))
+    }.toDF("user_id", "ts", "value")
+    val got = EventAnalytics.didTest(rows, "user_id", "value",
+      dayofmonth(col("ts")) <= 15).collect().head
+    val (na, nb) = (got.getLong(0), got.getLong(1))
+    assert(na + nb == 80L && na > 0 && nb > 0)
+    // Exact expected DiD from the fixture's change scores.
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    val dA = ids.filter(armOf(_) == 0L).map(i => 7.0 + (i % 3).toDouble * 0.5)
+    val dB = ids.filter(armOf(_) == 1L).map(i => 12.0 + (i % 3).toDouble * 0.5)
+    val want = BigDecimal(mean(dB) - mean(dA))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.getDouble(6) - want) < 2e-6, s"did: ${got.getDouble(6)} vs $want")
+    assert(got.getBoolean(8), "a 5-unit effect on sub-unit wobble must be significant")
+    // pre means ignore the arm effect entirely (it lands in post only)
+    assert(math.abs(got.getDouble(2) - mean(ids.filter(armOf(_) == 0L)
+      .map(i => (i % 11).toDouble * 50.0))) < 1e-6)
+  }
+
+  test("fdrAdjust: BH bounds hold; a planted arm-only metric is rejected, noise is not") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    val ids = (1L to 120L).toSeq
+    // 'everyone' fires for all users (z = 0, p = 1); 'treat_only' fires
+    // only in arm 1 (huge |z|, tiny p); 'coin' fires for a user-id
+    // parity subset uncorrelated with the md5 arm.
+    val rows = ids.flatMap { i =>
+      Seq((i, "everyone")) ++
+        (if (armOf(i) == 1L) Seq((i, "treat_only")) else Nil) ++
+        (if (i % 2 == 0L) Seq((i, "coin")) else Nil)
+    }.toDF("user_id", "event_type")
+    val got = EventAnalytics.fdrAdjust(rows, "user_id", "event_type")
+      .orderBy("metric").collect()
+    assert(got.length == 3)
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    // BH sanity on every row: p in [0,1], p_adj in [p, 1].
+    got.foreach { r =>
+      val (p, padj) = (r.getDouble(4), r.getDouble(5))
+      assert(p >= 0.0 && p <= 1.0 && padj >= p - 1e-9 && padj <= 1.0, s"$r")
+    }
+    assert(byName("everyone").getDouble(3) == 0.0, "all-converted metric has z = 0")
+    assert(byName("everyone").getDouble(4) >= 0.999, "z = 0 must give p ~ 1")
+    assert(byName("treat_only").getBoolean(6), "the arm-only metric must be rejected")
+    assert(!byName("everyone").getBoolean(6))
+    assert(!byName("coin").getBoolean(6), "parity metric is arm-independent noise")
+  }
+
+  test("bootstrapTest: degenerate CI on constant metric; planted shift is detected") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    val ids = (1L to 100L).toSeq
+    // Constant metric: every weighted mean is exactly the constant, so
+    // the CI collapses to [0, 0] and nothing is significant.
+    val const = ids.map(i => (i, 7.25)).toDF("user_id", "value")
+    val c = EventAnalytics.bootstrapTest(const, "user_id", "value").collect().head
+    assert(c.getDouble(2) == 7.25 && c.getDouble(3) == 7.25)
+    assert(c.getDouble(5) == 0.0 && c.getDouble(6) == 0.0 && !c.getBoolean(7))
+    // Planted +50 shift on arm 1 over small per-user wobble: the CI
+    // must exclude 0 and bracket the true diff.
+    val shifted = ids.map { i =>
+      val base = (i % 5).toDouble
+      (i, if (armOf(i) == 1L) base + 50.0 else base)
+    }.toDF("user_id", "value")
+    val s = EventAnalytics.bootstrapTest(shifted, "user_id", "value").collect().head
+    assert(s.getBoolean(7), s"a +50 shift must be significant: $s")
+    assert(s.getDouble(5) > 40.0 && s.getDouble(6) < 60.0,
+      s"CI must bracket the planted 50: $s")
+    assert(s.getDouble(5) <= s.getDouble(4) && s.getDouble(4) <= s.getDouble(6),
+      "point diff inside the CI")
+  }
+
   test("cupedTest: exact theta on a linear metric, full variance kill, arm-agnostic") {
     def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
     // One pre event (day 5, value i) and one post event (day 20, value
