@@ -2692,6 +2692,24 @@ object SparkEntry {
       graft.operators.CorpusStats.zipfFit(
           t(s, d, "documents"), "text", topN = 100)),
 
+    // Heaps'-law vocabulary-growth fit (r15b): OLS of ln(vocab) on
+    // ln(tokens) over 20 integer doc-id prefixes — β ≈ 0.4-0.6 for
+    // natural text, ~1 for open-vocabulary noise, ~0 for templates.
+    // No global window: grid bucketing + first-occurrence census +
+    // bounded cumsum.
+    "q_heaps_fit" -> ((s, d) =>
+      graft.operators.CorpusStats.heapsFit(
+          t(s, d, "documents"), "doc_id", "text", buckets = 20)),
+
+    // Hapax / Good-Turing unseen-mass report (r15b): per source, V1/N
+    // (the Turing estimate of next-token-unseen probability) and the
+    // hapax ratio V1/V — the open-vocabulary noise signal. Pure census
+    // arithmetic.
+    "q_hapax" -> ((s, d) =>
+      graft.operators.CorpusStats.hapaxStats(
+          t(s, d, "documents"), "source", "text")
+        .orderBy("source")),
+
     // Cross-source n-gram overlap matrix (r15): per ordered source
     // pair, containment of A's distinct 3-gram vocabulary in B plus
     // symmetric Jaccard — the "which sources mirror which" forensics
@@ -9180,6 +9198,86 @@ object SparkEntry {
         |       CASE WHEN den > 0 AND deny > 0
         |            THEN round((num * num) / (den * deny), 6) END AS r2
         |FROM f""".stripMargin,
+
+    // Heaps replay: integer-grid prefix buckets (double-floor formula
+    // mirrored literally), first-occurrence census, bounded cumsum,
+    // 12dp decimal moment staging — the zipf assembly on (lnT, lnV).
+    "q_heaps_fit" ->
+      """WITH ids AS (
+        |  SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+        |         CAST(max(doc_id) AS BIGINT) AS hi
+        |  FROM documents
+        |), tb AS (
+        |  SELECT least(20, CAST(floor(CAST((doc_id - lo) * 20 AS DOUBLE)
+        |             / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) + 1) AS b,
+        |         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS toks
+        |  FROM documents, ids GROUP BY 1
+        |), fo AS (
+        |  SELECT tok, min(doc_id) AS first_id FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |), vb AS (
+        |  SELECT least(20, CAST(floor(CAST((first_id - lo) * 20 AS DOUBLE)
+        |             / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) + 1) AS b,
+        |         CAST(count(*) AS BIGINT) AS newv
+        |  FROM fo, ids GROUP BY 1
+        |), pts0 AS (
+        |  SELECT coalesce(tb.b, vb.b) AS b,
+        |         coalesce(toks, 0) AS toks, coalesce(newv, 0) AS newv
+        |  FROM tb FULL JOIN vb ON tb.b = vb.b
+        |), cum AS (
+        |  SELECT sum(toks) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND CURRENT ROW) AS t_cum,
+        |         sum(newv) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND CURRENT ROW) AS v_cum
+        |  FROM pts0
+        |), pts AS (
+        |  SELECT ln(CAST(t_cum AS DOUBLE)) AS x, ln(CAST(v_cum AS DOUBLE)) AS y
+        |  FROM cum WHERE t_cum > 0 AND v_cum > 0
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM pts
+        |), f AS (
+        |  SELECT n,
+        |         CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |         CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |         CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |         sx, sy, CAST(n AS DOUBLE) AS nd
+        |  FROM mom
+        |)
+        |SELECT n AS n_points,
+        |       CASE WHEN den > 0 THEN round(num / den, 6) + 0.0e0 END AS beta,
+        |       CASE WHEN den > 0
+        |            THEN round((sy - (num / den) * sx) / nd, 6) + 0.0e0
+        |       END AS intercept,
+        |       CASE WHEN den > 0 AND deny > 0
+        |            THEN round((num * num) / (den * deny), 6) END AS r2
+        |FROM f""".stripMargin,
+
+    // Hapax replay: per-(source, token) census, integer folds, two
+    // exact count divisions.
+    "q_hapax" ->
+      """WITH census AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok
+        |)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(c) AS DOUBLE), 6) AS unseen_mass,
+        |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM census GROUP BY source ORDER BY source""".stripMargin,
 
     // Overlap replay: distinct string 3-grams per source (set counts ==
     // the engine's hashed-gram sets), gram equi-join, size joins.

@@ -582,6 +582,109 @@ object CorpusStats {
         round((num * num) / (den * deny), 6)).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978) — the companion
+    * diagnostic to [[zipfFit]]: distinct vocabulary V grows as K·T^β
+    * in corpus tokens T (β ≈ 0.4-0.6 for natural text); β near 1 flags
+    * an open-ended/noisy vocabulary (OCR garbage, serial numbers), β
+    * near 0 a templated corpus. Fit by OLS of ln(V) on ln(T) over
+    * `buckets` doc-id prefixes.
+    *
+    * Scale shape — NO global window: prefixes are an integer doc-id
+    * grid, bucket(doc) = (doc_id − min_id)·buckets ÷ width + 1 (pure
+    * integer ops both engines share). Per-bucket token sums and
+    * first-occurrence counts (min doc-id per distinct token — ONE
+    * census shuffle) cumsum over the `buckets`-row bounded table, and
+    * the regression folds 12dp-rounded ln products through exact
+    * decimals (the [[zipfFit]] staging). Empty prefixes drop out.
+    */
+  def heapsFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 4 && buckets <= 1000, s"buckets in [4,1000], got $buckets")
+    val ids = df.agg(min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi"))
+    // Double-floor bucketing mirrored literally by the oracle (exact
+    // while (id span)·buckets < 2^53 — the bounded-input posture the
+    // rank/tie operators already document).
+    val bucketOf = (d: Column) =>
+      least(lit(buckets.toLong),
+        floor(((d - col("lo")) * buckets).cast("double")
+          / (col("hi") - col("lo") + lit(1L)).cast("double")).cast("long")
+          + lit(1L))
+    // Per-bucket token counts: row-local kernel, one small aggregate.
+    val tokPerBucket = df.crossJoin(broadcast(ids))
+      .select(bucketOf(col(idCol).cast("long")).as("b"),
+        graft.plans.HashExpressions.tokenCount(col(textCol)).cast("long").as("nt"))
+      .groupBy(col("b")).agg(sum(col("nt")).as("toks"))
+    // First occurrence of each distinct token: the one census shuffle.
+    val vocabPerBucket = df.select(col(idCol).cast("long").as("__id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("__id")).as("first_id"))
+      .crossJoin(broadcast(ids))
+      .groupBy(bucketOf(col("first_id")).as("b"))
+      .agg(count(lit(1)).as("newv"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokPerBucket.join(vocabPerBucket, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("newv"), lit(0L)).as("newv"))
+      .withColumn("t_cum", sum(col("toks")).over(w))
+      .withColumn("v_cum", sum(col("newv")).over(w))
+      .filter(col("t_cum") > 0 && col("v_cum") > 0)
+      .select(log(col("t_cum").cast("double")).as("x"),
+        log(col("v_cum").cast("double")).as("y"))
+    val dec12 = "decimal(38,12)"
+    val mom = pts.agg(
+      count(lit(1)).as("n"),
+      sum(round(col("x"), 12).cast(dec12)).cast("double").as("sx"),
+      sum(round(col("y"), 12).cast(dec12)).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 12).cast(dec12)).cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 12).cast(dec12)).cast("double").as("sxx"),
+      sum(round(col("y") * col("y"), 12).cast(dec12)).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    mom.select(
+      col("n").as("n_points"),
+      when(den > 0, round(num / den, 6)).as("beta"),
+      when(den > 0,
+        round((col("sy") - (num / den) * col("sx")) / nD, 6)).as("intercept"),
+      when(den > 0 && deny > 0,
+        round((num * num) / (den * deny), 6)).as("r2"))
+  }
+
+  /** Hapax / unseen-mass report per source (Good 1953): V1/N — the
+    * Turing estimate of the probability the NEXT token is unseen — and
+    * the hapax ratio V1/V. High unseen mass flags open-vocabulary noise
+    * (OCR damage, identifiers, boilerplate churn) that dedup and LM
+    * censuses both suffer under; low mass flags templated text. Pure
+    * census arithmetic: one token-census shuffle, then per-source
+    * integer folds and two exact divisions on counts.
+    */
+  def hapaxStats(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String): DataFrame = {
+    val census = df.select(col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    census.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("unseen_mass"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_ratio"))
+  }
+
   /** COUNT-THRESHOLD PRUNING for the n-gram LM censuses (the classic
     * count-cutoff of SRILM/Brants-style distributed LMs): drop census
     * rows with `n < minCount`. A pruned n-gram then scores through the

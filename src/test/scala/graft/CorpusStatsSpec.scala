@@ -558,6 +558,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got.contains(("dog", "ran")))
   }
 
+  test("heapsFit: all-new vocabulary fits beta ~ 1; closed vocabulary goes flat") {
+    // Every doc introduces 5 brand-new tokens: V = T exactly, so the
+    // log-log fit is the identity line (beta 1, r2 1) at any bucketing.
+    val open = (1L to 100L).map(i =>
+      (i, (1 to 5).map(j => s"tok_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val o = graft.operators.CorpusStats.heapsFit(open, "doc_id", "text", buckets = 10)
+      .collect().head
+    assert(o.getLong(0) == 10L, s"all 10 buckets populated: $o")
+    assert(math.abs(o.getDouble(1) - 1.0) < 1e-6, s"beta must be 1: $o")
+    assert(math.abs(o.getDouble(3) - 1.0) < 1e-6, s"r2 must be 1: $o")
+    // Closed vocabulary: every doc repeats the same 3 tokens — V is
+    // constant after the first prefix, so beta collapses toward 0.
+    val closed = (1L to 100L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val c = graft.operators.CorpusStats.heapsFit(closed, "doc_id", "text", buckets = 10)
+      .collect().head
+    assert(c.getDouble(1) >= 0.0 && c.getDouble(1) < 0.05,
+      s"closed vocab must fit near-flat: $c")
+  }
+
+  test("hapaxStats: hand census values per source") {
+    val df = Seq(
+      (1L, "A", "a a b"),        // census a:2 b:1 -> N=3 V=2 hapax=1
+      (2L, "B", "x y z"),        // all singletons -> unseen_mass 1.0
+      (3L, "B", "x y z"))        // ...doubled: zero hapax
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.CorpusStats.hapaxStats(df, "source", "text")
+      .orderBy("source").collect()
+    val a = got(0)
+    assert(a.getString(0) == "A" && a.getLong(1) == 3L && a.getLong(2) == 2L
+      && a.getLong(3) == 1L)
+    assert(a.getDouble(4) == 0.333333 && a.getDouble(5) == 0.5)
+    val b = got(1)
+    assert(b.getString(0) == "B" && b.getLong(1) == 6L && b.getLong(2) == 3L
+      && b.getLong(3) == 0L)
+    assert(b.getDouble(4) == 0.0 && b.getDouble(5) == 0.0)
+  }
+
   test("EmbeddingStats.dispersion: collapsed group 0, spread group by hand") {
     val vecs = Seq(
       (1L, 0, Array(1.0f, 0.0f)),
