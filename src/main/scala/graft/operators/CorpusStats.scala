@@ -614,15 +614,21 @@ object CorpusStats {
         floor(((d - col("lo")) * buckets).cast("double")
           / (col("hi") - col("lo") + lit(1L)).cast("double")).cast("long")
           + lit(1L))
-    // Per-bucket token counts: row-local kernel, one small aggregate.
-    val tokPerBucket = df.crossJoin(broadcast(ids))
+    // ONE text scan: the (bucket, token) grouped census carries both
+    // facts — token volume per bucket (sum of counts) and first
+    // occurrence per token (min over buckets of the per-bucket min id).
+    // The grouped table is vocab x buckets bounded; persisted for its
+    // two consumers (the r15 plan-audit rule).
+    val grouped = df.crossJoin(broadcast(ids))
       .select(bucketOf(col(idCol).cast("long")).as("b"),
-        graft.plans.HashExpressions.tokenCount(col(textCol)).cast("long").as("nt"))
-      .groupBy(col("b")).agg(sum(col("nt")).as("toks"))
-    // First occurrence of each distinct token: the one census shuffle.
-    val vocabPerBucket = df.select(col(idCol).cast("long").as("__id"),
+        col(idCol).cast("long").as("__id"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy(col("tok")).agg(min(col("__id")).as("first_id"))
+      .groupBy(col("b"), col("tok"))
+      .agg(count(lit(1)).as("c"), min(col("__id")).as("mid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokPerBucket = grouped.groupBy(col("b")).agg(sum(col("c")).as("toks"))
+    val vocabPerBucket = grouped
+      .groupBy(col("tok")).agg(min(col("mid")).as("first_id"))
       .crossJoin(broadcast(ids))
       .groupBy(bucketOf(col("first_id")).as("b"))
       .agg(count(lit(1)).as("newv"))
