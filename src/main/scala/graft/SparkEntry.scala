@@ -1812,6 +1812,25 @@ object SparkEntry {
           "user_id", "event_type")
         .orderBy("metric")),
 
+    // Always-valid sequential A/B (r15b, Johari et al. KDD 2017): the
+    // mSPRT mixture likelihood ratio per day over cumulative user-day
+    // moments — a p-value valid under continuous peeking, with the
+    // running-min always-valid p and the first-stop verdict.
+    "q_ab_sequential" -> ((s, d) =>
+      EventAnalytics.sequentialTest(
+          t(s, d, "events").select("user_id", "ts", "value"),
+          "user_id", "ts", "value", tau = 1.0)
+        .orderBy("day")),
+
+    // Power / minimum-detectable-effect readout (r15b): the two-sided
+    // 80%-power MDE at current arm sizes from the pooled user-metric
+    // variance — the "can this test even see the effect we care
+    // about" gate, literals only (no inverse normal).
+    "q_ab_power" -> ((s, d) =>
+      EventAnalytics.powerCheck(
+          t(s, d, "events").select("user_id", "value"),
+          "user_id", "value")),
+
     // Portable Bayesian-bootstrap CI (r15b, Rubin 1981): 40 replicates
     // of hash-derived exponential weights (−ln of the md5 uniform, 6dp
     // grid), weighted arm means through exact decimal folds, diff CI
@@ -7348,6 +7367,122 @@ object SparkEntry {
         |SELECT metric, k_a, k_b, z + 0.0e0 AS z, p, p_adj,
         |       p_adj <= 0.05 AS rejected
         |FROM adj ORDER BY metric""".stripMargin,
+
+    // mSPRT replay: user-day grid sums, md5 coin, per-(arm, day)
+    // decimal moments, prefix-window cumsums over the day table, the
+    // closed-form mixture log-likelihood on the 6dp grid, and the
+    // running-min always-valid p — the engine's exact operation order.
+    "q_ab_sequential" ->
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    round(coalesce(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                        AS DOUBLE), 0.0), 6) AS m
+        |  FROM events GROUP BY 1, 2
+        |), ua AS (
+        |  SELECT *,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM ud
+        |), byday AS (
+        |  SELECT arm, day, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(m AS DECIMAL(18,6))) AS s,
+        |         sum(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6))) AS ss
+        |  FROM ua GROUP BY 1, 2
+        |), piv AS (
+        |  SELECT day,
+        |         coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS dn_a,
+        |         coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS dn_b,
+        |         coalesce(max(CASE WHEN arm = 0 THEN s END), 0) AS ds_a,
+        |         coalesce(max(CASE WHEN arm = 1 THEN s END), 0) AS ds_b,
+        |         coalesce(max(CASE WHEN arm = 0 THEN ss END), 0) AS dss_a,
+        |         coalesce(max(CASE WHEN arm = 1 THEN ss END), 0) AS dss_b
+        |  FROM byday GROUP BY day
+        |), cum AS (
+        |  SELECT day,
+        |         CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+        |         CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+        |         CAST(sum(ds_a) OVER w AS DOUBLE) AS s_a,
+        |         CAST(sum(ds_b) OVER w AS DOUBLE) AS s_b,
+        |         CAST(sum(dss_a) OVER w AS DOUBLE) AS ss_a,
+        |         CAST(sum(dss_b) OVER w AS DOUBLE) AS ss_b
+        |  FROM piv
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)
+        |), f AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        |  FROM cum
+        |), g AS (
+        |  SELECT *, s_a / na AS ma, s_b / nb AS mb,
+        |         (na * ss_a - s_a * s_a) / (na * (na - 1.0)) / na
+        |           + (nb * ss_b - s_b * s_b) / (nb * (nb - 1.0)) / nb AS vt
+        |  FROM f
+        |), h AS (
+        |  SELECT *,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND vt > 0
+        |              THEN round(0.5 * ln(vt / (vt + 1.0))
+        |                         + (mb - ma) * (mb - ma) * 1.0
+        |                           / (2.0 * vt * (vt + 1.0)), 6)
+        |         END AS log_lambda
+        |  FROM g
+        |), k AS (
+        |  SELECT day, n_a, n_b,
+        |         CASE WHEN n_a > 0 AND n_b > 0
+        |              THEN round(mb - ma, 6) + 0.0e0 END AS diff,
+        |         log_lambda + 0.0e0 AS log_lambda,
+        |         round(min(CASE WHEN log_lambda IS NULL THEN 1.0
+        |                        WHEN log_lambda > 0 THEN exp(-log_lambda)
+        |                        ELSE 1.0 END)
+        |               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND CURRENT ROW), 6) AS p_always
+        |  FROM h
+        |)
+        |SELECT day, n_a, n_b, diff, log_lambda, p_always,
+        |       p_always <= 0.05 AS significant
+        |FROM k ORDER BY day""".stripMargin,
+
+    // Power replay: per-user grid metric, md5 coin, pooled variance
+    // from exact decimal moments, MDE with the fixed 2.801585 constant.
+    "q_ab_power" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    round(coalesce(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                        AS DOUBLE), 0.0), 6) AS m
+        |  FROM events GROUP BY 1
+        |), ua AS (
+        |  SELECT *,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), a AS (
+        |  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |         CAST(sum(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)))
+        |              AS DOUBLE) AS ss
+        |  FROM ua
+        |), f AS (
+        |  SELECT *, CAST(n AS DOUBLE) AS nd,
+        |         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |         (CAST(n AS DOUBLE) * ss - s * s)
+        |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS varp
+        |  FROM a
+        |)
+        |SELECT n_a, n_b,
+        |       round(s / nd, 6) + 0.0e0 AS mean_metric,
+        |       CASE WHEN varp > 0 THEN round(sqrt(varp), 6) END AS sd,
+        |       CASE WHEN n_a > 0 AND n_b > 0 AND varp > 0
+        |            THEN round(2.801585 * sqrt(varp * (1.0 / na + 1.0 / nb)), 6)
+        |       END AS mde_abs,
+        |       CASE WHEN n_a > 0 AND n_b > 0 AND varp > 0 AND abs(s / nd) > 0
+        |            THEN round(2.801585 * sqrt(varp * (1.0 / na + 1.0 / nb))
+        |                       / abs(s / nd), 6)
+        |       END AS mde_rel
+        |FROM f""".stripMargin,
 
     // Bayesian-bootstrap replay: per-user grid metric, md5 coin, 40
     // hash-derived exponential weights per user (−ln of the 52-bit md5

@@ -1096,6 +1096,132 @@ object EventAnalytics {
       (col("diff_lo") > 0 || col("diff_hi") < 0).as("significant"))
   }
 
+  /** Always-valid sequential A/B readout (mSPRT, Johari, Koomen,
+    * Pekelis & Walsh, KDD 2017 "Peeking at A/B tests"): the fixed-n z
+    * readouts above are invalid the moment anyone PEEKS mid-experiment;
+    * the mixture sequential probability ratio test gives a p-value
+    * that is valid at EVERY day simultaneously, so the experiment can
+    * stop the first day p falls under α. Unit is the user-day metric
+    * (per-user daily value sum — the independence caveat standard
+    * practice accepts); per (arm, day) sufficient statistics cumsum
+    * over the bounded day table, and at each day the Gaussian mixture
+    * likelihood ratio with prior N(0, τ²) has the closed form
+    *   ln Λ_t = ½·ln(V_t/(V_t+τ²)) + θ_t²·τ² / (2·V_t·(V_t+τ²)),
+    * θ_t the cumulative mean difference, V_t its Welch variance; the
+    * always-valid p is the running min of 1/Λ capped at 1.
+    *
+    * Portability: moments on the 6dp grid through exact decimal folds;
+    * ln/exp are the established cross-engine surface; the running min
+    * is a prefix window over days. Scale shape: ONE fact aggregation
+    * to (arm, day), then everything is days-bounded.
+    */
+  def sequentialTest(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      tau: Double = 1.0,
+      alpha: Double = 0.05,
+      salt: String = "ab"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && alpha > 0 && alpha < 1, s"bad tau/alpha: $tau/$alpha")
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val dec6 = "decimal(18,6)"
+    val ud = events
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(round(coalesce(sum(round(col(valueCol), 6).cast(dec6))
+        .cast("double"), lit(0.0)), 6).as("m"))
+      .withColumn("arm", arm)
+    val byDay = ud.groupBy(col("arm"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("m").cast(dec6)).as("s"),
+        sum(col("m").cast(dec6) * col("m").cast(dec6)).as("ss"))
+    val piv = byDay.groupBy(col("day"))
+      .agg(
+        coalesce(max(when(col("arm") === 0, col("n"))), lit(0L)).as("dn_a"),
+        coalesce(max(when(col("arm") === 1, col("n"))), lit(0L)).as("dn_b"),
+        coalesce(max(when(col("arm") === 0, col("s"))), lit(0L).cast("decimal(28,6)")).as("ds_a"),
+        coalesce(max(when(col("arm") === 1, col("s"))), lit(0L).cast("decimal(28,6)")).as("ds_b"),
+        coalesce(max(when(col("arm") === 0, col("ss"))), lit(0L).cast("decimal(38,12)")).as("dss_a"),
+        coalesce(max(when(col("arm") === 1, col("ss"))), lit(0L).cast("decimal(38,12)")).as("dss_b"))
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = piv
+      .withColumn("n_a", sum(col("dn_a")).over(wc))
+      .withColumn("n_b", sum(col("dn_b")).over(wc))
+      .withColumn("s_a", sum(col("ds_a")).over(wc).cast("double"))
+      .withColumn("s_b", sum(col("ds_b")).over(wc).cast("double"))
+      .withColumn("ss_a", sum(col("dss_a")).over(wc).cast("double"))
+      .withColumn("ss_b", sum(col("dss_b")).over(wc).cast("double"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a") / na; val mb = col("s_b") / nb
+    val va = (na * col("ss_a") - col("s_a") * col("s_a")) / (na * (na - lit(1.0)))
+    val vb = (nb * col("ss_b") - col("s_b") * col("s_b")) / (nb * (nb - lit(1.0)))
+    val vt = va / na + vb / nb
+    val theta = mb - ma
+    val tau2 = lit(tau * tau)
+    val logLambda = lit(0.5) * log(vt / (vt + tau2)) +
+      theta * theta * tau2 / (lit(2.0) * vt * (vt + tau2))
+    val scored = cum.withColumn("log_lambda",
+      when(col("n_a") > 1 && col("n_b") > 1 && vt > 0,
+        round(logLambda, 6)))
+    // p_t = min(1, 1/Lambda) as exp(-lnL) for lnL > 0; running min.
+    val pDay = when(col("log_lambda").isNull, lit(1.0))
+      .when(col("log_lambda") > 0, exp(-col("log_lambda")))
+      .otherwise(lit(1.0))
+    scored
+      .withColumn("p_always",
+        round(min(pDay).over(wc), 6))
+      .select(col("day"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(theta, 6)).as("diff"),
+        col("log_lambda"), col("p_always"),
+        (col("p_always") <= alpha).as("significant"))
+  }
+
+  /** Power / minimum-detectable-effect readout for the experiment AS
+    * CURRENTLY SIZED (the "is this test even capable of seeing what we
+    * care about" check that should precede any verdict): with the
+    * pooled per-user metric variance and the current arm sizes, the
+    * two-sided MDE at 80% power is (z_{α/2} + z_{0.8})·SE =
+    * 2.8016·√(s²(1/n_a+1/n_b)) — literals, no inverse normal needed.
+    * One row: sizes, means, pooled sd, absolute and relative MDE.
+    */
+  def powerCheck(
+      events: DataFrame,
+      userCol: String,
+      valueCol: String,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val dec6 = "decimal(18,6)"
+    val users = events
+      .groupBy(col(userCol))
+      .agg(round(coalesce(sum(round(col(valueCol), 6).cast(dec6))
+        .cast("double"), lit(0.0)), 6).as("m"))
+      .withColumn("arm", arm)
+    val agg = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      count(lit(1)).as("n"),
+      sum(col("m").cast(dec6)).cast("double").as("s"),
+      sum(col("m").cast(dec6) * col("m").cast(dec6)).cast("double").as("ss"))
+    val nD = col("n").cast("double")
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val varP = (nD * col("ss") - col("s") * col("s")) / (nD * (nD - lit(1.0)))
+    val mean = col("s") / nD
+    // z_{0.025} + z_{0.20} = 1.959964 + 0.841621 (two-sided 5%, 80%).
+    val mde = lit(2.801585) * sqrt(varP * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("n_a"), col("n_b"),
+      round(mean, 6).as("mean_metric"),
+      when(varP > 0, round(sqrt(varP), 6)).as("sd"),
+      when(col("n_a") > 0 && col("n_b") > 0 && varP > 0,
+        round(mde, 6)).as("mde_abs"),
+      when(col("n_a") > 0 && col("n_b") > 0 && varP > 0 && abs(mean) > 0,
+        round(mde / abs(mean), 6)).as("mde_rel"))
+  }
+
   /** Daily success rate with a Wilson 95% score interval — the
     * uncertainty-honest way to chart a conversion/failure rate: the
     * interval stays inside [0,1] and behaves at small n where the

@@ -510,6 +510,60 @@ class EventAnalyticsSpec extends SparkSpec {
       "point diff inside the CI")
   }
 
+  test("sequentialTest: always-valid p is monotone; a planted effect stops, null does not") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ids = (1L to 60L).toSeq
+    // 10 days of activity; arm 1 users are shifted +8 over a small
+    // per-(user, day) wobble — a big standardized effect.
+    val planted = ids.flatMap { i =>
+      (1 to 10).map { d =>
+        val base = ((i + d) % 5).toDouble
+        (i, ts(d), if (armOf(i) == 1L) base + 8.0 else base)
+      }
+    }.toDF("user_id", "ts", "value")
+    val got = EventAnalytics.sequentialTest(planted, "user_id", "ts", "value")
+      .orderBy("day").collect()
+    assert(got.length == 10)
+    val ps = got.map(_.getDouble(5))
+    assert(ps.sliding(2).forall { case Array(a, b) => b <= a + 1e-9; case _ => true },
+      s"always-valid p must be non-increasing: ${ps.mkString(",")}")
+    assert(got.last.getBoolean(6), s"a +8 shift must stop by day 10: p=${ps.last}")
+    // Null: identical distributions in both arms -> no stop.
+    val nullCase = ids.flatMap { i =>
+      (1 to 10).map { d => (i, ts(d), ((i + d) % 5).toDouble) }
+    }.toDF("user_id", "ts", "value")
+    val pn = EventAnalytics.sequentialTest(nullCase, "user_id", "ts", "value")
+      .orderBy("day").collect()
+    assert(!pn.last.getBoolean(6),
+      s"identical arms must not stop: p=${pn.last.getDouble(5)}")
+  }
+
+  test("powerCheck: hand-computed MDE from the pooled variance") {
+    // Metric alternates 0/10 by user parity (independent of the md5
+    // arm): pooled stats are exactly computable from the fixture.
+    val ids = (1L to 50L).toSeq
+    val df = ids.map(i => (i, if (i % 2 == 0L) 10.0 else 0.0))
+      .toDF("user_id", "value")
+    val got = EventAnalytics.powerCheck(df, "user_id", "value").collect().head
+    val (na, nb) = (got.getLong(0), got.getLong(1))
+    assert(na + nb == 50L && na > 0 && nb > 0)
+    val vals = ids.map(i => if (i % 2 == 0L) 10.0 else 0.0)
+    val n = vals.length.toDouble
+    val s = vals.sum; val ss = vals.map(v => v * v).sum
+    val varP = (n * ss - s * s) / (n * (n - 1.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(2) == r6(s / n))
+    assert(got.getDouble(3) == r6(math.sqrt(varP)))
+    val mde = 2.801585 * math.sqrt(varP * (1.0 / na + 1.0 / nb))
+    assert(got.getDouble(4) == r6(mde), s"mde: ${got.getDouble(4)} vs ${r6(mde)}")
+    assert(got.getDouble(5) == r6(mde / (s / n)))
+  }
+
   test("cupedTest: exact theta on a linear metric, full variance kill, arm-agnostic") {
     def d(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
     // One pre event (day 5, value i) and one post event (day 20, value
