@@ -1030,6 +1030,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization (r15b): deterministic messy-URL synthesis
+    // (mixed-case scheme/host, default port, trailing slash, utm/ref
+    // tracking params, fragment — variant by md5) through the CCNet
+    // dedup-key normalization chain; the oracle replays every regex in
+    // RE2 syntax.
+    "q_url_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hosts = array(
+        lit("EN.Wikipedia.ORG"), lit("news.bbc.co.uk"), lit("Blogs.Example.COM"))
+      val variant = pmod(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("cu"))), 1, 2),
+        16, 10).cast("long"), lit(6L))
+      docs
+        .withColumn("__v", variant)
+        .withColumn("url", concat(
+          when(col("__v") < 3, lit("HTTPS://")).otherwise(lit("https://")),
+          element_at(hosts, (pmod(col("__v"), lit(3L)) + 1).cast("int")),
+          when(col("__v") === 0, lit(":443")).otherwise(lit("")),
+          lit("/Path/"), col("doc_id").cast("string"),
+          when(col("__v") === 1, lit("/")).otherwise(lit("")),
+          when(col("__v") <= 1, lit("?utm_source=feed&id="))
+            .otherwise(lit("?id=")),
+          col("doc_id").cast("string"),
+          when(col("__v") === 2, lit("&utm_campaign=x&ref=home"))
+            .otherwise(lit("")),
+          when(col("__v") >= 4, lit("#section-2")).otherwise(lit(""))))
+        .select(col("doc_id"), col("url"),
+          TextFunctions.canonicalUrl(col("url")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
     // Registered domain under the shipped PSL snapshot (r13): hosts
     // chosen to hit every rule class — multi-label registry suffixes
     // (co.uk, pvt.k12.ma.us, k12.ca.us), the *.kawasaki.jp wildcard,
@@ -1811,6 +1842,16 @@ object SparkEntry {
           t(s, d, "events").select("user_id", "event_type"),
           "user_id", "event_type")
         .orderBy("metric")),
+
+    // Funnel × experiment (r15b): per funnel step, users reaching it
+    // per md5 arm and the two-proportion z on the step-over-step
+    // conversion — "which step did the experiment move". One funnel
+    // lineage, one checkpointed aggregate row, melted per step.
+    "q_ab_funnel" -> ((s, d) =>
+      EventAnalytics.funnelAbTest(
+          t(s, d, "events").select("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
 
     // Always-valid sequential A/B (r15b, Johari et al. KDD 2017): the
     // mSPRT mixture likelihood ratio per day over cumulative user-day
@@ -5254,6 +5295,58 @@ object SparkEntry {
     // URL synthesis (2-hex md5 pick), host regex, registered-domain
     // label heuristic, then the 13-hex sample-key rank window capped
     // at 30 per domain — all replayed.
+    // Canonical-URL replay: the md5-variant messy-URL synthesis, then
+    // the normalization chain step for step in RE2 syntax ('g' where
+    // Spark's regexp_replace is global by default, \1 replacement refs).
+    "q_url_canonical" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || 'cu'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || 'cu'), 2, 1)) - 1)) % 6 AS var
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN var < 3 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (['EN.Wikipedia.ORG','news.bbc.co.uk','Blogs.Example.COM'])[
+        |         CAST(var % 3 + 1 AS INT)]
+        |    || (CASE WHEN var = 0 THEN ':443' ELSE '' END)
+        |    || '/Path/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN var = 1 THEN '/' ELSE '' END)
+        |    || (CASE WHEN var <= 1 THEN '?utm_source=feed&id=' ELSE '?id=' END)
+        |    || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN var = 2 THEN '&utm_campaign=x&ref=home' ELSE '' END)
+        |    || (CASE WHEN var >= 4 THEN '#section-2' ELSE '' END) AS url
+        |  FROM v
+        |), c1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS x FROM u
+        |), c2 AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(x, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+        |         || regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)', 1) AS x
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(x,
+        |           '^(https://[^/:?#]+):443(/|\?|$)', '\1\2'),
+        |           '^(http://[^/:?#]+):80(/|\?|$)', '\1\2') AS x
+        |  FROM c2
+        |), c4 AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(x,
+        |           '&(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS x
+        |  FROM c3
+        |), c5 AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(x,
+        |           '\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
+        |           '\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g') AS x
+        |  FROM c4
+        |)
+        |SELECT doc_id, url, rtrim(x, '/') AS canon
+        |FROM c5 ORDER BY doc_id""".stripMargin,
+
     "q_url_domain_cap" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -7367,6 +7460,97 @@ object SparkEntry {
         |SELECT metric, k_a, k_b, z + 0.0e0 AS z, p, p_adj,
         |       p_adj <= 0.05 AS rejected
         |FROM adj ORDER BY metric""".stripMargin,
+
+    // Funnel-A/B replay: the q_funnel min-ts step chain, md5 coin over
+    // the step-1 cohort, one conditional-count row, melted per step
+    // with the pooled two-proportion z on step-over-step conversion.
+    "q_ab_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |), ua AS (
+        |  SELECT s1.user_id,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(s1.user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(s1.user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm,
+        |    s2.user_id IS NOT NULL AS r2,
+        |    s3.user_id IS NOT NULL AS r3
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |), c AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS a1,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS b1,
+        |    CAST(count(*) FILTER (WHERE arm = 0 AND r2) AS BIGINT) AS a2,
+        |    CAST(count(*) FILTER (WHERE arm = 1 AND r2) AS BIGINT) AS b2,
+        |    CAST(count(*) FILTER (WHERE arm = 0 AND r3) AS BIGINT) AS a3,
+        |    CAST(count(*) FILTER (WHERE arm = 1 AND r3) AS BIGINT) AS b3
+        |  FROM ua
+        |), m AS (
+        |  SELECT 1 AS step_idx, 'view' AS step, a1 AS reach_a, b1 AS reach_b,
+        |         CAST(NULL AS DOUBLE) AS rate_a, CAST(NULL AS DOUBLE) AS rate_b,
+        |         CAST(NULL AS DOUBLE) AS z, false AS significant
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', a2, b2,
+        |         CASE WHEN a1 > 0 THEN round(CAST(a2 AS DOUBLE) / CAST(a1 AS DOUBLE), 6) END,
+        |         CASE WHEN b1 > 0 THEN round(CAST(b2 AS DOUBLE) / CAST(b1 AS DOUBLE), 6) END,
+        |         CASE WHEN a1 > 0 AND b1 > 0 AND
+        |                   sqrt((CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                        * (1.0 - CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                        * (1.0 / CAST(a1 AS DOUBLE) + 1.0 / CAST(b1 AS DOUBLE))) > 0
+        |              THEN round((CAST(a2 AS DOUBLE) / CAST(a1 AS DOUBLE)
+        |                          - CAST(b2 AS DOUBLE) / CAST(b1 AS DOUBLE))
+        |                   / sqrt((CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                          * (1.0 - CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                          * (1.0 / CAST(a1 AS DOUBLE) + 1.0 / CAST(b1 AS DOUBLE))), 6) + 0.0e0
+        |         END,
+        |         coalesce(CASE WHEN a1 > 0 AND b1 > 0 AND
+        |                   sqrt((CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                        * (1.0 - CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                        * (1.0 / CAST(a1 AS DOUBLE) + 1.0 / CAST(b1 AS DOUBLE))) > 0
+        |              THEN abs(CAST(a2 AS DOUBLE) / CAST(a1 AS DOUBLE)
+        |                       - CAST(b2 AS DOUBLE) / CAST(b1 AS DOUBLE))
+        |                   / sqrt((CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                          * (1.0 - CAST(a2 + b2 AS DOUBLE) / (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE)))
+        |                          * (1.0 / CAST(a1 AS DOUBLE) + 1.0 / CAST(b1 AS DOUBLE))) > 1.96
+        |         END, false)
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', a3, b3,
+        |         CASE WHEN a2 > 0 THEN round(CAST(a3 AS DOUBLE) / CAST(a2 AS DOUBLE), 6) END,
+        |         CASE WHEN b2 > 0 THEN round(CAST(b3 AS DOUBLE) / CAST(b2 AS DOUBLE), 6) END,
+        |         CASE WHEN a2 > 0 AND b2 > 0 AND
+        |                   sqrt((CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                        * (1.0 - CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                        * (1.0 / CAST(a2 AS DOUBLE) + 1.0 / CAST(b2 AS DOUBLE))) > 0
+        |              THEN round((CAST(a3 AS DOUBLE) / CAST(a2 AS DOUBLE)
+        |                          - CAST(b3 AS DOUBLE) / CAST(b2 AS DOUBLE))
+        |                   / sqrt((CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                          * (1.0 - CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                          * (1.0 / CAST(a2 AS DOUBLE) + 1.0 / CAST(b2 AS DOUBLE))), 6) + 0.0e0
+        |         END,
+        |         coalesce(CASE WHEN a2 > 0 AND b2 > 0 AND
+        |                   sqrt((CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                        * (1.0 - CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                        * (1.0 / CAST(a2 AS DOUBLE) + 1.0 / CAST(b2 AS DOUBLE))) > 0
+        |              THEN abs(CAST(a3 AS DOUBLE) / CAST(a2 AS DOUBLE)
+        |                       - CAST(b3 AS DOUBLE) / CAST(b2 AS DOUBLE))
+        |                   / sqrt((CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                          * (1.0 - CAST(a3 + b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)))
+        |                          * (1.0 / CAST(a2 AS DOUBLE) + 1.0 / CAST(b2 AS DOUBLE))) > 1.96
+        |         END, false)
+        |  FROM c
+        |)
+        |SELECT * FROM m ORDER BY step_idx""".stripMargin,
 
     // mSPRT replay: user-day grid sums, md5 coin, per-(arm, day)
     // decimal moments, prefix-window cumsums over the day table, the

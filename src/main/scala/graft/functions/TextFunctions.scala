@@ -115,6 +115,37 @@ object TextFunctions {
   def urlHost(c: Column): Column =
     lower(regexp_extract(c, """^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)""", 1))
 
+  /** URL canonicalization for web-corpus dedup keys (the CCNet/
+    * Common-Crawl normalization): drop the fragment, lowercase
+    * scheme://authority (path and query keep their case — they are
+    * case-significant), strip default ports (:443 on https, :80 on
+    * http), excise tracking parameters (utm_*, fbclid, gclid, ref)
+    * with three-step query-string surgery that preserves the survivors'
+    * separators, and trim trailing slashes. Pure regexp chain — no
+    * lookaheads, so the RE2-based oracle replays it verbatim (DuckDB
+    * side uses \1 replacement refs and the 'g' flag where Spark is
+    * global by default). Two URLs that canonicalize equal are the
+    * same fetch target for dedup purposes.
+    */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val head = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)", 1)
+    val lowered = concat(head, rest)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]+):443(/|\\?|$)", "$1$2"),
+      "^(http://[^/:?#]+):80(/|\\?|$)", "$1$2")
+    val t1 = regexp_replace(noPort,
+      "&(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*", "")
+    val t2 = regexp_replace(t1,
+      "\\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*&", "?")
+    val t3 = regexp_replace(t2,
+      "\\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*$", "")
+    rtrim(t3, "/")
+  }
+
   /** Registered (pay-level) domain from a host: the last two labels,
     * or three when the second-to-last is a common second-level suffix
     * under a 2-letter ccTLD (`bbc.co.uk`, not `co.uk`). The standard

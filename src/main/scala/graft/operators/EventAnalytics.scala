@@ -320,6 +320,67 @@ object EventAnalytics {
       stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
   }
 
+  /** Funnel × experiment: per funnel step, users reaching it in each
+    * md5 arm, the step-over-step conversion rate per arm, and the
+    * two-proportion pooled z on that conversion — "WHICH step did the
+    * experiment move", the readout a single end-to-end conversion z
+    * ([[abTest]]) averages away. One [[funnel]] lineage, ONE
+    * aggregation row (2·k conditional counts), melted to k step rows
+    * by metadata-sized selects; step 1 has no prior step, so its rate
+    * and z are null.
+    */
+  def funnelAbTest(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      salt: String = "ab"): DataFrame = {
+    require(steps.size >= 2, "funnel A/B needs at least two steps")
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val f = funnel(events, userCol, tsCol, typeCol, steps).withColumn("arm", arm)
+    val aggs = steps.indices.flatMap { i =>
+      Seq(
+        sum(when(col("arm") === 0 && col(s"step${i + 1}_ts").isNotNull, 1L)
+          .otherwise(0L)).as(s"a${i + 1}"),
+        sum(when(col("arm") === 1 && col(s"step${i + 1}_ts").isNotNull, 1L)
+          .otherwise(0L)).as(s"b${i + 1}"))
+    }
+    // One-row aggregate with k consumers (one select per melted step):
+    // checkpoint so the funnel lineage runs ONCE (the r14 plan-audit
+    // broadcast-scalar rule).
+    val one = f.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val rows = steps.indices.map { i =>
+      val j = i + 1
+      if (i == 0)
+        one.select(
+          lit(j).as("step_idx"), lit(steps(i)).as("step"),
+          col(s"a$j").as("reach_a"), col(s"b$j").as("reach_b"),
+          lit(null).cast("double").as("rate_a"),
+          lit(null).cast("double").as("rate_b"),
+          lit(null).cast("double").as("z"),
+          lit(false).as("significant"))
+      else {
+        val na = col(s"a$i").cast("double"); val nb = col(s"b$i").cast("double")
+        val ra = col(s"a$j").cast("double") / na
+        val rb = col(s"b$j").cast("double") / nb
+        val pp = (col(s"a$j") + col(s"b$j")).cast("double") / (na + nb)
+        val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+        one.select(
+          lit(j).as("step_idx"), lit(steps(i)).as("step"),
+          col(s"a$j").as("reach_a"), col(s"b$j").as("reach_b"),
+          when(col(s"a$i") > 0, round(ra, 6)).as("rate_a"),
+          when(col(s"b$i") > 0, round(rb, 6)).as("rate_b"),
+          when(col(s"a$i") > 0 && col(s"b$i") > 0 && se > 0,
+            round((ra - rb) / se, 6)).as("z"),
+          coalesce(when(col(s"a$i") > 0 && col(s"b$i") > 0 && se > 0,
+            abs((ra - rb) / se) > 1.96), lit(false)).as("significant"))
+      }
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Funnel conversion summary: one row per step with the number of
     * users who reached it and the conversion rate vs step 1 — the
     * report-facing roll-up of [[funnel]] (metadata-sized output).

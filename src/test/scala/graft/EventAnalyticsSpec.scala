@@ -510,6 +510,41 @@ class EventAnalyticsSpec extends SparkSpec {
       "point diff inside the CI")
   }
 
+  test("funnelAbTest: per-step reach by arm; a step-2-only effect localizes there") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-05 $h%02d:00:00")
+    val ids = (1L to 60L).toSeq
+    // Everyone views; only arm-1 users click (and then purchase), so
+    // the view->click z must fire and carry the whole effect.
+    val rows = ids.flatMap { i =>
+      Seq((i, ts(1), "view")) ++
+        (if (armOf(i) == 1L) Seq((i, ts(2), "click"), (i, ts(3), "purchase"))
+         else Nil)
+    }.toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelAbTest(rows, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).orderBy("step_idx").collect()
+    assert(got.length == 3)
+    val na = ids.count(armOf(_) == 0L).toLong
+    val nb = ids.count(armOf(_) == 1L).toLong
+    val s1 = got(0)
+    assert(s1.getLong(2) == na && s1.getLong(3) == nb)
+    assert(s1.isNullAt(4) && s1.isNullAt(6) && !s1.getBoolean(7))
+    val s2 = got(1)
+    assert(s2.getLong(2) == 0L && s2.getLong(3) == nb)
+    assert(s2.getDouble(4) == 0.0 && s2.getDouble(5) == 1.0)
+    assert(s2.getDouble(6) < -1.96 && s2.getBoolean(7),
+      s"full separation at step 2 must be significant: $s2")
+    val s3 = got(2)
+    // arm 0 reached 0 at step 2 -> step-3 conversion undefined for A
+    assert(s3.getLong(2) == 0L && s3.getLong(3) == nb)
+    assert(s3.isNullAt(4) && s3.getDouble(5) == 1.0)
+    assert(s3.isNullAt(6) && !s3.getBoolean(7))
+  }
+
   test("sequentialTest: always-valid p is monotone; a planted effect stops, null does not") {
     def armOf(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

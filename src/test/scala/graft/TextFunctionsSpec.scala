@@ -451,4 +451,33 @@ class TextFunctionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString(rep))
     assert(interp == got(1L)._1)
   }
+
+  test("canonicalUrl: each normalization rule by hand; survivors untouched") {
+    val cases = Seq(
+      // fragment + mixed-case scheme/host (path case preserved)
+      ("HTTPS://EN.Wikipedia.ORG/Path/One#frag", "https://en.wikipedia.org/Path/One"),
+      // default ports on both schemes
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:80/x", "http://a.com/x"),
+      // non-default port survives
+      ("https://a.com:8443/x", "https://a.com:8443/x"),
+      // tracking params: mid, leading, only, mixed survivors
+      ("https://a.com/p?id=1&utm_source=f&x=2", "https://a.com/p?id=1&x=2"),
+      ("https://a.com/p?utm_source=f&id=1", "https://a.com/p?id=1"),
+      ("https://a.com/p?utm_source=f&fbclid=z", "https://a.com/p"),
+      ("https://a.com/p?gclid=g&ref=h&keep=1", "https://a.com/p?keep=1"),
+      // trailing slashes
+      ("https://a.com/dir/", "https://a.com/dir"),
+      ("https://a.com/", "https://a.com"),
+      // everything at once
+      ("HTTP://A.com:80/Dir/?utm_campaign=c&q=Z#s", "http://a.com/Dir/?q=Z"))
+    val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val got = df.select(col("id"),
+        graft.functions.TextFunctions.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"canonicalUrl($u) = ${got(i.toLong)}, want $want")
+    }
+  }
 }
