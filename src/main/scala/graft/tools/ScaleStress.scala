@@ -772,6 +772,42 @@ object ScaleStress {
     println(s"[stress]   active-user days = $auDays")
     }
 
+    section("ab") {
+    // The r15b experimentation ladder at 10M events / 200k users:
+    // every readout is one fact aggregation + bounded follow-up, so
+    // the claims are "flat jobs, no user-grain windows, no collect".
+    import graft.operators.EventAnalytics
+    val ev = spark.range(10000000L).select(
+      (col("id") % 200000L).as("user_id"),
+      to_timestamp(from_unixtime(lit(1700000000L) + (col("id") % 30) * 86400L
+        + (col("id") % 86400L))).as("ts"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"),
+        lit("refund"), lit("search"), lit("share")),
+        ((col("id") % 6L) + 1).cast("int")).as("event_type"),
+      ((col("id") % 997L).cast("double") / lit(10.0)).as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] ab events: ${ev.count()} rows")
+    time("ab: SRM gate")(
+      EventAnalytics.srmCheck(ev.select("user_id"), "user_id").count())
+    time("ab: DiD on change scores")(
+      EventAnalytics.didTest(ev.select("user_id", "ts", "value"),
+        "user_id", "value", dayofmonth(col("ts")) <= 15).count())
+    time("ab: BH-FDR over 6 metrics")(
+      EventAnalytics.fdrAdjust(ev.select("user_id", "event_type"),
+        "user_id", "event_type").count())
+    time("ab: bootstrap CI (40 reps)")(
+      EventAnalytics.bootstrapTest(ev.select("user_id", "value"),
+        "user_id", "value", reps = 40).count())
+    val seqDays = time("ab: mSPRT sequential (30 days)")(
+      EventAnalytics.sequentialTest(ev.select("user_id", "ts", "value"),
+        "user_id", "ts", "value").count())
+    println(s"[stress]   sequential days = $seqDays")
+    time("ab: funnel x experiment")(
+      EventAnalytics.funnelAbTest(ev.select("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")).count())
+    ev.unpersist(blocking = false)
+    }
+
     spark.stop()
   }
 }
