@@ -1822,6 +1822,24 @@ object SparkEntry {
       EventAnalytics.srmCheck(
           t(s, d, "events").select("user_id"), "user_id")),
 
+    // Per-day SRM (r15b): the chi-square 50/50 check at day grain over
+    // each day's NEW entrants — localizes when an assignment/logging
+    // bias started.
+    "q_ab_srm_daily" -> ((s, d) =>
+      EventAnalytics.srmDaily(
+          t(s, d, "events").select("user_id", "ts"), "user_id", "ts")
+        .orderBy("day")),
+
+    // Covariate balance (r15b, Austin 2009): standardized mean
+    // difference between arms for the pre-period behavioral trio
+    // (value sum, event count, active days), flagged at |SMD| > 0.1 —
+    // the randomization-hygiene table.
+    "q_ab_balance" -> ((s, d) =>
+      EventAnalytics.balanceCheck(
+          t(s, d, "events").select("user_id", "ts", "value"),
+          "user_id", "ts", "value", dayofmonth(col("ts")) <= 15)
+        .orderBy("covariate")),
+
     // Difference-in-differences (r15b): Welch z on per-user CHANGE
     // scores (post − pre at mid-month) between the md5 arms — the
     // panel DiD that removes time-invariant user effects; cell means
@@ -7329,6 +7347,93 @@ object SparkEntry {
         |         CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
         |           / CAST(n_a + n_b AS DOUBLE) > 3.841 END, false) AS srm
         |FROM s""".stripMargin,
+
+    // Daily-SRM replay: first-seen day per user, md5 coin, day-grain
+    // chi-square with the integer numerator.
+    "q_ab_srm_daily" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT day,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), s AS (
+        |  SELECT day,
+        |         CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+        |  FROM a GROUP BY day
+        |)
+        |SELECT day, n_a, n_b,
+        |       CASE WHEN n_a + n_b > 0 THEN
+        |         round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |               / CAST(n_a + n_b AS DOUBLE), 6) END AS chi2,
+        |       coalesce(CASE WHEN n_a + n_b > 0 THEN
+        |         CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |           / CAST(n_a + n_b AS DOUBLE) > 3.841 END, false) AS srm
+        |FROM s ORDER BY day""".stripMargin,
+
+    // Balance replay: one user-grain pass for the covariate trio, md5
+    // coin, melted long, per-(covariate, arm) decimal moments, pooled-sd
+    // SMD in the engine's operation order.
+    "q_ab_balance" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    round(coalesce(CAST(sum(CASE WHEN day(ts) <= 15
+        |        THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE),
+        |      0.0), 6) AS pre_value,
+        |    CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS pre_events,
+        |    CAST(count(DISTINCT CASE WHEN day(ts) <= 15
+        |        THEN CAST(ts AS DATE) END) AS DOUBLE) AS pre_days
+        |  FROM events GROUP BY 1
+        |), ua AS (
+        |  SELECT *,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 2, 1)) - 1)) % 2 AS arm
+        |  FROM u
+        |), m AS (
+        |  SELECT 'pre_value' AS covariate, arm, pre_value AS x FROM ua
+        |  UNION ALL SELECT 'pre_events', arm, pre_events FROM ua
+        |  UNION ALL SELECT 'pre_days', arm, pre_days FROM ua
+        |), byarm AS (
+        |  SELECT covariate, arm, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |              AS DOUBLE) AS ss
+        |  FROM m GROUP BY 1, 2
+        |), piv AS (
+        |  SELECT covariate,
+        |         max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |         max(CASE WHEN arm = 0 THEN s END) AS s_a,
+        |         max(CASE WHEN arm = 1 THEN s END) AS s_b,
+        |         max(CASE WHEN arm = 0 THEN ss END) AS ss_a,
+        |         max(CASE WHEN arm = 1 THEN ss END) AS ss_b
+        |  FROM byarm GROUP BY covariate
+        |), f AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        |  FROM piv
+        |), g AS (
+        |  SELECT *, s_a / na AS ma, s_b / nb AS mb,
+        |         sqrt(((na * ss_a - s_a * s_a) / (na * (na - 1.0))
+        |               + (nb * ss_b - s_b * s_b) / (nb * (nb - 1.0))) / 2.0)
+        |           AS pooled
+        |  FROM f
+        |)
+        |SELECT covariate,
+        |       round(ma, 6) + 0.0e0 AS mean_a,
+        |       round(mb, 6) + 0.0e0 AS mean_b,
+        |       CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0
+        |            THEN round((mb - ma) / pooled, 6) + 0.0e0 END AS smd,
+        |       coalesce(CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0
+        |                     THEN abs((mb - ma) / pooled) > 0.1 END,
+        |                false) AS imbalanced
+        |FROM g ORDER BY covariate""".stripMargin,
 
     // DiD replay: per-user pre/post grid sums, md5 coin, change scores
     // re-gridded at 6dp, per-arm decimal moments, Welch z on the change

@@ -915,6 +915,101 @@ object EventAnalytics {
         .as("srm"))
   }
 
+  /** Per-day sample-ratio-mismatch: [[srmCheck]] at day grain over the
+    * users FIRST SEEN each day (new entrants — counting cumulative
+    * actives would double-count returning users and mask a recent
+    * breakage under a healthy history). Localizes WHEN an assignment
+    * or logging bias started, which the overall gate can only flag.
+    * One fact aggregation to (user, first day), then day-grain counts.
+    */
+  def srmDaily(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val firstDay = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .withColumn("arm", arm)
+    val byDay = firstDay.groupBy(col("day"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val d = col("n_a") - col("n_b")
+    val chi2 = (d * d).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    byDay.select(col("day"), col("n_a"), col("n_b"),
+      when(col("n_a") + col("n_b") > 0, round(chi2, 6)).as("chi2"),
+      coalesce(when(col("n_a") + col("n_b") > 0, chi2 > 3.841), lit(false))
+        .as("srm"))
+  }
+
+  /** Covariate balance between the md5 arms (Austin 2009): per
+    * pre-period covariate, the standardized mean difference
+    * SMD = (mean_B − mean_A)/√((var_A + var_B)/2), flagged at the
+    * conventional |SMD| > 0.1. Randomization should balance every
+    * covariate; an imbalanced one signals assignment trouble (pairs
+    * with [[srmCheck]]) or, in observational reads, the confounder
+    * [[didTest]]/[[cupedTest]] must address. Covariates here are the
+    * standard behavioral trio: pre-period value sum, event count,
+    * active-day count.
+    *
+    * One fact aggregation to user grain (three aggregates in one
+    * pass), decimal moments per arm per covariate, one fixed-order
+    * IEEE assembly per row; output is covariate-count-sized.
+    */
+  def balanceCheck(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      prePred: Column,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+      lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
+    val dec6 = "decimal(18,6)"
+    val users = events
+      .groupBy(col(userCol))
+      .agg(
+        round(coalesce(sum(when(prePred,
+          round(col(valueCol), 6).cast(dec6))).cast("double"), lit(0.0)), 6)
+          .as("pre_value"),
+        sum(when(prePred, 1L).otherwise(0L)).cast("double").as("pre_events"),
+        countDistinct(when(prePred, to_date(col(tsCol))))
+          .cast("double").as("pre_days"))
+      .withColumn("arm", arm)
+    val covs = Seq("pre_value", "pre_events", "pre_days")
+    val melted = covs.map { c =>
+      users.select(lit(c).as("covariate"), col("arm"), col(c).as("x"))
+    }.reduce(_ unionByName _)
+    val byArm = melted.groupBy(col("covariate"), col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec6)).cast("double").as("s"),
+        sum(col("x").cast(dec6) * col("x").cast(dec6)).cast("double").as("ss"))
+    val p = byArm.groupBy(col("covariate"))
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 0, col("s"))).as("s_a"),
+        max(when(col("arm") === 1, col("s"))).as("s_b"),
+        max(when(col("arm") === 0, col("ss"))).as("ss_a"),
+        max(when(col("arm") === 1, col("ss"))).as("ss_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a") / na; val mb = col("s_b") / nb
+    val va = (na * col("ss_a") - col("s_a") * col("s_a")) / (na * (na - lit(1.0)))
+    val vb = (nb * col("ss_b") - col("s_b") * col("s_b")) / (nb * (nb - lit(1.0)))
+    val pooled = sqrt((va + vb) / lit(2.0))
+    p.select(col("covariate"),
+      round(ma, 6).as("mean_a"),
+      round(mb, 6).as("mean_b"),
+      when(col("n_a") > 1 && col("n_b") > 1 && pooled > 0,
+        round((mb - ma) / pooled, 6)).as("smd"),
+      coalesce(when(col("n_a") > 1 && col("n_b") > 1 && pooled > 0,
+        abs((mb - ma) / pooled) > 0.1), lit(false)).as("imbalanced"))
+  }
+
   /** Difference-in-differences on the per-user panel: the causal rung
     * for settings where the "pre" period is observed for everyone and
     * the treatment lands only in "post" (Card & Krueger 1994 is the

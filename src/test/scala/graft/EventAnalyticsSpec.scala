@@ -510,6 +510,60 @@ class EventAnalyticsSpec extends SparkSpec {
       "point diff inside the CI")
   }
 
+  test("srmDaily: a day whose entrants are all one arm flags; balanced days do not") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00")
+    // Day 1: an EXACTLY balanced cohort (40 ids per arm, picked by the
+    // replicated coin — the md5 split of a raw 1..n range can itself
+    // exceed the 3.841 gate by chance, which is the gate working).
+    // Day 2: only arm-1 users enter — simulate a logger that dropped
+    // arm-0 signups that day.
+    val pool = (1L to 400L).toSeq
+    val ids = pool.filter(armOf(_) == 0L).take(40) ++
+      pool.filter(armOf(_) == 1L).take(40)
+    val day2Ids = (1001L to 1060L).filter(armOf(_) == 1L)
+    val rows = ids.map(i => (i, ts(1))) ++ day2Ids.map(i => (i, ts(2)))
+    val got = EventAnalytics.srmDaily(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .orderBy("day").collect()
+    assert(got.length == 2)
+    assert(!got(0).getBoolean(4), s"balanced day 1 must not flag: ${got(0)}")
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == day2Ids.length.toLong)
+    assert(got(1).getBoolean(4), s"one-arm day 2 must flag: ${got(1)}")
+  }
+
+  test("balanceCheck: a planted pre-value imbalance flags only that covariate") {
+    def armOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2
+    }
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val ids = (1L to 80L).toSeq
+    // Two pre-period events per user on days 3 and 7 (same count and
+    // active days in both arms), but arm-1 users carry +50 per event —
+    // only pre_value should read imbalanced. A small i-dependent wobble
+    // keeps variances nonzero.
+    val rows = ids.flatMap { i =>
+      val bump = if (armOf(i) == 1L) 50.0 else 0.0
+      Seq((i, ts(3), 1.0 + (i % 3) * 0.25 + bump),
+        (i, ts(7), 2.0 + (i % 5) * 0.25 + bump))
+    }.toDF("user_id", "ts", "value")
+    val got = EventAnalytics.balanceCheck(rows, "user_id", "ts", "value",
+      dayofmonth(col("ts")) <= 15).orderBy("covariate").collect()
+    val byCov = got.map(r => r.getString(0) -> r).toMap
+    assert(byCov.keySet == Set("pre_value", "pre_events", "pre_days"))
+    assert(byCov("pre_value").getBoolean(4), "planted value imbalance must flag")
+    assert(byCov("pre_value").getDouble(3) > 5.0, s"SMD of a 100-unit shift over " +
+      s"sub-unit wobble must be large: ${byCov("pre_value")}")
+    // count/days covariates are identical across arms -> SMD 0 (or null
+    // from zero pooled variance), never flagged
+    assert(!byCov("pre_events").getBoolean(4) && !byCov("pre_days").getBoolean(4))
+  }
+
   test("funnelAbTest: per-step reach by arm; a step-2-only effect localizes there") {
     def armOf(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -145,4 +145,57 @@ class KernelPropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  // --- fused portable MinHash vs the r15a formulation, pure JVM ---
+
+  private def refMinhashSig(s: String, n: Int, perms: Int): Seq[Long] = {
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = Array.fill(perms)(Long.MaxValue)
+    for (i <- 0 to toks.length - n) {
+      val g = toks.slice(i, i + n).mkString(" ")
+      md.reset()
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h0 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val lo = h0 & 67108863L
+      val hi = h0 >>> 26
+      var p = 0
+      while (p < perms) {
+        val a = ((2L * p + 1L) * 25214903917L) & 137438953471L
+        val m = (((lo * a) & 4503599627370495L)
+          + ((hi * a) & 67108863L) * 67108864L
+          + p.toLong * 2654435769L) & 4503599627370495L
+        if (m < sig(p)) sig(p) = m
+        p += 1
+      }
+    }
+    sig.toSeq
+  }
+
+  private val textGen: Gen[String] = {
+    val token = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ü', '中', '文', '.', ','))).map(_.mkString)
+    val ws = Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n', '\r')).map(_.mkString)
+    for {
+      k <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(k, token)
+      seps <- Gen.listOfN(k + 1, ws)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + toks.zip(seps).map { case (t, w) => t + w }.mkString
+  }
+
+  test("minhashSig: fused byte pass equals the gram-string md5+affine reference") {
+    val gen = for {
+      s <- textGen
+      n <- Gen.choose(2, 4)
+      perms <- Gen.oneOf(4, 16)
+    } yield (s, n, perms)
+    check(Prop.forAll(gen) { case (s, n, perms) =>
+      val got = Kernels.minhashSig(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), n, perms)
+      val want = refMinhashSig(s, n, perms)
+      got.toLongArray().toSeq == want
+    })
+  }
 }
