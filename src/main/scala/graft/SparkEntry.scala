@@ -3724,6 +3724,16 @@ object SparkEntry {
       hll.estimate(merged, "event_type").orderBy("event_type")
     }),
 
+    // HLL set-operation estimates (r15b): pairwise audience overlap
+    // between event types — union by register-wise max (exact sketch
+    // algebra), intersection by inclusion-exclusion floored at 0,
+    // implied Jaccard. One sketch pass; the pair fan-out replicates
+    // ≤256 counter rows per pair.
+    "q_hll_overlap" -> ((s, d) =>
+      graft.operators.PortableHll.overlapEstimate(
+          t(s, d, "events"), "event_type", col("user_id"))
+        .orderBy("ga", "gb")),
+
     // Map functions: JSON -> map<string,int>, element_at, map_keys.
     "q_map_funcs" -> ((s, d) =>
       t(s, d, "events")
@@ -4178,6 +4188,69 @@ object SparkEntry {
        |             (CAST(np + (256 - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
        |              / 9007199254740992.0), 4) AS approx_distinct
        |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  // HLL pairwise-overlap replay: the register CTE shared with
+  // portableHllOracleSql, singles estimates, per-pair register
+  // max-union, inclusion-exclusion intersection floored at 0.
+  private def portableHllOverlapOracleSql: String = {
+    val aM2 = graft.operators.PortableHll.alphaM2(8)
+    s"""WITH h AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL
+       |), rr AS (
+       |  SELECT event_type,
+       |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS BIGINT) AS reg,
+       |    CAST(list_sum(list_transform(range(13), i ->
+       |      (CAST(strpos('0123456789abcdef', substr(hx, CAST(i+3 AS INT), 1)) AS BIGINT) - 1)
+       |      * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS BIGINT) AS w
+       |  FROM h
+       |), regs AS (
+       |  SELECT event_type, reg,
+       |         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+       |  FROM rr GROUP BY 1, 2
+       |), singles AS (
+       |  SELECT event_type,
+       |         round($aM2 /
+       |               (CAST(np + (256 - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+       |                / 9007199254740992.0), 4) AS e
+       |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS present,
+       |               CAST(sum(CAST(1 AS BIGINT) << CAST(53 - rho AS INT)) AS BIGINT) AS np
+       |        FROM regs GROUP BY 1)
+       |), gp AS (
+       |  SELECT a.event_type AS ga, b.event_type AS gb
+       |  FROM (SELECT DISTINCT event_type FROM regs) a,
+       |       (SELECT DISTINCT event_type FROM regs) b
+       |  WHERE a.event_type < b.event_type
+       |), uregs AS (
+       |  SELECT ga, gb, reg, max(rho) AS rho FROM (
+       |    SELECT gp.ga, gp.gb, r.reg, r.rho
+       |    FROM gp JOIN regs r ON r.event_type = gp.ga
+       |    UNION ALL
+       |    SELECT gp.ga, gp.gb, r.reg, r.rho
+       |    FROM gp JOIN regs r ON r.event_type = gp.gb)
+       |  GROUP BY 1, 2, 3
+       |), uest AS (
+       |  SELECT ga, gb,
+       |         round($aM2 /
+       |               (CAST(np + (256 - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+       |                / 9007199254740992.0), 4) AS union_distinct
+       |  FROM (SELECT ga, gb, CAST(count(*) AS BIGINT) AS present,
+       |               CAST(sum(CAST(1 AS BIGINT) << CAST(53 - rho AS INT)) AS BIGINT) AS np
+       |        FROM uregs GROUP BY 1, 2)
+       |)
+       |SELECT ga, gb, sa.e AS distinct_a, sb.e AS distinct_b, union_distinct,
+       |       greatest(0.0, round(sa.e + sb.e - union_distinct, 4)) + 0.0e0
+       |         AS intersect_distinct,
+       |       CASE WHEN union_distinct > 0
+       |            THEN round(greatest(0.0, round(sa.e + sb.e - union_distinct, 4))
+       |                       / union_distinct, 6)
+       |       END AS est_jaccard
+       |FROM uest
+       |JOIN singles sa ON sa.event_type = uest.ga
+       |JOIN singles sb ON sb.event_type = uest.gb
+       |ORDER BY ga, gb""".stripMargin
   }
 
   // The portable-MinHash signature CTE chain (shared by q_minhash_sig
@@ -11153,6 +11226,8 @@ object SparkEntry {
 
     // Sketch-union composition identity: merged shards == one-shot.
     "q_hll_merge" -> portableHllOracleSql,
+
+    "q_hll_overlap" -> portableHllOverlapOracleSql,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

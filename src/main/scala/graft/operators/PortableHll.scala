@@ -147,4 +147,59 @@ object PortableHll {
       value: Column,
       b: Int = 8): DataFrame =
     estimate(registers(df, groupCol, value, b), groupCol, b)
+
+  /** Pairwise SET-OPERATION estimates between groups ("how much do the
+    * audiences of A and B overlap"): per unordered group pair, the
+    * distinct estimates of A, B, A ∪ B (register-wise max — exact
+    * sketch algebra) and A ∩ B by inclusion-exclusion
+    * (est_a + est_b − est_union, floored at 0 since sketch error can
+    * push a near-disjoint pair slightly negative), plus the implied
+    * Jaccard. Everything derives from ONE register sketch pass; the
+    * pair fan-out replicates ≤ 2^b counter rows per (group, pair) —
+    * group-count-bounded, never touching the fact table again. The
+    * same md5-register arithmetic as [[estimate]], so the whole pair
+    * table replays bit-exactly in SQL.
+    */
+  def overlapEstimate(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      b: Int = 8): DataFrame = {
+    val m = 1L << b
+    val regs = registers(df, groupCol, value, b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val singles = estimate(regs, groupCol, b)
+      .select(col(groupCol).as("__g"), col("approx_distinct").as("__e"))
+    val groups = regs.select(col(groupCol).as("ga")).distinct()
+    val gp = groups.crossJoin(groups.select(col("ga").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val uRegs = gp.join(regs.select(col(groupCol).as("ga"), col("reg"), col("rho")),
+        Seq("ga"))
+      .select(col("ga"), col("gb"), col("reg"), col("rho"))
+      .unionByName(
+        gp.join(regs.select(col(groupCol).as("gb"), col("reg"), col("rho")),
+          Seq("gb"))
+        .select(col("ga"), col("gb"), col("reg"), col("rho")))
+      .groupBy(col("ga"), col("gb"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+    val two53 = 9007199254740992.0
+    val uEst = uRegs.groupBy(col("ga"), col("gb"))
+      .agg(
+        count(lit(1)).as("__present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")).as("__np"))
+      .select(col("ga"), col("gb"),
+        round(lit(alphaM2(b)) /
+          ((col("__np") + (lit(m) - col("__present")) * lit(1L << 53))
+            .cast("double") / lit(two53)), 4).as("union_distinct"))
+    val inter = greatest(lit(0.0),
+      round(col("distinct_a") + col("distinct_b") - col("union_distinct"), 4))
+    uEst
+      .join(singles.select(col("__g").as("ga"), col("__e").as("distinct_a")), Seq("ga"))
+      .join(singles.select(col("__g").as("gb"), col("__e").as("distinct_b")), Seq("gb"))
+      .select(col("ga"), col("gb"),
+        col("distinct_a"), col("distinct_b"), col("union_distinct"),
+        inter.as("intersect_distinct"),
+        when(col("union_distinct") > 0,
+          round(inter / col("union_distinct"), 6)).as("est_jaccard"))
+  }
 }

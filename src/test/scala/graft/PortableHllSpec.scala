@@ -76,4 +76,32 @@ class PortableHllSpec extends SparkSpec {
     // corrected is far more accurate than raw at tiny cardinality
     assert(math.abs(r.getDouble(3) - 20) < math.abs(r.getDouble(2) - 20) + 1e-9)
   }
+
+  test("overlapEstimate: known half-overlap tracked; disjoint floors at 0") {
+    // A = 1..1000, B = 501..1500: true union 1500, intersection 500.
+    // C = 9001..10000: disjoint from both.
+    val rows = (1 to 1000).map(i => ("A", s"u$i")) ++
+      (501 to 1500).map(i => ("B", s"u$i")) ++
+      (9001 to 10000).map(i => ("C", s"u$i"))
+    val got = PortableHll.overlapEstimate(rows.toDF("g", "v"), "g", col("v"))
+      .orderBy("ga", "gb").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("A", "B"))
+    val (ea, eb, eu, ei) = (ab.getDouble(2), ab.getDouble(3),
+      ab.getDouble(4), ab.getDouble(5))
+    assert(math.abs(eu - 1500) / 1500 < 0.15, s"union est off: $eu")
+    assert(math.abs(ei - 500) / 500 < 0.35, s"intersection est off: $ei")
+    // identity: intersection is exactly the floored inclusion-exclusion
+    val want = math.max(0.0,
+      BigDecimal(ea + eb - eu).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(ei == want)
+    assert(ab.getDouble(6) ==
+      BigDecimal(ei / eu).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // disjoint pairs: floored at 0, jaccard ~0
+    for (k <- Seq(("A", "C"), ("B", "C"))) {
+      val r = got(k)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 120.0,
+        s"disjoint intersection should be ~0: $r")
+    }
+  }
 }
