@@ -77,10 +77,15 @@ object MarketBasket {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val sym = pairs
+    // The symmetrizing union reads `pairs` TWICE; without this persist
+    // the whole mining chain (pair explode, count, stat joins) ran
+    // once per side (plan-audited, r15b). Bounded: the >=minPairCount
+    // pair table. Same no-unpersist rationale as pairStats' items.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = p
       .select(col("item_a").as("item"), col("item_b").as("rec"),
         col("cosine"), col("n_ab"))
-      .unionByName(pairs.select(col("item_b").as("item"),
+      .unionByName(p.select(col("item_b").as("item"),
         col("item_a").as("rec"), col("cosine"), col("n_ab")))
     sym.withColumn("rank", row_number().over(
         Window.partitionBy("item")
