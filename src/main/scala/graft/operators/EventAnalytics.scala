@@ -1278,17 +1278,43 @@ object EventAnalytics {
       valueCol: String,
       tau: Double = 1.0,
       alpha: Double = 0.05,
+      salt: String = "ab"): DataFrame =
+    sequentialFromUserDays(
+      userDayMetric(events, userCol, tsCol, valueCol), userCol, tau, alpha, salt)
+
+  /** The (user, day, m) grain [[sequentialTest]] folds over — exposed
+    * so a STREAMING store can maintain it incrementally: per-(user,
+    * day) decimal value sums are pure mergeable state
+    * ([[IncrementalAgg]] semantics), and the monitor re-reads the
+    * bounded store each trigger instead of rescanning events. m is the
+    * 6dp-gridded day sum.
+    */
+  def userDayMetric(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame =
+    events
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(round(coalesce(sum(round(col(valueCol), 6).cast("decimal(18,6)"))
+        .cast("double"), lit(0.0)), 6).as("m"))
+
+  /** [[sequentialTest]] readout from an existing (user, day, m) table —
+    * the live-monitor form: feed it the standing store and get the
+    * always-valid p series without touching the fact stream.
+    */
+  def sequentialFromUserDays(
+      userDays: DataFrame,
+      userCol: String,
+      tau: Double = 1.0,
+      alpha: Double = 0.05,
       salt: String = "ab"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && alpha > 0 && alpha < 1, s"bad tau/alpha: $tau/$alpha")
     val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
       lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
     val dec6 = "decimal(18,6)"
-    val ud = events
-      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
-      .agg(round(coalesce(sum(round(col(valueCol), 6).cast(dec6))
-        .cast("double"), lit(0.0)), 6).as("m"))
-      .withColumn("arm", arm)
+    val ud = userDays.withColumn("arm", arm)
     val byDay = ud.groupBy(col("arm"), col("day"))
       .agg(
         count(lit(1)).as("n"),

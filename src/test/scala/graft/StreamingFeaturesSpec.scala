@@ -187,6 +187,70 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(streamed.count(r => !r.isNullAt(3)) >= 8, "full windows exist")
   }
 
+  test("streamed user-day store -> mSPRT monitor == batch sequentialTest") {
+    val dir = s"$root/seq_stream"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // 6 days x 40 users; micro-batches cut across BOTH users and days,
+    // so per-(user, day) partial value sums genuinely merge.
+    def ts(day: Int, h: Int) =
+      new Timestamp(1700000000000L + day * 86400000L + h * 3600000L)
+    val all = (1 to 40).flatMap { u =>
+      (1 to 6).flatMap { d =>
+        Seq((u.toLong, ts(d, 1), (u % 7) + d * 0.5),
+          (u.toLong, ts(d, 9), (u % 3) * 1.25))
+      }
+    }
+    val batches = all.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val schema3 = new StructType()
+      .add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp$i")
+      val src = Files.list(Paths.get(s"$dir/tmp$i"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/b$i.parquet"))
+    }
+    val statePath = s"$dir/state"
+    val stream = spark.readStream.schema(schema3)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.operators.IncrementalAgg.partialState(
+          batch.withColumn("day", org.apache.spark.sql.functions.to_date(col("ts"))),
+          keys = Seq("user_id", "day"),
+          sums = Seq("msum" -> org.apache.spark.sql.functions
+            .round(col("value"), 6).cast("decimal(18,6)")))
+        val merged =
+          if (Files.exists(Paths.get(statePath)))
+            graft.operators.IncrementalAgg.merge(
+              spark.read.parquet(statePath), delta,
+              keys = Seq("user_id", "day"), sumCols = Seq("msum"))
+          else delta
+        val staged = s"$statePath.next"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(statePath)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    // Readout from the BOUNDED store: 6dp-regrid the merged decimal
+    // sums (exactly the batch operator's fold), then the mSPRT chain.
+    val storeUd = spark.read.parquet(statePath)
+      .select(col("user_id"), col("day"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.coalesce(
+            col("msum").cast("double"),
+            org.apache.spark.sql.functions.lit(0.0)), 6).as("m"))
+    val streamed = graft.operators.EventAnalytics
+      .sequentialFromUserDays(storeUd, "user_id")
+      .orderBy("day").collect().toSeq
+    val batchSide = graft.operators.EventAnalytics
+      .sequentialTest(all.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+      .orderBy("day").collect().toSeq
+    assert(streamed == batchSide, "store-fed mSPRT must equal batch")
+    // 6 synthetic days straddle a UTC midnight -> 7 calendar dates
+    assert(streamed.size >= 6, s"expected a full day series, got ${streamed.size}")
+  }
+
   test("streamed portable-HLL register store == one-shot sketch (max-merge fold)") {
     val dir = s"$root/hll_stream"
     Files.createDirectories(Paths.get(s"$dir/in"))
