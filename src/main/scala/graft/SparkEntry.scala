@@ -3204,6 +3204,24 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.languageId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")),
 
+    // Language-ID confusion matrix (r15b): declared lang column vs the
+    // heuristic detector — the mislabeled-corpus screen (a source whose
+    // declared row disagrees with detection is a labeling or mixing
+    // bug). Per (declared, predicted): count + within-declared share.
+    "q_langid_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .select(col("lang").as("declared"),
+          TextFunctions.languageId(col("text")).as("predicted"))
+        .groupBy(col("declared"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac",
+          round(col("n").cast("double")
+            / sum(col("n")).over(Window.partitionBy(col("declared")))
+              .cast("double"), 6))
+        .orderBy("declared", "predicted")
+    }),
+
     // PII redaction: counts per kind + fingerprint of the redacted text.
     // The synthetic corpus is digit-free, so a deterministic PII-bearing
     // suffix (email/IP/SSN/phone derived from doc_id) is appended first —
@@ -9317,6 +9335,47 @@ object SparkEntry {
         |    ELSE 'und'
         |  END AS predicted_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Confusion replay: the langid decision procedure with the declared
+    // column carried, grouped, within-declared share via a window.
+    "q_langid_confusion" ->
+      """WITH sc AS (
+        |  SELECT lang, text,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('el','la','de','que','y','en','un','una','los','es'))) AS es,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','nicht'))) AS de,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS fr
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang AS declared,
+        |    CASE
+        |      WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'
+        |      WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+        |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN regexp_matches(text, '[А-яЁё]') THEN 'ru'
+        |      WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        |      WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+        |      WHEN greatest(en, es, de, fr) > 0 THEN
+        |        CASE WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |             WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |             WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |             ELSE 'fr' END
+        |      ELSE 'und'
+        |    END AS predicted
+        |  FROM sc
+        |), c AS (
+        |  SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT declared, predicted, n,
+        |       round(CAST(n AS DOUBLE)
+        |             / CAST(sum(n) OVER (PARTITION BY declared) AS DOUBLE), 6)
+        |         AS frac
+        |FROM c ORDER BY declared, predicted""".stripMargin,
 
     // Replays the longest-equal-run fold: per-doc 2-gram counts, the
     // max count over the total.
