@@ -3289,6 +3289,19 @@ object SparkEntry {
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 20)
     }),
 
+    // Contrastive-pair mining (r15b): per anchor (vec_ids 0-2), the
+    // positives (cos >= 0.95) and top-10 HARD negatives — the most
+    // similar candidates inside the [0.2, 0.9) band, the DPR/SBERT
+    // training recipe. Anchors broadcast; one row-local scoring pass.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.hardNegatives(
+          emb.filter(col("vec_id") > 2), emb.filter(col("vec_id") <= 2),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, posMin = 0.95, negMin = 0.2, negMax = 0.9)
+        .orderBy(col("anchor_id"), col("role"), desc("cos_sim"), col("vec_id"))
+    }),
+
     // Attribute-filtered exact search: cosine top-k WITHIN the label=1
     // slice (search restricted to a source/license/label subset — the
     // standard production vector-search requirement). Exact, so full
@@ -11033,6 +11046,34 @@ object SparkEntry {
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Hard-negative replay: anchors 0-2 cross candidates, rounded
+    // cosine, role split on the banded grid, per-anchor rank window.
+    "q_hard_negatives" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS va
+        |  FROM embeddings WHERE vec_id <= 2
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vc
+        |  FROM embeddings WHERE vec_id > 2
+        |), s AS (
+        |  SELECT a.anchor_id, c.vec_id,
+        |         round(list_dot_product(va, vc) /
+        |               (sqrt(list_dot_product(va, va))
+        |                * sqrt(list_dot_product(vc, vc))), 6) + 0.0e0 AS cos_sim
+        |  FROM c, a WHERE c.vec_id <> a.anchor_id
+        |), m AS (
+        |  SELECT anchor_id, vec_id, cos_sim, 'positive' AS role
+        |  FROM s WHERE cos_sim >= 0.95
+        |  UNION ALL
+        |  SELECT anchor_id, vec_id, cos_sim, 'hard_negative' AS role FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |                ORDER BY cos_sim DESC, vec_id) AS rk
+        |    FROM s WHERE cos_sim >= 0.2 AND cos_sim < 0.9)
+        |  WHERE rk <= 10
+        |)
+        |SELECT anchor_id, vec_id, cos_sim, role
+        |FROM m ORDER BY anchor_id, role, cos_sim DESC, vec_id""".stripMargin,
 
     // Filtered exact search: q_sim_topk restricted to the label=1 slice.
     "q_sim_filtered" ->

@@ -1267,4 +1267,58 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("id_l", "id_r", "cos_sim", "rank")
   }
+
+  /** Contrastive-pair mining for retrieval/embedding training: per
+    * ANCHOR, the positives (cos ≥ `posMin` — near-duplicates / same-
+    * item evidence) and the top-k HARD negatives — the most similar
+    * candidates inside the (negMin, negMax) band, which is where the
+    * training signal lives (random negatives are too easy, ≥ negMax
+    * risks false negatives; the banded pick is the standard DPR/SBERT
+    * recipe). Candidates above negMax but below posMin fall in the
+    * "ambiguous" gap and are deliberately dropped from BOTH roles.
+    *
+    * Scale shape: the anchor set is a curated training seed (bounded —
+    * the [[graft.operators.TrainingData.semanticContamination]]
+    * broadcast argument), so scoring is one row-local corpus pass with
+    * per-row norms; role assignment is a filter; the per-(anchor,
+    * role) top-k is a window over the band-filtered slice. Exact and
+    * fully oracle-replayable (positives unbounded by design — they
+    * are typically few; negatives capped at k).
+    */
+  def hardNegatives(
+      candidates: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      anchorIdCol: String,
+      anchorVecCol: String,
+      k: Int,
+      posMin: Double = 0.95,
+      negMin: Double = 0.5,
+      negMax: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(negMin < negMax && negMax <= posMin,
+      s"need negMin < negMax <= posMin, got $negMin/$negMax/$posMin")
+    val a = anchors.select(col(anchorIdCol).as("anchor_id"),
+        col(anchorVecCol).as("v_a"))
+      .withColumn("n_a", VectorOps.l2Norm(col("v_a")))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("v_c"))
+      .withColumn("n_c", VectorOps.l2Norm(col("v_c")))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("v_a"), col("v_c")) / (col("n_a") * col("n_c")), 6))
+    val pos = scored.filter(col("cos_sim") >= posMin)
+      .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
+        lit("positive").as("role"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), col("vec_id"))
+    val neg = scored
+      .filter(col("cos_sim") >= negMin && col("cos_sim") < negMax)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
+        lit("hard_negative").as("role"))
+    pos.unionByName(neg)
+  }
 }

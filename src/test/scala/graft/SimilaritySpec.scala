@@ -816,4 +816,33 @@ class SimilaritySpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivf_prune_tbl")
     }
   }
+
+  test("hardNegatives: role bands by hand; the ambiguous gap drops; k caps the band") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val anchors = Seq((0L, v(1, 0))).toDF("vec_id", "embedding")
+    // cos vs (1,0): c1 ~0.99995 (positive), c2 ~0.707 (hard band),
+    // c3 = 0 (below band), c4 ~0.904 (the deliberate gap [0.9, 0.95)).
+    val cands = Seq(
+      (10L, v(1, 0.01)), (11L, v(1, 1)), (12L, v(0, 1)), (13L, v(0.95, 0.45)))
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.hardNegatives(cands, anchors,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(got == Map(10L -> "positive", 11L -> "hard_negative"),
+      s"roles wrong: $got")
+    // k cap: 12 candidates inside the band, k = 5 -> exactly the 5
+    // most similar survive.
+    val banded = (1 to 12).map { i =>
+      val ang = 0.45 + i * 0.04 // cos in ~(0.55, 0.89) band, distinct
+      (100L + i, v(math.cos(ang), math.sin(ang)))
+    }.toDF("vec_id", "embedding")
+    val capped = SimilaritySearch.hardNegatives(banded, anchors,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .filter(col("role") === "hard_negative").collect()
+    assert(capped.length == 5)
+    val sims = capped.map(_.getDouble(2)).sorted.reverse
+    assert(sims.head > sims.last, "ranked by similarity")
+    assert(capped.map(_.getLong(1)).toSet == (101L to 105L).toSet,
+      "the five smallest angles (most similar) survive")
+  }
 }
