@@ -622,6 +622,36 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // LSH quality audit (r15b): precision/recall of the portable
+    // banded-MinHash pair set against the exhaustive Jaccard truth at
+    // the same 0.5 threshold — the "no silent caps" self-measurement
+    // made a standing query (banding recall loss and estimator
+    // false-positives are now numbers the pipeline watches, not
+    // footnotes). Both sides replay fully in SQL, so even this audit
+    // is oracle-exact.
+    "q_lsh_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("__e"))
+      val lsh = Dedup.minHashPairsPortable(docs, "doc_id", "text", n = 3,
+          perms = 16, bands = 4, minEstJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("__l"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("__l").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
+          sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+        .select(col("n_exact"), col("n_lsh"), col("n_both"),
+          when(col("n_lsh") > 0,
+            round(col("n_both").cast("double")
+              / col("n_lsh").cast("double"), 6)).as("lsh_precision"),
+          when(col("n_exact") > 0,
+            round(col("n_both").cast("double")
+              / col("n_exact").cast("double"), 6)).as("lsh_recall"))
+    }),
+
     // Transitive duplicate clusters: exact-jaccard pairs -> connected
     // components (min-label + pointer jumping) -> per-doc cluster id.
     // The oracle recomputes the closure as a recursive CTE.
@@ -4742,6 +4772,58 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // LSH-quality replay: the shared minhash CTE plus the exhaustive
+    // jaccard truth (both at 0.5), FULL JOIN, precision/recall counts.
+    "q_lsh_quality" -> (minhashSigCte +
+      """, sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), exactp AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+        |), bk AS (
+        |  SELECT id, CAST(perm // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS bkey
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.perm = sa.perm
+        |  GROUP BY 1, 2
+        |), lshp AS (
+        |  SELECT id_a, id_b FROM est
+        |  WHERE round(CAST(n_match AS DOUBLE) / 16, 6) >= 0.5
+        |), f AS (
+        |  SELECT e.id_a AS ea, l.id_a AS la
+        |  FROM exactp e FULL JOIN lshp l
+        |    ON e.id_a = l.id_a AND e.id_b = l.id_b
+        |)
+        |SELECT CAST(count(ea) AS BIGINT) AS n_exact,
+        |       CAST(count(la) AS BIGINT) AS n_lsh,
+        |       CAST(count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL
+        |                       THEN 1 END) AS BIGINT) AS n_both,
+        |       CASE WHEN count(la) > 0 THEN
+        |         round(CAST(count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL
+        |                              THEN 1 END) AS DOUBLE)
+        |               / CAST(count(la) AS DOUBLE), 6) END AS lsh_precision,
+        |       CASE WHEN count(ea) > 0 THEN
+        |         round(CAST(count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL
+        |                              THEN 1 END) AS DOUBLE)
+        |               / CAST(count(ea) AS DOUBLE), 6) END AS lsh_recall
+        |FROM f""".stripMargin),
 
     // Portable-MinHash signature replay: the shared sig CTE, long form.
     "q_minhash_sig" -> (minhashSigCte +
