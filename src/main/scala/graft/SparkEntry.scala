@@ -652,6 +652,16 @@ object SparkEntry {
               / col("n_exact").cast("double"), 6)).as("lsh_recall"))
     }),
 
+    // LSH operating curve (r16): q_lsh_quality generalized — precision/
+    // recall per (bands, rows/band) config from ONE signature pass, the
+    // table a threshold-tuning pass reads instead of re-running audits.
+    // Fully oracle-replayed (both sides are the same md5/grid
+    // arithmetic as q_minhash_pairs plus the exhaustive truth).
+    "q_lsh_curve" -> ((s, d) =>
+      Dedup.lshOperatingCurve(t(s, d, "documents"), "doc_id", "text",
+          n = 3, perms = 16, minJaccard = 0.5)
+        .orderBy("bands")),
+
     // Transitive duplicate clusters: exact-jaccard pairs -> connected
     // components (min-label + pointer jumping) -> per-doc cluster id.
     // The oracle recomputes the closure as a recursive CTE.
@@ -1088,6 +1098,39 @@ object SparkEntry {
           when(col("__v") >= 4, lit("#section-2")).otherwise(lit(""))))
         .select(col("doc_id"), col("url"),
           TextFunctions.canonicalUrl(col("url")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet web dedup end-to-end (r16, [[Dedup.webDedup]]): deterministic
+    // messy-URL synthesis where the FETCH TARGET is doc_id % 400 (so
+    // distinct docs share canonical URLs) and the noise variant is
+    // md5-derived (mixed case, :443, trailing slash, tracking params,
+    // fragment — all canonicalization-invariant by construction); exact
+    // collapse on the canonical URL, then portable-MinHash near-dup
+    // within registered-domain groups. FULL oracle: regex chain, domain
+    // heuristic, md5 band keys and grid estimates all replay.
+    "q_dedup_url" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hosts = array(
+        lit("EN.Wikipedia.ORG"), lit("news.bbc.co.uk"), lit("Blogs.Example.COM"))
+      val u = pmod(col("doc_id"), lit(400L))
+      val variant = pmod(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("du"))), 1, 2),
+        16, 10).cast("long"), lit(6L))
+      val urld = docs
+        .withColumn("__v", variant)
+        .withColumn("__u", u)
+        .withColumn("url", concat(
+          when(col("__v") < 3, lit("HTTPS://")).otherwise(lit("https://")),
+          element_at(hosts, (pmod(col("__u"), lit(3L)) + 1).cast("int")),
+          when(col("__v") === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), col("__u").cast("string"),
+          when(col("__v") === 1, lit("/")).otherwise(lit("")),
+          when(col("__v") <= 1, lit("?utm_source=feed&ref=home"))
+            .otherwise(lit("")),
+          when(col("__v") >= 4, lit("#sec")).otherwise(lit(""))))
+      Dedup.webDedup(urld, "doc_id", "url", "text",
+          n = 3, perms = 16, bands = 4, minEstJaccard = 0.5)
         .orderBy("doc_id")
     }),
 
@@ -3332,6 +3375,23 @@ object SparkEntry {
         .orderBy(col("anchor_id"), col("role"), desc("cos_sim"), col("vec_id"))
     }),
 
+    // IVF-routed contrastive mining (r16): same roles/bands as
+    // q_hard_negatives but anchors route through the IVF index instead
+    // of broadcasting — the corpus-scale-anchor path. Probed
+    // exhaustively (nprobe = nlist) so the output EQUALS the brute
+    // mining pass bitwise (rows-only: KMeans cell assignment is model
+    // state; the brute identity + partial-probe recall floor are pinned
+    // in SimilaritySpec).
+    "q_hard_negatives_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") > 2), "vec_id", "embedding", nlist = 16)
+      SimilaritySearch.hardNegativesIvf(idx, emb.filter(col("vec_id") <= 2),
+          "vec_id", "embedding",
+          k = 10, posMin = 0.95, negMin = 0.2, negMax = 0.9, nprobe = 16)
+        .orderBy(col("anchor_id"), col("role"), desc("cos_sim"), col("vec_id"))
+    }),
+
     // Attribute-filtered exact search: cosine top-k WITHIN the label=1
     // slice (search restricted to a source/license/label subset — the
     // standard production vector-search requirement). Exact, so full
@@ -4305,8 +4365,8 @@ object SparkEntry {
        |       greatest(0.0, round(sa.e + sb.e - union_distinct, 4)) + 0.0e0
        |         AS intersect_distinct,
        |       CASE WHEN union_distinct > 0
-       |            THEN round(greatest(0.0, round(sa.e + sb.e - union_distinct, 4))
-       |                       / union_distinct, 6)
+       |            THEN least(1.0, round(greatest(0.0, round(sa.e + sb.e - union_distinct, 4))
+       |                       / union_distinct, 6))
        |       END AS est_jaccard
        |FROM uest
        |JOIN singles sa ON sa.event_type = uest.ga
@@ -4775,6 +4835,75 @@ object SparkEntry {
 
     // LSH-quality replay: the shared minhash CTE plus the exhaustive
     // jaccard truth (both at 0.5), FULL JOIN, precision/recall counts.
+    // Operating-curve replay: the q_lsh_quality truth and estimate
+    // arithmetic, swept over every banding config via a config cross
+    // join; band index = perm // (perms/bands).
+    "q_lsh_curve" -> (minhashSigCte +
+      """, sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), exactp AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+        |), cfg AS (
+        |  SELECT unnest([1, 2, 4, 8, 16]) AS cfg_bands
+        |), bk AS (
+        |  SELECT s.id, c.cfg_bands,
+        |         CAST(s.perm // (16 // c.cfg_bands) AS INT) AS band,
+        |         md5(string_agg(CAST(s.sig AS VARCHAR), ',' ORDER BY s.perm)) AS bkey
+        |  FROM sig s, cfg c
+        |  GROUP BY 1, 2, 3
+        |), cand AS (
+        |  SELECT DISTINCT a.cfg_bands, a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.cfg_bands = b.cfg_bands AND a.band = b.band
+        |   AND a.bkey = b.bkey AND a.id < b.id
+        |), cp AS (
+        |  SELECT DISTINCT id_a, id_b FROM cand
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM cp c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.perm = sa.perm
+        |  GROUP BY 1, 2
+        |), lsh AS (
+        |  SELECT cand.cfg_bands, cand.id_a, cand.id_b
+        |  FROM cand JOIN est ON est.id_a = cand.id_a AND est.id_b = cand.id_b
+        |  WHERE round(CAST(n_match AS DOUBLE) / 16, 6) >= 0.5
+        |), ex AS (
+        |  SELECT c.cfg_bands, e.id_a, e.id_b FROM exactp e, cfg c
+        |), j AS (
+        |  SELECT coalesce(ex.cfg_bands, lsh.cfg_bands) AS bands,
+        |         (ex.id_a IS NOT NULL) AS e,
+        |         (lsh.id_a IS NOT NULL) AS l
+        |  FROM ex FULL OUTER JOIN lsh
+        |    ON ex.cfg_bands = lsh.cfg_bands
+        |   AND ex.id_a = lsh.id_a AND ex.id_b = lsh.id_b
+        |)
+        |SELECT bands, CAST(16 AS INT) AS perms,
+        |       CAST(16 // bands AS INT) AS rows_per_band,
+        |       CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+        |       CAST(sum(CASE WHEN e AND l THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |       CASE WHEN sum(CASE WHEN l THEN 1 ELSE 0 END) > 0
+        |            THEN round(
+        |              CAST(sum(CASE WHEN e AND l THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |       END AS lsh_precision,
+        |       CASE WHEN sum(CASE WHEN e THEN 1 ELSE 0 END) > 0
+        |            THEN round(
+        |              CAST(sum(CASE WHEN e AND l THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |       END AS lsh_recall
+        |FROM j GROUP BY 1 ORDER BY bands""".stripMargin),
+
     "q_lsh_quality" -> (minhashSigCte +
       """, sizes AS (
         |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
@@ -5527,8 +5656,12 @@ object SparkEntry {
         |  SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS x FROM u
         |), c2 AS (
         |  SELECT doc_id, url,
-        |         lower(regexp_extract(x, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
-        |         || regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)', 1) AS x
+        |         CASE WHEN regexp_extract(x,
+        |                '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = '' THEN x
+        |         ELSE
+        |           lower(regexp_extract(x, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+        |           || regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)', 1)
+        |         END AS x
         |  FROM c1
         |), c3 AS (
         |  SELECT doc_id, url,
@@ -5550,6 +5683,138 @@ object SparkEntry {
         |)
         |SELECT doc_id, url, rtrim(x, '/') AS canon
         |FROM c5 ORDER BY doc_id""".stripMargin,
+
+    // CCNet web-dedup replay (r16): messy-URL synthesis keyed on the
+    // doc_id % 400 fetch target, the full canonicalization chain, exact
+    // collapse to the min-id keeper per canonical URL, the registered-
+    // domain label heuristic, then the portable-MinHash sig/band/
+    // estimate chain (the q_minhash_pairs arithmetic) with the domain
+    // folded into the band join — dropping the higher id of every pair
+    // at est >= 0.5.
+    "q_dedup_url" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, doc_id % 400 AS u,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || 'du'), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || 'du'), 2, 1)) - 1)) % 6 AS var
+        |  FROM documents
+        |), uu AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN var < 3 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (['EN.Wikipedia.ORG','news.bbc.co.uk','Blogs.Example.COM'])[
+        |         CAST(u % 3 + 1 AS INT)]
+        |    || (CASE WHEN var = 0 THEN ':443' ELSE '' END)
+        |    || '/p/' || CAST(u AS VARCHAR)
+        |    || (CASE WHEN var = 1 THEN '/' ELSE '' END)
+        |    || (CASE WHEN var <= 1 THEN '?utm_source=feed&ref=home' ELSE '' END)
+        |    || (CASE WHEN var >= 4 THEN '#sec' ELSE '' END) AS url
+        |  FROM v
+        |), c1 AS (
+        |  SELECT doc_id, text, regexp_replace(url, '#.*', '', 'g') AS x FROM uu
+        |), c2 AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN regexp_extract(x,
+        |                '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = '' THEN x
+        |         ELSE
+        |           lower(regexp_extract(x, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+        |           || regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)', 1)
+        |         END AS x
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(regexp_replace(x,
+        |           '^(https://[^/:?#]+):443(/|\?|$)', '\1\2'),
+        |           '^(http://[^/:?#]+):80(/|\?|$)', '\1\2') AS x
+        |  FROM c2
+        |), c4 AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(x,
+        |           '&(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS x
+        |  FROM c3
+        |), c5 AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(regexp_replace(x,
+        |           '\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
+        |           '\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g') AS x
+        |  FROM c4
+        |), ca AS (
+        |  SELECT doc_id, text, rtrim(x, '/') AS canon FROM c5
+        |), grp AS (
+        |  SELECT canon, min(doc_id) AS kid,
+        |         CAST(count(*) AS BIGINT) AS n_url_dupes
+        |  FROM ca GROUP BY 1
+        |), dm AS (
+        |  SELECT k.doc_id, k.text, k.canon, k.n_url_dupes,
+        |    CASE WHEN len(string_split(k.host, '.')) <= 2 THEN k.host
+        |         WHEN string_split(k.host, '.')[len(string_split(k.host, '.')) - 1]
+        |                IN ('co','com','net','org','gov','ac','edu')
+        |              AND length(string_split(k.host, '.')[len(string_split(k.host, '.'))]) = 2
+        |           THEN array_to_string(string_split(k.host, '.')[
+        |                  len(string_split(k.host, '.')) - 2
+        |                  : len(string_split(k.host, '.'))], '.')
+        |         ELSE array_to_string(string_split(k.host, '.')[
+        |                  len(string_split(k.host, '.')) - 1
+        |                  : len(string_split(k.host, '.'))], '.')
+        |    END AS domain
+        |  FROM (
+        |    SELECT ca.doc_id, ca.text, ca.canon, g.n_url_dupes,
+        |           lower(regexp_extract(ca.canon,
+        |             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+        |    FROM ca JOIN grp g ON g.kid = ca.doc_id AND g.canon = ca.canon) k
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM dm
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM toks)
+        |), h0 AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(13), j ->
+        |           (CAST(strpos('0123456789abcdef',
+        |               substr(hh, CAST(j+1 AS INT), 1)) AS BIGINT) - 1)
+        |           * (CAST(1 AS BIGINT) << CAST(4*(12-j) AS INT)))) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, md5(g) AS hh FROM grams) mg
+        |), hv AS (
+        |  SELECT doc_id, CAST(p.i AS INT) AS perm,
+        |         ((((h & 67108863) * (((2 * p.i + 1) * 25214903917) & 137438953471))
+        |             & 4503599627370495)
+        |          + (((h >> 26) * (((2 * p.i + 1) * 25214903917) & 137438953471))
+        |             & 67108863) * 67108864
+        |          + p.i * 2654435769) & 4503599627370495 AS hp
+        |  FROM h0, range(16) p(i)
+        |), sig AS (
+        |  SELECT doc_id AS id, perm, min(hp) AS sig FROM hv GROUP BY 1, 2
+        |), bk AS (
+        |  SELECT id, CAST(perm // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS bkey
+        |  FROM sig GROUP BY 1, 2
+        |), bkd AS (
+        |  SELECT bk.id, bk.band, bk.bkey, dm.domain
+        |  FROM bk JOIN dm ON dm.doc_id = bk.id
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bkd a JOIN bkd b
+        |    ON a.domain = b.domain AND a.band = b.band AND a.bkey = b.bkey
+        |   AND a.id < b.id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.perm = sa.perm
+        |  GROUP BY 1, 2
+        |), dropb AS (
+        |  SELECT DISTINCT id_b FROM est
+        |  WHERE round(CAST(n_match AS DOUBLE) / 16, 6) >= 0.5
+        |)
+        |SELECT dm.doc_id, dm.canon, dm.domain, dm.n_url_dupes
+        |FROM dm LEFT JOIN dropb ON dropb.id_b = dm.doc_id
+        |WHERE dropb.id_b IS NULL
+        |ORDER BY dm.doc_id""".stripMargin,
 
     "q_url_domain_cap" ->
       """WITH u AS (

@@ -125,7 +125,11 @@ object TextFunctions {
     * lookaheads, so the RE2-based oracle replays it verbatim (DuckDB
     * side uses \1 replacement refs and the 'g' flag where Spark is
     * global by default). Two URLs that canonicalize equal are the
-    * same fetch target for dedup purposes.
+    * same fetch target for dedup purposes. Inputs that don't match the
+    * scheme://authority shape (schemeless 'example.com/p', mailto:,
+    * relative paths) fall back to the fragment-stripped input rather
+    * than collapsing to '' — an empty key would silently merge every
+    * malformed URL into one dedup group.
     */
   def canonicalUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*", "")
@@ -133,7 +137,7 @@ object TextFunctions {
       "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
     val rest = regexp_extract(noFrag,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)", 1)
-    val lowered = concat(head, rest)
+    val lowered = when(length(head) === 0, noFrag).otherwise(concat(head, rest))
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(https://[^/:?#]+):443(/|\\?|$)", "$1$2"),
       "^(http://[^/:?#]+):80(/|\\?|$)", "$1$2")

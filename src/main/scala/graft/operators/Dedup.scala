@@ -358,18 +358,30 @@ object Dedup {
     // identically across the uses, so ReuseExchange runs the banding
     // subtree once — no persist barrier needed.
     val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands, seed)
-    // Verify only candidate documents: semi-join prunes the corpus to the
-    // docs LSH surfaced before re-shingling. Candidate volume scales with
-    // true-duplicate density, so at 100 TB this is the difference between
-    // verifying millions of rows and re-exploding the whole corpus.
+    verifyPairsExactJaccard(cands, df, idCol, textCol, n, minJaccard)
+  }
+
+  /** Exact n-gram-Jaccard verification of an LSH candidate pair set.
+    * Semi-join prunes the corpus to the docs LSH surfaced before
+    * re-shingling — candidate volume scales with true-duplicate
+    * density, so at 100 TB this is the difference between verifying
+    * millions of rows and re-exploding the whole corpus. Row-local gram
+    * sets with carried sizes (same shape as [[jaccardPairs]]): no
+    * distinct shuffle, no sizes joins; re-shingling the pruned docs for
+    * each verify side is linear CPU on candidate volume — cheaper than
+    * caching an exploded gram table.
+    */
+  private def verifyPairsExactJaccard(
+      cands: DataFrame, /* id_a, id_b */
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double): DataFrame = {
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol)))
       .distinct()
     val pruned = df.join(candDocs, Seq(idCol), "left_semi")
-    // Row-local gram sets with carried sizes (same shape as
-    // [[jaccardPairs]]): no distinct shuffle, no sizes joins.
-    // Re-shingling the pruned docs for each verify side is linear CPU on
-    // candidate volume — cheaper than caching an exploded gram table.
     val grams = pruned.select(
         col(idCol).as("id"),
         array_distinct(graft.plans.HashExpressions.wordNGramHashes(col(textCol), n)).as("gs"))
@@ -383,6 +395,91 @@ object Dedup {
       .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The presketched sketch pipeline for DISTINCT-TEXT input (the
+    * [[minHashNearDuplicatesDistinct]] twin): band keys from `sigs`
+    * slices, exact-Jaccard verify over the candidate docs — text is
+    * touched only by the verify, so a caller that already exact-deduped
+    * and sketched (the ingestion step) skips the collapse/expand
+    * bookkeeping entirely. Same aliased self-join shape as
+    * [[minHashCandidates]] so ReuseExchange materializes the band table
+    * once.
+    */
+  def minHashNearDuplicatesDistinctPresketched(
+      df: DataFrame,
+      sigs: DataFrame, /* id, sig */
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val banded = sigs
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyPairsExactJaccard(cands, df, idCol, textCol, n, minJaccard)
+  }
+
+  /** [[minHashNearDuplicates]] when the corpus is ALREADY sketched: the
+    * collapse bookkeeping reads `fp`'s content_md5, banding reads sig
+    * slices, and within-group eligibility reads the identity-signature
+    * marker (the all-MaxValue sig IS "empty gram set") — document text
+    * is touched exactly once, to exact-Jaccard-verify the LSH
+    * candidates (bounded by candidate volume). The single-sketch
+    * ingestion path's within-batch sweep (r16).
+    *
+    * `fp` must be [[fingerprintIndex]](df) with matching (n, numHashes,
+    * seed) — pinned equal to the sketch-from-text form in DedupSpec.
+    */
+  def minHashNearDuplicatesPresketched(
+      df: DataFrame,
+      fp: DataFrame, /* id, content_md5, sig */
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val members = fp.select(col("id").as("__mid"), col("content_md5").as("__ghash"))
+    val keepers = members.groupBy("__ghash")
+      .agg(min(col("__mid")).as("__kid"), count(lit(1)).as("__gn"))
+    val keeperSigs = fp
+      .join(keepers.select(col("__kid").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("sig"))
+    val keeperPairs = minHashNearDuplicatesDistinctPresketched(
+      df, keeperSigs, idCol, textCol, n, numHashes, bands, minJaccard)
+
+    val kToG = keepers.select(col("__kid"), col("__ghash"))
+    val cross = keeperPairs
+      .join(kToG.select(col("__kid").as("id_a"), col("__ghash").as("__ga")), "id_a")
+      .join(kToG.select(col("__kid").as("id_b"), col("__ghash").as("__gb")), "id_b")
+      .join(members.select(col("__mid").as("__ma"), col("__ghash").as("__ga")), "__ga")
+      .join(members.select(col("__mid").as("__mb"), col("__ghash").as("__gb")), "__gb")
+      .select(
+        least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("jaccard"))
+    val eligible = keepers.filter(col("__gn") > 1)
+      .join(fp.select(col("id").as("__kid"), col("sig")), "__kid")
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("__ghash"))
+    val within = members.join(eligible, "__ghash")
+      .select(col("__ghash"), col("__mid").as("__ma"))
+      .join(members.select(col("__ghash"), col("__mid").as("__mb")), "__ghash")
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   // -------------------------------------------------------------- SimHash
@@ -509,6 +606,168 @@ object Dedup {
         round(col("n_match").cast("double") / perms, 6))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "n_match", "est_jaccard")
+  }
+
+  /** The LSH OPERATING CURVE (r16): precision/recall of the banded pair
+    * set vs the exhaustive Jaccard truth for EVERY (bands, rows/band)
+    * config, from ONE signature pass — generalizes the single-config
+    * audit (q_lsh_quality) so threshold tuning reads a table instead of
+    * re-running audits per config. Per config b: candidates are pairs
+    * agreeing on any of b band tuples (catch prob 1−(1−j^r)^b, r =
+    * perms/b), kept at the estimate gate; the matching-fraction
+    * estimate itself is config-independent, so it is computed once per
+    * DISTINCT candidate pair and joined back to each config's pair set.
+    *
+    * Shape: every config's band keys emit from a single row-local
+    * explode over the persisted signature arrays (Σb structs per doc —
+    * 31 at the default ladder); one aliased self-join; the exhaustive
+    * truth is the same sf-bounded audit q_lsh_quality runs. Like that
+    * audit, this is a MEASUREMENT query — the truth side is quadratic
+    * in near-dup density by design; run it on samples at scale.
+    */
+  def lshOperatingCurve(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      minJaccard: Double = 0.5,
+      bandConfigs: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    bandConfigs.foreach(b => require(b >= 1 && perms % b == 0,
+      s"every config must divide perms, got $b/$perms"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = minHashSigArrays(df, idCol, textCol, n, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allKeys = sigs.select(col("id"), explode(concat(bandConfigs.map { b =>
+        val r = perms / b
+        transform(sequence(lit(0), lit(b - 1)),
+          i => struct(lit(b).as("cfg_bands"), i.as("band"),
+            md5(concat_ws(",",
+              transform(slice(col("hs"), i * lit(r) + lit(1), lit(r)),
+                _.cast("string")))).as("bkey")))
+      }: _*)).as("k"))
+      .select(col("id"), col("k.cfg_bands"), col("k.band"), col("k.bkey"))
+    val cand = allKeys
+      .select(col("cfg_bands"), col("band"), col("bkey"), col("id").as("id_a"))
+      .join(allKeys
+        .select(col("cfg_bands"), col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("cfg_bands", "band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("cfg_bands", "id_a", "id_b").distinct()
+    val distinctPairs = cand.select("id_a", "id_b").distinct()
+    val est = distinctPairs
+      .join(sigs.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .withColumn("__est", round(
+        aggregate(zip_with(col("ha"), col("hb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).cast("double") / perms, 6))
+      .filter(col("__est") >= minJaccard)
+      .select("id_a", "id_b")
+    val lsh = cand.join(est, Seq("id_a", "id_b"), "left_semi")
+      .withColumn("__l", lit(1))
+    val exact = jaccardPairs(df, idCol, textCol, n, minJaccard)
+      .select(col("id_a"), col("id_b"))
+      .crossJoin(bandConfigs.toDF("cfg_bands"))
+      .withColumn("__e", lit(1))
+    exact.join(lsh, Seq("cfg_bands", "id_a", "id_b"), "full_outer")
+      .groupBy(col("cfg_bands").as("bands"))
+      .agg(
+        sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("__l").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
+        sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("bands"), lit(perms).cast("int").as("perms"),
+        (lit(perms) / col("bands")).cast("int").as("rows_per_band"),
+        col("n_exact"), col("n_lsh"), col("n_both"),
+        when(col("n_lsh") > 0,
+          round(col("n_both").cast("double")
+            / col("n_lsh").cast("double"), 6)).as("lsh_precision"),
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double")
+            / col("n_exact").cast("double"), 6)).as("lsh_recall"))
+  }
+
+  /** The CCNet web-dedup pipeline as ONE operator (r16): exact collapse
+    * on the CANONICAL URL (two crawled pages that canonicalize equal —
+    * [[graft.functions.TextFunctions.canonicalUrl]]'s fragment/port/
+    * tracking-param/case normalization — are the same fetch target;
+    * keep the min-id capture), then NEAR-dup on text among the
+    * survivors WITHIN each registered-domain group (mirrors, www/m
+    * variants and template reprints live under one pay-level domain;
+    * cross-domain quotation is deliberately out of scope here — that is
+    * [[SubstringDedup]]'s grain). Near-dup candidates come from the
+    * portable banded MinHash ([[minHashPairsPortable]]'s machinery)
+    * with the DOMAIN FOLDED INTO THE BAND JOIN KEY, so banding never
+    * compares across domains — which is also the skew guard: the
+    * hottest band bucket is bounded by one domain's docs, not the
+    * crawl. Drop policy: the higher id of each estimated-duplicate pair
+    * (keep the earliest capture), matching the url-collapse keeper
+    * rule.
+    *
+    * Every stage is oracle-replayable (regex chain is RE2-safe, md5
+    * band keys, grid arithmetic) — the composition carries a FULL hash
+    * oracle, unlike the seeded-family dedup path.
+    *
+    * Output: one row per doc surviving BOTH stages — (idCol, canon,
+    * domain, n_url_dupes), n_url_dupes the collapsed fetch-target group
+    * size.
+    *
+    * Scale shape: one groupBy on the canon key, one row-local sig pass
+    * over keepers, the domain-scoped band join, and two anti/semi
+    * joins. No all-pairs anywhere; text is read once for the sketch.
+    */
+  def webDedup(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(bands >= 1 && perms % bands == 0,
+      s"bands must divide perms, got $perms/$bands")
+    val r = perms / bands
+    val canon = df.withColumn("__canon",
+      graft.functions.TextFunctions.canonicalUrl(col(urlCol)))
+    val groups = canon.groupBy(col("__canon"))
+      .agg(min(col(idCol)).as("__kid"), count(lit(1)).as("n_url_dupes"))
+    val keepers = canon
+      .join(groups.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
+      .join(groups.select(col("__canon"), col("n_url_dupes")), Seq("__canon"))
+      .withColumn("__domain", graft.functions.TextFunctions.registeredDomain(
+        graft.functions.TextFunctions.urlHost(col("__canon"))))
+    val sigs = minHashSigArrays(keepers, idCol, textCol, n, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigd = sigs.join(
+      keepers.select(col(idCol).as("id"), col("__domain").as("dom")), Seq("id"))
+    val bandKeys = sigd.select(col("id"), col("dom"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",",
+          transform(slice(col("hs"), b * lit(r) + lit(1), lit(r)),
+            _.cast("string"))))))
+        .as(Seq("band", "bkey")))
+    val cand = bandKeys
+      .select(col("dom"), col("band"), col("bkey"), col("id").as("id_a"))
+      .join(bandKeys
+        .select(col("dom"), col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("dom", "band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val nearDropped = cand
+      .join(sigs.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .withColumn("__est", round(
+        aggregate(zip_with(col("ha"), col("hb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).cast("double") / perms, 6))
+      .filter(col("__est") >= minEstJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    keepers.join(nearDropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__canon").as("canon"),
+        col("__domain").as("domain"), col("n_url_dupes"))
   }
 
   /** MinHash CONTAINMENT estimates over the portable LSH candidates —
@@ -832,11 +1091,11 @@ object Dedup {
     * `minAgreement` is the estimated-Jaccard cutoff (estimator stddev
     * ~ sqrt(j(1-j)/numHashes), ~0.06 at j=0.5, numHashes=64).
     *
-    * The batch sketch feeds three differently-keyed joins (band
-    * collision, agreement verify, final anti-join), so it is recomputed
-    * per consumer rather than persisted — the batch is the daily
-    * increment, small against the corpus by contract; persist upstream
-    * if yours is not.
+    * Sketches the batch once and delegates to the presketched id probe
+    * ([[duplicateIdsAgainstIndex]]) — callers that already hold a
+    * [[fingerprintIndex]] frame for the batch (the ingestion step does,
+    * it writes one as the index delta anyway) should call the
+    * presketched form directly and skip this sketch entirely.
     */
   def dropAgainstIndex(
       batch: DataFrame,
@@ -848,40 +1107,65 @@ object Dedup {
       minAgreement: Double = 0.5,
       n: Int = 3,
       seed: Long = 42L): DataFrame = {
+    val fp = fingerprintIndex(batch, idCol, textCol, n, numHashes, seed)
+    val dup = duplicateIdsAgainstIndex(fp, index, numHashes, bands, minAgreement)
+    batch.join(dup.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** The shared presketched banding step: (band, band_hash) keys derived
+    * row-locally from signature array slices — no text, no re-sketch.
+    * Identity signatures (sub-n-token docs) are excluded on both sides.
+    */
+  private def sigBandTable(
+      src: DataFrame, id: Column, sig: Column, bands: Int, r: Int): DataFrame =
+    src.filter(element_at(sig, 1) =!= Long.MaxValue)
+      .select(id.as("bid"), sig.as("bsig"))
+      .select(col("bid"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("bsig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
+
+  /** Ids of `fp` rows that duplicate the INDEXED corpus — exact copies
+    * by content-md5 join, near copies by band collision verified with
+    * signature agreement. Pure fingerprint arithmetic on BOTH sides:
+    * `fp` is a [[fingerprintIndex]] frame (id, content_md5, sig), so
+    * the probe touches no document text at all (r16 — this is what
+    * lets [[graft.operators.Ingest.ingestIncrement]] sketch its batch
+    * exactly once).
+    */
+  def duplicateIdsAgainstIndex(
+      fp: DataFrame, /* id, content_md5, sig */
+      index: DataFrame, /* id, content_md5, sig */
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minAgreement: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(minAgreement > 0 && minAgreement <= 1,
       s"minAgreement must be in (0,1], got $minAgreement")
     val r = numHashes / bands
-    val fp = batch.withColumn("_md5", md5(col(textCol)))
-      .withColumn("_sig", minHashSignature(col(textCol), n, numHashes, seed))
-    // Exact copies of indexed content: anti-join on the content hash.
+    // Exact copies of indexed content: the content-hash join.
+    val exact = fp.join(
+        index.select(col("content_md5")), Seq("content_md5"), "left_semi")
+      .select(col("id"))
     val afterExact = fp.join(
-      index.select(col("content_md5").as("_md5")), Seq("_md5"), "left_anti")
-
-    def bandTable(src: DataFrame, id: Column, sig: Column): DataFrame =
-      src.filter(element_at(sig, 1) =!= Long.MaxValue)
-        .select(id.as("bid"), sig.as("bsig"))
-        .select(col("bid"), posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("bsig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
-
+      index.select(col("content_md5")), Seq("content_md5"), "left_anti")
     // Candidate (batch, index) pairs from band collisions — the sigs are
     // NOT carried through the 16x explode; they rejoin per distinct pair.
-    val cands = bandTable(afterExact, col(idCol), col("_sig"))
+    val cands = sigBandTable(afterExact, col("id"), col("sig"), bands, r)
       .join(
-        bandTable(index, col("id"), col("sig")).withColumnRenamed("bid", "iid"),
+        sigBandTable(index, col("id"), col("sig"), bands, r)
+          .withColumnRenamed("bid", "iid"),
         Seq("band", "band_hash"))
       .select(col("bid"), col("iid")).distinct()
-    val agree = cands
-      .join(afterExact.select(col(idCol).as("bid"), col("_sig")), "bid")
+    val near = cands
+      .join(afterExact.select(col("id").as("bid"), col("sig").as("_sig")), "bid")
       .join(index.select(col("id").as("iid"), col("sig")), "iid")
       .withColumn("_agree",
         aggregate(zip_with(col("_sig"), col("sig"),
             (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes))
       .filter(col("_agree") >= minAgreement)
-      .select(col("bid").as(idCol)).distinct()
-    afterExact.join(agree, Seq(idCol), "left_anti").drop("_md5", "_sig")
+      .select(col("bid").as("id")).distinct()
+    exact.unionByName(near)
   }
 
   /** Cross-batch near-duplicate PAIRS: (id_a = batch doc, id_b = indexed
@@ -908,32 +1192,40 @@ object Dedup {
       bands: Int = 16,
       minAgreement: Double = 0.5,
       n: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    pairsAgainstIndexPresketched(
+      fingerprintIndex(batch, idCol, textCol, n, numHashes, seed),
+      index, numHashes, bands, minAgreement)
+
+  /** [[pairsAgainstIndex]] when the batch is ALREADY sketched — both
+    * sides are [[fingerprintIndex]] frames, so the whole sweep is
+    * fingerprint arithmetic (md5 join for the exact pairs, band keys
+    * from sig slices, agreement from zip_with) with zero text access
+    * (r16, the single-sketch ingestion path).
+    */
+  def pairsAgainstIndexPresketched(
+      fp: DataFrame, /* id, content_md5, sig */
+      index: DataFrame, /* id, content_md5, sig */
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minAgreement: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(minAgreement > 0 && minAgreement <= 1,
       s"minAgreement must be in (0,1], got $minAgreement")
     val r = numHashes / bands
-    val fp = batch.select(
-      col(idCol).as("id_a"),
-      md5(col(textCol)).as("_md5"),
-      minHashSignature(col(textCol), n, numHashes, seed).as("_sig"))
-    val exactPairs = fp
+    val bfp = fp.select(
+      col("id").as("id_a"), col("content_md5").as("_md5"), col("sig").as("_sig"))
+    val exactPairs = bfp
       .join(index.select(col("id").as("id_b"), col("content_md5").as("_md5")),
         Seq("_md5"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("agreement"))
-    val afterExact = fp.join(
+    val afterExact = bfp.join(
       index.select(col("content_md5").as("_md5")), Seq("_md5"), "left_anti")
 
-    def bandTable(src: DataFrame, id: Column, sig: Column): DataFrame =
-      src.filter(element_at(sig, 1) =!= Long.MaxValue)
-        .select(id.as("bid"), sig.as("bsig"))
-        .select(col("bid"), posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("bsig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band", "band_hash")))
-
-    val cands = bandTable(afterExact, col("id_a"), col("_sig"))
+    val cands = sigBandTable(afterExact, col("id_a"), col("_sig"), bands, r)
       .join(
-        bandTable(index, col("id"), col("sig")).withColumnRenamed("bid", "iid"),
+        sigBandTable(index, col("id"), col("sig"), bands, r)
+          .withColumnRenamed("bid", "iid"),
         Seq("band", "band_hash"))
       .select(col("bid"), col("iid")).distinct()
     val nearPairs = cands

@@ -926,14 +926,28 @@ object EventAnalytics {
       events: DataFrame,
       userCol: String,
       tsCol: String,
+      salt: String = "ab"): DataFrame =
+    srmDailyFromFirstSeen(
+      events.groupBy(col(userCol)).agg(min(to_date(col(tsCol))).as("day")),
+      userCol, salt)
+
+  /** [[srmDaily]] readout from an existing (user, first-seen day) table
+    * — the LIVE-guardrail half (r16): a streaming foreachBatch
+    * maintains the first-exposure store as a keyed min fold
+    * ([[IncrementalAgg]] with a `mins` column — min is the first-seen
+    * monoid, so replays and out-of-order batches land the same store),
+    * and this readout turns the store into the day-grain SRM table
+    * without touching event history. streamed == batch pinned in
+    * StreamingFeaturesSpec.
+    */
+  def srmDailyFromFirstSeen(
+      firstSeen: DataFrame, /* userCol, day */
+      userCol: String,
       salt: String = "ab"): DataFrame = {
     val arm = pmod(conv(substring(md5(concat(col(userCol).cast("string"),
       lit(salt))), 1, 2), 16, 10).cast("long"), lit(2L))
-    val firstDay = events
-      .groupBy(col(userCol))
-      .agg(min(to_date(col(tsCol))).as("day"))
-      .withColumn("arm", arm)
-    val byDay = firstDay.groupBy(col("day"))
+    val byDay = firstSeen.withColumn("arm", arm)
+      .groupBy(col("day"))
       .agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
@@ -1176,8 +1190,10 @@ object EventAnalytics {
     * both engines; products stage through decimal, so every replicate
     * mean is an exact-fold ratio). The B−A difference is paired by
     * replicate; its CI is the 2.5%/97.5% order statistics at integer
-    * ranks over the `reps` replicate diffs (trim⌊0.025·reps⌋ from each
-    * side — the [[funnelLatency]] rank convention), and `significant`
+    * ranks over the `reps` replicate diffs (trim⌈0.025·reps⌉ from each
+    * side — ceil, so even the smallest allowed reps trims at least one
+    * order statistic per tail instead of degenerating to min/max), and
+    * `significant`
     * reads "the CI excludes 0". Distribution-free on the sampling side
     * (no normality assumed), unlike the Welch readouts above.
     *
@@ -1225,7 +1241,7 @@ object EventAnalytics {
         max(when(col("arm") === 0, col("mean_r"))).as("ma"),
         max(when(col("arm") === 1, col("mean_r"))).as("mb"))
       .withColumn("d", round(col("mb") - col("ma"), 6))
-    val trim = (0.025 * reps).toInt
+    val trim = math.ceil(0.025 * reps).toInt
     val loRn = trim + 1
     val hiRn = reps - trim
     val wOrd = Window.orderBy(col("d"), col("r"))

@@ -82,17 +82,23 @@ object Ingest {
       }
       .start()
 
-  /** Fold one batch into the standing corpus state. The surviving
-    * (novel) batch rows LAND FIRST under `outPath/batch=<batchId>`
-    * (OVERWRITE — replay-idempotent, partition-discoverable, the
-    * durable corpus increment a 100 TB pipeline keeps anyway), and all
-    * downstream detection — the link-grade pair sweep, the fingerprint
-    * delta — reads the LANDED files: one evaluation of the dedup
-    * lineage, accurate size stats for the join planner (an in-memory
-    * cache of the same rows left every sketch join un-broadcast and ran
-    * 4x slower, measured at sf0.1), zero recomputation. Fingerprints
-    * append under `indexPath/delta=<batchId>`; every link pair
-    * (in-batch + survivor-vs-index) folds into `clusterStorePath`.
+  /** Fold one batch into the standing corpus state. The batch text is
+    * SKETCHED EXACTLY ONCE (r16 — was once per consumer, 4x): one
+    * persisted [[Dedup.fingerprintIndex]] frame feeds the drop probe,
+    * the index delta, and (through the landed delta) both link-grade
+    * pair sweeps, whose band keys derive row-locally from signature
+    * array slices. The surviving (novel) batch rows land under
+    * `outPath/batch=<batchId>` (OVERWRITE — replay-idempotent,
+    * partition-discoverable, the durable corpus increment a 100 TB
+    * pipeline keeps anyway), and the survivor fingerprints land under
+    * `indexPath/delta=<batchId>` BEFORE the pair sweeps so both sweeps
+    * read LANDED files: accurate size stats for the join planner (an
+    * in-memory cache of the same rows left every sketch join
+    * un-broadcast and ran 4x slower, measured at sf0.1). Writing the
+    * delta early is replay-safe by construction — the index probe
+    * excludes the current batch id ([[readIndex]]), and the cluster
+    * fold that follows is idempotent. Every link pair (in-batch +
+    * survivor-vs-index) folds into `clusterStorePath`.
     */
   def ingestIncrement(
       batch: DataFrame,
@@ -116,31 +122,42 @@ object Ingest {
     val index = readIndex(spark, indexPath, excludeBatch = batchId)
 
     // in-batch dedup first (house order: cheap hash groupBy, then the
-    // sketch path only sees distinct texts), then the cross-batch drop,
-    // then LAND — everything after reads the landed parquet.
+    // sketch path only sees distinct texts), then ONE sketch of the
+    // deduped batch — everything downstream reads fingerprints, never
+    // re-shingles.
     val inBatch = Dedup.dropExactDuplicates(batch, idCol, textCol)
-    Dedup.dropAgainstIndex(
-        inBatch, idCol, textCol, index,
-        numHashes, bands, minAgreement = dropAgreement, n, seed)
+    val fpBatch = Dedup.fingerprintIndex(inBatch, idCol, textCol, n, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupIds = Dedup.duplicateIdsAgainstIndex(
+      fpBatch, index, numHashes, bands, minAgreement = dropAgreement)
+    inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
     val survivors = spark.read.parquet(s"$outPath/batch=$batchId")
     val dropped = batch.count() - survivors.count()
 
+    // survivor fingerprints: the batch sketch pruned to the landed ids
+    // (survivors ⊂ inBatch) — the index delta, landed now so the link
+    // sweeps below read real files with real size stats.
+    fpBatch.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
+    fpBatch.unpersist()
+    val fpSurv = spark.read.parquet(s"$indexPath/delta=$batchId")
+      .select("id", "content_md5", "sig")
+
     // link-grade pairs: survivors vs standing corpus, plus among the
-    // survivors themselves (jaccard banding at the loose threshold)
-    val cross = Dedup.pairsAgainstIndex(
-        survivors, idCol, textCol, index,
-        numHashes, bands, minAgreement = linkAgreement, n, seed)
+    // survivors themselves (jaccard banding at the loose threshold) —
+    // both sweeps band from the landed signature slices.
+    val cross = Dedup.pairsAgainstIndexPresketched(
+        fpSurv, index, numHashes, bands, minAgreement = linkAgreement)
       .select(col("id_a"), col("id_b"))
-    val within = Dedup.minHashNearDuplicates(
-        survivors, idCol, textCol, n, numHashes, bands,
-        minJaccard = linkAgreement, seed)
+    // survivors are text-distinct (dropExactDuplicates ran first), so
+    // the distinct-input sweep applies — no collapse/expand bookkeeping.
+    val within = Dedup.minHashNearDuplicatesDistinctPresketched(
+        survivors, fpSurv.select(col("id"), col("sig")), idCol, textCol,
+        n, numHashes, bands, minJaccard = linkAgreement)
       .select(col("id_a"), col("id_b"))
     ClusterStore.applyEdges(
       spark, clusterStorePath, cross.unionByName(within))
-
-    Dedup.fingerprintIndex(survivors, idCol, textCol, n, numHashes, seed)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
     IngestResult(survivors, dropped)
   }
 }

@@ -19,27 +19,59 @@ import org.apache.spark.sql.functions._
   * every basket k times; this shape pays one groupBy on exactly the
   * same key (AQE reuses the exchange for the basket fold and the item
   * census reads the same deduped table). Skew: a viral basket with B
-  * items emits B²/2 pairs in one task — cap it upstream (the dedup
-  * stage is where a `size(its) <= cap` gate belongs) the way real
-  * co-purchase pipelines cap fan-out.
+  * items emits B²/2 pairs in one task — `maxBasketSize` drops such
+  * baskets at the dedup stage with a LOGGED dropped-basket count (the
+  * house "no silent caps" rule), the way real co-purchase pipelines
+  * cap fan-out.
   */
 object MarketBasket {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** `maxBasketSize`: baskets with more distinct items are excluded
+    * ENTIRELY — from the pair explosion, the item census, and the
+    * basket count N — as if they never occurred (a viral basket's item
+    * counts would otherwise skew lift for every pair it touches). The
+    * dropped-basket count is logged; the default (Int.MaxValue) caps
+    * nothing, runs no extra job, and is identity-pinned to the uncapped
+    * output in MarketBasketSpec.
+    */
   def pairStats(
       df: DataFrame,
       basketCol: String,
       itemCol: String,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      maxBasketSize: Int = Int.MaxValue): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
     // Persisted and NOT unpersisted here: the returned frame is lazy
     // and reads this cache when the caller executes it (an unpersist on
     // function exit would silently re-run the dedup shuffle three
     // times — plan-audited). LRU eviction reclaims it; callers doing
     // repeated mining can unpersist explicitly.
-    val items: DataFrame =
+    val raw: DataFrame =
       df.select(col(basketCol).as("b"), col(itemCol).as("i"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items: DataFrame =
+      if (maxBasketSize == Int.MaxValue) raw
+      else {
+        // One aggregate on the persisted dedup table (same key as the
+        // basket fold below — AQE reuses the exchange); the oversized
+        // set is counted for the log line, then semi-join-pruned.
+        val keep = raw.groupBy("b").agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= maxBasketSize)
+          .select("b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = raw.select("b").distinct().count()
+        val kept = keep.count()
+        if (kept < total)
+          log.warn(s"market-basket: dropped ${total - kept} viral basket(s) " +
+            s"with > $maxBasketSize distinct items from pair mining " +
+            s"($kept of $total baskets kept)")
+        raw.join(keep, Seq("b"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val nBaskets = items.select("b").distinct().count().toDouble
     val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val its = items.groupBy("b").agg(sort_array(collect_set(col("i"))).as("its"))

@@ -199,7 +199,10 @@ object PortableHll {
       .select(col("ga"), col("gb"),
         col("distinct_a"), col("distinct_b"), col("union_distinct"),
         inter.as("intersect_distinct"),
+        // Clamp to <=1: sketch error on near-identical sets can make
+        // est_a + est_b - union exceed union by epsilon.
         when(col("union_distinct") > 0,
-          round(inter / col("union_distinct"), 6)).as("est_jaccard"))
+          least(lit(1.0), round(inter / col("union_distinct"), 6)))
+          .as("est_jaccard"))
   }
 }

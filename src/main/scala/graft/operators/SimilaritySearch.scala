@@ -1300,11 +1300,16 @@ object SimilaritySearch {
     require(k >= 1, s"k must be >= 1, got $k")
     require(negMin < negMax && negMax <= posMin,
       s"need negMin < negMax <= posMin, got $negMin/$negMax/$posMin")
+    // Zero vectors have no cosine direction: filter them explicitly
+    // (matching the other entry points' convention) instead of letting
+    // a NaN cos_sim silently fail every band filter.
     val a = anchors.select(col(anchorIdCol).as("anchor_id"),
         col(anchorVecCol).as("v_a"))
       .withColumn("n_a", VectorOps.l2Norm(col("v_a")))
+      .filter(col("n_a") > 0)
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("v_c"))
       .withColumn("n_c", VectorOps.l2Norm(col("v_c")))
+      .filter(col("n_c") > 0)
     val scored = c.crossJoin(broadcast(a))
       .filter(col("vec_id") =!= col("anchor_id"))
       .withColumn("cos_sim",
@@ -1316,6 +1321,73 @@ object SimilaritySearch {
     val neg = scored
       .filter(col("cos_sim") >= negMin && col("cos_sim") < negMax)
       .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
+        lit("hard_negative").as("role"))
+    pos.unionByName(neg)
+  }
+
+  /** [[hardNegatives]] routed through an IVF index — the corpus-scale
+    * anchor path (r16): when the anchor set is itself corpus-sized (the
+    * contrastive-mining norm, every training query an anchor), the
+    * brute `crossJoin(broadcast(anchors))` stops being an option; here
+    * each anchor routes to its `nprobe` nearest cells and scores only
+    * those cells' rows, so cost is corpus·nprobe/nlist per anchor
+    * batch, with anchors SHUFFLED to cells rather than broadcast.
+    * Positives (cos ≥ posMin) sit nearest the anchor, so small nprobe
+    * recovers them; the hard-negative band lives further out — raise
+    * nprobe toward nlist to trade cost for band recall. At
+    * nprobe = nlist every cell is probed and the output is EXACTLY the
+    * brute [[hardNegatives]] on the same corpus (the established IVF
+    * identity; partial-probe band recall floor pinned alongside it in
+    * SimilaritySpec).
+    */
+  def hardNegativesIvf(
+      index: IvfIndex,
+      anchors: DataFrame,
+      anchorIdCol: String,
+      anchorVecCol: String,
+      k: Int,
+      posMin: Double = 0.95,
+      negMin: Double = 0.5,
+      negMax: Double = 0.9,
+      nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(negMin < negMax && negMax <= posMin,
+      s"need negMin < negMax <= posMin, got $negMin/$negMax/$posMin")
+    val spark = anchors.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .withColumn("cn2", VectorOps.dot(col("cvec"), col("cvec")))
+    val a = anchors.select(col(anchorIdCol).as("anchor_id"),
+        VectorOps.asDouble(col(anchorVecCol)).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv")))
+      .filter(col("qn") > 0)
+    val wRoute = Window.partitionBy("anchor_id").orderBy(col("d2"), col("cell"))
+    val routed = a.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("qn") * col("qn") + col("cn2") - lit(2.0) * VectorOps.dot(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") <= nprobe)
+      .select("anchor_id", "qv", "qn", "cell")
+    val corpus = index.assigned
+      .select(col(index.assigned.columns.head).as("vec_id"), col("v"), col("cell"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .filter(col("nrm") > 0)
+    val scored = routed.join(corpus, "cell")
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val pos = scored.filter(col("cos_sim") >= posMin)
+      .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
+        lit("positive").as("role"))
+    val wRank = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), col("vec_id"))
+    val neg = scored
+      .filter(col("cos_sim") >= negMin && col("cos_sim") < negMax)
+      .withColumn("__rk", row_number().over(wRank))
       .filter(col("__rk") <= k)
       .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
         lit("hard_negative").as("role"))

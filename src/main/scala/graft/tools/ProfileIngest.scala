@@ -31,27 +31,35 @@ object ProfileIngest {
     time("ingest batch 1 (odds)")(
       Ingest.ingestIncrement(odds, "doc_id", "text", idx, store, out, 1L))
 
-    // piecewise re-run of batch 1's internals
+    // piecewise re-run of batch 1's internals (the r16 single-sketch
+    // stages, in the order ingestIncrement runs them)
     val index = time("readIndex")(Ingest.readIndex(spark, idx, 1L))
     val inBatch = Dedup.dropExactDuplicates(odds, "doc_id", "text")
     time("dropExactDuplicates count")(println("  n=" + inBatch.count()))
-    val surv = Dedup.dropAgainstIndex(inBatch, "doc_id", "text", index,
-      minAgreement = 0.9).persist()
-    time("dropAgainstIndex count")(println("  n=" + surv.count()))
-    time("pairsAgainstIndex count")(println("  n=" + Dedup.pairsAgainstIndex(
-      surv, "doc_id", "text", index, minAgreement = 0.5).count()))
-    time("minHashNearDuplicates(surv) count")(println("  n=" + Dedup
-      .minHashNearDuplicates(surv, "doc_id", "text", 3, 64, 16, 0.5).count()))
-    time("minHashNearDuplicates(odds plain) count")(println("  n=" + Dedup
-      .minHashNearDuplicates(odds, "doc_id", "text", 3, 64, 16, 0.5).count()))
-    val survMat = surv.select("doc_id", "text")
-    survMat.write.mode("overwrite").parquet("target/tmp/prof_surv_mat")
-    val survP = spark.read.parquet("target/tmp/prof_surv_mat")
-    time("minHashNearDuplicates(surv via parquet) count")(println("  n=" + Dedup
-      .minHashNearDuplicates(survP, "doc_id", "text", 3, 64, 16, 0.5).count()))
-    val pairs = Dedup.pairsAgainstIndex(surv, "doc_id", "text", index, minAgreement = 0.5)
+    val fpBatch = Dedup.fingerprintIndex(inBatch, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("fingerprint sketch count")(println("  n=" + fpBatch.count()))
+    val dupIds = Dedup.duplicateIdsAgainstIndex(fpBatch, index, minAgreement = 0.9)
+    time("duplicateIdsAgainstIndex count")(println("  n=" + dupIds.count()))
+    time("survivor landing write")(
+      inBatch.join(dupIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$out/batch=9"))
+    val surv = spark.read.parquet(s"$out/batch=9")
+    time("batch count (dropped stat)")(println("  n=" + odds.count()))
+    time("survivors count")(println("  n=" + surv.count()))
+    time("delta write")(
+      fpBatch.join(surv.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$idx/delta=9"))
+    val fpSurv = spark.read.parquet(s"$idx/delta=9").select("id", "content_md5", "sig")
+    time("pairsAgainstIndexPresketched count")(println("  n=" +
+      Dedup.pairsAgainstIndexPresketched(fpSurv, index, minAgreement = 0.5).count()))
+    time("minHashNearDuplicatesPresketched count")(println("  n=" +
+      Dedup.minHashNearDuplicatesPresketched(
+        surv, fpSurv, "doc_id", "text", 3, 64, 16, 0.5).count()))
+    val pairs = Dedup.pairsAgainstIndexPresketched(fpSurv, index, minAgreement = 0.5)
       .select("id_a", "id_b")
-      .unionByName(Dedup.minHashNearDuplicates(surv, "doc_id", "text", 3, 64, 16, 0.5)
+      .unionByName(Dedup.minHashNearDuplicatesPresketched(
+          surv, fpSurv, "doc_id", "text", 3, 64, 16, 0.5)
         .select("id_a", "id_b"))
     time("applyEdges(batch-1 pairs)")(
       ClusterStore.applyEdges(spark, store, pairs))

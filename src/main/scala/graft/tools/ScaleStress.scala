@@ -772,6 +772,53 @@ object ScaleStress {
     println(s"[stress]   active-user days = $auDays")
     }
 
+    section("basket") {
+    // Viral-basket skew (r16): 2M items over 200k normal baskets
+    // (~10 items each) plus ONE 20k-item viral basket — uncapped, that
+    // basket alone emits 2x10^8 pairs in one task; the maxBasketSize
+    // gate drops it at the dedup stage (logged) and the mining pass
+    // stays bounded by the normal baskets.
+    import graft.operators.MarketBasket
+    val normal = spark.range(2000000L).select(
+      (col("id") % 200000L).as("basket"),
+      (col("id") % 5000L).as("item"))
+    val viral = spark.range(20000L).select(
+      lit(999999L).as("basket"), col("id").as("item"))
+    val baskets = normal.unionByName(viral)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] basket rows: ${baskets.count()}")
+    time("basket: capped pair mining (cap=100)")(
+      println("[stress]   pairs = " + MarketBasket.pairStats(
+        baskets, "basket", "item", minPairCount = 2L, maxBasketSize = 100)
+        .count()))
+    baskets.unpersist(blocking = false)
+    }
+
+    section("corpstats") {
+    // Corpus-statistics growth curve (r16): heaps/zipf/hapax/source-
+    // overlap/marked-tokens at reps and 2x reps — each is census-bound
+    // with exactly ONE text scan (wave-9/r15b plan audits), so runtime
+    // should grow ~linearly in corpus volume. The measured factors go
+    // in SURVEY alongside the ab/minhash arms.
+    import graft.operators.CorpusStats
+    Seq(reps, reps * 2).foreach { r =>
+      val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", r)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[stress] corpstats corpus: ${docs.count()} docs (${r}x)")
+      time(s"corpstats ${r}x: zipf fit")(
+        CorpusStats.zipfFit(docs, "text").count())
+      time(s"corpstats ${r}x: heaps fit")(
+        CorpusStats.heapsFit(docs, "doc_id", "text").count())
+      time(s"corpstats ${r}x: hapax")(
+        CorpusStats.hapaxStats(docs, "source", "text").count())
+      time(s"corpstats ${r}x: source overlap")(
+        CorpusStats.sourceOverlap(docs, "text", "source").count())
+      time(s"corpstats ${r}x: marked tokens")(
+        CorpusStats.markedTokens(docs, "text", "source").count())
+      docs.unpersist(blocking = false)
+    }
+    }
+
     section("ab") {
     // The r15b experimentation ladder at 10M events / 200k users:
     // every readout is one fact aggregation + bounded follow-up, so

@@ -234,6 +234,68 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(101L))
   }
 
+  test("presketched forms are output-identical to the sketch-from-text forms") {
+    // Copy-dense + near-dup + tiny-doc corpus: exercises the collapse/
+    // expand bookkeeping, the within-group 1.0 pairs, the identity-
+    // signature eligibility marker, and both index probes.
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val t3 = "completely unrelated content about astronomy telescopes and distant galaxies"
+    val docs = Seq(
+      (1L, t1), (2L, t1), (3L, t2), (4L, t3), (5L, "tiny doc"), (6L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.fingerprintIndex(docs, "doc_id", "text")
+    def pins(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    // within-corpus pairs
+    assert(
+      pins(Dedup.minHashNearDuplicatesPresketched(
+        docs, fp, "doc_id", "text", 3, 64, 16, 0.4)) ==
+      pins(Dedup.minHashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.4)))
+    // index probes: evens indexed, odds the batch
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val index = Dedup.fingerprintIndex(corpus, "doc_id", "text")
+    val fpB = Dedup.fingerprintIndex(batch, "doc_id", "text")
+    assert(
+      pins(Dedup.pairsAgainstIndexPresketched(fpB, index, minAgreement = 0.4)) ==
+      pins(Dedup.pairsAgainstIndex(batch, "doc_id", "text", index,
+        minAgreement = 0.4)))
+    val dupIds = Dedup.duplicateIdsAgainstIndex(fpB, index, minAgreement = 0.4)
+      .as[Long].collect().toSet
+    val kept = Dedup.dropAgainstIndex(batch, "doc_id", "text", index,
+      minAgreement = 0.4).select("doc_id").as[Long].collect().toSet
+    assert(batch.select("doc_id").as[Long].collect().toSet -- dupIds == kept)
+  }
+
+  test("webDedup: tracking-param variants collapse; near-dups drop within domain only") {
+    val art = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val artRev = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val other = "completely unrelated content about astronomy telescopes and distant galaxies"
+    val docs = Seq(
+      // 1 & 2: same fetch target once canonicalized (tracking params,
+      // case, default port, fragment) -> URL collapse keeps id 1.
+      (1L, "https://News.Example.com:443/a?utm_source=f&id=7#x", art),
+      (2L, "https://news.example.com/a?id=7&fbclid=z", art),
+      // 3: different URL, same domain, near-dup text -> dropped by LSH.
+      (3L, "https://news.example.com/b", artRev),
+      // 4: near-dup text but DIFFERENT registered domain -> survives
+      // (domain-scoped banding never compares it).
+      (4L, "https://blog.another.org/c", artRev),
+      // 5: same domain, unrelated text -> survives.
+      (5L, "https://news.example.com/d", other)
+    ).toDF("doc_id", "url", "text")
+    val got = graft.operators.Dedup.webDedup(docs, "doc_id", "url", "text",
+      n = 3, perms = 16, bands = 4, minEstJaccard = 0.4)
+    val rows = got.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(1L, 4L, 5L), s"survivors wrong: ${rows.keySet}")
+    assert(rows(1L)._1 == "https://news.example.com/a?id=7")
+    assert(rows(1L)._2 == "example.com")
+    assert(rows(1L)._3 == 2L, "both captures counted in the collapsed group")
+    assert(rows(4L)._2 == "another.org")
+  }
+
   test("minhash collapse/expand emits exactly the raw pair set on a copy-dense corpus") {
     // 3 distinct texts: t1 ~ t2 near-dups, t3 unrelated; copies of each.
     val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"

@@ -58,4 +58,32 @@ class MarketBasketSpec extends SparkSpec {
       ("b", "c"), ("b", "d"), ("c", "d")))
     assert(got.forall { case (a, b) => a < b })
   }
+
+  test("pairStats: maxBasketSize identity at no-op cap; viral basket dropped entirely") {
+    // 3 normal baskets plus one "viral" 5-item basket.
+    val df = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (9L, "x"), (9L, "y"), (9L, "z"), (9L, "u"), (9L, "v")
+    ).toDF("basket", "item")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("item_a", "item_b").collect().map(_.toSeq).toSeq
+    val uncapped = MarketBasket.pairStats(df, "basket", "item", minPairCount = 1L)
+    // A cap no basket exceeds is bitwise identical to the uncapped run.
+    val noop = MarketBasket.pairStats(df, "basket", "item",
+      minPairCount = 1L, maxBasketSize = 5)
+    assert(rows(noop) == rows(uncapped))
+    // Capping at 4 drops basket 9 from EVERYTHING: pair counts, item
+    // census, and N — identical to mining the corpus without it.
+    val capped = MarketBasket.pairStats(df, "basket", "item",
+      minPairCount = 1L, maxBasketSize = 4)
+    val without = MarketBasket.pairStats(df.filter($"basket" =!= 9L),
+      "basket", "item", minPairCount = 1L)
+    assert(rows(capped) == rows(without))
+    // u/v exist only in the viral basket -> absent from the capped output.
+    val items = capped.select("item_a").union(capped.select("item_b"))
+      .as[String].collect().toSet
+    assert(!items.contains("u") && !items.contains("v"))
+  }
 }

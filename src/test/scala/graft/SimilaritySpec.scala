@@ -845,4 +845,37 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.map(_.getLong(1)).toSet == (101L to 105L).toSet,
       "the five smallest angles (most similar) survive")
   }
+
+  test("hardNegativesIvf: exhaustive probe equals brute; partial probe keeps band recall") {
+    val anchors = emb.filter(col("vec_id") <= 2)
+    val cands = emb.filter(col("vec_id") > 2)
+    val idx = SimilaritySearch.buildIvfIndex(cands, "vec_id", "embedding", nlist = 8)
+    try {
+      def pins(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("anchor_id", "role", "vec_id").collect().map(_.toSeq).toSeq
+      val brute = SimilaritySearch.hardNegatives(cands, anchors,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, posMin = 0.95, negMin = 0.2, negMax = 0.9)
+      // nprobe = nlist probes every cell: bitwise the brute output.
+      val full = SimilaritySearch.hardNegativesIvf(idx, anchors,
+        "vec_id", "embedding",
+        k = 10, posMin = 0.95, negMin = 0.2, negMax = 0.9, nprobe = 8)
+      assert(pins(full) == pins(brute), "exhaustive probe must equal brute")
+      // Partial probe: recall of the brute hard-negative set stays
+      // useful (band members live beyond the nearest cells, so the
+      // floor is deliberately moderate).
+      val part = SimilaritySearch.hardNegativesIvf(idx, anchors,
+        "vec_id", "embedding",
+        k = 10, posMin = 0.95, negMin = 0.2, negMax = 0.9, nprobe = 4)
+        .filter(col("role") === "hard_negative")
+        .select("anchor_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteNeg = brute.filter(col("role") === "hard_negative")
+        .select("anchor_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bruteNeg.nonEmpty)
+      val recall = part.intersect(bruteNeg).size.toDouble / bruteNeg.size
+      assert(recall >= 0.4, f"half-probe hard-negative recall $recall%.2f < 0.4")
+    } finally idx.release()
+  }
 }

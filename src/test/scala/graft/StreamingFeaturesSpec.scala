@@ -251,6 +251,61 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(streamed.size >= 6, s"expected a full day series, got ${streamed.size}")
   }
 
+  test("streamed first-seen store -> daily SRM == batch srmDaily (live guardrail)") {
+    val dir = s"$root/srm_stream"
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // 60 users over 5 days; users RETURN on later days (and micro-
+    // batches arrive out of day order), so the min fold genuinely
+    // decides first exposure — cumulative counting would double-count.
+    def ts(day: Int, h: Int) =
+      new Timestamp(1700000000000L + day * 86400000L + h * 3600000L)
+    val all = (1 to 60).flatMap { u =>
+      val entry = u % 5 + 1
+      (entry to 5).map(d => (u.toLong, ts(d, u % 12), 1.0))
+    }
+    // deliberately shuffle days across batches
+    val batches = all.zipWithIndex.groupBy(t => (t._1._1 + t._2) % 3).toSeq
+      .sortBy(_._1).map(_._2.map(_._1))
+    val schema3 = new StructType()
+      .add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp$i")
+      val src = Files.list(Paths.get(s"$dir/tmp$i"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(src, Paths.get(s"$dir/in/b$i.parquet"))
+    }
+    val statePath = s"$dir/state"
+    val stream = spark.readStream.schema(schema3)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.operators.IncrementalAgg.partialState(
+          batch, keys = Seq("user_id"), sums = Nil,
+          mins = Seq("day" -> org.apache.spark.sql.functions.to_date(col("ts"))))
+        val merged =
+          if (Files.exists(Paths.get(statePath)))
+            graft.operators.IncrementalAgg.merge(
+              spark.read.parquet(statePath), delta,
+              keys = Seq("user_id"), sumCols = Nil, minCols = Seq("day"))
+          else delta
+        val staged = s"$statePath.next"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(statePath)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = graft.operators.EventAnalytics
+      .srmDailyFromFirstSeen(
+        spark.read.parquet(statePath).select("user_id", "day"), "user_id")
+      .orderBy("day").collect().toSeq
+    val batchSide = graft.operators.EventAnalytics
+      .srmDaily(all.toDF("user_id", "ts", "value"), "user_id", "ts")
+      .orderBy("day").collect().toSeq
+    assert(streamed == batchSide, "store-fed daily SRM must equal batch")
+    // 5 entry days; per-user hours can straddle a UTC midnight -> up to 6 dates
+    assert(streamed.size >= 5, s"expected a full entry-day series, got ${streamed.size}")
+  }
+
   test("streamed portable-HLL register store == one-shot sketch (max-merge fold)") {
     val dir = s"$root/hll_stream"
     Files.createDirectories(Paths.get(s"$dir/in"))

@@ -470,7 +470,13 @@ class TextFunctionsSpec extends SparkSpec {
       ("https://a.com/dir/", "https://a.com/dir"),
       ("https://a.com/", "https://a.com"),
       // everything at once
-      ("HTTP://A.com:80/Dir/?utm_campaign=c&q=Z#s", "http://a.com/Dir/?q=Z"))
+      ("HTTP://A.com:80/Dir/?utm_campaign=c&q=Z#s", "http://a.com/Dir/?q=Z"),
+      // schemeless / non-URL inputs fall back to the fragment-stripped
+      // input instead of collapsing to '' (one shared empty dedup key
+      // would silently merge every malformed URL)
+      ("example.com/p#frag", "example.com/p"),
+      ("mailto:a@b.com", "mailto:a@b.com"),
+      ("/relative/path/", "/relative/path"))
     val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
       .toDF("id", "url")
     val got = df.select(col("id"),
