@@ -1765,6 +1765,18 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minPairCount = 2L)
         .orderBy("item_a", "item_b")),
 
+    // Viral-basket cap (r16): pairStats with maxBasketSize = 5 — orders
+    // with more distinct parts are excluded ENTIRELY (pairs, item
+    // census, N), the logged fan-out guard for co-purchase mining at
+    // crawl scale. FULL oracle: the cap is one HAVING gate on the
+    // deduped item table; cap = infinity is identity-pinned to
+    // q_basket_pairs in MarketBasketSpec.
+    "q_basket_capped" -> ((s, d) =>
+      graft.operators.MarketBasket.pairStats(
+          t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", minPairCount = 2L, maxBasketSize = 5)
+        .orderBy("item_a", "item_b")),
+
     // Grid resampling, LOCF (r13): per event_type, the hourly grid
     // inside the observed range, last-observation-carried-forward —
     // two as-of joins fused into one union+window pass.
@@ -7129,6 +7141,37 @@ object SparkEntry {
     "q_basket_pairs" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), n AS (
+        |  SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb FROM items
+        |), ic AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM items GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.i AS item_a, bb.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  round(CAST(p.n_ab AS DOUBLE)
+        |        / sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 6) AS cosine,
+        |  round(CAST(p.n_ab AS DOUBLE) * (SELECT nb FROM n)
+        |        / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 6) AS lift,
+        |  round(CAST(p.n_ab AS DOUBLE) / ia.n_i, 6) AS conf_a_b,
+        |  round(CAST(p.n_ab AS DOUBLE) / ib.n_i, 6) AS conf_b_a
+        |FROM pairs p
+        |JOIN ic ia ON p.item_a = ia.i
+        |JOIN ic ib ON p.item_b = ib.i
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Capped replay: identical machinery over the item table with
+    // oversized baskets excluded by one HAVING gate — they vanish from
+    // pairs, the item census, and the basket count alike.
+    "q_basket_capped" ->
+      """WITH items0 AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), keep AS (
+        |  SELECT b FROM items0 GROUP BY b HAVING count(*) <= 5
+        |), items AS (
+        |  SELECT items0.b, items0.i FROM items0 JOIN keep ON keep.b = items0.b
         |), n AS (
         |  SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb FROM items
         |), ic AS (

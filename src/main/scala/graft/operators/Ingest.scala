@@ -53,6 +53,21 @@ object Ingest {
           "id BIGINT, content_md5 STRING, sig ARRAY<BIGINT>"))
   }
 
+  /** Does a standing index exist beyond `excludeBatch`'s own delta?
+    * Pure filesystem metadata — lets the first-batch bootstrap (and a
+    * replay of it) skip the whole probe machinery instead of running
+    * md5/band/agreement joins against an empty frame.
+    */
+  def indexHasHistory(
+      spark: SparkSession, path: String, excludeBatch: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val nm = st.getPath.getName
+      nm.startsWith("delta=") && nm != s"delta=$excludeBatch"
+    }
+  }
+
   final case class IngestResult(survivors: DataFrame, dropped: Long)
 
   /** Continuous ingestion from a document stream: foreachBatch runs
@@ -119,6 +134,11 @@ object Ingest {
       s"linkAgreement ($linkAgreement) must be <= dropAgreement ($dropAgreement): " +
         "a pair tight enough to drop is certainly related enough to link")
     val spark = batch.sparkSession
+    // First-batch bootstrap (and its replay): no standing history means
+    // no probe — drop the md5/band/agreement joins entirely, land the
+    // exact-deduped batch as-is. Decided from filesystem metadata, not
+    // a job.
+    val hasHistory = indexHasHistory(spark, indexPath, excludeBatch = batchId)
     val index = readIndex(spark, indexPath, excludeBatch = batchId)
 
     // in-batch dedup first (house order: cheap hash groupBy, then the
@@ -128,10 +148,14 @@ object Ingest {
     val inBatch = Dedup.dropExactDuplicates(batch, idCol, textCol)
     val fpBatch = Dedup.fingerprintIndex(inBatch, idCol, textCol, n, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupIds = Dedup.duplicateIdsAgainstIndex(
-      fpBatch, index, numHashes, bands, minAgreement = dropAgreement)
-    inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
+    val landing =
+      if (!hasHistory) inBatch
+      else {
+        val dupIds = Dedup.duplicateIdsAgainstIndex(
+          fpBatch, index, numHashes, bands, minAgreement = dropAgreement)
+        inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      }
+    landing.write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
     val survivors = spark.read.parquet(s"$outPath/batch=$batchId")
     val dropped = batch.count() - survivors.count()
 
@@ -146,18 +170,21 @@ object Ingest {
 
     // link-grade pairs: survivors vs standing corpus, plus among the
     // survivors themselves (jaccard banding at the loose threshold) —
-    // both sweeps band from the landed signature slices.
-    val cross = Dedup.pairsAgainstIndexPresketched(
-        fpSurv, index, numHashes, bands, minAgreement = linkAgreement)
-      .select(col("id_a"), col("id_b"))
+    // both sweeps band from the landed signature slices. No history ->
+    // no cross sweep.
     // survivors are text-distinct (dropExactDuplicates ran first), so
     // the distinct-input sweep applies — no collapse/expand bookkeeping.
     val within = Dedup.minHashNearDuplicatesDistinctPresketched(
         survivors, fpSurv.select(col("id"), col("sig")), idCol, textCol,
         n, numHashes, bands, minJaccard = linkAgreement)
       .select(col("id_a"), col("id_b"))
-    ClusterStore.applyEdges(
-      spark, clusterStorePath, cross.unionByName(within))
+    val edges =
+      if (!hasHistory) within
+      else Dedup.pairsAgainstIndexPresketched(
+          fpSurv, index, numHashes, bands, minAgreement = linkAgreement)
+        .select(col("id_a"), col("id_b"))
+        .unionByName(within)
+    ClusterStore.applyEdges(spark, clusterStorePath, edges)
     IngestResult(survivors, dropped)
   }
 }

@@ -53,26 +53,33 @@ object MarketBasket {
       df.select(col(basketCol).as("b"), col(itemCol).as("i"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val items: DataFrame =
-      if (maxBasketSize == Int.MaxValue) raw
+    // One sizes aggregate on the persisted dedup table (same key as the
+    // basket fold below — AQE reuses the exchange) yields the drop
+    // census AND the lift denominator: no separate distinct-basket
+    // count job on the capped path.
+    val (items: DataFrame, nBaskets: Double) =
+      if (maxBasketSize == Int.MaxValue)
+        (raw, raw.select("b").distinct().count().toDouble)
       else {
-        // One aggregate on the persisted dedup table (same key as the
-        // basket fold below — AQE reuses the exchange); the oversized
-        // set is counted for the log line, then semi-join-pruned.
-        val keep = raw.groupBy("b").agg(count(lit(1)).as("__sz"))
-          .filter(col("__sz") <= maxBasketSize)
-          .select("b")
+        val sizes = raw.groupBy("b").agg(count(lit(1)).as("__sz"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val total = raw.select("b").distinct().count()
-        val kept = keep.count()
+        val st = sizes.agg(
+          count(lit(1)).as("__total"),
+          sum(when(col("__sz") <= maxBasketSize, 1L).otherwise(0L)).as("__kept"))
+          .head()
+        val (total, kept) = (st.getLong(0), st.getLong(1))
         if (kept < total)
           log.warn(s"market-basket: dropped ${total - kept} viral basket(s) " +
             s"with > $maxBasketSize distinct items from pair mining " +
             s"($kept of $total baskets kept)")
-        raw.join(keep, Seq("b"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pruned =
+          if (kept == total) raw
+          else raw.join(
+              sizes.filter(col("__sz") <= maxBasketSize).select("b"),
+              Seq("b"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (pruned, kept.toDouble)
       }
-    val nBaskets = items.select("b").distinct().count().toDouble
     val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val its = items.groupBy("b").agg(sort_array(collect_set(col("i"))).as("its"))
     // Ordered pairs (a < b by the sort) emitted row-locally.

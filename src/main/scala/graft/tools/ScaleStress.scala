@@ -773,14 +773,15 @@ object ScaleStress {
     }
 
     section("basket") {
-    // Viral-basket skew (r16): 2M items over 200k normal baskets
-    // (~10 items each) plus ONE 20k-item viral basket — uncapped, that
-    // basket alone emits 2x10^8 pairs in one task; the maxBasketSize
-    // gate drops it at the dedup stage (logged) and the mining pass
-    // stays bounded by the normal baskets.
+    // Viral-basket skew (r16): 2M items over ~200k normal baskets
+    // (~10 distinct items each — prime basket count so the item stride
+    // doesn't alias to one item per basket) plus ONE 20k-item viral
+    // basket — uncapped, that basket alone emits 2x10^8 pairs in one
+    // task; the maxBasketSize gate drops it at the dedup stage (logged)
+    // and the mining pass stays bounded by the normal baskets.
     import graft.operators.MarketBasket
     val normal = spark.range(2000000L).select(
-      (col("id") % 200000L).as("basket"),
+      (col("id") % 200003L).as("basket"),
       (col("id") % 5000L).as("item"))
     val viral = spark.range(20000L).select(
       lit(999999L).as("basket"), col("id").as("item"))
