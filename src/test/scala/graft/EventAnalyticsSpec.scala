@@ -510,6 +510,45 @@ class EventAnalyticsSpec extends SparkSpec {
       "point diff inside the CI")
   }
 
+  test("bootstrapTest: reps = 20 trims one order statistic per tail (no min/max CI)") {
+    // Ceil-based trim: reps in [20, 39] reports ranks (2, reps-1), not
+    // the replicate min/max. Replay the whole hash-derived bootstrap in
+    // plain Scala (md5 arms, md5 exponential weights, exact BigDecimal
+    // folds) and pin the operator's CI to the trimmed order statistics.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def armOf(id: Long): Long = java.lang.Long.parseLong(
+      md5hex(s"${id}ab").substring(0, 2), 16) % 2
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val reps = 20
+    val ids = (1L to 80L).toSeq
+    val users = ids.map(i => (i, r6((i % 11).toDouble), armOf(i)))
+    val diffs = (0 until reps).map { r =>
+      def mean(arm: Long): Double = {
+        val rows = users.filter(_._3 == arm).map { case (u, m, _) =>
+          val h52 = java.lang.Long.parseLong(
+            md5hex(s"$u#$r").substring(0, 13), 16)
+          val w = r6(-math.log((h52.toDouble + 0.5) / 4503599627370496.0))
+          (BigDecimal(w) * BigDecimal(m), BigDecimal(w))
+        }
+        // mirror the engine: exact decimal folds, double DIVISION
+        r6(rows.map(_._1).sum.toDouble / rows.map(_._2).sum.toDouble)
+      }
+      r -> r6(mean(1) - mean(0))
+    }
+    val sorted = diffs.sortBy { case (r, d) => (d, r) }.map(_._2)
+    val got = EventAnalytics
+      .bootstrapTest(ids.map(i => (i, (i % 11).toDouble)).toDF("user_id", "value"),
+        "user_id", "value", reps = reps)
+      .collect().head
+    assert(got.getDouble(5) == sorted(1), "lo = rank-2 order statistic")
+    assert(got.getDouble(6) == sorted(reps - 2), "hi = rank-(reps-1) order statistic")
+    assert(sorted.head < sorted(1) || sorted(reps - 2) < sorted.last,
+      "fixture must make the trim observable (an extreme is strictly outside)")
+  }
+
   test("srmDaily: a day whose entrants are all one arm flags; balanced days do not") {
     def armOf(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
