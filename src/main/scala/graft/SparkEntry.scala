@@ -3101,6 +3101,19 @@ object SparkEntry {
           bins = 10)
         .orderBy("source")),
 
+    // Inter-rater agreement (r16, Cohen 1960): chance-corrected kappa
+    // between two automatic quality raters — the 4-gate heuristic score
+    // at 0.5 and the Gopher rule conjunction — over the same corpus.
+    // The labeled-data QC readout ("do two filters measure the same
+    // thing beyond chance?"); both raters and the kappa assembly replay
+    // in SQL, so the composition carries a FULL oracle.
+    "q_label_kappa" -> ((s, d) =>
+      graft.operators.MlEval.cohenKappa(
+        t(s, d, "documents").select(
+          (TextFunctions.qualityScore(col("text")) >= 0.5).as("rater_quality"),
+          graft.quality.GopherRules.passes(col("text")).as("rater_gopher")),
+        "rater_quality", "rater_gopher")),
+
     // PR operating points (r14): the imbalanced-regime twin of
     // q_roc_curve — precision/recall as single integer-ratio divisions
     // per distinct threshold.
@@ -11172,6 +11185,89 @@ object SparkEntry {
     // Brier replay: the calibration bin scaffold, (score − y)² as an
     // exact DECIMAL(7,6)² fold, per-bin 6dp-rounded diffs squared and
     // weighted through decimals, one double division per output.
+    // Kappa replay (r16): both raters recomputed per doc — the 4-gate
+    // quality score (the q_text_quality grid) and the Gopher rule
+    // conjunction (the q_quality_gopher chain) — then confusion cells,
+    // integer marginal cross-products, and the fixed-order IEEE kappa
+    // assembly.
+    "q_label_kappa" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '\S+') AS t,
+        |         string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         length(text) AS n_chars,
+        |         len(list_filter(t, x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS mean_word_len,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST((length(text) - length(replace(text, '#', '')))
+        |                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS symbol_ratio,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ln), 6) AS bullet_frac,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln), 6) AS ellipsis_line_frac,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS alpha_frac,
+        |         CAST(list_contains(list_transform(t, x -> lower(x)), 'the') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'be') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'to') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'of') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'and') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'that') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'have') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'with') AS BIGINT)
+        |           AS stopword_hits
+        |  FROM s
+        |), r AS (
+        |  SELECT
+        |    (round((
+        |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) >= 0.5) AS a,
+        |    (n_words BETWEEN 50 AND 100000
+        |     AND mean_word_len BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio <= 0.1
+        |     AND bullet_frac <= 0.9
+        |     AND ellipsis_line_frac <= 0.3
+        |     AND alpha_frac >= 0.8
+        |     AND stopword_hits >= 2) AS b
+        |  FROM m
+        |), cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree
+        |  FROM cells
+        |), ma AS (
+        |  SELECT a, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY 1
+        |), mb AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY 1
+        |), pp AS (
+        |  SELECT CAST(coalesce(sum(ma.na * mb.nb), 0) AS BIGINT) AS spe
+        |  FROM ma JOIN mb ON ma.a = mb.b
+        |)
+        |SELECT n,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  CASE WHEN CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+        |       THEN round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |                   - CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |                  / (1.0 - CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |  END AS kappa
+        |FROM tot, pp
+        |WHERE n > 0""".stripMargin,
+
     "q_brier" -> (qualityScoredCte +
       """, b AS (
         |  SELECT source, y, score,

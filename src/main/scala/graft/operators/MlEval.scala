@@ -329,4 +329,46 @@ object MlEval {
         round(max(col("__base")) * (lit(1.0) - max(col("__base"))), 6)
           .as("uncertainty"))
   }
+
+  /** Cohen's kappa (Cohen 1960): chance-corrected agreement between two
+    * CATEGORICAL raters over the same units — the standard QC readout
+    * for labeled training data (two annotators, or two automatic
+    * filters: are they measuring the same thing beyond chance?).
+    * po = observed agreement fraction; pe = Σ_k p_a(k)·p_b(k), the
+    * agreement two independent raters with these marginals would reach
+    * by luck; κ = (po − pe)/(1 − pe). κ is null when pe = 1 (both
+    * raters constant — agreement is vacuous, not perfect).
+    *
+    * One aggregation to the (a, b) confusion cells (bounded by the
+    * category-pair count); marginals, the exact integer cross-product
+    * fold, and the κ assembly run over that bounded table — no per-unit
+    * state. pe's numerator Σ na_k·nb_k stays in the signed-long lane
+    * for n up to ~3e9 units (the documented bounded-input posture the
+    * rank/tie operators share); the divisions are fixed-order IEEE, so
+    * the whole readout replays bitwise in SQL.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L)).as("__agree"))
+    val na = cells.groupBy("a").agg(sum(col("c")).as("__na"))
+    val nb = cells.groupBy("b").agg(sum(col("c")).as("__nb"))
+    val pe = na.join(nb, na("a") === nb("b"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__spe"))
+    val poRaw = col("__agree").cast("double") / col("n").cast("double")
+    val peRaw = col("__spe").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    totals.crossJoin(pe)
+      .filter(col("n") > 0)
+      .select(
+        col("n"),
+        round(poRaw, 6).as("po"),
+        round(peRaw, 6).as("pe"),
+        when(peRaw < 1.0, round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
+          .as("kappa"))
+  }
 }

@@ -200,4 +200,23 @@ class MlEvalSpec extends SparkSpec {
     // curve rows = distinct non-null scores
     assert(MlEval.rocCurve(df, "g", col("y"), col("s")).count() == 2L)
   }
+
+  test("cohenKappa: hand value, perfect agreement, constant raters null out") {
+    // Classic 2x2 example: cells yes/yes=20, yes/no=5, no/yes=10, no/no=15.
+    // po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4.
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = MlEval.cohenKappa(rows.toDF("ra", "rb"), "ra", "rb").collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4, s"kappa = ${r.getDouble(3)}, want 0.4")
+    // Perfect agreement with mixed categories -> kappa = 1.
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("ra", "rb")
+    assert(MlEval.cohenKappa(perfect, "ra", "rb").collect().head.getDouble(3) == 1.0)
+    // Both raters constant: pe = 1, agreement is vacuous -> kappa null.
+    val const = Seq(("x", "x"), ("x", "x")).toDF("ra", "rb")
+    val c = MlEval.cohenKappa(const, "ra", "rb").collect().head
+    assert(c.isNullAt(3), "constant raters must yield null kappa, not 1")
+  }
 }
