@@ -3114,6 +3114,23 @@ object SparkEntry {
           graft.quality.GopherRules.passes(col("text")).as("rater_gopher")),
         "rater_quality", "rater_gopher")),
 
+    // Multi-rater agreement (r16, Fleiss 1971): the 3-filter panel —
+    // quality heuristic at 0.5, Gopher conjunction, langid == 'en' (all
+    // keep/drop gates for an English training corpus) — scored with
+    // Fleiss' kappa from ONE text scan (the raters melt through a
+    // row-local explode). Exact integer numerators make the whole
+    // readout oracle-replayable.
+    "q_label_kappa_fleiss" -> ((s, d) => {
+      val rated = t(s, d, "documents").select(col("doc_id"),
+        (TextFunctions.qualityScore(col("text")) >= 0.5).as("r1"),
+        graft.quality.GopherRules.passes(col("text")).as("r2"),
+        (TextFunctions.languageId(col("text")) === "en").as("r3"))
+      graft.operators.MlEval.fleissKappa(
+        rated.select(col("doc_id").as("u"),
+          explode(array(col("r1"), col("r2"), col("r3"))).as("k")),
+        "u", "k")
+    }),
+
     // PR operating points (r14): the imbalanced-regime twin of
     // q_roc_curve — precision/recall as single integer-ratio divisions
     // per distinct threshold.
@@ -11267,6 +11284,129 @@ object SparkEntry {
         |  END AS kappa
         |FROM tot, pp
         |WHERE n > 0""".stripMargin,
+
+    // Fleiss replay (r16): the three keep/drop raters per doc (quality
+    // grid, Gopher chain, langid decision = 'en'), melted long, then
+    // the exact-integer P̄ / P̄e numerators and the fixed-order kappa
+    // assembly.
+    "q_label_kappa_fleiss" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '\S+') AS t,
+        |         string_split(text, chr(10)) AS ln,
+        |         regexp_extract_all(lower(text), '\S+') AS lt
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         length(text) AS n_chars,
+        |         len(list_filter(t, x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS mean_word_len,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST((length(text) - length(replace(text, '#', '')))
+        |                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS symbol_ratio,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ln), 6) AS bullet_frac,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln), 6) AS ellipsis_line_frac,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS alpha_frac,
+        |         CAST(list_contains(list_transform(t, x -> lower(x)), 'the') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'be') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'to') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'of') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'and') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'that') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'have') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'with') AS BIGINT)
+        |           AS stopword_hits,
+        |         len(list_filter(lt, x -> x IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+        |         len(list_filter(lt, x -> x IN
+        |           ('el','la','de','que','y','en','un','una','los','es'))) AS es,
+        |         len(list_filter(lt, x -> x IN
+        |           ('der','die','das','und','ist','ein','eine','zu','den','nicht'))) AS de,
+        |         len(list_filter(lt, x -> x IN
+        |           ('le','la','les','de','et','un','une','est','que','pour'))) AS fr
+        |  FROM s
+        |), r AS (
+        |  SELECT doc_id,
+        |    (round((
+        |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) >= 0.5) AS r1,
+        |    (n_words BETWEEN 50 AND 100000
+        |     AND mean_word_len BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio <= 0.1
+        |     AND bullet_frac <= 0.9
+        |     AND ellipsis_line_frac <= 0.3
+        |     AND alpha_frac >= 0.8
+        |     AND stopword_hits >= 2) AS r2,
+        |    (CASE
+        |       WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'
+        |       WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+        |       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       WHEN regexp_matches(text, '[А-яЁё]') THEN 'ru'
+        |       WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        |       WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+        |       WHEN greatest(en, es, de, fr) > 0 THEN
+        |         CASE WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |              WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |              WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |              ELSE 'fr' END
+        |       ELSE 'und'
+        |     END = 'en') AS r3
+        |  FROM m
+        |), longf AS (
+        |  SELECT doc_id AS u, CAST(r1 AS VARCHAR) AS k FROM r
+        |  UNION ALL SELECT doc_id, CAST(r2 AS VARCHAR) FROM r
+        |  UNION ALL SELECT doc_id, CAST(r3 AS VARCHAR) FROM r
+        |), nik AS (
+        |  SELECT u, k, CAST(count(*) AS BIGINT) AS c FROM longf GROUP BY 1, 2
+        |), per AS (
+        |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM nik GROUP BY 1
+        |), tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |         CAST(max(m) AS BIGINT) AS m_raters,
+        |         CAST(sum(ss - m) AS BIGINT) AS num
+        |  FROM per
+        |), ckt AS (
+        |  SELECT CAST(coalesce(sum(ck * ck), 0) AS BIGINT) AS sck2
+        |  FROM (SELECT k, CAST(sum(c) AS BIGINT) AS ck FROM nik GROUP BY 1)
+        |)
+        |SELECT n_units, m_raters,
+        |  round(CAST(num AS DOUBLE)
+        |        / (CAST(n_units AS DOUBLE) * CAST(m_raters AS DOUBLE)
+        |           * CAST(m_raters - 1 AS DOUBLE)), 6) AS p_bar,
+        |  round(CAST(sck2 AS DOUBLE)
+        |        / (CAST(n_units * m_raters AS DOUBLE)
+        |           * CAST(n_units * m_raters AS DOUBLE)), 6) AS p_e,
+        |  CASE WHEN CAST(sck2 AS DOUBLE)
+        |            / (CAST(n_units * m_raters AS DOUBLE)
+        |               * CAST(n_units * m_raters AS DOUBLE)) < 1.0
+        |       THEN round(
+        |         (CAST(num AS DOUBLE)
+        |          / (CAST(n_units AS DOUBLE) * CAST(m_raters AS DOUBLE)
+        |             * CAST(m_raters - 1 AS DOUBLE))
+        |          - CAST(sck2 AS DOUBLE)
+        |            / (CAST(n_units * m_raters AS DOUBLE)
+        |               * CAST(n_units * m_raters AS DOUBLE)))
+        |         / (1.0 - CAST(sck2 AS DOUBLE)
+        |                  / (CAST(n_units * m_raters AS DOUBLE)
+        |                     * CAST(n_units * m_raters AS DOUBLE))), 6)
+        |  END AS kappa
+        |FROM tt, ckt
+        |WHERE n_units > 0""".stripMargin,
 
     "q_brier" -> (qualityScoredCte +
       """, b AS (

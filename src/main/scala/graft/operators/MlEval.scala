@@ -371,4 +371,55 @@ object MlEval {
         when(peRaw < 1.0, round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
           .as("kappa"))
   }
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement for a
+    * FIXED PANEL of m raters per unit — the multi-rater generalization
+    * of [[cohenKappa]]. Input is LONG form: one row per (unit, assigned
+    * label). Every unit must carry the same rater count m ≥ 2 — Fleiss
+    * assumes a balanced design, so an unbalanced panel fails loudly
+    * instead of silently reweighting.
+    *
+    * Per unit, P_i = (Σ_k n_ik² − m)/(m(m−1)); P̄ is their mean;
+    * chance agreement P̄e = Σ_k p_k² with p_k the category's share of
+    * ALL assignments; κ = (P̄ − P̄e)/(1 − P̄e), null when P̄e = 1.
+    * Both numerators fold as EXACT integers (Σ(ss_i − m), Σ c_k²), so
+    * the readout is two fixed-order IEEE divisions plus the κ assembly
+    * — bitwise-replayable. c_k² stays in the signed-long lane for
+    * N·m up to ~3e9 assignments (the shared bounded-input posture).
+    */
+  def fleissKappa(df: DataFrame, unitCol: String, labelCol: String): DataFrame = {
+    val nik = df
+      .select(col(unitCol).as("u"), col(labelCol).cast("string").as("k"))
+      .groupBy("u", "k").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = nik.groupBy("u").agg(
+      sum(col("c")).as("m"),
+      sum(col("c") * col("c")).as("ss"))
+    val totals = per.agg(
+      countDistinct(col("m")).as("__nm"),
+      max(col("m")).as("m_raters"),
+      count(lit(1)).as("n_units"),
+      sum(col("ss") - col("m")).as("__num"))
+    val chk = totals.select(col("__nm"), col("m_raters")).head()
+    require(chk.getLong(0) == 1 && chk.getLong(1) >= 2,
+      s"fleissKappa needs a constant rater count >= 2 per unit; got " +
+        s"${chk.getLong(0)} distinct count(s), max m = ${chk.getLong(1)} - " +
+        "balance the panel (or drop under-rated units) upstream")
+    val sck2 = nik.groupBy("k").agg(sum(col("c")).as("__ck"))
+      .agg(coalesce(sum(col("__ck") * col("__ck")), lit(0L)).as("__sck2"))
+    val pBarRaw = col("__num").cast("double") /
+      (col("n_units").cast("double") * col("m_raters").cast("double")
+        * (col("m_raters") - 1).cast("double"))
+    val peRaw = col("__sck2").cast("double") /
+      ((col("n_units") * col("m_raters")).cast("double")
+        * (col("n_units") * col("m_raters")).cast("double"))
+    totals.crossJoin(sck2)
+      .filter(col("n_units") > 0)
+      .select(
+        col("n_units"), col("m_raters"),
+        round(pBarRaw, 6).as("p_bar"),
+        round(peRaw, 6).as("p_e"),
+        when(peRaw < 1.0, round((pBarRaw - peRaw) / (lit(1.0) - peRaw), 6))
+          .as("kappa"))
+  }
 }

@@ -219,4 +219,25 @@ class MlEvalSpec extends SparkSpec {
     val c = MlEval.cohenKappa(const, "ra", "rb").collect().head
     assert(c.isNullAt(3), "constant raters must yield null kappa, not 1")
   }
+
+  test("fleissKappa: hand value; unbalanced panel fails loudly; degenerate nulls") {
+    // 3 units x 2 raters: (a,a), (a,b), (b,b).
+    // P_i = 1, 0, 1 -> P-bar = 2/3; marginals a=3, b=3 of 6 ->
+    // P-bar_e = 0.25 + 0.25 = 0.5; kappa = (2/3 - 1/2)/(1/2) = 1/3.
+    val long = Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (3L, "b")
+    ).toDF("u", "k")
+    val r = MlEval.fleissKappa(long, "u", "k").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.666667 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.333333, s"kappa ${r.getDouble(4)}")
+    // All assignments one category: chance agreement 1 -> kappa null.
+    val deg = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "k")
+    assert(MlEval.fleissKappa(deg, "u", "k").collect().head.isNullAt(4))
+    // Unbalanced panel (unit 2 has one rater) must refuse, not reweight.
+    val bad = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("u", "k")
+    val e = intercept[IllegalArgumentException](
+      MlEval.fleissKappa(bad, "u", "k").collect())
+    assert(e.getMessage.contains("constant rater count"))
+  }
 }
