@@ -795,6 +795,28 @@ object ScaleStress {
     baskets.unpersist(blocking = false)
     }
 
+    section("webdedup") {
+    // CCNet web-dedup at replica scale (r16): synthesized URLs alias
+    // ~12k canonical fetch targets over 3 registered domains, so the
+    // canon collapse eats ~8x and the domain-scoped LSH sees only the
+    // keepers. The r16 operator: one groupBy + one row-local sig pass +
+    // the domain-keyed band join.
+    import graft.functions.TextFunctions
+    val docs = replicate(TableIO.table(spark, sfDir, "documents"), "doc_id", reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] webdedup corpus: ${docs.count()} docs")
+    val hosts = array(lit("en.wikipedia.org"), lit("news.bbc.co.uk"),
+      lit("blogs.example.com"))
+    val urld = docs.withColumn("url", concat(lit("HTTPS://"),
+      element_at(hosts, (pmod(col("doc_id"), lit(3L)) + 1).cast("int")),
+      lit("/p/"), pmod(col("doc_id"), lit(4000L)).cast("string"),
+      lit("/?utm_source=feed&ref=stress")))
+    time("web dedup (collapse + domain LSH)")(
+      println("[stress]   survivors = " + graft.operators.Dedup
+        .webDedup(urld, "doc_id", "url", "text").count()))
+    docs.unpersist(blocking = false)
+    }
+
     section("corpstats") {
     // Corpus-statistics growth curve (r16): heaps/zipf/hapax/source-
     // overlap/marked-tokens at reps and 2x reps — each is census-bound
