@@ -3114,6 +3114,26 @@ object SparkEntry {
           graft.quality.GopherRules.passes(col("text")).as("rater_gopher")),
         "rater_quality", "rater_gopher")),
 
+    // Krippendorff's alpha (r16): the UNBALANCED-panel agreement
+    // readout — the langid rater ABSTAINS on docs it can't call
+    // (pred = 'und'), so units carry 2 or 3 votes; Fleiss refuses that
+    // design, alpha is built for it (units with < 2 votes drop as
+    // unpairable). Same one-scan melt; per-unit disagreement lands on
+    // the 6dp grid and folds as an exact decimal sum, so the readout
+    // replays bitwise.
+    "q_label_alpha" -> ((s, d) => {
+      val rated = t(s, d, "documents").select(col("doc_id"),
+        (TextFunctions.qualityScore(col("text")) >= 0.5).as("r1"),
+        graft.quality.GopherRules.passes(col("text")).as("r2"),
+        TextFunctions.languageId(col("text")).as("pl"))
+      val long = rated.select(col("doc_id").as("u"),
+          explode(array(col("r1").cast("string"), col("r2").cast("string"),
+            when(col("pl") =!= "und", (col("pl") === "en").cast("string"))))
+            .as("k"))
+        .filter(col("k").isNotNull)
+      graft.operators.MlEval.krippendorffAlpha(long, "u", "k")
+    }),
+
     // Multi-rater agreement (r16, Fleiss 1971): the 3-filter panel —
     // quality heuristic at 0.5, Gopher conjunction, langid == 'en' (all
     // keep/drop gates for an English training corpus) — scored with
@@ -11283,6 +11303,127 @@ object SparkEntry {
         |                  / (1.0 - CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
         |  END AS kappa
         |FROM tot, pp
+        |WHERE n > 0""".stripMargin,
+
+    // Alpha replay (r16): the Fleiss rater chains with r3 nullable
+    // (abstains on 'und'), unpairable units dropped, the 6dp-grid
+    // per-unit disagreement folded as exact decimals, integer D_e.
+    "q_label_alpha" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '\S+') AS t,
+        |         string_split(text, chr(10)) AS ln,
+        |         regexp_extract_all(lower(text), '\S+') AS lt
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         length(text) AS n_chars,
+        |         len(list_filter(t, x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS mean_word_len,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST((length(text) - length(replace(text, '#', '')))
+        |                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS symbol_ratio,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ln), 6) AS bullet_frac,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln), 6) AS ellipsis_line_frac,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS alpha_frac,
+        |         CAST(list_contains(list_transform(t, x -> lower(x)), 'the') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'be') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'to') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'of') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'and') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'that') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'have') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'with') AS BIGINT)
+        |           AS stopword_hits,
+        |         len(list_filter(lt, x -> x IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+        |         len(list_filter(lt, x -> x IN
+        |           ('el','la','de','que','y','en','un','una','los','es'))) AS es,
+        |         len(list_filter(lt, x -> x IN
+        |           ('der','die','das','und','ist','ein','eine','zu','den','nicht'))) AS de,
+        |         len(list_filter(lt, x -> x IN
+        |           ('le','la','les','de','et','un','une','est','que','pour'))) AS fr
+        |  FROM s
+        |), r AS (
+        |  SELECT doc_id,
+        |    (round((
+        |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) >= 0.5) AS r1,
+        |    (n_words BETWEEN 50 AND 100000
+        |     AND mean_word_len BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio <= 0.1
+        |     AND bullet_frac <= 0.9
+        |     AND ellipsis_line_frac <= 0.3
+        |     AND alpha_frac >= 0.8
+        |     AND stopword_hits >= 2) AS r2,
+        |    (CASE
+        |       WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'
+        |       WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+        |       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       WHEN regexp_matches(text, '[А-яЁё]') THEN 'ru'
+        |       WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        |       WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+        |       WHEN greatest(en, es, de, fr) > 0 THEN
+        |         CASE WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |              WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |              WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |              ELSE 'fr' END
+        |       ELSE 'und'
+        |     END) AS pl
+        |  FROM m
+        |), longf AS (
+        |  SELECT doc_id AS u, CAST(r1 AS VARCHAR) AS k FROM r
+        |  UNION ALL SELECT doc_id, CAST(r2 AS VARCHAR) FROM r
+        |  UNION ALL SELECT doc_id, CAST(pl = 'en' AS VARCHAR) FROM r
+        |    WHERE pl <> 'und'
+        |), nik AS (
+        |  SELECT u, k, CAST(count(*) AS BIGINT) AS c FROM longf GROUP BY 1, 2
+        |), mper AS (
+        |  SELECT u, CAST(sum(c) AS BIGINT) AS m FROM nik GROUP BY 1
+        |), cells AS (
+        |  SELECT nik.u, nik.k, nik.c, mper.m
+        |  FROM nik JOIN mper ON mper.u = nik.u WHERE mper.m >= 2
+        |), dot AS (
+        |  SELECT CAST(coalesce(sum(CAST(round(CAST(du AS DOUBLE)
+        |           / CAST(m - 1 AS DOUBLE), 6) AS DECIMAL(28,6))), 0)
+        |         AS DECIMAL(28,6)) AS sdo
+        |  FROM (SELECT u, m, CAST(sum(c * (m - c)) AS BIGINT) AS du
+        |        FROM cells GROUP BY 1, 2)
+        |), ckt AS (
+        |  SELECT k, CAST(sum(c) AS BIGINT) AS ck FROM cells GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+        |), de AS (
+        |  SELECT CAST(coalesce(sum(ckt.ck * (nn.n - ckt.ck)), 0) AS BIGINT) AS sde
+        |  FROM ckt, nn
+        |), nu AS (
+        |  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units FROM cells
+        |), ncat AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_categories FROM ckt
+        |)
+        |SELECT nu.n_units, nn.n AS n_assignments, ncat.n_categories,
+        |  round(CAST(sdo AS DOUBLE) / CAST(n AS DOUBLE), 6) AS d_o,
+        |  round(CAST(sde AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS d_e,
+        |  CASE WHEN sde > 0
+        |       THEN round(1.0 - (CAST(sdo AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / (CAST(sde AS DOUBLE)
+        |                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+        |  END AS alpha
+        |FROM nu, nn, ncat, dot, de
         |WHERE n > 0""".stripMargin,
 
     // Fleiss replay (r16): the three keep/drop raters per doc (quality

@@ -422,4 +422,60 @@ object MlEval {
         when(peRaw < 1.0, round((pBarRaw - peRaw) / (lit(1.0) - peRaw), 6))
           .as("kappa"))
   }
+
+  /** Krippendorff's alpha, nominal scale (Krippendorff 1970/2004): the
+    * agreement statistic for UNBALANCED panels — raters may abstain, so
+    * units carry varying rater counts m_u (exactly the design
+    * [[fleissKappa]] refuses). Units with m_u < 2 are unpairable and
+    * drop (standard α convention); over the pairable assignments,
+    *   D_o = (1/n)·Σ_u [Σ_c n_uc·(m_u − n_uc)] / (m_u − 1)
+    *   D_e = [Σ_c n_c·(n − n_c)] / (n·(n − 1))
+    *   α = 1 − D_o/D_e,  null when D_e = 0 (single category overall).
+    *
+    * Portability: the per-unit D_o term is the one rational with a
+    * unit-varying denominator, so it lands on the 6dp grid and folds as
+    * an exact decimal sum (order-free) — the house staging rule; D_e's
+    * numerator folds as exact integers. n_c·(n − n_c) stays in the
+    * signed-long lane for n up to ~3e9 (the shared bounded-input
+    * posture).
+    */
+  def krippendorffAlpha(
+      df: DataFrame, unitCol: String, labelCol: String): DataFrame = {
+    val nik = df
+      .select(col(unitCol).as("u"), col(labelCol).cast("string").as("k"))
+      .groupBy("u", "k").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mPer = nik.groupBy("u").agg(sum(col("c")).as("m"))
+    val pairable = mPer.filter(col("m") >= 2)
+    val cells = nik.join(pairable, Seq("u"))
+    // per-unit disagreement on the 6dp grid, exact decimal fold
+    val doTerms = cells
+      .withColumn("__d", col("c") * (col("m") - col("c")))
+      .groupBy(col("u"), col("m"))
+      .agg(sum(col("__d")).as("__du"))
+      .select(round(col("__du").cast("double")
+        / (col("m") - 1).cast("double"), 6).cast("decimal(28,6)").as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(28,6)")).as("__sdo"))
+    val totals = cells.groupBy(col("k"))
+      .agg(sum(col("c")).as("__ck"))
+      .agg(
+        coalesce(sum(col("__ck")), lit(0L)).as("n"),
+        count(lit(1)).as("__ncat"))
+    val deNum = cells.groupBy(col("k")).agg(sum(col("c")).as("__ck"))
+      .crossJoin(cells.agg(coalesce(sum(col("c")), lit(0L)).as("__n")))
+      .agg(coalesce(sum(col("__ck") * (col("__n") - col("__ck"))), lit(0L))
+        .as("__sde"))
+    val nUnits = pairable.agg(count(lit(1)).as("n_units"))
+    val doRaw = col("__sdo").cast("double") / col("n").cast("double")
+    val deRaw = col("__sde").cast("double") /
+      (col("n").cast("double") * (col("n") - 1).cast("double"))
+    nUnits.crossJoin(totals).crossJoin(doTerms).crossJoin(deNum)
+      .filter(col("n") > 0)
+      .select(
+        col("n_units"), col("n").as("n_assignments"), col("__ncat").as("n_categories"),
+        round(doRaw, 6).as("d_o"),
+        round(deRaw, 6).as("d_e"),
+        when(col("__sde") > 0,
+          round(lit(1.0) - doRaw / deRaw, 6)).as("alpha"))
+  }
 }

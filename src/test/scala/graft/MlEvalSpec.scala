@@ -240,4 +240,26 @@ class MlEvalSpec extends SparkSpec {
       MlEval.fleissKappa(bad, "u", "k").collect())
     assert(e.getMessage.contains("constant rater count"))
   }
+
+  test("krippendorffAlpha: hand value; abstainers drop as unpairable; degenerate null") {
+    // Pairable units (a,a), (a,b), (b,b) -> D_o = 2/6 = 0.333333;
+    // marginals 3/3 of 6 -> D_e = 18/30 = 0.6; alpha = 1 - 1/1.8 = 0.444444.
+    // Unit 4 has a single vote (an abstaining panel) and must not count.
+    val long = Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "a")
+    ).toDF("u", "k")
+    val r = MlEval.krippendorffAlpha(long, "u", "k").collect().head
+    assert(r.getLong(0) == 3L, "unpairable unit dropped")
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.333333 && r.getDouble(4) == 0.6)
+    assert(r.getDouble(5) == 0.444444, s"alpha ${r.getDouble(5)}")
+    // Perfect agreement across two categories -> D_o = 0, alpha = 1.
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("u", "k")
+    assert(MlEval.krippendorffAlpha(perfect, "u", "k")
+      .collect().head.getDouble(5) == 1.0)
+    // One category overall: D_e = 0 -> alpha null (vacuous agreement).
+    val deg = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "k")
+    assert(MlEval.krippendorffAlpha(deg, "u", "k").collect().head.isNullAt(5))
+  }
 }
