@@ -68,6 +68,25 @@ object ClusterStore {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b"): Unit = {
+    // First-fold fast path (r16): with no standing store, every
+    // endpoint is new and its standing label is its own id, so the
+    // label-graph CC IS the membership — skip the store read, both
+    // label joins, and the new-id anti-join (provably identical: with
+    // m empty, labeled = the raw edges, relabeled = empty, and inserted
+    // = the CC output verbatim; ClusterStoreSpec's restriction law
+    // covers the composed behavior).
+    val (fs0, p0) = fsOf(spark, path)
+    graft.streaming.StreamingFeatures.recoverSwap(fs0, p0)
+    if (!fs0.exists(p0)) {
+      val e = pairs.select(
+          col(idACol).cast("long").as("a"), col(idBCol).cast("long").as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try writeSwap(spark, path,
+        Components.connectedComponents(e, "a", "b")
+          .select(col("id"), col("component").as("cluster_id")))
+      finally { e.unpersist(); () }
+      return
+    }
     val m = read(spark, path)
     // The edge frame is delta-SIZED but its LINEAGE can be the whole
     // near-dup detection pipeline (band joins + agreement verify). It
