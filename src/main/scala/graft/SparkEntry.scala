@@ -3114,6 +3114,24 @@ object SparkEntry {
           graft.quality.GopherRules.passes(col("text")).as("rater_gopher")),
         "rater_quality", "rater_gopher")),
 
+    // Weighted (ordinal) kappa (r16, Cohen 1968): two ORDINAL quality
+    // graders — the 4-gate score quartile (0-3) and the Flesch
+    // reading-ease band (0-3) — scored with quadratic-disagreement
+    // kappa, which credits near-miss grades where the nominal form
+    // charges them fully. Exact integer numerators; full oracle.
+    "q_label_kappa_weighted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) > 0)
+      val fl = TextFunctions.fleschReadingEase(col("text"))
+      val graded = docs.select(
+        least(floor(TextFunctions.qualityScore(col("text")) * 4), lit(3L))
+          .cast("long").as("grade_quality"),
+        when(fl >= 80, 3L).when(fl >= 60, 2L).when(fl >= 30, 1L)
+          .otherwise(0L).as("grade_flesch"))
+      graft.operators.MlEval.cohenKappaWeighted(
+        graded, "grade_quality", "grade_flesch")
+    }),
+
     // Krippendorff's alpha (r16): the UNBALANCED-panel agreement
     // readout — the langid rater ABSTAINS on docs it can't call
     // (pred = 'und'), so units carry 2 or 3 votes; Fleiss refuses that
@@ -11303,6 +11321,67 @@ object SparkEntry {
         |                  / (1.0 - CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
         |  END AS kappa
         |FROM tot, pp
+        |WHERE n > 0""".stripMargin,
+
+    // Weighted-kappa replay (r16): the quality grid quartiled, the
+    // Flesch band, integer confusion cells, exact Σf·d and Σr·c·d
+    // numerators, two divisions and the assembly.
+    "q_label_kappa_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         len(regexp_extract_all(text, '\S+')) AS w,
+        |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           + (len(regexp_extract_all(text, '\S+'))
+        |              - len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*'))) AS syl,
+        |         len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         length(text) AS n_chars
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), g AS (
+        |  SELECT
+        |    least(CAST(floor(round((
+        |      (CASE WHEN w BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN w > 0 AND CAST(n_chars AS DOUBLE)/w BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN w > 0 THEN CAST(n_stop AS DOUBLE)/w ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) * 4) AS BIGINT), 3) AS i,
+        |    (CASE WHEN round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |                 - 84.6 * (CAST(syl AS DOUBLE) / w), 4) >= 80 THEN 3
+        |          WHEN round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |                 - 84.6 * (CAST(syl AS DOUBLE) / w), 4) >= 60 THEN 2
+        |          WHEN round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |                 - 84.6 * (CAST(syl AS DOUBLE) / w), 4) >= 30 THEN 1
+        |          ELSE 0 END) AS j
+        |  FROM s
+        |), cells AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+        |), obs AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(c * (i - j) * (i - j)), 0) AS BIGINT) AS od
+        |  FROM cells
+        |), ra AS (
+        |  SELECT i, CAST(sum(c) AS BIGINT) AS ri FROM cells GROUP BY 1
+        |), cb AS (
+        |  SELECT j, CAST(sum(c) AS BIGINT) AS cj FROM cells GROUP BY 1
+        |), ex AS (
+        |  SELECT CAST(coalesce(sum(ra.ri * cb.cj * (ra.i - cb.j) * (ra.i - cb.j)), 0)
+        |         AS BIGINT) AS ed
+        |  FROM ra, cb
+        |)
+        |SELECT n,
+        |  round(CAST(od AS DOUBLE) / CAST(n AS DOUBLE), 6) AS d_o,
+        |  round(CAST(ed AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS d_e,
+        |  CASE WHEN ed > 0
+        |       THEN round(1.0 - (CAST(od AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / (CAST(ed AS DOUBLE)
+        |                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |  END AS kappa_w
+        |FROM obs, ex
         |WHERE n > 0""".stripMargin,
 
     // Alpha replay (r16): the Fleiss rater chains with r3 nullable

@@ -423,6 +423,47 @@ object MlEval {
           .as("kappa"))
   }
 
+  /** WEIGHTED Cohen's kappa for ORDINAL grades (Cohen 1968), quadratic
+    * disagreement d_ij = (i−j)²: adjacent grades disagree mildly, far
+    * grades heavily — the ordinal twin of [[cohenKappa]], which charges
+    * every disagreement equally and so under-credits raters that are
+    * merely one grade apart. In disagreement form
+    *   κ_w = 1 − D_o/D_e,  D_o = Σ f_ij·d_ij / n,
+    *   D_e = Σ r_i·c_j·d_ij / n²   (r, c the raters' marginals),
+    * and the (K−1)² weight normalization cancels, so grades need not
+    * be contiguous. Both numerators fold as EXACT integers over the
+    * bounded confusion cells; two fixed-order IEEE divisions + the
+    * assembly replay bitwise. κ null when D_e = 0 (both marginals on
+    * one grade). Labels must be integer grades (cast to long).
+    */
+  def cohenKappaWeighted(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).cast("long").as("i"), col(bCol).cast("long").as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = cells.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(col("c") * (col("i") - col("j")) * (col("i") - col("j"))),
+        lit(0L)).as("__od"))
+    val ra = cells.groupBy("i").agg(sum(col("c")).as("__ri"))
+    val cb = cells.groupBy("j").agg(sum(col("c")).as("__cj"))
+    val exp = ra.crossJoin(cb)
+      .agg(coalesce(sum(col("__ri") * col("__cj")
+        * (col("i") - col("j")) * (col("i") - col("j"))), lit(0L)).as("__ed"))
+    val doRaw = col("__od").cast("double") / col("n").cast("double")
+    val deRaw = col("__ed").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    obs.crossJoin(exp)
+      .filter(col("n") > 0)
+      .select(
+        col("n"),
+        round(doRaw, 6).as("d_o"),
+        round(deRaw, 6).as("d_e"),
+        when(col("__ed") > 0, round(lit(1.0) - doRaw / deRaw, 6))
+          .as("kappa_w"))
+  }
+
   /** Krippendorff's alpha, nominal scale (Krippendorff 1970/2004): the
     * agreement statistic for UNBALANCED panels — raters may abstain, so
     * units carry varying rater counts m_u (exactly the design

@@ -241,6 +241,27 @@ class MlEvalSpec extends SparkSpec {
     assert(e.getMessage.contains("constant rater count"))
   }
 
+  test("cohenKappaWeighted: quadratic near-miss credit; hand value; degenerate null") {
+    // Grades {0,2}: cells (0,0)=10, (0,2)=2, (2,0)=3, (2,2)=5; n=20.
+    // D_o = (2+3)*4/20 = 1.0; marginals r=(12,8), c=(13,7);
+    // D_e = (12*7 + 8*13)*4/400 = 1.88; kappa_w = 1 - 1/1.88 = 0.468085.
+    val rows = Seq.fill(10)((0L, 0L)) ++ Seq.fill(2)((0L, 2L)) ++
+      Seq.fill(3)((2L, 0L)) ++ Seq.fill(5)((2L, 2L))
+    val r = MlEval.cohenKappaWeighted(rows.toDF("ga", "gb"), "ga", "gb")
+      .collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.88)
+    assert(r.getDouble(3) == 0.468085, s"kappa_w ${r.getDouble(3)}")
+    // Perfect ordinal agreement -> 1.
+    val perfect = Seq((0L, 0L), (1L, 1L), (3L, 3L)).toDF("ga", "gb")
+    assert(MlEval.cohenKappaWeighted(perfect, "ga", "gb")
+      .collect().head.getDouble(3) == 1.0)
+    // Both raters constant -> D_e = 0 -> null.
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("ga", "gb")
+    assert(MlEval.cohenKappaWeighted(const, "ga", "gb")
+      .collect().head.isNullAt(3))
+  }
+
   test("krippendorffAlpha: hand value; abstainers drop as unpairable; degenerate null") {
     // Pairable units (a,a), (a,b), (b,b) -> D_o = 2/6 = 0.333333;
     // marginals 3/3 of 6 -> D_e = 18/30 = 0.6; alpha = 1 - 1/1.8 = 0.444444.
