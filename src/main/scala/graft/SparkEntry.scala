@@ -3114,6 +3114,34 @@ object SparkEntry {
           graft.quality.GopherRules.passes(col("text")).as("rater_gopher")),
         "rater_quality", "rater_gopher")),
 
+    // Bradley-Terry preference aggregation (r16, Hunter 2004 MM): the
+    // RLHF-preference-data readout — adjacent-doc quality comparisons
+    // become source-vs-source "wins" (winner = the higher 4-gate score,
+    // ties to the lexicographically smaller source), and 10 MM sweeps
+    // fit the global strengths. Every iterate lands on the 6dp grid
+    // with decimal-staged sums, so the FIXED-iteration fit replays
+    // bitwise — an oracle-checkable model fit.
+    "q_pref_bradley_terry" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+      val a = docs.select(col("doc_id").as("ida"),
+        col("source").as("sa"), col("q").as("qa"))
+      val b = docs.select((col("doc_id") - 1).as("ida"),
+        col("source").as("sb"), col("q").as("qb"))
+      val cmp = a.join(b, Seq("ida"))
+        .filter(col("sa") =!= col("sb"))
+        .select(
+          when(col("qa") > col("qb"), col("sa"))
+            .when(col("qa") < col("qb"), col("sb"))
+            .otherwise(least(col("sa"), col("sb"))).as("winner"),
+          when(col("qa") > col("qb"), col("sb"))
+            .when(col("qa") < col("qb"), col("sa"))
+            .otherwise(greatest(col("sa"), col("sb"))).as("loser"))
+      graft.operators.Preferences.bradleyTerry(cmp, "winner", "loser", iters = 10)
+        .orderBy("item")
+    }),
+
     // Weighted (ordinal) kappa (r16, Cohen 1968): two ORDINAL quality
     // graders — the 4-gate score quartile (0-3) and the Flesch
     // reading-ease band (0-3) — scored with quadratic-disagreement
@@ -4394,6 +4422,92 @@ object SparkEntry {
   // HLL pairwise-overlap replay: the register CTE shared with
   // portableHllOracleSql, singles estimates, per-pair register
   // max-union, inclusion-exclusion intersection floored at 0.
+  // Bradley-Terry replay (r16): quality-per-doc, adjacent-pair
+  // comparisons, the pair/win censuses, then `iters` UNROLLED MM sweeps
+  // — each a 6dp-grid denominator fold (exact decimal sum), the win
+  // ratio, and the mean-1 renormalization, byte-identical arithmetic to
+  // Preferences.bradleyTerry.
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    def iterCte(prev: String, cur: String): String =
+      s""", ${cur}s AS (
+         |  SELECT a.i AS item,
+         |         CAST(coalesce(sum(CAST(round(CAST(a.n AS DOUBLE)
+         |           / (gi.gamma + gj.gamma), 6) AS DECIMAL(28,6))), 0) AS DOUBLE) AS s
+         |  FROM adj a
+         |  JOIN $prev gi ON gi.item = a.i
+         |  JOIN $prev gj ON gj.item = a.j
+         |  GROUP BY 1
+         |), ${cur}u AS MATERIALIZED (
+         |  SELECT it.item, round(CAST(it.n_wins AS DOUBLE) / ${cur}s.s, 6) AS gu
+         |  FROM items it JOIN ${cur}s ON ${cur}s.item = it.item
+         |), $cur AS MATERIALIZED (
+         |  SELECT u.item,
+         |         round(u.gu * (SELECT k FROM kk)
+         |               / (SELECT CAST(sum(CAST(gu AS DECIMAL(28,6))) AS DOUBLE)
+         |                  FROM ${cur}u), 6) AS gamma
+         |  FROM ${cur}u u
+         |)""".stripMargin
+    val head =
+      """WITH q AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    round((
+        |      (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) AS q
+        |  FROM (SELECT doc_id, source,
+        |          length(text) AS n_chars,
+        |          len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |          len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |            ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |          len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+        |        FROM documents)
+        |), cmpx AS MATERIALIZED (
+        |  SELECT CASE WHEN a.q > b.q THEN a.source
+        |              WHEN a.q < b.q THEN b.source
+        |              ELSE least(a.source, b.source) END AS w,
+        |         CASE WHEN a.q > b.q THEN b.source
+        |              WHEN a.q < b.q THEN a.source
+        |              ELSE greatest(a.source, b.source) END AS l
+        |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source
+        |), pairs AS MATERIALIZED (
+        |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM cmpx GROUP BY 1, 2
+        |), winsx AS (
+        |  SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins FROM cmpx GROUP BY 1
+        |), items AS MATERIALIZED (
+        |  SELECT it.item, CAST(coalesce(winsx.n_wins, 0) AS BIGINT) AS n_wins
+        |  FROM (SELECT DISTINCT item FROM
+        |          (SELECT w AS item FROM cmpx UNION ALL SELECT l FROM cmpx)) it
+        |  LEFT JOIN winsx ON winsx.item = it.item
+        |), adj AS MATERIALIZED (
+        |  SELECT a AS i, b AS j, n FROM pairs
+        |  UNION ALL SELECT b AS i, a AS j, n FROM pairs
+        |), ncmp AS (
+        |  SELECT i AS item, CAST(sum(n) AS BIGINT) AS n_comparisons
+        |  FROM adj GROUP BY 1
+        |), kk AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k FROM items
+        |), g0 AS MATERIALIZED (
+        |  SELECT item, 1.0 AS gamma FROM items
+        |)""".stripMargin
+    val body = (1 to iters).map(i => iterCte(s"g${i - 1}", s"g$i")).mkString
+    val tail =
+      s"""
+         |SELECT it.item, g$iters.gamma AS strength, it.n_wins, nc.n_comparisons,
+         |       round(g$iters.gamma / (g$iters.gamma + 1.0), 6) AS p_beat_avg
+         |FROM items it
+         |JOIN g$iters ON g$iters.item = it.item
+         |JOIN ncmp nc ON nc.item = it.item
+         |ORDER BY it.item""".stripMargin
+    head + body + tail
+  }
+
   private def portableHllOverlapOracleSql: String = {
     val aM2 = graft.operators.PortableHll.alphaM2(8)
     s"""WITH h AS (
@@ -12174,6 +12288,7 @@ object SparkEntry {
     "q_hll_merge" -> portableHllOracleSql,
 
     "q_hll_overlap" -> portableHllOverlapOracleSql,
+    "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Preferences
+
+class PreferencesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bradleyTerry: recovers a planted total order; win probs track strengths") {
+    // Planted strengths x > y > z via lopsided head-to-head records:
+    // x beats y 8/2, x beats z 9/1, y beats z 7/3.
+    val cmp = (
+      Seq.fill(8)(("x", "y")) ++ Seq.fill(2)(("y", "x")) ++
+      Seq.fill(9)(("x", "z")) ++ Seq.fill(1)(("z", "x")) ++
+      Seq.fill(7)(("y", "z")) ++ Seq.fill(3)(("z", "y"))
+    ).toDF("winner", "loser")
+    val got = Preferences.bradleyTerry(cmp, "winner", "loser", iters = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("x", "y", "z"))
+    val (sx, sy, sz) = (got("x")._1, got("y")._1, got("z")._1)
+    assert(sx > sy && sy > sz, s"order wrong: $sx, $sy, $sz")
+    // mean-1 normalization
+    assert(math.abs((sx + sy + sz) / 3.0 - 1.0) < 1e-4)
+    // censuses: x won 17 of 20 comparisons it appeared in
+    assert(got("x")._2 == 17L && got("x")._3 == 20L)
+    // p_beat_avg is monotone in strength and matches gamma/(gamma+1)
+    assert(got("x")._4 > got("y")._4 && got("y")._4 > got("z")._4)
+    assert(math.abs(got("x")._4 - sx / (sx + 1.0)) < 1e-6)
+  }
+
+  test("bradleyTerry: symmetric records give equal strengths; deterministic replay") {
+    val cmp = (Seq.fill(5)(("a", "b")) ++ Seq.fill(5)(("b", "a")))
+      .toDF("winner", "loser")
+    val r1 = Preferences.bradleyTerry(cmp, "winner", "loser")
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(r1.map(_(1)).distinct.size == 1, "equal records -> equal strengths")
+    assert(r1.head(1) == 1.0, "mean-1 normalization on the symmetric pair")
+    val r2 = Preferences.bradleyTerry(cmp, "winner", "loser")
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(r1 == r2, "bitwise deterministic")
+  }
+
+  test("bradleyTerry: self-comparisons and null sides are dropped") {
+    val cmp = Seq(
+      (Some("a"), Some("b")), (Some("a"), Some("a")), (None, Some("b")),
+      (Some("b"), None), (Some("b"), Some("a"))
+    ).toDF("winner", "loser")
+    val got = Preferences.bradleyTerry(cmp, "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L), s"censuses wrong: $got")
+  }
+}
