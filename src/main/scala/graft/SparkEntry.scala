@@ -23,6 +23,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     TableIO.table(s, dir, name)
 
+  /** Shared fixture for the preference family (q_pref_*): adjacent-doc
+    * quality comparisons become source-vs-source winner/loser records
+    * (higher 4-gate score wins, ties to the lexicographically smaller
+    * source; same-source pairs skipped).
+    */
+  private def prefComparisons(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    val a = docs.select(col("doc_id").as("ida"),
+      col("source").as("sa"), col("q").as("qa"))
+    val b = docs.select((col("doc_id") - 1).as("ida"),
+      col("source").as("sb"), col("q").as("qb"))
+    a.join(b, Seq("ida"))
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        when(col("qa") > col("qb"), col("sa"))
+          .when(col("qa") < col("qb"), col("sb"))
+          .otherwise(least(col("sa"), col("sb"))).as("winner"),
+        when(col("qa") > col("qb"), col("sb"))
+          .when(col("qa") < col("qb"), col("sa"))
+          .otherwise(greatest(col("sa"), col("sb"))).as("loser"))
+  }
+
   /** Exact decimal-backed sum of a 2dp money column, returned as double. */
   // For 2dp MONEY columns only (TPC-H prices, balances) — exact for them.
   // Arbitrary-precision measures (events.value windows) use decimal(38,12)
@@ -3121,26 +3145,21 @@ object SparkEntry {
     // fit the global strengths. Every iterate lands on the 6dp grid
     // with decimal-staged sums, so the FIXED-iteration fit replays
     // bitwise — an oracle-checkable model fit.
-    "q_pref_bradley_terry" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          TextFunctions.qualityScore(col("text")).as("q"))
-      val a = docs.select(col("doc_id").as("ida"),
-        col("source").as("sa"), col("q").as("qa"))
-      val b = docs.select((col("doc_id") - 1).as("ida"),
-        col("source").as("sb"), col("q").as("qb"))
-      val cmp = a.join(b, Seq("ida"))
-        .filter(col("sa") =!= col("sb"))
-        .select(
-          when(col("qa") > col("qb"), col("sa"))
-            .when(col("qa") < col("qb"), col("sb"))
-            .otherwise(least(col("sa"), col("sb"))).as("winner"),
-          when(col("qa") > col("qb"), col("sb"))
-            .when(col("qa") < col("qb"), col("sa"))
-            .otherwise(greatest(col("sa"), col("sb"))).as("loser"))
-      graft.operators.Preferences.bradleyTerry(cmp, "winner", "loser", iters = 10)
-        .orderBy("item")
-    }),
+    "q_pref_bradley_terry" -> ((s, d) =>
+      graft.operators.Preferences.bradleyTerry(
+          prefComparisons(s, d), "winner", "loser", iters = 10)
+        .orderBy("item")),
+
+    // Preference-consistency QC (r16, Kendall & Babington Smith 1940):
+    // majority-vote the same comparison records into a tournament and
+    // count circular triads — preference data contradicting itself,
+    // which no Bradley-Terry strength vector can explain. Kendall's
+    // consistency coefficient attaches when the tournament is complete.
+    // FULL oracle (pair majorities, the 3-cycle self-join, the d_max
+    // closed form all replay).
+    "q_pref_consistency" -> ((s, d) =>
+      graft.operators.Preferences.circularTriads(
+        prefComparisons(s, d), "winner", "loser")),
 
     // Weighted (ordinal) kappa (r16, Cohen 1968): two ORDINAL quality
     // graders — the 4-gate score quartile (0-3) and the Flesch
@@ -4427,27 +4446,10 @@ object SparkEntry {
   // — each a 6dp-grid denominator fold (exact decimal sum), the win
   // ratio, and the mean-1 renormalization, byte-identical arithmetic to
   // Preferences.bradleyTerry.
-  private def bradleyTerryOracleSql(iters: Int): String = {
-    def iterCte(prev: String, cur: String): String =
-      s""", ${cur}s AS (
-         |  SELECT a.i AS item,
-         |         CAST(coalesce(sum(CAST(round(CAST(a.n AS DOUBLE)
-         |           / (gi.gamma + gj.gamma), 6) AS DECIMAL(28,6))), 0) AS DOUBLE) AS s
-         |  FROM adj a
-         |  JOIN $prev gi ON gi.item = a.i
-         |  JOIN $prev gj ON gj.item = a.j
-         |  GROUP BY 1
-         |), ${cur}u AS MATERIALIZED (
-         |  SELECT it.item, round(CAST(it.n_wins AS DOUBLE) / ${cur}s.s, 6) AS gu
-         |  FROM items it JOIN ${cur}s ON ${cur}s.item = it.item
-         |), $cur AS MATERIALIZED (
-         |  SELECT u.item,
-         |         round(u.gu * (SELECT k FROM kk)
-         |               / (SELECT CAST(sum(CAST(gu AS DECIMAL(28,6))) AS DOUBLE)
-         |                  FROM ${cur}u), 6) AS gamma
-         |  FROM ${cur}u u
-         |)""".stripMargin
-    val head =
+  /** Shared q/cmpx CTE head for the preference-family oracles: the
+    * quality grid per doc and the adjacent-pair winner/loser records.
+    */
+  private def prefCmpCteSql: String =
       """WITH q AS MATERIALIZED (
         |  SELECT doc_id, source,
         |    round((
@@ -4474,7 +4476,71 @@ object SparkEntry {
         |              ELSE greatest(a.source, b.source) END AS l
         |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
         |  WHERE a.source <> b.source
-        |), pairs AS MATERIALIZED (
+        |)""".stripMargin
+
+  // Consistency replay (r16): pair majorities, the directed-3-cycle
+  // self-join (each cycle counted once per rotation, // 3 exact), the
+  // closed-form d_max, the completeness gate.
+  private def prefConsistencyOracleSql: String =
+    prefCmpCteSql +
+      """, pv AS MATERIALIZED (
+        |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+        |         CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+        |         CAST(sum(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS wb
+        |  FROM cmpx GROUP BY 1, 2
+        |), edges AS MATERIALIZED (
+        |  SELECT CASE WHEN wa > wb THEN a ELSE b END AS src,
+        |         CASE WHEN wa > wb THEN b ELSE a END AS dst
+        |  FROM pv WHERE wa <> wb
+        |), cyc AS (
+        |  SELECT CAST(count(*) // 3 AS BIGINT) AS n_cyclic_triads
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.src = e1.dst
+        |  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+        |), ka AS (
+        |  SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM
+        |    (SELECT w AS item FROM cmpx UNION ALL SELECT l FROM cmpx)
+        |), ea AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+        |), pa AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pv
+        |)
+        |SELECT n_items, n_pairs, n_edges, n_cyclic_triads,
+        |  CASE WHEN n_edges = n_items * (n_items - 1) // 2
+        |        AND (CASE WHEN n_items % 2 = 0
+        |               THEN n_items * (n_items * n_items - 4) // 24
+        |               ELSE n_items * (n_items * n_items - 1) // 24 END) > 0
+        |       THEN round(1.0 - CAST(n_cyclic_triads AS DOUBLE)
+        |            / CAST(CASE WHEN n_items % 2 = 0
+        |                     THEN n_items * (n_items * n_items - 4) // 24
+        |                     ELSE n_items * (n_items * n_items - 1) // 24 END
+        |                   AS DOUBLE), 6)
+        |  END AS consistency
+        |FROM ka, ea, pa, cyc""".stripMargin
+
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    def iterCte(prev: String, cur: String): String =
+      s""", ${cur}s AS (
+         |  SELECT a.i AS item,
+         |         CAST(coalesce(sum(CAST(round(CAST(a.n AS DOUBLE)
+         |           / (gi.gamma + gj.gamma), 6) AS DECIMAL(28,6))), 0) AS DOUBLE) AS s
+         |  FROM adj a
+         |  JOIN $prev gi ON gi.item = a.i
+         |  JOIN $prev gj ON gj.item = a.j
+         |  GROUP BY 1
+         |), ${cur}u AS MATERIALIZED (
+         |  SELECT it.item, round(CAST(it.n_wins AS DOUBLE) / ${cur}s.s, 6) AS gu
+         |  FROM items it JOIN ${cur}s ON ${cur}s.item = it.item
+         |), $cur AS MATERIALIZED (
+         |  SELECT u.item,
+         |         round(u.gu * (SELECT k FROM kk)
+         |               / (SELECT CAST(sum(CAST(gu AS DECIMAL(28,6))) AS DOUBLE)
+         |                  FROM ${cur}u), 6) AS gamma
+         |  FROM ${cur}u u
+         |)""".stripMargin
+    val head =
+      prefCmpCteSql +
+      """, pairs AS MATERIALIZED (
         |  SELECT least(w, l) AS a, greatest(w, l) AS b,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM cmpx GROUP BY 1, 2
@@ -12289,6 +12355,7 @@ object SparkEntry {
 
     "q_hll_overlap" -> portableHllOverlapOracleSql,
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
+    "q_pref_consistency" -> prefConsistencyOracleSql,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

@@ -86,4 +86,64 @@ object Preferences {
         // implied win probability vs an average (strength-1) opponent
         round(col("gamma") / (col("gamma") + lit(1.0)), 6).as("p_beat_avg"))
   }
+
+  /** Circular-triad CONSISTENCY check (Kendall & Babington Smith 1940)
+    * — the QC gate that belongs BEFORE a [[bradleyTerry]] fit: majority-
+    * vote each unordered pair into a tournament edge (ties stay
+    * undecided), then count directed 3-cycles i→j→k→i. A cyclic triad
+    * is preference data CONTRADICTING ITSELF — no strength vector can
+    * explain it, so a high cyclic rate means the comparisons (or the
+    * judges) are noise, not that the model needs more iterations.
+    * Kendall's consistency coefficient ζ = 1 − d/d_max is attached when
+    * the tournament is COMPLETE (every pair decided; d_max =
+    * k(k²−4)/24 for even k, k(k²−1)/24 odd), null otherwise — the
+    * coefficient is undefined on partial tournaments.
+    *
+    * Scale shape: comparisons fold once into pair majorities (|pair|
+    * rows); the 3-cycle count is a bounded three-way self-join of the
+    * edge table (items are the aggregation grain — sources, models,
+    * judges — never raw comparisons). Each cycle appears once per
+    * rotation, so the join count divides by 3 exactly.
+    */
+  def circularTriads(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String): DataFrame = {
+    val cmp = df.select(
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    val pairVotes = cmp.groupBy(
+        least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(
+        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("__wa"),
+        sum(when(col("w") > col("l"), 1L).otherwise(0L)).as("__wb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairVotes
+      .filter(col("__wa") =!= col("__wb"))
+      .select(
+        when(col("__wa") > col("__wb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("__wa") > col("__wb"), col("b")).otherwise(col("a")).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cycles = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"),
+        col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
+      .agg((count(lit(1)) / 3).cast("long").as("n_cyclic_triads"))
+    val kAgg = cmp.select(col("w").as("item"))
+      .unionByName(cmp.select(col("l").as("item")))
+      .agg(countDistinct(col("item")).as("n_items"))
+    val eAgg = edges.agg(count(lit(1)).as("n_edges"))
+    val pAgg = pairVotes.agg(count(lit(1)).as("n_pairs"))
+    val k = col("n_items")
+    val dMax = when(k % 2 === 0, k * (k * k - 4) / 24)
+      .otherwise(k * (k * k - 1) / 24)
+    kAgg.crossJoin(eAgg).crossJoin(pAgg).crossJoin(cycles)
+      .select(
+        col("n_items"), col("n_pairs"), col("n_edges"), col("n_cyclic_triads"),
+        when(col("n_edges") === k * (k - 1) / 2 && dMax > 0,
+          round(lit(1.0) - col("n_cyclic_triads").cast("double")
+            / dMax.cast("double"), 6)).as("consistency"))
+  }
 }

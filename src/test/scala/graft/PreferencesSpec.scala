@@ -40,6 +40,30 @@ class PreferencesSpec extends SparkSpec {
     assert(r1 == r2, "bitwise deterministic")
   }
 
+  test("circularTriads: rock-paper-scissors is one cycle; transitive data none") {
+    // Majority a>b, b>c, c>a: the canonical cyclic triad. k=3 complete
+    // tournament, d_max = 1 -> consistency 0.
+    val rps = (Seq.fill(3)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(3)(("b", "c")) ++ Seq.fill(3)(("c", "a"))).toDF("winner", "loser")
+    val r = graft.operators.Preferences.circularTriads(rps, "winner", "loser")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 1L, "one cyclic triad")
+    assert(r.getDouble(4) == 0.0, "fully inconsistent")
+    // Transitive a>b>c (and a>c): zero cycles, consistency 1.
+    val lin = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("winner", "loser")
+    val l = graft.operators.Preferences.circularTriads(lin, "winner", "loser")
+      .collect().head
+    assert(l.getLong(3) == 0L && l.getDouble(4) == 1.0)
+    // Tied pair -> incomplete tournament -> coefficient null.
+    val tied = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"))
+      .toDF("winner", "loser")
+    val td = graft.operators.Preferences.circularTriads(tied, "winner", "loser")
+      .collect().head
+    assert(td.getLong(2) == 2L, "a-b undecided")
+    assert(td.isNullAt(4), "coefficient undefined on partial tournaments")
+  }
+
   test("bradleyTerry: self-comparisons and null sides are dropped") {
     val cmp = Seq(
       (Some("a"), Some("b")), (Some("a"), Some("a")), (None, Some("b")),
