@@ -35,7 +35,8 @@ object Preferences {
       df: DataFrame, /* one row per comparison */
       winnerCol: String,
       loserCol: String,
-      iters: Int = 10): DataFrame = {
+      iters: Int = 10,
+      driverPairLimit: Long = 4000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
     val cmp = df.select(
         col(winnerCol).cast("string").as("w"),
@@ -54,37 +55,86 @@ object Preferences {
       .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = items.count().toDouble
-    val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
-      .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
-    val nCmp = adj.groupBy(col("i").as("item"))
-      .agg(sum(col("n")).as("n_comparisons"))
-
-    var g = items.select(col("item"), lit(1.0).as("gamma"))
-    for (_ <- 1 to iters) {
-      // denominator fold: 6dp terms through an exact decimal sum, so
-      // the per-item Σ is order-free on both engines
-      val s = adj
-        .join(g.select(col("item").as("i"), col("gamma").as("__gi")), Seq("i"))
-        .join(g.select(col("item").as("j"), col("gamma").as("__gj")), Seq("j"))
-        .withColumn("__t", round(col("n").cast("double")
-          / (col("__gi") + col("__gj")), 6).cast("decimal(28,6)"))
-        .groupBy(col("i").as("item"))
-        .agg(sum(col("__t")).cast("double").as("__s"))
-      val unnorm = items.join(s, Seq("item"))
-        .select(col("item"),
-          round(col("n_wins").cast("double") / col("__s"), 6).as("__gu"))
-      val tot = unnorm.agg(
-        sum(col("__gu").cast("decimal(28,6)")).cast("double").as("__tot"))
-      g = unnorm.crossJoin(tot)
-        .select(col("item"),
-          round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
-        .localCheckpoint(true)
+    // Items are the AGGREGATION grain (sources, models, judges), so the
+    // pair table is usually tiny: fold the MM sweeps on the driver with
+    // byte-identical arithmetic (6dp grid, exact BigDecimal sums — the
+    // Components driver-union-find pattern) instead of paying 10 rounds
+    // of job launch + checkpoint for a 20-row table (measured 6.8s ->
+    // fixture-cost-only at sf0.1). The distributed path below remains
+    // for pair tables past the limit and is pinned output-identical in
+    // PreferencesSpec.
+    if (pairs.count() <= driverPairLimit)
+      bradleyTerryDriver(pairs, items, k, iters)
+    else {
+      val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+        .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+      val nCmp = adj.groupBy(col("i").as("item"))
+        .agg(sum(col("n")).as("n_comparisons"))
+      var g = items.select(col("item"), lit(1.0).as("gamma"))
+      for (_ <- 1 to iters) {
+        // denominator fold: 6dp terms through an exact decimal sum, so
+        // the per-item Σ is order-free on both engines
+        val s = adj
+          .join(g.select(col("item").as("i"), col("gamma").as("__gi")), Seq("i"))
+          .join(g.select(col("item").as("j"), col("gamma").as("__gj")), Seq("j"))
+          .withColumn("__t", round(col("n").cast("double")
+            / (col("__gi") + col("__gj")), 6).cast("decimal(28,6)"))
+          .groupBy(col("i").as("item"))
+          .agg(sum(col("__t")).cast("double").as("__s"))
+        val unnorm = items.join(s, Seq("item"))
+          .select(col("item"),
+            round(col("n_wins").cast("double") / col("__s"), 6).as("__gu"))
+        val tot = unnorm.agg(
+          sum(col("__gu").cast("decimal(28,6)")).cast("double").as("__tot"))
+        g = unnorm.crossJoin(tot)
+          .select(col("item"),
+            round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
+          .localCheckpoint(true)
+      }
+      items.join(g, Seq("item")).join(nCmp, Seq("item"))
+        .select(col("item"), col("gamma").as("strength"),
+          col("n_wins"), col("n_comparisons"),
+          // implied win probability vs an average (strength-1) opponent
+          round(col("gamma") / (col("gamma") + lit(1.0)), 6).as("p_beat_avg"))
     }
-    items.join(g, Seq("item")).join(nCmp, Seq("item"))
-      .select(col("item"), col("gamma").as("strength"),
-        col("n_wins"), col("n_comparisons"),
-        // implied win probability vs an average (strength-1) opponent
-        round(col("gamma") / (col("gamma") + lit(1.0)), 6).as("p_beat_avg"))
+  }
+
+  /** Driver MM fold — the same grid arithmetic as the distributed path
+    * (6dp rounds, exact decimal sums via BigDecimal, one IEEE division
+    * per ratio), so the two paths are bitwise interchangeable.
+    */
+  private def bradleyTerryDriver(
+      pairs: DataFrame, items: DataFrame, k: Double, iters: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairRows = pairs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val itemRows = items.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nCmp = {
+      val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      pairRows.foreach { case (a, b, n) => m(a) += n; m(b) += n }
+      m
+    }
+    var gamma = itemRows.map { case (it, _) => it -> 1.0 }.toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(BigDecimal(0).setScale(6))
+      pairRows.foreach { case (a, b, n) =>
+        val t = BigDecimal(r6(n.toDouble / (gamma(a) + gamma(b)))).setScale(6)
+        acc(a) += t; acc(b) += t
+      }
+      val gu = itemRows.map { case (it, w) =>
+        it -> r6(w.toDouble / acc(it).toDouble)
+      }
+      val tot = gu.map { case (_, v) => BigDecimal(v).setScale(6) }.sum.toDouble
+      gamma = gu.map { case (it, v) => it -> r6(v * k / tot) }.toMap
+    }
+    itemRows.toSeq.map { case (it, w) =>
+      (it, gamma(it), w, nCmp(it), r6(gamma(it) / (gamma(it) + 1.0)))
+    }.toDF("item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
   }
 
   /** Circular-triad CONSISTENCY check (Kendall & Babington Smith 1940)

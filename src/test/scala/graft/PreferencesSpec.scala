@@ -40,6 +40,20 @@ class PreferencesSpec extends SparkSpec {
     assert(r1 == r2, "bitwise deterministic")
   }
 
+  test("bradleyTerry: driver fast path is bitwise identical to the distributed MM") {
+    val cmp = (
+      Seq.fill(8)(("x", "y")) ++ Seq.fill(2)(("y", "x")) ++
+      Seq.fill(9)(("x", "z")) ++ Seq.fill(1)(("z", "x")) ++
+      Seq.fill(7)(("y", "z")) ++ Seq.fill(3)(("z", "y")) ++
+      Seq.fill(4)(("w", "x")) ++ Seq.fill(2)(("x", "w"))
+    ).toDF("winner", "loser")
+    def pins(limit: Long) = Preferences
+      .bradleyTerry(cmp, "winner", "loser", iters = 10, driverPairLimit = limit)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(pins(Long.MaxValue) == pins(0L),
+      "driver and distributed sweeps must agree bitwise")
+  }
+
   test("circularTriads: rock-paper-scissors is one cycle; transitive data none") {
     // Majority a>b, b>c, c>a: the canonical cyclic triad. k=3 complete
     // tournament, d_max = 1 -> consistency 0.
