@@ -3150,6 +3150,16 @@ object SparkEntry {
           prefComparisons(s, d), "winner", "loser", iters = 10)
         .orderBy("item")),
 
+    // Per-pair fit-quality for the Bradley-Terry model (r16): predicted
+    // vs empirical win rates with the absolute gap — WHERE a single
+    // strength scale misrepresents the preference data (the pairwise
+    // refinement of the global triad check). FULL oracle: the fit chain
+    // plus ratio arithmetic.
+    "q_pref_calibration" -> ((s, d) =>
+      graft.operators.Preferences.bradleyTerryCalibration(
+          prefComparisons(s, d), "winner", "loser", iters = 10)
+        .orderBy("item_a", "item_b")),
+
     // Preference-consistency QC (r16, Kendall & Babington Smith 1940):
     // majority-vote the same comparison records into a tournament and
     // count circular triads — preference data contradicting itself,
@@ -4572,6 +4582,29 @@ object SparkEntry {
          |JOIN ncmp nc ON nc.item = it.item
          |ORDER BY it.item""".stripMargin
     head + body + tail
+  }
+
+  // Calibration replay (r16): the same fit chain, then per-pair model
+  // vs empirical win rates with the absolute gap.
+  private def bradleyTerryCalibrationOracleSql(iters: Int): String = {
+    val fit = bradleyTerryOracleSql(iters)
+    val fitCtes = fit.substring(0, fit.indexOf("\nSELECT it.item"))
+    fitCtes +
+      s""", pv AS (
+         |  SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+         |         CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM cmpx GROUP BY 1, 2
+         |)
+         |SELECT pv.item_a, pv.item_b, pv.n, pv.wins_a,
+         |  round(ga.gamma / (ga.gamma + gb.gamma), 6) AS p_model,
+         |  round(CAST(pv.wins_a AS DOUBLE) / CAST(pv.n AS DOUBLE), 6) AS p_empirical,
+         |  round(abs(ga.gamma / (ga.gamma + gb.gamma)
+         |            - CAST(pv.wins_a AS DOUBLE) / CAST(pv.n AS DOUBLE)), 6) AS abs_gap
+         |FROM pv
+         |JOIN g$iters ga ON ga.item = pv.item_a
+         |JOIN g$iters gb ON gb.item = pv.item_b
+         |ORDER BY pv.item_a, pv.item_b""".stripMargin
   }
 
   private def portableHllOverlapOracleSql: String = {
@@ -12356,6 +12389,7 @@ object SparkEntry {
     "q_hll_overlap" -> portableHllOverlapOracleSql,
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
     "q_pref_consistency" -> prefConsistencyOracleSql,
+    "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

@@ -137,6 +137,50 @@ object Preferences {
     }.toDF("item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
   }
 
+  /** Fit-quality readout for a [[bradleyTerry]] result: per unordered
+    * pair with at least `minComparisons` records, the model's predicted
+    * win probability P(a beats b) = γ_a/(γ_a + γ_b) against the
+    * empirical rate w_ab/n_ab, with the absolute gap — plus the model
+    * is ADEQUATE question a reward-modeling pipeline actually asks:
+    * pairs where the gap is large are where a single strength scale
+    * misrepresents the data (context-dependent preferences, judge
+    * disagreement), the pairwise refinement of what [[circularTriads]]
+    * flags globally. Everything is ratio arithmetic over the pair
+    * census and the fitted strengths — replayable given the fit.
+    */
+  def bradleyTerryCalibration(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 10,
+      minComparisons: Long = 1L): DataFrame = {
+    val fit = bradleyTerry(df, winnerCol, loserCol, iters)
+      .select(col("item"), col("strength"))
+    val cmp = df.select(
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    val pairVotes = cmp.groupBy(
+        least(col("w"), col("l")).as("item_a"),
+        greatest(col("w"), col("l")).as("item_b"))
+      .agg(
+        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("wins_a"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= minComparisons)
+    pairVotes
+      .join(fit.select(col("item").as("item_a"), col("strength").as("__ga")),
+        Seq("item_a"))
+      .join(fit.select(col("item").as("item_b"), col("strength").as("__gb")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n"), col("wins_a"),
+        round(col("__ga") / (col("__ga") + col("__gb")), 6).as("p_model"),
+        round(col("wins_a").cast("double") / col("n").cast("double"), 6)
+          .as("p_empirical"),
+        round(abs(col("__ga") / (col("__ga") + col("__gb"))
+          - col("wins_a").cast("double") / col("n").cast("double")), 6)
+          .as("abs_gap"))
+  }
+
   /** Circular-triad CONSISTENCY check (Kendall & Babington Smith 1940)
     * — the QC gate that belongs BEFORE a [[bradleyTerry]] fit: majority-
     * vote each unordered pair into a tournament edge (ties stay

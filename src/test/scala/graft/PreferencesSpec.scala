@@ -78,6 +78,28 @@ class PreferencesSpec extends SparkSpec {
     assert(td.isNullAt(4), "coefficient undefined on partial tournaments")
   }
 
+  test("bradleyTerryCalibration: perfect two-item fit has zero gap; lopsided triads gap") {
+    // Two items: the BT model can always match a single pair's rate
+    // exactly, so the gap is ~0 (up to the 6dp fit grid).
+    val two = (Seq.fill(7)(("a", "b")) ++ Seq.fill(3)(("b", "a")))
+      .toDF("winner", "loser")
+    val r2 = graft.operators.Preferences
+      .bradleyTerryCalibration(two, "winner", "loser", iters = 20)
+      .collect().head
+    assert(r2.getDouble(6) < 0.001, s"two-item gap ${r2.getDouble(6)}")
+    assert(r2.getDouble(5) == 0.7, "empirical rate 7/10")
+    // Rock-paper-scissors: no strength vector explains any pair; all
+    // three gaps are large (model says ~1/2 everywhere).
+    val rps = (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b")) ++
+      Seq.fill(9)(("c", "a")) ++ Seq.fill(1)(("a", "c"))).toDF("winner", "loser")
+    val gaps = graft.operators.Preferences
+      .bradleyTerryCalibration(rps, "winner", "loser", iters = 20)
+      .select("abs_gap").collect().map(_.getDouble(0))
+    assert(gaps.length == 3 && gaps.forall(_ > 0.3),
+      s"cyclic data must misfit every pair: ${gaps.toSeq}")
+  }
+
   test("bradleyTerry: self-comparisons and null sides are dropped") {
     val cmp = Seq(
       (Some("a"), Some("b")), (Some("a"), Some("a")), (None, Some("b")),
