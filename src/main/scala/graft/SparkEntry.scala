@@ -44,7 +44,9 @@ object SparkEntry {
           .otherwise(least(col("sa"), col("sb"))).as("winner"),
         when(col("qa") > col("qb"), col("sb"))
           .when(col("qa") < col("qb"), col("sa"))
-          .otherwise(greatest(col("sa"), col("sb"))).as("loser"))
+          .otherwise(greatest(col("sa"), col("sb"))).as("loser"),
+        // presentation position: the lower-doc_id side is "shown first"
+        col("sa").as("first"))
   }
 
   /** Exact decimal-backed sum of a 2dp money column, returned as double. */
@@ -3160,6 +3162,14 @@ object SparkEntry {
           prefComparisons(s, d), "winner", "loser", iters = 10)
         .orderBy("item_a", "item_b")),
 
+    // Position-bias gate (r16): first-position win census and the
+    // chi-square against the 50% null — the LLM-judge QC for pairwise
+    // labels (the lower-doc_id side plays "shown first" here). FULL
+    // oracle: one census + the srm-shaped gate.
+    "q_pref_position_bias" -> ((s, d) =>
+      graft.operators.Preferences.positionBias(
+        prefComparisons(s, d), "winner", "first")),
+
     // Preference-consistency QC (r16, Kendall & Babington Smith 1940):
     // majority-vote the same comparison records into a tournament and
     // count circular triads — preference data contradicting itself,
@@ -4483,7 +4493,8 @@ object SparkEntry {
         |              ELSE least(a.source, b.source) END AS w,
         |         CASE WHEN a.q > b.q THEN b.source
         |              WHEN a.q < b.q THEN a.source
-        |              ELSE greatest(a.source, b.source) END AS l
+        |              ELSE greatest(a.source, b.source) END AS l,
+        |         a.source AS f
         |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
         |  WHERE a.source <> b.source
         |)""".stripMargin
@@ -12390,6 +12401,23 @@ object SparkEntry {
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
     "q_pref_consistency" -> prefConsistencyOracleSql,
     "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),
+
+    // Position-bias replay: the shared cmpx records carry the
+    // first-position source; one census + the chi-square gate.
+    "q_pref_position_bias" -> (prefCmpCteSql +
+      """
+        |SELECT n, n_first_wins,
+        |  round(CAST(n_first_wins AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS first_win_rate,
+        |  round(CAST((2 * n_first_wins - n) * (2 * n_first_wins - n) AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) AS chi2,
+        |  (CAST((2 * n_first_wins - n) * (2 * n_first_wins - n) AS DOUBLE)
+        |   / CAST(n AS DOUBLE) > 3.841) AS biased
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN w = f THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_first_wins
+        |      FROM cmpx)
+        |WHERE n > 0""".stripMargin),
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

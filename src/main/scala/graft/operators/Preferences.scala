@@ -137,6 +137,39 @@ object Preferences {
     }.toDF("item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
   }
 
+  /** POSITION-BIAS gate for pairwise preference data: when a judge
+    * (human or model) sees candidates in presentation order, "first
+    * shown wins" should track data quality, not position — a first-
+    * position win rate significantly off the rate the strengths imply
+    * means the collection procedure is leaking position into labels
+    * (the standard LLM-judge failure; the mitigation is randomizing
+    * presentation order, which drives the EXPECTED first-win rate to
+    * whatever the content implies). This readout reports the observed
+    * first-position win census and the chi-square against the 50%
+    * null (the [[graft.operators.EventAnalytics.srmCheck]] gate shape
+    * — use it when presentation order IS randomized, so deviation from
+    * ½ is attributable to position, not content).
+    */
+  def positionBias(
+      df: DataFrame,
+      winnerCol: String,
+      firstCol: String): DataFrame = {
+    val c = df.select(col(winnerCol).cast("string").as("w"),
+        col(firstCol).cast("string").as("f"))
+      .filter(col("w").isNotNull && col("f").isNotNull)
+    val agg = c.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("w") === col("f"), 1L).otherwise(0L)).as("n_first_wins"))
+    val d = lit(2L) * col("n_first_wins") - col("n")
+    val chi2 = (d * d).cast("double") / col("n").cast("double")
+    agg.filter(col("n") > 0)
+      .select(col("n"), col("n_first_wins"),
+        round(col("n_first_wins").cast("double") / col("n").cast("double"), 6)
+          .as("first_win_rate"),
+        round(chi2, 6).as("chi2"),
+        (chi2 > 3.841).as("biased"))
+  }
+
   /** Fit-quality readout for a [[bradleyTerry]] result: per unordered
     * pair with at least `minComparisons` records, the model's predicted
     * win probability P(a beats b) = γ_a/(γ_a + γ_b) against the

@@ -100,6 +100,23 @@ class PreferencesSpec extends SparkSpec {
       s"cyclic data must misfit every pair: ${gaps.toSeq}")
   }
 
+  test("positionBias: planted bias flags; balanced data does not") {
+    // 40 comparisons, first wins 36 -> chi2 = (2*36-40)^2/40 = 25.6 > 3.841.
+    val biased = ((1 to 36).map(_ => ("a", "a")) ++ (1 to 4).map(_ => ("b", "a")))
+      .toDF("winner", "first")
+    val b = graft.operators.Preferences.positionBias(biased, "winner", "first")
+      .collect().head
+    assert(b.getLong(0) == 40L && b.getLong(1) == 36L)
+    assert(b.getDouble(2) == 0.9 && b.getDouble(3) == 25.6)
+    assert(b.getBoolean(4), "36/40 first wins must flag")
+    // 50/50: chi2 = 0.
+    val fair = ((1 to 20).map(_ => ("a", "a")) ++ (1 to 20).map(_ => ("b", "a")))
+      .toDF("winner", "first")
+    val f = graft.operators.Preferences.positionBias(fair, "winner", "first")
+      .collect().head
+    assert(f.getDouble(3) == 0.0 && !f.getBoolean(4))
+  }
+
   test("bradleyTerry: self-comparisons and null sides are dropped") {
     val cmp = Seq(
       (Some("a"), Some("b")), (Some("a"), Some("a")), (None, Some("b")),
