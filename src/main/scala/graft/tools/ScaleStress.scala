@@ -842,6 +842,48 @@ object ScaleStress {
     }
     }
 
+    section("pref") {
+    // Preference aggregation at scale (r16): 5M comparisons over 1000
+    // items with planted strengths (item id ~ skill; the md5-coin gives
+    // the stronger item the win with probability skill_a/(skill_a +
+    // skill_b) — the BT generative model). Folds to ~500k distinct
+    // pairs; both MM paths run: the driver fast path (the default for
+    // item-grain data) and the distributed sweeps (driverPairLimit=0).
+    import graft.operators.Preferences
+    val n = 5000000L
+    // opponent = ia + (1..999 block offset) mod 1000: every item meets
+    // every other across the 5000 blocks (~5 comparisons per pair)
+    val cmps = spark.range(n).select(
+        (col("id") % 1000L).as("ia"),
+        pmod(col("id") % 1000L + 1L
+          + (col("id") / 1000L).cast("long") % 999L, lit(1000L)).as("ib"),
+        (conv(substring(md5(concat(col("id").cast("string"), lit("pf"))), 1, 8),
+          16, 10).cast("double") / lit(4294967296.0)).as("u"))
+      .filter(col("ia") =!= col("ib"))
+      .select(
+        // P(ia wins) = (ia+1)/(ia+ib+2): planted BT with skill ~ id+1
+        when(col("u") < (col("ia") + 1).cast("double")
+          / (col("ia") + col("ib") + 2).cast("double"),
+          col("ia")).otherwise(col("ib")).cast("string").as("winner"),
+        when(col("u") < (col("ia") + 1).cast("double")
+          / (col("ia") + col("ib") + 2).cast("double"),
+          col("ib")).otherwise(col("ia")).cast("string").as("loser"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] pref comparisons: ${cmps.count()}")
+    val fitD = time("pref: BT driver fold (1000 items)")(
+      Preferences.bradleyTerry(cmps, "winner", "loser", iters = 10)
+        .orderBy(desc("strength")).limit(5).collect())
+    println("[stress]   top-5 by strength: " +
+      fitD.map(r => s"${r.getString(0)}=${r.getDouble(1)}").mkString(", "))
+    time("pref: BT distributed sweeps")(
+      Preferences.bradleyTerry(cmps, "winner", "loser", iters = 10,
+        driverPairLimit = 0L).count())
+    time("pref: circular triads")(
+      println("[stress]   " + Preferences
+        .circularTriads(cmps, "winner", "loser").collect().head))
+    cmps.unpersist(blocking = false)
+    }
+
     section("ab") {
     // The r15b experimentation ladder at 10M events / 200k users:
     // every readout is one fact aggregation + bounded follow-up, so
