@@ -129,6 +129,66 @@ object Ingest {
       bands: Int = 16,
       n: Int = 3,
       seed: Long = 42L): IngestResult = {
+    val (result, edges) = ingestCore(batch, idCol, textCol, indexPath, outPath,
+      batchId, dropAgreement, linkAgreement, numHashes, bands, n, seed)
+    ClusterStore.applyEdges(batch.sparkSession, clusterStorePath, edges)
+    result
+  }
+
+  /** BACKFILL form (r16): fold N batches sequentially — each batch's
+    * drop probe sees every earlier batch's landed delta, so survivors
+    * and index deltas are BIT-IDENTICAL to N [[ingestIncrement]] calls
+    * — but the cluster store folds ONCE over the union of all link
+    * pairs. Equivalence is the ClusterStore restriction law
+    * (applyEdges(b1); applyEdges(b2) == one CC over b1 ∪ b2, spec-
+    * pinned), so batching the fold changes nothing except skipping
+    * N−1 store read/CC/rewrite rounds — the backfill amortization.
+    * Deferred edge lineages read the LANDED deltas, not recomputation.
+    */
+  def ingestBackfill(
+      batches: Seq[(Long, DataFrame)],
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      clusterStorePath: String,
+      outPath: String,
+      dropAgreement: Double = 0.9,
+      linkAgreement: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      n: Int = 3,
+      seed: Long = 42L): Seq[IngestResult] = {
+    require(batches.nonEmpty, "ingestBackfill needs at least one batch")
+    require(batches.map(_._1).distinct.size == batches.size,
+      s"batch ids must be distinct, got ${batches.map(_._1)}")
+    val spark = batches.head._2.sparkSession
+    val folded = batches.map { case (batchId, batch) =>
+      ingestCore(batch, idCol, textCol, indexPath, outPath,
+        batchId, dropAgreement, linkAgreement, numHashes, bands, n, seed)
+    }
+    ClusterStore.applyEdges(spark, clusterStorePath,
+      folded.map(_._2).reduce(_ unionByName _))
+    folded.map(_._1)
+  }
+
+  /** The per-batch core shared by [[ingestIncrement]] and
+    * [[ingestBackfill]]: lands survivors + the index delta, returns the
+    * result and the batch's LINK EDGES (lazy; lineage reads the landed
+    * delta) for the caller to fold.
+    */
+  private def ingestCore(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      outPath: String,
+      batchId: Long,
+      dropAgreement: Double,
+      linkAgreement: Double,
+      numHashes: Int,
+      bands: Int,
+      n: Int,
+      seed: Long): (IngestResult, DataFrame) = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     require(linkAgreement <= dropAgreement,
       s"linkAgreement ($linkAgreement) must be <= dropAgreement ($dropAgreement): " +
@@ -184,7 +244,6 @@ object Ingest {
           fpSurv, index, numHashes, bands, minAgreement = linkAgreement)
         .select(col("id_a"), col("id_b"))
         .unionByName(within)
-    ClusterStore.applyEdges(spark, clusterStorePath, edges)
-    IngestResult(survivors, dropped)
+    (IngestResult(survivors, dropped), edges)
   }
 }

@@ -75,6 +75,46 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("ingestBackfill: N batches with one cluster fold == sequential ingestIncrement") {
+    val b1 = Seq(
+      (1L, baseText),
+      (2L, (100 to 140).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (11L, baseText),
+      (12L, revisionText),
+      (13L, (200 to 240).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b3 = Seq(
+      (21L, revisionText), // exact copy of 12 -> dropped
+      (22L, (300 to 340).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    // sequential reference
+    val (idxS, stS, outS) = (tmp("bk_idx_s"), tmp("bk_st_s"), tmp("bk_out_s"))
+    Seq((0L, b1), (1L, b2), (2L, b3)).foreach { case (i, b) =>
+      Ingest.ingestIncrement(b, "doc_id", "text", idxS, stS, outS, batchId = i)
+    }
+    // backfill: same batches, one fold
+    val (idxB, stB, outB) = (tmp("bk_idx_b"), tmp("bk_st_b"), tmp("bk_out_b"))
+    val rs = Ingest.ingestBackfill(
+      Seq((0L, b1), (1L, b2), (2L, b3)), "doc_id", "text", idxB, stB, outB)
+    assert(rs.map(_.dropped) == Seq(0L, 1L, 1L))
+
+    def landed(out: String) =
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(landed(outB) == landed(outS), "identical survivor landings")
+    def fingerprints(idx: String) =
+      Ingest.readIndex(spark, idx).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(fingerprints(idxB) == fingerprints(idxS), "identical index deltas")
+    def membership(st: String) =
+      ClusterStore.read(spark, st).as[(Long, Long)].collect().toMap
+    assert(membership(stB) == membership(stS),
+      "one batched fold must land the sequential membership")
+    // the chain 1 ~ 12 (revision) must be clustered in both
+    assert(membership(stB).get(12L).contains(1L))
+  }
+
   test("ingestSink: streamed micro-batches == the sequential batch API") {
     val root = tmp("ingest_stream")
     val in = s"$root/in"
