@@ -65,6 +65,21 @@ object ProfileIngest {
       ClusterStore.applyEdges(spark, store, pairs))
     time("membershipFor count")(println("  n=" + ClusterStore
       .membershipFor(spark, store, surv, "doc_id").count()))
+
+    // backfill A/B (r16): thirds of the corpus, sequential folds vs the
+    // single batched fold — the N-1 amortized CC rounds.
+    val thirds = (0L to 2L).map(i =>
+      i -> docs.filter(col("doc_id") % 3 === i))
+    val baseS = s"target/tmp/prof_bk_s_${System.nanoTime()}"
+    time("3-batch sequential ingest")(
+      thirds.foreach { case (i, b) =>
+        Ingest.ingestIncrement(b, "doc_id", "text",
+          s"$baseS/idx", s"$baseS/st", s"$baseS/out", batchId = i)
+      })
+    val baseB = s"target/tmp/prof_bk_b_${System.nanoTime()}"
+    time("3-batch backfill (one fold)")(
+      Ingest.ingestBackfill(thirds, "doc_id", "text",
+        s"$baseB/idx", s"$baseB/st", s"$baseB/out"))
     spark.stop()
   }
 }
