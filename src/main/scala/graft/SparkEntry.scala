@@ -3162,6 +3162,30 @@ object SparkEntry {
           prefComparisons(s, d), "winner", "loser", iters = 10)
         .orderBy("item_a", "item_b")),
 
+    // Ties-aware Bradley-Terry (r16, Rao & Kupper 1967, fixed θ = 1.5):
+    // near-equal quality scores (|Δq| < 0.05) become TIES instead of
+    // lexicographic coin-flips — the model for judges with a "both
+    // equal" button. Same grid-staged MM sweeps; FULL oracle unrolls
+    // them with the two-denominator Rao-Kupper terms.
+    "q_pref_bt_ties" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+      val a = docs.select(col("doc_id").as("ida"),
+        col("source").as("sa"), col("q").as("qa"))
+      val b = docs.select((col("doc_id") - 1).as("ida"),
+        col("source").as("sb"), col("q").as("qb"))
+      val cmp = a.join(b, Seq("ida"))
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa").as("item_a"), col("sb").as("item_b"),
+          when(abs(col("qa") - col("qb")) < 0.05, lit("tie"))
+            .when(col("qa") > col("qb"), lit("a"))
+            .otherwise(lit("b")).as("outcome"))
+      graft.operators.Preferences.bradleyTerryTies(
+          cmp, "item_a", "item_b", "outcome", theta = 1.5, iters = 10)
+        .orderBy("item")
+    }),
+
     // Position-bias gate (r16): first-position win census and the
     // chi-square against the 50% null — the LLM-judge QC for pairwise
     // labels (the lower-doc_id side plays "shown first" here). FULL
@@ -4591,6 +4615,99 @@ object SparkEntry {
          |FROM items it
          |JOIN g$iters ON g$iters.item = it.item
          |JOIN ncmp nc ON nc.item = it.item
+         |ORDER BY it.item""".stripMargin
+    head + body + tail
+  }
+
+  // Rao-Kupper replay (r16): outcome records with the tie band, the
+  // (wa, wb, t) pair census, items' win+tie credit, the directed table,
+  // then `iters` unrolled sweeps with the two-denominator terms.
+  private def bradleyTerryTiesOracleSql(iters: Int, theta: String): String = {
+    def iterCte(prev: String, cur: String): String =
+      s""", ${cur}s AS (
+         |  SELECT d.i AS item,
+         |         CAST(coalesce(sum(CAST(round(CAST(d.wij + d.t AS DOUBLE)
+         |             / (gi.gamma + $theta * gj.gamma), 6) AS DECIMAL(28,6))), 0)
+         |           + coalesce(sum(CAST(round(CAST(d.wji + d.t AS DOUBLE) * $theta
+         |             / (gj.gamma + $theta * gi.gamma), 6) AS DECIMAL(28,6))), 0)
+         |          AS DOUBLE) AS s
+         |  FROM dir d
+         |  JOIN $prev gi ON gi.item = d.i
+         |  JOIN $prev gj ON gj.item = d.j
+         |  GROUP BY 1
+         |), ${cur}u AS MATERIALIZED (
+         |  SELECT it.item, round(CAST(it.n_credit AS DOUBLE) / ${cur}s.s, 6) AS gu
+         |  FROM items it JOIN ${cur}s ON ${cur}s.item = it.item
+         |), $cur AS MATERIALIZED (
+         |  SELECT u.item,
+         |         round(u.gu * (SELECT k FROM kk)
+         |               / (SELECT CAST(sum(CAST(gu AS DECIMAL(28,6))) AS DOUBLE)
+         |                  FROM ${cur}u), 6) AS gamma
+         |  FROM ${cur}u u
+         |)""".stripMargin
+    val head =
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    round((
+         |      (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+         |            THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+         |            THEN 1.0 ELSE 0.0 END) +
+         |      least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+         |    ) / 4.0, 4) AS q
+         |  FROM (SELECT doc_id, source,
+         |          length(text) AS n_chars,
+         |          len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         |          len(list_filter(regexp_extract_all(text, '\\S+'), x -> lower(x) IN
+         |            ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+         |          len(regexp_extract_all(text, $$$$[.,;:!?'"()\\[\\]{}-]$$$$)) AS n_punct
+         |        FROM documents)
+         |), cm AS MATERIALIZED (
+         |  SELECT a.source AS ia, b.source AS ib,
+         |         CASE WHEN abs(a.q - b.q) < 0.05 THEN 'tie'
+         |              WHEN a.q > b.q THEN 'a' ELSE 'b' END AS o
+         |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.source <> b.source
+         |), pairs AS MATERIALIZED (
+         |  SELECT least(ia, ib) AS a, greatest(ia, ib) AS b,
+         |    CAST(sum(CASE WHEN o <> 'tie' AND ((o = 'a') = (ia < ib))
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+         |    CAST(sum(CASE WHEN o <> 'tie' AND ((o = 'a') <> (ia < ib))
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS wb,
+         |    CAST(sum(CASE WHEN o = 'tie' THEN 1 ELSE 0 END) AS BIGINT) AS t
+         |  FROM cm GROUP BY 1, 2
+         |), items AS MATERIALIZED (
+         |  SELECT it.item, CAST(coalesce(cr.n_credit, 0) AS BIGINT) AS n_credit
+         |  FROM (SELECT DISTINCT item FROM
+         |          (SELECT ia AS item FROM cm UNION ALL SELECT ib FROM cm)) it
+         |  LEFT JOIN (
+         |    SELECT item, CAST(sum(c) AS BIGINT) AS n_credit FROM (
+         |      SELECT a AS item, wa + t AS c FROM pairs
+         |      UNION ALL SELECT b AS item, wb + t AS c FROM pairs)
+         |    GROUP BY 1) cr ON cr.item = it.item
+         |), dir AS MATERIALIZED (
+         |  SELECT a AS i, b AS j, wa AS wij, wb AS wji, t FROM pairs
+         |  UNION ALL SELECT b AS i, a AS j, wb AS wij, wa AS wji, t FROM pairs
+         |), census AS MATERIALIZED (
+         |  SELECT item, CAST(sum(w) AS BIGINT) AS n_wins,
+         |         CAST(sum(t) AS BIGINT) AS n_ties FROM (
+         |    SELECT a AS item, wa AS w, t FROM pairs
+         |    UNION ALL SELECT b AS item, wb AS w, t FROM pairs)
+         |  GROUP BY 1
+         |), kk AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS k FROM items
+         |), g0 AS MATERIALIZED (
+         |  SELECT item, 1.0 AS gamma FROM items
+         |)""".stripMargin
+    val body = (1 to iters).map(i => iterCte(s"g${i - 1}", s"g$i")).mkString
+    val tail =
+      s"""
+         |SELECT it.item, g$iters.gamma AS strength, c.n_wins, c.n_ties,
+         |       round(g$iters.gamma / (g$iters.gamma + $theta), 6) AS p_beat_avg
+         |FROM items it
+         |JOIN g$iters ON g$iters.item = it.item
+         |JOIN census c ON c.item = it.item
          |ORDER BY it.item""".stripMargin
     head + body + tail
   }
@@ -12401,6 +12518,7 @@ object SparkEntry {
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
     "q_pref_consistency" -> prefConsistencyOracleSql,
     "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),
+    "q_pref_bt_ties" -> bradleyTerryTiesOracleSql(10, "1.5"),
 
     // Position-bias replay: the shared cmpx records carry the
     // first-position source; one census + the chi-square gate.

@@ -137,6 +137,153 @@ object Preferences {
     }.toDF("item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
   }
 
+  /** TIES-AWARE Bradley-Terry (Rao & Kupper 1967) at a FIXED tie
+    * threshold θ > 1: P(i beats j) = γ_i/(γ_i + θγ_j) and ties absorb
+    * the remaining mass — the model for preference data where judges
+    * may call "both equal" (most RLHF collection UIs have the button).
+    * The γ sweep is the same supporting-line minorization as
+    * [[bradleyTerry]] (monotone by construction):
+    *   γ_i ← (W_i + T_i) / Σ_j [ (w_ij + t_ij)/(γ_i + θγ_j)
+    *                           + (w_ji + t_ij)·θ/(γ_j + θγ_i) ]
+    * with W wins, T ties. θ is a CALLER-CHOSEN sensitivity (how much
+    * better must i be before a judge stops calling ties) — jointly
+    * estimating θ needs Hunter's coupled update and is deliberately
+    * out of scope; sweep θ over a grid and compare implied vs
+    * empirical tie rates if it must be fit.
+    *
+    * Input grain: one row per comparison with `outcomeCol` ∈
+    * {'a','b','tie'} relative to (itemACol, itemBCol). Same 6dp-grid /
+    * exact-decimal staging as the plain fit, so a fixed sweep count
+    * replays bitwise; same driver fast path for bounded pair tables
+    * with a distributed fallback, pinned identical in PreferencesSpec.
+    */
+  def bradleyTerryTies(
+      df: DataFrame,
+      itemACol: String,
+      itemBCol: String,
+      outcomeCol: String,
+      theta: Double = 1.5,
+      iters: Int = 10,
+      driverPairLimit: Long = 4000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    require(theta > 1.0, s"theta must be > 1 (ties have zero mass at 1), got $theta")
+    val cmp = df.select(
+        col(itemACol).cast("string").as("ia"),
+        col(itemBCol).cast("string").as("ib"),
+        col(outcomeCol).cast("string").as("o"))
+      .filter(col("ia").isNotNull && col("ib").isNotNull &&
+        col("ia") =!= col("ib") && col("o").isin("a", "b", "tie"))
+    // unordered pair census: wins toward the lexicographically smaller
+    // side (wa), the larger (wb), and ties
+    val pairs = cmp.select(
+        least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"),
+        when(col("o") === "tie", lit("t"))
+          .when((col("o") === "a") === (col("ia") < col("ib")), lit("wa"))
+          .otherwise(lit("wb")).as("r"))
+      .groupBy("a", "b")
+      .agg(
+        sum(when(col("r") === "wa", 1L).otherwise(0L)).as("wa"),
+        sum(when(col("r") === "wb", 1L).otherwise(0L)).as("wb"),
+        sum(when(col("r") === "t", 1L).otherwise(0L)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = cmp.select(col("ia").as("item"))
+      .unionByName(cmp.select(col("ib").as("item")))
+      .distinct()
+      .join(
+        pairs.select(col("a").as("item"), (col("wa") + col("t")).as("__c"))
+          .unionByName(
+            pairs.select(col("b").as("item"), (col("wb") + col("t")).as("__c")))
+          .groupBy("item").agg(sum(col("__c")).as("n_credit")),
+        Seq("item"), "left")
+      .select(col("item"), coalesce(col("n_credit"), lit(0L)).as("n_credit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = items.count().toDouble
+    if (pairs.count() <= driverPairLimit)
+      bradleyTerryTiesDriver(pairs, items, k, theta, iters)
+    else {
+      // directed table: one row per ordered (i, j) carrying both
+      // direction counts + ties, so each sweep is ONE join pair
+      val dir = pairs.select(col("a").as("i"), col("b").as("j"),
+          col("wa").as("wij"), col("wb").as("wji"), col("t"))
+        .unionByName(pairs.select(col("b").as("i"), col("a").as("j"),
+          col("wb").as("wij"), col("wa").as("wji"), col("t")))
+      var g = items.select(col("item"), lit(1.0).as("gamma"))
+      for (_ <- 1 to iters) {
+        val s = dir
+          .join(g.select(col("item").as("i"), col("gamma").as("__gi")), Seq("i"))
+          .join(g.select(col("item").as("j"), col("gamma").as("__gj")), Seq("j"))
+          .withColumn("__t1", round((col("wij") + col("t")).cast("double")
+            / (col("__gi") + lit(theta) * col("__gj")), 6).cast("decimal(28,6)"))
+          .withColumn("__t2", round((col("wji") + col("t")).cast("double")
+            * lit(theta) / (col("__gj") + lit(theta) * col("__gi")), 6)
+            .cast("decimal(28,6)"))
+          .groupBy(col("i").as("item"))
+          .agg((sum(col("__t1")) + sum(col("__t2"))).cast("double").as("__s"))
+        val unnorm = items.join(s, Seq("item"))
+          .select(col("item"),
+            round(col("n_credit").cast("double") / col("__s"), 6).as("__gu"))
+        val tot = unnorm.agg(
+          sum(col("__gu").cast("decimal(28,6)")).cast("double").as("__tot"))
+        g = unnorm.crossJoin(tot)
+          .select(col("item"),
+            round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
+          .localCheckpoint(true)
+      }
+      finishTies(items, g, pairs, theta)
+    }
+  }
+
+  private def finishTies(
+      items: DataFrame, g: DataFrame, pairs: DataFrame, theta: Double): DataFrame = {
+    val census = pairs.select(col("a").as("item"), col("wa").as("__w"), col("t"))
+      .unionByName(pairs.select(col("b").as("item"), col("wb").as("__w"), col("t")))
+      .groupBy("item")
+      .agg(sum(col("__w")).as("n_wins"), sum(col("t")).as("n_ties"))
+    items.join(g, Seq("item")).join(census, Seq("item"))
+      .select(col("item"), col("gamma").as("strength"),
+        col("n_wins"), col("n_ties"),
+        // win prob vs an average (strength-1) opponent under theta
+        round(col("gamma") / (col("gamma") + lit(theta)), 6).as("p_beat_avg"))
+  }
+
+  /** Driver fold for [[bradleyTerryTies]] — identical grid arithmetic. */
+  private def bradleyTerryTiesDriver(
+      pairs: DataFrame, items: DataFrame, k: Double,
+      theta: Double, iters: Int): DataFrame = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairRows = pairs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val itemRows = items.collect().map(r => (r.getString(0), r.getLong(1)))
+    var gamma = itemRows.map { case (it, _) => it -> 1.0 }.toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(BigDecimal(0).setScale(6))
+      pairRows.foreach { case (a, b, wa, wb, t) =>
+        // a's denominator: (wa + t)/(ga + θgb) + (wb + t)·θ/(gb + θga)
+        acc(a) += BigDecimal(r6((wa + t).toDouble
+          / (gamma(a) + theta * gamma(b)))).setScale(6)
+        acc(a) += BigDecimal(r6((wb + t).toDouble * theta
+          / (gamma(b) + theta * gamma(a)))).setScale(6)
+        acc(b) += BigDecimal(r6((wb + t).toDouble
+          / (gamma(b) + theta * gamma(a)))).setScale(6)
+        acc(b) += BigDecimal(r6((wa + t).toDouble * theta
+          / (gamma(a) + theta * gamma(b)))).setScale(6)
+      }
+      val gu = itemRows.map { case (it, credit) =>
+        it -> r6(credit.toDouble / acc(it).toDouble)
+      }
+      val tot = gu.map { case (_, v) => BigDecimal(v).setScale(6) }.sum.toDouble
+      gamma = gu.map { case (it, v) => it -> r6(v * k / tot) }.toMap
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val g = gamma.toSeq.toDF("item", "gamma")
+    finishTies(items, g, pairs, theta)
+  }
+
   /** POSITION-BIAS gate for pairwise preference data: when a judge
     * (human or model) sees candidates in presentation order, "first
     * shown wins" should track data quality, not position — a first-

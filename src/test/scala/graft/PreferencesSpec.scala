@@ -100,6 +100,37 @@ class PreferencesSpec extends SparkSpec {
       s"cyclic data must misfit every pair: ${gaps.toSeq}")
   }
 
+  test("bradleyTerryTies: ties pull strengths together; tie-free matches plain BT order") {
+    // x dominates y in decided games, but half the records are ties —
+    // strengths must still order x > y, with ties counted in the census.
+    val cmp = (
+      Seq.fill(6)(("x", "y", "a")) ++ Seq.fill(2)(("x", "y", "b")) ++
+      Seq.fill(8)(("x", "y", "tie")) ++
+      Seq.fill(5)(("y", "z", "a")) ++ Seq.fill(1)(("y", "z", "b")) ++
+      Seq.fill(2)(("y", "z", "tie")) ++
+      Seq.fill(6)(("x", "z", "a")) ++ Seq.fill(2)(("x", "z", "tie"))
+    ).toDF("item_a", "item_b", "outcome")
+    val got = graft.operators.Preferences
+      .bradleyTerryTies(cmp, "item_a", "item_b", "outcome", theta = 1.5, iters = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("x")._1 > got("y")._1 && got("y")._1 > got("z")._1,
+      s"order wrong: $got")
+    assert(got("x")._2 == 12L, "x won 6+6 decided games")
+    assert(got("x")._3 == 10L, "x tied 8+2 times")
+    // driver == distributed, bitwise
+    def pins(limit: Long) = graft.operators.Preferences
+      .bradleyTerryTies(cmp, "item_a", "item_b", "outcome",
+        theta = 1.5, iters = 10, driverPairLimit = limit)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(pins(Long.MaxValue) == pins(0L))
+    // theta = 1 rejected (ties would carry zero mass)
+    intercept[IllegalArgumentException] {
+      graft.operators.Preferences.bradleyTerryTies(
+        cmp, "item_a", "item_b", "outcome", theta = 1.0)
+    }
+  }
+
   test("positionBias: planted bias flags; balanced data does not") {
     // 40 comparisons, first wins 36 -> chi2 = (2*36-40)^2/40 = 25.6 > 3.841.
     val biased = ((1 to 36).map(_ => ("a", "a")) ++ (1 to 4).map(_ => ("b", "a")))
