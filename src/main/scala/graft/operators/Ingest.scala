@@ -201,11 +201,19 @@ object Ingest {
     val hasHistory = indexHasHistory(spark, indexPath, excludeBatch = batchId)
     val index = readIndex(spark, indexPath, excludeBatch = batchId)
 
+    // The raw batch is read three times per ingest (the sketch build,
+    // the landing anti-join's left side, and the drop census below) —
+    // persist it for the duration so the source scans once (r16
+    // verdict: the un-persisted count re-scanned the source in the #1
+    // bench entry's hot loop). Unpersisted before return; the link
+    // edges' lineage reads LANDED files, never this frame.
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // in-batch dedup first (house order: cheap hash groupBy, then the
     // sketch path only sees distinct texts), then ONE sketch of the
     // deduped batch — everything downstream reads fingerprints, never
     // re-shingles.
-    val inBatch = Dedup.dropExactDuplicates(batch, idCol, textCol)
+    val inBatch = Dedup.dropExactDuplicates(b, idCol, textCol)
     val fpBatch = Dedup.fingerprintIndex(inBatch, idCol, textCol, n, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val landing =
@@ -217,7 +225,7 @@ object Ingest {
       }
     landing.write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
     val survivors = spark.read.parquet(s"$outPath/batch=$batchId")
-    val dropped = batch.count() - survivors.count()
+    val dropped = b.count() - survivors.count()
 
     // survivor fingerprints: the batch sketch pruned to the landed ids
     // (survivors ⊂ inBatch) — the index delta, landed now so the link
@@ -225,6 +233,7 @@ object Ingest {
     fpBatch.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
     fpBatch.unpersist()
+    b.unpersist()
     val fpSurv = spark.read.parquet(s"$indexPath/delta=$batchId")
       .select("id", "content_md5", "sig")
 

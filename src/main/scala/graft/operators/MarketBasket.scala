@@ -61,8 +61,12 @@ object MarketBasket {
       if (maxBasketSize == Int.MaxValue)
         (raw, raw.select("b").distinct().count().toDouble)
       else {
+        // NOT persisted: it is read once eagerly (the census head below)
+        // and once lazily (the semi-join build when the returned frame
+        // executes) — both are one cheap groupBy over the persisted
+        // dedup table, and persisting it here accreted a cache per
+        // mining call that nothing ever released (r16 advice).
         val sizes = raw.groupBy("b").agg(count(lit(1)).as("__sz"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val st = sizes.agg(
           count(lit(1)).as("__total"),
           sum(when(col("__sz") <= maxBasketSize, 1L).otherwise(0L)).as("__kept"))

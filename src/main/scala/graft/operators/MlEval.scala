@@ -401,9 +401,13 @@ object MlEval {
       count(lit(1)).as("n_units"),
       sum(col("ss") - col("m")).as("__num"))
     val chk = totals.select(col("__nm"), col("m_raters")).head()
-    require(chk.getLong(0) == 1 && chk.getLong(1) >= 2,
+    // max(m) is null on an empty input — read it null-safely so the
+    // require below reports the intended error, not an NPE from the
+    // message interpolation.
+    val mMax = if (chk.isNullAt(1)) 0L else chk.getLong(1)
+    require(chk.getLong(0) == 1 && mMax >= 2,
       s"fleissKappa needs a constant rater count >= 2 per unit; got " +
-        s"${chk.getLong(0)} distinct count(s), max m = ${chk.getLong(1)} - " +
+        s"${chk.getLong(0)} distinct count(s), max m = $mMax - " +
         "balance the panel (or drop under-rated units) upstream")
     val sck2 = nik.groupBy("k").agg(sum(col("c")).as("__ck"))
       .agg(coalesce(sum(col("__ck") * col("__ck")), lit(0L)).as("__sck2"))

@@ -31,12 +31,36 @@ import org.apache.spark.sql.functions._
   */
 object Preferences {
 
+  /** Default caps for the driver MM fast path: pair ROWS and estimated
+    * collected BYTES (keys are strings — 4M rows of long keys plus map
+    * overhead could be hundreds of MB on a default heap, so the gate
+    * bounds both; the distributed path costs only ~2.4x the driver fold
+    * at 500k pairs, measured r16).
+    */
+  val DefaultDriverPairLimit: Long = 500000L
+  val DefaultDriverByteLimit: Long = 128L << 20
+
+  /** Estimated driver-side bytes for a collected pair table: 2 bytes
+    * per key char (String is UTF-16 on heap) plus ~120 bytes/row of
+    * object headers, tuple and map-entry overhead.
+    */
+  private def driverFits(
+      pairs: DataFrame, pairLimit: Long, byteLimit: Long): Boolean = {
+    val st = pairs.agg(
+      count(lit(1)).as("__rows"),
+      coalesce(sum(length(col("a")) + length(col("b"))), lit(0L)).as("__chars"))
+      .head()
+    val (rows, chars) = (st.getLong(0), st.getLong(1))
+    rows <= pairLimit && (2L * chars + 120L * rows) <= byteLimit
+  }
+
   def bradleyTerry(
       df: DataFrame, /* one row per comparison */
       winnerCol: String,
       loserCol: String,
       iters: Int = 10,
-      driverPairLimit: Long = 4000000L): DataFrame = {
+      driverPairLimit: Long = DefaultDriverPairLimit,
+      driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
     val cmp = df.select(
         col(winnerCol).cast("string").as("w"),
@@ -63,7 +87,7 @@ object Preferences {
     // fixture-cost-only at sf0.1). The distributed path below remains
     // for pair tables past the limit and is pinned output-identical in
     // PreferencesSpec.
-    if (pairs.count() <= driverPairLimit)
+    if (driverFits(pairs, driverPairLimit, driverByteLimit))
       bradleyTerryDriver(pairs, items, k, iters)
     else {
       val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
@@ -164,7 +188,8 @@ object Preferences {
       outcomeCol: String,
       theta: Double = 1.5,
       iters: Int = 10,
-      driverPairLimit: Long = 4000000L): DataFrame = {
+      driverPairLimit: Long = DefaultDriverPairLimit,
+      driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
     require(theta > 1.0, s"theta must be > 1 (ties have zero mass at 1), got $theta")
     val cmp = df.select(
@@ -199,7 +224,7 @@ object Preferences {
       .select(col("item"), coalesce(col("n_credit"), lit(0L)).as("n_credit"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = items.count().toDouble
-    if (pairs.count() <= driverPairLimit)
+    if (driverFits(pairs, driverPairLimit, driverByteLimit))
       bradleyTerryTiesDriver(pairs, items, k, theta, iters)
     else {
       // directed table: one row per ordered (i, j) carrying both
@@ -374,15 +399,25 @@ object Preferences {
     * coefficient is undefined on partial tournaments.
     *
     * Scale shape: comparisons fold once into pair majorities (|pair|
-    * rows); the 3-cycle count is a bounded three-way self-join of the
-    * edge table (items are the aggregation grain — sources, models,
-    * judges — never raw comparisons). Each cycle appears once per
-    * rotation, so the join count divides by 3 exactly.
+    * rows). On a COMPLETE tournament — the only case where ζ is even
+    * defined — the cyclic-triad count comes from Kendall's score-
+    * sequence identity d = C(k,3) − Σ_i C(wins_i, 2): one out-degree
+    * census, no join at all (the r16 triangle enumeration cost 22.9s
+    * on a 437k-edge tournament the identity folds in O(k)). Partial
+    * tournaments keep the three-way self-join of the edge table, where
+    * the identity does not hold; each cycle appears once per rotation,
+    * so the join count divides by 3 exactly. Items are the aggregation
+    * grain (sources, models, judges — never raw comparisons), so the
+    * single-row result assembles driver-side; d_max folds in BigInt,
+    * so k past ~2M can no longer overflow the signed-long lane into a
+    * silently wrong coefficient.
     */
   def circularTriads(
       df: DataFrame,
       winnerCol: String,
       loserCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val cmp = df.select(
         col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
@@ -400,24 +435,42 @@ object Preferences {
         when(col("__wa") > col("__wb"), col("a")).otherwise(col("b")).as("src"),
         when(col("__wa") > col("__wb"), col("b")).otherwise(col("a")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cycles = edges.as("e1")
-      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(edges.as("e3"),
-        col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
-      .agg((count(lit(1)) / 3).cast("long").as("n_cyclic_triads"))
-    val kAgg = cmp.select(col("w").as("item"))
+    val nItems = cmp.select(col("w").as("item"))
       .unionByName(cmp.select(col("l").as("item")))
       .agg(countDistinct(col("item")).as("n_items"))
-    val eAgg = edges.agg(count(lit(1)).as("n_edges"))
-    val pAgg = pairVotes.agg(count(lit(1)).as("n_pairs"))
-    val k = col("n_items")
-    val dMax = when(k % 2 === 0, k * (k * k - 4) / 24)
-      .otherwise(k * (k * k - 1) / 24)
-    kAgg.crossJoin(eAgg).crossJoin(pAgg).crossJoin(cycles)
-      .select(
-        col("n_items"), col("n_pairs"), col("n_edges"), col("n_cyclic_triads"),
-        when(col("n_edges") === k * (k - 1) / 2 && dMax > 0,
-          round(lit(1.0) - col("n_cyclic_triads").cast("double")
-            / dMax.cast("double"), 6)).as("consistency"))
+      .head().getLong(0)
+    val nPairs = pairVotes.count()
+    val nEdges = edges.count()
+    val k = BigInt(nItems)
+    val complete = BigInt(nEdges) == k * (k - 1) / 2
+    val nCyclic: Long =
+      if (complete) {
+        // Kendall's identity: d = C(k,3) − Σ_i C(wins_i, 2). Exact
+        // decimal fold (wins up to k−1, so the per-item product is
+        // widened before the sum ever grows).
+        val sumC2 = edges.groupBy("src").agg(count(lit(1)).as("__w"))
+          .agg(coalesce(
+            sum((col("__w").cast("decimal(38,0)") * (col("__w") - 1)) / 2),
+            lit(0).cast("decimal(38,6)")).as("__s"))
+          .head().getDecimal(0)
+        (k * (k - 1) * (k - 2) / 6 - BigInt(sumC2.toBigInteger)).toLong
+      } else
+        edges.as("e1")
+          .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+          .join(edges.as("e3"),
+            col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
+          .agg((count(lit(1)) / 3).cast("long").as("n_cyclic_triads"))
+          .head().getLong(0)
+    pairVotes.unpersist()
+    edges.unpersist()
+    val dMax: BigInt =
+      if (k % 2 == 0) k * (k * k - 4) / 24 else k * (k * k - 1) / 24
+    val consistency: Option[Double] =
+      if (complete && dMax > 0)
+        Some(BigDecimal(1.0 - nCyclic.toDouble / dMax.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    Seq((nItems, nPairs, nEdges, nCyclic, consistency))
+      .toDF("n_items", "n_pairs", "n_edges", "n_cyclic_triads", "consistency")
   }
 }

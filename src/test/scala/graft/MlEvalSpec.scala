@@ -239,6 +239,12 @@ class MlEvalSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       MlEval.fleissKappa(bad, "u", "k").collect())
     assert(e.getMessage.contains("constant rater count"))
+    // Empty input: the intended loud error, not an NPE from reading the
+    // null max(m) while building the message (r16 advice).
+    val empty = Seq.empty[(Long, String)].toDF("u", "k")
+    val e2 = intercept[IllegalArgumentException](
+      MlEval.fleissKappa(empty, "u", "k").collect())
+    assert(e2.getMessage.contains("constant rater count"))
   }
 
   test("cohenKappaWeighted: quadratic near-miss credit; hand value; degenerate null") {

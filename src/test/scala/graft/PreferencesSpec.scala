@@ -148,6 +148,63 @@ class PreferencesSpec extends SparkSpec {
     assert(f.getDouble(3) == 0.0 && !f.getBoolean(4))
   }
 
+  test("circularTriads: complete-tournament degree identity matches brute enumeration") {
+    // Seeded complete tournament on 9 items: every pair decided once,
+    // direction from a fixed hash — the fast path (Kendall's
+    // d = C(k,3) − Σ C(wins_i, 2)) must agree with independent
+    // brute-force triangle counting.
+    val items = (0 until 9).map(i => s"it$i")
+    val dirs = for {
+      i <- items.indices; j <- items.indices if i < j
+    } yield {
+      val h = (i * 31 + j * 17) % 5
+      if (h < 3) (items(i), items(j)) else (items(j), items(i))
+    }
+    val winsOf = dirs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val beats = dirs.toSet
+    val brute = (for {
+      a <- items; b <- items; c <- items
+      if a < b && b < c
+    } yield {
+      val tri = Seq((a, b), (b, c), (a, c)).map(p => beats.contains(p))
+      // cyclic iff no item beats both others in the triad
+      val w = Seq(a, b, c).map(x =>
+        Seq((x, a), (x, b), (x, c)).count(beats.contains))
+      if (w.max < 2) 1 else 0
+    }).sum.toLong
+    val identity = {
+      val k = 9L
+      k * (k - 1) * (k - 2) / 6 -
+        winsOf.values.map(w => w * (w - 1) / 2).sum
+    }
+    assert(identity == brute, s"identity $identity != brute $brute")
+    val r = graft.operators.Preferences.circularTriads(
+      dirs.toDF("winner", "loser"), "winner", "loser").collect().head
+    assert(r.getLong(0) == 9L && r.getLong(2) == 36L, "complete tournament")
+    assert(r.getLong(3) == brute, s"engine ${r.getLong(3)} != brute $brute")
+    // ζ = 1 − d/d_max, d_max = 9·80/24 = 30 for odd k
+    assert(r.getDouble(4) ==
+      BigDecimal(1.0 - brute.toDouble / 30.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("bradleyTerry: byte-bounded driver gate falls back to the distributed path") {
+    // Long string keys: 4 rows but ~enough bytes that a tiny byte
+    // limit rejects the driver collect; results must stay bitwise
+    // identical to the driver fold.
+    val big = "k" * 200
+    val cmp = (
+      Seq.fill(6)((s"${big}x", s"${big}y")) ++ Seq.fill(2)((s"${big}y", s"${big}x")) ++
+      Seq.fill(5)((s"${big}x", s"${big}z")) ++ Seq.fill(4)((s"${big}z", s"${big}y"))
+    ).toDF("winner", "loser")
+    def fit(byteLimit: Long) = Preferences
+      .bradleyTerry(cmp, "winner", "loser", iters = 10,
+        driverPairLimit = Long.MaxValue, driverByteLimit = byteLimit)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(fit(Long.MaxValue) == fit(0L),
+      "byte-gated distributed fallback must agree bitwise with the driver fold")
+  }
+
   test("bradleyTerry: self-comparisons and null sides are dropped") {
     val cmp = Seq(
       (Some("a"), Some("b")), (Some("a"), Some("a")), (None, Some("b")),
