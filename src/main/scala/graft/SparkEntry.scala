@@ -28,6 +28,23 @@ object SparkEntry {
     * (higher 4-gate score wins, ties to the lexicographically smaller
     * source; same-source pairs skipped).
     */
+  /** The 3-filter labeling panel melted to long-form votes (one row
+    * per (doc, rater, boolean-label)) — the fleiss/alpha panel reused
+    * as Dawid-Skene input. Rater ids r1/r2/r3 sort in panel order, so
+    * the E-step's sorted-rater product replays as a written chain.
+    */
+  private def dsPanelVotes(s: SparkSession, d: String): DataFrame = {
+    val rated = t(s, d, "documents").select(col("doc_id"),
+      (TextFunctions.qualityScore(col("text")) >= 0.5).as("r1"),
+      graft.quality.GopherRules.passes(col("text")).as("r2"),
+      (TextFunctions.languageId(col("text")) === "en").as("r3"))
+    rated.select(col("doc_id").as("u"),
+        posexplode(array(col("r1").cast("string"), col("r2").cast("string"),
+          col("r3").cast("string"))).as(Seq("pos", "l")))
+      .select(col("u"),
+        concat(lit("r"), (col("pos") + 1).cast("string")).as("r"), col("l"))
+  }
+
   private def prefComparisons(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
@@ -3260,6 +3277,35 @@ object SparkEntry {
         "u", "k")
     }),
 
+    // Dawid-Skene consensus labels (r17, Dawid & Skene 1979 EM): the
+    // truth-inference step after the agreement readouts — the same
+    // 3-filter panel the fleiss query melts votes per document, and 5
+    // EM sweeps weight each rater by its own estimated confusion matrix
+    // instead of counting votes equally. Every iterate lands on the 6dp
+    // grid with exact-decimal M-step folds and pinned-order E-step
+    // products, so the FIXED-sweep fit replays bitwise — an
+    // oracle-checkable EM fit (the bradleyTerry posture). 5 sweeps:
+    // EM on a 3-rater binary panel converges in 2-3.
+    "q_label_dawid_skene" -> ((s, d) =>
+      graft.operators.DawidSkene.label(
+          dsPanelVotes(s, d), "u", "r", "l", iters = 5)
+        .select(col("u").cast("long").as("doc_id"), col("label"),
+          col("p_posterior"))
+        .orderBy("doc_id")),
+
+    // The fitted per-rater confusion matrices from the same 5-sweep
+    // Dawid-Skene fit: WHICH filter flips WHICH class — the itemized
+    // readout behind the consensus labels (a rater with an off-diagonal
+    // row is corrected, not just discounted). Complete raters × classes²
+    // grid, Laplace-smoothed; FULL oracle (one extra unrolled M-step).
+    "q_label_ds_confusion" -> ((s, d) =>
+      graft.operators.DawidSkene.fit(
+          dsPanelVotes(s, d), "u", "r", "l", iters = 5)
+        .confusion
+        .select(col("r").as("rater"), col("j").as("true_label"),
+          col("l").as("observed_label"), col("pi"))
+        .orderBy("rater", "true_label", "observed_label")),
+
     // PR operating points (r14): the imbalanced-regime twin of
     // q_roc_curve — precision/recall as single integer-ratio divisions
     // per distinct threshold.
@@ -4562,6 +4608,188 @@ object SparkEntry {
         |                   AS DOUBLE), 6)
         |  END AS consistency
         |FROM ka, ea, pa, cyc""".stripMargin
+
+  // Dawid-Skene replay (r17, Dawid & Skene 1979): the same 3-rater
+  // boolean panel the fleiss oracle replays (quality >= 0.5, Gopher
+  // conjunction, langid == 'en'), vote-share init on the 6dp grid,
+  // then `iters` unrolled EM sweeps. M-step confusion cells and class
+  // priors fold the grid posteriors as EXACT decimals with one rounded
+  // IEEE division per cell (Laplace 0.01); the E-step product runs in
+  // sorted-rater order and the class total in sorted-class order —
+  // both written as the same left-associated chains the engine's
+  // pinned array folds produce, so the whole fit replays bitwise.
+  private def dawidSkenePanelSql: String =
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '\S+') AS t,
+        |         string_split(text, chr(10)) AS ln,
+        |         regexp_extract_all(lower(text), '\S+') AS lt
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         length(text) AS n_chars,
+        |         len(list_filter(t, x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS mean_word_len,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST((length(text) - length(replace(text, '#', '')))
+        |                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS symbol_ratio,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ln), 6) AS bullet_frac,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln), 6) AS ellipsis_line_frac,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS alpha_frac,
+        |         CAST(list_contains(list_transform(t, x -> lower(x)), 'the') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'be') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'to') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'of') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'and') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'that') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'have') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'with') AS BIGINT)
+        |           AS stopword_hits,
+        |         len(list_filter(lt, x -> x IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+        |         len(list_filter(lt, x -> x IN
+        |           ('el','la','de','que','y','en','un','una','los','es'))) AS es,
+        |         len(list_filter(lt, x -> x IN
+        |           ('der','die','das','und','ist','ein','eine','zu','den','nicht'))) AS de,
+        |         len(list_filter(lt, x -> x IN
+        |           ('le','la','les','de','et','un','une','est','que','pour'))) AS fr
+        |  FROM s
+        |), r AS (
+        |  SELECT doc_id,
+        |    (round((
+        |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) >= 0.5) AS r1,
+        |    (n_words BETWEEN 50 AND 100000
+        |     AND mean_word_len BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio <= 0.1
+        |     AND bullet_frac <= 0.9
+        |     AND ellipsis_line_frac <= 0.3
+        |     AND alpha_frac >= 0.8
+        |     AND stopword_hits >= 2) AS r2,
+        |    (CASE
+        |       WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'
+        |       WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+        |       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       WHEN regexp_matches(text, '[А-яЁё]') THEN 'ru'
+        |       WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        |       WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+        |       WHEN greatest(en, es, de, fr) > 0 THEN
+        |         CASE WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |              WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |              WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |              ELSE 'fr' END
+        |       ELSE 'und'
+        |     END = 'en') AS r3
+        |  FROM m
+        |)""".stripMargin +
+      """, nunits AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nn FROM r
+        |), p0 AS MATERIALIZED (
+        |  SELECT doc_id AS u,
+        |    round(CAST(3 - nt AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS pf,
+        |    round(CAST(nt AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS pt
+        |  FROM (SELECT doc_id,
+        |          CAST(r1 AS INT) + CAST(r2 AS INT) + CAST(r3 AS INT) AS nt
+        |        FROM r)
+        |)""".stripMargin
+
+  private def dawidSkeneSweepSql(i: Int): String = {
+    val prev = s"p${i - 1}"
+    s""", c${i}r AS MATERIALIZED (
+       |  SELECT
+       |    CAST(sum(CAST(p.pf AS DECIMAL(28,6))) AS DOUBLE) AS den_f,
+       |    CAST(sum(CAST(p.pt AS DECIMAL(28,6))) AS DOUBLE) AS den_t,
+       |    CAST(coalesce(sum(CASE WHEN NOT r.r1 THEN CAST(p.pf AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n1ff,
+       |    CAST(coalesce(sum(CASE WHEN r.r1 THEN CAST(p.pf AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n1ft,
+       |    CAST(coalesce(sum(CASE WHEN NOT r.r1 THEN CAST(p.pt AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n1tf,
+       |    CAST(coalesce(sum(CASE WHEN r.r1 THEN CAST(p.pt AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n1tt,
+       |    CAST(coalesce(sum(CASE WHEN NOT r.r2 THEN CAST(p.pf AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n2ff,
+       |    CAST(coalesce(sum(CASE WHEN r.r2 THEN CAST(p.pf AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n2ft,
+       |    CAST(coalesce(sum(CASE WHEN NOT r.r2 THEN CAST(p.pt AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n2tf,
+       |    CAST(coalesce(sum(CASE WHEN r.r2 THEN CAST(p.pt AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n2tt,
+       |    CAST(coalesce(sum(CASE WHEN NOT r.r3 THEN CAST(p.pf AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n3ff,
+       |    CAST(coalesce(sum(CASE WHEN r.r3 THEN CAST(p.pf AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n3ft,
+       |    CAST(coalesce(sum(CASE WHEN NOT r.r3 THEN CAST(p.pt AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n3tf,
+       |    CAST(coalesce(sum(CASE WHEN r.r3 THEN CAST(p.pt AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS n3tt,
+       |  FROM r JOIN $prev p ON p.u = r.doc_id
+       |), c$i AS MATERIALIZED (
+       |  SELECT
+       |    round((n1ff + 0.01) / (den_f + 0.01 * 2), 6) AS pi1ff,
+       |    round((n1ft + 0.01) / (den_f + 0.01 * 2), 6) AS pi1ft,
+       |    round((n1tf + 0.01) / (den_t + 0.01 * 2), 6) AS pi1tf,
+       |    round((n1tt + 0.01) / (den_t + 0.01 * 2), 6) AS pi1tt,
+       |    round((n2ff + 0.01) / (den_f + 0.01 * 2), 6) AS pi2ff,
+       |    round((n2ft + 0.01) / (den_f + 0.01 * 2), 6) AS pi2ft,
+       |    round((n2tf + 0.01) / (den_t + 0.01 * 2), 6) AS pi2tf,
+       |    round((n2tt + 0.01) / (den_t + 0.01 * 2), 6) AS pi2tt,
+       |    round((n3ff + 0.01) / (den_f + 0.01 * 2), 6) AS pi3ff,
+       |    round((n3ft + 0.01) / (den_f + 0.01 * 2), 6) AS pi3ft,
+       |    round((n3tf + 0.01) / (den_t + 0.01 * 2), 6) AS pi3tf,
+       |    round((n3tt + 0.01) / (den_t + 0.01 * 2), 6) AS pi3tt,
+       |    round((den_f + 0.01) / ((SELECT nn FROM nunits) + 0.01 * 2), 6) AS prf,
+       |    round((den_t + 0.01) / ((SELECT nn FROM nunits) + 0.01 * 2), 6) AS prt
+       |  FROM c${i}r
+       |), e$i AS MATERIALIZED (
+       |  SELECT r.doc_id AS u,
+       |    c.prf * (1.0
+       |      * (CASE WHEN r.r1 THEN c.pi1ft ELSE c.pi1ff END)
+       |      * (CASE WHEN r.r2 THEN c.pi2ft ELSE c.pi2ff END)
+       |      * (CASE WHEN r.r3 THEN c.pi3ft ELSE c.pi3ff END)) AS nf,
+       |    c.prt * (1.0
+       |      * (CASE WHEN r.r1 THEN c.pi1tt ELSE c.pi1tf END)
+       |      * (CASE WHEN r.r2 THEN c.pi2tt ELSE c.pi2tf END)
+       |      * (CASE WHEN r.r3 THEN c.pi3tt ELSE c.pi3tf END)) AS nt
+       |  FROM r, c$i c
+       |), p$i AS MATERIALIZED (
+       |  SELECT u, round(nf / (0.0 + nf + nt), 6) AS pf,
+       |         round(nt / (0.0 + nf + nt), 6) AS pt
+       |  FROM e$i
+       |)""".stripMargin
+  }
+
+  private def dawidSkeneOracleSql(iters: Int): String =
+    dawidSkenePanelSql +
+      (1 to iters).map(dawidSkeneSweepSql).mkString +
+      s"""
+         |SELECT u AS doc_id,
+         |  CASE WHEN pt > pf THEN 'true' ELSE 'false' END AS label,
+         |  CASE WHEN pt > pf THEN pt ELSE pf END AS p_posterior
+         |FROM p$iters ORDER BY doc_id""".stripMargin
+
+  // Confusion readout: one more M-step past the final posterior (the
+  // engine emits the fit's confusion the same way), unpivoted to the
+  // complete (rater, true_label, observed_label) grid.
+  private def dawidSkeneConfusionOracleSql(iters: Int): String = {
+    val f = iters + 1
+    val rows = (for {
+      r <- 1 to 3; j <- Seq("f", "t"); l <- Seq("f", "t")
+    } yield {
+      val (jn, ln) = (if (j == "f") "false" else "true",
+        if (l == "f") "false" else "true")
+      s"SELECT 'r$r' AS rater, '$jn' AS true_label, '$ln' AS observed_label, pi$r$j$l AS pi FROM c$f"
+    }).mkString("\n|  UNION ALL ")
+    dawidSkenePanelSql +
+      (1 to iters).map(dawidSkeneSweepSql).mkString +
+      dawidSkeneSweepSql(f) +
+      s"""
+         |SELECT rater, true_label, observed_label, pi FROM (
+         |  $rows
+         |)
+         |ORDER BY rater, true_label, observed_label""".stripMargin
+  }
 
   private def bradleyTerryOracleSql(iters: Int): String = {
     def iterCte(prev: String, cur: String): String =
@@ -12515,6 +12743,8 @@ object SparkEntry {
     "q_hll_merge" -> portableHllOracleSql,
 
     "q_hll_overlap" -> portableHllOverlapOracleSql,
+    "q_label_dawid_skene" -> dawidSkeneOracleSql(5),
+    "q_label_ds_confusion" -> dawidSkeneConfusionOracleSql(5),
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
     "q_pref_consistency" -> prefConsistencyOracleSql,
     "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DAWID-SKENE LABEL AGGREGATION (Dawid & Skene 1979, "Maximum
+  * likelihood estimation of observer error-rates using the EM
+  * algorithm"): the truth-inference step every annotation / judge-model
+  * pipeline runs AFTER measuring agreement — the kappa/alpha family
+  * (see [[MlEval.cohenKappa]] etc.) says whether raters agree; this
+  * produces the CONSENSUS LABELS, weighting each rater by its own
+  * estimated confusion matrix instead of counting votes equally (a
+  * reliable annotator outvotes two noisy ones, and a systematically
+  * confused one gets its flips corrected, not just discounted).
+  *
+  * EM over soft labels:
+  *   - E: P(unit u is class j) ∝ prior_j · Π_{(r,l) votes on u} π_r(j,l)
+  *   - M: π_r(j,l) = Σ_u p(u,j)·[r voted l on u] / Σ_u p(u,j)·[r voted on u]
+  *        prior_j  = Σ_u p(u,j) / N
+  * initialized from vote shares (majority voting), Laplace-smoothed by
+  * `smoothing` so no class or confusion cell ever hard-zeroes.
+  *
+  * BITWISE-REPLAYABLE FIT (the [[Preferences.bradleyTerry]] posture —
+  * almost no engine makes an EM fit oracle-checkable): every posterior
+  * iterate lands on the 6dp grid; the M-step numerators/denominators
+  * fold those grid values as EXACT decimals (order-free sums); each π
+  * and prior is ONE fixed-order IEEE division rounded back to the
+  * grid; and the E-step's product over a unit's votes folds in SORTED
+  * (rater, label) order from an explicit array fold, with the class
+  * total folded in sorted-class order — so a FIXED sweep count replays
+  * exactly in SQL with the sweeps unrolled as CTEs.
+  *
+  * Scale shape: votes fold once per sweep into the bounded confusion
+  * grid (raters × classes²) and class priors; the per-unit E-step is
+  * one |votes|×L join + a unit-keyed aggregation — work proportional
+  * to votes × classes, never units², with the posterior state
+  * localCheckpoint'd so plan depth stays constant across sweeps.
+  * Caveat: the per-unit product underflows double for panels of many
+  * hundreds of raters (items × judges is the normal grain — panels are
+  * small); the class count L is assumed bounded (it is the label
+  * vocabulary, not data-scale).
+  */
+object DawidSkene {
+
+  /** The fitted model: `posterior` (u, j, p) — P(unit u is class j),
+    * 6dp; `confusion` (r, j, l, pi) — the COMPLETE raters × classes²
+    * grid, smoothed; `priors` (j, prior).
+    */
+  final case class DawidSkeneFit(
+      posterior: DataFrame, confusion: DataFrame, priors: DataFrame)
+
+  /** Fit by `iters` EM sweeps over long-form votes (one row per
+    * (unit, rater, label) observation; raters may abstain on any unit
+    * — unlike [[MlEval.fleissKappa]] the panel need not be balanced).
+    * `iters = 0` returns the vote-share initialization unchanged — the
+    * majority-vote identity pin (uniform raters = plain voting).
+    */
+  def fit(
+      df: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String,
+      iters: Int = 10,
+      smoothing: Double = 0.01): DawidSkeneFit = {
+    require(iters >= 0 && iters <= 50, s"iters in [0,50], got $iters")
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    val votes = df.select(
+        col(unitCol).cast("string").as("u"),
+        col(raterCol).cast("string").as("r"),
+        col(labelCol).cast("string").as("l"))
+      .filter(col("u").isNotNull && col("r").isNotNull && col("l").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classes = votes.select(col("l").as("j")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClasses = classes.count()
+    val nUnits = votes.select("u").distinct().count()
+    // driver-side smoothing aggregate: α·L (the denominator add-on);
+    // replays as the literal product in SQL (power-of-two-free double
+    // products are written identically on both engines)
+    val aL = smoothing * nClasses.toDouble
+
+    // init: vote shares over the full unit × class grid (zero-vote
+    // classes participate from sweep 1 via the smoothed priors/π)
+    val m = votes.groupBy("u").agg(count(lit(1)).as("__m"))
+    val cnt = votes.groupBy("u", "l").agg(count(lit(1)).as("__c"))
+    var post = m.crossJoin(broadcast(classes))
+      .join(cnt.withColumnRenamed("l", "j"), Seq("u", "j"), "left")
+      .select(col("u"), col("j"),
+        round(coalesce(col("__c"), lit(0L)).cast("double")
+          / col("__m").cast("double"), 6).as("p"))
+      .localCheckpoint(true)
+
+    def mStep(p: DataFrame): (DataFrame, DataFrame) = {
+      // confusion numerators: exact decimal folds of grid posteriors
+      val num = votes.join(p, Seq("u"))
+        .groupBy("r", "j", "l")
+        .agg(sum(col("p").cast("decimal(28,6)")).as("__num"))
+      val den = num.groupBy("r", "j")
+        .agg(sum(col("__num")).as("__den"))
+      // complete grid: raters × classes² with unobserved cells at the
+      // smoothing floor (they never join a vote, but the CONFUSION
+      // READOUT must show the full matrix)
+      val grid = votes.select(col("r")).distinct()
+        .crossJoin(broadcast(classes))
+        .crossJoin(broadcast(classes.select(col("j").as("l"))))
+      val conf = grid
+        .join(num, Seq("r", "j", "l"), "left")
+        .join(den, Seq("r", "j"), "left")
+        .select(col("r"), col("j"), col("l"),
+          round((coalesce(col("__num"), lit(0).cast("decimal(28,6)"))
+              .cast("double") + lit(smoothing))
+            / (coalesce(col("__den"), lit(0).cast("decimal(28,6)"))
+              .cast("double") + lit(aL)), 6).as("pi"))
+      val priors = p.groupBy("j")
+        .agg(sum(col("p").cast("decimal(28,6)")).as("__mass"))
+        .select(col("j"),
+          round((col("__mass").cast("double") + lit(smoothing))
+            / (lit(nUnits.toDouble) + lit(aL)), 6).as("prior"))
+      (conf, priors)
+    }
+
+    for (_ <- 1 to iters) {
+      val (conf, priors) = mStep(post)
+      // E: per (u, j) the product over the unit's votes in SORTED
+      // (rater, label) order — an explicit array fold, so the IEEE
+      // multiply order is pinned and the SQL replay writes the same
+      // left-associated chain
+      val prod = votes.join(conf, Seq("r", "l"))
+        .groupBy("u", "j")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("r"), col("l"), col("pi")))),
+          lit(1.0),
+          (acc, x) => acc * x.getField("pi")).as("__prod"))
+        .join(broadcast(priors), Seq("j"))
+        .select(col("u"), col("j"), (col("prior") * col("__prod")).as("__num"))
+      // class total per unit in sorted-class order (same pinned-fold
+      // discipline), then normalize back onto the grid
+      val tot = prod.groupBy("u")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("j"), col("__num")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__num")).as("__tot"))
+      post = prod.join(tot, Seq("u"))
+        .select(col("u"), col("j"),
+          round(col("__num") / col("__tot"), 6).as("p"))
+        .localCheckpoint(true)
+    }
+
+    val (conf, priors) = mStep(post)
+    DawidSkeneFit(post, conf, priors)
+  }
+
+  /** Consensus labels from a fitted posterior: per unit the maximum-
+    * posterior class, ties to the lexicographically smaller label (the
+    * deterministic tie-break), with the winning posterior attached.
+    */
+  def consensus(posterior: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("p").desc, col("j").asc)
+    posterior
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("u"), col("j").as("label"), col("p").as("p_posterior"))
+  }
+
+  /** One-call form: fit + consensus. */
+  def label(
+      df: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String,
+      iters: Int = 10,
+      smoothing: Double = 0.01): DataFrame =
+    consensus(fit(df, unitCol, raterCol, labelCol, iters, smoothing).posterior)
+}
