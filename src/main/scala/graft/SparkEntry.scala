@@ -63,7 +63,10 @@ object SparkEntry {
           .when(col("qa") < col("qb"), col("sa"))
           .otherwise(greatest(col("sa"), col("sb"))).as("loser"),
         // presentation position: the lower-doc_id side is "shown first"
-        col("sa").as("first"))
+        col("sa").as("first"),
+        // judge identity for the per-judge QC readout (r17): three
+        // deterministic judges striped over the anchor doc
+        concat(lit("j"), (col("ida") % 3).cast("string")).as("judge"))
   }
 
   /** Exact decimal-backed sum of a 2dp money column, returned as double. */
@@ -3203,6 +3206,27 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // Bradley-Terry standard errors (r17): strengths with UNCERTAINTY
+    // — the Fisher-information diagonal at the fitted γ, se(ln γ) =
+    // 1/√I. Per-pair information terms land on the 6dp grid and fold
+    // as exact decimals; sqrt and the division are IEEE-correctly-
+    // rounded, so the readout extends the fit's FULL oracle one stage.
+    "q_pref_bt_se" -> ((s, d) =>
+      graft.operators.Preferences.bradleyTerryStdErr(
+          prefComparisons(s, d), "winner", "loser", iters = 10)
+        .orderBy("item")),
+
+    // Per-judge QC readout (r17): the pooled gates say the COLLECTION
+    // has a problem; this says WHICH judge — per-judge position bias,
+    // record-weighted calibration gap vs the pooled fit, and Cohen's
+    // kappa vs the pooled pair majority. All compositions of oracled
+    // pieces; FULL oracle on the fit chain.
+    "q_pref_judge_bias" -> ((s, d) =>
+      graft.operators.Preferences.judgeQc(
+          prefComparisons(s, d), "winner", "loser", "first", "judge",
+          iters = 10)
+        .orderBy("judge")),
+
     // Position-bias gate (r16): first-position win census and the
     // chi-square against the 50% null — the LLM-judge QC for pairwise
     // labels (the lower-doc_id side plays "shown first" here). FULL
@@ -3238,6 +3262,34 @@ object SparkEntry {
           .otherwise(0L).as("grade_flesch"))
       graft.operators.MlEval.cohenKappaWeighted(
         graded, "grade_quality", "grade_flesch")
+    }),
+
+    // Weighted-kappa surprisal twin (r17): a second ORDINAL rater pair
+    // exercising cohenKappaWeighted on the perplexity pipeline — the
+    // unigram-surprisal QUARTILE grade (cutpoints as exact order
+    // statistics via Selection.quantilesDisc, the 100 TB-safe descent,
+    // never a global sort) against the 4-gate quality quartile. FULL
+    // oracle: the surprisal chain, rank-derived cutpoints, and the
+    // quadratic-disagreement assembly all replay.
+    "q_label_kappa_surprisal" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sur = graft.operators.CorpusStats.unigramSurprisal(
+          docs, "doc_id", "text")
+        .filter(col("n_tokens") > 0)
+      val cuts = graft.operators.Selection.quantilesDisc(
+        sur, "avg_surprisal", Seq(0.25, 0.5, 0.75))
+      val gradedS = sur.select(col("doc_id"),
+        ((col("avg_surprisal") > cuts(0.25)).cast("long")
+          + (col("avg_surprisal") > cuts(0.5)).cast("long")
+          + (col("avg_surprisal") > cuts(0.75)).cast("long"))
+          .as("grade_surprisal"))
+      val gradedQ = docs.filter(TextFunctions.tokenCount(col("text")) > 0)
+        .select(col("doc_id"),
+          least(floor(TextFunctions.qualityScore(col("text")) * 4), lit(3L))
+            .cast("long").as("grade_quality"))
+      graft.operators.MlEval.cohenKappaWeighted(
+        gradedS.join(gradedQ, Seq("doc_id")),
+        "grade_surprisal", "grade_quality")
     }),
 
     // Krippendorff's alpha (r16): the UNBALANCED-panel agreement
@@ -4564,7 +4616,8 @@ object SparkEntry {
         |         CASE WHEN a.q > b.q THEN b.source
         |              WHEN a.q < b.q THEN a.source
         |              ELSE greatest(a.source, b.source) END AS l,
-        |         a.source AS f
+        |         a.source AS f,
+        |         'j' || CAST(a.doc_id % 3 AS VARCHAR) AS g
         |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
         |  WHERE a.source <> b.source
         |)""".stripMargin
@@ -4961,6 +5014,102 @@ object SparkEntry {
          |JOIN g$iters ga ON ga.item = pv.item_a
          |JOIN g$iters gb ON gb.item = pv.item_b
          |ORDER BY pv.item_a, pv.item_b""".stripMargin
+  }
+
+  // Fisher-information SE replay (r17): the same fit chain, then the
+  // per-item information fold (6dp terms, exact decimal sum) and the
+  // IEEE 1/sqrt assembly.
+  private def bradleyTerrySeOracleSql(iters: Int): String = {
+    val fit = bradleyTerryOracleSql(iters)
+    val fitCtes = fit.substring(0, fit.indexOf("\nSELECT it.item"))
+    fitCtes +
+      s""", info AS (
+         |  SELECT a.i AS item,
+         |    CAST(coalesce(sum(CAST(round(CAST(a.n AS DOUBLE)
+         |      * (gi.gamma / (gi.gamma + gj.gamma))
+         |      * (gj.gamma / (gi.gamma + gj.gamma)), 6) AS DECIMAL(28,6))), 0)
+         |      AS DOUBLE) AS fisher_info
+         |  FROM adj a
+         |  JOIN g$iters gi ON gi.item = a.i
+         |  JOIN g$iters gj ON gj.item = a.j
+         |  GROUP BY 1
+         |)
+         |SELECT it.item, g$iters.gamma AS strength, it.n_wins,
+         |       nc.n_comparisons, info.fisher_info,
+         |       CASE WHEN info.fisher_info > 0
+         |            THEN round(1.0 / sqrt(info.fisher_info), 6)
+         |       END AS se_log_strength
+         |FROM items it
+         |JOIN g$iters ON g$iters.item = it.item
+         |JOIN ncmp nc ON nc.item = it.item
+         |JOIN info ON info.item = it.item
+         |ORDER BY it.item""".stripMargin
+  }
+
+  // Per-judge QC replay (r17): the fit chain, then the three per-judge
+  // blocks — position census + chi-square, record-weighted calibration
+  // gap vs the pooled fit, Cohen's kappa vs the pooled pair majority.
+  private def judgeQcOracleSql(iters: Int): String = {
+    val fit = bradleyTerryOracleSql(iters)
+    val fitCtes = fit.substring(0, fit.indexOf("\nSELECT it.item"))
+    fitCtes +
+      s""", pos AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN w = f THEN 1 ELSE 0 END) AS BIGINT) AS fw
+         |  FROM cmpx GROUP BY 1
+         |), jp AS (
+         |  SELECT g, least(w, l) AS a, greatest(w, l) AS b,
+         |         CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+         |         CAST(count(*) AS BIGINT) AS jn
+         |  FROM cmpx GROUP BY 1, 2, 3
+         |), calib AS (
+         |  SELECT g,
+         |    round(CAST(sum(CAST(round(abs(ga.gamma / (ga.gamma + gb.gamma)
+         |        - CAST(wa AS DOUBLE) / CAST(jn AS DOUBLE)), 6)
+         |        AS DECIMAL(28,6)) * jn) AS DOUBLE)
+         |      / CAST(sum(jn) AS DOUBLE), 6) AS calib_gap
+         |  FROM jp
+         |  JOIN g$iters ga ON ga.item = jp.a
+         |  JOIN g$iters gb ON gb.item = jp.b
+         |  GROUP BY 1
+         |), maj AS (
+         |  SELECT a, b, (2 * pwa > pn) AS maj_a FROM (
+         |    SELECT least(w, l) AS a, greatest(w, l) AS b,
+         |           CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS pwa,
+         |           CAST(count(*) AS BIGINT) AS pn
+         |    FROM cmpx GROUP BY 1, 2)
+         |  WHERE 2 * pwa <> pn
+         |), rec AS (
+         |  SELECT cmpx.g, (w < l) AS x, maj.maj_a
+         |  FROM cmpx
+         |  JOIN maj ON maj.a = least(w, l) AND maj.b = greatest(w, l)
+         |), kap AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN x = maj_a THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         |         CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+         |         CAST(sum(CASE WHEN maj_a THEN 1 ELSE 0 END) AS BIGINT) AS ya
+         |  FROM rec GROUP BY 1
+         |)
+         |SELECT pos.g AS judge, pos.n,
+         |  round(CAST(fw AS DOUBLE) / CAST(n AS DOUBLE), 6) AS first_win_rate,
+         |  round(CAST((2 * fw - n) * (2 * fw - n) AS DOUBLE)
+         |        / CAST(n AS DOUBLE), 6) AS chi2,
+         |  (round(CAST((2 * fw - n) * (2 * fw - n) AS DOUBLE)
+         |         / CAST(n AS DOUBLE), 6) > 3.841) AS position_biased,
+         |  calib.calib_gap,
+         |  CASE WHEN CAST(xa * ya + (n2 - xa) * (n2 - ya) AS DOUBLE)
+         |            / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) < 1.0
+         |       THEN round((CAST(agree AS DOUBLE) / CAST(n2 AS DOUBLE)
+         |                   - CAST(xa * ya + (n2 - xa) * (n2 - ya) AS DOUBLE)
+         |                     / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+         |                  / (1.0 - CAST(xa * ya + (n2 - xa) * (n2 - ya) AS DOUBLE)
+         |                           / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6)
+         |            + 0.0e0
+         |  END AS kappa_vs_pool
+         |FROM pos
+         |LEFT JOIN calib ON calib.g = pos.g
+         |LEFT JOIN kap ON kap.g = pos.g
+         |ORDER BY judge""".stripMargin
   }
 
   private def portableHllOverlapOracleSql: String = {
@@ -12078,6 +12227,88 @@ object SparkEntry {
     // grid, Gopher chain, langid decision = 'en'), melted long, then
     // the exact-integer P̄ / P̄e numerators and the fixed-order kappa
     // assembly.
+    // Surprisal-quartile vs quality-quartile weighted kappa (r17): the
+    // unigram-surprisal chain, order-statistic cutpoints at the
+    // quantilesDisc ranks floor(q(n-1))+1, boolean-sum grading, and
+    // the Cohen-1968 quadratic assembly.
+    "q_label_kappa_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents
+        |), census AS (
+        |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) AS total FROM census
+        |), sur AS (
+        |  SELECT t.doc_id, round(avg(-log2(CAST(c.tf AS DOUBLE)
+        |           / (SELECT total FROM tot))), 6) AS s
+        |  FROM toks t JOIN census c USING (tok) GROUP BY t.doc_id
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM sur
+        |), rk AS (
+        |  SELECT s, row_number() OVER (ORDER BY s) AS rn FROM sur
+        |), cuts AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(floor(0.25 * CAST((SELECT n FROM nn) - 1
+        |          AS DOUBLE)) AS BIGINT) + 1 THEN s END) AS c1,
+        |    max(CASE WHEN rn = CAST(floor(0.5 * CAST((SELECT n FROM nn) - 1
+        |          AS DOUBLE)) AS BIGINT) + 1 THEN s END) AS c2,
+        |    max(CASE WHEN rn = CAST(floor(0.75 * CAST((SELECT n FROM nn) - 1
+        |          AS DOUBLE)) AS BIGINT) + 1 THEN s END) AS c3
+        |  FROM rk
+        |), qd AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '\S+')) AS w,
+        |         len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         length(text) AS n_chars
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), qg AS (
+        |  SELECT doc_id,
+        |    least(CAST(floor(round((
+        |      (CASE WHEN w BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN w > 0 AND CAST(n_chars AS DOUBLE)/w BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN w > 0 THEN CAST(n_stop AS DOUBLE)/w ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) * 4) AS BIGINT), 3) AS j
+        |  FROM qd
+        |), g AS (
+        |  SELECT CAST(sur.s > cuts.c1 AS BIGINT)
+        |         + CAST(sur.s > cuts.c2 AS BIGINT)
+        |         + CAST(sur.s > cuts.c3 AS BIGINT) AS i,
+        |         qg.j
+        |  FROM sur JOIN qg USING (doc_id), cuts
+        |), cells AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+        |), obs AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(c * (i - j) * (i - j)), 0) AS BIGINT) AS od
+        |  FROM cells
+        |), ra AS (
+        |  SELECT i, CAST(sum(c) AS BIGINT) AS ri FROM cells GROUP BY 1
+        |), cb AS (
+        |  SELECT j, CAST(sum(c) AS BIGINT) AS cj FROM cells GROUP BY 1
+        |), ex AS (
+        |  SELECT CAST(coalesce(sum(ra.ri * cb.cj * (ra.i - cb.j) * (ra.i - cb.j)), 0)
+        |         AS BIGINT) AS ed
+        |  FROM ra, cb
+        |)
+        |SELECT n,
+        |  round(CAST(od AS DOUBLE) / CAST(n AS DOUBLE), 6) AS d_o,
+        |  round(CAST(ed AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS d_e,
+        |  CASE WHEN ed > 0
+        |       THEN round(1.0 - (CAST(od AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / (CAST(ed AS DOUBLE)
+        |                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |            + 0.0e0
+        |  END AS kappa_w
+        |FROM obs, ex
+        |WHERE n > 0""".stripMargin,
+
     "q_label_kappa_fleiss" ->
       """WITH s AS (
         |  SELECT doc_id, text,
@@ -12743,6 +12974,8 @@ object SparkEntry {
     "q_hll_merge" -> portableHllOracleSql,
 
     "q_hll_overlap" -> portableHllOverlapOracleSql,
+    "q_pref_bt_se" -> bradleyTerrySeOracleSql(10),
+    "q_pref_judge_bias" -> judgeQcOracleSql(10),
     "q_label_dawid_skene" -> dawidSkeneOracleSql(5),
     "q_label_ds_confusion" -> dawidSkeneConfusionOracleSql(5),
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),

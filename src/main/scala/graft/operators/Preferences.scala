@@ -309,6 +309,157 @@ object Preferences {
     finishTies(items, g, pairs, theta)
   }
 
+  /** [[bradleyTerry]] with UNCERTAINTY: strengths alone can't gate a
+    * promotion decision — a γ fitted from 3 comparisons and one from
+    * 3000 print the same column. The standard error of each item's
+    * LOG-strength comes from the Fisher-information diagonal at the
+    * fitted γ (the observed-information approximation that ignores
+    * off-diagonal coupling — the usual reporting form):
+    *   I_ii = Σ_j n_ij · p_ij · p_ji,  p_ij = γ_i/(γ_i + γ_j)
+    *   se(ln γ_i) ≈ 1/√I_ii
+    * Everything is fixed arithmetic over the pair census GIVEN the
+    * fit: per-pair terms land on the 6dp grid and fold as exact
+    * decimals; sqrt and the one division are IEEE-correctly-rounded on
+    * both engines — so the readout replays bitwise (no exp/ln enters:
+    * the SE is reported in log space precisely because the CI transform
+    * γ·exp(±z·se) is NOT portable arithmetic).
+    *
+    * se shrinks as 1/√n: quadrupling every comparison count leaves the
+    * fit invariant (the MM update is scale-free in counts) and halves
+    * the SE — pinned in PreferencesSpec.
+    */
+  def bradleyTerryStdErr(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 10): DataFrame = {
+    val fit = bradleyTerry(df, winnerCol, loserCol, iters)
+    val cmp = df.select(
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    val pairs = cmp.groupBy(
+        least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+    val g = fit.select(col("item"), col("strength"))
+    val info = adj
+      .join(g.select(col("item").as("i"), col("strength").as("__gi")), Seq("i"))
+      .join(g.select(col("item").as("j"), col("strength").as("__gj")), Seq("j"))
+      .withColumn("__t", round(col("n").cast("double")
+          * (col("__gi") / (col("__gi") + col("__gj")))
+          * (col("__gj") / (col("__gi") + col("__gj"))), 6)
+        .cast("decimal(28,6)"))
+      .groupBy(col("i").as("item"))
+      .agg(sum(col("__t")).cast("double").as("fisher_info"))
+    fit.join(info, Seq("item"))
+      .select(col("item"), col("strength"), col("n_wins"),
+        col("n_comparisons"), col("fisher_info"),
+        when(col("fisher_info") > 0,
+          round(lit(1.0) / sqrt(col("fisher_info")), 6))
+          .as("se_log_strength"))
+  }
+
+  /** PER-JUDGE QC readout: the r16 gates pooled over all judges tell
+    * you the COLLECTION has a problem; this tells you WHICH judge —
+    * the triage view an RLHF labeling pipeline actually acts on
+    * (retrain/drop a judge, not the dataset). One row per judge:
+    *
+    *   - position bias: the judge's own first-position win census +
+    *     chi-square vs the 50% null ([[positionBias]] per judge);
+    *   - `calib_gap`: the judge's record-weighted mean |model −
+    *     empirical| win rate over its pairs, against the POOLED
+    *     [[bradleyTerry]] fit — a judge whose empirical rates drift
+    *     from the pooled strengths is scoring a different criterion;
+    *   - `kappa_vs_pool`: Cohen's kappa between the judge's per-record
+    *     verdicts and the pooled majority verdict of each pair
+    *     (tie pairs drop as undecided) — chance-corrected conformity,
+    *     null when expected agreement is 1 (constant marginals).
+    *
+    * All three are compositions of oracled pieces: bounded integer
+    * censuses, 6dp-grid terms folded as exact decimals, fixed-order
+    * IEEE assembly — the whole row replays in SQL given the fit chain.
+    */
+  def judgeQc(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      firstCol: String,
+      judgeCol: String,
+      iters: Int = 10): DataFrame = {
+    val cmp = df.select(
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"),
+        col(firstCol).cast("string").as("f"),
+        col(judgeCol).cast("string").as("g"))
+      .filter(col("w").isNotNull && col("l").isNotNull &&
+        col("f").isNotNull && col("g").isNotNull && col("w") =!= col("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = bradleyTerry(df, winnerCol, loserCol, iters)
+      .select(col("item"), col("strength"))
+    // position-bias block, per judge
+    val pos = cmp.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("w") === col("f"), 1L).otherwise(0L)).as("__fw"))
+      .select(col("g"), col("n"),
+        round(col("__fw").cast("double") / col("n").cast("double"), 6)
+          .as("first_win_rate"), {
+          // long-lane square then one cast — the positionBias staging
+          val dev = lit(2L) * col("__fw") - col("n")
+          round((dev * dev).cast("double") / col("n").cast("double"), 6)
+        }.as("chi2"))
+      .withColumn("position_biased", col("chi2") > 3.841)
+    // calibration block: judge's per-pair empirical rate vs the pooled
+    // model's predicted rate, record-weighted
+    val jp = cmp.groupBy(col("g"),
+        least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(
+        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("__wa"),
+        count(lit(1)).as("__jn"))
+    val calib = jp
+      .join(fit.select(col("item").as("a"), col("strength").as("__ga")), Seq("a"))
+      .join(fit.select(col("item").as("b"), col("strength").as("__gb")), Seq("b"))
+      .withColumn("__gap", round(abs(
+          col("__ga") / (col("__ga") + col("__gb"))
+            - col("__wa").cast("double") / col("__jn").cast("double")), 6)
+        .cast("decimal(28,6)"))
+      .groupBy("g")
+      .agg(round((sum(col("__gap") * col("__jn"))).cast("double")
+        / sum(col("__jn")).cast("double"), 6).as("calib_gap"))
+    // conformity block: judge verdict vs pooled majority per pair
+    val maj = cmp.groupBy(
+        least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(
+        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("__pwa"),
+        count(lit(1)).as("__pn"))
+      .filter(lit(2L) * col("__pwa") =!= col("__pn"))
+      .select(col("a"), col("b"), (lit(2L) * col("__pwa") > col("__pn")).as("__maj_a"))
+    val rec = cmp
+      .select(col("g"), least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"), (col("w") < col("l")).as("__x"))
+      .join(maj, Seq("a", "b"))
+    val kap = rec.groupBy("g").agg(
+        count(lit(1)).as("__n2"),
+        sum(when(col("__x") === col("__maj_a"), 1L).otherwise(0L)).as("__agree"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("__xa"),
+        sum(when(col("__maj_a"), 1L).otherwise(0L)).as("__ya"))
+      .select(col("g"), {
+        val po = col("__agree").cast("double") / col("__n2").cast("double")
+        val pe = (col("__xa") * col("__ya")
+            + (col("__n2") - col("__xa")) * (col("__n2") - col("__ya")))
+          .cast("double") / (col("__n2").cast("double") * col("__n2").cast("double"))
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
+      }.as("kappa_vs_pool"))
+    pos.join(calib, Seq("g"), "left").join(kap, Seq("g"), "left")
+      .select(col("g").as("judge"), col("n"), col("first_win_rate"),
+        col("chi2"), col("position_biased"), col("calib_gap"),
+        col("kappa_vs_pool"))
+  }
+
   /** POSITION-BIAS gate for pairwise preference data: when a judge
     * (human or model) sees candidates in presentation order, "first
     * shown wins" should track data quality, not position — a first-

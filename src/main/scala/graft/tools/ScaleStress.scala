@@ -882,6 +882,67 @@ object ScaleStress {
       println("[stress]   " + Preferences
         .circularTriads(cmps, "winner", "loser").collect().head))
     cmps.unpersist(blocking = false)
+
+    // r17: COMPLETE tournament (one decided comparison per pair, 2000
+    // items -> ~2M pair edges): completeness engages the degree
+    // identity d = C(k,3) - sum C(wins_i, 2) — the triangle
+    // enumeration this replaces would walk ~C(2000,3)/4 ≈ 3x10^8
+    // cycles; the identity is one out-degree census after the pair
+    // fold, O(k) past it.
+    val items2 = spark.range(2000L)
+    val complete = items2.select(col("id").as("i"))
+      .crossJoin(items2.select(col("id").as("j")))
+      .filter(col("i") < col("j"))
+      .select(
+        when(conv(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 4),
+            16, 10).cast("long") % 2 === 0, col("i")).otherwise(col("j"))
+          .cast("string").as("winner"),
+        when(conv(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 4),
+            16, 10).cast("long") % 2 === 0, col("j")).otherwise(col("i"))
+          .cast("string").as("loser"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] complete tournament edges: ${complete.count()}")
+    time("pref: triads, complete 2k tournament (degree identity)")(
+      println("[stress]   " + Preferences
+        .circularTriads(complete, "winner", "loser").collect().head))
+    complete.unpersist(blocking = false)
+    }
+
+    section("labels") {
+    // Dawid-Skene at scale (r17): 200k units x 5 raters x 3 classes
+    // with planted per-rater accuracies (two sharp, two mediocre, one
+    // noisy) — the EM fit is per-sweep one votes-x-classes join plus a
+    // unit-keyed fold, so wall should track votes x classes x sweeps.
+    import graft.operators.DawidSkene
+    def votesOf(units: Long) = {
+      val acc = array(lit(0.92), lit(0.88), lit(0.6), lit(0.6), lit(0.38))
+      spark.range(units * 5).select(
+          // Column `/` is FRACTIONAL division — floor+cast for the
+          // integer unit id (the r15 trap list strikes again)
+          col("id"),
+          floor(col("id") / 5L).cast("long").as("u"))
+        .select(
+          col("u"),
+          concat(lit("r"), (col("id") % 5L).cast("string")).as("r"),
+          (col("u") % 3L).as("truth"),
+          element_at(acc, (col("id") % 5L + 1).cast("int")).as("a"),
+          (conv(substring(md5(concat(col("id").cast("string"), lit("ds"))), 1, 8),
+            16, 10).cast("double") / lit(4294967296.0)).as("coin"))
+        .select(col("u"), col("r"),
+          concat(lit("c"), when(col("coin") < col("a"), col("truth"))
+            .otherwise(pmod(col("truth") + 1L
+              + (col("coin") * 1000).cast("long") % 2L, lit(3L)))
+            .cast("string")).as("l"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    for (units <- Seq(200000L, 400000L)) {
+      val v = votesOf(units)
+      println(s"[stress] ds votes: ${v.count()} over $units units")
+      val fit = time(s"labels: dawid-skene fit+consensus, $units units x 5 raters")(
+        DawidSkene.label(v, "u", "r", "l", iters = 5).count())
+      println(s"[stress]   consensus rows = $fit")
+      v.unpersist(blocking = false)
+    }
     }
 
     section("ab") {

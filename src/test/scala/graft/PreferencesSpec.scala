@@ -205,6 +205,71 @@ class PreferencesSpec extends SparkSpec {
       "byte-gated distributed fallback must agree bitwise with the driver fold")
   }
 
+  test("bradleyTerryStdErr: se shrinks as 1/sqrt(n); fit is count-scale invariant") {
+    val base = (
+      Seq.fill(8)(("x", "y")) ++ Seq.fill(2)(("y", "x")) ++
+      Seq.fill(9)(("x", "z")) ++ Seq.fill(1)(("z", "x")) ++
+      Seq.fill(7)(("y", "z")) ++ Seq.fill(3)(("z", "y"))
+    )
+    def fit(reps: Int) = Preferences
+      .bradleyTerryStdErr((1 to reps).flatMap(_ => base).toDF("winner", "loser"),
+        "winner", "loser", iters = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val (f1, f4) = (fit(1), fit(4))
+    for (it <- Seq("x", "y", "z")) {
+      assert(f1(it)._1 == f4(it)._1,
+        s"MM fit must be invariant to count scaling: $it ${f1(it)._1} vs ${f4(it)._1}")
+      assert(f4(it)._2 > f1(it)._2 * 3.9 && f4(it)._2 < f1(it)._2 * 4.1,
+        s"4x comparisons must ~4x the information: $it")
+      assert(math.abs(f4(it)._3 - f1(it)._3 / 2.0) < 1e-5,
+        s"4x comparisons must halve the SE: $it ${f1(it)._3} -> ${f4(it)._3}")
+    }
+    // more comparisons -> tighter: x appears in 20, so its SE beats a
+    // 10-comparison fixture's
+    assert(f1.values.forall(v => v._3 > 0))
+  }
+
+  test("judgeQc: planted biased judge flags; anti-judge gets negative kappa") {
+    // Two disjoint pairs with OPPOSITE pooled-majority directions (so
+    // the majority verdict varies and kappa is non-degenerate):
+    // (a,b) -> majority a (the lexicographically smaller side), and
+    // (c,d) -> majority d (the larger side). Judges: j0 faithful with
+    // alternating presentation, j1 faithful but ALWAYS shown-first-wins
+    // (position-pure), j2 contrarian on every pair.
+    val rows = (0 until 10).flatMap { i =>
+      val alt = i % 2 == 0
+      Seq(
+        ("a", "b", if (alt) "a" else "b", "j0"),
+        ("d", "c", if (alt) "d" else "c", "j0"),
+        ("a", "b", "a", "j1"),
+        ("d", "c", "d", "j1"),
+        ("b", "a", if (alt) "a" else "b", "j2"),
+        ("c", "d", if (alt) "d" else "c", "j2"))
+    }
+    val df = rows.toDF("winner", "loser", "first", "judge")
+    val got = graft.operators.Preferences
+      .judgeQc(df, "winner", "loser", "first", "judge", iters = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == Set("j0", "j1", "j2"))
+    // position: j0/j2 alternate presentation (rate 0.5, unbiased); j1
+    // always matches first (rate 1, chi2 = 20 -> biased)
+    assert(got("j0")._2 == 0.5 && !got("j0")._3)
+    assert(got("j1")._2 == 1.0 && got("j1")._3, "position-addicted judge must flag")
+    assert(got("j2")._2 == 0.5 && !got("j2")._3)
+    // conformity: j0 matches the pooled majority on both pairs (kappa
+    // 1 with split marginals), j2 opposes both (kappa -1)
+    assert(got("j0")._5 == 1.0, s"faithful judge kappa ${got("j0")._5}")
+    assert(got("j2")._5 == -1.0, s"contrarian judge kappa ${got("j2")._5}")
+    // calibration: the contrarian's empirical rates sit farther from
+    // the pooled fit than the faithful judge's
+    assert(got("j0")._4 < got("j2")._4)
+  }
+
   test("bradleyTerry: self-comparisons and null sides are dropped") {
     val cmp = Seq(
       (Some("a"), Some("b")), (Some("a"), Some("a")), (None, Some("b")),
