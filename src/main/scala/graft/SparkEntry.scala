@@ -3160,6 +3160,43 @@ object SparkEntry {
           graft.quality.GopherRules.passes(col("text")).as("rater_gopher")),
         "rater_quality", "rater_gopher")),
 
+    // Gwet's AC1 (r17, Gwet 2008): the paradox-resistant twin of
+    // q_label_kappa on the same rater pair — quality-filter panels
+    // live in the skewed-marginal regime where Cohen's chance term
+    // punishes high agreement (Feinstein-Cicchetti). Integer marginal
+    // folds + fixed-order IEEE assembly; FULL oracle.
+    "q_label_ac1" -> ((s, d) =>
+      graft.operators.MlEval.gwetAc1(
+        t(s, d, "documents").select(
+          (TextFunctions.qualityScore(col("text")) >= 0.5).as("rater_quality"),
+          graft.quality.GopherRules.passes(col("text")).as("rater_gopher")),
+        "rater_quality", "rater_gopher")),
+
+    // Verbosity-bias gate (r17): the OTHER standard LLM-judge failure
+    // besides position — does the longer side win beyond what a fair
+    // coin explains? Same census + chi-square shape as the position
+    // gate, with "shown first" replaced by "is longer" (token count).
+    // A flag means length is leaking into labels (or genuinely tracks
+    // quality — the screen says LOOK, not GUILTY). FULL oracle.
+    "q_pref_length_bias" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCount(col("text")).as("nt"))
+      val a = docs.select(col("doc_id").as("ida"), col("source").as("sa"),
+        col("q").as("qa"), col("nt").as("na"))
+      val b = docs.select((col("doc_id") - 1).as("ida"), col("source").as("sb"),
+        col("q").as("qb"), col("nt").as("nb"))
+      val cmp = a.join(b, Seq("ida"))
+        .filter(col("sa") =!= col("sb"))
+        .select(
+          when(col("qa") > col("qb"), col("sa"))
+            .when(col("qa") < col("qb"), col("sb"))
+            .otherwise(least(col("sa"), col("sb"))).as("winner"),
+          when(col("na") >= col("nb"), col("sa")).otherwise(col("sb"))
+            .as("longer"))
+      graft.operators.Preferences.positionBias(cmp, "winner", "longer")
+    }),
+
     // Bradley-Terry preference aggregation (r16, Hunter 2004 MM): the
     // RLHF-preference-data readout — adjacent-doc quality comparisons
     // become source-vs-source "wins" (winner = the higher 4-gate score,
@@ -3310,6 +3347,40 @@ object SparkEntry {
             .as("k"))
         .filter(col("k").isNotNull)
       graft.operators.MlEval.krippendorffAlpha(long, "u", "k")
+    }),
+
+    // Interval-metric Krippendorff alpha (r17): the GRADED-label form
+    // — adjacent grades disagree mildly (the quadratic-weight idea)
+    // WITH alpha's unbalanced-panel support. Panel: quality quartile +
+    // Flesch band on every doc with tokens; the surprisal-quartile
+    // rater ABSTAINS on non-English docs (an English-centric grader
+    // has no business scoring them), so units carry 2 or 3 ordinal
+    // votes. Moment-identity integer folds; FULL oracle.
+    "q_label_alpha_interval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sur = graft.operators.CorpusStats.unigramSurprisal(
+          docs, "doc_id", "text")
+        .filter(col("n_tokens") > 0)
+      val cuts = graft.operators.Selection.quantilesDisc(
+        sur, "avg_surprisal", Seq(0.25, 0.5, 0.75))
+      val g3 = sur
+        .join(docs.filter(col("lang") === "en").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("u"),
+          ((col("avg_surprisal") > cuts(0.25)).cast("long")
+            + (col("avg_surprisal") > cuts(0.5)).cast("long")
+            + (col("avg_surprisal") > cuts(0.75)).cast("long")).as("x"))
+      val base = docs.filter(TextFunctions.tokenCount(col("text")) > 0)
+      val fl = TextFunctions.fleschReadingEase(col("text"))
+      val g12 = base.select(col("doc_id").as("u"),
+        least(floor(TextFunctions.qualityScore(col("text")) * 4), lit(3L))
+          .cast("long").as("g1"),
+        when(fl >= 80, 3L).when(fl >= 60, 2L).when(fl >= 30, 1L)
+          .otherwise(0L).as("g2"))
+      val votes = g12.select(col("u"), col("g1").as("x"))
+        .unionByName(g12.select(col("u"), col("g2").as("x")))
+        .unionByName(g3)
+      graft.operators.MlEval.krippendorffAlphaInterval(votes, "u", "x")
     }),
 
     // Multi-rater agreement (r16, Fleiss 1971): the 3-filter panel —
@@ -11963,6 +12034,101 @@ object SparkEntry {
     // conjunction (the q_quality_gopher chain) — then confusion cells,
     // integer marginal cross-products, and the fixed-order IEEE kappa
     // assembly.
+    // Gwet AC1 replay (r17): the q_label_kappa panel through the
+    // confusion cells, then the summed-marginal integer fold and the
+    // fixed-order AC1 assembly (signed-zero canonicalized).
+    "q_label_ac1" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '\S+') AS t,
+        |         string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         length(text) AS n_chars,
+        |         len(list_filter(t, x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS mean_word_len,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST((length(text) - length(replace(text, '#', '')))
+        |                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS symbol_ratio,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ln), 6) AS bullet_frac,
+        |         round(CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln), 6) AS ellipsis_line_frac,
+        |         round(CASE WHEN len(t) > 0
+        |           THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+        |           ELSE 0.0 END, 6) AS alpha_frac,
+        |         CAST(list_contains(list_transform(t, x -> lower(x)), 'the') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'be') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'to') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'of') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'and') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'that') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'have') AS BIGINT)
+        |           + CAST(list_contains(list_transform(t, x -> lower(x)), 'with') AS BIGINT)
+        |           AS stopword_hits
+        |  FROM s
+        |), r AS (
+        |  SELECT
+        |    (round((
+        |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) >= 0.5) AS a,
+        |    (n_words BETWEEN 50 AND 100000
+        |     AND mean_word_len BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio <= 0.1
+        |     AND bullet_frac <= 0.9
+        |     AND ellipsis_line_frac <= 0.3
+        |     AND alpha_frac >= 0.8
+        |     AND stopword_hits >= 2) AS b
+        |  FROM m
+        |), cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree
+        |  FROM cells
+        |), ma AS (
+        |  SELECT a, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY 1
+        |), mb AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY 1
+        |), cat AS (
+        |  SELECT coalesce(ma.a, mb.b) AS k,
+        |         coalesce(na, 0) + coalesce(nb, 0) AS m
+        |  FROM ma FULL JOIN mb ON ma.a = mb.b
+        |), sk AS (
+        |  SELECT CAST(coalesce(sum(m * (2 * (SELECT n FROM tot) - m)), 0) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS kk
+        |  FROM cat
+        |)
+        |SELECT n,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  CASE WHEN kk > 1
+        |       THEN round(CAST(s AS DOUBLE)
+        |                  / (CAST(2 * n AS DOUBLE) * CAST(2 * n AS DOUBLE)
+        |                     * CAST(kk - 1 AS DOUBLE)), 6)
+        |  END AS pe_gamma,
+        |  CASE WHEN kk > 1
+        |       THEN round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |                   - CAST(s AS DOUBLE)
+        |                     / (CAST(2 * n AS DOUBLE) * CAST(2 * n AS DOUBLE)
+        |                        * CAST(kk - 1 AS DOUBLE)))
+        |                  / (1.0 - CAST(s AS DOUBLE)
+        |                           / (CAST(2 * n AS DOUBLE) * CAST(2 * n AS DOUBLE)
+        |                              * CAST(kk - 1 AS DOUBLE))), 6)
+        |            + 0.0e0
+        |  END AS ac1
+        |FROM tot, sk
+        |WHERE n > 0""".stripMargin,
+
     "q_label_kappa" ->
       """WITH s AS (
         |  SELECT doc_id, text,
@@ -12307,6 +12473,108 @@ object SparkEntry {
         |            + 0.0e0
         |  END AS kappa_w
         |FROM obs, ex
+        |WHERE n > 0""".stripMargin,
+
+    // Interval-alpha replay (r17): surprisal chain + rank cutpoints,
+    // the quality/Flesch ordinal graders, lang-gated abstention, then
+    // the moment-identity folds (2*m*S2 - 2*S1^2) and the two-division
+    // assembly (signed-zero canonicalized).
+    "q_label_alpha_interval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents
+        |), census AS (
+        |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) AS total FROM census
+        |), sur AS (
+        |  SELECT t.doc_id, round(avg(-log2(CAST(c.tf AS DOUBLE)
+        |           / (SELECT total FROM tot))), 6) AS s
+        |  FROM toks t JOIN census c USING (tok) GROUP BY t.doc_id
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM sur
+        |), rk AS (
+        |  SELECT s, row_number() OVER (ORDER BY s) AS rn FROM sur
+        |), cuts AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(floor(0.25 * CAST((SELECT n FROM nn) - 1
+        |          AS DOUBLE)) AS BIGINT) + 1 THEN s END) AS c1,
+        |    max(CASE WHEN rn = CAST(floor(0.5 * CAST((SELECT n FROM nn) - 1
+        |          AS DOUBLE)) AS BIGINT) + 1 THEN s END) AS c2,
+        |    max(CASE WHEN rn = CAST(floor(0.75 * CAST((SELECT n FROM nn) - 1
+        |          AS DOUBLE)) AS BIGINT) + 1 THEN s END) AS c3
+        |  FROM rk
+        |), qd AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '\S+')) AS w,
+        |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           + (len(regexp_extract_all(text, '\S+'))
+        |              - len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*'))) AS syl,
+        |         len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+        |         length(text) AS n_chars
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), g12 AS (
+        |  SELECT doc_id,
+        |    least(CAST(floor(round((
+        |      (CASE WHEN w BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN w > 0 AND CAST(n_chars AS DOUBLE)/w BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN w > 0 THEN CAST(n_stop AS DOUBLE)/w ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) * 4) AS BIGINT), 3) AS g1,
+        |    (CASE WHEN round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |                 - 84.6 * (CAST(syl AS DOUBLE) / w), 4) >= 80 THEN 3
+        |          WHEN round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |                 - 84.6 * (CAST(syl AS DOUBLE) / w), 4) >= 60 THEN 2
+        |          WHEN round(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |                 - 84.6 * (CAST(syl AS DOUBLE) / w), 4) >= 30 THEN 1
+        |          ELSE 0 END) AS g2
+        |  FROM qd
+        |), votes AS (
+        |  SELECT doc_id AS u, CAST(g1 AS BIGINT) AS x FROM g12
+        |  UNION ALL SELECT doc_id, CAST(g2 AS BIGINT) FROM g12
+        |  UNION ALL
+        |  SELECT s.doc_id,
+        |         CAST(s.s > cuts.c1 AS BIGINT) + CAST(s.s > cuts.c2 AS BIGINT)
+        |           + CAST(s.s > cuts.c3 AS BIGINT)
+        |  FROM sur s JOIN documents d USING (doc_id), cuts
+        |  WHERE d.lang = 'en'
+        |), per AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(x) AS BIGINT) AS s1,
+        |         CAST(sum(x * x) AS BIGINT) AS s2
+        |  FROM votes GROUP BY 1
+        |), pairable AS (
+        |  SELECT * FROM per WHERE m >= 2
+        |), dt AS (
+        |  SELECT coalesce(sum(CAST(round(
+        |           CAST(2 * m * s2 - 2 * s1 * s1 AS DOUBLE)
+        |           / CAST(m - 1 AS DOUBLE), 6) AS DECIMAL(28,6))),
+        |         CAST(0 AS DECIMAL(28,6))) AS sdo
+        |  FROM pairable
+        |), tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |         CAST(coalesce(sum(m), 0) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(s1), 0) AS BIGINT) AS ts1,
+        |         CAST(coalesce(sum(s2), 0) AS BIGINT) AS ts2
+        |  FROM pairable
+        |)
+        |SELECT n_units, n AS n_assignments,
+        |  round(CAST(sdo AS DOUBLE) / CAST(n AS DOUBLE), 6) AS d_o,
+        |  round(CAST(2 * n * ts2 - 2 * ts1 * ts1 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS d_e,
+        |  CASE WHEN 2 * n * ts2 - 2 * ts1 * ts1 > 0
+        |       THEN round(1.0 - (CAST(sdo AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / (CAST(2 * n * ts2 - 2 * ts1 * ts1 AS DOUBLE)
+        |                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+        |            + 0.0e0
+        |  END AS alpha
+        |FROM tt, dt
         |WHERE n > 0""".stripMargin,
 
     "q_label_kappa_fleiss" ->
@@ -12985,6 +13253,49 @@ object SparkEntry {
 
     // Position-bias replay: the shared cmpx records carry the
     // first-position source; one census + the chi-square gate.
+    // Verbosity-bias replay (r17): the pref q CTE carrying token
+    // counts, "longer side" in place of "shown first", same census +
+    // chi-square gate.
+    "q_pref_length_bias" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT doc_id, source, n_tok,
+        |    round((
+        |      (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) AS q
+        |  FROM (SELECT doc_id, source,
+        |          length(text) AS n_chars,
+        |          len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |          len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |            ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |          len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+        |        FROM documents)
+        |), cm AS MATERIALIZED (
+        |  SELECT CASE WHEN a.q > b.q THEN a.source
+        |              WHEN a.q < b.q THEN b.source
+        |              ELSE least(a.source, b.source) END AS w,
+        |         CASE WHEN a.n_tok >= b.n_tok THEN a.source
+        |              ELSE b.source END AS f
+        |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source
+        |)
+        |SELECT n, n_first_wins,
+        |  round(CAST(n_first_wins AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS first_win_rate,
+        |  round(CAST((2 * n_first_wins - n) * (2 * n_first_wins - n) AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) AS chi2,
+        |  (CAST((2 * n_first_wins - n) * (2 * n_first_wins - n) AS DOUBLE)
+        |   / CAST(n AS DOUBLE) > 3.841) AS biased
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN w = f THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_first_wins
+        |      FROM cm)
+        |WHERE n > 0""".stripMargin,
+
     "q_pref_position_bias" -> (prefCmpCteSql +
       """
         |SELECT n, n_first_wins,

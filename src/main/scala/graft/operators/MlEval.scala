@@ -372,6 +372,59 @@ object MlEval {
           .as("kappa"))
   }
 
+  /** Gwet's AC1 (Gwet 2008, "Computing inter-rater reliability and its
+    * variance in the presence of high agreement"): the PARADOX-
+    * RESISTANT companion to [[cohenKappa]]. Kappa's chance term uses
+    * the raters' own marginals, so two raters who agree 95% of the
+    * time on a skewed label (most docs pass a filter) can score a
+    * NEGATIVE kappa — the Feinstein-Cicchetti paradox, and exactly the
+    * regime quality-filter panels live in. AC1's chance term models
+    * random rating only of the "hard" share:
+    *   pe_γ = (1/(K−1)) Σ_k π_k(1−π_k),  π_k = (n_ak + n_bk)/(2n)
+    *   AC1 = (po − pe_γ)/(1 − pe_γ)
+    * Null when K = 1 (one category: chance agreement is vacuous).
+    *
+    * Same bounded confusion-cell shape as kappa; pe_γ's numerator
+    * folds as the exact integer Σ_k m_k(2n − m_k) with m_k the summed
+    * marginal, so the readout is fixed-order IEEE over integer folds —
+    * bitwise-replayable. m_k(2n − m_k) stays in the signed-long lane
+    * for n up to ~1.5e9 (the shared bounded-input posture).
+    */
+  def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L)).as("__agree"))
+    val na = cells.groupBy("a").agg(sum(col("c")).as("__na"))
+    val nb = cells.groupBy("b").agg(sum(col("c")).as("__nb"))
+    // summed marginal per category — FULL join: a category one rater
+    // never emits still counts toward the other's marginal
+    val cat = na.select(col("a").as("k"), col("__na"))
+      .join(nb.select(col("b").as("k"), col("__nb")), Seq("k"), "full")
+      .select(col("k"),
+        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L))).as("m"))
+    val sk = cat.crossJoin(broadcast(totals.select(col("n").as("__n"))))
+      .agg(
+        coalesce(sum(col("m") * (lit(2L) * col("__n") - col("m"))), lit(0L))
+          .as("__s"),
+        count(lit(1)).as("__k"))
+    val poRaw = col("__agree").cast("double") / col("n").cast("double")
+    val peRaw = col("__s").cast("double") /
+      ((lit(2L) * col("n")).cast("double") * (lit(2L) * col("n")).cast("double")
+        * (col("__k") - 1).cast("double"))
+    totals.crossJoin(sk)
+      .filter(col("n") > 0)
+      .select(
+        col("n"),
+        round(poRaw, 6).as("po"),
+        when(col("__k") > 1, round(peRaw, 6)).as("pe_gamma"),
+        when(col("__k") > 1, round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
+          .as("ac1"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement for a
     * FIXED PANEL of m raters per unit — the multi-rater generalization
     * of [[cohenKappa]]. Input is LONG form: one row per (unit, assigned
@@ -523,4 +576,58 @@ object MlEval {
         when(col("__sde") > 0,
           round(lit(1.0) - doRaw / deRaw, 6)).as("alpha"))
   }
+
+  /** Krippendorff's alpha, INTERVAL metric (Krippendorff 2004): the
+    * graded-label form of [[krippendorffAlpha]] — δ²(c,c') = (c−c')²,
+    * so adjacent grades disagree mildly and far grades heavily (what
+    * the quadratic weights do for [[cohenKappaWeighted]], but with
+    * alpha's unbalanced-panel support: raters may abstain, units with
+    * fewer than 2 votes drop as unpairable). Labels must be integer
+    * grades.
+    *
+    * The pair sums collapse to moment identities — per unit,
+    *   Σ_{c,c'} n_c·n_c'·(c−c')² = 2·m_u·Σx² − 2·(Σx)²
+    * — so both numerators fold as EXACT integers (per-unit sum S1 and
+    * square-sum S2); the one unit-varying rational lands on the 6dp
+    * grid and folds as an exact decimal (the house staging rule), and
+    * the assembly is two fixed-order IEEE divisions — bitwise-
+    * replayable. (Σx)² stays in the signed-long lane for n·maxGrade up
+    * to ~3e9 (the shared bounded-input posture).
+    */
+  def krippendorffAlphaInterval(
+      df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val v = df
+      .select(col(unitCol).as("u"), col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val per = v.groupBy("u").agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("s1"),
+      sum(col("x") * col("x")).as("s2"))
+    val pairable = per.filter(col("m") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doTerms = pairable
+      .select(round(
+          (lit(2L) * col("m") * col("s2") - lit(2L) * col("s1") * col("s1"))
+            .cast("double") / (col("m") - 1).cast("double"), 6)
+        .cast("decimal(28,6)").as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(28,6)")).as("__sdo"))
+    val totals = pairable.agg(
+      count(lit(1)).as("n_units"),
+      coalesce(sum(col("m")), lit(0L)).as("n"),
+      coalesce(sum(col("s1")), lit(0L)).as("__ts1"),
+      coalesce(sum(col("s2")), lit(0L)).as("__ts2"))
+    val deNum = (lit(2L) * col("n") * col("__ts2")
+      - lit(2L) * col("__ts1") * col("__ts1"))
+    val doRaw = col("__sdo").cast("double") / col("n").cast("double")
+    val deRaw = deNum.cast("double") /
+      (col("n").cast("double") * (col("n") - 1).cast("double"))
+    totals.crossJoin(doTerms)
+      .filter(col("n") > 0)
+      .select(
+        col("n_units"), col("n").as("n_assignments"),
+        round(doRaw, 6).as("d_o"),
+        round(deRaw, 6).as("d_e"),
+        when(deNum > 0, round(lit(1.0) - doRaw / deRaw, 6)).as("alpha"))
+  }
+
 }

@@ -247,6 +247,38 @@ class MlEvalSpec extends SparkSpec {
     assert(e2.getMessage.contains("constant rater count"))
   }
 
+  test("gwetAc1: survives the kappa paradox; hand values; degenerate null") {
+    // Feinstein-Cicchetti fixture: 80% observed agreement on a skewed
+    // 2x2 (80 yes/yes, 10 yes/no, 10 no/yes, 0 no/no). Cohen's kappa
+    // goes NEGATIVE (pe = 0.82 > po); AC1 reads the agreement.
+    val skewed = (
+      Seq.fill(80)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(10)(("n", "y"))
+    ).toDF("a", "b")
+    val k = MlEval.cohenKappa(skewed, "a", "b").collect().head
+    assert(k.getDouble(3) < 0, s"paradox kappa should be negative: ${k.getDouble(3)}")
+    val g = MlEval.gwetAc1(skewed, "a", "b").collect().head
+    // pi_y = 180/200, pi_n = 20/200; S = 180*20 + 20*180 = 7200;
+    // pe = 7200/(200*200*1) = 0.18; AC1 = (0.8 - 0.18)/0.82
+    assert(g.getLong(0) == 100L)
+    assert(g.getDouble(1) == 0.8 && g.getDouble(2) == 0.18)
+    assert(g.getDouble(3) == 0.756098, s"ac1 ${g.getDouble(3)}")
+    // perfect agreement on a balanced pair -> AC1 = 1
+    val perfect = (Seq.fill(50)(("y", "y")) ++ Seq.fill(50)(("n", "n")))
+      .toDF("a", "b")
+    assert(MlEval.gwetAc1(perfect, "a", "b").collect().head.getDouble(3) == 1.0)
+    // single category: K = 1 -> chance agreement vacuous -> nulls
+    val deg = Seq.fill(10)(("x", "x")).toDF("a", "b")
+    val d = MlEval.gwetAc1(deg, "a", "b").collect().head
+    assert(d.isNullAt(2) && d.isNullAt(3))
+    // one-sided category (rater b never says 'n'): full-join marginal
+    // still counts it; AC1 defined
+    val oneSided = (Seq.fill(9)(("y", "y")) ++ Seq.fill(1)(("n", "y")))
+      .toDF("a", "b")
+    val o = MlEval.gwetAc1(oneSided, "a", "b").collect().head
+    assert(!o.isNullAt(3) && o.getDouble(1) == 0.9)
+  }
+
   test("cohenKappaWeighted: quadratic near-miss credit; hand value; degenerate null") {
     // Grades {0,2}: cells (0,0)=10, (0,2)=2, (2,0)=3, (2,2)=5; n=20.
     // D_o = (2+3)*4/20 = 1.0; marginals r=(12,8), c=(13,7);
@@ -266,6 +298,37 @@ class MlEvalSpec extends SparkSpec {
     val const = Seq((1L, 1L), (1L, 1L)).toDF("ga", "gb")
     assert(MlEval.cohenKappaWeighted(const, "ga", "gb")
       .collect().head.isNullAt(3))
+  }
+
+  test("krippendorffAlphaInterval: hand value; near-miss forgiven; nulls; abstention") {
+    // u1: [1,1] du=0; u2: [0,2] du=(2*2*4-2*4)/(2-1)=8; u3: [3,3] du=0.
+    // Do = 8/6; pooled s1=10, s2=24 -> De = (2*6*24-200)/30 = 88/30;
+    // alpha = 1 - (8/6)/(88/30) = 0.545455 (after 6dp staging).
+    val v = Seq((1L, 1L), (1L, 1L), (2L, 0L), (2L, 2L), (3L, 3L), (3L, 3L))
+      .toDF("u", "x")
+    val r = MlEval.krippendorffAlphaInterval(v, "u", "x").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 1.333333 && r.getDouble(3) == 2.933333)
+    assert(r.getDouble(4) == 0.545455, s"alpha ${r.getDouble(4)}")
+    // interval metric forgives ADJACENT disagreement where nominal
+    // charges it fully: same unit structure, off-by-1 vs off-by-3
+    def alphaOf(d: Long) = MlEval.krippendorffAlphaInterval(
+      (0L until 8L).flatMap(u => Seq((u, u % 4), (u, u % 4 + d)))
+        .toDF("u", "x"), "u", "x").collect().head.getDouble(4)
+    assert(alphaOf(1L) > alphaOf(3L),
+      "adjacent grades must disagree more mildly than far grades")
+    // perfect agreement -> Do = 0 -> alpha 1
+    val perfect = Seq((1L, 2L), (1L, 2L), (2L, 0L), (2L, 0L)).toDF("u", "x")
+    assert(MlEval.krippendorffAlphaInterval(perfect, "u", "x")
+      .collect().head.getDouble(4) == 1.0)
+    // constant grades -> De = 0 -> null
+    val const = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 2L)).toDF("u", "x")
+    assert(MlEval.krippendorffAlphaInterval(const, "u", "x")
+      .collect().head.isNullAt(4))
+    // single-vote units drop as unpairable
+    val abst = Seq((1L, 0L), (1L, 2L), (2L, 3L)).toDF("u", "x")
+    val a = MlEval.krippendorffAlphaInterval(abst, "u", "x").collect().head
+    assert(a.getLong(0) == 1L && a.getLong(1) == 2L)
   }
 
   test("krippendorffAlpha: hand value; abstainers drop as unpairable; degenerate null") {
