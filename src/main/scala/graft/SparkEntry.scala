@@ -3243,6 +3243,17 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // Order-effect Bradley-Terry (r17, Davidson & Beaver 1977; Hunter
+    // 2004 MM alternation): the position-bias story completed — the
+    // gate DETECTS the leak, this fits THROUGH it, estimating the
+    // first-position multiplier θ jointly with the strengths so
+    // strengths stop absorbing presentation luck. Same 6dp-grid
+    // staging; the FULL oracle unrolls the γ/θ alternation.
+    "q_pref_bt_order" -> ((s, d) =>
+      graft.operators.Preferences.bradleyTerryOrder(
+          prefComparisons(s, d), "winner", "loser", "first", iters = 10)
+        .orderBy("item")),
+
     // Bradley-Terry standard errors (r17): strengths with UNCERTAINTY
     // — the Fisher-information diagonal at the fitted γ, se(ln γ) =
     // 1/√I. Per-pair information terms land on the 6dp grid and fold
@@ -5085,6 +5096,88 @@ object SparkEntry {
          |JOIN g$iters ga ON ga.item = pv.item_a
          |JOIN g$iters gb ON gb.item = pv.item_b
          |ORDER BY pv.item_a, pv.item_b""".stripMargin
+  }
+
+  // Order-effect BT replay (r17): the ordered-pair census, then
+  // `iters` unrolled ALTERNATING sweeps — γ denominators from the
+  // previous (γ, θ), mean-1 normalize, θ from the NEW γ and previous
+  // θ (Hunter's alternation, matching the engine exactly).
+  private def bradleyTerryOrderOracleSql(iters: Int): String = {
+    def iterCte(gPrev: String, tPrev: String, i: Int): String =
+      s""", g${i}s AS (
+         |  SELECT item, CAST(coalesce(sum(t), 0) AS DOUBLE) AS s FROM (
+         |    SELECT p.f AS item,
+         |      CAST(round(CAST(p.n AS DOUBLE) * (SELECT theta FROM $tPrev)
+         |        / ((SELECT theta FROM $tPrev) * gf.gamma + gs.gamma), 6)
+         |        AS DECIMAL(28,6)) AS t
+         |    FROM op p
+         |    JOIN $gPrev gf ON gf.item = p.f
+         |    JOIN $gPrev gs ON gs.item = p.s
+         |    UNION ALL
+         |    SELECT p.s,
+         |      CAST(round(CAST(p.n AS DOUBLE)
+         |        / ((SELECT theta FROM $tPrev) * gf.gamma + gs.gamma), 6)
+         |        AS DECIMAL(28,6))
+         |    FROM op p
+         |    JOIN $gPrev gf ON gf.item = p.f
+         |    JOIN $gPrev gs ON gs.item = p.s
+         |  ) GROUP BY 1
+         |), g${i}u AS MATERIALIZED (
+         |  SELECT it.item, round(CAST(it.n_wins AS DOUBLE) / g${i}s.s, 6) AS gu
+         |  FROM items it JOIN g${i}s ON g${i}s.item = it.item
+         |), g$i AS MATERIALIZED (
+         |  SELECT u.item,
+         |         round(u.gu * (SELECT k FROM kk)
+         |               / (SELECT CAST(sum(CAST(gu AS DECIMAL(28,6))) AS DOUBLE)
+         |                  FROM g${i}u), 6) AS gamma
+         |  FROM g${i}u u
+         |), th$i AS MATERIALIZED (
+         |  SELECT round((SELECT CAST(wf AS DOUBLE) FROM wf1)
+         |    / (SELECT CAST(coalesce(sum(CAST(round(CAST(p.n AS DOUBLE) * gf.gamma
+         |         / ((SELECT theta FROM $tPrev) * gf.gamma + gs.gamma), 6)
+         |         AS DECIMAL(28,6))), 0) AS DOUBLE)
+         |       FROM op p
+         |       JOIN g$i gf ON gf.item = p.f
+         |       JOIN g$i gs ON gs.item = p.s), 6) AS theta
+         |)""".stripMargin
+    val head =
+      prefCmpCteSql +
+      """, op AS MATERIALIZED (
+        |  SELECT f, CASE WHEN f = w THEN l ELSE w END AS s,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN f = w THEN 1 ELSE 0 END) AS BIGINT) AS wf
+        |  FROM cmpx GROUP BY 1, 2
+        |), winsx AS (
+        |  SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins FROM cmpx GROUP BY 1
+        |), items AS MATERIALIZED (
+        |  SELECT it.item, CAST(coalesce(winsx.n_wins, 0) AS BIGINT) AS n_wins
+        |  FROM (SELECT DISTINCT item FROM
+        |          (SELECT w AS item FROM cmpx UNION ALL SELECT l FROM cmpx)) it
+        |  LEFT JOIN winsx ON winsx.item = it.item
+        |), ncmp AS (
+        |  SELECT item, CAST(sum(n) AS BIGINT) AS n_comparisons FROM (
+        |    SELECT f AS item, n FROM op UNION ALL SELECT s, n FROM op)
+        |  GROUP BY 1
+        |), wf1 AS (
+        |  SELECT CAST(coalesce(sum(wf), 0) AS BIGINT) AS wf FROM op
+        |), kk AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k FROM items
+        |), g0 AS MATERIALIZED (
+        |  SELECT item, 1.0 AS gamma FROM items
+        |), th0 AS MATERIALIZED (
+        |  SELECT 1.0 AS theta
+        |)""".stripMargin
+    val body = (1 to iters)
+      .map(i => iterCte(s"g${i - 1}", s"th${i - 1}", i)).mkString
+    val tail =
+      s"""
+         |SELECT it.item, g$iters.gamma AS strength, it.n_wins,
+         |       nc.n_comparisons, (SELECT theta FROM th$iters) AS theta
+         |FROM items it
+         |JOIN g$iters ON g$iters.item = it.item
+         |JOIN ncmp nc ON nc.item = it.item
+         |ORDER BY it.item""".stripMargin
+    head + body + tail
   }
 
   // Fisher-information SE replay (r17): the same fit chain, then the
@@ -13242,6 +13335,7 @@ object SparkEntry {
     "q_hll_merge" -> portableHllOracleSql,
 
     "q_hll_overlap" -> portableHllOverlapOracleSql,
+    "q_pref_bt_order" -> bradleyTerryOrderOracleSql(10),
     "q_pref_bt_se" -> bradleyTerrySeOracleSql(10),
     "q_pref_judge_bias" -> judgeQcOracleSql(10),
     "q_label_dawid_skene" -> dawidSkeneOracleSql(5),

@@ -309,6 +309,157 @@ object Preferences {
     finishTies(items, g, pairs, theta)
   }
 
+  /** ORDER-EFFECT Bradley-Terry (Davidson & Beaver 1977; MM scheme
+    * after Hunter 2004's home-field-advantage section): the
+    * position-bias story COMPLETED — [[positionBias]] detects the
+    * leak, this fits THROUGH it, estimating a first-position
+    * multiplier θ jointly with the strengths:
+    *   P(first wins) = θγ_f / (θγ_f + γ_s)
+    * so strengths stop absorbing presentation luck (θ > 1: first-shown
+    * advantage; θ = 1: none; θ < 1: recency bias). Alternating MM
+    * sweeps, each monotone:
+    *   γ_i ← W_i / [ Σ_{i first} n·θ̂/(θ̂γ̂_i + γ̂_s)
+    *               + Σ_{i second} n/(θ̂γ̂_f + γ̂_i) ]   (then mean-1)
+    *   θ   ← W_first / Σ n·γ_f/(θ̂γ_f + γ_s)          (with the NEW γ)
+    * Same grid staging as [[bradleyTerry]] — every iterate lands on
+    * the 6dp grid with decimal-staged sums, so a fixed sweep count
+    * replays bitwise in SQL (the oracle unrolls the alternation).
+    *
+    * Scale shape: comparisons fold once into the ORDERED-pair census
+    * (f, s, n, first-wins); sweeps are joins over that bounded table;
+    * θ is one scalar fold per sweep. Driver fast path for bounded pair
+    * tables (byte-gated like [[bradleyTerry]]), distributed fallback
+    * pinned bitwise-identical. Same connectivity caveat as the plain
+    * fit; additionally every item should appear in BOTH positions
+    * somewhere, or θ and that item's γ are partially confounded.
+    */
+  def bradleyTerryOrder(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      firstCol: String,
+      iters: Int = 10,
+      driverPairLimit: Long = DefaultDriverPairLimit,
+      driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val cmp = df.select(
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"),
+        col(firstCol).cast("string").as("f"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("f").isNotNull &&
+        col("w") =!= col("l") &&
+        (col("f") === col("w") || col("f") === col("l")))
+    // ordered-pair census: (first, second) with total + first-win counts
+    val op = cmp.select(col("f"),
+        when(col("f") === col("w"), col("l")).otherwise(col("w")).as("s"),
+        (col("f") === col("w")).as("__fw"))
+      .groupBy("f", "s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__fw"), 1L).otherwise(0L)).as("wf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winCensus = cmp.groupBy(col("w").as("item")).agg(count(lit(1)).as("n_wins"))
+    val items = cmp.select(col("w").as("item"))
+      .unionByName(cmp.select(col("l").as("item")))
+      .distinct()
+      .join(winCensus, Seq("item"), "left")
+      .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = items.count().toDouble
+    val nCmpTbl = op.select(col("f").as("item"), col("n"))
+      .unionByName(op.select(col("s").as("item"), col("n")))
+      .groupBy("item").agg(sum(col("n")).as("n_comparisons"))
+    val wFirst = op.agg(coalesce(sum(col("wf")), lit(0L)).as("__wf")).head().getLong(0)
+    val finish: (DataFrame, Double) => DataFrame = (g, theta) =>
+      items.join(g, Seq("item")).join(nCmpTbl, Seq("item"))
+        .select(col("item"), col("gamma").as("strength"),
+          col("n_wins"), col("n_comparisons"), lit(theta).as("theta"))
+    if (driverFits(op.select(col("f").as("a"), col("s").as("b")),
+        driverPairLimit, driverByteLimit)) {
+      val (g, theta) = bradleyTerryOrderDriver(op, items, k, wFirst, iters)
+      finish(g, theta)
+    } else {
+      var theta = 1.0
+      var g = items.select(col("item"), lit(1.0).as("gamma"))
+      for (_ <- 1 to iters) {
+        val terms = op
+          .join(g.select(col("item").as("f"), col("gamma").as("__gf")), Seq("f"))
+          .join(g.select(col("item").as("s"), col("gamma").as("__gs")), Seq("s"))
+        val s = terms
+          .select(col("f").as("item"),
+            round(col("n").cast("double") * lit(theta)
+              / (lit(theta) * col("__gf") + col("__gs")), 6)
+              .cast("decimal(28,6)").as("__t"))
+          .unionByName(terms.select(col("s").as("item"),
+            round(col("n").cast("double")
+              / (lit(theta) * col("__gf") + col("__gs")), 6)
+              .cast("decimal(28,6)").as("__t")))
+          .groupBy("item")
+          .agg(sum(col("__t")).cast("double").as("__s"))
+        val unnorm = items.join(s, Seq("item"))
+          .select(col("item"),
+            round(col("n_wins").cast("double") / col("__s"), 6).as("__gu"))
+        val tot = unnorm.agg(
+          sum(col("__gu").cast("decimal(28,6)")).cast("double").as("__tot"))
+        g = unnorm.crossJoin(tot)
+          .select(col("item"),
+            round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
+          .localCheckpoint(true)
+        // θ update with the NEW γ (Hunter's alternation) — one scalar
+        // fold over the bounded pair census
+        val sTheta = op
+          .join(g.select(col("item").as("f"), col("gamma").as("__gf")), Seq("f"))
+          .join(g.select(col("item").as("s"), col("gamma").as("__gs")), Seq("s"))
+          .select(round(col("n").cast("double") * col("__gf")
+            / (lit(theta) * col("__gf") + col("__gs")), 6)
+            .cast("decimal(28,6)").as("__t"))
+          .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(28,6)"))
+            .cast("double").as("__st"))
+          .head().getDouble(0)
+        theta = BigDecimal(wFirst.toDouble / sTheta)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      finish(g, theta)
+    }
+  }
+
+  /** Driver fold for [[bradleyTerryOrder]] — identical grid arithmetic
+    * (the bradleyTerryDriver pattern), returning the final strengths
+    * frame plus θ.
+    */
+  private def bradleyTerryOrderDriver(
+      op: DataFrame, items: DataFrame, k: Double, wFirst: Long,
+      iters: Int): (DataFrame, Double) = {
+    val spark = op.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val groups = op.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val itemRows = items.collect().map(r => (r.getString(0), r.getLong(1)))
+    var gamma = itemRows.map { case (it, _) => it -> 1.0 }.toMap
+    var theta = 1.0
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(BigDecimal(0).setScale(6))
+      groups.foreach { case (f, s, n, _) =>
+        val den = theta * gamma(f) + gamma(s)
+        acc(f) += BigDecimal(r6(n.toDouble * theta / den)).setScale(6)
+        acc(s) += BigDecimal(r6(n.toDouble / den)).setScale(6)
+      }
+      val gu = itemRows.map { case (it, w) =>
+        it -> r6(w.toDouble / acc(it).toDouble)
+      }
+      val tot = gu.map { case (_, v) => BigDecimal(v).setScale(6) }.sum.toDouble
+      gamma = gu.map { case (it, v) => it -> r6(v * k / tot) }.toMap
+      val sTheta = groups.map { case (f, s, n, _) =>
+        BigDecimal(r6(n.toDouble * gamma(f)
+          / (theta * gamma(f) + gamma(s)))).setScale(6)
+      }.sum.toDouble
+      theta = r6(wFirst.toDouble / sTheta)
+    }
+    (gamma.toSeq.toDF("item", "gamma"), theta)
+  }
+
   /** [[bradleyTerry]] with UNCERTAINTY: strengths alone can't gate a
     * promotion decision — a γ fitted from 3 comparisons and one from
     * 3000 print the same column. The standard error of each item's

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Preferences
+import org.apache.spark.sql.functions.{col, when}
 
 class PreferencesSpec extends SparkSpec {
   import spark.implicits._
@@ -203,6 +204,70 @@ class PreferencesSpec extends SparkSpec {
       .orderBy("item").collect().map(_.toSeq).toSeq
     assert(fit(Long.MaxValue) == fit(0L),
       "byte-gated distributed fallback must agree bitwise with the driver fold")
+  }
+
+  test("bradleyTerryOrder: pure position effect loads on theta, not strengths") {
+    // Two equal items; the first-shown side wins 9 of 10 in EACH
+    // presentation direction (interior MLE: theta* = 9 at gamma 1,1 —
+    // a boundary all-first-wins fixture would diverge). A plain BT fit
+    // sees symmetric records (gamma 1,1) and can't explain the data;
+    // the order model pushes the whole signal into theta.
+    val cmp = (
+      (1 to 9).map(_ => ("a", "b", "a")) ++ Seq(("b", "a", "a")) ++
+      (1 to 9).map(_ => ("b", "a", "b")) ++ Seq(("a", "b", "b"))
+    ).toDF("winner", "loser", "first")
+    val got = graft.operators.Preferences
+      .bradleyTerryOrder(cmp, "winner", "loser", "first", iters = 40)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(4)))
+      .toMap
+    assert(math.abs(got("a")._1 - got("b")._1) < 1e-6,
+      s"equal items must stay equal: ${got("a")._1} vs ${got("b")._1}")
+    assert(got("a")._2 > 3.0, s"position effect: theta ${got("a")._2}")
+    // swap the presentation labels -> advantage inverts: theta' ~ 1/theta
+    val swapped = cmp.select(col("winner"), col("loser"),
+      when(col("first") === col("winner"), col("loser"))
+        .otherwise(col("winner")).as("first"))
+    val thetaInv = graft.operators.Preferences
+      .bradleyTerryOrder(swapped, "winner", "loser", "first", iters = 40)
+      .collect().head.getDouble(4)
+    assert(math.abs(got("a")._2 * thetaInv - 1.0) < 0.05,
+      s"reciprocity: ${got("a")._2} * $thetaInv")
+  }
+
+  test("bradleyTerryOrder: balanced presentation gives theta ~ 1 and the BT order") {
+    // Strength-driven outcomes with presentation alternating evenly:
+    // theta stays near 1 and the strength order matches plain BT's.
+    val rows = (0 until 10).flatMap { i =>
+      val first = if (i % 2 == 0) "x" else "y"
+      val xy = if (i < 8) ("x", "y") else ("y", "x") // x beats y 8/2
+      val xz = if (i < 9) ("x", "z") else ("z", "x")
+      val yz = if (i < 7) ("y", "z") else ("z", "y")
+      Seq((xy._1, xy._2, first), (xz._1, xz._2, if (i % 2 == 0) "x" else "z"),
+        (yz._1, yz._2, if (i % 2 == 0) "y" else "z"))
+    }
+    val got = graft.operators.Preferences
+      .bradleyTerryOrder(rows.toDF("winner", "loser", "first"),
+        "winner", "loser", "first", iters = 20)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(4)))
+      .toMap
+    val (sx, sy, sz) = (got("x")._1, got("y")._1, got("z")._1)
+    assert(sx > sy && sy > sz, s"order wrong: $sx $sy $sz")
+    assert(got("x")._2 > 0.6 && got("x")._2 < 1.7,
+      s"balanced presentation: theta ${got("x")._2} should sit near 1")
+  }
+
+  test("bradleyTerryOrder: driver fast path is bitwise identical to distributed") {
+    val cmp = (
+      (1 to 7).map(_ => ("a", "b", "a")) ++ (1 to 3).map(_ => ("b", "a", "a")) ++
+      (1 to 6).map(_ => ("a", "c", "c")) ++ (1 to 2).map(_ => ("c", "a", "c")) ++
+      (1 to 5).map(_ => ("b", "c", "b")) ++ (1 to 4).map(_ => ("c", "b", "c"))
+    ).toDF("winner", "loser", "first")
+    def fit(limit: Long) = graft.operators.Preferences
+      .bradleyTerryOrder(cmp, "winner", "loser", "first", iters = 10,
+        driverPairLimit = limit)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(fit(Long.MaxValue) == fit(0L),
+      "driver and distributed alternating sweeps must agree bitwise")
   }
 
   test("bradleyTerryStdErr: se shrinks as 1/sqrt(n); fit is count-scale invariant") {
