@@ -121,28 +121,34 @@ object DawidSkene {
 
     for (_ <- 1 to iters) {
       val (conf, priors) = mStep(post)
-      // E: per (u, j) the product over the unit's votes in SORTED
-      // (rater, label) order — an explicit array fold, so the IEEE
-      // multiply order is pinned and the SQL replay writes the same
-      // left-associated chain
-      val prod = votes.join(conf, Seq("r", "l"))
-        .groupBy("u", "j")
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("r"), col("l"), col("pi")))),
-          lit(1.0),
-          (acc, x) => acc * x.getField("pi")).as("__prod"))
-        .join(broadcast(priors), Seq("j"))
-        .select(col("u"), col("j"), (col("prior") * col("__prod")).as("__num"))
-      // class total per unit in sorted-class order (same pinned-fold
-      // discipline), then normalize back onto the grid
-      val tot = prod.groupBy("u")
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("j"), col("__num")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("__num")).as("__tot"))
-      post = prod.join(tot, Seq("u"))
-        .select(col("u"), col("j"),
-          round(col("__num") / col("__tot"), 6).as("p"))
+      // E: ONE unit-keyed shuffle per sweep (r17 fusion — was two
+      // groupBys plus a join). Per unit, the votes collect once sorted
+      // by (class, rater, label); per class the product folds over the
+      // class's sublist in SORTED (rater, label) order — the same
+      // pinned IEEE multiply chain as the unfused form (a global
+      // (j,r,l,pi) sort filtered to one class IS the (r,l,pi) sort) —
+      // and the class total folds in sorted-class order row-locally.
+      // Priors enter as a literal class-sorted array (they are a
+      // bounded per-sweep aggregate; the collect is one tiny action).
+      val priorArr = priors.orderBy("j").collect()
+        .map(r => struct(lit(r.getString(0)).as("j"),
+          lit(r.getDouble(1)).as("prior")))
+      post = votes.join(broadcast(conf), Seq("r", "l"))
+        .groupBy("u")
+        .agg(array_sort(collect_list(
+          struct(col("j"), col("r"), col("l"), col("pi")))).as("__vs"))
+        .withColumn("__nums", transform(array(priorArr.toSeq: _*), p =>
+          struct(p.getField("j").as("j"),
+            (p.getField("prior") * aggregate(
+              filter(col("__vs"), v => v.getField("j") === p.getField("j")),
+              lit(1.0),
+              (acc, x) => acc * x.getField("pi"))).as("num"))))
+        .withColumn("__tot", aggregate(col("__nums"), lit(0.0),
+          (acc, x) => acc + x.getField("num")))
+        .select(col("u"), explode(transform(col("__nums"), x =>
+          struct(x.getField("j").as("j"),
+            round(x.getField("num") / col("__tot"), 6).as("p")))).as("__pj"))
+        .select(col("u"), col("__pj.j").as("j"), col("__pj.p").as("p"))
         .localCheckpoint(true)
     }
 
