@@ -3254,6 +3254,15 @@ object SparkEntry {
           prefComparisons(s, d), "winner", "loser", "first", iters = 10)
         .orderBy("item")),
 
+    // Per-item win rates with Wilson intervals (r17): the MODEL-FREE
+    // uncertainty screen beside the BT standard errors — raw wins /
+    // appearances per item with the small-n-honest interval. FULL
+    // oracle (the rateWilson expression tree, mirrored literally).
+    "q_pref_item_wilson" -> ((s, d) =>
+      graft.operators.Preferences.itemWinRates(
+          prefComparisons(s, d), "winner", "loser")
+        .orderBy("item")),
+
     // Bradley-Terry standard errors (r17): strengths with UNCERTAINTY
     // — the Fisher-information diagonal at the fitted γ, se(ln γ) =
     // 1/√I. Per-pair information terms land on the 6dp grid and fold
@@ -13336,6 +13345,30 @@ object SparkEntry {
 
     "q_hll_overlap" -> portableHllOverlapOracleSql,
     "q_pref_bt_order" -> bradleyTerryOrderOracleSql(10),
+    "q_pref_item_wilson" -> (prefCmpCteSql +
+      """, d AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN iswin THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM (SELECT w AS item, TRUE AS iswin FROM cmpx
+        |        UNION ALL SELECT l, FALSE FROM cmpx)
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT item, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         (1.96 * 1.96) / CAST(n AS DOUBLE) AS z2n
+        |  FROM d
+        |), w AS (
+        |  SELECT item, n, k, p, z2n,
+        |         (p + z2n / 2.0) / (1.0 + z2n) AS center,
+        |         (1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |                      + z2n / (4.0 * CAST(n AS DOUBLE)))) / (1.0 + z2n) AS half
+        |  FROM c
+        |)
+        |SELECT item, n AS n_comparisons, k AS n_wins, round(p, 6) AS rate,
+        |       round(center - half, 6) + 0.0e0 AS wilson_lo,
+        |       round(center + half, 6) + 0.0e0 AS wilson_hi
+        |FROM w
+        |ORDER BY item""".stripMargin),
     "q_pref_bt_se" -> bradleyTerrySeOracleSql(10),
     "q_pref_judge_bias" -> judgeQcOracleSql(10),
     "q_label_dawid_skene" -> dawidSkeneOracleSql(5),

@@ -611,6 +611,43 @@ object Preferences {
         col("kappa_vs_pool"))
   }
 
+  /** Per-item WIN RATES with Wilson 95% intervals — the model-free
+    * uncertainty screen beside [[bradleyTerryStdErr]]: no strength
+    * model at all, just each item's raw record (wins / appearances)
+    * with an interval that stays in [0,1] and behaves at small n.
+    * Items whose BT strength rests on three comparisons show up here
+    * as a wide interval before anyone reads the strength column. The
+    * Wilson tree mirrors [[EventAnalytics.rateWilson]] literally
+    * (same literals, same parenthesization), so the bounds replay.
+    */
+  def itemWinRates(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      z: Double = 1.96): DataFrame = {
+    val cmp = df.select(
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    val items = cmp.select(col("w").as("item"))
+      .unionByName(cmp.select(col("l").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val wins = cmp.groupBy(col("w").as("item")).agg(count(lit(1)).as("k"))
+    val d = items.join(wins, Seq("item"), "left")
+      .select(col("item"), col("n"), coalesce(col("k"), lit(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2n = (lit(z) * lit(z)) / nD
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / lit(2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2n / (lit(4.0) * nD))) / denom
+    d.select(col("item"), col("n").as("n_comparisons"), col("k").as("n_wins"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
   /** POSITION-BIAS gate for pairwise preference data: when a judge
     * (human or model) sees candidates in presentation order, "first
     * shown wins" should track data quality, not position — a first-

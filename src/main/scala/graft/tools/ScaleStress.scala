@@ -881,6 +881,15 @@ object ScaleStress {
     time("pref: circular triads")(
       println("[stress]   " + Preferences
         .circularTriads(cmps, "winner", "loser").collect().head))
+    // r17: order-effect BT at the same scale — "first" = the smaller
+    // item id (an interior, non-degenerate theta: the planted skills
+    // favor larger ids, so first-shown mostly loses and theta < 1);
+    // one scalar fold per sweep on top of the plain fit's shape.
+    val cmpsF = cmps.withColumn("first", least(col("winner"), col("loser")))
+    time("pref: BT order-effect driver fold")(
+      println("[stress]   theta(first=lower-id) = " + Preferences
+        .bradleyTerryOrder(cmpsF, "winner", "loser", "first", iters = 10)
+        .select("theta").head().getDouble(0)))
     cmps.unpersist(blocking = false)
 
     // r17: COMPLETE tournament (one decided comparison per pair, 2000

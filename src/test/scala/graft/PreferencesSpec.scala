@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Preferences
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, to_timestamp, when}
 
 class PreferencesSpec extends SparkSpec {
   import spark.implicits._
@@ -333,6 +333,41 @@ class PreferencesSpec extends SparkSpec {
     // calibration: the contrarian's empirical rates sit farther from
     // the pooled fit than the faithful judge's
     assert(got("j0")._4 < got("j2")._4)
+  }
+
+  test("itemWinRates: Wilson bounds match rateWilson on the same (n, k); zero-win item") {
+    val cmp = (
+      (1 to 15).map(_ => ("a", "b")) ++ (1 to 5).map(_ => ("b", "a")) ++
+      (1 to 4).map(_ => ("b", "c"))
+    ).toDF("winner", "loser")
+    // a: n=20 k=15; b: n=24 k=9; c: n=4 k=0
+    val got = Preferences.itemWinRates(cmp, "winner", "loser")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set((20L, 15L), (24L, 9L), (4L, 0L)))
+    // the same (n, k) through rateWilson must give identical bounds —
+    // one day per item with matching event counts
+    val ev = (
+      (1 to 20).map(i => ("2024-01-01 00:00:00", if (i <= 15) "purchase" else "view")) ++
+      (1 to 24).map(i => ("2024-01-02 00:00:00", if (i <= 9) "purchase" else "view")) ++
+      (1 to 4).map(_ => ("2024-01-03 00:00:00", "view"))
+    ).toDF("ts_s", "event_type")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val wr = graft.operators.EventAnalytics
+      .rateWilson(ev, "ts", col("event_type") === "purchase")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    for ((nk, (_, rate, lo, hi)) <- got) {
+      val (r2, l2, h2) = wr(nk)
+      assert(rate == r2 && lo == l2 && hi == h2,
+        s"$nk: ($rate,$lo,$hi) != ($r2,$l2,$h2)")
+    }
+    // zero-win item: interval floored sensibly inside [0,1]
+    val (_, _, cLo, cHi) = got((4L, 0L))
+    assert(cLo == 0.0 && cHi > 0.0 && cHi < 0.7)
   }
 
   test("bradleyTerry: self-comparisons and null sides are dropped") {
