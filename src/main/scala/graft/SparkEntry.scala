@@ -3392,14 +3392,16 @@ object SparkEntry {
             + (col("avg_surprisal") > cuts(0.75)).cast("long")).as("x"))
       val base = docs.filter(TextFunctions.tokenCount(col("text")) > 0)
       val fl = TextFunctions.fleschReadingEase(col("text"))
+      // both text-kernel graders melt from ONE doc scan (the fleiss/
+      // alpha house pattern) — a union of selects would run the
+      // kernels once per branch
       val g12 = base.select(col("doc_id").as("u"),
-        least(floor(TextFunctions.qualityScore(col("text")) * 4), lit(3L))
-          .cast("long").as("g1"),
-        when(fl >= 80, 3L).when(fl >= 60, 2L).when(fl >= 30, 1L)
-          .otherwise(0L).as("g2"))
-      val votes = g12.select(col("u"), col("g1").as("x"))
-        .unionByName(g12.select(col("u"), col("g2").as("x")))
-        .unionByName(g3)
+          explode(array(
+            least(floor(TextFunctions.qualityScore(col("text")) * 4), lit(3L))
+              .cast("long"),
+            when(fl >= 80, 3L).when(fl >= 60, 2L).when(fl >= 30, 1L)
+              .otherwise(0L))).as("x"))
+      val votes = g12.unionByName(g3)
       graft.operators.MlEval.krippendorffAlphaInterval(votes, "u", "x")
     }),
 

@@ -629,12 +629,15 @@ object Preferences {
         col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
       .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
-    val items = cmp.select(col("w").as("item"))
-      .unionByName(cmp.select(col("l").as("item")))
-      .groupBy("item").agg(count(lit(1)).as("n"))
-    val wins = cmp.groupBy(col("w").as("item")).agg(count(lit(1)).as("k"))
-    val d = items.join(wins, Seq("item"), "left")
-      .select(col("item"), col("n"), coalesce(col("k"), lit(0L)).as("k"))
+    // ONE scan: each comparison melts row-locally into its two sides
+    // (a union of selects would scan the source once per branch —
+    // plan-audited)
+    val d = cmp.select(explode(array(
+        struct(col("w").as("item"), lit(true).as("iswin")),
+        struct(col("l").as("item"), lit(false).as("iswin")))).as("e"))
+      .groupBy(col("e.item").as("item"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("e.iswin"), 1L).otherwise(0L)).as("k"))
     val nD = col("n").cast("double")
     val p = col("k").cast("double") / nD
     val z2n = (lit(z) * lit(z)) / nD
