@@ -45,6 +45,25 @@ object SparkEntry {
         concat(lit("r"), (col("pos") + 1).cast("string")).as("r"), col("l"))
   }
 
+  /** Scalar-grade panel for the consensus-fit queries (r18): three
+    * deterministic graders per document — g1 = the 4-gate quality
+    * score, g2 = Flesch/100 (abstains when the text has no words),
+    * g3 = 2·quality + 0.25, a planted harsh-stretched replica whose
+    * lens the fit must recover. Long form (u, r, y); the raters melt
+    * from ONE doc scan (the fleiss/alpha house pattern).
+    */
+  private def scalarGradeVotes(s: SparkSession, d: String): DataFrame = {
+    val q = TextFunctions.qualityScore(col("text"))
+    val fl = TextFunctions.fleschReadingEase(col("text"))
+    t(s, d, "documents").select(col("doc_id").as("u"),
+        posexplode(array(
+          round(q, 6),
+          round(fl / 100.0, 6),
+          round(q * 2.0 + 0.25, 6))).as(Seq("pos", "y")))
+      .select(col("u"),
+        concat(lit("g"), (col("pos") + 1).cast("string")).as("r"), col("y"))
+  }
+
   private def prefComparisons(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
@@ -3303,6 +3322,37 @@ object SparkEntry {
       graft.operators.Preferences.circularTriads(
         prefComparisons(s, d), "winner", "loser")),
 
+    // Comparison-graph connectivity gate (r18 — the Hunter condition
+    // COMPUTED, r17 verdict top item): language-stratified quality
+    // comparisons (items = lang/source, compared only within a
+    // language) form a deliberately disconnected tournament — one
+    // island per language. One row per weakly-connected component with
+    // item/pair/comparison counts and the zero-win/zero-loss censuses,
+    // so a BT fit on such data fails loudly instead of publishing
+    // cross-island gauge as strengths. FULL oracle: integer censuses +
+    // recursive transitive closure over the bounded item graph.
+    "q_pref_connectivity" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+      val a = docs.select(col("doc_id").as("ida"), col("lang").as("la"),
+        col("source").as("sa"), col("q").as("qa"))
+      val b = docs.select((col("doc_id") - 1).as("ida"), col("lang").as("lb"),
+        col("source").as("sb"), col("q").as("qb"))
+      val ia = concat_ws("/", col("la"), col("sa"))
+      val ib = concat_ws("/", col("lb"), col("sb"))
+      val cmp = a.join(b, Seq("ida"))
+        .filter(col("la") === col("lb") && col("sa") =!= col("sb"))
+        .select(
+          when(col("qa") > col("qb"), ia)
+            .when(col("qa") < col("qb"), ib)
+            .otherwise(least(ia, ib)).as("winner"),
+          when(col("qa") > col("qb"), ib)
+            .when(col("qa") < col("qb"), ia)
+            .otherwise(greatest(ia, ib)).as("loser"))
+      graft.operators.Preferences.preferenceConnectivity(cmp, "winner", "loser")
+        .orderBy("component")
+    }),
+
     // Weighted (ordinal) kappa (r16, Cohen 1968): two ORDINAL quality
     // graders — the 4-gate score quartile (0-3) and the Flesch
     // reading-ease band (0-3) — scored with quadratic-disagreement
@@ -3450,6 +3500,90 @@ object SparkEntry {
         .select(col("r").as("rater"), col("j").as("true_label"),
           col("l").as("observed_label"), col("pi"))
         .orderBy("rater", "true_label", "observed_label")),
+
+    // Scalar-grade truth inference (r18, the continuous-response
+    // companion to Dawid-Skene — r17 verdict item #2): three
+    // deterministic scalar graders per doc (4-gate quality, Flesch/100
+    // with no-word abstention, and a planted harsh-stretched replica
+    // 2q+0.25) fitted with 5 alternating-least-squares sweeps — per
+    // sweep a rater OLS, a mean-0/mean-1 gauge fix, and a precision-
+    // weighted truth readback, every iterate on the 6dp grid with
+    // exact decimal folds. Emits the per-doc consensus read THROUGH
+    // the fitted lenses. FULL oracle: sweeps unrolled as CTEs, gauge
+    // scalars as subqueries.
+    "q_label_consensus_scalar" -> ((s, d) =>
+      graft.operators.ScalarConsensus.fit(
+          scalarGradeVotes(s, d), "u", "r", "y", iters = 5)
+        .truth
+        .select(col("u").cast("long").as("doc_id"),
+          (col("truth") + lit(0.0)).as("truth"), col("n_votes"))
+        .orderBy("doc_id")),
+
+    // The fitted rater lenses from the same 5-sweep fit: WHICH grader
+    // is harsh (bias) and WHICH stretches the rubric (scale), gauge-
+    // normalized — the planted 2q+0.25 rater must surface with the
+    // largest scale. FULL oracle (same unrolled CTE chain).
+    "q_label_rater_scale" -> ((s, d) =>
+      graft.operators.ScalarConsensus.fit(
+          scalarGradeVotes(s, d), "u", "r", "y", iters = 5)
+        .raters
+        .select(col("r").as("rater"), (col("bias") + lit(0.0)).as("bias"),
+          (col("scale") + lit(0.0)).as("scale"), col("n_votes"))
+        .orderBy("rater")),
+
+    // Rater-drift slices (r18, r17 verdict item #8): Cohen's kappa per
+    // 125-doc annotation batch for the quality-vs-Gopher rater pair —
+    // the corpus-monitor shape applied to labels ("did agreement drift
+    // this batch"). One sliced cell census; the exact cohenKappa
+    // assembly per slice. FULL oracle.
+    "q_label_drift" -> ((s, d) => {
+      val rated = t(s, d, "documents").select(
+        floor(col("doc_id") / lit(125)).cast("long").as("batch"),
+        (TextFunctions.qualityScore(col("text")) >= 0.5).as("r1"),
+        graft.quality.GopherRules.passes(col("text")).as("r2"))
+      graft.operators.LabelMonitor.kappaBySlice(rated, "batch", "r1", "r2")
+        .select(col("slice"), col("n"), col("po"), col("pe"),
+          (col("kappa") + lit(0.0)).as("kappa"))
+        .orderBy("slice")
+    }),
+
+    // Store-fed label monitor (r18, r17 verdict item #3): the same
+    // sliced kappa readout computed THROUGH the incremental store —
+    // two annotation runs (even/odd doc_id) fold to mergeable cell
+    // states, merge key-wise, finalize at read. The monoid merge makes
+    // the store-fed result bit-identical to the one-shot compute, so
+    // this carries the SAME FULL oracle as q_label_drift (the identity
+    // IS the claim); LabelMonitorSpec pins the streamed fold on a real
+    // file stream.
+    "q_label_monitor" -> ((s, d) => {
+      val rated = t(s, d, "documents").select(col("doc_id"),
+        floor(col("doc_id") / lit(125)).cast("long").as("batch"),
+        (TextFunctions.qualityScore(col("text")) >= 0.5).as("r1"),
+        graft.quality.GopherRules.passes(col("text")).as("r2"))
+      val runA = graft.operators.LabelMonitor.cellState(
+        rated.filter(col("doc_id") % 2 === 0), "batch", "r1", "r2")
+      val runB = graft.operators.LabelMonitor.cellState(
+        rated.filter(col("doc_id") % 2 =!= 0), "batch", "r1", "r2")
+      graft.operators.LabelMonitor.kappaFromState(
+          graft.operators.LabelMonitor.mergeCellState(runA, runB))
+        .select(col("slice"), col("n"), col("po"), col("pe"),
+          (col("kappa") + lit(0.0)).as("kappa"))
+        .orderBy("slice")
+    }),
+
+    // Active-vote routing (r18, r17 verdict item #4): the "needs more
+    // votes" queue every annotation pipeline drains — units whose
+    // 5-sweep Dawid-Skene posterior margin (top minus runner-up class)
+    // falls below 0.333, the lowest-confidence tail of this panel,
+    // with consensus, margin and vote count. Pure composition of the
+    // oracled EM chain; FULL oracle (one margin CTE past the unrolled
+    // sweeps).
+    "q_label_route" -> ((s, d) =>
+      graft.operators.DawidSkene.route(
+          dsPanelVotes(s, d), "u", "r", "l", iters = 5, marginBelow = 0.333)
+        .select(col("u").cast("long").as("doc_id"), col("label"),
+          col("p_posterior"), col("margin"), col("n_votes"))
+        .orderBy("doc_id")),
 
     // PR operating points (r14): the imbalanced-regime twin of
     // q_roc_curve — precision/recall as single integer-ratio divisions
@@ -4755,6 +4889,80 @@ object SparkEntry {
         |  END AS consistency
         |FROM ka, ea, pa, cyc""".stripMargin
 
+  // Connectivity replay (r18): lang-stratified items, unordered pair
+  // census, recursive transitive closure over the bounded item graph
+  // (WITH RECURSIVE; the UNION-dedup recursion terminates at the
+  // closure fixpoint), then component-keyed integer censuses. min()
+  // over VARCHAR matches the engine's rank-ordered min id: both are
+  // binary string order on ASCII items.
+  private def prefConnectivityOracleSql: String =
+    """WITH RECURSIVE q AS MATERIALIZED (
+      |  SELECT doc_id, source, lang,
+      |    round((
+      |      (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+      |      (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+      |            THEN 1.0 ELSE 0.0 END) +
+      |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+      |            THEN 1.0 ELSE 0.0 END) +
+      |      least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+      |    ) / 4.0, 4) AS q
+      |  FROM (SELECT doc_id, source, lang,
+      |          length(text) AS n_chars,
+      |          len(regexp_extract_all(text, '\S+')) AS n_tok,
+      |          len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+      |            ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+      |          len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+      |        FROM documents)
+      |), cmpx AS MATERIALIZED (
+      |  SELECT CASE WHEN a.q > b.q THEN a.lang || '/' || a.source
+      |              WHEN a.q < b.q THEN b.lang || '/' || b.source
+      |              ELSE least(a.lang || '/' || a.source, b.lang || '/' || b.source) END AS w,
+      |         CASE WHEN a.q > b.q THEN b.lang || '/' || b.source
+      |              WHEN a.q < b.q THEN a.lang || '/' || a.source
+      |              ELSE greatest(a.lang || '/' || a.source, b.lang || '/' || b.source) END AS l
+      |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.lang = b.lang AND a.source <> b.source
+      |), pairs AS MATERIALIZED (
+      |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM cmpx GROUP BY 1, 2
+      |), itemsx AS MATERIALIZED (
+      |  SELECT it.item,
+      |         CAST(coalesce(wx.n_wins, 0) AS BIGINT) AS n_wins,
+      |         CAST(coalesce(lx.n_losses, 0) AS BIGINT) AS n_losses
+      |  FROM (SELECT DISTINCT item FROM
+      |          (SELECT w AS item FROM cmpx UNION ALL SELECT l FROM cmpx)) it
+      |  LEFT JOIN (SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins
+      |             FROM cmpx GROUP BY 1) wx ON wx.item = it.item
+      |  LEFT JOIN (SELECT l AS item, CAST(count(*) AS BIGINT) AS n_losses
+      |             FROM cmpx GROUP BY 1) lx ON lx.item = it.item
+      |), ed AS MATERIALIZED (
+      |  SELECT a AS s, b AS d FROM pairs
+      |  UNION
+      |  SELECT b AS s, a AS d FROM pairs
+      |), reach AS (
+      |  SELECT item AS s, item AS d FROM itemsx
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN ed e ON e.s = r.d
+      |), comp AS MATERIALIZED (
+      |  SELECT s AS item, min(d) AS component FROM reach GROUP BY 1
+      |), istat AS (
+      |  SELECT c.component, CAST(count(*) AS BIGINT) AS n_items,
+      |         CAST(sum(CASE WHEN i.n_wins = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_zero_win_items,
+      |         CAST(sum(CASE WHEN i.n_losses = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_zero_loss_items
+      |  FROM itemsx i JOIN comp c ON c.item = i.item GROUP BY 1
+      |), pstat AS (
+      |  SELECT c.component, CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(p.n) AS BIGINT) AS n_comparisons
+      |  FROM pairs p JOIN comp c ON c.item = p.a GROUP BY 1
+      |)
+      |SELECT istat.component, n_items, n_pairs, n_comparisons,
+      |       n_zero_win_items, n_zero_loss_items
+      |FROM istat JOIN pstat ON pstat.component = istat.component
+      |ORDER BY istat.component""".stripMargin
+
   // Dawid-Skene replay (r17, Dawid & Skene 1979): the same 3-rater
   // boolean panel the fleiss oracle replays (quality >= 0.5, Gopher
   // conjunction, langid == 'en'), vote-share init on the 6dp grid,
@@ -4906,6 +5114,120 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  // Scalar-consensus replay (r18): the 3-grader panel (quality,
+  // Flesch/100, the planted 2q+0.25 lens), plain-mean init on the 6dp
+  // grid, then `iters` unrolled ALS sweeps — per sweep the rater OLS
+  // from five exact decimal sufficient statistics, the mean-0/mean-1
+  // gauge fix as scalar subqueries, and the precision-weighted truth
+  // readback. Every division is fixed-order IEEE over decimal-staged
+  // folds, so the fit replays bitwise.
+  private def scalarVotesCteSql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         length(text) AS n_chars,
+      |         len(regexp_extract_all(text, '\S+')) AS n_tok,
+      |         len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+      |           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+      |         len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct,
+      |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+      |         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |           + (len(regexp_extract_all(text, '\S+'))
+      |              - len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*'))) AS syl
+      |  FROM documents
+      |), qv AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    round((
+      |      (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+      |      (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+      |            THEN 1.0 ELSE 0.0 END) +
+      |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+      |            THEN 1.0 ELSE 0.0 END) +
+      |      least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+      |    ) / 4.0, 4) AS q,
+      |    CASE WHEN n_tok > 0 THEN
+      |      round(206.835 - 1.015 * (CAST(n_tok AS DOUBLE) / snt)
+      |            - 84.6 * (CAST(syl AS DOUBLE) / n_tok), 4) END AS flesch
+      |  FROM m
+      |), votes AS MATERIALIZED (
+      |  SELECT u, r, y FROM (
+      |    SELECT doc_id AS u, 'g1' AS r, round(q, 6) AS y FROM qv
+      |    UNION ALL
+      |    SELECT doc_id, 'g2', round(flesch / 100.0, 6) FROM qv
+      |    UNION ALL
+      |    SELECT doc_id, 'g3', round(q * 2.0 + 0.25, 6) FROM qv
+      |  ) WHERE y IS NOT NULL
+      |), nr AS MATERIALIZED (
+      |  SELECT CAST(count(DISTINCT r) AS DOUBLE) AS k FROM votes
+      |), t0 AS MATERIALIZED (
+      |  SELECT u, round(CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+      |                  / CAST(count(*) AS DOUBLE), 6) AS t
+      |  FROM votes GROUP BY 1
+      |)""".stripMargin
+
+  private def scalarSweepSql(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s""", r${i}s AS MATERIALIZED (
+       |  SELECT v.r, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(t.t AS DECIMAL(28,6))) AS DOUBLE) AS st,
+       |    CAST(sum(CAST(v.y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(t.t * v.y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sty,
+       |    CAST(sum(CAST(round(t.t * t.t, 6) AS DECIMAL(28,6))) AS DOUBLE) AS stt
+       |  FROM votes v JOIN $prev t ON t.u = v.u GROUP BY 1
+       |), r${i}f AS MATERIALIZED (
+       |  SELECT r, n, b, round((sy - b * st) / CAST(n AS DOUBLE), 6) AS a
+       |  FROM (
+       |    SELECT r, n, st, sy,
+       |      CASE WHEN CAST(n AS DOUBLE) * stt - st * st > 0.0
+       |           THEN round((CAST(n AS DOUBLE) * sty - st * sy)
+       |                      / (CAST(n AS DOUBLE) * stt - st * st), 6)
+       |           ELSE 1.0 END AS b
+       |    FROM r${i}s)
+       |), g$i AS MATERIALIZED (
+       |  SELECT round(CAST(sum(CAST(a AS DECIMAL(28,6))) AS DOUBLE)
+       |               / (SELECT k FROM nr), 6) AS abar,
+       |         round(CAST(sum(CAST(b AS DECIMAL(28,6))) AS DOUBLE)
+       |               / (SELECT k FROM nr), 6) AS bbar
+       |  FROM r${i}f
+       |), r$i AS MATERIALIZED (
+       |  SELECT r, n,
+       |    CASE WHEN (SELECT bbar FROM g$i) > 0.0
+       |         THEN round(a - b * round((SELECT abar FROM g$i)
+       |                                  / (SELECT bbar FROM g$i), 6), 6)
+       |         ELSE a END AS a,
+       |    CASE WHEN (SELECT bbar FROM g$i) > 0.0
+       |         THEN round(b / (SELECT bbar FROM g$i), 6)
+       |         ELSE b END AS b
+       |  FROM r${i}f
+       |), t$i AS MATERIALIZED (
+       |  SELECT u,
+       |    CASE WHEN den > 0.0 THEN round(num / den, 6)
+       |         ELSE round(sy / m, 6) END AS t
+       |  FROM (
+       |    SELECT v.u,
+       |      CAST(count(*) AS DOUBLE) AS m,
+       |      CAST(sum(CAST(round(r.b * (v.y - r.a), 6) AS DECIMAL(28,6))) AS DOUBLE) AS num,
+       |      CAST(sum(CAST(round(r.b * r.b, 6) AS DECIMAL(28,6))) AS DOUBLE) AS den,
+       |      CAST(sum(CAST(v.y AS DECIMAL(28,6))) AS DOUBLE) AS sy
+       |    FROM votes v JOIN r$i r ON r.r = v.r GROUP BY 1)
+       |)""".stripMargin
+  }
+
+  private def scalarConsensusOracleSql(iters: Int): String =
+    scalarVotesCteSql + (1 to iters).map(scalarSweepSql).mkString +
+      s"""
+         |, nv AS (SELECT u, CAST(count(*) AS BIGINT) AS n_votes
+         |         FROM votes GROUP BY 1)
+         |SELECT t.u AS doc_id, t.t + 0.0e0 AS truth, nv.n_votes
+         |FROM t$iters t JOIN nv ON nv.u = t.u
+         |ORDER BY doc_id""".stripMargin
+
+  private def scalarRaterOracleSql(iters: Int): String =
+    scalarVotesCteSql + (1 to iters).map(scalarSweepSql).mkString +
+      s"""
+         |SELECT r AS rater, a + 0.0e0 AS bias, b + 0.0e0 AS scale,
+         |       n AS n_votes
+         |FROM r$iters ORDER BY rater""".stripMargin
+
   private def dawidSkeneOracleSql(iters: Int): String =
     dawidSkenePanelSql +
       (1 to iters).map(dawidSkeneSweepSql).mkString +
@@ -4914,6 +5236,64 @@ object SparkEntry {
          |  CASE WHEN pt > pf THEN 'true' ELSE 'false' END AS label,
          |  CASE WHEN pt > pf THEN pt ELSE pf END AS p_posterior
          |FROM p$iters ORDER BY doc_id""".stripMargin
+
+  // Sliced-kappa replay (r18, shared by q_label_drift and the
+  // store-fed q_label_monitor — the monoid merge makes them
+  // bit-identical by construction): the r1/r2 raters from the shared
+  // panel CTE, a per-batch cell census, then the exact cohenKappa
+  // assembly with the slice key carried through every fold.
+  private def labelDriftOracleSql: String =
+    dawidSkenePanelSql +
+      """, cellsx AS MATERIALIZED (
+        |  SELECT CAST(CAST(floor(doc_id / 125) AS BIGINT) AS VARCHAR) AS slice,
+        |         CAST(r1 AS VARCHAR) AS a, CAST(r2 AS VARCHAR) AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT slice, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree
+        |  FROM cellsx GROUP BY 1
+        |), nax AS (
+        |  SELECT slice, a, CAST(sum(c) AS BIGINT) AS na FROM cellsx GROUP BY 1, 2
+        |), nbx AS (
+        |  SELECT slice, b, CAST(sum(c) AS BIGINT) AS nb FROM cellsx GROUP BY 1, 2
+        |), pex AS (
+        |  SELECT nax.slice, CAST(coalesce(sum(nax.na * nbx.nb), 0) AS BIGINT) AS spe
+        |  FROM nax JOIN nbx ON nbx.slice = nax.slice AND nbx.b = nax.a
+        |  GROUP BY 1
+        |)
+        |SELECT t.slice, t.n,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  CASE WHEN CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+        |       THEN round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |                   - CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |                  / (1.0 - CAST(spe AS DOUBLE)
+        |                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |            + 0.0e0
+        |  END AS kappa
+        |FROM tot t LEFT JOIN pex ON pex.slice = t.slice
+        |ORDER BY t.slice""".stripMargin
+
+  // Routing replay (r18): the same unrolled EM chain, then the margin
+  // CTE — top-vs-runner-up posterior gap with the below-threshold
+  // filter (ties break to 'false', matching the engine's p-desc /
+  // label-asc rank). The panel never abstains, so n_votes is the
+  // literal 3.
+  private def dawidSkeneRouteOracleSql(iters: Int, marginBelow: String): String =
+    dawidSkenePanelSql +
+      (1 to iters).map(dawidSkeneSweepSql).mkString +
+      s"""
+         |SELECT u AS doc_id,
+         |  CASE WHEN pt > pf THEN 'true' ELSE 'false' END AS label,
+         |  CASE WHEN pt > pf THEN pt ELSE pf END AS p_posterior,
+         |  round((CASE WHEN pt > pf THEN pt ELSE pf END)
+         |        - (CASE WHEN pt > pf THEN pf ELSE pt END), 6) AS margin,
+         |  CAST(3 AS BIGINT) AS n_votes
+         |FROM p$iters
+         |WHERE round((CASE WHEN pt > pf THEN pt ELSE pf END)
+         |            - (CASE WHEN pt > pf THEN pf ELSE pt END), 6) < $marginBelow
+         |ORDER BY doc_id""".stripMargin
 
   // Confusion readout: one more M-step past the final posterior (the
   // engine emits the fit's confusion the same way), unpivoted to the
@@ -13374,9 +13754,15 @@ object SparkEntry {
     "q_pref_bt_se" -> bradleyTerrySeOracleSql(10),
     "q_pref_judge_bias" -> judgeQcOracleSql(10),
     "q_label_dawid_skene" -> dawidSkeneOracleSql(5),
+    "q_label_consensus_scalar" -> scalarConsensusOracleSql(5),
+    "q_label_rater_scale" -> scalarRaterOracleSql(5),
+    "q_label_route" -> dawidSkeneRouteOracleSql(5, "0.333"),
+    "q_label_drift" -> labelDriftOracleSql,
+    "q_label_monitor" -> labelDriftOracleSql,
     "q_label_ds_confusion" -> dawidSkeneConfusionOracleSql(5),
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
     "q_pref_consistency" -> prefConsistencyOracleSql,
+    "q_pref_connectivity" -> prefConnectivityOracleSql,
     "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),
     "q_pref_bt_ties" -> bradleyTerryTiesOracleSql(10, "1.5"),
 

@@ -37,8 +37,9 @@ import org.apache.spark.sql.functions._
   * localCheckpoint'd so plan depth stays constant across sweeps.
   * Caveat: the per-unit product underflows double for panels of many
   * hundreds of raters (items × judges is the normal grain — panels are
-  * small); the class count L is assumed bounded (it is the label
-  * vocabulary, not data-scale).
+  * small); [[fit]] GUARDS this — a null/NaN posterior fails loudly
+  * instead of shipping a silent NaN consensus. The class count L is
+  * assumed bounded (it is the label vocabulary, not data-scale).
   */
 object DawidSkene {
 
@@ -146,13 +147,41 @@ object DawidSkene {
         .withColumn("__tot", aggregate(col("__nums"), lit(0.0),
           (acc, x) => acc + x.getField("num")))
         .select(col("u"), explode(transform(col("__nums"), x =>
+          // the > 0 gate is inert on healthy data (same division, same
+          // rounding) — it exists so a fully-underflowed unit (every
+          // class product at 0.0) surfaces as a null posterior for the
+          // loud require below instead of an opaque ANSI 0/0 error
+          // mid-job
           struct(x.getField("j").as("j"),
-            round(x.getField("num") / col("__tot"), 6).as("p")))).as("__pj"))
+            when(col("__tot") > 0.0,
+              round(x.getField("num") / col("__tot"), 6)).as("p")))).as("__pj"))
         .select(col("u"), col("__pj.j").as("j"), col("__pj.p").as("p"))
         .localCheckpoint(true)
     }
 
-    val (conf, priors) = mStep(post)
+    val (confRaw, priorsRaw) = mStep(post)
+    // Materialize the bounded fit outputs so the persisted inputs can be
+    // released (r17 advice: repeated fits in a long-lived session
+    // accreted votes/classes caches with no release path). conf is
+    // raters × classes², priors is classes — both tiny by grain; the
+    // posterior is already localCheckpoint'd per sweep.
+    val conf = confRaw.localCheckpoint(true)
+    val priors = priorsRaw.localCheckpoint(true)
+    votes.unpersist()
+    classes.unpersist()
+    // Loud underflow gate (r17 advice): a unit's per-class vote-product
+    // folds raw 6dp π values from 1.0, so panels of many hundreds of
+    // raters can exhaust double range — num/__tot then goes 0/0 → NaN
+    // (or null once propagated). Panels are small by grain (items ×
+    // judges), so this is a structural caveat — but it must fail
+    // loudly, never ship a silent NaN consensus. One bounded scan of
+    // the checkpointed posterior.
+    require(
+      post.filter(col("p").isNull || isnan(col("p"))).limit(1).count() == 0L,
+      "DawidSkene.fit: posterior underflowed to null/NaN — a unit's " +
+        "per-class vote product exhausted double range (panel too large " +
+        "for the pinned product fold); reduce the per-unit panel size " +
+        "or shard the vote set")
     DawidSkeneFit(post, conf, priors)
   }
 
@@ -167,6 +196,49 @@ object DawidSkene {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("u"), col("j").as("label"), col("p").as("p_posterior"))
+  }
+
+  /** ACTIVE-VOTE ROUTING readout — the "needs more votes" queue every
+    * annotation pipeline drains: units whose fitted posterior MARGIN
+    * (top class minus runner-up) falls below `marginBelow`, with the
+    * current consensus label, the margin, and the unit's vote count —
+    * so the next labeling batch goes where the model is least sure,
+    * not round-robin. Pure composition of the oracled posterior chain:
+    * the margin is one 6dp-grid subtraction of two grid posteriors and
+    * the vote census one unit-keyed count, so the whole queue replays
+    * in SQL on top of the unrolled EM sweeps.
+    *
+    * Scale shape: one unit-keyed window rank over the posterior
+    * (units × L rows, L bounded) + one vote census — nothing beyond
+    * the fit's own cost.
+    */
+  def route(
+      df: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String,
+      iters: Int = 10,
+      smoothing: Double = 0.01,
+      marginBelow: Double = 0.5): DataFrame = {
+    val f = fit(df, unitCol, raterCol, labelCol, iters, smoothing)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("p").desc, col("j").asc)
+    val ranked = f.posterior.withColumn("__rn", row_number().over(w))
+    val top = ranked.filter(col("__rn") === 1)
+      .select(col("u"), col("j").as("label"), col("p").as("__p1"))
+    val second = ranked.filter(col("__rn") === 2)
+      .select(col("u"), col("p").as("__p2"))
+    val nVotes = df.select(
+        col(unitCol).cast("string").as("u"),
+        col(raterCol).cast("string").as("r"),
+        col(labelCol).cast("string").as("l"))
+      .filter(col("u").isNotNull && col("r").isNotNull && col("l").isNotNull)
+      .groupBy("u").agg(count(lit(1)).as("n_votes"))
+    top.join(second, Seq("u"), "left")
+      .select(col("u"), col("label"), col("__p1").as("p_posterior"),
+        round(col("__p1") - coalesce(col("__p2"), lit(0.0)), 6).as("margin"))
+      .filter(col("margin") < marginBelow)
+      .join(nVotes, Seq("u"))
   }
 
   /** One-call form: fit + consensus. */

@@ -206,8 +206,16 @@ object Ingest {
     // persist it for the duration so the source scans once (r16
     // verdict: the un-persisted count re-scanned the source in the #1
     // bench entry's hot loop). Unpersisted before return; the link
-    // edges' lineage reads LANDED files, never this frame.
-    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edges' lineage reads LANDED files, never this frame. Ownership
+    // guard (r17 advice): persist/unpersist only when the CALLER hasn't
+    // already cached this frame — unpersist is not scoped, so releasing
+    // a caller-held cache here would silently drop it on return.
+    val ownsCache =
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val b =
+      if (ownsCache)
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batch
 
     // in-batch dedup first (house order: cheap hash groupBy, then the
     // sketch path only sees distinct texts), then ONE sketch of the
@@ -233,7 +241,7 @@ object Ingest {
     fpBatch.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
     fpBatch.unpersist()
-    b.unpersist()
+    if (ownsCache) b.unpersist()
     val fpSurv = spark.read.parquet(s"$indexPath/delta=$batchId")
       .select("id", "content_md5", "sig")
 

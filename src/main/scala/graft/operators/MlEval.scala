@@ -350,6 +350,7 @@ object MlEval {
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df
       .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = cells.agg(
@@ -362,7 +363,7 @@ object MlEval {
     val poRaw = col("__agree").cast("double") / col("n").cast("double")
     val peRaw = col("__spe").cast("double") /
       (col("n").cast("double") * col("n").cast("double"))
-    totals.crossJoin(pe)
+    val res = totals.crossJoin(pe)
       .filter(col("n") > 0)
       .select(
         col("n"),
@@ -370,6 +371,9 @@ object MlEval {
         round(peRaw, 6).as("pe"),
         when(peRaw < 1.0, round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
           .as("kappa"))
+      .localCheckpoint(true) // one-row readout; releases the cell cache
+    cells.unpersist()
+    res
   }
 
   /** Gwet's AC1 (Gwet 2008, "Computing inter-rater reliability and its
@@ -391,8 +395,13 @@ object MlEval {
     * for n up to ~1.5e9 (the shared bounded-input posture).
     */
   def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // missing votes drop as unrated, not as phantom categories: a null
+    // surviving the groupBy would never match the USING full join and
+    // so would count as an extra category in K and the pe_gamma fold
+    // (the r17 advice gap; bradleyTerry shares this input hygiene)
     val cells = df
       .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = cells.agg(
@@ -415,7 +424,7 @@ object MlEval {
     val peRaw = col("__s").cast("double") /
       ((lit(2L) * col("n")).cast("double") * (lit(2L) * col("n")).cast("double")
         * (col("__k") - 1).cast("double"))
-    totals.crossJoin(sk)
+    val res = totals.crossJoin(sk)
       .filter(col("n") > 0)
       .select(
         col("n"),
@@ -423,6 +432,9 @@ object MlEval {
         when(col("__k") > 1, round(peRaw, 6)).as("pe_gamma"),
         when(col("__k") > 1, round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
           .as("ac1"))
+      .localCheckpoint(true) // one-row readout; releases the cell cache
+    cells.unpersist()
+    res
   }
 
   /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement for a
@@ -443,6 +455,7 @@ object MlEval {
   def fleissKappa(df: DataFrame, unitCol: String, labelCol: String): DataFrame = {
     val nik = df
       .select(col(unitCol).as("u"), col(labelCol).cast("string").as("k"))
+      .filter(col("u").isNotNull && col("k").isNotNull)
       .groupBy("u", "k").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val per = nik.groupBy("u").agg(
@@ -453,7 +466,7 @@ object MlEval {
       max(col("m")).as("m_raters"),
       count(lit(1)).as("n_units"),
       sum(col("ss") - col("m")).as("__num"))
-    val chk = totals.select(col("__nm"), col("m_raters")).head()
+    val chk = totals.select(col("__nm"), col("m_raters"), col("n_units")).head()
     // max(m) is null on an empty input — read it null-safely so the
     // require below reports the intended error, not an NPE from the
     // message interpolation.
@@ -462,6 +475,15 @@ object MlEval {
       s"fleissKappa needs a constant rater count >= 2 per unit; got " +
         s"${chk.getLong(0)} distinct count(s), max m = $mMax - " +
         "balance the panel (or drop under-rated units) upstream")
+    // loud long-lane gate (r17 verdict): Σ c_k² is bounded by (N·m)²
+    // when one category takes every assignment, so total assignments
+    // past √Long.MaxValue could silently wrap the chance numerator into
+    // a wrong kappa. Fail loudly instead.
+    val totalAssignments = BigInt(chk.getLong(2)) * BigInt(mMax)
+    require(totalAssignments <= BigInt(3037000499L),
+      s"fleissKappa: $totalAssignments assignments exceed the exact " +
+        "signed-long lane for the chance numerator (max 3037000499 = " +
+        "sqrt(Long.MaxValue)); shard the panel or pre-aggregate upstream")
     val sck2 = nik.groupBy("k").agg(sum(col("c")).as("__ck"))
       .agg(coalesce(sum(col("__ck") * col("__ck")), lit(0L)).as("__sck2"))
     val pBarRaw = col("__num").cast("double") /
@@ -470,7 +492,7 @@ object MlEval {
     val peRaw = col("__sck2").cast("double") /
       ((col("n_units") * col("m_raters")).cast("double")
         * (col("n_units") * col("m_raters")).cast("double"))
-    totals.crossJoin(sck2)
+    val res = totals.crossJoin(sck2)
       .filter(col("n_units") > 0)
       .select(
         col("n_units"), col("m_raters"),
@@ -478,6 +500,9 @@ object MlEval {
         round(peRaw, 6).as("p_e"),
         when(peRaw < 1.0, round((pBarRaw - peRaw) / (lit(1.0) - peRaw), 6))
           .as("kappa"))
+      .localCheckpoint(true) // one-row readout; releases the nik cache
+    nik.unpersist()
+    res
   }
 
   /** WEIGHTED Cohen's kappa for ORDINAL grades (Cohen 1968), quadratic
@@ -497,6 +522,7 @@ object MlEval {
       df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df
       .select(col(aCol).cast("long").as("i"), col(bCol).cast("long").as("j"))
+      .filter(col("i").isNotNull && col("j").isNotNull)
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val obs = cells.agg(
@@ -511,7 +537,7 @@ object MlEval {
     val doRaw = col("__od").cast("double") / col("n").cast("double")
     val deRaw = col("__ed").cast("double") /
       (col("n").cast("double") * col("n").cast("double"))
-    obs.crossJoin(exp)
+    val res = obs.crossJoin(exp)
       .filter(col("n") > 0)
       .select(
         col("n"),
@@ -519,6 +545,9 @@ object MlEval {
         round(deRaw, 6).as("d_e"),
         when(col("__ed") > 0, round(lit(1.0) - doRaw / deRaw, 6))
           .as("kappa_w"))
+      .localCheckpoint(true) // one-row readout; releases the cell cache
+    cells.unpersist()
+    res
   }
 
   /** Krippendorff's alpha, nominal scale (Krippendorff 1970/2004): the
@@ -541,6 +570,7 @@ object MlEval {
       df: DataFrame, unitCol: String, labelCol: String): DataFrame = {
     val nik = df
       .select(col(unitCol).as("u"), col(labelCol).cast("string").as("k"))
+      .filter(col("u").isNotNull && col("k").isNotNull)
       .groupBy("u", "k").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mPer = nik.groupBy("u").agg(sum(col("c")).as("m"))
@@ -567,7 +597,7 @@ object MlEval {
     val doRaw = col("__sdo").cast("double") / col("n").cast("double")
     val deRaw = col("__sde").cast("double") /
       (col("n").cast("double") * (col("n") - 1).cast("double"))
-    nUnits.crossJoin(totals).crossJoin(doTerms).crossJoin(deNum)
+    val res = nUnits.crossJoin(totals).crossJoin(doTerms).crossJoin(deNum)
       .filter(col("n") > 0)
       .select(
         col("n_units"), col("n").as("n_assignments"), col("__ncat").as("n_categories"),
@@ -575,6 +605,9 @@ object MlEval {
         round(deRaw, 6).as("d_e"),
         when(col("__sde") > 0,
           round(lit(1.0) - doRaw / deRaw, 6)).as("alpha"))
+      .localCheckpoint(true) // one-row readout; releases the nik cache
+    nik.unpersist()
+    res
   }
 
   /** Krippendorff's alpha, INTERVAL metric (Krippendorff 2004): the
@@ -591,18 +624,21 @@ object MlEval {
     * square-sum S2); the one unit-varying rational lands on the 6dp
     * grid and folds as an exact decimal (the house staging rule), and
     * the assembly is two fixed-order IEEE divisions — bitwise-
-    * replayable. (Σx)² stays in the signed-long lane for n·maxGrade up
-    * to ~3e9 (the shared bounded-input posture).
+    * replayable. The moment lanes (x², (Σx)², the 2mS2−2S1² assembly)
+    * fold in decimal(38,0), so grades up to ~1e18 in magnitude can no
+    * longer silently wrap a signed long into a wrong alpha (the r17
+    * long-lane caveat, closed by widening instead of a bound).
     */
   def krippendorffAlphaInterval(
       df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
     val v = df
       .select(col(unitCol).as("u"), col(valueCol).cast("long").as("x"))
-      .filter(col("x").isNotNull)
+      .filter(col("u").isNotNull && col("x").isNotNull)
+    val xd = col("x").cast("decimal(19,0)")
     val per = v.groupBy("u").agg(
       count(lit(1)).as("m"),
-      sum(col("x")).as("s1"),
-      sum(col("x") * col("x")).as("s2"))
+      sum(xd).as("s1"),
+      sum(xd * xd).as("s2"))
     val pairable = per.filter(col("m") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val doTerms = pairable
@@ -614,20 +650,23 @@ object MlEval {
     val totals = pairable.agg(
       count(lit(1)).as("n_units"),
       coalesce(sum(col("m")), lit(0L)).as("n"),
-      coalesce(sum(col("s1")), lit(0L)).as("__ts1"),
-      coalesce(sum(col("s2")), lit(0L)).as("__ts2"))
+      coalesce(sum(col("s1")), lit(0).cast("decimal(38,0)")).as("__ts1"),
+      coalesce(sum(col("s2")), lit(0).cast("decimal(38,0)")).as("__ts2"))
     val deNum = (lit(2L) * col("n") * col("__ts2")
       - lit(2L) * col("__ts1") * col("__ts1"))
     val doRaw = col("__sdo").cast("double") / col("n").cast("double")
     val deRaw = deNum.cast("double") /
       (col("n").cast("double") * (col("n") - 1).cast("double"))
-    totals.crossJoin(doTerms)
+    val res = totals.crossJoin(doTerms)
       .filter(col("n") > 0)
       .select(
         col("n_units"), col("n").as("n_assignments"),
         round(doRaw, 6).as("d_o"),
         round(deRaw, 6).as("d_e"),
         when(deNum > 0, round(lit(1.0) - doRaw / deRaw, 6)).as("alpha"))
+      .localCheckpoint(true) // one-row readout; releases the unit cache
+    pairable.unpersist()
+    res
   }
 
 }

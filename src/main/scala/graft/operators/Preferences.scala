@@ -54,6 +54,33 @@ object Preferences {
     rows <= pairLimit && (2L * chars + 120L * rows) <= byteLimit
   }
 
+  /** Record-level normalization shared by the whole BT family. */
+  private def normalizeCmp(
+      df: DataFrame, winnerCol: String, loserCol: String): DataFrame =
+    df.select(
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+
+  /** Ordered-pair census — one row per (winner, loser) with the record
+    * count: the ONE source fold every readout in the family derives
+    * from. The r17 verdict flagged the SE and judge-QC readouts for
+    * re-deriving the pair census from the raw comparisons a second
+    * time per call; they now fold this bounded table instead, so each
+    * call scans the comparison source exactly once.
+    */
+  private def orderedCensus(cmp: DataFrame): DataFrame =
+    cmp.groupBy("w", "l").agg(count(lit(1)).as("cn"))
+
+  /** Unordered pair-count table from the ordered census (values
+    * identical to a direct record fold — counts sum).
+    */
+  private def unorderedPairs(oc: DataFrame): DataFrame =
+    oc.groupBy(
+        least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(sum(col("cn")).as("n"))
+
   def bradleyTerry(
       df: DataFrame, /* one row per comparison */
       winnerCol: String,
@@ -61,19 +88,30 @@ object Preferences {
       iters: Int = 10,
       driverPairLimit: Long = DefaultDriverPairLimit,
       driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
-    val cmp = df.select(
-        col(winnerCol).cast("string").as("w"),
-        col(loserCol).cast("string").as("l"))
-      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
-    val pairs = cmp.groupBy(
-        least(col("w"), col("l")).as("a"),
-        greatest(col("w"), col("l")).as("b"))
-      .agg(count(lit(1)).as("n"))
+    val oc = orderedCensus(normalizeCmp(df, winnerCol, loserCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val winCensus = cmp.groupBy(col("w").as("item")).agg(count(lit(1)).as("n_wins"))
-    val items = cmp.select(col("w").as("item"))
-      .unionByName(cmp.select(col("l").as("item")))
+    try fitFromOrdered(oc, iters, driverPairLimit, driverByteLimit)
+    finally oc.unpersist()
+  }
+
+  /** The MM fit from a precomputed ordered census (persisted by the
+    * caller). Both regimes release their own pair/item caches before
+    * returning (r17 advice: no per-call cache accretion): the driver
+    * path has collected everything it needs, and the distributed
+    * path's result is item-grain bounded, so it localCheckpoints
+    * eagerly and drops the inputs.
+    */
+  private def fitFromOrdered(
+      oc: DataFrame,
+      iters: Int,
+      driverPairLimit: Long,
+      driverByteLimit: Long): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val pairs = unorderedPairs(oc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winCensus = oc.groupBy(col("w").as("item")).agg(sum(col("cn")).as("n_wins"))
+    val items = oc.select(col("w").as("item"))
+      .unionByName(oc.select(col("l").as("item")))
       .distinct()
       .join(winCensus, Seq("item"), "left")
       .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
@@ -87,40 +125,45 @@ object Preferences {
     // fixture-cost-only at sf0.1). The distributed path below remains
     // for pair tables past the limit and is pinned output-identical in
     // PreferencesSpec.
-    if (driverFits(pairs, driverPairLimit, driverByteLimit))
-      bradleyTerryDriver(pairs, items, k, iters)
-    else {
-      val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
-        .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
-      val nCmp = adj.groupBy(col("i").as("item"))
-        .agg(sum(col("n")).as("n_comparisons"))
-      var g = items.select(col("item"), lit(1.0).as("gamma"))
-      for (_ <- 1 to iters) {
-        // denominator fold: 6dp terms through an exact decimal sum, so
-        // the per-item Σ is order-free on both engines
-        val s = adj
-          .join(g.select(col("item").as("i"), col("gamma").as("__gi")), Seq("i"))
-          .join(g.select(col("item").as("j"), col("gamma").as("__gj")), Seq("j"))
-          .withColumn("__t", round(col("n").cast("double")
-            / (col("__gi") + col("__gj")), 6).cast("decimal(28,6)"))
-          .groupBy(col("i").as("item"))
-          .agg(sum(col("__t")).cast("double").as("__s"))
-        val unnorm = items.join(s, Seq("item"))
-          .select(col("item"),
-            round(col("n_wins").cast("double") / col("__s"), 6).as("__gu"))
-        val tot = unnorm.agg(
-          sum(col("__gu").cast("decimal(28,6)")).cast("double").as("__tot"))
-        g = unnorm.crossJoin(tot)
-          .select(col("item"),
-            round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
+    val res =
+      if (driverFits(pairs, driverPairLimit, driverByteLimit))
+        bradleyTerryDriver(pairs, items, k, iters)
+      else {
+        val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+          .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+        val nCmp = adj.groupBy(col("i").as("item"))
+          .agg(sum(col("n")).as("n_comparisons"))
+        var g = items.select(col("item"), lit(1.0).as("gamma"))
+        for (_ <- 1 to iters) {
+          // denominator fold: 6dp terms through an exact decimal sum, so
+          // the per-item Σ is order-free on both engines
+          val s = adj
+            .join(g.select(col("item").as("i"), col("gamma").as("__gi")), Seq("i"))
+            .join(g.select(col("item").as("j"), col("gamma").as("__gj")), Seq("j"))
+            .withColumn("__t", round(col("n").cast("double")
+              / (col("__gi") + col("__gj")), 6).cast("decimal(28,6)"))
+            .groupBy(col("i").as("item"))
+            .agg(sum(col("__t")).cast("double").as("__s"))
+          val unnorm = items.join(s, Seq("item"))
+            .select(col("item"),
+              round(col("n_wins").cast("double") / col("__s"), 6).as("__gu"))
+          val tot = unnorm.agg(
+            sum(col("__gu").cast("decimal(28,6)")).cast("double").as("__tot"))
+          g = unnorm.crossJoin(tot)
+            .select(col("item"),
+              round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
+            .localCheckpoint(true)
+        }
+        items.join(g, Seq("item")).join(nCmp, Seq("item"))
+          .select(col("item"), col("gamma").as("strength"),
+            col("n_wins"), col("n_comparisons"),
+            // implied win probability vs an average (strength-1) opponent
+            round(col("gamma") / (col("gamma") + lit(1.0)), 6).as("p_beat_avg"))
           .localCheckpoint(true)
       }
-      items.join(g, Seq("item")).join(nCmp, Seq("item"))
-        .select(col("item"), col("gamma").as("strength"),
-          col("n_wins"), col("n_comparisons"),
-          // implied win probability vs an average (strength-1) opponent
-          round(col("gamma") / (col("gamma") + lit(1.0)), 6).as("p_beat_avg"))
-    }
+    pairs.unpersist()
+    items.unpersist()
+    res
   }
 
   /** Driver MM fold — the same grid arithmetic as the distributed path
@@ -224,7 +267,7 @@ object Preferences {
       .select(col("item"), coalesce(col("n_credit"), lit(0L)).as("n_credit"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = items.count().toDouble
-    if (driverFits(pairs, driverPairLimit, driverByteLimit))
+    val res = if (driverFits(pairs, driverPairLimit, driverByteLimit))
       bradleyTerryTiesDriver(pairs, items, k, theta, iters)
     else {
       // directed table: one row per ordered (i, j) carrying both
@@ -257,6 +300,12 @@ object Preferences {
       }
       finishTies(items, g, pairs, theta)
     }
+    // item-grain output: materialize, then release the per-call caches
+    // (r17 advice — both regimes read pairs/items lazily via finishTies)
+    val out = res.localCheckpoint(true)
+    pairs.unpersist()
+    items.unpersist()
+    out
   }
 
   private def finishTies(
@@ -373,7 +422,7 @@ object Preferences {
       items.join(g, Seq("item")).join(nCmpTbl, Seq("item"))
         .select(col("item"), col("gamma").as("strength"),
           col("n_wins"), col("n_comparisons"), lit(theta).as("theta"))
-    if (driverFits(op.select(col("f").as("a"), col("s").as("b")),
+    val res = if (driverFits(op.select(col("f").as("a"), col("s").as("b")),
         driverPairLimit, driverByteLimit)) {
       val (g, theta) = bradleyTerryOrderDriver(op, items, k, wFirst, iters)
       finish(g, theta)
@@ -420,6 +469,12 @@ object Preferences {
       }
       finish(g, theta)
     }
+    // item-grain output: materialize, then release the per-call caches
+    // (r17 advice — finish() reads op/items lazily in both regimes)
+    val out = res.localCheckpoint(true)
+    op.unpersist()
+    items.unpersist()
+    out
   }
 
   /** Driver fold for [[bradleyTerryOrder]] — identical grid arithmetic
@@ -484,15 +539,13 @@ object Preferences {
       winnerCol: String,
       loserCol: String,
       iters: Int = 10): DataFrame = {
-    val fit = bradleyTerry(df, winnerCol, loserCol, iters)
-    val cmp = df.select(
-        col(winnerCol).cast("string").as("w"),
-        col(loserCol).cast("string").as("l"))
-      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
-    val pairs = cmp.groupBy(
-        least(col("w"), col("l")).as("a"),
-        greatest(col("w"), col("l")).as("b"))
-      .agg(count(lit(1)).as("n"))
+    // ONE source scan: the fit and the Fisher fold share the same
+    // ordered census (r17 verdict: this readout used to re-derive the
+    // pair census from the raw comparisons after the fit already had)
+    val oc = orderedCensus(normalizeCmp(df, winnerCol, loserCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = fitFromOrdered(oc, iters, DefaultDriverPairLimit, DefaultDriverByteLimit)
+    val pairs = unorderedPairs(oc)
     val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
       .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
     val g = fit.select(col("item"), col("strength"))
@@ -505,12 +558,15 @@ object Preferences {
         .cast("decimal(28,6)"))
       .groupBy(col("i").as("item"))
       .agg(sum(col("__t")).cast("double").as("fisher_info"))
-    fit.join(info, Seq("item"))
+    val res = fit.join(info, Seq("item"))
       .select(col("item"), col("strength"), col("n_wins"),
         col("n_comparisons"), col("fisher_info"),
         when(col("fisher_info") > 0,
           round(lit(1.0) / sqrt(col("fisher_info")), 6))
           .as("se_log_strength"))
+      .localCheckpoint(true) // item-grain; lets the census cache release
+    oc.unpersist()
+    res
   }
 
   /** PER-JUDGE QC readout: the r16 gates pooled over all judges tell
@@ -548,7 +604,14 @@ object Preferences {
       .filter(col("w").isNotNull && col("l").isNotNull &&
         col("f").isNotNull && col("g").isNotNull && col("w") =!= col("l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fit = bradleyTerry(df, winnerCol, loserCol, iters)
+    // ONE source scan: the pooled fit folds the persisted record
+    // table's own (w, l) census instead of re-reading the raw source
+    // (r17 verdict item), and the conformity block folds the per-judge
+    // pair census instead of a record-level majority join — same exact
+    // integers, one less pass.
+    val oc = orderedCensus(cmp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = fitFromOrdered(oc, iters, DefaultDriverPairLimit, DefaultDriverByteLimit)
       .select(col("item"), col("strength"))
     // position-bias block, per judge
     val pos = cmp.groupBy("g").agg(
@@ -570,6 +633,7 @@ object Preferences {
       .agg(
         sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("__wa"),
         count(lit(1)).as("__jn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val calib = jp
       .join(fit.select(col("item").as("a"), col("strength").as("__ga")), Seq("a"))
       .join(fit.select(col("item").as("b"), col("strength").as("__gb")), Seq("b"))
@@ -580,24 +644,20 @@ object Preferences {
       .groupBy("g")
       .agg(round((sum(col("__gap") * col("__jn"))).cast("double")
         / sum(col("__jn")).cast("double"), 6).as("calib_gap"))
-    // conformity block: judge verdict vs pooled majority per pair
-    val maj = cmp.groupBy(
-        least(col("w"), col("l")).as("a"),
-        greatest(col("w"), col("l")).as("b"))
-      .agg(
-        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("__pwa"),
-        count(lit(1)).as("__pn"))
+    // conformity block: judge verdict vs pooled majority per pair —
+    // the pooled majority and the per-judge record tallies both fold
+    // from the jp census (tie pairs drop as undecided, as before)
+    val maj = jp.groupBy("a", "b")
+      .agg(sum(col("__wa")).as("__pwa"), sum(col("__jn")).as("__pn"))
       .filter(lit(2L) * col("__pwa") =!= col("__pn"))
       .select(col("a"), col("b"), (lit(2L) * col("__pwa") > col("__pn")).as("__maj_a"))
-    val rec = cmp
-      .select(col("g"), least(col("w"), col("l")).as("a"),
-        greatest(col("w"), col("l")).as("b"), (col("w") < col("l")).as("__x"))
-      .join(maj, Seq("a", "b"))
-    val kap = rec.groupBy("g").agg(
-        count(lit(1)).as("__n2"),
-        sum(when(col("__x") === col("__maj_a"), 1L).otherwise(0L)).as("__agree"),
-        sum(when(col("__x"), 1L).otherwise(0L)).as("__xa"),
-        sum(when(col("__maj_a"), 1L).otherwise(0L)).as("__ya"))
+    val kap = jp.join(maj, Seq("a", "b"))
+      .groupBy("g").agg(
+        sum(col("__jn")).as("__n2"),
+        sum(when(col("__maj_a"), col("__wa"))
+          .otherwise(col("__jn") - col("__wa"))).as("__agree"),
+        sum(col("__wa")).as("__xa"),
+        sum(when(col("__maj_a"), col("__jn")).otherwise(0L)).as("__ya"))
       .select(col("g"), {
         val po = col("__agree").cast("double") / col("__n2").cast("double")
         val pe = (col("__xa") * col("__ya")
@@ -605,10 +665,15 @@ object Preferences {
           .cast("double") / (col("__n2").cast("double") * col("__n2").cast("double"))
         when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
       }.as("kappa_vs_pool"))
-    pos.join(calib, Seq("g"), "left").join(kap, Seq("g"), "left")
+    val res = pos.join(calib, Seq("g"), "left").join(kap, Seq("g"), "left")
       .select(col("g").as("judge"), col("n"), col("first_win_rate"),
         col("chi2"), col("position_biased"), col("calib_gap"),
         col("kappa_vs_pool"))
+      .localCheckpoint(true) // judge-grain; releases the three caches
+    cmp.unpersist()
+    oc.unpersist()
+    jp.unpersist()
+    res
   }
 
   /** Per-item WIN RATES with Wilson 95% intervals — the model-free
@@ -701,20 +766,20 @@ object Preferences {
       loserCol: String,
       iters: Int = 10,
       minComparisons: Long = 1L): DataFrame = {
-    val fit = bradleyTerry(df, winnerCol, loserCol, iters)
+    // same one-census posture as the SE readout: fit and pair-vote
+    // table fold the shared ordered census, one source scan per call
+    val oc = orderedCensus(normalizeCmp(df, winnerCol, loserCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = fitFromOrdered(oc, iters, DefaultDriverPairLimit, DefaultDriverByteLimit)
       .select(col("item"), col("strength"))
-    val cmp = df.select(
-        col(winnerCol).cast("string").as("w"),
-        col(loserCol).cast("string").as("l"))
-      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
-    val pairVotes = cmp.groupBy(
+    val pairVotes = oc.groupBy(
         least(col("w"), col("l")).as("item_a"),
         greatest(col("w"), col("l")).as("item_b"))
       .agg(
-        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("wins_a"),
-        count(lit(1)).as("n"))
+        sum(when(col("w") < col("l"), col("cn")).otherwise(0L)).as("wins_a"),
+        sum(col("cn")).as("n"))
       .filter(col("n") >= minComparisons)
-    pairVotes
+    val res = pairVotes
       .join(fit.select(col("item").as("item_a"), col("strength").as("__ga")),
         Seq("item_a"))
       .join(fit.select(col("item").as("item_b"), col("strength").as("__gb")),
@@ -726,6 +791,9 @@ object Preferences {
         round(abs(col("__ga") / (col("__ga") + col("__gb"))
           - col("wins_a").cast("double") / col("n").cast("double")), 6)
           .as("abs_gap"))
+      .localCheckpoint(true) // pair-grain output; releases the census
+    oc.unpersist()
+    res
   }
 
   /** Circular-triad CONSISTENCY check (Kendall & Babington Smith 1940)
@@ -785,24 +853,27 @@ object Preferences {
     val nEdges = edges.count()
     val k = BigInt(nItems)
     val complete = BigInt(nEdges) == k * (k - 1) / 2
-    val nCyclic: Long =
+    val nCyclic: BigInt =
       if (complete) {
         // Kendall's identity: d = C(k,3) − Σ_i C(wins_i, 2). Exact
         // decimal fold (wins up to k−1, so the per-item product is
-        // widened before the sum ever grows).
+        // widened before the sum ever grows). d stays a BigInt through
+        // the coefficient below — C(k,3) passes Long at k ≈ 3.8M items,
+        // and a silent .toLong wrap there would undo exactly what the
+        // BigInt staging of d_max bought (r17 advice).
         val sumC2 = edges.groupBy("src").agg(count(lit(1)).as("__w"))
           .agg(coalesce(
             sum((col("__w").cast("decimal(38,0)") * (col("__w") - 1)) / 2),
             lit(0).cast("decimal(38,6)")).as("__s"))
           .head().getDecimal(0)
-        (k * (k - 1) * (k - 2) / 6 - BigInt(sumC2.toBigInteger)).toLong
+        k * (k - 1) * (k - 2) / 6 - BigInt(sumC2.toBigInteger)
       } else
-        edges.as("e1")
+        BigInt(edges.as("e1")
           .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
           .join(edges.as("e3"),
             col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
           .agg((count(lit(1)) / 3).cast("long").as("n_cyclic_triads"))
-          .head().getLong(0)
+          .head().getLong(0))
     pairVotes.unpersist()
     edges.unpersist()
     val dMax: BigInt =
@@ -812,7 +883,94 @@ object Preferences {
         Some(BigDecimal(1.0 - nCyclic.toDouble / dMax.toDouble)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       else None
-    Seq((nItems, nPairs, nEdges, nCyclic, consistency))
+    // the EMITTED count keeps its bigint column (schema stability);
+    // past Long it cannot be represented — fail loudly, never wrap
+    require(nCyclic.isValidLong,
+      s"circularTriads: cyclic-triad count $nCyclic exceeds the bigint " +
+        s"output lane ($nItems items); the consistency coefficient is " +
+        "still exact — shard the readout or raise the lane upstream")
+    Seq((nItems, nPairs, nEdges, nCyclic.toLong, consistency))
       .toDF("n_items", "n_pairs", "n_edges", "n_cyclic_triads", "consistency")
+  }
+
+  /** COMPARISON-GRAPH CONNECTIVITY gate — the Hunter condition made
+    * computable. Every [[bradleyTerry]] docstring warns that the MM fit
+    * is only identified on a connected comparison graph: on a
+    * DISCONNECTED graph the fit still converges, but cross-island
+    * strength ratios are pure gauge (the mean-1 normalization couples
+    * islands that share no data), so reading the strength column across
+    * islands is meaningless — and a zero-win item sinks toward strength
+    * 0 regardless of who it lost to. Nothing COMPUTED that precondition
+    * until now; this readout does, so a caller can fail loudly or fit
+    * per-component.
+    *
+    * One row per weakly-connected component of the unordered pair
+    * graph: the component label (its lexicographically smallest item),
+    * item / pair / comparison counts, and the zero-win / zero-loss item
+    * censuses (the within-component degeneracies weak connectivity
+    * cannot see — a zero-win item breaks strong connectivity even
+    * inside one component). A healthy tournament reads as ONE row with
+    * zero zero-win / zero-loss items.
+    *
+    * Scale shape: comparisons fold once to the ordered census; items
+    * (the aggregation grain — sources, models, judges; bounded by
+    * design) take dense ids from one bounded rank, and the component
+    * fold is [[Components.connectedComponents]] — driver union-find on
+    * thinned pair lists, O(log d) pointer-jumping fixpoint past the
+    * limit. Ids are rank-ordered, so the component's min id IS its
+    * lexicographically smallest item; everything downstream is
+    * component-keyed aggregation over the bounded pair table — exact
+    * integer censuses, so the whole readout replays in SQL (recursive
+    * transitive closure over the bounded item graph).
+    */
+  def preferenceConnectivity(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String): DataFrame = {
+    val oc = orderedCensus(normalizeCmp(df, winnerCol, loserCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = unorderedPairs(oc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = oc.groupBy(col("w").as("item")).agg(sum(col("cn")).as("n_wins"))
+    val losses = oc.groupBy(col("l").as("item")).agg(sum(col("cn")).as("n_losses"))
+    val items = oc.select(col("w").as("item"))
+      .unionByName(oc.select(col("l").as("item")))
+      .distinct()
+      .join(wins, Seq("item"), "left")
+      .join(losses, Seq("item"), "left")
+      .select(col("item"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        coalesce(col("n_losses"), lit(0L)).as("n_losses"))
+    val idMap = items.select(col("item"))
+      .withColumn("__id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("item")))
+        .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .join(idMap.select(col("item").as("a"), col("__id").as("ida")), Seq("a"))
+      .join(idMap.select(col("item").as("b"), col("__id").as("idb")), Seq("b"))
+      .select(col("ida"), col("idb"))
+    val compOf = Components.connectedComponents(edges, "ida", "idb")
+      .join(idMap.select(col("__id").as("id"), col("item")), Seq("id"))
+      .join(idMap.select(col("__id").as("component"), col("item").as("__c")),
+        Seq("component"))
+      .select(col("item"), col("__c").as("component"))
+    val pairStats = pairs
+      .join(compOf.select(col("item").as("a"), col("component")), Seq("a"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n")).as("n_comparisons"))
+    val res = items.join(compOf, Seq("item"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("n_wins") === 0L, 1L).otherwise(0L)).as("n_zero_win_items"),
+        sum(when(col("n_losses") === 0L, 1L).otherwise(0L)).as("n_zero_loss_items"))
+      .join(pairStats, Seq("component"))
+      .select(col("component"), col("n_items"), col("n_pairs"),
+        col("n_comparisons"), col("n_zero_win_items"), col("n_zero_loss_items"))
+      .localCheckpoint(true) // component-grain; releases the caches
+    oc.unpersist()
+    pairs.unpersist()
+    idMap.unpersist()
+    res
   }
 }

@@ -121,4 +121,17 @@ class DawidSkeneSpec extends SparkSpec {
     // pinned AT 0 here (always outvoted), which EM must escape.
     assert(acc > 0.95 || acc < 0.05, s"DS failed to polarize: acc $acc")
   }
+
+  test("dawidSkene: a posterior underflow fails loudly, never ships NaN consensus") {
+    // 600 raters x 20 classes on ONE unit: each rater's smoothed pi for
+    // its own voted label is ~(p+0.01)/(p+0.2) ≈ 0.24, so every
+    // per-class E-step product folds 600 such factors (~1e-372) — past
+    // even the subnormal floor for EVERY class, so the normalizer is
+    // 0/0 = NaN. The r18 guard must raise instead of propagating it.
+    val votes = (0 until 600).map(r => (0L, f"r$r%03d", s"c${r % 20}"))
+    val ex = intercept[IllegalArgumentException] {
+      DawidSkene.fit(votes.toDF("u", "r", "l"), "u", "r", "l", iters = 1)
+    }
+    assert(ex.getMessage.contains("underflow"), ex.getMessage)
+  }
 }

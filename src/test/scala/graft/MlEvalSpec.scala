@@ -352,4 +352,42 @@ class MlEvalSpec extends SparkSpec {
     val deg = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "k")
     assert(MlEval.krippendorffAlpha(deg, "u", "k").collect().head.isNullAt(5))
   }
+
+  test("krippendorffAlphaInterval: grade translation invariance at +-2e9 (decimal lanes)") {
+    // alpha depends only on pairwise grade DIFFERENCES, so shifting
+    // every grade by a constant is an exact invariance of D_o, D_e and
+    // alpha. Under the old signed-long moment lane a 2e9 shift
+    // overflowed (Σx)² and silently broke it; the decimal(38,0)
+    // staging keeps the integer folds exact (r17 verdict item).
+    val base = Seq(
+      (1L, 0L), (1L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 3L))
+    val shift = 2000000000L
+    def run(rows: Seq[(Long, Long)]) =
+      MlEval.krippendorffAlphaInterval(rows.toDF("u", "x"), "u", "x")
+        .collect().head
+    val a = run(base)
+    val b = run(base.map { case (u, x) => (u, x + shift) })
+    assert(a.getDouble(2) == b.getDouble(2), "d_o must be shift-invariant")
+    assert(a.getDouble(3) == b.getDouble(3), "d_e must be shift-invariant")
+    assert(a.getDouble(4) == b.getDouble(4), "alpha must be shift-invariant")
+    // and the negative range too (s1 signs exercise the squared fold)
+    val c = run(base.map { case (u, x) => (u, x - shift) })
+    assert(a.getDouble(4) == c.getDouble(4))
+  }
+
+  test("gwetAc1 / cohenKappa: null votes drop as unrated, never as phantom categories") {
+    // a null surviving the cell census would miss the marginal full
+    // join and count as an extra category in K and the chance folds
+    // (r17 advice) — rows with a missing vote must simply drop
+    val withNulls = Seq(
+      (Option("y"), Option("y")), (Option("y"), Option("y")),
+      (Option("y"), Option("n")), (Option("n"), Option("n")),
+      (Option.empty[String], Option("y")), (Option("n"), Option.empty[String]))
+      .toDF("a", "b")
+    val clean = Seq(("y", "y"), ("y", "y"), ("y", "n"), ("n", "n")).toDF("a", "b")
+    assert(MlEval.gwetAc1(withNulls, "a", "b").collect().toSeq ==
+      MlEval.gwetAc1(clean, "a", "b").collect().toSeq)
+    assert(MlEval.cohenKappa(withNulls, "a", "b").collect().toSeq ==
+      MlEval.cohenKappa(clean, "a", "b").collect().toSeq)
+  }
 }

@@ -379,4 +379,38 @@ class PreferencesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got == Map("a" -> 2L, "b" -> 2L), s"censuses wrong: $got")
   }
+
+  test("preferenceConnectivity: a planted 2-island tournament is flagged; the plain fit is not") {
+    // Island 1: a > b > c (complete); island 2: x > y. No comparison
+    // ever crosses islands, so cross-island strength ratios from a
+    // plain BT fit are pure gauge — the fit itself runs happily (that
+    // is the trap); only the connectivity gate names the degeneracy.
+    val cmp = (
+      Seq.fill(4)(("a", "b")) ++ Seq.fill(4)(("b", "c")) ++
+      Seq.fill(4)(("a", "c")) ++ Seq.fill(6)(("x", "y"))
+    ).toDF("winner", "loser")
+    val rows = Preferences.preferenceConnectivity(cmp, "winner", "loser")
+      .orderBy("component").collect()
+    assert(rows.length == 2, s"expected 2 islands, got ${rows.length}")
+    val byComp = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // island "a": 3 items, 3 pairs, 12 comparisons; c never wins,
+    // a never loses
+    assert(byComp("a") == ((3L, 3L, 12L, 1L, 1L)), s"island a: ${byComp("a")}")
+    // island "x": 2 items, 1 pair, 6 comparisons; y never wins,
+    // x never loses
+    assert(byComp("x") == ((2L, 1L, 6L, 1L, 1L)), s"island x: ${byComp("x")}")
+    // the degeneracy the gate exists for: the PLAIN fit runs without
+    // complaint on the same data and publishes strengths for all five
+    // items on one mean-1 scale — nothing in its output distinguishes
+    // the meaningless cross-island ratios
+    val fit = Preferences.bradleyTerry(cmp, "winner", "loser", iters = 10)
+      .collect()
+    assert(fit.length == 5, "plain fit happily publishes all five items")
+    // a healthy (connected) tournament reads as ONE row
+    val healthy = (cmp.collect().map(r => (r.getString(0), r.getString(1)))
+      :+ (("c", "x"))).toSeq.toDF("winner", "loser")
+    assert(Preferences.preferenceConnectivity(healthy, "winner", "loser")
+      .count() == 1L)
+  }
 }
