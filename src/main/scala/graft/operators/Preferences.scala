@@ -107,15 +107,18 @@ object Preferences {
       driverPairLimit: Long,
       driverByteLimit: Long): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    // pairs/items are cheap folds of the CACHED census — the driver
+    // path collects them right away, so persisting them there is pure
+    // block-manager overhead (measured +0.3s/call at sf0.1); only the
+    // distributed sweep loop, which re-reads them every iteration,
+    // persists its own copies below.
     val pairs = unorderedPairs(oc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winCensus = oc.groupBy(col("w").as("item")).agg(sum(col("cn")).as("n_wins"))
     val items = oc.select(col("w").as("item"))
       .unionByName(oc.select(col("l").as("item")))
       .distinct()
       .join(winCensus, Seq("item"), "left")
       .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = items.count().toDouble
     // Items are the AGGREGATION grain (sources, models, judges), so the
     // pair table is usually tiny: fold the MM sweeps on the driver with
@@ -129,11 +132,15 @@ object Preferences {
       if (driverFits(pairs, driverPairLimit, driverByteLimit))
         bradleyTerryDriver(pairs, items, k, iters)
       else {
-        val adj = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
-          .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+        val pairsC = pairs
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val itemsC = items
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val adj = pairsC.select(col("a").as("i"), col("b").as("j"), col("n"))
+          .unionByName(pairsC.select(col("b").as("i"), col("a").as("j"), col("n")))
         val nCmp = adj.groupBy(col("i").as("item"))
           .agg(sum(col("n")).as("n_comparisons"))
-        var g = items.select(col("item"), lit(1.0).as("gamma"))
+        var g = itemsC.select(col("item"), lit(1.0).as("gamma"))
         for (_ <- 1 to iters) {
           // denominator fold: 6dp terms through an exact decimal sum, so
           // the per-item Σ is order-free on both engines
@@ -144,7 +151,7 @@ object Preferences {
               / (col("__gi") + col("__gj")), 6).cast("decimal(28,6)"))
             .groupBy(col("i").as("item"))
             .agg(sum(col("__t")).cast("double").as("__s"))
-          val unnorm = items.join(s, Seq("item"))
+          val unnorm = itemsC.join(s, Seq("item"))
             .select(col("item"),
               round(col("n_wins").cast("double") / col("__s"), 6).as("__gu"))
           val tot = unnorm.agg(
@@ -154,15 +161,18 @@ object Preferences {
               round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
             .localCheckpoint(true)
         }
-        items.join(g, Seq("item")).join(nCmp, Seq("item"))
+        // item-grain output: materialize so the sweep caches release
+        // (r17 advice), then drop them
+        val out = itemsC.join(g, Seq("item")).join(nCmp, Seq("item"))
           .select(col("item"), col("gamma").as("strength"),
             col("n_wins"), col("n_comparisons"),
             // implied win probability vs an average (strength-1) opponent
             round(col("gamma") / (col("gamma") + lit(1.0)), 6).as("p_beat_avg"))
           .localCheckpoint(true)
+        pairsC.unpersist()
+        itemsC.unpersist()
+        out
       }
-    pairs.unpersist()
-    items.unpersist()
     res
   }
 
@@ -633,7 +643,6 @@ object Preferences {
       .agg(
         sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("__wa"),
         count(lit(1)).as("__jn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val calib = jp
       .join(fit.select(col("item").as("a"), col("strength").as("__ga")), Seq("a"))
       .join(fit.select(col("item").as("b"), col("strength").as("__gb")), Seq("b"))
@@ -669,10 +678,9 @@ object Preferences {
       .select(col("g").as("judge"), col("n"), col("first_win_rate"),
         col("chi2"), col("position_biased"), col("calib_gap"),
         col("kappa_vs_pool"))
-      .localCheckpoint(true) // judge-grain; releases the three caches
+      .localCheckpoint(true) // judge-grain; releases both caches
     cmp.unpersist()
     oc.unpersist()
-    jp.unpersist()
     res
   }
 
