@@ -3571,6 +3571,46 @@ object SparkEntry {
         .orderBy("slice")
     }),
 
+    // Gold-unit rater evaluation (r18): the spammer screen where
+    // ground truth exists — every 5th doc carries its metadata
+    // language as a gold "keep if English" label, and each of the 3
+    // panel filters is scored on its gold votes with a Wilson 95%
+    // interval (the langid rater must dominate: it measures the gold
+    // criterion; the quality gates measure something else). The
+    // model-free companion to the DS confusion fits. FULL oracle
+    // (integer censuses + the rateWilson tree).
+    "q_label_gold" -> ((s, d) => {
+      val gold = t(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("u"), (col("lang") === "en").as("gold"))
+      graft.operators.MlEval.raterGoldEval(
+          dsPanelVotes(s, d), "u", "r", "l", gold, "u", "gold")
+        .orderBy("rater")
+    }),
+
+    // Position-bias drift (r18): the positionBias gate per 125-doc
+    // annotation batch through the LabelMonitor position census —
+    // "did a position leak appear after the UI change", the sliced
+    // twin of q_pref_position_bias. FULL oracle.
+    "q_pref_position_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val a = docs.select(col("doc_id").as("ida"), col("source").as("sa"),
+        col("q").as("qa"))
+      val b = docs.select((col("doc_id") - 1).as("ida"), col("source").as("sb"),
+        col("q").as("qb"))
+      val cmp = a.join(b, Seq("ida"))
+        .filter(col("sa") =!= col("sb"))
+        .select(floor(col("ida") / lit(125)).cast("long").as("batch"),
+          when(col("qa") > col("qb"), col("sa"))
+            .when(col("qa") < col("qb"), col("sb"))
+            .otherwise(least(col("sa"), col("sb"))).as("winner"),
+          col("sa").as("first"))
+      graft.operators.LabelMonitor.positionBySlice(
+          cmp, "batch", "winner", "first")
+        .orderBy("slice")
+    }),
+
     // Active-vote routing (r18, r17 verdict item #4): the "needs more
     // votes" queue every annotation pipeline drains — units whose
     // 5-sweep Dawid-Skene posterior margin (top minus runner-up class)
@@ -5274,6 +5314,66 @@ object SparkEntry {
         |  END AS kappa
         |FROM tot t LEFT JOIN pex ON pex.slice = t.slice
         |ORDER BY t.slice""".stripMargin
+
+  // Gold-eval replay (r18): the panel's three raters melted long, the
+  // every-5th-doc gold subset labeled from the metadata lang column,
+  // one rater-keyed integer census, then the literal rateWilson tree.
+  private def labelGoldOracleSql: String =
+    dawidSkenePanelSql +
+      """, goldx AS (
+        |  SELECT doc_id AS u, CAST(lang = 'en' AS VARCHAR) AS gold
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), votesx AS (
+        |  SELECT doc_id AS u, 'r1' AS rater, CAST(r1 AS VARCHAR) AS vote FROM r
+        |  UNION ALL SELECT doc_id, 'r2', CAST(r2 AS VARCHAR) FROM r
+        |  UNION ALL SELECT doc_id, 'r3', CAST(r3 AS VARCHAR) FROM r
+        |), perx AS (
+        |  SELECT v.rater, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN v.vote = g.gold THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM votesx v JOIN goldx g ON g.u = v.u GROUP BY 1
+        |), cgx AS (
+        |  SELECT rater, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         (1.96 * 1.96) / CAST(n AS DOUBLE) AS z2n
+        |  FROM perx
+        |), wgx AS (
+        |  SELECT rater, n, k, p, z2n,
+        |         (p + z2n / 2.0) / (1.0 + z2n) AS center,
+        |         (1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |                      + z2n / (4.0 * CAST(n AS DOUBLE)))) / (1.0 + z2n) AS half
+        |  FROM cgx
+        |)
+        |SELECT rater, n AS n_gold, k AS n_correct, round(p, 6) AS accuracy,
+        |       round(center - half, 6) + 0.0e0 AS wilson_lo,
+        |       round(center + half, 6) + 0.0e0 AS wilson_hi
+        |FROM wgx ORDER BY rater""".stripMargin
+
+  // Position-drift replay (r18): the pref comparison CTE re-derived
+  // with the anchor doc's batch id, then the per-slice position
+  // census and chi-square assembly (biased gates on the UNROUNDED
+  // chi2, matching positionFromState).
+  private def positionDriftOracleSql: String =
+    prefCmpCteSql +
+      """, cmpb AS MATERIALIZED (
+        |  SELECT CAST(CAST(floor(a.doc_id / 125) AS BIGINT) AS VARCHAR) AS slice,
+        |         CASE WHEN a.q > b.q THEN a.source
+        |              WHEN a.q < b.q THEN b.source
+        |              ELSE least(a.source, b.source) END AS w,
+        |         a.source AS f
+        |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source
+        |), stx AS (
+        |  SELECT slice, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN w = f THEN 1 ELSE 0 END) AS BIGINT) AS n_first_wins
+        |  FROM cmpb GROUP BY 1
+        |)
+        |SELECT slice, n, n_first_wins,
+        |  round(CAST(n_first_wins AS DOUBLE) / CAST(n AS DOUBLE), 6) AS first_win_rate,
+        |  round(CAST((2 * n_first_wins - n) * (2 * n_first_wins - n) AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) AS chi2,
+        |  (CAST((2 * n_first_wins - n) * (2 * n_first_wins - n) AS DOUBLE)
+        |   / CAST(n AS DOUBLE) > 3.841) AS biased
+        |FROM stx ORDER BY slice""".stripMargin
 
   // Routing replay (r18): the same unrolled EM chain, then the margin
   // CTE — top-vs-runner-up posterior gap with the below-threshold
@@ -13759,6 +13859,8 @@ object SparkEntry {
     "q_label_route" -> dawidSkeneRouteOracleSql(5, "0.333"),
     "q_label_drift" -> labelDriftOracleSql,
     "q_label_monitor" -> labelDriftOracleSql,
+    "q_label_gold" -> labelGoldOracleSql,
+    "q_pref_position_drift" -> positionDriftOracleSql,
     "q_label_ds_confusion" -> dawidSkeneConfusionOracleSql(5),
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
     "q_pref_consistency" -> prefConsistencyOracleSql,

@@ -669,4 +669,57 @@ object MlEval {
     res
   }
 
+  /** GOLD-UNIT rater evaluation — the spammer/miscalibration screen
+    * every annotation pipeline runs where ground truth exists: a small
+    * gold subset carries known labels, and each rater is scored on the
+    * gold units it voted on — accuracy with a Wilson 95% interval
+    * (small-n honest: a rater seen on 4 gold units cannot print a
+    * confident 1.0). This is the MODEL-FREE companion to the
+    * [[DawidSkene]] confusion estimates: DS infers rater reliability
+    * from consensus, this measures it against truth — disagreement
+    * between the two is itself a signal (a coordinated rater bloc
+    * fools consensus but not gold). The Wilson tree mirrors
+    * [[Preferences.itemWinRates]] / EventAnalytics.rateWilson
+    * literally, so the bounds replay in SQL.
+    *
+    * Scale shape: votes semi-join the (small) gold table, then one
+    * rater-keyed integer census — work proportional to gold coverage,
+    * never the corpus.
+    */
+  def raterGoldEval(
+      votes: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String,
+      gold: DataFrame,
+      goldUnitCol: String,
+      goldLabelCol: String,
+      z: Double = 1.96): DataFrame = {
+    val v = votes.select(
+        col(unitCol).cast("string").as("u"),
+        col(raterCol).cast("string").as("r"),
+        col(labelCol).cast("string").as("l"))
+      .filter(col("u").isNotNull && col("r").isNotNull && col("l").isNotNull)
+    val g = gold.select(
+        col(goldUnitCol).cast("string").as("u"),
+        col(goldLabelCol).cast("string").as("__gold"))
+      .filter(col("u").isNotNull && col("__gold").isNotNull)
+    val per = v.join(g, Seq("u"))
+      .groupBy("r")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l") === col("__gold"), 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2n = (lit(z) * lit(z)) / nD
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / lit(2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2n / (lit(4.0) * nD))) / denom
+    per.select(col("r").as("rater"), col("n").as("n_gold"),
+      col("k").as("n_correct"),
+      round(p, 6).as("accuracy"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
 }

@@ -375,6 +375,39 @@ class MlEvalSpec extends SparkSpec {
     assert(a.getDouble(4) == c.getDouble(4))
   }
 
+  test("raterGoldEval: gold-covered votes only; accuracy + Wilson; spammer surfaces") {
+    // gold covers units 1..4; rater "good" is right 4/4, "spam" votes
+    // constant and lands 2/4, "off" never votes on gold units and
+    // must not appear
+    val gold = Seq(("1", "y"), ("2", "n"), ("3", "y"), ("4", "n")).toDF("u", "g")
+    val votes = Seq(
+      ("1", "good", "y"), ("2", "good", "n"), ("3", "good", "y"),
+      ("4", "good", "n"),
+      ("1", "spam", "y"), ("2", "spam", "y"), ("3", "spam", "y"),
+      ("4", "spam", "y"),
+      ("9", "off", "y")).toDF("u", "r", "l")
+    val got = MlEval.raterGoldEval(votes, "u", "r", "l", gold, "u", "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got.keySet == Set("good", "spam"), "off-gold rater must not appear")
+    assert(got("good")._1 == 4L && got("good")._2 == 4L &&
+      got("good")._3 == 1.0)
+    assert(got("spam")._2 == 2L && got("spam")._3 == 0.5)
+    // Wilson bounds bracket the rate, stay in [0,1], and 4-vote
+    // perfection is NOT a confident 1.0 lower bound
+    for ((_, (_, _, p, lo, hi)) <- got)
+      assert(lo <= p && p <= hi && lo >= 0.0 && hi <= 1.0)
+    assert(got("good")._4 < 0.6, s"4/4 must stay humble: ${got("good")}")
+    // matches the itemWinRates Wilson tree on the same (n, k)
+    val iw = graft.operators.Preferences.itemWinRates(
+      Seq.fill(2)(("spam", "x")).++(Seq.fill(2)(("x", "spam")))
+        .toDF("w", "l"), "w", "l")
+      .filter(col("item") === "spam").collect().head
+    assert(got("spam")._4 == iw.getDouble(4) && got("spam")._5 == iw.getDouble(5),
+      "Wilson tree must mirror itemWinRates literally")
+  }
+
   test("gwetAc1 / cohenKappa: null votes drop as unrated, never as phantom categories") {
     // a null surviving the cell census would miss the marginal full
     // join and count as an extra category in K and the chance folds
