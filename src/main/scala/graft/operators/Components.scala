@@ -101,21 +101,45 @@ object Components {
   }
 
   private def distributedComponents(pairList: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairList.sparkSession
     // Symmetrize once; duplicate/self edges are harmless under min-agg.
     val sym = pairList
       .union(pairList.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Each round's labels are localCheckpoint'ed, not merely persisted:
-    // `labels` feeds `next` FOUR ways (direct, edge join, both jump
-    // sides), so the logical plan would grow 4^round — round 12 OOMs the
-    // driver just STRINGIFYING the tree. Checkpointing truncates lineage
-    // to the materialized blocks each round, keeping plan depth constant.
-    // (Executor-loss durability on a real cluster: swap in reliable
-    // checkpoint(), same shape — the rounds are logarithmic either way.)
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("_mn"))
-      .select(col("id"), least(col("id"), col("_mn")).as("label"))
-      .localCheckpoint(true)
+    // Each round is materialized at the RDD level (persist + count) and
+    // the next round's frame rebuilt from that RDD leaf. Two distinct
+    // driver blowups force this exact shape:
+    //   - `labels` feeds `next` FOUR ways (direct, edge join, both jump
+    //     sides), so an untruncated logical plan grows 4^round — round
+    //     12 OOMs the driver just STRINGIFYING the tree;
+    //   - Dataset.localCheckpoint (the previous truncation) copies the
+    //     checkpointed plan's ESTIMATED sizeInBytes onto the new
+    //     LogicalRDD leaf, and the pointer-jump SELF-join then SQUARES
+    //     that estimate every round: by round ~15 the stats BigInt has
+    //     millions of digits and the driver burns minutes per round in
+    //     BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor
+    //     (observed as a silent "hang" on a 5M-edge stress graph — 100%
+    //     driver CPU, zero cluster work). Rebuilding from the raw RDD
+    //     resets the leaf to defaultSizeInBytes, so per-round stats stay
+    //     bounded no matter how many rounds run.
+    // Cost: one internal<->external row conversion over the |V|-row
+    // label table per round — narrow, dwarfed by the edge join. Blocks
+    // are unpersisted explicitly one round behind; recompute on block
+    // loss walks back only to the previous persisted round (swap the
+    // persist for reliable checkpoint() on a lossy cluster). The FINAL
+    // round's blocks ride out with the returned frame and are released
+    // by the ContextCleaner once callers drop it — the same lifetime
+    // localCheckpoint blocks had.
+    def materialize(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = materialize(
+      sym.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("id"), least(col("id"), col("_mn")).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -124,14 +148,15 @@ object Components {
       val jumpTargets = labels.select(col("id").as("_jid"), col("label").as("_jlabel"))
       val viaJump = labels.join(jumpTargets, col("label") === col("_jid"))
         .select(col("id"), col("_jlabel").as("label"))
-      val next = labels.unionByName(viaEdges).unionByName(viaJump)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val (next, nextRdd) = materialize(
+        labels.unionByName(viaEdges).unionByName(viaJump)
+          .groupBy("id").agg(min("label").as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
         .filter(col("label") =!= col("_old"))
         .limit(1).count()
-      labels.unpersist()
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
     }

@@ -954,6 +954,66 @@ object ScaleStress {
     }
     }
 
+    section("connect") {
+    // Connectivity gate at scale (r18): 5M comparisons over 90k items
+    // planted into THREE islands (item ids stripe mod 3; comparisons
+    // only ever pair ids from the same stripe). The item table is past
+    // any driver shortcut worry; the pair table (~millions) exercises
+    // the Components distributed/driver regimes behind the gate.
+    import graft.operators.Preferences
+    val n = 5000000L
+    val cmpsC = spark.range(n).select(
+        (col("id") % 90000L).as("ia"),
+        // partner: same residue class mod 3, different id
+        pmod(col("id") % 90000L
+          + lit(3L) * (lit(1L) + (col("id") / 90000L).cast("long") % 29999L),
+          lit(90000L)).as("ib"))
+      .filter(col("ia") =!= col("ib"))
+      .select(
+        least(col("ia"), col("ib")).cast("string").as("winner"),
+        greatest(col("ia"), col("ib")).cast("string").as("loser"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] connectivity comparisons: ${cmpsC.count()}")
+    val comps = time("connect: preferenceConnectivity, 90k items / 3 islands")(
+      Preferences.preferenceConnectivity(cmpsC, "winner", "loser")
+        .orderBy("component").collect())
+    println("[stress]   components = " + comps.map(r =>
+      s"${r.getString(0)}: ${r.getLong(1)} items / ${r.getLong(3)} cmps").mkString("; "))
+    require(comps.length == 3, s"expected 3 planted islands, got ${comps.length}")
+    cmpsC.unpersist(blocking = false)
+    }
+
+    section("scalar") {
+    // Scalar consensus at scale (r18): 500k units x 3 raters (1.5M
+    // grades) with planted lenses (fair / harsh -0.2 / stretch 2x) and
+    // md5 noise — per sweep one rater-keyed fold + one unit-keyed fold
+    // with the 3-row lens table broadcast, so wall should track votes
+    // x sweeps.
+    import graft.operators.ScalarConsensus
+    val units = 500000L
+    val grades = spark.range(units * 3).select(
+        floor(col("id") / 3L).cast("long").as("u"),
+        (col("id") % 3L).as("ri"),
+        (conv(substring(md5(concat(col("id").cast("string"), lit("sc"))), 1, 8),
+          16, 10).cast("double") / lit(4294967296.0) - 0.5).as("eps"))
+      .select(col("u"),
+        concat(lit("g"), col("ri").cast("string")).as("r"), {
+          val t = (col("u") % 1000L).cast("double") / 1000.0
+          round(when(col("ri") === 0L, t)
+            .when(col("ri") === 1L, t - 0.2)
+            .otherwise(lit(0.1) + t * 2.0) + col("eps") * 0.05, 6)
+        }.as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] scalar grades: ${grades.count()} over $units units")
+    val sfit = time(s"scalar: consensus ALS fit, $units units x 3 raters")(
+      ScalarConsensus.fit(grades, "u", "r", "y", iters = 5))
+    println("[stress]   lenses: " + sfit.raters.orderBy("r").collect()
+      .map(r => s"${r.getString(0)}: bias=${r.getDouble(2)} scale=${r.getDouble(3)}")
+      .mkString("; "))
+    println(s"[stress]   truths = ${sfit.truth.count()}")
+    grades.unpersist(blocking = false)
+    }
+
     section("ab") {
     // The r15b experimentation ladder at 10M events / 200k users:
     // every readout is one fact aggregation + bounded follow-up, so
