@@ -3353,6 +3353,30 @@ object SparkEntry {
         .orderBy("component")
     }),
 
+    // Plackett-Luce listwise ranking fit (r18, Plackett 1975; Hunter
+    // 2004 MM): the LISTWISE extension of the BT family — ranking
+    // sessions of 4 consecutive docs ordered by quality score (ties to
+    // source asc, same-source dups collapse to the best slot) fit the
+    // sequential-choice model P(ordering) = Π γ_(t)/S_t. Same 6dp-grid
+    // / exact-decimal staging as the pairwise fits, so 10 fixed sweeps
+    // replay bitwise: the FULL oracle unrolls them with decimal window
+    // suffix/prefix sums over the distinct-orderings census.
+    "q_pref_plackett_luce" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(
+        floor(col("doc_id") / 4).cast("long").as("grp"),
+        col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val best = docs.groupBy("grp", "source").agg(max(col("q")).as("q"))
+      val ranked = best.select(col("grp"), col("source").as("item"),
+        row_number().over(
+          w.partitionBy("grp").orderBy(col("q").desc, col("source").asc))
+          .as("rk"))
+      graft.operators.Preferences.plackettLuce(
+          ranked, "grp", "item", "rk", iters = 10)
+        .orderBy("item")
+    }),
+
     // Weighted (ordinal) kappa (r16, Cohen 1968): two ORDINAL quality
     // graders — the 4-gate score quartile (0-3) and the Flesch
     // reading-ease band (0-3) — scored with quadratic-disagreement
@@ -5469,6 +5493,90 @@ object SparkEntry {
          |FROM items it
          |JOIN g$iters ON g$iters.item = it.item
          |JOIN ncmp nc ON nc.item = it.item
+         |ORDER BY it.item""".stripMargin
+    head + body + tail
+  }
+
+  // Plackett-Luce replay (r18): quality-per-doc, 4-doc ranking
+  // sessions ranked by q (source-asc ties, per-source best slot), the
+  // distinct-orderings census, then `iters` UNROLLED MM sweeps — each
+  // a decimal window SUFFIX sum of 6dp gammas (the remaining-set
+  // totals S_t), one IEEE division per stage term landed back on the
+  // grid, a decimal window PREFIX sum folding each item's stage
+  // contributions, and the mean-1 renormalization — byte-identical
+  // arithmetic to Preferences.plackettLuce.
+  private def plackettLuceOracleSql(iters: Int): String = {
+    def iterCte(prev: String, cur: String): String =
+      s""", ${cur}s AS (
+         |  SELECT st.okey, st.n, st.m, st.item, st.pos,
+         |         sum(CAST(g.gamma AS DECIMAL(28,6)))
+         |           OVER (PARTITION BY st.okey ORDER BY st.pos DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+         |  FROM st JOIN $prev g ON g.item = st.item
+         |), ${cur}p AS (
+         |  SELECT item,
+         |         sum(CASE WHEN pos < m AND CAST(sfx AS DOUBLE) > 0
+         |                  THEN CAST(round(CAST(n AS DOUBLE)
+         |                       / CAST(sfx AS DOUBLE), 6) AS DECIMAL(28,6))
+         |                  ELSE CAST(0 AS DECIMAL(28,6)) END)
+         |           OVER (PARTITION BY okey ORDER BY pos ASC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+         |  FROM ${cur}s
+         |), ${cur}d AS (
+         |  SELECT item, CAST(sum(pre) AS DOUBLE) AS d FROM ${cur}p GROUP BY 1
+         |), ${cur}u AS MATERIALIZED (
+         |  SELECT it.item,
+         |         CASE WHEN d.d > 0
+         |              THEN round(CAST(it.n_chosen AS DOUBLE) / d.d, 6)
+         |              ELSE 0.0 END AS gu
+         |  FROM items it JOIN ${cur}d d ON d.item = it.item
+         |), $cur AS MATERIALIZED (
+         |  SELECT u.item,
+         |         round(u.gu * (SELECT k FROM kk)
+         |               / (SELECT CAST(sum(CAST(gu AS DECIMAL(28,6))) AS DOUBLE)
+         |                  FROM ${cur}u), 6) AS gamma
+         |  FROM ${cur}u u
+         |)""".stripMargin
+    val head =
+      prefCmpCteSql +
+      """, rkx AS (
+        |  SELECT doc_id // 4 AS grp, source, max(q) AS q
+        |  FROM q GROUP BY 1, 2
+        |), posx AS (
+        |  SELECT grp, source AS item,
+        |         row_number() OVER (PARTITION BY grp
+        |                            ORDER BY q DESC, source ASC) AS pos,
+        |         count(*) OVER (PARTITION BY grp) AS m
+        |  FROM rkx
+        |), ords AS (
+        |  SELECT grp, list(item ORDER BY pos) AS ord
+        |  FROM posx WHERE m >= 2 GROUP BY grp
+        |), census AS MATERIALIZED (
+        |  SELECT ord, CAST(count(*) AS BIGINT) AS n FROM ords GROUP BY ord
+        |), st AS MATERIALIZED (
+        |  SELECT array_to_string(ord, '|') AS okey, n,
+        |         CAST(len(ord) AS BIGINT) AS m,
+        |         unnest(ord) AS item,
+        |         unnest(range(1, len(ord) + 1)) AS pos
+        |  FROM census
+        |), items AS MATERIALIZED (
+        |  SELECT item,
+        |         CAST(sum(CASE WHEN pos <= m - 1 THEN n ELSE 0 END) AS BIGINT)
+        |           AS n_chosen,
+        |         CAST(sum(n) AS BIGINT) AS n_rankings
+        |  FROM st GROUP BY 1
+        |), kk AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k FROM items
+        |), g0 AS MATERIALIZED (
+        |  SELECT item, 1.0 AS gamma FROM items
+        |)""".stripMargin
+    val body = (1 to iters).map(i => iterCte(s"g${i - 1}", s"g$i")).mkString
+    val tail =
+      s"""
+         |SELECT it.item, g$iters.gamma AS strength, it.n_chosen, it.n_rankings,
+         |       round(g$iters.gamma / (g$iters.gamma + 1.0), 6) AS p_beat_avg
+         |FROM items it
+         |JOIN g$iters ON g$iters.item = it.item
          |ORDER BY it.item""".stripMargin
     head + body + tail
   }
@@ -13865,6 +13973,7 @@ object SparkEntry {
     "q_pref_bradley_terry" -> bradleyTerryOracleSql(10),
     "q_pref_consistency" -> prefConsistencyOracleSql,
     "q_pref_connectivity" -> prefConnectivityOracleSql,
+    "q_pref_plackett_luce" -> plackettLuceOracleSql(10),
     "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),
     "q_pref_bt_ties" -> bradleyTerryTiesOracleSql(10, "1.5"),
 

@@ -981,4 +981,198 @@ object Preferences {
     idMap.unpersist()
     res
   }
+
+  /** Default caps for the Plackett-Luce driver fast path: distinct
+    * ORDERINGS (the census grain) and estimated collected bytes.
+    */
+  val DefaultDriverOrderingLimit: Long = 500000L
+
+  /** PLACKETT-LUCE listwise ranking fit (Plackett 1975; Luce 1959) by
+    * Hunter's MM iteration (Hunter 2004 §5): rankings arrive as
+    * "judge ordered these m items best-to-worst" sessions — the
+    * listwise generalization of [[bradleyTerry]], and the model for
+    * RLHF collection UIs that ask for a full ordering of k responses
+    * instead of a pairwise pick. Under PL the ranking is a sequence of
+    * choices: P(ordering) = Π_t γ_(t) / Σ_{j ranked ≥ t} γ_j, and the
+    * MM update is
+    *   γ_i ← W_i / Σ_rankings Σ_{stages t ≤ pos_i, t ≤ m-1} 1/S_t
+    * with W_i the number of stages where i was chosen (= rankings
+    * where i is not last) and S_t the γ-sum of items still unchosen
+    * at stage t. With m = 2 this IS Bradley-Terry.
+    *
+    * Replay posture (the BT family idiom): every iterate lands on the
+    * 6dp grid — suffix sums S_t fold as exact decimal(28,6) (order-
+    * free), each stage term is ONE IEEE division rounded to 6dp,
+    * prefix/denominator folds are exact decimal sums — so a FIXED
+    * sweep count replays bitwise in SQL.
+    *
+    * Scale shape: rankings fold ONCE into the distinct-ORDERINGS
+    * census (identical item sequences collapse with a count, the
+    * listwise analog of the pair census); each sweep is one item-keyed
+    * join + two bounded windows over the census explode + one item
+    * aggregation — work proportional to distinct orderings, never raw
+    * sessions. Bounded censuses fold on the driver with byte-identical
+    * arithmetic (pinned == distributed in PreferencesSpec).
+    *
+    * Hunter's condition applies stage-wise: an item that is ALWAYS
+    * ranked last has W = 0 and sinks to strength 0 (the ML limit); a
+    * stage whose remaining items all have strength 0 contributes
+    * nothing (guarded, not thrown). Screen with `n_chosen`.
+    *
+    * Input grain: one row per (ranking session, item) with the item's
+    * rank (1 = best). Duplicate items within a session keep their best
+    * rank; sessions with fewer than 2 distinct items drop (no choice
+    * information). Rank VALUES only order — gaps are fine.
+    */
+  def plackettLuce(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      rankCol: String,
+      iters: Int = 10,
+      driverOrderingLimit: Long = DefaultDriverOrderingLimit,
+      driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+    val raw = df.select(
+        col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("string").as("item"),
+        col(rankCol).cast("long").as("rk"))
+      .filter(col("g").isNotNull && col("item").isNotNull && col("rk").isNotNull)
+      .groupBy("g", "item").agg(min(col("rk")).as("rk")) // input hygiene
+    val posed = raw
+      .withColumn("pos", row_number().over(
+        w.partitionBy("g").orderBy(col("rk").asc, col("item").asc)).cast("long"))
+      .withColumn("m", count(lit(1)).over(w.partitionBy("g")))
+      .filter(col("m") >= 2L)
+    // the orderings census: the ONE source fold; sessions with the
+    // same item sequence collapse
+    val census = posed
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("pos"), col("item")))).as("sl"))
+      .select(transform(col("sl"), x => x.getField("item")).as("ord"))
+      .groupBy("ord").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // census explode: one row per (ordering, position); okey is a
+    // plain-string window key (array partition keys shuffle wide)
+    val st = census
+      .select(concat_ws("|", col("ord")).as("okey"), col("n"),
+        size(col("ord")).cast("long").as("m"),
+        posexplode(col("ord")).as(Seq("p0", "item")))
+      .select(col("okey"), col("n"), col("m"), col("item"),
+        (col("p0") + 1L).as("pos"))
+    val items = st.groupBy("item").agg(
+      sum(when(col("pos") <= col("m") - 1L, col("n")).otherwise(0L))
+        .as("n_chosen"),
+      sum(col("n")).as("n_rankings"))
+    val stats = census.agg(
+      count(lit(1)).as("__rows"),
+      coalesce(sum(length(concat_ws("|", col("ord")))), lit(0L)).as("__chars"))
+      .head()
+    val (cRows, cChars) = (stats.getLong(0), stats.getLong(1))
+    val res =
+      if (cRows <= driverOrderingLimit &&
+          (2L * cChars + 200L * cRows) <= driverByteLimit)
+        plackettLuceDriver(census, items, iters)
+      else {
+        val stC = st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val itemsC = items.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val k = itemsC.count().toDouble
+        val wDesc = w.partitionBy("okey").orderBy(col("pos").desc)
+          .rowsBetween(w.unboundedPreceding, w.currentRow)
+        val wAsc = w.partitionBy("okey").orderBy(col("pos").asc)
+          .rowsBetween(w.unboundedPreceding, w.currentRow)
+        var g = itemsC.select(col("item"), lit(1.0).as("gamma"))
+        for (_ <- 1 to iters) {
+          // S_t: exact-decimal suffix sum of 6dp gammas (order-free);
+          // stage term: ONE IEEE division landed back on the grid
+          val pre = stC
+            .join(g.select(col("item"), col("gamma")), Seq("item"))
+            .withColumn("__sfx",
+              sum(col("gamma").cast("decimal(28,6)")).over(wDesc))
+            .withColumn("__inv",
+              when(col("pos") < col("m") && col("__sfx").cast("double") > 0.0,
+                round(col("n").cast("double") / col("__sfx").cast("double"), 6))
+                .otherwise(0.0).cast("decimal(28,6)"))
+            .withColumn("__pre", sum(col("__inv")).over(wAsc))
+          val den = pre.groupBy("item")
+            .agg(sum(col("__pre")).cast("double").as("__d"))
+          val unnorm = itemsC.join(den, Seq("item"))
+            .select(col("item"),
+              when(col("__d") > 0.0,
+                round(col("n_chosen").cast("double") / col("__d"), 6))
+                .otherwise(0.0).as("__gu"))
+          val tot = unnorm.agg(
+            sum(col("__gu").cast("decimal(28,6)")).cast("double").as("__tot"))
+          g = unnorm.crossJoin(tot)
+            .select(col("item"),
+              round(col("__gu") * lit(k) / col("__tot"), 6).as("gamma"))
+            .localCheckpoint(true)
+        }
+        val out = itemsC.join(g, Seq("item"))
+          .select(col("item"), col("gamma").as("strength"),
+            col("n_chosen"), col("n_rankings"),
+            round(col("gamma") / (col("gamma") + lit(1.0)), 6).as("p_beat_avg"))
+          .localCheckpoint(true) // item-grain; lets the caches release
+        stC.unpersist()
+        itemsC.unpersist()
+        out
+      }
+    census.unpersist()
+    res
+  }
+
+  /** Driver MM fold for [[plackettLuce]] — the same grid arithmetic as
+    * the distributed path (6dp rounds, exact BigDecimal staging, one
+    * IEEE division per stage term), so the two are bitwise
+    * interchangeable.
+    */
+  private def plackettLuceDriver(
+      census: DataFrame, items: DataFrame, iters: Int): DataFrame = {
+    val spark = census.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ords = census.collect()
+      .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+    val itemRows = items.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val k = itemRows.length.toDouble
+    val zero6 = BigDecimal(0).setScale(6)
+    var gamma = itemRows.map { case (it, _, _) => it -> 1.0 }.toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(zero6)
+      ords.foreach { case (ord, n) =>
+        val m = ord.length
+        val sfx = new Array[BigDecimal](m)
+        var run = zero6
+        var t = m - 1
+        while (t >= 0) {
+          run = run + BigDecimal(gamma(ord(t))).setScale(6)
+          sfx(t) = run
+          t -= 1
+        }
+        var pre = zero6
+        t = 0
+        while (t < m) {
+          val sd = sfx(t).toDouble
+          val inv = if (t < m - 1 && sd > 0.0) r6(n.toDouble / sd) else 0.0
+          pre = pre + BigDecimal(inv).setScale(6)
+          acc(ord(t)) += pre
+          t += 1
+        }
+      }
+      val gu = itemRows.map { case (it, wCh, _) =>
+        val d = acc(it).toDouble
+        it -> (if (d > 0.0) r6(wCh.toDouble / d) else 0.0)
+      }
+      val tot = gu.map { case (_, v) => BigDecimal(v).setScale(6) }.sum.toDouble
+      gamma = gu.map { case (it, v) => it -> r6(v * k / tot) }.toMap
+    }
+    itemRows.toSeq.map { case (it, wCh, nr) =>
+      (it, gamma(it), wCh, nr, r6(gamma(it) / (gamma(it) + 1.0)))
+    }.toDF("item", "strength", "n_chosen", "n_rankings", "p_beat_avg")
+  }
 }

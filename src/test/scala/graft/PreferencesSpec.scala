@@ -413,4 +413,103 @@ class PreferencesSpec extends SparkSpec {
     assert(Preferences.preferenceConnectivity(healthy, "winner", "loser")
       .count() == 1L)
   }
+
+  /** Sequential PL sampler: choose stage-by-stage proportional to the
+    * remaining strengths (the model's own generative story).
+    */
+  private def samplePlRankings(
+      strengths: Seq[(String, Double)], n: Int, seed: Long): Seq[(Int, String, Int)] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).flatMap { g =>
+      var rem = strengths.toBuffer
+      (1 to strengths.size).map { pos =>
+        val tot = rem.map(_._2).sum
+        var u = rng.nextDouble() * tot
+        var i = 0
+        while (i < rem.size - 1 && u > rem(i)._2) { u -= rem(i)._2; i += 1 }
+        val it = rem.remove(i)._1
+        (g, it, pos)
+      }
+    }
+  }
+
+  test("plackettLuce: recovers a planted order from listwise rankings") {
+    val planted = Seq("a" -> 4.0, "b" -> 2.0, "c" -> 1.0, "d" -> 0.5)
+    val rk = samplePlRankings(planted, 600, seed = 7L)
+      .toDF("session", "item", "rank")
+    val got = Preferences.plackettLuce(rk, "session", "item", "rank", iters = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    val s = got.view.mapValues(_._1).toMap
+    assert(s("a") > s("b") && s("b") > s("c") && s("c") > s("d"),
+      s"order wrong: $s")
+    // mean-1 normalization
+    assert(math.abs(s.values.sum / 4.0 - 1.0) < 1e-4)
+    // every item appears in every 4-item ranking; chosen = not-last
+    assert(got.values.forall(_._3 == 600L))
+    assert(got.values.map(_._2).sum == 600L * 3L, "3 choice stages per ranking")
+  }
+
+  test("plackettLuce: driver fast path is bitwise identical to the distributed sweeps") {
+    val planted = Seq("a" -> 3.0, "b" -> 1.5, "c" -> 1.0, "d" -> 0.7, "e" -> 0.4)
+    val rk = samplePlRankings(planted, 120, seed = 11L)
+      .toDF("session", "item", "rank")
+    def pins(limit: Long) = Preferences
+      .plackettLuce(rk, "session", "item", "rank", iters = 10,
+        driverOrderingLimit = limit)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(pins(Long.MaxValue) == pins(0L),
+      "driver and distributed sweeps must agree bitwise")
+  }
+
+  test("plackettLuce: two-item rankings agree with bradleyTerry") {
+    // PL with m = 2 IS Bradley-Terry; the only daylight is grid
+    // staging (PL rounds per ordered ordering, BT per unordered pair),
+    // so compare to tolerance, not bitwise.
+    val cmp = (
+      Seq.fill(8)(("x", "y")) ++ Seq.fill(2)(("y", "x")) ++
+      Seq.fill(9)(("x", "z")) ++ Seq.fill(1)(("z", "x")) ++
+      Seq.fill(7)(("y", "z")) ++ Seq.fill(3)(("z", "y"))
+    ).toDF("winner", "loser")
+    val bt = Preferences.bradleyTerry(cmp, "winner", "loser", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rk = cmp.collect().zipWithIndex.flatMap { case (r, g) =>
+      Seq((g, r.getString(0), 1), (g, r.getString(1), 2))
+    }.toSeq.toDF("session", "item", "rank")
+    val pl = Preferences.plackettLuce(rk, "session", "item", "rank", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bt.keySet == pl.keySet)
+    bt.foreach { case (it, v) =>
+      assert(math.abs(v - pl(it)) < 1e-4, s"$it: bt $v vs pl ${pl(it)}")
+    }
+  }
+
+  test("plackettLuce: input hygiene — dup items keep best rank, singletons and nulls drop") {
+    val rk = Seq(
+      (1, "a", 1), (1, "b", 2), (1, "a", 3),      // dup a keeps rank 1
+      (2, "b", 1), (2, "a", 2),
+      (3, "a", 1),                                // singleton session: drops
+      (4, "a", 1), (4, "b", 2)
+    ).toDF("session", "item", "rank")
+      .unionByName(Seq((5, null.asInstanceOf[String], 1), (5, "b", 2))
+        .toDF("session", "item", "rank"))        // null item drops -> singleton
+    val got = Preferences.plackettLuce(rk, "session", "item", "rank", iters = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // 3 surviving sessions: a>b, b>a, a>b
+    assert(got("a") == ((2L, 3L)), s"a census: ${got("a")}")
+    assert(got("b") == ((1L, 3L)), s"b census: ${got("b")}")
+  }
+
+  test("plackettLuce: an always-last item sinks toward zero with n_chosen = 0") {
+    val rk = (0 until 30).flatMap { g =>
+      val top = if (g % 2 == 0) Seq("a", "b") else Seq("b", "a")
+      (top :+ "z").zipWithIndex.map { case (it, i) => (g, it, i + 1) }
+    }.toDF("session", "item", "rank")
+    val got = Preferences.plackettLuce(rk, "session", "item", "rank", iters = 15)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got("z")._2 == 0L)
+    assert(got("z")._1 < 0.05, s"always-last strength: ${got("z")._1}")
+    assert(got("a")._1 > 1.0 && got("b")._1 > 1.0)
+  }
 }
