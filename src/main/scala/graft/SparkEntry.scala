@@ -3377,6 +3377,19 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // Rank Centrality (r18, Negahban-Oh-Shah 2012): the SPECTRAL
+    // estimator on the same comparison records as q_pref_bradley_terry
+    // — the comparison Markov chain's stationary distribution read off
+    // a fixed power iteration. A genuinely different estimator on the
+    // same census: rank disagreements vs the MM fit localize pairs the
+    // single-scale model strains on. 6dp-grid transitions fixed once,
+    // exact-decimal flow folds per sweep; the FULL oracle unrolls all
+    // 10 sweeps.
+    "q_pref_rank_centrality" -> ((s, d) =>
+      graft.operators.Preferences.rankCentrality(
+          prefComparisons(s, d), "winner", "loser", iters = 10)
+        .orderBy("item")),
+
     // Weighted (ordinal) kappa (r16, Cohen 1968): two ORDINAL quality
     // graders — the 4-gate score quartile (0-3) and the Flesch
     // reading-ease band (0-3) — scored with quadratic-disagreement
@@ -5577,6 +5590,87 @@ object SparkEntry {
          |       round(g$iters.gamma / (g$iters.gamma + 1.0), 6) AS p_beat_avg
          |FROM items it
          |JOIN g$iters ON g$iters.item = it.item
+         |ORDER BY it.item""".stripMargin
+    head + body + tail
+  }
+
+  // Rank Centrality replay (r18): the directed pair census, max
+  // opponent degree, 6dp transition grid fixed once, then `iters`
+  // UNROLLED power-iteration sweeps — per sweep one 6dp multiply per
+  // directed edge, exact-decimal in/outflow folds (narrowed back to
+  // (28,6) before the +/- chain, matching the engine), and the sum-1
+  // renormalization — byte-identical to Preferences.rankCentrality.
+  private def rankCentralityOracleSql(iters: Int): String = {
+    def iterCte(prev: String, cur: String): String =
+      s""", ${cur}f AS (
+         |  SELECT adj.i, adj.j,
+         |         CAST(round(p.pi * adj.t, 6) AS DECIMAL(28,6)) AS f
+         |  FROM adj JOIN $prev p ON p.item = adj.i
+         |), ${cur}o AS (
+         |  SELECT i AS item, sum(f) AS outfl FROM ${cur}f GROUP BY 1
+         |), ${cur}n AS (
+         |  SELECT j AS item, sum(f) AS infl FROM ${cur}f GROUP BY 1
+         |), ${cur}m AS MATERIALIZED (
+         |  SELECT p.item,
+         |         CAST(p.pi AS DECIMAL(28,6))
+         |           - coalesce(CAST(o.outfl AS DECIMAL(28,6)),
+         |                      CAST(0 AS DECIMAL(28,6)))
+         |           + coalesce(CAST(n.infl AS DECIMAL(28,6)),
+         |                      CAST(0 AS DECIMAL(28,6))) AS pp
+         |  FROM $prev p
+         |  LEFT JOIN ${cur}o o ON o.item = p.item
+         |  LEFT JOIN ${cur}n n ON n.item = p.item
+         |), $cur AS MATERIALIZED (
+         |  SELECT item,
+         |         round(CAST(pp AS DOUBLE)
+         |               / (SELECT CAST(sum(pp) AS DOUBLE) FROM ${cur}m), 6) AS pi
+         |  FROM ${cur}m
+         |)""".stripMargin
+    val head =
+      prefCmpCteSql +
+      """, pv AS MATERIALIZED (
+        |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+        |         CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+        |         CAST(sum(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS wb
+        |  FROM cmpx GROUP BY 1, 2
+        |), winsx AS (
+        |  SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins FROM cmpx GROUP BY 1
+        |), items AS MATERIALIZED (
+        |  SELECT it.item, CAST(coalesce(winsx.n_wins, 0) AS BIGINT) AS n_wins
+        |  FROM (SELECT DISTINCT item FROM
+        |          (SELECT w AS item FROM cmpx UNION ALL SELECT l FROM cmpx)) it
+        |  LEFT JOIN winsx ON winsx.item = it.item
+        |), degx AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS item FROM pv UNION ALL SELECT b FROM pv) GROUP BY 1
+        |), dmx AS MATERIALIZED (
+        |  SELECT CAST(max(deg) AS DOUBLE) AS dmax FROM degx
+        |), ncmp AS (
+        |  SELECT item, CAST(sum(n) AS BIGINT) AS n_comparisons
+        |  FROM (SELECT a AS item, wa + wb AS n FROM pv
+        |        UNION ALL SELECT b, wa + wb FROM pv) GROUP BY 1
+        |), adj AS MATERIALIZED (
+        |  SELECT a AS i, b AS j,
+        |         round(CAST(wb AS DOUBLE)
+        |               / (CAST(wa + wb AS DOUBLE) * (SELECT dmax FROM dmx)), 6) AS t
+        |  FROM pv
+        |  UNION ALL
+        |  SELECT b, a,
+        |         round(CAST(wa AS DOUBLE)
+        |               / (CAST(wa + wb AS DOUBLE) * (SELECT dmax FROM dmx)), 6)
+        |  FROM pv
+        |), kk AS (
+        |  SELECT count(*) AS k FROM items
+        |), p0 AS MATERIALIZED (
+        |  SELECT item, round(1.0 / (SELECT k FROM kk), 6) AS pi FROM items
+        |)""".stripMargin
+    val body = (1 to iters).map(i => iterCte(s"p${i - 1}", s"p$i")).mkString
+    val tail =
+      s"""
+         |SELECT it.item, p$iters.pi AS score, it.n_wins, nc.n_comparisons
+         |FROM items it
+         |JOIN p$iters ON p$iters.item = it.item
+         |JOIN ncmp nc ON nc.item = it.item
          |ORDER BY it.item""".stripMargin
     head + body + tail
   }
@@ -13974,6 +14068,7 @@ object SparkEntry {
     "q_pref_consistency" -> prefConsistencyOracleSql,
     "q_pref_connectivity" -> prefConnectivityOracleSql,
     "q_pref_plackett_luce" -> plackettLuceOracleSql(10),
+    "q_pref_rank_centrality" -> rankCentralityOracleSql(10),
     "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),
     "q_pref_bt_ties" -> bradleyTerryTiesOracleSql(10, "1.5"),
 

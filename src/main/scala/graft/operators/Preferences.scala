@@ -1123,6 +1123,171 @@ object Preferences {
     res
   }
 
+  /** RANK CENTRALITY (Negahban, Oh & Shah 2012, "Iterative ranking
+    * from pair-wise comparisons"): the SPECTRAL alternative to
+    * [[bradleyTerry]] — build the comparison Markov chain whose
+    * transition i→j is the empirical rate j beats i (scaled by the max
+    * opponent degree so rows are substochastic, remainder a self-loop)
+    * and read item quality off the stationary distribution. Useful as
+    * a cross-check on the MM fit: it is a different estimator with
+    * known minimax-optimal sample complexity, and large BT-vs-RC rank
+    * disagreements localize pairs the single-scale model strains on.
+    *
+    * Replay posture: transition weights land on the 6dp grid ONCE
+    * (w_ji / (n_ij · d_max), one IEEE divide over the product), then a
+    * FIXED number of power-iteration sweeps — per sweep each directed
+    * flow is one 6dp multiply, in/outflows fold as exact decimals, and
+    * the sum-1 renormalization is one division back onto the grid — so
+    * the whole fit replays bitwise in SQL, like the MM family.
+    *
+    * Scale shape: identical to [[bradleyTerry]] — comparisons fold
+    * once into the ordered pair census; each sweep is one item-keyed
+    * join + two bounded aggregations over the census. Bounded censuses
+    * fold on the driver (pinned == distributed in PreferencesSpec).
+    *
+    * Caveats: the chain must be irreducible for a meaningful stationary
+    * vector — gate with [[preferenceConnectivity]]; a fixed sweep count
+    * is an approximation to the stationary limit (document the count;
+    * 10 sweeps settle 6dp on well-mixed censuses, more for near-
+    * disconnected chains).
+    */
+  def rankCentrality(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 10,
+      driverPairLimit: Long = DefaultDriverPairLimit,
+      driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val oc = orderedCensus(normalizeCmp(df, winnerCol, loserCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = unorderedPairs(oc)
+    // directed win counts per unordered pair
+    val pv = oc.groupBy(
+        least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(sum(when(col("w") < col("l"), col("cn")).otherwise(0L)).as("wa"),
+        sum(when(col("w") > col("l"), col("cn")).otherwise(0L)).as("wb"))
+    val winCensus = oc.groupBy(col("w").as("item")).agg(sum(col("cn")).as("n_wins"))
+    val items = oc.select(col("w").as("item"))
+      .unionByName(oc.select(col("l").as("item")))
+      .distinct()
+      .join(winCensus, Seq("item"), "left")
+      .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+    val res =
+      if (driverFits(pairs, driverPairLimit, driverByteLimit))
+        rankCentralityDriver(pv, items, iters)
+      else {
+        val k = items.count()
+        // d_max: the max distinct-opponent degree (bounded agg)
+        val deg = pv.select(col("a").as("item"))
+          .unionByName(pv.select(col("b").as("item")))
+          .groupBy("item").agg(count(lit(1)).as("deg"))
+        val dMax = deg.agg(max(col("deg"))).head().getLong(0).toDouble
+        val nCmp = pv.select(col("a").as("item"), (col("wa") + col("wb")).as("n"))
+          .unionByName(pv.select(col("b").as("item"), (col("wa") + col("wb")).as("n")))
+          .groupBy("item").agg(sum(col("n")).as("n_comparisons"))
+        // directed transitions i -> j at rate round(w_ji/(n*dmax), 6),
+        // fixed for all sweeps
+        val adj = pv.select(col("a").as("i"), col("b").as("j"),
+            round(col("wb").cast("double")
+              / ((col("wa") + col("wb")).cast("double") * lit(dMax)), 6).as("t"))
+          .unionByName(pv.select(col("b").as("i"), col("a").as("j"),
+            round(col("wa").cast("double")
+              / ((col("wa") + col("wb")).cast("double") * lit(dMax)), 6).as("t")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val itemsC = items
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val p0 = BigDecimal(1.0 / k)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var p = itemsC.select(col("item"), lit(p0).as("pi"))
+        for (_ <- 1 to iters) {
+          val flows = adj
+            .join(p.select(col("item").as("i"), col("pi").as("__pi")), Seq("i"))
+            .select(col("i"), col("j"),
+              round(col("__pi") * col("t"), 6).cast("decimal(28,6)").as("f"))
+          val outflow = flows.groupBy(col("i").as("item"))
+            .agg(sum(col("f")).as("__out"))
+          val inflow = flows.groupBy(col("j").as("item"))
+            .agg(sum(col("f")).as("__in"))
+          val moved = p
+            .join(outflow, Seq("item"), "left")
+            .join(inflow, Seq("item"), "left")
+            .select(col("item"),
+              // flows are <= 1, so narrowing the folded sums back to
+              // (28,6) is exact; without it the +/- chain overflows
+              // precision 38 and Spark silently drops the 6th decimal
+              (col("pi").cast("decimal(28,6)")
+                - coalesce(col("__out").cast("decimal(28,6)"),
+                    lit(0).cast("decimal(28,6)"))
+                + coalesce(col("__in").cast("decimal(28,6)"),
+                    lit(0).cast("decimal(28,6)")))
+                .as("__p"))
+          val tot = moved.agg(sum(col("__p")).cast("double").as("__tot"))
+          p = moved.crossJoin(tot)
+            .select(col("item"),
+              round(col("__p").cast("double") / col("__tot"), 6).as("pi"))
+            .localCheckpoint(true)
+        }
+        val out = itemsC.join(p, Seq("item")).join(nCmp, Seq("item"))
+          .select(col("item"), col("pi").as("score"),
+            col("n_wins"), col("n_comparisons"))
+          .localCheckpoint(true) // item-grain; lets the caches release
+        adj.unpersist()
+        itemsC.unpersist()
+        out
+      }
+    oc.unpersist()
+    res
+  }
+
+  /** Driver power-iteration fold for [[rankCentrality]] — same grid
+    * arithmetic as the distributed sweeps, bitwise interchangeable.
+    */
+  private def rankCentralityDriver(
+      pv: DataFrame, items: DataFrame, iters: Int): DataFrame = {
+    val spark = pv.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pvRows = pv.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val itemRows = items.collect().map(r => (r.getString(0), r.getLong(1)))
+    val k = itemRows.length
+    val deg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nCmp = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    pvRows.foreach { case (a, b, wa, wb) =>
+      deg(a) += 1L; deg(b) += 1L
+      nCmp(a) += wa + wb; nCmp(b) += wa + wb
+    }
+    val dMax = if (deg.isEmpty) 1.0 else deg.values.max.toDouble
+    // directed transitions on the 6dp grid, fixed for all sweeps
+    val adj = pvRows.flatMap { case (a, b, wa, wb) =>
+      val n = (wa + wb).toDouble
+      Seq((a, b, r6(wb.toDouble / (n * dMax))),
+        (b, a, r6(wa.toDouble / (n * dMax))))
+    }
+    val zero6 = BigDecimal(0).setScale(6)
+    var pi = itemRows.map { case (it, _) => it -> r6(1.0 / k) }.toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(zero6)
+      val outF = scala.collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(zero6)
+      adj.foreach { case (i, j, t) =>
+        val f = BigDecimal(r6(pi(i) * t)).setScale(6)
+        outF(i) += f; in(j) += f
+      }
+      val moved = itemRows.map { case (it, _) =>
+        it -> (BigDecimal(pi(it)).setScale(6) - outF(it) + in(it))
+      }
+      val tot = moved.map(_._2).sum.toDouble
+      pi = moved.map { case (it, v) => it -> r6(v.toDouble / tot) }.toMap
+    }
+    itemRows.toSeq.map { case (it, w) => (it, pi(it), w, nCmp(it)) }
+      .toDF("item", "score", "n_wins", "n_comparisons")
+  }
+
   /** Driver MM fold for [[plackettLuce]] — the same grid arithmetic as
     * the distributed path (6dp rounds, exact BigDecimal staging, one
     * IEEE division per stage term), so the two are bitwise

@@ -501,6 +501,53 @@ class PreferencesSpec extends SparkSpec {
     assert(got("b") == ((1L, 3L)), s"b census: ${got("b")}")
   }
 
+  test("rankCentrality: recovers the planted order and agrees with the BT ranking") {
+    val cmp = (
+      Seq.fill(8)(("x", "y")) ++ Seq.fill(2)(("y", "x")) ++
+      Seq.fill(9)(("x", "z")) ++ Seq.fill(1)(("z", "x")) ++
+      Seq.fill(7)(("y", "z")) ++ Seq.fill(3)(("z", "y"))
+    ).toDF("winner", "loser")
+    val rc = Preferences.rankCentrality(cmp, "winner", "loser", iters = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rc.keySet == Set("x", "y", "z"))
+    val s = rc.view.mapValues(_._1).toMap
+    assert(s("x") > s("y") && s("y") > s("z"), s"order wrong: $s")
+    // stationary distribution sums to ~1
+    assert(math.abs(s.values.sum - 1.0) < 1e-4)
+    // censuses match the BT fit's
+    assert(rc("x")._2 == 17L && rc("x")._3 == 20L)
+    // the two estimators rank identically on clean transitive data
+    val bt = Preferences.bradleyTerry(cmp, "winner", "loser", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s.toSeq.sortBy(-_._2).map(_._1) == bt.toSeq.sortBy(-_._2).map(_._1))
+  }
+
+  test("rankCentrality: driver fast path is bitwise identical to the distributed sweeps") {
+    val cmp = (
+      Seq.fill(8)(("x", "y")) ++ Seq.fill(2)(("y", "x")) ++
+      Seq.fill(9)(("x", "z")) ++ Seq.fill(1)(("z", "x")) ++
+      Seq.fill(7)(("y", "z")) ++ Seq.fill(3)(("z", "y")) ++
+      Seq.fill(4)(("w", "x")) ++ Seq.fill(2)(("x", "w"))
+    ).toDF("winner", "loser")
+    def pins(limit: Long) = Preferences
+      .rankCentrality(cmp, "winner", "loser", iters = 10, driverPairLimit = limit)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(pins(Long.MaxValue) == pins(0L),
+      "driver and distributed sweeps must agree bitwise")
+  }
+
+  test("rankCentrality: symmetric records give the uniform stationary vector") {
+    val cmp = (
+      Seq.fill(5)(("a", "b")) ++ Seq.fill(5)(("b", "a")) ++
+      Seq.fill(5)(("b", "c")) ++ Seq.fill(5)(("c", "b")) ++
+      Seq.fill(5)(("a", "c")) ++ Seq.fill(5)(("c", "a"))
+    ).toDF("winner", "loser")
+    val rc = Preferences.rankCentrality(cmp, "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rc.values.forall(v => math.abs(v - 1.0 / 3) < 1e-5), s"not uniform: $rc")
+  }
+
   test("plackettLuce: an always-last item sinks toward zero with n_chosen = 0") {
     val rk = (0 until 30).flatMap { g =>
       val top = if (g % 2 == 0) Seq("a", "b") else Seq("b", "a")
