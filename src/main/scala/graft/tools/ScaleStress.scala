@@ -890,6 +890,16 @@ object ScaleStress {
       println("[stress]   theta(first=lower-id) = " + Preferences
         .bradleyTerryOrder(cmpsF, "winner", "loser", "first", iters = 10)
         .select("theta").head().getDouble(0)))
+    // r18: the spectral estimator on the same 5M comparisons — both
+    // regimes, same pair-census reuse as the MM fit
+    val rcD = time("pref: rank centrality driver fold")(
+      Preferences.rankCentrality(cmps, "winner", "loser", iters = 10)
+        .orderBy(desc("score")).limit(5).collect())
+    println("[stress]   top-5 by score: " +
+      rcD.map(r => s"${r.getString(0)}=${r.getDouble(1)}").mkString(", "))
+    time("pref: rank centrality distributed")(
+      Preferences.rankCentrality(cmps, "winner", "loser", iters = 10,
+        driverPairLimit = 0L).count())
     cmps.unpersist(blocking = false)
 
     // r17: COMPLETE tournament (one decided comparison per pair, 2000
@@ -915,6 +925,49 @@ object ScaleStress {
       println("[stress]   " + Preferences
         .circularTriads(complete, "winner", "loser").collect().head))
     complete.unpersist(blocking = false)
+    }
+
+    section("listwise") {
+    // Plackett-Luce at scale (r18): 2M ranking sessions x 4 items over
+    // 1000 items — each session draws four DISTINCT items from fixed
+    // non-overlapping offset bands and ranks them by a noisy skill
+    // draw (Thurstonian generator: value = skill x md5-uniform), so
+    // higher ids should fit stronger. Noise makes nearly every
+    // ordering distinct (~2M census rows), pushing the fit onto the
+    // DISTRIBUTED sweeps: per sweep one item join + two windows over
+    // the ~8M-row census explode.
+    import graft.operators.Preferences
+    val sessions = 2000000L
+    val rank4 = spark.range(sessions * 4).select(
+        floor(col("id") / 4L).cast("long").as("s"),
+        (col("id") % 4L).as("slot"))
+      .select(col("s"), {
+        val h = conv(substring(md5(concat(col("s").cast("string"),
+          lit("_"), col("slot").cast("string"), lit("pl"))), 1, 8), 16, 10)
+          .cast("long")
+        val base = col("s") % 1000L
+        pmod(base + when(col("slot") === 0L, lit(0L))
+          .when(col("slot") === 1L, lit(1L) + h % 200L)
+          .when(col("slot") === 2L, lit(250L) + h % 200L)
+          .otherwise(lit(550L) + h % 200L), lit(1000L)).as("item")
+      })
+      .select(col("s"), col("item"), {
+        val u = conv(substring(md5(concat(col("s").cast("string"),
+          lit("#"), col("item").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        // rank key: negative noisy skill, scaled onto a long grid
+        // (rank VALUES only order)
+        (-(col("item") + 1L).cast("double") * u * lit(1000000.0))
+          .cast("long").as("rk")
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] listwise rows: ${rank4.count()} over $sessions sessions")
+    val plFit = time(s"listwise: PL fit, $sessions sessions x 4 (distributed)")(
+      Preferences.plackettLuce(rank4, "s", "item", "rk", iters = 5)
+        .orderBy(desc("strength")).limit(5).collect())
+    println("[stress]   top-5 by strength: " +
+      plFit.map(r => s"${r.getString(0)}=${r.getDouble(1)}").mkString(", "))
+    rank4.unpersist(blocking = false)
     }
 
     section("labels") {
