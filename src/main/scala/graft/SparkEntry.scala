@@ -3377,6 +3377,51 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // Listwise first-place rates with Wilson intervals (r18): the
+    // MODEL-FREE screen beside the PL fit's strengths — per source,
+    // appearances in the 4-doc ranking sessions, times ranked FIRST,
+    // and the small-n-honest interval (the Wilson tree mirrored from
+    // itemWinRates term for term). FULL oracle.
+    "q_pref_list_top1" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(
+        floor(col("doc_id") / 4).cast("long").as("grp"),
+        col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val best = docs.groupBy("grp", "source").agg(max(col("q")).as("q"))
+      val ranked = best.select(col("grp"), col("source").as("item"),
+        row_number().over(
+          w.partitionBy("grp").orderBy(col("q").desc, col("source").asc))
+          .as("rk"))
+      graft.operators.Preferences.listwiseTopRates(
+          ranked, "grp", "item", "rk")
+        .orderBy("item")
+    }),
+
+    // Rank-broken listwise consistency (r18): the rankBreak bridge —
+    // every in-session pair of the ranking fixture becomes a pairwise
+    // comparison (winner = better-ranked) and the circularTriads gate
+    // runs on the result. Within one session rank-breaking can never
+    // produce a cycle (rankings are total orders); cycles here mean
+    // SESSIONS CONTRADICT EACH OTHER — the listwise form of the
+    // preference-data self-contradiction check. FULL oracle: the posx
+    // self-join feeds the same consistency chain as q_pref_consistency.
+    "q_pref_list_consistency" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(
+        floor(col("doc_id") / 4).cast("long").as("grp"),
+        col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val best = docs.groupBy("grp", "source").agg(max(col("q")).as("q"))
+      val ranked = best.select(col("grp"), col("source").as("item"),
+        row_number().over(
+          w.partitionBy("grp").orderBy(col("q").desc, col("source").asc))
+          .as("rk"))
+      graft.operators.Preferences.circularTriads(
+        graft.operators.Preferences.rankBreak(ranked, "grp", "item", "rk"),
+        "winner", "loser")
+    }),
+
     // Rank Centrality (r18, Negahban-Oh-Shah 2012): the SPECTRAL
     // estimator on the same comparison records as q_pref_bradley_terry
     // — the comparison Markov chain's stationary distribution read off
@@ -4930,12 +4975,18 @@ object SparkEntry {
   // self-join (each cycle counted once per rotation, // 3 exact), the
   // closed-form d_max, the completeness gate.
   private def prefConsistencyOracleSql: String =
-    prefCmpCteSql +
-      """, pv AS MATERIALIZED (
+    prefCmpCteSql + consistencyChainSql("cmpx")
+
+  /** The circularTriads replay chain from a comparisons CTE named
+    * `cmp` with (w, l) columns — shared by the pairwise fixture and
+    * the rank-broken listwise fixture.
+    */
+  private def consistencyChainSql(cmp: String): String =
+      s""", pv AS MATERIALIZED (
         |  SELECT least(w, l) AS a, greatest(w, l) AS b,
         |         CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wa,
         |         CAST(sum(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS wb
-        |  FROM cmpx GROUP BY 1, 2
+        |  FROM $cmp GROUP BY 1, 2
         |), edges AS MATERIALIZED (
         |  SELECT CASE WHEN wa > wb THEN a ELSE b END AS src,
         |         CASE WHEN wa > wb THEN b ELSE a END AS dst
@@ -4947,7 +4998,7 @@ object SparkEntry {
         |  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
         |), ka AS (
         |  SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM
-        |    (SELECT w AS item FROM cmpx UNION ALL SELECT l FROM cmpx)
+        |    (SELECT w AS item FROM $cmp UNION ALL SELECT l FROM $cmp)
         |), ea AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
         |), pa AS (
@@ -5510,6 +5561,23 @@ object SparkEntry {
     head + body + tail
   }
 
+  /** Shared listwise-fixture CTE head: the quality grid, 4-doc ranking
+    * sessions (per-source best slot, q-desc order with source-asc
+    * ties), and the canonical (grp, item, pos, m) positions.
+    */
+  private def listwisePosCteSql: String =
+    prefCmpCteSql +
+      """, rkx AS (
+        |  SELECT doc_id // 4 AS grp, source, max(q) AS q
+        |  FROM q GROUP BY 1, 2
+        |), posx AS (
+        |  SELECT grp, source AS item,
+        |         row_number() OVER (PARTITION BY grp
+        |                            ORDER BY q DESC, source ASC) AS pos,
+        |         count(*) OVER (PARTITION BY grp) AS m
+        |  FROM rkx
+        |)""".stripMargin
+
   // Plackett-Luce replay (r18): quality-per-doc, 4-doc ranking
   // sessions ranked by q (source-asc ties, per-source best slot), the
   // distinct-orderings census, then `iters` UNROLLED MM sweeps — each
@@ -5551,17 +5619,8 @@ object SparkEntry {
          |  FROM ${cur}u u
          |)""".stripMargin
     val head =
-      prefCmpCteSql +
-      """, rkx AS (
-        |  SELECT doc_id // 4 AS grp, source, max(q) AS q
-        |  FROM q GROUP BY 1, 2
-        |), posx AS (
-        |  SELECT grp, source AS item,
-        |         row_number() OVER (PARTITION BY grp
-        |                            ORDER BY q DESC, source ASC) AS pos,
-        |         count(*) OVER (PARTITION BY grp) AS m
-        |  FROM rkx
-        |), ords AS (
+      listwisePosCteSql +
+      """, ords AS (
         |  SELECT grp, list(item ORDER BY pos) AS ord
         |  FROM posx WHERE m >= 2 GROUP BY grp
         |), census AS MATERIALIZED (
@@ -14069,6 +14128,35 @@ object SparkEntry {
     "q_pref_connectivity" -> prefConnectivityOracleSql,
     "q_pref_plackett_luce" -> plackettLuceOracleSql(10),
     "q_pref_rank_centrality" -> rankCentralityOracleSql(10),
+    "q_pref_list_top1" -> (listwisePosCteSql +
+      """, d AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM posx WHERE m >= 2 GROUP BY 1
+        |), c AS (
+        |  SELECT item, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         (1.96 * 1.96) / CAST(n AS DOUBLE) AS z2n
+        |  FROM d
+        |), wx AS (
+        |  SELECT item, n, k, p, z2n,
+        |         (p + z2n / 2.0) / (1.0 + z2n) AS center,
+        |         (1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |                      + z2n / (4.0 * CAST(n AS DOUBLE)))) / (1.0 + z2n) AS half
+        |  FROM c
+        |)
+        |SELECT item, n AS n_rankings, k AS n_top, round(p, 6) AS rate,
+        |       round(center - half, 6) + 0.0e0 AS wilson_lo,
+        |       round(center + half, 6) + 0.0e0 AS wilson_hi
+        |FROM wx
+        |ORDER BY item""".stripMargin),
+    "q_pref_list_consistency" -> (listwisePosCteSql +
+      """, lb AS MATERIALIZED (
+        |  SELECT a.item AS w, b.item AS l
+        |  FROM posx a JOIN posx b ON b.grp = a.grp AND b.pos > a.pos
+        |  WHERE a.m >= 2
+        |)""".stripMargin +
+      consistencyChainSql("lb")),
     "q_pref_calibration" -> bradleyTerryCalibrationOracleSql(10),
     "q_pref_bt_ties" -> bradleyTerryTiesOracleSql(10, "1.5"),
 

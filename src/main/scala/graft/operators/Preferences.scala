@@ -987,6 +987,92 @@ object Preferences {
     */
   val DefaultDriverOrderingLimit: Long = 500000L
 
+  /** Canonicalized listwise positions — the record-level normalization
+    * shared by the whole listwise family: (session, item, pos, m) with
+    * pos dense 1..m (rank asc, item-asc ties), duplicate items keeping
+    * their best rank, null-keyed rows and single-item sessions
+    * dropped (no choice information).
+    */
+  private def listwisePositions(
+      df: DataFrame, groupCol: String, itemCol: String,
+      rankCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    df.select(
+        col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("string").as("item"),
+        col(rankCol).cast("long").as("rk"))
+      .filter(col("g").isNotNull && col("item").isNotNull && col("rk").isNotNull)
+      .groupBy("g", "item").agg(min(col("rk")).as("rk")) // input hygiene
+      .withColumn("pos", row_number().over(
+        w.partitionBy("g").orderBy(col("rk").asc, col("item").asc)).cast("long"))
+      .withColumn("m", count(lit(1)).over(w.partitionBy("g")))
+      .filter(col("m") >= 2L)
+  }
+
+  /** RANK-BREAKING bridge: listwise ranking sessions → the pairwise
+    * comparisons they imply (every in-session pair, winner = the
+    * better-ranked side) — so the WHOLE pairwise QC toolbox
+    * ([[circularTriads]], [[preferenceConnectivity]], [[judgeQc]],
+    * [[itemWinRates]], the BT fits) runs on listwise collections.
+    * Full breaking is consistent for the PL model (Azari Soufiani et
+    * al. 2013, "Generalized method-of-moments for rank aggregation"):
+    * under PL every implied pairwise margin reflects the strengths.
+    *
+    * Scale shape: one session-keyed shuffle (the positions fold),
+    * then pairs EXPLODE ROW-LOCALLY from each session's ordered array
+    * — m(m-1)/2 rows per m-item session, no self-join. Sessions are
+    * short (a judge ranks a handful of responses), so the output is a
+    * small constant factor of the input.
+    */
+  def rankBreak(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      rankCol: String): DataFrame = {
+    val ords = listwisePositions(df, groupCol, itemCol, rankCol)
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("pos"), col("item")))).as("sl"))
+      .select(col("g"),
+        transform(col("sl"), x => x.getField("item")).as("ord"))
+    ords.select(col("g").as("session"),
+        explode(flatten(transform(col("ord"), (x, i) =>
+          transform(
+            slice(col("ord"), i + lit(2), size(col("ord")) - i - lit(1)),
+            y => struct(x.as("winner"), y.as("loser"))))))
+          .as("p"))
+      .select(col("session"), col("p.winner").as("winner"),
+        col("p.loser").as("loser"))
+  }
+
+  /** Model-free first-place rates for listwise ranking data: per item,
+    * appearances, times ranked FIRST, and the Wilson 95% interval —
+    * the listwise twin of [[itemWinRates]] (the small-n-honest screen
+    * beside the [[plackettLuce]] fit's strengths). The Wilson tree
+    * mirrors [[itemWinRates]] literally, term for term.
+    */
+  def listwiseTopRates(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      rankCol: String,
+      z: Double = 1.96): DataFrame = {
+    val d = listwisePositions(df, groupCol, itemCol, rankCol)
+      .groupBy("item")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos") === 1L, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2n = (lit(z) * lit(z)) / nD
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / lit(2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2n / (lit(4.0) * nD))) / denom
+    d.select(col("item"), col("n").as("n_rankings"), col("k").as("n_top"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
   /** PLACKETT-LUCE listwise ranking fit (Plackett 1975; Luce 1959) by
     * Hunter's MM iteration (Hunter 2004 §5): rankings arrive as
     * "judge ordered these m items best-to-worst" sessions — the
@@ -1033,19 +1119,8 @@ object Preferences {
       driverOrderingLimit: Long = DefaultDriverOrderingLimit,
       driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
-    val spark = df.sparkSession
     val w = org.apache.spark.sql.expressions.Window
-    val raw = df.select(
-        col(groupCol).cast("string").as("g"),
-        col(itemCol).cast("string").as("item"),
-        col(rankCol).cast("long").as("rk"))
-      .filter(col("g").isNotNull && col("item").isNotNull && col("rk").isNotNull)
-      .groupBy("g", "item").agg(min(col("rk")).as("rk")) // input hygiene
-    val posed = raw
-      .withColumn("pos", row_number().over(
-        w.partitionBy("g").orderBy(col("rk").asc, col("item").asc)).cast("long"))
-      .withColumn("m", count(lit(1)).over(w.partitionBy("g")))
-      .filter(col("m") >= 2L)
+    val posed = listwisePositions(df, groupCol, itemCol, rankCol)
     // the orderings census: the ONE source fold; sessions with the
     // same item sequence collapse
     val census = posed

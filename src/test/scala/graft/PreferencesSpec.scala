@@ -548,6 +548,56 @@ class PreferencesSpec extends SparkSpec {
     assert(rc.values.forall(v => math.abs(v - 1.0 / 3) < 1e-5), s"not uniform: $rc")
   }
 
+  test("rankBreak: every in-session pair, winner = better-ranked; hygiene matches plackettLuce") {
+    val rk = Seq(
+      (1, "a", 1), (1, "b", 2), (1, "c", 3),
+      (2, "c", 1), (2, "a", 2),
+      (3, "a", 1),                       // singleton: contributes nothing
+      (4, "b", 10), (4, "b", 20), (4, "a", 30) // dup b keeps rank 10
+    ).toDF("session", "item", "rank")
+    val got = Preferences.rankBreak(rk, "session", "item", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got == Seq(
+      ("1", "a", "b"), ("1", "a", "c"), ("1", "b", "c"),
+      ("2", "c", "a"),
+      ("4", "b", "a")), s"pairs wrong: $got")
+    // the bridge feeds the pairwise gates: one session ranking can
+    // never self-cycle, so triads on a single 3-item session read 0
+    val tri = Preferences.circularTriads(
+      Preferences.rankBreak(rk.filter(col("session") === 1), "session", "item", "rank"),
+      "winner", "loser").collect().head
+    assert(tri.getLong(3) == 0L, "a total order has no cyclic triads")
+  }
+
+  test("listwiseTopRates: first-place census with Wilson bounds matching itemWinRates arithmetic") {
+    // 4 sessions: a first in 3, b first in 1, c never
+    val rk = Seq(
+      (1, "a", 1), (1, "b", 2), (1, "c", 3),
+      (2, "a", 1), (2, "c", 2),
+      (3, "b", 1), (3, "a", 2),
+      (4, "a", 1), (4, "b", 2), (4, "c", 3)
+    ).toDF("session", "item", "rank")
+    val got = Preferences.listwiseTopRates(rk, "session", "item", "rank")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got("a")._1 == 4L && got("a")._2 == 3L && got("a")._3 == 0.75)
+    assert(got("b")._1 == 3L && got("b")._2 == 1L)
+    assert(got("c")._1 == 3L && got("c")._2 == 0L && got("c")._3 == 0.0)
+    // Wilson tree mirrors itemWinRates term for term: same (n, k) in
+    // must give the same interval out
+    val cmp = (Seq.fill(3)(("i", "j")) :+ (("j", "i")))
+      .toDF("winner", "loser")
+    val wref = Preferences.itemWinRates(cmp, "winner", "loser")
+      .filter(col("item") === "i").collect().head
+    assert(wref.getLong(1) == 4L && wref.getLong(2) == 3L)
+    assert(got("a")._4 == wref.getDouble(4) && got("a")._5 == wref.getDouble(5),
+      "same (n=4, k=3) must give the same Wilson bounds")
+    // bounds are honest: rate inside, lo < rate < hi for interior rates
+    assert(got("b")._4 < got("b")._3 && got("b")._3 < got("b")._5)
+  }
+
   test("plackettLuce: an always-last item sinks toward zero with n_chosen = 0") {
     val rk = (0 until 30).flatMap { g =>
       val top = if (g % 2 == 0) Seq("a", "b") else Seq("b", "a")
