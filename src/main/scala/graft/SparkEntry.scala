@@ -3377,6 +3377,35 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // Stratified Bradley-Terry (r18): the plain fit run independently
+    // per LANGUAGE over within-language quality comparisons — the
+    // strengths-level drift screen beside the sliced kappa/position
+    // gates: a source order that flips inside a segment is exactly
+    // what the pooled fit averages away (Simpson's-paradox risk for
+    // training mixes). Per-slice arithmetic is bitwise the plain BT
+    // fit on the filtered records; the FULL oracle runs all slices'
+    // 10 MM sweeps slice-keyed in one unrolled chain.
+    "q_pref_bt_by_lang" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+      val a = docs.select(col("doc_id").as("ida"), col("lang").as("la"),
+        col("source").as("sa"), col("q").as("qa"))
+      val b = docs.select((col("doc_id") - 1).as("ida"), col("lang").as("lb"),
+        col("source").as("sb"), col("q").as("qb"))
+      val cmp = a.join(b, Seq("ida"))
+        .filter(col("la") === col("lb") && col("sa") =!= col("sb"))
+        .select(col("la").as("slice"),
+          when(col("qa") > col("qb"), col("sa"))
+            .when(col("qa") < col("qb"), col("sb"))
+            .otherwise(least(col("sa"), col("sb"))).as("winner"),
+          when(col("qa") > col("qb"), col("sb"))
+            .when(col("qa") < col("qb"), col("sa"))
+            .otherwise(greatest(col("sa"), col("sb"))).as("loser"))
+      graft.operators.Preferences.bradleyTerryBySlice(
+          cmp, "slice", "winner", "loser", iters = 10)
+        .orderBy("slice", "item")
+    }),
+
     // Listwise first-place rates with Wilson intervals (r18): the
     // MODEL-FREE screen beside the PL fit's strengths — per source,
     // appearances in the 4-doc ranking sessions, times ranked FIRST,
@@ -5650,6 +5679,99 @@ object SparkEntry {
          |FROM items it
          |JOIN g$iters ON g$iters.item = it.item
          |ORDER BY it.item""".stripMargin
+    head + body + tail
+  }
+
+  // Stratified-BT replay (r18): the lang-carrying quality grid,
+  // within-language comparisons keyed by slice, then `iters` unrolled
+  // MM sweeps with EVERY fold slice-keyed — per-slice k and mean-1
+  // totals join back by slice, so one chain replays all slices' fits
+  // with arithmetic byte-identical to the per-slice engine loop.
+  private def btBySliceOracleSql(iters: Int): String = {
+    def iterCte(prev: String, cur: String): String =
+      s""", ${cur}s AS (
+         |  SELECT a.s, a.i AS item,
+         |         CAST(coalesce(sum(CAST(round(CAST(a.n AS DOUBLE)
+         |           / (gi.gamma + gj.gamma), 6) AS DECIMAL(28,6))), 0) AS DOUBLE) AS sx
+         |  FROM adj a
+         |  JOIN $prev gi ON gi.s = a.s AND gi.item = a.i
+         |  JOIN $prev gj ON gj.s = a.s AND gj.item = a.j
+         |  GROUP BY 1, 2
+         |), ${cur}u AS MATERIALIZED (
+         |  SELECT it.s, it.item,
+         |         round(CAST(it.n_wins AS DOUBLE) / gs.sx, 6) AS gu
+         |  FROM items it JOIN ${cur}s gs ON gs.s = it.s AND gs.item = it.item
+         |), ${cur}t AS (
+         |  SELECT s, CAST(sum(CAST(gu AS DECIMAL(28,6))) AS DOUBLE) AS tot
+         |  FROM ${cur}u GROUP BY 1
+         |), $cur AS MATERIALIZED (
+         |  SELECT u.s, u.item, round(u.gu * kk.k / t.tot, 6) AS gamma
+         |  FROM ${cur}u u
+         |  JOIN kk ON kk.s = u.s
+         |  JOIN ${cur}t t ON t.s = u.s
+         |)""".stripMargin
+    val head =
+      """WITH q AS MATERIALIZED (
+        |  SELECT doc_id, source, lang,
+        |    round((
+        |      (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+        |            THEN 1.0 ELSE 0.0 END) +
+        |      least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+        |    ) / 4.0, 4) AS q
+        |  FROM (SELECT doc_id, source, lang,
+        |          length(text) AS n_chars,
+        |          len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |          len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+        |            ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+        |          len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+        |        FROM documents)
+        |), cmps AS MATERIALIZED (
+        |  SELECT a.lang AS s,
+        |         CASE WHEN a.q > b.q THEN a.source
+        |              WHEN a.q < b.q THEN b.source
+        |              ELSE least(a.source, b.source) END AS w,
+        |         CASE WHEN a.q > b.q THEN b.source
+        |              WHEN a.q < b.q THEN a.source
+        |              ELSE greatest(a.source, b.source) END AS l
+        |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.lang = b.lang AND a.source <> b.source
+        |), pairs AS MATERIALIZED (
+        |  SELECT s, least(w, l) AS a, greatest(w, l) AS b,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM cmps GROUP BY 1, 2, 3
+        |), winsx AS (
+        |  SELECT s, w AS item, CAST(count(*) AS BIGINT) AS n_wins
+        |  FROM cmps GROUP BY 1, 2
+        |), items AS MATERIALIZED (
+        |  SELECT it.s, it.item, CAST(coalesce(winsx.n_wins, 0) AS BIGINT) AS n_wins
+        |  FROM (SELECT DISTINCT s, item FROM
+        |          (SELECT s, w AS item FROM cmps
+        |           UNION ALL SELECT s, l FROM cmps)) it
+        |  LEFT JOIN winsx ON winsx.s = it.s AND winsx.item = it.item
+        |), adj AS MATERIALIZED (
+        |  SELECT s, a AS i, b AS j, n FROM pairs
+        |  UNION ALL SELECT s, b, a, n FROM pairs
+        |), ncmp AS (
+        |  SELECT s, i AS item, CAST(sum(n) AS BIGINT) AS n_comparisons
+        |  FROM adj GROUP BY 1, 2
+        |), kk AS MATERIALIZED (
+        |  SELECT s, CAST(count(*) AS DOUBLE) AS k FROM items GROUP BY 1
+        |), g0 AS MATERIALIZED (
+        |  SELECT s, item, 1.0 AS gamma FROM items
+        |)""".stripMargin
+    val body = (1 to iters).map(i => iterCte(s"g${i - 1}", s"g$i")).mkString
+    val tail =
+      s"""
+         |SELECT it.s AS slice, it.item, g$iters.gamma AS strength,
+         |       it.n_wins, nc.n_comparisons,
+         |       round(g$iters.gamma / (g$iters.gamma + 1.0), 6) AS p_beat_avg
+         |FROM items it
+         |JOIN g$iters ON g$iters.s = it.s AND g$iters.item = it.item
+         |JOIN ncmp nc ON nc.s = it.s AND nc.item = it.item
+         |ORDER BY slice, it.item""".stripMargin
     head + body + tail
   }
 
@@ -14128,6 +14250,7 @@ object SparkEntry {
     "q_pref_connectivity" -> prefConnectivityOracleSql,
     "q_pref_plackett_luce" -> plackettLuceOracleSql(10),
     "q_pref_rank_centrality" -> rankCentralityOracleSql(10),
+    "q_pref_bt_by_lang" -> btBySliceOracleSql(10),
     "q_pref_list_top1" -> (listwisePosCteSql +
       """, d AS (
         |  SELECT item, CAST(count(*) AS BIGINT) AS n,

@@ -982,6 +982,54 @@ object Preferences {
     res
   }
 
+  /** STRATIFIED Bradley-Terry: the [[bradleyTerry]] fit run
+    * independently per slice (language, time window, judge cohort) —
+    * the strengths-level drift screen beside the sliced kappa and
+    * position gates: a preference ORDER that holds pooled but flips
+    * inside a segment means the pooled strengths average away a real
+    * disagreement (Simpson's-paradox risk for reward-model training
+    * mixes). Each slice's fit is the exact [[bradleyTerry]] arithmetic
+    * on that slice's pair census, so per-slice outputs are bitwise
+    * what the plain fit would produce on the filtered records
+    * (spec-pinned), and the whole readout replays in SQL.
+    *
+    * Scale shape: ONE source fold into the slice-keyed ordered census;
+    * slices are an analysis grain (bounded — `maxSlices` guards the
+    * loop loudly), and each per-slice fit folds the shared cached
+    * census, so the comparison source is scanned once regardless of
+    * slice count.
+    */
+  def bradleyTerryBySlice(
+      df: DataFrame,
+      sliceCol: String,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 10,
+      maxSlices: Int = 1000): DataFrame = {
+    val cmp = df.select(
+        col(sliceCol).cast("string").as("s"),
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("s").isNotNull && col("w").isNotNull && col("l").isNotNull
+        && col("w") =!= col("l"))
+    val oc = cmp.groupBy("s", "w", "l").agg(count(lit(1)).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val slices = oc.select("s").distinct().collect().map(_.getString(0)).sorted
+      require(slices.length <= maxSlices,
+        s"${slices.length} slices exceed maxSlices=$maxSlices — slices are " +
+          "an analysis grain; pre-aggregate or raise the cap deliberately")
+      val fits = slices.map { sl =>
+        fitFromOrdered(oc.filter(col("s") === sl).select("w", "l", "cn"),
+            iters, DefaultDriverPairLimit, DefaultDriverByteLimit)
+          .withColumn("slice", lit(sl))
+      }
+      fits.reduce(_ unionByName _)
+        .select(col("slice"), col("item"), col("strength"),
+          col("n_wins"), col("n_comparisons"), col("p_beat_avg"))
+    } finally oc.unpersist()
+  }
+
   /** Default caps for the Plackett-Luce driver fast path: distinct
     * ORDERINGS (the census grain) and estimated collected bytes.
     */

@@ -548,6 +548,34 @@ class PreferencesSpec extends SparkSpec {
     assert(rc.values.forall(v => math.abs(v - 1.0 / 3) < 1e-5), s"not uniform: $rc")
   }
 
+  test("bradleyTerryBySlice: per-slice fits flag a planted order flip; single slice == plain fit") {
+    // pooled: a and b look even; sliced: a dominates in A, b in B
+    val cmp = (
+      Seq.fill(8)(("A", "a", "b")) ++ Seq.fill(2)(("A", "b", "a")) ++
+      Seq.fill(2)(("B", "a", "b")) ++ Seq.fill(8)(("B", "b", "a"))
+    ).toDF("seg", "winner", "loser")
+    val got = Preferences.bradleyTerryBySlice(cmp, "seg", "winner", "loser", iters = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("A", "a")) > got(("A", "b")), "slice A: a should dominate")
+    assert(got(("B", "b")) > got(("B", "a")), "slice B: b should dominate")
+    // the flip the pooled fit averages away
+    val pooled = Preferences.bradleyTerry(cmp, "winner", "loser", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pooled("a") - pooled("b")) < 1e-6, "pooled strengths are even")
+    // one-slice output is BITWISE the plain fit plus the slice tag
+    val one = cmp.filter(col("seg") === "A")
+    val sliced = Preferences.bradleyTerryBySlice(one, "seg", "winner", "loser")
+      .select("item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    val plain = Preferences.bradleyTerry(one, "winner", "loser")
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(sliced == plain, "single slice must reproduce the plain fit bitwise")
+    // the slice cap fails loudly
+    val ex = intercept[IllegalArgumentException](
+      Preferences.bradleyTerryBySlice(cmp, "seg", "winner", "loser", maxSlices = 1))
+    assert(ex.getMessage.contains("maxSlices"))
+  }
+
   test("rankBreak: every in-session pair, winner = better-ranked; hygiene matches plackettLuce") {
     val rk = Seq(
       (1, "a", 1), (1, "b", 2), (1, "c", 3),
