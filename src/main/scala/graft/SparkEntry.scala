@@ -3377,6 +3377,34 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // Listwise connectivity (r18): the rankBreak bridge feeding the
+    // Hunter-condition gate — language-stratified ranking sessions
+    // (per-(lang, 4-doc-block) groups) rank-break to pairwise
+    // comparisons whose graph can only connect within a language, so
+    // the gate reads one island per co-ranked cluster. Demonstrates
+    // the bridge composing with the pairwise QC toolbox end to end;
+    // FULL oracle reuses the recursive-closure connectivity chain on
+    // the rank-broken pairs.
+    "q_pref_list_connectivity" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+      val best = docs
+        .select(col("lang"), floor(col("doc_id") / 4).cast("long").as("blk"),
+          col("source"), col("q"))
+        .groupBy("lang", "blk", "source").agg(max(col("q")).as("q"))
+      val ranked = best.select(
+        concat_ws("/", col("lang"), col("blk")).as("grp"),
+        concat_ws("/", col("lang"), col("source")).as("item"),
+        row_number().over(
+          w.partitionBy("lang", "blk").orderBy(col("q").desc, col("source").asc))
+          .as("rk"))
+      graft.operators.Preferences.preferenceConnectivity(
+          graft.operators.Preferences.rankBreak(ranked, "grp", "item", "rk"),
+          "winner", "loser")
+        .orderBy("component")
+    }),
+
     // Stratified Bradley-Terry (r18): the plain fit run independently
     // per LANGUAGE over within-language quality comparisons — the
     // strengths-level drift screen beside the sliced kappa/position
@@ -5079,20 +5107,28 @@ object SparkEntry {
       |              ELSE greatest(a.lang || '/' || a.source, b.lang || '/' || b.source) END AS l
       |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
       |  WHERE a.lang = b.lang AND a.source <> b.source
-      |), pairs AS MATERIALIZED (
+      |)""".stripMargin + connectivityChainSql("cmpx")
+
+  /** The connectivity replay chain from a comparisons CTE named `cmp`
+    * with (w, l) columns — shared by the pairwise lang-stratified
+    * fixture and the rank-broken listwise fixture. The caller's WITH
+    * clause must carry the RECURSIVE prefix (the reach CTE).
+    */
+  private def connectivityChainSql(cmp: String): String =
+      s""", pairs AS MATERIALIZED (
       |  SELECT least(w, l) AS a, greatest(w, l) AS b,
       |         CAST(count(*) AS BIGINT) AS n
-      |  FROM cmpx GROUP BY 1, 2
+      |  FROM $cmp GROUP BY 1, 2
       |), itemsx AS MATERIALIZED (
       |  SELECT it.item,
       |         CAST(coalesce(wx.n_wins, 0) AS BIGINT) AS n_wins,
       |         CAST(coalesce(lx.n_losses, 0) AS BIGINT) AS n_losses
       |  FROM (SELECT DISTINCT item FROM
-      |          (SELECT w AS item FROM cmpx UNION ALL SELECT l FROM cmpx)) it
+      |          (SELECT w AS item FROM $cmp UNION ALL SELECT l FROM $cmp)) it
       |  LEFT JOIN (SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins
-      |             FROM cmpx GROUP BY 1) wx ON wx.item = it.item
+      |             FROM $cmp GROUP BY 1) wx ON wx.item = it.item
       |  LEFT JOIN (SELECT l AS item, CAST(count(*) AS BIGINT) AS n_losses
-      |             FROM cmpx GROUP BY 1) lx ON lx.item = it.item
+      |             FROM $cmp GROUP BY 1) lx ON lx.item = it.item
       |), ed AS MATERIALIZED (
       |  SELECT a AS s, b AS d FROM pairs
       |  UNION
@@ -5681,6 +5717,44 @@ object SparkEntry {
          |ORDER BY it.item""".stripMargin
     head + body + tail
   }
+
+  // Listwise-connectivity replay (r18): lang-stratified ranking
+  // sessions (per-(lang, 4-doc-block) groups, q-desc order), the
+  // rank-broken pairs, then the SAME recursive-closure connectivity
+  // chain as q_pref_connectivity — the bridge feeding the gate.
+  private def listConnectivityOracleSql: String =
+    """WITH RECURSIVE q AS MATERIALIZED (
+      |  SELECT doc_id, source, lang,
+      |    round((
+      |      (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+      |      (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 2 AND 12
+      |            THEN 1.0 ELSE 0.0 END) +
+      |      (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2
+      |            THEN 1.0 ELSE 0.0 END) +
+      |      least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+      |    ) / 4.0, 4) AS q
+      |  FROM (SELECT doc_id, source, lang,
+      |          length(text) AS n_chars,
+      |          len(regexp_extract_all(text, '\S+')) AS n_tok,
+      |          len(list_filter(regexp_extract_all(text, '\S+'), x -> lower(x) IN
+      |            ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+      |          len(regexp_extract_all(text, $$[.,;:!?'"()\[\]{}-]$$)) AS n_punct
+      |        FROM documents)
+      |), rkx AS (
+      |  SELECT lang, doc_id // 4 AS blk, source, max(q) AS q
+      |  FROM q GROUP BY 1, 2, 3
+      |), posx AS (
+      |  SELECT lang || '/' || CAST(blk AS VARCHAR) AS grp,
+      |         lang || '/' || source AS item,
+      |         row_number() OVER (PARTITION BY lang, blk
+      |                            ORDER BY q DESC, source ASC) AS pos,
+      |         count(*) OVER (PARTITION BY lang, blk) AS m
+      |  FROM rkx
+      |), lb AS MATERIALIZED (
+      |  SELECT a.item AS w, b.item AS l
+      |  FROM posx a JOIN posx b ON b.grp = a.grp AND b.pos > a.pos
+      |  WHERE a.m >= 2
+      |)""".stripMargin + connectivityChainSql("lb")
 
   // Stratified-BT replay (r18): the lang-carrying quality grid,
   // within-language comparisons keyed by slice, then `iters` unrolled
@@ -14251,6 +14325,7 @@ object SparkEntry {
     "q_pref_plackett_luce" -> plackettLuceOracleSql(10),
     "q_pref_rank_centrality" -> rankCentralityOracleSql(10),
     "q_pref_bt_by_lang" -> btBySliceOracleSql(10),
+    "q_pref_list_connectivity" -> listConnectivityOracleSql,
     "q_pref_list_top1" -> (listwisePosCteSql +
       """, d AS (
         |  SELECT item, CAST(count(*) AS BIGINT) AS n,
