@@ -63,65 +63,147 @@ object DawidSkene {
       labelCol: String,
       iters: Int = 10,
       smoothing: Double = 0.01): DawidSkeneFit = {
-    require(iters >= 0 && iters <= 50, s"iters in [0,50], got $iters")
-    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
-    val votes = df.select(
+    val votes = normalizeVotes(df, unitCol, raterCol, labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitCore(votes, iters, smoothing)
+    finally votes.unpersist()
+  }
+
+  /** (u, r, l) string-normalized non-null votes — the record grain the
+    * whole fit (and [[route]]'s vote census) folds.
+    */
+  private def normalizeVotes(
+      df: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame =
+    df.select(
         col(unitCol).cast("string").as("u"),
         col(raterCol).cast("string").as("r"),
         col(labelCol).cast("string").as("l"))
       .filter(col("u").isNotNull && col("r").isNotNull && col("l").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val classes = votes.select(col("l").as("j")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nClasses = classes.count()
-    val nUnits = votes.select("u").distinct().count()
+
+  /** The EM fit over caller-persisted normalized votes. r19 sweep
+    * shape (guide §2.4 — remove exchanges outright): the M-step's
+    * confusion numerators and class masses are BOUNDED aggregates
+    * (raters × classes² and classes), so each sweep runs ONE
+    * distributed job — a union of the two folds, collected — and the
+    * complete smoothed grid is assembled as a LOCAL relation whose
+    * π/prior cells are computed by the SAME Spark expressions as the
+    * old distributed M-step (coalesce over the identical decimal
+    * types, one IEEE division, 6dp round — bitwise-identical by
+    * construction, spec- and oracle-pinned). The old per-sweep
+    * broadcast-exchange subtree (votes.distinct raters scan + two
+    * crossJoins + two grid joins) is gone from the plan; the E-step
+    * joins the local grid and pays the sweep's only unit-keyed
+    * shuffle. Exact-decimal sums are order-free, so folding the den
+    * on the driver (BigDecimal adds over the collected scale-6
+    * numerators) equals the old distributed decimal sum bit-for-bit.
+    */
+  private def fitCore(
+      votes: DataFrame,
+      iters: Int,
+      smoothing: Double): DawidSkeneFit = {
+    require(iters >= 0 && iters <= 50, s"iters in [0,50], got $iters")
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    val spark = votes.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DecimalType, StringType, StructField, StructType}
+    // ONE bounded job for the fit's scalars: unit count + the sorted
+    // class vocabulary (L is the label vocabulary — bounded by grain).
+    val hd = votes.agg(
+        countDistinct(col("u")).as("nu"),
+        sort_array(collect_set(col("l"))).as("cls"))
+      .head()
+    val nUnits = hd.getLong(0)
+    val classesArr: Seq[String] = hd.getSeq[String](1)
+    val classesLit = typedLit(classesArr)
     // driver-side smoothing aggregate: α·L (the denominator add-on);
     // replays as the literal product in SQL (power-of-two-free double
     // products are written identically on both engines)
-    val aL = smoothing * nClasses.toDouble
+    val aL = smoothing * classesArr.length.toDouble
 
     // init: vote shares over the full unit × class grid (zero-vote
-    // classes participate from sweep 1 via the smoothed priors/π)
-    val m = votes.groupBy("u").agg(count(lit(1)).as("__m"))
-    val cnt = votes.groupBy("u", "l").agg(count(lit(1)).as("__c"))
-    var post = m.crossJoin(broadcast(classes))
-      .join(cnt.withColumnRenamed("l", "j"), Seq("u", "j"), "left")
+    // classes participate from sweep 1 via the smoothed priors/π) —
+    // one unit-keyed shuffle; per-class counts fold row-locally from
+    // the unit's collected label list (same integer counts as the old
+    // (u,l) groupBy + grid join, one exchange instead of two + join).
+    var post = votes.groupBy("u")
+      .agg(count(lit(1)).as("__m"), collect_list(col("l")).as("__ls"))
+      .select(col("u"), col("__m"), col("__ls"), explode(classesLit).as("j"))
       .select(col("u"), col("j"),
-        round(coalesce(col("__c"), lit(0L)).cast("double")
+        round(size(filter(col("__ls"), x => x === col("j"))).cast("double")
           / col("__m").cast("double"), 6).as("p"))
-      .localCheckpoint(true)
+      // LAZY checkpoint (r19): the next sweep's union-aggregate collect
+      // is the materializing action, so each sweep schedules ONE job
+      // instead of a checkpoint job + a collect job; lineage still
+      // truncates at first materialization, keeping plan depth flat
+      .localCheckpoint(false)
 
-    def mStep(p: DataFrame): (DataFrame, DataFrame) = {
-      // confusion numerators: exact decimal folds of grid posteriors
-      val num = votes.join(p, Seq("u"))
-        .groupBy("r", "j", "l")
-        .agg(sum(col("p").cast("decimal(28,6)")).as("__num"))
-      val den = num.groupBy("r", "j")
-        .agg(sum(col("__num")).as("__den"))
+    // One union-aggregate job per sweep, ONE exchange: the confusion
+    // numerators (exact decimal folds of grid posteriors) and the
+    // class masses fold through a single tagged groupBy — num rows key
+    // (1, r, j, l), mass rows (2, null, j, null) — and collect to the
+    // bounded grid. Every rater appears for every class (post is the
+    // full unit × class grid), so the collected numerators span the
+    // complete observed grid and the rater census needs no separate
+    // distinct scan. The π/prior cells then assemble on the DRIVER
+    // with the house byte-identical arithmetic (r6 == Spark
+    // round(…, 6), BigDecimal.doubleValue == the decimal→double cast,
+    // exact scale-6 adds == the old den sum — the bradleyTerryDriver
+    // posture, spec- and oracle-pinned), so no per-sweep priors job
+    // and no broadcast-exchange subtree remain in the plan.
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mStep(p: DataFrame): (Seq[(String, String, String, Double)], Seq[(String, Double)]) = {
+      val rows = votes.join(p, Seq("u"))
+        .select(lit(1).as("t"), col("r"), col("j"), col("l"), col("p"))
+        .unionByName(p.select(lit(2).as("t"),
+          lit(null).cast("string").as("r"), col("j"),
+          lit(null).cast("string").as("l"), col("p")))
+        .groupBy("t", "r", "j", "l")
+        .agg(sum(col("p").cast("decimal(28,6)")).as("v"))
+        .collect()
+      val numMap = scala.collection.mutable.Map.empty[(String, String, String), java.math.BigDecimal]
+      val massMap = scala.collection.mutable.Map.empty[String, java.math.BigDecimal]
+      rows.foreach { r =>
+        // a null sum (all-null posteriors in the group — the underflow
+        // state the loud gate below reports) reads as an absent cell,
+        // matching the old distributed coalesce(num, 0)
+        if (r.getDecimal(4) != null) {
+          if (r.getInt(0) == 1)
+            numMap((r.getString(1), r.getString(2), r.getString(3))) =
+              r.getDecimal(4)
+          else massMap(r.getString(2)) = r.getDecimal(4)
+        }
+      }
+      // den: exact scale-6 decimal adds — order-free, bit-equal to the
+      // old distributed sum over the same numerators
+      val denMap = scala.collection.mutable.Map.empty[(String, String), java.math.BigDecimal]
+      numMap.foreach { case ((r, j, _), v) =>
+        denMap((r, j)) = denMap.get((r, j)).map(_.add(v)).getOrElse(v)
+      }
+      val raters = numMap.keysIterator.map(_._1).toSeq.distinct.sorted
       // complete grid: raters × classes² with unobserved cells at the
-      // smoothing floor (they never join a vote, but the CONFUSION
-      // READOUT must show the full matrix)
-      val grid = votes.select(col("r")).distinct()
-        .crossJoin(broadcast(classes))
-        .crossJoin(broadcast(classes.select(col("j").as("l"))))
-      val conf = grid
-        .join(num, Seq("r", "j", "l"), "left")
-        .join(den, Seq("r", "j"), "left")
-        .select(col("r"), col("j"), col("l"),
-          round((coalesce(col("__num"), lit(0).cast("decimal(28,6)"))
-              .cast("double") + lit(smoothing))
-            / (coalesce(col("__den"), lit(0).cast("decimal(28,6)"))
-              .cast("double") + lit(aL)), 6).as("pi"))
-      val priors = p.groupBy("j")
-        .agg(sum(col("p").cast("decimal(28,6)")).as("__mass"))
-        .select(col("j"),
-          round((col("__mass").cast("double") + lit(smoothing))
-            / (lit(nUnits.toDouble) + lit(aL)), 6).as("prior"))
+      // smoothing floor — π = round((num + s)/(den + αL), 6), the same
+      // fixed-order IEEE chain as the old column expression
+      val conf =
+        for (r <- raters; j <- classesArr; l <- classesArr) yield {
+          val numD = numMap.get((r, j, l)).map(_.doubleValue).getOrElse(0.0)
+          val denD = denMap.get((r, j)).map(_.doubleValue).getOrElse(0.0)
+          (r, j, l, r6((numD + smoothing) / (denD + aL)))
+        }
+      val priors = massMap.keysIterator.toSeq.sorted.map { j =>
+        j -> r6((massMap(j).doubleValue + smoothing)
+          / (nUnits.toDouble + aL))
+      }
       (conf, priors)
     }
 
+    import spark.implicits._
     for (_ <- 1 to iters) {
-      val (conf, priors) = mStep(post)
+      val (confRows, priorRows) = mStep(post)
+      val conf = confRows.toDF("r", "j", "l", "pi")
       // E: ONE unit-keyed shuffle per sweep (r17 fusion — was two
       // groupBys plus a join). Per unit, the votes collect once sorted
       // by (class, rater, label); per class the product folds over the
@@ -129,11 +211,10 @@ object DawidSkene {
       // pinned IEEE multiply chain as the unfused form (a global
       // (j,r,l,pi) sort filtered to one class IS the (r,l,pi) sort) —
       // and the class total folds in sorted-class order row-locally.
-      // Priors enter as a literal class-sorted array (they are a
-      // bounded per-sweep aggregate; the collect is one tiny action).
-      val priorArr = priors.orderBy("j").collect()
-        .map(r => struct(lit(r.getString(0)).as("j"),
-          lit(r.getDouble(1)).as("prior")))
+      // Priors enter as a literal class-sorted array (a bounded
+      // per-sweep aggregate, already sorted on the driver).
+      val priorArr = priorRows
+        .map { case (j, pr) => struct(lit(j).as("j"), lit(pr).as("prior")) }
       post = votes.join(broadcast(conf), Seq("r", "l"))
         .groupBy("u")
         .agg(array_sort(collect_list(
@@ -156,32 +237,29 @@ object DawidSkene {
             when(col("__tot") > 0.0,
               round(x.getField("num") / col("__tot"), 6)).as("p")))).as("__pj"))
         .select(col("u"), col("__pj.j").as("j"), col("__pj.p").as("p"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy — next sweep's collect materializes
     }
 
-    val (confRaw, priorsRaw) = mStep(post)
-    // Materialize the bounded fit outputs so the persisted inputs can be
-    // released (r17 advice: repeated fits in a long-lived session
-    // accreted votes/classes caches with no release path). conf is
-    // raters × classes², priors is classes — both tiny by grain; the
-    // posterior is already localCheckpoint'd per sweep.
-    val conf = confRaw.localCheckpoint(true)
-    val priors = priorsRaw.localCheckpoint(true)
-    votes.unpersist()
-    classes.unpersist()
     // Loud underflow gate (r17 advice): a unit's per-class vote-product
     // folds raw 6dp π values from 1.0, so panels of many hundreds of
     // raters can exhaust double range — num/__tot then goes 0/0 → NaN
     // (or null once propagated). Panels are small by grain (items ×
     // judges), so this is a structural caveat — but it must fail
     // loudly, never ship a silent NaN consensus. One bounded scan of
-    // the checkpointed posterior.
+    // the checkpointed posterior, run BEFORE the final M-step (which
+    // now collects eagerly and would trip over the null posterior).
     require(
       post.filter(col("p").isNull || isnan(col("p"))).limit(1).count() == 0L,
       "DawidSkene.fit: posterior underflowed to null/NaN — a unit's " +
         "per-class vote product exhausted double range (panel too large " +
         "for the pinned product fold); reduce the per-unit panel size " +
         "or shard the vote set")
+    // The final M-step's outputs are LOCAL relations (driver-assembled
+    // grid rows), so no checkpoint is needed to release the vote cache
+    // — their lineage never touches it (r17 advice honored for free).
+    val (confRows, priorRows) = mStep(post)
+    val conf = confRows.toDF("r", "j", "l", "pi")
+    val priors = priorRows.toDF("j", "prior")
     DawidSkeneFit(post, conf, priors)
   }
 
@@ -220,25 +298,31 @@ object DawidSkene {
       iters: Int = 10,
       smoothing: Double = 0.01,
       marginBelow: Double = 0.5): DataFrame = {
-    val f = fit(df, unitCol, raterCol, labelCol, iters, smoothing)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("u").orderBy(col("p").desc, col("j").asc)
-    val ranked = f.posterior.withColumn("__rn", row_number().over(w))
-    val top = ranked.filter(col("__rn") === 1)
-      .select(col("u"), col("j").as("label"), col("p").as("__p1"))
-    val second = ranked.filter(col("__rn") === 2)
-      .select(col("u"), col("p").as("__p2"))
-    val nVotes = df.select(
-        col(unitCol).cast("string").as("u"),
-        col(raterCol).cast("string").as("r"),
-        col(labelCol).cast("string").as("l"))
-      .filter(col("u").isNotNull && col("r").isNotNull && col("l").isNotNull)
-      .groupBy("u").agg(count(lit(1)).as("n_votes"))
-    top.join(second, Seq("u"), "left")
-      .select(col("u"), col("label"), col("__p1").as("p_posterior"),
-        round(col("__p1") - coalesce(col("__p2"), lit(0.0)), 6).as("margin"))
-      .filter(col("margin") < marginBelow)
-      .join(nVotes, Seq("u"))
+    // r19: normalize + persist ONCE and share between the fit and the
+    // vote census — the old form re-derived the census from the raw
+    // source (a second full scan of whatever expressions feed the
+    // votes, e.g. the panel's text kernels). The queue materializes
+    // (unit-grain, margin-filtered — the actionable readout a pipeline
+    // keeps anyway) so the cache releases before return.
+    val votes = normalizeVotes(df, unitCol, raterCol, labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val f = fitCore(votes, iters, smoothing)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("p").desc, col("j").asc)
+      val ranked = f.posterior.withColumn("__rn", row_number().over(w))
+      val top = ranked.filter(col("__rn") === 1)
+        .select(col("u"), col("j").as("label"), col("p").as("__p1"))
+      val second = ranked.filter(col("__rn") === 2)
+        .select(col("u"), col("p").as("__p2"))
+      val nVotes = votes.groupBy("u").agg(count(lit(1)).as("n_votes"))
+      top.join(second, Seq("u"), "left")
+        .select(col("u"), col("label"), col("__p1").as("p_posterior"),
+          round(col("__p1") - coalesce(col("__p2"), lit(0.0)), 6).as("margin"))
+        .filter(col("margin") < marginBelow)
+        .join(nVotes, Seq("u"))
+        .localCheckpoint(true)
+    } finally votes.unpersist()
   }
 
   /** One-call form: fit + consensus. */

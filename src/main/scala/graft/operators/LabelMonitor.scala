@@ -77,6 +77,15 @@ object LabelMonitor {
       .groupBy(col("slice"))
       .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__spe"))
     val poRaw = col("__agree").cast("double") / col("n").cast("double")
+    // Known edge (r18 advice, deliberately NOT changed in r19): a slice
+    // where the two raters share NO category has no pe row (the a=b
+    // join is empty for it), so pe and kappa read NULL here while
+    // MlEval.cohenKappa on that slice alone reads pe = 0 and kappa =
+    // po. The declared monitor queries' oracles replay THIS null
+    // semantics (testdata contains such a slice), so a coalesce would
+    // change contract outputs; the per-slice identity is therefore
+    // documented as holding on slices where the raters overlap in at
+    // least one category.
     val peRaw = col("__spe").cast("double") /
       (col("n").cast("double") * col("n").cast("double"))
     totals.join(pe, Seq("slice"), "left")

@@ -347,33 +347,46 @@ object MlEval {
     * rank/tie operators share); the divisions are fixed-order IEEE, so
     * the whole readout replays bitwise in SQL.
     */
+  /** House 6dp round — bit-equal to Spark's `round(col, 6)` on double
+    * (both go through BigDecimal.valueOf semantics + HALF_UP), the
+    * established driver-fold posture (Preferences.bradleyTerryDriver,
+    * spec-pinned bitwise against the distributed twin).
+    */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // r19 shape (guide §2.4): the confusion-cell census is BOUNDED
+    // (categories², the label vocabulary), so the fit runs ONE
+    // distributed job — the cell fold, collected — and the po/pe/kappa
+    // assembly (exact long marginal folds, the same fixed-order IEEE
+    // divisions, r6 == round(…, 6)) lands on the driver. The old form
+    // paid a cache fill + three marginal branch aggregates + a
+    // crossJoin + an eager checkpoint for a one-row readout.
+    val spark = df.sparkSession
+    import spark.implicits._
     val cells = df
       .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = cells.agg(
-      coalesce(sum(col("c")), lit(0L)).as("n"),
-      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L)).as("__agree"))
-    val na = cells.groupBy("a").agg(sum(col("c")).as("__na"))
-    val nb = cells.groupBy("b").agg(sum(col("c")).as("__nb"))
-    val pe = na.join(nb, na("a") === nb("b"))
-      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__spe"))
-    val poRaw = col("__agree").cast("double") / col("n").cast("double")
-    val peRaw = col("__spe").cast("double") /
-      (col("n").cast("double") * col("n").cast("double"))
-    val res = totals.crossJoin(pe)
-      .filter(col("n") > 0)
-      .select(
-        col("n"),
-        round(poRaw, 6).as("po"),
-        round(peRaw, 6).as("pe"),
-        when(peRaw < 1.0, round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
-          .as("kappa"))
-      .localCheckpoint(true) // one-row readout; releases the cell cache
-    cells.unpersist()
-    res
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.iterator.map(_._3).sum
+    if (n <= 0)
+      Seq.empty[(Long, Double, Double, Option[Double])].toDF("n", "po", "pe", "kappa")
+    else {
+      val agree = cells.iterator.filter(c => c._1 == c._2).map(_._3).sum
+      val na = cells.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+      val nb = cells.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+      val spe = na.iterator.collect {
+        case (k, cnt) if nb.contains(k) => cnt * nb(k)
+      }.sum
+      val poRaw = agree.toDouble / n.toDouble
+      val peRaw = spe.toDouble / (n.toDouble * n.toDouble)
+      val kappa =
+        if (peRaw < 1.0) Some(r6((poRaw - peRaw) / (1.0 - peRaw))) else None
+      Seq((n, r6(poRaw), r6(peRaw), kappa)).toDF("n", "po", "pe", "kappa")
+    }
   }
 
   /** Gwet's AC1 (Gwet 2008, "Computing inter-rater reliability and its
@@ -399,42 +412,43 @@ object MlEval {
     // surviving the groupBy would never match the USING full join and
     // so would count as an extra category in K and the pe_gamma fold
     // (the r17 advice gap; bradleyTerry shares this input hygiene)
+    // r19 shape: same bounded-cell driver assembly as [[cohenKappa]] —
+    // one cell-fold job, marginals and the pe_γ integer fold on the
+    // driver (long arithmetic is wrap-identical to the old Spark long
+    // lane; the bounded-input posture is unchanged).
+    val spark = df.sparkSession
+    import spark.implicits._
     val cells = df
       .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = cells.agg(
-      coalesce(sum(col("c")), lit(0L)).as("n"),
-      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L)).as("__agree"))
-    val na = cells.groupBy("a").agg(sum(col("c")).as("__na"))
-    val nb = cells.groupBy("b").agg(sum(col("c")).as("__nb"))
-    // summed marginal per category — FULL join: a category one rater
-    // never emits still counts toward the other's marginal
-    val cat = na.select(col("a").as("k"), col("__na"))
-      .join(nb.select(col("b").as("k"), col("__nb")), Seq("k"), "full")
-      .select(col("k"),
-        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L))).as("m"))
-    val sk = cat.crossJoin(broadcast(totals.select(col("n").as("__n"))))
-      .agg(
-        coalesce(sum(col("m") * (lit(2L) * col("__n") - col("m"))), lit(0L))
-          .as("__s"),
-        count(lit(1)).as("__k"))
-    val poRaw = col("__agree").cast("double") / col("n").cast("double")
-    val peRaw = col("__s").cast("double") /
-      ((lit(2L) * col("n")).cast("double") * (lit(2L) * col("n")).cast("double")
-        * (col("__k") - 1).cast("double"))
-    val res = totals.crossJoin(sk)
-      .filter(col("n") > 0)
-      .select(
-        col("n"),
-        round(poRaw, 6).as("po"),
-        when(col("__k") > 1, round(peRaw, 6)).as("pe_gamma"),
-        when(col("__k") > 1, round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
-          .as("ac1"))
-      .localCheckpoint(true) // one-row readout; releases the cell cache
-    cells.unpersist()
-    res
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.iterator.map(_._3).sum
+    if (n <= 0)
+      Seq.empty[(Long, Double, Option[Double], Option[Double])]
+        .toDF("n", "po", "pe_gamma", "ac1")
+    else {
+      val agree = cells.iterator.filter(c => c._1 == c._2).map(_._3).sum
+      val na = cells.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+      val nb = cells.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+      // summed marginal per category — union of both raters' vocabularies:
+      // a category one rater never emits still counts toward the other's
+      val cats = (na.keySet ++ nb.keySet).toSeq
+      val k = cats.size.toLong
+      val s = cats.iterator.map { c =>
+        val m = na.getOrElse(c, 0L) + nb.getOrElse(c, 0L)
+        m * (2L * n - m)
+      }.sum
+      val poRaw = agree.toDouble / n.toDouble
+      val peRaw = s.toDouble /
+        ((2L * n).toDouble * (2L * n).toDouble * (k - 1).toDouble)
+      val (peG, ac1) =
+        if (k > 1)
+          (Some(r6(peRaw)), Some(r6((poRaw - peRaw) / (1.0 - peRaw))))
+        else (None, None)
+      Seq((n, r6(poRaw), peG, ac1)).toDF("n", "po", "pe_gamma", "ac1")
+    }
   }
 
   /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement for a
@@ -453,56 +467,70 @@ object MlEval {
     * N·m up to ~3e9 assignments (the shared bounded-input posture).
     */
   def fleissKappa(df: DataFrame, unitCol: String, labelCol: String): DataFrame = {
+    // r19 shape: the unit-keyed and category-keyed folds stay
+    // distributed (both are data-grain), but they fold through ONE
+    // tagged union-aggregate job instead of a cached census + two
+    // separate actions + an eager checkpoint; the fixed-order IEEE
+    // assembly over the collected exact integers runs on the driver
+    // (the [[cohenKappa]] posture). The two branches share the ONE
+    // unit-keyed exchange (ReusedExchange), so the input expressions —
+    // often a chain of text kernels — evaluate exactly once, with no
+    // cache (the old persist let concurrent branch stages race on the
+    // unfilled cache and re-run the kernels).
+    val spark = df.sparkSession
+    import spark.implicits._
     val nik = df
       .select(col(unitCol).as("u"), col(labelCol).cast("string").as("k"))
       .filter(col("u").isNotNull && col("k").isNotNull)
+      .repartition(col("u"))
       .groupBy("u", "k").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val per = nik.groupBy("u").agg(
-      sum(col("c")).as("m"),
-      sum(col("c") * col("c")).as("ss"))
-    val totals = per.agg(
-      countDistinct(col("m")).as("__nm"),
-      max(col("m")).as("m_raters"),
-      count(lit(1)).as("n_units"),
-      sum(col("ss") - col("m")).as("__num"))
-    val chk = totals.select(col("__nm"), col("m_raters"), col("n_units")).head()
-    // max(m) is null on an empty input — read it null-safely so the
-    // require below reports the intended error, not an NPE from the
-    // message interpolation.
-    val mMax = if (chk.isNullAt(1)) 0L else chk.getLong(1)
-    require(chk.getLong(0) == 1 && mMax >= 2,
+    val totals = nik.groupBy("u").agg(
+        sum(col("c")).as("m"),
+        sum(col("c") * col("c")).as("ss"))
+      .agg(
+        countDistinct(col("m")).as("a"),
+        max(col("m")).as("b"),
+        count(lit(1)).as("c"),
+        coalesce(sum(col("ss") - col("m")), lit(0L)).as("d"))
+    val sck2 = nik.groupBy("k").agg(sum(col("c")).as("__ck"))
+      .agg(
+        coalesce(sum(col("__ck") * col("__ck")), lit(0L)).as("a"),
+        lit(0L).as("b"), lit(0L).as("c"), lit(0L).as("d"))
+    val rows = totals.select(lit(1).as("t"), col("a"), col("b"), col("c"), col("d"))
+      .unionByName(sck2.select(lit(2).as("t"), col("a"), col("b"), col("c"), col("d")))
+      .collect()
+    val tRow = rows.find(_.getInt(0) == 1).get
+    val nm = tRow.getLong(1)
+    val mMax = if (tRow.isNullAt(2)) 0L else tRow.getLong(2)
+    val nUnits = tRow.getLong(3)
+    val num = tRow.getLong(4)
+    require(nm == 1 && mMax >= 2,
       s"fleissKappa needs a constant rater count >= 2 per unit; got " +
-        s"${chk.getLong(0)} distinct count(s), max m = $mMax - " +
+        s"$nm distinct count(s), max m = $mMax - " +
         "balance the panel (or drop under-rated units) upstream")
     // loud long-lane gate (r17 verdict): Σ c_k² is bounded by (N·m)²
     // when one category takes every assignment, so total assignments
     // past √Long.MaxValue could silently wrap the chance numerator into
     // a wrong kappa. Fail loudly instead.
-    val totalAssignments = BigInt(chk.getLong(2)) * BigInt(mMax)
+    val totalAssignments = BigInt(nUnits) * BigInt(mMax)
     require(totalAssignments <= BigInt(3037000499L),
       s"fleissKappa: $totalAssignments assignments exceed the exact " +
         "signed-long lane for the chance numerator (max 3037000499 = " +
         "sqrt(Long.MaxValue)); shard the panel or pre-aggregate upstream")
-    val sck2 = nik.groupBy("k").agg(sum(col("c")).as("__ck"))
-      .agg(coalesce(sum(col("__ck") * col("__ck")), lit(0L)).as("__sck2"))
-    val pBarRaw = col("__num").cast("double") /
-      (col("n_units").cast("double") * col("m_raters").cast("double")
-        * (col("m_raters") - 1).cast("double"))
-    val peRaw = col("__sck2").cast("double") /
-      ((col("n_units") * col("m_raters")).cast("double")
-        * (col("n_units") * col("m_raters")).cast("double"))
-    val res = totals.crossJoin(sck2)
-      .filter(col("n_units") > 0)
-      .select(
-        col("n_units"), col("m_raters"),
-        round(pBarRaw, 6).as("p_bar"),
-        round(peRaw, 6).as("p_e"),
-        when(peRaw < 1.0, round((pBarRaw - peRaw) / (lit(1.0) - peRaw), 6))
-          .as("kappa"))
-      .localCheckpoint(true) // one-row readout; releases the nik cache
-    nik.unpersist()
-    res
+    val sck2V = rows.find(_.getInt(0) == 2).map(_.getLong(1)).getOrElse(0L)
+    if (nUnits <= 0)
+      Seq.empty[(Long, Long, Double, Double, Option[Double])]
+        .toDF("n_units", "m_raters", "p_bar", "p_e", "kappa")
+    else {
+      val pBarRaw = num.toDouble /
+        (nUnits.toDouble * mMax.toDouble * (mMax - 1).toDouble)
+      val nmTot = nUnits * mMax
+      val peRaw = sck2V.toDouble / (nmTot.toDouble * nmTot.toDouble)
+      val kappa =
+        if (peRaw < 1.0) Some(r6((pBarRaw - peRaw) / (1.0 - peRaw))) else None
+      Seq((nUnits, mMax, r6(pBarRaw), r6(peRaw), kappa))
+        .toDF("n_units", "m_raters", "p_bar", "p_e", "kappa")
+    }
   }
 
   /** WEIGHTED Cohen's kappa for ORDINAL grades (Cohen 1968), quadratic
@@ -520,34 +548,34 @@ object MlEval {
     */
   def cohenKappaWeighted(
       df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // r19 shape: bounded-cell driver assembly (the [[cohenKappa]]
+    // pattern) — one cell-fold job; the observed and expected
+    // disagreement integer folds (including the marginal cross
+    // product) run on the driver with wrap-identical long arithmetic.
+    val spark = df.sparkSession
+    import spark.implicits._
     val cells = df
       .select(col(aCol).cast("long").as("i"), col(bCol).cast("long").as("j"))
       .filter(col("i").isNotNull && col("j").isNotNull)
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val obs = cells.agg(
-      coalesce(sum(col("c")), lit(0L)).as("n"),
-      coalesce(sum(col("c") * (col("i") - col("j")) * (col("i") - col("j"))),
-        lit(0L)).as("__od"))
-    val ra = cells.groupBy("i").agg(sum(col("c")).as("__ri"))
-    val cb = cells.groupBy("j").agg(sum(col("c")).as("__cj"))
-    val exp = ra.crossJoin(cb)
-      .agg(coalesce(sum(col("__ri") * col("__cj")
-        * (col("i") - col("j")) * (col("i") - col("j"))), lit(0L)).as("__ed"))
-    val doRaw = col("__od").cast("double") / col("n").cast("double")
-    val deRaw = col("__ed").cast("double") /
-      (col("n").cast("double") * col("n").cast("double"))
-    val res = obs.crossJoin(exp)
-      .filter(col("n") > 0)
-      .select(
-        col("n"),
-        round(doRaw, 6).as("d_o"),
-        round(deRaw, 6).as("d_e"),
-        when(col("__ed") > 0, round(lit(1.0) - doRaw / deRaw, 6))
-          .as("kappa_w"))
-      .localCheckpoint(true) // one-row readout; releases the cell cache
-    cells.unpersist()
-    res
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = cells.iterator.map(_._3).sum
+    if (n <= 0)
+      Seq.empty[(Long, Double, Double, Option[Double])]
+        .toDF("n", "d_o", "d_e", "kappa_w")
+    else {
+      val od = cells.iterator.map { case (i, j, c) =>
+        c * (i - j) * (i - j) }.sum
+      val ra = cells.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+      val cb = cells.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+      val ed = (for { (i, ri) <- ra.iterator; (j, cj) <- cb.iterator }
+        yield ri * cj * (i - j) * (i - j)).sum
+      val doRaw = od.toDouble / n.toDouble
+      val deRaw = ed.toDouble / (n.toDouble * n.toDouble)
+      val kw = if (ed > 0) Some(r6(1.0 - doRaw / deRaw)) else None
+      Seq((n, r6(doRaw), r6(deRaw), kw)).toDF("n", "d_o", "d_e", "kappa_w")
+    }
   }
 
   /** Krippendorff's alpha, nominal scale (Krippendorff 1970/2004): the
@@ -568,46 +596,61 @@ object MlEval {
     */
   def krippendorffAlpha(
       df: DataFrame, unitCol: String, labelCol: String): DataFrame = {
-    val nik = df
+    // r19 shape (guide §2.4 — share one exchange): ONE hash exchange on
+    // the unit key carries the whole unit-grain chain — the (u,k) cell
+    // fold, the per-unit m window and the per-unit disagreement fold
+    // all reuse HashPartitioning(u) — and the bounded category census
+    // (label-vocabulary grain) joins it in a tagged union, so the whole
+    // statistic is ONE distributed job with two exchanges (was: a
+    // cached census + four crossJoined branch chains + an eager
+    // checkpoint). The final assembly (exact decimal/long folds, the
+    // same fixed-order IEEE divisions) runs on the driver.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cellsW = df
       .select(col(unitCol).as("u"), col(labelCol).cast("string").as("k"))
       .filter(col("u").isNotNull && col("k").isNotNull)
+      .repartition(col("u"))
       .groupBy("u", "k").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mPer = nik.groupBy("u").agg(sum(col("c")).as("m"))
-    val pairable = mPer.filter(col("m") >= 2)
-    val cells = nik.join(pairable, Seq("u"))
+      .withColumn("m", sum(col("c")).over(Window.partitionBy("u")))
+      .filter(col("m") >= 2)
     // per-unit disagreement on the 6dp grid, exact decimal fold
-    val doTerms = cells
+    val uStats = cellsW
       .withColumn("__d", col("c") * (col("m") - col("c")))
-      .groupBy(col("u"), col("m"))
-      .agg(sum(col("__d")).as("__du"))
+      .groupBy(col("u"))
+      .agg(sum(col("__d")).as("__du"), max(col("m")).as("m"))
       .select(round(col("__du").cast("double")
-        / (col("m") - 1).cast("double"), 6).cast("decimal(28,6)").as("__t"))
-      .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(28,6)")).as("__sdo"))
-    val totals = cells.groupBy(col("k"))
-      .agg(sum(col("c")).as("__ck"))
+          / (col("m") - 1).cast("double"), 6).cast("decimal(28,6)").as("__t"),
+        col("m"))
       .agg(
-        coalesce(sum(col("__ck")), lit(0L)).as("n"),
-        count(lit(1)).as("__ncat"))
-    val deNum = cells.groupBy(col("k")).agg(sum(col("c")).as("__ck"))
-      .crossJoin(cells.agg(coalesce(sum(col("c")), lit(0L)).as("__n")))
-      .agg(coalesce(sum(col("__ck") * (col("__n") - col("__ck"))), lit(0L))
-        .as("__sde"))
-    val nUnits = pairable.agg(count(lit(1)).as("n_units"))
-    val doRaw = col("__sdo").cast("double") / col("n").cast("double")
-    val deRaw = col("__sde").cast("double") /
-      (col("n").cast("double") * (col("n") - 1).cast("double"))
-    val res = nUnits.crossJoin(totals).crossJoin(doTerms).crossJoin(deNum)
-      .filter(col("n") > 0)
-      .select(
-        col("n_units"), col("n").as("n_assignments"), col("__ncat").as("n_categories"),
-        round(doRaw, 6).as("d_o"),
-        round(deRaw, 6).as("d_e"),
-        when(col("__sde") > 0,
-          round(lit(1.0) - doRaw / deRaw, 6)).as("alpha"))
-      .localCheckpoint(true) // one-row readout; releases the nik cache
-    nik.unpersist()
-    res
+        coalesce(sum(col("__t")), lit(0).cast("decimal(28,6)")).as("sdo"),
+        count(lit(1)).as("n_units"),
+        coalesce(sum(col("m")), lit(0L)).as("n"))
+    val perK = cellsW.groupBy("k").agg(sum(col("c")).as("__ck"))
+    val rows = uStats.select(lit(1).as("t"), col("sdo"),
+        col("n_units"), col("n"))
+      .unionByName(perK.select(lit(2).as("t"),
+        col("__ck").cast("decimal(38,6)").as("sdo"),
+        lit(0L).as("n_units"), lit(0L).as("n")))
+      .collect()
+    val uRow = rows.find(_.getInt(0) == 1).get
+    val sdo = uRow.getDecimal(1)
+    val nUnits = uRow.getLong(2)
+    val n = uRow.getLong(3)
+    if (n <= 0)
+      Seq.empty[(Long, Long, Long, Double, Double, Option[Double])]
+        .toDF("n_units", "n_assignments", "n_categories", "d_o", "d_e", "alpha")
+    else {
+      val cks = rows.filter(_.getInt(0) == 2)
+        .map(_.getDecimal(1).longValueExact())
+      val nCat = cks.length.toLong
+      val sde = cks.iterator.map(ck => ck * (n - ck)).sum
+      val doRaw = sdo.doubleValue / n.toDouble
+      val deRaw = sde.toDouble / (n.toDouble * (n - 1).toDouble)
+      val alpha = if (sde > 0) Some(r6(1.0 - doRaw / deRaw)) else None
+      Seq((nUnits, n, nCat, r6(doRaw), r6(deRaw), alpha))
+        .toDF("n_units", "n_assignments", "n_categories", "d_o", "d_e", "alpha")
+    }
   }
 
   /** Krippendorff's alpha, INTERVAL metric (Krippendorff 2004): the
@@ -631,42 +674,51 @@ object MlEval {
     */
   def krippendorffAlphaInterval(
       df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    // r19 shape: ONE unit-keyed aggregation job computing every
+    // sufficient statistic in a single pass (the moment sums AND the
+    // 6dp per-unit disagreement fold), no cache, no branch crossJoins;
+    // the deNum/assembly arithmetic replays on the driver with exact
+    // BigDecimal integer folds (identical within the documented
+    // decimal(38,0) posture) and the same fixed-order IEEE divisions.
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = df
       .select(col(unitCol).as("u"), col(valueCol).cast("long").as("x"))
       .filter(col("u").isNotNull && col("x").isNotNull)
     val xd = col("x").cast("decimal(19,0)")
-    val per = v.groupBy("u").agg(
-      count(lit(1)).as("m"),
-      sum(xd).as("s1"),
-      sum(xd * xd).as("s2"))
-    val pairable = per.filter(col("m") >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val doTerms = pairable
-      .select(round(
-          (lit(2L) * col("m") * col("s2") - lit(2L) * col("s1") * col("s1"))
-            .cast("double") / (col("m") - 1).cast("double"), 6)
-        .cast("decimal(28,6)").as("__t"))
-      .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(28,6)")).as("__sdo"))
-    val totals = pairable.agg(
-      count(lit(1)).as("n_units"),
-      coalesce(sum(col("m")), lit(0L)).as("n"),
-      coalesce(sum(col("s1")), lit(0).cast("decimal(38,0)")).as("__ts1"),
-      coalesce(sum(col("s2")), lit(0).cast("decimal(38,0)")).as("__ts2"))
-    val deNum = (lit(2L) * col("n") * col("__ts2")
-      - lit(2L) * col("__ts1") * col("__ts1"))
-    val doRaw = col("__sdo").cast("double") / col("n").cast("double")
-    val deRaw = deNum.cast("double") /
-      (col("n").cast("double") * (col("n") - 1).cast("double"))
-    val res = totals.crossJoin(doTerms)
-      .filter(col("n") > 0)
-      .select(
-        col("n_units"), col("n").as("n_assignments"),
-        round(doRaw, 6).as("d_o"),
-        round(deRaw, 6).as("d_e"),
-        when(deNum > 0, round(lit(1.0) - doRaw / deRaw, 6)).as("alpha"))
-      .localCheckpoint(true) // one-row readout; releases the unit cache
-    pairable.unpersist()
-    res
+    val row = v.groupBy("u").agg(
+        count(lit(1)).as("m"),
+        sum(xd).as("s1"),
+        sum(xd * xd).as("s2"))
+      .filter(col("m") >= 2)
+      .select(col("m"), col("s1"), col("s2"),
+        round(
+            (lit(2L) * col("m") * col("s2") - lit(2L) * col("s1") * col("s1"))
+              .cast("double") / (col("m") - 1).cast("double"), 6)
+          .cast("decimal(28,6)").as("__t"))
+      .agg(
+        coalesce(sum(col("__t")), lit(0).cast("decimal(28,6)")).as("__sdo"),
+        count(lit(1)).as("n_units"),
+        coalesce(sum(col("m")), lit(0L)).as("n"),
+        coalesce(sum(col("s1")), lit(0).cast("decimal(38,0)")).as("__ts1"),
+        coalesce(sum(col("s2")), lit(0).cast("decimal(38,0)")).as("__ts2"))
+      .head()
+    val sdo = row.getDecimal(0)
+    val nUnits = row.getLong(1)
+    val n = row.getLong(2)
+    if (n <= 0)
+      Seq.empty[(Long, Long, Double, Double, Option[Double])]
+        .toDF("n_units", "n_assignments", "d_o", "d_e", "alpha")
+    else {
+      val ts1 = BigDecimal(row.getDecimal(3))
+      val ts2 = BigDecimal(row.getDecimal(4))
+      val deNum = BigDecimal(2L * n) * ts2 - BigDecimal(2) * ts1 * ts1
+      val doRaw = sdo.doubleValue / n.toDouble
+      val deRaw = deNum.toDouble / (n.toDouble * (n - 1).toDouble)
+      val alpha = if (deNum > 0) Some(r6(1.0 - doRaw / deRaw)) else None
+      Seq((nUnits, n, r6(doRaw), r6(deRaw), alpha))
+        .toDF("n_units", "n_assignments", "d_o", "d_e", "alpha")
+    }
   }
 
   /** GOLD-UNIT rater evaluation — the spammer/miscalibration screen

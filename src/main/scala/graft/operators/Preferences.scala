@@ -184,12 +184,27 @@ object Preferences {
       pairs: DataFrame, items: DataFrame, k: Double, iters: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val pairRows = pairs.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val itemRows = items.collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    btDriverCore(pairRows, itemRows, k, iters).toSeq
+      .toDF("item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
+  }
+
+  /** The in-memory MM fold shared by [[bradleyTerryDriver]] and the
+    * vectorized [[bradleyTerryBySlice]] driver path — one arithmetic,
+    * so the two callers are bitwise interchangeable by construction.
+    * Returns (item, strength, n_wins, n_comparisons, p_beat_avg) in
+    * `itemRows` order.
+    */
+  private def btDriverCore(
+      pairRows: Array[(String, String, Long)],
+      itemRows: Array[(String, Long)],
+      k: Double,
+      iters: Int): Array[(String, Double, Long, Long, Double)] = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val nCmp = {
       val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
       pairRows.foreach { case (a, b, n) => m(a) += n; m(b) += n }
@@ -209,9 +224,9 @@ object Preferences {
       val tot = gu.map { case (_, v) => BigDecimal(v).setScale(6) }.sum.toDouble
       gamma = gu.map { case (it, v) => it -> r6(v * k / tot) }.toMap
     }
-    itemRows.toSeq.map { case (it, w) =>
+    itemRows.map { case (it, w) =>
       (it, gamma(it), w, nCmp(it), r6(gamma(it) / (gamma(it) + 1.0)))
-    }.toDF("item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
+    }
   }
 
   /** TIES-AWARE Bradley-Terry (Rao & Kupper 1967) at a FIXED tie
@@ -1015,18 +1030,71 @@ object Preferences {
     val oc = cmp.groupBy("s", "w", "l").agg(count(lit(1)).as("cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val slices = oc.select("s").distinct().collect().map(_.getString(0)).sorted
+      // r19 vectorization (the r18 verdict's headline ask): instead of
+      // one driver-scheduled fit PER slice (4+ jobs each — gate agg,
+      // item count, two collects), fold the cached census ONCE into
+      // slice-keyed pair and item tables, collect them in ONE job, and
+      // run every slice's MM sweeps through the shared in-memory core
+      // ([[btDriverCore]] — the same arithmetic [[bradleyTerryDriver]]
+      // uses, so per-slice outputs stay bitwise the plain fit's,
+      // spec-pinned). A slice whose pair table exceeds the driver gate
+      // (the same row/byte thresholds [[fitFromOrdered]] applies) falls
+      // back to the distributed fit for that slice alone.
+      val pairsS = oc.groupBy(col("s"),
+          least(col("w"), col("l")).as("a"),
+          greatest(col("w"), col("l")).as("b"))
+        .agg(sum(col("cn")).as("n"))
+      val winS = oc.groupBy(col("s"), col("w").as("item"))
+        .agg(sum(col("cn")).as("n_wins"))
+      val itemsS = oc.select(col("s"), col("w").as("item"))
+        .unionByName(oc.select(col("s"), col("l").as("item")))
+        .distinct()
+        .join(winS, Seq("s", "item"), "left")
+        .select(col("s"), col("item"),
+          coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      val rows = pairsS
+        .select(lit(1).as("t"), col("s"), col("a"), col("b"), col("n"))
+        .unionByName(itemsS.select(lit(2).as("t"), col("s"),
+          col("item").as("a"), lit(null).cast("string").as("b"),
+          col("n_wins").as("n")))
+        .collect()
+      val pairRowsBySlice = rows.filter(_.getInt(0) == 1)
+        .map(r => (r.getString(1), (r.getString(2), r.getString(3), r.getLong(4))))
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+      val itemRowsBySlice = rows.filter(_.getInt(0) == 2)
+        .map(r => (r.getString(1), (r.getString(2), r.getLong(4))))
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+      val slices = itemRowsBySlice.keys.toArray.sorted
       require(slices.length <= maxSlices,
         s"${slices.length} slices exceed maxSlices=$maxSlices — slices are " +
           "an analysis grain; pre-aggregate or raise the cap deliberately")
-      val fits = slices.map { sl =>
+      // the fitFromOrdered driver gate, replicated per slice: pair rows
+      // and the 2·chars + 120·rows byte estimate (Spark length() counts
+      // code points; codePointCount mirrors it)
+      def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+      val spark = oc.sparkSession
+      import spark.implicits._
+      val (driverSlices, bigSlices) = slices.partition { sl =>
+        val ps = pairRowsBySlice.getOrElse(sl, Array.empty)
+        val chars = ps.iterator.map { case (a, b, _) => cp(a) + cp(b) }.sum
+        ps.length <= DefaultDriverPairLimit &&
+          (2L * chars + 120L * ps.length) <= DefaultDriverByteLimit
+      }
+      val driverOut = driverSlices.flatMap { sl =>
+        val ps = pairRowsBySlice.getOrElse(sl, Array.empty)
+        val is = itemRowsBySlice(sl)
+        btDriverCore(ps, is, is.length.toDouble, iters)
+          .map { case (it, g, w, n, p) => (sl, it, g, w, n, p) }
+      }.toSeq.toDF(
+        "slice", "item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
+      val fits = bigSlices.map { sl =>
         fitFromOrdered(oc.filter(col("s") === sl).select("w", "l", "cn"),
             iters, DefaultDriverPairLimit, DefaultDriverByteLimit)
           .withColumn("slice", lit(sl))
+          .select(col("slice"), col("item"), col("strength"),
+            col("n_wins"), col("n_comparisons"), col("p_beat_avg"))
       }
-      fits.reduce(_ unionByName _)
-        .select(col("slice"), col("item"), col("strength"),
-          col("n_wins"), col("n_comparisons"), col("p_beat_avg"))
+      (driverOut +: fits.toSeq).reduce(_ unionByName _)
     } finally oc.unpersist()
   }
 
@@ -1178,9 +1246,16 @@ object Preferences {
       .groupBy("ord").agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // census explode: one row per (ordering, position); okey is a
-    // plain-string window key (array partition keys shuffle wide)
+    // plain-string window key (array partition keys shuffle wide).
+    // md5(to_json(ord)) is COLLISION-FREE across distinct orderings
+    // (r18 advice: concat_ws("|", ord) merged two orderings whose item
+    // strings contain '|', silently interleaving their suffix sums);
+    // the JSON form is injective on string arrays and the digest keeps
+    // the shuffle key narrow. The driver-gate byte estimate below
+    // keeps concat_ws as its content-size proxy — it measures the
+    // collected ord payload, not the window key.
     val st = census
-      .select(concat_ws("|", col("ord")).as("okey"), col("n"),
+      .select(md5(to_json(col("ord"))).as("okey"), col("n"),
         size(col("ord")).cast("long").as("m"),
         posexplode(col("ord")).as(Seq("p0", "item")))
       .select(col("okey"), col("n"), col("m"), col("item"),
@@ -1311,7 +1386,16 @@ object Preferences {
           .unionByName(pv.select(col("b").as("item"), (col("wa") + col("wb")).as("n")))
           .groupBy("item").agg(sum(col("n")).as("n_comparisons"))
         // directed transitions i -> j at rate round(w_ji/(n*dmax), 6),
-        // fixed for all sweeps
+        // fixed for all sweeps. Rounding bound (r18 advice, documented
+        // rather than clamped — a clamp would have to change engine,
+        // driver fold AND SQL oracle in lockstep): each HALF_UP round
+        // adds at most 5e-7, so an item of degree d near d_max can
+        // carry a row-sum excess up to d·5e-7 and its stationary
+        // component can drift below 0 by that same bounded amount
+        // before the sum-1 renormalization — scores may leave [0,1] by
+        // <= deg_max·5e-7 on very dense graphs. At the intended grain
+        // (items are models/sources, degrees in the hundreds) the
+        // excursion is < 1e-4 of a score and sign-stable.
         val adj = pv.select(col("a").as("i"), col("b").as("j"),
             round(col("wb").cast("double")
               / ((col("wa") + col("wb")).cast("double") * lit(dMax)), 6).as("t"))

@@ -85,13 +85,28 @@ object ScalarConsensus {
       .select(col("u"),
         round(col("__sy").cast("double") / col("__m").cast("double"), 6)
           .as("t"))
-      .localCheckpoint(true)
+      // LAZY checkpoint (r19, the DawidSkene sweep pattern): the next
+      // sweep's sufficient-statistics collect materializes the state,
+      // so each sweep schedules one job instead of two
+      .localCheckpoint(false)
     var raters: DataFrame = null
 
+    // r19 sweep shape (guide §2.4, the DawidSkene.fitCore pattern): the
+    // rater table is BOUNDED, so each sweep runs ONE distributed job —
+    // the five exact sufficient statistics per rater, collected — and
+    // the OLS + gauge assemblies fold on the driver with the house
+    // byte-identical arithmetic (r6 == Spark round(…, 6), the
+    // bradleyTerryDriver posture, spec-pinned): each cast is
+    // BigDecimal.doubleValue, each assembly the same fixed-order IEEE
+    // chain, the gauge sums exact scale-6 BigDecimal adds. The rater
+    // lenses then enter the truth step as a LOCAL relation, so the old
+    // per-sweep rFit/raters checkpoint jobs, the gauge job and the
+    // broadcast-exchange build are all gone from the distributed plan.
+    val spark = votes.sparkSession
+    import spark.implicits._
     for (_ <- 1 to iters) {
-      // rater step: five exact sufficient statistics per rater, then
-      // the two fixed-order OLS assemblies
-      val rs = votes.join(truth, Seq("u"))
+      // rater step: the sweep's one rater-keyed distributed job
+      val rsRows = votes.join(truth, Seq("u"))
         .groupBy("r")
         .agg(
           count(lit(1)).as("n"),
@@ -99,38 +114,39 @@ object ScalarConsensus {
           sum(dec(col("y"))).as("__sy"),
           sum(dec(round(col("t") * col("y"), 6))).as("__sty"),
           sum(dec(round(col("t") * col("t"), 6))).as("__stt"))
-      val nD = col("n").cast("double")
-      val stD = col("__st").cast("double")
-      val syD = col("__sy").cast("double")
-      val styD = col("__sty").cast("double")
-      val sttD = col("__stt").cast("double")
-      val denom = nD * sttD - stD * stD
-      val rb = rs.select(col("r"), col("n"), col("__st"), col("__sy"),
-        when(denom > 0.0, round((nD * styD - stD * syD) / denom, 6))
-          .otherwise(lit(1.0)).as("__b"))
-      val rFit = rb.select(col("r"), col("n"), col("__b"),
-        round((col("__sy").cast("double")
-            - col("__b") * col("__st").cast("double"))
-          / col("n").cast("double"), 6).as("__a"))
-        .localCheckpoint(true) // rater-grain; also feeds the gauge fold
-      // gauge: two bounded rater-grain scalars (the DS-priors pattern —
-      // one tiny driver action per sweep)
-      val gr = rFit.agg(
-        coalesce(sum(dec(col("__a"))), lit(0).cast("decimal(28,6)")).as("sa"),
-        coalesce(sum(dec(col("__b"))), lit(0).cast("decimal(28,6)")).as("sb"))
-        .head()
-      val aBar = r6(gr.getDecimal(0).doubleValue / nRaters.toDouble)
-      val bBar = r6(gr.getDecimal(1).doubleValue / nRaters.toDouble)
-      raters =
-        (if (bBar > 0.0) {
+        .collect()
+      // OLS per rater: b = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) when the
+      // denom is positive, else 1; a = (Σy − b·Σt)/n — the verbatim
+      // old column expressions, folded on the driver
+      val rFit = rsRows.map { row =>
+        val n = row.getLong(1)
+        val nD = n.toDouble
+        val stD = row.getDecimal(2).doubleValue
+        val syD = row.getDecimal(3).doubleValue
+        val styD = row.getDecimal(4).doubleValue
+        val sttD = row.getDecimal(5).doubleValue
+        val denom = nD * sttD - stD * stD
+        val b =
+          if (denom > 0.0) r6((nD * styD - stD * syD) / denom) else 1.0
+        val a = r6((syD - b * stD) / nD)
+        (row.getString(0), n, a, b)
+      }
+      // gauge: exact scale-6 decimal folds of the 6dp a/b values
+      val sa = rFit.iterator.map { case (_, _, a, _) =>
+        BigDecimal(a).setScale(6) }.foldLeft(BigDecimal(0).setScale(6))(_ + _)
+      val sb = rFit.iterator.map { case (_, _, _, b) =>
+        BigDecimal(b).setScale(6) }.foldLeft(BigDecimal(0).setScale(6))(_ + _)
+      val aBar = r6(sa.toDouble / nRaters.toDouble)
+      val bBar = r6(sb.toDouble / nRaters.toDouble)
+      val raterRows =
+        if (bBar > 0.0) {
           val q = r6(aBar / bBar)
-          rFit.select(col("r"), col("n").as("n_votes"),
-            round(col("__a") - col("__b") * lit(q), 6).as("bias"),
-            round(col("__b") / lit(bBar), 6).as("scale"))
-        } else
-          rFit.select(col("r"), col("n").as("n_votes"),
-            col("__a").as("bias"), col("__b").as("scale")))
-          .localCheckpoint(true)
+          rFit.map { case (r, n, a, b) =>
+            (r, n, r6(a - b * q), r6(b / bBar))
+          }
+        } else rFit
+      raters = raterRows.toSeq
+        .toDF("r", "n_votes", "bias", "scale")
       // truth step: precision-weighted readback through the lenses
       truth = votes
         .join(broadcast(raters.select(col("r"), col("bias"), col("scale"))),
@@ -148,7 +164,7 @@ object ScalarConsensus {
           .otherwise(
             round(col("__sy").cast("double") / col("__m").cast("double"), 6))
           .as("t"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy — next sweep's collect materializes
     }
 
     val nVotes = votes.groupBy("u").agg(count(lit(1)).as("n_votes"))

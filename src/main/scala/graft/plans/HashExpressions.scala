@@ -739,6 +739,82 @@ case class TokenSetCountExpr(child: Expression, set: Seq[String])
     copy(child = newChild)
 }
 
+/** One-pass multi-set token argmax ([[Kernels.tokenSetBest]]): the
+  * label of the first set with the strictly-max hit count, else the
+  * fallback label (last in `labels`). The language-ID hot loop.
+  */
+case class TokenSetBestExpr(
+    child: Expression, sets: Seq[Seq[String]], labels: Seq[String])
+    extends UnaryExpression {
+  require(labels.size == sets.size + 1,
+    "labels must carry one entry per set plus the zero-hit fallback")
+
+  @transient private lazy val setsRef: Array[java.util.HashSet[UTF8String]] =
+    sets.map { set =>
+      val h = new java.util.HashSet[UTF8String](math.max(8, set.size * 2))
+      set.foreach(s => h.add(UTF8String.fromString(s)))
+      h
+    }.toArray
+
+  @transient private lazy val labelsRef: Array[UTF8String] =
+    labels.map(UTF8String.fromString).toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.tokenSetBest(input.asInstanceOf[UTF8String], setsRef, labelsRef)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsR = ctx.addReferenceObj("tokenSets", setsRef, "java.util.HashSet[]")
+    val labelsR = ctx.addReferenceObj("bestLabels", labelsRef,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.Kernels.tokenSetBest($c, $setsR, $labelsR)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct-members-present token census ([[Kernels.tokenSetDistinct]]). */
+case class TokenSetDistinctExpr(child: Expression, members: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val membersRef: Array[UTF8String] =
+    members.map(UTF8String.fromString).toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(
+      Kernels.tokenSetDistinct(input.asInstanceOf[UTF8String], membersRef))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("distinctMembers", membersRef,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.Kernels.tokenSetDistinct($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Tokens containing an ASCII letter ([[Kernels.alphaTokenCount]]). */
+case class AlphaTokenCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(Kernels.alphaTokenCount(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.alphaTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Byte-distribution Shannon entropy (bits) — codegen'd single pass;
   * see [[Kernels.byteEntropy]] for the summation-order contract.
   */
@@ -776,6 +852,15 @@ object HashExpressions {
 
   def tokenSetCount(text: Column, set: Seq[String]): Column =
     column(TokenSetCountExpr(expression(text), set))
+
+  def tokenSetBest(text: Column, sets: Seq[Seq[String]], labels: Seq[String]): Column =
+    column(TokenSetBestExpr(expression(text), sets, labels))
+
+  def tokenSetDistinct(text: Column, members: Seq[String]): Column =
+    column(TokenSetDistinctExpr(expression(text), members))
+
+  def alphaTokenCount(text: Column): Column =
+    column(AlphaTokenCountExpr(expression(text)))
 
   def tokenCount(text: Column): Column = column(TokenCountExpr(expression(text)))
 

@@ -321,6 +321,103 @@ object Kernels {
     count
   }
 
+  /** Multi-set token census in ONE tokenize pass (r19): counts each
+    * set's exact-member hits and returns the label of the FIRST set
+    * attaining the strict maximum (ties keep the earlier set — the
+    * `when(s > best, …)` fold semantics), or the final label (the
+    * fallback slot, `labels.length == sets.length + 1`) when the max
+    * is 0. Replaces a CaseWhen running-max over k separate
+    * tokenSetCount kernels, whose conditional branches defeat codegen
+    * subexpression elimination and re-evaluate each kernel per
+    * reference (measured ~7x at sf0.1).
+    */
+  def tokenSetBest(
+      s: UTF8String,
+      sets: Array[java.util.HashSet[UTF8String]],
+      labels: Array[UTF8String]): UTF8String = {
+    val k = sets.length
+    val counts = new Array[Int](k)
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        var j = 0
+        while (j < k) {
+          if (sets(j).contains(tok)) counts(j) += 1
+          j += 1
+        }
+      }
+    }
+    var best = 0
+    var j = 1
+    while (j < k) {
+      if (counts(j) > counts(best)) best = j
+      j += 1
+    }
+    if (k > 0 && counts(best) > 0) labels(best) else labels(labels.length - 1)
+  }
+
+  /** Count of DISTINCT `members` present among the whitespace tokens —
+    * the primitive form of Σ_w [array_contains(tokens, w)] without
+    * materializing the token array or the per-member array scans.
+    * Linear member probe: the lists are tiny (Gopher's required
+    * stopwords).
+    */
+  def tokenSetDistinct(s: UTF8String, members: Array[UTF8String]): Int = {
+    val k = members.length
+    val seen = new Array[Boolean](k)
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        var j = 0
+        while (j < k) {
+          if (!seen(j) && members(j).equals(tok)) seen(j) = true
+          j += 1
+        }
+      }
+    }
+    var c = 0
+    var j = 0
+    while (j < k) { if (seen(j)) c += 1; j += 1 }
+    c
+  }
+
+  /** Count of whitespace tokens containing at least one ASCII letter —
+    * the primitive form of size(filter(tokens(c), _.rlike("[A-Za-z]")))
+    * whose HOF predicate evaluates an interpreted regex per token.
+    * Byte-exact: non-ASCII code points never contain bytes in the
+    * letter ranges (UTF-8 continuation/lead bytes are >= 0x80).
+    */
+  def alphaTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      var hasAlpha = false
+      while (i < n && !isWs(bytes(i))) {
+        val b = bytes(i)
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) hasAlpha = true
+        i += 1
+      }
+      if (i > start && hasAlpha) count += 1
+    }
+    count
+  }
+
   def wordNGramHashes(s: UTF8String, n: Int): ArrayData = {
     val th = tokenHashArray(s)
     val m = th.length

@@ -32,10 +32,11 @@ object CountReads {
       }
     })
     def drain(): Unit = Thread.sleep(1500) // let straggler task-end events land
-    // JVM/classloader warm on an unrelated cheap query so per-query
-    // COLD numbers are comparable
-    graft.SparkEntry.queries(names.head)(spark, "/root/testdata/sf0.001")
-      .collect()
+    // JVM/classloader warm on the TARGET data dir (r18 advice: the
+    // hardcoded sf0.001 path threw on any other layout); warm-up
+    // failure is non-fatal — it only costs cold-number comparability
+    try graft.SparkEntry.queries(names.head)(spark, sfDir).collect()
+    catch { case _: Throwable => () }
     drain()
     for (n <- names) {
       // cold = the first call in a session (what a pipeline pays);
