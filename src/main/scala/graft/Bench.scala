@@ -119,7 +119,12 @@ object Bench {
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"value_norm":${fmt(totalNorm)},"failed":$failed,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}"""
+      // "cpus" (r20, additions-only): the line self-describes its core
+      // count so the driver's low/high-core scaling probe can tell "the
+      // box is quota-limited below local[32]" apart from "the harness
+      // ignored SPARK_GRAFT_CPUS" (r19's suspect_cpus_ignored false
+      // positive — the canary ratio proved the env var took effect).
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"value_norm":${fmt(totalNorm)},"cpus":$cpus,"failed":$failed,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}"""
     }
     // Greedy prefix of the slowest-first list that keeps the line in budget.
     val keep = (bySlowest.length to 0 by -1).view
@@ -141,7 +146,7 @@ object Bench {
           "\"" + k + "\":[" + p(pass1(k)) + "," + p(pass2(k)) + "," + p(pass3(k)) + "]" }
         .mkString("{", ",", "}")
       val json =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":${f"$canary%.3f"},"canary_passes":[${f"$canary1%.3f"},${f"$canary2%.3f"},${f"$canary3%.3f"}],"value_norm":${f"$totalNorm%.3f"},"failed":$failed,"queries":$detail,"passes":$passes,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":${f"$canary%.3f"},"canary_passes":[${f"$canary1%.3f"},${f"$canary2%.3f"},${f"$canary3%.3f"}],"value_norm":${f"$totalNorm%.3f"},"cpus":$cpus,"failed":$failed,"queries":$detail,"passes":$passes,"sf":"$sfDir"}"""
       // BENCH_DETAIL.json is the committed cross-round artifact and is only
       // comparable at the canonical scale factor: a dev-loop run at sf0.001
       // replacing an sf0.1 baseline once masqueraded as a 2x speedup that

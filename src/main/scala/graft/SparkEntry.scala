@@ -3519,9 +3519,14 @@ object SparkEntry {
     // quadratic-disagreement assembly all replay.
     "q_label_kappa_surprisal" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // persist: the doc-grain surprisal table feeds the eager
+      // quantile descent AND the final vote job — unpersisted, each
+      // consumer re-ran the tokenize + census + join lineage (r20;
+      // the bench/verify harnesses clearCache() between queries)
       val sur = graft.operators.CorpusStats.unigramSurprisal(
           docs, "doc_id", "text")
         .filter(col("n_tokens") > 0)
+        .persist()
       val cuts = graft.operators.Selection.quantilesDisc(
         sur, "avg_surprisal", Seq(0.25, 0.5, 0.75))
       val gradedS = sur.select(col("doc_id"),
@@ -3567,9 +3572,14 @@ object SparkEntry {
     // votes. Moment-identity integer folds; FULL oracle.
     "q_label_alpha_interval" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // persist: the doc-grain surprisal table feeds the eager
+      // quantile descent AND the final vote job — unpersisted, each
+      // consumer re-ran the tokenize + census + join lineage (r20;
+      // the bench/verify harnesses clearCache() between queries)
       val sur = graft.operators.CorpusStats.unigramSurprisal(
           docs, "doc_id", "text")
         .filter(col("n_tokens") > 0)
+        .persist()
       val cuts = graft.operators.Selection.quantilesDisc(
         sur, "avg_surprisal", Seq(0.25, 0.5, 0.75))
       val g3 = sur

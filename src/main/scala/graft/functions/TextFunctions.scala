@@ -266,26 +266,33 @@ object TextFunctions {
     *     (exists) instead of match counting: the scan stops at the
     *     first script hit instead of extracting every match;
     *  2. Latin-script texts score against per-language stopword lists
-    *     (ties resolve in en,es,de,fr order), else "und". The four
-    *     [[stopwordCount]] calls stay SEPARATE codegen'd
-    *     tokenize+filter passes on purpose: an attempted single-fold
-    *     rewrite (aggregate over tokens with a 4-counter struct
-    *     accumulator) measured 2.3x SLOWER at sf0.1 — higher-order
-    *     functions evaluate their lambdas interpreted, losing more
-    *     than the saved regex passes, and codegen subexpression
-    *     elimination already dedups the equal token trees.
+    *     (ties resolve in en,es,de,fr order), else "und" — ONE
+    *     tokenize pass through the multi-set argmax kernel
+    *     (TokenSetBestExpr, r20). The previous CaseWhen running-max
+    *     over four separate [[stopwordCount]] kernels re-evaluated
+    *     each count per conditional reference (codegen subexpression
+    *     elimination does not hoist branch-local subtrees), and the
+    *     whole `latin` tree is itself referenced from two conditional
+    *     contexts below — up to ~10 tokenize passes per row where one
+    *     suffices. The kernel's first-strict-max + zero-hit-fallback
+    *     semantics are exactly the fold's (property-pinned against
+    *     the CaseWhen form in TextFunctionsSpec). An earlier
+    *     HOF-aggregate attempt (4-counter struct accumulator) measured
+    *     2.3x SLOWER — interpreted lambdas — which is why this is a
+    *     kernel, not a fold.
     * A real pipeline would swap in a trained n-gram profile model; the
     * operator shape (pure column expression, no shuffle) is the part
     * that matters at scale.
     */
   def languageId(c: Column): Column = {
-    val scores = Seq("en", "es", "de", "fr").map(l => l -> stopwordCount(c, l))
-    val best = scores.tail.foldLeft((lit("en"), scores.head._2)) {
-      case ((bestLang, bestScore), (l, s)) =>
-        (when(s > bestScore, lit(l)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
-    }
-    val latin = when(best._2 > 0, best._1).otherwise("und")
+    val langs = Seq("en", "es", "de", "fr")
+    // coalesce: the old fold's null-input path collapsed to "und"
+    // (null > 0 is null, so every when() fell through); the kernel
+    // null-propagates, so pin the same contract explicitly.
+    val latin = coalesce(
+      graft.plans.HashExpressions.tokenSetBest(
+        lower(c), langs.map(Stopwords), langs :+ "und"),
+      lit("und"))
     val scriptRouted = ScriptRanges.foldRight(latin) {
       case ((lang, pattern), fallback) =>
         when(c.rlike(pattern), lang).otherwise(fallback)

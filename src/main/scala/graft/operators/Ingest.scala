@@ -68,7 +68,21 @@ object Ingest {
     }
   }
 
-  final case class IngestResult(survivors: DataFrame, dropped: Long)
+  /** `dropped` is LAZY (r20): the two counts behind it (cached batch +
+    * landed survivors) are pure metadata the drop-rate monitors read,
+    * and eager evaluation charged every ingest 2 count jobs even when
+    * nothing read them (q_ingest_increment pays 4). First access runs
+    * the counts; both inputs are deterministic (the landed parquet and
+    * the batch lineage), so laziness changes when, never what.
+    */
+  final class IngestResult(
+      val survivors: DataFrame, droppedThunk: () => Long) {
+    lazy val dropped: Long = droppedThunk()
+  }
+  object IngestResult {
+    def apply(survivors: DataFrame, dropped: => Long): IngestResult =
+      new IngestResult(survivors, () => dropped)
+  }
 
   /** Continuous ingestion from a document stream: foreachBatch runs
     * [[ingestIncrement]] with the micro-batch id — the batch=<id>
@@ -129,9 +143,10 @@ object Ingest {
       bands: Int = 16,
       n: Int = 3,
       seed: Long = 42L): IngestResult = {
-    val (result, edges) = ingestCore(batch, idCol, textCol, indexPath, outPath,
+    val (result, edges, cand) = ingestCore(batch, idCol, textCol, indexPath, outPath,
       batchId, dropAgreement, linkAgreement, numHashes, bands, n, seed)
-    ClusterStore.applyEdges(batch.sparkSession, clusterStorePath, edges)
+    try ClusterStore.applyEdges(batch.sparkSession, clusterStorePath, edges)
+    finally cand.foreach(_.unpersist())
     result
   }
 
@@ -166,15 +181,21 @@ object Ingest {
       ingestCore(batch, idCol, textCol, indexPath, outPath,
         batchId, dropAgreement, linkAgreement, numHashes, bands, n, seed)
     }
-    ClusterStore.applyEdges(spark, clusterStorePath,
+    // each batch's unified index-sweep cache (delta-sized verified
+    // pairs) stays pinned until the single deferred fold reads it
+    try ClusterStore.applyEdges(spark, clusterStorePath,
       folded.map(_._2).reduce(_ unionByName _))
+    finally folded.foreach(_._3.foreach(_.unpersist()))
     folded.map(_._1)
   }
 
   /** The per-batch core shared by [[ingestIncrement]] and
     * [[ingestBackfill]]: lands survivors + the index delta, returns the
-    * result and the batch's LINK EDGES (lazy; lineage reads the landed
-    * delta) for the caller to fold.
+    * result, the batch's LINK EDGES (lazy) for the caller to fold, and
+    * the persisted unified index-sweep frame the edges read (the caller
+    * unpersists it once the fold has run; a recompute on block loss
+    * walks the deterministic sketch lineage, so correctness never
+    * depends on the cache).
     */
   private def ingestCore(
       batch: DataFrame,
@@ -188,7 +209,7 @@ object Ingest {
       numHashes: Int,
       bands: Int,
       n: Int,
-      seed: Long): (IngestResult, DataFrame) = {
+      seed: Long): (IngestResult, DataFrame, Option[DataFrame]) = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     require(linkAgreement <= dropAgreement,
       s"linkAgreement ($linkAgreement) must be <= dropAgreement ($dropAgreement): " +
@@ -224,43 +245,70 @@ object Ingest {
     val inBatch = Dedup.dropExactDuplicates(b, idCol, textCol)
     val fpBatch = Dedup.fingerprintIndex(inBatch, idCol, textCol, n, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val landing =
-      if (!hasHistory) inBatch
-      else {
-        val dupIds = Dedup.duplicateIdsAgainstIndex(
-          fpBatch, index, numHashes, bands, minAgreement = dropAgreement)
-        inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-      }
+    // ONE index sweep serves BOTH thresholds (r20; was two): the band
+    // collisions and the zip_with agreement verify do not depend on the
+    // threshold at all, yet the drop probe (>= dropAgreement) and the
+    // cross link sweep (>= linkAgreement) each ran the full
+    // band-join + sig-rejoin + agreement pipeline against the same
+    // index. Compute the verified (id_a, id_b, agreement) pairs ONCE at
+    // the loose threshold (linkAgreement <= dropAgreement, enforced
+    // above), persist the delta-sized result, and read both decisions
+    // from it: drop = pairs at >= dropAgreement (exact md5 matches
+    // carry agreement 1.0, so the exact-copy drop is subsumed); link =
+    // all pairs whose batch side survived. Identical outputs by
+    // construction — the drop id-set and the link pair-set equal the
+    // two-sweep form's (dropped ids can't re-enter the link set: the
+    // survivor semi-join excludes them, exactly as re-sketching the
+    // landed delta did).
+    val candPairs =
+      if (!hasHistory) None
+      else Some(Dedup.pairsAgainstIndexPresketched(
+          fpBatch, index, numHashes, bands, minAgreement = linkAgreement)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val landing = candPairs match {
+      case None => inBatch
+      case Some(cp) =>
+        val dupIds = cp.filter(col("agreement") >= dropAgreement)
+          .select(col("id_a").as(idCol)).distinct()
+        inBatch.join(dupIds, Seq(idCol), "left_anti")
+    }
     landing.write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
     val survivors = spark.read.parquet(s"$outPath/batch=$batchId")
-    val dropped = b.count() - survivors.count()
 
-    // survivor fingerprints: the batch sketch pruned to the landed ids
-    // (survivors ⊂ inBatch) — the index delta, landed now so the link
-    // sweeps below read real files with real size stats.
-    fpBatch.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
+    // survivor fingerprints — the index delta, landed now so the link
+    // sweeps below read real files with real size stats. Bootstrap
+    // batches land the whole sketch as-is (survivors == inBatch when
+    // there is no history to drop against — the semi-join would be an
+    // identity, r20).
+    val fpDelta =
+      if (!hasHistory) fpBatch
+      else fpBatch.join(
+        survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    fpDelta.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/delta=$batchId")
     fpBatch.unpersist()
     if (ownsCache) b.unpersist()
     val fpSurv = spark.read.parquet(s"$indexPath/delta=$batchId")
       .select("id", "content_md5", "sig")
 
-    // link-grade pairs: survivors vs standing corpus, plus among the
-    // survivors themselves (jaccard banding at the loose threshold) —
-    // both sweeps band from the landed signature slices. No history ->
-    // no cross sweep.
+    // link-grade pairs: survivors vs standing corpus (the persisted
+    // unified sweep, filtered to landed ids), plus among the survivors
+    // themselves (jaccard banding at the loose threshold from the
+    // landed signature slices). No history -> no cross sweep.
     // survivors are text-distinct (dropExactDuplicates ran first), so
     // the distinct-input sweep applies — no collapse/expand bookkeeping.
     val within = Dedup.minHashNearDuplicatesDistinctPresketched(
         survivors, fpSurv.select(col("id"), col("sig")), idCol, textCol,
         n, numHashes, bands, minJaccard = linkAgreement)
       .select(col("id_a"), col("id_b"))
-    val edges =
-      if (!hasHistory) within
-      else Dedup.pairsAgainstIndexPresketched(
-          fpSurv, index, numHashes, bands, minAgreement = linkAgreement)
-        .select(col("id_a"), col("id_b"))
-        .unionByName(within)
-    (IngestResult(survivors, dropped), edges)
+    val edges = candPairs match {
+      case None => within
+      case Some(cp) =>
+        cp.join(survivors.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+          .select(col("id_a"), col("id_b"))
+          .unionByName(within)
+    }
+    // by-name: first .dropped access runs the two counts (see
+    // IngestResult) — deterministic whether or not the caches are gone
+    (IngestResult(survivors, b.count() - survivors.count()), edges, candPairs)
   }
 }

@@ -355,6 +355,32 @@ object MlEval {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Loud cardinality gate on the bounded-by-vocabulary driver
+    * collects (r20 — the r19 verdict's one scale hole): the kappa/AC1
+    * cell censuses are categories²-bounded BY ASSUMPTION, and a
+    * high-cardinality "label" column (free text, ids) silently turns
+    * the one-job driver assembly into an unbounded collect. The gate
+    * rides the SAME job as the collect — `limit(max+1)` bounds what
+    * can ever reach the driver, and row max+1 proves the census is
+    * over-limit, failing with an actionable message instead of a
+    * driver OOM. Under the limit the collected rows are identical to
+    * a plain collect (all downstream folds are order-free integer /
+    * decimal sums, so row order is immaterial).
+    */
+  // var, not val: a test seam — the production limit is far above any
+  // fixture, so the gate spec lowers it to prove the loud failure path
+  // and restores it (suites run sequentially; no concurrent readers)
+  private[graft] var MaxDriverCells = 2000000L
+  private def collectCellsBounded(
+      df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(MaxDriverCells.toInt + 1).collect()
+    require(rows.length <= MaxDriverCells,
+      s"$what: cell census exceeds $MaxDriverCells rows — the driver " +
+        "assembly assumes a bounded label vocabulary (categories² cells); " +
+        "bucket or recode the label column upstream")
+    rows
+  }
+
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     // r19 shape (guide §2.4): the confusion-cell census is BOUNDED
     // (categories², the label vocabulary), so the fit runs ONE
@@ -365,11 +391,10 @@ object MlEval {
     // crossJoin + an eager checkpoint for a one-row readout.
     val spark = df.sparkSession
     import spark.implicits._
-    val cells = df
+    val cells = collectCellsBounded(df
       .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .collect()
+      .groupBy("a", "b").agg(count(lit(1)).as("c")), "cohenKappa")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val n = cells.iterator.map(_._3).sum
     if (n <= 0)
@@ -418,11 +443,10 @@ object MlEval {
     // lane; the bounded-input posture is unchanged).
     val spark = df.sparkSession
     import spark.implicits._
-    val cells = df
+    val cells = collectCellsBounded(df
       .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .collect()
+      .groupBy("a", "b").agg(count(lit(1)).as("c")), "gwetAc1")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val n = cells.iterator.map(_._3).sum
     if (n <= 0)
@@ -554,11 +578,10 @@ object MlEval {
     // product) run on the driver with wrap-identical long arithmetic.
     val spark = df.sparkSession
     import spark.implicits._
-    val cells = df
+    val cells = collectCellsBounded(df
       .select(col(aCol).cast("long").as("i"), col(bCol).cast("long").as("j"))
       .filter(col("i").isNotNull && col("j").isNotNull)
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-      .collect()
+      .groupBy("i", "j").agg(count(lit(1)).as("c")), "cohenKappaWeighted")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val n = cells.iterator.map(_._3).sum
     if (n <= 0)
@@ -627,12 +650,13 @@ object MlEval {
         count(lit(1)).as("n_units"),
         coalesce(sum(col("m")), lit(0L)).as("n"))
     val perK = cellsW.groupBy("k").agg(sum(col("c")).as("__ck"))
-    val rows = uStats.select(lit(1).as("t"), col("sdo"),
-        col("n_units"), col("n"))
-      .unionByName(perK.select(lit(2).as("t"),
-        col("__ck").cast("decimal(38,6)").as("sdo"),
-        lit(0L).as("n_units"), lit(0L).as("n")))
-      .collect()
+    val rows = collectCellsBounded(
+      uStats.select(lit(1).as("t"), col("sdo"),
+          col("n_units"), col("n"))
+        .unionByName(perK.select(lit(2).as("t"),
+          col("__ck").cast("decimal(38,6)").as("sdo"),
+          lit(0L).as("n_units"), lit(0L).as("n"))),
+      "krippendorffAlpha (category census)")
     val uRow = rows.find(_.getInt(0) == 1).get
     val sdo = uRow.getDecimal(1)
     val nUnits = uRow.getLong(2)

@@ -1020,7 +1020,9 @@ object Preferences {
       winnerCol: String,
       loserCol: String,
       iters: Int = 10,
-      maxSlices: Int = 1000): DataFrame = {
+      maxSlices: Int = 1000,
+      driverPairLimit: Long = DefaultDriverPairLimit,
+      driverByteLimit: Long = DefaultDriverByteLimit): DataFrame = {
     val cmp = df.select(
         col(sliceCol).cast("string").as("s"),
         col(winnerCol).cast("string").as("w"),
@@ -1052,34 +1054,57 @@ object Preferences {
         .join(winS, Seq("s", "item"), "left")
         .select(col("s"), col("item"),
           coalesce(col("n_wins"), lit(0L)).as("n_wins"))
-      val rows = pairsS
-        .select(lit(1).as("t"), col("s"), col("a"), col("b"), col("n"))
-        .unionByName(itemsS.select(lit(2).as("t"), col("s"),
-          col("item").as("a"), lit(null).cast("string").as("b"),
-          col("n_wins").as("n")))
+      // r20 (the r19 verdict's #1): the per-slice driver gate now runs
+      // BEFORE anything slice-sized is collected. One cheap slice-grain
+      // job over the cached census yields each slice's pair-row count
+      // and character mass (Spark length() counts code points, exactly
+      // what the old driver-side codePointCount computed), the
+      // fitFromOrdered row/byte thresholds partition slices
+      // driver-vs-distributed from those stats, and only gate-passing
+      // slices' censuses are ever collected. The slice-count cap also
+      // fires off this bounded stats collect (limit'd at maxSlices+1)
+      // instead of after a full census collect. When every slice passes
+      // — the expected case; slices are an analysis grain — the big
+      // collect below is byte-identical to the pre-gate form.
+      val sliceStats = pairsS.groupBy(col("s")).agg(
+          count(lit(1)).as("pr"),
+          sum(length(col("a")).cast("long") + length(col("b")).cast("long"))
+            .as("chars"))
+        .limit(maxSlices + 1)
         .collect()
+      require(sliceStats.length <= maxSlices,
+        s"more than maxSlices=$maxSlices slices — slices are " +
+          "an analysis grain; pre-aggregate or raise the cap deliberately")
+      val statBySlice = sliceStats
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val slices = statBySlice.keys.toArray.sorted
+      val spark = oc.sparkSession
+      import spark.implicits._
+      val (driverSlices, bigSlices) = slices.partition { sl =>
+        val (pr, chars) = statBySlice(sl)
+        pr <= driverPairLimit &&
+          (2L * chars + 120L * pr) <= driverByteLimit
+      }
+      val bigSet = bigSlices.toSet
+      val collectable =
+        if (bigSet.isEmpty) pairsS
+          .select(lit(1).as("t"), col("s"), col("a"), col("b"), col("n"))
+          .unionByName(itemsS.select(lit(2).as("t"), col("s"),
+            col("item").as("a"), lit(null).cast("string").as("b"),
+            col("n_wins").as("n")))
+        else pairsS.filter(!col("s").isin(bigSlices.toSeq: _*))
+          .select(lit(1).as("t"), col("s"), col("a"), col("b"), col("n"))
+          .unionByName(itemsS.filter(!col("s").isin(bigSlices.toSeq: _*))
+            .select(lit(2).as("t"), col("s"),
+              col("item").as("a"), lit(null).cast("string").as("b"),
+              col("n_wins").as("n")))
+      val rows = collectable.collect()
       val pairRowsBySlice = rows.filter(_.getInt(0) == 1)
         .map(r => (r.getString(1), (r.getString(2), r.getString(3), r.getLong(4))))
         .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
       val itemRowsBySlice = rows.filter(_.getInt(0) == 2)
         .map(r => (r.getString(1), (r.getString(2), r.getLong(4))))
         .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
-      val slices = itemRowsBySlice.keys.toArray.sorted
-      require(slices.length <= maxSlices,
-        s"${slices.length} slices exceed maxSlices=$maxSlices — slices are " +
-          "an analysis grain; pre-aggregate or raise the cap deliberately")
-      // the fitFromOrdered driver gate, replicated per slice: pair rows
-      // and the 2·chars + 120·rows byte estimate (Spark length() counts
-      // code points; codePointCount mirrors it)
-      def cp(s: String): Long = s.codePointCount(0, s.length).toLong
-      val spark = oc.sparkSession
-      import spark.implicits._
-      val (driverSlices, bigSlices) = slices.partition { sl =>
-        val ps = pairRowsBySlice.getOrElse(sl, Array.empty)
-        val chars = ps.iterator.map { case (a, b, _) => cp(a) + cp(b) }.sum
-        ps.length <= DefaultDriverPairLimit &&
-          (2L * chars + 120L * ps.length) <= DefaultDriverByteLimit
-      }
       val driverOut = driverSlices.flatMap { sl =>
         val ps = pairRowsBySlice.getOrElse(sl, Array.empty)
         val is = itemRowsBySlice(sl)
@@ -1089,7 +1114,7 @@ object Preferences {
         "slice", "item", "strength", "n_wins", "n_comparisons", "p_beat_avg")
       val fits = bigSlices.map { sl =>
         fitFromOrdered(oc.filter(col("s") === sl).select("w", "l", "cn"),
-            iters, DefaultDriverPairLimit, DefaultDriverByteLimit)
+            iters, driverPairLimit, driverByteLimit)
           .withColumn("slice", lit(sl))
           .select(col("slice"), col("item"), col("strength"),
             col("n_wins"), col("n_comparisons"), col("p_beat_avg"))

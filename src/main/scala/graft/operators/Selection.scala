@@ -56,10 +56,35 @@ object Selection {
       ks: Seq[Long],
       buckets: Int = 256,
       tailThreshold: Long = 65536): Map[Long, Double] = {
-    require(ks.nonEmpty, "need at least one rank")
-    ks.foreach(k => require(k >= 1, s"k must be >= 1, got $k"))
+    // r20 (guide §5, §1.2): the descent makes O(log_buckets(range))
+    // full passes over `base` — head0, one histogram per round, the
+    // exact-tail collects — and each pass previously re-evaluated the
+    // caller's whole lineage (q_label_alpha_interval's surprisal input
+    // is a tokenize + census + join: 31 jobs / 15 source rescans for
+    // one readout, measured r20). Persist the NARROW (__v: double)
+    // projection for the descent's lifetime — 8 bytes/row, so even a
+    // 100 TB caller caches only its value column — and every pass
+    // after the first reads the cache. Values are untouched: same
+    // filter, same cast, same descent arithmetic.
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kthSmallestOnBase(base, ks, buckets, tailThreshold)
+    finally { base.unpersist(); () }
+  }
+
+  /** The shared descent over an already-prepared (and caller-cached)
+    * single-column frame `base` = filter(notNull) + cast-to-double of
+    * the value column. Factored out so [[quantilesDisc]] can reuse ONE
+    * cache fill for its rank-defining count AND the descent.
+    */
+  private def kthSmallestOnBase(
+      base: DataFrame,
+      ks: Seq[Long],
+      buckets: Int,
+      tailThreshold: Long): Map[Long, Double] = {
+    require(ks.nonEmpty, "need at least one rank")
+    ks.foreach(k => require(k >= 1, s"k must be >= 1, got $k"))
 
     // One fused pass: totals, NaN tail size, finite range.
     val head0 = base.agg(
@@ -187,10 +212,20 @@ object Selection {
       qs: Seq[Double]): Map[Double, Double] = {
     qs.foreach(q => require(q >= 0 && q <= 1, s"q must be in [0,1], got $q"))
     require(qs.nonEmpty, "need at least one quantile")
-    val n = df.filter(col(valueCol).isNotNull).count()
-    require(n > 0, "quantile of an empty column")
-    val rank = qs.distinct.map(q => q -> (math.floor(q * (n - 1)).toLong + 1)).toMap
-    val byRank = kthSmallestMulti(df, valueCol, rank.values.toSeq)
-    qs.map(q => q -> byRank(rank(q))).toMap
+    // One cache fill serves both the rank-defining count and every
+    // descent pass (r20 — the count alone used to re-evaluate the
+    // caller's full lineage before kthSmallestMulti evaluated it again
+    // per round). Same filter/cast as kthSmallestMulti's base, so n is
+    // the identical non-null count.
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n > 0, "quantile of an empty column")
+      val rank = qs.distinct.map(q => q -> (math.floor(q * (n - 1)).toLong + 1)).toMap
+      val byRank = kthSmallestOnBase(base, rank.values.toSeq, 256, 65536)
+      qs.map(q => q -> byRank(rank(q))).toMap
+    } finally { base.unpersist(); () }
   }
 }

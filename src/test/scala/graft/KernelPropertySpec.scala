@@ -97,6 +97,39 @@ class KernelPropertySpec extends AnyFunSuite {
     }, cases = 1000)
   }
 
+  test("tokenSetBest equals the k-fold tokenSetCount argmax reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // vocab deliberately overlaps across sets ("de"/"la" style shared
+    // stopwords) and includes non-members, so ties and zero-hit docs
+    // are common — the semantics under test are first-strict-max and
+    // the zero-hit fallback label.
+    val vocab = Seq("the", "la", "de", "und", "le", "el", "x", "é世", "b1")
+    val docGen: Gen[String] = for {
+      k <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(k, Gen.oneOf(vocab))
+      seps <- Gen.listOfN(k + 1, Gen.oneOf(" ", "  ", "\t", "\n"))
+    } yield seps.head + toks.zip(seps.tail).map { case (t, s) => t + s }.mkString
+    val setsGen: Gen[Seq[Seq[String]]] = for {
+      ns <- Gen.choose(1, 5)
+      sets <- Gen.listOfN(ns, Gen.someOf(vocab).map(_.toSeq))
+    } yield sets
+    check(Prop.forAll(docGen, setsGen) { (s: String, sets: Seq[Seq[String]]) =>
+      val labels = sets.indices.map(i => s"L$i") :+ "FALLBACK"
+      val hashSets = sets.map { set =>
+        val h = new java.util.HashSet[UTF8String]()
+        set.foreach(w => h.add(UTF8String.fromString(w)))
+        h
+      }.toArray
+      // reference: k independent tokenSetCount kernels + first-strict-max
+      val counts = hashSets.map(Kernels.tokenSetCount(UTF8String.fromString(s), _))
+      val expected =
+        if (counts.isEmpty || counts.max == 0) "FALLBACK"
+        else labels(counts.indexOf(counts.max))
+      Kernels.tokenSetBest(UTF8String.fromString(s), hashSets,
+        labels.map(UTF8String.fromString).toArray).toString == expected
+    }, cases = 2000)
+  }
+
   test("topGramFrac equals the naive max-multiplicity reference") {
     import org.apache.spark.unsafe.types.UTF8String
     val docGen: Gen[String] = for {

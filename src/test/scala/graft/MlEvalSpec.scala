@@ -220,6 +220,35 @@ class MlEvalSpec extends SparkSpec {
     assert(c.isNullAt(3), "constant raters must yield null kappa, not 1")
   }
 
+  test("driver cell-census gate: loud failure past MaxDriverCells, unchanged results under it") {
+    // r20: the kappa/AC1/weighted driver assemblies collect a
+    // categories²-bounded cell census; the gate rides the same job
+    // (limit max+1) and must fail loudly on a high-cardinality label
+    // column instead of OOMing the driver. Lower the seam, prove the
+    // message, restore, and pin that gated == ungated values.
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val df = rows.toDF("ra", "rb")
+    val before = MlEval.cohenKappa(df, "ra", "rb").collect().head
+    val saved = MlEval.MaxDriverCells
+    try {
+      MlEval.MaxDriverCells = 3L // census has 4 cells -> over limit
+      val ex = intercept[IllegalArgumentException](
+        MlEval.cohenKappa(df, "ra", "rb").collect())
+      assert(ex.getMessage.contains("cell census exceeds"), ex.getMessage)
+      val ex2 = intercept[IllegalArgumentException](
+        MlEval.gwetAc1(df, "ra", "rb").collect())
+      assert(ex2.getMessage.contains("cell census exceeds"), ex2.getMessage)
+      val graded = Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 3L)).toDF("ga", "gb")
+      val ex3 = intercept[IllegalArgumentException](
+        MlEval.cohenKappaWeighted(graded, "ga", "gb").collect())
+      assert(ex3.getMessage.contains("cell census exceeds"), ex3.getMessage)
+    } finally MlEval.MaxDriverCells = saved
+    val after = MlEval.cohenKappa(df, "ra", "rb").collect().head
+    assert(before == after, "the gate must not change under-limit values")
+  }
+
   test("fleissKappa: hand value; unbalanced panel fails loudly; degenerate nulls") {
     // 3 units x 2 raters: (a,a), (a,b), (b,b).
     // P_i = 1, 0, 1 -> P-bar = 2/3; marginals a=3, b=3 of 6 ->

@@ -576,6 +576,33 @@ class PreferencesSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxSlices"))
   }
 
+  test("bradleyTerryBySlice: over-limit slices fall back distributed BEFORE any census collect, same output") {
+    // r20 gate: the pair-row/byte thresholds are checked from a
+    // slice-grain stats job before the census collect, so an over-limit
+    // slice routes to the distributed fit (never the driver) and the
+    // under-limit slice keeps the driver core — outputs identical to
+    // the ungated all-driver run on the same data.
+    val cmp = (
+      Seq.fill(8)(("A", "a", "b")) ++ Seq.fill(2)(("A", "b", "a")) ++
+      Seq.fill(2)(("B", "a", "b")) ++ Seq.fill(8)(("B", "b", "a")) ++
+      Seq.fill(3)(("B", "c", "a"))
+    ).toDF("seg", "winner", "loser")
+    val default = Preferences.bradleyTerryBySlice(cmp, "seg", "winner", "loser")
+      .orderBy("slice", "item").collect().map(_.toSeq).toSeq
+    // pair limit 2: slice B (3 distinct pairs) exceeds it and must take
+    // the distributed path; slice A (1 pair) stays on the driver
+    val gated = Preferences.bradleyTerryBySlice(cmp, "seg", "winner", "loser",
+        driverPairLimit = 2L)
+      .orderBy("slice", "item").collect().map(_.toSeq).toSeq
+    assert(gated == default,
+      "distributed fallback must reproduce the driver fit bitwise")
+    // byte limit 1: EVERY slice falls back distributed; still identical
+    val allDistributed = Preferences.bradleyTerryBySlice(cmp, "seg", "winner", "loser",
+        driverByteLimit = 1L)
+      .orderBy("slice", "item").collect().map(_.toSeq).toSeq
+    assert(allDistributed == default)
+  }
+
   test("rankBreak: every in-session pair, winner = better-ranked; hygiene matches plackettLuce") {
     val rk = Seq(
       (1, "a", 1), (1, "b", 2), (1, "c", 3),

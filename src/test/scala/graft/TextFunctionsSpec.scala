@@ -97,6 +97,53 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("xyzzy qwerty zzz", languageId(col("t"))) == "und")
   }
 
+  test("languageId (tokenSetBest kernel) equals the CaseWhen-fold reference, nulls included") {
+    import org.apache.spark.sql.functions._
+    // the pre-r20 formulation, verbatim: four separate stopwordCount
+    // kernels folded through a CaseWhen running-max, wrapped by the
+    // same script routing — the kernel rewrite must be bitwise this
+    def referenceLanguageId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val scores = Seq("en", "es", "de", "fr").map(l => l -> stopwordCount(c, l))
+      val best = scores.tail.foldLeft((lit("en"), scores.head._2)) {
+        case ((bestLang, bestScore), (l, s)) =>
+          (when(s > bestScore, lit(l)).otherwise(bestLang),
+            when(s > bestScore, s).otherwise(bestScore))
+      }
+      val latin = when(best._2 > 0, best._1).otherwise("und")
+      val scriptRanges = Seq(
+        "ja" -> """[ぁ-ゟ゠-ヿ]""", "ko" -> """[가-힣]""", "zh" -> """[一-鿿]""",
+        "ru" -> """[А-яЁё]""", "ar" -> """[؀-ۿ]""", "hi" -> """[ऀ-ॿ]""")
+      val scriptRouted = scriptRanges.foldRight(latin) {
+        case ((lang, pattern), fallback) =>
+          when(c.rlike(pattern), lang).otherwise(fallback)
+      }
+      when(graft.plans.HashExpressions.hasNonAscii(c), scriptRouted).otherwise(latin)
+    }
+    // adversarial corpus: shared stopwords across languages ("de" is
+    // both Spanish and French; "la" Spanish and French), exact ties,
+    // zero hits, mixed scripts, empty and NULL text
+    val texts: Seq[String] = Seq(
+      "the cat is in the house", "el perro y la casa", "der hund und die katze",
+      "le chat et les maisons", "de la", "de", "la de le el", "und",
+      "the el der le", "the the el el", "", "xyzzy", "  \t ",
+      "これはテストです", "русский the текст", "mixé the accénts",
+      null.asInstanceOf[String]) ++
+      (0 until 200).map { i =>
+        val vocab = Seq("the", "a", "of", "el", "la", "de", "der", "und",
+          "le", "les", "et", "que", "en", "zz", "qqq")
+        val rnd = new scala.util.Random(i)
+        (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), languageId(col("t")).as("k"),
+        referenceLanguageId(col("t")).as("r"))
+      .collect()
+    got.foreach { row =>
+      assert(row.get(1) == row.get(2),
+        s"id=${row.getLong(0)}: kernel=${row.get(1)} reference=${row.get(2)}")
+    }
+  }
+
   test("qualityScore lands in [0,1] and penalizes degenerate docs") {
     val good = one("the quick brown fox jumps over the lazy dog and runs away", qualityScore(col("t"))).asInstanceOf[Double]
     val bad = one("a", qualityScore(col("t"))).asInstanceOf[Double]
